@@ -1,0 +1,147 @@
+"""Join-shaped operators: decorrelated enrichment, kNN top-k joins.
+
+The reference has no equi-join node — it round-trips to PostGIS per row
+(N+1 queries). Here those patterns become real Catalyst joins
+(SURVEY.md §2.6), with broadcast hints where one side is a dimension.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def attribute_from_sql(
+    parent: DataFrame,
+    child: DataFrame,
+    parent_key: str,
+    child_key: str,
+    attr: str = "attr",
+    child_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """``AttributeFromSQL`` (``sql.py:41-82``), decorrelated.
+
+    The reference executes one correlated SQL query *per record* and
+    stores the result set as ``record[attr] = [dict, ...]``. The Spark
+    plan runs the child once, pre-aggregates ``collect_list(struct(...))``
+    per key (duplicates preserved, matching ``sql.py:70-80``), and LEFT
+    OUTER joins — exactly Catalyst's subquery decorrelation, done
+    declaratively. Parents with no children get an empty array (the
+    reference stores ``[]``).
+
+    Scale: one shuffle on the key for the pre-aggregation, one for the
+    join (or zero if the aggregated child broadcasts). The per-row N+1
+    of the reference is gone entirely.
+    """
+    cols = list(child_cols) if child_cols else [c for c in child.columns]
+    agg = child.groupBy(F.col(child_key).alias(parent_key)).agg(
+        F.collect_list(F.struct(*[F.col(c) for c in cols])).alias(attr)
+    )
+    joined = parent.join(agg, on=parent_key, how="left")
+    return joined.withColumn(
+        attr, F.coalesce(F.col(attr), F.array().cast(joined.schema[attr].dataType))
+    )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_xy: tuple[str, str],
+    right_xy: tuple[str, str],
+    left_id: str,
+    k: int,
+    max_distance: float | None = None,
+    right_filter: Column | None = None,
+    tie_breaker: str | None = None,
+    distance_col: str = "distance",
+    rank_col: str = "rank",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """``ClosestFeatures`` (``terra.py:282-331``): k nearest right-rows
+    per left-row by euclidean distance, optional ``distance < max``,
+    optional right-side pre-filter (the reference's property-equality
+    filter, ``terra.py:308-310``).
+
+    Column names must be disjoint across the two sides. Distance uses
+    explicit ``dx*dx`` products (not ``pow``) so results are IEEE-
+    deterministic and bit-identical across engines. ``tie_breaker``
+    (a right-side column) makes the top-k deterministic under equal
+    distances.
+
+    Plan: (broadcast) cross/theta join -> window top-k per left id.
+    The reference issues one ordered+limited PostGIS query per record;
+    here it is one distributed join plus one window.
+
+    Scale: with a dimension-sized right side (the common case —
+    "closest hospital/station"), broadcast makes this shuffle-free
+    except the window's hash partition on ``left_id``, which is
+    perfectly parallel. For two huge sides use ``grid_knn_join`` below:
+    an equi-join on grid cells instead of a cross product.
+    """
+    lx, ly = left_xy
+    rx, ry = right_xy
+    r = right.filter(right_filter) if right_filter is not None else right
+    r = F.broadcast(r) if broadcast_right else r
+    dx = F.col(lx) - F.col(rx)
+    dy = F.col(ly) - F.col(ry)
+    joined = left.crossJoin(r).withColumn(distance_col, F.sqrt(dx * dx + dy * dy))
+    if max_distance is not None:
+        joined = joined.filter(F.col(distance_col) < F.lit(max_distance))
+    order = [F.col(distance_col).asc()]
+    if tie_breaker:
+        order.append(F.col(tie_breaker).asc())
+    w = Window.partitionBy(F.col(left_id)).orderBy(*order)
+    return joined.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+
+
+def grid_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_xy: tuple[str, str],
+    right_xy: tuple[str, str],
+    left_id: str,
+    k: int,
+    max_distance: float,
+    cell: float | None = None,
+    distance_col: str = "distance",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Scale path for kNN when neither side broadcasts.
+
+    Buckets both sides into grid cells of size ``cell`` (default
+    ``max_distance``), replicates each left row into its cell's 3x3
+    neighborhood, and equi-joins on the cell key — candidate pairs are
+    then exact-filtered by distance and top-k'd. Any pair within
+    ``max_distance`` shares a neighborhood, so results equal the naive
+    join; the shuffle is an equi-join on cell keys instead of a cross
+    product.
+    """
+    c = float(cell or max_distance)
+    lx, ly = left_xy
+    rx, ry = right_xy
+    offsets = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    lcells = (
+        left.withColumn("_cx0", F.floor(F.col(lx) / c).cast("long"))
+        .withColumn("_cy0", F.floor(F.col(ly) / c).cast("long"))
+        .withColumn("_dx", F.explode(offsets))
+        .withColumn("_dy", F.explode(offsets))
+        .withColumn("_cx", F.col("_cx0") + F.col("_dx"))
+        .withColumn("_cy", F.col("_cy0") + F.col("_dy"))
+        .drop("_cx0", "_cy0", "_dx", "_dy")
+    )
+    rcells = right.withColumn("_cx", F.floor(F.col(rx) / c).cast("long")).withColumn(
+        "_cy", F.floor(F.col(ry) / c).cast("long")
+    )
+    joined = lcells.join(rcells, on=["_cx", "_cy"], how="inner").withColumn(
+        distance_col,
+        F.sqrt((F.col(lx) - F.col(rx)) ** 2 + (F.col(ly) - F.col(ry)) ** 2),
+    )
+    joined = joined.filter(F.col(distance_col) < F.lit(max_distance)).drop("_cx", "_cy")
+    w = Window.partitionBy(F.col(left_id)).orderBy(F.col(distance_col).asc())
+    return joined.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )

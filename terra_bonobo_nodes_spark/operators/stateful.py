@@ -1,0 +1,68 @@
+"""Order-dependent / lifecycle operators as window functions.
+
+The reference keeps mutable state in ``ValueHolder`` cells and relies on
+arrival order (SURVEY.md §2.7). Spark makes the ordering explicit: every
+operator here takes partition + order columns, which is also what makes
+the semantics deterministic and scale-safe.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def running_lag_diff(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    col: str,
+    out: str = "diff",
+    diff: Callable[[Column, Column], Column] | None = None,
+) -> DataFrame:
+    """``IsochroneSubstraction``'s pattern (``common.py:519-532``):
+    ``x[i] := x[i] - x[i-1]`` over an explicit ordering, seeded so the
+    first row keeps its full value (reference seeds with POINT EMPTY).
+
+    ``diff`` customizes the combiner (e.g. geometric ST_Difference via
+    the geo kernel); default is numeric subtraction with a 0 seed.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    prev = F.lag(F.col(col), 1).over(w)
+    combine = diff or (lambda cur, pre: cur - F.coalesce(pre, F.lit(0.0)))
+    return df.withColumn(out, combine(F.col(col), prev))
+
+
+def upsert_last_writer_wins(
+    df: DataFrame,
+    key: Sequence[str],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """``LoadFeatureInLayer``'s delete-then-insert upsert semantics
+    (``terra.py:155-161``): last writer per identifier wins across the
+    batch. Dedupe by key with an explicit recency ordering BEFORE the
+    write — avoids the reference's intra-batch double-apply hazard
+    (SURVEY.md §7 hard-part 5).
+
+    Scale: one hash partition on the key; AQE handles skewed keys.
+    """
+    w = Window.partitionBy(*key).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def clean_older_than(
+    df: DataFrame, ts_col: str, cutoff: str | Column
+) -> DataFrame:
+    """``CleanOlderThan`` (``terra.py:497-520``): retention filter
+    ``updated_at >= cutoff``. As a sink-side op this becomes a partition
+    overwrite / Delta DELETE; as a transform it is a pushdown-friendly
+    filter (partition-prunes when the table is date-partitioned).
+    """
+    cut = F.lit(cutoff).cast("timestamp") if isinstance(cutoff, str) else cutoff
+    return df.filter(F.col(ts_col) >= cut)

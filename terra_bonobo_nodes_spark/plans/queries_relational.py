@@ -1,0 +1,546 @@
+"""Correctness queries: record/relational core (SURVEY.md §2.3/2.5-2.7).
+
+Cross-engine determinism rules (see registry docstring): float sums are
+computed as ``SUM(CAST(x AS DECIMAL(20,6)))`` cast back to double —
+exact and reduction-order-insensitive, so Spark and DuckDB produce
+bit-identical doubles; row-level arithmetic keeps identical expression
+shape (explicit ``dx*dx`` instead of ``pow``) so IEEE semantics give
+identical results without rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from terra_bonobo_nodes_spark.operators.arrays import (
+    accessibility_ratio_by_time,
+    min_array_attribute,
+)
+from terra_bonobo_nodes_spark.operators.clustering import collect_and_sum, grid_cluster
+from terra_bonobo_nodes_spark.operators.hstore import parse_hstore_tags
+from terra_bonobo_nodes_spark.operators.joins import attribute_from_sql, knn_join
+from terra_bonobo_nodes_spark.operators.records import (
+    drop_identifier,
+    exclude_attributes,
+    filter_attributes,
+    filter_by_properties,
+    generate_identifier,
+    identifier_from_property,
+    map_properties,
+)
+from terra_bonobo_nodes_spark.operators.stateful import (
+    clean_older_than,
+    running_lag_diff,
+    upsert_last_writer_wins,
+)
+from terra_bonobo_nodes_spark.plans.registry import register
+from terra_bonobo_nodes_spark.tables import load_table
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Exact float sum: decimal-cast accumulate, double result.
+
+    Reduction order no longer matters, so Spark's partial aggregation
+    and DuckDB's sequential sum agree bitwise.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(20,6)")).cast("double").alias(alias)
+
+
+DSUM_SQL = "CAST(SUM(CAST({x} AS DECIMAL(20,6))) AS DOUBLE) AS {alias}"
+
+
+def _events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> synthetic lon/lat points (FIXTURES.md F1 recipe)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        ((F.col("value") % 360) - 180).alias("x"),
+        ((F.col("value") % 170) - 85).alias("y"),
+    )
+
+
+EVENTS_POINTS_SQL = """
+SELECT event_id, user_id, event_type, value, ts,
+       ((value % 360) - 180) AS x, ((value % 170) - 85) AS y
+FROM events
+"""
+
+
+# --- A4 + A1: grid clustering + collect-and-sum (flagship) -----------------
+
+
+@register(
+    "a4_grid_cluster_collect_sum",
+    oracle=f"""
+WITH pts AS ({EVENTS_POINTS_SQL})
+SELECT CAST(floor(x / 10.0) AS BIGINT) AS cell_x,
+       CAST(floor(y / 10.0) AS BIGINT) AS cell_y,
+       count(*) AS point_count,
+       count(DISTINCT event_id) AS n_ids,
+       {DSUM_SQL.format(x="value", alias="sum_value")}
+FROM pts GROUP BY 1, 2
+""",
+    headline=True,
+    tags=("A4", "A1"),
+)
+def a4_grid_cluster_collect_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _events_points(spark, sf_dir)
+    clustered = grid_cluster(pts, "x", "y", 10.0)
+    return collect_and_sum(
+        clustered, ["cell_x", "cell_y"], "event_id", {"value": "sum_value"}
+    )
+
+
+# --- P1/P2/P9: identifiers --------------------------------------------------
+
+
+@register(
+    "p1_identifier_from_property",
+    oracle="""
+SELECT CAST(o_orderkey AS VARCHAR) AS identifier, o_orderkey, o_orderstatus
+FROM orders
+""",
+    tags=("P1",),
+)
+def p1_identifier_from_property(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return identifier_from_property(orders, "o_orderkey").select(
+        "identifier", "o_orderkey", "o_orderstatus"
+    )
+
+
+@register(
+    "p2_generate_identifier_md5",
+    oracle="""
+SELECT md5(concat_ws('-', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR)))
+         AS identifier,
+       l_orderkey, l_linenumber
+FROM lineitem
+""",
+    tags=("P2",),
+)
+def p2_generate_identifier_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    gen = F.md5(
+        F.encode(
+            F.concat_ws(
+                "-",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            ),
+            "UTF-8",
+        )
+    )
+    return generate_identifier(li, gen).select("identifier", "l_orderkey", "l_linenumber")
+
+
+@register(
+    "p9_drop_identifier",
+    oracle="SELECT o_orderkey, o_orderstatus FROM orders",
+    tags=("P9",),
+)
+def p9_drop_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    with_id = identifier_from_property(orders, "o_orderkey")
+    return drop_identifier(with_id)
+
+
+# --- P3/P4: projection ------------------------------------------------------
+
+
+@register(
+    "p3_exclude_attributes",
+    oracle="SELECT c_custkey, c_name, c_nationkey FROM customer",
+    tags=("P3",),
+)
+def p3_exclude_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return exclude_attributes(cust, ["c_acctbal", "c_mktsegment", "not_a_column"])
+
+
+@register(
+    "p4_filter_attributes",
+    oracle="SELECT p_partkey, p_brand, p_retailprice FROM part",
+    tags=("P4",),
+)
+def p4_filter_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return filter_attributes(part, ["p_partkey", "p_brand", "p_retailprice"])
+
+
+# --- P5/P6: filter + map ----------------------------------------------------
+
+
+@register(
+    "p5_filter_by_properties",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'
+""",
+    tags=("P5",),
+)
+def p5_filter_by_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    return filter_by_properties(
+        li, (F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R")
+    )
+
+
+@register(
+    "p6_map_properties",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       (l_extendedprice * (1.0 - l_discount)) AS net_price,
+       ((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)) AS charge
+FROM lineitem
+""",
+    tags=("P6",),
+)
+def p6_map_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    )
+    net = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    out = map_properties(li, {"net_price": net, "charge": net * (F.lit(1.0) + F.col("l_tax"))})
+    return out.select("l_orderkey", "l_linenumber", "net_price", "charge")
+
+
+# --- P7: array min ----------------------------------------------------------
+
+
+@register(
+    "p7_min_array_attribute",
+    oracle="""
+SELECT l_orderkey, min(l_quantity) AS qty_min FROM lineitem GROUP BY l_orderkey
+""",
+    tags=("P7", "A3"),
+)
+def p7_min_array_attribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    arrays = li.groupBy("l_orderkey").agg(F.collect_list("l_quantity").alias("qty_min"))
+    return min_array_attribute(arrays, "qty_min")
+
+
+# --- P10: hstore parsing ----------------------------------------------------
+
+
+@register(
+    "p10_hstore_parse",
+    oracle="""
+SELECT event_id, CAST(event_id AS VARCHAR) AS tag_id, event_type AS tag_type
+FROM events
+""",
+    tags=("P10",),
+)
+def p10_hstore_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    hstore = F.concat(
+        F.lit('"id"=>"'),
+        F.col("event_id").cast("string"),
+        F.lit('","type"=>"'),
+        F.col("event_type"),
+        F.lit('"'),
+    )
+    tagged = ev.withColumn("other_tags", hstore)
+    parsed = parse_hstore_tags(tagged, "other_tags", keys=["id", "type"])
+    return parsed.select("event_id", "tag_id", "tag_type")
+
+
+# --- P11/A5: accessibility ratio over a time matrix -------------------------
+
+
+@register(
+    "p11_accessibility_ratio",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ((CASE WHEN l_quantity <= 25.0 OR l_extendedprice <= 1000.0 THEN 1 ELSE 0 END)
+      + (CASE WHEN l_discount <= 25.0 OR l_tax <= 1000.0 THEN 1 ELSE 0 END)) / 2.0
+         AS accessibility_ratio
+FROM lineitem
+""",
+    tags=("P11", "A5"),
+)
+def p11_accessibility_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    times = F.array(
+        F.array(F.col("l_quantity"), F.col("l_extendedprice")),
+        F.array(F.col("l_discount"), F.col("l_tax")),
+    )
+    df = li.withColumn("times", times)
+    out = accessibility_ratio_by_time(df, "times", [25.0, 1000.0])
+    return out.select("l_orderkey", "l_linenumber", "accessibility_ratio")
+
+
+# --- T1: running lag difference --------------------------------------------
+
+
+@register(
+    "t1_running_lag_diff",
+    oracle="""
+SELECT event_id, user_id,
+       (value - coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         0.0)) AS diff
+FROM events
+""",
+    tags=("T1",),
+)
+def t1_running_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value", "ts")
+    out = running_lag_diff(ev, ["user_id"], ["ts", "event_id"], "value")
+    return out.select("event_id", "user_id", "diff")
+
+
+# --- K1: upsert last-writer-wins -------------------------------------------
+
+
+@register(
+    "k1_upsert_last_writer_wins",
+    oracle="""
+SELECT user_id, event_id AS last_event_id, value AS last_value
+FROM (SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+               AS rn
+      FROM events) WHERE rn = 1
+""",
+    tags=("K1",),
+)
+def k1_upsert_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value", "ts")
+    deduped = upsert_last_writer_wins(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return deduped.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+# --- K5: retention ----------------------------------------------------------
+
+
+@register(
+    "k5_retention_filter",
+    oracle=f"""
+SELECT event_type, count(*) AS n, {DSUM_SQL.format(x="value", alias="sum_value")}
+FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY event_type
+""",
+    tags=("K5",),
+)
+def k5_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    kept = clean_older_than(ev, "ts", "2024-01-15 00:00:00")
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
+    )
+
+
+# --- J4: kNN top-k join -----------------------------------------------------
+
+
+@register(
+    "j4_knn_closest_features",
+    oracle="""
+WITH c AS (SELECT c_custkey, (c_acctbal % 100.0) AS cx,
+                  CAST(c_custkey % 100 AS DOUBLE) AS cy FROM customer),
+     s AS (SELECT s_suppkey, (s_acctbal % 100.0) AS sx,
+                  CAST(s_suppkey % 100 AS DOUBLE) AS sy FROM supplier),
+     pairs AS (
+       SELECT c.c_custkey, s.s_suppkey,
+              sqrt((c.cx - s.sx) * (c.cx - s.sx) + (c.cy - s.sy) * (c.cy - s.sy))
+                AS distance
+       FROM c CROSS JOIN s),
+     ranked AS (
+       SELECT c_custkey, s_suppkey, distance,
+              row_number() OVER (PARTITION BY c_custkey
+                                 ORDER BY distance, s_suppkey) AS rank
+       FROM pairs WHERE distance < 25.0)
+SELECT c_custkey, s_suppkey, distance, rank FROM ranked WHERE rank <= 3
+""",
+    headline=True,
+    tags=("J4",),
+)
+def j4_knn_closest_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal") % 100.0).alias("cx"),
+        (F.col("c_custkey") % 100).cast("double").alias("cy"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") % 100.0).alias("sx"),
+        (F.col("s_suppkey") % 100).cast("double").alias("sy"),
+    )
+    out = knn_join(
+        cust,
+        supp,
+        left_xy=("cx", "cy"),
+        right_xy=("sx", "sy"),
+        left_id="c_custkey",
+        k=3,
+        max_distance=25.0,
+        tie_breaker="s_suppkey",
+    )
+    return out.select("c_custkey", "s_suppkey", "distance", "rank")
+
+
+# --- J5: decorrelated per-row subquery enrichment ---------------------------
+
+
+@register(
+    "j5_attribute_from_sql",
+    oracle="""
+SELECT o.o_orderkey,
+       count(l.l_orderkey) AS n_items,
+       CAST(coalesce(SUM(CAST(l.l_quantity AS DECIMAL(20,6))), 0) AS DOUBLE)
+         AS sum_qty
+FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey
+""",
+    headline=True,
+    tags=("J5",),
+)
+def j5_attribute_from_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    enriched = attribute_from_sql(
+        orders, li, parent_key="o_orderkey", child_key="l_orderkey", attr="items"
+    )
+    zero = F.lit(0).cast("decimal(20,6)")
+    return enriched.select(
+        "o_orderkey",
+        F.size("items").cast("long").alias("n_items"),
+        F.aggregate(
+            "items",
+            zero,
+            lambda acc, x: (acc + x["l_quantity"].cast("decimal(20,6)")).cast(
+                "decimal(20,6)"
+            ),
+        )
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+# --- engine surface: TPC-H Q1 pricing summary (headline) --------------------
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,6)))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)
+                     AS DECIMAL(20,6))) AS DOUBLE) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    headline=True,
+    tags=("surface", "tpch"),
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- engine surface: top-k per group via window -----------------------------
+
+
+@register(
+    "topk_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) WHERE rk <= 2
+""",
+    tags=("surface", "window"),
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
+
+
+# --- engine surface: star join with broadcast dims --------------------------
+
+
+@register(
+    "star_join_revenue_by_region",
+    oracle="""
+SELECT r.r_name AS region_name,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+    headline=True,
+    tags=("surface", "join"),
+)
+def star_join_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return joined.groupBy(F.col("r_name").alias("region_name")).agg(
+        dsum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+# --- engine surface: rollup -------------------------------------------------
+
+
+@register(
+    "rollup_order_priority",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    tags=("surface", "rollup"),
+)
+def rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
