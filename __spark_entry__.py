@@ -23,6 +23,28 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+def _ensure_executors(spark: SparkSession) -> None:
+    """Make the package importable on Spark's Python workers.
+
+    Pandas-UDF closures (the geometry kernel) reference the package by
+    name; workers spawned by the executor JVM don't inherit the driver's
+    sys.path, so ship the package as a zip via addPyFile. Idempotent per
+    session. On a real cluster this is exactly how the library would be
+    deployed (--py-files)."""
+    if getattr(spark, "_tbns_pyfiles_added", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg = Path(_REPO) / "terra_bonobo_nodes_spark"
+    zpath = Path(tempfile.gettempdir()) / "terra_bonobo_nodes_spark_pyfiles.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for py in sorted(pkg.rglob("*.py")):
+            zf.write(py, py.relative_to(Path(_REPO)))
+    spark.sparkContext.addPyFile(str(zpath))
+    spark._tbns_pyfiles_added = True
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: grid-cluster + collect-and-sum
     (reference ``LayerClusters`` + ``CollectAndSum``) over the events table,
@@ -30,6 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """
     from terra_bonobo_nodes_spark.plans.registry import all_queries
 
+    _ensure_executors(spark)
     q = all_queries()["a4_grid_cluster_collect_sum"]
     df = q.spark_fn(spark, "/root/testdata/sf0.001")
     return df.orderBy(
@@ -40,7 +63,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from terra_bonobo_nodes_spark.plans import registry
 
-    return registry.queries()
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_executors(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in registry.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

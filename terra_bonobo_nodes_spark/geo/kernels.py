@@ -1,0 +1,408 @@
+"""ST-style column functions backed by Arrow-batched pandas UDFs.
+
+Geometry is WKB in BinaryType columns (see ``geo.__init__`` docstring).
+Every function here is the slow-path escape hatch the SURVEY §4.2 plan
+calls for: rows cross to Python once per batch via Arrow, the kernel
+loops in-process, and results return as one Arrow batch. At 100 TB the
+mitigations are (a) batch size via
+``spark.sql.execution.arrow.maxRecordsPerBatch``, (b) operators
+pre-filter with cheap JVM-side predicates (bbox columns, grid keys)
+so the Python kernel only sees candidate rows, (c) the ST names match
+Apache Sedona's so swapping to JVM execution is mechanical.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+)
+
+from terra_bonobo_nodes_spark.geo import ops
+from terra_bonobo_nodes_spark.geo import wkb as W
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _map1(series: pd.Series, fn) -> list:
+    return [fn(v) for v in series]
+
+
+# --- constructors / accessors -----------------------------------------------
+
+
+@pandas_udf(BinaryType())
+def _st_point(x: pd.Series, y: pd.Series) -> pd.Series:
+    out = []
+    for xv, yv in zip(x, y):
+        if xv is None or yv is None or (isinstance(xv, float) and math.isnan(xv)):
+            out.append(W.write_wkb(W.POINT_EMPTY))
+        else:
+            out.append(W.write_wkb(("Point", (float(xv), float(yv)))))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def _st_pointz(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            W.write_wkb(("Point", (float(xv), float(yv), float(zv))))
+            if xv is not None
+            else None
+            for xv, yv, zv in zip(x, y, z)
+        ]
+    )
+
+
+@pandas_udf(DoubleType())
+def _st_x(g: pd.Series) -> pd.Series:
+    def f(b):
+        geom = W.parse_wkb(b)
+        if geom is None or geom[0] != "Point" or W.is_empty(geom):
+            return None
+        return geom[1][0]
+
+    return pd.Series(_map1(g, f))
+
+
+@pandas_udf(DoubleType())
+def _st_y(g: pd.Series) -> pd.Series:
+    def f(b):
+        geom = W.parse_wkb(b)
+        if geom is None or geom[0] != "Point" or W.is_empty(geom):
+            return None
+        return geom[1][1]
+
+    return pd.Series(_map1(g, f))
+
+
+@pandas_udf(StringType())
+def _st_astext(g: pd.Series) -> pd.Series:
+    return pd.Series(_map1(g, lambda b: W.write_wkt(W.parse_wkb(b))))
+
+
+@pandas_udf(BinaryType())
+def _st_geomfromtext(t: pd.Series) -> pd.Series:
+    return pd.Series(_map1(t, lambda s: W.write_wkb(W.parse_wkt(s))))
+
+
+@pandas_udf(StringType())
+def _st_asgeojson(g: pd.Series) -> pd.Series:
+    def f(b):
+        d = W.to_geojson(W.parse_wkb(b))
+        return None if d is None else json.dumps(d, separators=(",", ":"))
+
+    return pd.Series(_map1(g, f))
+
+
+@pandas_udf(BinaryType())
+def _st_geomfromgeojson(t: pd.Series) -> pd.Series:
+    def f(s):
+        if s is None:
+            return None
+        # auto-repair on parse, mirroring AttributeToGeometry
+        # (common.py:306-312): make_valid polygons, simplify(0) lines
+        g = W.from_geojson(s)
+        if g is None:
+            return None
+        if g[0] in ("Polygon", "MultiPolygon"):
+            g = ops.make_valid(g)
+        elif g[0] in ("LineString", "MultiLineString"):
+            g = ops.simplify(g, 0.0)
+        return W.write_wkb(g)
+
+    return pd.Series(_map1(t, f))
+
+
+@pandas_udf(BinaryType())
+def _st_geomfromany(t: pd.Series) -> pd.Series:
+    """GEOSGeometry-style multi-format parse (``common.py:297-303``):
+    GeoJSON or WKT per row, with the reference's auto-repair. A single
+    kernel (not when/otherwise over two UDFs — Spark evaluates both
+    branches on every row, so the wrong-format parser would raise)."""
+
+    def f(s):
+        if s is None:
+            return None
+        g = W.from_geojson(s) if s.lstrip().startswith("{") else W.parse_wkt(s)
+        if g is None:
+            return None
+        if g[0] in ("Polygon", "MultiPolygon"):
+            g = ops.make_valid(g)
+        elif g[0] in ("LineString", "MultiLineString"):
+            g = ops.simplify(g, 0.0)
+        return W.write_wkb(g)
+
+    return pd.Series(_map1(t, f))
+
+
+@pandas_udf(BooleanType())
+def _st_isempty(g: pd.Series) -> pd.Series:
+    return pd.Series(_map1(g, lambda b: W.is_empty(W.parse_wkb(b))))
+
+
+@pandas_udf(IntegerType())
+def _st_npoints(g: pd.Series) -> pd.Series:
+    def f(b):
+        geom = W.parse_wkb(b)
+        if geom is None:
+            return None
+        return sum(1 for _ in ops._points(geom))
+
+    return pd.Series(_map1(g, f))
+
+
+# --- measures ----------------------------------------------------------------
+
+
+@pandas_udf(DoubleType())
+def _st_area(g: pd.Series) -> pd.Series:
+    return pd.Series(_map1(g, lambda b: ops.area(W.parse_wkb(b))))
+
+
+@pandas_udf(DoubleType())
+def _st_length(g: pd.Series) -> pd.Series:
+    return pd.Series(_map1(g, lambda b: ops.length(W.parse_wkb(b))))
+
+
+@pandas_udf(BinaryType())
+def _st_centroid(g: pd.Series) -> pd.Series:
+    return pd.Series(_map1(g, lambda b: W.write_wkb(ops.centroid(W.parse_wkb(b)))))
+
+
+@pandas_udf(DoubleType())
+def _st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [ops.distance(W.parse_wkb(x), W.parse_wkb(y)) for x, y in zip(a, b)]
+    )
+
+
+# --- predicates / overlay ----------------------------------------------------
+
+
+@pandas_udf(BooleanType())
+def _st_intersects(a: pd.Series, b: pd.Series) -> pd.Series:
+    def f(x, y):
+        try:
+            return ops.intersects(W.parse_wkb(x), W.parse_wkb(y))
+        except Exception:
+            # BooleanIntersect error contract: False + log (terra.py:238-240)
+            return False
+
+    return pd.Series([f(x, y) for x, y in zip(a, b)])
+
+
+@pandas_udf(BinaryType())
+def _st_intersection(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            W.write_wkb(ops.intersection(W.parse_wkb(x), W.parse_wkb(y)))
+            for x, y in zip(a, b)
+        ]
+    )
+
+
+@pandas_udf(BinaryType())
+def _st_difference(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            W.write_wkb(ops.difference(W.parse_wkb(x), W.parse_wkb(y)))
+            for x, y in zip(a, b)
+        ]
+    )
+
+
+# --- transforms / repair -----------------------------------------------------
+
+
+@pandas_udf(BinaryType())
+def _st_simplify(g: pd.Series, tol: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            W.write_wkb(ops.simplify(W.parse_wkb(b), float(t)))
+            if b is not None
+            else None
+            for b, t in zip(g, tol)
+        ]
+    )
+
+
+@pandas_udf(BinaryType())
+def _st_makevalid(g: pd.Series) -> pd.Series:
+    return pd.Series(_map1(g, lambda b: W.write_wkb(ops.make_valid(W.parse_wkb(b)))))
+
+
+@pandas_udf(BinaryType())
+def _st_force2d(g: pd.Series) -> pd.Series:
+    return pd.Series(_map1(g, lambda b: W.write_wkb(ops.force_2d(W.parse_wkb(b)))))
+
+
+@pandas_udf(BinaryType())
+def _st_transform(g: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            W.write_wkb(ops.transform(W.parse_wkb(b), s, d)) if b is not None else None
+            for b, s, d in zip(g, src, dst)
+        ]
+    )
+
+
+@pandas_udf(BinaryType())
+def _st_snaptogrid(g: pd.Series, size: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            W.write_wkb(ops.snap_to_grid(W.parse_wkb(b), float(s)))
+            if b is not None
+            else None
+            for b, s in zip(g, size)
+        ]
+    )
+
+
+@pandas_udf(BinaryType())
+def _st_envelope(g: pd.Series) -> pd.Series:
+    return pd.Series(_map1(g, lambda b: W.write_wkb(ops.envelope(W.parse_wkb(b)))))
+
+
+@pandas_udf(ArrayType(BinaryType()))
+def _st_subdivide(g: pd.Series, maxv: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            [W.write_wkb(p) for p in ops.subdivide(W.parse_wkb(b), int(m))]
+            if b is not None
+            else []
+            for b, m in zip(g, maxv)
+        ]
+    )
+
+
+# --- aggregate ---------------------------------------------------------------
+
+
+@pandas_udf(BinaryType())
+def _st_collect_agg(g: pd.Series) -> bytes:
+    """GROUPED_AGG: collect geometries into a Multi*/collection
+    (``Collect(geom)`` in CollectAndSum ``common.py:253``;
+    area-equivalent to UnionOnProperty's cascaded union for disjoint
+    inputs, ``common.py:557-564``)."""
+    return W.write_wkb(ops.union_collect(W.parse_wkb(b) for b in g))
+
+
+# --- public column API -------------------------------------------------------
+
+
+def st_point(x, y) -> Column:
+    return _st_point(_col(x), _col(y))
+
+
+def st_pointz(x, y, z) -> Column:
+    return _st_pointz(_col(x), _col(y), _col(z))
+
+
+def st_x(g) -> Column:
+    return _st_x(_col(g))
+
+
+def st_y(g) -> Column:
+    return _st_y(_col(g))
+
+
+def st_astext(g) -> Column:
+    return _st_astext(_col(g))
+
+
+def st_geomfromtext(t) -> Column:
+    return _st_geomfromtext(_col(t))
+
+
+def st_asgeojson(g) -> Column:
+    return _st_asgeojson(_col(g))
+
+
+def st_geomfromgeojson(t) -> Column:
+    return _st_geomfromgeojson(_col(t))
+
+
+def st_geomfromany(t) -> Column:
+    return _st_geomfromany(_col(t))
+
+
+def st_isempty(g) -> Column:
+    return _st_isempty(_col(g))
+
+
+def st_npoints(g) -> Column:
+    return _st_npoints(_col(g))
+
+
+def st_area(g) -> Column:
+    return _st_area(_col(g))
+
+
+def st_length(g) -> Column:
+    return _st_length(_col(g))
+
+
+def st_centroid(g) -> Column:
+    return _st_centroid(_col(g))
+
+
+def st_distance(a, b) -> Column:
+    return _st_distance(_col(a), _col(b))
+
+
+def st_intersects(a, b) -> Column:
+    return _st_intersects(_col(a), _col(b))
+
+
+def st_intersection(a, b) -> Column:
+    return _st_intersection(_col(a), _col(b))
+
+
+def st_difference(a, b) -> Column:
+    return _st_difference(_col(a), _col(b))
+
+
+def st_simplify(g, tolerance: float) -> Column:
+    return _st_simplify(_col(g), F.lit(float(tolerance)))
+
+
+def st_makevalid(g) -> Column:
+    return _st_makevalid(_col(g))
+
+
+def st_force2d(g) -> Column:
+    return _st_force2d(_col(g))
+
+
+def st_transform(g, src: str, dst: str) -> Column:
+    return _st_transform(_col(g), F.lit(src), F.lit(dst))
+
+
+def st_snaptogrid(g, size: float) -> Column:
+    return _st_snaptogrid(_col(g), F.lit(float(size)))
+
+
+def st_envelope(g) -> Column:
+    return _st_envelope(_col(g))
+
+
+def st_subdivide(g, max_vertices: int = 256) -> Column:
+    return _st_subdivide(_col(g), F.lit(int(max_vertices)))
+
+
+def st_collect_agg(g) -> Column:
+    return _st_collect_agg(_col(g))

@@ -1,0 +1,699 @@
+"""Computational geometry over the tagged-tuple model in ``wkb``.
+
+Implements the scalar semantics the reference delegates to GEOS/PostGIS
+(SURVEY.md §2.4/§2.6): area, centroid, distance, intersects,
+intersection (one convex side), difference (containment case),
+Douglas-Peucker simplify, web-mercator transform, snap-to-grid,
+subdivision. Pure Python/stdlib — vectorization happens at the Arrow
+batch boundary in ``kernels``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from terra_bonobo_nodes_spark.geo.wkb import Geom, POINT_EMPTY, is_empty
+
+EPS = 1e-12
+
+# --- decomposition helpers ---------------------------------------------------
+
+
+def _rings(g: Geom):
+    """Yield (outer?, ring) for every polygon ring in g."""
+    kind, data = g
+    if kind == "Polygon":
+        for i, r in enumerate(data):
+            yield i == 0, r
+    elif kind == "MultiPolygon":
+        for poly in data:
+            for i, r in enumerate(poly):
+                yield i == 0, r
+    elif kind == "GeometryCollection":
+        for sub in data:
+            yield from _rings(sub)
+
+
+def _points(g: Geom):
+    kind, data = g
+    if kind == "Point":
+        if not is_empty(g):
+            yield data
+    elif kind == "MultiPoint":
+        yield from data
+    elif kind == "LineString":
+        yield from data
+    elif kind == "MultiLineString":
+        for line in data:
+            yield from line
+    elif kind in ("Polygon", "MultiPolygon"):
+        for _, r in _rings(g):
+            yield from r
+    elif kind == "GeometryCollection":
+        for sub in data:
+            yield from _points(sub)
+
+
+def _segments(g: Geom):
+    kind, data = g
+    if kind == "LineString":
+        for a, b in zip(data, data[1:]):
+            yield a, b
+    elif kind == "MultiLineString":
+        for line in data:
+            for a, b in zip(line, line[1:]):
+                yield a, b
+    elif kind in ("Polygon", "MultiPolygon"):
+        for _, r in _rings(g):
+            for a, b in zip(r, r[1:]):
+                yield a, b
+    elif kind == "GeometryCollection":
+        for sub in data:
+            yield from _segments(sub)
+
+
+def _polygons(g: Geom):
+    kind, data = g
+    if kind == "Polygon":
+        yield data
+    elif kind == "MultiPolygon":
+        yield from data
+    elif kind == "GeometryCollection":
+        for sub in data:
+            yield from _polygons(sub)
+
+
+def bbox(g: Geom) -> tuple[float, float, float, float] | None:
+    pts = [p for p in _points(g)]
+    if not pts:
+        return None
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+# --- measures ----------------------------------------------------------------
+
+
+def _ring_area2(ring) -> float:
+    """Twice the signed shoelace area (CCW positive)."""
+    s = 0.0
+    for (x1, y1, *_), (x2, y2, *_) in zip(ring, ring[1:]):
+        s += x1 * y2 - x2 * y1
+    return s
+
+
+def area(g: Geom | None) -> float:
+    """Planar area; holes subtract (|outer| - |holes|), any orientation."""
+    if g is None or is_empty(g):
+        return 0.0
+    total = 0.0
+    for outer, r in _rings(g):
+        a = abs(_ring_area2(r)) / 2.0
+        total += a if outer else -a
+    return total
+
+
+def length(g: Geom | None) -> float:
+    if g is None:
+        return 0.0
+    return math.fsum(
+        math.hypot(b[0] - a[0], b[1] - a[1]) for a, b in _segments(g)
+    )
+
+
+def centroid(g: Geom | None) -> Geom:
+    """Highest-dimension centroid (PostGIS semantics): polygons by
+    area-weighted shoelace, else length-weighted segment midpoints,
+    else point mean. fsum keeps accumulation order-independent."""
+    if g is None or is_empty(g):
+        return POINT_EMPTY
+    polys = list(_rings(g))
+    if polys and any(abs(_ring_area2(r)) > EPS for _, r in polys):
+        sa = cx = cy = 0.0
+        xs, ys, ws = [], [], []
+        for outer, r in polys:
+            a2 = abs(_ring_area2(r)) * (1 if outer else -1)
+            # ring centroid via shoelace moments
+            mx = my = 0.0
+            for (x1, y1, *_), (x2, y2, *_) in zip(r, r[1:]):
+                cross = x1 * y2 - x2 * y1
+                mx += (x1 + x2) * cross
+                my += (y1 + y2) * cross
+            s2 = _ring_area2(r)
+            if abs(s2) <= EPS:
+                continue
+            xs.append(mx / (3 * s2) * a2)
+            ys.append(my / (3 * s2) * a2)
+            ws.append(a2)
+        w = math.fsum(ws)
+        return ("Point", (math.fsum(xs) / w, math.fsum(ys) / w))
+    segs = list(_segments(g))
+    if segs:
+        ws = [math.hypot(b[0] - a[0], b[1] - a[1]) for a, b in segs]
+        w = math.fsum(ws)
+        if w > EPS:
+            xs = [(a[0] + b[0]) / 2 * wt for (a, b), wt in zip(segs, ws)]
+            ys = [(a[1] + b[1]) / 2 * wt for (a, b), wt in zip(segs, ws)]
+            return ("Point", (math.fsum(xs) / w, math.fsum(ys) / w))
+    pts = list(_points(g))
+    if not pts:
+        return POINT_EMPTY
+    return (
+        "Point",
+        (
+            math.fsum(p[0] for p in pts) / len(pts),
+            math.fsum(p[1] for p in pts) / len(pts),
+        ),
+    )
+
+
+# --- predicates --------------------------------------------------------------
+
+
+def point_in_ring(pt, ring) -> bool:
+    """Ray cast; boundary counts as inside."""
+    x, y = pt[0], pt[1]
+    inside = False
+    for (x1, y1, *_), (x2, y2, *_) in zip(ring, ring[1:]):
+        # on-segment check
+        if (
+            min(x1, x2) - EPS <= x <= max(x1, x2) + EPS
+            and min(y1, y2) - EPS <= y <= max(y1, y2) + EPS
+        ):
+            cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+            if abs(cross) <= EPS * max(1.0, abs(x2 - x1) + abs(y2 - y1)):
+                return True
+        if (y1 > y) != (y2 > y):
+            xin = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+            if x < xin:
+                inside = not inside
+    return inside
+
+
+def point_in_polygon(pt, rings) -> bool:
+    if not rings or not point_in_ring(pt, rings[0]):
+        return False
+    for hole in rings[1:]:
+        if point_in_ring(pt, hole):
+            # boundary of a hole still intersects the polygon
+            x, y = pt[0], pt[1]
+            on_edge = False
+            for (x1, y1, *_), (x2, y2, *_) in zip(hole, hole[1:]):
+                cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+                if (
+                    abs(cross) <= EPS * max(1.0, abs(x2 - x1) + abs(y2 - y1))
+                    and min(x1, x2) - EPS <= x <= max(x1, x2) + EPS
+                    and min(y1, y2) - EPS <= y <= max(y1, y2) + EPS
+                ):
+                    on_edge = True
+                    break
+            if not on_edge:
+                return False
+    return True
+
+
+def _seg_intersect(a, b, c, d) -> bool:
+    def orient(p, q, r):
+        v = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+        return 0 if abs(v) <= EPS else (1 if v > 0 else -1)
+
+    o1, o2 = orient(a, b, c), orient(a, b, d)
+    o3, o4 = orient(c, d, a), orient(c, d, b)
+    if o1 != o2 and o3 != o4:
+        return True
+
+    def on(p, q, r):
+        return (
+            min(p[0], q[0]) - EPS <= r[0] <= max(p[0], q[0]) + EPS
+            and min(p[1], q[1]) - EPS <= r[1] <= max(p[1], q[1]) + EPS
+        )
+
+    return (
+        (o1 == 0 and on(a, b, c))
+        or (o2 == 0 and on(a, b, d))
+        or (o3 == 0 and on(c, d, a))
+        or (o4 == 0 and on(c, d, b))
+    )
+
+
+def _bbox_overlap(a: Geom, b: Geom) -> bool:
+    ba, bb = bbox(a), bbox(b)
+    if ba is None or bb is None:
+        return False
+    return not (
+        ba[2] < bb[0] - EPS
+        or bb[2] < ba[0] - EPS
+        or ba[3] < bb[1] - EPS
+        or bb[3] < ba[1] - EPS
+    )
+
+
+def intersects(a: Geom | None, b: Geom | None) -> bool:
+    """``ST_Intersects`` / GEOS ``geom.intersects`` (used by
+    ``BooleanIntersect``, ``terra.py:235-237``). Boundary touches count."""
+    if a is None or b is None or is_empty(a) or is_empty(b):
+        return False
+    if not _bbox_overlap(a, b):
+        return False
+    a_polys = list(_polygons(a))
+    b_polys = list(_polygons(b))
+    # any point of one inside a polygon of the other
+    for pt in _points(a):
+        if any(point_in_polygon(pt, rings) for rings in b_polys):
+            return True
+    for pt in _points(b):
+        if any(point_in_polygon(pt, rings) for rings in a_polys):
+            return True
+    # segment crossings
+    segs_b = list(_segments(b))
+    for sa in _segments(a):
+        for sb in segs_b:
+            if _seg_intersect(sa[0], sa[1], sb[0], sb[1]):
+                return True
+    # point-point coincidence (no segments case)
+    if not a_polys and not b_polys and not segs_b and not list(_segments(a)):
+        bpts = set((round(p[0], 12), round(p[1], 12)) for p in _points(b))
+        return any((round(p[0], 12), round(p[1], 12)) in bpts for p in _points(a))
+    return False
+
+
+def _pt_seg_dist(p, a, b) -> float:
+    px, py = p[0], p[1]
+    ax, ay = a[0], a[1]
+    bx, by = b[0], b[1]
+    dx, dy = bx - ax, by - ay
+    denom = dx * dx + dy * dy
+    if denom <= EPS:
+        return math.hypot(px - ax, py - ay)
+    t = max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / denom))
+    return math.hypot(px - (ax + t * dx), py - (ay + t * dy))
+
+
+def distance(a: Geom | None, b: Geom | None) -> float | None:
+    """``ST_Distance`` (``ClosestFeatures``, ``terra.py:313-325``):
+    0 when intersecting, else min point/segment separation."""
+    if a is None or b is None or is_empty(a) or is_empty(b):
+        return None
+    if intersects(a, b):
+        return 0.0
+    best = math.inf
+    segs_a, segs_b = list(_segments(a)), list(_segments(b))
+    pts_a, pts_b = list(_points(a)), list(_points(b))
+    for p in pts_a:
+        for s in segs_b:
+            best = min(best, _pt_seg_dist(p, *s))
+    for p in pts_b:
+        for s in segs_a:
+            best = min(best, _pt_seg_dist(p, *s))
+    if not segs_a and not segs_b:
+        for p in pts_a:
+            for q in pts_b:
+                best = min(best, math.hypot(p[0] - q[0], p[1] - q[1]))
+    elif not segs_b:
+        for p in pts_b:
+            for q in pts_a:
+                best = min(best, math.hypot(p[0] - q[0], p[1] - q[1]))
+    elif not segs_a:
+        for p in pts_a:
+            for q in pts_b:
+                best = min(best, math.hypot(p[0] - q[0], p[1] - q[1]))
+    return best
+
+
+def is_convex(ring) -> bool:
+    sign = 0
+    n = len(ring) - 1
+    for i in range(n):
+        x1, y1 = ring[i][0], ring[i][1]
+        x2, y2 = ring[(i + 1) % n][0], ring[(i + 1) % n][1]
+        x3, y3 = ring[(i + 2) % n][0], ring[(i + 2) % n][1]
+        cross = (x2 - x1) * (y3 - y2) - (y2 - y1) * (x3 - x2)
+        if abs(cross) > EPS:
+            s = 1 if cross > 0 else -1
+            if sign == 0:
+                sign = s
+            elif s != sign:
+                return False
+    return True
+
+
+# --- clipping / overlay ------------------------------------------------------
+
+
+def _clip_ring_convex(subject, clip_ring):
+    """Sutherland-Hodgman: clip arbitrary subject ring by a CONVEX
+    clip ring. Returns a closed ring (possibly empty)."""
+    # ensure CCW clip orientation
+    clip = clip_ring if _ring_area2(clip_ring) > 0 else clip_ring[::-1]
+    output = [tuple(p[:2]) for p in subject[:-1]]
+    for (cx1, cy1, *_), (cx2, cy2, *_) in zip(clip, clip[1:]):
+        if not output:
+            return []
+        input_pts = output
+        output = []
+
+        def inside(p):
+            return (cx2 - cx1) * (p[1] - cy1) - (cy2 - cy1) * (p[0] - cx1) >= -EPS
+
+        def inter(p, q):
+            dx, dy = q[0] - p[0], q[1] - p[1]
+            ex, ey = cx2 - cx1, cy2 - cy1
+            denom = ex * dy - ey * dx
+            if abs(denom) <= EPS:
+                return q
+            t = (ey * (p[0] - cx1) - ex * (p[1] - cy1)) / denom
+            return (p[0] + t * dx, p[1] + t * dy)
+
+        prev = input_pts[-1]
+        for cur in input_pts:
+            if inside(cur):
+                if not inside(prev):
+                    output.append(inter(prev, cur))
+                output.append(cur)
+            elif inside(prev):
+                output.append(inter(prev, cur))
+            prev = cur
+    if len(output) < 3:
+        return []
+    return output + [output[0]]
+
+
+def intersection(a: Geom | None, b: Geom | None) -> Geom:
+    """``ST_Intersection`` subset: points x anything; polygon x polygon
+    where at least one side is convex (grid tiles, envelopes, subdivision
+    cells — the reference's clip-to-layer workloads, ``terra.py:266-274``).
+    General concave-concave overlay raises NotImplementedError (scale
+    path: Sedona)."""
+    if a is None or b is None or is_empty(a) or is_empty(b):
+        return POINT_EMPTY
+    ka, kb = a[0], b[0]
+    if ka in ("Point", "MultiPoint"):
+        pts = [p for p in _points(a) if intersects(("Point", p), b)]
+        if not pts:
+            return POINT_EMPTY
+        return ("Point", pts[0]) if len(pts) == 1 else ("MultiPoint", pts)
+    if kb in ("Point", "MultiPoint"):
+        return intersection(b, a)
+    a_polys, b_polys = list(_polygons(a)), list(_polygons(b))
+    if not a_polys or not b_polys:
+        raise NotImplementedError(f"intersection({ka}, {kb})")
+    out = []
+    for pa in a_polys:
+        for pb in b_polys:
+            if len(pb) == 1 and is_convex(pb[0]):
+                subject, clip = pa, pb[0]
+            elif len(pa) == 1 and is_convex(pa[0]):
+                subject, clip = pb, pa[0]
+            else:
+                raise NotImplementedError(
+                    "polygon intersection requires one convex hole-free side"
+                )
+            outer = _clip_ring_convex(subject[0], clip)
+            if not outer:
+                continue
+            rings = [outer]
+            for hole in subject[1:]:
+                clipped_hole = _clip_ring_convex(hole, clip)
+                if clipped_hole:
+                    rings.append(clipped_hole)
+            out.append(rings)
+    if not out:
+        return POINT_EMPTY
+    return ("Polygon", out[0]) if len(out) == 1 else ("MultiPolygon", out)
+
+
+def contains(a: Geom, b: Geom) -> bool:
+    """a contains b: every point of b inside a polygon of a, and no
+    boundary crossings."""
+    a_polys = list(_polygons(a))
+    if not a_polys:
+        return False
+    for pt in _points(b):
+        if not any(point_in_polygon(pt, rings) for rings in a_polys):
+            return False
+    return True
+
+
+def difference(a: Geom | None, b: Geom | None) -> Geom:
+    """``ST_Difference`` subset (IsochroneSubstraction,
+    ``common.py:522-532``): exact when b is disjoint from a (-> a),
+    when b contains a (-> EMPTY), or when b is a hole-free polygon
+    strictly inside a hole-free polygon a (-> polygon with hole).
+    Points subtract exactly."""
+    if a is None or is_empty(a):
+        return POINT_EMPTY
+    if b is None or is_empty(b):
+        return a
+    if a[0] in ("Point", "MultiPoint"):
+        pts = [p for p in _points(a) if not intersects(("Point", p), b)]
+        if not pts:
+            return POINT_EMPTY
+        return ("Point", pts[0]) if len(pts) == 1 else ("MultiPoint", pts)
+    if not intersects(a, b):
+        return a
+    if contains(b, a):
+        return POINT_EMPTY
+    a_polys, b_polys = list(_polygons(a)), list(_polygons(b))
+    if a_polys and b_polys and len(a_polys) == 1 and len(a_polys[0]) == 1:
+        rings = list(a_polys[0])
+        for pb in b_polys:
+            if len(pb) == 1 and contains(a, ("Polygon", pb)):
+                hole = pb[0]
+                # hole orientation opposite to outer
+                rings.append(hole[::-1] if _ring_area2(hole) * _ring_area2(rings[0]) > 0 else hole)
+            else:
+                raise NotImplementedError("difference: partial overlap")
+        return ("Polygon", rings)
+    raise NotImplementedError(f"difference({a[0]}, {b[0]})")
+
+
+def union_collect(geoms) -> Geom:
+    """Aggregate union as a collection (PostGIS ``ST_Collect``; the
+    reference's ``Collect(geom)`` at ``common.py:253``, and the
+    area-preserving stand-in for ``UnionOnProperty``'s cascaded ``|=``
+    when inputs are disjoint). Homogeneous inputs -> Multi*, mixed ->
+    GeometryCollection."""
+    gs = [g for g in geoms if g is not None and not is_empty(g)]
+    if not gs:
+        return POINT_EMPTY
+    kinds = {g[0] for g in gs}
+    if kinds == {"Point"}:
+        return ("MultiPoint", [g[1] for g in gs])
+    if kinds == {"LineString"}:
+        return ("MultiLineString", [g[1] for g in gs])
+    if kinds == {"Polygon"}:
+        return ("MultiPolygon", [g[1] for g in gs])
+    flat = []
+    for g in gs:
+        if g[0] in ("MultiPoint", "MultiLineString", "MultiPolygon"):
+            sub = g[0][5:]
+            flat.extend((sub, d) for d in g[1])
+        elif g[0] == "GeometryCollection":
+            flat.extend(g[1])
+        else:
+            flat.append(g)
+    return ("GeometryCollection", flat)
+
+
+# --- transforms --------------------------------------------------------------
+
+
+def _map_coords(g: Geom, fn) -> Geom:
+    kind, data = g
+    if kind == "Point":
+        return (kind, fn(data)) if not is_empty(g) else g
+    if kind == "LineString":
+        return (kind, [fn(p) for p in data])
+    if kind == "Polygon":
+        return (kind, [[fn(p) for p in r] for r in data])
+    if kind == "MultiPoint":
+        return (kind, [fn(p) for p in data])
+    if kind == "MultiLineString":
+        return (kind, [[fn(p) for p in ln] for ln in data])
+    if kind == "MultiPolygon":
+        return (kind, [[[fn(p) for p in r] for r in poly] for poly in data])
+    return (kind, [_map_coords(sub, fn) for sub in data])
+
+
+_R = 6378137.0
+
+
+def transform(g: Geom | None, src: str, dst: str) -> Geom | None:
+    """``TransformGeom`` (``terra.py:474-494``) for the web CRS pair:
+    EPSG:4326 <-> EPSG:3857 (spherical mercator, closed form). Other
+    CRS pairs need a proj database — NotImplemented here by design."""
+    if g is None:
+        return None
+
+    def norm(c):
+        return c.upper().removeprefix("EPSG:")
+
+    s, d = norm(src), norm(dst)
+    if s == d:
+        return g
+    if (s, d) == ("4326", "3857"):
+        def fwd(p):
+            x = p[0] * math.pi * _R / 180.0
+            y = _R * math.log(math.tan(math.pi / 4.0 + p[1] * math.pi / 360.0))
+            return (x, y) + tuple(p[2:])
+
+        return _map_coords(g, fwd)
+    if (s, d) == ("3857", "4326"):
+        def inv(p):
+            lon = p[0] * 180.0 / (math.pi * _R)
+            lat = (2.0 * math.atan(math.exp(p[1] / _R)) - math.pi / 2.0) * 180.0 / math.pi
+            return (lon, lat) + tuple(p[2:])
+
+        return _map_coords(g, inv)
+    raise NotImplementedError(f"transform {src} -> {dst}")
+
+
+def force_2d(g: Geom | None) -> Geom | None:
+    """``Geometry3Dto2D`` (``common.py:389-408``)."""
+    if g is None:
+        return None
+    return _map_coords(g, lambda p: (p[0], p[1]))
+
+
+def snap_to_grid(g: Geom | None, size: float) -> Geom | None:
+    """``ST_SnapToGrid`` corner snap (``terra.py:56``)."""
+    if g is None:
+        return None
+    return _map_coords(
+        g, lambda p: (math.floor(p[0] / size) * size, math.floor(p[1] / size) * size)
+    )
+
+
+# --- simplify / repair / subdivide ------------------------------------------
+
+
+def _dp(points, tol):
+    """Douglas-Peucker on an open point list."""
+    if len(points) < 3:
+        return list(points)
+    ax, ay = points[0][0], points[0][1]
+    bx, by = points[-1][0], points[-1][1]
+    dx, dy = bx - ax, by - ay
+    norm = math.hypot(dx, dy)
+    best, besti = -1.0, -1
+    for i in range(1, len(points) - 1):
+        px, py = points[i][0], points[i][1]
+        if norm <= EPS:
+            d = math.hypot(px - ax, py - ay)
+        else:
+            d = abs(dx * (py - ay) - dy * (px - ax)) / norm
+        if d > best:
+            best, besti = d, i
+    if best <= tol:
+        return [points[0], points[-1]]
+    left = _dp(points[: besti + 1], tol)
+    right = _dp(points[besti:], tol)
+    return left[:-1] + right
+
+
+def simplify(g: Geom | None, tolerance: float) -> Geom | None:
+    """Douglas-Peucker (``GEOSGeometry.simplify``; ``SimplifyGeom``
+    ``terra.py:450-471``, ``GeometryToJson`` ``common.py:360``).
+    tolerance=0 removes collinear vertices — the reference's line
+    auto-repair (``common.py:310-312``)."""
+    if g is None:
+        return None
+    kind, data = g
+    if kind in ("Point", "MultiPoint"):
+        return g
+    if kind == "LineString":
+        return (kind, _dp(data, tolerance))
+    if kind == "MultiLineString":
+        return (kind, [_dp(ln, tolerance) for ln in data])
+
+    def ring_simpl(r):
+        out = _dp(r[:-1] + [r[0]], tolerance)
+        if len(out) < 4:
+            return r  # refuse to collapse a ring, like GEOS preserve-ish
+        return out
+
+    if kind == "Polygon":
+        return (kind, [ring_simpl(r) for r in data])
+    if kind == "MultiPolygon":
+        return (kind, [[ring_simpl(r) for r in poly] for poly in data])
+    return (kind, [simplify(sub, tolerance) for sub in data])
+
+
+def make_valid(g: Geom | None) -> Geom | None:
+    """``buffer(0)``-style repair subset (``common.py:306-309``): close
+    unclosed rings, drop consecutive duplicate vertices, drop degenerate
+    rings."""
+    if g is None:
+        return None
+    kind, data = g
+    if kind not in ("Polygon", "MultiPolygon"):
+        return g
+
+    def fix_ring(r):
+        out = [r[0]]
+        for p in r[1:]:
+            if math.hypot(p[0] - out[-1][0], p[1] - out[-1][1]) > EPS:
+                out.append(p)
+        if math.hypot(out[0][0] - out[-1][0], out[0][1] - out[-1][1]) > EPS:
+            out.append(out[0])
+        elif len(out) > 1:
+            out[-1] = out[0]
+        return out if len(out) >= 4 else None
+
+    def fix_poly(rings):
+        fixed = [fix_ring(r) for r in rings]
+        fixed = [r for r in fixed if r]
+        return fixed if fixed and fixed[0] else None
+
+    if kind == "Polygon":
+        fixed = fix_poly(data)
+        return (kind, fixed) if fixed else POINT_EMPTY
+    polys = [fix_poly(p) for p in data]
+    polys = [p for p in polys if p]
+    return (kind, polys) if polys else POINT_EMPTY
+
+
+def subdivide(g: Geom | None, max_vertices: int = 256) -> list[Geom]:
+    """``ST_Subdivide`` (``SubdivideGeom``, ``terra.py:71-104``):
+    recursively quarter the bbox and clip until every part has at most
+    ``max_vertices`` vertices. Returns the list of parts (the operator
+    layer explodes them into rows with derived child ids)."""
+    if g is None or is_empty(g):
+        return []
+    parts: list[Geom] = []
+
+    def nverts(geom):
+        return sum(1 for _ in _points(geom))
+
+    def rec(geom, depth):
+        if nverts(geom) <= max_vertices or depth > 24:
+            parts.append(geom)
+            return
+        x0, y0, x1, y1 = bbox(geom)
+        xm, ym = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+        quads = [
+            (x0, y0, xm, ym),
+            (xm, y0, x1, ym),
+            (x0, ym, xm, y1),
+            (xm, ym, x1, y1),
+        ]
+        for qx0, qy0, qx1, qy1 in quads:
+            rect = (
+                "Polygon",
+                [[(qx0, qy0), (qx1, qy0), (qx1, qy1), (qx0, qy1), (qx0, qy0)]],
+            )
+            piece = intersection(geom, rect)
+            if not is_empty(piece) and area(piece) > EPS:
+                rec(piece, depth + 1)
+
+    rec(g, 0)
+    return parts
+
+
+def envelope(g: Geom | None) -> Geom:
+    bb = bbox(g) if g is not None else None
+    if bb is None:
+        return POINT_EMPTY
+    x0, y0, x1, y1 = bb
+    return ("Polygon", [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]])

@@ -1,0 +1,273 @@
+"""Spatial operators: geometry scalar transforms + spatial joins.
+
+Re-expresses the reference's PostGIS-backed nodes (SURVEY.md §2.4, §2.6)
+as DataFrame plans over WKB columns + the ``geo.kernels`` pandas UDFs.
+
+Scale design: the Python kernel is only invoked on candidate pairs.
+Joins prefilter JVM-side wherever possible (broadcast of the
+dimension-sized layer, grid-cell equi-join for big-big); the kernel
+then does exact geometry per Arrow batch. This mirrors how PostGIS
+uses a GiST index scan before exact DE-9IM tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from terra_bonobo_nodes_spark.geo import kernels as K
+
+IDENTIFIER = "identifier"
+
+
+# --- G1/G2: parse geometry from attributes ----------------------------------
+
+
+def attribute_to_geometry(
+    df: DataFrame, attr: str, geom_col: str = "geom", drop: bool = False
+) -> DataFrame:
+    """``AttributeToGeometry`` (``common.py:286-312``): parse GeoJSON or
+    WKT from a string column; polygons auto-repaired (make_valid ~=
+    buffer(0)), lines simplify(0) — applied inside the GeoJSON kernel.
+    """
+    out = df.withColumn(geom_col, K.st_geomfromany(F.col(attr)))
+    return out.drop(attr) if drop else out
+
+
+def attributes_to_point_geometry(
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    geom_col: str = "geom",
+    strict: bool = True,
+    drop: bool = True,
+) -> DataFrame:
+    """``AttributesToPointGeometry`` (``common.py:315-342``): build a
+    point from string x/y attributes. ``strict=True`` uses the ANSI cast,
+    which raises on uncastable input — the reference's ValueError
+    contract (``common.py:338-341``); ``strict=False`` uses ``try_cast``
+    and yields POINT EMPTY instead.
+    """
+    if strict:
+        xd, yd = F.col(x).cast("double"), F.col(y).cast("double")
+    else:
+        xd, yd = F.col(x).try_cast("double"), F.col(y).try_cast("double")
+    out = df.withColumn(geom_col, K.st_point(xd, yd))
+    return out.drop(x, y) if drop else out
+
+
+# --- G3-G7: scalar geometry transforms --------------------------------------
+
+
+def geometry_to_json(
+    df: DataFrame, geom_col: str = "geom", out: str = "geojson", tolerance: float = 0.0
+) -> DataFrame:
+    """``GeometryToJson`` (``common.py:345-366``): simplify then GeoJSON."""
+    return df.withColumn(out, K.st_asgeojson(K.st_simplify(F.col(geom_col), tolerance)))
+
+
+def geometry_to_centroid(
+    df: DataFrame, geom_col: str = "geom", out: str = "centroid"
+) -> DataFrame:
+    """``GeometryToCentroid`` (``common.py:369-386``)."""
+    return df.withColumn(out, K.st_centroid(F.col(geom_col)))
+
+
+def geometry_3d_to_2d(df: DataFrame, geom_col: str = "geom") -> DataFrame:
+    """``Geometry3Dto2D`` (``common.py:389-408``)."""
+    return df.withColumn(geom_col, K.st_force2d(F.col(geom_col)))
+
+
+def simplify_geom(
+    df: DataFrame,
+    tolerance: float,
+    geom_in: str = "geom",
+    geom_out: str | None = None,
+) -> DataFrame:
+    """``SimplifyGeom`` (``terra.py:450-471``): configurable in/out cols."""
+    return df.withColumn(geom_out or geom_in, K.st_simplify(F.col(geom_in), tolerance))
+
+
+def transform_geom(
+    df: DataFrame,
+    src: str,
+    dst: str,
+    geom_in: str = "geom",
+    geom_out: str | None = None,
+) -> DataFrame:
+    """``TransformGeom`` (``terra.py:474-494``): CRS reprojection."""
+    return df.withColumn(geom_out or geom_in, K.st_transform(F.col(geom_in), src, dst))
+
+
+# --- G8: subdivide + explode -------------------------------------------------
+
+
+def subdivide_geom(
+    df: DataFrame,
+    max_vertices: int = 256,
+    geom_col: str = "geom",
+    identifier_col: str = IDENTIFIER,
+) -> DataFrame:
+    """``SubdivideGeom`` (``terra.py:71-104``): explode one row into N
+    parts with child ids ``{id}-{pos}`` (``terra.py:99-104``). Geometry
+    is make_valid'd first (the reference's ``ST_Buffer(geom, 0)``,
+    ``terra.py:95-97``)."""
+    parts = K.st_subdivide(K.st_makevalid(F.col(geom_col)), max_vertices)
+    exploded = df.select(
+        *[c for c in df.columns if c != geom_col],
+        F.posexplode(parts).alias("_pos", geom_col),
+    )
+    return exploded.withColumn(
+        identifier_col, F.concat_ws("-", F.col(identifier_col), F.col("_pos"))
+    ).drop("_pos")
+
+
+# --- A2/A4: geometric aggregation -------------------------------------------
+
+
+def union_on_property(
+    df: DataFrame, prop: str, geom_col: str = "geom"
+) -> DataFrame:
+    """``UnionOnProperty`` (``common.py:535-564``): group-by + geometric
+    union aggregate. The hand-rolled ValueHolder accumulation becomes
+    one hash aggregate with ``st_collect_agg`` (collection semantics —
+    area-equivalent for disjoint inputs; see geo/__init__)."""
+    return df.groupBy(F.col(prop)).agg(K.st_collect_agg(F.col(geom_col)).alias(geom_col))
+
+
+def layer_clusters_geo(
+    df: DataFrame,
+    distance: float,
+    geom_col: str = "geom",
+    id_col: str = IDENTIFIER,
+    crs: tuple[str, str] | None = None,
+) -> DataFrame:
+    """``LayerClusters`` (``terra.py:27-68``) on real geometry: snap
+    each geometry's origin to a grid, group by the snapped WKT key,
+    collect member ids. ``crs=(src, dst)`` reproduces the reference's
+    ``ST_Transform`` before snapping (``terra.py:56``)."""
+    g = F.col(geom_col)
+    if crs:
+        g = K.st_transform(g, crs[0], crs[1])
+    cell = K.st_astext(K.st_snaptogrid(K.st_centroid(g), distance))
+    return (
+        df.withColumn("cluster", cell)
+        .groupBy("cluster")
+        .agg(
+            F.sort_array(F.collect_set(F.col(id_col))).alias("ids"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --- J1-J3: spatial joins ----------------------------------------------------
+
+
+def boolean_intersect(
+    records: DataFrame,
+    layer: DataFrame,
+    out: str,
+    record_geom: str = "geom",
+    layer_geom: str = "layer_geom",
+    id_col: str = IDENTIFIER,
+) -> DataFrame:
+    """``BooleanIntersect`` (``terra.py:214-242``): existential spatial
+    semi-join -> boolean flag. Kernel errors yield False, matching the
+    reference's swallow-and-log contract (``terra.py:238-240``; encoded
+    in the ``st_intersects`` kernel).
+
+    Plan: broadcast the layer (dimension-sized), evaluate exact
+    intersects per pair, aggregate EXISTS per record. Rows with no
+    layer match keep flag=False via the left join + coalesce."""
+    hits = (
+        records.select(id_col, record_geom)
+        .crossJoin(F.broadcast(layer.select(layer_geom)))
+        .filter(K.st_intersects(F.col(record_geom), F.col(layer_geom)))
+        .groupBy(id_col)
+        .agg(F.lit(True).alias(out))
+    )
+    return records.join(hits, on=id_col, how="left").withColumn(
+        out, F.coalesce(F.col(out), F.lit(False))
+    )
+
+
+def intersection_percent_by_area(
+    records: DataFrame,
+    layer: DataFrame,
+    out: str = "intersection_percent",
+    record_geom: str = "geom",
+    layer_geom: str = "layer_geom",
+    id_col: str = IDENTIFIER,
+) -> DataFrame:
+    """``IntersectionPercentByArea`` (``terra.py:245-279``): area of the
+    record's geometry covered by the layer, as a ratio. Exact when layer
+    features are disjoint (grid tiles — the sum of pairwise intersection
+    areas equals the union area); 0.0 when no overlap
+    (``terra.py:272-274``)."""
+    inter_area = K.st_area(
+        K.st_intersection(K.st_makevalid(F.col(record_geom)), F.col(layer_geom))
+    )
+    per_pair = (
+        records.select(id_col, record_geom)
+        .crossJoin(F.broadcast(layer.select(layer_geom)))
+        .filter(K.st_intersects(F.col(record_geom), F.col(layer_geom)))
+        .withColumn("_ia", inter_area)
+        .groupBy(id_col)
+        .agg(F.sum("_ia").alias("_zone_area"))
+    )
+    joined = records.join(per_pair, on=id_col, how="left")
+    ratio = F.coalesce(
+        F.col("_zone_area") / K.st_area(F.col(record_geom)), F.lit(0.0)
+    )
+    return joined.withColumn(out, ratio).drop("_zone_area")
+
+
+def intersection_geom(
+    records: DataFrame,
+    layer: DataFrame,
+    record_geom: str = "geom",
+    layer_geom: str = "layer_geom",
+    geom_dest: str | None = None,
+    id_col: str = IDENTIFIER,
+) -> DataFrame:
+    """``IntersectionGeom`` (``terra.py:523-557``): clip the record's
+    geometry to the layer — the unioned (collected) intersection
+    replaces the geometry. Records with no overlap get POINT EMPTY
+    (kernel convention for empty results)."""
+    inter = K.st_intersection(K.st_makevalid(F.col(record_geom)), F.col(layer_geom))
+    zones = (
+        records.select(id_col, record_geom)
+        .crossJoin(F.broadcast(layer.select(layer_geom)))
+        .filter(K.st_intersects(F.col(record_geom), F.col(layer_geom)))
+        .withColumn("_zone", inter)
+        .groupBy(id_col)
+        .agg(K.st_collect_agg(F.col("_zone")).alias("_zone"))
+    )
+    dest = geom_dest or record_geom
+    return records.join(zones, on=id_col, how="left").withColumn(
+        dest, F.col("_zone")
+    ).drop("_zone")
+
+
+# --- T1: geometric running difference ---------------------------------------
+
+
+def isochrone_subtraction(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    geom_col: str = "geom",
+) -> DataFrame:
+    """``IsochroneSubstraction`` (``common.py:519-532``): each geometry
+    minus its predecessor in an explicit ordering (the reference relies
+    on arrival order; Spark makes the ordering a declared column —
+    SURVEY.md §7 hard-part 3). First row subtracts nothing (POINT EMPTY
+    seed)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    prev = F.lag(F.col(geom_col), 1).over(w)
+    return df.withColumn(
+        geom_col,
+        F.when(prev.isNull(), F.col(geom_col)).otherwise(
+            K.st_difference(F.col(geom_col), prev)
+        ),
+    )

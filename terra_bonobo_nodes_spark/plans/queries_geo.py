@@ -1,1 +1,461 @@
-"""Placeholder — populated in a later phase."""
+"""Correctness queries: geometry kernel + spatial operators (SURVEY §2.4/2.6).
+
+DuckDB has no spatial extension in this environment, so each oracle
+expresses the geometric ground truth *numerically* (rect algebra,
+closed-form areas, mercator formulas) while the Spark side runs the real
+WKB kernel — the comparison therefore checks the kernel's math, not just
+the plumbing. Float outputs are rounded to 6 decimals on both sides
+(kernel results differ from closed forms only at ~1e-12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terra_bonobo_nodes_spark.geo import kernels as K
+from terra_bonobo_nodes_spark.operators.spatial import (
+    attribute_to_geometry,
+    isochrone_subtraction,
+    attributes_to_point_geometry,
+    boolean_intersect,
+    geometry_3d_to_2d,
+    geometry_to_centroid,
+    intersection_geom,
+    intersection_percent_by_area,
+    simplify_geom,
+    subdivide_geom,
+    transform_geom,
+    union_on_property,
+)
+from terra_bonobo_nodes_spark.plans.registry import register
+from terra_bonobo_nodes_spark.tables import load_table
+
+
+def _customer_rects(spark: SparkSession, sf_dir: str, half: float = 3.0) -> DataFrame:
+    """Axis-aligned square per customer, center derived from acctbal/key."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal") % 100.0).alias("cx"),
+        (F.col("c_custkey") % 100).cast("double").alias("cy"),
+    )
+    h = F.lit(half)
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        (F.col("cx") - h).cast("string"), F.lit(" "), (F.col("cy") - h).cast("string"),
+        F.lit(", "),
+        (F.col("cx") + h).cast("string"), F.lit(" "), (F.col("cy") - h).cast("string"),
+        F.lit(", "),
+        (F.col("cx") + h).cast("string"), F.lit(" "), (F.col("cy") + h).cast("string"),
+        F.lit(", "),
+        (F.col("cx") - h).cast("string"), F.lit(" "), (F.col("cy") + h).cast("string"),
+        F.lit(", "),
+        (F.col("cx") - h).cast("string"), F.lit(" "), (F.col("cy") - h).cast("string"),
+        F.lit("))"),
+    )
+    return cust.select(
+        F.col("c_custkey").alias("identifier"), K.st_geomfromtext(wkt).alias("geom")
+    )
+
+
+def _tile_layer(spark: SparkSession) -> DataFrame:
+    """110 disjoint 10x10 tiles covering x in [-100,0), y in [-10,100)."""
+    t = spark.range(110)
+    x0 = ((F.col("id") % 10) * 10 - 100).cast("double")
+    y0 = ((F.col("id") / 10).cast("long") * 10 - 10).cast("double")
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        x0.cast("string"), F.lit(" "), y0.cast("string"), F.lit(", "),
+        (x0 + 10).cast("string"), F.lit(" "), y0.cast("string"), F.lit(", "),
+        (x0 + 10).cast("string"), F.lit(" "), (y0 + 10).cast("string"), F.lit(", "),
+        x0.cast("string"), F.lit(" "), (y0 + 10).cast("string"), F.lit(", "),
+        x0.cast("string"), F.lit(" "), y0.cast("string"),
+        F.lit("))"),
+    )
+    return t.select(K.st_geomfromtext(wkt).alias("layer_geom"))
+
+
+TILES_SQL = """
+tiles AS (
+  SELECT CAST(i % 10 AS DOUBLE) * 10 - 100 AS x0,
+         CAST(i // 10 AS DOUBLE) * 10 - 10 AS y0
+  FROM range(110) t(i))
+"""
+
+RECTS_SQL = """
+rect AS (
+  SELECT c_custkey, (c_acctbal % 100.0) AS cx,
+         CAST(c_custkey % 100 AS DOUBLE) AS cy
+  FROM customer)
+"""
+
+
+# --- G2: x/y attributes -> point, WKB round-trip ----------------------------
+
+
+@register(
+    "g2_point_from_attributes",
+    oracle="""
+SELECT p_partkey, p_retailprice AS px, CAST(p_size AS DOUBLE) AS py FROM part
+""",
+    tags=("G2",),
+)
+def g2_point_from_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("string").alias("x"),
+        F.col("p_size").cast("string").alias("y"),
+    )
+    pts = attributes_to_point_geometry(part, "x", "y")
+    return pts.select(
+        "p_partkey",
+        K.st_x("geom").alias("px"),
+        K.st_y("geom").alias("py"),
+    )
+
+
+# --- G1+G3: GeoJSON parse -> centroid -> round-trip -------------------------
+
+
+@register(
+    "g1_geojson_attribute_roundtrip",
+    oracle="""
+SELECT event_id, ((value % 360) - 180) AS gx, ((value % 170) - 85) AS gy
+FROM events
+""",
+    tags=("G1", "G3", "G4"),
+)
+def g1_geojson_attribute_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("value") % 360) - 180).alias("x"),
+        ((F.col("value") % 170) - 85).alias("y"),
+    )
+    gj = F.concat(
+        F.lit('{"type":"Point","coordinates":['),
+        F.col("x").cast("string"),
+        F.lit(","),
+        F.col("y").cast("string"),
+        F.lit("]}"),
+    )
+    parsed = attribute_to_geometry(ev.withColumn("gjson", gj), "gjson", drop=True)
+    cent = geometry_to_centroid(parsed, "geom", "centroid")
+    return cent.select(
+        "event_id",
+        K.st_x("centroid").alias("gx"),
+        K.st_y("centroid").alias("gy"),
+    )
+
+
+# --- G5: force 2D -----------------------------------------------------------
+
+
+@register(
+    "g5_force_2d",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity AS fx, l_extendedprice AS fy
+FROM lineitem WHERE l_linenumber = 1
+""",
+    tags=("G5",),
+)
+def g5_force_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_tax")
+    )
+    pts = li.withColumn(
+        "geom", K.st_pointz(F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_tax"))
+    )
+    flat = geometry_3d_to_2d(pts)
+    return flat.select(
+        "l_orderkey",
+        "l_linenumber",
+        K.st_x("geom").alias("fx"),
+        K.st_y("geom").alias("fy"),
+    )
+
+
+# --- G6: Douglas-Peucker simplification -------------------------------------
+
+
+@register(
+    "g6_simplify_zigzag",
+    oracle="""
+SELECT o_orderkey, 2 AS n_points, (o_totalprice % 500.0) AS span
+FROM orders
+""",
+    tags=("G6",),
+)
+def g6_simplify_zigzag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 5-vertex zigzag with deviation 0.4 simplifies to its endpoints
+    under tolerance 0.5 — the invariant (n_points=2, span preserved)
+    is SQL-expressible even though Douglas-Peucker itself is not."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_totalprice") % 500.0).alias("span")
+    )
+    s = F.col("span").cast("string")
+    wkt = F.concat(
+        F.lit("LINESTRING (0 0, "),
+        (F.col("span") / 4).cast("string"), F.lit(" 0.4, "),
+        (F.col("span") / 2).cast("string"), F.lit(" -0.4, "),
+        (F.col("span") * 3 / 4).cast("string"), F.lit(" 0.4, "),
+        s, F.lit(" 0)"),
+    )
+    lines = orders.withColumn("geom", K.st_geomfromtext(wkt))
+    simp = simplify_geom(lines, tolerance=0.5)
+    return simp.select(
+        "o_orderkey",
+        K.st_npoints("geom").cast("int").alias("n_points"),
+        (K.st_x(K.st_centroid("geom")) * 2).alias("span"),
+    )
+
+
+# --- G7: web-mercator reprojection ------------------------------------------
+
+
+@register(
+    "g7_transform_mercator",
+    oracle="""
+SELECT event_id,
+       round(((value % 360) - 180) * pi() * 6378137.0 / 180.0, 4) AS mx,
+       round(6378137.0 * ln(tan(pi() / 4.0 + ((value % 170) - 85) * pi() / 360.0)), 4)
+         AS my
+FROM events
+""",
+    tags=("G7",),
+)
+def g7_transform_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("value") % 360) - 180).alias("x"),
+        ((F.col("value") % 170) - 85).alias("y"),
+    )
+    pts = ev.withColumn("geom", K.st_point("x", "y"))
+    merc = transform_geom(pts, "EPSG:4326", "EPSG:3857")
+    return merc.select(
+        "event_id",
+        F.round(K.st_x("geom"), 4).alias("mx"),
+        F.round(K.st_y("geom"), 4).alias("my"),
+    )
+
+
+# --- G8: subdivision preserves area -----------------------------------------
+
+
+@register(
+    "g8_subdivide_area",
+    oracle="""
+SELECT CAST(s_suppkey AS VARCHAR) AS identifier,
+       round(3.0 * (2.0 + (s_acctbal % 5.0)) * (2.0 + (s_acctbal % 5.0)), 6)
+         AS total_area
+FROM supplier
+""",
+    tags=("G8",),
+)
+def g8_subdivide_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-gon of radius r: area = (12/2) r^2 sin(pi/6) = 3 r^2. Subdivide
+    with max_vertices=8 forces splitting; child parts' areas must sum
+    back to the closed form."""
+    import math
+
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("identifier"),
+        (F.lit(2.0) + (F.col("s_acctbal") % 5.0)).alias("r"),
+    )
+    pieces = [F.lit("POLYGON ((")]
+    for k in range(13):
+        ang = 2 * math.pi * (k % 12) / 12
+        pieces.append((F.col("r") * F.lit(math.cos(ang))).cast("string"))
+        pieces.append(F.lit(" "))
+        pieces.append((F.col("r") * F.lit(math.sin(ang))).cast("string"))
+        if k < 12:
+            pieces.append(F.lit(", "))
+    wkt = F.concat(*pieces, F.lit("))"))
+    polys = supp.withColumn("geom", K.st_geomfromtext(wkt))
+    parts = subdivide_geom(polys, max_vertices=8)
+    base_id = F.substring_index(F.col("identifier"), "-", 1)
+    return (
+        parts.withColumn("identifier", base_id)
+        .groupBy("identifier")
+        .agg(
+            F.round(
+                F.sum(K.st_area("geom").cast("decimal(20,12)")).cast("double"), 6
+            ).alias("total_area")
+        )
+    )
+
+
+# --- A2: union-on-property + centroid ---------------------------------------
+
+
+@register(
+    "a2_union_on_property_centroid",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_geoms,
+       round(avg((value % 360) - 180), 6) AS ux,
+       round(avg((value % 170) - 85), 6) AS uy
+FROM events GROUP BY event_type
+""",
+    tags=("A2", "G4"),
+)
+def a2_union_on_property_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.col("value") % 360) - 180).alias("x"),
+        ((F.col("value") % 170) - 85).alias("y"),
+    )
+    pts = ev.withColumn("geom", K.st_point("x", "y"))
+    unions = union_on_property(pts, "event_type")
+    return unions.select(
+        "event_type",
+        K.st_npoints("geom").cast("long").alias("n_geoms"),
+        F.round(K.st_x(K.st_centroid("geom")), 6).alias("ux"),
+        F.round(K.st_y(K.st_centroid("geom")), 6).alias("uy"),
+    )
+
+
+# --- J1: existential spatial join -------------------------------------------
+
+
+@register(
+    "j1_boolean_intersect",
+    oracle="""
+WITH pts AS (
+  SELECT event_id, ((value % 360) - 180) AS x, ((value % 170) - 85) AS y
+  FROM events),
+rects AS (
+  SELECT CAST(n_nationkey * 12 AS DOUBLE) - 160 AS x0,
+         CAST((n_nationkey % 5) * 30 AS DOUBLE) - 75 AS y0
+  FROM nation)
+SELECT p.event_id,
+       coalesce(bool_or(p.x >= r.x0 AND p.x <= r.x0 + 10
+                    AND p.y >= r.y0 AND p.y <= r.y0 + 20), FALSE) AS in_zone
+FROM pts p LEFT JOIN rects r
+  ON p.x >= r.x0 AND p.x <= r.x0 + 10 AND p.y >= r.y0 AND p.y <= r.y0 + 20
+GROUP BY p.event_id
+""",
+    headline=True,
+    tags=("J1",),
+)
+def j1_boolean_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("identifier"),
+        ((F.col("value") % 360) - 180).alias("x"),
+        ((F.col("value") % 170) - 85).alias("y"),
+    )
+    pts = ev.withColumn("geom", K.st_point("x", "y"))
+    nation = load_table(spark, sf_dir, "nation").select(
+        ((F.col("n_nationkey") * 12).cast("double") - 160).alias("x0"),
+        (((F.col("n_nationkey") % 5) * 30).cast("double") - 75).alias("y0"),
+    )
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        F.col("x0").cast("string"), F.lit(" "), F.col("y0").cast("string"), F.lit(", "),
+        (F.col("x0") + 10).cast("string"), F.lit(" "), F.col("y0").cast("string"), F.lit(", "),
+        (F.col("x0") + 10).cast("string"), F.lit(" "), (F.col("y0") + 20).cast("string"), F.lit(", "),
+        F.col("x0").cast("string"), F.lit(" "), (F.col("y0") + 20).cast("string"), F.lit(", "),
+        F.col("x0").cast("string"), F.lit(" "), F.col("y0").cast("string"),
+        F.lit("))"),
+    )
+    layer = nation.select(K.st_geomfromtext(wkt).alias("layer_geom"))
+    flagged = boolean_intersect(pts, layer, out="in_zone")
+    return flagged.select(F.col("identifier").alias("event_id"), "in_zone")
+
+
+# --- J2: intersection percent by area ---------------------------------------
+
+
+@register(
+    "j2_intersection_percent_by_area",
+    oracle=f"""
+WITH {RECTS_SQL.strip()}, {TILES_SQL.strip()},
+ov AS (
+  SELECT r.c_custkey,
+         greatest(0, least(r.cx + 3, t.x0 + 10) - greatest(r.cx - 3, t.x0))
+       * greatest(0, least(r.cy + 3, t.y0 + 10) - greatest(r.cy - 3, t.y0)) AS a
+  FROM rect r CROSS JOIN tiles t)
+SELECT r.c_custkey,
+       round(coalesce(s.total, 0.0) / 36.0, 6) AS intersection_percent
+FROM rect r LEFT JOIN
+  (SELECT c_custkey, sum(a) AS total FROM ov WHERE a > 1e-12 GROUP BY c_custkey) s
+  USING (c_custkey)
+""",
+    headline=True,
+    tags=("J2",),
+)
+def j2_intersection_percent_by_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rects = _customer_rects(spark, sf_dir)
+    layer = _tile_layer(spark)
+    out = intersection_percent_by_area(rects, layer)
+    return out.select(
+        F.col("identifier").cast("long").alias("c_custkey"),
+        F.round("intersection_percent", 6).alias("intersection_percent"),
+    )
+
+
+# --- J3: clip to layer (intersection geometry) ------------------------------
+
+
+@register(
+    "j3_intersection_geom_area",
+    oracle=f"""
+WITH {RECTS_SQL.strip()}, {TILES_SQL.strip()},
+ov AS (
+  SELECT r.c_custkey,
+         greatest(0, least(r.cx + 3, t.x0 + 10) - greatest(r.cx - 3, t.x0))
+       * greatest(0, least(r.cy + 3, t.y0 + 10) - greatest(r.cy - 3, t.y0)) AS a
+  FROM rect r CROSS JOIN tiles t)
+SELECT r.c_custkey,
+       round(coalesce(s.total, 0.0), 6) AS zone_area
+FROM rect r LEFT JOIN
+  (SELECT c_custkey, sum(a) AS total FROM ov WHERE a > 1e-12 GROUP BY c_custkey) s
+  USING (c_custkey)
+""",
+    tags=("J3",),
+)
+def j3_intersection_geom_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rects = _customer_rects(spark, sf_dir)
+    layer = _tile_layer(spark)
+    clipped = intersection_geom(rects, layer, geom_dest="zone")
+    return clipped.select(
+        F.col("identifier").cast("long").alias("c_custkey"),
+        F.round(F.coalesce(K.st_area("zone"), F.lit(0.0)), 6).alias("zone_area"),
+    )
+
+
+# --- T1: geometric running difference (rows-only; full semantics in
+# tests/test_spatial_operators.py — polygon difference is not
+# SQL-expressible without a spatial extension) ------------------------------
+
+
+@register("t1_isochrone_subtraction_geo", oracle=None, tags=("T1",))
+def t1_isochrone_subtraction_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentric squares per user (side grows with value rank) minus
+    their predecessor -> rings. Output: ring areas per user/bucket."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", (F.col("value") % 50 + 1.0).alias("r")
+    )
+    # keep 3 buckets per user to bound the window
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("r").asc(), F.col("event_id"))
+    buckets = ev.withColumn("bucket", F.row_number().over(w)).filter(
+        F.col("bucket") <= 3
+    )
+    s = F.col("r").cast("string")
+    wkt = F.concat(
+        F.lit("POLYGON ((-"), s, F.lit(" -"), s, F.lit(", "),
+        s, F.lit(" -"), s, F.lit(", "),
+        s, F.lit(" "), s, F.lit(", -"),
+        s, F.lit(" "), s, F.lit(", -"),
+        s, F.lit(" -"), s, F.lit("))"),
+    )
+    squares = buckets.withColumn("geom", K.st_geomfromtext(wkt))
+    rings = isochrone_subtraction(squares, ["user_id"], ["bucket"])
+    return rings.select(
+        "user_id",
+        "bucket",
+        F.round(K.st_area("geom"), 6).alias("ring_area"),
+    )

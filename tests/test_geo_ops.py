@@ -1,0 +1,257 @@
+"""Unit tests for the pure-Python geometry kernel (no Spark).
+
+Mirrors the reference's per-node geometry tests (SURVEY.md §5) plus
+codec round-trips and overlay invariants.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pytest
+
+from terra_bonobo_nodes_spark.geo import ops
+from terra_bonobo_nodes_spark.geo import wkb as W
+
+SQUARE = ("Polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]])
+SQUARE_HOLE = (
+    "Polygon",
+    [
+        [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)],
+        [(1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (2.0, 1.0), (1.0, 1.0)],
+    ],
+)
+LSHAPE = (
+    "Polygon",
+    [[(0.0, 0.0), (3.0, 0.0), (3.0, 1.0), (1.0, 1.0), (1.0, 3.0), (0.0, 3.0), (0.0, 0.0)]],
+)
+
+
+class TestCodecs:
+    @pytest.mark.parametrize(
+        "g",
+        [
+            ("Point", (1.5, -2.5)),
+            ("Point", (1.0, 2.0, 3.0)),
+            W.POINT_EMPTY,
+            ("LineString", [(0.0, 0.0), (1.0, 1.0), (2.0, 0.5)]),
+            SQUARE,
+            SQUARE_HOLE,
+            ("MultiPoint", [(0.0, 0.0), (1.0, 1.0)]),
+            ("MultiLineString", [[(0.0, 0.0), (1.0, 0.0)], [(2.0, 2.0), (3.0, 3.0)]]),
+            ("MultiPolygon", [SQUARE[1], [[(10.0, 10.0), (11.0, 10.0), (11.0, 11.0), (10.0, 10.0)]]]),
+            ("GeometryCollection", [("Point", (1.0, 2.0)), SQUARE]),
+        ],
+    )
+    def test_wkb_roundtrip(self, g):
+        back = W.parse_wkb(W.write_wkb(g))
+        if g[0] == "Point" and W.is_empty(g):
+            assert W.is_empty(back)
+        else:
+            assert back == g
+
+    @pytest.mark.parametrize(
+        "g",
+        [
+            ("Point", (1.5, -2.5)),
+            ("LineString", [(0.0, 0.0), (1.0, 1.0)]),
+            SQUARE_HOLE,
+            ("MultiPoint", [(0.0, 0.0), (1.0, 1.0)]),
+            ("MultiPolygon", [SQUARE[1]]),
+            ("GeometryCollection", [("Point", (1.0, 2.0)), SQUARE]),
+        ],
+    )
+    def test_wkt_roundtrip(self, g):
+        assert W.parse_wkt(W.write_wkt(g)) == g
+
+    def test_wkt_empty(self):
+        assert W.write_wkt(W.POINT_EMPTY) == "POINT EMPTY"
+        assert W.is_empty(W.parse_wkt("POINT EMPTY"))
+        assert W.parse_wkt("POLYGON EMPTY") == ("Polygon", [])
+
+    def test_wkt_malformed_raises(self):
+        with pytest.raises(ValueError):
+            W.parse_wkt("NOT A GEOM (1 2)")
+
+    def test_geojson_roundtrip(self):
+        for g in [("Point", (1.0, 2.0)), SQUARE, ("MultiPoint", [(0.0, 1.0)])]:
+            s = json.dumps(W.to_geojson(g))
+            assert W.from_geojson(s) == g
+
+
+class TestMeasures:
+    def test_area(self):
+        assert ops.area(SQUARE) == 16.0
+        assert ops.area(SQUARE_HOLE) == 15.0
+        assert ops.area(LSHAPE) == 5.0
+        assert ops.area(("Point", (1.0, 1.0))) == 0.0
+        assert ops.area(W.POINT_EMPTY) == 0.0
+
+    def test_centroid(self):
+        assert ops.centroid(SQUARE) == ("Point", (2.0, 2.0))
+        cx, cy = ops.centroid(("MultiPoint", [(0.0, 0.0), (2.0, 4.0)]))[1]
+        assert (cx, cy) == (1.0, 2.0)
+        # line centroid: length-weighted
+        cx, cy = ops.centroid(("LineString", [(0.0, 0.0), (2.0, 0.0)]))[1]
+        assert (cx, cy) == (1.0, 0.0)
+        # hole pulls centroid away symmetrically -> still center for symmetric hole
+        sym_hole = (
+            "Polygon",
+            [
+                SQUARE[1][0],
+                [(1.5, 1.5), (1.5, 2.5), (2.5, 2.5), (2.5, 1.5), (1.5, 1.5)],
+            ],
+        )
+        cx, cy = ops.centroid(sym_hole)[1]
+        assert abs(cx - 2.0) < 1e-12 and abs(cy - 2.0) < 1e-12
+
+    def test_length(self):
+        assert ops.length(("LineString", [(0.0, 0.0), (3.0, 4.0)])) == 5.0
+
+    def test_distance(self):
+        assert ops.distance(("Point", (0.0, 0.0)), ("Point", (3.0, 4.0))) == 5.0
+        assert ops.distance(("Point", (2.0, 2.0)), SQUARE) == 0.0  # inside
+        assert ops.distance(("Point", (5.0, 4.0)), SQUARE) == 1.0  # right of edge
+        seg = ("LineString", [(0.0, 10.0), (10.0, 10.0)])
+        assert ops.distance(seg, SQUARE) == 6.0
+        assert ops.distance(W.POINT_EMPTY, SQUARE) is None
+
+
+class TestPredicates:
+    def test_point_in_polygon(self):
+        assert ops.point_in_polygon((2.0, 2.0), SQUARE[1])
+        assert not ops.point_in_polygon((5.0, 2.0), SQUARE[1])
+        assert ops.point_in_polygon((0.0, 0.0), SQUARE[1])  # vertex = boundary
+        assert ops.point_in_polygon((2.0, 0.0), SQUARE[1])  # edge
+        assert not ops.point_in_polygon((1.5, 1.5), SQUARE_HOLE[1])  # in hole
+        assert ops.point_in_polygon((1.0, 1.5), SQUARE_HOLE[1])  # on hole edge
+
+    def test_intersects(self):
+        assert ops.intersects(("Point", (1.0, 1.0)), SQUARE)
+        assert not ops.intersects(("Point", (9.0, 9.0)), SQUARE)
+        other = ("Polygon", [[(3.0, 3.0), (6.0, 3.0), (6.0, 6.0), (3.0, 6.0), (3.0, 3.0)]])
+        assert ops.intersects(SQUARE, other)
+        far = ("Polygon", [[(9.0, 9.0), (10.0, 9.0), (10.0, 10.0), (9.0, 9.0)]])
+        assert not ops.intersects(SQUARE, far)
+        # polygon fully containing another: no edge crossings
+        inner = ("Polygon", [[(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0)]])
+        assert ops.intersects(SQUARE, inner)
+        assert ops.intersects(inner, SQUARE)
+        # crossing linestring
+        line = ("LineString", [(-1.0, 2.0), (5.0, 2.0)])
+        assert ops.intersects(line, SQUARE)
+        assert not ops.intersects(W.POINT_EMPTY, SQUARE)
+
+    def test_point_point(self):
+        assert ops.intersects(("Point", (1.0, 1.0)), ("MultiPoint", [(0.0, 0.0), (1.0, 1.0)]))
+        assert not ops.intersects(("Point", (1.0, 1.0)), ("Point", (1.0, 1.1)))
+
+
+class TestOverlay:
+    def test_intersection_rect_clip(self):
+        rect = ("Polygon", [[(2.0, 2.0), (6.0, 2.0), (6.0, 6.0), (2.0, 6.0), (2.0, 2.0)]])
+        out = ops.intersection(SQUARE, rect)
+        assert out[0] == "Polygon"
+        assert abs(ops.area(out) - 4.0) < 1e-12  # overlap is 2x2
+
+    def test_intersection_concave_subject(self):
+        rect = ("Polygon", [[(0.5, 0.5), (2.0, 0.5), (2.0, 2.0), (0.5, 2.0), (0.5, 0.5)]])
+        out = ops.intersection(LSHAPE, rect)
+        # L-shape ∩ rect: area = full rect minus the notch part
+        # L covers x in [0,3]×[0,1] and [0,1]×[0,3]; rect [0.5,2]^2
+        # overlap = (1.5×0.5 strip) + (0.5×1.5 vertical) + ... compute:
+        # region y in [0.5,1]: x 0.5..2 -> 0.75 ; y in [1,2]: x 0.5..1 -> 0.5
+        assert abs(ops.area(out) - 1.25) < 1e-9
+
+    def test_intersection_disjoint_empty(self):
+        far = ("Polygon", [[(10.0, 10.0), (11.0, 10.0), (11.0, 11.0), (10.0, 11.0), (10.0, 10.0)]])
+        assert W.is_empty(ops.intersection(SQUARE, far))
+
+    def test_intersection_point(self):
+        assert ops.intersection(("Point", (1.0, 1.0)), SQUARE) == ("Point", (1.0, 1.0))
+        assert W.is_empty(ops.intersection(("Point", (9.0, 9.0)), SQUARE))
+
+    def test_intersection_concave_concave_raises(self):
+        l2 = ("Polygon", [[(0.0, 0.0), (3.0, 0.0), (3.0, 1.0), (1.0, 1.0), (1.0, 3.0), (0.5, 3.0), (0.0, 0.0)]])
+        with pytest.raises(NotImplementedError):
+            ops.intersection(LSHAPE, l2)
+
+    def test_difference_hole(self):
+        inner = ("Polygon", [[(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0)]])
+        out = ops.difference(SQUARE, inner)
+        assert out[0] == "Polygon" and len(out[1]) == 2
+        assert abs(ops.area(out) - 15.0) < 1e-12
+
+    def test_difference_disjoint(self):
+        far = ("Polygon", [[(10.0, 10.0), (11.0, 10.0), (11.0, 11.0), (10.0, 11.0), (10.0, 10.0)]])
+        assert ops.difference(SQUARE, far) == SQUARE
+
+    def test_difference_contained(self):
+        big = ("Polygon", [[(-1.0, -1.0), (5.0, -1.0), (5.0, 5.0), (-1.0, 5.0), (-1.0, -1.0)]])
+        assert W.is_empty(ops.difference(SQUARE, big))
+
+    def test_difference_points(self):
+        mp = ("MultiPoint", [(1.0, 1.0), (9.0, 9.0)])
+        assert ops.difference(mp, SQUARE) == ("Point", (9.0, 9.0))
+
+    def test_union_collect(self):
+        u = ops.union_collect([("Point", (0.0, 0.0)), ("Point", (1.0, 1.0))])
+        assert u == ("MultiPoint", [(0.0, 0.0), (1.0, 1.0)])
+        u2 = ops.union_collect([SQUARE, ("Point", (0.0, 0.0))])
+        assert u2[0] == "GeometryCollection"
+        assert W.is_empty(ops.union_collect([None, W.POINT_EMPTY]))
+
+
+class TestTransforms:
+    def test_simplify_collinear(self):
+        line = ("LineString", [(0.0, 0.0), (1.0, 0.0), (2.0, 0.0), (3.0, 0.0)])
+        assert ops.simplify(line, 0.0) == ("LineString", [(0.0, 0.0), (3.0, 0.0)])
+
+    def test_simplify_tolerance(self):
+        line = ("LineString", [(0.0, 0.0), (1.0, 0.4), (2.0, 0.0)])
+        assert ops.simplify(line, 0.5) == ("LineString", [(0.0, 0.0), (2.0, 0.0)])
+        assert len(ops.simplify(line, 0.1)[1]) == 3
+
+    def test_transform_roundtrip(self):
+        g = ("Point", (2.3488, 48.8534))  # Paris
+        merc = ops.transform(g, "EPSG:4326", "EPSG:3857")
+        assert abs(merc[1][0] - 261473.0) < 100  # known web-mercator x
+        back = ops.transform(merc, "EPSG:3857", "EPSG:4326")
+        assert abs(back[1][0] - g[1][0]) < 1e-9
+        assert abs(back[1][1] - g[1][1]) < 1e-9
+
+    def test_transform_unknown_raises(self):
+        with pytest.raises(NotImplementedError):
+            ops.transform(("Point", (0.0, 0.0)), "EPSG:4326", "EPSG:2154")
+
+    def test_force_2d(self):
+        assert ops.force_2d(("Point", (1.0, 2.0, 3.0))) == ("Point", (1.0, 2.0))
+
+    def test_snap_to_grid(self):
+        assert ops.snap_to_grid(("Point", (13.7, -2.1)), 5.0) == ("Point", (10.0, -5.0))
+
+    def test_make_valid(self):
+        unclosed = ("Polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]])
+        fixed = ops.make_valid(unclosed)
+        assert fixed[1][0][0] == fixed[1][0][-1]
+        dup = ("Polygon", [[(0.0, 0.0), (0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)]])
+        assert len(ops.make_valid(dup)[1][0]) == 4
+
+    def test_subdivide_preserves_area(self):
+        # 64-vertex ring around a circle, max 16 vertices per part
+        n = 64
+        ring = [
+            (math.cos(2 * math.pi * i / n) * 10, math.sin(2 * math.pi * i / n) * 10)
+            for i in range(n)
+        ]
+        ring.append(ring[0])
+        poly = ("Polygon", [ring])
+        parts = ops.subdivide(poly, 16)
+        assert len(parts) > 1
+        total = math.fsum(ops.area(p) for p in parts)
+        assert abs(total - ops.area(poly)) < 1e-6
+
+    def test_envelope(self):
+        env = ops.envelope(("LineString", [(1.0, 2.0), (3.0, 5.0)]))
+        assert ops.area(env) == 6.0

@@ -1,0 +1,80 @@
+"""Spark-level tests for spatial operators not fully covered by oracles:
+geometric running difference (T1), subdivide child-id contract (G8),
+strict-cast error path (G2), layer clustering key (A4-geo)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from terra_bonobo_nodes_spark.geo import kernels as K
+from terra_bonobo_nodes_spark.geo import wkb as W
+from terra_bonobo_nodes_spark.operators.spatial import (
+    attributes_to_point_geometry,
+    isochrone_subtraction,
+    layer_clusters_geo,
+    subdivide_geom,
+)
+
+
+def _square_wkt(r: float) -> str:
+    return f"POLYGON (({-r} {-r}, {r} {-r}, {r} {r}, {-r} {r}, {-r} {-r}))"
+
+
+def test_isochrone_subtraction_rings(spark):
+    rows = [("u1", 1, _square_wkt(1.0)), ("u1", 2, _square_wkt(2.0)), ("u1", 3, _square_wkt(3.0))]
+    df = spark.createDataFrame(rows, ["user_id", "bucket", "wkt"]).withColumn(
+        "geom", K.st_geomfromtext(F.col("wkt"))
+    )
+    out = isochrone_subtraction(df, ["user_id"], ["bucket"])
+    areas = {
+        r["bucket"]: a
+        for r in out.select("bucket", K.st_area("geom").alias("a")).collect()
+        for a in [r["a"]]
+    }
+    # bucket1 kept whole (4), bucket2 = 16-4 = 12, bucket3 = 36-16 = 20
+    assert areas == {1: pytest.approx(4.0), 2: pytest.approx(12.0), 3: pytest.approx(20.0)}
+
+
+def test_subdivide_child_ids(spark):
+    import math
+
+    n = 32
+    ring = ", ".join(
+        f"{10 * math.cos(2 * math.pi * i / n)} {10 * math.sin(2 * math.pi * i / n)}"
+        for i in range(n)
+    )
+    first = f"{10 * math.cos(0)} {10 * math.sin(0)}"
+    df = spark.createDataFrame([("g1", f"POLYGON (({ring}, {first}))")], ["identifier", "wkt"])
+    df = df.withColumn("geom", K.st_geomfromtext(F.col("wkt"))).drop("wkt")
+    parts = subdivide_geom(df, max_vertices=12)
+    ids = [r["identifier"] for r in parts.select("identifier").collect()]
+    assert len(ids) > 1
+    assert all(i.startswith("g1-") for i in ids)
+    assert len(set(ids)) == len(ids)  # child ids unique
+
+
+def test_attributes_to_point_strict_raises(spark):
+    df = spark.createDataFrame([("a", "1.5", "2.5"), ("b", "attribute_1", "0")], ["id", "x", "y"])
+    out = attributes_to_point_geometry(df, "x", "y", strict=True)
+    with pytest.raises(Exception, match="cast"):
+        out.collect()
+    lax = attributes_to_point_geometry(df, "x", "y", strict=False)
+    rows = {r["id"]: r["geom"] for r in lax.collect()}
+    assert W.is_empty(W.parse_wkb(rows["b"]))  # null x -> POINT EMPTY
+    assert W.parse_wkb(rows["a"]) == ("Point", (1.5, 2.5))
+
+
+def test_layer_clusters_geo_key(spark):
+    rows = [("a", 4.0, 6.0), ("b", 6.0, 4.0), ("c", 2.0, 4.0)]
+    df = spark.createDataFrame(rows, ["identifier", "x", "y"]).withColumn(
+        "geom", K.st_point("x", "y")
+    )
+    out = layer_clusters_geo(df, distance=2.0)
+    clusters = {r["cluster"]: r["ids"] for r in out.collect()}
+    # reference fixture (test_terra.py:28-42): grid 2 -> (4,6) alone; (6,4) alone; (2,4) alone
+    assert clusters == {
+        "POINT (4 6)": ["a"],
+        "POINT (6 4)": ["b"],
+        "POINT (2 4)": ["c"],
+    }
