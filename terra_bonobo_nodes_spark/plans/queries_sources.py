@@ -1,1 +1,272 @@
-"""Placeholder — populated in a later phase."""
+"""Correctness queries: sources, sinks, enrichment (SURVEY §2.1/2.2/2.8).
+
+Round-trip style: each query CONSTRUCTS the ingest payload from a
+parquet table inside the plan (CSV text, GeoJSON documents, zip bytes),
+runs the real source operator on it, and must recover the original rows
+— so the oracle is simply the original table. Enrichment operators run
+against deterministic fake clients whose responses have closed-form SQL
+equivalents (the reference's mock strategy, ``test_terra.py:208-217``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terra_bonobo_nodes_spark.geo import kernels as K
+from terra_bonobo_nodes_spark.operators.enrichment import (
+    isochrone_calculation,
+    manhattan_fake_client_factory,
+    square_isochrone_client_factory,
+    transit_time_one_to_many,
+    transit_time_one_to_one,
+)
+from terra_bonobo_nodes_spark.plans.registry import register
+from terra_bonobo_nodes_spark.sources.archive import zip_reader
+from terra_bonobo_nodes_spark.sources.csv import csv_documents_to_rows
+from terra_bonobo_nodes_spark.sources.geojson import geojson_reader
+from terra_bonobo_nodes_spark.sources.sql import sql_extract
+from terra_bonobo_nodes_spark.tables import load_table
+
+
+# --- S1: CSV document parsing -----------------------------------------------
+
+
+@register(
+    "s1_csv_document_roundtrip",
+    oracle="""
+SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
+FROM customer
+""",
+    tags=("S1",),
+)
+def s1_csv_document_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer -> one CSV document per nation -> parse back to all-string
+    rows. Exercises header handling + line explosion + from_csv."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_name", "c_mktsegment"
+    )
+    line = F.concat_ws(
+        ",", F.col("c_custkey").cast("string"), F.col("c_name"), F.col("c_mktsegment")
+    )
+    docs = (
+        cust.withColumn("_line", line)
+        .groupBy("c_nationkey")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.lit("c_custkey,c_name,c_mktsegment"),
+                F.concat_ws("\n", F.sort_array(F.collect_list("_line"))),
+            ).alias("content")
+        )
+    )
+    return csv_documents_to_rows(docs, "content")
+
+
+# --- S2: GeoJSON FeatureCollection ------------------------------------------
+
+
+@register(
+    "s2_geojson_reader_roundtrip",
+    oracle="""
+SELECT CAST(event_id AS VARCHAR) AS feature_id, event_type,
+       ((value % 360) - 180) AS gx, ((value % 170) - 85) AS gy
+FROM events
+""",
+    tags=("S2",),
+)
+def s2_geojson_reader_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> FeatureCollection documents (one per event_type) ->
+    geojson_reader explode -> recover ids, properties, coordinates."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        ((F.col("value") % 360) - 180).alias("x"),
+        ((F.col("value") % 170) - 85).alias("y"),
+    )
+    feature = F.concat(
+        F.lit('{"type":"Feature","id":"'),
+        F.col("event_id").cast("string"),
+        F.lit('","geometry":{"type":"Point","coordinates":['),
+        F.col("x").cast("string"),
+        F.lit(","),
+        F.col("y").cast("string"),
+        F.lit(']},"properties":{"event_type":"'),
+        F.col("event_type"),
+        F.lit('"}}'),
+    )
+    docs = (
+        ev.withColumn("_f", feature)
+        .groupBy("event_type")
+        .agg(
+            F.concat(
+                F.lit('{"type":"FeatureCollection","crs":{"type":"name",'
+                      '"properties":{"name":"EPSG:4326"}},"features":['),
+                F.concat_ws(",", F.collect_list("_f")),
+                F.lit("]}"),
+            ).alias("content")
+        )
+    )
+    feats = geojson_reader(docs, "content")
+    return feats.select(
+        "feature_id",
+        F.col("properties").getItem("event_type").alias("event_type"),
+        K.st_x("geom").alias("gx"),
+        K.st_y("geom").alias("gy"),
+    )
+
+
+# --- S8: zip entries ---------------------------------------------------------
+
+
+@register(
+    "s8_zip_reader_roundtrip",
+    oracle="SELECT doc_id, text FROM documents",
+    tags=("S8",),
+)
+def s8_zip_reader_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> one zip archive per source (entries {doc_id}.txt) ->
+    zip_reader explode -> recover doc_id + text."""
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "text")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            for _, row in pdf.sort_values("doc_id").iterrows():
+                zf.writestr(f"{row.doc_id}.txt", row.text)
+        return pd.DataFrame({"content": [buf.getvalue()]})
+
+    zips = docs.groupBy("source").applyInPandas(pack, "content BINARY")
+    entries = zip_reader(zips, "content")
+    return entries.select(
+        F.regexp_replace("name", r"\.txt$", "").cast("long").alias("doc_id"),
+        F.decode(F.col("content"), "UTF-8").alias("text"),
+    )
+
+
+# --- S3: SQL extraction with decimal coercion --------------------------------
+
+
+@register(
+    "s3_sql_extract_decimals",
+    oracle="""
+SELECT CAST(o_orderkey AS VARCHAR) AS identifier, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price
+FROM orders WHERE o_orderstatus = 'F'
+""",
+    tags=("S3", "S4"),
+)
+def s3_sql_extract_decimals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    df = sql_extract(
+        spark,
+        """
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price
+        FROM orders_v WHERE o_orderstatus = 'F'
+        """,
+        identifier="o_orderkey",
+    )
+    return df.select("identifier", "o_orderkey", "price")
+
+
+# --- E1: isochrone enrichment (deterministic fake client) --------------------
+
+
+@register(
+    "e1_isochrone_calculation",
+    oracle="""
+SELECT CAST(event_id AS VARCHAR) AS event_id, b.bucket,
+       CAST((b.bucket + 1) * (b.bucket + 1) AS DOUBLE) AS iso_area
+FROM events CROSS JOIN (VALUES (0), (1), (2)) b(bucket)
+""",
+    tags=("E1",),
+)
+def e1_isochrone_calculation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake isochrone service: concentric squares, half-side 0.5*(b+1)
+    -> area (b+1)^2. Explode contract + polygon plumbing are real."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("value") % 360) - 180).alias("x"),
+        ((F.col("value") % 170) - 85).alias("y"),
+    )
+    iso = isochrone_calculation(
+        ev,
+        square_isochrone_client_factory(size_per_bucket=0.5, buckets=3),
+        params={"buckets": 3},
+        keep_cols=["event_id"],
+    )
+    return iso.select(
+        "event_id", "bucket", F.round(K.st_area("geom"), 6).alias("iso_area")
+    )
+
+
+# --- E2/E3: transit-time matrix (deterministic fake client) ------------------
+
+
+@register(
+    "e2_transit_time_one_to_many",
+    oracle="""
+SELECT c_custkey,
+       (abs(c_acctbal % 100.0) + abs(CAST(c_custkey % 100 AS DOUBLE))) AS t00,
+       (abs(c_acctbal % 100.0) + abs(CAST(c_custkey % 100 AS DOUBLE))) * 2.0 AS t01,
+       (abs((c_acctbal % 100.0) - 10.0) + abs(CAST(c_custkey % 100 AS DOUBLE) - 10.0))
+         AS t10,
+       (abs((c_acctbal % 100.0) - 10.0) + abs(CAST(c_custkey % 100 AS DOUBLE) - 10.0))
+         * 2.0 AS t11
+FROM customer
+""",
+    tags=("E2",),
+)
+def e2_transit_time_one_to_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two target points (0,0) and (10,10), two vehicles (car, bike=2x);
+    fake time = manhattan distance * vehicle factor."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal") % 100.0).alias("x"),
+        (F.col("c_custkey") % 100).cast("double").alias("y"),
+    )
+    pts = cust.withColumn(
+        "points",
+        F.array(
+            F.array(F.lit(0.0), F.lit(0.0)), F.array(F.lit(10.0), F.lit(10.0))
+        ),
+    )
+    timed = transit_time_one_to_many(
+        pts, manhattan_fake_client_factory(), vehicles=("car", "bike")
+    )
+    t = F.col("times")
+    return timed.select(
+        "c_custkey",
+        F.element_at(F.element_at(t, 1), 1).alias("t00"),
+        F.element_at(F.element_at(t, 1), 2).alias("t01"),
+        F.element_at(F.element_at(t, 2), 1).alias("t10"),
+        F.element_at(F.element_at(t, 2), 2).alias("t11"),
+    )
+
+
+@register(
+    "e3_transit_time_one_to_one",
+    oracle="""
+SELECT c_custkey,
+       (abs(c_acctbal % 100.0) + abs(CAST(c_custkey % 100 AS DOUBLE))) AS times
+FROM customer
+""",
+    tags=("E3",),
+)
+def e3_transit_time_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal") % 100.0).alias("x"),
+        (F.col("c_custkey") % 100).cast("double").alias("y"),
+    )
+    pts = cust.withColumn("points", F.array(F.array(F.lit(0.0), F.lit(0.0))))
+    timed = transit_time_one_to_many(
+        pts, manhattan_fake_client_factory(), vehicles=("car",)
+    )
+    scalar = transit_time_one_to_one(timed)
+    return scalar.select("c_custkey", "times")

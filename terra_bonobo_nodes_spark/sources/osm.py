@@ -1,0 +1,83 @@
+"""OpenStreetMap ingestion (``osm.py``): Overpass fetch + ogr2ogr convert.
+
+- ``overpass_extract`` (S6, ``osm.py:14-39``): POST an Overpass QL query,
+  yield raw OSM XML. Network I/O is not an engine operator: the fetch is
+  driver-side through an injectable client (tests use a deterministic
+  fake, mirroring the reference's mocked ``requests.Session``,
+  ``test_osm.py:15-17``), and the payload lands in a DataFrame.
+- ``osm_xml_to_geojson`` (E4, ``osm.py:42-96``): subprocess ``ogr2ogr -f
+  GeoJSON`` with a layer selector and ``all_tags``. GDAL is absent in
+  this environment, so the subprocess runner is injectable; the command
+  construction (the actual logic) is real and tested. The converted
+  GeoJSON feeds ``sources.geojson.geojson_reader``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+OSM_LAYERS = ("points", "lines", "multilinestrings", "multipolygons", "other_relations")
+
+
+def overpass_extract(
+    spark: SparkSession,
+    query: str,
+    http_post: Callable[[str, str], str],
+    endpoint: str = "https://overpass-api.de/api/interpreter",
+) -> DataFrame:
+    """Fetch OSM XML via the injected ``http_post(url, data) -> text``
+    and return a one-row DataFrame ``(query, xml)``. Non-2xx handling
+    belongs to the client (the reference raises for status,
+    ``osm.py:37-38``)."""
+    xml = http_post(endpoint, query)
+    return spark.createDataFrame([(query, xml)], "query STRING, xml STRING")
+
+
+def build_ogr2ogr_command(
+    src_path: str, layer: str = "points", all_tags: bool = True
+) -> list[str]:
+    """The exact conversion the reference shells out to (``osm.py:66-83``)."""
+    if layer not in OSM_LAYERS:
+        raise ValueError(f"layer must be one of {OSM_LAYERS}, got {layer!r}")
+    cmd = ["ogr2ogr", "-f", "GeoJSON"]
+    if all_tags:
+        cmd += ["-oo", "ATTRIBUTES=all_tags"]
+    cmd += ["/vsistdout/", src_path, layer]
+    return cmd
+
+
+def osm_xml_to_geojson(
+    df: DataFrame,
+    layer: str = "points",
+    all_tags: bool = True,
+    xml_col: str = "xml",
+    runner: Callable[[list[str], bytes], bytes] | None = None,
+) -> DataFrame:
+    """Convert OSM XML payloads to GeoJSON document strings.
+
+    ``runner(cmd, xml_bytes) -> geojson_bytes`` defaults to a real
+    subprocess invocation (requires GDAL); tests inject a fake, the same
+    strategy as the reference's mocked ``subprocess.run``
+    (``test_osm.py:35-46``). Runs driver-side per document — OSM extracts
+    are few and large; the distributed work starts at the exploded
+    feature rows downstream.
+    """
+    if runner is None:
+
+        def runner(cmd: list[str], payload: bytes) -> bytes:  # pragma: no cover
+            import subprocess
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".osm") as tmp:
+                tmp.write(payload)
+                tmp.flush()
+                full = build_ogr2ogr_command(tmp.name, layer, all_tags)
+                res = subprocess.run(full, capture_output=True, check=True)
+                return res.stdout
+
+    rows = df.select(xml_col).collect()
+    cmd = build_ogr2ogr_command("/placeholder/", layer, all_tags)
+    docs = [(runner(cmd, r[0].encode()).decode(),) for r in rows]
+    return df.sparkSession.createDataFrame(docs, "content STRING")

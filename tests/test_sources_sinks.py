@@ -1,0 +1,159 @@
+"""Sink + source unit tests: layer upsert/retention, ES stand-in,
+versioned files, ogr2ogr command construction with fake runners —
+mirroring the reference's mocked-subprocess test strategy (SURVEY §5
+pattern 4)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from terra_bonobo_nodes_spark.geo import wkb as W
+from terra_bonobo_nodes_spark.sinks.es import es_extract, es_geometry_field, load_in_es
+from terra_bonobo_nodes_spark.sinks.feature_layer import (
+    clean_older_than,
+    load_feature_in_layer,
+    read_layer,
+)
+from terra_bonobo_nodes_spark.sources.files import resolve_latest_version
+from terra_bonobo_nodes_spark.sources.geojson import geojson_reader
+from terra_bonobo_nodes_spark.sources.osm import build_ogr2ogr_command, osm_xml_to_geojson
+from terra_bonobo_nodes_spark.sources.shapefile import (
+    build_shapefile_command,
+    zip_shapefile_to_geojson,
+)
+
+
+def test_load_feature_upsert(spark, tmp_path):
+    root = str(tmp_path / "layers")
+    df1 = spark.createDataFrame(
+        [("a", "v1", 1), ("b", "v1", 1), ("a", "v2", 2)], ["identifier", "val", "seq"]
+    )
+    # intra-batch duplicate 'a': last writer (seq desc) wins
+    load_feature_in_layer(df1, root, "base", order_col="seq")
+    out = {r["identifier"]: r["val"] for r in read_layer(spark, root, "base").collect()}
+    assert out == {"a": "v2", "b": "v1"}
+
+    # second batch: update b, insert c; a untouched
+    df2 = spark.createDataFrame([("b", "v9", 3), ("c", "v1", 3)], ["identifier", "val", "seq"])
+    load_feature_in_layer(df2, root, "base", order_col="seq")
+    out = {r["identifier"]: r["val"] for r in read_layer(spark, root, "base").collect()}
+    assert out == {"a": "v2", "b": "v9", "c": "v1"}
+
+    # geometry defaulted to POINT EMPTY
+    geoms = [r["geom"] for r in read_layer(spark, root, "base").collect()]
+    assert all(W.is_empty(W.parse_wkb(g)) for g in geoms)
+
+
+def test_clean_older_than(spark, tmp_path):
+    root = str(tmp_path / "layers")
+    df = spark.createDataFrame([("a", 1), ("b", 1)], ["identifier", "seq"])
+    load_feature_in_layer(df, root, "ret", order_col="seq")
+    # nothing older than epoch -> nothing deleted
+    assert clean_older_than(spark, root, "ret", "1970-01-01 00:00:00") == 0
+    # everything older than tomorrow -> all deleted
+    future = (
+        datetime.datetime.now(datetime.timezone.utc) + datetime.timedelta(days=1)
+    ).strftime("%Y-%m-%d %H:%M:%S")
+    assert clean_older_than(spark, root, "ret", future) == 2
+    assert read_layer(spark, root, "ret").count() == 0
+
+
+def test_es_standin_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "es")
+    es_geometry_field(root, "idx1")
+    df = spark.createDataFrame([("a", "x", 1.0), ("b", "y", 2.0)], ["identifier", "p", "v"])
+    load_in_es(df, root, "idx1")
+    back = es_extract(spark, root, "idx1")
+    assert {r["_id"] for r in back.collect()} == {"a", "b"}
+    assert back.columns == ["_id", "_feature_id", "p", "v"]
+    mapping = json.load(open(os.path.join(root, "idx1", "_mapping.json")))
+    assert mapping["properties"]["geom"]["type"] == "geo_shape"
+
+
+def test_resolve_latest_version(tmp_path):
+    base = tmp_path / "store"
+    for v in ["1.0", "2.10", "2.9"]:
+        d = base / "ns" / v
+        d.mkdir(parents=True)
+        (d / "data.bin").write_bytes(b"v" + v.encode())
+    # numeric version ordering: 2.10 > 2.9
+    path = resolve_latest_version(str(base), "ns", "data.bin")
+    assert path.endswith("2.10/data.bin")
+    assert resolve_latest_version(str(base), "ns", "missing.bin") is None
+    assert resolve_latest_version(str(base), "nope", "data.bin") is None
+
+
+def test_ogr2ogr_command_shapes():
+    cmd = build_ogr2ogr_command("/tmp/x.osm", "multipolygons", all_tags=True)
+    assert cmd[:3] == ["ogr2ogr", "-f", "GeoJSON"]
+    assert "ATTRIBUTES=all_tags" in cmd
+    assert cmd[-1] == "multipolygons"
+    with pytest.raises(ValueError):
+        build_ogr2ogr_command("/tmp/x.osm", "bogus_layer")
+    shp = build_shapefile_command("/tmp/x.zip")
+    assert shp[1:3] == ["-t_srs", "EPSG:4326"]
+    assert shp[-1] == "/vsizip//tmp/x.zip"
+
+
+FAKE_GEOJSON = json.dumps(
+    {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "id": "n1",
+                "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+                "properties": {"other_tags": '"amenity"=>"school"'},
+            }
+        ],
+    }
+)
+
+
+def test_osm_pipeline_with_fake_runner(spark):
+    xml_df = spark.createDataFrame([("q", "<osm/>")], "query STRING, xml STRING")
+    captured = {}
+
+    def fake_runner(cmd, payload):
+        captured["cmd"] = cmd
+        captured["payload"] = payload
+        return FAKE_GEOJSON.encode()
+
+    docs = osm_xml_to_geojson(xml_df, layer="points", runner=fake_runner)
+    assert captured["payload"] == b"<osm/>"
+    assert captured["cmd"][-1] == "points"
+    feats = geojson_reader(docs, "content").collect()
+    assert len(feats) == 1
+    assert feats[0]["feature_id"] == "n1"
+    assert W.parse_wkb(feats[0]["geom"]) == ("Point", (1.0, 2.0))
+
+
+def test_shapefile_pipeline_with_fake_runner(spark):
+    zips = spark.createDataFrame([(bytearray(b"PKfake"),)], "content BINARY")
+    docs = zip_shapefile_to_geojson(zips, runner=lambda cmd, b: FAKE_GEOJSON.encode())
+    feats = geojson_reader(docs, "content").collect()
+    assert len(feats) == 1
+
+
+def test_geojson_reader_crs_rejected(spark):
+    bad = json.dumps(
+        {
+            "type": "FeatureCollection",
+            "crs": {"type": "name", "properties": {"name": "EPSG:9999"}},
+            "features": [],
+        }
+    )
+    df = spark.createDataFrame([(bad,)], "content STRING")
+    with pytest.raises(Exception, match="not allowed"):
+        geojson_reader(df, "content").collect()
+
+
+def test_geojson_reader_empty_features(spark):
+    doc = json.dumps({"type": "FeatureCollection", "features": []})
+    df = spark.createDataFrame([(doc,)], "content STRING")
+    assert geojson_reader(df, "content").count() == 0
