@@ -24,25 +24,9 @@ if _REPO not in sys.path:
 
 
 def _ensure_executors(spark: SparkSession) -> None:
-    """Make the package importable on Spark's Python workers.
+    from terra_bonobo_nodes_spark.session import ship_package
 
-    Pandas-UDF closures (the geometry kernel) reference the package by
-    name; workers spawned by the executor JVM don't inherit the driver's
-    sys.path, so ship the package as a zip via addPyFile. Idempotent per
-    session. On a real cluster this is exactly how the library would be
-    deployed (--py-files)."""
-    if getattr(spark, "_tbns_pyfiles_added", False):
-        return
-    import tempfile
-    import zipfile
-
-    pkg = Path(_REPO) / "terra_bonobo_nodes_spark"
-    zpath = Path(tempfile.gettempdir()) / "terra_bonobo_nodes_spark_pyfiles.zip"
-    with zipfile.ZipFile(zpath, "w") as zf:
-        for py in sorted(pkg.rglob("*.py")):
-            zf.write(py, py.relative_to(Path(_REPO)))
-    spark.sparkContext.addPyFile(str(zpath))
-    spark._tbns_pyfiles_added = True
+    ship_package(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:

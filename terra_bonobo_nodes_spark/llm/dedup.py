@@ -1,0 +1,395 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each shuffle-conscious for the 100 TB case:
+
+- **exact**: md5 fingerprint of normalized text → groupBy. One shuffle
+  on a uniformly distributed 128-bit key; partial aggregation makes the
+  map side cheap. Keep-min-id makes the survivor deterministic.
+- **MinHash + LSH**: shingle → 32-bit hash → k permutations → banded
+  signature → self-join on (band, band_hash). The join key is a hash —
+  uniform unless the corpus has huge near-dup clusters; for those, cap
+  band-bucket size (``max_band_bucket``) exactly like production LSH
+  dedup pipelines drop degenerate buckets.
+- **SimHash**: 32-bit majority-vote signature; candidate generation by
+  byte-block pigeonhole (hamming <= 3 over 4 blocks guarantees one
+  equal block), then exact hamming filter. Only equal-block pairs are
+  ever materialized.
+- **n-gram Jaccard**: exact set similarity via the *exploded inverted
+  index* formulation — (doc, shingle) rows self-joined on shingle, pair
+  counts vs per-doc distinct counts. This is the scalable shape (no
+  quadratic array ops); ``max_shingle_df`` drops stop-shingles that
+  would otherwise create O(df²) pair blowups.
+- **embedding cosine**: exact threshold pairs; at scale use
+  ``block_col`` (e.g. an LSH bucket from similarity.lsh_topk's
+  signature) to avoid the full cross product.
+
+All text-hash paths are pure Column expressions with DuckDB-parity
+(see hashing.py) so the driver's oracle can verify them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from terra_bonobo_nodes_spark.llm.hashing import band_hash, hash32, normalize
+from terra_bonobo_nodes_spark.llm.similarity import cosine
+
+
+def fingerprint_col(text):
+    """md5 of normalized text — the exact-dedup key."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(normalize(c))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row per normalized-text fingerprint (min id wins)."""
+    w = Window.partitionBy(fingerprint_col(text_col)).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fingerprint groups: (fingerprint, n_docs, keep_id). keep_id is the
+    min id — the canonical survivor."""
+    return df.groupBy(fingerprint_col(text_col).alias("fingerprint")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(id_col).alias("keep_id"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_n: int = 5,
+    word_grams: bool = False,
+) -> DataFrame:
+    """(id, sig) MinHash signatures via the *inverted* formulation:
+    explode distinct shingles to rows, hash each ONCE, then
+    groupBy(id).agg(k × min((h·a+b) mod p)).
+
+    Why not array_min(transform(...)) per permutation? Catalyst's
+    project collapsing re-inlines the shingle+md5 pipeline into each of
+    the k references — O(k·|shingles|) md5/regex evaluations per row
+    (measured 100× slower). The exploded shape hashes each shingle once
+    and the k mins are map-side partial aggregates — at 100 TB the
+    shuffle carries only (id, k longs) per document."""
+    from terra_bonobo_nodes_spark.llm.hashing import (
+        MINHASH_P,
+        explode_char_shingles,
+        explode_word_shingles,
+        perm_params,
+    )
+
+    explode_fn = explode_word_shingles if word_grams else explode_char_shingles
+    # no distinct: min over a multiset equals min over its set, so
+    # duplicate shingles can't change any signature component
+    posting = explode_fn(df, id_col, text_col, shingle_n).select(
+        id_col, hash32(F.col("shingle")).alias("_h")
+    )
+    params = perm_params(n_hashes)
+    aggs = [
+        F.min((F.col("_h") * a + b) % MINHASH_P).alias(f"_m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return (
+        posting.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col,
+            F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("sig"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+    word_grams: bool = False,
+    min_est_jaccard: float = 0.0,
+    max_band_bucket: int | None = None,
+    persist_signatures: bool = True,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) with the MinHash-estimated
+    jaccard (fraction of equal signature components).
+
+    Plan shape: signatures (narrow) → explode bands (xN) → self-join on
+    (band, hash) → distinct pairs → estimate. The distinct collapses
+    pairs that collide in several bands. ``max_band_bucket`` drops
+    pathological buckets (all-identical spam clusters) before the join.
+    """
+    assert n_hashes % bands == 0, "bands must divide n_hashes"
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n, word_grams)
+    if persist_signatures:
+        # the self-join references sigs on both sides and Catalyst can't
+        # reuse across a BroadcastExchange — without this the whole
+        # shingle+hash pipeline runs twice. Signatures are k longs per
+        # doc (~1000x smaller than the text), so MEMORY_AND_DISK is the
+        # right call even at corpus scale; a production pipeline would
+        # write them to a table here.
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = sigs.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_hash(F.col("sig"), b, rows_per_band).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bh")
+    if max_band_bucket is not None:
+        wb = Window.partitionBy("band", "bh")
+        banded = banded.withColumn("_bc", F.count(F.lit(1)).over(wb)).where(
+            F.col("_bc") <= max_band_bucket
+        )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bh"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bh"
+    )
+    pairs = (
+        left.join(right, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(n_hashes))
+    ).alias("est_jaccard")
+    out = pairs.select("id_a", "id_b", est)
+    if min_est_jaccard > 0:
+        out = out.where(F.col("est_jaccard") >= min_est_jaccard)
+    return out
+
+
+def simhash_col(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, simhash) over word-token hashes of the normalized text.
+
+    Inverted formulation (see minhash_signatures): explode token hashes
+    (duplicates kept — frequency weights the vote), one md5 per token,
+    then per-bit majority via bits × sum(...) partial aggregates."""
+    toks = F.split(normalize(F.col(text_col)), " ")
+    posting = df.select(F.col(id_col), F.explode(toks).alias("_t")).select(
+        id_col, hash32(F.col("_t")).alias("_h")
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_c{b}")
+        for b in range(bits)
+    ]
+    grouped = posting.groupBy(id_col).agg(*aggs)
+    terms = [
+        F.when(
+            F.col(f"_c{b}") * 2 >= F.col("_n"), F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        for b in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return grouped.select(F.col(id_col), out.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole blocking: with n_blocks > max_hamming, every qualifying
+    pair shares at least one exact block — join on (block_idx,
+    block_value), then the exact hamming filter. Defaults to the
+    smallest power-of-two block count that preserves the guarantee;
+    at 64-bit scale prefer 16-bit blocks (4 blocks, hamming <= 3) for
+    less bucket skew.
+    """
+    if n_blocks is None:
+        n_blocks = 4 if max_hamming <= 3 else 8
+    assert n_blocks > max_hamming, "pigeonhole needs n_blocks > max_hamming"
+    assert bits % n_blocks == 0
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    from pyspark import StorageLevel
+
+    # one long per doc; persisted so the self-join doesn't recompute the
+    # token-hash pipeline twice (see minhash_lsh_pairs)
+    sh = simhash_col(df, text_col, id_col, bits).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    blocked = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.blk", "bb.bv")
+    left = blocked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "bv"
+    )
+    right = blocked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "bv"
+    )
+    return (
+        left.join(right, ["blk", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    word_grams: bool = True,
+    min_jaccard: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via inverted index self-join.
+
+    jaccard = |A ∩ B| / (|A| + |B| − |A ∩ B|) over DISTINCT shingles.
+    The common-shingle count comes from a (doc, shingle) self-join —
+    linear in posting-list sizes, never quadratic in docs. The exactness
+    caveat: dropping stop-shingles via ``max_shingle_df`` changes the
+    sets (document it when used) but is mandatory at corpus scale.
+    """
+    from terra_bonobo_nodes_spark.llm.hashing import (
+        explode_char_shingles,
+        explode_word_shingles,
+    )
+
+    from pyspark import StorageLevel
+
+    explode_fn = explode_word_shingles if word_grams else explode_char_shingles
+    # referenced three times below (sizes + both join sides)
+    posting = (
+        explode_fn(df, id_col, text_col, shingle_n)
+        .dropDuplicates([id_col, "shingle"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if max_shingle_df is not None:
+        wdf = Window.partitionBy("shingle")
+        posting = posting.withColumn("_df", F.count(F.lit(1)).over(wdf)).where(
+            F.col("_df") <= max_shingle_df
+        ).drop("_df")
+    sizes = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        posting.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(posting.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-duplicate vector pairs with cosine >= threshold.
+
+    Without ``block_col`` this is the exact O(n²) reference answer (fine
+    for oracle-scale); with it, the join keys on the block first — pass
+    an LSH bucket (similarity.hyperplane_signature) for the 100 TB path.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    if block_col is not None:
+        a = df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("_va"),
+            F.col(block_col).alias("_blk"),
+        )
+        b = df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("_vb"),
+            F.col(block_col).alias("_blk"),
+        )
+        joined = a.join(b, "_blk")
+    else:
+        joined = a.crossJoin(b)
+    return (
+        joined.where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,229 @@
+"""Deterministic cross-engine hashing primitives for dedup operators.
+
+Every primitive here exists in TWO forms that produce bit-identical
+results: a PySpark Column builder and a DuckDB SQL-fragment generator,
+both driven by the same module-level constants. That is what lets the
+driver's oracle re-run MinHash/SimHash/LSH *exactly* in SQL.
+
+The base hash is the first 8 hex chars of md5 → unsigned 32-bit int.
+md5 is available and identical in Spark (JVM) and DuckDB; the engines'
+native ``hash()``/``xxhash64`` functions differ, so we don't use them
+in anything oracle-checked. MinHash permutations are the classic
+``(a*h + b) mod p`` family with ``a < 2^17`` so ``a*h + b < 2^49``
+never overflows a signed 64-bit int on either engine.
+
+At 100 TB these expressions run entirely inside whole-stage codegen —
+no Python, no UDFs; md5-per-shingle is the dominant cost and scales
+linearly with scanned bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Prime > 2^32 for the MinHash permutation modulus.
+MINHASH_P = 4294967311
+# Bound on the multiplier keeps a*h+b within signed 64-bit.
+_A_BOUND = 100003
+_SEED = "tbns-minhash-v1"
+
+
+def perm_params(n_hashes: int) -> list[tuple[int, int]]:
+    """The (a, b) pairs for the n_hashes MinHash permutations.
+
+    Derived from md5 of a fixed seed so Spark-side literals and
+    oracle-SQL literals are always the same values.
+    """
+    out = []
+    for i in range(n_hashes):
+        h = hashlib.md5(f"{_SEED}-{i}".encode()).hexdigest()
+        a = (int(h[:8], 16) % _A_BOUND) | 1  # odd, < 2^17
+        b = int(h[8:16], 16)  # < 2^32
+        out.append((a, b))
+    return out
+
+
+# --- 32-bit md5 hash --------------------------------------------------------
+
+
+def hash32(c: Column) -> Column:
+    """Unsigned 32-bit int from the first 8 md5 hex chars (Column)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def hash32_sql(expr: str) -> str:
+    """DuckDB fragment matching :func:`hash32`."""
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+# --- shingling --------------------------------------------------------------
+
+
+def normalize(c: Column) -> Column:
+    """Lowercase, collapse non-alphanumerics to single spaces, trim."""
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "), " +", " ")
+    )
+
+
+def normalize_sql(expr: str) -> str:
+    return (
+        "trim(regexp_replace(regexp_replace(lower("
+        f"{expr}), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+
+
+def char_shingles(c: Column, n: int) -> Column:
+    """All character n-grams of the normalized text (with duplicates)."""
+    norm = normalize(c)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+        lambda i: F.substring(norm, i, n),
+    )
+
+
+def char_shingles_sql(expr: str, n: int) -> str:
+    norm = normalize_sql(expr)
+    return (
+        f"list_transform(range(1, greatest(length({norm}) - {n - 1}, 1) + 1), "
+        f"i -> substr({norm}, i, {n}))"
+    )
+
+
+def word_shingles(c: Column, n: int) -> Column:
+    """All word n-grams (space-joined) of the normalized text."""
+    toks = F.split(normalize(c), " ")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+
+
+def explode_char_shingles(df, id_col: str, text_col: str, n: int):
+    """(id, shingle) rows — one per character n-gram position.
+
+    Shaped so the normalized text is computed ONCE per document: a
+    Project materializes ``_norm``, a Generate explodes positions, and
+    the shingle substring runs per exploded row against the attribute.
+    The lambda form (transform over sequence) re-evaluates the
+    normalize() regex chain per element once Catalyst collapses
+    projects — O(|doc|) regex per doc instead of O(1)."""
+    normed = df.select(F.col(id_col), normalize(F.col(text_col)).alias("_norm"))
+    pos = normed.select(
+        id_col,
+        "_norm",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("_norm") - (n - 1), F.lit(1)))
+        ).alias("_i"),
+    )
+    return pos.select(
+        id_col, F.col("_norm").substr(F.col("_i"), F.lit(n)).alias("shingle")
+    )
+
+
+def explode_word_shingles(df, id_col: str, text_col: str, n: int):
+    """(id, shingle) rows — one per word n-gram position; tokens are
+    materialized once per document (same rationale as the char form)."""
+    toked = df.select(
+        F.col(id_col), F.split(normalize(F.col(text_col)), " ").alias("_toks")
+    )
+    pos = toked.select(
+        id_col,
+        "_toks",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(1)))
+        ).alias("_i"),
+    )
+    return pos.select(
+        id_col,
+        F.array_join(F.slice(F.col("_toks"), F.col("_i"), n), " ").alias("shingle"),
+    )
+
+
+def word_shingles_sql(expr: str, n: int) -> str:
+    toks = f"str_split({normalize_sql(expr)}, ' ')"
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+
+
+# --- MinHash ----------------------------------------------------------------
+
+
+def minhash_signature(shingle_hashes: Column, n_hashes: int) -> Column:
+    """array<bigint> MinHash signature over a column of 32-bit shingle
+    hashes. One array_min(transform(...)) per permutation — all codegen."""
+    params = perm_params(n_hashes)
+
+    def perm(a: int, b: int):
+        # closure factory: keeps the lambda unary (PySpark reads arity)
+        return lambda h: (h * a + b) % MINHASH_P
+
+    return F.array(
+        *[F.array_min(F.transform(shingle_hashes, perm(a, b))) for a, b in params]
+    )
+
+
+def minhash_signature_sql(hashes_expr: str, n_hashes: int) -> str:
+    params = perm_params(n_hashes)
+    mins = ", ".join(
+        f"list_min(list_transform({hashes_expr}, "
+        f"h -> (h * {a} + {b}) % {MINHASH_P}))"
+        for a, b in params
+    )
+    return f"[{mins}]"
+
+
+def band_hash(sig: Column, band: int, rows_per_band: int) -> Column:
+    """md5 of one signature band (rows_per_band consecutive components)."""
+    piece = F.slice(sig, band * rows_per_band + 1, rows_per_band)
+    return F.md5(F.array_join(F.transform(piece, lambda x: x.cast("string")), ","))
+
+
+def band_hash_sql(sig_expr: str, band: int, rows_per_band: int) -> str:
+    lo = band * rows_per_band + 1
+    hi = lo + rows_per_band - 1
+    return (
+        f"md5(array_to_string(list_transform(list_slice({sig_expr}, {lo}, {hi}), "
+        "x -> CAST(x AS VARCHAR)), ','))"
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash(token_hashes: Column, bits: int = 32) -> Column:
+    """SimHash over a column of 32-bit token hashes: bit b of the result
+    is set when at least half the tokens have bit b set (majority vote;
+    ties set the bit — deterministic on both engines)."""
+    n = F.size(token_hashes)
+
+    def bit_set(b: int):
+        # closure factory: keeps the lambda unary (PySpark reads arity)
+        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
+    terms = [
+        F.when(
+            F.size(F.filter(token_hashes, bit_set(b))) * 2 >= n,
+            F.lit(1 << b).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for b in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash_sql(hashes_expr: str, bits: int = 32) -> str:
+    terms = [
+        f"(CASE WHEN len(list_filter({hashes_expr}, "
+        f"h -> (h >> {b}) & 1 = 1)) * 2 >= len({hashes_expr}) "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"

@@ -1,0 +1,206 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Convention: an asset is an opaque ``payload: binary`` column plus a
+typed ``meta: struct<modality, mime, width, height, duration_ms,
+sample_rate>`` — the shape ``spark.read.format("binaryFile")`` plus a
+metadata join produces in a real ingest. Decoding/resizing/feature
+extraction run as Arrow-batched ``mapInPandas`` stages: one Python
+process per partition, whole batches per call, payloads never touch the
+driver. At 100 TB the knobs that matter are partition sizing
+(``spark.sql.files.maxPartitionBytes`` against payload sizes, not row
+counts) and ``spark.sql.execution.arrow.maxRecordsPerBatch`` to bound
+decode memory per batch.
+
+The image/audio codec libraries are NOT in this container, so the
+actual pixel/sample decode is stubbed: ``decode_features`` computes
+deterministic pseudo-features from the payload bytes (md5-derived), and
+``decode_image`` raises ``NotImplementedError`` unless given a fake
+decoder. The Spark-side plumbing — schemas, batching, UDF signatures,
+partitioning — is real and tested; swapping in Pillow/librosa is a
+one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ASSET_META = T.StructType(
+    [
+        T.StructField("modality", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+FEATURE_DIM = 8
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("payload_md5", T.StringType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def documents_as_assets(docs: DataFrame) -> DataFrame:
+    """Adapter: treat the documents table as a binary-asset table (the
+    container has no real media files). payload = utf-8 bytes of text;
+    meta marks it 'text/plain'. Every downstream op sees only
+    (asset_id, payload, meta) — exactly what a binaryFile read yields."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text").alias("modality"),
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def fake_feature_vector(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a real encoder: dim floats in [0, 1)
+    derived from md5(payload || i). Stable across processes/engines."""
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(payload + str(i).encode()).hexdigest()
+        out.append(int(h[:8], 16) / 4294967296.0)
+    return out
+
+
+def decode_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    Real plumbing, stub math: per batch of rows, compute byte length,
+    md5 hex, and the fake feature vector. This is the exact shape a
+    CLIP/Wav2Vec encoder stage has (swap fake_feature_vector for the
+    model call; batch size bounded by Arrow maxRecordsPerBatch)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "payload_md5": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "features": payloads.map(
+                        lambda b: fake_feature_vector(bytes(b), dim)
+                    ),
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(run, _FEATURES_SCHEMA)
+
+
+def decode_image(
+    assets: DataFrame,
+    decoder: Callable[[bytes], tuple[int, int, bytes]] | None = None,
+    target: tuple[int, int] = (224, 224),
+) -> DataFrame:
+    """Decode + resize stage. ``decoder(payload) -> (width, height,
+    raw_rgb)`` must be supplied (Pillow etc. not installed here); tests
+    inject a deterministic fake. Raises NotImplementedError per-row if
+    no decoder is given — clearly-marked stub per the build contract."""
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("resized_w", T.IntegerType()),
+            T.StructField("resized_h", T.IntegerType()),
+            T.StructField("raw", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder is None:
+                raise NotImplementedError(
+                    "image decode requires a codec library (Pillow/cv2) "
+                    "not present in this environment; inject `decoder`"
+                )
+            rows = [decoder(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": [w for w, _, _ in rows],
+                    "height": [h for _, h, _ in rows],
+                    "resized_w": target[0],
+                    "resized_h": target[1],
+                    "raw": [r for _, _, r in rows],
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(run, schema)
+
+
+def sample_frames(
+    assets: DataFrame,
+    every_ms: int = 1000,
+    frame_extractor: Callable[[bytes, int], bytes] | None = None,
+) -> DataFrame:
+    """Video frame sampling: explode each asset into rows at every_ms
+    intervals of meta.duration_ms (frame payload from the injected
+    extractor, or a deterministic md5 token when stubbed). The explode
+    happens JVM-side (sequence + explode) so partition fan-out is
+    Catalyst-visible; only frame decode is Python."""
+    frames = assets.select(
+        "asset_id",
+        "payload",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)
+                ),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ms"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("frame_ms", T.LongType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if frame_extractor is not None:
+                frame = [
+                    frame_extractor(bytes(b), int(ms))
+                    for b, ms in zip(pdf["payload"], pdf["frame_ms"])
+                ]
+            else:
+                frame = [
+                    hashlib.md5(bytes(b) + int(ms).to_bytes(8, "big")).digest()
+                    for b, ms in zip(pdf["payload"], pdf["frame_ms"])
+                ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "frame_ms": pdf["frame_ms"],
+                    "frame": frame,
+                }
+            )
+
+    return frames.mapInPandas(run, schema)

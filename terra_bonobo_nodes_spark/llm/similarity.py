@@ -1,0 +1,198 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline; the LSH variant
+(random-hyperplane signatures → bucket join) is the 100 TB path: it
+replaces the O(|Q|·|C|) cross product with a bucket-equality join whose
+cost is O(rows · n_tables) plus small intra-bucket rankings.
+
+Cross-engine determinism: dot products and norms accumulate through
+``decimal(38,18)`` — exact, reduction-order-insensitive — then divide
+as doubles. Spark and the DuckDB oracle therefore produce bit-identical
+cosines (float→double widening is exact; double ops are IEEE-identical
+in identical shapes), so rankings agree without rounding fudges.
+
+Reference has no similarity search; this is a capability extension
+(BASELINE.json north star) sized for the ``embeddings`` table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Scale 18 on both engines keeps partial sums bit-identical; precision 25
+# leaves 7 integer digits — overflow-safe for |component| <= ~300 at
+# dim 64. Spark's decimal '+' widens (25,18)->(26,18) keeping scale, and
+# the merge re-cast to (25,18) is lossless below overflow.
+_DEC = "decimal(25,18)"
+_HYPERPLANE_SEED = "tbns-hyperplane-v1"
+
+
+def dot_exact(a: Column, b: Column) -> Column:
+    """Order-insensitive exact dot product of two float arrays (double)."""
+    prods = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC)
+    )
+    return F.aggregate(
+        prods, F.lit(0).cast(_DEC), lambda acc, x: (acc + x).cast(_DEC)
+    ).cast("double")
+
+
+def dot_exact_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) "
+        "AS DECIMAL(25,18)))) AS DOUBLE)"
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays, deterministic cross-engine."""
+    return dot_exact(a, b) / (
+        F.sqrt(dot_exact(a, a)) * F.sqrt(dot_exact(b, b))
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (
+        f"{dot_exact_sql(a, b)} / "
+        f"(sqrt({dot_exact_sql(a, a)}) * sqrt({dot_exact_sql(b, b)}))"
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, rank per query with a window.
+
+    Scale shape: the corpus is NEVER shuffled — the broadcast cross
+    join streams corpus partitions once; the only shuffle is the
+    per-query top-k (tiny: |Q|·k rows after partial ranking under AQE).
+    Ties break on neighbor id ascending for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine(F.col("_qvec"), F.col("_cvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def hyperplanes(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1), md5-derived —
+    identical constants on driver, executors, and in oracle SQL.
+    ``table`` picks an independent family for multi-table LSH (table 0
+    keeps the original seeds, which the oracle SQL embeds)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        suffix = "" if table == 0 else f"-t{table}"
+        for d in range(dim):
+            h = hashlib.md5(
+                f"{_HYPERPLANE_SEED}{suffix}-{p}-{d}".encode()
+            ).hexdigest()
+            row.append((int(h[:8], 16) % 2000001 - 1000000) / 1000000.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature: bit p = 1 iff vec · plane_p >= 0. Packed into
+    a bigint (n_planes <= 63)."""
+    bits = []
+    for p, plane in enumerate(planes):
+        lits = F.array(*[F.lit(w) for w in plane])
+        d = dot_exact(vec, lits)
+        bits.append(
+            F.when(d >= 0, F.lit(1 << p).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 12,
+    n_tables: int = 1,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: join on equal hyperplane signature bucket, rank
+    within bucket. Recall tuning is the standard AND/OR construction:
+    n_planes ANDs bits within a table (bigger → smaller buckets, lower
+    recall, less compute); n_tables ORs independent tables (candidate =
+    collides in ANY table). 100 TB shape: (table, bucket) is a shuffle
+    key with ~n_tables·2^n_planes values — both sides hash-partition on
+    it; no cross product ever materializes; candidates are deduped
+    before scoring so each pair is scored once.
+    """
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    tables = [hyperplanes(n_planes, dim, t) for t in range(n_tables)]
+
+    def with_buckets(df: DataFrame, idc: str, vec_alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(idc),
+            F.col(vec_col).alias(vec_alias),
+            F.posexplode(
+                F.array(
+                    *[
+                        hyperplane_signature(F.col(vec_col), planes)
+                        for planes in tables
+                    ]
+                )
+            ).alias("_tbl", "_bucket"),
+        )
+
+    c = with_buckets(corpus, "neighbor_id", "_cvec")
+    q = with_buckets(queries, query_id_col, "_qvec")
+    candidates = (
+        c.join(F.broadcast(q), ["_tbl", "_bucket"])
+        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id", "_qvec", "_cvec")
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    scored = candidates.select(
+        query_id_col,
+        "neighbor_id",
+        cosine(F.col("_qvec"), F.col("_cvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,138 @@
+"""Text analysis operators: tokenization, quality, language id, fingerprints.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — at 100 TB
+these run at scan speed with zero Python. Regex patterns stick to
+POSIX-ish classes (``[a-z0-9]``) that behave identically in Java regex
+(Spark) and RE2 (DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORD_RE = "[a-z0-9]+"
+PUNCT_RE = r"[.,;:!?'\"()\[\]{}-]"
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "fr": ("le", "la", "les", "de", "des", "et", "un", "une", "est", "que"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "es", "que", "en"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased word tokens (whitespace+punct split, empties removed)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.split(F.lower(c), "[^a-z0-9]+"), lambda t: F.length(t) > 0
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    """Whitespace/punct token count (the BPE-ish regex tokenizer's
+    sequence length upper bound)."""
+    return df.withColumn(out, F.size(tokens(text_col)).cast("long"))
+
+
+def char_ngrams(text: Column | str, n: int = 5) -> Column:
+    """All character n-grams (shingles) of the normalized text."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.lower(c), r"\s+", " ")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+        lambda i: F.substring(norm, i, n),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", prefix: str = "q_"
+) -> DataFrame:
+    """Heuristic quality features + composite score: length, mean word
+    length, alpha ratio, punctuation density, stopword ratio. The score
+    is a transparent linear blend — a placeholder for a learned filter,
+    but the *features* are the standard pretraining-corpus ones."""
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(c).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    n_alpha = F.length(F.regexp_replace(F.lower(c), "[^a-z]", "")).cast("double")
+    n_punct = n_chars - F.length(F.regexp_replace(c, PUNCT_RE, "")).cast("double")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_PROFILES["en"]))
+    ).cast("double")
+    mean_word = F.when(n_tokens > 0, n_alpha / n_tokens).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.25
+        + alpha_ratio * 0.25
+        + stop_ratio * 0.25
+        + (F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.25
+    )
+    return df.withColumns(
+        {
+            f"{prefix}n_chars": n_chars,
+            f"{prefix}n_tokens": n_tokens,
+            f"{prefix}alpha_ratio": alpha_ratio,
+            f"{prefix}punct_ratio": punct_ratio,
+            f"{prefix}stop_ratio": stop_ratio,
+            f"{prefix}mean_word_len": mean_word,
+            f"{prefix}score": score,
+        }
+    )
+
+
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "lang_pred",
+    profiles: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Stopword-profile language id: count profile hits per language
+    (duplicates count — frequency matters), argmax with deterministic
+    tie-break on language code. 'und' when nothing matches."""
+    profiles = profiles or LANG_PROFILES
+    toks = tokens(text_col)
+
+    def hits_in(words: tuple[str, ...]):
+        # closure factory: PySpark derives lambda-variable count from the
+        # Python signature, so captures must not be default args
+        return lambda t: t.isin(*words)
+
+    hit_structs = [
+        F.struct(
+            F.size(F.filter(toks, hits_in(words))).alias("hits"),
+            # negate the code lexicographically for max: use code asc as
+            # tiebreak by sorting desc on (hits, reversed_code)? Simpler:
+            # array_max over (hits, code) prefers larger code on ties, so
+            # invert: store a sort key that prefers smaller code.
+            F.lit(code).alias("code"),
+        )
+        for code, words in sorted(profiles.items())
+    ]
+    arr = F.array(*hit_structs)
+    best = F.aggregate(
+        arr,
+        F.struct(F.lit(-1).alias("hits"), F.lit("zzz").alias("code")),
+        lambda acc, x: F.when(
+            (x["hits"] > acc["hits"])
+            | ((x["hits"] == acc["hits"]) & (x["code"] < acc["code"])),
+            x,
+        ).otherwise(acc),
+    )
+    pred = F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+    return df.withColumn(out, pred)
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", out: str = "fingerprint"
+) -> DataFrame:
+    """Document fingerprint: md5 of the punctuation/whitespace/case
+    normalized text — stable under reflow, the exact-dedup key."""
+    c = F.col(text_col)
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "), r"\s+", " "))
+    return df.withColumn(out, F.md5(F.encode(norm, "UTF-8")))

@@ -1,1 +1,413 @@
-"""Placeholder — populated in a later phase."""
+"""Correctness queries: LLM training-data pipeline operators.
+
+Dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding
+cosine), similarity search (brute-force + LSH ANN), text analysis, and
+multimodal plumbing — over the driver's ``documents`` and
+``embeddings`` tables.
+
+Every oracle here is *generated from the same constants* as the Spark
+plan (hashing.perm_params, similarity.hyperplanes), so MinHash
+signatures, LSH buckets and cosines are bit-identical across engines —
+these are strong full-value checks, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from terra_bonobo_nodes_spark.llm import dedup, hashing, multimodal, similarity, text
+from terra_bonobo_nodes_spark.plans.registry import register
+from terra_bonobo_nodes_spark.tables import load_table
+
+# --- shared SQL fragments ---------------------------------------------------
+
+# tokens() mirror: split on non-alphanumerics, drop empties.
+TOKS_SQL = (
+    "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), "
+    "x -> length(x) > 0)"
+)
+EMB_DIM = 64
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+@register(
+    "llm_token_count",
+    oracle=f"""
+SELECT doc_id, lang, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return text.token_count(docs, "text").select("doc_id", "lang", "n_tokens")
+
+
+_PUNCT_SQL = "'[.,;:!?''\"()\\[\\]{}-]'"
+_STOP_EN = ", ".join(f"'{w}'" for w in text.LANG_PROFILES["en"])
+
+
+@register(
+    "llm_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {TOKS_SQL} AS toks,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha
+  FROM documents
+), m AS (
+  SELECT doc_id, n_chars, n_alpha,
+         CAST(len(toks) AS DOUBLE) AS n_tokens,
+         n_chars - CAST(length(regexp_replace(text, {_PUNCT_SQL}, '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(len(list_filter(toks, t -> t IN ({_STOP_EN}))) AS DOUBLE) AS stop_hits
+  FROM t
+), r AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END AS q_alpha_ratio,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS q_punct_ratio,
+         CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END AS q_stop_ratio,
+         CASE WHEN n_tokens > 0 THEN n_alpha / n_tokens ELSE 0.0 END AS q_mean_word_len
+  FROM m
+)
+SELECT doc_id, n_chars AS q_n_chars, n_tokens AS q_n_tokens,
+       q_alpha_ratio, q_punct_ratio, q_stop_ratio, q_mean_word_len,
+       least(n_tokens / 100.0, 1.0) * 0.25 + q_alpha_ratio * 0.25
+         + q_stop_ratio * 0.25
+         + (1.0 - least(q_punct_ratio * 5.0, 1.0)) * 0.25 AS q_score
+FROM r
+""",
+    tags=("llm", "text"),
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.quality_score(docs, "text").select(
+        "doc_id",
+        "q_n_chars",
+        "q_n_tokens",
+        "q_alpha_ratio",
+        "q_punct_ratio",
+        "q_stop_ratio",
+        "q_mean_word_len",
+        "q_score",
+    )
+
+
+def _lang_id_oracle() -> str:
+    hits = {
+        code: f"len(list_filter(toks, t -> t IN "
+        f"({', '.join(repr(w) for w in words)})))"
+        for code, words in sorted(text.LANG_PROFILES.items())
+    }
+    hit_cols = ", ".join(f"{e} AS h_{c}" for c, e in hits.items())
+    best = "greatest(" + ", ".join(f"h_{c}" for c in hits) + ")"
+    # tie-break = first match in ascending code order, like the Spark fold
+    cases = " ".join(f"WHEN h_{c} = {best} THEN '{c}'" for c in sorted(hits))
+    return f"""
+WITH t AS (SELECT doc_id, lang, {TOKS_SQL} AS toks FROM documents),
+h AS (SELECT doc_id, lang, {hit_cols} FROM t)
+SELECT doc_id, lang,
+       CASE WHEN {best} <= 0 THEN 'und' {cases} END AS lang_pred
+FROM h
+"""
+
+
+@register("llm_lang_id", oracle=_lang_id_oracle(), tags=("llm", "text"))
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return text.lang_id(docs, "text").select("doc_id", "lang", "lang_pred")
+
+
+@register(
+    "llm_exact_dedup_groups",
+    oracle=f"""
+SELECT md5({hashing.normalize_sql('text')}) AS fingerprint,
+       count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+""",
+    tags=("llm", "dedup"),
+)
+def llm_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.exact_dup_groups(docs, "text", "doc_id")
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+_MH_K, _MH_BANDS, _MH_SHINGLE = 16, 4, 5
+_MH_ROWS = _MH_K // _MH_BANDS
+
+
+def _minhash_oracle() -> str:
+    shingles = hashing.char_shingles_sql("text", _MH_SHINGLE)
+    params = hashing.perm_params(_MH_K)
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {hashing.MINHASH_P})" for a, b in params
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, sig, {b} AS band, "
+        f"{hashing.band_hash_sql('sig', b, _MH_ROWS)} AS bh FROM sigs"
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+WITH posting AS (
+  SELECT doc_id, unnest({shingles}) AS sh FROM documents
+),
+hashed AS (SELECT doc_id, {hashing.hash32_sql('sh')} AS h FROM posting),
+sigs AS (SELECT doc_id, [{mins}] AS sig FROM hashed GROUP BY doc_id),
+banded AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(len(list_filter(list_zip(sig_a, sig_b), x -> x[1] = x[2])) AS DOUBLE)
+         / {float(_MH_K)} AS est_jaccard
+FROM pairs
+WHERE CAST(len(list_filter(list_zip(sig_a, sig_b), x -> x[1] = x[2])) AS DOUBLE)
+         / {float(_MH_K)} >= 0.5
+"""
+
+
+@register(
+    "llm_minhash_lsh_pairs",
+    oracle=_minhash_oracle(),
+    headline=True,
+    tags=("llm", "dedup"),
+)
+def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.minhash_lsh_pairs(
+        docs,
+        "text",
+        "doc_id",
+        n_hashes=_MH_K,
+        bands=_MH_BANDS,
+        shingle_n=_MH_SHINGLE,
+        min_est_jaccard=0.5,
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+_SH_BITS, _SH_MAXHAM = 32, 7
+_SH_BLOCKS = 8
+_SH_BLOCK_BITS = _SH_BITS // _SH_BLOCKS
+
+
+def _simhash_oracle() -> str:
+    toks = f"str_split({hashing.normalize_sql('text')}, ' ')"
+    sums = ", ".join(f"sum((h >> {b}) & 1) AS c{b}" for b in range(_SH_BITS))
+    sh = " + ".join(
+        f"(CASE WHEN c{b} * 2 >= n THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(_SH_BITS)
+    )
+    mask = (1 << _SH_BLOCK_BITS) - 1
+    blocks = "\nUNION ALL\n".join(
+        f"SELECT doc_id, sh, {i} AS blk, (sh >> {i * _SH_BLOCK_BITS}) & {mask} AS bv "
+        "FROM sims"
+        for i in range(_SH_BLOCKS)
+    )
+    return f"""
+WITH posting AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
+hashed AS (SELECT doc_id, {hashing.hash32_sql('tok')} AS h FROM posting),
+agg AS (SELECT doc_id, count(*) AS n, {sums} FROM hashed GROUP BY doc_id),
+sims AS (SELECT doc_id, ({sh}) AS sh FROM agg),
+blocked AS ({blocks}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM blocked a JOIN blocked b
+    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {_SH_MAXHAM}
+"""
+
+
+@register("llm_simhash_pairs", oracle=_simhash_oracle(), tags=("llm", "dedup"))
+def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dedup.simhash_pairs(
+        docs, "text", "doc_id", bits=_SH_BITS, max_hamming=_SH_MAXHAM
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# --- n-gram Jaccard ---------------------------------------------------------
+
+_NJ_N, _NJ_MIN = 2, 0.05
+
+
+def _ngram_jaccard_oracle() -> str:
+    shingles = hashing.word_shingles_sql("text", _NJ_N)
+    return f"""
+WITH posting AS (
+  SELECT doc_id, unnest(list_distinct({shingles})) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM posting GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM posting a JOIN posting b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= {_NJ_MIN}
+"""
+
+
+@register(
+    "llm_ngram_jaccard_pairs", oracle=_ngram_jaccard_oracle(), tags=("llm", "dedup")
+)
+def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_n=_NJ_N, word_grams=True, min_jaccard=_NJ_MIN
+    )
+
+
+# --- embedding near-dup + similarity search ---------------------------------
+
+_COS_THRESHOLD = 0.35
+_CAST_EMB = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+@register(
+    "llm_embedding_cosine_pairs",
+    oracle=f"""
+WITH e AS (SELECT vec_id, {_CAST_EMB} AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {similarity.cosine_sql('a.v', 'b.v')} AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {similarity.cosine_sql('a.v', 'b.v')} >= {_COS_THRESHOLD}
+""",
+    tags=("llm", "dedup", "embedding"),
+)
+def llm_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return dedup.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=_COS_THRESHOLD
+    )
+
+
+_TOPK_K, _TOPK_NQ = 5, 10
+
+
+@register(
+    "llm_cosine_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, {_CAST_EMB} AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_TOPK_NQ}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {similarity.cosine_sql('q.qv', 'c.v')} AS cos_sim
+  FROM e c CROSS JOIN q WHERE c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_TOPK_K}
+""",
+    headline=True,
+    tags=("llm", "similarity"),
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = similarity.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < _TOPK_NQ), k=_TOPK_K
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+_ANN_PLANES = 6
+
+
+def _ann_oracle() -> str:
+    planes = similarity.hyperplanes(_ANN_PLANES, EMB_DIM)
+    sig_terms = []
+    for p, plane in enumerate(planes):
+        lits = "[" + ", ".join(f"CAST({w!r} AS DOUBLE)" for w in plane) + "]"
+        d = similarity.dot_exact_sql("v", lits)
+        sig_terms.append(
+            f"(CASE WHEN {d} >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        )
+    sig = "(" + " + ".join(sig_terms) + ")"
+    return f"""
+WITH e AS (SELECT vec_id, {_CAST_EMB} AS v FROM embeddings),
+sigs AS (SELECT vec_id, v, {sig} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sigs WHERE vec_id < {_TOPK_NQ}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {similarity.cosine_sql('q.qv', 'c.v')} AS cos_sim
+  FROM sigs c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_TOPK_K}
+"""
+
+
+@register("llm_lsh_ann_topk", oracle=_ann_oracle(), tags=("llm", "similarity"))
+def llm_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = similarity.lsh_topk(
+        emb,
+        emb.where(F.col("vec_id") < _TOPK_NQ),
+        k=_TOPK_K,
+        n_planes=_ANN_PLANES,
+        dim=EMB_DIM,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+
+@register(
+    "llm_multimodal_decode",
+    oracle=f"""
+SELECT doc_id AS asset_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       ('0x' || substr(md5(text || '0'), 1, 8))::BIGINT / 4294967296.0 AS f0,
+       ('0x' || substr(md5(text || '1'), 1, 8))::BIGINT / 4294967296.0 AS f1,
+       ('0x' || substr(md5(text || '2'), 1, 8))::BIGINT / 4294967296.0 AS f2,
+       ('0x' || substr(md5(text || '3'), 1, 8))::BIGINT / 4294967296.0 AS f3
+FROM documents
+""",
+    tags=("llm", "multimodal"),
+)
+def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode stage (real Arrow plumbing, stub decoder)
+    verified against a SQL recomputation of its md5-derived features."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assets = multimodal.documents_as_assets(docs)
+    feats = multimodal.decode_features(assets, dim=4)
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        "payload_md5",
+        F.element_at("features", 1).alias("f0"),
+        F.element_at("features", 2).alias("f1"),
+        F.element_at("features", 3).alias("f2"),
+        F.element_at("features", 4).alias("f3"),
+    )

@@ -33,4 +33,29 @@ def get_spark(app_name: str = "terra_bonobo_nodes_spark") -> SparkSession:
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Spark's Python workers.
+
+    Pandas-UDF closures (the geometry kernel, multimodal decode)
+    reference the package by name; workers spawned by the executor JVM
+    don't inherit the driver's sys.path, so ship the package as a zip
+    via addPyFile — exactly how the library deploys on a real cluster
+    (--py-files). Idempotent per session."""
+    if getattr(spark, "_tbns_pyfiles_added", False):
+        return
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg_root = Path(__file__).resolve().parent.parent
+    pkg = pkg_root / "terra_bonobo_nodes_spark"
+    zpath = Path(tempfile.gettempdir()) / "terra_bonobo_nodes_spark_pyfiles.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for py in sorted(pkg.rglob("*.py")):
+            zf.write(py, py.relative_to(pkg_root))
+    spark.sparkContext.addPyFile(str(zpath))
+    spark._tbns_pyfiles_added = True

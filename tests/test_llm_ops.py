@@ -1,0 +1,219 @@
+"""Unit tests for the LLM training-data operators: semantics the SQL
+oracles can't express — dedup behavior on known near-duplicates, ANN
+recall against the exact answer, multimodal mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from terra_bonobo_nodes_spark.llm import dedup, multimodal, similarity, text
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm windowsill in the afternoon sun near the garden"
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE + " extra words appended here"),  # near dup of 0
+        (3, "The  quick brown fox... jumps over the lazy DOG while the cat "
+            "sleeps on the warm windowsill in the afternoon sun near the garden"),
+        # ^ normalizes to exactly doc 0
+        (4, "completely different content about spark query engines and "
+            "distributed shuffle partitioning strategies at scale"),
+        (5, "another unrelated text mentioning elasticsearch indexes and "
+            "geospatial feature layers with polygon geometries"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(near_dup_docs):
+    kept = dedup.exact_dedup(near_dup_docs, "text", "doc_id")
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # 0, 1, 3 normalize identically -> keep 0; others survive
+    assert ids == {0, 2, 4, 5}
+
+
+def test_exact_dup_groups(near_dup_docs):
+    groups = dedup.exact_dup_groups(near_dup_docs, "text", "doc_id")
+    big = {r.keep_id: r.n_docs for r in groups.collect() if r.n_docs > 1}
+    assert big == {0: 3}
+
+
+def test_minhash_lsh_finds_near_dups(near_dup_docs):
+    pairs = dedup.minhash_lsh_pairs(
+        near_dup_docs, "text", "doc_id", n_hashes=32, bands=8, shingle_n=5
+    )
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
+    assert got.get((0, 1)) == 1.0
+    assert got.get((0, 3)) == 1.0
+    assert (0, 2) in got and got[(0, 2)] > 0.5  # near dup
+    assert (4, 5) not in got  # unrelated pair never collides in a band
+
+
+def test_minhash_estimate_tracks_true_jaccard(near_dup_docs):
+    pairs = dedup.minhash_lsh_pairs(
+        near_dup_docs, "text", "doc_id", n_hashes=64, bands=16, shingle_n=5
+    )
+    exact = dedup.ngram_jaccard_pairs(
+        near_dup_docs, "text", "doc_id", shingle_n=5, word_grams=False,
+        min_jaccard=0.0,
+    )
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
+    true = {(r.id_a, r.id_b): r.jaccard for r in exact.collect()}
+    for pair, e in est.items():
+        assert abs(e - true[pair]) < 0.25, f"{pair}: est {e} vs true {true[pair]}"
+
+
+def test_simhash_near_dups_low_hamming(spark, near_dup_docs):
+    pairs = dedup.simhash_pairs(
+        near_dup_docs, "text", "doc_id", bits=32, max_hamming=7
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got.get((0, 1)) == 0
+    assert got.get((0, 3)) == 0
+    assert (0, 2) in got  # near dup within 7 bits
+    assert (4, 5) not in got
+
+
+def test_simhash_block_count_guard(near_dup_docs):
+    with pytest.raises(AssertionError):
+        dedup.simhash_pairs(
+            near_dup_docs, "text", "doc_id", bits=32, max_hamming=5, n_blocks=4
+        )
+
+
+def test_ngram_jaccard_exact_values(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c e"), (2, "x y z w")], ["doc_id", "text"]
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_n=2, word_grams=True, min_jaccard=0.0
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    # doc0 2-grams {ab, bc, cd}, doc1 {ab, bc, ce}: 2 common / 4 union
+    assert got[(0, 1)] == pytest.approx(0.5)
+    assert (0, 2) not in got
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = emb.where(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    approx = similarity.lsh_topk(emb, q, k=5, n_planes=4, n_tables=8, dim=64)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    # 8 OR-tables of 4 planes: per-table hit prob ~0.15 for 60-degree
+    # neighbors -> union recall well above one-half
+    assert recall > 0.5, f"recall {recall}"
+    # every approx hit must score identically to the exact computation
+    ex_scores = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact.collect()}
+    for r in approx.collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in ex_scores:
+            assert r.cos_sim == ex_scores[key]
+
+
+def test_embedding_cosine_pairs_symmetric_threshold(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9999, 0.01, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    pairs = dedup.embedding_cosine_pairs(emb, threshold=0.99)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(0, 1)}
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    scored = text.quality_score(docs, "text")
+    rows = scored.select("q_score", "q_alpha_ratio", "q_punct_ratio").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.q_score <= 1.0
+        assert 0.0 <= r.q_alpha_ratio <= 1.0
+
+
+def test_lang_id_on_clear_text(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat and the dog are in the house for a nap"),
+            (1, "le chat et la maison des gens est une belle chose que"),
+            (2, "der hund und die katze ist ein tier zu hause von hier"),
+            (3, "xxxxx qqqqq zzzzz"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.lang_pred for r in text.lang_id(docs, "text").collect()}
+    assert got == {0: "en", 1: "fr", 2: "de", 3: "und"}
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+
+def test_multimodal_decode_features_match_python(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(20)
+    assets = multimodal.documents_as_assets(docs)
+    feats = multimodal.decode_features(assets).collect()
+    raw = {r.doc_id: r.text for r in docs.collect()}
+    assert len(feats) == len(raw)
+    for r in feats:
+        payload = raw[r.asset_id].encode("utf-8")
+        assert r.n_bytes == len(payload)
+        assert r.payload_md5 == hashlib.md5(payload).hexdigest()
+        assert r.features == multimodal.fake_feature_vector(payload)
+
+
+def test_multimodal_decode_image_stub_raises(spark, near_dup_docs):
+    assets = multimodal.documents_as_assets(near_dup_docs)
+    with pytest.raises(Exception) as exc:
+        multimodal.decode_image(assets).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+def test_multimodal_decode_image_with_injected_decoder(spark, near_dup_docs):
+    def fake_decoder(payload: bytes):
+        return (640, 480, payload[:16])
+
+    assets = multimodal.documents_as_assets(near_dup_docs)
+    rows = multimodal.decode_image(assets, decoder=fake_decoder).collect()
+    assert len(rows) == near_dup_docs.count()
+    for r in rows:
+        assert (r.width, r.height) == (640, 480)
+        assert (r.resized_w, r.resized_h) == (224, 224)
+
+
+def test_multimodal_frame_sampling(spark):
+    docs = spark.createDataFrame([(1, "video-bytes")], ["doc_id", "text"])
+    assets = multimodal.documents_as_assets(docs).withColumn(
+        "meta",
+        F.struct(
+            F.lit("video").alias("modality"),
+            F.lit("video/mp4").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(3500).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ),
+    )
+    frames = multimodal.sample_frames(assets, every_ms=1000).collect()
+    assert [r.frame_ms for r in frames] == [0, 1000, 2000, 3000]
+    assert all(len(r.frame) == 16 for r in frames)  # md5 stub frames
