@@ -1,1 +1,129 @@
-"""Placeholder — populated in a later phase."""
+"""Correctness queries: event-time windowing (streaming capability layer).
+
+Each registered query runs the SAME operator function the streaming
+tests drive through readStream — here in batch mode over the events
+table, so the driver's DuckDB oracle can verify the windowing semantics
+value-for-value (sliding-window expansion and session gap-merge
+included, via UNION-ALL shifts and gaps-and-islands SQL respectively).
+
+Conventions: window bounds exported as epoch seconds (BIGINT), float
+sums decimal-accumulated (see queries_relational.dsum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terra_bonobo_nodes_spark.plans.registry import register
+from terra_bonobo_nodes_spark.streaming.ops import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from terra_bonobo_nodes_spark.tables import load_table
+
+DSUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value"
+
+
+@register(
+    "stream_tumbling_window_agg",
+    oracle=f"""
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       {DSUM_VALUE}
+FROM events
+GROUP BY 1, 2
+""",
+    headline=True,
+    tags=("streaming", "window"),
+)
+def stream_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_window_agg(ev, duration="1 hour")
+
+
+@register(
+    "stream_sliding_window_agg",
+    oracle=f"""
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws,
+         value
+  FROM events
+)
+SELECT CAST(epoch(ws) AS BIGINT) AS window_start,
+       count(*) AS n_events,
+       {DSUM_VALUE}
+FROM expanded
+GROUP BY 1
+""",
+    tags=("streaming", "window"),
+)
+def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding every 30m: every event expands into exactly
+    two windows (duration/slide), mirrored in SQL by the shifted-bucket
+    UNION ALL."""
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_window_agg(ev, duration="1 hour", slide="30 minutes")
+
+
+@register(
+    "stream_session_window_agg",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '1 hour'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+),
+numbered AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, value
+    ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(max(ts) + INTERVAL '1 hour')) AS BIGINT) AS session_end,
+       count(*) AS n_events,
+       {DSUM_VALUE}
+FROM numbered
+GROUP BY user_id, session_id
+""",
+    headline=True,
+    tags=("streaming", "window"),
+)
+def stream_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with 1h gap: the oracle rebuilds Spark's
+    gap-merge with gaps-and-islands SQL (new session when the gap is
+    >= 1h, matching the half-open [start, last+gap) window)."""
+    ev = load_table(spark, sf_dir, "events")
+    return session_window_agg(ev, gap="1 hour")
+
+
+@register(
+    "stream_props_json_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       count(*) AS n_events
+FROM events
+GROUP BY 1
+""",
+    tags=("streaming", "json"),
+)
+def stream_props_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic JSON props bag (the reference's JSONB properties column,
+    SURVEY.md §1.2) aggregated via get_json_object — schemaless k
+    extraction stays JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

