@@ -1,0 +1,158 @@
+"""Correctness queries: the scalar-function surface (functions/scalars.py).
+
+Three wide projections — string, datetime, math+array — each evaluating
+a dozen-plus functions per row over lineitem, verified value-for-value
+against DuckDB. These pin the cross-engine semantics of the engine's
+public expression vocabulary (null handling, 1-based indexing, rounding
+mode, ISO weekday) rather than any single operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terra_bonobo_nodes_spark.plans.registry import register
+from terra_bonobo_nodes_spark.tables import load_table
+
+
+@register(
+    "fn_string_surface",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       upper(l_returnflag) AS u, lower(l_linestatus) AS lo,
+       length(concat_ws('-', l_returnflag, l_linestatus)) AS clen,
+       lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS padded,
+       repeat(l_returnflag, 3) AS rep,
+       reverse(concat_ws('', l_returnflag, l_linestatus)) AS rev,
+       strpos('NAROF', l_returnflag) AS pos,
+       translate(l_returnflag, 'ANR', 'anr') AS tr,
+       substr(concat_ws('_', l_returnflag, l_linestatus), 2, 2) AS sub,
+       replace(l_linestatus, 'O', '0') AS repl,
+       md5(l_returnflag) AS h
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+""",
+    tags=("functions", "string"),
+)
+def fn_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.upper("l_returnflag").alias("u"),
+        F.lower("l_linestatus").alias("lo"),
+        F.length(F.concat_ws("-", "l_returnflag", "l_linestatus")).alias("clen"),
+        F.lpad(F.col("l_linenumber").cast("string"), 4, "0").alias("padded"),
+        F.repeat("l_returnflag", 3).alias("rep"),
+        F.reverse(F.concat_ws("", "l_returnflag", "l_linestatus")).alias("rev"),
+        F.instr(F.lit("NAROF"), F.col("l_returnflag")).alias("pos"),
+        F.translate("l_returnflag", "ANR", "anr").alias("tr"),
+        F.substring(F.concat_ws("_", "l_returnflag", "l_linestatus"), 2, 2).alias(
+            "sub"
+        ),
+        F.replace("l_linestatus", F.lit("O"), F.lit("0")).alias("repl"),
+        F.md5(F.col("l_returnflag").cast("binary")).alias("h"),
+    )
+
+
+@register(
+    "fn_datetime_surface",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       year(l_shipdate) AS y, month(l_shipdate) AS mo, day(l_shipdate) AS d,
+       hour(l_shipdate) AS h, minute(l_shipdate) AS mi,
+       isodow(CAST(l_shipdate AS DATE)) AS dow,
+       CAST(CAST(date_trunc('month', l_shipdate) AS DATE) AS VARCHAR) AS mstart,
+       CAST(CAST(CAST(l_shipdate AS DATE) + 30 AS DATE) AS VARCHAR) AS plus30,
+       CAST(last_day(CAST(l_shipdate AS DATE)) AS VARCHAR) AS eom,
+       datediff('day', DATE '2024-01-01', CAST(l_shipdate AS DATE)) AS since,
+       CAST(floor(epoch(l_shipdate)) AS BIGINT) AS unix_s,
+       CAST(make_date(2024, month(l_shipdate), 1) AS VARCHAR) AS firsts
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+""",
+    tags=("functions", "datetime"),
+)
+def fn_datetime_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    d = F.to_date("l_shipdate")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.year("l_shipdate").alias("y"),
+        F.month("l_shipdate").alias("mo"),
+        F.dayofmonth("l_shipdate").alias("d"),
+        F.hour("l_shipdate").alias("h"),
+        F.minute("l_shipdate").alias("mi"),
+        (F.weekday(d) + 1).alias("dow"),
+        # dates exported as ISO strings: pandas materializes DuckDB DATE
+        # as datetime64, Spark DATE as datetime.date — strings compare
+        F.date_trunc("month", "l_shipdate").cast("date").cast("string").alias(
+            "mstart"
+        ),
+        F.date_add(d, 30).cast("string").alias("plus30"),
+        F.last_day(d).cast("string").alias("eom"),
+        F.datediff(d, F.lit("2024-01-01").cast("date")).alias("since"),
+        F.unix_timestamp("l_shipdate").alias("unix_s"),
+        F.make_date(F.lit(2024), F.month("l_shipdate"), F.lit(1))
+        .cast("string")
+        .alias("firsts"),
+    )
+
+
+@register(
+    "fn_math_array_surface",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_quantity - 25.0) AS a,
+       CAST(ceil(l_discount * 100) AS BIGINT) AS c,
+       CAST(floor(l_tax * 100) AS BIGINT) AS f,
+       round(l_extendedprice, 1) AS r,
+       sqrt(l_quantity) AS sq,
+       CAST(sign(l_quantity - 25.0) AS DOUBLE) AS sg,
+       greatest(l_discount, l_tax) AS g,
+       least(l_discount, l_tax) AS le,
+       l_quantity * l_quantity AS p2,
+       len([l_quantity, l_extendedprice, l_discount]) AS asz,
+       list_sort([l_tax, l_discount, 0.05])[1] AS amin,
+       list_contains([CAST(l_linenumber AS BIGINT)], 1) AS has1,
+       array_to_string(list_transform([1, 2, 3], x -> CAST(x * l_linenumber AS VARCHAR)), ',') AS joined,
+       CAST(list_sum(list_transform([1, 2, 3, 4], x -> CAST(x AS BIGINT) * l_linenumber)) AS BIGINT) AS hsum
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+""",
+    tags=("functions", "math", "array"),
+)
+def fn_math_array_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25.0).alias("a"),
+        F.ceil(F.col("l_discount") * 100).alias("c"),
+        F.floor(F.col("l_tax") * 100).alias("f"),
+        F.round("l_extendedprice", 1).alias("r"),
+        F.sqrt("l_quantity").alias("sq"),
+        F.signum(F.col("l_quantity") - 25.0).alias("sg"),
+        F.greatest("l_discount", "l_tax").alias("g"),
+        F.least("l_discount", "l_tax").alias("le"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("p2"),
+        F.size(F.array("l_quantity", "l_extendedprice", "l_discount")).alias("asz"),
+        F.sort_array(F.array("l_tax", "l_discount", F.lit(0.05)))[0].alias("amin"),
+        F.array_contains(
+            F.array(F.col("l_linenumber").cast("bigint")), F.lit(1).cast("bigint")
+        ).alias("has1"),
+        F.array_join(
+            F.transform(
+                F.array(F.lit(1), F.lit(2), F.lit(3)),
+                lambda x: (x * F.col("l_linenumber")).cast("string"),
+            ),
+            ",",
+        ).alias("joined"),
+        F.aggregate(
+            F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(4)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x.cast("bigint") * F.col("l_linenumber"),
+        ).alias("hsum"),
+    )

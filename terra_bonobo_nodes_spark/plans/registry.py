@@ -54,6 +54,7 @@ def register(
 def all_queries() -> dict[str, Query]:
     # Import side-effect modules that populate the registry.
     from terra_bonobo_nodes_spark.plans import (  # noqa: F401
+        queries_functions,
         queries_geo,
         queries_llm,
         queries_relational,
