@@ -39,9 +39,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in sorted(queries.items()):
-        t0 = time.perf_counter()
-        run(q.spark_fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        # two executions, report the min: the first pays whole-stage
+        # codegen JIT compile (and any host-CPU noise); the min is the
+        # engine's steady-state number a long-running cluster job sees
+        for _ in range(2):
+            # isolate queries: persisted intermediates (LSH signatures)
+            # must not skew later timings or accumulate memory pressure
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            run(q.spark_fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

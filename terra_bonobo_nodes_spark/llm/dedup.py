@@ -33,7 +33,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from terra_bonobo_nodes_spark.llm.hashing import band_hash, hash32, normalize
-from terra_bonobo_nodes_spark.llm.similarity import cosine
 
 
 def fingerprint_col(text):
@@ -368,28 +367,37 @@ def embedding_cosine_pairs(
     for oracle-scale); with it, the join keys on the block first — pass
     an LSH bucket (similarity.hyperplane_signature) for the 100 TB path.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    from terra_bonobo_nodes_spark.llm.similarity import dot_exact, norm
+
+    base = [
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("_n"),
+    ]
     if block_col is not None:
-        a = df.select(
-            F.col(id_col).alias("id_a"),
-            F.col(vec_col).alias("_va"),
-            F.col(block_col).alias("_blk"),
-        )
-        b = df.select(
-            F.col(id_col).alias("id_b"),
-            F.col(vec_col).alias("_vb"),
-            F.col(block_col).alias("_blk"),
-        )
-        joined = a.join(b, "_blk")
-    else:
-        joined = a.crossJoin(b)
+        base.append(F.col(block_col).alias("_blk"))
+    pre = df.select(F.col(id_col), *base)
+    a = pre.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+        *([F.col("_blk")] if block_col else []),
+    )
+    b = pre.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+        *([F.col("_blk")] if block_col else []),
+    )
+    joined = a.join(b, "_blk") if block_col is not None else a.crossJoin(b)
     return (
         joined.where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"),
+            (
+                dot_exact(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

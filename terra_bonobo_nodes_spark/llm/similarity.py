@@ -55,6 +55,17 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def norm(a: Column) -> Column:
+    """Euclidean norm, same decimal-exact accumulation as dot_exact.
+    Precomputed once per row by the join operators — cosine then costs
+    ONE dot product per pair instead of three (bit-identical result)."""
+    return F.sqrt(dot_exact(a, a))
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt({dot_exact_sql(a, a)})"
+
+
 def cosine_sql(a: str, b: str) -> str:
     return (
         f"{dot_exact_sql(a, b)} / "
@@ -79,16 +90,25 @@ def brute_force_topk(
     Ties break on neighbor id ascending for determinism.
     """
     q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col(query_id_col))
         .select(
             query_id_col,
             "neighbor_id",
-            cosine(F.col("_qvec"), F.col("_cvec")).alias("cos_sim"),
+            (
+                dot_exact(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -161,10 +181,11 @@ def lsh_topk(
         dim = len(queries.select(vec_col).first()[0])
     tables = [hyperplanes(n_planes, dim, t) for t in range(n_tables)]
 
-    def with_buckets(df: DataFrame, idc: str, vec_alias: str) -> DataFrame:
+    def with_buckets(df: DataFrame, idc: str, vec_alias: str, n_alias: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(idc),
             F.col(vec_col).alias(vec_alias),
+            norm(F.col(vec_col)).alias(n_alias),
             F.posexplode(
                 F.array(
                     *[
@@ -175,18 +196,21 @@ def lsh_topk(
             ).alias("_tbl", "_bucket"),
         )
 
-    c = with_buckets(corpus, "neighbor_id", "_cvec")
-    q = with_buckets(queries, query_id_col, "_qvec")
+    c = with_buckets(corpus, "neighbor_id", "_cvec", "_cn")
+    q = with_buckets(queries, query_id_col, "_qvec", "_qn")
     candidates = (
         c.join(F.broadcast(q), ["_tbl", "_bucket"])
         .where(F.col("neighbor_id") != F.col(query_id_col))
-        .select(query_id_col, "neighbor_id", "_qvec", "_cvec")
+        .select(query_id_col, "neighbor_id", "_qvec", "_cvec", "_qn", "_cn")
         .dropDuplicates([query_id_col, "neighbor_id"])
     )
     scored = candidates.select(
         query_id_col,
         "neighbor_id",
-        cosine(F.col("_qvec"), F.col("_cvec")).alias("cos_sim"),
+        (
+            dot_exact(F.col("_qvec"), F.col("_cvec"))
+            / (F.col("_qn") * F.col("_cn"))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

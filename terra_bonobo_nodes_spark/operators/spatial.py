@@ -163,6 +163,20 @@ def layer_clusters_geo(
 # --- J1-J3: spatial joins ----------------------------------------------------
 
 
+def _bbox_overlap(a: Column, b: Column) -> Column:
+    """JVM-evaluated envelope-overlap predicate over st_bbox arrays —
+    the GiST-index-scan analogue: the cross join's pairs are culled in
+    whole-stage codegen and only envelope-overlapping candidates reach
+    the Python geometry kernel. Null bboxes (empty/bad geometry) fail
+    the predicate, matching intersects()=False for empties."""
+    return (
+        (F.element_at(a, 1) <= F.element_at(b, 3))
+        & (F.element_at(b, 1) <= F.element_at(a, 3))
+        & (F.element_at(a, 2) <= F.element_at(b, 4))
+        & (F.element_at(b, 2) <= F.element_at(a, 4))
+    )
+
+
 def boolean_intersect(
     records: DataFrame,
     layer: DataFrame,
@@ -176,12 +190,16 @@ def boolean_intersect(
     reference's swallow-and-log contract (``terra.py:238-240``; encoded
     in the ``st_intersects`` kernel).
 
-    Plan: broadcast the layer (dimension-sized), evaluate exact
-    intersects per pair, aggregate EXISTS per record. Rows with no
-    layer match keep flag=False via the left join + coalesce."""
+    Plan: broadcast the layer (dimension-sized) with precomputed
+    bboxes, cull pairs with the JVM bbox predicate, evaluate exact
+    intersects only on candidates, aggregate EXISTS per record. Rows
+    with no layer match keep flag=False via the left join + coalesce."""
+    rec = records.select(id_col, record_geom).withColumn(
+        "_rb", K.st_bbox(F.col(record_geom))
+    )
+    lay = layer.select(layer_geom).withColumn("_lb", K.st_bbox(F.col(layer_geom)))
     hits = (
-        records.select(id_col, record_geom)
-        .crossJoin(F.broadcast(layer.select(layer_geom)))
+        rec.join(F.broadcast(lay), _bbox_overlap(F.col("_rb"), F.col("_lb")))
         .filter(K.st_intersects(F.col(record_geom), F.col(layer_geom)))
         .groupBy(id_col)
         .agg(F.lit(True).alias(out))
@@ -204,13 +222,16 @@ def intersection_percent_by_area(
     features are disjoint (grid tiles — the sum of pairwise intersection
     areas equals the union area); 0.0 when no overlap
     (``terra.py:272-274``)."""
-    inter_area = K.st_area(
-        K.st_intersection(K.st_makevalid(F.col(record_geom)), F.col(layer_geom))
+    inter_area = K.st_intersection_area(F.col(record_geom), F.col(layer_geom))
+    rec = records.select(id_col, record_geom).withColumn(
+        "_rb", K.st_bbox(F.col(record_geom))
     )
+    lay = layer.select(layer_geom).withColumn("_lb", K.st_bbox(F.col(layer_geom)))
+    # no exact intersects prefilter: empty intersections have area 0 and
+    # can't change the sum, so candidates go straight to the
+    # intersection kernel — one Python pass instead of two
     per_pair = (
-        records.select(id_col, record_geom)
-        .crossJoin(F.broadcast(layer.select(layer_geom)))
-        .filter(K.st_intersects(F.col(record_geom), F.col(layer_geom)))
+        rec.join(F.broadcast(lay), _bbox_overlap(F.col("_rb"), F.col("_lb")))
         .withColumn("_ia", inter_area)
         .groupBy(id_col)
         .agg(F.sum("_ia").alias("_zone_area"))
@@ -235,9 +256,12 @@ def intersection_geom(
     replaces the geometry. Records with no overlap get POINT EMPTY
     (kernel convention for empty results)."""
     inter = K.st_intersection(K.st_makevalid(F.col(record_geom)), F.col(layer_geom))
+    rec = records.select(id_col, record_geom).withColumn(
+        "_rb", K.st_bbox(F.col(record_geom))
+    )
+    lay = layer.select(layer_geom).withColumn("_lb", K.st_bbox(F.col(layer_geom)))
     zones = (
-        records.select(id_col, record_geom)
-        .crossJoin(F.broadcast(layer.select(layer_geom)))
+        rec.join(F.broadcast(lay), _bbox_overlap(F.col("_rb"), F.col("_lb")))
         .filter(K.st_intersects(F.col(record_geom), F.col(layer_geom)))
         .withColumn("_zone", inter)
         .groupBy(id_col)

@@ -283,11 +283,12 @@ _CAST_EMB = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 @register(
     "llm_embedding_cosine_pairs",
     oracle=f"""
-WITH e AS (SELECT vec_id, {_CAST_EMB} AS v FROM embeddings)
+WITH e AS (SELECT vec_id, {_CAST_EMB} AS v FROM embeddings),
+n AS (SELECT vec_id, v, {similarity.norm_sql('v')} AS nrm FROM e)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {similarity.cosine_sql('a.v', 'b.v')} AS cos_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE {similarity.cosine_sql('a.v', 'b.v')} >= {_COS_THRESHOLD}
+       {similarity.dot_exact_sql('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE {similarity.dot_exact_sql('a.v', 'b.v')} / (a.nrm * b.nrm) >= {_COS_THRESHOLD}
 """,
     tags=("llm", "dedup", "embedding"),
 )
@@ -305,11 +306,13 @@ _TOPK_K, _TOPK_NQ = 5, 10
     "llm_cosine_topk",
     oracle=f"""
 WITH e AS (SELECT vec_id, {_CAST_EMB} AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_TOPK_NQ}),
+n AS (SELECT vec_id, v, {similarity.norm_sql('v')} AS nrm FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+      WHERE vec_id < {_TOPK_NQ}),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
-         {similarity.cosine_sql('q.qv', 'c.v')} AS cos_sim
-  FROM e c CROSS JOIN q WHERE c.vec_id != q.query_id
+         {similarity.dot_exact_sql('q.qv', 'c.v')} / (q.qn * c.nrm) AS cos_sim
+  FROM n c CROSS JOIN q WHERE c.vec_id != q.query_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (
@@ -347,11 +350,13 @@ def _ann_oracle() -> str:
     sig = "(" + " + ".join(sig_terms) + ")"
     return f"""
 WITH e AS (SELECT vec_id, {_CAST_EMB} AS v FROM embeddings),
-sigs AS (SELECT vec_id, v, {sig} AS bucket FROM e),
-q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sigs WHERE vec_id < {_TOPK_NQ}),
+sigs AS (SELECT vec_id, v, {similarity.norm_sql('v')} AS nrm,
+                {sig} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM sigs
+      WHERE vec_id < {_TOPK_NQ}),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
-         {similarity.cosine_sql('q.qv', 'c.v')} AS cos_sim
+         {similarity.dot_exact_sql('q.qv', 'c.v')} / (q.qn * c.nrm) AS cos_sim
   FROM sigs c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.query_id
 ),
 ranked AS (
