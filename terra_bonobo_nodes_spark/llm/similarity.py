@@ -157,6 +157,144 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def _sq_dist(vec: Column, center: list[float]) -> Column:
+    """Squared euclidean distance to a centroid literal — plain double
+    math (used only for cluster assignment, not oracle-checked)."""
+    lits = F.array(*[F.lit(w) for w in center])
+    return F.aggregate(
+        F.zip_with(
+            vec, lits, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_cluster(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin over centroid distances, deterministic tie-break on index.
+    Entries are [dist, idx] double pairs — struct field names don't
+    survive inside higher-order-function lambdas, positions do."""
+    entries = [
+        F.array(_sq_dist(vec, c), F.lit(float(i)))
+        for i, c in enumerate(centroids)
+    ]
+    best = F.aggregate(
+        F.array(*entries),
+        F.array(F.lit(float("inf")), F.lit(-1.0)),
+        lambda acc, x: F.when(
+            (x[0] < acc[0]) | ((x[0] == acc[0]) & (x[1] < acc[1])), x
+        ).otherwise(acc),
+    )
+    return best[1].cast("int")
+
+
+def ivf_train(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic k-means coarse quantizer (the IVF codebook).
+
+    Init = the n_clusters lowest-id vectors; Lloyd iterations assign
+    each vector to its nearest centroid (one distributed pass) and
+    recompute means via explode + groupBy (no driver-side data beyond
+    the k×dim codebook — exactly how Spark MLlib's KMeans iterates).
+    Empty clusters keep their previous centroid."""
+    seed_rows = (
+        corpus.select(id_col, vec_col).orderBy(F.col(id_col)).limit(n_clusters).collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    for _ in range(iterations):
+        assigned = corpus.select(
+            _assign_cluster(F.col(vec_col), centroids).alias("_c"),
+            F.posexplode(F.col(vec_col)).alias("_dim", "_v"),
+        )
+        means = (
+            assigned.groupBy("_c", "_dim")
+            .agg(F.avg(F.col("_v").cast("double")).alias("_m"))
+            .collect()
+        )
+        new = {c: list(cent) for c, cent in enumerate(centroids)}
+        for r in means:
+            new[r._c][r._dim] = r._m
+        centroids = [new[c] for c in range(n_clusters)]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: k-means codebook → corpus partitioned by
+    nearest centroid → each query probes its n_probe nearest cells.
+
+    100 TB shape: training touches the corpus iterations× with map-side
+    combine; search joins on the cluster id (n_clusters distinct keys —
+    at real scale use √N clusters and hash-partition the corpus by
+    cell, giving each query a targeted scan of n_probe/n_clusters of
+    the data). Scoring reuses the exact decimal cosine, so results are
+    a strict subset of brute-force results."""
+    if centroids is None:
+        centroids = ivf_train(corpus, n_clusters, iterations, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
+        _assign_cluster(F.col(vec_col), centroids).alias("_cell"),
+    )
+    probe_entries = [
+        F.array(_sq_dist(F.col(vec_col), cen), F.lit(float(i)))
+        for i, cen in enumerate(centroids)
+    ]
+    probes = F.slice(
+        F.array_sort(
+            F.array(*probe_entries),
+            lambda a, b: F.when(a[0] < b[0], -1)
+            .when(a[0] > b[0], 1)
+            .otherwise((a[1] - b[1]).cast("int")),
+        ),
+        1,
+        n_probe,
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col)).alias("_qn"),
+        F.explode(F.transform(probes, lambda s: s[1].cast("int"))).alias("_cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_cell")
+        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .dropDuplicates([query_id_col, "neighbor_id"])
+        .select(
+            query_id_col,
+            "neighbor_id",
+            (
+                dot_exact(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -37,6 +37,28 @@ def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") ->
     return df.withColumn(out, F.size(tokens(text_col)).cast("long"))
 
 
+# GPT-2-style pretokenizer, restricted to constructs RE2 also supports
+# (no lookahead) so the DuckDB oracle tokenizes identically: English
+# contractions, space-prefixed letter/digit runs, punctuation runs,
+# whitespace runs.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+BPE_SPLIT_RE_SQL = r"''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+|\s+"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """BPE-ish pretokens of the lowercased text — the sequence a
+    GPT-2-family BPE would merge within; its length upper-bounds (and
+    closely tracks) the real BPE token count."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_SPLIT_RE), 0)
+
+
+def bpe_token_count(
+    df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens"
+) -> DataFrame:
+    return df.withColumn(out, F.size(bpe_tokens(text_col)).cast("long"))
+
+
 def char_ngrams(text: Column | str, n: int = 5) -> Column:
     """All character n-grams (shingles) of the normalized text."""
     c = F.col(text) if isinstance(text, str) else text

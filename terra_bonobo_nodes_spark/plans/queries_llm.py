@@ -46,6 +46,25 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_count(docs, "text").select("doc_id", "lang", "n_tokens")
 
 
+@register(
+    "llm_bpe_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{text.BPE_SPLIT_RE_SQL}')) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def llm_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens vs BPE-ish pretokens side by side — the
+    sequence-length estimate a training pipeline budgets by."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.bpe_token_count(docs, "text")
+    return text.token_count(out, "text").select("doc_id", "n_bpe_tokens", "n_tokens")
+
+
 _PUNCT_SQL = "'[.,;:!?''\"()\\[\\]{}-]'"
 _STOP_EN = ", ".join(f"'{w}'" for w in text.LANG_PROFILES["en"])
 
@@ -381,6 +400,22 @@ def llm_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@register("llm_ivf_ann_topk", oracle=None, tags=("llm", "similarity"))
+def llm_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means codebook) approximate top-k. No SQL oracle: k-means
+    is an iterative algorithm (driver records the rows-only check);
+    recall and score-exactness vs brute force are pinned by
+    tests/test_llm_ops.py::test_ivf_ann_recall_vs_brute_force."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < _TOPK_NQ),
+        k=_TOPK_K,
+        n_clusters=8,
+        n_probe=2,
     )
 
 

@@ -124,6 +124,33 @@ def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
             assert r.cos_sim == ex_scores[key]
 
 
+def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = emb.where(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    approx = similarity.ivf_topk(emb, q, k=5, n_clusters=8, n_probe=3)
+    ex_scores = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact.collect()}
+    ap = [(r.query_id, r.neighbor_id, r.cos_sim) for r in approx.collect()]
+    recall = len({(a, b) for a, b, _ in ap} & set(ex_scores)) / len(ex_scores)
+    # probing 3 of 8 cells over label-clustered vectors
+    assert recall > 0.4, f"recall {recall}"
+    # every IVF hit scores identically to the exact computation
+    for qid, nid, cos in ap:
+        if (qid, nid) in ex_scores:
+            assert cos == ex_scores[(qid, nid)]
+
+
+def test_ivf_train_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    c1 = similarity.ivf_train(emb, n_clusters=4, iterations=2)
+    c2 = similarity.ivf_train(emb, n_clusters=4, iterations=2)
+    assert c1 == c2
+
+
 def test_embedding_cosine_pairs_symmetric_threshold(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
