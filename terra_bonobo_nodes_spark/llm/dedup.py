@@ -354,6 +354,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 10,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: (doc_id,
+    component_id) where component_id is the minimum doc id reachable
+    through the pair graph. This is the step that turns pairwise dedup
+    output into "keep one per cluster" decisions.
+
+    Algorithm: iterative min-label propagation (the simplified
+    large-star step): each node adopts the smallest label among itself
+    and its neighbors until a fixed point, detected by comparing the
+    per-iteration sum+count of labels (monotonically decreasing — equal
+    aggregates mean no label moved). Label diameter halves roughly per
+    round, so max_iterations=10 covers chains of ~2^10; real corpora
+    have tiny dedup-cluster diameters. Each iteration is one
+    shuffle-join + aggregate over the EDGE list — never materializes
+    the transitive closure.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("_nl")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("_nl").alias("_nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        sig = labels.agg(
+            F.sum("label").alias("s"), F.count(F.lit(1)).alias("c")
+        ).collect()[0]
+        if prev_sig == (sig.s, sig.c):
+            break
+        prev_sig = (sig.s, sig.c)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -145,3 +145,33 @@ def grid_knn_join(
     return joined.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= k
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: explode the (small) right side into
+    salt_buckets replicas, salt the left side's key uniformly, join on
+    (key, salt).
+
+    When one join key carries a disproportionate share of rows (a viral
+    document, a null-ish default id), the plain shuffle join sends the
+    whole hot key to one task. Salting splits that key across
+    salt_buckets tasks at the cost of replicating the right side
+    salt_buckets times — the classic remedy when AQE's skew-join split
+    (enabled in session.py) can't help, e.g. when the skew is in the
+    build side of a shuffle join rather than partition sizes.
+
+    The left's salt derives from a hash of the full row (monotonic id
+    would also do) so it's uniform regardless of key distribution.
+    """
+    salt = (F.abs(F.xxhash64(*[F.col(c) for c in left.columns])) % salt_buckets)
+    l_salted = left.withColumn("_salt", salt.cast("int"))
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return l_salted.join(r_salted, [key, "_salt"], how).drop("_salt")

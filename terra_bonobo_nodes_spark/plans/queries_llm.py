@@ -403,6 +403,44 @@ def llm_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _components_oracle() -> str:
+    """Transitive closure of the MinHash pair graph via recursive CTE —
+    a full-value oracle even though the Spark side is iterative."""
+    return f"""
+WITH RECURSIVE
+mh AS (SELECT id_a, id_b FROM ({_minhash_oracle()}) q),
+edges AS (SELECT id_a AS src, id_b AS dst FROM mh UNION SELECT id_b, id_a FROM mh),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS component_id
+FROM reach GROUP BY src
+"""
+
+
+@register(
+    "llm_dedup_components", oracle=_components_oracle(), tags=("llm", "dedup")
+)
+def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash pairs -> connected components: the canonical-survivor
+    assignment of a dedup pipeline. The Spark side iterates min-label
+    propagation over the edge list; the oracle rebuilds the same
+    components with a recursive-CTE closure."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(
+        docs,
+        "text",
+        "doc_id",
+        n_hashes=_MH_K,
+        bands=_MH_BANDS,
+        shingle_n=_MH_SHINGLE,
+        min_est_jaccard=0.5,
+    )
+    return dedup.connected_components(pairs)
+
+
 @register("llm_ivf_ann_topk", oracle=None, tags=("llm", "similarity"))
 def llm_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means codebook) approximate top-k. No SQL oracle: k-means

@@ -270,3 +270,34 @@ def e3_transit_time_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scalar = transit_time_one_to_one(timed)
     return scalar.select("c_custkey", "times")
+
+
+# --- S5/K2: document-index sink + scroll-scan round-trip ---------------------
+
+
+@register(
+    "s5_k2_es_roundtrip",
+    oracle="""
+SELECT CAST(p_partkey AS VARCHAR) AS _id, CAST(p_partkey AS VARCHAR) AS _feature_id,
+       p_name, p_brand, p_retailprice
+FROM part
+""",
+    tags=("S5", "K2"),
+)
+def s5_k2_es_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part -> bulk-index into the keyed document store (LoadInES
+    stand-in: _id/_feature_id from the identifier, elasticsearch.py:
+    90-98) -> scroll-scan it back (ESExtract) -> must recover every
+    document."""
+    import hashlib
+    import tempfile
+
+    from terra_bonobo_nodes_spark.sinks.es import es_extract, load_in_es
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("identifier"), "p_name", "p_brand", "p_retailprice"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/tbns_es_{tag}"
+    load_in_es(part, root, "parts")
+    return es_extract(spark, root, "parts")

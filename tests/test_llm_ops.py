@@ -244,3 +244,43 @@ def test_multimodal_frame_sampling(spark):
     frames = multimodal.sample_frames(assets, every_ms=1000).collect()
     assert [r.frame_ms for r in frames] == [0, 1000, 2000, 3000]
     assert all(len(r.frame) == 16 for r in frames)  # md5 stub frames
+
+
+def test_connected_components_chain_and_clusters(spark):
+    # chain 1-2-3-4, triangle 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    comp = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_on_minhash_pairs(spark, near_dup_docs):
+    pairs = dedup.minhash_lsh_pairs(
+        near_dup_docs, "text", "doc_id", n_hashes=32, bands=8, shingle_n=5,
+        min_est_jaccard=0.5,
+    )
+    comp = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    # docs 0,1,2,3 are one near-dup cluster; 4 and 5 have no pairs at all
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from terra_bonobo_nodes_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for i in range(50) for k in ("hot", f"k{i % 5}")], ["key", "v"]
+    )
+    right = spark.createDataFrame(
+        [("hot", 100), ("k0", 200), ("k3", 300)], ["key", "w"]
+    )
+    plain = left.join(right, "key").groupBy("key").count()
+    salted = salted_join(left, right, "key", salt_buckets=8).groupBy("key").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
