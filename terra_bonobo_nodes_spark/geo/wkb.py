@@ -146,7 +146,13 @@ def write_wkb(g: Geom | None) -> bytes | None:
 
 
 def _fmt_num(v: float) -> str:
-    return f"{v:.17g}".rstrip("0").rstrip(".") if v != int(v) else str(int(v))
+    if v == int(v) and abs(v) < 1e16:
+        return str(int(v))
+    s = f"{v:.17g}"
+    # never rstrip scientific notation: 'e-300'.rstrip('0') -> 'e-3'
+    if "e" in s or "E" in s:
+        return s
+    return s.rstrip("0").rstrip(".")
 
 
 def _wkt_coords(data, depth: int) -> str:

@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) for the pure-Python layers: the
+geometry codecs must round-trip arbitrary valid shapes, and the dedup
+hashing primitives must hold their algebraic invariants. These run
+without a SparkSession — they pin the kernel math the pandas UDFs wrap."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from terra_bonobo_nodes_spark.geo import ops
+from terra_bonobo_nodes_spark.geo import wkb as W
+from terra_bonobo_nodes_spark.llm.hashing import MINHASH_P, perm_params
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+coord = st.tuples(finite, finite)
+
+
+def ring(points):
+    return points + [points[0]]
+
+
+points_geom = st.builds(lambda p: ("Point", p), coord)
+multipoint_geom = st.builds(
+    lambda ps: ("MultiPoint", ps), st.lists(coord, min_size=1, max_size=6)
+)
+line_geom = st.builds(
+    lambda ps: ("LineString", ps), st.lists(coord, min_size=2, max_size=8)
+)
+poly_geom = st.builds(
+    lambda ps: ("Polygon", [ring(ps)]), st.lists(coord, min_size=3, max_size=8)
+)
+any_geom = st.one_of(points_geom, multipoint_geom, line_geom, poly_geom)
+
+
+@settings(max_examples=200, deadline=None)
+@given(any_geom)
+def test_wkb_roundtrip(g):
+    assert W.parse_wkb(W.write_wkb(g)) == g
+
+
+@settings(max_examples=200, deadline=None)
+@given(any_geom)
+def test_wkt_roundtrip(g):
+    parsed = W.parse_wkt(W.write_wkt(g))
+    kind, data = parsed
+    assert kind == g[0]
+
+    def flat(d):
+        out = []
+
+        def rec(x):
+            if isinstance(x, tuple) and x and isinstance(x[0], float):
+                out.append(x)
+            else:
+                for y in x:
+                    rec(y)
+
+        rec(d)
+        return out
+
+    for (ax, ay), (bx, by) in zip(flat(data), flat(g[1])):
+        assert math.isclose(ax, bx, rel_tol=1e-12, abs_tol=1e-9)
+        assert math.isclose(ay, by, rel_tol=1e-12, abs_tol=1e-9)
+
+
+@settings(max_examples=200, deadline=None)
+@given(any_geom)
+def test_geojson_roundtrip(g):
+    assert W.from_geojson(W.to_geojson(g)) == g
+
+
+@settings(max_examples=100, deadline=None)
+@given(any_geom)
+def test_bbox_contains_all_points(g):
+    bb = ops.bbox(g)
+    pts = list(ops._points(g))
+    if not pts:
+        assert bb is None
+        return
+    x0, y0, x1, y1 = bb
+    for x, y in pts:
+        assert x0 <= x <= x1 and y0 <= y <= y1
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(coord, min_size=3, max_size=8))
+def test_envelope_area_bounds_polygon_area(ps):
+    g = ("Polygon", [ring(ps)])
+    bb = ops.bbox(g)
+    x0, y0, x1, y1 = bb
+    assert abs(ops.area(g)) <= (x1 - x0) * (y1 - y0) + 1e-6
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=1, max_value=128))
+def test_minhash_params_in_bounds(k):
+    for a, b in perm_params(k):
+        assert 0 < a < 2**17 and a % 2 == 1
+        assert 0 <= b < 2**32
+        # worst-case h < 2^32: a*h + b stays within signed 64-bit
+        assert a * (2**32) + b < 2**63
+    assert MINHASH_P > 2**32
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=1, max_size=50))
+def test_minhash_min_is_set_invariant(hs):
+    # min over multiset == min over set: duplicates can't change a signature
+    a, b = perm_params(1)[0]
+    perm = [(h * a + b) % MINHASH_P for h in hs]
+    perm_dedup = [(h * a + b) % MINHASH_P for h in set(hs)]
+    assert min(perm) == min(perm_dedup)
