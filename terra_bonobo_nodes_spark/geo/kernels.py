@@ -229,13 +229,15 @@ def _st_intersection(a: pd.Series, b: pd.Series) -> pd.Series:
 
 @pandas_udf(DoubleType())
 def _st_intersection_area(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Fused make_valid(a) ∩ b → area, one parse per input and no
-    intermediate WKB write/parse — the hot kernel of the J2/J3 joins
-    (three chained UDFs otherwise triple the serialization cost)."""
+    """Fused a ∩ b → area: one parse per input, no intermediate WKB
+    write/parse, and an O(1) closed-form path when both sides are
+    axis-aligned rectangles — the hot kernel of the J2/J3 joins (three
+    chained UDFs otherwise triple the serialization cost). Validity
+    repair belongs upstream, once per ROW (operators apply
+    st_makevalid before the join), not once per pair here."""
 
     def f(x, y):
-        ga = ops.make_valid(W.parse_wkb(x))
-        return ops.area(ops.intersection(ga, W.parse_wkb(y)))
+        return ops.intersection_area(W.parse_wkb(x), W.parse_wkb(y))
 
     return pd.Series([f(x, y) for x, y in zip(a, b)])
 

@@ -379,6 +379,44 @@ def _clip_ring_convex(subject, clip_ring):
     return output + [output[0]]
 
 
+def as_axis_rect(g: Geom | None) -> tuple[float, float, float, float] | None:
+    """(x0, y0, x1, y1) when g is a single axis-aligned rectangle ring
+    (5 points, closed, sides parallel to the axes) — else None. Grid
+    tiles, envelopes, and snapped cells all qualify, which makes the
+    O(1) rect-rect overlap fast path below very common in practice."""
+    if g is None or g[0] != "Polygon" or len(g[1]) != 1:
+        return None
+    r = g[1][0]
+    if len(r) != 5 or r[0] != r[4]:
+        return None
+    xs = {p[0] for p in r}
+    ys = {p[1] for p in r}
+    if len(xs) != 2 or len(ys) != 2:
+        return None
+    # each consecutive side must be axis-parallel (rules out 'bowties')
+    for (ax, ay), (bx, by) in zip(r, r[1:]):
+        if ax != bx and ay != by:
+            return None
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
+def rect_overlap_area(
+    ra: tuple[float, float, float, float], rb: tuple[float, float, float, float]
+) -> float:
+    w = min(ra[2], rb[2]) - max(ra[0], rb[0])
+    h = min(ra[3], rb[3]) - max(ra[1], rb[1])
+    return w * h if w > 0 and h > 0 else 0.0
+
+
+def intersection_area(a: Geom | None, b: Geom | None) -> float:
+    """area(intersection(a, b)) with an O(1) fast path when both sides
+    are axis-aligned rectangles (no ring clipping, no allocation)."""
+    ra, rb = as_axis_rect(a), as_axis_rect(b)
+    if ra is not None and rb is not None:
+        return rect_overlap_area(ra, rb)
+    return area(intersection(a, b))
+
+
 def intersection(a: Geom | None, b: Geom | None) -> Geom:
     """``ST_Intersection`` subset: points x anything; polygon x polygon
     where at least one side is convex (grid tiles, envelopes, subdivision

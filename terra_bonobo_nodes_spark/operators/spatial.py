@@ -222,10 +222,12 @@ def intersection_percent_by_area(
     features are disjoint (grid tiles — the sum of pairwise intersection
     areas equals the union area); 0.0 when no overlap
     (``terra.py:272-274``)."""
-    inter_area = K.st_intersection_area(F.col(record_geom), F.col(layer_geom))
-    rec = records.select(id_col, record_geom).withColumn(
-        "_rb", K.st_bbox(F.col(record_geom))
-    )
+    inter_area = K.st_intersection_area(F.col("_vg"), F.col(layer_geom))
+    # make_valid once per ROW (idempotent, so per-pair repair in the
+    # reference collapses to this), bbox once per row
+    rec = records.select(
+        id_col, K.st_makevalid(F.col(record_geom)).alias("_vg")
+    ).withColumn("_rb", K.st_bbox(F.col("_vg")))
     lay = layer.select(layer_geom).withColumn("_lb", K.st_bbox(F.col(layer_geom)))
     # no exact intersects prefilter: empty intersections have area 0 and
     # can't change the sum, so candidates go straight to the
@@ -255,14 +257,14 @@ def intersection_geom(
     geometry to the layer — the unioned (collected) intersection
     replaces the geometry. Records with no overlap get POINT EMPTY
     (kernel convention for empty results)."""
-    inter = K.st_intersection(K.st_makevalid(F.col(record_geom)), F.col(layer_geom))
-    rec = records.select(id_col, record_geom).withColumn(
-        "_rb", K.st_bbox(F.col(record_geom))
-    )
+    inter = K.st_intersection(F.col("_vg"), F.col(layer_geom))
+    rec = records.select(
+        id_col, K.st_makevalid(F.col(record_geom)).alias("_vg")
+    ).withColumn("_rb", K.st_bbox(F.col("_vg")))
     lay = layer.select(layer_geom).withColumn("_lb", K.st_bbox(F.col(layer_geom)))
     zones = (
         rec.join(F.broadcast(lay), _bbox_overlap(F.col("_rb"), F.col("_lb")))
-        .filter(K.st_intersects(F.col(record_geom), F.col(layer_geom)))
+        .filter(K.st_intersects(F.col("_vg"), F.col(layer_geom)))
         .withColumn("_zone", inter)
         .groupBy(id_col)
         .agg(K.st_collect_agg(F.col("_zone")).alias("_zone"))

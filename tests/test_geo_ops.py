@@ -255,3 +255,28 @@ class TestTransforms:
     def test_envelope(self):
         env = ops.envelope(("LineString", [(1.0, 2.0), (3.0, 5.0)]))
         assert ops.area(env) == 6.0
+
+
+def test_rect_fast_path_matches_general_clip():
+    from terra_bonobo_nodes_spark.geo import ops
+
+    def rect(x0, y0, x1, y1):
+        return ("Polygon", [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]])
+
+    a = rect(0.0, 0.0, 6.0, 6.0)
+    b = rect(4.0, 4.0, 14.0, 14.0)
+    assert ops.as_axis_rect(a) == (0.0, 0.0, 6.0, 6.0)
+    fast = ops.intersection_area(a, b)
+    general = ops.area(ops.intersection(a, b))
+    assert abs(fast - general) < 1e-9
+    assert fast == 4.0
+    # disjoint -> 0, containment -> inner area
+    assert ops.intersection_area(a, rect(10, 10, 12, 12)) == 0.0
+    assert ops.intersection_area(rect(1, 1, 2, 2), a) == 1.0
+    # non-rectangles fall back to the general path
+    tri = ("Polygon", [[(0.0, 0.0), (4.0, 0.0), (0.0, 4.0), (0.0, 0.0)]])
+    assert ops.as_axis_rect(tri) is None
+    assert ops.intersection_area(tri, a) == ops.area(ops.intersection(tri, a))
+    # rotated square has 2 distinct xs/ys per vertex -> not axis-aligned
+    rot = ("Polygon", [[(1.0, 0.0), (2.0, 1.0), (1.0, 2.0), (0.0, 1.0), (1.0, 0.0)]])
+    assert ops.as_axis_rect(rot) is None
