@@ -544,3 +544,111 @@ def rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# --- standard surface: set operations + semi/anti joins ----------------------
+
+
+@register(
+    "setops_customer_segments",
+    oracle="""
+WITH hi AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM hi UNION SELECT * FROM auto)
+UNION ALL
+SELECT 'intersect', count(*) FROM (SELECT * FROM hi INTERSECT SELECT * FROM auto)
+UNION ALL
+SELECT 'except', count(*) FROM (SELECT * FROM hi EXCEPT SELECT * FROM auto)
+""",
+    tags=("surface", "setops"),
+)
+def setops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION/INTERSECT/EXCEPT — distinct set semantics on both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    hi = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    auto = cust.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    counts = [
+        ("union", hi.union(auto).distinct()),
+        ("intersect", hi.intersect(auto)),
+        ("except", hi.exceptAll(auto).distinct()),
+    ]
+    rows = None
+    for op, df in counts:
+        one = df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+        rows = one if rows is None else rows.unionByName(one)
+    return rows
+
+
+@register(
+    "semi_anti_orders_with_returns",
+    oracle="""
+SELECT o.o_orderstatus,
+       count(*) FILTER (WHERE EXISTS (
+         SELECT 1 FROM lineitem l
+         WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')) AS with_returns,
+       count(*) FILTER (WHERE NOT EXISTS (
+         SELECT 1 FROM lineitem l
+         WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')) AS without_returns
+FROM orders o
+GROUP BY 1
+""",
+    tags=("surface", "join"),
+)
+def semi_anti_orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS/NOT EXISTS as left_semi/left_anti joins — Catalyst's native
+    subquery decorrelation, counted per order status."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    semi = (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("with_returns"))
+    )
+    anti = (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("without_returns"))
+    )
+    return (
+        semi.join(anti, "o_orderstatus", "full")
+        .select(
+            "o_orderstatus",
+            F.coalesce("with_returns", F.lit(0)).alias("with_returns"),
+            F.coalesce("without_returns", F.lit(0)).alias("without_returns"),
+        )
+    )
+
+
+@register(
+    "cube_returnflag_status",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       coalesce(l_linestatus, 'ALL') AS status,
+       count(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    tags=("surface", "cube"),
+)
+def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — a capability the reference lacks entirely
+    (SURVEY §2.5 note); Spark plans it as one expand + aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity", "sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n",
+            "sum_qty",
+        )
+    )
