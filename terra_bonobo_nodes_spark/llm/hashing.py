@@ -151,31 +151,12 @@ def word_shingles_sql(expr: str, n: int) -> str:
     )
 
 
-# --- MinHash ----------------------------------------------------------------
-
-
-def minhash_signature(shingle_hashes: Column, n_hashes: int) -> Column:
-    """array<bigint> MinHash signature over a column of 32-bit shingle
-    hashes. One array_min(transform(...)) per permutation — all codegen."""
-    params = perm_params(n_hashes)
-
-    def perm(a: int, b: int):
-        # closure factory: keeps the lambda unary (PySpark reads arity)
-        return lambda h: (h * a + b) % MINHASH_P
-
-    return F.array(
-        *[F.array_min(F.transform(shingle_hashes, perm(a, b))) for a, b in params]
-    )
-
-
-def minhash_signature_sql(hashes_expr: str, n_hashes: int) -> str:
-    params = perm_params(n_hashes)
-    mins = ", ".join(
-        f"list_min(list_transform({hashes_expr}, "
-        f"h -> (h * {a} + {b}) % {MINHASH_P}))"
-        for a, b in params
-    )
-    return f"[{mins}]"
+# --- MinHash / LSH banding --------------------------------------------------
+# NOTE: signatures are intentionally NOT built as per-row array
+# expressions (array_min(transform(...)) per permutation): Catalyst's
+# project collapsing re-inlines the shingle+hash pipeline into each of
+# the k references. dedup.minhash_signatures / simhash_col use the
+# inverted explode + groupBy-aggregate formulation instead.
 
 
 def band_hash(sig: Column, band: int, rows_per_band: int) -> Column:
@@ -193,37 +174,3 @@ def band_hash_sql(sig_expr: str, band: int, rows_per_band: int) -> str:
     )
 
 
-# --- SimHash ----------------------------------------------------------------
-
-
-def simhash(token_hashes: Column, bits: int = 32) -> Column:
-    """SimHash over a column of 32-bit token hashes: bit b of the result
-    is set when at least half the tokens have bit b set (majority vote;
-    ties set the bit — deterministic on both engines)."""
-    n = F.size(token_hashes)
-
-    def bit_set(b: int):
-        # closure factory: keeps the lambda unary (PySpark reads arity)
-        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
-
-    terms = [
-        F.when(
-            F.size(F.filter(token_hashes, bit_set(b))) * 2 >= n,
-            F.lit(1 << b).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
-        for b in range(bits)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
-
-
-def simhash_sql(hashes_expr: str, bits: int = 32) -> str:
-    terms = [
-        f"(CASE WHEN len(list_filter({hashes_expr}, "
-        f"h -> (h >> {b}) & 1 = 1)) * 2 >= len({hashes_expr}) "
-        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
-        for b in range(bits)
-    ]
-    return "(" + " + ".join(terms) + ")"
