@@ -57,6 +57,7 @@ def all_queries() -> dict[str, Query]:
         queries_functions,
         queries_geo,
         queries_llm,
+        queries_pipelines,
         queries_relational,
         queries_sources,
         queries_streaming,

@@ -127,3 +127,73 @@ def test_upsert_foreach_batch_idempotent(spark):
         assert third.count() == 3
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event arriving after the watermark passed its window must not
+    reopen the closed window (append mode only emits closed windows)."""
+    import pandas as pd
+
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    # batch 1: events at 10:00-10:30, max ts 12:00 pushes watermark
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00:00", "2024-01-01 10:30:00", "2024-01-01 12:00:00"]
+            ),
+            "user_id": [1, 1, 1],
+            "event_type": ["a", "a", "a"],
+            "value": [1.0, 1.0, 1.0],
+            "props": ["{}", "{}", "{}"],
+        }
+    ).to_parquet(d / "b1.parquet", coerce_timestamps="us")
+
+    schema = (
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_available():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(str(d))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .select(F.unix_timestamp("w.start").alias("ws"), "n", "s")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: watermark advances to 12:00 - 1h = 11:00, closing the 10:00
+    # window (emitted with the two on-time events)
+    run_available()
+    # run 2: a LATE event at 10:05 arrives after the 10:00 window closed
+    pd.DataFrame(
+        {
+            "event_id": [4],
+            "ts": pd.to_datetime(["2024-01-01 10:05:00"]),
+            "user_id": [1],
+            "event_type": ["a"],
+            "value": [100.0],
+            "props": ["{}"],
+        }
+    ).to_parquet(d / "b2.parquet", coerce_timestamps="us")
+    run_available()
+    got = {r.ws: (r.n, r.s) for r in spark.read.parquet(out).collect()}
+    ten = 1704103200  # 2024-01-01 10:00:00 UTC
+    # the 10:00 window closed with exactly the two on-time events; the
+    # late 100.0 never appears anywhere
+    assert got.get(ten) == (2, 2.0), got
+    assert all(abs(s - 100.0) > 1e-9 and s < 100 for _, s in got.values())
