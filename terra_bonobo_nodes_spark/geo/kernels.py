@@ -27,6 +27,8 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     StringType,
+    StructField,
+    StructType,
 )
 
 from terra_bonobo_nodes_spark.geo import ops
@@ -193,6 +195,38 @@ def _st_bbox(g: pd.Series) -> pd.Series:
         return list(bb) if bb is not None else None
 
     return pd.Series(_map1(g, f))
+
+
+_BBOX_BOXY_T = StructType(
+    [
+        StructField("bbox", ArrayType(DoubleType())),
+        StructField("boxy", BooleanType()),
+    ]
+)
+
+
+@pandas_udf(_BBOX_BOXY_T)
+def _st_bbox_boxy(g: pd.Series) -> pd.DataFrame:
+    """bbox + 'geometry IS its bbox' flag in one parse. boxy is True for
+    points and axis-aligned rectangle polygons — for a boxy×boxy pair,
+    bbox overlap ⇔ intersects and the overlap area is closed-form, so
+    spatial joins evaluate those pairs entirely JVM-side."""
+    bbs, flags = [], []
+    for b in g:
+        try:
+            geom = W.parse_wkb(b)
+            bb = ops.bbox(geom)
+        except Exception:
+            geom, bb = None, None
+        if bb is None:
+            bbs.append(None)
+            flags.append(False)
+            continue
+        bbs.append(list(bb))
+        flags.append(
+            geom[0] == "Point" or ops.as_axis_rect(geom) is not None
+        )
+    return pd.DataFrame({"bbox": bbs, "boxy": flags})
 
 
 @pandas_udf(DoubleType())
@@ -396,6 +430,12 @@ def st_bbox(g) -> Column:
     """[xmin, ymin, xmax, ymax], null for empty/unparseable geometry.
     Computed ONCE per row so joins can prefilter pairs JVM-side."""
     return _st_bbox(_col(g))
+
+
+def st_bbox_boxy(g) -> Column:
+    """struct<bbox: array<double>, boxy: boolean> — one parse per row;
+    see the kernel docstring for the boxy fast-path contract."""
+    return _st_bbox_boxy(_col(g))
 
 
 def st_distance(a, b) -> Column:

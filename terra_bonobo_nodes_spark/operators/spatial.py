@@ -191,19 +191,28 @@ def boolean_intersect(
     in the ``st_intersects`` kernel).
 
     Plan: broadcast the layer (dimension-sized) with precomputed
-    bboxes, cull pairs with the JVM bbox predicate, evaluate exact
-    intersects only on candidates, aggregate EXISTS per record. Rows
-    with no layer match keep flag=False via the left join + coalesce."""
+    bboxes, cull pairs with the JVM bbox predicate, then split: for
+    boxy×boxy pairs (points, grid tiles — see ``st_bbox_boxy``) the
+    bbox overlap IS the exact answer, evaluated wholly in whole-stage
+    codegen; only curvy pairs reach the Python intersects kernel. The
+    record side is persisted because both branches scan it (at cluster
+    scale, drop the persist and accept recomputing the bbox kernel).
+    Rows with no layer match keep flag=False via left join + coalesce."""
     rec = records.select(id_col, record_geom).withColumn(
-        "_rb", K.st_bbox(F.col(record_geom))
+        "_rx", K.st_bbox_boxy(F.col(record_geom))
+    ).persist()
+    lay = layer.select(layer_geom).withColumn("_lx", K.st_bbox_boxy(F.col(layer_geom)))
+    cand = rec.join(
+        F.broadcast(lay), _bbox_overlap(F.col("_rx.bbox"), F.col("_lx.bbox"))
     )
-    lay = layer.select(layer_geom).withColumn("_lb", K.st_bbox(F.col(layer_geom)))
-    hits = (
-        rec.join(F.broadcast(lay), _bbox_overlap(F.col("_rb"), F.col("_lb")))
+    both_boxy = F.col("_rx.boxy") & F.col("_lx.boxy")
+    fast = cand.filter(both_boxy).select(id_col)
+    slow = (
+        cand.filter(~both_boxy)
         .filter(K.st_intersects(F.col(record_geom), F.col(layer_geom)))
-        .groupBy(id_col)
-        .agg(F.lit(True).alias(out))
+        .select(id_col)
     )
+    hits = fast.unionByName(slow).groupBy(id_col).agg(F.lit(True).alias(out))
     return records.join(hits, on=id_col, how="left").withColumn(
         out, F.coalesce(F.col(out), F.lit(False))
     )
@@ -222,21 +231,38 @@ def intersection_percent_by_area(
     features are disjoint (grid tiles — the sum of pairwise intersection
     areas equals the union area); 0.0 when no overlap
     (``terra.py:272-274``)."""
-    inter_area = K.st_intersection_area(F.col("_vg"), F.col(layer_geom))
     # make_valid once per ROW (idempotent, so per-pair repair in the
-    # reference collapses to this), bbox once per row
+    # reference collapses to this), bbox+boxy once per row; persisted
+    # because the fast and slow branches both scan it
     rec = records.select(
         id_col, K.st_makevalid(F.col(record_geom)).alias("_vg")
-    ).withColumn("_rb", K.st_bbox(F.col("_vg")))
-    lay = layer.select(layer_geom).withColumn("_lb", K.st_bbox(F.col(layer_geom)))
-    # no exact intersects prefilter: empty intersections have area 0 and
-    # can't change the sum, so candidates go straight to the
-    # intersection kernel — one Python pass instead of two
+    ).withColumn("_rx", K.st_bbox_boxy(F.col("_vg"))).persist()
+    lay = layer.select(layer_geom).withColumn(
+        "_lx", K.st_bbox_boxy(F.col(layer_geom))
+    )
+    cand = rec.join(
+        F.broadcast(lay), _bbox_overlap(F.col("_rx.bbox"), F.col("_lx.bbox"))
+    )
+    both_boxy = F.col("_rx.boxy") & F.col("_lx.boxy")
+    # boxy×boxy overlap area is closed-form over the bboxes — evaluated
+    # in whole-stage codegen, no Python; only curvy pairs hit the fused
+    # intersection-area kernel (no exact intersects prefilter there:
+    # empty intersections add 0 to the sum)
+    rb, lb = F.col("_rx.bbox"), F.col("_lx.bbox")
+    w = F.least(F.element_at(rb, 3), F.element_at(lb, 3)) - F.greatest(
+        F.element_at(rb, 1), F.element_at(lb, 1)
+    )
+    h = F.least(F.element_at(rb, 4), F.element_at(lb, 4)) - F.greatest(
+        F.element_at(rb, 2), F.element_at(lb, 2)
+    )
+    rect_area = F.when((w > 0) & (h > 0), w * h).otherwise(F.lit(0.0))
+    fast = cand.filter(both_boxy).select(id_col, rect_area.alias("_ia"))
+    slow = cand.filter(~both_boxy).select(
+        id_col,
+        K.st_intersection_area(F.col("_vg"), F.col(layer_geom)).alias("_ia"),
+    )
     per_pair = (
-        rec.join(F.broadcast(lay), _bbox_overlap(F.col("_rb"), F.col("_lb")))
-        .withColumn("_ia", inter_area)
-        .groupBy(id_col)
-        .agg(F.sum("_ia").alias("_zone_area"))
+        fast.unionByName(slow).groupBy(id_col).agg(F.sum("_ia").alias("_zone_area"))
     )
     joined = records.join(per_pair, on=id_col, how="left")
     ratio = F.coalesce(
