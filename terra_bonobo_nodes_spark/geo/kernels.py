@@ -229,6 +229,58 @@ def _st_bbox_boxy(g: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"bbox": bbs, "boxy": flags})
 
 
+_PREPARE_T = StructType(
+    [
+        StructField("geom", BinaryType()),
+        StructField("bbox", ArrayType(DoubleType())),
+        StructField("boxy", BooleanType()),
+        StructField("area", DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_PREPARE_T)
+def _st_prepare(g: pd.Series) -> pd.DataFrame:
+    """make_valid + bbox + boxy + area in ONE parse/write — the join
+    operators' per-row preparation fused so the record side crosses to
+    Python once instead of three times."""
+    geoms, bbs, flags, areas = [], [], [], []
+    for b in g:
+        try:
+            geom = ops.make_valid(W.parse_wkb(b))
+            bb = ops.bbox(geom) if geom is not None else None
+        except Exception:
+            geom, bb = None, None
+        if geom is None or bb is None:
+            geoms.append(W.write_wkb(W.POINT_EMPTY) if geom is None else W.write_wkb(geom))
+            bbs.append(None)
+            flags.append(False)
+            areas.append(0.0)
+            continue
+        geoms.append(W.write_wkb(geom))
+        bbs.append(list(bb))
+        flags.append(geom[0] == "Point" or ops.as_axis_rect(geom) is not None)
+        areas.append(ops.area(geom))
+    return pd.DataFrame({"geom": geoms, "bbox": bbs, "boxy": flags, "area": areas})
+
+
+@pandas_udf(BinaryType())
+def _st_make_polygon(xs: pd.Series, ys: pd.Series) -> pd.Series:
+    """Polygon from coordinate arrays (ring auto-closed) — the direct
+    constructor for synthesized shapes: no WKT formatting + reparsing,
+    one Python pass."""
+    out = []
+    for xv, yv in zip(xs, ys):
+        if xv is None or yv is None or len(xv) < 3:
+            out.append(W.write_wkb(W.POINT_EMPTY))
+            continue
+        ring = [(float(x), float(y)) for x, y in zip(xv, yv)]
+        if ring[0] != ring[-1]:
+            ring.append(ring[0])
+        out.append(W.write_wkb(("Polygon", [ring])))
+    return pd.Series(out)
+
+
 @pandas_udf(DoubleType())
 def _st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(
@@ -270,10 +322,18 @@ def _st_intersection_area(a: pd.Series, b: pd.Series) -> pd.Series:
     repair belongs upstream, once per ROW (operators apply
     st_makevalid before the join), not once per pair here."""
 
-    def f(x, y):
-        return ops.intersection_area(W.parse_wkb(x), W.parse_wkb(y))
+    # per-batch parse cache: the broadcast layer side repeats its few
+    # distinct WKBs across every candidate pair in the batch
+    cache: dict = {}
 
-    return pd.Series([f(x, y) for x, y in zip(a, b)])
+    def parse(by):
+        g = cache.get(by)
+        if g is None:
+            g = W.parse_wkb(by)
+            cache[by] = g
+        return g
+
+    return pd.Series([ops.intersection_area(parse(x), parse(y)) for x, y in zip(a, b)])
 
 
 @pandas_udf(BinaryType())
@@ -436,6 +496,17 @@ def st_bbox_boxy(g) -> Column:
     """struct<bbox: array<double>, boxy: boolean> — one parse per row;
     see the kernel docstring for the boxy fast-path contract."""
     return _st_bbox_boxy(_col(g))
+
+
+def st_prepare(g) -> Column:
+    """struct<geom, bbox, boxy, area>: make_valid + join-prep metadata
+    in a single kernel pass."""
+    return _st_prepare(_col(g))
+
+
+def st_make_polygon(xs, ys) -> Column:
+    """Single-ring polygon from x/y coordinate array columns."""
+    return _st_make_polygon(_col(xs), _col(ys))
 
 
 def st_distance(a, b) -> Column:

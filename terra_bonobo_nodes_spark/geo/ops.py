@@ -338,6 +338,184 @@ def is_convex(ring) -> bool:
     return True
 
 
+# --- triangulation (ear clipping with hole bridging) -------------------------
+
+
+def _open_ring(ring, ccw: bool) -> list:
+    """Ring → open 2D vertex list with consecutive duplicates dropped,
+    oriented CCW (ccw=True) or CW (holes)."""
+    pts = [tuple(p[:2]) for p in ring]
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts.pop()
+    out = []
+    for p in pts:
+        if not out or abs(p[0] - out[-1][0]) > EPS or abs(p[1] - out[-1][1]) > EPS:
+            out.append(p)
+    if len(out) > 1 and abs(out[0][0] - out[-1][0]) <= EPS and abs(out[0][1] - out[-1][1]) <= EPS:
+        out.pop()
+    if len(out) < 3:
+        return []
+    if (_ring_area2(out + [out[0]]) > 0) != ccw:
+        out.reverse()
+    return out
+
+
+def _cross(o, a, b) -> float:
+    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+
+def _pt_in_tri(p, a, b, c) -> bool:
+    """Strictly-ish inside (boundary within EPS does not count)."""
+    d1, d2, d3 = _cross(a, b, p), _cross(b, c, p), _cross(c, a, p)
+    return d1 > EPS and d2 > EPS and d3 > EPS
+
+
+def _pt_in_tri_on(p, a, b, c) -> bool:
+    """Inside-or-on-boundary (earcut's ear-blocking rule: a vertex ON
+    the candidate ear's edge blocks it — it may be a reflex corner the
+    boundary passes through)."""
+    d1, d2, d3 = _cross(a, b, p), _cross(b, c, p), _cross(c, a, p)
+    return d1 >= -EPS and d2 >= -EPS and d3 >= -EPS
+
+
+def _bridge_hole(outer: list, hole: list) -> list:
+    """Splice a CW hole into a CCW outer ring via a zero-width bridge
+    (David Eberly's visibility construction, simplified: cast +x ray
+    from the hole's max-x vertex, bridge to the best visible vertex of
+    the closest intersected outer edge)."""
+    mi = max(range(len(hole)), key=lambda i: (hole[i][0], hole[i][1]))
+    mx, my = hole[mi]
+    # closest intersection of the ray y=my, x>=mx with outer edges
+    best_t, best_edge, best_pt = float("inf"), None, None
+    n = len(outer)
+    for i in range(n):
+        x1, y1 = outer[i]
+        x2, y2 = outer[(i + 1) % n]
+        if (y1 > my + EPS and y2 > my + EPS) or (y1 < my - EPS and y2 < my - EPS):
+            continue
+        if abs(y2 - y1) <= EPS:
+            xi = min(x1, x2) if min(x1, x2) >= mx - EPS else max(x1, x2)
+        else:
+            t = (my - y1) / (y2 - y1)
+            if t < -EPS or t > 1 + EPS:
+                continue
+            xi = x1 + t * (x2 - x1)
+        if xi >= mx - EPS and xi - mx < best_t:
+            best_t, best_edge, best_pt = xi - mx, i, (xi, my)
+    if best_edge is None:
+        raise NotImplementedError("hole bridging failed: hole outside outer ring")
+    # candidate bridge target: the endpoint of the hit edge that lies in
+    # the +x half-plane; refine by reflex vertices inside tri(M, I, P)
+    x1, y1 = outer[best_edge]
+    x2, y2 = outer[(best_edge + 1) % n]
+    cand = best_edge if x1 >= x2 else (best_edge + 1) % n
+    m, ipt = (mx, my), best_pt
+    p = outer[cand]
+    best = cand
+    best_key = None
+    for j in range(n):
+        v = outer[j]
+        if v == p or v == m:
+            continue
+        prev, nxt = outer[j - 1], outer[(j + 1) % n]
+        reflex = _cross(prev, v, nxt) < -EPS
+        if reflex and (_pt_in_tri(v, m, ipt, p) or _pt_in_tri(v, m, p, ipt)):
+            d = math.hypot(v[0] - mx, v[1] - my)
+            ang = abs(v[1] - my) / max(d, EPS)
+            key = (ang, d)
+            if best_key is None or key < best_key:
+                best, best_key = j, key
+    # splice: outer[..best] + [outer[best]] + hole[mi..] + hole[..mi] +
+    # [hole[mi], outer[best]] continuing with outer[best+1..]
+    rotated_hole = hole[mi:] + hole[:mi]
+    return (
+        outer[: best + 1]
+        + rotated_hole
+        + [rotated_hole[0], outer[best]]
+        + outer[best + 1 :]
+    )
+
+
+def _ear_clip(poly: list) -> list:
+    """Ear-clipping triangulation of a weakly-simple CCW polygon
+    (bridge duplicates allowed). Returns closed CCW triangle rings.
+    O(n²) — polygon sizes here are operator-row sized, not dataset
+    sized."""
+    verts = list(poly)
+    tris = []
+    strict_rounds = 0
+    while len(verts) > 3:
+        n = len(verts)
+        clipped = False
+        for i in range(n):
+            a, b, c = verts[i - 1], verts[i], verts[(i + 1) % n]
+            if _cross(a, b, c) <= EPS:
+                continue
+            if any(
+                _pt_in_tri_on(v, a, b, c)
+                for v in verts
+                if v != a and v != b and v != c
+            ):
+                continue
+            tris.append([a, b, c, a])
+            del verts[i]
+            clipped = True
+            break
+        if not clipped:
+            # drop exactly-collinear ears (zero area) to break ties
+            for i in range(n):
+                a, b, c = verts[i - 1], verts[i], verts[(i + 1) % n]
+                if abs(_cross(a, b, c)) <= EPS:
+                    del verts[i]
+                    clipped = True
+                    break
+        if not clipped:
+            # last resort for degenerate boundary-touching inputs: allow
+            # ears blocked only by ON-boundary vertices (strict interior
+            # test); bounded so a truly broken ring still terminates
+            strict_rounds += 1
+            if strict_rounds > len(poly) + 3:
+                raise NotImplementedError("ear clipping failed to converge")
+            for i in range(n):
+                a, b, c = verts[i - 1], verts[i], verts[(i + 1) % n]
+                if _cross(a, b, c) <= EPS:
+                    continue
+                if any(
+                    _pt_in_tri(v, a, b, c)
+                    for v in verts
+                    if v != a and v != b and v != c
+                ):
+                    continue
+                tris.append([a, b, c, a])
+                del verts[i]
+                clipped = True
+                break
+            if not clipped:
+                raise NotImplementedError("ear clipping failed to converge")
+    if len(verts) == 3 and _cross(verts[0], verts[1], verts[2]) > EPS:
+        tris.append([verts[0], verts[1], verts[2], verts[0]])
+    return tris
+
+
+def triangulate(polys) -> list:
+    """Triangulate an iterable of polygon ring-lists (outer + holes)
+    into closed CCW triangle rings. Holes are spliced into the outer
+    ring by zero-width bridges, then ear-clipped; the triangle set is
+    an exact area dissection of the input region (components must not
+    overlap each other — run make_valid first)."""
+    tris = []
+    for rings in polys:
+        outer = _open_ring(rings[0], ccw=True)
+        if not outer:
+            continue
+        holes = [h for h in (_open_ring(r, ccw=False) for r in rings[1:]) if h]
+        # bridge holes right-to-left so earlier bridges can't block later rays
+        for hole in sorted(holes, key=lambda h: -max(p[0] for p in h)):
+            outer = _bridge_hole(outer, hole)
+        tris.extend(_ear_clip(outer))
+    return tris
+
+
 # --- clipping / overlay ------------------------------------------------------
 
 
@@ -408,21 +586,129 @@ def rect_overlap_area(
     return w * h if w > 0 and h > 0 else 0.0
 
 
+_RECTIL_CACHE: dict = {}
+_RECTIL_CACHE_MAX = 4096
+
+
+def rectilinear_rects(g: Geom | None) -> list | None:
+    """Decompose a RECTILINEAR polygon/multipolygon (every edge axis-
+    parallel; holes fine) into disjoint axis rects via vertical-slab
+    sweep with parity fill — or None when g isn't rectilinear. Memoized
+    (layer dictionaries repeat across join pairs)."""
+    if g is None or g[0] not in ("Polygon", "MultiPolygon"):
+        return None
+    key = tuple(
+        tuple(tuple(p[:2]) for p in ring)
+        for rings in _polygons(g)
+        for ring in rings
+    )
+    hit = _RECTIL_CACHE.get(key)
+    if hit is not None:
+        return hit or None  # [] sentinel = known non-rectilinear
+    rects = []
+    for rings in _polygons(g):
+        hedges = []
+        xs = set()
+        for r in rings:
+            for (x1, y1, *_), (x2, y2, *_) in zip(r, r[1:]):
+                if abs(x1 - x2) > EPS and abs(y1 - y2) > EPS:
+                    if len(_RECTIL_CACHE) >= _RECTIL_CACHE_MAX:
+                        _RECTIL_CACHE.clear()
+                    _RECTIL_CACHE[key] = []
+                    return None
+                if abs(y1 - y2) <= EPS and abs(x1 - x2) > EPS:
+                    hedges.append((min(x1, x2), max(x1, x2), y1))
+                xs.add(x1)
+                xs.add(x2)
+        for x0, x1 in zip(*(lambda s: (s, s[1:]))(sorted(xs))):
+            if x1 - x0 <= EPS:
+                continue
+            xm = (x0 + x1) / 2.0
+            ys = sorted(y for (e0, e1, y) in hedges if e0 < xm < e1)
+            for ya, yb in zip(ys[::2], ys[1::2]):
+                if yb - ya > EPS:
+                    rects.append((x0, ya, x1, yb))
+    if len(_RECTIL_CACHE) >= _RECTIL_CACHE_MAX:
+        _RECTIL_CACHE.clear()
+    _RECTIL_CACHE[key] = rects
+    return rects
+
+
 def intersection_area(a: Geom | None, b: Geom | None) -> float:
-    """area(intersection(a, b)) with an O(1) fast path when both sides
-    are axis-aligned rectangles (no ring clipping, no allocation)."""
+    """area(intersection(a, b)) with closed-form fast paths: O(1) when
+    both sides are axis rects; O(ra·rb) summed rect overlaps when both
+    are rectilinear (L-shapes, grid unions, staircases). Everything
+    else goes through the clipping overlay."""
     ra, rb = as_axis_rect(a), as_axis_rect(b)
     if ra is not None and rb is not None:
         return rect_overlap_area(ra, rb)
+    if a is None or b is None:
+        return 0.0
+    da, db = rectilinear_rects(a), rectilinear_rects(b)
+    if da is not None and db is not None:
+        return sum(
+            rect_overlap_area(x, y) for x in da for y in db
+        )
     return area(intersection(a, b))
 
 
+def _clip_poly_by_ring(subject_rings, clip_ring) -> list | None:
+    """Clip one polygon (outer + holes) by a convex ring → ring-list or
+    None when the outer vanishes."""
+    outer = _clip_ring_convex(subject_rings[0], clip_ring)
+    if not outer or abs(_ring_area2(outer)) <= EPS:
+        return None
+    rings = [outer]
+    for hole in subject_rings[1:]:
+        clipped_hole = _clip_ring_convex(hole, clip_ring)
+        if clipped_hole and abs(_ring_area2(clipped_hole)) > EPS:
+            rings.append(clipped_hole)
+    return rings
+
+
+_TRI_CACHE: dict = {}
+_TRI_CACHE_MAX = 4096
+
+
+def _triangulate_cached(region_polys) -> list:
+    """Memoized triangulate: layer geometries repeat across millions of
+    join pairs (110 tiles × 15k records), so the ear-clip cost is paid
+    once per DISTINCT region, not per pair. Bounded; evicts wholesale
+    (workloads cycle through a small dictionary of layer shapes)."""
+    key = tuple(
+        tuple(tuple(p[:2]) for p in ring) for rings in region_polys for ring in rings
+    )
+    tris = _TRI_CACHE.get(key)
+    if tris is None:
+        if len(_TRI_CACHE) >= _TRI_CACHE_MAX:
+            _TRI_CACHE.clear()
+        tris = triangulate(region_polys)
+        _TRI_CACHE[key] = tris
+    return tris
+
+
+def _clip_polys_by_region(subject_polys, region_polys) -> list:
+    """subject ∩ region as a dissection: triangulate the region, clip
+    every subject polygon by every triangle (convex). Pieces are
+    disjoint (triangles are), so their summed area is exact."""
+    pieces = []
+    for tri in _triangulate_cached(region_polys):
+        for pa in subject_polys:
+            rings = _clip_poly_by_ring(pa, tri)
+            if rings:
+                pieces.append(rings)
+    return pieces
+
+
 def intersection(a: Geom | None, b: Geom | None) -> Geom:
-    """``ST_Intersection`` subset: points x anything; polygon x polygon
-    where at least one side is convex (grid tiles, envelopes, subdivision
-    cells — the reference's clip-to-layer workloads, ``terra.py:266-274``).
-    General concave-concave overlay raises NotImplementedError (scale
-    path: Sedona)."""
+    """``ST_Intersection`` for points and polygons (the reference's
+    clip-to-layer workloads, ``terra.py:266-274``). Fast paths: point ×
+    anything; polygon × polygon with one convex hole-free side (grid
+    tiles, envelopes, subdivision cells) → a single Sutherland-Hodgman
+    clip. General concave×concave (holes allowed): triangulate the
+    smaller side and clip by each triangle — the result is an
+    area-exact DISSECTION of the true intersection (a MultiPolygon of
+    adjacent pieces, not a merged boundary)."""
     if a is None or b is None or is_empty(a) or is_empty(b):
         return POINT_EMPTY
     ka, kb = a[0], b[0]
@@ -437,6 +723,7 @@ def intersection(a: Geom | None, b: Geom | None) -> Geom:
     if not a_polys or not b_polys:
         raise NotImplementedError(f"intersection({ka}, {kb})")
     out = []
+    general = []
     for pa in a_polys:
         for pb in b_polys:
             if len(pb) == 1 and is_convex(pb[0]):
@@ -444,18 +731,17 @@ def intersection(a: Geom | None, b: Geom | None) -> Geom:
             elif len(pa) == 1 and is_convex(pa[0]):
                 subject, clip = pb, pa[0]
             else:
-                raise NotImplementedError(
-                    "polygon intersection requires one convex hole-free side"
-                )
-            outer = _clip_ring_convex(subject[0], clip)
-            if not outer:
+                general.append((pa, pb))
                 continue
-            rings = [outer]
-            for hole in subject[1:]:
-                clipped_hole = _clip_ring_convex(hole, clip)
-                if clipped_hole:
-                    rings.append(clipped_hole)
-            out.append(rings)
+            rings = _clip_poly_by_ring(subject, clip)
+            if rings:
+                out.append(rings)
+    for pa, pb in general:
+        # triangulate the side with fewer vertices
+        na = sum(len(r) for r in pa)
+        nb = sum(len(r) for r in pb)
+        subject, region = (pa, pb) if nb <= na else (pb, pa)
+        out.extend(_clip_polys_by_region([subject], [region]))
     if not out:
         return POINT_EMPTY
     return ("Polygon", out[0]) if len(out) == 1 else ("MultiPolygon", out)
@@ -474,11 +760,14 @@ def contains(a: Geom, b: Geom) -> bool:
 
 
 def difference(a: Geom | None, b: Geom | None) -> Geom:
-    """``ST_Difference`` subset (IsochroneSubstraction,
-    ``common.py:522-532``): exact when b is disjoint from a (-> a),
-    when b contains a (-> EMPTY), or when b is a hole-free polygon
-    strictly inside a hole-free polygon a (-> polygon with hole).
-    Points subtract exactly."""
+    """``ST_Difference`` (IsochroneSubstraction, ``common.py:522-532``).
+    Exact merged output when b is disjoint from a (-> a), b contains a
+    (-> EMPTY), or b sits strictly inside a hole-free a (-> polygon
+    with hole). Points subtract exactly. The general partial-overlap
+    case computes a ∩ complement(b): b is clipped to a frame rectangle
+    around a, the frame-with-b-as-holes region (plus b's own holes as
+    solid islands) is triangulated, and a is clipped by each triangle —
+    an area-exact dissection, like general ``intersection``."""
     if a is None or is_empty(a):
         return POINT_EMPTY
     if b is None or is_empty(b):
@@ -494,16 +783,50 @@ def difference(a: Geom | None, b: Geom | None) -> Geom:
         return POINT_EMPTY
     a_polys, b_polys = list(_polygons(a)), list(_polygons(b))
     if a_polys and b_polys and len(a_polys) == 1 and len(a_polys[0]) == 1:
-        rings = list(a_polys[0])
-        for pb in b_polys:
-            if len(pb) == 1 and contains(a, ("Polygon", pb)):
+        if all(len(pb) == 1 and contains(a, ("Polygon", pb)) for pb in b_polys):
+            rings = list(a_polys[0])
+            for pb in b_polys:
                 hole = pb[0]
                 # hole orientation opposite to outer
-                rings.append(hole[::-1] if _ring_area2(hole) * _ring_area2(rings[0]) > 0 else hole)
-            else:
-                raise NotImplementedError("difference: partial overlap")
-        return ("Polygon", rings)
-    raise NotImplementedError(f"difference({a[0]}, {b[0]})")
+                rings.append(
+                    hole[::-1]
+                    if _ring_area2(hole) * _ring_area2(rings[0]) > 0
+                    else hole
+                )
+            return ("Polygon", rings)
+    if not a_polys or not b_polys:
+        raise NotImplementedError(f"difference({a[0]}, {b[0]})")
+    # general: a ∩ complement(b) within a frame box around a
+    bb = bbox(a)
+    pad = max(1.0, (bb[2] - bb[0]) + (bb[3] - bb[1]))
+    fx0, fy0, fx1, fy1 = bb[0] - pad, bb[1] - pad, bb[2] + pad, bb[3] + pad
+    frame_ring = [
+        (fx0, fy0), (fx1, fy0), (fx1, fy1), (fx0, fy1), (fx0, fy0)
+    ]
+    # clip b to a rect STRICTLY inside the frame (so punched holes never
+    # touch the frame ring — bridging stays non-degenerate); the
+    # artificial cut boundary lies outside bbox(a), where a has nothing
+    h = pad / 2.0
+    inner_ring = [
+        (bb[0] - h, bb[1] - h),
+        (bb[2] + h, bb[1] - h),
+        (bb[2] + h, bb[3] + h),
+        (bb[0] - h, bb[3] + h),
+        (bb[0] - h, bb[1] - h),
+    ]
+    comp = [frame_ring]
+    islands = []
+    for pb in b_polys:
+        clipped = _clip_poly_by_ring(pb, inner_ring)
+        if clipped is None:
+            continue
+        comp.append(clipped[0])
+        for hole in clipped[1:]:
+            islands.append([hole])
+    pieces = _clip_polys_by_region(a_polys, [comp] + islands)
+    if not pieces:
+        return POINT_EMPTY
+    return ("Polygon", pieces[0]) if len(pieces) == 1 else ("MultiPolygon", pieces)
 
 
 def union_collect(geoms) -> Geom:

@@ -231,12 +231,13 @@ def intersection_percent_by_area(
     features are disjoint (grid tiles — the sum of pairwise intersection
     areas equals the union area); 0.0 when no overlap
     (``terra.py:272-274``)."""
-    # make_valid once per ROW (idempotent, so per-pair repair in the
-    # reference collapses to this), bbox+boxy once per row; persisted
+    # ONE fused kernel pass prepares the record side: make_valid
+    # (idempotent, so the reference's per-pair repair collapses to
+    # per-row), bbox, boxy flag, and the area denominator; persisted
     # because the fast and slow branches both scan it
     rec = records.select(
-        id_col, K.st_makevalid(F.col(record_geom)).alias("_vg")
-    ).withColumn("_rx", K.st_bbox_boxy(F.col("_vg"))).persist()
+        id_col, K.st_prepare(F.col(record_geom)).alias("_rx")
+    ).persist()
     lay = layer.select(layer_geom).withColumn(
         "_lx", K.st_bbox_boxy(F.col(layer_geom))
     )
@@ -256,19 +257,24 @@ def intersection_percent_by_area(
         F.element_at(rb, 2), F.element_at(lb, 2)
     )
     rect_area = F.when((w > 0) & (h > 0), w * h).otherwise(F.lit(0.0))
-    fast = cand.filter(both_boxy).select(id_col, rect_area.alias("_ia"))
+    fast = cand.filter(both_boxy).select(
+        id_col, rect_area.alias("_ia"), F.col("_rx.area").alias("_ra")
+    )
     slow = cand.filter(~both_boxy).select(
         id_col,
-        K.st_intersection_area(F.col("_vg"), F.col(layer_geom)).alias("_ia"),
+        K.st_intersection_area(F.col("_rx.geom"), F.col(layer_geom)).alias("_ia"),
+        F.col("_rx.area").alias("_ra"),
     )
+    # the area denominator rides through the aggregate (constant per
+    # id), so no extra kernel pass over the records after the join
     per_pair = (
-        fast.unionByName(slow).groupBy(id_col).agg(F.sum("_ia").alias("_zone_area"))
+        fast.unionByName(slow)
+        .groupBy(id_col)
+        .agg(F.sum("_ia").alias("_zone_area"), F.max("_ra").alias("_ra"))
     )
     joined = records.join(per_pair, on=id_col, how="left")
-    ratio = F.coalesce(
-        F.col("_zone_area") / K.st_area(F.col(record_geom)), F.lit(0.0)
-    )
-    return joined.withColumn(out, ratio).drop("_zone_area")
+    ratio = F.coalesce(F.col("_zone_area") / F.col("_ra"), F.lit(0.0))
+    return joined.withColumn(out, ratio).drop("_zone_area", "_ra")
 
 
 def intersection_geom(
@@ -283,15 +289,12 @@ def intersection_geom(
     geometry to the layer — the unioned (collected) intersection
     replaces the geometry. Records with no overlap get POINT EMPTY
     (kernel convention for empty results)."""
-    inter = K.st_intersection(F.col("_vg"), F.col(layer_geom))
-    rec = records.select(
-        id_col, K.st_makevalid(F.col(record_geom)).alias("_vg")
-    ).withColumn("_rb", K.st_bbox(F.col("_vg")))
+    rec = records.select(id_col, K.st_prepare(F.col(record_geom)).alias("_rx"))
     lay = layer.select(layer_geom).withColumn("_lb", K.st_bbox(F.col(layer_geom)))
     zones = (
-        rec.join(F.broadcast(lay), _bbox_overlap(F.col("_rb"), F.col("_lb")))
-        .filter(K.st_intersects(F.col("_vg"), F.col(layer_geom)))
-        .withColumn("_zone", inter)
+        rec.join(F.broadcast(lay), _bbox_overlap(F.col("_rx.bbox"), F.col("_lb")))
+        .filter(K.st_intersects(F.col("_rx.geom"), F.col(layer_geom)))
+        .withColumn("_zone", K.st_intersection(F.col("_rx.geom"), F.col(layer_geom)))
         .groupBy(id_col)
         .agg(K.st_collect_agg(F.col("_zone")).alias("_zone"))
     )

@@ -40,22 +40,12 @@ def _customer_rects(spark: SparkSession, sf_dir: str, half: float = 3.0) -> Data
         (F.col("c_custkey") % 100).cast("double").alias("cy"),
     )
     h = F.lit(half)
-    wkt = F.concat(
-        F.lit("POLYGON (("),
-        (F.col("cx") - h).cast("string"), F.lit(" "), (F.col("cy") - h).cast("string"),
-        F.lit(", "),
-        (F.col("cx") + h).cast("string"), F.lit(" "), (F.col("cy") - h).cast("string"),
-        F.lit(", "),
-        (F.col("cx") + h).cast("string"), F.lit(" "), (F.col("cy") + h).cast("string"),
-        F.lit(", "),
-        (F.col("cx") - h).cast("string"), F.lit(" "), (F.col("cy") + h).cast("string"),
-        F.lit(", "),
-        (F.col("cx") - h).cast("string"), F.lit(" "), (F.col("cy") - h).cast("string"),
-        F.lit("))"),
+    cx, cy = F.col("cx"), F.col("cy")
+    geom = K.st_make_polygon(
+        F.array(cx - h, cx + h, cx + h, cx - h),
+        F.array(cy - h, cy - h, cy + h, cy + h),
     )
-    return cust.select(
-        F.col("c_custkey").alias("identifier"), K.st_geomfromtext(wkt).alias("geom")
-    )
+    return cust.select(F.col("c_custkey").alias("identifier"), geom.alias("geom"))
 
 
 def _tile_layer(spark: SparkSession) -> DataFrame:
@@ -63,16 +53,11 @@ def _tile_layer(spark: SparkSession) -> DataFrame:
     t = spark.range(110)
     x0 = ((F.col("id") % 10) * 10 - 100).cast("double")
     y0 = ((F.col("id") / 10).cast("long") * 10 - 10).cast("double")
-    wkt = F.concat(
-        F.lit("POLYGON (("),
-        x0.cast("string"), F.lit(" "), y0.cast("string"), F.lit(", "),
-        (x0 + 10).cast("string"), F.lit(" "), y0.cast("string"), F.lit(", "),
-        (x0 + 10).cast("string"), F.lit(" "), (y0 + 10).cast("string"), F.lit(", "),
-        x0.cast("string"), F.lit(" "), (y0 + 10).cast("string"), F.lit(", "),
-        x0.cast("string"), F.lit(" "), y0.cast("string"),
-        F.lit("))"),
+    geom = K.st_make_polygon(
+        F.array(x0, x0 + 10, x0 + 10, x0),
+        F.array(y0, y0, y0 + 10, y0 + 10),
     )
-    return t.select(K.st_geomfromtext(wkt).alias("layer_geom"))
+    return t.select(geom.alias("layer_geom"))
 
 
 TILES_SQL = """
@@ -87,6 +72,48 @@ rect AS (
   SELECT c_custkey, (c_acctbal % 100.0) AS cx,
          CAST(c_custkey % 100 AS DOUBLE) AS cy
   FROM customer)
+"""
+
+
+def _customer_ells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concave L per customer: 4x2 base + 2x2 tower (area 12)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal") % 100.0).alias("cx"),
+        (F.col("c_custkey") % 100).cast("double").alias("cy"),
+    )
+    cx, cy = F.col("cx"), F.col("cy")
+    geom = K.st_make_polygon(
+        F.array(cx, cx + 4, cx + 4, cx + 2, cx + 2, cx),
+        F.array(cy, cy, cy + 2, cy + 2, cy + 4, cy + 4),
+    )
+    return cust.select(F.col("c_custkey").alias("identifier"), geom.alias("geom"))
+
+
+def _ell_tile_layer(spark: SparkSession) -> DataFrame:
+    """Concave L tiles on the 10-grid: 10x5 base + 5x5 tower (area 75)."""
+    t = spark.range(110)
+    x0 = ((F.col("id") % 10) * 10 - 100).cast("double")
+    y0 = ((F.col("id") / 10).cast("long") * 10 - 10).cast("double")
+    geom = K.st_make_polygon(
+        F.array(x0, x0 + 10, x0 + 10, x0 + 5, x0 + 5, x0),
+        F.array(y0, y0, y0 + 5, y0 + 5, y0 + 10, y0 + 10),
+    )
+    return t.select(geom.alias("layer_geom"))
+
+
+ELLS_SQL = """
+lrec AS (
+  SELECT c_custkey, cx AS rx0, cy AS ry0, cx + 4 AS rx1, cy + 2 AS ry1 FROM rect
+  UNION ALL
+  SELECT c_custkey, cx, cy + 2, cx + 2, cy + 4 FROM rect)
+"""
+
+ELL_TILES_SQL = """
+ltile AS (
+  SELECT x0 AS tx0, y0 AS ty0, x0 + 10 AS tx1, y0 + 5 AS ty1 FROM tiles
+  UNION ALL
+  SELECT x0, y0 + 5, x0 + 5, y0 + 10 FROM tiles)
 """
 
 
@@ -389,6 +416,43 @@ def j2_intersection_percent_by_area(spark: SparkSession, sf_dir: str) -> DataFra
     rects = _customer_rects(spark, sf_dir)
     layer = _tile_layer(spark)
     out = intersection_percent_by_area(rects, layer)
+    return out.select(
+        F.col("identifier").cast("long").alias("c_custkey"),
+        F.round("intersection_percent", 6).alias("intersection_percent"),
+    )
+
+
+# --- J2 general overlay: concave x concave percent-by-area ------------------
+
+
+@register(
+    "j2_concave_overlay_percent",
+    oracle=f"""
+WITH {RECTS_SQL.strip()}, {TILES_SQL.strip()}, {ELLS_SQL.strip()}, {ELL_TILES_SQL.strip()},
+ov AS (
+  SELECT l.c_custkey,
+         greatest(0, least(l.rx1, t.tx1) - greatest(l.rx0, t.tx0))
+       * greatest(0, least(l.ry1, t.ty1) - greatest(l.ry0, t.ty0)) AS a
+  FROM lrec l CROSS JOIN ltile t)
+SELECT r.c_custkey,
+       round(coalesce(s.total, 0.0) / 12.0, 6) AS intersection_percent
+FROM rect r LEFT JOIN
+  (SELECT c_custkey, sum(a) AS total FROM ov WHERE a > 1e-12 GROUP BY c_custkey) s
+  USING (c_custkey)
+""",
+    headline=True,
+    tags=("J2", "overlay"),
+)
+def j2_concave_overlay_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IntersectionPercentByArea where BOTH sides are concave L-shapes —
+    neither boxy nor convex, so every candidate pair goes through the
+    general triangulated overlay (ear-clip the smaller side, clip by
+    each triangle). The oracle decomposes each L into its two component
+    rects and sums pairwise rect overlaps — closed-form ground truth
+    for the dissection's area."""
+    out = intersection_percent_by_area(
+        _customer_ells(spark, sf_dir), _ell_tile_layer(spark)
+    )
     return out.select(
         F.col("identifier").cast("long").alias("c_custkey"),
         F.round("intersection_percent", 6).alias("intersection_percent"),

@@ -172,10 +172,12 @@ class TestOverlay:
         assert ops.intersection(("Point", (1.0, 1.0)), SQUARE) == ("Point", (1.0, 1.0))
         assert W.is_empty(ops.intersection(("Point", (9.0, 9.0)), SQUARE))
 
-    def test_intersection_concave_concave_raises(self):
+    def test_intersection_concave_concave(self):
+        # l2 is concave and sits inside LSHAPE (slanted left edge), so
+        # the general triangulated overlay must return exactly area(l2)
         l2 = ("Polygon", [[(0.0, 0.0), (3.0, 0.0), (3.0, 1.0), (1.0, 1.0), (1.0, 3.0), (0.5, 3.0), (0.0, 0.0)]])
-        with pytest.raises(NotImplementedError):
-            ops.intersection(LSHAPE, l2)
+        assert abs(ops.area(l2) - 4.25) < 1e-12
+        assert abs(ops.area(ops.intersection(LSHAPE, l2)) - 4.25) < 1e-9
 
     def test_difference_hole(self):
         inner = ("Polygon", [[(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0)]])
@@ -280,3 +282,141 @@ def test_rect_fast_path_matches_general_clip():
     # rotated square has 2 distinct xs/ys per vertex -> not axis-aligned
     rot = ("Polygon", [[(1.0, 0.0), (2.0, 1.0), (1.0, 2.0), (0.0, 1.0), (1.0, 0.0)]])
     assert ops.as_axis_rect(rot) is None
+
+
+def _rect(x0, y0, x1, y1):
+    return ("Polygon", [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]])
+
+
+def _ell(cx, cy):
+    """Concave L at (cx, cy): 2x1 base + 1x1 top-left tower, area 3."""
+    return (
+        "Polygon",
+        [[
+            (cx, cy), (cx + 2, cy), (cx + 2, cy + 1), (cx + 1, cy + 1),
+            (cx + 1, cy + 2), (cx, cy + 2), (cx, cy),
+        ]],
+    )
+
+
+class TestTriangulate:
+    def test_convex(self):
+        tris = ops.triangulate([_rect(0, 0, 4, 2)[1]])
+        assert len(tris) == 2
+        assert abs(sum(abs(ops._ring_area2(t)) / 2 for t in tris) - 8.0) < 1e-9
+
+    def test_concave(self):
+        tris = ops.triangulate([_ell(0, 0)[1]])
+        assert abs(sum(abs(ops._ring_area2(t)) / 2 for t in tris) - 3.0) < 1e-9
+
+    def test_with_hole(self):
+        rings = [_rect(0, 0, 10, 10)[1][0], _rect(3, 3, 5, 5)[1][0]]
+        tris = ops.triangulate([rings])
+        total = sum(abs(ops._ring_area2(t)) / 2 for t in tris)
+        assert abs(total - 96.0) < 1e-9
+
+    def test_two_holes(self):
+        rings = [
+            _rect(0, 0, 10, 10)[1][0],
+            _rect(1, 1, 2, 2)[1][0],
+            _rect(6, 4, 8, 7)[1][0],
+        ]
+        tris = ops.triangulate([rings])
+        total = sum(abs(ops._ring_area2(t)) / 2 for t in tris)
+        assert abs(total - (100.0 - 1.0 - 6.0)) < 1e-9
+
+
+class TestGeneralOverlay:
+    def test_concave_concave_intersection_area(self):
+        # two Ls overlapping: analytic overlap computed from their
+        # component rects: L(0,0)=base [0,2]x[0,1] + tower [0,1]x[1,2];
+        # L(1,0): base [1,3]x[0,1] + tower [1,2]x[1,2]
+        a, b = _ell(0, 0), _ell(1, 0)
+        expect = 1.0 + 0.0 + 0.0 + 0.0  # base∩base=[1,2]x[0,1]; towers disjoint
+        got = ops.area(ops.intersection(a, b))
+        assert abs(got - expect) < 1e-9
+
+    def test_concave_concave_overlapping_towers(self):
+        a, b = _ell(0, 0), _ell(0.5, 0.5)
+        # components: a_base [0,2]x[0,1], a_tow [0,1]x[1,2],
+        #             b_base [.5,2.5]x[.5,1.5], b_tow [.5,1.5]x[1.5,2.5]
+        expect = (
+            (2 - 0.5) * (1 - 0.5)          # a_base ∩ b_base
+            + (1 - 0.5) * (1.5 - 1)        # a_tow ∩ b_base
+            + (1 - 0.5) * (2 - 1.5)        # a_tow ∩ b_tow
+        )
+        got = ops.area(ops.intersection(a, b))
+        assert abs(got - expect) < 1e-9
+        # symmetric
+        assert abs(ops.area(ops.intersection(b, a)) - expect) < 1e-9
+
+    def test_concave_with_hole_intersection(self):
+        donut = ("Polygon", [_rect(0, 0, 6, 6)[1][0], _rect(2, 2, 4, 4)[1][0]])
+        ell = _ell(1, 1)  # area-3 L inside the donut region, overlapping hole
+        # L components: base [1,3]x[1,2] + tower [1,2]x[2,3]
+        # hole [2,4]x[2,4] removes base∩hole=0 ([1,3]x[1,2] vs y>=2 → line)
+        # and tower∩hole=[2,2]x... tower x in [1,2] touches hole x>=2 → 0
+        expect = 3.0
+        got = ops.area(ops.intersection(donut, ell))
+        assert abs(got - expect) < 1e-9
+        # shift the L so it dips into the hole
+        ell2 = _ell(2, 2)  # base [2,4]x[2,3], tower [2,3]x[3,4] — fully in hole
+        assert abs(ops.area(ops.intersection(donut, ell2))) < 1e-9
+
+    def test_difference_partial_overlap(self):
+        a, b = _rect(0, 0, 4, 4), _rect(2, 2, 6, 6)
+        got = ops.area(ops.difference(a, b))
+        assert abs(got - (16.0 - 4.0)) < 1e-9
+
+    def test_difference_concave(self):
+        a, b = _ell(0, 0), _rect(0, 0, 1, 1)
+        got = ops.area(ops.difference(a, b))
+        assert abs(got - 2.0) < 1e-9
+
+    def test_difference_b_with_hole(self):
+        # subtracting a donut keeps the donut's hole region of a
+        donut = ("Polygon", [_rect(1, 1, 5, 5)[1][0], _rect(2, 2, 4, 4)[1][0]])
+        a = _rect(0, 0, 6, 6)
+        got = ops.area(ops.difference(a, donut))
+        assert abs(got - (36.0 - 12.0)) < 1e-9
+
+    def test_difference_area_identity(self):
+        # area(a \ b) == area(a) - area(a ∩ b) for assorted pairs
+        pairs = [
+            (_ell(0, 0), _ell(0.5, 0.25)),
+            (_rect(0, 0, 3, 3), _ell(1, 1)),
+            (_ell(0, 0), _rect(-1, -1, 0.75, 0.75)),
+        ]
+        for a, b in pairs:
+            lhs = ops.area(ops.difference(a, b))
+            rhs = ops.area(a) - ops.area(ops.intersection(a, b))
+            assert abs(lhs - rhs) < 1e-9, (a, b, lhs, rhs)
+
+
+class TestRectilinearDecomposition:
+    def test_rect(self):
+        assert sorted(ops.rectilinear_rects(_rect(0, 0, 2, 3))) == [(0, 0, 2, 3)]
+
+    def test_ell(self):
+        rects = ops.rectilinear_rects(_ell(0, 0))
+        total = sum((x1 - x0) * (y1 - y0) for x0, y0, x1, y1 in rects)
+        assert abs(total - 3.0) < 1e-12
+
+    def test_with_hole(self):
+        g = ("Polygon", [_rect(0, 0, 10, 10)[1][0], _rect(3, 3, 5, 5)[1][0]])
+        rects = ops.rectilinear_rects(g)
+        total = sum((x1 - x0) * (y1 - y0) for x0, y0, x1, y1 in rects)
+        assert abs(total - 96.0) < 1e-12
+
+    def test_non_rectilinear(self):
+        tri = ("Polygon", [[(0.0, 0.0), (4.0, 0.0), (0.0, 4.0), (0.0, 0.0)]])
+        assert ops.rectilinear_rects(tri) is None
+        # and the negative result is cached without poisoning positives
+        assert ops.rectilinear_rects(tri) is None
+        assert ops.rectilinear_rects(_ell(0, 0)) is not None
+
+    def test_area_agrees_with_general_overlay(self):
+        a, b = _ell(0, 0), _ell(0.5, 0.5)
+        fast = ops.intersection_area(a, b)
+        general = ops.area(ops.intersection(a, b))
+        assert abs(fast - general) < 1e-9
