@@ -422,6 +422,21 @@ def _st_collect_agg(g: pd.Series) -> bytes:
     return W.write_wkb(ops.union_collect(W.parse_wkb(b) for b in g))
 
 
+@pandas_udf(BinaryType())
+def _st_union_agg(g: pd.Series) -> bytes:
+    """GROUPED_AGG: TRUE geometric union (overlaps dissolved) as a
+    disjoint-piece dissection — the faithful ``UnionOnProperty``
+    cascaded ``|=`` (``common.py:557-564``) for overlapping inputs."""
+    return W.write_wkb(ops.union_dissolve(W.parse_wkb(b) for b in g))
+
+
+@pandas_udf(DoubleType())
+def _st_union_area_agg(g: pd.Series) -> float:
+    """GROUPED_AGG: area of the true union, with an exact grid-count
+    path for rectilinear inputs (no clipping at all)."""
+    return ops.union_area(W.parse_wkb(b) for b in g)
+
+
 # --- public column API -------------------------------------------------------
 
 
@@ -555,3 +570,13 @@ def st_subdivide(g, max_vertices: int = 256) -> Column:
 
 def st_collect_agg(g) -> Column:
     return _st_collect_agg(_col(g))
+
+
+def st_union_agg(g) -> Column:
+    """True geometric union aggregate (dissolved, dissected pieces)."""
+    return _st_union_agg(_col(g))
+
+
+def st_union_area_agg(g) -> Column:
+    """Area of the true union of the group's geometries."""
+    return _st_union_area_agg(_col(g))

@@ -796,6 +796,53 @@ def difference(a: Geom | None, b: Geom | None) -> Geom:
             return ("Polygon", rings)
     if not a_polys or not b_polys:
         raise NotImplementedError(f"difference({a[0]}, {b[0]})")
+    # rectilinear b: the complement inside a frame around a is a set of
+    # axis-aligned cells (coordinate-compressed grid, row-merged) — each
+    # convex, so no triangulation and no hole bridging. This also keeps
+    # cascaded unions robust: accumulated dissection pieces TOUCH along
+    # shared edges, which the bridged-ear-clip path cannot handle.
+    rb_rects = rectilinear_rects(b)
+    if rb_rects is not None:
+        bb = bbox(a)
+        fx0, fy0, fx1, fy1 = bb[0] - 1.0, bb[1] - 1.0, bb[2] + 1.0, bb[3] + 1.0
+        clamped = []
+        for x0, y0, x1, y1 in rb_rects:
+            x0, y0 = max(x0, fx0), max(y0, fy0)
+            x1, y1 = min(x1, fx1), min(y1, fy1)
+            if x1 - x0 > EPS and y1 - y0 > EPS:
+                clamped.append((x0, y0, x1, y1))
+        xs = sorted({fx0, fx1, *(v for r in clamped for v in (r[0], r[2]))})
+        ys = sorted({fy0, fy1, *(v for r in clamped for v in (r[1], r[3]))})
+        xi = {v: i for i, v in enumerate(xs)}
+        yi = {v: i for i, v in enumerate(ys)}
+        covered = set()
+        for x0, y0, x1, y1 in clamped:
+            for i in range(xi[x0], xi[x1]):
+                for j in range(yi[y0], yi[y1]):
+                    covered.add((i, j))
+        pieces = []
+        for j in range(len(ys) - 1):
+            i = 0
+            while i < len(xs) - 1:
+                if (i, j) in covered:
+                    i += 1
+                    continue
+                i0 = i
+                while i < len(xs) - 1 and (i, j) not in covered:
+                    i += 1
+                ring = [
+                    (xs[i0], ys[j]), (xs[i], ys[j]),
+                    (xs[i], ys[j + 1]), (xs[i0], ys[j + 1]), (xs[i0], ys[j]),
+                ]
+                for pa in a_polys:
+                    rings = _clip_poly_by_ring(pa, ring)
+                    if rings:
+                        pieces.append(rings)
+        if not pieces:
+            return POINT_EMPTY
+        return (
+            ("Polygon", pieces[0]) if len(pieces) == 1 else ("MultiPolygon", pieces)
+        )
     # general: a ∩ complement(b) within a frame box around a
     bb = bbox(a)
     pad = max(1.0, (bb[2] - bb[0]) + (bb[3] - bb[1]))
@@ -855,6 +902,58 @@ def union_collect(geoms) -> Geom:
         else:
             flat.append(g)
     return ("GeometryCollection", flat)
+
+
+def union_dissolve(geoms) -> Geom:
+    """TRUE geometric union of polygons (PostGIS ``ST_Union`` agg; the
+    reference's ``UnionOnProperty`` cascaded ``|=``, ``common.py:
+    557-564``), as a disjoint-piece dissection: fold each geometry's
+    ``difference`` against the accumulated pieces, so overlaps are
+    counted once. Non-areal inputs fall back to ``union_collect``.
+    Area/centroid/contains over the result are exact; the boundary is
+    dissected, not merged."""
+    gs = [g for g in geoms if g is not None and not is_empty(g)]
+    if not gs:
+        return POINT_EMPTY
+    if any(g[0] not in ("Polygon", "MultiPolygon") for g in gs):
+        return union_collect(gs)
+    pieces: list = list(_polygons(gs[0]))
+    for g in gs[1:]:
+        acc = (
+            ("Polygon", pieces[0]) if len(pieces) == 1 else ("MultiPolygon", pieces)
+        )
+        fresh = difference(g, acc)
+        if fresh is not None and not is_empty(fresh):
+            pieces.extend(_polygons(fresh))
+    return ("Polygon", pieces[0]) if len(pieces) == 1 else ("MultiPolygon", pieces)
+
+
+def union_area(geoms) -> float:
+    """Area of the true union. Rectilinear inputs use coordinate-
+    compressed grid counting (exact, robust, O(n²) cells); otherwise
+    falls back to ``area(union_dissolve(...))``."""
+    gs = [g for g in geoms if g is not None and not is_empty(g)]
+    if not gs:
+        return 0.0
+    rect_lists = []
+    for g in gs:
+        r = rectilinear_rects(g)
+        if r is None:
+            return area(union_dissolve(gs))
+        rect_lists.append(r)
+    rects = [r for rl in rect_lists for r in rl]
+    xs = sorted({v for r in rects for v in (r[0], r[2])})
+    ys = sorted({v for r in rects for v in (r[1], r[3])})
+    xi = {v: i for i, v in enumerate(xs)}
+    yi = {v: i for i, v in enumerate(ys)}
+    covered = set()
+    for x0, y0, x1, y1 in rects:
+        for i in range(xi[x0], xi[x1]):
+            for j in range(yi[y0], yi[y1]):
+                covered.add((i, j))
+    return sum(
+        (xs[i + 1] - xs[i]) * (ys[j + 1] - ys[j]) for i, j in covered
+    )
 
 
 # --- transforms --------------------------------------------------------------

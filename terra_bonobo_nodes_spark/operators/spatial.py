@@ -126,13 +126,16 @@ def subdivide_geom(
 
 
 def union_on_property(
-    df: DataFrame, prop: str, geom_col: str = "geom"
+    df: DataFrame, prop: str, geom_col: str = "geom", dissolve: bool = False
 ) -> DataFrame:
     """``UnionOnProperty`` (``common.py:535-564``): group-by + geometric
     union aggregate. The hand-rolled ValueHolder accumulation becomes
-    one hash aggregate with ``st_collect_agg`` (collection semantics —
-    area-equivalent for disjoint inputs; see geo/__init__)."""
-    return df.groupBy(F.col(prop)).agg(K.st_collect_agg(F.col(geom_col)).alias(geom_col))
+    one hash aggregate. ``dissolve=False`` collects (area-equivalent
+    for disjoint inputs); ``dissolve=True`` runs the TRUE cascaded
+    union (overlaps counted once — the reference's ``|=`` semantics for
+    overlapping geometries)."""
+    agg = K.st_union_agg if dissolve else K.st_collect_agg
+    return df.groupBy(F.col(prop)).agg(agg(F.col(geom_col)).alias(geom_col))
 
 
 def layer_clusters_geo(

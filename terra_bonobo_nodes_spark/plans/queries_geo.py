@@ -343,6 +343,51 @@ def a2_union_on_property_centroid(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "a2_union_area_dissolve",
+    oracle="""
+WITH sq AS (
+  SELECT s_nationkey,
+         CAST(s_suppkey % 5 AS BIGINT) AS kx,
+         CAST(s_suppkey % 7 AS BIGINT) AS ky
+  FROM supplier),
+cells AS (
+  SELECT DISTINCT s_nationkey, kx + dx.i AS cx, ky + dy.i AS cy
+  FROM sq CROSS JOIN range(2) dx(i) CROSS JOIN range(2) dy(i))
+SELECT s_nationkey AS nation, CAST(count(*) AS DOUBLE) AS union_area
+FROM cells GROUP BY s_nationkey
+""",
+    tags=("A2", "T2", "overlay"),
+)
+def a2_union_area_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE geometric union per group — heavily OVERLAPPING 2x2 squares
+    snapped to the integer grid, one per supplier, dissolved per
+    nation. The oracle counts the distinct unit cells each nation's
+    squares cover (exact union area for grid-snapped shapes), so any
+    double-counting of overlaps in the union aggregate fails the hash.
+    Exercises the reference's cascaded ``|=`` semantics
+    (``common.py:557-564``) with real overlaps, which plain ST_Collect
+    can't model."""
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nation"),
+        (F.col("s_suppkey") % 5).cast("double").alias("kx"),
+        (F.col("s_suppkey") % 7).cast("double").alias("ky"),
+    )
+    kx, ky = F.col("kx"), F.col("ky")
+    squares = supp.withColumn(
+        "geom",
+        K.st_make_polygon(
+            F.array(kx, kx + 2, kx + 2, kx),
+            F.array(ky, ky, ky + 2, ky + 2),
+        ),
+    )
+    return (
+        squares.groupBy("nation")
+        .agg(K.st_union_area_agg(F.col("geom")).alias("union_area"))
+        .select(F.col("nation").cast("long").alias("nation"), "union_area")
+    )
+
+
 # --- J1: existential spatial join -------------------------------------------
 
 
@@ -494,10 +539,31 @@ def j3_intersection_geom_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SQL-expressible without a spatial extension) ------------------------------
 
 
-@register("t1_isochrone_subtraction_geo", oracle=None, tags=("T1",))
+@register(
+    "t1_isochrone_subtraction_geo",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, (value % 50) + 1.0 AS r FROM events),
+b AS (
+  SELECT user_id, event_id, r, row_number() OVER (
+    PARTITION BY user_id ORDER BY r ASC, event_id) AS bucket
+  FROM ev),
+k AS (
+  SELECT user_id, bucket, r,
+         lag(r) OVER (PARTITION BY user_id ORDER BY bucket) AS pr
+  FROM b WHERE bucket <= 3)
+SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+       round((2*r)*(2*r) - coalesce((2*pr)*(2*pr), 0.0), 6) AS ring_area
+FROM k
+""",
+    tags=("T1", "overlay"),
+)
 def t1_isochrone_subtraction_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concentric squares per user (side grows with value rank) minus
-    their predecessor -> rings. Output: ring areas per user/bucket."""
+    their predecessor -> rings. The geometric lag-difference produces
+    polygon-with-hole rings whose areas the oracle checks in closed
+    form ((2r_k)² − (2r_{k−1})²); a duplicate radius yields an EMPTY
+    ring (area 0), which the coalesced formula also gives."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", (F.col("value") % 50 + 1.0).alias("r")
     )
@@ -508,18 +574,14 @@ def t1_isochrone_subtraction_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = ev.withColumn("bucket", F.row_number().over(w)).filter(
         F.col("bucket") <= 3
     )
-    s = F.col("r").cast("string")
-    wkt = F.concat(
-        F.lit("POLYGON ((-"), s, F.lit(" -"), s, F.lit(", "),
-        s, F.lit(" -"), s, F.lit(", "),
-        s, F.lit(" "), s, F.lit(", -"),
-        s, F.lit(" "), s, F.lit(", -"),
-        s, F.lit(" -"), s, F.lit("))"),
+    r = F.col("r")
+    squares = buckets.withColumn(
+        "geom",
+        K.st_make_polygon(F.array(-r, r, r, -r), F.array(-r, -r, r, r)),
     )
-    squares = buckets.withColumn("geom", K.st_geomfromtext(wkt))
     rings = isochrone_subtraction(squares, ["user_id"], ["bucket"])
     return rings.select(
         "user_id",
-        "bucket",
+        F.col("bucket").cast("long").alias("bucket"),
         F.round(K.st_area("geom"), 6).alias("ring_area"),
     )

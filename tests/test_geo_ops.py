@@ -420,3 +420,52 @@ class TestRectilinearDecomposition:
         fast = ops.intersection_area(a, b)
         general = ops.area(ops.intersection(a, b))
         assert abs(fast - general) < 1e-9
+
+
+class TestUnionDissolve:
+    def test_disjoint(self):
+        gs = [_rect(0, 0, 1, 1), _rect(5, 5, 6, 6)]
+        assert abs(ops.area(ops.union_dissolve(gs)) - 2.0) < 1e-9
+        assert abs(ops.union_area(gs) - 2.0) < 1e-12
+
+    def test_overlapping(self):
+        gs = [_rect(0, 0, 2, 2), _rect(1, 1, 3, 3)]
+        # union = 4 + 4 - 1
+        assert abs(ops.area(ops.union_dissolve(gs)) - 7.0) < 1e-9
+        assert abs(ops.union_area(gs) - 7.0) < 1e-12
+
+    def test_identical(self):
+        gs = [_rect(0, 0, 2, 2)] * 3
+        assert abs(ops.union_area(gs) - 4.0) < 1e-12
+        assert abs(ops.area(ops.union_dissolve(gs)) - 4.0) < 1e-9
+
+    def test_chain_overlap(self):
+        gs = [_rect(i, 0, i + 2, 2) for i in range(5)]  # 2x2 at x=0..4
+        # covers [0,6]x[0,2] = 12
+        assert abs(ops.union_area(gs) - 12.0) < 1e-12
+        assert abs(ops.area(ops.union_dissolve(gs)) - 12.0) < 1e-9
+
+    def test_concave_members(self):
+        gs = [_ell(0, 0), _ell(1, 0)]
+        # L(0,0)∩L(1,0) area 1 (bases overlap on [1,2]x[0,1])
+        expect = 3.0 + 3.0 - 1.0
+        assert abs(ops.union_area(gs) - expect) < 1e-12
+        assert abs(ops.area(ops.union_dissolve(gs)) - expect) < 1e-9
+
+    def test_non_rectilinear_falls_back(self):
+        tri = ("Polygon", [[(0.0, 0.0), (2.0, 0.0), (0.0, 2.0), (0.0, 0.0)]])
+        gs = [tri, _rect(10, 10, 11, 11)]
+        assert abs(ops.union_area(gs) - 3.0) < 1e-9
+        # overlapping triangle + rect through the dissolve path
+        gs2 = [tri, _rect(0, 0, 1, 1)]
+        # overlap = tri∩rect: area of triangle clipped to unit square =
+        # 1 - 0.5*0.5*... region x+y<=2 within [0,1]^2 is the whole
+        # square except nothing (x+y max 2 at corner) -> tri∩rect = 1.0
+        # minus the corner above x+y=2? x+y<=2 holds everywhere in the
+        # unit square, so overlap = 1.0; union = 2 + 1 - 1 = 2
+        assert abs(ops.union_area(gs2) - 2.0) < 1e-9
+
+    def test_points_fall_back_to_collect(self):
+        gs = [("Point", (1.0, 1.0)), ("Point", (2.0, 2.0))]
+        out = ops.union_dissolve(gs)
+        assert out[0] == "MultiPoint"
