@@ -107,6 +107,7 @@ def grid_knn_join(
     k: int,
     max_distance: float,
     cell: float | None = None,
+    tie_breaker: str | None = None,
     distance_col: str = "distance",
     rank_col: str = "rank",
 ) -> DataFrame:
@@ -136,12 +137,18 @@ def grid_knn_join(
     rcells = right.withColumn("_cx", F.floor(F.col(rx) / c).cast("long")).withColumn(
         "_cy", F.floor(F.col(ry) / c).cast("long")
     )
+    dx = F.col(lx) - F.col(rx)
+    dy = F.col(ly) - F.col(ry)
+    # explicit products (not pow): IEEE-deterministic and identical to
+    # the oracle's sqrt(dx*dx + dy*dy) expression shape
     joined = lcells.join(rcells, on=["_cx", "_cy"], how="inner").withColumn(
-        distance_col,
-        F.sqrt((F.col(lx) - F.col(rx)) ** 2 + (F.col(ly) - F.col(ry)) ** 2),
+        distance_col, F.sqrt(dx * dx + dy * dy)
     )
     joined = joined.filter(F.col(distance_col) < F.lit(max_distance)).drop("_cx", "_cy")
-    w = Window.partitionBy(F.col(left_id)).orderBy(F.col(distance_col).asc())
+    order = [F.col(distance_col).asc()]
+    if tie_breaker:
+        order.append(F.col(tie_breaker).asc())
+    w = Window.partitionBy(F.col(left_id)).orderBy(*order)
     return joined.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= k
     )

@@ -9,7 +9,7 @@ mode, ISO weekday) rather than any single operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from terra_bonobo_nodes_spark.plans.registry import register
@@ -155,4 +155,65 @@ def fn_math_array_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x.cast("bigint") * F.col("l_linenumber"),
         ).alias("hsum"),
+    )
+
+
+@register(
+    "fn_window_surface",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_custkey % 10 = 0)
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(rank()       OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(cume_dist() OVER w, 6) AS cd,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(lag(price, 1, 0.0)  OVER w, 6) AS prev_price,
+       round(lead(price, 1, 0.0) OVER w, 6) AS next_price,
+       round(first_value(price) OVER w, 6) AS min_price,
+       round(sum(price) OVER (PARTITION BY o_custkey ORDER BY price, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running,
+       round(avg(price) OVER (PARTITION BY o_custkey ORDER BY price, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY price, o_orderkey)
+""",
+    tags=("functions", "window"),
+)
+def fn_window_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-function surface the engine claims (SURVEY §2.5
+    note: the reference has no window functions — Spark supplies them
+    natively): ranking family, distribution family, lead/lag, frame-
+    bounded running aggregates. Ordering is made total with the
+    orderkey tie-break so every engine ranks identically; running sums
+    use ROWS frames (deterministic under ties, unlike RANGE)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 10 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+    )
+    w = Window.partitionBy("o_custkey").orderBy("price", "o_orderkey")
+    rows_all = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows_3 = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.lag("price", 1, 0.0).over(w), 6).alias("prev_price"),
+        F.round(F.lead("price", 1, 0.0).over(w), 6).alias("next_price"),
+        F.round(F.first("price").over(w), 6).alias("min_price"),
+        F.round(F.sum("price").over(rows_all), 6).alias("running"),
+        F.round(F.avg("price").over(rows_3), 6).alias("mov_avg"),
     )

@@ -19,7 +19,11 @@ from terra_bonobo_nodes_spark.operators.arrays import (
 )
 from terra_bonobo_nodes_spark.operators.clustering import collect_and_sum, grid_cluster
 from terra_bonobo_nodes_spark.operators.hstore import parse_hstore_tags
-from terra_bonobo_nodes_spark.operators.joins import attribute_from_sql, knn_join
+from terra_bonobo_nodes_spark.operators.joins import (
+    attribute_from_sql,
+    grid_knn_join,
+    knn_join,
+)
 from terra_bonobo_nodes_spark.operators.records import (
     drop_identifier,
     exclude_attributes,
@@ -381,6 +385,57 @@ def j4_knn_closest_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s_suppkey") % 100).cast("double").alias("sy"),
     )
     out = knn_join(
+        cust,
+        supp,
+        left_xy=("cx", "cy"),
+        right_xy=("sx", "sy"),
+        left_id="c_custkey",
+        k=3,
+        max_distance=25.0,
+        tie_breaker="s_suppkey",
+    )
+    return out.select("c_custkey", "s_suppkey", "distance", "rank")
+
+
+@register(
+    "j4_grid_knn_bigbig",
+    oracle="""
+WITH c AS (SELECT c_custkey, (c_acctbal % 100.0) AS cx,
+                  CAST(c_custkey % 100 AS DOUBLE) AS cy FROM customer),
+     s AS (SELECT s_suppkey, (s_acctbal % 100.0) AS sx,
+                  CAST(s_suppkey % 100 AS DOUBLE) AS sy FROM supplier),
+     pairs AS (
+       SELECT c.c_custkey, s.s_suppkey,
+              sqrt((c.cx - s.sx) * (c.cx - s.sx) + (c.cy - s.sy) * (c.cy - s.sy))
+                AS distance
+       FROM c CROSS JOIN s),
+     ranked AS (
+       SELECT c_custkey, s_suppkey, distance,
+              row_number() OVER (PARTITION BY c_custkey
+                                 ORDER BY distance, s_suppkey) AS rank
+       FROM pairs WHERE distance < 25.0)
+SELECT c_custkey, s_suppkey, distance, rank FROM ranked WHERE rank <= 3
+""",
+    tags=("J4", "scale"),
+)
+def j4_grid_knn_bigbig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The big-big kNN scale path: same query as j4 but through
+    ``grid_knn_join`` — both sides bucketed into max_distance-sized
+    cells, left replicated into its 3x3 neighborhood, equi-join on the
+    cell key instead of a cross product. The oracle is the NAIVE
+    cross-join top-k, so this also proves the grid join loses no
+    neighbors within the radius."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal") % 100.0).alias("cx"),
+        (F.col("c_custkey") % 100).cast("double").alias("cy"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") % 100.0).alias("sx"),
+        (F.col("s_suppkey") % 100).cast("double").alias("sy"),
+    )
+    out = grid_knn_join(
         cust,
         supp,
         left_xy=("cx", "cy"),
