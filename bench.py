@@ -40,10 +40,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, q in sorted(queries.items()):
         best = float("inf")
-        # two executions, report the min: the first pays whole-stage
-        # codegen JIT compile (and any host-CPU noise); the min is the
-        # engine's steady-state number a long-running cluster job sees
-        for _ in range(2):
+        # three executions, report the min: the first pays whole-stage
+        # codegen JIT compile, and this host's CPU noise swings single
+        # runs 2-3x; the min is the engine's steady-state number a
+        # long-running cluster job sees
+        for _ in range(3):
             # isolate queries: persisted intermediates (LSH signatures)
             # must not skew later timings or accumulate memory pressure
             spark.catalog.clearCache()

@@ -78,3 +78,40 @@ def test_layer_clusters_geo_key(spark):
         "POINT (6 4)": ["b"],
         "POINT (2 4)": ["c"],
     }
+
+
+def test_union_on_property_dissolve(spark):
+    """dissolve=True counts overlaps once; default collect double-counts."""
+    import pandas as pd
+
+    from terra_bonobo_nodes_spark.geo import kernels as K
+    from terra_bonobo_nodes_spark.operators.spatial import union_on_property
+
+    def wkb_rect(x0, y0, x1, y1):
+        from terra_bonobo_nodes_spark.geo import wkb as W
+
+        return W.write_wkb(
+            ("Polygon", [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]])
+        )
+
+    rows = [
+        ("a", wkb_rect(0, 0, 2, 2)),
+        ("a", wkb_rect(1, 1, 3, 3)),
+        ("b", wkb_rect(0, 0, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, "grp string, geom binary")
+    dissolved = union_on_property(df, "grp", dissolve=True)
+    got = {
+        r.grp: r.area
+        for r in dissolved.select(
+            "grp", K.st_area("geom").alias("area")
+        ).collect()
+    }
+    assert abs(got["a"] - 7.0) < 1e-9  # 4 + 4 - 1 overlap
+    assert abs(got["b"] - 1.0) < 1e-9
+    collected = union_on_property(df, "grp")
+    got_c = {
+        r.grp: r.area
+        for r in collected.select("grp", K.st_area("geom").alias("area")).collect()
+    }
+    assert abs(got_c["a"] - 8.0) < 1e-9  # collect counts the overlap twice
