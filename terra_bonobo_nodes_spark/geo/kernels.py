@@ -281,6 +281,22 @@ def _st_make_polygon(xs: pd.Series, ys: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@pandas_udf(BinaryType())
+def _st_make_line(xs: pd.Series, ys: pd.Series) -> pd.Series:
+    """LineString from coordinate arrays — direct constructor, no WKT."""
+    out = []
+    for xv, yv in zip(xs, ys):
+        if xv is None or yv is None or len(xv) < 2:
+            out.append(W.write_wkb(W.POINT_EMPTY))
+            continue
+        out.append(
+            W.write_wkb(
+                ("LineString", [(float(x), float(y)) for x, y in zip(xv, yv)])
+            )
+        )
+    return pd.Series(out)
+
+
 @pandas_udf(DoubleType())
 def _st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(
@@ -522,6 +538,11 @@ def st_prepare(g) -> Column:
 def st_make_polygon(xs, ys) -> Column:
     """Single-ring polygon from x/y coordinate array columns."""
     return _st_make_polygon(_col(xs), _col(ys))
+
+
+def st_make_line(xs, ys) -> Column:
+    """LineString from x/y coordinate array columns."""
+    return _st_make_line(_col(xs), _col(ys))
 
 
 def st_distance(a, b) -> Column:

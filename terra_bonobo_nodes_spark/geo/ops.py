@@ -700,6 +700,78 @@ def _clip_polys_by_region(subject_polys, region_polys) -> list:
     return pieces
 
 
+def _seg_ring_params(p, q, ring) -> list:
+    """Parameters t in (0,1) where segment p→q crosses the ring's edges."""
+    ts = []
+    px, py = p
+    dx, dy = q[0] - p[0], q[1] - p[1]
+    for (x1, y1, *_), (x2, y2, *_) in zip(ring, ring[1:]):
+        ex, ey = x2 - x1, y2 - y1
+        denom = dx * ey - dy * ex
+        if abs(denom) <= EPS:
+            continue
+        t = ((x1 - px) * ey - (y1 - py) * ex) / denom
+        u = ((x1 - px) * dy - (y1 - py) * dx) / denom
+        if -EPS < t < 1 + EPS and -EPS < u < 1 + EPS:
+            ts.append(min(1.0, max(0.0, t)))
+    return ts
+
+
+def _clip_lines_by_polys(lines, polys, keep_inside: bool) -> list:
+    """Clip polylines against a polygon set: keep the sub-segments whose
+    midpoint is inside (intersection) or outside (difference) the
+    region. Returns merged polyline paths."""
+    out = []
+    for line in lines:
+        path = []
+        for p, q in zip(line, line[1:]):
+            p2, q2 = tuple(p[:2]), tuple(q[:2])
+            ts = {0.0, 1.0}
+            for rings in polys:
+                for ring in rings:
+                    ts.update(_seg_ring_params(p2, q2, ring))
+            ts = sorted(ts)
+            for t0, t1 in zip(ts, ts[1:]):
+                if t1 - t0 <= EPS:
+                    continue
+                tm = (t0 + t1) / 2.0
+                mid = (
+                    p2[0] + tm * (q2[0] - p2[0]),
+                    p2[1] + tm * (q2[1] - p2[1]),
+                )
+                inside = any(point_in_polygon(mid, rings) for rings in polys)
+                if inside == keep_inside:
+                    a_pt = (
+                        p2[0] + t0 * (q2[0] - p2[0]),
+                        p2[1] + t0 * (q2[1] - p2[1]),
+                    )
+                    b_pt = (
+                        p2[0] + t1 * (q2[0] - p2[0]),
+                        p2[1] + t1 * (q2[1] - p2[1]),
+                    )
+                    if path and path[-1] == a_pt:
+                        path.append(b_pt)
+                    else:
+                        if len(path) > 1:
+                            out.append(path)
+                        path = [a_pt, b_pt]
+                else:
+                    if len(path) > 1:
+                        out.append(path)
+                    path = []
+        if len(path) > 1:
+            out.append(path)
+    return out
+
+
+def _as_lines(g: Geom) -> list | None:
+    if g[0] == "LineString":
+        return [g[1]]
+    if g[0] == "MultiLineString":
+        return list(g[1])
+    return None
+
+
 def intersection(a: Geom | None, b: Geom | None) -> Geom:
     """``ST_Intersection`` for points and polygons (the reference's
     clip-to-layer workloads, ``terra.py:266-274``). Fast paths: point ×
@@ -720,6 +792,17 @@ def intersection(a: Geom | None, b: Geom | None) -> Geom:
     if kb in ("Point", "MultiPoint"):
         return intersection(b, a)
     a_polys, b_polys = list(_polygons(a)), list(_polygons(b))
+    # line × polygon: keep the inside sub-segments
+    a_lines, b_lines = _as_lines(a), _as_lines(b)
+    if a_lines is not None and b_polys:
+        paths = _clip_lines_by_polys(a_lines, b_polys, keep_inside=True)
+        if not paths:
+            return POINT_EMPTY
+        return (
+            ("LineString", paths[0]) if len(paths) == 1 else ("MultiLineString", paths)
+        )
+    if b_lines is not None and a_polys:
+        return intersection(b, a)
     if not a_polys or not b_polys:
         raise NotImplementedError(f"intersection({ka}, {kb})")
     out = []
@@ -781,6 +864,19 @@ def difference(a: Geom | None, b: Geom | None) -> Geom:
         return a
     if contains(b, a):
         return POINT_EMPTY
+    # line \ polygon: keep the outside sub-segments
+    a_lines = _as_lines(a)
+    if a_lines is not None:
+        bp = list(_polygons(b))
+        if bp:
+            paths = _clip_lines_by_polys(a_lines, bp, keep_inside=False)
+            if not paths:
+                return POINT_EMPTY
+            return (
+                ("LineString", paths[0])
+                if len(paths) == 1
+                else ("MultiLineString", paths)
+            )
     a_polys, b_polys = list(_polygons(a)), list(_polygons(b))
     if a_polys and b_polys and len(a_polys) == 1 and len(a_polys[0]) == 1:
         if all(len(pb) == 1 and contains(a, ("Polygon", pb)) for pb in b_polys):

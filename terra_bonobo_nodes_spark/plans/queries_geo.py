@@ -504,6 +504,50 @@ def j2_concave_overlay_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- G9: line clipped to layer (line x polygon overlay) ---------------------
+
+
+@register(
+    "g9_line_clip_length",
+    oracle=f"""
+WITH {RECTS_SQL.strip()}, {TILES_SQL.strip()},
+ov AS (
+  SELECT r.c_custkey,
+         CASE WHEN r.cy + 0.5 > t.y0 AND r.cy + 0.5 < t.y0 + 10
+              THEN greatest(0, least(r.cx + 20, t.x0 + 10)
+                             - greatest(r.cx - 20, t.x0))
+              ELSE 0 END AS seg
+  FROM rect r CROSS JOIN tiles t)
+SELECT c_custkey, round(coalesce(sum(seg), 0.0), 6) AS clip_len
+FROM ov GROUP BY c_custkey
+""",
+    tags=("G1", "J3", "overlay"),
+)
+def g9_line_clip_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LineString × polygon overlay: a horizontal chord per customer
+    clipped to the tile layer (IntersectionGeom over line records —
+    ``terra.py:544-552`` with non-polygon geometry). The clipped length
+    equals the sum of x-overlaps with the tile row containing the
+    chord, which the oracle states in closed form. The chord sits at
+    cy+0.5 so it never lies ON a tile boundary (boundary segments
+    would be claimed by both adjacent tiles)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal") % 100.0).alias("cx"),
+        (F.col("c_custkey") % 100).cast("double").alias("cy"),
+    )
+    cx, y = F.col("cx"), F.col("cy") + 0.5
+    lines = cust.select(
+        F.col("c_custkey").alias("identifier"),
+        K.st_make_line(F.array(cx - 20, cx + 20), F.array(y, y)).alias("geom"),
+    )
+    clipped = intersection_geom(lines, _tile_layer(spark), geom_dest="zone")
+    return clipped.select(
+        F.col("identifier").cast("long").alias("c_custkey"),
+        F.round(F.coalesce(K.st_length("zone"), F.lit(0.0)), 6).alias("clip_len"),
+    )
+
+
 # --- J3: clip to layer (intersection geometry) ------------------------------
 
 

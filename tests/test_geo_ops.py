@@ -469,3 +469,52 @@ class TestUnionDissolve:
         gs = [("Point", (1.0, 1.0)), ("Point", (2.0, 2.0))]
         out = ops.union_dissolve(gs)
         assert out[0] == "MultiPoint"
+
+
+class TestLineClip:
+    def test_line_through_square(self):
+        line = ("LineString", [(-2.0, 2.0), (6.0, 2.0)])
+        out = ops.intersection(line, SQUARE)
+        assert out[0] == "LineString"
+        assert abs(ops.length(out) - 4.0) < 1e-9
+        diff = ops.difference(line, SQUARE)
+        assert abs(ops.length(diff) - 4.0) < 1e-9  # 2 outside each side
+
+    def test_line_into_square(self):
+        line = ("LineString", [(2.0, 2.0), (10.0, 2.0)])  # starts inside
+        out = ops.intersection(line, SQUARE)
+        assert abs(ops.length(out) - 2.0) < 1e-9
+        assert abs(ops.length(ops.difference(line, SQUARE)) - 6.0) < 1e-9
+
+    def test_line_misses(self):
+        line = ("LineString", [(10.0, 10.0), (12.0, 10.0)])
+        assert W.is_empty(ops.intersection(line, SQUARE))
+        assert ops.difference(line, SQUARE) == line
+
+    def test_line_through_hole(self):
+        # crosses the 1x1 hole of SQUARE_HOLE: inside length = 4 - 1
+        line = ("LineString", [(-1.0, 1.5), (5.0, 1.5)])
+        out = ops.intersection(line, SQUARE_HOLE)
+        assert out[0] == "MultiLineString"
+        assert abs(ops.length(out) - 3.0) < 1e-9
+
+    def test_line_concave(self):
+        # horizontal chord through LSHAPE at y=0.5: inside x in [0,3]
+        line = ("LineString", [(-1.0, 0.5), (4.0, 0.5)])
+        assert abs(ops.length(ops.intersection(line, LSHAPE)) - 3.0) < 1e-9
+        # at y=2: only the tower x in [0,1]
+        line2 = ("LineString", [(-1.0, 2.0), (4.0, 2.0)])
+        assert abs(ops.length(ops.intersection(line2, LSHAPE)) - 1.0) < 1e-9
+
+    def test_polyline_multi_segment(self):
+        line = ("LineString", [(-1.0, 2.0), (2.0, 2.0), (2.0, 8.0)])
+        out = ops.intersection(line, SQUARE)
+        # first seg inside [0,2] len 2; second seg inside y [2,4] len 2,
+        # and they join at (2,2) -> single path of length 4
+        assert abs(ops.length(out) - 4.0) < 1e-9
+        assert out[0] == "LineString"
+
+    def test_multilinestring(self):
+        ml = ("MultiLineString", [[(-1.0, 1.0), (5.0, 1.0)], [(-1.0, 3.0), (5.0, 3.0)]])
+        out = ops.intersection(ml, SQUARE)
+        assert abs(ops.length(out) - 8.0) < 1e-9
