@@ -830,15 +830,39 @@ def intersection(a: Geom | None, b: Geom | None) -> Geom:
     return ("Polygon", out[0]) if len(out) == 1 else ("MultiPolygon", out)
 
 
+def _seg_properly_intersect(a, b, c, d) -> bool:
+    """Segment interiors cross (shared endpoints / collinear touch do
+    NOT count — those are allowed in containment)."""
+
+    def orient(p, q, r):
+        v = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+        return 0 if abs(v) <= EPS else (1 if v > 0 else -1)
+
+    o1, o2 = orient(a, b, c), orient(a, b, d)
+    o3, o4 = orient(c, d, a), orient(c, d, b)
+    return o1 * o2 < 0 and o3 * o4 < 0
+
+
 def contains(a: Geom, b: Geom) -> bool:
-    """a contains b: every point of b inside a polygon of a, and no
-    boundary crossings."""
+    """a contains b: every vertex AND segment midpoint of b inside a
+    polygon of a, and no proper boundary crossing. Midpoints catch the
+    shared-vertex case where b's edge exits a through a common vertex
+    without properly crossing any edge."""
     a_polys = list(_polygons(a))
     if not a_polys:
         return False
-    for pt in _points(b):
+    probe = list(_points(b))
+    probe.extend(
+        ((p[0] + q[0]) / 2.0, (p[1] + q[1]) / 2.0) for p, q in _segments(b)
+    )
+    for pt in probe:
         if not any(point_in_polygon(pt, rings) for rings in a_polys):
             return False
+    a_segs = list(_segments(a))
+    for sb in _segments(b):
+        for sa in a_segs:
+            if _seg_properly_intersect(sa[0], sa[1], sb[0], sb[1]):
+                return False
     return True
 
 

@@ -115,3 +115,94 @@ def test_minhash_min_is_set_invariant(hs):
     perm = [(h * a + b) % MINHASH_P for h in hs]
     perm_dedup = [(h * a + b) % MINHASH_P for h in set(hs)]
     assert min(perm) == min(perm_dedup)
+
+
+# --- overlay invariants ------------------------------------------------------
+
+# polygon from vertices in angular order around a center: simple
+# (non-self-intersecting) as long as every consecutive angular gap is
+# < π — each edge then lies inside its own convex wedge, and wedges
+# are disjoint. Three anchor angles bound every gap below π.
+_ANCHORS = [(0.1, 2.0), (2.2, 2.0), (4.3, 2.0)]
+
+
+def _star_poly(angles_radii, cx=0.0, cy=0.0):
+    by_angle = {round(a, 3): (a, r) for a, r in _ANCHORS + list(angles_radii)}
+    pts = [
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+        for a, r in sorted(by_angle.values())
+    ]
+    return ("Polygon", [ring(pts)])
+
+
+_angle_radius = st.tuples(
+    st.floats(min_value=0.0, max_value=2 * math.pi - 1e-6),
+    st.floats(min_value=0.5, max_value=10.0),
+)
+star_poly = st.builds(
+    _star_poly,
+    st.lists(_angle_radius, min_size=0, max_size=10, unique_by=lambda t: round(t[0], 3)),
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(star_poly)
+def test_triangulation_preserves_area(p):
+    tris = ops.triangulate([p[1]])
+    total = sum(abs(ops._ring_area2(t)) / 2 for t in tris)
+    assert abs(total - ops.area(p)) < 1e-6 * max(1.0, ops.area(p))
+
+
+@settings(max_examples=80, deadline=None)
+@given(star_poly, star_poly)
+def test_intersection_area_bounded_and_symmetric(a, b):
+    ia = ops.area(ops.intersection(a, b))
+    ib = ops.area(ops.intersection(b, a))
+    bound = min(ops.area(a), ops.area(b)) + 1e-6
+    assert -1e-9 <= ia <= bound
+    assert abs(ia - ib) < 1e-6 * max(1.0, ia)
+
+
+@settings(max_examples=80, deadline=None)
+@given(star_poly, star_poly)
+def test_inclusion_exclusion(a, b):
+    """area(a) + area(b) == area(a∩b) + area(a∪b) for the dissolve."""
+    inter = ops.area(ops.intersection(a, b))
+    union = ops.area(ops.union_dissolve([a, b]))
+    lhs = ops.area(a) + ops.area(b)
+    assert abs(lhs - (inter + union)) < 1e-6 * max(1.0, lhs)
+
+
+@settings(max_examples=80, deadline=None)
+@given(star_poly, star_poly)
+def test_difference_area_identity(a, b):
+    lhs = ops.area(ops.difference(a, b))
+    rhs = ops.area(a) - ops.area(ops.intersection(a, b))
+    assert abs(lhs - rhs) < 1e-6 * max(1.0, ops.area(a))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=1, max_value=4),
+            st.integers(min_value=1, max_value=4),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_rectilinear_union_matches_dissolve(rect_specs):
+    gs = [
+        (
+            "Polygon",
+            [ring([(float(x), float(y)), (float(x + w), float(y)),
+                   (float(x + w), float(y + h)), (float(x), float(y + h))])],
+        )
+        for x, y, w, h in rect_specs
+    ]
+    grid = ops.union_area(gs)           # coordinate-compressed grid count
+    dissolved = ops.area(ops.union_dissolve(gs))  # difference-fold overlay
+    assert abs(grid - dissolved) < 1e-6 * max(1.0, grid)
