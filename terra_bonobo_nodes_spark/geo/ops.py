@@ -1,11 +1,14 @@
 """Computational geometry over the tagged-tuple model in ``wkb``.
 
 Implements the scalar semantics the reference delegates to GEOS/PostGIS
-(SURVEY.md §2.4/§2.6): area, centroid, distance, intersects,
-intersection (one convex side), difference (containment case),
-Douglas-Peucker simplify, web-mercator transform, snap-to-grid,
-subdivision. Pure Python/stdlib — vectorization happens at the Arrow
-batch boundary in ``kernels``.
+(SURVEY.md §2.4/§2.6): area, centroid, distance, intersects, a full
+polygon overlay (intersection/difference for concave×concave with
+holes via ear-clip triangulation, line×polygon clipping, true cascaded
+union), Douglas-Peucker simplify, web-mercator transform,
+snap-to-grid, subdivision. Rectilinear shapes take closed-form paths
+(rect decomposition, grid counting) that skip clipping entirely. Pure
+Python/stdlib — vectorization happens at the Arrow batch boundary in
+``kernels``.
 """
 
 from __future__ import annotations
