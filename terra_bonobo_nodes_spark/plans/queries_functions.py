@@ -217,3 +217,43 @@ def fn_window_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("price").over(rows_all), 6).alias("running"),
         F.round(F.avg("price").over(rows_3), 6).alias("mov_avg"),
     )
+
+
+@register(
+    "fn_stats_surface",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 4) AS p25,
+       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS p50,
+       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 4) AS p75,
+       round(stddev_samp(CAST(l_quantity AS DOUBLE)), 4) AS sd_qty,
+       round(var_samp(CAST(l_quantity AS DOUBLE)), 4) AS var_qty,
+       round(corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 6)
+         AS corr_qp,
+       round(covar_samp(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)), 6)
+         AS cov_qd
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("functions", "stats"),
+)
+def fn_stats_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: EXACT continuous quantiles (the
+    p*(n-1) interpolation both engines implement), sample stddev /
+    variance, correlation, covariance. Rounded to absorb the engines'
+    different accumulation orders (~1ulp); percentile_approx is
+    deliberately NOT oracle-checked — its sketch is engine-specific."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_discount").cast("double").alias("disc"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(price, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(price, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(price, 0.75)"), 4).alias("p75"),
+        F.round(F.stddev_samp("qty"), 4).alias("sd_qty"),
+        F.round(F.var_samp("qty"), 4).alias("var_qty"),
+        F.round(F.corr("qty", "price"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("qty", "disc"), 6).alias("cov_qd"),
+    )
