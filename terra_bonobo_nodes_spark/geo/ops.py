@@ -1041,11 +1041,16 @@ def union_dissolve(geoms) -> Geom:
     if any(g[0] not in ("Polygon", "MultiPolygon") for g in gs):
         return union_collect(gs)
     pieces: list = list(_polygons(gs[0]))
-    for g in gs[1:]:
-        acc = (
-            ("Polygon", pieces[0]) if len(pieces) == 1 else ("MultiPolygon", pieces)
-        )
-        fresh = difference(g, acc)
+    for i, g in enumerate(gs[1:], start=1):
+        # subtract each PRIOR ORIGINAL member one at a time: b is then
+        # always a clean input polygon, never the accumulated dissection
+        # (whose pieces touch along shared edges and would make the
+        # complement's hole bridging degenerate)
+        fresh = g
+        for prior in gs[:i]:
+            fresh = difference(fresh, prior)
+            if fresh is None or is_empty(fresh):
+                break
         if fresh is not None and not is_empty(fresh):
             pieces.extend(_polygons(fresh))
     return ("Polygon", pieces[0]) if len(pieces) == 1 else ("MultiPolygon", pieces)

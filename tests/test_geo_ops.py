@@ -518,3 +518,33 @@ class TestLineClip:
         ml = ("MultiLineString", [[(-1.0, 1.0), (5.0, 1.0)], [(-1.0, 3.0), (5.0, 3.0)]])
         out = ops.intersection(ml, SQUARE)
         assert abs(ops.length(out) - 8.0) < 1e-9
+
+
+def test_union_dissolve_many_overlapping_nonrectilinear():
+    """Regression: 3+ overlapping concave members used to punch the
+    accumulated (edge-touching) dissection as holes and fail bridging;
+    now each new member subtracts the clean ORIGINAL priors."""
+    import math
+
+    def star(cx, cy, n=7, r1=1.0, r2=2.0):
+        pts = []
+        for i in range(n * 2):
+            a = math.pi * i / n
+            r = r1 if i % 2 else r2
+            pts.append((cx + r * math.cos(a), cy + r * math.sin(a)))
+        return ("Polygon", [pts + [pts[0]]])
+
+    gs = [star(0, 0), star(1.0, 0.5), star(0.5, 1.2), star(-0.5, 0.8)]
+    u = ops.union_dissolve(gs)
+    got = ops.area(u)
+    singles = [ops.area(g) for g in gs]
+    assert max(singles) - 1e-9 <= got <= sum(singles) + 1e-9
+    # strictly less than the sum (members genuinely overlap)
+    assert got < sum(singles) - 1.0
+    # pairwise inclusion-exclusion lower bound: union >= sum - pairwise overlaps
+    pair_overlap = sum(
+        ops.area(ops.intersection(a, b))
+        for i, a in enumerate(gs)
+        for b in gs[i + 1 :]
+    )
+    assert got >= sum(singles) - pair_overlap - 1e-6
