@@ -228,12 +228,16 @@ def intersection_percent_by_area(
     record_geom: str = "geom",
     layer_geom: str = "layer_geom",
     id_col: str = IDENTIFIER,
+    dissolve: bool = False,
 ) -> DataFrame:
     """``IntersectionPercentByArea`` (``terra.py:245-279``): area of the
-    record's geometry covered by the layer, as a ratio. Exact when layer
-    features are disjoint (grid tiles — the sum of pairwise intersection
-    areas equals the union area); 0.0 when no overlap
-    (``terra.py:272-274``)."""
+    record's geometry covered by the layer, as a ratio; 0.0 when no
+    overlap (``terra.py:272-274``). The default sums pairwise
+    intersection areas — exact when layer features are DISJOINT (grid
+    tiles, the reference's workload). ``dissolve=True`` unions the
+    clipped zones per record before measuring (exact for overlapping
+    layers, at the cost of routing every pair through the geometry
+    kernel)."""
     # ONE fused kernel pass prepares the record side: make_valid
     # (idempotent, so the reference's per-pair repair collapses to
     # per-row), bbox, boxy flag, and the area denominator; persisted
@@ -247,6 +251,21 @@ def intersection_percent_by_area(
     cand = rec.join(
         F.broadcast(lay), _bbox_overlap(F.col("_rx.bbox"), F.col("_lx.bbox"))
     )
+    if dissolve:
+        # a GROUPED_AGG pandas UDF can't mix with JVM aggregates in one
+        # agg — the constant-per-id denominator joins back from rec
+        zones = (
+            cand.filter(K.st_intersects(F.col("_rx.geom"), F.col(layer_geom)))
+            .withColumn(
+                "_zone", K.st_intersection(F.col("_rx.geom"), F.col(layer_geom))
+            )
+            .groupBy(id_col)
+            .agg(K.st_union_area_agg(F.col("_zone")).alias("_zone_area"))
+            .join(rec.select(id_col, F.col("_rx.area").alias("_ra")), on=id_col)
+        )
+        joined = records.join(zones, on=id_col, how="left")
+        ratio = F.coalesce(F.col("_zone_area") / F.col("_ra"), F.lit(0.0))
+        return joined.withColumn(out, ratio).drop("_zone_area", "_ra")
     both_boxy = F.col("_rx.boxy") & F.col("_lx.boxy")
     # boxy×boxy overlap area is closed-form over the bboxes — evaluated
     # in whole-stage codegen, no Python; only curvy pairs hit the fused
@@ -287,11 +306,16 @@ def intersection_geom(
     layer_geom: str = "layer_geom",
     geom_dest: str | None = None,
     id_col: str = IDENTIFIER,
+    dissolve: bool = False,
 ) -> DataFrame:
     """``IntersectionGeom`` (``terra.py:523-557``): clip the record's
-    geometry to the layer — the unioned (collected) intersection
-    replaces the geometry. Records with no overlap get POINT EMPTY
-    (kernel convention for empty results)."""
+    geometry to the layer — the unioned intersection replaces the
+    geometry. Records with no overlap get POINT EMPTY (kernel
+    convention for empty results). The default collect aggregation is
+    the reference's ``|=`` union when layer features are disjoint (grid
+    tiles); pass ``dissolve=True`` for an OVERLAPPING layer so shared
+    regions are not double-counted downstream."""
+    agg = K.st_union_agg if dissolve else K.st_collect_agg
     rec = records.select(id_col, K.st_prepare(F.col(record_geom)).alias("_rx"))
     lay = layer.select(layer_geom).withColumn("_lb", K.st_bbox(F.col(layer_geom)))
     zones = (
@@ -299,7 +323,7 @@ def intersection_geom(
         .filter(K.st_intersects(F.col("_rx.geom"), F.col(layer_geom)))
         .withColumn("_zone", K.st_intersection(F.col("_rx.geom"), F.col(layer_geom)))
         .groupBy(id_col)
-        .agg(K.st_collect_agg(F.col("_zone")).alias("_zone"))
+        .agg(agg(F.col("_zone")).alias("_zone"))
     )
     dest = geom_dest or record_geom
     return records.join(zones, on=id_col, how="left").withColumn(

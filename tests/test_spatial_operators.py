@@ -115,3 +115,30 @@ def test_union_on_property_dissolve(spark):
         for r in collected.select("grp", K.st_area("geom").alias("area")).collect()
     }
     assert abs(got_c["a"] - 8.0) < 1e-9  # collect counts the overlap twice
+
+
+def test_intersection_percent_dissolve_overlapping_layer(spark):
+    """With an OVERLAPPING layer, the disjoint-assumption sum exceeds
+    100%; dissolve=True unions the clipped zones and stays exact."""
+    from terra_bonobo_nodes_spark.geo import wkb as W
+    from terra_bonobo_nodes_spark.operators.spatial import (
+        intersection_percent_by_area,
+    )
+
+    def wkb_rect(x0, y0, x1, y1):
+        return W.write_wkb(
+            ("Polygon", [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]])
+        )
+
+    rec = spark.createDataFrame(
+        [("r1", wkb_rect(0, 0, 2, 2))], "identifier string, geom binary"
+    )
+    # two tiles covering the record completely, overlapping each other
+    lay = spark.createDataFrame(
+        [(wkb_rect(-1, -1, 1.5, 3),), (wkb_rect(0.5, -1, 3, 3),)],
+        "layer_geom binary",
+    )
+    naive = intersection_percent_by_area(rec, lay).collect()[0]
+    assert naive.intersection_percent > 1.0 + 1e-9  # double-counted strip
+    exact = intersection_percent_by_area(rec, lay, dissolve=True).collect()[0]
+    assert abs(exact.intersection_percent - 1.0) < 1e-9
