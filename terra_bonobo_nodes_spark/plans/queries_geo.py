@@ -504,6 +504,67 @@ def j2_concave_overlay_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j2_dissolve_overlapping_layer",
+    oracle="""
+WITH rec AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 7 AS BIGINT) AS kx,
+         CAST(c_custkey % 5 AS BIGINT) AS ky
+  FROM customer),
+tile_cells AS (
+  SELECT DISTINCT (t.i % 5) + dx.i AS cx, (t.i % 4) + dy.i AS cy
+  FROM range(40) t(i)
+  CROSS JOIN range(4) dx(i) CROSS JOIN range(4) dy(i)),
+rec_cells AS (
+  SELECT r.c_custkey, r.kx + dx.i AS cx, r.ky + dy.i AS cy
+  FROM rec r CROSS JOIN range(4) dx(i) CROSS JOIN range(4) dy(i)),
+covered AS (
+  SELECT rc.c_custkey, count(*) AS n
+  FROM rec_cells rc JOIN tile_cells tc ON rc.cx = tc.cx AND rc.cy = tc.cy
+  GROUP BY rc.c_custkey)
+SELECT r.c_custkey,
+       round(coalesce(c.n, 0) / 16.0, 6) AS intersection_percent
+FROM rec r LEFT JOIN covered c USING (c_custkey)
+""",
+    tags=("J2", "overlay"),
+)
+def j2_dissolve_overlapping_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IntersectionPercentByArea with dissolve=True against a HEAVILY
+    OVERLAPPING tile layer (40 grid-snapped 4x4 squares over a 8x7
+    zone): clipped zones per record are unioned before measuring, so
+    regions covered by several tiles count once. The oracle counts the
+    DISTINCT unit cells of each record covered by any tile — the naive
+    pairwise sum would exceed it wherever tiles overlap."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 7).cast("double").alias("kx"),
+        (F.col("c_custkey") % 5).cast("double").alias("ky"),
+    )
+    kx, ky = F.col("kx"), F.col("ky")
+    records = cust.select(
+        F.col("c_custkey").alias("identifier"),
+        K.st_make_polygon(
+            F.array(kx, kx + 4, kx + 4, kx),
+            F.array(ky, ky, ky + 4, ky + 4),
+        ).alias("geom"),
+    )
+    t = spark.range(40)
+    x0 = (F.col("id") % 5).cast("double")
+    y0 = (F.col("id") % 4).cast("double")
+    tiles = t.select(
+        K.st_make_polygon(
+            F.array(x0, x0 + 4, x0 + 4, x0),
+            F.array(y0, y0, y0 + 4, y0 + 4),
+        ).alias("layer_geom")
+    )
+    out = intersection_percent_by_area(records, tiles, dissolve=True)
+    return out.select(
+        F.col("identifier").cast("long").alias("c_custkey"),
+        F.round("intersection_percent", 6).alias("intersection_percent"),
+    )
+
+
 # --- G9: line clipped to layer (line x polygon overlay) ---------------------
 
 
