@@ -398,6 +398,66 @@ def j4_knn_closest_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j4_knn_closests_list",
+    oracle="""
+WITH c AS (SELECT c_custkey, (c_acctbal % 100.0) AS cx,
+                  CAST(c_custkey % 100 AS DOUBLE) AS cy FROM customer),
+     s AS (SELECT s_suppkey, (s_acctbal % 100.0) AS sx,
+                  CAST(s_suppkey % 100 AS DOUBLE) AS sy FROM supplier),
+     pairs AS (
+       SELECT c.c_custkey, s.s_suppkey,
+              sqrt((c.cx - s.sx) * (c.cx - s.sx) + (c.cy - s.sy) * (c.cy - s.sy))
+                AS distance
+       FROM c CROSS JOIN s),
+     ranked AS (
+       SELECT c_custkey, s_suppkey, distance,
+              row_number() OVER (PARTITION BY c_custkey
+                                 ORDER BY distance, s_suppkey) AS rank
+       FROM pairs WHERE distance < 25.0)
+SELECT c_custkey,
+       array_to_string(list(s_suppkey ORDER BY rank), ',') AS closests
+FROM ranked WHERE rank <= 3 GROUP BY c_custkey
+""",
+    tags=("J4",),
+)
+def j4_knn_closests_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OUTPUT shape for ClosestFeatures: the k nearest
+    appended as an ordered LIST on the record (``closests``,
+    ``terra.py:326-328``) rather than exploded rows. collect_list is
+    order-nondeterministic, so the list is rebuilt deterministically:
+    collect (rank, id) structs, sort_array, project the ids."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal") % 100.0).alias("cx"),
+        (F.col("c_custkey") % 100).cast("double").alias("cy"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") % 100.0).alias("sx"),
+        (F.col("s_suppkey") % 100).cast("double").alias("sy"),
+    )
+    ranked = knn_join(
+        cust,
+        supp,
+        left_xy=("cx", "cy"),
+        right_xy=("sx", "sy"),
+        left_id="c_custkey",
+        k=3,
+        max_distance=25.0,
+        tie_breaker="s_suppkey",
+    )
+    closests = F.transform(
+        F.sort_array(F.collect_list(F.struct("rank", "s_suppkey"))),
+        lambda x: x["s_suppkey"].cast("string"),
+    )
+    # serialized as a joined string: array-valued result columns are
+    # comparator-hostile (pandas/duckdb round-trip them as ndarrays)
+    return ranked.groupBy("c_custkey").agg(
+        F.array_join(closests, ",").alias("closests")
+    )
+
+
+@register(
     "j4_grid_knn_bigbig",
     oracle="""
 WITH c AS (SELECT c_custkey, (c_acctbal % 100.0) AS cx,

@@ -53,6 +53,9 @@ def _canon(v):
         if math.isnan(v):
             return "NaN"
         return f"{v:.9g}"
+    if hasattr(v, "tolist") and not hasattr(v, "isoformat"):
+        # numpy scalar or ndarray (duckdb fetchdf round-trips lists)
+        v = v.tolist()
     if isinstance(v, (list, tuple)):
         return tuple(_canon(x) for x in v)
     if hasattr(v, "isoformat"):
