@@ -50,7 +50,12 @@ def _map1(series: pd.Series, fn) -> list:
 def _st_point(x: pd.Series, y: pd.Series) -> pd.Series:
     out = []
     for xv, yv in zip(x, y):
-        if xv is None or yv is None or (isinstance(xv, float) and math.isnan(xv)):
+        if (
+            xv is None
+            or yv is None
+            or (isinstance(xv, float) and math.isnan(xv))
+            or (isinstance(yv, float) and math.isnan(yv))
+        ):
             out.append(W.write_wkb(W.POINT_EMPTY))
         else:
             out.append(W.write_wkb(("Point", (float(xv), float(yv)))))

@@ -1107,10 +1107,89 @@ def _map_coords(g: Geom, fn) -> Geom:
 _R = 6378137.0
 
 
+class LambertConformalConic:
+    """Closed-form Lambert conformal conic (2SP, Snyder 1987 §15) on an
+    ellipsoid — the reference's ``metric_projection_srid`` contract
+    (``terra.py:43,474-494``) without a proj database. Constants are
+    derived once at import; the same values are embedded as literals in
+    the DuckDB oracle SQL so both engines evaluate the identical
+    expression shape."""
+
+    def __init__(
+        self,
+        a: float,
+        inv_f: float,
+        lat0: float,
+        lon0: float,
+        lat1: float,
+        lat2: float,
+        x0: float,
+        y0: float,
+    ):
+        self.a, self.x0, self.y0 = a, x0, y0
+        self.e2 = 2.0 / inv_f - 1.0 / (inv_f * inv_f)
+        self.e = math.sqrt(self.e2)
+        p0, p1, p2 = map(math.radians, (lat0, lat1, lat2))
+        self.lam0 = math.radians(lon0)
+        m1, m2 = self._m(p1), self._m(p2)
+        t0, t1, t2 = self._t(p0), self._t(p1), self._t(p2)
+        self.n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+        self.af = a * m1 / (self.n * t1**self.n)  # a*F
+        self.rho0 = self.af * t0**self.n
+
+    def _m(self, phi: float) -> float:
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1.0 - self.e2 * s * s)
+
+    def _t(self, phi: float) -> float:
+        s = math.sin(phi)
+        return math.tan(math.pi / 4.0 - phi / 2.0) * (
+            (1.0 + self.e * s) / (1.0 - self.e * s)
+        ) ** (self.e / 2.0)
+
+    def forward(self, lon: float, lat: float) -> tuple[float, float]:
+        t = self._t(math.radians(lat))
+        rho = self.af * t**self.n
+        theta = self.n * (math.radians(lon) - self.lam0)
+        return (
+            self.x0 + rho * math.sin(theta),
+            self.y0 + self.rho0 - rho * math.cos(theta),
+        )
+
+    def inverse(self, x: float, y: float) -> tuple[float, float]:
+        dx, dy = x - self.x0, self.rho0 - (y - self.y0)
+        rho = math.copysign(math.hypot(dx, dy), self.n)
+        t = (rho / self.af) ** (1.0 / self.n)
+        lam = math.atan2(dx, dy) / self.n + self.lam0
+        phi = math.pi / 2.0 - 2.0 * math.atan(t)
+        for _ in range(12):
+            s = math.sin(phi)
+            phi = math.pi / 2.0 - 2.0 * math.atan(
+                t * ((1.0 - self.e * s) / (1.0 + self.e * s)) ** (self.e / 2.0)
+            )
+        return math.degrees(lam), math.degrees(phi)
+
+
+# RGF93 / Lambert-93 (EPSG:2154): GRS80, phi0=46.5, lon0=3, parallels
+# 44/49, false origin (700000, 6600000) — the metric CRS the reference's
+# French deployments pass as metric_projection_srid.
+LAMBERT93 = LambertConformalConic(
+    a=6378137.0,
+    inv_f=298.257222101,
+    lat0=46.5,
+    lon0=3.0,
+    lat1=44.0,
+    lat2=49.0,
+    x0=700000.0,
+    y0=6600000.0,
+)
+
+
 def transform(g: Geom | None, src: str, dst: str) -> Geom | None:
-    """``TransformGeom`` (``terra.py:474-494``) for the web CRS pair:
-    EPSG:4326 <-> EPSG:3857 (spherical mercator, closed form). Other
-    CRS pairs need a proj database — NotImplemented here by design."""
+    """``TransformGeom`` (``terra.py:474-494``) in closed form for the
+    CRS pairs the reference's deployments use: EPSG:4326 <-> EPSG:3857
+    (spherical mercator) and EPSG:4326 <-> EPSG:2154 (Lambert-93).
+    Other pairs need a proj database — NotImplemented by design."""
     if g is None:
         return None
 
@@ -1134,6 +1213,10 @@ def transform(g: Geom | None, src: str, dst: str) -> Geom | None:
             return (lon, lat) + tuple(p[2:])
 
         return _map_coords(g, inv)
+    if (s, d) == ("4326", "2154"):
+        return _map_coords(g, lambda p: LAMBERT93.forward(p[0], p[1]) + tuple(p[2:]))
+    if (s, d) == ("2154", "4326"):
+        return _map_coords(g, lambda p: LAMBERT93.inverse(p[0], p[1]) + tuple(p[2:]))
     raise NotImplementedError(f"transform {src} -> {dst}")
 
 

@@ -365,15 +365,19 @@ def connected_components(
     through the pair graph. This is the step that turns pairwise dedup
     output into "keep one per cluster" decisions.
 
-    Algorithm: iterative min-label propagation (the simplified
-    large-star step): each node adopts the smallest label among itself
-    and its neighbors until a fixed point, detected by comparing the
-    per-iteration sum+count of labels (monotonically decreasing — equal
-    aggregates mean no label moved). Label diameter halves roughly per
-    round, so max_iterations=10 covers chains of ~2^10; real corpora
-    have tiny dedup-cluster diameters. Each iteration is one
-    shuffle-join + aggregate over the EDGE list — never materializes
-    the transitive closure.
+    Algorithm: iterative min-label propagation with POINTER JUMPING —
+    each round every node adopts the smallest label among itself and
+    its neighbors (large-star step), then adopts its label's label
+    (path-halving shortcut). The shortcut is what makes convergence
+    logarithmic in component diameter (~2^max_iterations hops covered),
+    not linear. Fixed point is detected by comparing the per-iteration
+    sum+count of labels (labels only decrease — equal aggregates mean
+    no label moved); the 2-scalar ``collect`` is the convergence
+    signature, not a data materialization. Each iteration is two
+    shuffle-joins over the EDGE list / label table — never the
+    transitive closure. If the loop exhausts without reaching the
+    fixed point a RuntimeError is raised (silently returning split
+    components would corrupt dedup decisions downstream).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -387,6 +391,8 @@ def connected_components(
         .withColumn("label", F.col("node"))
     )
     prev_sig = None
+    converged = False
+    retired: list[DataFrame] = []
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(
@@ -398,22 +404,42 @@ def connected_components(
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("_nl").alias("_nmin"))
         )
-        labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
-                ).alias("label"),
-            )
-            .persist()
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
+            ).alias("label"),
         )
+        # pointer jump: label := label's label (every label is itself a
+        # node id, so the self-join always finds it)
+        jumped = stepped.join(
+            stepped.select(F.col("node").alias("label"), F.col("label").alias("_ll")),
+            "label",
+            "left",
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        retired.append(labels)
+        labels = jumped.persist()
         sig = labels.agg(
             F.sum("label").alias("s"), F.count(F.lit(1)).alias("c")
         ).collect()[0]
+        for old in retired:
+            old.unpersist(False)
+        retired.clear()
         if prev_sig == (sig.s, sig.c):
+            converged = True
             break
         prev_sig = (sig.s, sig.c)
+    edges.unpersist(False)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; raise max_iterations (coverage doubles per step)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )

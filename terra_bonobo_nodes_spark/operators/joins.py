@@ -7,6 +7,7 @@ The reference has no equi-join node — it round-trips to PostGIS per row
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -114,17 +115,20 @@ def grid_knn_join(
     """Scale path for kNN when neither side broadcasts.
 
     Buckets both sides into grid cells of size ``cell`` (default
-    ``max_distance``), replicates each left row into its cell's 3x3
-    neighborhood, and equi-joins on the cell key — candidate pairs are
-    then exact-filtered by distance and top-k'd. Any pair within
-    ``max_distance`` shares a neighborhood, so results equal the naive
-    join; the shuffle is an equi-join on cell keys instead of a cross
-    product.
+    ``max_distance``), replicates each left row into the neighborhood of
+    ``r = ceil(max_distance / cell)`` cells in every direction, and
+    equi-joins on the cell key — candidate pairs are then exact-filtered
+    by distance and top-k'd. Any pair within ``max_distance`` is at most
+    ``r`` cells apart on each axis, so it shares a replicated cell and
+    results equal the naive join; the shuffle is an equi-join on cell
+    keys instead of a cross product. (``cell < max_distance`` trades a
+    wider replication factor for finer partitions — useful under skew.)
     """
     c = float(cell or max_distance)
     lx, ly = left_xy
     rx, ry = right_xy
-    offsets = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    reach = math.ceil(max_distance / c)
+    offsets = F.array(*[F.lit(i) for i in range(-reach, reach + 1)])
     lcells = (
         left.withColumn("_cx0", F.floor(F.col(lx) / c).cast("long"))
         .withColumn("_cy0", F.floor(F.col(ly) / c).cast("long"))

@@ -180,6 +180,99 @@ def _bbox_overlap(a: Column, b: Column) -> Column:
     )
 
 
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _scoped_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` for the fast/slow branch reuse below, releasing
+    caches left by PREVIOUS spatial-join invocations — a long-lived
+    session holds at most the latest operator's cache instead of
+    accumulating one per call (ADVICE r01). Unpersisting a plan that was
+    never materialized is a no-op, so early release only costs a
+    recompute, never correctness."""
+    for old in _LIVE_CACHES:
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass
+    _LIVE_CACHES.clear()
+    _LIVE_CACHES.append(df.persist())
+    return df
+
+
+def release_spatial_caches() -> None:
+    """Explicitly release the record-side caches held by the spatial
+    joins (call after the final action of a pipeline)."""
+    for old in _LIVE_CACHES:
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass
+    _LIVE_CACHES.clear()
+
+
+def _candidates(
+    rec: DataFrame,
+    lay: DataFrame,
+    rec_bbox: Column,
+    lay_bbox: Column,
+    strategy: str,
+    cell: float | None,
+) -> DataFrame:
+    """Candidate pairs whose envelopes overlap, by one of two plans:
+
+    - ``broadcast``: broadcast the (dimension-sized) layer, cull with
+      the bbox predicate inside whole-stage codegen. The default, and
+      the right plan whenever the layer fits an executor.
+    - ``grid``: the big-big path (PostGIS GiST parity at any layer
+      size, ``terra.py:235``). Both sides explode their envelope into
+      the ``cell``-sized grid cells it covers, equi-join on the cell
+      key (a plain shuffle hash join — no broadcast, no nested-loop),
+      then exact-filter envelope overlap. A pair sharing several cells
+      is deduplicated for free by keeping it only in its *reporting
+      cell* — the cell containing the min corner of the two envelopes'
+      intersection — instead of a distinct. ``cell`` should be on the
+      order of a typical feature envelope: too small explodes
+      replication, too large degrades to few fat partitions (AQE evens
+      out the tail).
+    """
+    if strategy == "broadcast":
+        return rec.join(F.broadcast(lay), _bbox_overlap(rec_bbox, lay_bbox))
+    if strategy != "grid":
+        raise ValueError(f"unknown spatial join strategy {strategy!r}")
+    if cell is None or cell <= 0:
+        raise ValueError("grid strategy requires a positive cell size")
+    c = F.lit(float(cell))
+
+    def tiled(df: DataFrame, bbox: Column) -> DataFrame:
+        xs = F.sequence(
+            F.floor(F.element_at(bbox, 1) / c).cast("long"),
+            F.floor(F.element_at(bbox, 3) / c).cast("long"),
+        )
+        ys = F.sequence(
+            F.floor(F.element_at(bbox, 2) / c).cast("long"),
+            F.floor(F.element_at(bbox, 4) / c).cast("long"),
+        )
+        return (
+            df.filter(bbox.isNotNull())
+            .withColumn("_gx", F.explode(xs))
+            .withColumn("_gy", F.explode(ys))
+        )
+
+    joined = tiled(rec, rec_bbox).join(tiled(lay, lay_bbox), on=["_gx", "_gy"])
+    rep_x = F.floor(
+        F.greatest(F.element_at(rec_bbox, 1), F.element_at(lay_bbox, 1)) / c
+    ).cast("long")
+    rep_y = F.floor(
+        F.greatest(F.element_at(rec_bbox, 2), F.element_at(lay_bbox, 2)) / c
+    ).cast("long")
+    return (
+        joined.filter(_bbox_overlap(rec_bbox, lay_bbox))
+        .filter((F.col("_gx") == rep_x) & (F.col("_gy") == rep_y))
+        .drop("_gx", "_gy")
+    )
+
+
 def boolean_intersect(
     records: DataFrame,
     layer: DataFrame,
@@ -187,6 +280,8 @@ def boolean_intersect(
     record_geom: str = "geom",
     layer_geom: str = "layer_geom",
     id_col: str = IDENTIFIER,
+    strategy: str = "broadcast",
+    cell: float | None = None,
 ) -> DataFrame:
     """``BooleanIntersect`` (``terra.py:214-242``): existential spatial
     semi-join -> boolean flag. Kernel errors yield False, matching the
@@ -198,15 +293,20 @@ def boolean_intersect(
     boxy×boxy pairs (points, grid tiles — see ``st_bbox_boxy``) the
     bbox overlap IS the exact answer, evaluated wholly in whole-stage
     codegen; only curvy pairs reach the Python intersects kernel. The
-    record side is persisted because both branches scan it (at cluster
-    scale, drop the persist and accept recomputing the bbox kernel).
-    Rows with no layer match keep flag=False via left join + coalesce."""
-    rec = records.select(id_col, record_geom).withColumn(
-        "_rx", K.st_bbox_boxy(F.col(record_geom))
-    ).persist()
+    record side is persisted because both branches scan it (scoped: the
+    cache is released on the next spatial-join call or via
+    ``release_spatial_caches``). Rows with no layer match keep
+    flag=False via left join + coalesce. ``strategy="grid"`` (with a
+    ``cell`` size) switches to the big-big cell-partitioned join — use
+    it when the layer is too large to broadcast."""
+    rec = _scoped_persist(
+        records.select(id_col, record_geom).withColumn(
+            "_rx", K.st_bbox_boxy(F.col(record_geom))
+        )
+    )
     lay = layer.select(layer_geom).withColumn("_lx", K.st_bbox_boxy(F.col(layer_geom)))
-    cand = rec.join(
-        F.broadcast(lay), _bbox_overlap(F.col("_rx.bbox"), F.col("_lx.bbox"))
+    cand = _candidates(
+        rec, lay, F.col("_rx.bbox"), F.col("_lx.bbox"), strategy, cell
     )
     both_boxy = F.col("_rx.boxy") & F.col("_lx.boxy")
     fast = cand.filter(both_boxy).select(id_col)
@@ -229,6 +329,8 @@ def intersection_percent_by_area(
     layer_geom: str = "layer_geom",
     id_col: str = IDENTIFIER,
     dissolve: bool = False,
+    strategy: str = "broadcast",
+    cell: float | None = None,
 ) -> DataFrame:
     """``IntersectionPercentByArea`` (``terra.py:245-279``): area of the
     record's geometry covered by the layer, as a ratio; 0.0 when no
@@ -241,15 +343,16 @@ def intersection_percent_by_area(
     # ONE fused kernel pass prepares the record side: make_valid
     # (idempotent, so the reference's per-pair repair collapses to
     # per-row), bbox, boxy flag, and the area denominator; persisted
-    # because the fast and slow branches both scan it
-    rec = records.select(
-        id_col, K.st_prepare(F.col(record_geom)).alias("_rx")
-    ).persist()
+    # (scoped — released on the next spatial-join call) because the
+    # fast and slow branches both scan it
+    rec = _scoped_persist(
+        records.select(id_col, K.st_prepare(F.col(record_geom)).alias("_rx"))
+    )
     lay = layer.select(layer_geom).withColumn(
         "_lx", K.st_bbox_boxy(F.col(layer_geom))
     )
-    cand = rec.join(
-        F.broadcast(lay), _bbox_overlap(F.col("_rx.bbox"), F.col("_lx.bbox"))
+    cand = _candidates(
+        rec, lay, F.col("_rx.bbox"), F.col("_lx.bbox"), strategy, cell
     )
     if dissolve:
         # a GROUPED_AGG pandas UDF can't mix with JVM aggregates in one
@@ -307,6 +410,8 @@ def intersection_geom(
     geom_dest: str | None = None,
     id_col: str = IDENTIFIER,
     dissolve: bool = False,
+    strategy: str = "broadcast",
+    cell: float | None = None,
 ) -> DataFrame:
     """``IntersectionGeom`` (``terra.py:523-557``): clip the record's
     geometry to the layer — the unioned intersection replaces the
@@ -319,7 +424,7 @@ def intersection_geom(
     rec = records.select(id_col, K.st_prepare(F.col(record_geom)).alias("_rx"))
     lay = layer.select(layer_geom).withColumn("_lb", K.st_bbox(F.col(layer_geom)))
     zones = (
-        rec.join(F.broadcast(lay), _bbox_overlap(F.col("_rx.bbox"), F.col("_lb")))
+        _candidates(rec, lay, F.col("_rx.bbox"), F.col("_lb"), strategy, cell)
         .filter(K.st_intersects(F.col("_rx.geom"), F.col(layer_geom)))
         .withColumn("_zone", K.st_intersection(F.col("_rx.geom"), F.col(layer_geom)))
         .groupBy(id_col)

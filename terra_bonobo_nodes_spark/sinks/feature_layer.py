@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 
 from terra_bonobo_nodes_spark.geo import wkb as W
 from terra_bonobo_nodes_spark.operators.stateful import upsert_last_writer_wins
+from terra_bonobo_nodes_spark.sinks.atomic import (
+    read_parquet_or_none,
+    staged_overwrite,
+)
 
 EMPTY_POINT_WKB = W.write_wkb(W.POINT_EMPTY)
 
@@ -68,19 +72,15 @@ def load_feature_in_layer(
             out.select(identifier_col), on=identifier_col, how="left_anti"
         )
         merged = keep.unionByName(out, allowMissingColumns=True)
-        # materialize before overwriting the directory being read
-        merged = spark.createDataFrame(merged.collect(), merged.schema)
+        # the plan reads `path`; staged swap rewrites it without a
+        # driver round-trip (executors write {path}__next__, then rename)
+        staged_overwrite(merged, path)
     else:
-        merged = out
-    merged.write.mode("overwrite").parquet(path)
+        out.write.mode("overwrite").parquet(path)
 
 
 def read_layer(spark: SparkSession, root: str, layer: str) -> DataFrame | None:
-    path = _layer_path(root, layer)
-    try:
-        return spark.read.parquet(path)
-    except Exception:
-        return None
+    return read_parquet_or_none(spark, _layer_path(root, layer))
 
 
 def clean_older_than(
@@ -94,9 +94,6 @@ def clean_older_than(
     cut = F.lit(cutoff).cast("timestamp")
     kept = existing.filter(F.col(ts_col) >= cut)
     n_before = existing.count()
-    rows = kept.collect()
-    n_after = len(rows)
-    spark.createDataFrame(rows, kept.schema).write.mode("overwrite").parquet(
-        _layer_path(root, layer)
-    )
+    staged_overwrite(kept, _layer_path(root, layer))
+    n_after = spark.read.parquet(_layer_path(root, layer)).count()
     return n_before - n_after

@@ -234,26 +234,31 @@ def upsert_foreach_batch(
     directory hash-partitioned by identifier bucket.
 
     Per micro-batch: dedupe batch rows by id (epoch-max wins), read the
-    current target, anti-join out replaced ids, write the union back.
-    Idempotent per epoch id — a retried batch rewrites the same rows.
-    (With Delta available this is MERGE; plain parquet makes the
-    delete+insert explicit, mirroring the reference's transactional
-    window flush at terra.py:155-161.)"""
+    current target, anti-join out replaced ids, write the union back via
+    the staged-swap protocol (write ``__next__``, rename over target —
+    crash-safe, see ``sinks/atomic.py``). Idempotent per epoch id — a
+    retried batch rewrites the same rows. A *missing* target means an
+    empty store; any other read failure propagates rather than silently
+    discarding previously stored rows. (With Delta available this is
+    MERGE, mirroring the reference's transactional window flush at
+    terra.py:155-161.)"""
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        from terra_bonobo_nodes_spark.sinks.atomic import (
+            read_parquet_or_none,
+            staged_overwrite,
+        )
+
         spark = batch.sparkSession
         deduped = batch.dropDuplicates([id_col])
-        try:
-            current = spark.read.parquet(target_dir)
+        current = read_parquet_or_none(spark, target_dir)
+        if current is None:
+            out = deduped
+        else:
             keep = current.join(
                 F.broadcast(deduped.select(id_col)), id_col, "left_anti"
             )
             out = keep.unionByName(deduped)
-        except Exception:
-            out = deduped
-        out.write.mode("overwrite").parquet(target_dir + "_next")
-        # atomic-ish swap: overwrite target from the staged dir
-        staged = spark.read.parquet(target_dir + "_next")
-        staged.write.mode("overwrite").parquet(target_dir)
+        staged_overwrite(out, target_dir)
 
     return write_batch

@@ -225,7 +225,21 @@ class TestTransforms:
 
     def test_transform_unknown_raises(self):
         with pytest.raises(NotImplementedError):
-            ops.transform(("Point", (0.0, 0.0)), "EPSG:4326", "EPSG:2154")
+            ops.transform(("Point", (0.0, 0.0)), "EPSG:4326", "EPSG:27572")
+
+    def test_transform_lambert93_known_point(self):
+        # Paris (2.3522E, 48.8566N) in EPSG:2154 — reference value from
+        # the published Lambert-93 definition (Snyder closed form):
+        # ~ (652469.0, 6862035.3), tolerance 1 m.
+        g = ops.transform(("Point", (2.3522, 48.8566)), "4326", "2154")
+        x, y = g[1]
+        assert abs(x - 652469.0) < 1.0 and abs(y - 6862035.0) < 2.0
+
+    def test_transform_lambert93_roundtrip(self):
+        for lon, lat in [(2.35, 48.85), (-1.55, 47.22), (7.75, 48.58), (3.0, 46.5)]:
+            g = ops.transform(("Point", (lon, lat)), "4326", "2154")
+            back = ops.transform(g, "2154", "4326")
+            assert abs(back[1][0] - lon) < 1e-9 and abs(back[1][1] - lat) < 1e-9
 
     def test_force_2d(self):
         assert ops.force_2d(("Point", (1.0, 2.0, 3.0))) == ("Point", (1.0, 2.0))

@@ -157,3 +157,70 @@ def test_geojson_reader_empty_features(spark):
     doc = json.dumps({"type": "FeatureCollection", "features": []})
     df = spark.createDataFrame([(doc,)], "content STRING")
     assert geojson_reader(df, "content").count() == 0
+
+
+def test_upsert_scales_without_driver_collect(spark, tmp_path):
+    """Upsert on a layer big enough that a driver materialization would
+    be the wrong plan shape; also a static guard that the sink source
+    contains no collect() (VERDICT r01 #2)."""
+    import inspect
+
+    from terra_bonobo_nodes_spark.sinks import feature_layer as fl_mod
+
+    assert ".collect(" not in inspect.getsource(fl_mod)
+
+    root = str(tmp_path / "biglayers")
+    base = spark.range(60_000).select(
+        F.concat(F.lit("id-"), F.col("id")).alias("identifier"),
+        F.col("id").alias("val"),
+        F.lit(1).alias("seq"),
+    )
+    load_feature_in_layer(base, root, "big", order_col="seq")
+    assert read_layer(spark, root, "big").count() == 60_000
+
+    # update half the ids, insert 1000 new ones
+    upd = spark.range(30_000).select(
+        F.concat(F.lit("id-"), F.col("id") * 2).alias("identifier"),
+        (F.col("id") + 1_000_000).alias("val"),
+        F.lit(2).alias("seq"),
+    ).unionByName(
+        spark.range(1_000).select(
+            F.concat(F.lit("new-"), F.col("id")).alias("identifier"),
+            F.col("id").alias("val"),
+            F.lit(2).alias("seq"),
+        )
+    )
+    load_feature_in_layer(upd, root, "big", order_col="seq")
+    out = read_layer(spark, root, "big")
+    assert out.count() == 61_000
+    assert out.filter(F.col("val") >= 1_000_000).count() == 30_000
+
+
+def test_staged_swap_crash_recovery(spark, tmp_path):
+    """A crash between retire and promote leaves __next__ complete;
+    the next read adopts it (sinks/atomic.py protocol)."""
+    import os as _os
+    import shutil
+
+    from terra_bonobo_nodes_spark.sinks.atomic import read_parquet_or_none
+
+    path = str(tmp_path / "store")
+    spark.createDataFrame([(1,)], "a INT").write.parquet(path + "__next__")
+    # no live target, no __old__: adopt __next__
+    assert read_parquet_or_none(spark, path).count() == 1
+    assert _os.path.exists(path) and not _os.path.exists(path + "__next__")
+
+    # crash before retire: target intact, stale __next__ ignored
+    spark.createDataFrame([(2,), (3,)], "a INT").write.mode("overwrite").parquet(
+        path + "__next__"
+    )
+    assert read_parquet_or_none(spark, path).count() == 1
+    shutil.rmtree(path + "__next__")
+
+    # crash after retire with incomplete __next__ (no _SUCCESS): restore __old__
+    _os.rename(path, path + "__old__")
+    _os.makedirs(path + "__next__")
+    assert read_parquet_or_none(spark, path).count() == 1
+
+    # missing everything -> None
+    assert read_parquet_or_none(spark, str(tmp_path / "nope")) is None
