@@ -379,11 +379,18 @@ def connected_components(
     fixed point a RuntimeError is raised (silently returning split
     components would corrupt dedup decisions downstream).
     """
+    # localCheckpoint (not persist): truncates the LOGICAL plan, not
+    # just execution. With persist alone each iteration re-analyzes the
+    # whole join lineage so far — Catalyst planning time grows
+    # super-linearly with iteration count and dominates wall clock for
+    # small graphs. The lineage cut trades recompute-on-executor-loss
+    # for constant per-iteration planning, the right trade for an
+    # iterative refinement whose state is (node, label) pairs.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -392,7 +399,6 @@ def connected_components(
     )
     prev_sig = None
     converged = False
-    retired: list[DataFrame] = []
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(
@@ -422,19 +428,14 @@ def connected_components(
                 "label"
             ),
         )
-        retired.append(labels)
-        labels = jumped.persist()
+        labels = jumped.localCheckpoint()  # eager: materializes the round
         sig = labels.agg(
             F.sum("label").alias("s"), F.count(F.lit(1)).alias("c")
         ).collect()[0]
-        for old in retired:
-            old.unpersist(False)
-        retired.clear()
         if prev_sig == (sig.s, sig.c):
             converged = True
             break
         prev_sig = (sig.s, sig.c)
-    edges.unpersist(False)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "

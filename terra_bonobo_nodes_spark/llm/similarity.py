@@ -21,6 +21,9 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -90,8 +93,6 @@ def brute_force_topk(
     exactly the IEEE left-fold op sequence of :func:`dot_exact` /
     :func:`dot_exact_sql`. Ties break on neighbor id ascending.
     """
-    import numpy as np
-
     q_rows = queries.select(id_col, vec_col).collect()
     if not q_rows:
         schema = (
@@ -196,35 +197,45 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
-def _sq_dist(vec: Column, center: list[float]) -> Column:
-    """Squared euclidean distance to a centroid literal — plain double
-    math (used only for cluster assignment, not oracle-checked)."""
-    lits = F.array(*[F.lit(w) for w in center])
-    return F.aggregate(
-        F.zip_with(
-            vec, lits, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _cell_assign_udf(centroids: list[list[float]]):
+    """Arrow-batched nearest-centroid assignment. The codebook ships to
+    executors as a closure-captured numpy matrix (k×dim — tiny); each
+    Arrow batch is scored with one vectorized distance computation.
+    Deterministic tie-break = lowest centroid index (``np.argmin``
+    returns the first minimum). This replaces a Catalyst expression of
+    k×dim literals whose codegen time dwarfed the actual math."""
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    cn = (C * C).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="int32")
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        # argmin_k |x-c|^2 = argmin_k (|c|^2 - 2 x·c); |x|^2 is constant per row
+        d = cn[None, :] - 2.0 * (X @ C.T)
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return assign
 
 
-def _assign_cluster(vec: Column, centroids: list[list[float]]) -> Column:
-    """argmin over centroid distances, deterministic tie-break on index.
-    Entries are [dist, idx] double pairs — struct field names don't
-    survive inside higher-order-function lambdas, positions do."""
-    entries = [
-        F.array(_sq_dist(vec, c), F.lit(float(i)))
-        for i, c in enumerate(centroids)
-    ]
-    best = F.aggregate(
-        F.array(*entries),
-        F.array(F.lit(float("inf")), F.lit(-1.0)),
-        lambda acc, x: F.when(
-            (x[0] < acc[0]) | ((x[0] == acc[0]) & (x[1] < acc[1])), x
-        ).otherwise(acc),
-    )
-    return best[1].cast("int")
+def _probe_cells_udf(centroids: list[list[float]], n_probe: int):
+    """Arrow-batched n_probe-nearest-cells (for the query side); stable
+    argsort keeps the lowest-index tie-break."""
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+    np_ = int(n_probe)
+
+    @F.pandas_udf("array<int>")
+    def probes(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="object")
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        d = cn[None, :] - 2.0 * (X @ C.T)
+        order = np.argsort(d, axis=1, kind="stable")[:, :np_].astype("int32")
+        return pd.Series(list(order))
+
+    return probes
 
 
 def ivf_train(
@@ -233,33 +244,35 @@ def ivf_train(
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_size: int = 65536,
 ) -> list[list[float]]:
     """Deterministic k-means coarse quantizer (the IVF codebook).
 
-    Init = the n_clusters lowest-id vectors; Lloyd iterations assign
-    each vector to its nearest centroid (one distributed pass) and
-    recompute means via explode + groupBy (no driver-side data beyond
-    the k×dim codebook — exactly how Spark MLlib's KMeans iterates).
-    Empty clusters keep their previous centroid."""
-    seed_rows = (
-        corpus.select(id_col, vec_col).orderBy(F.col(id_col)).limit(n_clusters).collect()
+    Trains on a bounded, deterministic sample — the ``sample_size``
+    lowest-id vectors (``orderBy.limit`` compiles to TakeOrdered: a
+    map-side partial top-k, no global sort) — with Lloyd iterations in
+    numpy on the driver. Sample-based codebook training is the standard
+    IVF construction (FAISS trains on ~256 vectors/centroid); the full
+    corpus is only ever touched by the single distributed *assignment*
+    pass in :func:`ivf_topk`. Init = first n_clusters sampled vectors;
+    empty clusters keep their previous centroid; ties go to the lowest
+    centroid index."""
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(F.col(id_col))
+        .limit(int(sample_size))
+        .collect()
     )
-    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    X = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+    C = X[:n_clusters].copy()
     for _ in range(iterations):
-        assigned = corpus.select(
-            _assign_cluster(F.col(vec_col), centroids).alias("_c"),
-            F.posexplode(F.col(vec_col)).alias("_dim", "_v"),
-        )
-        means = (
-            assigned.groupBy("_c", "_dim")
-            .agg(F.avg(F.col("_v").cast("double")).alias("_m"))
-            .collect()
-        )
-        new = {c: list(cent) for c, cent in enumerate(centroids)}
-        for r in means:
-            new[r._c][r._dim] = r._m
-        centroids = [new[c] for c in range(n_clusters)]
-    return centroids
+        cn = (C * C).sum(axis=1)
+        assign = np.argmin(cn[None, :] - 2.0 * (X @ C.T), axis=1)
+        for c in range(n_clusters):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C.tolist()
 
 
 def ivf_topk(
@@ -277,39 +290,29 @@ def ivf_topk(
     """IVF approximate top-k: k-means codebook → corpus partitioned by
     nearest centroid → each query probes its n_probe nearest cells.
 
-    100 TB shape: training touches the corpus iterations× with map-side
-    combine; search joins on the cluster id (n_clusters distinct keys —
-    at real scale use √N clusters and hash-partition the corpus by
-    cell, giving each query a targeted scan of n_probe/n_clusters of
-    the data). Scoring reuses the exact decimal cosine, so results are
-    a strict subset of brute-force results."""
+    100 TB shape: training reads only a bounded sample (TakeOrdered —
+    no global sort, no full pass); the corpus is touched by ONE
+    distributed assignment pass (Arrow-batched numpy argmin); search
+    joins on the cluster id (n_clusters distinct keys — at real scale
+    use √N clusters and hash-partition the corpus by cell, giving each
+    query a targeted scan of n_probe/n_clusters of the data). Scoring
+    reuses the exact left-fold cosine, so results are a strict subset
+    of brute-force results."""
     if centroids is None:
         centroids = ivf_train(corpus, n_clusters, iterations, id_col, vec_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         norm(F.col(vec_col)).alias("_cn"),
-        _assign_cluster(F.col(vec_col), centroids).alias("_cell"),
-    )
-    probe_entries = [
-        F.array(_sq_dist(F.col(vec_col), cen), F.lit(float(i)))
-        for i, cen in enumerate(centroids)
-    ]
-    probes = F.slice(
-        F.array_sort(
-            F.array(*probe_entries),
-            lambda a, b: F.when(a[0] < b[0], -1)
-            .when(a[0] > b[0], 1)
-            .otherwise((a[1] - b[1]).cast("int")),
-        ),
-        1,
-        n_probe,
+        _cell_assign_udf(centroids)(F.col(vec_col)).alias("_cell"),
     )
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
         norm(F.col(vec_col)).alias("_qn"),
-        F.explode(F.transform(probes, lambda s: s[1].cast("int"))).alias("_cell"),
+        F.explode(
+            _probe_cells_udf(centroids, n_probe)(F.col(vec_col))
+        ).alias("_cell"),
     )
     scored = (
         c.join(F.broadcast(q), "_cell")
