@@ -91,9 +91,19 @@ def minhash_signatures(
 
     explode_fn = explode_word_shingles if word_grams else explode_char_shingles
     # no distinct: min over a multiset equals min over its set, so
-    # duplicate shingles can't change any signature component
+    # duplicate shingles can't change any signature component.
+    # Char shingles have a known fixed length, so the unrolled
+    # polynomial hash applies (no md5 digest per shingle — the dominant
+    # signature-stage cost); word grams are variable-length → md5.
+    from terra_bonobo_nodes_spark.llm.hashing import hash32_poly
+
+    shingle_hash = (
+        hash32(F.col("shingle"))
+        if word_grams
+        else hash32_poly(F.col("shingle"), shingle_n)
+    )
     posting = explode_fn(df, id_col, text_col, shingle_n).select(
-        id_col, hash32(F.col("shingle")).alias("_h")
+        id_col, shingle_hash.alias("_h")
     )
     params = perm_params(n_hashes)
     aggs = [
@@ -386,9 +396,24 @@ def connected_components(
     # small graphs. The lineage cut trades recompute-on-executor-loss
     # for constant per-iteration planning, the right trade for an
     # iterative refinement whose state is (node, label) pairs.
+    # Symmetrize with explode, NOT union-of-two-selects: a union reads
+    # `pairs` twice, and when pairs is an unmaterialized pipeline (the
+    # usual case — LSH candidate generation feeding straight in) the
+    # whole upstream plan would execute twice. One scan, two rows out.
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .distinct()
         .localCheckpoint()
     )

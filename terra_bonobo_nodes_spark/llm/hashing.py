@@ -59,6 +59,42 @@ def hash32_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
 
 
+# --- fixed-length polynomial hash -------------------------------------------
+# For short fixed-length inputs (char shingles) a positional polynomial
+# beats md5 by a wide margin: n codepoint lookups + n multiply-add-mods,
+# all inside whole-stage codegen, no digest allocation and no hex→int
+# string conversion. With base > max codepoint the pre-mod value is the
+# injective base-B representation of the string, so collision behavior
+# is that of the single `mod p` — equivalent to a random 32-bit hash for
+# MinHash purposes once composed with the (a*h+b) mod p permutations.
+# Both engines return ascii('') = 0, so a trailing short shingle (doc
+# shorter than n) hashes identically too.
+
+_POLY_B = 1009  # > any codepoint in normalize()'s output alphabet
+
+
+def hash32_poly(c: Column, n: int) -> Column:
+    """Polynomial hash of the first ``n`` chars (Column form).
+
+    Horner with a mod per step keeps every intermediate below
+    MINHASH_P * _POLY_B ≈ 2^42 — no 64-bit overflow at any ``n``.
+    """
+    acc = None
+    for i in range(1, n + 1):
+        code = F.ascii(F.substring(c, i, 1)).cast("bigint")
+        acc = code if acc is None else (acc * _POLY_B + code) % MINHASH_P
+    return acc
+
+
+def hash32_poly_sql(expr: str, n: int) -> str:
+    """DuckDB fragment matching :func:`hash32_poly`."""
+    acc = None
+    for i in range(1, n + 1):
+        code = f"ascii(substr({expr}, {i}, 1))"
+        acc = code if acc is None else f"(({acc}) * {_POLY_B} + {code}) % {MINHASH_P}"
+    return f"CAST({acc} AS BIGINT)"
+
+
 # --- shingling --------------------------------------------------------------
 
 
