@@ -424,7 +424,12 @@ def connected_components(
     )
     prev_sig = None
     converged = False
-    for _ in range(max_iterations):
+    # max_iterations bounds the label-propagation ROUNDS; convergence is
+    # detected by a confirming pass whose signature matches the previous
+    # round, so allow one extra loop turn — otherwise a graph that
+    # reaches its fixed point exactly on round max_iterations (or a
+    # trivially-converged graph with max_iterations=1) would raise.
+    for _ in range(max_iterations + 1):
         neighbor_min = (
             edges.join(
                 labels.select(

@@ -83,6 +83,12 @@ def knn_join(
     """
     lx, ly = left_xy
     rx, ry = right_xy
+    if not broadcast_right and max_distance is None:
+        raise ValueError(
+            "knn_join with broadcast_right=False and no max_distance is a "
+            "full shuffled cartesian product; use grid_knn_join (big-big, "
+            "needs max_distance) or pass a max_distance to bound the join"
+        )
     r = right.filter(right_filter) if right_filter is not None else right
     r = F.broadcast(r) if broadcast_right else r
     dx = F.col(lx) - F.col(rx)

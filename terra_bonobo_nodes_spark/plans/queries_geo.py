@@ -267,6 +267,71 @@ def g7_transform_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- G7b: Lambert-93 (EPSG:2154) reprojection + roundtrip --------------------
+
+
+def _lambert93_oracle() -> str:
+    """Forward Snyder 2SP closed form with the SAME derived constants the
+    kernel uses (``geo/ops.py`` LAMBERT93, embedded via repr so both
+    engines fold identical doubles through the same glibc libm), plus a
+    roundtrip-closure boolean: 4326→2154→4326 must land within 1e-9° of
+    the input. A boolean (instead of rounded roundtrip coords) keeps fp
+    noise ~1e-12° from ever flipping a rounding boundary."""
+    from terra_bonobo_nodes_spark.geo.ops import LAMBERT93 as L
+
+    e, n, af, rho0 = (repr(v) for v in (L.e, L.n, L.af, L.rho0))
+    return f"""
+WITH pts AS (
+  SELECT event_id, ((value % 15) - 5) AS lon, ((value % 10) + 41) AS lat
+  FROM events),
+f AS (
+  SELECT event_id, lon, lat,
+         {af} * pow(
+           tan(pi() / 4.0 - radians(lat) / 2.0)
+             * pow((1.0 + {e} * sin(radians(lat)))
+                   / (1.0 - {e} * sin(radians(lat))), {e} / 2.0),
+           {n}) AS rho,
+         {n} * (radians(lon) - radians(3.0)) AS theta
+  FROM pts)
+SELECT event_id,
+       round(700000.0 + rho * sin(theta), 4) AS lx,
+       round(6600000.0 + {rho0} - rho * cos(theta), 4) AS ly,
+       TRUE AS rt_ok
+FROM f
+"""
+
+
+@register(
+    "g7b_transform_lambert93",
+    oracle=_lambert93_oracle(),
+    tags=("G7",),
+)
+def g7b_transform_lambert93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransformGeom over the reference's French metric CRS
+    (``terra.py:43,474-494`` with metric_projection_srid=2154): project
+    France-ranged lon/lat through the real WKB kernel, check the forward
+    coordinates against the closed form AND that the inverse (iterative,
+    not SQL-expressible) closes the roundtrip to <1e-9 degrees."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("value") % 15) - 5).alias("lon"),
+        ((F.col("value") % 10) + 41).alias("lat"),
+    )
+    pts = ev.withColumn("geom", K.st_point("lon", "lat"))
+    fwd = transform_geom(pts, "EPSG:4326", "EPSG:2154")
+    back = transform_geom(fwd, "EPSG:2154", "EPSG:4326", geom_out="geom_back")
+    rt_err = F.greatest(
+        F.abs(K.st_x("geom_back") - F.col("lon")),
+        F.abs(K.st_y("geom_back") - F.col("lat")),
+    )
+    return back.select(
+        "event_id",
+        F.round(K.st_x("geom"), 4).alias("lx"),
+        F.round(K.st_y("geom"), 4).alias("ly"),
+        (rt_err < 1e-9).alias("rt_ok"),
+    )
+
+
 # --- G8: subdivision preserves area -----------------------------------------
 
 
@@ -391,9 +456,7 @@ def a2_union_area_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- J1: existential spatial join -------------------------------------------
 
 
-@register(
-    "j1_boolean_intersect",
-    oracle="""
+_J1_ORACLE = """
 WITH pts AS (
   SELECT event_id, ((value % 360) - 180) AS x, ((value % 170) - 85) AS y
   FROM events),
@@ -407,11 +470,12 @@ SELECT p.event_id,
 FROM pts p LEFT JOIN rects r
   ON p.x >= r.x0 AND p.x <= r.x0 + 10 AND p.y >= r.y0 AND p.y <= r.y0 + 20
 GROUP BY p.event_id
-""",
-    headline=True,
-    tags=("J1",),
-)
-def j1_boolean_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _j1_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Point-events vs nation rectangles, shared by the broadcast and
+    grid J1 registrations (one oracle, two physical strategies)."""
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_id").alias("identifier"),
         ((F.col("value") % 360) - 180).alias("x"),
@@ -432,7 +496,33 @@ def j1_boolean_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("))"),
     )
     layer = nation.select(K.st_geomfromtext(wkt).alias("layer_geom"))
+    return pts, layer
+
+
+@register(
+    "j1_boolean_intersect",
+    oracle=_J1_ORACLE,
+    headline=True,
+    tags=("J1",),
+)
+def j1_boolean_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts, layer = _j1_inputs(spark, sf_dir)
     flagged = boolean_intersect(pts, layer, out="in_zone")
+    return flagged.select(F.col("identifier").alias("event_id"), "in_zone")
+
+
+@register(
+    "j1_bigbig_grid_intersect",
+    oracle=_J1_ORACLE,
+    tags=("J1", "grid"),
+)
+def j1_bigbig_grid_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The big-big plan for the SAME question as j1_boolean_intersect:
+    ``strategy="grid"`` tiles both envelope sets into 20°cells and
+    equi-joins on the cell key (no broadcast, no nested loop) — the
+    driver row proves grid ≡ broadcast on the shared oracle."""
+    pts, layer = _j1_inputs(spark, sf_dir)
+    flagged = boolean_intersect(pts, layer, out="in_zone", strategy="grid", cell=20.0)
     return flagged.select(F.col("identifier").alias("event_id"), "in_zone")
 
 

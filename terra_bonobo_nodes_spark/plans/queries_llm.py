@@ -319,6 +319,59 @@ def llm_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLK_PLANES = 4
+
+
+def _sig_sql(n_planes: int, vec: str = "v") -> str:
+    """DuckDB mirror of ``similarity.hyperplane_signature`` over table-0
+    hyperplanes: per-plane sign bit of the deterministic left-fold dot,
+    packed into a BIGINT — identical doubles on both engines."""
+    planes = similarity.hyperplanes(n_planes, EMB_DIM)
+    sig_terms = []
+    for p, plane in enumerate(planes):
+        lits = "[" + ", ".join(f"CAST({w!r} AS DOUBLE)" for w in plane) + "]"
+        d = similarity.dot_exact_sql(vec, lits)
+        sig_terms.append(
+            f"(CASE WHEN {d} >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        )
+    return "(" + " + ".join(sig_terms) + ")"
+
+
+def _blocked_pairs_oracle() -> str:
+    sig = _sig_sql(_BLK_PLANES)
+    return f"""
+WITH e AS (SELECT vec_id, {_CAST_EMB} AS v FROM embeddings),
+sigs AS (SELECT vec_id, v, {similarity.norm_sql('v')} AS nrm,
+                {sig} AS blk FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {similarity.dot_exact_sql('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos_sim
+FROM sigs a JOIN sigs b ON a.blk = b.blk AND a.vec_id < b.vec_id
+WHERE {similarity.dot_exact_sql('a.v', 'b.v')} / (a.nrm * b.nrm) >= {_COS_THRESHOLD}
+"""
+
+
+@register(
+    "llm_embedding_cosine_pairs_blocked",
+    oracle=_blocked_pairs_oracle(),
+    tags=("llm", "dedup", "embedding"),
+)
+def llm_embedding_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of embedding near-dup pairs: block on a
+    hyperplane LSH signature so the self-join is an equi-join on the
+    bucket key (shuffle hash join over ~2^planes cells), never a
+    crossJoin. The oracle blocks identically, so the driver row checks
+    both the blocking and the scoring; the unblocked exact form above
+    stays as the tiny-input reference answer."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planes = similarity.hyperplanes(_BLK_PLANES, EMB_DIM)
+    blocked = emb.withColumn(
+        "blk", similarity.hyperplane_signature(F.col("embedding"), planes)
+    )
+    return dedup.embedding_cosine_pairs(
+        blocked, "vec_id", "embedding", threshold=_COS_THRESHOLD, block_col="blk"
+    )
+
+
 _TOPK_K, _TOPK_NQ = 5, 10
 
 
@@ -359,15 +412,7 @@ _ANN_PLANES = 6
 
 
 def _ann_oracle() -> str:
-    planes = similarity.hyperplanes(_ANN_PLANES, EMB_DIM)
-    sig_terms = []
-    for p, plane in enumerate(planes):
-        lits = "[" + ", ".join(f"CAST({w!r} AS DOUBLE)" for w in plane) + "]"
-        d = similarity.dot_exact_sql("v", lits)
-        sig_terms.append(
-            f"(CASE WHEN {d} >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
-        )
-    sig = "(" + " + ".join(sig_terms) + ")"
+    sig = _sig_sql(_ANN_PLANES)
     return f"""
 WITH e AS (SELECT vec_id, {_CAST_EMB} AS v FROM embeddings),
 sigs AS (SELECT vec_id, v, {similarity.norm_sql('v')} AS nrm,

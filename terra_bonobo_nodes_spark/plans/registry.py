@@ -52,14 +52,73 @@ def register(
 
 
 # Driver-check ordering. The correctness driver walks the registry in
-# dict order and stops at a cap (round 1 recorded exactly the first 50
-# of 74 declared queries), so order is part of the verification
-# contract: queries with no green driver row yet go FIRST (cheapest
-# first — measured at sf0.01), already-verified ones follow, and the
-# most expensive verified queries go last where a cap costs the least.
-# Names not listed here keep registration order after the listed ones.
+# dict order and stops at a cap (~50 of the registered queries per
+# round), so order is part of the verification contract. THE RULE
+# (standing, survives rounds): (1) queries with NO driver row ever go
+# first; (2) queries whose underlying operator code CHANGED since their
+# last green row go next — a green row for old code is not a green row;
+# (3) stale greens (rotated out by the cap in later rounds) next,
+# cheapest first; (4) freshest greens last, where a cap costs least.
+# At the end of every round, move anything the round touched into
+# section (2).
 _PRIORITY: tuple[str, ...] = (
-    # --- no driver correctness row in round 1 ---
+    # --- (1) never had a driver row (new in round 3) ---
+    "g7b_transform_lambert93",
+    "j1_bigbig_grid_intersect",
+    "llm_embedding_cosine_pairs_blocked",
+    # --- (2) operator code changed since last green row ---
+    "llm_minhash_lsh_pairs",  # r2: shingle hash md5 -> hash32_poly
+    "llm_dedup_components",  # r2: pointer-jumping; r3: +1 convergence pass
+    "llm_ivf_ann_topk",  # r2 rewrite (numpy Lloyd); rows-only by design
+    "j1_boolean_intersect",  # r3: refactored to shared _j1_inputs
+    "j2_concave_overlay_percent",  # r3: convex fast path in overlay kernel
+    "j2_intersection_percent_by_area",  # r3: same kernel
+    "j2_dissolve_overlapping_layer",  # r3: same kernel
+    "j3_intersection_geom_area",  # r3: same kernel
+    "j5_attribute_from_sql",  # r3: regression fix
+    "llm_multimodal_decode",  # r3: real BMP decode path
+    # --- (3) green in r01 only (stale — cap rotated them out of r02) ---
+    "p6_map_properties",
+    "p2_generate_identifier_md5",
+    "g2_point_from_attributes",
+    "fn_window_surface",
+    "fn_stats_surface",
+    "fn_string_surface",
+    "p11_accessibility_ratio",
+    "g6_simplify_zigzag",
+    "g8_subdivide_area",
+    "g9_line_clip_length",
+    "pipeline_es_indexing",
+    "pipeline_file_import",
+    "llm_embedding_cosine_pairs",
+    "llm_simhash_pairs",
+    "llm_ngram_jaccard_pairs",
+    "llm_lsh_ann_topk",
+    # --- (4) green in r02 (freshest), cheapest first ---
+    "llm_token_count",
+    "llm_bpe_token_count",
+    "p3_exclude_attributes",
+    "p4_filter_attributes",
+    "p1_identifier_from_property",
+    "t1_running_lag_diff",
+    "a4_grid_cluster_collect_sum",
+    "llm_exact_dedup_groups",
+    "p9_drop_identifier",
+    "llm_lang_id",
+    "p5_filter_by_properties",
+    "llm_quality_score",
+    "fn_datetime_surface",
+    "p10_hstore_parse",
+    "pipeline_osm_clusters",
+    "p7_min_array_attribute",
+    "g5_force_2d",
+    "a2_union_area_dissolve",
+    "llm_cosine_topk",
+    "fn_math_array_surface",
+    "g7_transform_mercator",
+    "a2_union_on_property_centroid",
+    "g1_geojson_attribute_roundtrip",
+    "t1_isochrone_subtraction_geo",
     "k5_retention_filter",
     "topk_orders_per_customer",
     "s3_sql_extract_decimals",
@@ -80,65 +139,10 @@ _PRIORITY: tuple[str, ...] = (
     "star_join_revenue_by_region",
     "s5_k2_es_roundtrip",
     "stream_session_window_agg",
-    "j5_attribute_from_sql",
     "setops_customer_segments",
     "s2_geojson_reader_roundtrip",
     "e1_isochrone_calculation",
-    "k1_upsert_last_writer_wins",  # row exists but was the cap edge
-    # --- new this round (no row yet by definition) ---
-    "g7b_transform_lambert93",
-    "j1_bigbig_grid_intersect",
-    "llm_embedding_cosine_pairs_blocked",
-    # --- verified in round 1, cheapest first ---
-    "llm_token_count",
-    "llm_bpe_token_count",
-    "p3_exclude_attributes",
-    "p4_filter_attributes",
-    "p1_identifier_from_property",
-    "t1_running_lag_diff",
-    "a4_grid_cluster_collect_sum",
-    "llm_exact_dedup_groups",
-    "p9_drop_identifier",
-    "llm_lang_id",
-    "p5_filter_by_properties",
-    "llm_quality_score",
-    "llm_multimodal_decode",
-    "fn_datetime_surface",
-    "p10_hstore_parse",
-    "pipeline_osm_clusters",
-    "p7_min_array_attribute",
-    "g5_force_2d",
-    "a2_union_area_dissolve",
-    "llm_cosine_topk",
-    "fn_math_array_surface",
-    "g7_transform_mercator",
-    "a2_union_on_property_centroid",
-    "g1_geojson_attribute_roundtrip",
-    "t1_isochrone_subtraction_geo",
-    "p6_map_properties",
-    "p11_accessibility_ratio",
-    "fn_window_surface",
-    "pipeline_es_indexing",
-    "g8_subdivide_area",
-    "g6_simplify_zigzag",
-    "fn_stats_surface",
-    "llm_ivf_ann_topk",
-    "pipeline_file_import",
-    "j3_intersection_geom_area",
-    "fn_string_surface",
-    "g9_line_clip_length",
-    "j2_concave_overlay_percent",
-    "p2_generate_identifier_md5",
-    "llm_embedding_cosine_pairs",
-    "g2_point_from_attributes",
-    "j1_boolean_intersect",
-    "llm_lsh_ann_topk",
-    "llm_simhash_pairs",
-    "j2_intersection_percent_by_area",
-    "llm_ngram_jaccard_pairs",
-    "llm_minhash_lsh_pairs",
-    "j2_dissolve_overlapping_layer",
-    "llm_dedup_components",
+    "k1_upsert_last_writer_wins",
 )
 
 

@@ -18,6 +18,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from terra_bonobo_nodes_spark.sources.convert import convert_documents
+
 OSM_LAYERS = ("points", "lines", "multilinestrings", "multipolygons", "other_relations")
 
 
@@ -54,15 +56,18 @@ def osm_xml_to_geojson(
     all_tags: bool = True,
     xml_col: str = "xml",
     runner: Callable[[list[str], bytes], bytes] | None = None,
+    distributed: bool = True,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Convert OSM XML payloads to GeoJSON document strings.
 
     ``runner(cmd, xml_bytes) -> geojson_bytes`` defaults to a real
     subprocess invocation (requires GDAL); tests inject a fake, the same
     strategy as the reference's mocked ``subprocess.run``
-    (``test_osm.py:35-46``). Runs driver-side per document — OSM extracts
-    are few and large; the distributed work starts at the exploded
-    feature rows downstream.
+    (``test_osm.py:35-46``). By default conversion runs on the
+    EXECUTORS (``convert.convert_documents`` mapInPandas) so a
+    many-extract ingest never lands on the driver; pass
+    ``distributed=False`` for the one-response convenience path.
     """
     if runner is None:
 
@@ -77,7 +82,7 @@ def osm_xml_to_geojson(
                 res = subprocess.run(full, capture_output=True, check=True)
                 return res.stdout
 
-    rows = df.select(xml_col).collect()
     cmd = build_ogr2ogr_command("/placeholder/", layer, all_tags)
-    docs = [(runner(cmd, r[0].encode()).decode(),) for r in rows]
-    return df.sparkSession.createDataFrame(docs, "content STRING")
+    return convert_documents(
+        df, xml_col, cmd, runner, distributed=distributed, partitions=partitions
+    )

@@ -13,6 +13,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
+from terra_bonobo_nodes_spark.sources.convert import convert_documents
+
 
 def build_shapefile_command(zip_path: str, target_srs: str = "EPSG:4326") -> list[str]:
     """``shapefile.py:24-37``'s exact conversion."""
@@ -32,8 +34,15 @@ def zip_shapefile_to_geojson(
     content_col: str = "content",
     target_srs: str = "EPSG:4326",
     runner: Callable[[list[str], bytes], bytes] | None = None,
+    distributed: bool = True,
+    partitions: int | None = None,
 ) -> DataFrame:
-    """Convert zipped-shapefile payloads to GeoJSON document strings."""
+    """Convert zipped-shapefile payloads to GeoJSON document strings.
+
+    Conversion runs on the executors by default (mapInPandas via
+    ``convert.convert_documents``) so a directory of zipped shapefiles
+    parallelizes across the cluster; ``distributed=False`` keeps the
+    single-archive driver path."""
     if runner is None:
 
         def runner(cmd: list[str], payload: bytes) -> bytes:  # pragma: no cover
@@ -50,7 +59,7 @@ def zip_shapefile_to_geojson(
                 )
                 return res.stdout
 
-    rows = df.select(content_col).collect()
     cmd = build_shapefile_command("<payload>.zip", target_srs)
-    docs = [(runner(cmd, bytes(r[0])).decode(),) for r in rows]
-    return df.sparkSession.createDataFrame(docs, "content STRING")
+    return convert_documents(
+        df, content_col, cmd, runner, distributed=distributed, partitions=partitions
+    )

@@ -284,3 +284,15 @@ def test_salted_join_matches_plain_join(spark):
     plain = left.join(right, "key").groupBy("key").count()
     salted = salted_join(left, right, "key", salt_buckets=8).groupBy("key").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_connected_components_converges_at_iteration_bound(spark):
+    """max_iterations counts propagation ROUNDS; the confirming
+    signature pass must not eat a round (ADVICE r02: max_iterations=1
+    on a trivially-converged single edge used to raise)."""
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    comp = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components(pairs, max_iterations=1).collect()
+    }
+    assert comp == {1: 1, 2: 1}

@@ -124,7 +124,11 @@ def test_osm_pipeline_with_fake_runner(spark):
         captured["payload"] = payload
         return FAKE_GEOJSON.encode()
 
-    docs = osm_xml_to_geojson(xml_df, layer="points", runner=fake_runner)
+    # distributed=False: the captured-dict assertion needs the runner on
+    # the driver; the distributed path is covered below.
+    docs = osm_xml_to_geojson(
+        xml_df, layer="points", runner=fake_runner, distributed=False
+    )
     assert captured["payload"] == b"<osm/>"
     assert captured["cmd"][-1] == "points"
     feats = geojson_reader(docs, "content").collect()
@@ -138,6 +142,51 @@ def test_shapefile_pipeline_with_fake_runner(spark):
     docs = zip_shapefile_to_geojson(zips, runner=lambda cmd, b: FAKE_GEOJSON.encode())
     feats = geojson_reader(docs, "content").collect()
     assert len(feats) == 1
+
+
+def test_osm_conversion_distributed_no_driver_collect(spark):
+    """E4/E5 scale path (VERDICT r02 #3): many extracts convert via
+    mapInPandas on the executors — multiple files per partition, and no
+    DataFrame.collect anywhere in plan construction or execution."""
+    from pyspark.sql import DataFrame
+
+    from terra_bonobo_nodes_spark.sources.shapefile import (
+        zip_shapefile_to_geojson as zip2gj,
+    )
+
+    xml_df = spark.createDataFrame(
+        [(f"q{i}", f"<osm id='{i}'/>") for i in range(6)], "query STRING, xml STRING"
+    )
+    zips = spark.createDataFrame(
+        [(bytearray(f"PK{i}".encode()),) for i in range(6)], "content BINARY"
+    )
+
+    # Closure (not module-level): cloudpickle must ship it by VALUE —
+    # the tests package is not importable inside executor workers.
+    def _payload_echo_runner(cmd, payload):
+        return b'{"src": "' + payload + b'"}'
+
+    real_collect = DataFrame.collect
+
+    def _no_collect(self):
+        raise AssertionError("driver collect() in distributed conversion path")
+
+    DataFrame.collect = _no_collect
+    try:
+        osm_docs = osm_xml_to_geojson(
+            xml_df, layer="lines", runner=_payload_echo_runner, partitions=3
+        )
+        osm_docs.write.format("noop").mode("overwrite").save()  # full execution
+        shp_docs = zip2gj(zips, runner=_payload_echo_runner, partitions=3)
+        shp_docs.write.format("noop").mode("overwrite").save()
+    finally:
+        DataFrame.collect = real_collect
+
+    assert osm_docs.rdd.getNumPartitions() == 3  # 2 docs per partition
+    got = sorted(r["content"] for r in osm_docs.collect())
+    assert got == sorted('{"src": "<osm id=\'%d\'/>"}' % i for i in range(6))
+    got_shp = sorted(r["content"] for r in shp_docs.collect())
+    assert got_shp == sorted('{"src": "PK%d"}' % i for i in range(6))
 
 
 def test_geojson_reader_crs_rejected(spark):
@@ -224,3 +273,21 @@ def test_staged_swap_crash_recovery(spark, tmp_path):
 
     # missing everything -> None
     assert read_parquet_or_none(spark, str(tmp_path / "nope")) is None
+
+
+def test_staged_swap_rejects_remote_uris(spark, tmp_path):
+    """os/shutil metadata ops only serve driver-local paths; an
+    hdfs://-style URI must fail loudly instead of os.path.exists
+    silently reporting the store missing (ADVICE r02)."""
+    from terra_bonobo_nodes_spark.sinks import atomic
+
+    df = spark.range(1)
+    for uri in ("hdfs://nn/warehouse/t", "s3a://bucket/t"):
+        with pytest.raises(NotImplementedError, match="driver-local"):
+            atomic.staged_overwrite(df, uri)
+        with pytest.raises(NotImplementedError, match="driver-local"):
+            atomic.read_parquet_or_none(spark, uri)
+    # file:// scheme is local and accepted
+    p = str(tmp_path / "store")
+    atomic.staged_overwrite(df, "file://" + p)
+    assert atomic.read_parquet_or_none(spark, p).count() == 1

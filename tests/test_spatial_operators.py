@@ -142,3 +142,98 @@ def test_intersection_percent_dissolve_overlapping_layer(spark):
     assert naive.intersection_percent > 1.0 + 1e-9  # double-counted strip
     exact = intersection_percent_by_area(rec, lay, dissolve=True).collect()[0]
     assert abs(exact.intersection_percent - 1.0) < 1e-9
+
+
+def test_knn_join_cartesian_footgun_raises(spark):
+    """broadcast_right=False with no max_distance is an unbounded
+    shuffled cartesian product — the guard must refuse it before any
+    job runs (operators/joins.py)."""
+    from terra_bonobo_nodes_spark.operators.joins import knn_join
+
+    left = spark.createDataFrame([(1, 0.0, 0.0)], ["lid", "lx", "ly"])
+    right = spark.createDataFrame([(2, 1.0, 1.0)], ["rid", "rx", "ry"])
+    with pytest.raises(ValueError, match="cartesian"):
+        knn_join(
+            left, right, ("lx", "ly"), ("rx", "ry"), "lid", k=1,
+            broadcast_right=False,
+        )
+    # bounded big-big form is accepted
+    out = knn_join(
+        left, right, ("lx", "ly"), ("rx", "ry"), "lid", k=1,
+        max_distance=10.0, broadcast_right=False,
+    )
+    assert out.count() == 1
+
+
+def _random_shapes(seed: int, n: int, kind: str):
+    """Deterministic mixed rect/L-shape WKB geometries in [0,100)²;
+    L-shapes force the curvy kernel path, rects stay boxy."""
+    import random
+
+    rnd = random.Random(seed)
+    rows = []
+    for i in range(n):
+        x0 = rnd.uniform(0, 90)
+        y0 = rnd.uniform(0, 90)
+        w = rnd.uniform(0.5, 15.0)
+        h = rnd.uniform(0.5, 15.0)
+        if kind == "mixed" and i % 3 == 0:
+            # L-shape: the full rect minus its top-right quadrant
+            ring = [
+                (x0, y0), (x0 + w, y0), (x0 + w, y0 + h / 2),
+                (x0 + w / 2, y0 + h / 2), (x0 + w / 2, y0 + h),
+                (x0, y0 + h), (x0, y0),
+            ]
+        else:
+            ring = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h), (x0, y0)]
+        rows.append(W.write_wkb(("Polygon", [ring])))
+    return rows
+
+
+@pytest.mark.parametrize("cell", [4.0, 40.0])
+def test_grid_strategy_equals_broadcast(spark, cell):
+    """strategy='grid' must give byte-identical answers to the broadcast
+    plan for J1/J2/J3 — including cell sizes smaller and larger than the
+    typical envelope (replication >1 cell vs everything in few cells).
+    The reporting-cell dedup is the logic under test."""
+    from terra_bonobo_nodes_spark.operators.spatial import (
+        boolean_intersect,
+        intersection_geom,
+        intersection_percent_by_area,
+    )
+
+    recs = spark.createDataFrame(
+        [(f"r{i}", g) for i, g in enumerate(_random_shapes(7, 120, "mixed"))],
+        "identifier string, geom binary",
+    )
+    lay = spark.createDataFrame(
+        [(g,) for g in _random_shapes(99, 40, "mixed")], "layer_geom binary"
+    )
+
+    def by_id(df, col):
+        return {r["identifier"]: r[col] for r in df.select("identifier", col).collect()}
+
+    b1 = by_id(boolean_intersect(recs, lay, out="hit"), "hit")
+    g1 = by_id(boolean_intersect(recs, lay, out="hit", strategy="grid", cell=cell), "hit")
+    assert g1 == b1 and any(b1.values()) and not all(b1.values())
+
+    b2 = by_id(intersection_percent_by_area(recs, lay), "intersection_percent")
+    g2 = by_id(
+        intersection_percent_by_area(recs, lay, strategy="grid", cell=cell),
+        "intersection_percent",
+    )
+    assert set(g2) == set(b2)
+    assert all(abs(g2[k] - b2[k]) < 1e-9 for k in b2)
+
+    def area_col(df):
+        return {
+            r["identifier"]: r["a"]
+            for r in df.select(
+                "identifier", K.st_area(F.col("geom")).alias("a")
+            ).collect()
+        }
+
+    b3 = area_col(intersection_geom(recs, lay))
+    g3 = area_col(intersection_geom(recs, lay, strategy="grid", cell=cell))
+    assert set(g3) == set(b3)
+    assert all(abs(g3[k] - b3[k]) < 1e-9 for k in b3)
