@@ -37,21 +37,37 @@ def main() -> None:
     first = next(iter(queries.values()))
     run(first.spark_fn(spark, sf_dir))
 
+    def release_all_state() -> None:
+        # clearCache drops cached DataFrames but NOT localCheckpoint
+        # RDDs (components/IVF leave those behind); release both so no
+        # query's timing inherits another's executor memory pressure.
+        spark.catalog.clearCache()
+        for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            try:
+                jrdd.unpersist(False)
+            except Exception:
+                pass
+
+    # Three ROUND-ROBIN passes over all queries, report per-query min.
+    # Round-robin (vs back-to-back min-of-3) decorrelates timings from
+    # multi-second host load spikes: a spike inflates one pass of many
+    # queries instead of every sample of one query, so the min still
+    # lands on a clean pass. (r02 recorded j5 at 8.73s on unchanged
+    # code because all three adjacent samples sat inside one spike;
+    # isolated re-runs measured 1.4-2.2s.) The first pass also pays
+    # whole-stage-codegen JIT; the min is the steady-state number a
+    # long-running cluster job sees.
     timings: dict[str, float] = {}
-    for name, q in sorted(queries.items()):
-        best = float("inf")
-        # three executions, report the min: the first pays whole-stage
-        # codegen JIT compile, and this host's CPU noise swings single
-        # runs 2-3x; the min is the engine's steady-state number a
-        # long-running cluster job sees
-        for _ in range(3):
-            # isolate queries: persisted intermediates (LSH signatures)
-            # must not skew later timings or accumulate memory pressure
-            spark.catalog.clearCache()
+    ordered = sorted(queries.items())
+    for _pass in range(3):
+        for name, q in ordered:
+            release_all_state()
             t0 = time.perf_counter()
             run(q.spark_fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            dt = time.perf_counter() - t0
+            timings[name] = min(timings.get(name, float("inf")), dt)
+    timings = {n: round(v, 4) for n, v in timings.items()}
+    for name in dict(ordered):
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
