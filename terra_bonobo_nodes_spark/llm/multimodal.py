@@ -11,13 +11,16 @@ driver. At 100 TB the knobs that matter are partition sizing
 counts) and ``spark.sql.execution.arrow.maxRecordsPerBatch`` to bound
 decode memory per batch.
 
-The image/audio codec libraries are NOT in this container, so the
-actual pixel/sample decode is stubbed: ``decode_features`` computes
-deterministic pseudo-features from the payload bytes (md5-derived), and
-``decode_image`` raises ``NotImplementedError`` unless given a fake
-decoder. The Spark-side plumbing — schemas, batching, UDF signatures,
-partitioning — is real and tested; swapping in Pillow/librosa is a
-one-function change.
+Pillow/cv2/librosa are NOT in this container, so formats that need a
+compression library (PNG/JPEG/MP3) stay stubbed: ``decode_features``
+computes deterministic pseudo-features from payload bytes (md5-derived)
+and unknown image magics raise ``NotImplementedError``. But BMP, P6
+PPM, and RIFF PCM WAV are decodable with stdlib+numpy alone, and
+``decode_image``/``decode_audio`` decode those for REAL (see
+``codecs.py``) — actual pixels, actual samples, actual nearest-neighbor
+resize. The Spark-side plumbing — schemas, batching, UDF signatures,
+partitioning — is identical for the real and stubbed formats; swapping
+in Pillow for JPEG is a one-function change.
 """
 
 from __future__ import annotations
@@ -116,9 +119,15 @@ def decode_image(
     target: tuple[int, int] = (224, 224),
 ) -> DataFrame:
     """Decode + resize stage. ``decoder(payload) -> (width, height,
-    raw_rgb)`` must be supplied (Pillow etc. not installed here); tests
-    inject a deterministic fake. Raises NotImplementedError per-row if
-    no decoder is given — clearly-marked stub per the build contract."""
+    raw_rgb)`` defaults to ``codecs.image_decoder`` — a REAL pure-Python
+    decoder for BMP and P6 PPM payloads (the formats decodable without
+    Pillow/cv2, which this container lacks). Unknown formats (PNG/JPEG)
+    raise ``NotImplementedError`` per the stub policy: a format is either
+    actually decoded or loudly unsupported, never faked. ``raw`` in the
+    output is the nearest-neighbor resample to ``target`` — the fixed
+    tensor shape an encoder stage consumes."""
+    from terra_bonobo_nodes_spark.llm import codecs
+
     schema = T.StructType(
         [
             T.StructField("asset_id", T.LongType()),
@@ -129,27 +138,74 @@ def decode_image(
             T.StructField("raw", T.BinaryType()),
         ]
     )
+    decode = decoder if decoder is not None else codecs.image_decoder
+    tw, th = target
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder is None:
-                raise NotImplementedError(
-                    "image decode requires a codec library (Pillow/cv2) "
-                    "not present in this environment; inject `decoder`"
-                )
-            rows = [decoder(bytes(b)) for b in pdf["payload"]]
+            rows = [decode(bytes(b)) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "width": [w for w, _, _ in rows],
                     "height": [h for _, h, _ in rows],
-                    "resized_w": target[0],
-                    "resized_h": target[1],
-                    "raw": [r for _, _, r in rows],
+                    "resized_w": tw,
+                    "resized_h": th,
+                    # injected stub decoders may return non-pixel raw
+                    # (tests use md5 tokens); only true w*h*3 RGB resizes
+                    "raw": [
+                        codecs.resize_nearest(w, h, r, tw, th)
+                        if len(r) == w * h * 3
+                        else r
+                        for w, h, r in rows
+                    ],
                 }
             )
 
     return assets.select("asset_id", "payload").mapInPandas(run, schema)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio(assets: DataFrame) -> DataFrame:
+    """Real audio decode for RIFF PCM WAV payloads via the stdlib
+    ``wave`` module (8/16/32-bit PCM): per asset, sample rate, channel
+    count, frame count, duration, and RMS amplitude. Same Arrow-batched
+    mapInPandas shape as decode_image; non-WAV payloads raise."""
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [codecs.decode_wav(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "sample_rate": [r for r, _, _, _ in decoded],
+                    "n_channels": [c for _, c, _, _ in decoded],
+                    "n_frames": [n for _, _, n, _ in decoded],
+                    "duration_ms": [
+                        int(n * 1000 / r) for r, _, n, _ in decoded
+                    ],
+                    "rms": [
+                        float(np.sqrt(np.mean(s**2))) if s.size else 0.0
+                        for _, _, _, s in decoded
+                    ],
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(run, AUDIO_SCHEMA)
 
 
 def sample_frames(

@@ -296,3 +296,156 @@ def test_connected_components_converges_at_iteration_bound(spark):
         for r in dedup.connected_components(pairs, max_iterations=1).collect()
     }
     assert comp == {1: 1, 2: 1}
+
+
+# --- real pure-Python codecs (BMP / PPM / WAV) -------------------------------
+
+
+def _checker_rgb(w: int, h: int) -> bytes:
+    """Deterministic non-symmetric RGB test pattern."""
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.stack(
+        [(x * 7 + y) % 256, (y * 11) % 256, (x ^ y) % 256], axis=-1
+    ).astype(np.uint8)
+    return px.tobytes()
+
+
+@pytest.mark.parametrize("w,h", [(5, 3), (8, 8), (13, 7)])
+def test_bmp_roundtrip_exact(w, h):
+    from terra_bonobo_nodes_spark.llm import codecs
+
+    rgb = _checker_rgb(w, h)
+    # widths 5 and 13 force non-zero row padding (stride % 4 != 0)
+    dw, dh, back = codecs.decode_bmp(codecs.encode_bmp(w, h, rgb))
+    assert (dw, dh, back) == (w, h, rgb)
+
+
+def test_bmp_top_down_and_32bpp():
+    import struct
+
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm import codecs
+
+    w, h = 4, 2
+    rgb = _checker_rgb(w, h)
+    # hand-build a top-down (negative height) 32-bpp BMP: BGRA rows
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    bgra = np.concatenate(
+        [px[:, :, [2, 1, 0]], np.full((h, w, 1), 255, np.uint8)], axis=-1
+    )
+    body = bgra.tobytes()  # stride w*4 is already 4-aligned
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, -h, 1, 32, 0, len(body), 0, 0, 0, 0
+    )
+    dw, dh, back = codecs.decode_bmp(header + body)
+    assert (dw, dh, back) == (w, h, rgb)
+
+
+def test_ppm_roundtrip_and_comments():
+    from terra_bonobo_nodes_spark.llm import codecs
+
+    rgb = _checker_rgb(6, 4)
+    assert codecs.decode_ppm(codecs.encode_ppm(6, 4, rgb)) == (6, 4, rgb)
+    commented = b"P6 # fancy\n# another comment\n 6\n4\t255\n" + rgb
+    assert codecs.decode_ppm(commented) == (6, 4, rgb)
+
+
+def test_resize_nearest_identity_and_downscale():
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm import codecs
+
+    rgb = _checker_rgb(8, 8)
+    assert codecs.resize_nearest(8, 8, rgb, 8, 8) == rgb
+    small = codecs.resize_nearest(8, 8, rgb, 2, 2)
+    px = np.frombuffer(rgb, np.uint8).reshape(8, 8, 3)
+    # pixel-center convention: dst (0,0) samples src (2,2), dst (1,1) -> (6,6)
+    want = px[[2, 6]][:, [2, 6]]
+    assert small == want.tobytes()
+
+
+def test_image_decoder_dispatch_and_unknown_magic():
+    from terra_bonobo_nodes_spark.llm import codecs
+
+    rgb = _checker_rgb(3, 3)
+    assert codecs.image_decoder(codecs.encode_bmp(3, 3, rgb))[2] == rgb
+    assert codecs.image_decoder(codecs.encode_ppm(3, 3, rgb))[2] == rgb
+    with pytest.raises(NotImplementedError):
+        codecs.image_decoder(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_decode_image_real_bmp_through_spark(spark):
+    """End-to-end: real BMP payloads through the default (non-injected)
+    decoder, including the nearest-neighbor resize to the target shape."""
+    from terra_bonobo_nodes_spark.llm import codecs
+
+    payloads = [
+        (1, codecs.encode_bmp(16, 9, _checker_rgb(16, 9))),
+        (2, codecs.encode_ppm(7, 5, _checker_rgb(7, 5))),
+    ]
+    assets = spark.createDataFrame(payloads, ["asset_id", "payload"])
+    rows = {
+        r.asset_id: r
+        for r in multimodal.decode_image(assets, target=(4, 4)).collect()
+    }
+    assert (rows[1].width, rows[1].height) == (16, 9)
+    assert (rows[2].width, rows[2].height) == (7, 5)
+    for aid, payload in payloads:
+        w, h, rgb = codecs.image_decoder(bytes(payload))
+        assert bytes(rows[aid].raw) == codecs.resize_nearest(w, h, rgb, 4, 4)
+        assert len(bytes(rows[aid].raw)) == 4 * 4 * 3
+
+
+def test_decode_audio_wav_through_spark(spark):
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm import codecs
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    mono = np.sin(2 * np.pi * 440 * t / rate).reshape(-1, 1) * 0.5
+    stereo = np.concatenate([mono, -mono], axis=1)[: rate // 2]  # 0.5 s
+    assets = spark.createDataFrame(
+        [(1, codecs.encode_wav(rate, mono)), (2, codecs.encode_wav(rate, stereo))],
+        ["asset_id", "payload"],
+    )
+    rows = {r.asset_id: r for r in multimodal.decode_audio(assets).collect()}
+    assert (rows[1].sample_rate, rows[1].n_channels, rows[1].n_frames) == (
+        rate, 1, rate,
+    )
+    assert (rows[2].sample_rate, rows[2].n_channels, rows[2].n_frames) == (
+        rate, 2, rate // 2,
+    )
+    assert rows[1].duration_ms == 1000 and rows[2].duration_ms == 500
+    # RMS of a 0.5-amplitude sine is 0.5/sqrt(2)
+    assert abs(rows[1].rms - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(rows[2].rms - 0.5 / np.sqrt(2)) < 1e-3
+
+
+def test_wav_roundtrip_8_and_32_bit():
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm import codecs
+
+    samples = (np.arange(64) % 16 / 16.0 - 0.5).reshape(-1, 1)
+    for width, dtype, scale, offset in [
+        (1, np.uint8, 128.0, 128.0),
+        (4, "<i4", 2147483648.0, 0.0),
+    ]:
+        ints = (samples[:, 0] * scale + offset)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(width)
+            wv.setframerate(1000)
+            wv.writeframes(ints.astype(dtype).tobytes())
+        rate, nch, n, arr = codecs.decode_wav(buf.getvalue())
+        assert (rate, nch, n) == (1000, 1, 64)
+        assert np.allclose(arr[:, 0], samples[:, 0], atol=1.0 / scale)
