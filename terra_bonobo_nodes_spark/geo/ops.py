@@ -1170,6 +1170,156 @@ class LambertConformalConic:
         return math.degrees(lam), math.degrees(phi)
 
 
+def _sinh(x: float) -> float:
+    return (math.exp(x) - math.exp(-x)) / 2.0
+
+
+def _cosh(x: float) -> float:
+    return (math.exp(x) + math.exp(-x)) / 2.0
+
+
+def _asinh(x: float) -> float:
+    return math.log(x + math.sqrt(x * x + 1.0))
+
+
+def _atanh(x: float) -> float:
+    return 0.5 * math.log((1.0 + x) / (1.0 - x))
+
+
+class TransverseMercator:
+    """Ellipsoidal transverse Mercator via the Krüger series in the
+    third flattening n, 6th order (Karney 2011, "Transverse Mercator
+    with an accuracy of a few nanometers" — public formulas; coefficient
+    table also in the proj documentation). Covers every UTM zone
+    (EPSG:326xx/327xx) and national TM grids like OSGB (EPSG:27700) —
+    the long tail of the reference's arbitrary ``metric_projection_srid``
+    contract (``terra.py:43,474-494``) that Lambert-93 alone misses.
+
+    The forward path is closed-form (series + hyperbolics, no
+    iteration), so the same expression shape can be embedded as literals
+    in a DuckDB oracle; the inverse solves the conformal latitude by
+    fixed point like :class:`LambertConformalConic`. Hyperbolics are
+    composed from exp/ln (module helpers below) rather than math.sinh
+    etc. so the Python kernel and the exp/ln-based DuckDB oracle execute
+    the IDENTICAL libm op sequence — bit-identical doubles are what
+    keeps the driver's value-hash comparison stable."""
+
+    def __init__(
+        self,
+        a: float,
+        inv_f: float,
+        lat0: float,
+        lon0: float,
+        k0: float,
+        x0: float,
+        y0: float,
+    ):
+        f = 1.0 / inv_f
+        self.e = math.sqrt(2.0 * f - f * f)
+        n = f / (2.0 - f)
+        self.lam0 = math.radians(lon0)
+        self.k0, self.x0, self.y0 = k0, x0, y0
+        self.A = a / (1.0 + n) * (1.0 + n * n / 4.0 + n**4 / 64.0 + n**6 / 256.0)
+        self.alpha = (
+            n / 2.0 - 2.0 / 3.0 * n**2 + 5.0 / 16.0 * n**3
+            + 41.0 / 180.0 * n**4 - 127.0 / 288.0 * n**5 + 7891.0 / 37800.0 * n**6,
+            13.0 / 48.0 * n**2 - 3.0 / 5.0 * n**3 + 557.0 / 1440.0 * n**4
+            + 281.0 / 630.0 * n**5 - 1983433.0 / 1935360.0 * n**6,
+            61.0 / 240.0 * n**3 - 103.0 / 140.0 * n**4
+            + 15061.0 / 26880.0 * n**5 + 167603.0 / 181440.0 * n**6,
+            49561.0 / 161280.0 * n**4 - 179.0 / 168.0 * n**5
+            + 6601661.0 / 7257600.0 * n**6,
+            34729.0 / 80640.0 * n**5 - 3418889.0 / 1995840.0 * n**6,
+            212378941.0 / 319334400.0 * n**6,
+        )
+        self.beta = (
+            n / 2.0 - 2.0 / 3.0 * n**2 + 37.0 / 96.0 * n**3
+            - 1.0 / 360.0 * n**4 - 81.0 / 512.0 * n**5 + 96199.0 / 604800.0 * n**6,
+            1.0 / 48.0 * n**2 + 1.0 / 15.0 * n**3 - 437.0 / 1440.0 * n**4
+            + 46.0 / 105.0 * n**5 - 1118711.0 / 3870720.0 * n**6,
+            17.0 / 480.0 * n**3 - 37.0 / 840.0 * n**4
+            - 209.0 / 4480.0 * n**5 + 5569.0 / 90720.0 * n**6,
+            4397.0 / 161280.0 * n**4 - 11.0 / 504.0 * n**5
+            - 830251.0 / 7257600.0 * n**6,
+            4583.0 / 161280.0 * n**5 - 108847.0 / 3991680.0 * n**6,
+            20648693.0 / 638668800.0 * n**6,
+        )
+        # meridian-arc offset so a nonzero lat0 (OSGB) maps to northing 0
+        self.xi0 = self._xi_eta(math.radians(lat0), 0.0)[0] if lat0 else 0.0
+
+    def _xi_eta(self, phi: float, lam_d: float) -> tuple[float, float]:
+        s = math.sin(phi)
+        # conformal latitude chi: tan(chi) = sinh(asinh(tan phi) - e atanh(e sin phi))
+        t = _sinh(_asinh(math.tan(phi)) - self.e * _atanh(self.e * s))
+        c = math.cos(lam_d)
+        xi_p = math.atan2(t, c)
+        eta_p = _asinh(math.sin(lam_d) / math.sqrt(t * t + c * c))
+        xi, eta = xi_p, eta_p
+        for j, a_j in enumerate(self.alpha, start=1):
+            xi += a_j * math.sin(2 * j * xi_p) * _cosh(2 * j * eta_p)
+            eta += a_j * math.cos(2 * j * xi_p) * _sinh(2 * j * eta_p)
+        return xi, eta
+
+    def forward(self, lon: float, lat: float) -> tuple[float, float]:
+        xi, eta = self._xi_eta(math.radians(lat), math.radians(lon) - self.lam0)
+        return (
+            self.x0 + self.k0 * self.A * eta,
+            self.y0 + self.k0 * self.A * (xi - self.xi0),
+        )
+
+    def inverse(self, x: float, y: float) -> tuple[float, float]:
+        xi = (y - self.y0) / (self.k0 * self.A) + self.xi0
+        eta = (x - self.x0) / (self.k0 * self.A)
+        xi_p, eta_p = xi, eta
+        for j, b_j in enumerate(self.beta, start=1):
+            xi_p -= b_j * math.sin(2 * j * xi) * _cosh(2 * j * eta)
+            eta_p -= b_j * math.cos(2 * j * xi) * _sinh(2 * j * eta)
+        sh, cx = _sinh(eta_p), math.cos(xi_p)
+        t = math.sin(xi_p) / math.sqrt(sh * sh + cx * cx)
+        lam = math.atan2(sh, cx)
+        # invert the conformal latitude by fixed point (cf. Lambert inverse)
+        phi = math.atan(t)
+        for _ in range(12):
+            phi = math.atan(
+                _sinh(_asinh(t) + self.e * _atanh(self.e * math.sin(phi)))
+            )
+        return math.degrees(lam + self.lam0), math.degrees(phi)
+
+
+_WGS84_A, _WGS84_INV_F = 6378137.0, 298.257223563
+_TM_CACHE: dict[str, TransverseMercator] = {}
+
+
+def _tm_for_epsg(code: str) -> TransverseMercator | None:
+    """Resolve an EPSG code to a TransverseMercator instance: UTM north
+    32601-32660, UTM south 32701-32760 (WGS84, k0=0.9996, FE=500000,
+    FN=0/10000000), and OSGB36 National Grid 27700 (Airy 1830 — treated
+    here as a projection-only CRS: no datum shift, matching the
+    reference's srid-pass-through contract)."""
+    tm = _TM_CACHE.get(code)
+    if tm is not None:
+        return tm
+    if code.isdigit():
+        num = int(code)
+        if 32601 <= num <= 32660 or 32701 <= num <= 32760:
+            south = num >= 32701
+            zone = num - (32700 if south else 32600)
+            tm = TransverseMercator(
+                _WGS84_A, _WGS84_INV_F,
+                lat0=0.0, lon0=zone * 6.0 - 183.0, k0=0.9996,
+                x0=500000.0, y0=10000000.0 if south else 0.0,
+            )
+        elif num == 27700:
+            tm = TransverseMercator(
+                6377563.396, 299.3249646,
+                lat0=49.0, lon0=-2.0, k0=0.9996012717,
+                x0=400000.0, y0=-100000.0,
+            )
+    if tm is not None:
+        _TM_CACHE[code] = tm
+    return tm
+
+
 # RGF93 / Lambert-93 (EPSG:2154): GRS80, phi0=46.5, lon0=3, parallels
 # 44/49, false origin (700000, 6600000) — the metric CRS the reference's
 # French deployments pass as metric_projection_srid.
@@ -1217,6 +1367,12 @@ def transform(g: Geom | None, src: str, dst: str) -> Geom | None:
         return _map_coords(g, lambda p: LAMBERT93.forward(p[0], p[1]) + tuple(p[2:]))
     if (s, d) == ("2154", "4326"):
         return _map_coords(g, lambda p: LAMBERT93.inverse(p[0], p[1]) + tuple(p[2:]))
+    tm = _tm_for_epsg(d)
+    if s == "4326" and tm is not None:
+        return _map_coords(g, lambda p: tm.forward(p[0], p[1]) + tuple(p[2:]))
+    tm = _tm_for_epsg(s)
+    if d == "4326" and tm is not None:
+        return _map_coords(g, lambda p: tm.inverse(p[0], p[1]) + tuple(p[2:]))
     raise NotImplementedError(f"transform {src} -> {dst}")
 
 

@@ -332,6 +332,102 @@ def g7b_transform_lambert93(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- G7c: UTM 31N (EPSG:32631) Krüger forward + roundtrip --------------------
+
+
+def _utm31n_oracle() -> str:
+    """Forward Krüger series (Karney 2011) with the SAME derived
+    constants the kernel uses (``geo/ops.py`` TransverseMercator),
+    hyperbolics composed from exp/ln on BOTH sides so the two engines
+    fold the identical libm op sequence (see the class docstring).
+    Roundtrip closure (iterative inverse, not SQL-expressible) is a
+    Spark-side boolean, as in the Lambert query."""
+    from terra_bonobo_nodes_spark.geo.ops import _tm_for_epsg
+
+    tm = _tm_for_epsg("32631")
+    e = repr(tm.e)
+    ka = repr(tm.k0 * tm.A)
+    a1, a2, a3, a4, a5, a6 = (repr(v) for v in tm.alpha)
+
+    def _cosh(v: str) -> str:
+        return f"((exp({v}) + exp(-({v}))) / 2.0)"
+
+    def _sinh(v: str) -> str:
+        return f"((exp({v}) - exp(-({v}))) / 2.0)"
+
+    xi_terms = " + ".join(
+        f"{a} * sin({j}.0 * xip) * {_cosh(f'{j}.0 * etap')}"
+        for j, a in zip((2, 4, 6, 8, 10, 12), (a1, a2, a3, a4, a5, a6))
+    )
+    eta_terms = " + ".join(
+        f"{a} * cos({j}.0 * xip) * {_sinh(f'{j}.0 * etap')}"
+        for j, a in zip((2, 4, 6, 8, 10, 12), (a1, a2, a3, a4, a5, a6))
+    )
+    return f"""
+WITH pts AS (
+  SELECT event_id, (value % 6) AS lon, ((value % 10) + 41) AS lat
+  FROM events),
+c1 AS (
+  SELECT event_id, radians(lon) - radians(3.0) AS ld,
+         sin(radians(lat)) AS s, tan(radians(lat)) AS tp
+  FROM pts),
+c2 AS (
+  SELECT event_id, ld,
+         ln(tp + sqrt(tp * tp + 1.0))
+           - {e} * (0.5 * ln((1.0 + {e} * s) / (1.0 - {e} * s))) AS q
+  FROM c1),
+c3 AS (
+  SELECT event_id, ld, (exp(q) - exp(-q)) / 2.0 AS t, cos(ld) AS cl
+  FROM c2),
+c4 AS (
+  SELECT event_id, atan2(t, cl) AS xip,
+         sin(ld) / sqrt(t * t + cl * cl) AS u
+  FROM c3),
+c5 AS (
+  SELECT event_id, xip, ln(u + sqrt(u * u + 1.0)) AS etap
+  FROM c4),
+f AS (
+  SELECT event_id, xip + {xi_terms} AS xi, etap + {eta_terms} AS eta
+  FROM c5)
+SELECT event_id,
+       round(500000.0 + {ka} * eta, 4) AS ux,
+       round({ka} * xi, 4) AS uy,
+       TRUE AS rt_ok
+FROM f
+"""
+
+
+@register(
+    "g7c_transform_utm",
+    oracle=_utm31n_oracle(),
+    tags=("G7",),
+)
+def g7c_transform_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransformGeom over UTM (``terra.py:43,474-494`` with an arbitrary
+    ``metric_projection_srid`` — here 32631): project zone-31-ranged
+    lon/lat through the real WKB kernel, check forward coordinates
+    against the closed-form Krüger series AND that the iterative inverse
+    closes the roundtrip to <1e-9 degrees."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("value") % 6).alias("lon"),
+        ((F.col("value") % 10) + 41).alias("lat"),
+    )
+    pts = ev.withColumn("geom", K.st_point("lon", "lat"))
+    fwd = transform_geom(pts, "EPSG:4326", "EPSG:32631")
+    back = transform_geom(fwd, "EPSG:32631", "EPSG:4326", geom_out="geom_back")
+    rt_err = F.greatest(
+        F.abs(K.st_x("geom_back") - F.col("lon")),
+        F.abs(K.st_y("geom_back") - F.col("lat")),
+    )
+    return back.select(
+        "event_id",
+        F.round(K.st_x("geom"), 4).alias("ux"),
+        F.round(K.st_y("geom"), 4).alias("uy"),
+        (rt_err < 1e-9).alias("rt_ok"),
+    )
+
+
 # --- G8: subdivision preserves area -----------------------------------------
 
 

@@ -562,3 +562,86 @@ def test_union_dissolve_many_overlapping_nonrectilinear():
         for b in gs[i + 1 :]
     )
     assert got >= sum(singles) - pair_overlap - 1e-6
+
+
+class TestTransverseMercator:
+    """UTM / OSGB via the Krüger series (Karney 2011). Cross-checked
+    against an independently-derived series (Snyder 1987 §8, 4th order
+    in e^2) — two different published derivations agreeing to mm
+    validates both beyond roundtrip/symmetry self-consistency."""
+
+    @staticmethod
+    def _snyder_tm(lon, lat, lon0, a=6378137.0, inv_f=298.257223563,
+                   k0=0.9996, x0=500000.0, y0=0.0):
+        import math
+
+        f = 1.0 / inv_f
+        e2 = 2 * f - f * f
+        ep2 = e2 / (1 - e2)
+        phi, lam = math.radians(lat), math.radians(lon - lon0)
+        N = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        T = math.tan(phi) ** 2
+        C = ep2 * math.cos(phi) ** 2
+        A = lam * math.cos(phi)
+        M = a * (
+            (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+            - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * math.sin(2 * phi)
+            + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * math.sin(4 * phi)
+            - (35 * e2**3 / 3072) * math.sin(6 * phi)
+        )
+        x = k0 * N * (
+            A + (1 - T + C) * A**3 / 6
+            + (5 - 18 * T + T**2 + 72 * C - 58 * ep2) * A**5 / 120
+        )
+        y = k0 * (
+            M + N * math.tan(phi) * (
+                A**2 / 2 + (5 - T + 9 * C + 4 * C**2) * A**4 / 24
+                + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * A**6 / 720
+            )
+        )
+        return x0 + x, y0 + y
+
+    def test_utm_matches_independent_snyder_series(self):
+        tm = ops._tm_for_epsg("32631")
+        for lon, lat in [(2.2945, 48.8584), (0.2, 44.0), (5.8, 51.9),
+                         (3.0, 0.0), (4.4, -20.0)]:
+            kx, ky = tm.forward(lon, lat)
+            sx, sy = self._snyder_tm(lon, lat, lon0=3.0)
+            assert abs(kx - sx) < 1e-3 and abs(ky - sy) < 1e-3, (lon, lat)
+
+    def test_utm_anchors(self):
+        tm = ops._tm_for_epsg("32631")
+        assert tm.forward(3.0, 0.0) == (500000.0, 0.0)
+        # pole northing = k0 * quarter meridian (published WGS84 value)
+        import math
+        assert abs(tm.forward(3.0, 90.0)[1] - 0.9996 * 10001965.7293) < 1e-3
+        # east-west mirror symmetry about the central meridian
+        e1, n1 = tm.forward(4.5, 45.0)
+        e2, n2 = tm.forward(1.5, 45.0)
+        assert abs((e1 - 500000.0) + (e2 - 500000.0)) < 1e-9 and n1 == n2
+
+    def test_utm_south_false_northing(self):
+        n = ops._tm_for_epsg("32756")
+        s = ops._tm_for_epsg("32656")
+        xs, ys = n.forward(153.0, -30.0)
+        xn, yn = s.forward(153.0, -30.0)
+        assert xs == xn and abs(ys - (yn + 10000000.0)) < 1e-9
+
+    def test_osgb_origin_and_roundtrip(self):
+        bng = ops._tm_for_epsg("27700")
+        assert bng.forward(-2.0, 49.0) == (400000.0, -100000.0)
+        for lon, lat in [(-0.1276, 51.5072), (-3.2, 55.95), (1.3, 52.6)]:
+            x, y = bng.forward(lon, lat)
+            lon2, lat2 = bng.inverse(x, y)
+            assert abs(lon2 - lon) < 1e-12 and abs(lat2 - lat) < 1e-12
+
+    def test_transform_dispatch_utm(self):
+        g = ops.transform(("Point", (2.2945, 48.8584)), "EPSG:4326", "EPSG:32631")
+        x, y = g[1]
+        assert abs(x - 448252.0) < 0.1 and abs(y - 5411954.9) < 0.1
+        back = ops.transform(g, "epsg:32631", "EPSG:4326")
+        assert abs(back[1][0] - 2.2945) < 1e-12 and abs(back[1][1] - 48.8584) < 1e-12
+
+    def test_transform_dispatch_still_raises_for_unknown(self):
+        with pytest.raises(NotImplementedError):
+            ops.transform(("Point", (0.0, 0.0)), "EPSG:32631", "EPSG:2154")
