@@ -108,6 +108,40 @@ def quality_score(
     )
 
 
+def repetition_ratios(
+    df: DataFrame, text_col: str = "text", prefix: str = "rep_"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1, public): the fraction of word tokens that are duplicates of
+    an earlier token, and the same over word 2-grams. High values mark
+    boilerplate / keyword-stuffed pages a pretraining filter drops.
+    Pure column expressions — array ops stay in codegen, no UDF."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    word_dup = F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / n,
+    ).otherwise(F.lit(0.0))
+    # zip heads with tails (slice degrades to [] for n <= 1, where
+    # sequence(1, n-1) would go descending and index out of range)
+    pair_len = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, pair_len),
+        F.slice(toks, 2, pair_len),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bigram_dup = F.when(
+        n > 1,
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)) / (n - 1),
+    ).otherwise(F.lit(0.0))
+    return df.withColumns(
+        {
+            f"{prefix}word_dup_ratio": word_dup,
+            f"{prefix}bigram_dup_ratio": bigram_dup,
+        }
+    )
+
+
 def lang_id(
     df: DataFrame,
     text_col: str = "text",

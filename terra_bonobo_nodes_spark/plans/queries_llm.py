@@ -114,6 +114,43 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_repetition_ratios",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+), b AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+  FROM t
+)
+SELECT doc_id,
+       round(CASE WHEN n > 0
+                  THEN 1.0 - len(list_distinct(toks)) / n
+                  ELSE 0.0 END, 6) AS rep_word_dup_ratio,
+       round(CASE WHEN n > 1
+                  THEN 1.0 - len(list_distinct(bigrams)) / (n - 1)
+                  ELSE 0.0 END, 6) AS rep_bigram_dup_ratio
+FROM b
+""",
+    tags=("llm", "text"),
+)
+def llm_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition filter signals over the documents table
+    (word-dup and bigram-dup fractions). The DuckDB oracle builds the
+    same bigram list with 1-based list indexing (range(1, n) is
+    end-exclusive, so both sides emit exactly n-1 bigrams and [] for
+    n <= 1)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = text.repetition_ratios(docs, "text")
+    return rep.select(
+        "doc_id",
+        F.round("rep_word_dup_ratio", 6).alias("rep_word_dup_ratio"),
+        F.round("rep_bigram_dup_ratio", 6).alias("rep_bigram_dup_ratio"),
+    )
+
+
 def _lang_id_oracle() -> str:
     hits = {
         code: f"len(list_filter(toks, t -> t IN "

@@ -65,6 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- (1) never had a driver row (new in round 3) ---
     "g7b_transform_lambert93",
     "g7c_transform_utm",
+    "llm_repetition_ratios",
     "j1_bigbig_grid_intersect",
     "llm_embedding_cosine_pairs_blocked",
     # --- (2) operator code changed since last green row ---

@@ -449,3 +449,29 @@ def test_wav_roundtrip_8_and_32_bit():
         rate, nch, n, arr = codecs.decode_wav(buf.getvalue())
         assert (rate, nch, n) == (1000, 1, 64)
         assert np.allclose(arr[:, 0], samples[:, 0], atol=1.0 / scale)
+
+
+def test_repetition_ratios_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),           # 1 distinct word, 1 distinct bigram
+            (2, "all words here are unique"),     # no repeats
+            (3, "a b a b a"),                     # words: 2/5 distinct; bigrams: 2/4 distinct
+            (4, "word"),                          # single token: no bigrams
+            (5, ""),                              # empty
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r for r in text.repetition_ratios(docs, "text").collect()
+    }
+    assert rows[1].rep_word_dup_ratio == pytest.approx(3 / 4)
+    assert rows[1].rep_bigram_dup_ratio == pytest.approx(2 / 3)
+    assert rows[2].rep_word_dup_ratio == 0.0
+    assert rows[2].rep_bigram_dup_ratio == 0.0
+    assert rows[3].rep_word_dup_ratio == pytest.approx(3 / 5)
+    assert rows[3].rep_bigram_dup_ratio == pytest.approx(2 / 4)
+    assert rows[4].rep_word_dup_ratio == 0.0
+    assert rows[4].rep_bigram_dup_ratio == 0.0
+    assert rows[5].rep_word_dup_ratio == 0.0
+    assert rows[5].rep_bigram_dup_ratio == 0.0
