@@ -8,7 +8,7 @@ POSIX-ish classes (``[a-z0-9]``) that behave identically in Java regex
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 WORD_RE = "[a-z0-9]+"
@@ -192,3 +192,128 @@ def fingerprint(
     c = F.col(text_col)
     norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "), r"\s+", " "))
     return df.withColumn(out, F.md5(F.encode(norm, "UTF-8")))
+
+
+# Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS
+# fingerprinter, public): polynomial hash over character k-grams, then
+# keep the minimum hash of every `window` consecutive grams. A shared
+# substring of length >= k + window - 1 is guaranteed to yield at least
+# one shared fingerprint, while only ~2/(window+1) of gram hashes
+# survive. Base 31 with k <= 10 ASCII chars keeps every hash below
+# 2^53 — exact in Spark longs AND in the DuckDB oracle's int64, no
+# modular reduction needed on either side.
+#
+# Plan shape (the hashing.py NOTE applies): an expression referenced
+# inside a higher-order-function lambda is re-evaluated PER ELEMENT, so
+# nesting `grams` inside the window-minima transform would make the
+# whole thing O(n^2) per document. Instead each stage lands in its own
+# projection and lambdas only ever reference materialized attributes:
+#   P1: _wnorm  (normalize regex, once per doc)
+#   P2: _wgrams (O(n*k) substr/ascii folds against the _wnorm attr)
+#   P3: fps     (O(n*window) slice minima against the _wgrams attr)
+# Each projection references its input >= 2 times, which stops
+# Catalyst's CollapseProject from re-inlining the expensive child.
+# Everything stays in whole-stage codegen: no Python, no shuffle —
+# fingerprints compute at scan speed at 100 TB.
+WINNOW_BASE = 31
+
+
+def _gram_hashes(norm: Column, k: int) -> Column:
+    """Polynomial hashes of all k-grams of a *materialized* string
+    attribute. Horner over substr/ascii; ascii('') = 0 on both engines,
+    so docs shorter than k hash their zero-padded tail identically."""
+    m = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc * WINNOW_BASE
+            + F.ascii(norm.substr(i + j, F.lit(1))).cast("long"),
+        ),
+    )
+
+
+def _window_minima(norm: Column, grams: Column, window: int) -> Column:
+    nw = F.greatest(F.size(grams) - (window - 1), F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), nw),
+        lambda w: F.array_min(F.slice(grams, w, window)),
+    )
+    return F.when(
+        F.length(norm) > 0, F.array_sort(F.array_distinct(wins))
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "fingerprints",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Adds ``out``: sorted distinct winnowed fingerprints (array<long>)
+    of the normalized text."""
+    from terra_bonobo_nodes_spark.llm.hashing import normalize
+
+    staged = df.withColumn("_wnorm", normalize(F.col(text_col))).withColumn(
+        "_wgrams", _gram_hashes(F.col("_wnorm"), k)
+    )
+    return staged.withColumn(
+        out, _window_minima(F.col("_wnorm"), F.col("_wgrams"), window)
+    ).drop("_wnorm", "_wgrams")
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by shared winnowed fingerprints: explode to
+    an inverted index (fingerprint -> doc), self-join inside each
+    posting list, count shared prints per pair. The classic MOSS match
+    step as one shuffle-on-fingerprint + one shuffle-on-pair.
+
+    Scale: posting lists are the skew hazard — a boilerplate fragment
+    shared by millions of docs would make one fingerprint quadratic.
+    ``max_fp_df`` drops fingerprints whose document frequency exceeds
+    the cap (they carry no dedup signal anyway), exactly like
+    ``max_shingle_df`` in ngram_jaccard_pairs.
+
+    The fingerprint arrays are persisted before the explode on purpose:
+    InferFiltersFromGenerate plants a ``size(fps) > 0`` predicate under
+    the Generate, and filter-pushdown-through-project *always* inlines
+    the referenced expression — without the InMemoryRelation barrier the
+    whole staged winnow computation collapses into that one interpreted
+    predicate (normalize regex re-run per lambda element, O(n^2·k) per
+    doc; measured: minutes instead of seconds at 500 docs). The cache
+    holds (id, fps) only — ~8 bytes per surviving gram, smaller than
+    the text itself."""
+    from pyspark import StorageLevel
+
+    fps_df = winnow_fingerprints(df, text_col, "_fps", k, window).select(
+        F.col(id_col).alias("doc"), F.col("_fps")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    inv = fps_df.select("doc", F.explode("_fps").alias("fp"))
+    if max_fp_df is not None:
+        inv = (
+            inv.withColumn(
+                "fp_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+            )
+            .where(F.col("fp_df") <= F.lit(max_fp_df))
+            .drop("fp_df")
+        )
+    a = inv.alias("a")
+    b = inv.alias("b")
+    return (
+        a.join(
+            b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc"))
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= F.lit(min_shared))
+    )

@@ -572,3 +572,93 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 3).alias("f2"),
         F.element_at("features", 4).alias("f3"),
     )
+
+
+# --- winnowing fingerprints (MOSS) ------------------------------------------
+
+_WN_K, _WN_WINDOW = 8, 4
+# min_shared = p99 of the sf0.01 shared-count distribution (median 5):
+# high enough that surviving pairs are real template near-dups, not the
+# corpus-wide boilerplate noise floor.
+_WN_MIN_SHARED, _WN_MAX_FP_DF = 20, 100
+
+
+def _winnow_cte() -> str:
+    """CTE staging mirror of text.winnow_fingerprints: normalize, k-gram
+    polynomial hashes, window minima — same constants, bit-identical
+    int64 values (base 31, k=8 keeps hashes < 2^53)."""
+    norm = hashing.normalize_sql("text")
+    acc = "CAST(ascii(substr(nrm, i, 1)) AS BIGINT)"
+    for j in range(1, _WN_K):
+        acc = f"(({acc}) * {text.WINNOW_BASE} + ascii(substr(nrm, i + {j}, 1)))"
+    grams = (
+        f"list_transform(range(1, greatest(length(nrm) - {_WN_K - 1}, 1) + 1), "
+        f"i -> {acc})"
+    )
+    wins = (
+        f"list_transform(range(1, greatest(len(grams) - {_WN_WINDOW - 1}, 1) + 1), "
+        f"w -> list_aggregate(list_slice(grams, w, w + {_WN_WINDOW - 1}), 'min'))"
+    )
+    return f"""
+WITH nd AS (SELECT doc_id, {norm} AS nrm FROM documents),
+gd AS (SELECT doc_id, nrm, {grams} AS grams FROM nd),
+fd AS (SELECT doc_id,
+              CASE WHEN length(nrm) > 0
+                   THEN list_sort(list_distinct({wins}))
+                   ELSE CAST([] AS BIGINT[]) END AS fps
+       FROM gd)"""
+
+
+@register(
+    "llm_winnow_fingerprints",
+    oracle=f"""{_winnow_cte()}
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fp,
+       CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum,
+       CAST(coalesce(list_aggregate(fps, 'min'), 0) AS BIGINT) AS fp_min,
+       CAST(coalesce(list_aggregate(fps, 'max'), 0) AS BIGINT) AS fp_max
+FROM fd
+""",
+    tags=("llm", "text", "dedup"),
+)
+def llm_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed document fingerprints (Schleimer et al. 2003), reduced
+    to per-doc scalars for the order-insensitive hash compare."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = text.winnow_fingerprints(docs, "text", "fps", k=_WN_K, window=_WN_WINDOW)
+    zero = F.lit(0).cast("long")
+    return fps.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fp"),
+        F.aggregate("fps", zero, lambda a, x: a + x).alias("fp_sum"),
+        F.coalesce(F.array_min("fps"), zero).alias("fp_min"),
+        F.coalesce(F.array_max("fps"), zero).alias("fp_max"),
+    )
+
+
+@register(
+    "llm_winnow_pairs",
+    oracle=f"""{_winnow_cte()},
+inv AS (SELECT doc_id, unnest(fps) AS fp FROM fd),
+kept AS (SELECT doc_id, fp FROM inv
+         QUALIFY count(*) OVER (PARTITION BY fp) <= {_WN_MAX_FP_DF})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {_WN_MIN_SHARED}
+""",
+    tags=("llm", "dedup"),
+)
+def llm_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match step: pairs sharing >= {min_shared} winnowed
+    fingerprints, hot fingerprints (df > cap) dropped for skew."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.winnow_pairs(
+        docs,
+        "doc_id",
+        "text",
+        k=_WN_K,
+        window=_WN_WINDOW,
+        min_shared=_WN_MIN_SHARED,
+        max_fp_df=_WN_MAX_FP_DF,
+    )

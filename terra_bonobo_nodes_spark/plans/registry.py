@@ -62,75 +62,45 @@ def register(
 # At the end of every round, move anything the round touched into
 # section (2).
 _PRIORITY: tuple[str, ...] = (
-    # --- (1) never had a driver row (new in round 3) ---
+    # --- (1) never had a driver row (new in round 4) ---
+    "llm_winnow_fingerprints",
+    "llm_winnow_pairs",
+    # --- (2) operator code changed since last green row ---
+    # r4 rewrote the events readers (tables.load_table ts-layout sniff,
+    # streaming read_events_stream schema sniff) after the testdata
+    # regeneration flipped events.ts from TIMESTAMP(NANOS) to TIMESTAMP
+    # micros. Every events-reading query therefore needs a post-change
+    # row; the nine that ERRED in r03 on the old reader go first.
     "g7b_transform_lambert93",
     "g7c_transform_utm",
-    "llm_repetition_ratios",
     "j1_bigbig_grid_intersect",
-    "llm_embedding_cosine_pairs_blocked",
-    # --- (2) operator code changed since last green row ---
-    "llm_minhash_lsh_pairs",  # r2: shingle hash md5 -> hash32_poly
-    "llm_dedup_components",  # r2: pointer-jumping; r3: +1 convergence pass
-    "llm_ivf_ann_topk",  # r2 rewrite (numpy Lloyd); rows-only by design
-    "j1_boolean_intersect",  # r3: refactored to shared _j1_inputs
-    "j2_concave_overlay_percent",  # r3: convex fast path in overlay kernel
-    "j2_intersection_percent_by_area",  # r3: same kernel
-    "j2_dissolve_overlapping_layer",  # r3: same kernel
-    "j3_intersection_geom_area",  # r3: same kernel
-    "j5_attribute_from_sql",  # r3: regression fix
-    "llm_multimodal_decode",  # r3: real BMP decode path
-    # --- (3) green in r01 only (stale — cap rotated them out of r02) ---
-    "p6_map_properties",
-    "p2_generate_identifier_md5",
-    "g2_point_from_attributes",
-    "fn_window_surface",
-    "fn_stats_surface",
-    "fn_string_surface",
-    "p11_accessibility_ratio",
-    "g6_simplify_zigzag",
-    "g8_subdivide_area",
-    "g9_line_clip_length",
-    "pipeline_es_indexing",
+    "j1_boolean_intersect",
     "pipeline_file_import",
-    "llm_embedding_cosine_pairs",
-    "llm_simhash_pairs",
-    "llm_ngram_jaccard_pairs",
-    "llm_lsh_ann_topk",
-    # --- (4) green in r02 (freshest), cheapest first ---
-    "llm_token_count",
-    "llm_bpe_token_count",
-    "p3_exclude_attributes",
-    "p4_filter_attributes",
-    "p1_identifier_from_property",
     "t1_running_lag_diff",
     "a4_grid_cluster_collect_sum",
-    "llm_exact_dedup_groups",
-    "p9_drop_identifier",
-    "llm_lang_id",
-    "p5_filter_by_properties",
-    "llm_quality_score",
-    "fn_datetime_surface",
     "p10_hstore_parse",
     "pipeline_osm_clusters",
-    "p7_min_array_attribute",
-    "g5_force_2d",
-    "a2_union_area_dissolve",
-    "llm_cosine_topk",
-    "fn_math_array_surface",
+    # remaining events readers (green rows predate the reader change)
     "g7_transform_mercator",
     "a2_union_on_property_centroid",
     "g1_geojson_attribute_roundtrip",
     "t1_isochrone_subtraction_geo",
     "k5_retention_filter",
+    "k1_upsert_last_writer_wins",
+    "s2_geojson_reader_roundtrip",
+    "e1_isochrone_calculation",
+    "stream_tumbling_window_agg",
+    "stream_sliding_window_agg",
+    "stream_session_window_agg",
+    "stream_props_json_rollup",
+    # --- (3) stale greens (r02, rotated out of the r03 cap) ---
+    "fn_math_array_surface",
     "topk_orders_per_customer",
     "s3_sql_extract_decimals",
     "rollup_order_priority",
     "tpch_q1_pricing_summary",
     "cube_returnflag_status",
     "e3_transit_time_one_to_one",
-    "stream_sliding_window_agg",
-    "stream_props_json_rollup",
-    "stream_tumbling_window_agg",
     "j4_knn_closest_features",
     "j4_knn_closests_list",
     "j4_grid_knn_bigbig",
@@ -140,11 +110,49 @@ _PRIORITY: tuple[str, ...] = (
     "s8_zip_reader_roundtrip",
     "star_join_revenue_by_region",
     "s5_k2_es_roundtrip",
-    "stream_session_window_agg",
     "setops_customer_segments",
-    "s2_geojson_reader_roundtrip",
-    "e1_isochrone_calculation",
-    "k1_upsert_last_writer_wins",
+    # --- (4) freshest greens (r03), cheapest first ---
+    "llm_token_count",
+    "llm_bpe_token_count",
+    "llm_repetition_ratios",
+    "llm_lang_id",
+    "llm_quality_score",
+    "llm_exact_dedup_groups",
+    "p3_exclude_attributes",
+    "p4_filter_attributes",
+    "p1_identifier_from_property",
+    "p9_drop_identifier",
+    "p5_filter_by_properties",
+    "p6_map_properties",
+    "p2_generate_identifier_md5",
+    "p7_min_array_attribute",
+    "p11_accessibility_ratio",
+    "fn_window_surface",
+    "fn_stats_surface",
+    "fn_string_surface",
+    "fn_datetime_surface",
+    "g2_point_from_attributes",
+    "g5_force_2d",
+    "g6_simplify_zigzag",
+    "g8_subdivide_area",
+    "g9_line_clip_length",
+    "a2_union_area_dissolve",
+    "llm_cosine_topk",
+    "llm_embedding_cosine_pairs",
+    "llm_embedding_cosine_pairs_blocked",
+    "llm_simhash_pairs",
+    "llm_ngram_jaccard_pairs",
+    "llm_lsh_ann_topk",
+    "llm_minhash_lsh_pairs",
+    "llm_dedup_components",
+    "llm_ivf_ann_topk",
+    "llm_multimodal_decode",
+    "pipeline_es_indexing",
+    "j2_concave_overlay_percent",
+    "j2_intersection_percent_by_area",
+    "j2_dissolve_overlapping_layer",
+    "j3_intersection_geom_area",
+    "j5_attribute_from_sql",
 )
 
 

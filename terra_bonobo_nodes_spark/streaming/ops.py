@@ -25,16 +25,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(spark: SparkSession, src: str) -> T.StructType:
+    """The events parquet has shipped with ts as TIMESTAMP(NANOS) (read
+    as int64 under nanosAsLong) or plain TIMESTAMP micros depending on
+    testdata generation. readStream needs an explicit schema, so sniff
+    the footer with a batch read — a metadata-only operation."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(src).schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,15 +54,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(stage, exist_ok=True)
         shutil.copy(src, os.path.join(stage, "events.parquet"))
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_schema(spark, src)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
     )
-    return raw.withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-    )
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+        )
+    if not isinstance(ts_type, T.TimestampType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_window_agg(

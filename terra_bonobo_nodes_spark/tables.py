@@ -32,18 +32,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
-        # default ([PARQUET_TYPE_ILLEGAL]). Read nanos as int64 and
-        # truncate to micros — exactly what DuckDB's reader does — using
-        # integer DIV (ts exceeds 2^53, so float division would corrupt).
-        # Set at runtime so it also applies under the driver's session.
+        # events.ts has shipped in two parquet layouts across testdata
+        # generations: TIMESTAMP(NANOS) (which Spark rejects by default,
+        # [PARQUET_TYPE_ILLEGAL] — read as int64 nanos and truncate to
+        # micros with integer DIV, exactly what DuckDB's reader does) and
+        # plain TIMESTAMP micros (read as TIMESTAMP_NTZ). Sniff the
+        # resolved schema and normalize either to session-tz TIMESTAMP so
+        # every downstream window/unix_* expression sees one type.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        return df.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+            )
+        if not isinstance(ts_type, T.TimestampType):
+            # TIMESTAMP_NTZ → TIMESTAMP; wall clock is preserved under
+            # the session timezone (sessions here pin UTC).
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

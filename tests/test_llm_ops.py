@@ -475,3 +475,91 @@ def test_repetition_ratios_semantics(spark):
     assert rows[4].rep_bigram_dup_ratio == 0.0
     assert rows[5].rep_word_dup_ratio == 0.0
     assert rows[5].rep_bigram_dup_ratio == 0.0
+
+
+# --- winnowing fingerprints (Schleimer et al. 2003) -------------------------
+
+
+def _py_winnow(s: str, k: int = 8, window: int = 4) -> set[int]:
+    """Reference winnowing: normalize, base-31 k-gram hashes, window
+    minima — mirrors text.winnow_fingerprints exactly."""
+    import re
+
+    norm = re.sub(r" +", " ", re.sub(r"[^a-z0-9]+", " ", s.lower())).strip()
+    if not norm:
+        return set()
+    m = max(len(norm) - k + 1, 1)
+    grams = []
+    for i in range(m):
+        h = 0
+        for j in range(k):
+            c = norm[i + j] if i + j < len(norm) else ""
+            h = h * text.WINNOW_BASE + (ord(c) if c else 0)
+        grams.append(h)
+    nw = max(len(grams) - window + 1, 1)
+    return {min(grams[w : w + window]) for w in range(nw)}
+
+
+def test_winnow_fingerprints_match_python_reference(spark, near_dup_docs):
+    got = {
+        r.doc_id: sorted(r.fps)
+        for r in text.winnow_fingerprints(near_dup_docs, "text", "fps").collect()
+    }
+    for r in near_dup_docs.collect():
+        assert got[r.doc_id] == sorted(_py_winnow(r.text)), f"doc {r.doc_id}"
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # Winnowing guarantees: a shared substring of length >= k + window - 1
+    # (= 11 chars here) yields at least one shared fingerprint.
+    shared = "unmistakable shared passage of text"
+    rows = [
+        (0, "left context before " + shared),
+        (1, shared + " and entirely different right side"),
+        (2, "nothing in common with the others at all zzz"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in text.winnow_fingerprints(df, "text", "fps").collect()
+    }
+    assert fps[0] & fps[1], "shared substring must share a fingerprint"
+    assert not (fps[0] & fps[2]) or len(fps[0] & fps[2]) < len(fps[0] & fps[1])
+
+
+def test_winnow_empty_and_short_text(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "..!!.."), (2, "ab"), (3, "ab")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: list(r.fps)
+        for r in text.winnow_fingerprints(df, "text", "fps").collect()
+    }
+    assert got[0] == [] and got[1] == []  # normalize to empty -> no fps
+    assert got[2] == got[3] and len(got[2]) == 1  # short text: one padded gram
+
+
+def test_winnow_pairs_near_dups(spark, near_dup_docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in text.winnow_pairs(
+            near_dup_docs, "doc_id", "text", min_shared=2, max_fp_df=None
+        ).collect()
+    }
+    # 0, 1, 3 normalize identically -> all share every fingerprint
+    assert (0, 1) in pairs and (0, 3) in pairs and (1, 3) in pairs
+    assert pairs[(0, 1)] == pairs[(0, 3)] == pairs[(1, 3)]
+    assert (0, 2) in pairs  # near dup: long shared prefix
+    assert (4, 5) not in pairs  # unrelated
+
+
+def test_winnow_pairs_max_fp_df_drops_hot_prints(spark):
+    # 5 docs all sharing one boilerplate sentence: with the cap at 4 the
+    # boilerplate fingerprints are dropped and no pair survives.
+    boiler = "standard legal disclaimer footer text common to every page"
+    rows = [(i, boiler + f" unique tail {i} " + "x" * i) for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    dense = text.winnow_pairs(df, "doc_id", "text", min_shared=2, max_fp_df=None)
+    capped = text.winnow_pairs(df, "doc_id", "text", min_shared=2, max_fp_df=4)
+    assert dense.count() == 10  # all C(5,2) pairs share the boilerplate
+    assert capped.count() == 0
