@@ -192,3 +192,91 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     return l_salted.join(r_salted, [key, "_salt"], how).drop("_salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Point-in-time (as-of) join: for every left row, the single right
+    row with the same ``on`` key whose timestamp is the latest at-or-
+    before the left timestamp (``direction="backward"``) or earliest
+    at-or-after it (``"forward"``). The standard operation for joining
+    events to slowly-changing state without a range blow-up; Spark has
+    no built-in for it (the reference engine has none either — this is
+    a scale-path extension).
+
+    Plan (Spark-first, no interval explosion): tag both sides, union
+    them, and take ``last(right_struct, ignorenulls=True)`` over a
+    window partitioned by key and ordered by (ts, side) — the classic
+    sort-merge formulation. ONE shuffle+sort on the key; state per
+    partition is a single running struct, so memory is O(1) per key and
+    no pair ever materializes beyond its match. A naive range join
+    (``l.ts >= r.ts`` theta join + top-1) is quadratic per key and is
+    exactly what this avoids at 100 TB. Key skew behaves like any
+    window: AQE handles moderate skew, salting cannot apply (the
+    running state is order-dependent), so extreme single-key skew
+    should be pre-split upstream by time range.
+
+    At equal timestamps the right row sorts first, so matches are
+    INCLUSIVE (ts_right == ts_left matches), mirroring DuckDB/pandas
+    ``asof`` semantics. ``tolerance_seconds`` nulls out matches further
+    than the tolerance from the left timestamp. Right payload columns
+    arrive suffixed; the matched right timestamp arrives as
+    ``{right_ts}{suffix}``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    rts = right_ts or left_ts
+    payload = [c for c in (right_cols or right.columns) if c not in (on, rts)]
+    r2 = right.select(
+        F.col(on).alias("_k"),
+        F.col(rts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(F.col(rts).alias("_ts"), *[F.col(c) for c in payload]).alias("_r"),
+    )
+    rtype = r2.schema["_r"].dataType
+    l3 = left.select(
+        *left.columns,
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rtype).alias("_r"),
+    )
+    r3 = r2.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        "_k",
+        "_t",
+        "_side",
+        "_r",
+    )
+    u = l3.unionByName(r3)
+
+    # right rows sort before left rows at equal ts (side 0 < 1 asc) so
+    # the running last() is inclusive in both directions.
+    ts_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(ts_order, F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("_r", ignorenulls=True).over(w)
+    out = u.withColumn("_m", matched).where(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("_t").cast("double") - F.col("_m._ts").cast("double")
+        )
+        out = out.withColumn(
+            "_m", F.when(gap <= F.lit(float(tolerance_seconds)), F.col("_m"))
+        )
+    sel = [F.col(c) for c in left.columns]
+    sel.append(F.col("_m._ts").alias(f"{rts}{suffix}"))
+    sel.extend(F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in payload)
+    return out.select(*sel)

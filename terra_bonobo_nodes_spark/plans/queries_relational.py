@@ -767,3 +767,48 @@ def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+# --- as-of (point-in-time) join ---------------------------------------------
+
+
+@register(
+    "asof_purchase_last_view",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS ts_us,
+       round(p.value, 6) AS purchase_value,
+       epoch_us(v.ts) AS view_ts_us,
+       v.event_id AS view_event_id,
+       round(v.value, 6) AS view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+    tags=("join", "asof"),
+)
+def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join oracle-checked against DuckDB's native ASOF LEFT JOIN:
+    for every purchase event, the same user's latest view event at or
+    before it. Timestamps exported as epoch micros (exact integers)."""
+    from terra_bonobo_nodes_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts", suffix="_view"
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 6).alias("purchase_value"),
+        F.unix_micros("ts_view").alias("view_ts_us"),
+        F.col("event_id_view").alias("view_event_id"),
+        F.round("value_view", 6).alias("view_value"),
+    )

@@ -65,6 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- (1) never had a driver row (new in round 4) ---
     "llm_winnow_fingerprints",
     "llm_winnow_pairs",
+    "asof_purchase_last_view",
     # --- (2) operator code changed since last green row ---
     # r4 rewrote the events readers (tables.load_table ts-layout sniff,
     # streaming read_events_stream schema sniff) after the testdata

@@ -237,3 +237,88 @@ def test_grid_strategy_equals_broadcast(spark, cell):
     g3 = area_col(intersection_geom(recs, lay, strategy="grid", cell=cell))
     assert set(g3) == set(b3)
     assert all(abs(g3[k] - b3[k]) < 1e-9 for k in b3)
+
+
+# --- as-of join -------------------------------------------------------------
+
+
+def _asof_fixture(spark):
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [
+            (1, "a", dt(2024, 1, 1, 10, 0, 0)),
+            (2, "a", dt(2024, 1, 1, 12, 0, 0)),
+            (3, "b", dt(2024, 1, 1, 11, 0, 0)),
+            (4, "c", dt(2024, 1, 1, 9, 0, 0)),  # key with no right rows
+        ],
+        ["lid", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "a", dt(2024, 1, 1, 9, 30, 0)),
+            (11, "a", dt(2024, 1, 1, 12, 0, 0)),  # equal-ts with lid=2
+            (12, "b", dt(2024, 1, 1, 11, 30, 0)),  # after lid=3
+        ],
+        ["rid", "k", "ts"],
+    )
+    return left, right
+
+
+def test_asof_join_backward_inclusive(spark):
+    from terra_bonobo_nodes_spark.operators.joins import asof_join
+
+    left, right = _asof_fixture(spark)
+    got = {
+        r.lid: r.rid_asof
+        for r in asof_join(left, right, on="k", left_ts="ts").collect()
+    }
+    assert got == {1: 10, 2: 11, 3: None, 4: None}
+    # lid=2: equal timestamp matches (inclusive, DuckDB/pandas semantics)
+
+
+def test_asof_join_forward(spark):
+    from terra_bonobo_nodes_spark.operators.joins import asof_join
+
+    left, right = _asof_fixture(spark)
+    got = {
+        r.lid: r.rid_asof
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", direction="forward"
+        ).collect()
+    }
+    assert got == {1: 11, 2: 11, 3: 12, 4: None}
+
+
+def test_asof_join_tolerance(spark):
+    from terra_bonobo_nodes_spark.operators.joins import asof_join
+
+    left, right = _asof_fixture(spark)
+    got = {
+        r.lid: r.rid_asof
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", tolerance_seconds=35 * 60
+        ).collect()
+    }
+    # lid=1 matched rid=10 at 30min gap (within 35min); lid=2 exact match
+    assert got == {1: 10, 2: 11, 3: None, 4: None}
+    strict = {
+        r.lid: r.rid_asof
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", tolerance_seconds=60
+        ).collect()
+    }
+    assert strict == {1: None, 2: 11, 3: None, 4: None}
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    """The as-of plan must be one Exchange on the key (union -> window),
+    never a theta-join: assert no CartesianProduct / BroadcastNestedLoop
+    and exactly one hashpartitioning exchange."""
+    from terra_bonobo_nodes_spark.operators.joins import asof_join
+
+    left, right = _asof_fixture(spark)
+    plan = asof_join(left, right, on="k", left_ts="ts")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
