@@ -812,3 +812,49 @@ def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_view").alias("view_event_id"),
         F.round("value_view", 6).alias("view_value"),
     )
+
+
+@register(
+    "range_join_clicks_after_error",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+m AS (
+  SELECT e.event_id, e.user_id, count(*) AS n_clicks
+  FROM e JOIN c
+    ON c.user_id = e.user_id
+   AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL '10 minutes'
+  GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, coalesce(m.n_clicks, 0) AS n_clicks
+FROM e LEFT JOIN m ON m.event_id = e.event_id AND m.user_id = e.user_id
+""",
+    tags=("join", "range"),
+)
+def range_join_clicks_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join checked against DuckDB's exact theta join:
+    count clicks within 10 minutes after each error event per user.
+    The Spark plan is one equi-join on (bucket, user) — no theta join."""
+    from terra_bonobo_nodes_spark.operators.joins import interval_point_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    matches = interval_point_join(
+        errors, clicks, "start_ts", "end_ts", "ts", on="user_id", bucket_seconds=600.0
+    )
+    counts = matches.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+    return (
+        errors.select("event_id", "user_id")
+        .join(counts, ["event_id", "user_id"], "left")
+        .withColumn("n_clicks", F.coalesce(F.col("n_clicks"), F.lit(0)))
+    )

@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "llm_winnow_fingerprints",
     "llm_winnow_pairs",
     "asof_purchase_last_view",
+    "range_join_clicks_after_error",
     # --- (2) operator code changed since last green row ---
     # r4 rewrote the events readers (tables.load_table ts-layout sniff,
     # streaming read_events_stream schema sniff) after the testdata

@@ -322,3 +322,78 @@ def test_asof_join_single_shuffle_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- bucketized range join --------------------------------------------------
+
+
+def test_interval_point_join_matches_naive(spark):
+    import random
+
+    from terra_bonobo_nodes_spark.operators.joins import interval_point_join
+
+    rnd = random.Random(42)
+    intervals = [
+        (i, rnd.randrange(3), float(s := rnd.randrange(0, 5000)), float(s + rnd.randrange(1, 900)))
+        for i in range(120)
+    ]
+    points = [
+        (j, rnd.randrange(3), float(rnd.randrange(0, 6000))) for j in range(300)
+    ]
+    idf = spark.createDataFrame(intervals, ["iid", "k", "t0", "t1"])
+    pdf = spark.createDataFrame(points, ["pid", "k", "tp"])
+    got = {
+        (r.iid, r.pid)
+        for r in interval_point_join(
+            idf, pdf, "t0", "t1", "tp", on="k", bucket_seconds=250.0
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for (i, k1, t0, t1) in intervals
+        for (j, k2, tp) in points
+        if k1 == k2 and t0 <= tp <= t1
+    }
+    assert got == want and len(want) > 100
+
+
+def test_interval_point_join_boundaries_inclusive(spark):
+    from terra_bonobo_nodes_spark.operators.joins import interval_point_join
+
+    idf = spark.createDataFrame([(1, 10.0, 20.0)], ["iid", "t0", "t1"])
+    pdf = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 9.999), (4, 20.001)], ["pid", "tp"]
+    )
+    got = sorted(
+        r.pid
+        for r in interval_point_join(idf, pdf, "t0", "t1", "tp", bucket_seconds=5.0).collect()
+    )
+    assert got == [1, 2]
+
+
+def test_interval_point_join_bucket_explosion_guard(spark):
+    import pytest as _pytest
+
+    from terra_bonobo_nodes_spark.operators.joins import interval_point_join
+
+    idf = spark.createDataFrame([(1, 0.0, 1e9)], ["iid", "t0", "t1"])
+    pdf = spark.createDataFrame([(1, 5.0)], ["pid", "tp"])
+    with _pytest.raises(Exception, match="buckets"):
+        interval_point_join(
+            idf, pdf, "t0", "t1", "tp", bucket_seconds=1.0, max_buckets_per_interval=100
+        ).collect()
+
+
+def test_interval_point_join_no_cartesian_plan(spark):
+    from terra_bonobo_nodes_spark.operators.joins import interval_point_join
+
+    idf = spark.createDataFrame([(1, 0, 10.0, 20.0)], ["iid", "k", "t0", "t1"])
+    pdf = spark.createDataFrame([(1, 0, 15.0)], ["pid", "k", "tp"])
+    plan = (
+        interval_point_join(idf, pdf, "t0", "t1", "tp", on="k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
