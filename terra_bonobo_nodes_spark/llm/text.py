@@ -317,3 +317,85 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= F.lit(min_shared))
     )
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    idf: str = "log",
+    max_vocab_df: int | None = None,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    ``idf="log"`` uses the smoothed sklearn-style
+    ``ln((N+1)/(df+1)) + 1``; ``idf="raw"`` uses the rational
+    ``(N+1)/(df+1)`` — same plumbing, and exactly reproducible across
+    engines (no transcendental), which is what the oracle-checked
+    query uses. Ties break on the term string so top-k is
+    deterministic.
+
+    Plan: explode tokens -> per-(doc, term) counts (one shuffle with
+    map-side partial agg) -> document frequencies (second shuffle on
+    term, vocabulary-sized output) -> join scores back on term ->
+    window top-k per doc. The N scalar is a broadcast single-row
+    cross join, not a collect. ``max_vocab_df`` optionally drops
+    ubiquitous terms (df above the cap) before scoring — both a skew
+    guard and a stopword filter at corpus scale.
+    """
+    if idf not in ("log", "raw"):
+        raise ValueError(f"idf must be log|raw, got {idf!r}")
+    toks = df.select(F.col(id_col).alias("_doc"), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy("_doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    if max_vocab_df is not None:
+        dfreq = dfreq.where(F.col("dfc") <= F.lit(max_vocab_df))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("_n"))
+    ratio = (F.col("_n") + F.lit(1.0)) / (F.col("dfc") + F.lit(1.0))
+    idf_col = (F.log(ratio) + F.lit(1.0)) if idf == "log" else ratio
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * idf_col)
+    )
+    w = Window.partitionBy("_doc").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_doc").alias(id_col), "term", "tf", "dfc", "score", "rank"
+        )
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: str = "tbns-split-v1",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the first 8 md5 hex
+    chars of ``seed || id`` as a uniform u32, mapped to cumulative
+    weight thresholds. Stable across runs, engines, partitionings and
+    cluster sizes — the property a training pipeline needs so that
+    re-runs and incremental appends never migrate a document between
+    splits. Pure column expressions, no shuffle, no RNG state."""
+    from terra_bonobo_nodes_spark.llm.hashing import hash32
+
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    u = hash32(F.concat(F.lit(seed), F.col(id_col).cast("string"))) / F.lit(
+        4294967296.0
+    )
+    expr = None
+    cum = 0.0
+    items = sorted(weights.items())  # deterministic threshold order
+    for name, wgt in items[:-1]:
+        cum += wgt / total
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out, expr)

@@ -662,3 +662,70 @@ def llm_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_shared=_WN_MIN_SHARED,
         max_fp_df=_WN_MAX_FP_DF,
     )
+
+
+# --- TF-IDF top terms + deterministic split ---------------------------------
+
+_TFIDF_K = 5
+
+
+@register(
+    "llm_tfidf_topk_terms",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM toks GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.dfc,
+             tf.tf * ((n.n + 1.0) / (dfq.dfc + 1.0)) AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank
+      FROM s)
+SELECT doc_id, term, tf, dfc, round(score, 6) AS score, rank
+FROM r WHERE rank <= {_TFIDF_K}
+""",
+    tags=("llm", "text"),
+)
+def llm_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document. The oracle-checked form
+    uses the rational idf (no transcendental) so scores are IEEE-exact
+    across engines; the log-idf variant is pytest-covered."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.tfidf_topk_terms(docs, "doc_id", "text", k=_TFIDF_K, idf="raw")
+    return out.withColumn("score", F.round("score", 6))
+
+
+_SPLIT_SEED = "tbns-split-v1"
+
+
+@register(
+    "llm_hash_split_counts",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id,
+         {hashing.hash32_sql(f"'{_SPLIT_SEED}' || CAST(doc_id AS VARCHAR)")}
+           / 4294967296.0 AS u
+  FROM documents
+),
+s AS (SELECT doc_id,
+             CASE WHEN u < 0.05 THEN 'test'
+                  WHEN u < 0.95 THEN 'train'
+                  ELSE 'val' END AS split
+      FROM u)
+SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM s GROUP BY 1
+""",
+    tags=("llm", "pipeline"),
+)
+def llm_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (seeded md5 u32 -> cumulative weight
+    thresholds): per-split doc count and id checksum. The CASE
+    thresholds in the oracle mirror hash_split's sorted-weights
+    cumulative order (test 0.05, train 0.90, val 0.05)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    split = text.hash_split(docs, "doc_id", seed=_SPLIT_SEED)
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+    )

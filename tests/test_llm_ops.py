@@ -563,3 +563,64 @@ def test_winnow_pairs_max_fp_df_drops_hot_prints(spark):
     capped = text.winnow_pairs(df, "doc_id", "text", min_shared=2, max_fp_df=4)
     assert dense.count() == 10  # all C(5,2) pairs share the boilerplate
     assert capped.count() == 0
+
+
+# --- TF-IDF + hash split ----------------------------------------------------
+
+
+def test_tfidf_log_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    rows = [
+        (0, "spark spark shuffle partition spark"),
+        (1, "shuffle partition join join join"),
+        (2, "completely different words entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.term): (r.score, r.rank)
+        for r in text.tfidf_topk_terms(df, k=3, idf="log").collect()
+    }
+    n = len(rows)
+    dfc = Counter()
+    for _, t in rows:
+        dfc.update(set(t.split()))
+    for doc_id, t in rows:
+        tf = Counter(t.split())
+        scores = {
+            w: c * (math.log((n + 1) / (dfc[w] + 1)) + 1) for w, c in tf.items()
+        }
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rank, (w, s) in enumerate(top, 1):
+            assert (doc_id, w) in got, (doc_id, w)
+            gs, gr = got[(doc_id, w)]
+            assert gr == rank and abs(gs - s) < 1e-9
+
+
+def test_tfidf_max_vocab_df_drops_ubiquitous_terms(spark):
+    rows = [(i, f"common filler unique{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.tfidf_topk_terms(df, k=10, max_vocab_df=3)
+    terms = {r.term for r in out.collect()}
+    assert "common" not in terms and "filler" not in terms
+    assert {f"unique{i}" for i in range(4)} <= terms
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in text.hash_split(df, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in text.hash_split(df.repartition(13), "doc_id").collect()
+    }
+    assert a == b  # stable under repartitioning
+    from collections import Counter
+
+    frac = Counter(a.values())
+    assert abs(frac["train"] / 20000 - 0.9) < 0.01
+    assert abs(frac["val"] / 20000 - 0.05) < 0.005
+    assert abs(frac["test"] / 20000 - 0.05) < 0.005
+    # different seed -> different assignment (not a constant function)
+    c = {r.doc_id: r.split for r in text.hash_split(df, "doc_id", seed="other").collect()}
+    assert a != c
