@@ -1,0 +1,93 @@
+"""Corpus assembly operators: token-stream packing and stratified
+sampling — the steps between "filtered documents" and "training
+batches" in an LLM data pipeline.
+
+Both are deterministic functions of (seed, ids) with zero Python in the
+hot path, so assignments are reproducible across runs, engines and
+cluster sizes, and every operator here is exactly mirrorable in the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from terra_bonobo_nodes_spark.llm.hashing import hash32
+
+
+def chunk_assignments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    n_shards: int = 32,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """GPT-style pack-and-chunk layout: documents are concatenated into
+    a token stream (per shard, ordered by id) and the stream is cut
+    every ``budget`` tokens; a document may straddle a cut, exactly like
+    pretraining sequence packing. Emits per doc: its shard, the
+    exclusive cumulative offset of its first token, and the first/last
+    chunk indices it lands in.
+
+    Sharding: a global concatenation order would be a single-task
+    window at 100 TB, so the stream is split into ``n_shards``
+    independent streams by a deterministic hash of the id (or an
+    explicit ``shard_col``) — the standard data-parallel sharding of a
+    training corpus. One shuffle (the window partition); everything
+    else is arithmetic on the running sum.
+    """
+    shard = (
+        F.col(shard_col)
+        if shard_col is not None
+        else F.pmod(hash32(F.col(id_col).cast("string")), F.lit(n_shards))
+    ).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(F.col(n_tokens_col)).over(w), F.lit(0)).cast("long")
+    out = df.select(F.col(id_col), F.col(n_tokens_col), shard).withColumn(
+        "start_offset", start
+    )
+    return out.select(
+        id_col,
+        "shard",
+        F.col(n_tokens_col).cast("long").alias(n_tokens_col),
+        "start_offset",
+        F.floor(F.col("start_offset") / budget).cast("long").alias("first_chunk"),
+        F.floor(
+            (F.col("start_offset") + F.greatest(F.col(n_tokens_col) - 1, F.lit(0)))
+            / budget
+        )
+        .cast("long")
+        .alias("last_chunk"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: str = "tbns-sample-v1",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row when the
+    seeded md5 u32 of its id falls below the stratum's rate. The
+    standard corpus-mixing step (e.g. downweight a crawl, upweight a
+    curated source) — reproducible and append-stable like hash_split,
+    and uncorrelated with hash_split's assignment as long as the seeds
+    differ. No shuffle; the filter pushes down to the scan column set.
+    """
+    u = hash32(F.concat(F.lit(seed), F.col(id_col).cast("string"))) / F.lit(
+        4294967296.0
+    )
+    rate = None
+    for name, r in sorted(rates.items()):
+        cond = F.col(stratum_col) == F.lit(name)
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = F.lit(default_rate) if rate is None else rate.otherwise(F.lit(default_rate))
+    return df.where(u < rate)

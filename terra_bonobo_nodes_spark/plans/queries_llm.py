@@ -729,3 +729,84 @@ def llm_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_id").alias("sum_ids"),
     )
+
+
+# --- corpus assembly: pack-and-chunk + stratified mixing --------------------
+
+_PACK_BUDGET, _PACK_SHARDS = 256, 8
+_MIX_RATES = {"en": 0.8, "fr": 0.5, "de": 0.25, "es": 0.1}  # zh -> default 0
+
+
+@register(
+    "llm_chunk_assignments",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens,
+         {hashing.hash32_sql("CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS} AS shard
+  FROM documents
+),
+s AS (
+  SELECT *,
+         CAST(coalesce(sum(n_tokens) OVER (
+                PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM t
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+       CAST(floor(start_offset / {_PACK_BUDGET}) AS BIGINT) AS first_chunk,
+       CAST(floor((start_offset + greatest(n_tokens - 1, 0)) / {_PACK_BUDGET}) AS BIGINT)
+         AS last_chunk
+FROM s
+""",
+    tags=("llm", "pipeline"),
+)
+def llm_chunk_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-and-chunk layout (concatenate per shard, cut every 256
+    tokens): per-doc stream offsets and chunk spans, oracle-mirrored
+    with the same window arithmetic."""
+    from terra_bonobo_nodes_spark.llm import corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = text.token_count(docs, "text").select("doc_id", "n_tokens")
+    return corpus.chunk_assignments(
+        toked, "doc_id", "n_tokens", budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+
+
+def _mix_rate_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(_MIX_RATES.items())
+    )
+    return f"CASE {cases} ELSE 0.0 END"
+
+
+@register(
+    "llm_stratified_sample_counts",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, lang,
+         {hashing.hash32_sql("'tbns-sample-v1' || CAST(doc_id AS VARCHAR)")}
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM u
+WHERE u < {_mix_rate_sql()}
+GROUP BY 1
+""",
+    tags=("llm", "pipeline"),
+)
+def llm_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus mixing (hash-deterministic downsampling):
+    kept-count and id checksum per stratum. zh has no configured rate
+    and falls to the 0.0 default — the oracle's CASE mirrors that."""
+    from terra_bonobo_nodes_spark.llm import corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = corpus.stratified_sample(docs, "lang", _MIX_RATES, "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"),
+    )

@@ -69,6 +69,8 @@ _PRIORITY: tuple[str, ...] = (
     "range_join_clicks_after_error",
     "llm_tfidf_topk_terms",
     "llm_hash_split_counts",
+    "llm_chunk_assignments",
+    "llm_stratified_sample_counts",
     # --- (2) operator code changed since last green row ---
     # r4 rewrote the events readers (tables.load_table ts-layout sniff,
     # streaming read_events_stream schema sniff) after the testdata

@@ -624,3 +624,68 @@ def test_hash_split_deterministic_and_proportional(spark):
     # different seed -> different assignment (not a constant function)
     c = {r.doc_id: r.split for r in text.hash_split(df, "doc_id", seed="other").collect()}
     assert a != c
+
+
+# --- corpus assembly --------------------------------------------------------
+
+
+def test_chunk_assignments_stream_invariants(spark):
+    from terra_bonobo_nodes_spark.llm import corpus
+
+    rows = [(i, 10 + (i * 7) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = corpus.chunk_assignments(df, budget=64, n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(out) == 200 and len(by_shard) == 4
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r.doc_id)
+        expect = 0
+        for r in docs:
+            # offsets are the exclusive running sum: stream is gapless
+            assert r.start_offset == expect
+            expect += r.n_tokens
+            assert r.first_chunk == r.start_offset // 64
+            assert r.last_chunk == (r.start_offset + r.n_tokens - 1) // 64
+            assert r.first_chunk <= r.last_chunk
+
+
+def test_chunk_assignments_explicit_shard_column(spark):
+    from terra_bonobo_nodes_spark.llm import corpus
+
+    df = spark.createDataFrame(
+        [(1, 5, 0), (2, 5, 0), (3, 5, 1)], ["doc_id", "n_tokens", "grp"]
+    )
+    got = {
+        r.doc_id: (r.shard, r.start_offset)
+        for r in corpus.chunk_assignments(
+            df, budget=8, shard_col="grp"
+        ).collect()
+    }
+    assert got == {1: (0, 0), 2: (0, 5), 3: (1, 0)}
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from terra_bonobo_nodes_spark.llm import corpus
+
+    df = (
+        spark.range(10000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "src",
+            F.when(F.col("doc_id") % 2 == 0, "crawl").otherwise("curated"),
+        )
+    )
+    rates = {"crawl": 0.1, "curated": 0.9}
+    kept = corpus.stratified_sample(df, "src", rates).collect()
+    again = {r.doc_id for r in corpus.stratified_sample(df, "src", rates).collect()}
+    assert {r.doc_id for r in kept} == again  # deterministic
+    from collections import Counter
+
+    n = Counter(r.src for r in kept)
+    assert abs(n["crawl"] / 5000 - 0.1) < 0.02
+    assert abs(n["curated"] / 5000 - 0.9) < 0.02
+    # unknown stratum -> default_rate 0.0 -> dropped entirely
+    df2 = df.withColumn("src", F.lit("other"))
+    assert corpus.stratified_sample(df2, "src", rates).count() == 0
