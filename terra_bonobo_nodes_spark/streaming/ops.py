@@ -264,3 +264,59 @@ def upsert_foreach_batch(
         staged_overwrite(out, target_dir)
 
     return write_batch
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    left_filter: str = "purchase",
+    right_filter: str = "view",
+    lookback: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    each left event (e.g. a purchase) joins the same key's right events
+    (e.g. views) from the preceding ``lookback`` window — the streaming
+    attribution join.
+
+    Both sides are watermarked; the interval condition
+    ``right.ts IN [left.ts - lookback, left.ts]`` plus the watermarks
+    lets Spark BOUND the join state: buffered right rows are evicted
+    once older than ``watermark + lookback`` relative to the left
+    watermark (Structured Streaming's interval-join state cleanup).
+    Without the time bounds a stream-stream join buffers both sides
+    forever — this shape is the difference between a runnable and an
+    OOM-bound pipeline on an unbounded source.
+
+    Works identically on batch DataFrames (the interval condition is
+    just a theta predicate there), which is how the test oracles it.
+    """
+    lhs = left.where(F.col("event_type") == left_filter).select(
+        F.col(on).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("value").alias("l_value"),
+    )
+    rhs = right.where(F.col("event_type") == right_filter).select(
+        F.col(on).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    if left.isStreaming:
+        lhs = lhs.withWatermark("l_ts", watermark)
+    if right.isStreaming:
+        rhs = rhs.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return lhs.join(rhs, cond, "inner").select(
+        F.col("l_event_id"),
+        F.col("l_key").alias(on),
+        F.col("l_ts"),
+        F.col("r_event_id"),
+        F.col("r_ts"),
+        F.col("l_value"),
+    )

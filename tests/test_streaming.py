@@ -197,3 +197,17 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # late 100.0 never appears anywhere
     assert got.get(ten) == (2, 2.0), got
     assert all(abs(s - 100.0) > 1e-9 and s < 100 for _, s in got.values())
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    stream_l = ops.read_events_stream(spark, SF_DIR)
+    stream_r = ops.read_events_stream(spark, SF_DIR)
+    joined = ops.stream_stream_interval_join(stream_l, stream_r)
+    name = _run_stream(joined, mode="append")
+    got = sorted(
+        (r.l_event_id, r.r_event_id) for r in spark.table(name).collect()
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    batch = ops.stream_stream_interval_join(ev, ev)
+    want = sorted((r.l_event_id, r.r_event_id) for r in batch.collect())
+    assert got == want and len(want) > 0
