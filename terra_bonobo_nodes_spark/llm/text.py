@@ -8,6 +8,9 @@ POSIX-ish classes (``[a-z0-9]``) that behave identically in Java regex
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -213,8 +216,16 @@ def fingerprint(
 #   P3: fps     (O(n*window) slice minima against the _wgrams attr)
 # Each projection references its input >= 2 times, which stops
 # Catalyst's CollapseProject from re-inlining the expensive child.
-# Everything stays in whole-stage codegen: no Python, no shuffle —
-# fingerprints compute at scan speed at 100 TB.
+#
+# Even staged, ArrayTransform/ArrayAggregate are CodegenFallback in
+# Spark — every lambda element evaluates through the INTERPRETED
+# expression walker (measured ~3 ms per 300-char doc; 16 s for the
+# sf0.1 corpus). So the default implementation keeps only the
+# normalize regex JVM-side (bit-parity with the DuckDB oracle's regex)
+# and runs the gram/minima arithmetic as a vectorized Arrow kernel:
+# int64 numpy correlate + sliding-window min, bit-identical values,
+# ~100x faster. impl="expr" retains the pure-expression form as the
+# cross-checked reference.
 WINNOW_BASE = 31
 
 
@@ -245,17 +256,58 @@ def _window_minima(norm: Column, grams: Column, window: int) -> Column:
     ).otherwise(F.array().cast("array<long>"))
 
 
+def _winnow_arrow_udf(k: int, window: int):
+    """Arrow-batched winnowing kernel over pre-normalized strings.
+
+    numpy int64 throughout: correlate(codes, 31^[k-1..0]) reproduces the
+    Horner fold exactly (values < 2^53, no overflow), sliding-window min
+    + unique reproduces array_sort(array_distinct(minima)). Short docs
+    zero-pad to k, matching ascii('') = 0 on the expression/oracle side.
+    """
+    weights = (WINNOW_BASE ** np.arange(k - 1, -1, -1)).astype(np.int64)
+
+    def one(norm: str) -> list[int]:
+        if not norm:
+            return []
+        codes = np.frombuffer(norm.encode("ascii"), dtype=np.uint8).astype(np.int64)
+        if codes.size < k:
+            codes = np.pad(codes, (0, k - codes.size))
+        # correlate(a, v, "valid")[i] = sum_j a[i+j] * v[j]; v = descending
+        # powers reproduces the Horner fold exactly
+        grams = np.correlate(codes, weights, mode="valid")
+        if grams.size <= window:
+            mins = np.array([grams.min()], dtype=np.int64)
+        else:
+            view = np.lib.stride_tricks.sliding_window_view(grams, window)
+            mins = view.min(axis=1)
+        return np.unique(mins).tolist()
+
+    @F.pandas_udf("array<long>")
+    def udf(norm: pd.Series) -> pd.Series:
+        return norm.map(one)
+
+    return udf
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
     out: str = "fingerprints",
     k: int = 8,
     window: int = 4,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Adds ``out``: sorted distinct winnowed fingerprints (array<long>)
-    of the normalized text."""
+    of the normalized text. ``impl="arrow"`` (default) normalizes
+    JVM-side and hashes in a vectorized Arrow kernel; ``impl="expr"``
+    is the pure-column-expression reference (bit-identical, ~100x
+    slower — interpreted HOF evaluation)."""
     from terra_bonobo_nodes_spark.llm.hashing import normalize
 
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"impl must be arrow|expr, got {impl!r}")
+    if impl == "arrow":
+        return df.withColumn(out, _winnow_arrow_udf(k, window)(normalize(F.col(text_col))))
     staged = df.withColumn("_wnorm", normalize(F.col(text_col))).withColumn(
         "_wgrams", _gram_hashes(F.col("_wnorm"), k)
     )
@@ -300,13 +352,17 @@ def winnow_pairs(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     inv = fps_df.select("doc", F.explode("_fps").alias("fp"))
     if max_fp_df is not None:
-        inv = (
-            inv.withColumn(
-                "fp_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-            )
-            .where(F.col("fp_df") <= F.lit(max_fp_df))
-            .drop("fp_df")
+        # heavy-hitter removal as a broadcast anti-join: the hot set
+        # (df > cap) is tiny by construction, so this costs one partial
+        # agg + a broadcast instead of a full sort of the posting list
+        # (a window count over fp would sort every posting row).
+        hot = (
+            inv.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("fp_df"))
+            .where(F.col("fp_df") > F.lit(max_fp_df))
+            .select("fp")
         )
+        inv = inv.join(F.broadcast(hot), "fp", "left_anti")
     a = inv.alias("a")
     b = inv.alias("b")
     return (

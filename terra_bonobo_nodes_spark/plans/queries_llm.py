@@ -638,6 +638,7 @@ def llm_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_winnow_pairs",
+    headline=True,
     oracle=f"""{_winnow_cte()},
 inv AS (SELECT doc_id, unnest(fps) AS fp FROM fd),
 kept AS (SELECT doc_id, fp FROM inv
@@ -671,6 +672,7 @@ _TFIDF_K = 5
 
 @register(
     "llm_tfidf_topk_terms",
+    headline=True,
     oracle=f"""
 WITH toks AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),

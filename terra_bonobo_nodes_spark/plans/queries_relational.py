@@ -774,6 +774,7 @@ def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asof_purchase_last_view",
+    headline=True,
     oracle="""
 WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
 v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')
@@ -816,6 +817,7 @@ def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "range_join_clicks_after_error",
+    headline=True,
     oracle="""
 WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
 c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

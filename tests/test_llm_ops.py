@@ -689,3 +689,18 @@ def test_stratified_sample_rates_and_determinism(spark):
     # unknown stratum -> default_rate 0.0 -> dropped entirely
     df2 = df.withColumn("src", F.lit("other"))
     assert corpus.stratified_sample(df2, "src", rates).count() == 0
+
+
+def test_winnow_arrow_impl_equals_expr_impl(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(100)
+    arrow = {
+        r.doc_id: list(r.fps)
+        for r in text.winnow_fingerprints(docs, "text", "fps", impl="arrow").collect()
+    }
+    expr = {
+        r.doc_id: list(r.fps)
+        for r in text.winnow_fingerprints(docs, "text", "fps", impl="expr").collect()
+    }
+    assert arrow == expr and len(arrow) == 100
