@@ -1335,11 +1335,120 @@ LAMBERT93 = LambertConformalConic(
 )
 
 
+class LambertAzimuthalEqualArea:
+    """Ellipsoidal oblique Lambert azimuthal equal-area (Snyder 1987,
+    "Map Projections — A Working Manual", pp. 187-190 — public). The
+    projection family behind ETRS89-LAEA (EPSG:3035), the standard
+    European statistical grid. Forward is closed-form; inverse iterates
+    the authalic-latitude equation (Snyder eq. 3-16)."""
+
+    def __init__(
+        self,
+        a: float,
+        inv_f: float,
+        lat0: float,
+        lon0: float,
+        x0: float,
+        y0: float,
+    ) -> None:
+        f = 1.0 / inv_f
+        self.a = a
+        self.e2 = f * (2.0 - f)
+        self.e = math.sqrt(self.e2)
+        self.lam0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+        phi1 = math.radians(lat0)
+        self.qp = self._q(math.pi / 2.0)
+        beta1 = math.asin(self._q(phi1) / self.qp)
+        self.sb1, self.cb1 = math.sin(beta1), math.cos(beta1)
+        self.rq = a * math.sqrt(self.qp / 2.0)
+        m1 = math.cos(phi1) / math.sqrt(1.0 - self.e2 * math.sin(phi1) ** 2)
+        self.d = a * m1 / (self.rq * self.cb1)
+
+    def _q(self, phi: float) -> float:
+        s = math.sin(phi)
+        es = self.e * s
+        return (1.0 - self.e2) * (
+            s / (1.0 - self.e2 * s * s)
+            - (1.0 / (2.0 * self.e)) * math.log((1.0 - es) / (1.0 + es))
+        )
+
+    def forward(self, lon: float, lat: float) -> tuple[float, float]:
+        beta = math.asin(max(-1.0, min(1.0, self._q(math.radians(lat)) / self.qp)))
+        dlam = math.radians(lon) - self.lam0
+        sb, cb = math.sin(beta), math.cos(beta)
+        b = self.rq * math.sqrt(
+            2.0 / (1.0 + self.sb1 * sb + self.cb1 * cb * math.cos(dlam))
+        )
+        return (
+            self.x0 + b * self.d * cb * math.sin(dlam),
+            self.y0 + (b / self.d) * (self.cb1 * sb - self.sb1 * cb * math.cos(dlam)),
+        )
+
+    def inverse(self, x: float, y: float) -> tuple[float, float]:
+        dx = (x - self.x0) / self.d
+        dy = self.d * (y - self.y0)
+        rho = math.hypot(dx, dy)
+        if rho == 0.0:
+            q = self.qp * self.sb1
+            lam = self.lam0
+        else:
+            ce = 2.0 * math.asin(max(-1.0, min(1.0, rho / (2.0 * self.rq))))
+            q = self.qp * (
+                math.cos(ce) * self.sb1 + dy * math.sin(ce) * self.cb1 / rho
+            )
+            lam = self.lam0 + math.atan2(
+                dx * math.sin(ce),
+                rho * self.cb1 * math.cos(ce) - dy * self.sb1 * math.sin(ce),
+            )
+        phi = math.asin(max(-1.0, min(1.0, q / 2.0)))
+        for _ in range(12):
+            s = math.sin(phi)
+            es = self.e * s
+            phi = phi + ((1.0 - self.e2 * s * s) ** 2 / (2.0 * math.cos(phi))) * (
+                q / (1.0 - self.e2)
+                - s / (1.0 - self.e2 * s * s)
+                + (1.0 / (2.0 * self.e)) * math.log((1.0 - es) / (1.0 + es))
+            )
+        return math.degrees(lam), math.degrees(phi)
+
+
+# ETRS89-extended / LAEA Europe (EPSG:3035): GRS80, center (52N, 10E),
+# false origin (4321000, 3210000).
+LAEA_EUROPE = LambertAzimuthalEqualArea(
+    a=6378137.0,
+    inv_f=298.257222101,
+    lat0=52.0,
+    lon0=10.0,
+    x0=4321000.0,
+    y0=3210000.0,
+)
+
+# User-extensible CRS registry: any object with forward(lon, lat) /
+# inverse(x, y) keyed by bare EPSG number string. transform() consults
+# it for 4326 <-> code pairs, closing the reference's "arbitrary
+# metric_projection_srid" contract (terra.py:43,474-494) for every
+# TM/LCC/LAEA-parameterized grid — which covers essentially all
+# national metric grids — without a proj database.
+_CRS_REGISTRY: dict[str, object] = {"3035": LAEA_EUROPE}
+
+
+def register_crs(code: str | int, proj: object) -> None:
+    """Register a projection for ``EPSG:<code>`` <-> EPSG:4326
+    transforms: ``proj`` must expose ``forward(lon, lat)`` and
+    ``inverse(x, y)`` returning coordinate tuples. Use the exported
+    ``TransverseMercator``, ``LambertConformalConic`` or
+    ``LambertAzimuthalEqualArea`` classes for standard grids."""
+    key = str(code).upper().removeprefix("EPSG:")
+    _CRS_REGISTRY[key] = proj
+
+
 def transform(g: Geom | None, src: str, dst: str) -> Geom | None:
-    """``TransformGeom`` (``terra.py:474-494``) in closed form for the
-    CRS pairs the reference's deployments use: EPSG:4326 <-> EPSG:3857
-    (spherical mercator) and EPSG:4326 <-> EPSG:2154 (Lambert-93).
-    Other pairs need a proj database — NotImplemented by design."""
+    """``TransformGeom`` (``terra.py:474-494``) in closed form. Built in:
+    EPSG:4326 <-> 3857 (spherical mercator), 2154 (Lambert-93), UTM
+    32601-32760, 27700 (OSGB), 3035 (ETRS89-LAEA). Any other grid:
+    :func:`register_crs` with a parameterized ``TransverseMercator`` /
+    ``LambertConformalConic`` / ``LambertAzimuthalEqualArea``."""
     if g is None:
         return None
 
@@ -1367,13 +1476,16 @@ def transform(g: Geom | None, src: str, dst: str) -> Geom | None:
         return _map_coords(g, lambda p: LAMBERT93.forward(p[0], p[1]) + tuple(p[2:]))
     if (s, d) == ("2154", "4326"):
         return _map_coords(g, lambda p: LAMBERT93.inverse(p[0], p[1]) + tuple(p[2:]))
-    tm = _tm_for_epsg(d)
-    if s == "4326" and tm is not None:
-        return _map_coords(g, lambda p: tm.forward(p[0], p[1]) + tuple(p[2:]))
-    tm = _tm_for_epsg(s)
-    if d == "4326" and tm is not None:
-        return _map_coords(g, lambda p: tm.inverse(p[0], p[1]) + tuple(p[2:]))
-    raise NotImplementedError(f"transform {src} -> {dst}")
+    proj = _CRS_REGISTRY.get(d) or _tm_for_epsg(d)
+    if s == "4326" and proj is not None:
+        return _map_coords(g, lambda p: proj.forward(p[0], p[1]) + tuple(p[2:]))
+    proj = _CRS_REGISTRY.get(s) or _tm_for_epsg(s)
+    if d == "4326" and proj is not None:
+        return _map_coords(g, lambda p: proj.inverse(p[0], p[1]) + tuple(p[2:]))
+    raise NotImplementedError(
+        f"transform {src} -> {dst}; register a projection for the "
+        "non-4326 side with geo.ops.register_crs"
+    )
 
 
 def force_2d(g: Geom | None) -> Geom | None:

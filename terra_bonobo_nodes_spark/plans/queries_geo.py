@@ -876,3 +876,76 @@ def t1_isochrone_subtraction_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("long").alias("bucket"),
         F.round(K.st_area("geom"), 6).alias("ring_area"),
     )
+
+
+# --- G7d: ETRS89-LAEA Europe (EPSG:3035) forward + roundtrip ----------------
+
+
+def _laea_oracle() -> str:
+    """Forward ellipsoidal LAEA (Snyder pp. 187-190) with the SAME
+    derived constants as the kernel (``geo/ops.py`` LAEA_EUROPE,
+    embedded via repr), rounded to 0.1 mm; roundtrip closure (iterative
+    authalic-latitude inverse, not SQL-expressible) is a Spark-side
+    boolean, exactly like the Lambert/UTM queries."""
+    from terra_bonobo_nodes_spark.geo.ops import LAEA_EUROPE as P
+
+    e, e2, qp = repr(P.e), repr(P.e2), repr(P.qp)
+    sb1, cb1, rq, d = repr(P.sb1), repr(P.cb1), repr(P.rq), repr(P.d)
+    lam0, x0, y0 = repr(P.lam0), repr(P.x0), repr(P.y0)
+    q_expr = (
+        f"(1.0 - {e2}) * (s / (1.0 - {e2} * s * s)"
+        f" - (1.0 / (2.0 * {e})) * ln((1.0 - {e} * s) / (1.0 + {e} * s)))"
+    )
+    return f"""
+WITH pts AS (
+  SELECT event_id, ((value % 40) - 10) AS lon, ((value % 30) + 40) AS lat
+  FROM events),
+s1 AS (
+  SELECT event_id, lon, lat, sin(radians(lat)) AS s,
+         radians(lon) - {lam0} AS dlam
+  FROM pts),
+b1 AS (
+  SELECT event_id, dlam,
+         asin(least(1.0, greatest(-1.0, {q_expr} / {qp}))) AS beta
+  FROM s1),
+f AS (
+  SELECT event_id, dlam, sin(beta) AS sb, cos(beta) AS cb,
+         {rq} * sqrt(2.0 / (1.0 + {sb1} * sin(beta)
+                            + {cb1} * cos(beta) * cos(dlam))) AS b
+  FROM b1)
+SELECT event_id,
+       round({x0} + b * {d} * cb * sin(dlam), 4) AS lx,
+       round({y0} + (b / {d}) * ({cb1} * sb - {sb1} * cb * cos(dlam)), 4) AS ly,
+       TRUE AS rt_ok
+FROM f
+"""
+
+
+@register(
+    "g7d_transform_laea",
+    oracle=_laea_oracle(),
+    tags=("G7",),
+)
+def g7d_transform_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransformGeom through the third projection family (azimuthal
+    equal-area, EPSG:3035 Europe grid): Europe-ranged lon/lat through
+    the WKB kernel, forward checked against the closed form in SQL,
+    inverse checked as roundtrip closure < 1e-9 degrees."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("value") % 40) - 10).alias("lon"),
+        ((F.col("value") % 30) + 40).alias("lat"),
+    )
+    pts = ev.withColumn("geom", K.st_point("lon", "lat"))
+    fwd = transform_geom(pts, "EPSG:4326", "EPSG:3035")
+    back = transform_geom(fwd, "EPSG:3035", "EPSG:4326", geom_out="geom_back")
+    rt_err = F.greatest(
+        F.abs(K.st_x("geom_back") - F.col("lon")),
+        F.abs(K.st_y("geom_back") - F.col("lat")),
+    )
+    return back.select(
+        "event_id",
+        F.round(K.st_x("geom"), 4).alias("lx"),
+        F.round(K.st_y("geom"), 4).alias("ly"),
+        (rt_err < 1e-9).alias("rt_ok"),
+    )

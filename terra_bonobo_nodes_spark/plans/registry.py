@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "llm_hash_split_counts",
     "llm_chunk_assignments",
     "llm_stratified_sample_counts",
+    "g7d_transform_laea",
     # --- (2) operator code changed since last green row ---
     # r4 rewrote the events readers (tables.load_table ts-layout sniff,
     # streaming read_events_stream schema sniff) after the testdata

@@ -645,3 +645,83 @@ class TestTransverseMercator:
     def test_transform_dispatch_still_raises_for_unknown(self):
         with pytest.raises(NotImplementedError):
             ops.transform(("Point", (0.0, 0.0)), "EPSG:32631", "EPSG:2154")
+
+
+# --- LAEA (EPSG:3035) + user CRS registry -----------------------------------
+
+
+class TestLaeaAndCrsRegistry:
+    def test_center_maps_to_false_origin_exactly(self):
+        from terra_bonobo_nodes_spark.geo.ops import LAEA_EUROPE
+
+        assert LAEA_EUROPE.forward(10.0, 52.0) == (4321000.0, 3210000.0)
+
+    def test_roundtrip_over_europe(self):
+        from terra_bonobo_nodes_spark.geo.ops import LAEA_EUROPE
+
+        for lon in range(-10, 41, 5):
+            for lat in range(35, 71, 5):
+                x, y = LAEA_EUROPE.forward(float(lon), float(lat))
+                lon2, lat2 = LAEA_EUROPE.inverse(x, y)
+                assert abs(lon2 - lon) < 1e-9 and abs(lat2 - lat) < 1e-9
+
+    def test_equal_area_invariant(self):
+        # THE defining property: any quad's projected area equals its
+        # authalic (ellipsoidal) area = a^2/2 * dlam * dq. Check small
+        # quads at very different latitudes with the planar shoelace.
+        import math
+
+        from terra_bonobo_nodes_spark.geo.ops import LAEA_EUROPE as P
+
+        for lon, lat in [(0.0, 40.0), (20.0, 55.0), (30.0, 68.0)]:
+            dl = 0.01
+            corners = [
+                (lon, lat), (lon + dl, lat), (lon + dl, lat + dl), (lon, lat + dl)
+            ]
+            xy = [P.forward(*c) for c in corners]
+            shoelace = 0.5 * abs(
+                sum(
+                    xy[i][0] * xy[(i + 1) % 4][1] - xy[(i + 1) % 4][0] * xy[i][1]
+                    for i in range(4)
+                )
+            )
+            dq = P._q(math.radians(lat + dl)) - P._q(math.radians(lat))
+            truth = (P.a**2 / 2.0) * math.radians(dl) * dq
+            assert abs(shoelace - truth) / truth < 1e-5, (lon, lat)
+
+    def test_transform_dispatches_epsg_3035(self):
+        from terra_bonobo_nodes_spark.geo import ops
+
+        g = ("Point", (10.0, 52.0))
+        fwd = ops.transform(g, "EPSG:4326", "EPSG:3035")
+        assert fwd[1] == (4321000.0, 3210000.0)
+        back = ops.transform(fwd, "EPSG:3035", "EPSG:4326")
+        assert abs(back[1][0] - 10.0) < 1e-9 and abs(back[1][1] - 52.0) < 1e-9
+
+    def test_register_crs_custom_grid(self):
+        import pytest as _pytest
+
+        from terra_bonobo_nodes_spark.geo import ops
+
+        g = ("Point", (174.0, -41.0))
+        with _pytest.raises(NotImplementedError):
+            ops.transform(g, "EPSG:4326", "EPSG:2193")
+        # NZTM2000: GRS80 TM, lat0=0, lon0=173, k0=0.9996, FE/FN
+        ops.register_crs(
+            2193,
+            ops.TransverseMercator(
+                6378137.0, 298.257222101,
+                lat0=0.0, lon0=173.0, k0=0.9996,
+                x0=1600000.0, y0=10000000.0,
+            ),
+        )
+        try:
+            fwd = ops.transform(g, "EPSG:4326", "EPSG:2193")
+            back = ops.transform(fwd, "EPSG:2193", "EPSG:4326")
+            assert abs(back[1][0] - 174.0) < 1e-9
+            assert abs(back[1][1] - (-41.0)) < 1e-9
+            # NZTM of (174E, 41S) is ~ (1684000, 5460000): sanity band
+            assert 1_500_000 < fwd[1][0] < 1_800_000
+            assert 5_300_000 < fwd[1][1] < 5_600_000
+        finally:
+            ops._CRS_REGISTRY.pop("2193", None)
