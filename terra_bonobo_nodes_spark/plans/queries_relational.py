@@ -860,3 +860,56 @@ def range_join_clicks_after_error(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(counts, ["event_id", "user_id"], "left")
         .withColumn("n_clicks", F.coalesce(F.col("n_clicks"), F.lit(0)))
     )
+
+
+# --- pivot / unpivot --------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_value_by_event_type",
+    oracle="""
+SELECT user_id,
+"""
+    + ",\n".join(
+        f"       CAST(SUM(CAST(value AS DECIMAL(20,6))) "
+        f"FILTER (event_type = '{t}') AS DOUBLE) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + """
+FROM events GROUP BY user_id
+""",
+    tags=("relational", "pivot"),
+)
+def pivot_value_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user value totals via Catalyst's pivot (one shuffle with
+    partial aggregation; the pivot column list is explicit so no extra
+    distinct-values job runs). Missing (user, type) combos stay NULL on
+    both engines."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.sum(F.col("value").cast("decimal(20,6)")).cast("double"))
+    )
+
+
+@register(
+    "unpivot_roundtrip",
+    oracle="""
+SELECT user_id, event_type,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id, event_type
+""",
+    tags=("relational", "pivot"),
+)
+def unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot(pivot(events)) == plain GROUP BY — melts the wide pivot
+    back to (user_id, event_type, sum_value) and checks against the
+    direct aggregation as oracle; NULL cells (combos absent from the
+    input) drop on melt, exactly mirroring the inner grouping."""
+    wide = pivot_value_by_event_type(spark, sf_dir)
+    return wide.unpivot(
+        "user_id", list(_EVENT_TYPES), "event_type", "sum_value"
+    ).where(F.col("sum_value").isNotNull())

@@ -72,6 +72,8 @@ _PRIORITY: tuple[str, ...] = (
     "llm_chunk_assignments",
     "llm_stratified_sample_counts",
     "g7d_transform_laea",
+    "pivot_value_by_event_type",
+    "unpivot_roundtrip",
     # --- (2) operator code changed since last green row ---
     # r4 rewrote the events readers (tables.load_table ts-layout sniff,
     # streaming read_events_stream schema sniff) after the testdata
