@@ -291,3 +291,40 @@ def test_staged_swap_rejects_remote_uris(spark, tmp_path):
     p = str(tmp_path / "store")
     atomic.staged_overwrite(df, "file://" + p)
     assert atomic.read_parquet_or_none(spark, p).count() == 1
+
+
+# --- bucketed tables: co-located joins without a shuffle --------------------
+
+
+def test_bucketed_join_eliminates_exchange(spark, sf_dir, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.sinks.bucketed import bucketed_join, write_bucketed
+    from terra_bonobo_nodes_spark.tables import load_table
+
+    loc = tmp_path_factory.mktemp("bucketdb")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{loc}'")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    write_bucketed(ev, "bkt.events_b", "user_id", buckets=8)
+    write_bucketed(agg, "bkt.user_stats_b", "user_id", buckets=8)
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "bkt.events_b", "bkt.user_stats_b", "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # and the answer is right
+        got = joined.where(F.col("event_id") == joined.select(F.min("event_id")).collect()[0][0]).count()
+        assert got == 1
+        # control: the same join on plain (non-bucketed) frames shuffles
+        plain = ev.join(agg, "user_id")
+        pplan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in pplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt.events_b")
+        spark.sql("DROP TABLE IF EXISTS bkt.user_stats_b")
+        spark.sql("DROP DATABASE IF EXISTS bkt")
