@@ -1,0 +1,49 @@
+"""Engine-wide physical-plan audit: build (don't run) every registered
+query's plan at sf0.001 and reject accidental cartesian products.
+
+A CartesianProduct / BroadcastNestedLoopJoin in a plan is almost always
+a dropped join condition — the classic silent scale-killer. The
+exceptions below are *deliberate* bounded cross joins and each one
+documents why it is safe; anything new joining without keys fails here
+first, not on a 100 TB cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from terra_bonobo_nodes_spark.plans.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# query -> why a nested-loop/cross join is intentional and bounded
+CROSS_JOIN_OK: dict[str, str] = {
+    "j4_knn_closest_features": "kNN broadcast crossJoin vs dimension-sized right side",
+    "j4_knn_closests_list": "same kNN broadcast pattern",
+    "llm_embedding_cosine_pairs": "exact all-pairs form is the documented tiny-input oracle; blocked variant is the scale path",
+    "e2_transit_time_one_to_many": "one-to-many matrix vs broadcast destinations",
+    "e3_transit_time_one_to_one": "same enrichment matrix pattern",
+    "llm_tfidf_topk_terms": "single-row corpus-size N broadcast into the score join",
+    "llm_lsh_ann_topk": "per-table plane matrix is a broadcast single-row literal",
+    "llm_cosine_topk": "broadcast query-matrix literal into mapInPandas scoring",
+    # bbox-culled broadcast spatial joins: the bbox-overlap predicate is a
+    # range condition (not equi-joinable), the layer side is dimension-sized
+    # and broadcast — the GiST-index-scan shape. strategy="grid" is the
+    # big-big equi-join path, driver-proven by j1_bigbig_grid_intersect.
+    "j1_boolean_intersect": "bbox-culled broadcast NLJ vs dimension layer",
+    "j2_concave_overlay_percent": "same broadcast spatial-join shape",
+    "j2_dissolve_overlapping_layer": "same broadcast spatial-join shape",
+    "j2_intersection_percent_by_area": "same broadcast spatial-join shape",
+    "j3_intersection_geom_area": "same broadcast spatial-join shape",
+    "g9_line_clip_length": "same broadcast spatial-join shape",
+}
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_accidental_cartesian(name, spark):
+    q = all_queries()[name]
+    plan = q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    has_cross = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+    if name in CROSS_JOIN_OK:
+        return  # documented intentional cross join (bounded by broadcast)
+    assert not has_cross, f"{name} plans a cartesian join:\n{plan[:2000]}"
