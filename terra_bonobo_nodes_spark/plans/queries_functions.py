@@ -257,3 +257,36 @@ def fn_stats_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("qty", "price"), 6).alias("corr_qp"),
         F.round(F.covar_samp("qty", "disc"), 6).alias("cov_qd"),
     )
+
+
+@register(
+    "fn_json_roundtrip",
+    oracle="""
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) AS BIGINT) - CAST(length(replace(text, '"', '')) AS BIGINT)
+         AS n_quotes
+FROM documents
+""",
+    tags=("functions", "json"),
+)
+def fn_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON codec fidelity: serialize each document row with to_json,
+    parse it back with from_json, and emit fields OF THE ROUNDTRIPPED
+    copy. The oracle reads the originals directly, so any escaping /
+    unicode / quoting loss in the codec breaks the hash. n_quotes
+    forces the escaping path to matter."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    schema = "doc_id BIGINT, lang STRING, text STRING"
+    rt = docs.select(
+        F.from_json(F.to_json(F.struct("doc_id", "lang", "text")), schema).alias("r")
+    )
+    return rt.select(
+        F.col("r.doc_id").alias("doc_id"),
+        F.col("r.lang").alias("lang"),
+        F.length("r.text").cast("long").alias("n_chars"),
+        (
+            F.length("r.text") - F.length(F.regexp_replace("r.text", '"', ""))
+        )
+        .cast("long")
+        .alias("n_quotes"),
+    )

@@ -74,6 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "g7d_transform_laea",
     "pivot_value_by_event_type",
     "unpivot_roundtrip",
+    "fn_json_roundtrip",
     # --- (2) operator code changed since last green row ---
     # r4 rewrote the events readers (tables.load_table ts-layout sniff,
     # streaming read_events_stream schema sniff) after the testdata
