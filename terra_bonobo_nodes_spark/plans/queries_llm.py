@@ -812,3 +812,68 @@ def llm_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("doc_id").alias("sum_ids"),
     )
+
+
+# --- int8 embedding quantization --------------------------------------------
+
+
+@register(
+    "llm_embedding_quantize",
+    oracle=f"""
+WITH e AS (SELECT vec_id, {_CAST_EMB} AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         CASE WHEN list_aggregate(list_transform(v, x -> abs(x)), 'max') > 0.0
+              THEN 127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max')
+              ELSE 0.0 END AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
+  FROM s
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS sum_q,
+       CAST(list_aggregate(qv, 'max') AS BIGINT) AS max_q,
+       CAST(floor(list_aggregate(
+         list_transform(range(1, len(v) + 1),
+                        i -> abs(v[i] - CASE WHEN scale > 0.0
+                                             THEN qv[i] / scale
+                                             ELSE 0.0 END)),
+         'max') * 1e9) AS BIGINT) AS max_err_ns
+FROM q
+""",
+    tags=("llm", "embedding"),
+)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization summary: scale, code checksums, and
+    the max dequantization error (must stay <= 0.5/scale). The oracle
+    recomputes the identical floor(x*scale + 0.5) closed form."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qdf = similarity.quantize_embeddings(emb, "embedding", "q", "scale")
+    dq = F.zip_with(
+        F.col("embedding"),
+        F.col("q"),
+        lambda x, qi: F.abs(
+            x.cast("double")
+            - F.when(F.col("scale") > 0.0, qi.cast("double") / F.col("scale")).otherwise(
+                F.lit(0.0)
+            )
+        ),
+    )
+    # max_err is computed BEFORE the select that re-aliases "scale":
+    # a rounded alias named "scale" in the same select list would win
+    # lateral-column-alias resolution inside the zip_with lambda and
+    # silently divide by the ROUNDED scale (1-ulp hash mismatches).
+    staged = qdf.withColumn(
+        "max_err_ns", F.floor(F.array_max(dq) * F.lit(1e9)).cast("long")
+    )
+    return staged.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_q"),
+        F.array_max("q").cast("long").alias("max_q"),
+        "max_err_ns",
+    )

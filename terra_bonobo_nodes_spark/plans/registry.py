@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "pivot_value_by_event_type",
     "unpivot_roundtrip",
     "fn_json_roundtrip",
+    "llm_embedding_quantize",
     # --- (2) operator code changed since last green row ---
     # r4 rewrote the events readers (tables.load_table ts-layout sniff,
     # streaming read_events_stream schema sniff) after the testdata

@@ -704,3 +704,20 @@ def test_winnow_arrow_impl_equals_expr_impl(spark, sf_dir):
         for r in text.winnow_fingerprints(docs, "text", "fps", impl="expr").collect()
     }
     assert arrow == expr and len(arrow) == 100
+
+
+def test_quantize_embeddings_error_bound(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).limit(100)
+    q = similarity.quantize_embeddings(emb, "embedding", "q", "scale")
+    rows = q.collect()
+    assert rows
+    for r in rows:
+        if r.scale == 0.0:
+            assert all(v == 0 for v in r.q)
+            continue
+        assert all(-127 <= v <= 127 for v in r.q), r.vec_id
+        for x, qi in zip(r.embedding, r.q):
+            err = abs(float(x) - qi / r.scale)
+            assert err <= 0.5 / r.scale + 1e-12, (r.vec_id, x, qi)
