@@ -92,16 +92,14 @@ def minhash_signatures(
     explode_fn = explode_word_shingles if word_grams else explode_char_shingles
     # no distinct: min over a multiset equals min over its set, so
     # duplicate shingles can't change any signature component.
-    # Char shingles have a known fixed length, so the unrolled
-    # polynomial hash applies (no md5 digest per shingle — the dominant
-    # signature-stage cost); word grams are variable-length → md5.
-    from terra_bonobo_nodes_spark.llm.hashing import hash32_poly
-
-    shingle_hash = (
-        hash32(F.col("shingle"))
-        if word_grams
-        else hash32_poly(F.col("shingle"), shingle_n)
-    )
+    # Hash choice, measured at sf0.1 (1.46M shingles, local[32]): the
+    # unrolled substr/ascii polynomial costs ~5x md5 because EACH
+    # substring+ascii expression call carries ~µs-scale per-row overhead
+    # (one substr+ascii alone: 3.2s; full 5-step Horner: 6.9s; a single
+    # md5+conv call: 2.4s; xxhash64 would be 0.3s but has no DuckDB
+    # mirror). Fewer expression calls win — md5-based hash32 for both
+    # shingle kinds, identical on the oracle side via hash32_sql.
+    shingle_hash = hash32(F.col("shingle"))
     posting = explode_fn(df, id_col, text_col, shingle_n).select(
         id_col, shingle_hash.alias("_h")
     )

@@ -60,13 +60,14 @@ def hash32_sql(expr: str) -> str:
 
 
 # --- fixed-length polynomial hash -------------------------------------------
-# For short fixed-length inputs (char shingles) a positional polynomial
-# beats md5 by a wide margin: n codepoint lookups + n multiply-add-mods,
-# all inside whole-stage codegen, no digest allocation and no hex→int
-# string conversion. With base > max codepoint the pre-mod value is the
-# injective base-B representation of the string, so collision behavior
-# is that of the single `mod p` — equivalent to a random 32-bit hash for
-# MinHash purposes once composed with the (a*h+b) mod p permutations.
+# RETAINED FOR REFERENCE, no longer the minhash default: re-measured at
+# sf0.1 (1.46M shingles) the unrolled substr/ascii chain runs ~5x
+# SLOWER than one md5+conv call — per-expression call overhead
+# dominates tiny-operand arithmetic, so fewer expression calls win
+# (see dedup.minhash_signatures). The algebra still holds: with base >
+# max codepoint the pre-mod value is the injective base-B
+# representation of the string, so collision behavior is that of the
+# single `mod p` — a fine hash when an engine makes the chain cheap.
 # Both engines return ascii('') = 0, so a trailing short shingle (doc
 # shorter than n) hashes identically too.
 

@@ -211,7 +211,7 @@ def _minhash_oracle() -> str:
 WITH posting AS (
   SELECT doc_id, unnest({shingles}) AS sh FROM documents
 ),
-hashed AS (SELECT doc_id, {hashing.hash32_poly_sql('sh', _MH_SHINGLE)} AS h
+hashed AS (SELECT doc_id, {hashing.hash32_sql('sh')} AS h
            FROM posting),
 sigs AS (SELECT doc_id, [{mins}] AS sig FROM hashed GROUP BY doc_id),
 banded AS ({band_rows}),
