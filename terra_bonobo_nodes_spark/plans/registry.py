@@ -77,6 +77,10 @@ _PRIORITY: tuple[str, ...] = (
     "fn_json_roundtrip",
     "llm_embedding_quantize",
     # --- (2) operator code changed since last green row ---
+    # r4: char-shingle hash reverted poly -> md5 (biased estimator fix);
+    # signature values, pair sets and components all changed.
+    "llm_minhash_lsh_pairs",
+    "llm_dedup_components",
     # r4 rewrote the events readers (tables.load_table ts-layout sniff,
     # streaming read_events_stream schema sniff) after the testdata
     # regeneration flipped events.ts from TIMESTAMP(NANOS) to TIMESTAMP
@@ -154,8 +158,6 @@ _PRIORITY: tuple[str, ...] = (
     "llm_simhash_pairs",
     "llm_ngram_jaccard_pairs",
     "llm_lsh_ann_topk",
-    "llm_minhash_lsh_pairs",
-    "llm_dedup_components",
     "llm_ivf_ann_topk",
     "llm_multimodal_decode",
     "pipeline_es_indexing",
