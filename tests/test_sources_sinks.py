@@ -328,3 +328,29 @@ def test_bucketed_join_eliminates_exchange(spark, sf_dir, tmp_path_factory):
         spark.sql("DROP TABLE IF EXISTS bkt.events_b")
         spark.sql("DROP TABLE IF EXISTS bkt.user_stats_b")
         spark.sql("DROP DATABASE IF EXISTS bkt")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path_factory):
+    """Hive-partitioned writes + a literal filter must prune at planning
+    time: the scan's PartitionFilters carries the predicate and only
+    the matching partition directory's files are read."""
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.tables import load_table
+
+    out = str(tmp_path_factory.mktemp("part")) + "/events_by_type"
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+
+    df = spark.read.parquet(out).where(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the predicate must land in PartitionFilters (planning-time file
+    # pruning), NOT in DataFilters/PushedFilters (per-row evaluation)
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "PartitionFilters" in plan and "event_type" in pf and "click" in pf, plan[:1500]
+    n_click = ev.where(F.col("event_type") == "click").count()
+    assert df.count() == n_click
+    # reading one partition directory directly agrees (the layout is
+    # really hive-partitioned)
+    direct = spark.read.parquet(f"{out}/event_type=click")
+    assert direct.count() == n_click

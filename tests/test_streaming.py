@@ -211,3 +211,68 @@ def test_stream_stream_interval_join_matches_batch(spark):
     batch = ops.stream_stream_interval_join(ev, ev)
     want = sorted((r.l_event_id, r.r_event_id) for r in batch.collect())
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_interval_join_left_outer(spark):
+    """LEFT OUTER stream-stream interval join: unmatched left rows are
+    held in state and emitted as NULL-padded rows once the watermark
+    passes their join window — under availableNow the final watermark
+    advance flushes them, so the stream result must equal batch."""
+    import pyspark.sql.functions as F
+
+    stream_l = ops.read_events_stream(spark, SF_DIR)
+    stream_r = ops.read_events_stream(spark, SF_DIR)
+    lhs = stream_l.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    ).withWatermark("l_ts", "30 minutes")
+    rhs = stream_r.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    ).withWatermark("r_ts", "30 minutes")
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 10 minutes"))
+    )
+    name = _run_stream(lhs.join(rhs, cond, "left_outer"), mode="append")
+    got = sorted(
+        (r.l_event_id, r.r_event_id) for r in spark.table(name).collect()
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    bl = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    br = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    batch_rows = bl.join(br, cond, "left_outer").collect()
+    want = sorted((r.l_event_id, r.r_event_id) for r in batch_rows)
+    # Streaming CAN ONLY emit a NULL-padded row once the watermark seals
+    # its join window; left rows within (watermark + lookback) of the
+    # stream's end stay buffered at termination — correct bounded-state
+    # semantics, not data loss. So: matched pairs must agree exactly,
+    # every emitted null row must be a true batch null row, and the
+    # sealed nulls (older than the conservative seal line) must all have
+    # been emitted.
+    got_matched = [(a, b) for a, b in got if b is not None]
+    want_matched = [(a, b) for a, b in want if b is not None]
+    assert got_matched == want_matched
+    got_nulls = {a for a, b in got if b is None}
+    want_nulls = {r.l_event_id for r in batch_rows if r.r_event_id is None}
+    assert got_nulls <= want_nulls
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sealed = {
+        r.l_event_id
+        for r in batch_rows
+        if r.r_event_id is None
+        and (max_ts - r.l_ts).total_seconds() > (30 + 10) * 60 + 60
+    }
+    assert sealed <= got_nulls and got_nulls, (len(sealed), len(got_nulls))
