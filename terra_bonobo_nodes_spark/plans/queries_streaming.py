@@ -19,6 +19,7 @@ from terra_bonobo_nodes_spark.plans.registry import register
 from terra_bonobo_nodes_spark.streaming.ops import (
     session_window_agg,
     sliding_window_agg,
+    stream_stream_interval_join,
     tumbling_window_agg,
 )
 from terra_bonobo_nodes_spark.tables import load_table
@@ -104,6 +105,45 @@ def stream_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 1h, matching the half-open [start, last+gap) window)."""
     ev = load_table(spark, sf_dir, "events")
     return session_window_agg(ev, gap="1 hour")
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT p.event_id AS l_event_id,
+       p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS l_ts,
+       v.event_id AS r_event_id,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS r_ts,
+       round(p.value, 4) AS l_value
+FROM p JOIN v
+  ON v.user_id = p.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL '10 minutes'
+""",
+    headline=True,
+    tags=("streaming", "join"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-stream attribution join
+    (``streaming/ops.stream_stream_interval_join``): purchases joined to
+    the same user's views in the preceding 10 minutes, oracled against
+    DuckDB's exact theta join. The streaming path (watermarks + bounded
+    interval state) runs the SAME operator — covered by
+    tests/test_streaming.py batch/stream agreement."""
+    ev = load_table(spark, sf_dir, "events")
+    j = stream_stream_interval_join(ev, ev)
+    return j.select(
+        "l_event_id",
+        "user_id",
+        F.unix_timestamp("l_ts").alias("l_ts"),
+        "r_event_id",
+        F.unix_timestamp("r_ts").alias("r_ts"),
+        F.round("l_value", 4).alias("l_value"),
+    )
 
 
 @register(

@@ -26,6 +26,11 @@ def get_spark(app_name: str = "terra_bonobo_nodes_spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.ts has shipped as TIMESTAMP(NANOS) in some testdata
+        # generations; without this Spark rejects the footer outright
+        # ([PARQUET_TYPE_ILLEGAL]). Set once at session build so table
+        # loaders never have to mutate session config mid-query.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

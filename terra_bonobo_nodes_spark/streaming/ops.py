@@ -26,12 +26,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 def _events_schema(spark: SparkSession, src: str) -> T.StructType:
-    """The events parquet has shipped with ts as TIMESTAMP(NANOS) (read
-    as int64 under nanosAsLong) or plain TIMESTAMP micros depending on
-    testdata generation. readStream needs an explicit schema, so sniff
-    the footer with a batch read — a metadata-only operation."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(src).schema
+    """readStream needs an explicit schema; delegate to the memoized
+    per-path footer sniff in ``tables.events_schema`` (one read per
+    process, no per-call session-config mutation)."""
+    from terra_bonobo_nodes_spark.tables import events_schema
+
+    return events_schema(spark, src)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,20 +54,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(stage, exist_ok=True)
         shutil.copy(src, os.path.join(stage, "events.parquet"))
 
+    from terra_bonobo_nodes_spark.tables import normalize_events_ts
+
     schema = _events_schema(spark, src)
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
     )
-    ts_type = schema["ts"].dataType
-    if isinstance(ts_type, T.LongType):
-        return raw.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-        )
-    if not isinstance(ts_type, T.TimestampType):
-        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    return normalize_events_ts(raw)
 
 
 def tumbling_window_agg(
@@ -274,11 +269,14 @@ def stream_stream_interval_join(
     right_filter: str = "view",
     lookback: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval condition:
-    each left event (e.g. a purchase) joins the same key's right events
+    """Stream-stream join with an event-time interval condition: each
+    left event (e.g. a purchase) joins the same key's right events
     (e.g. views) from the preceding ``lookback`` window — the streaming
-    attribution join.
+    attribution join. ``how`` is ``inner`` or ``left_outer``; outer
+    emits the unmatched left row with NULL right columns once the right
+    watermark passes its interval (streaming) or immediately (batch).
 
     Both sides are watermarked; the interval condition
     ``right.ts IN [left.ts - lookback, left.ts]`` plus the watermarks
@@ -312,7 +310,13 @@ def stream_stream_interval_join(
         & (F.col("r_ts") <= F.col("l_ts"))
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
     )
-    return lhs.join(rhs, cond, "inner").select(
+    if how not in ("inner", "left_outer", "leftOuter"):
+        raise ValueError(
+            f"how={how!r}: stream-stream interval joins support inner "
+            "and left_outer (right/full outer would hold unbounded "
+            "right-side state under this condition shape)"
+        )
+    return lhs.join(rhs, cond, how).select(
         F.col("l_event_id"),
         F.col("l_key").alias(on),
         F.col("l_ts"),

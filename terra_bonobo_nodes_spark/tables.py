@@ -27,33 +27,64 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# events.ts has shipped in two parquet layouts across testdata
+# generations: TIMESTAMP(NANOS) (which Spark rejects by default,
+# [PARQUET_TYPE_ILLEGAL] — read as int64 nanos under the nanosAsLong
+# legacy flag, then truncated to micros with integer DIV, exactly what
+# DuckDB's reader does) and plain TIMESTAMP micros (read as
+# TIMESTAMP_NTZ). The resolved footer schema is immutable per file, so
+# sniff it ONCE per path per process and reuse — repeated queries pay
+# zero footer reads and no per-call session-config mutation
+# (`get_spark` sets nanosAsLong at session build).
+_EVENTS_SCHEMA_CACHE: dict[str, "T.StructType"] = {}
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    # Sessions built by get_spark already carry the flag; only mutate
+    # config for externally-built sessions that would otherwise fail the
+    # footer read, and only once (the get is a cheap driver-local call).
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def events_schema(spark: SparkSession, src: str):
+    """Resolved parquet schema of an events file, memoized per path."""
+    schema = _EVENTS_SCHEMA_CACHE.get(src)
+    if schema is None:
+        _ensure_nanos_conf(spark)
+        schema = spark.read.parquet(src).schema
+        _EVENTS_SCHEMA_CACHE[src] = schema
+    return schema
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize either events.ts layout to session-tz TIMESTAMP so every
+    downstream window/unix_* expression sees one type. Works on batch and
+    streaming DataFrames alike."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+        )
+    if not isinstance(ts_type, T.TimestampType):
+        # TIMESTAMP_NTZ → TIMESTAMP; wall clock is preserved under the
+        # session timezone (sessions here pin UTC).
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts has shipped in two parquet layouts across testdata
-        # generations: TIMESTAMP(NANOS) (which Spark rejects by default,
-        # [PARQUET_TYPE_ILLEGAL] — read as int64 nanos and truncate to
-        # micros with integer DIV, exactly what DuckDB's reader does) and
-        # plain TIMESTAMP micros (read as TIMESTAMP_NTZ). Sniff the
-        # resolved schema and normalize either to session-tz TIMESTAMP so
-        # every downstream window/unix_* expression sees one type.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, T.LongType):
-            return df.withColumn(
-                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-            )
-        if not isinstance(ts_type, T.TimestampType):
-            # TIMESTAMP_NTZ → TIMESTAMP; wall clock is preserved under
-            # the session timezone (sessions here pin UTC).
-            return df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        src = os.path.join(sf_dir, "events.parquet")
+        schema = events_schema(spark, src)
+        _ensure_nanos_conf(spark)
+        # Passing the memoized schema skips Spark's own footer inference.
+        return normalize_events_ts(spark.read.schema(schema).parquet(src))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

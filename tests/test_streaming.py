@@ -222,38 +222,18 @@ def test_stream_stream_interval_join_left_outer(spark):
 
     stream_l = ops.read_events_stream(spark, SF_DIR)
     stream_r = ops.read_events_stream(spark, SF_DIR)
-    lhs = stream_l.where(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("l_key"),
-        F.col("ts").alias("l_ts"),
-        F.col("event_id").alias("l_event_id"),
-    ).withWatermark("l_ts", "30 minutes")
-    rhs = stream_r.where(F.col("event_type") == "view").select(
-        F.col("user_id").alias("r_key"),
-        F.col("ts").alias("r_ts"),
-        F.col("event_id").alias("r_event_id"),
-    ).withWatermark("r_ts", "30 minutes")
-    cond = (
-        (F.col("l_key") == F.col("r_key"))
-        & (F.col("r_ts") <= F.col("l_ts"))
-        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 10 minutes"))
+    joined = ops.stream_stream_interval_join(
+        stream_l, stream_r, how="left_outer"
     )
-    name = _run_stream(lhs.join(rhs, cond, "left_outer"), mode="append")
+    name = _run_stream(joined, mode="append")
     got = sorted(
         (r.l_event_id, r.r_event_id) for r in spark.table(name).collect()
     )
 
     ev = load_table(spark, SF_DIR, "events")
-    bl = ev.where(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("l_key"),
-        F.col("ts").alias("l_ts"),
-        F.col("event_id").alias("l_event_id"),
-    )
-    br = ev.where(F.col("event_type") == "view").select(
-        F.col("user_id").alias("r_key"),
-        F.col("ts").alias("r_ts"),
-        F.col("event_id").alias("r_event_id"),
-    )
-    batch_rows = bl.join(br, cond, "left_outer").collect()
+    batch_rows = ops.stream_stream_interval_join(
+        ev, ev, how="left_outer"
+    ).collect()
     want = sorted((r.l_event_id, r.r_event_id) for r in batch_rows)
     # Streaming CAN ONLY emit a NULL-padded row once the watermark seals
     # its join window; left rows within (watermark + lookback) of the
@@ -276,3 +256,11 @@ def test_stream_stream_interval_join_left_outer(spark):
         and (max_ts - r.l_ts).total_seconds() > (30 + 10) * 60 + 60
     }
     assert sealed <= got_nulls and got_nulls, (len(sealed), len(got_nulls))
+
+
+def test_stream_stream_interval_join_rejects_unbounded_outer(spark):
+    """right/full outer would hold unbounded right-side state under the
+    one-sided interval condition — the operator fails fast instead."""
+    ev = load_table(spark, SF_DIR, "events")
+    with pytest.raises(ValueError, match="left_outer"):
+        ops.stream_stream_interval_join(ev, ev, how="full_outer")
