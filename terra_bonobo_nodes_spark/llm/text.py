@@ -336,20 +336,23 @@ def winnow_pairs(
     the cap (they carry no dedup signal anyway), exactly like
     ``max_shingle_df`` in ngram_jaccard_pairs.
 
-    The fingerprint arrays are persisted before the explode on purpose:
+    The fingerprint arrays sit behind an optimizer barrier on purpose:
     InferFiltersFromGenerate plants a ``size(fps) > 0`` predicate under
     the Generate, and filter-pushdown-through-project *always* inlines
-    the referenced expression — without the InMemoryRelation barrier the
-    whole staged winnow computation collapses into that one interpreted
-    predicate (normalize regex re-run per lambda element, O(n^2·k) per
-    doc; measured: minutes instead of seconds at 500 docs). The cache
-    holds (id, fps) only — ~8 bytes per surviving gram, smaller than
-    the text itself."""
-    from pyspark import StorageLevel
-
+    the referenced expression — without a barrier the whole staged
+    winnow computation collapses into that one interpreted predicate
+    (normalize regex re-run per lambda element, O(n^2·k) per doc;
+    measured: minutes instead of seconds at 500 docs). The barrier is a
+    lazy ``localCheckpoint`` rather than ``persist``: a persisted
+    relation lives in the session CacheManager until explicitly
+    unpersisted (every call would leak executor storage for the session
+    lifetime), while a checkpoint RDD is owned by the returned
+    DataFrame's plan and is released by Spark's ContextCleaner when the
+    result is garbage-collected. It holds (id, fps) only — ~8 bytes per
+    surviving gram, smaller than the text itself."""
     fps_df = winnow_fingerprints(df, text_col, "_fps", k, window).select(
         F.col(id_col).alias("doc"), F.col("_fps")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     inv = fps_df.select("doc", F.explode("_fps").alias("fp"))
     if max_fp_df is not None:
         # heavy-hitter removal as a broadcast anti-join: the hot set

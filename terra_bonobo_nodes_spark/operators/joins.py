@@ -260,11 +260,17 @@ def asof_join(
     u = l3.unionByName(r3)
 
     # right rows sort before left rows at equal ts (side 0 < 1 asc) so
-    # the running last() is inclusive in both directions.
+    # the running last() is inclusive in both directions. The trailing
+    # _r key breaks ties among right rows sharing (key, ts)
+    # deterministically (struct ordering = lexicographic over fields;
+    # left rows are all NULL there, so their relative order is moot) —
+    # without it last() would pick whichever duplicate the shuffle
+    # happened to deliver last. Requires orderable payload types (no
+    # maps), same constraint Spark puts on any sort key.
     ts_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy(ts_order, F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc(), F.col("_r").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last("_r", ignorenulls=True).over(w)

@@ -908,7 +908,13 @@ def unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unpivot(pivot(events)) == plain GROUP BY — melts the wide pivot
     back to (user_id, event_type, sum_value) and checks against the
     direct aggregation as oracle; NULL cells (combos absent from the
-    input) drop on melt, exactly mirroring the inner grouping."""
+    input) drop on melt, exactly mirroring the inner grouping.
+
+    ASSUMES events.value is non-NULL (true at every testdata SF): a
+    present combo whose values were ALL NULL would pivot to a NULL cell
+    and get dropped here, while the oracle would keep it as a NULL-sum
+    row. If value ever becomes nullable, filter the oracle with
+    ``HAVING count(value) > 0`` to keep the two sides aligned."""
     wide = pivot_value_by_event_type(spark, sf_dir)
     return wide.unpivot(
         "user_id", list(_EVENT_TYPES), "event_type", "sum_value"
