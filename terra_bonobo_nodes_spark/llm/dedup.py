@@ -208,10 +208,24 @@ def simhash_col(
 
     Inverted formulation (see minhash_signatures): explode token hashes
     (duplicates kept — frequency weights the vote), one md5 per token,
-    then per-bit majority via bits × sum(...) partial aggregates."""
+    then per-bit majority via bits × sum(...) partial aggregates.
+
+    The token hash is WIDTH-MATCHED to ``bits`` (ceil(bits/4) md5 hex
+    chars): a fixed 32-bit hash under bits > 32 would leave the high
+    simhash bits constant-zero for every doc — 100% spurious agreement
+    on those bits, inflating every similarity estimate (caught by the
+    estimator-vs-truth test). bits <= 60 keeps the hash, and the
+    ``1 << (bits-1)`` term below, inside a signed long. For bits <= 32
+    this is bit-identical to the historical hash32 path."""
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
+    nhex = (bits + 3) // 4
     toks = F.split(normalize(F.col(text_col)), " ")
     posting = df.select(F.col(id_col), F.explode(toks).alias("_t")).select(
-        id_col, hash32(F.col("_t")).alias("_h")
+        id_col,
+        F.conv(F.substring(F.md5(F.col("_t")), 1, nhex), 16, 10)
+        .cast("bigint")
+        .alias("_h"),
     )
     aggs = [F.count(F.lit(1)).alias("_n")] + [
         F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_c{b}")

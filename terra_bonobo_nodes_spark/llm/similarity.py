@@ -80,6 +80,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k, vectorized: the (small) query set ships to
     every task as a numpy matrix; corpus partitions stream through ONE
@@ -88,12 +89,29 @@ def brute_force_topk(
     rank is a window over |Q|·k·n_batches rows — the corpus is never
     shuffled and never leaves its scan partitioning.
 
+    The query side is collect()ed to the driver BY CONTRACT — that is
+    what makes the corpus side shuffle-free — so its size is the
+    driver-memory/broadcast hazard. ``max_query_rows`` fails fast above
+    the cap (same fail-fast discipline as ``interval_point_join``'s
+    ``max_buckets_per_interval``); for query sets genuinely larger than
+    that, this degenerates into all-pairs work — use
+    :func:`lsh_ann_topk` / :func:`ivf_ann_topk` instead.
+
     Bit-for-bit oracle parity: the kernel accumulates dimension-by-
     dimension (``acc += C[:, d] * Q[j, d]``), which performs, per pair,
     exactly the IEEE left-fold op sequence of :func:`dot_exact` /
     :func:`dot_exact_sql`. Ties break on neighbor id ascending.
     """
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = (
+        queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"brute_force_topk: query side exceeds max_query_rows="
+            f"{max_query_rows}; it is collected to the driver and scored "
+            "against every corpus row, so a large query set belongs in "
+            "lsh_ann_topk/ivf_ann_topk (or raise the cap explicitly)"
+        )
     if not q_rows:
         schema = (
             f"{query_id_col} long, neighbor_id long, cos_sim double, rank int"

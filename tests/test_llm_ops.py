@@ -83,6 +83,67 @@ def test_simhash_near_dups_low_hamming(spark, near_dup_docs):
     assert (4, 5) not in got
 
 
+def test_simhash_hamming_tracks_true_cosine(spark):
+    """Estimator-vs-truth bias check (the MinHash-poly-hash lesson: a
+    biased estimator can be identical on both engines and invisible to
+    the cross-engine oracle). SimHash with random ±1 hyperplanes obeys
+    P(bit differs) ≈ angle/π, so cos(π · hamming/bits) must track the
+    TRUE cosine between the token-frequency vectors — computed here
+    independently, driver-side, from the same normalized tokens."""
+    import math
+
+    # Per-pair the estimator is NOISY (σ(cos) ≈ 0.17 at 48 bits — a
+    # single pair can land 2σ out with md5's fixed outcome), so a
+    # per-pair tolerance tests nothing. A BIAS (the MinHash-poly
+    # failure mode) shifts the MEAN, so pin the mean over 30 pairs with
+    # disjoint vocabularies (independent md5 hyperplanes): σ(mean) ≈
+    # 0.17/√30 ≈ 0.03, tolerance 0.1 ≈ 3σ.
+    bits = 48  # 1 << 47 stays inside signed-long literal range
+    n_pairs = 30
+    rows, truth = [], {}
+    aa = lambda n: chr(97 + n // 26) + chr(97 + n % 26)  # noqa: E731
+    for j in range(n_pairs):
+        # pure-alphabetic tokens: normalize() splits digits/punct apart
+        v = [f"q{aa(j)}{aa(i)}" for i in range(60)]
+        # a = v[0:40], b = v[20:60]: share 20 of 40 -> true cosine 0.5
+        rows.append((2 * j, " ".join(v[:40])))
+        rows.append((2 * j + 1, " ".join(v[20:])))
+        truth[(2 * j, 2 * j + 1)] = 0.5
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_col(df, "text", "doc_id", bits=bits).collect()
+    }
+    ests = [
+        math.cos(math.pi * bin(sh[a] ^ sh[b]).count("1") / bits)
+        for (a, b) in truth
+    ]
+    mean_est = sum(ests) / len(ests)
+    assert abs(mean_est - 0.5) < 0.1, f"simhash estimator biased: {mean_est}"
+    # identical docs must hash identically (hamming 0, est exactly 1)
+    dup = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    shd = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_col(dup, "text", "doc_id", bits=bits).collect()
+    }
+    assert shd[0] == shd[1]
+
+
+def test_brute_force_topk_query_cap(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = emb.limit(8)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        similarity.brute_force_topk(emb, q, k=3, max_query_rows=5)
+    # at-cap passes
+    out = similarity.brute_force_topk(emb, q, k=3, max_query_rows=8)
+    assert out.select("query_id").distinct().count() == 8
+
+
 def test_simhash_block_count_guard(near_dup_docs):
     with pytest.raises(AssertionError):
         dedup.simhash_pairs(
