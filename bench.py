@@ -57,18 +57,21 @@ def main() -> None:
     # isolated re-runs measured 1.4-2.2s.) The first pass also pays
     # whole-stage-codegen JIT; the min is the steady-state number a
     # long-running cluster job sees.
-    timings: dict[str, float] = {}
+    # All per-pass samples are kept in the artifact ("samples") so a
+    # host-load spike is adjudicable from the JSON alone (min far below
+    # the other samples = noisy host, not a regression — the r02-j5 and
+    # r04-streams pattern); the headline number stays the per-query min.
+    samples: dict[str, list[float]] = {name: [] for name in queries}
     ordered = sorted(queries.items())
     for _pass in range(3):
         for name, q in ordered:
             release_all_state()
             t0 = time.perf_counter()
             run(q.spark_fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            timings[name] = min(timings.get(name, float("inf")), dt)
-    timings = {n: round(v, 4) for n, v in timings.items()}
+            samples[name].append(round(time.perf_counter() - t0, 4))
+    timings = {n: min(s) for n, s in samples.items()}
     for name in dict(ordered):
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s {samples[name]}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -78,6 +81,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -58,75 +58,56 @@ def register(
 # first; (2) queries whose underlying operator code CHANGED since their
 # last green row go next — a green row for old code is not a green row;
 # (3) stale greens (rotated out by the cap in later rounds) next,
-# cheapest first; (4) freshest greens last, where a cap costs least.
+# OLDEST ROUND FIRST (cheapest first within a round) so nothing ages
+# past two rounds; (4) freshest greens last, where a cap costs least.
 # At the end of every round, move anything the round touched into
 # section (2).
 _PRIORITY: tuple[str, ...] = (
-    # --- (1) never had a driver row (new in round 4) ---
-    "llm_winnow_fingerprints",
-    "llm_winnow_pairs",
+    # --- (1) never had a driver row (new in round 5) ---
+    "stream_interval_join",
+    # --- (2) operator code changed since last green row (round 5) ---
+    # asof_join gained a deterministic tie-break key in its window sort
     "asof_purchase_last_view",
-    "range_join_clicks_after_error",
-    "llm_tfidf_topk_terms",
-    "llm_hash_split_counts",
-    "llm_chunk_assignments",
-    "llm_stratified_sample_counts",
-    "g7d_transform_laea",
-    "pivot_value_by_event_type",
-    "unpivot_roundtrip",
-    "fn_json_roundtrip",
-    "llm_embedding_quantize",
-    # --- (2) operator code changed since last green row ---
-    # r4: char-shingle hash reverted poly -> md5 (biased estimator fix);
-    # signature values, pair sets and components all changed.
-    "llm_minhash_lsh_pairs",
-    "llm_dedup_components",
-    # r4 rewrote the events readers (tables.load_table ts-layout sniff,
-    # streaming read_events_stream schema sniff) after the testdata
-    # regeneration flipped events.ts from TIMESTAMP(NANOS) to TIMESTAMP
-    # micros. Every events-reading query therefore needs a post-change
-    # row; the nine that ERRED in r03 on the old reader go first.
-    "g7b_transform_lambert93",
-    "g7c_transform_utm",
-    "j1_bigbig_grid_intersect",
-    "j1_boolean_intersect",
-    "pipeline_file_import",
-    "t1_running_lag_diff",
-    "a4_grid_cluster_collect_sum",
-    "p10_hstore_parse",
-    "pipeline_osm_clusters",
-    # remaining events readers (green rows predate the reader change)
-    "g7_transform_mercator",
-    "a2_union_on_property_centroid",
-    "g1_geojson_attribute_roundtrip",
-    "t1_isochrone_subtraction_geo",
-    "k5_retention_filter",
-    "k1_upsert_last_writer_wins",
-    "s2_geojson_reader_roundtrip",
-    "e1_isochrone_calculation",
+    # winnow_pairs: persist barrier -> lazy localCheckpoint (leak fix)
+    "llm_winnow_pairs",
+    # simhash_col: width-matched token hash (bits<=32 output identical)
+    "llm_simhash_pairs",
+    # brute_force_topk: query-side collect guard (limit + fail-fast)
+    "llm_cosine_topk",
+    # events read path refactored (memoized footer sniff, shared
+    # normalize_events_ts, session-level nanosAsLong) — every
+    # events-reading query needs a post-change row; streams first
+    # (they also exercise read_events_stream), then cheapest-first.
     "stream_tumbling_window_agg",
     "stream_sliding_window_agg",
     "stream_session_window_agg",
     "stream_props_json_rollup",
-    # --- (3) stale greens (r02, rotated out of the r03 cap) ---
-    "fn_math_array_surface",
-    "topk_orders_per_customer",
-    "s3_sql_extract_decimals",
-    "rollup_order_priority",
-    "tpch_q1_pricing_summary",
-    "cube_returnflag_status",
-    "e3_transit_time_one_to_one",
-    "j4_knn_closest_features",
-    "j4_knn_closests_list",
-    "j4_grid_knn_bigbig",
-    "e2_transit_time_one_to_many",
-    "s1_csv_document_roundtrip",
-    "semi_anti_orders_with_returns",
-    "s8_zip_reader_roundtrip",
+    "pivot_value_by_event_type",
+    "unpivot_roundtrip",
+    "range_join_clicks_after_error",
+    "t1_running_lag_diff",
+    "p10_hstore_parse",
+    "k5_retention_filter",
+    "k1_upsert_last_writer_wins",
+    "s2_geojson_reader_roundtrip",
+    "e1_isochrone_calculation",
+    "a4_grid_cluster_collect_sum",
+    "g1_geojson_attribute_roundtrip",
+    "g7_transform_mercator",
+    "g7b_transform_lambert93",
+    "g7c_transform_utm",
+    "g7d_transform_laea",
+    "a2_union_on_property_centroid",
+    "a2_union_area_dissolve",
+    "t1_isochrone_subtraction_geo",
+    "pipeline_file_import",
+    "pipeline_osm_clusters",
+    # --- (3) stale greens, oldest round first ---
+    # r02 (no row since; code unchanged)
+    "setops_customer_segments",
     "star_join_revenue_by_region",
     "s5_k2_es_roundtrip",
-    "setops_customer_segments",
-    # --- (4) freshest greens (r03), cheapest first ---
+    # r03, cheapest first
     "llm_token_count",
     "llm_bpe_token_count",
     "llm_repetition_ratios",
@@ -151,11 +132,8 @@ _PRIORITY: tuple[str, ...] = (
     "g6_simplify_zigzag",
     "g8_subdivide_area",
     "g9_line_clip_length",
-    "a2_union_area_dissolve",
-    "llm_cosine_topk",
     "llm_embedding_cosine_pairs",
     "llm_embedding_cosine_pairs_blocked",
-    "llm_simhash_pairs",
     "llm_ngram_jaccard_pairs",
     "llm_lsh_ann_topk",
     "llm_ivf_ann_topk",
@@ -166,6 +144,32 @@ _PRIORITY: tuple[str, ...] = (
     "j2_dissolve_overlapping_layer",
     "j3_intersection_geom_area",
     "j5_attribute_from_sql",
+    # --- (4) freshest greens (r04), cheapest first ---
+    "fn_json_roundtrip",
+    "llm_hash_split_counts",
+    "llm_stratified_sample_counts",
+    "llm_chunk_assignments",
+    "llm_embedding_quantize",
+    "llm_winnow_fingerprints",
+    "llm_tfidf_topk_terms",
+    "llm_minhash_lsh_pairs",
+    "llm_dedup_components",
+    "fn_math_array_surface",
+    "topk_orders_per_customer",
+    "s3_sql_extract_decimals",
+    "rollup_order_priority",
+    "tpch_q1_pricing_summary",
+    "cube_returnflag_status",
+    "e3_transit_time_one_to_one",
+    "j4_knn_closest_features",
+    "j4_knn_closests_list",
+    "j4_grid_knn_bigbig",
+    "e2_transit_time_one_to_many",
+    "s1_csv_document_roundtrip",
+    "semi_anti_orders_with_returns",
+    "s8_zip_reader_roundtrip",
+    "j1_boolean_intersect",
+    "j1_bigbig_grid_intersect",
 )
 
 
