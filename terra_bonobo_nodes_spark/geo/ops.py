@@ -1424,21 +1424,108 @@ LAEA_EUROPE = LambertAzimuthalEqualArea(
     y0=3210000.0,
 )
 
+class PolarStereographic:
+    """Ellipsoidal polar stereographic with a standard parallel (Snyder
+    1987, pp. 160-162, eqs. 21-33..21-37 / 15-9 — public). The family
+    behind the NSIDC sea-ice grids (EPSG:3413 north, 3976 south).
+    Forward is closed-form; the inverse iterates the conformal-latitude
+    equation (converges in a handful of steps everywhere off the
+    opposite pole)."""
+
+    def __init__(
+        self,
+        a: float,
+        inv_f: float,
+        lat_ts: float,
+        lon0: float,
+        x0: float,
+        y0: float,
+        south: bool = False,
+    ) -> None:
+        f = 1.0 / inv_f
+        self.a = a
+        self.e2 = f * (2.0 - f)
+        self.e = math.sqrt(self.e2)
+        self.lam0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+        self.south = south
+        phi_c = math.radians(abs(lat_ts))
+        self.tc = self._t(phi_c)
+        self.mc = math.cos(phi_c) / math.sqrt(
+            1.0 - self.e2 * math.sin(phi_c) ** 2
+        )
+
+    def _t(self, phi: float) -> float:
+        # Snyder eq. 15-9: conformal-latitude auxiliary
+        es = self.e * math.sin(phi)
+        return math.tan(math.pi / 4.0 - phi / 2.0) / (
+            (1.0 - es) / (1.0 + es)
+        ) ** (self.e / 2.0)
+
+    def forward(self, lon: float, lat: float) -> tuple[float, float]:
+        lam, phi = math.radians(lon), math.radians(lat)
+        if self.south:
+            lam, phi = -lam, -phi
+            lam0 = -self.lam0
+        else:
+            lam0 = self.lam0
+        rho = self.a * self.mc * self._t(phi) / self.tc
+        dlam = lam - lam0
+        x = rho * math.sin(dlam)
+        y = -rho * math.cos(dlam)
+        if self.south:
+            x, y = -x, -y
+        return (self.x0 + x, self.y0 + y)
+
+    def inverse(self, x: float, y: float) -> tuple[float, float]:
+        dx, dy = x - self.x0, y - self.y0
+        if self.south:
+            dx, dy = -dx, -dy
+            lam0 = -self.lam0
+        else:
+            lam0 = self.lam0
+        rho = math.hypot(dx, dy)
+        t = rho * self.tc / (self.a * self.mc)
+        # iterate phi = pi/2 - 2*atan(t * ((1-e sinφ)/(1+e sinφ))^(e/2))
+        phi = math.pi / 2.0 - 2.0 * math.atan(t)
+        for _ in range(12):
+            es = self.e * math.sin(phi)
+            phi = math.pi / 2.0 - 2.0 * math.atan(
+                t * ((1.0 - es) / (1.0 + es)) ** (self.e / 2.0)
+            )
+        lam = lam0 + (math.atan2(dx, -dy) if rho > 0.0 else 0.0)
+        if self.south:
+            lam, phi = -lam, -phi
+        return math.degrees(lam), math.degrees(phi)
+
+
+# NSIDC Sea Ice Polar Stereographic North (EPSG:3413): WGS84,
+# standard parallel 70N, central meridian 45W, no false origin.
+NSIDC_NORTH = PolarStereographic(
+    a=6378137.0,
+    inv_f=298.257223563,
+    lat_ts=70.0,
+    lon0=-45.0,
+    x0=0.0,
+    y0=0.0,
+)
+
 # User-extensible CRS registry: any object with forward(lon, lat) /
 # inverse(x, y) keyed by bare EPSG number string. transform() consults
 # it for 4326 <-> code pairs, closing the reference's "arbitrary
 # metric_projection_srid" contract (terra.py:43,474-494) for every
-# TM/LCC/LAEA-parameterized grid — which covers essentially all
-# national metric grids — without a proj database.
-_CRS_REGISTRY: dict[str, object] = {"3035": LAEA_EUROPE}
+# TM/LCC/LAEA/polar-stereographic-parameterized grid — which covers
+# essentially all national metric grids — without a proj database.
+_CRS_REGISTRY: dict[str, object] = {"3035": LAEA_EUROPE, "3413": NSIDC_NORTH}
 
 
 def register_crs(code: str | int, proj: object) -> None:
     """Register a projection for ``EPSG:<code>`` <-> EPSG:4326
     transforms: ``proj`` must expose ``forward(lon, lat)`` and
     ``inverse(x, y)`` returning coordinate tuples. Use the exported
-    ``TransverseMercator``, ``LambertConformalConic`` or
-    ``LambertAzimuthalEqualArea`` classes for standard grids."""
+    ``TransverseMercator``, ``LambertConformalConic``,
+    ``LambertAzimuthalEqualArea`` or ``PolarStereographic`` classes for
+    standard grids."""
     key = str(code).upper().removeprefix("EPSG:")
     _CRS_REGISTRY[key] = proj
 
@@ -1446,7 +1533,8 @@ def register_crs(code: str | int, proj: object) -> None:
 def transform(g: Geom | None, src: str, dst: str) -> Geom | None:
     """``TransformGeom`` (``terra.py:474-494``) in closed form. Built in:
     EPSG:4326 <-> 3857 (spherical mercator), 2154 (Lambert-93), UTM
-    32601-32760, 27700 (OSGB), 3035 (ETRS89-LAEA). Any other grid:
+    32601-32760, 27700 (OSGB), 3035 (ETRS89-LAEA), 3413 (NSIDC polar
+    stereographic north). Any other grid:
     :func:`register_crs` with a parameterized ``TransverseMercator`` /
     ``LambertConformalConic`` / ``LambertAzimuthalEqualArea``."""
     if g is None:

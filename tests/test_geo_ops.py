@@ -725,3 +725,84 @@ class TestLaeaAndCrsRegistry:
             assert 5_300_000 < fwd[1][1] < 5_600_000
         finally:
             ops._CRS_REGISTRY.pop("2193", None)
+
+
+# --- Polar stereographic (EPSG:3413) ----------------------------------------
+
+
+class TestPolarStereographic:
+    def test_pole_maps_to_origin(self):
+        from terra_bonobo_nodes_spark.geo.ops import NSIDC_NORTH
+
+        x, y = NSIDC_NORTH.forward(0.0, 90.0)
+        assert abs(x) < 1e-6 and abs(y) < 1e-6
+        lon, lat = NSIDC_NORTH.inverse(0.0, 0.0)
+        assert abs(lat - 90.0) < 1e-9
+
+    def test_scale_one_at_standard_parallel(self):
+        # Conformal with secant parallel at 70N: the local scale factor
+        # there is exactly 1. Finite-difference the meridional scale
+        # against the ellipsoidal meridional radius M(phi).
+        import math
+
+        from terra_bonobo_nodes_spark.geo.ops import NSIDC_NORTH as P
+
+        dphi = 1e-5
+        for lon in (-45.0, 0.0, 90.0, 135.0):
+            x1, y1 = P.forward(lon, 70.0 - dphi / 2)
+            x2, y2 = P.forward(lon, 70.0 + dphi / 2)
+            proj_d = math.hypot(x2 - x1, y2 - y1)
+            s = math.sin(math.radians(70.0))
+            m_rad = (
+                P.a * (1 - P.e2) / (1 - P.e2 * s * s) ** 1.5
+            ) * math.radians(dphi)
+            assert abs(proj_d / m_rad - 1.0) < 1e-6, lon
+
+    def test_roundtrip_over_arctic(self):
+        from terra_bonobo_nodes_spark.geo.ops import NSIDC_NORTH
+
+        for lon in range(-180, 180, 30):
+            for lat in (45, 60, 70, 80, 89):
+                x, y = NSIDC_NORTH.forward(float(lon), float(lat))
+                lon2, lat2 = NSIDC_NORTH.inverse(x, y)
+                dlon = (lon2 - lon + 180.0) % 360.0 - 180.0
+                assert abs(dlon) < 1e-9 and abs(lat2 - lat) < 1e-9
+
+    def test_central_meridian_lands_on_negative_y(self):
+        # (-45E, 70N) is on the projection's central meridian: x = 0,
+        # y = -a*m(70) ~ -2.19e6 m (the NSIDC grid's 70N crossing).
+        from terra_bonobo_nodes_spark.geo.ops import NSIDC_NORTH
+
+        x, y = NSIDC_NORTH.forward(-45.0, 70.0)
+        assert abs(x) < 1e-6
+        assert -2_250_000 < y < -2_150_000
+
+    def test_transform_dispatches_epsg_3413(self):
+        from terra_bonobo_nodes_spark.geo import ops
+
+        g = ("Point", (20.0, 78.0))  # Svalbard
+        fwd = ops.transform(g, "EPSG:4326", "EPSG:3413")
+        back = ops.transform(fwd, "EPSG:3413", "EPSG:4326")
+        assert abs(back[1][0] - 20.0) < 1e-9
+        assert abs(back[1][1] - 78.0) < 1e-9
+
+    def test_south_aspect_via_registry(self):
+        # EPSG:3976 (NSIDC south, lat_ts=-70, lon0=0) through
+        # register_crs: third family, south hemisphere branch.
+        from terra_bonobo_nodes_spark.geo import ops
+
+        south = ops.PolarStereographic(
+            6378137.0, 298.257223563,
+            lat_ts=-70.0, lon0=0.0, x0=0.0, y0=0.0, south=True,
+        )
+        x, y = south.forward(0.0, -90.0)
+        assert abs(x) < 1e-6 and abs(y) < 1e-6
+        ops.register_crs("EPSG:3976", south)
+        try:
+            g = ("Point", (-60.0, -75.0))  # Antarctic peninsula
+            fwd = ops.transform(g, "EPSG:4326", "EPSG:3976")
+            back = ops.transform(fwd, "EPSG:3976", "EPSG:4326")
+            assert abs(back[1][0] - (-60.0)) < 1e-9
+            assert abs(back[1][1] - (-75.0)) < 1e-9
+        finally:
+            ops._CRS_REGISTRY.pop("3976", None)
