@@ -91,3 +91,90 @@ def stratified_sample(
         rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
     rate = F.lit(default_rate) if rate is None else rate.otherwise(F.lit(default_rate))
     return df.where(u < rate)
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination by word n-gram containment — the
+    standard train/test-overlap check run before every serious
+    pretraining mix (public recipe: GPT-3 appendix C / Dodge et al.
+    2021 use 8-13-gram overlap against eval sets). Emits per candidate
+    doc: distinct-gram count, hit count against the benchmark's
+    distinct-gram set, their ratio, and a ``contaminated`` flag at
+    ``threshold``.
+
+    Plan: explode both sides to (id, gram) with the tokens materialized
+    once per doc (``explode_word_shingles`` — no Catalyst re-inlining),
+    dedupe per doc, LEFT SEMI join on the gram, then two cheap per-id
+    aggregates. One shuffle on the gram key + one on the id; the
+    benchmark side is distinct-gram only, so AQE broadcasts it whenever
+    the eval set is small (the common case) and the same plan holds
+    big-big. No driver-side state of any size.
+    """
+    from terra_bonobo_nodes_spark.llm.hashing import explode_word_shingles
+
+    cand = explode_word_shingles(df, id_col, text_col, n).dropDuplicates(
+        [id_col, "shingle"]
+    )
+    bench = (
+        explode_word_shingles(benchmark, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    totals = cand.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        cand.join(bench, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    out = totals.join(hits, id_col, "left").withColumn(
+        "n_hits", F.coalesce(F.col("n_hits"), F.lit(0))
+    )
+    containment = F.col("n_hits") / F.col("n_grams")
+    return out.select(
+        id_col,
+        "n_grams",
+        "n_hits",
+        F.round(containment, 6).alias("containment"),
+        (containment >= F.lit(float(threshold))).alias("contaminated"),
+    )
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled multinomial mixing weights per group — the
+    public multilingual-corpus sampling recipe (mT5/XLM-R: sample group
+    g with probability p_g^alpha / sum p^alpha, alpha < 1 upweights
+    small groups). Emits per group: doc count, natural share, scaled
+    weight, and the resulting over/under-sampling factor.
+
+    Plan: one partial+final aggregate to per-group counts (tiny by
+    definition — one row per group), then a broadcast cross join of the
+    two scalar totals; no single-partition window, no driver loop.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    scaled = counts.withColumn(
+        "_s", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    )
+    totals = scaled.agg(
+        F.sum("n_docs").alias("_tot_n"), F.sum("_s").alias("_tot_s")
+    )
+    out = scaled.crossJoin(F.broadcast(totals))
+    share = F.col("n_docs") / F.col("_tot_n")
+    weight = F.col("_s") / F.col("_tot_s")
+    return out.select(
+        group_col,
+        "n_docs",
+        F.round(share, 6).alias("natural_share"),
+        F.round(weight, 6).alias("mix_weight"),
+        F.round(weight / share, 6).alias("boost"),
+    )

@@ -949,3 +949,71 @@ def g7d_transform_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(K.st_y("geom"), 4).alias("ly"),
         (rt_err < 1e-9).alias("rt_ok"),
     )
+
+
+def _polar_oracle() -> str:
+    """Forward ellipsoidal polar stereographic (Snyder pp. 160-162)
+    with the SAME derived constants as the kernel (``geo/ops.py``
+    NSIDC_NORTH, embedded via repr), rounded to 0.1 mm; the iterative
+    conformal-latitude inverse is checked as Spark-side roundtrip
+    closure, exactly like the Lambert/UTM/LAEA queries."""
+    from terra_bonobo_nodes_spark.geo.ops import NSIDC_NORTH as P
+
+    e = repr(P.e)
+    r = repr(P.a * P.mc / P.tc)  # rho = r * t(phi)
+    lam0 = repr(P.lam0)
+    return f"""
+WITH pts AS (
+  SELECT event_id, ((value % 360) - 180) AS lon, ((value % 30) + 55) AS lat
+  FROM events),
+s1 AS (
+  SELECT event_id, radians(lon) - {lam0} AS dlam,
+         radians(lat) AS phi, {e} * sin(radians(lat)) AS es
+  FROM pts),
+t1 AS (
+  SELECT event_id, dlam,
+         tan(pi() / 4.0 - phi / 2.0)
+           / pow((1.0 - es) / (1.0 + es), {e} / 2.0) AS t
+  FROM s1)
+SELECT event_id,
+       round({r} * t * sin(dlam), 4) + 0.0 AS px,
+       round(-{r} * t * cos(dlam), 4) + 0.0 AS py,
+       TRUE AS rt_ok
+FROM t1
+"""
+
+
+@register(
+    "g7e_transform_polar",
+    oracle=_polar_oracle(),
+    tags=("G7",),
+)
+def g7e_transform_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransformGeom through the fourth projection family (conformal
+    azimuthal, EPSG:3413 NSIDC polar stereographic north): Arctic-ranged
+    lon/lat through the WKB kernel, forward checked against the closed
+    form in SQL, inverse checked as roundtrip closure < 1e-9 degrees."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("value") % 360) - 180).alias("lon"),
+        ((F.col("value") % 30) + 55).alias("lat"),
+    )
+    pts = ev.withColumn("geom", K.st_point("lon", "lat"))
+    fwd = transform_geom(pts, "EPSG:4326", "EPSG:3413")
+    back = transform_geom(fwd, "EPSG:3413", "EPSG:4326", geom_out="geom_back")
+    # longitude closure is modulo 360 (the inverse returns (-180, 180]:
+    # lon = -180 legitimately comes back as +180)
+    rt_err = F.greatest(
+        F.abs(
+            F.pmod(K.st_x("geom_back") - F.col("lon") + 180.0, 360.0) - 180.0
+        ),
+        F.abs(K.st_y("geom_back") - F.col("lat")),
+    )
+    return back.select(
+        "event_id",
+        # + 0.0 normalizes IEEE negative zero (round(-1e-10, 4) is -0.0
+        # in DuckDB, 0.0 in Spark -> canonicalized-string mismatch)
+        (F.round(K.st_x("geom"), 4) + F.lit(0.0)).alias("px"),
+        (F.round(K.st_y("geom"), 4) + F.lit(0.0)).alias("py"),
+        (rt_err < 1e-9).alias("rt_ok"),
+    )

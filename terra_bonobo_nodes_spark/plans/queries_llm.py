@@ -877,3 +877,110 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("q").cast("long").alias("max_q"),
         "max_err_ns",
     )
+
+
+# --- corpus hygiene / assembly (round 5) ------------------------------------
+
+
+@register(
+    "llm_length_percentiles",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.50), 6) AS p50,
+       round(quantile_cont(n_chars, 0.90), 6) AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents GROUP BY source
+""",
+    tags=("llm", "stats"),
+)
+def llm_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length percentile profile (the first chart
+    of any corpus audit). EXACT percentiles with linear interpolation —
+    Spark's `percentile` and DuckDB's `quantile_cont` share the
+    definition, so the oracle checks values, not approximations. One
+    shuffle; at 100 TB swap `percentile` for `percentile_approx`
+    (t-digest sketch, same plan shape) and drop the oracle to
+    tolerance."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.expr("percentile(n_chars, array(0.25, 0.5, 0.9, 0.99))")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), pct.alias("_p")
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.round(F.col("_p")[0], 6).alias("p25"),
+        F.round(F.col("_p")[1], 6).alias("p50"),
+        F.round(F.col("_p")[2], 6).alias("p90"),
+        F.round(F.col("_p")[3], 6).alias("p99"),
+    )
+
+
+@register(
+    "llm_temperature_mix_weights",
+    oracle="""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs, pow(count(*), 0.3) AS s
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(n_docs) AS tn, sum(s) AS ts FROM counts)
+SELECT source, n_docs,
+       round(n_docs / tn, 6) AS natural_share,
+       round(s / ts, 6) AS mix_weight,
+       round((s / ts) / (n_docs / tn), 6) AS boost
+FROM counts, tot
+""",
+    tags=("llm", "corpus"),
+)
+def llm_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per source (alpha=0.3, the
+    public mT5/XLM-R multilingual mixing recipe) via
+    ``corpus.temperature_mix_weights``."""
+    from terra_bonobo_nodes_spark.llm.corpus import temperature_mix_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix_weights(docs, "source", alpha=0.3)
+
+
+def _decontaminate_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm.hashing import word_shingles_sql
+
+    grams = word_shingles_sql("text", 3)
+    return f"""
+WITH bench AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest({grams}) AS g FROM documents WHERE source = 'src0')),
+cand AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest({grams}) AS g
+    FROM documents WHERE source <> 'src0')),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM cand GROUP BY doc_id),
+hit AS (
+  SELECT c.doc_id, count(*) AS n_hits
+  FROM cand c JOIN bench b ON c.g = b.g GROUP BY c.doc_id)
+SELECT t.doc_id, t.n_grams,
+       coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) * 1.0 / t.n_grams, 6) AS containment,
+       coalesce(h.n_hits, 0) * 1.0 / t.n_grams >= 0.5 AS contaminated
+FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+"""
+
+
+@register(
+    "llm_decontaminate_overlap",
+    oracle=_decontaminate_oracle(),
+    headline=True,
+    tags=("llm", "corpus"),
+)
+def llm_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word-trigram containment of every
+    non-src0 document against the src0 "benchmark" gram set (the
+    train/test-overlap sweep every pretraining mix runs). Checked
+    value-for-value against DuckDB's exact set arithmetic."""
+    from terra_bonobo_nodes_spark.llm.corpus import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    cand = docs.where(F.col("source") != "src0")
+    return decontaminate(cand, bench, "text", "doc_id", n=3, threshold=0.5)

@@ -65,6 +65,10 @@ def register(
 _PRIORITY: tuple[str, ...] = (
     # --- (1) never had a driver row (new in round 5) ---
     "stream_interval_join",
+    "g7e_transform_polar",
+    "llm_length_percentiles",
+    "llm_temperature_mix_weights",
+    "llm_decontaminate_overlap",
     # --- (2) operator code changed since last green row (round 5) ---
     # asof_join gained a deterministic tie-break key in its window sort
     "asof_purchase_last_view",

@@ -354,3 +354,27 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path_factory):
     # really hive-partitioned)
     direct = spark.read.parquet(f"{out}/event_type=click")
     assert direct.count() == n_click
+
+
+def test_es_conf_seam_option_mapping():
+    """Config-only connector seam: ESConf resolves the real connector's
+    option map (nodes/port/tuning/id-mapping/passthrough) without
+    touching the stand-in code path."""
+    from terra_bonobo_nodes_spark.sinks.es import ES_FORMAT, ESConf
+
+    conf = ESConf(
+        backend="es",
+        nodes="es1,es2",
+        port="9201",
+        options={"es.net.ssl": "true"},
+    )
+    w = conf.writer_options()
+    assert w["es.nodes"] == "es1,es2" and w["es.port"] == "9201"
+    assert w["es.mapping.id"] == "_id"  # upsert keyed like the stand-in
+    assert w["es.batch.write.refresh"] == "false"  # ESOptimizeIndexing
+    assert w["es.net.ssl"] == "true"
+    r = conf.reader_options()
+    assert r["es.nodes"] == "es1,es2" and "es.mapping.id" not in r
+    assert ES_FORMAT == "org.elasticsearch.spark.sql"
+    # default conf stays on the parquet stand-in
+    assert ESConf().backend == "parquet"
