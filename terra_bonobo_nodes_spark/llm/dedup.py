@@ -535,3 +535,83 @@ def embedding_cosine_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def minhash_lsh_match(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+    word_grams: bool = False,
+    min_est_jaccard: float = 0.0,
+    max_band_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental-ingestion dedup: LSH-match NEW documents against an
+    EXISTING corpus — the asymmetric form of :func:`minhash_lsh_pairs`
+    used at ingestion time (is this incoming batch a near-dup of
+    anything already stored?). Emits (new_id, corpus_id, est_jaccard).
+
+    Plan: both sides go through the same inverted signature pipeline
+    and band explode, then ONE equi-join on (band, hash) — never a
+    self-join, never new×new or corpus×corpus pairs. At 100 TB the
+    corpus side's signatures are the thing a production pipeline
+    PERSISTS between batches (k longs per doc — this function accepts a
+    precomputed ``sig`` column and skips re-hashing when present);
+    each incoming batch then costs its own shingling plus one shuffle
+    of the batch-side bands against the stored, already-partitioned
+    band table. ``max_band_bucket`` caps pathological corpus buckets
+    exactly like the self-join form."""
+    assert n_hashes % bands == 0, "bands must divide n_hashes"
+    rows_per_band = n_hashes // bands
+
+    def _banded(df: DataFrame, out_id: str) -> DataFrame:
+        if "sig" in df.columns:
+            sigs = df.select(F.col(id_col).alias(out_id), "sig")
+        else:
+            sigs = minhash_signatures(
+                df, text_col, id_col, n_hashes, shingle_n, word_grams
+            ).select(F.col(id_col).alias(out_id), "sig")
+        return sigs.select(
+            out_id,
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            band_hash(F.col("sig"), b, rows_per_band).alias("bh"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(out_id, "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    new_b = _banded(new_df, "new_id").withColumnRenamed("sig", "sig_n")
+    cor_b = _banded(corpus_df, "corpus_id").withColumnRenamed("sig", "sig_c")
+    if max_band_bucket is not None:
+        wb = Window.partitionBy("band", "bh")
+        cor_b = cor_b.withColumn("_bc", F.count(F.lit(1)).over(wb)).where(
+            F.col("_bc") <= max_band_bucket
+        ).drop("_bc")
+    pairs = (
+        new_b.join(cor_b, ["band", "bh"])
+        .select("new_id", "corpus_id", "sig_n", "sig_c")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_n"), F.col("sig_c"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(n_hashes))
+    ).alias("est_jaccard")
+    out = pairs.select("new_id", "corpus_id", est)
+    if min_est_jaccard > 0:
+        out = out.where(F.col("est_jaccard") >= min_est_jaccard)
+    return out

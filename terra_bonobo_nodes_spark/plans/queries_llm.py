@@ -984,3 +984,122 @@ def llm_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("source") == "src0")
     cand = docs.where(F.col("source") != "src0")
     return decontaminate(cand, bench, "text", "doc_id", n=3, threshold=0.5)
+
+
+def _incremental_oracle() -> str:
+    """Two-sided mirror of _minhash_oracle: signatures for the 'new'
+    batch (doc_id % 10 = 0) vs the stored corpus (the rest), banded,
+    one asymmetric join."""
+    shingles = hashing.char_shingles_sql("text", _MH_SHINGLE)
+    params = hashing.perm_params(_MH_K)
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {hashing.MINHASH_P})" for a, b in params
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, sig, {b} AS band, "
+        f"{hashing.band_hash_sql('sig', b, _MH_ROWS)} AS bh FROM sigs"
+        for b in range(_MH_BANDS)
+    )
+    sim = (
+        "CAST(len(list_filter(list_zip(sig_n, sig_c), x -> x[1] = x[2])) "
+        f"AS DOUBLE) / {float(_MH_K)}"
+    )
+    return f"""
+WITH posting AS (
+  SELECT doc_id, unnest({shingles}) AS sh FROM documents
+),
+hashed AS (SELECT doc_id, {hashing.hash32_sql('sh')} AS h FROM posting),
+sigs AS (SELECT doc_id, [{mins}] AS sig FROM hashed GROUP BY doc_id),
+banded AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id,
+         n.sig AS sig_n, c.sig AS sig_c
+  FROM banded n JOIN banded c ON n.band = c.band AND n.bh = c.bh
+  WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+)
+SELECT new_id, corpus_id, {sim} AS est_jaccard
+FROM pairs WHERE {sim} >= 0.5
+"""
+
+
+@register(
+    "llm_incremental_dedup",
+    oracle=_incremental_oracle(),
+    tags=("llm", "dedup"),
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup: LSH-match a 'new batch' (doc_id % 10 = 0)
+    against the stored corpus (the rest) via the asymmetric
+    ``minhash_lsh_match`` — one (band, hash) equi-join, no self-join,
+    no new×new pairs. The production shape persists the corpus-side
+    signatures between batches; here both sides derive from the same
+    table so the oracle can rebuild them."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return dedup.minhash_lsh_match(
+        new,
+        corpus,
+        "text",
+        "doc_id",
+        n_hashes=_MH_K,
+        bands=_MH_BANDS,
+        shingle_n=_MH_SHINGLE,
+        min_est_jaccard=0.5,
+    )
+
+
+@register(
+    "llm_curation_funnel",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, source, lang, n_chars,
+         md5({hashing.normalize_sql('text')}) AS f
+  FROM documents),
+surv AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+    FROM fp) WHERE rn = 1),
+r AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY source),
+s AS (
+  SELECT source, count(*) AS n_dedup,
+         count(*) FILTER (n_chars >= 150) AS n_len,
+         count(*) FILTER (n_chars >= 150 AND lang = 'en') AS n_len_lang
+  FROM surv GROUP BY source)
+SELECT r.source, r.n_raw,
+       coalesce(s.n_dedup, 0) AS n_dedup,
+       coalesce(s.n_len, 0) AS n_len,
+       coalesce(s.n_len_lang, 0) AS n_len_lang
+FROM r LEFT JOIN s ON s.source = r.source
+""",
+    tags=("llm", "corpus"),
+)
+def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation funnel in one plan: per source, raw doc
+    count, exact-dedup survivors (min-id per normalized-text md5 — the
+    operator's window formulation, mirrored as row_number in SQL), then
+    length and language gates on the survivors. The per-stage counts
+    are what every pretraining data report publishes; composing them as
+    ONE Catalyst plan (two aggregates + a broadcast join) shows the
+    operators fuse instead of materializing between stages."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars", "text"
+    )
+    raw = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    surv = dedup.exact_dedup(docs, "text", "doc_id")
+    lenok = F.col("n_chars") >= 150
+    s = surv.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_dedup"),
+        F.count(F.when(lenok, 1)).alias("n_len"),
+        F.count(F.when(lenok & (F.col("lang") == "en"), 1)).alias("n_len_lang"),
+    )
+    return (
+        raw.join(s, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_dedup", F.lit(0)).alias("n_dedup"),
+            F.coalesce("n_len", F.lit(0)).alias("n_len"),
+            F.coalesce("n_len_lang", F.lit(0)).alias("n_len_lang"),
+        )
+    )

@@ -816,6 +816,47 @@ def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_forward_next_click",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT e.event_id, e.user_id,
+       epoch_us(e.ts) AS ts_us,
+       epoch_us(c.ts) AS click_ts_us,
+       c.event_id AS click_event_id
+FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts <= c.ts
+""",
+    tags=("join", "asof"),
+)
+def asof_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-direction as-of join against DuckDB's native forward
+    ASOF (``l.ts <= r.ts``): for every error event, the same user's
+    EARLIEST click at or after it — the time-to-recovery join. Same
+    single-shuffle tagged-union window plan as the backward form, with
+    the timestamp order reversed."""
+    from terra_bonobo_nodes_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(
+        errors, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        direction="forward", suffix="_click",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("ts_click").alias("click_ts_us"),
+        F.col("event_id_click").alias("click_event_id"),
+    )
+
+
+@register(
     "range_join_clicks_after_error",
     headline=True,
     oracle="""

@@ -69,6 +69,8 @@ _PRIORITY: tuple[str, ...] = (
     "llm_length_percentiles",
     "llm_temperature_mix_weights",
     "llm_decontaminate_overlap",
+    "asof_forward_next_click",
+    "llm_incremental_dedup",
     # --- (2) operator code changed since last green row (round 5) ---
     # asof_join gained a deterministic tie-break key in its window sort
     "asof_purchase_last_view",
