@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "llm_decontaminate_overlap",
     "asof_forward_next_click",
     "llm_incremental_dedup",
+    "llm_curation_funnel",
     # --- (2) operator code changed since last green row (round 5) ---
     # asof_join gained a deterministic tie-break key in its window sort
     "asof_purchase_last_view",
