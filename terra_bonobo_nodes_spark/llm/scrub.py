@@ -1,0 +1,151 @@
+"""Corpus hygiene: PII redaction and boilerplate paragraph removal.
+
+Training-data curation operators beyond the reference's scope (the
+reference pipeline, terra.py, has no text-hygiene nodes) — C4/Gopher
+style cleanup re-expressed as Spark column expressions so the hot path
+is whole-stage codegen at scan speed.
+
+Cross-engine regex contract: every pattern sticks to the subset where
+Java regex (Spark) and RE2 (DuckDB oracle) agree — character classes,
+bounded/greedy quantifiers without ambiguous alternation, ``\\b`` word
+boundaries, non-capturing groups. No lookaround, no backreferences.
+
+Scale shapes (100 TB):
+- PII ops are per-row projections — zero shuffles, scan-bound.
+- Boilerplate removal shuffles once on the paragraph hash to count
+  document frequency, reduces the hot set (df > max_df) to a SMALL
+  relation (boilerplate is by definition few distinct paragraphs), and
+  broadcasts it back as an anti-join — the same df-cap shape as
+  ``winnow_pairs``/``tfidf`` (llm/text.py). The per-doc regroup is the
+  second and last shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from terra_bonobo_nodes_spark.llm.text import tokens
+
+# name -> portable pattern. Order matters for redaction: emails first
+# (their local part may contain digit runs), then IPs (dotted digit
+# runs that the phone pattern would otherwise swallow), then phones
+# (require a leading '+' so bare numeric ids are left to ID_RE), then
+# long digit runs (account/card-like ids).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+[0-9][0-9()\s.-]{6,}[0-9]",
+    "digit_id": r"\b[0-9]{9,16}\b",
+}
+
+
+def pii_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    prefix: str = "n_",
+) -> DataFrame:
+    """Per-row match counts for each PII pattern (on the ORIGINAL
+    text — counts are independent, overlaps allowed). Pure projection."""
+    pats = patterns or PII_PATTERNS
+    c = F.col(text_col)
+    for name, pat in pats.items():
+        df = df.withColumn(prefix + name, F.regexp_count(c, F.lit(pat)).cast("long"))
+    return df
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+    patterns: dict[str, str] | None = None,
+    token_fmt: str = "<{name}>",
+) -> DataFrame:
+    """Replace every PII match with a typed placeholder, applying the
+    patterns in dict order (document the order when overriding — later
+    patterns see earlier replacements)."""
+    pats = patterns or PII_PATTERNS
+    c: Column = F.col(text_col)
+    for name, pat in pats.items():
+        c = F.regexp_replace(c, pat, token_fmt.format(name=name.upper()))
+    return df.withColumn(out_col, c)
+
+
+def pii_redact_sql(expr: str, patterns: dict[str, str] | None = None) -> str:
+    """DuckDB SQL equivalent of ``pii_redact`` for oracle pairing
+    (DuckDB's regexp_replace needs the 'g' flag; Spark's is global)."""
+    pats = patterns or PII_PATTERNS
+    for name, pat in pats.items():
+        expr = f"regexp_replace({expr}, '{pat}', '<{name.upper()}>', 'g')"
+    return expr
+
+
+def paragraph_chunks(text: Column | str, para_tokens: int) -> Column:
+    """Split text into consecutive ``para_tokens``-token paragraphs
+    (space-joined). The last paragraph may be shorter. Synthetic
+    paragraphing for corpora without layout; for documents with real
+    newlines pass ``F.split(text, '\\n')`` downstream instead."""
+    toks = tokens(text)
+    n_chunks = F.ceil(F.size(toks) / F.lit(para_tokens)).cast("int")
+    idxs = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idxs,
+        lambda i: F.array_join(F.slice(toks, i * para_tokens + 1, para_tokens), " "),
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_tokens: int = 8,
+    max_df: int = 5,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Drop paragraphs that appear in more than ``max_df`` distinct
+    documents (subscription prompts, license headers, nav chrome) and
+    reassemble each document from its surviving paragraphs in order.
+
+    Returns ``id_col, out_col, n_para, n_kept``. Documents whose every
+    paragraph was boilerplate survive with ``out_col = ''``.
+
+    Plan: explode (id, idx, para) → groupBy(md5(para)) count-distinct-id
+    → the >max_df hot set broadcasts into a LEFT ANTI join (never a
+    shuffle of the corpus against itself) → regroup by id. Two shuffles
+    total; the hot set is small by the boilerplate definition itself.
+    """
+    paras = (
+        df.select(F.col(id_col), paragraph_chunks(text_col, para_tokens).alias("_paras"))
+        .select(id_col, F.posexplode("_paras").alias("_idx", "_para"))
+        .withColumn("_h", F.md5("_para"))
+    )
+    hot = (
+        paras.groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .where(F.col("_df") > max_df)
+        .select("_h")
+    )
+    kept = paras.join(F.broadcast(hot), "_h", "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_para"))),
+                lambda s: s["_para"],
+            ),
+            " ",
+        ).alias(out_col),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_para"))
+    return (
+        totals.join(clean, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            "n_para",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        )
+    )

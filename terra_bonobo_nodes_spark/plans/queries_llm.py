@@ -16,7 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from terra_bonobo_nodes_spark.llm import dedup, hashing, multimodal, similarity, text
+from terra_bonobo_nodes_spark.llm import (
+    dedup,
+    hashing,
+    multimodal,
+    scrub,
+    similarity,
+    text,
+)
 from terra_bonobo_nodes_spark.plans.registry import register
 from terra_bonobo_nodes_spark.tables import load_table
 
@@ -1102,4 +1109,123 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_len", F.lit(0)).alias("n_len"),
             F.coalesce("n_len_lang", F.lit(0)).alias("n_len_lang"),
         )
+    )
+
+
+# --- corpus hygiene: PII + boilerplate (llm/scrub.py) -----------------------
+
+# Deterministic PII payload appended to each doc so the redaction
+# operator sees real positives (the synthetic corpus has no digits or
+# @-signs). Built with IDENTICAL expressions on both engines.
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || CASE WHEN doc_id % 2 = 0 THEN ' also admin@test.org' ELSE '' END"
+    " || ' or 10.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 250 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 100 AS VARCHAR)"
+    " || ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' acct 9' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 10, '0')"
+)
+
+
+def _pii_suffix_col() -> "F.Column":
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        F.lit(" contact user"), s(d), F.lit("@example.com"),
+        F.when(d % 2 == 0, F.lit(" also admin@test.org")).otherwise(F.lit("")),
+        F.lit(" or 10."), s(d % 200), F.lit("."), s(d % 250), F.lit("."), s(d % 100),
+        F.lit(" call +1 (555) 010-"), F.lpad(s(d % 10000), 4, "0"),
+        F.lit(" acct 9"), F.lpad(s(d % 100000000), 10, "0"),
+    )
+
+
+@register(
+    "llm_pii_scrub",
+    oracle=f"""
+WITH p AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS ptext FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(ptext, '{scrub.PII_PATTERNS["email"]}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(ptext, '{scrub.PII_PATTERNS["ipv4"]}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(ptext, '{scrub.PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(ptext, '{scrub.PII_PATTERNS["digit_id"]}')) AS BIGINT) AS n_digit_id,
+       md5({scrub.pii_redact_sql("ptext")}) AS redacted_md5,
+       CAST(length({scrub.pii_redact_sql("ptext")}) AS BIGINT) AS redacted_len
+FROM p
+""",
+    tags=("llm", "scrub"),
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (llm/scrub.py): per-doc counts of each
+    PII class on a deterministically PII-seeded text, plus the md5 and
+    length of the fully redacted text — a full-value check that the
+    Java-regex and RE2 interpretations of every pattern agree match by
+    match. Pure projection: zero shuffles, scan-bound at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p = docs.select(
+        "doc_id", F.concat(F.col("text"), _pii_suffix_col()).alias("ptext")
+    )
+    counted = scrub.pii_counts(p, "ptext")
+    red = scrub.pii_redact(counted, "ptext", "redacted")
+    return red.select(
+        "doc_id",
+        "n_email", "n_ipv4", "n_phone", "n_digit_id",
+        F.md5("redacted").alias("redacted_md5"),
+        F.length("redacted").cast("long").alias("redacted_len"),
+    )
+
+
+_BOILER = "subscribe to our newsletter for all latest updates"  # 8 tokens
+_BP_K = 8
+_BP_MAX_DF = 5
+
+
+@register(
+    "llm_boilerplate_removal",
+    oracle=f"""
+WITH base AS (SELECT doc_id, '{_BOILER} ' || text AS btext FROM documents),
+tok AS (SELECT doc_id,
+               list_filter(str_split_regex(lower(btext), '[^a-z0-9]+'),
+                           x -> length(x) > 0) AS toks
+        FROM base),
+par AS (SELECT doc_id, r.idx AS idx,
+               array_to_string(toks[((r.idx-1)*{_BP_K}+1):((r.idx-1)*{_BP_K}+{_BP_K})], ' ') AS para
+        FROM tok, unnest(range(1, CAST(ceil(len(toks)/{_BP_K}.0) AS BIGINT) + 1)) AS r(idx)),
+hot AS (SELECT md5(para) AS h FROM par GROUP BY 1
+        HAVING count(DISTINCT doc_id) > {_BP_MAX_DF}),
+kept AS (SELECT p.* FROM par p LEFT JOIN hot ON md5(p.para) = hot.h
+         WHERE hot.h IS NULL),
+tot AS (SELECT doc_id, count(*) AS n_para FROM par GROUP BY 1),
+cl AS (SELECT doc_id, string_agg(para, ' ' ORDER BY idx) AS clean,
+              count(*) AS n_kept
+       FROM kept GROUP BY 1)
+SELECT t.doc_id, t.n_para,
+       coalesce(cl.n_kept, 0) AS n_kept,
+       md5(coalesce(cl.clean, '')) AS clean_md5,
+       CAST(length(coalesce(cl.clean, '')) AS BIGINT) AS clean_len
+FROM tot t LEFT JOIN cl ON cl.doc_id = t.doc_id
+""",
+    tags=("llm", "scrub"),
+)
+def llm_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate paragraph removal (llm/scrub.py): a fixed
+    8-token banner prepended to EVERY document (so its paragraph's
+    document frequency is the corpus size) must be stripped, while each
+    document's own content paragraphs (df = 1) survive and reassemble
+    in order. Checks paragraph chunking, the df cut, and ordered
+    reassembly byte-for-byte via the clean-text md5."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id", F.concat(F.lit(_BOILER + " "), F.col("text")).alias("btext")
+    )
+    clean = scrub.remove_boilerplate(
+        base, "doc_id", "btext",
+        para_tokens=_BP_K, max_df=_BP_MAX_DF, out_col="clean",
+    )
+    return clean.select(
+        "doc_id",
+        "n_para",
+        "n_kept",
+        F.md5("clean").alias("clean_md5"),
+        F.length("clean").cast("long").alias("clean_len"),
     )

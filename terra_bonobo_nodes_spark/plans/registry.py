@@ -72,6 +72,8 @@ _PRIORITY: tuple[str, ...] = (
     "asof_forward_next_click",
     "llm_incremental_dedup",
     "llm_curation_funnel",
+    "llm_pii_scrub",
+    "llm_boilerplate_removal",
     # --- (2) operator code changed since last green row (round 5) ---
     # asof_join gained a deterministic tie-break key in its window sort
     "asof_purchase_last_view",

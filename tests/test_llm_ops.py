@@ -782,3 +782,86 @@ def test_quantize_embeddings_error_bound(spark, sf_dir):
         for x, qi in zip(r.embedding, r.q):
             err = abs(float(x) - qi / r.scale)
             assert err <= 0.5 / r.scale + 1e-12, (r.vec_id, x, qi)
+
+
+# --- corpus hygiene (llm/scrub.py) ------------------------------------------
+
+
+def test_pii_redact_each_class(spark):
+    from terra_bonobo_nodes_spark.llm import scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.io now"),
+            (2, "server at 192.168.0.1 up"),
+            (3, "call +33 (0)6 01-02-03-04 today"),
+            (4, "acct 123456789012 closed"),
+            (5, "clean text only"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r for r in scrub.pii_redact(scrub.pii_counts(df)).collect()}
+    assert out[1].redacted == "mail <EMAIL> now" and out[1].n_email == 1
+    assert out[2].redacted == "server at <IPV4> up" and out[2].n_ipv4 == 1
+    assert out[3].redacted == "call <PHONE> today" and out[3].n_phone == 1
+    assert out[4].redacted == "acct <DIGIT_ID> closed" and out[4].n_digit_id == 1
+    assert out[5].redacted == "clean text only"
+    assert sum(out[5][f"n_{k}"] for k in scrub.PII_PATTERNS) == 0
+
+
+def test_pii_redact_order_ip_before_phone(spark):
+    from terra_bonobo_nodes_spark.llm import scrub
+
+    # the IP would also be swallowed by a leading-+-less phone pattern;
+    # the dict order guarantees it becomes <IPV4>, not part of <PHONE>
+    df = spark.createDataFrame([(1, "+1 555-0100 via 10.0.0.1")], "id long, text string")
+    r = scrub.pii_redact(df).collect()[0]
+    assert r.redacted == "<PHONE> via <IPV4>"
+
+
+def test_remove_boilerplate_drops_hot_and_reassembles(spark):
+    from terra_bonobo_nodes_spark.llm import scrub
+
+    boiler = "one two three four"
+    rows = [(i, f"{boiler} body{i} alpha beta gamma") for i in range(6)]
+    rows.append((99, boiler))  # all-boilerplate doc survives as ''
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in scrub.remove_boilerplate(
+            df, "doc_id", "text", para_tokens=4, max_df=5, out_col="clean"
+        ).collect()
+    }
+    assert len(out) == 7
+    for i in range(6):
+        assert out[i].clean == f"body{i} alpha beta gamma", out[i]
+        assert out[i].n_para == 2 and out[i].n_kept == 1
+    assert out[99].clean == "" and out[99].n_kept == 0
+
+
+def test_remove_boilerplate_keeps_below_df_threshold(spark):
+    from terra_bonobo_nodes_spark.llm import scrub
+
+    df = spark.createDataFrame(
+        [(i, "shared phrase here now plus tail " + "x" * (i + 1)) for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = scrub.remove_boilerplate(
+        df, "doc_id", "text", para_tokens=6, max_df=5, out_col="clean"
+    ).collect()
+    # df=3 <= max_df=5: nothing removed, order preserved
+    for r in out:
+        assert r.n_para == r.n_kept
+        assert r.clean.startswith("shared phrase here now plus tail")
+
+
+def test_remove_boilerplate_ordering_many_paragraphs(spark):
+    from terra_bonobo_nodes_spark.llm import scrub
+
+    words = " ".join(f"w{i:03d}" for i in range(40))  # 40 unique tokens
+    df = spark.createDataFrame([(7, words)], "doc_id long, text string")
+    r = scrub.remove_boilerplate(
+        df, "doc_id", "text", para_tokens=3, max_df=5, out_col="clean"
+    ).collect()[0]
+    assert r.clean == words  # 14 paragraphs reassembled in index order
+    assert r.n_para == 14 and r.n_kept == 14
