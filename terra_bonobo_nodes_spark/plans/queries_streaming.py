@@ -167,3 +167,57 @@ def stream_props_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "stream_dedup_replay",
+    oracle=f"""
+SELECT event_type, count(*) AS n_events, {DSUM_VALUE}
+FROM events
+GROUP BY 1
+""",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery recovery: the events feed replayed twice
+    (UNION ALL with itself — every event delivered exactly 2x), pushed
+    through ``dedup_within_watermark`` keyed on event_id, must restore
+    the original stream exactly — verified by aggregating the deduped
+    result against the pristine table. The streaming path
+    (dropDuplicatesWithinWatermark, bounded seen-key state) runs the
+    same operator, covered in tests/test_streaming.py."""
+    from terra_bonobo_nodes_spark.streaming.ops import dedup_within_watermark
+
+    ev = load_table(spark, sf_dir, "events")
+    replayed = ev.unionByName(ev)
+    deduped = dedup_within_watermark(replayed, ["event_id"], watermark="1 hour")
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "stream_static_enrich",
+    oracle=f"""
+SELECT n.n_name, count(*) AS n_events, {DSUM_VALUE}
+FROM events e JOIN nation n ON CAST(e.user_id % 25 AS INTEGER) = n.n_nationkey
+GROUP BY 1
+""",
+    tags=("streaming", "join"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment
+    (``streaming/ops.stream_static_enrich``): events pick up their
+    nation dimension row map-side (zero stream shuffle, no state
+    store), then roll up per nation. Streaming execution of the same
+    operator is pinned by tests/test_streaming.py."""
+    from terra_bonobo_nodes_spark.streaming import ops
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = ops.stream_static_enrich(ev, dim)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("sum_value"),
+    )

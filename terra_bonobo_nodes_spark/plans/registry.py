@@ -74,6 +74,8 @@ _PRIORITY: tuple[str, ...] = (
     "llm_curation_funnel",
     "llm_pii_scrub",
     "llm_boilerplate_removal",
+    "stream_dedup_replay",
+    "stream_static_enrich",
     # --- (2) operator code changed since last green row (round 5) ---
     # asof_join gained a deterministic tie-break key in its window sort
     "asof_purchase_last_view",

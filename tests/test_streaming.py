@@ -264,3 +264,42 @@ def test_stream_stream_interval_join_rejects_unbounded_outer(spark):
     ev = load_table(spark, SF_DIR, "events")
     with pytest.raises(ValueError, match="left_outer"):
         ops.stream_stream_interval_join(ev, ev, how="full_outer")
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    dim = load_table(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    stream = ops.read_events_stream(spark, SF_DIR)
+    enriched = ops.stream_static_enrich(stream, dim).groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    name = _run_stream(enriched, mode="complete")
+    got = {(r.n_name, r.n_events) for r in spark.table(name).collect()}
+    batch = (
+        ops.stream_static_enrich(load_table(spark, SF_DIR, "events"), dim)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    want = {(r.n_name, r.n_events) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_stream_static_enrich_no_stream_side_shuffle(spark):
+    dim = load_table(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    ev = load_table(spark, SF_DIR, "events")
+    plan = ops.stream_static_enrich(ev, dim)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stream_dedup_replay_restores_stream(spark):
+    # at-least-once replay: two stream readers over the same feed,
+    # unioned, deduped on event_id -> exactly the original event count
+    s1 = ops.read_events_stream(spark, SF_DIR)
+    s2 = ops.read_events_stream(spark, SF_DIR)
+    replayed = s1.unionByName(s2)
+    deduped = ops.dedup_within_watermark(replayed, ["event_id"], watermark="30 days")
+    name = _run_stream(deduped.select("event_id"), mode="append")
+    got = spark.table(name)
+    want = load_table(spark, SF_DIR, "events").count()
+    assert got.count() == want
+    assert got.distinct().count() == want
