@@ -960,3 +960,96 @@ def unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         "user_id", list(_EVENT_TYPES), "event_type", "sum_value"
     ).where(F.col("sum_value").isNotNull())
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,6)))
+            AS DOUBLE) AS revenue,
+       CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+    headline=True,
+    tags=("tpch", "join"),
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority, o_orderpriority standing in for the
+    schema's missing o_shippriority): selective dimension filter
+    broadcasts into the fact join, revenue decimal-accumulated, global
+    top-10 via orderBy+limit — Spark plans TakeOrderedAndProject (per-
+    partition heaps + driver merge), NOT a single-partition sort, so the
+    top-k is scale-safe. Tie-break on l_orderkey keeps the cut
+    deterministic across engines."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(rev, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "tpch_q17_small_quantity",
+    oracle="""
+SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) / 7.0,
+             4) AS avg_yearly,
+       count(*) AS n_small
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND CAST(l.l_quantity AS DECIMAL(20,6)) * 5
+      * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(20,6)))
+         FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""",
+    tags=("tpch", "subquery"),
+)
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), written as the
+    CORRELATED scalar-subquery SQL and handed to Catalyst, which
+    decorrelates both subqueries into per-part aggregates joined back —
+    no per-row re-scan survives in the physical plan (the plan audit
+    rejects any nested-loop fallback). The `qty < 0.2*avg` predicate is
+    restated in exact integer/decimal arithmetic (`qty*5*n < sum`) so
+    neither engine evaluates a float boundary."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("q17_part")
+    return spark.sql("""
+SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) / 7.0,
+             4) AS avg_yearly,
+       count(*) AS n_small
+FROM q17_lineitem l JOIN q17_part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND CAST(l.l_quantity AS DECIMAL(20,6)) * 5
+      * (SELECT count(*) FROM q17_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(20,6)))
+         FROM q17_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""")

@@ -48,3 +48,22 @@ def test_no_accidental_cartesian(name, spark):
     if name in CROSS_JOIN_OK:
         return  # documented intentional cross join (bounded by broadcast)
     assert not has_cross, f"{name} plans a cartesian join:\n{plan[:2000]}"
+
+
+def test_q3_topk_is_take_ordered_not_global_sort(spark):
+    """The global top-10 must plan as TakeOrderedAndProject (per-
+    partition heaps merged on the driver), never a single-partition
+    Sort — the difference between O(k) and O(n) driver memory."""
+    q = all_queries()["tpch_q3_shipping_priority"]
+    plan = q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q17_correlated_subqueries_decorrelate(spark):
+    """Catalyst must rewrite both correlated scalar subqueries into
+    per-part aggregates joined back — no per-outer-row re-scan."""
+    q = all_queries()["tpch_q17_small_quantity"]
+    plan = q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final per subquery
