@@ -301,3 +301,32 @@ def s5_k2_es_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = f"{tempfile.gettempdir()}/tbns_es_{tag}"
     load_in_es(part, root, "parts")
     return es_extract(spark, root, "parts")
+
+
+@register(
+    "s9_jsonl_roundtrip",
+    oracle="""
+SELECT p_partkey, p_name, p_size
+FROM part
+""",
+    tags=("S9", "jsonl"),
+)
+def s9_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part -> one JSONL document per brand (one JSON object per line,
+    the interchange shape every text corpus ships in) ->
+    ``jsonl_documents_to_rows`` explode+from_json -> recover the typed
+    rows exactly. Line assembly and parsing both stay JVM-side."""
+    from terra_bonobo_nodes_spark.sources.jsonl import jsonl_documents_to_rows
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_name", "p_size"
+    )
+    line = F.to_json(F.struct("p_partkey", "p_name", "p_size"))
+    docs = (
+        part.withColumn("_line", line)
+        .groupBy("p_brand")
+        .agg(F.concat_ws("\n", F.sort_array(F.collect_list("_line"))).alias("content"))
+    )
+    return jsonl_documents_to_rows(
+        docs, "content", "p_partkey BIGINT, p_name STRING, p_size INT"
+    )

@@ -78,6 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_static_enrich",
     "tpch_q3_shipping_priority",
     "tpch_q17_small_quantity",
+    "s9_jsonl_roundtrip",
     # --- (2) operator code changed since last green row (round 5) ---
     # asof_join gained a deterministic tie-break key in its window sort
     "asof_purchase_last_view",

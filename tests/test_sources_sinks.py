@@ -378,3 +378,54 @@ def test_es_conf_seam_option_mapping():
     assert ES_FORMAT == "org.elasticsearch.spark.sql"
     # default conf stays on the parquet stand-in
     assert ESConf().backend == "parquet"
+
+
+# --- S9: JSONL ---------------------------------------------------------------
+
+
+def test_jsonl_documents_to_rows_basic(spark):
+    from terra_bonobo_nodes_spark.sources.jsonl import jsonl_documents_to_rows
+
+    docs = spark.createDataFrame(
+        [('{"id": 1, "t": "a"}\n\n{"id": 2, "t": "b"}\r\n{"id": 3, "t": "c"}',)],
+        "content string",
+    )
+    rows = sorted(
+        (r.id, r.t)
+        for r in jsonl_documents_to_rows(docs, "content", "id BIGINT, t STRING").collect()
+    )
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_jsonl_malformed_line_yields_nulls_not_failure(spark):
+    from terra_bonobo_nodes_spark.sources.jsonl import jsonl_documents_to_rows
+
+    docs = spark.createDataFrame(
+        [('{"id": 1}\nnot json at all\n{"id": 3}',)], "content string"
+    )
+    out = jsonl_documents_to_rows(docs, "content", "id BIGINT")
+    ids = [r.id for r in out.collect()]
+    assert sorted(i for i in ids if i is not None) == [1, 3]
+    assert ids.count(None) == 1
+    assert [r.id for r in out.filter("id IS NOT NULL").collect()] == [1, 3]
+
+
+def test_jsonl_requires_schema(spark):
+    import pytest as _pytest
+
+    from terra_bonobo_nodes_spark.sources.jsonl import jsonl_documents_to_rows
+
+    docs = spark.createDataFrame([("{}",)], "content string")
+    with _pytest.raises(ValueError):
+        jsonl_documents_to_rows(docs, "content", "")
+
+
+def test_read_jsonl_path_scan(spark, tmp_path):
+    import json
+
+    from terra_bonobo_nodes_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(json.dumps({"id": i, "t": f"d{i}"}) for i in range(5)))
+    df = read_jsonl(spark, str(p), "id BIGINT, t STRING")
+    assert df.count() == 5 and sorted(r.id for r in df.collect()) == list(range(5))
