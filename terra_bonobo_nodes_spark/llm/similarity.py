@@ -444,3 +444,133 @@ def quantize_embeddings(
         .cast("int"),
     )
     return out.withColumn(q_col, q)
+
+
+def quantized_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    coarse_k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    max_query_rows: int = 10_000,
+) -> DataFrame:
+    """Two-stage retrieval: int8 coarse scoring, exact float re-rank.
+
+    Stage 1 streams the corpus through ONE mapInPandas pass that
+    quantizes each Arrow batch on the fly (the same
+    ``floor(x * 127/max|x| + 0.5)`` closed form as
+    :func:`quantize_embeddings`) and scores it against the quantized
+    query matrix with INTEGER dot products — exact, order-independent
+    arithmetic, so the coarse candidate cut is bit-reproducible on any
+    engine and any partitioning (float coarse scores would make the
+    candidate set partition-dependent at the boundary). Each batch
+    emits only its local top-``coarse_k`` per query; a window keeps the
+    global ``coarse_k``.
+
+    Stage 2 re-ranks ONLY the ``|Q|·coarse_k`` survivors: an equi-join
+    back to the float corpus (the small candidate side broadcasts into
+    the scan) and the deterministic ``dot_exact`` fold for the true
+    cosine, ranked to ``k``.
+
+    This is the standard memory-bound ANN layout at 100 TB: the int8
+    corpus is 4x smaller than float32 (scan half of stage 1) and the
+    expensive float pass touches a vanishing fraction of rows. Recall
+    loss comes only from quantization error at the coarse boundary —
+    bounded, and pinned by a pytest against brute force.
+
+    Ties break (score DESC, id ASC) at BOTH stages, so results are
+    engine- and partitioning-independent end to end.
+    """
+    q_rows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"quantized_rerank_topk: query side exceeds max_query_rows="
+            f"{max_query_rows} (collected to the driver by contract; see "
+            "brute_force_topk)"
+        )
+    if not q_rows:
+        schema = (
+            f"{query_id_col} long, neighbor_id long, coarse_score long, "
+            "cos_sim double, rank int"
+        )
+        return corpus.sparkSession.createDataFrame([], schema)
+
+    def _quantize(m: "np.ndarray") -> "np.ndarray":
+        max_abs = np.abs(m).max(axis=1)
+        scale = np.where(max_abs > 0.0, 127.0 / np.where(max_abs > 0.0, max_abs, 1.0), 0.0)
+        return np.floor(m * scale[:, None] + 0.5).astype(np.int64)
+
+    q_ids = [r[0] for r in q_rows]
+    qm = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    qq = _quantize(qm)
+    q_id_arr = np.array(q_ids)
+    ck = int(coarse_k)
+
+    def coarse_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(
+                [[float(x) for x in v] for v in pdf[vec_col]], dtype=np.float64
+            )
+            c_ids = pdf[id_col].to_numpy()
+            cq = _quantize(cm)
+            scores = cq @ qq.T  # int64 exact
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(q_ids)):
+                col = scores[:, j]
+                keep = c_ids != q_id_arr[j]
+                cand_ids, cand_s = c_ids[keep], col[keep]
+                order = np.lexsort((cand_ids, -cand_s))[:ck]
+                out_q.extend([q_ids[j]] * len(order))
+                out_n.extend(cand_ids[order])
+                out_s.extend(cand_s[order])
+            yield pd.DataFrame(
+                {
+                    query_id_col: out_q,
+                    "neighbor_id": out_n,
+                    "coarse_score": np.array(out_s, dtype=np.int64),
+                }
+            )
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    coarse_schema = (
+        f"{query_id_col} {id_type}, neighbor_id {id_type}, coarse_score long"
+    )
+    coarse = corpus.select(id_col, vec_col).mapInPandas(coarse_batches, coarse_schema)
+    wc = Window.partitionBy(query_id_col).orderBy(
+        F.col("coarse_score").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        coarse.withColumn("_crank", F.row_number().over(wc))
+        .where(F.col("_crank") <= coarse_k)
+        .drop("_crank")
+    )
+
+    # stage 2: exact re-rank of the survivors only
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv")
+    )
+    joined = (
+        nvec.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qvec), query_id_col)
+    )
+    cos = dot_exact(F.col("_qv"), F.col("_nv")) / (
+        norm(F.col("_qv")) * norm(F.col("_nv"))
+    )
+    wr = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "coarse_score", "cos_sim", "rank")
+    )

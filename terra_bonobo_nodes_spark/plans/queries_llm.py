@@ -1229,3 +1229,64 @@ def llm_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("clean").alias("clean_md5"),
         F.length("clean").cast("long").alias("clean_len"),
     )
+
+
+_RR_NQ, _RR_CK, _RR_K = 10, 40, 5
+_INT_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_zip({a}, {b}), x -> x[1] * x[2])), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@register(
+    "llm_quantized_rerank_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, {_CAST_EMB} AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         CASE WHEN list_aggregate(list_transform(v, x -> abs(x)), 'max') > 0.0
+              THEN 127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max')
+              ELSE 0.0 END AS scale
+  FROM e),
+z AS (SELECT vec_id, v,
+             list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
+      FROM s),
+q AS (SELECT vec_id AS query_id, v AS qfv, qv AS qqv FROM z
+      WHERE vec_id < {_RR_NQ}),
+coarse AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_INT_DOT.format(a="c.qv", b="q.qqv")} AS coarse_score,
+         c.v AS nv, q.qfv AS qv2
+  FROM z c CROSS JOIN q WHERE c.vec_id != q.query_id),
+cand AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY coarse_score DESC, neighbor_id ASC) AS crank
+    FROM coarse) WHERE crank <= {_RR_CK}),
+rer AS (
+  SELECT query_id, neighbor_id, coarse_score,
+         {similarity.dot_exact_sql('qv2', 'nv')}
+           / ({similarity.norm_sql('qv2')} * {similarity.norm_sql('nv')}) AS cos_sim
+  FROM cand)
+SELECT query_id, neighbor_id, coarse_score, cos_sim, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM rer)
+WHERE rank <= {_RR_K}
+""",
+    tags=("llm", "similarity"),
+)
+def llm_quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (llm/similarity.quantized_rerank_topk):
+    int8 integer-dot coarse cut (exact arithmetic — the candidate set
+    is engine/partitioning-independent) then float re-rank of the
+    survivors only. The oracle replays both stages bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = similarity.quantized_rerank_topk(
+        emb, emb.where(F.col("vec_id") < _RR_NQ), k=_RR_K, coarse_k=_RR_CK
+    )
+    return out.select(
+        "query_id", "neighbor_id", "coarse_score", "cos_sim",
+        F.col("rank").cast("int").alias("rank"),
+    )

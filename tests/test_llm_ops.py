@@ -865,3 +865,43 @@ def test_remove_boilerplate_ordering_many_paragraphs(spark):
     ).collect()[0]
     assert r.clean == words  # 14 paragraphs reassembled in index order
     assert r.n_para == 14 and r.n_kept == 14
+
+
+def test_quantized_rerank_equals_brute_force_when_coarse_covers_all(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    q = emb.where("vec_id < 3")
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in similarity.brute_force_topk(emb, q, k=4).collect()
+    }
+    rr = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in similarity.quantized_rerank_topk(emb, q, k=4, coarse_k=n).collect()
+    }
+    assert rr == exact  # full coarse pass -> re-rank IS brute force
+
+
+def test_quantized_rerank_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = emb.where("vec_id < 5")
+    exact = similarity.brute_force_topk(emb, q, k=5).collect()
+    approx = similarity.quantized_rerank_topk(emb, q, k=5, coarse_k=40).collect()
+    want = {(r.query_id, r.neighbor_id) for r in exact}
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, f"int8 coarse cut lost too much: recall={recall}"
+
+
+def test_quantized_rerank_query_cap(spark, sf_dir):
+    import pytest as _pytest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    with _pytest.raises(ValueError, match="max_query_rows"):
+        similarity.quantized_rerank_topk(emb, emb, max_query_rows=10)
