@@ -66,3 +66,51 @@ def clean_older_than(
     """
     cut = F.lit(cutoff).cast("timestamp") if isinstance(cutoff, str) else cutoff
     return df.filter(F.col(ts_col) >= cut)
+
+
+def linear_trend(
+    df: DataFrame,
+    group_by: Sequence[str],
+    x: Column,
+    y: Column,
+    slope_col: str = "slope",
+    intercept_col: str = "intercept",
+    n_col: str = "n",
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend (slope + intercept of y
+    over x) from exact accumulated moments — the per-entity drift /
+    velocity feature a curation or monitoring pipeline extracts from
+    event streams (the reference computes rate-of-change features
+    row-at-a-time in its ValueHolder accumulators, common.py:522-564).
+
+    Numerics contract: the four moments Σx, Σy, Σxy, Σx² accumulate in
+    DECIMAL(38,6) — reduction-order-independent, so partial/final
+    aggregation equals any sequential fold bit-for-bit, at the price of
+    quantizing each term to 1e-6 before accumulating. Feed INTEGRAL x
+    and y (e.g. epoch seconds offset to a small origin, values in
+    cents) to make that quantization a no-op and the moments fully
+    exact; rescale slope/intercept in a projection afterwards. Only the
+    final slope/intercept arithmetic runs in double, on identical
+    inputs, so the result is engine- and partitioning-independent.
+
+    One shuffle on the group key with map-side partial aggregation;
+    constant state per group.
+    """
+    xd, yd = x.cast("double"), y.cast("double")
+    dec = "decimal(38,6)"
+    m = df.groupBy(*group_by).agg(
+        F.count(F.lit(1)).alias(n_col),
+        F.sum(xd.cast(dec)).alias("_sx"),
+        F.sum(yd.cast(dec)).alias("_sy"),
+        F.sum((xd * yd).cast(dec)).alias("_sxy"),
+        F.sum((xd * xd).cast(dec)).alias("_sxx"),
+    )
+    n = F.col(n_col).cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy, sxx = F.col("_sxy").cast("double"), F.col("_sxx").cast("double")
+    det = n * sxx - sx * sx
+    slope = F.when(det != 0.0, (n * sxy - sx * sy) / det).otherwise(F.lit(0.0))
+    out = m.withColumn(slope_col, slope)
+    return out.withColumn(
+        intercept_col, (sy - F.col(slope_col) * sx) / n
+    ).drop("_sx", "_sy", "_sxy", "_sxx")

@@ -1017,3 +1017,36 @@ def g7e_transform_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(K.st_y("geom"), 4) + F.lit(0.0)).alias("py"),
         (rt_err < 1e-9).alias("rt_ok"),
     )
+
+
+_ZB = 9  # 9 bits cover cx in [0,360], cy in [0,170]
+
+
+@register(
+    "spatial_zorder_code",
+    oracle="""
+WITH pts AS (
+  SELECT event_id,
+         CAST(floor(((value % 360) - 180) + 180) AS BIGINT) AS cx,
+         CAST(floor(((value % 170) - 85) + 85) AS BIGINT) AS cy
+  FROM events)
+SELECT event_id, cx, cy,
+       ((cx // 1) % 2) * 1 + ((cy // 1) % 2) * 2 + ((cx // 2) % 2) * 4 + ((cy // 2) % 2) * 8 + ((cx // 4) % 2) * 16 + ((cy // 4) % 2) * 32 + ((cx // 8) % 2) * 64 + ((cy // 8) % 2) * 128 + ((cx // 16) % 2) * 256 + ((cy // 16) % 2) * 512 + ((cx // 32) % 2) * 1024 + ((cy // 32) % 2) * 2048 + ((cx // 64) % 2) * 4096 + ((cy // 64) % 2) * 8192 + ((cx // 128) % 2) * 16384 + ((cy // 128) % 2) * 32768 + ((cx // 256) % 2) * 65536 + ((cy // 256) % 2) * 131072 AS z
+FROM pts
+""",
+    tags=("spatial", "layout"),
+)
+def spatial_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) codes for the synthetic event points
+    (operators/clustering.morton_code): the write-side layout key that
+    turns parquet min/max stats into a spatial index (see
+    zorder_layout). The oracle recomputes the interleave with plain
+    integer arithmetic, pinning every shift/mask term."""
+    from terra_bonobo_nodes_spark.operators.clustering import morton_code
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(((F.col("value") % 360) - 180) + 180).cast("long").alias("cx"),
+        F.floor(((F.col("value") % 170) - 85) + 85).cast("long").alias("cy"),
+    )
+    return ev.withColumn("z", morton_code(F.col("cx"), F.col("cy"), bits=_ZB))

@@ -1053,3 +1053,62 @@ WHERE p.p_brand = 'Brand#13'
       < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(20,6)))
          FROM q17_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
 """)
+
+
+_TREND_EPOCH_OFF = 1704067200  # epoch seconds of 2024-01-01 00:00:00 UTC
+
+
+@register(
+    "t5_user_value_trend",
+    oracle=f"""
+WITH b AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) - {_TREND_EPOCH_OFF} AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events),
+m AS (
+  SELECT user_id, count(*) AS n,
+         SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,6))) AS sx,
+         SUM(CAST(CAST(y AS DOUBLE) AS DECIMAL(38,6))) AS sy,
+         SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,6))) AS sxy,
+         SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,6))) AS sxx
+  FROM b GROUP BY 1),
+s AS (
+  SELECT user_id, n,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+         CAST(sxx AS DOUBLE) AS sxxd
+  FROM m),
+t AS (
+  SELECT user_id, n, nd, sxd, syd,
+         CASE WHEN nd * sxxd - sxd * sxd != 0.0
+              THEN (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+              ELSE 0.0 END AS slope
+  FROM s)
+SELECT user_id, n,
+       round(slope * 86400.0 / 100.0, 6) AS slope_per_day,
+       round((syd - slope * sxd) / nd / 100.0, 6) AS intercept_value
+FROM t
+""",
+    tags=("stateful", "trend"),
+)
+def t5_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS value trend (operators/stateful.linear_trend): the
+    drift feature over event streams, from DECIMAL-exact integral
+    moments (x = epoch seconds offset to the corpus origin, y = value
+    in cents) so every engine and partitioning produces the same
+    slope bit-for-bit; slope rescaled to value/day in the projection."""
+    from terra_bonobo_nodes_spark.operators.stateful import linear_trend
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_timestamp("ts") - F.lit(_TREND_EPOCH_OFF)).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    t = linear_trend(ev, ["user_id"], F.col("x"), F.col("y"))
+    return t.select(
+        "user_id",
+        "n",
+        F.round(F.col("slope") * 86400.0 / 100.0, 6).alias("slope_per_day"),
+        F.round(F.col("intercept") / 100.0, 6).alias("intercept_value"),
+    )

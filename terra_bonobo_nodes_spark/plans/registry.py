@@ -80,6 +80,8 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q17_small_quantity",
     "s9_jsonl_roundtrip",
     "llm_quantized_rerank_topk",
+    "t5_user_value_trend",
+    "spatial_zorder_code",
     # --- (2) operator code changed since last green row (round 5) ---
     # asof_join gained a deterministic tie-break key in its window sort
     "asof_purchase_last_view",

@@ -429,3 +429,34 @@ def test_read_jsonl_path_scan(spark, tmp_path):
     p.write_text("\n".join(json.dumps({"id": i, "t": f"d{i}"}) for i in range(5)))
     df = read_jsonl(spark, str(p), "id BIGINT, t STRING")
     assert df.count() == 5 and sorted(r.id for r in df.collect()) == list(range(5))
+
+
+# --- linear_trend ------------------------------------------------------------
+
+
+def test_linear_trend_exact_line_and_degenerate_group(spark):
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.operators.stateful import linear_trend
+
+    rows = [("a", x, 2 * x + 1) for x in range(10)]
+    rows += [("b", 5, y) for y in (3, 7)]  # constant x -> det = 0
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r.g: r for r in linear_trend(df, ["g"], F.col("x"), F.col("y")).collect()}
+    assert out["a"].n == 10
+    assert abs(out["a"].slope - 2.0) < 1e-12
+    assert abs(out["a"].intercept - 1.0) < 1e-12
+    assert out["b"].slope == 0.0
+
+
+def test_linear_trend_partitioning_independent(spark):
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.operators.stateful import linear_trend
+
+    rows = [("g", x, (x * 37) % 11) for x in range(1000)]
+    df1 = spark.createDataFrame(rows, "g string, x long, y long").repartition(1)
+    df32 = spark.createDataFrame(rows, "g string, x long, y long").repartition(32)
+    r1 = linear_trend(df1, ["g"], F.col("x"), F.col("y")).collect()[0]
+    r32 = linear_trend(df32, ["g"], F.col("x"), F.col("y")).collect()[0]
+    assert r1.slope == r32.slope and r1.intercept == r32.intercept  # bitwise

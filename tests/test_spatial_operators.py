@@ -397,3 +397,60 @@ def test_interval_point_join_no_cartesian_plan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- Z-order layout ----------------------------------------------------------
+
+
+def test_morton_code_matches_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.operators.clustering import morton_code
+
+    def ref(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z += ((x >> i) & 1) << (2 * i)
+            z += ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(x, y) for x in (0, 1, 3, 5, 255, 511) for y in (0, 2, 5, 170, 511)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn("z", morton_code(F.col("x"), F.col("y"), 16)).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == ref(x, y), (x, y)
+    assert got[(3, 5)] == 39  # worked example: x=011, y=101 interleave
+
+
+def test_zorder_layout_partitions_are_sorted_disjoint_ranges(spark):
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.operators.clustering import zorder_layout
+
+    df = spark.range(2000).select(
+        (F.col("id") % 61).alias("x"), ((F.col("id") * 7) % 53).alias("y")
+    )
+    laid = zorder_layout(df, F.col("x"), F.col("y"), bits=8, n_partitions=8)
+
+    def per_part(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf):
+                zs = pdf["z"].tolist()
+                yield pd.DataFrame(
+                    {
+                        "lo": [min(zs)],
+                        "hi": [max(zs)],
+                        "is_sorted": [zs == sorted(zs)],
+                    }
+                )
+
+    parts = laid.select("z").mapInPandas(per_part, "lo long, hi long, is_sorted boolean").collect()
+    assert parts and all(p.is_sorted for p in parts)
+    spans = sorted((p.lo, p.hi) for p in parts)
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert h1 <= l2, "range partitions overlap"  # disjoint min/max stats
