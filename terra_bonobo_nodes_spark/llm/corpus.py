@@ -178,3 +178,27 @@ def temperature_mix_weights(
         F.round(weight, 6).alias("mix_weight"),
         F.round(weight / share, 6).alias("boost"),
     )
+
+
+def reservoir_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    n: int,
+    id_col: str = "doc_id",
+    seed: str = "tbns-reservoir-v1",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic fixed-SIZE per-group sample (the eval-set builder:
+    'exactly n held-out docs per language/source'), complementing
+    :func:`stratified_sample`'s fixed-RATE filter. Rows rank by the
+    seeded md5 of their id within the group — a uniform random order
+    that is reproducible across engines, partitionings and reruns, and
+    stable under appends (new rows displace old ones only by hash
+    order, never by arrival order). One shuffle on the group key; the
+    window's per-group state is the running rank, not the group."""
+    order = hash32(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= n)
+    )

@@ -1290,3 +1290,37 @@ def llm_quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "coarse_score", "cos_sim",
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+_RSV_N, _RSV_SEED = 15, "tbns-reservoir-v1"
+
+
+@register(
+    "llm_reservoir_sample",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {hashing.hash32_sql(f"'{_RSV_SEED}' || CAST(doc_id AS VARCHAR)")} AS u
+  FROM documents),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY u ASC, doc_id ASC)
+           AS sample_rank
+  FROM h)
+SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= {_RSV_N}
+""",
+    tags=("llm", "corpus", "sample"),
+)
+def llm_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sampling (llm/corpus.reservoir_sample):
+    exactly n docs per language, selected by seeded-hash rank — the
+    deterministic eval-set builder. The oracle replays the identical
+    hash ordering, so the SELECTED SET matches, not just its size."""
+    from terra_bonobo_nodes_spark.llm.corpus import reservoir_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = reservoir_sample(docs, ["lang"], _RSV_N, "doc_id", seed=_RSV_SEED)
+    return out.select(
+        "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
+    )

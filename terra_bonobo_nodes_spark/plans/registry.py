@@ -82,6 +82,9 @@ _PRIORITY: tuple[str, ...] = (
     "llm_quantized_rerank_topk",
     "t5_user_value_trend",
     "spatial_zorder_code",
+    "llm_reservoir_sample",
+    "funnel_view_click_purchase",
+    "cohort_daily_retention",
     # --- (2) operator code changed since last green row (round 5) ---
     # asof_join gained a deterministic tie-break key in its window sort
     "asof_purchase_last_view",
