@@ -114,3 +114,40 @@ def linear_trend(
     return out.withColumn(
         intercept_col, (sy - F.col(slope_col) * sx) / n
     ).drop("_sx", "_sy", "_sxy", "_sxx")
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value: Column,
+    weight: Column,
+    out_col: str = "w_median",
+) -> DataFrame:
+    """Exact lower weighted median per group: the smallest value v such
+    that the total weight of rows with value <= v reaches half the
+    group's weight. Integer weights + the ``2*cum >= W`` comparison
+    keep the decision free of float division, so every engine and
+    partitioning picks the same v (ties in v are first pre-aggregated
+    away, so within-value order cannot matter).
+
+    Plan: groupBy(group, value) collapses duplicates map-side, ONE
+    window cumsum ordered by value within the group, one min. State is
+    one running sum per group — no sort-the-world, no collect."""
+    g = list(group_cols)
+    per_v = df.groupBy(*g, value.alias("_v")).agg(
+        F.sum(weight.cast("long")).alias("_w")
+    )
+    w_cum = (
+        Window.partitionBy(*g)
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*g)
+    cum = per_v.withColumn("_cum", F.sum("_w").over(w_cum)).withColumn(
+        "_tot", F.sum("_w").over(w_all)
+    )
+    return (
+        cum.where(2 * F.col("_cum") >= F.col("_tot"))
+        .groupBy(*g)
+        .agg(F.min("_v").alias(out_col))
+    )

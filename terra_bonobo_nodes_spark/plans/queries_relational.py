@@ -1213,3 +1213,103 @@ def cohort_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+WITH pv AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2),
+c AS (
+  SELECT l_returnflag, v, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM pv)
+SELECT l_returnflag, min(v) AS w_median
+FROM c WHERE 2 * cum >= tot
+GROUP BY 1
+""",
+    tags=("analytics", "aggregate"),
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag
+    (operators/stateful.weighted_median). The integer 2*cum >= tot
+    decision makes the selection float-division-free, so the chosen
+    value is identical on every engine and partitioning."""
+    from terra_bonobo_nodes_spark.operators.stateful import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return weighted_median(
+        li, ["l_returnflag"], F.col("l_extendedprice"), F.col("l_quantity")
+    )
+
+
+_COV_WIN = 300  # each event covers [ts, ts+300s)
+
+
+@register(
+    "interval_union_coverage",
+    oracle=f"""
+WITH iv AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + {_COV_WIN} AS e
+  FROM events),
+m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s ASC, e ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv),
+isl AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s ASC, e ASC
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM m),
+u AS (
+  SELECT user_id, island, min(s) AS s0, max(e) AS e1
+  FROM isl GROUP BY 1, 2)
+SELECT user_id,
+       count(*) AS n_islands,
+       SUM(e1 - s0) AS covered_seconds
+FROM u GROUP BY 1
+""",
+    tags=("analytics", "interval"),
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union length of overlapping per-user activity intervals
+    (gaps-and-islands): each event covers 5 minutes; overlapping covers
+    merge, and the query reports islands + total covered seconds in
+    exact BIGINT arithmetic. One window pass per user ordered by start
+    — the standard time-in-state computation, never an interval
+    self-join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + _COV_WIN).alias("e"),
+    )
+    w_order = Window.partitionBy("user_id").orderBy(F.col("s").asc(), F.col("e").asc())
+    prev_max = F.max("e").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn(
+        "_new",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum("_new").over(w_order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    u = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("s0"), F.max("e").alias("e1")
+    )
+    return u.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("e1") - F.col("s0")).alias("covered_seconds"),
+    )

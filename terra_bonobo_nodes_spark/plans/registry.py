@@ -85,6 +85,8 @@ _PRIORITY: tuple[str, ...] = (
     "llm_reservoir_sample",
     "funnel_view_click_purchase",
     "cohort_daily_retention",
+    "weighted_median_price",
+    "interval_union_coverage",
     # --- (2) operator code changed since last green row (round 5) ---
     # asof_join gained a deterministic tie-break key in its window sort
     "asof_purchase_last_view",

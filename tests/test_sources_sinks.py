@@ -460,3 +460,24 @@ def test_linear_trend_partitioning_independent(spark):
     r1 = linear_trend(df1, ["g"], F.col("x"), F.col("y")).collect()[0]
     r32 = linear_trend(df32, ["g"], F.col("x"), F.col("y")).collect()[0]
     assert r1.slope == r32.slope and r1.intercept == r32.intercept  # bitwise
+
+
+def test_weighted_median_exact_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.operators.stateful import weighted_median
+
+    rows = [
+        # group a: values 1(w3), 2(w1), 10(w2) -> W=6, half=3 -> cum at v=1 is 3
+        ("a", 1.0, 3), ("a", 2.0, 1), ("a", 10.0, 2),
+        # group b: uniform weights, even count -> lower median
+        ("b", 1.0, 1), ("b", 2.0, 1), ("b", 3.0, 1), ("b", 4.0, 1),
+        # group c: duplicate values aggregate before the cumsum
+        ("c", 5.0, 1), ("c", 5.0, 1), ("c", 6.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    out = {
+        r.g: r.w_median
+        for r in weighted_median(df, ["g"], F.col("v"), F.col("w")).collect()
+    }
+    assert out == {"a": 1.0, "b": 2.0, "c": 5.0}
