@@ -1182,6 +1182,7 @@ _BP_MAX_DF = 5
 
 @register(
     "llm_boilerplate_removal",
+    headline=True,
     oracle=f"""
 WITH base AS (SELECT doc_id, '{_BOILER} ' || text AS btext FROM documents),
 tok AS (SELECT doc_id,
@@ -1241,6 +1242,7 @@ _INT_DOT = (
 
 @register(
     "llm_quantized_rerank_topk",
+    headline=True,
     oracle=f"""
 WITH e AS (SELECT vec_id, {_CAST_EMB} AS v FROM embeddings),
 s AS (

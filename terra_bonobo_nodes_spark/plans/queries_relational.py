@@ -1254,6 +1254,7 @@ _COV_WIN = 300  # each event covers [ts, ts+300s)
 
 @register(
     "interval_union_coverage",
+    headline=True,
     oracle=f"""
 WITH iv AS (
   SELECT user_id,
@@ -1277,7 +1278,7 @@ u AS (
   FROM isl GROUP BY 1, 2)
 SELECT user_id,
        count(*) AS n_islands,
-       SUM(e1 - s0) AS covered_seconds
+       CAST(SUM(e1 - s0) AS BIGINT) AS covered_seconds
 FROM u GROUP BY 1
 """,
     tags=("analytics", "interval"),
@@ -1312,4 +1313,27 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_islands"),
         F.sum(F.col("e1") - F.col("s0")).alias("covered_seconds"),
+    )
+
+
+@register(
+    "t6_isotonic_value_fit",
+    oracle=None,  # data-dependent iterative pooling: not SQL-expressible
+    tags=("analytics", "grouped-map"),
+)
+def t6_isotonic_value_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user isotonic (monotone non-decreasing) fit of event value
+    over time via the PAVA grouped-map operator
+    (operators/grouped.isotonic_fit) — the applyInPandas extension
+    point exercised end-to-end. Rows-only driver check by design;
+    the algorithm is pinned against an independent quadratic reference
+    and partitioning-invariance tests in pytest."""
+    from terra_bonobo_nodes_spark.operators.grouped import isotonic_fit
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("x"), F.col("value").alias("y")
+    )
+    out = isotonic_fit(ev, ["user_id"], "x", "y")
+    return out.select(
+        "user_id", "x", F.round("y_iso", 4).alias("y_iso")
     )

@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "cohort_daily_retention",
     "weighted_median_price",
     "interval_union_coverage",
+    "t6_isotonic_value_fit",
     # --- (2) operator code changed since last green row (round 5) ---
     # asof_join gained a deterministic tie-break key in its window sort
     "asof_purchase_last_view",

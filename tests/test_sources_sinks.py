@@ -481,3 +481,114 @@ def test_weighted_median_exact_semantics(spark):
         for r in weighted_median(df, ["g"], F.col("v"), F.col("w")).collect()
     }
     assert out == {"a": 1.0, "b": 2.0, "c": 5.0}
+
+
+# --- compaction --------------------------------------------------------------
+
+
+def test_compact_parquet_dir_reduces_files_preserves_rows(spark, tmp_path):
+    from terra_bonobo_nodes_spark.sinks.compact import (
+        compact_parquet_dir,
+        parquet_file_stats,
+    )
+
+    tgt = str(tmp_path / "frag")
+    spark.range(10_000).repartition(64).write.parquet(tgt)
+    n_before, total = parquet_file_stats(tgt)
+    assert n_before == 64
+    n_after = compact_parquet_dir(spark, tgt, target_bytes=max(total, 1))
+    assert 1 <= n_after < n_before
+    df = spark.read.parquet(tgt)
+    assert df.count() == 10_000
+    assert df.selectExpr("sum(id) s").collect()[0].s == 10_000 * 9_999 // 2
+
+
+def test_compact_parquet_dir_noop_when_already_compact(spark, tmp_path):
+    from terra_bonobo_nodes_spark.sinks.compact import compact_parquet_dir
+
+    tgt = str(tmp_path / "ok")
+    spark.range(100).coalesce(1).write.parquet(tgt)
+    assert compact_parquet_dir(spark, tgt) == -1  # single file: nothing to do
+
+
+def test_compact_parquet_dir_sort_cols_restore_clustering(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.sinks.compact import compact_parquet_dir
+
+    tgt = str(tmp_path / "clustered")
+    spark.range(5_000).withColumn("z", F.col("id") % 97).repartition(32).write.parquet(tgt)
+    n_after = compact_parquet_dir(spark, tgt, target_bytes=1 << 40, sort_cols=["z"])
+    assert n_after == 1
+
+    def per_part(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf):
+                zs = pdf["z"].tolist()
+                yield pd.DataFrame({"is_sorted": [zs == sorted(zs)]})
+
+    parts = (
+        spark.read.parquet(tgt).select("z")
+        .mapInPandas(per_part, "is_sorted boolean")
+        .collect()
+    )
+    assert parts and all(p.is_sorted for p in parts)
+
+
+# --- grouped-map: isotonic fit ----------------------------------------------
+
+
+def _pava_quadratic_reference(y):
+    """O(n^2) textbook PAVA: repeatedly merge adjacent violating pools."""
+    pools = [[v, 1.0] for v in y]  # [mean, weight]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(pools) - 1):
+            if pools[i][0] > pools[i + 1][0] + 1e-15:
+                m = (
+                    pools[i][0] * pools[i][1] + pools[i + 1][0] * pools[i + 1][1]
+                ) / (pools[i][1] + pools[i + 1][1])
+                pools[i] = [m, pools[i][1] + pools[i + 1][1]]
+                del pools[i + 1]
+                changed = True
+                break
+    out = []
+    for m, w in pools:
+        out.extend([m] * int(round(w)))
+    return out
+
+
+def test_pava_matches_quadratic_reference():
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.operators.grouped import pava
+
+    rng = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0]
+    got = pava(np.array(rng), np.ones(len(rng)))
+    want = _pava_quadratic_reference(rng)
+    assert np.allclose(got, want)
+    assert all(a <= b + 1e-12 for a, b in zip(got, got[1:]))  # monotone
+    assert abs(got.sum() - sum(rng)) < 1e-9  # mean-preserving
+
+
+def test_isotonic_fit_through_spark_and_partition_invariance(spark):
+    from terra_bonobo_nodes_spark.operators.grouped import isotonic_fit
+
+    rows = [("u", x, float((x * 37) % 11)) for x in range(200)]
+    rows += [("v", x, float(x)) for x in range(50)]  # already monotone
+    df1 = spark.createDataFrame(rows, "g string, x long, y double").repartition(1)
+    df16 = spark.createDataFrame(rows, "g string, x long, y double").repartition(16)
+    r1 = {
+        (r.g, r.x): r.y_iso for r in isotonic_fit(df1, ["g"], "x", "y").collect()
+    }
+    r16 = {
+        (r.g, r.x): r.y_iso for r in isotonic_fit(df16, ["g"], "x", "y").collect()
+    }
+    assert r1 == r16  # bitwise partitioning-independence
+    v_curve = [r1[("v", x)] for x in range(50)]
+    assert v_curve == [float(x) for x in range(50)]  # monotone input unchanged
+    u_curve = [r1[("u", x)] for x in range(200)]
+    assert all(a <= b + 1e-12 for a, b in zip(u_curve, u_curve[1:]))
