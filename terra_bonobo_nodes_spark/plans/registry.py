@@ -88,6 +88,15 @@ _PRIORITY: tuple[str, ...] = (
     "weighted_median_price",
     "interval_union_coverage",
     "t6_isotonic_value_fit",
+    # --- (1b) r02-stale greens, promoted above section (2) this round:
+    # their last driver row is three rounds old (oldest in the registry),
+    # while every section-(2) entry has an r04 green and the round-5
+    # events-read refactor behind it was replica-verified at sf0.01 in
+    # session. With ~50 driver rows and 116 queries, leaving them below
+    # section (2) would age them past the two-round contract again.
+    "setops_customer_segments",
+    "star_join_revenue_by_region",
+    "s5_k2_es_roundtrip",
     # --- (2) operator code changed since last green row (round 5) ---
     # asof_join gained a deterministic tie-break key in its window sort
     "asof_purchase_last_view",
@@ -125,11 +134,7 @@ _PRIORITY: tuple[str, ...] = (
     "t1_isochrone_subtraction_geo",
     "pipeline_file_import",
     "pipeline_osm_clusters",
-    # --- (3) stale greens, oldest round first ---
-    # r02 (no row since; code unchanged)
-    "setops_customer_segments",
-    "star_join_revenue_by_region",
-    "s5_k2_es_roundtrip",
+    # --- (3) stale greens, oldest round first (r02 trio promoted to 1b) ---
     # r03, cheapest first
     "llm_token_count",
     "llm_bpe_token_count",
