@@ -206,3 +206,44 @@ def test_rectilinear_union_matches_dissolve(rect_specs):
     grid = ops.union_area(gs)           # coordinate-compressed grid count
     dissolved = ops.area(ops.union_dissolve(gs))  # difference-fold overlay
     assert abs(grid - dissolved) < 1e-6 * max(1.0, grid)
+
+
+# --- PII regex portability (Java ≡ RE2 ≡ Python re on the chosen subset) ----
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.text(
+                alphabet="abcdefghijklmnopqrstuvwxyz .,-+()@0123456789",
+                min_size=0,
+                max_size=24,
+            ),
+            st.sampled_from(
+                [
+                    "bob.smith+x@corp.example.io",
+                    "10.0.0.1",
+                    "192.168.255.254",
+                    "+1 (555) 010-1234",
+                    "+33601020304",
+                    "123456789012",
+                    "999888777666555",
+                ]
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_pii_counts_match_python_re(spark, parts):
+    import re
+
+    from terra_bonobo_nodes_spark.llm import scrub
+
+    text = " ".join(parts)
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    row = scrub.pii_counts(df).collect()[0]
+    for name, pat in scrub.PII_PATTERNS.items():
+        want = len(re.findall(pat, text))
+        assert row[f"n_{name}"] == want, (name, text)
