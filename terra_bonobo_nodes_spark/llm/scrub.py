@@ -117,10 +117,17 @@ def remove_boilerplate(
     shuffle of the corpus against itself) → regroup by id. Two shuffles
     total; the hot set is small by the boilerplate definition itself.
     """
+    # Lazy localCheckpoint: three consumers (df count, anti-join, totals)
+    # read this relation — without the barrier the tokenize+chunk+md5
+    # pipeline re-executes per consumer (measured 2x on the sf0.1
+    # bench). Checkpoint ownership follows the returned plan, so it is
+    # released by the ContextCleaner, not leaked into the CacheManager
+    # (same lifetime contract as winnow_pairs, llm/text.py).
     paras = (
         df.select(F.col(id_col), paragraph_chunks(text_col, para_tokens).alias("_paras"))
         .select(id_col, F.posexplode("_paras").alias("_idx", "_para"))
         .withColumn("_h", F.md5("_para"))
+        .localCheckpoint(eager=False)
     )
     hot = (
         paras.groupBy("_h")

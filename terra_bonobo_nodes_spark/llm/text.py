@@ -458,3 +458,73 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out, expr)
+
+
+LM_ALPHABET_SIZE = 37  # a-z, 0-9, space: the normalize() output alphabet
+
+
+def char_lm_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "lm_entropy",
+    m_col: str = "n_bigrams",
+) -> DataFrame:
+    """Per-document cross-entropy under a character-bigram language
+    model TRAINED ON THE CORPUS ITSELF — the KenLM-style fluency signal
+    quality pipelines threshold on (gibberish and boilerplate-stuffed
+    documents sit in the tails), with add-one smoothing over the
+    normalize() alphabet.
+
+    Numerics: P(c2|c1) = (n(c1c2)+1)/(n(c1·)+37) from exact integer
+    counts; each log is quantized to DECIMAL(20,6) before the exact
+    per-doc sum, so reduction order cannot move the result and a 1-ulp
+    ln() difference between engines is absorbed by the quantum.
+
+    Plan: one shuffle for the bigram counts (the model — at most 37²
+    rows — broadcasts back onto the exploded corpus), one shuffle for
+    the per-doc aggregate. The corpus explodes to one row per character
+    ONCE; nothing self-joins.
+    """
+    from terra_bonobo_nodes_spark.llm.hashing import normalize
+
+    nd = df.select(F.col(id_col), normalize(F.col(text_col)).alias("_t"))
+    bg = nd.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.length("_t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("_t") - 1),
+                    lambda i: F.substring(F.col("_t"), i, 2),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_b"),
+    )
+    mc = bg.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    pc = mc.groupBy(F.substring("_b", 1, 1).alias("_c1")).agg(
+        F.sum("_c").alias("_pc")
+    )
+    model = mc.join(pc, F.substring(mc["_b"], 1, 1) == pc["_c1"]).select(
+        "_b",
+        (
+            (F.col("_c") + 1).cast("double")
+            / (F.col("_pc") + LM_ALPHABET_SIZE).cast("double")
+        ).alias("_p"),
+    )
+    scored = bg.join(F.broadcast(model), "_b").select(
+        id_col, F.log(F.col("_p")).cast("decimal(20,6)").alias("_lp")
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias(m_col),
+        (-F.sum("_lp").cast("double") / F.count(F.lit(1))).alias(out_col),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(m_col), F.lit(0)).cast("long").alias(m_col),
+            F.coalesce(F.col(out_col), F.lit(0.0)).alias(out_col),
+        )
+    )

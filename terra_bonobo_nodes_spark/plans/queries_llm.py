@@ -1326,3 +1326,41 @@ def llm_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
     )
+
+
+@register(
+    "llm_char_lm_entropy",
+    oracle=f"""
+WITH nd AS (SELECT doc_id, {hashing.normalize_sql('text')} AS t FROM documents),
+bg AS (SELECT doc_id, substr(t, CAST(r.i AS INTEGER), 2) AS b
+       FROM nd, unnest(range(1, length(t))) AS r(i)
+       WHERE length(t) >= 2),
+mc AS (SELECT b, count(*) AS c FROM bg GROUP BY 1),
+pc AS (SELECT substr(b, 1, 1) AS c1, CAST(SUM(c) AS BIGINT) AS p FROM mc GROUP BY 1),
+model AS (
+  SELECT mc.b,
+         CAST(mc.c + 1 AS DOUBLE) / CAST(pc.p + {text.LM_ALPHABET_SIZE} AS DOUBLE)
+           AS prob
+  FROM mc JOIN pc ON substr(mc.b, 1, 1) = pc.c1),
+sc AS (SELECT bg.doc_id, CAST(ln(model.prob) AS DECIMAL(20,6)) AS lp
+       FROM bg JOIN model ON model.b = bg.b),
+agg AS (SELECT doc_id, count(*) AS m,
+               -CAST(SUM(lp) AS DOUBLE) / count(*) AS h
+        FROM sc GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(agg.m, 0) AS BIGINT) AS n_bigrams,
+       round(coalesce(agg.h, 0.0), 4) AS lm_entropy
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+""",
+    tags=("llm", "text", "quality"),
+)
+def llm_char_lm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained char-bigram LM cross-entropy per document
+    (llm/text.char_lm_entropy): the fluency/quality signal with
+    add-one smoothing; integer-count probabilities, quantized-log
+    exact sums — identical across engines by construction."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.char_lm_entropy(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_bigrams", F.round("lm_entropy", 4).alias("lm_entropy")
+    )

@@ -905,3 +905,27 @@ def test_quantized_rerank_query_cap(spark, sf_dir):
     )
     with _pytest.raises(ValueError, match="max_query_rows"):
         similarity.quantized_rerank_topk(emb, emb, max_query_rows=10)
+
+
+def test_char_lm_entropy_closed_form_and_ordering(spark):
+    import math
+
+    # single doc 'aaaa': bigram 'aa' x3; P = (3+1)/(3+37) = 0.1
+    one = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    r = text.char_lm_entropy(one).collect()[0]
+    assert r.n_bigrams == 3
+    assert abs(r.lm_entropy - (-math.log(0.1))) < 1e-5
+
+    # repetitive text scores lower entropy than alphabet soup under the
+    # corpus model; empty/1-char docs get (0, 0.0)
+    docs = spark.createDataFrame(
+        [
+            (1, "ababababababababab"),
+            (2, "the quick brown fox jumps over zx0 9q7"),
+            (3, "a"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.char_lm_entropy(docs).collect()}
+    assert out[1].lm_entropy < out[2].lm_entropy
+    assert out[3].n_bigrams == 0 and out[3].lm_entropy == 0.0
