@@ -123,14 +123,19 @@ def remove_boilerplate(
     # bench). Checkpoint ownership follows the returned plan, so it is
     # released by the ContextCleaner, not leaked into the CacheManager
     # (same lifetime contract as winnow_pairs, llm/text.py).
+    # posexplode_OUTER keeps empty/whitespace-only documents as one
+    # null-paragraph row, so they survive to the output with
+    # n_para = 0 and out_col = '' instead of silently vanishing; the
+    # null-aware count("_para") never counts that placeholder.
     paras = (
         df.select(F.col(id_col), paragraph_chunks(text_col, para_tokens).alias("_paras"))
-        .select(id_col, F.posexplode("_paras").alias("_idx", "_para"))
+        .select(id_col, F.posexplode_outer("_paras").alias("_idx", "_para"))
         .withColumn("_h", F.md5("_para"))
         .localCheckpoint(eager=False)
     )
     hot = (
-        paras.groupBy("_h")
+        paras.where(F.col("_h").isNotNull())
+        .groupBy("_h")
         .agg(F.count_distinct(F.col(id_col)).alias("_df"))
         .where(F.col("_df") > max_df)
         .select("_h")
@@ -144,9 +149,11 @@ def remove_boilerplate(
             ),
             " ",
         ).alias(out_col),
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.count("_para").cast("long").alias("n_kept"),
     )
-    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_para"))
+    totals = paras.groupBy(id_col).agg(
+        F.count("_para").cast("long").alias("n_para")
+    )
     return (
         totals.join(clean, id_col, "left")
         .select(

@@ -929,3 +929,22 @@ def test_char_lm_entropy_closed_form_and_ordering(spark):
     out = {r.doc_id: r for r in text.char_lm_entropy(docs).collect()}
     assert out[1].lm_entropy < out[2].lm_entropy
     assert out[3].n_bigrams == 0 and out[3].lm_entropy == 0.0
+
+
+def test_remove_boilerplate_retains_empty_documents(spark):
+    from terra_bonobo_nodes_spark.llm import scrub
+
+    df = spark.createDataFrame(
+        [(1, "real content words here"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in scrub.remove_boilerplate(
+            df, "doc_id", "text", para_tokens=4, max_df=5, out_col="clean"
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1].clean == "real content words here" and out[1].n_para == 1
+    for d in (2, 3):
+        assert out[d].clean == "" and out[d].n_para == 0 and out[d].n_kept == 0
