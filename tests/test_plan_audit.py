@@ -67,3 +67,12 @@ def test_q17_correlated_subqueries_decorrelate(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final per subquery
+
+
+def test_q3_filters_reach_parquet_scan(spark):
+    """Both date predicates must push into the parquet readers (row-
+    group skipping at scale), not evaluate post-scan only."""
+    q = all_queries()["tpch_q3_shipping_priority"]
+    plan = q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
