@@ -1337,3 +1337,54 @@ def t6_isotonic_value_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "x", F.round("y_iso", 4).alias("y_iso")
     )
+
+
+@register(
+    "dq_lineitem_constraints",
+    oracle="""
+WITH base AS (
+  SELECT count(*) AS n_rows,
+         CAST(SUM(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50)
+                         OR l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_qty_range,
+         CAST(SUM(CASE WHEN NOT (l_extendedprice > 0)
+                         OR l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_price_positive,
+         CAST(SUM(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 1)
+                         OR l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_discount_unit,
+         CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_shipdate_set,
+         CAST(SUM(CASE WHEN NOT (l_quantity <= 30)
+                         OR l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_qty_le_30
+  FROM lineitem)
+SELECT u.check, base.n_rows, u.n_violations, u.n_violations = 0 AS passed
+FROM base, (
+  SELECT 'qty_range' AS check, v_qty_range AS n_violations FROM base
+  UNION ALL SELECT 'price_positive', v_price_positive FROM base
+  UNION ALL SELECT 'discount_unit', v_discount_unit FROM base
+  UNION ALL SELECT 'shipdate_set', v_shipdate_set FROM base
+  UNION ALL SELECT 'qty_le_30', v_qty_le_30 FROM base) u
+""",
+    tags=("quality",),
+)
+def dq_lineitem_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint validation (operators/quality.py): five
+    invariants over lineitem verified in ONE aggregate scan (N checks,
+    one pass); the qty<=30 check is deliberately violated so the
+    violation-counting path is exercised, not just the all-green path."""
+    from terra_bonobo_nodes_spark.operators.quality import check_constraints
+
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return check_constraints(
+        li,
+        {
+            "qty_range": (q >= 1) & (q <= 50),
+            "price_positive": F.col("l_extendedprice") > 0,
+            "discount_unit": (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1),
+            "shipdate_set": F.col("l_shipdate").isNotNull(),
+            "qty_le_30": q <= 30,
+        },
+    )

@@ -592,3 +592,47 @@ def test_isotonic_fit_through_spark_and_partition_invariance(spark):
     assert v_curve == [float(x) for x in range(50)]  # monotone input unchanged
     u_curve = [r1[("u", x)] for x in range(200)]
     assert all(a <= b + 1e-12 for a, b in zip(u_curve, u_curve[1:]))
+
+
+# --- data-quality constraints -----------------------------------------------
+
+
+def test_check_constraints_counts_and_null_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.operators.quality import (
+        assert_constraints,
+        check_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, None)], "id long, v double"
+    )
+    out = {
+        r.check: r
+        for r in check_constraints(
+            df, {"v_pos": F.col("v") > 0, "id_set": F.col("id").isNotNull()}
+        ).collect()
+    }
+    assert out["id_set"].passed and out["id_set"].n_violations == 0
+    # null predicate counts as a violation (-3 fails, NULL unevaluable)
+    assert out["v_pos"].n_violations == 2 and not out["v_pos"].passed
+    assert out["v_pos"].n_rows == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="v_pos: 2/3"):
+        assert_constraints(df, {"v_pos": F.col("v") > 0})
+    assert_constraints(df, {"id_set": F.col("id").isNotNull()})  # no raise
+
+
+def test_check_constraints_single_scan(spark):
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.operators.quality import check_constraints
+
+    df = spark.range(100).withColumn("v", F.col("id") * 1.0)
+    plan = check_constraints(
+        df, {f"c{i}": F.col("v") >= i for i in range(10)}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 100") == 1  # N checks, one scan
