@@ -1388,3 +1388,37 @@ def dq_lineitem_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_le_30": q <= 30,
         },
     )
+
+
+@register(
+    "skew_salted_join_rollup",
+    oracle="""
+SELECT n.n_name, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN nation n ON CAST(e.user_id % 5 AS INTEGER) = n.n_nationkey
+GROUP BY 1
+""",
+    tags=("join", "skew"),
+)
+def skew_salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew remedy end-to-end (operators/joins.salted_join): the
+    user_id%5 key squeezes all events onto FIVE hot join keys; salting
+    splits each across 16 (key, salt) buckets while replicating the
+    5-row dimension 16x. The oracle is the plain join — salting must be
+    invisible in the result, visible only in the shuffle layout."""
+    from terra_bonobo_nodes_spark.operators.joins import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("value"),
+        (F.col("user_id") % 5).cast("int").alias("k"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_nationkey") < 5)
+        .select(F.col("n_nationkey").alias("k"), "n_name")
+    )
+    joined = salted_join(ev, dim, "k", salt_buckets=16)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("sum_value"),
+    )

@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "t6_isotonic_value_fit",
     "llm_char_lm_entropy",
     "dq_lineitem_constraints",
+    "skew_salted_join_rollup",
     # --- (1b) r02-stale greens, promoted above section (2) this round:
     # their last driver row is three rounds old (oldest in the registry),
     # while every section-(2) entry has an r04 green and the round-5
