@@ -1422,3 +1422,75 @@ def skew_salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type, next_type, count(*) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+""",
+    tags=("analytics", "sequence"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition counts: for each user's
+    time-ordered stream, count (current -> next) event-type pairs — the
+    Markov-chain estimate behind session modeling. One window pass per
+    user (ties broken by event_id so the sequence is total-ordered and
+    engine-independent) + one tiny aggregate."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    return (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "scd2_user_value_history",
+    oracle="""
+WITH h AS (
+  SELECT user_id, event_id, round(value, 4) AS value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+         lead(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM events WHERE event_type = 'purchase')
+SELECT user_id, event_id, value, valid_from,
+       coalesce(valid_to, 9223372036854775807) AS valid_to,
+       valid_to IS NULL AS is_current
+FROM h
+""",
+    tags=("analytics", "scd"),
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history: each purchase
+    becomes a versioned row whose validity interval closes when the
+    next one arrives (open end = max bigint, is_current flag) — the
+    warehouse pattern for as-of attribute lookup, built with one
+    lead() window per key. Pairs with asof_join for point-in-time
+    reads."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "event_id",
+            F.round("value", 4).alias("value"),
+            F.unix_timestamp("ts").alias("valid_from"),
+            F.col("ts"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    h = ev.withColumn("valid_to", F.lead("valid_from").over(w))
+    return h.select(
+        "user_id", "event_id", "value", "valid_from",
+        F.coalesce("valid_to", F.lit(9223372036854775807)).alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )
