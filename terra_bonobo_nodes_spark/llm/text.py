@@ -489,19 +489,40 @@ def char_lm_entropy(
     from terra_bonobo_nodes_spark.llm.hashing import normalize
 
     nd = df.select(F.col(id_col), normalize(F.col(text_col)).alias("_t"))
+    # O(n) bigram build: char-split once, zip the array with its shift.
+    # (substring(t, i, 2) per position would copy O(n) per element —
+    # O(n²) per document in the interpreted higher-order evaluator;
+    # measured 2x on the sf0.1 corpus.)
+    chars = F.filter(F.split("_t", ""), lambda c: F.length(c) > 0)
+    n = F.size(chars)
     bg = nd.select(
         id_col,
         F.explode(
             F.when(
-                F.length("_t") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.length("_t") - 1),
-                    lambda i: F.substring(F.col("_t"), i, 2),
+                n >= 2,
+                F.zip_with(
+                    F.slice(chars, 1, n - 1),
+                    F.slice(chars, 2, n - 1),
+                    lambda a, b: F.concat(a, b),
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("_b"),
     )
-    mc = bg.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    # Collapse occurrences to per-doc (bigram, n) FIRST: the alphabet is
+    # ≤37², so map-side combine shrinks the shuffle to at most 37² rows
+    # per input partition (wordcount shape), the model aggregates from
+    # this small relation instead of a second explode pass, and scoring
+    # multiplies the quantized log by the integer count — exactly equal
+    # to summing the quantized log per occurrence, so the SQL oracle can
+    # (and does) state the per-occurrence form. The checkpoint barrier
+    # shares the relation between the model and scoring consumers
+    # (winnow lifetime contract).
+    bgc = (
+        bg.groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=False)
+    )
+    mc = bgc.groupBy("_b").agg(F.sum("_n").alias("_c"))
     pc = mc.groupBy(F.substring("_b", 1, 1).alias("_c1")).agg(
         F.sum("_c").alias("_pc")
     )
@@ -512,12 +533,14 @@ def char_lm_entropy(
             / (F.col("_pc") + LM_ALPHABET_SIZE).cast("double")
         ).alias("_p"),
     )
-    scored = bg.join(F.broadcast(model), "_b").select(
-        id_col, F.log(F.col("_p")).cast("decimal(20,6)").alias("_lp")
+    scored = bgc.join(F.broadcast(model), "_b").select(
+        id_col,
+        F.col("_n"),
+        (F.log(F.col("_p")).cast("decimal(20,6)") * F.col("_n")).alias("_lp"),
     )
     agg = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias(m_col),
-        (-F.sum("_lp").cast("double") / F.count(F.lit(1))).alias(out_col),
+        F.sum("_n").alias(m_col),
+        (-F.sum("_lp").cast("double") / F.sum("_n")).alias(out_col),
     )
     return (
         df.select(id_col)
