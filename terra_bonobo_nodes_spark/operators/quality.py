@@ -55,3 +55,63 @@ def assert_constraints(df: DataFrame, checks: dict[str, Column]) -> None:
     if failed:
         detail = ", ".join(f"{r.check}: {r.n_violations}/{r.n_rows}" for r in failed)
         raise ValueError(f"data-quality constraints failed: {detail}")
+
+
+def profile_columns(
+    df: DataFrame,
+    numeric_cols: list[str],
+    string_cols: list[str] | None = None,
+) -> DataFrame:
+    """One-pass column profile (the engine's exact DESCRIBE): per
+    column — rows, nulls, distinct count, typed min/max (numeric
+    columns report doubles, string columns report strings — never a
+    float-to-string cast, whose formatting is engine-specific), and a
+    DECIMAL-exact mean for numerics. Everything folds into a single
+    aggregate projection (one scan; count_distinct adds Spark's
+    standard expand, still one pass over the data), then unpivots to
+    one row per column — the profiling step a 100 TB ingest runs
+    before committing a partition."""
+    string_cols = string_cols or []
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in numeric_cols + string_cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nul_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_dis_{c}"))
+    for c in numeric_cols:
+        aggs.append(F.round(F.min(F.col(c).cast("double")), 6).alias(f"_min_{c}"))
+        aggs.append(F.round(F.max(F.col(c).cast("double")), 6).alias(f"_max_{c}"))
+        aggs.append(
+            (
+                F.sum(F.col(c).cast("decimal(38,6)")).cast("double")
+                / F.count(F.col(c))
+            ).alias(f"_avg_{c}")
+        )
+    for c in string_cols:
+        aggs.append(F.min(F.col(c)).alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"_max_{c}"))
+    row = df.agg(*aggs)
+    parts: list[Column] = []
+    for c in numeric_cols + string_cols:
+        is_num = c in numeric_cols
+        parts.extend(
+            [
+                F.lit(c),
+                F.col(f"_nul_{c}").cast("long"),
+                F.col(f"_dis_{c}").cast("long"),
+                F.col(f"_min_{c}") if is_num else F.lit(None).cast("double"),
+                F.col(f"_max_{c}") if is_num else F.lit(None).cast("double"),
+                F.col(f"_min_{c}") if not is_num else F.lit(None).cast("string"),
+                F.col(f"_max_{c}") if not is_num else F.lit(None).cast("string"),
+                F.round(F.col(f"_avg_{c}"), 6) if is_num else F.lit(None).cast("double"),
+            ]
+        )
+    n = len(numeric_cols) + len(string_cols)
+    return row.select(
+        F.col("_rows").alias("n_rows"),
+        F.stack(F.lit(n), *parts).alias(
+            "column", "n_null", "n_distinct",
+            "min_num", "max_num", "min_str", "max_str", "mean",
+        ),
+    ).select(
+        "column", "n_rows", "n_null", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str", "mean",
+    )

@@ -1494,3 +1494,48 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("valid_to", F.lit(9223372036854775807)).alias("valid_to"),
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+@register(
+    "profile_customer_columns",
+    oracle="""
+WITH base AS (
+  SELECT count(*) AS n_rows,
+         CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_k,
+         CAST(count(DISTINCT c_custkey) AS BIGINT) AS dis_k,
+         round(CAST(min(c_custkey) AS DOUBLE), 6) AS min_k,
+         round(CAST(max(c_custkey) AS DOUBLE), 6) AS max_k,
+         round(CAST(SUM(CAST(CAST(c_custkey AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+               / count(c_custkey), 6) AS avg_k,
+         CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_b,
+         CAST(count(DISTINCT c_acctbal) AS BIGINT) AS dis_b,
+         round(CAST(min(c_acctbal) AS DOUBLE), 6) AS min_b,
+         round(CAST(max(c_acctbal) AS DOUBLE), 6) AS max_b,
+         round(CAST(SUM(CAST(CAST(c_acctbal AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+               / count(c_acctbal), 6) AS avg_b,
+         CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_s,
+         CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS dis_s,
+         min(c_mktsegment) AS min_s,
+         max(c_mktsegment) AS max_s
+  FROM customer)
+SELECT 'c_custkey' AS "column", n_rows, nul_k AS n_null, dis_k AS n_distinct,
+       min_k AS min_num, max_k AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+       avg_k AS mean
+FROM base
+UNION ALL
+SELECT 'c_acctbal', n_rows, nul_b, dis_b, min_b, max_b, NULL, NULL, avg_b FROM base
+UNION ALL
+SELECT 'c_mktsegment', n_rows, nul_s, dis_s, NULL, NULL, min_s, max_s, NULL FROM base
+""",
+    tags=("quality", "profile"),
+)
+def profile_customer_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact single-scan column profiling
+    (operators/quality.profile_columns) over customer: typed min/max
+    (doubles for numerics, strings for strings — no engine-specific
+    float formatting), decimal-exact means, null/distinct counts."""
+    from terra_bonobo_nodes_spark.operators.quality import profile_columns
+
+    cust = load_table(spark, sf_dir, "customer")
+    return profile_columns(cust, ["c_custkey", "c_acctbal"], ["c_mktsegment"])

@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "skew_salted_join_rollup",
     "event_transition_matrix",
     "scd2_user_value_history",
+    "profile_customer_columns",
     # --- (1b) r02-stale greens, promoted above section (2) this round:
     # their last driver row is three rounds old (oldest in the registry),
     # while every section-(2) entry has an r04 green and the round-5

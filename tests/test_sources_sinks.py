@@ -636,3 +636,23 @@ def test_check_constraints_single_scan(spark):
         df, {f"c{i}": F.col("v") >= i for i in range(10)}
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Range (0, 100") == 1  # N checks, one scan
+
+
+def test_profile_columns_values_and_single_scan(spark):
+    from terra_bonobo_nodes_spark.operators.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (3, 30.0, None), (4, 10.0, "b")],
+        "k long, v double, s string",
+    )
+    out = {r.column: r for r in profile_columns(df, ["k", "v"], ["s"]).collect()}
+    assert out["k"].n_rows == 4 and out["k"].n_null == 0
+    assert out["k"].n_distinct == 4 and out["k"].mean == 2.5
+    assert out["k"].min_num == 1.0 and out["k"].max_num == 4.0
+    assert out["v"].n_null == 1 and out["v"].n_distinct == 2
+    assert abs(out["v"].mean - 50.0 / 3) < 1e-6
+    assert out["s"].n_null == 1 and out["s"].min_str == "a" and out["s"].max_str == "b"
+    assert out["s"].min_num is None and out["s"].mean is None
+
+    plan = profile_columns(df, ["k", "v"], ["s"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LocalTableScan") <= 2  # one pass + expand, no re-scans per column
