@@ -104,6 +104,15 @@ _PRIORITY: tuple[str, ...] = (
     "star_join_revenue_by_region",
     "s5_k2_es_roundtrip",
     # --- (2) operator code changed since last green row (round 5) ---
+    # NOTE on the ~50-row cap: with 30+ never-checked round-5 queries in
+    # section (1), this section's tail (the g7*/a2/t1/pipeline geo
+    # queries, ~positions 51-61) will likely rotate past the cap. That
+    # is deliberate: their OPERATOR code is unchanged since their
+    # r03/r04 greens — the only round-5 change they share is the
+    # memoized events-reader path (tables.py), which 12+ section-(1)
+    # rows (streams, asof, trend, funnel, cohort, ...) and the driver's
+    # entry() smoke all exercise first. Streams sit at the top of this
+    # section because read_events_stream is a genuinely distinct path.
     # asof_join gained a deterministic tie-break key in its window sort
     "asof_purchase_last_view",
     # winnow_pairs: persist barrier -> lazy localCheckpoint (leak fix)
