@@ -1539,3 +1539,69 @@ def profile_customer_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     return profile_columns(cust, ["c_custkey", "c_acctbal"], ["c_mktsegment"])
+
+
+@register(
+    "timeseries_gapfill_ffill",
+    oracle="""
+WITH obs AS (
+  SELECT user_id,
+         CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS b,
+         ts, value
+  FROM events),
+pb AS (
+  SELECT user_id, b, value AS v FROM (
+    SELECT user_id, b, value,
+           row_number() OVER (PARTITION BY user_id, b
+                              ORDER BY ts DESC, value DESC) AS rn
+    FROM obs) WHERE rn = 1),
+sp AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM pb GROUP BY 1),
+grid AS (SELECT sp.user_id, CAST(r.b AS BIGINT) AS b
+         FROM sp, unnest(range(lo, hi + 3600, 3600)) AS r(b)),
+g2 AS (SELECT g.user_id, g.b, pb.v
+       FROM grid g LEFT JOIN pb ON pb.user_id = g.user_id AND pb.b = g.b)
+SELECT user_id, b AS bucket_ts,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY b ROWS UNBOUNDED PRECEDING) AS value,
+       v IS NULL AS is_filled
+FROM g2
+""",
+    tags=("timeseries",),
+)
+def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of each user's value series with forward fill
+    (operators/timeseries.resample_ffill): the regular grid comes from
+    sequence()+explode per key span, empties fill from the last
+    observation via an ordered window — the standard sensor/metric
+    normalization step, no driver loop anywhere."""
+    from terra_bonobo_nodes_spark.operators.timeseries import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return resample_ffill(ev, ["user_id"], "ts", "value", step_seconds=3600)
+
+
+@register(
+    "rolling_range_window_1h",
+    oracle="""
+SELECT user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+       value,
+       count(*) OVER w AS roll_n,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) AS roll_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+    tags=("timeseries", "window"),
+)
+def rolling_range_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event rolling count/exact-sum over the preceding hour via a
+    RANGE window frame (operators/timeseries.rolling_range_agg) —
+    wall-clock-correct on irregular series where a ROWS frame would
+    mix horizons. RANGE peers (same key, same second) are included by
+    both engines' frame semantics, which the oracle pins."""
+    from terra_bonobo_nodes_spark.operators.timeseries import rolling_range_agg
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return rolling_range_agg(ev, ["user_id"], "ts", "value", lookback_seconds=3600)

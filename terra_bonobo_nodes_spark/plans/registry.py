@@ -94,6 +94,8 @@ _PRIORITY: tuple[str, ...] = (
     "event_transition_matrix",
     "scd2_user_value_history",
     "profile_customer_columns",
+    "rolling_range_window_1h",
+    "timeseries_gapfill_ffill",
     # --- (1b) r02-stale greens, promoted above section (2) this round:
     # their last driver row is three rounds old (oldest in the registry),
     # while every section-(2) entry has an r04 green and the round-5

@@ -656,3 +656,62 @@ def test_profile_columns_values_and_single_scan(spark):
 
     plan = profile_columns(df, ["k", "v"], ["s"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("LocalTableScan") <= 2  # one pass + expand, no re-scans per column
+
+
+# --- time series -------------------------------------------------------------
+
+
+def test_resample_ffill_semantics(spark):
+    from datetime import datetime
+
+    from terra_bonobo_nodes_spark.operators.timeseries import resample_ffill
+
+    rows = [
+        ("u", datetime(2024, 1, 1, 0, 5), 1.0),
+        ("u", datetime(2024, 1, 1, 0, 50), 2.0),   # same bucket: last wins
+        ("u", datetime(2024, 1, 1, 3, 10), 9.0),   # 2 empty buckets between
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = sorted(
+        (r.bucket_ts, r.v, r.is_filled)
+        for r in resample_ffill(df, ["g"], "ts", "v", 3600).collect()
+    )
+    base = out[0][0]
+    assert [o[1] for o in out] == [2.0, 2.0, 2.0, 9.0]
+    assert [o[2] for o in out] == [False, True, True, False]
+    assert [o[0] - base for o in out] == [0, 3600, 7200, 10800]
+
+
+def test_resample_avg_and_bad_agg(spark):
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from terra_bonobo_nodes_spark.operators.timeseries import resample_ffill
+
+    df = spark.createDataFrame(
+        [("u", datetime(2024, 1, 1, 0, 5), 1.0), ("u", datetime(2024, 1, 1, 0, 50), 2.0)],
+        "g string, ts timestamp, v double",
+    )
+    r = resample_ffill(df, ["g"], "ts", "v", 3600, agg="avg").collect()
+    assert len(r) == 1 and r[0].v == 1.5
+    with _pytest.raises(ValueError, match="unsupported agg"):
+        resample_ffill(df, ["g"], "ts", "v", 3600, agg="median")
+
+
+def test_rolling_range_agg_vs_naive(spark):
+    from datetime import datetime, timedelta
+
+    from terra_bonobo_nodes_spark.operators.timeseries import rolling_range_agg
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("u", t0 + timedelta(minutes=20 * i), float(i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r.ts_epoch: (r.roll_n, r.roll_sum) for r in
+           rolling_range_agg(df, ["g"], "ts", "v", 3600).collect()}
+    epochs = sorted(out)
+    naive = {}
+    for i, e in enumerate(epochs):
+        win = [float(j) for j, e2 in enumerate(epochs) if e - 3600 <= e2 <= e]
+        naive[e] = (len(win), sum(win))
+    assert out == naive
