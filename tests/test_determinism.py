@@ -1,0 +1,53 @@
+"""Partitioning-determinism sweep: the engine's correctness contract
+says every registered query's RESULT is independent of physical layout
+— shuffle partition count, input partitioning, reduction order. This
+suite re-runs the most numerically/ordering-sensitive queries under a
+deliberately hostile layout (7 shuffle partitions instead of 32) and
+requires the full row multiset to match bit-for-bit.
+
+This is the standing generalization of the r2/r4 lessons (host noise
+and estimator bias both masquerade as flakiness): if a query's result
+moves with the layout, no cross-engine oracle can be trusted to catch
+it, because both runs might land on the same accidental value.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from terra_bonobo_nodes_spark.plans.registry import all_queries
+from tests.conftest import SF_DIR
+
+# Queries chosen for sensitivity: float aggregation (trend, median,
+# entropy, tfidf), partial top-k merges (rerank, cosine), hash-window
+# ranking (reservoir), iterative convergence (components), banded
+# self-joins (minhash, winnow), grouped-map Python (isotonic).
+SENSITIVE = [
+    "t5_user_value_trend",
+    "weighted_median_price",
+    "llm_char_lm_entropy",
+    "llm_quantized_rerank_topk",
+    "llm_reservoir_sample",
+    "llm_dedup_components",
+    "llm_minhash_lsh_pairs",
+    "llm_winnow_pairs",
+    "t6_isotonic_value_fit",
+    "interval_union_coverage",
+]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_result_invariant_under_shuffle_layout(name, spark):
+    q = all_queries()[name]
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    baseline = _rows(q.spark_fn(spark, SF_DIR))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        hostile = _rows(q.spark_fn(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default)
+    assert baseline == hostile, f"{name} result moved with shuffle layout"
