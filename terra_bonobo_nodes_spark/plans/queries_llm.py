@@ -1364,3 +1364,51 @@ def llm_char_lm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_bigrams", F.round("lm_entropy", 4).alias("lm_entropy")
     )
+
+
+@register(
+    "llm_dedup_keep_policy",
+    oracle=f"""
+WITH comp AS (SELECT * FROM ({_components_oracle()}) c),
+alldocs AS (
+  SELECT d.doc_id, d.n_chars,
+         coalesce(c.component_id, d.doc_id) AS component_id
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+r AS (
+  SELECT doc_id, component_id,
+         row_number() OVER (PARTITION BY component_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM alldocs)
+SELECT doc_id, component_id, rn = 1 AS is_kept FROM r
+""",
+    tags=("llm", "dedup"),
+)
+def llm_dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame in one plan: MinHash pairs -> connected
+    components -> survivor election (longest document wins its
+    component, ties to the smallest id) -> per-doc keep/drop verdict,
+    singletons surviving as their own components. This is the actual
+    artifact a curation run persists; every stage is the already-
+    verified operator, composed."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    pairs = dedup.minhash_lsh_pairs(
+        docs.select("doc_id", "text"),
+        "text",
+        "doc_id",
+        n_hashes=_MH_K,
+        bands=_MH_BANDS,
+        shingle_n=_MH_SHINGLE,
+        min_est_jaccard=0.5,
+    )
+    comp = dedup.connected_components(pairs)
+    full = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .withColumn("component_id", F.coalesce("component_id", "doc_id"))
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return full.withColumn("_rn", F.row_number().over(w)).select(
+        "doc_id", "component_id", (F.col("_rn") == 1).alias("is_kept")
+    )
