@@ -76,3 +76,12 @@ def test_q3_filters_reach_parquet_scan(spark):
     plan = q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+
+
+def test_q5_all_dimensions_broadcast(spark):
+    """Six-table Q5: every dimension side must broadcast at test scale —
+    the fact table joins map-side with zero fact shuffles for joins."""
+    q = all_queries()["tpch_q5_local_supplier_volume"]
+    plan = q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

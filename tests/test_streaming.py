@@ -303,3 +303,34 @@ def test_stream_dedup_replay_restores_stream(spark):
     want = load_table(spark, SF_DIR, "events").count()
     assert got.count() == want
     assert got.distinct().count() == want
+
+
+def test_streaming_upsert_then_compaction(spark, tmp_path):
+    """Operational pipeline: micro-batch upserts fragment the store;
+    compaction repacks it without losing the upsert semantics."""
+    from terra_bonobo_nodes_spark.sinks.compact import (
+        compact_parquet_dir,
+        parquet_file_stats,
+    )
+
+    tgt = str(tmp_path / "store")
+    stream = ops.read_events_stream(spark, SF_DIR).select(
+        F.col("event_id").alias("identifier"), "event_type", "value"
+    )
+    q = (
+        stream.writeStream.foreachBatch(ops.upsert_foreach_batch(tgt, "identifier"))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    n_rows = spark.read.parquet(tgt).count()
+    want = load_table(spark, SF_DIR, "events").count()
+    assert n_rows == want
+    n_before, total = parquet_file_stats(tgt)
+    n_after = compact_parquet_dir(spark, tgt, target_bytes=max(total, 1), min_files=2)
+    if n_after != -1:
+        assert n_after < n_before
+    df = spark.read.parquet(tgt)
+    assert df.count() == want
+    assert df.select("identifier").distinct().count() == want
