@@ -51,7 +51,12 @@ def pii_counts(
     pats = patterns or PII_PATTERNS
     c = F.col(text_col)
     for name, pat in pats.items():
-        df = df.withColumn(prefix + name, F.regexp_count(c, F.lit(pat)).cast("long"))
+        # NULL text -> 0 matches (not NULL counts): a missing document
+        # has no PII, and downstream sums shouldn't need null guards.
+        df = df.withColumn(
+            prefix + name,
+            F.coalesce(F.regexp_count(c, F.lit(pat)), F.lit(0)).cast("long"),
+        )
     return df
 
 

@@ -1664,3 +1664,38 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("n_name")
         .agg(dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_items"))
     )
+
+
+@register(
+    "ntile_customer_deciles",
+    oracle="""
+WITH d AS (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(10) OVER (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal, c_custkey) AS decile
+  FROM customer)
+SELECT c_mktsegment, CAST(decile AS BIGINT) AS decile,
+       count(*) AS n,
+       round(min(c_acctbal), 4) AS lo,
+       round(max(c_acctbal), 4) AS hi,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS sum_bal
+FROM d GROUP BY 1, 2
+""",
+    tags=("analytics", "window"),
+)
+def ntile_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency account-balance deciles per market segment
+    (ntile window) with per-decile bounds and exact sums. The ntile
+    order carries a c_custkey tie-break so bucket boundaries are
+    engine-independent even with duplicate balances."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    d = cust.withColumn("decile", F.ntile(10).over(w))
+    return d.groupBy("c_mktsegment", F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("c_acctbal"), 4).alias("lo"),
+        F.round(F.max("c_acctbal"), 4).alias("hi"),
+        F.sum(F.col("c_acctbal").cast("decimal(20,6)")).cast("double").alias("sum_bal"),
+    )

@@ -948,3 +948,13 @@ def test_remove_boilerplate_retains_empty_documents(spark):
     assert out[1].clean == "real content words here" and out[1].n_para == 1
     for d in (2, 3):
         assert out[d].clean == "" and out[d].n_para == 0 and out[d].n_kept == 0
+
+
+def test_pii_counts_null_text_is_zero(spark):
+    from terra_bonobo_nodes_spark.llm import scrub
+
+    df = spark.createDataFrame([(1, None)], "id long, text string")
+    r = scrub.pii_counts(df).collect()[0]
+    assert all(r[f"n_{k}"] == 0 for k in scrub.PII_PATTERNS)
+    rr = scrub.pii_redact(df).collect()[0]
+    assert rr.redacted is None  # redaction passes NULL through
