@@ -1496,6 +1496,10 @@ class PolarStereographic:
         lam = lam0 + (math.atan2(dx, -dy) if rho > 0.0 else 0.0)
         if self.south:
             lam, phi = -lam, -phi
+        # the projection's domain spans all longitudes, so lam0 + atan2
+        # can leave (-pi, pi] (e.g. lon0=-45, true lon 170 -> -190 deg);
+        # normalize so consumers get a valid 4326 longitude
+        lam = math.remainder(lam, 2.0 * math.pi)
         return math.degrees(lam), math.degrees(phi)
 
 

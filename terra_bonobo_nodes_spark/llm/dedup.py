@@ -215,8 +215,12 @@ def simhash_col(
     simhash bits constant-zero for every doc — 100% spurious agreement
     on those bits, inflating every similarity estimate (caught by the
     estimator-vs-truth test). bits <= 60 keeps the hash, and the
-    ``1 << (bits-1)`` term below, inside a signed long. For bits <= 32
-    this is bit-identical to the historical hash32 path."""
+    ``1 << (bits-1)`` term below, inside a signed long. For bits in
+    29..32 (nhex = 8) this is bit-identical to the historical hash32
+    path; narrower widths take the HIGH md5 nibbles (ceil(bits/4) hex
+    chars) where hash32 would keep the low bits of its 8-char prefix —
+    signatures persisted under one width are comparable only to
+    signatures of the same width."""
     if not 1 <= bits <= 60:
         raise ValueError(f"bits must be in [1, 60], got {bits}")
     nhex = (bits + 3) // 4

@@ -99,8 +99,15 @@ def morton_code(x: Column, y: Column, bits: int = 16) -> Column:
     """Z-order (Morton) code of two NON-NEGATIVE integer cell
     coordinates: bit i of x lands at z-bit 2i, bit i of y at 2i+1.
     Unrolled into ``bits`` shift/mask terms — pure codegen arithmetic,
-    identical to the plain integer-arithmetic form a SQL oracle uses."""
+    identical to the plain integer-arithmetic form a SQL oracle uses.
+
+    Coordinates outside [0, 2**bits) would silently ALIAS to colliding
+    codes (distant cells landing in the same row groups — exactly the
+    locality failure z-ordering exists to prevent), so the expression
+    fails fast per row instead, matching the engine's other guards
+    (knn_join cartesian, brute_force_topk cap)."""
     xl, yl = x.cast("long"), y.cast("long")
+    lim = F.lit(1 << bits).cast("long")
     z = F.lit(0).cast("long")
     for i in range(bits):
         z = (
@@ -108,7 +115,17 @@ def morton_code(x: Column, y: Column, bits: int = 16) -> Column:
             + F.shiftleft(F.shiftright(xl, i).bitwiseAND(F.lit(1)), 2 * i)
             + F.shiftleft(F.shiftright(yl, i).bitwiseAND(F.lit(1)), 2 * i + 1)
         )
-    return z
+    ok = (xl >= 0) & (xl < lim) & (yl >= 0) & (yl < lim)
+    return F.when(ok, z).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"morton_code: coordinate out of [0, {1 << bits}) for "
+                f"bits={bits}: x=%s y=%s",
+                xl,
+                yl,
+            )
+        )
+    )
 
 
 def zorder_layout(

@@ -27,8 +27,10 @@ def check_constraints(
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for name, pred in checks.items():
         aggs.append(
-            F.sum(
-                F.when(pred.isNull() | ~pred, 1).otherwise(0)
+            # coalesce: sum over ZERO rows is NULL, and an empty input
+            # is vacuously valid (0 violations), not a failed check
+            F.coalesce(
+                F.sum(F.when(pred.isNull() | ~pred, 1).otherwise(0)), F.lit(0)
             ).cast("long").alias(f"_viol_{name}")
         )
     row = df.agg(*aggs)

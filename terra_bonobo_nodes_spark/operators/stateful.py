@@ -97,6 +97,9 @@ def linear_trend(
     constant state per group.
     """
     xd, yd = x.cast("double"), y.cast("double")
+    # a row missing either coordinate contributes to NO moment — the
+    # sums skip NULLs, so counting it would silently skew the fit
+    df = df.where(xd.isNotNull() & yd.isNotNull())
     dec = "decimal(38,6)"
     m = df.groupBy(*group_by).agg(
         F.count(F.lit(1)).alias(n_col),
@@ -134,8 +137,13 @@ def weighted_median(
     window cumsum ordered by value within the group, one min. State is
     one running sum per group — no sort-the-world, no collect."""
     g = list(group_cols)
-    per_v = df.groupBy(*g, value.alias("_v")).agg(
-        F.sum(weight.cast("long")).alias("_w")
+    # NULL values cannot be placed on the value axis, and Spark sorts
+    # them FIRST in the cumsum window where DuckDB sorts them last —
+    # including them would both skew cum and diverge across engines
+    per_v = (
+        df.where(value.isNotNull())
+        .groupBy(*g, value.alias("_v"))
+        .agg(F.sum(weight.cast("long")).alias("_w"))
     )
     w_cum = (
         Window.partitionBy(*g)

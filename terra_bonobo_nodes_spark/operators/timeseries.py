@@ -76,7 +76,13 @@ def resample_ffill(
             F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step_seconds))
         ).alias("_b"),
     )
-    joined = grid.join(per_bucket, [*keys, "_b"], "left")
+    # explicit observation marker: a bucket can be OBSERVED with an
+    # aggregated NULL value (e.g. a sensor emitting NULL during an
+    # outage) — that is not a gap. Such buckets keep their NULL and
+    # report is_filled=false; only join misses forward-fill.
+    joined = grid.join(
+        per_bucket.withColumn("_obs", F.lit(True)), [*keys, "_b"], "left"
+    )
     wf = (
         Window.partitionBy(*keys)
         .orderBy(F.col("_b").asc())
@@ -85,8 +91,10 @@ def resample_ffill(
     return joined.select(
         *keys,
         F.col("_b").alias("bucket_ts"),
-        F.last("_v", ignorenulls=True).over(wf).alias(value_col),
-        F.col("_v").isNull().alias("is_filled"),
+        F.when(F.col("_obs").isNotNull(), F.col("_v"))
+        .otherwise(F.last("_v", ignorenulls=True).over(wf))
+        .alias(value_col),
+        F.col("_obs").isNull().alias("is_filled"),
     )
 
 
@@ -97,7 +105,7 @@ def rolling_range_agg(
     value_col: str,
     lookback_seconds: int,
     out_prefix: str = "roll_",
-) -> Column | DataFrame:
+) -> DataFrame:
     """Rolling aggregates over a TIME-RANGE frame: for every event, the
     count/exact-sum over the same key's events in the preceding
     ``lookback_seconds`` (inclusive of now). RANGE frames make sparse

@@ -1558,12 +1558,14 @@ pb AS (
 sp AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM pb GROUP BY 1),
 grid AS (SELECT sp.user_id, CAST(r.b AS BIGINT) AS b
          FROM sp, unnest(range(lo, hi + 3600, 3600)) AS r(b)),
-g2 AS (SELECT g.user_id, g.b, pb.v
+g2 AS (SELECT g.user_id, g.b, pb.v, pb.b IS NOT NULL AS obs
        FROM grid g LEFT JOIN pb ON pb.user_id = g.user_id AND pb.b = g.b)
 SELECT user_id, b AS bucket_ts,
-       last_value(v IGNORE NULLS) OVER (
-         PARTITION BY user_id ORDER BY b ROWS UNBOUNDED PRECEDING) AS value,
-       v IS NULL AS is_filled
+       CASE WHEN obs THEN v
+            ELSE last_value(v IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY b ROWS UNBOUNDED PRECEDING)
+       END AS value,
+       NOT obs AS is_filled
 FROM g2
 """,
     tags=("timeseries",),

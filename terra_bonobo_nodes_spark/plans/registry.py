@@ -122,7 +122,8 @@ _PRIORITY: tuple[str, ...] = (
     "asof_purchase_last_view",
     # winnow_pairs: persist barrier -> lazy localCheckpoint (leak fix)
     "llm_winnow_pairs",
-    # simhash_col: width-matched token hash (bits<=32 output identical)
+    # simhash_col: width-matched token hash (bits 29..32 bit-identical
+    # to the old hash32 path; this query uses bits=32)
     "llm_simhash_pairs",
     # brute_force_topk: query-side collect guard (limit + fail-fast)
     "llm_cosine_topk",

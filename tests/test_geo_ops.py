@@ -806,3 +806,15 @@ class TestPolarStereographic:
             assert abs(back[1][1] - (-75.0)) < 1e-9
         finally:
             ops._CRS_REGISTRY.pop("3976", None)
+
+
+def test_polar_inverse_longitude_normalized():
+    from terra_bonobo_nodes_spark.geo.ops import NSIDC_NORTH
+
+    # lon0=-45: forward/inverse of true lon 170 must come back as 170,
+    # not -190 (the unnormalized lam0 + atan2 result)
+    for lon, lat in [(170.0, 75.0), (-179.5, 80.0), (179.5, 72.0), (135.1, 66.0)]:
+        x, y = NSIDC_NORTH.forward(lon, lat)
+        lon2, lat2 = NSIDC_NORTH.inverse(x, y)
+        assert -180.0 <= lon2 <= 180.0, (lon, lon2)
+        assert abs(lon2 - lon) < 1e-6 and abs(lat2 - lat) < 1e-9

@@ -715,3 +715,75 @@ def test_rolling_range_agg_vs_naive(spark):
         win = [float(j) for j, e2 in enumerate(epochs) if e - 3600 <= e2 <= e]
         naive[e] = (len(win), sum(win))
     assert out == naive
+
+
+def test_linear_trend_ignores_null_coordinate_rows(spark):
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.operators.stateful import linear_trend
+
+    rows = [("a", 1, 1.0), ("a", 2, 2.0), ("a", None, 5.0), ("a", 3, None)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    r = linear_trend(df, ["g"], F.col("x"), F.col("y")).collect()[0]
+    assert r.n == 2  # only the two complete observations
+    assert abs(r.slope - 1.0) < 1e-12 and abs(r.intercept - 0.0) < 1e-12
+
+
+def test_weighted_median_ignores_null_values(spark):
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.operators.stateful import weighted_median
+
+    df = spark.createDataFrame(
+        [("g", None, 4), ("g", 1.0, 1), ("g", 2.0, 5)], "g string, v double, w long"
+    )
+    r = weighted_median(df, ["g"], F.col("v"), F.col("w")).collect()[0]
+    assert r.w_median == 2.0  # NULL weight excluded: W=6, cum(1)=1 < 3
+
+
+def test_check_constraints_empty_input_is_vacuously_valid(spark):
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.operators.quality import (
+        assert_constraints,
+        check_constraints,
+    )
+
+    empty = spark.createDataFrame([], "id long, v double")
+    out = check_constraints(empty, {"v_pos": F.col("v") > 0}).collect()[0]
+    assert out.n_violations == 0 and out.passed and out.n_rows == 0
+    assert_constraints(empty, {"v_pos": F.col("v") > 0})  # must not raise
+
+
+def test_resample_ffill_observed_null_is_not_a_gap(spark):
+    from datetime import datetime
+
+    from terra_bonobo_nodes_spark.operators.timeseries import resample_ffill
+
+    rows = [
+        ("u", datetime(2024, 1, 1, 0, 5), 1.0),
+        ("u", datetime(2024, 1, 1, 1, 5), None),   # observed outage
+        ("u", datetime(2024, 1, 1, 3, 5), 9.0),    # bucket 2 is a true gap
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = sorted(
+        (r.bucket_ts, r.v, r.is_filled)
+        for r in resample_ffill(df, ["g"], "ts", "v", 3600, agg="min").collect()
+    )
+    assert [(o[1], o[2]) for o in out] == [
+        (1.0, False),   # observed
+        (None, False),  # observed NULL: kept, NOT filled
+        (1.0, True),    # true gap: forward-filled past the NULL
+        (9.0, False),
+    ]
+
+
+def test_morton_code_out_of_range_raises(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.operators.clustering import morton_code
+
+    df = spark.createDataFrame([(1 << 8, 3)], "x long, y long")
+    with _pytest.raises(Exception, match="morton_code"):
+        df.select(morton_code(F.col("x"), F.col("y"), bits=8)).collect()
