@@ -85,3 +85,27 @@ def test_q5_all_dimensions_broadcast(spark):
     plan = q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") == 5
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_plan_fingerprint_and_assert_api(spark):
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.plans.audit import (
+        assert_no_cartesian,
+        plan_fingerprint,
+    )
+
+    a = spark.range(100).withColumn("k", F.col("id") % 10)
+    b = spark.range(10).withColumn("k", F.col("id"))
+    joined = a.join(b, "k").groupBy("k").count()
+    fp = plan_fingerprint(joined)
+    assert fp.get("BroadcastHashJoin", 0) + fp.get("SortMergeJoin", 0) >= 1
+    assert fp.get("HashAggregate", 0) >= 2  # partial + final
+    assert_no_cartesian(joined)  # clean plan passes
+
+    cross = a.crossJoin(b.drop("k"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="will not survive scale"):
+        assert_no_cartesian(cross)
+    assert_no_cartesian(cross, allow=True)  # documented escape hatch
