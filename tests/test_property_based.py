@@ -247,3 +247,73 @@ def test_pii_counts_match_python_re(spark, parts):
     for name, pat in scrub.PII_PATTERNS.items():
         want = len(re.findall(pat, text))
         assert row[f"n_{name}"] == want, (name, text)
+
+
+# --- boilerplate removal invariants -----------------------------------------
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_remove_boilerplate_token_subsequence_property(spark, docs_tokens):
+    """Surviving text is always an order-preserving subsequence of the
+    input tokens, and with an unreachable df threshold it is the exact
+    normalized input."""
+    from terra_bonobo_nodes_spark.llm import scrub
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in scrub.remove_boilerplate(
+            df, "doc_id", "text", para_tokens=3, max_df=len(rows) + 1, out_col="c"
+        ).collect()
+    }
+    for i, toks in enumerate(docs_tokens):
+        # df cap unreachable -> nothing removed -> exact reassembly
+        assert out[i].c == " ".join(toks)
+        assert out[i].n_para == out[i].n_kept
+
+
+def _morton_ref(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 12) - 1),
+            st.integers(min_value=0, max_value=(1 << 12) - 1),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_morton_code_bijective_and_matches_reference(spark, pts):
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.operators.clustering import morton_code
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn("z", morton_code(F.col("x"), F.col("y"), 12)).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _morton_ref(x, y, 12)
+    assert len(set(got.values())) == len(pts)  # injective on the domain
