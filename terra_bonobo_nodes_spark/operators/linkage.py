@@ -1,0 +1,68 @@
+"""Record linkage: blocked fuzzy matching on edit distance.
+
+The entity-resolution counterpart of the LLM dedup family — the
+reference's users dedupe FEATURES by identifier (K1 upsert), but real
+ingests also need "same entity, differently spelled" matching across
+names/labels. Same scale discipline as llm/dedup.py: candidate pairs
+come ONLY from an equi-join on a blocking key (never a cross product),
+oversized blocks are dropped by a df cap (the max_shingle_df /
+max_band_bucket convention), and the verdict metric — Levenshtein —
+is an exact integer identical on every engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def default_block(name_col: str) -> Column:
+    """First lowercase token: the classic phonetic-lite blocking key."""
+    return F.split(F.lower(F.col(name_col)), " ").getItem(0)
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_distance: int = 3,
+    block: Column | None = None,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """Candidate pairs (id_a, id_b, name_a, name_b, distance) with
+    ``levenshtein(name_a, name_b) <= max_distance``, generated inside
+    equi-join blocks only.
+
+    ``max_block_size`` drops blocks with more members than the cap
+    (a degenerate key like an empty first token would otherwise go
+    quadratic); dropped blocks carry no discriminating signal anyway —
+    document the cap with the run like the dedup operators do.
+
+    Plan: one shuffle on the blocking key for the cap aggregate, a
+    broadcast anti-join of the (small) hot-block set, one equi-join on
+    the block key, codegen levenshtein filter. Pair order is canonical
+    (id_a < id_b), so results are set-stable."""
+    b = block if block is not None else default_block(name_col)
+    rows = df.select(
+        F.col(id_col).alias("_id"), F.col(name_col).alias("_name"), b.alias("_blk")
+    )
+    hot = (
+        rows.groupBy("_blk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_block_size)
+        .select("_blk")
+    )
+    rows = rows.join(F.broadcast(hot), "_blk", "left_anti")
+    a = rows.select(
+        F.col("_blk"), F.col("_id").alias("id_a"), F.col("_name").alias("name_a")
+    )
+    c = rows.select(
+        F.col("_blk"), F.col("_id").alias("id_b"), F.col("_name").alias("name_b")
+    )
+    return (
+        a.join(c, ["_blk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("name_a", "name_b").cast("long"))
+        .where(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "name_a", "name_b", "distance")
+    )

@@ -1701,3 +1701,33 @@ def ntile_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("c_acctbal"), 4).alias("hi"),
         F.sum(F.col("c_acctbal").cast("decimal(20,6)")).cast("double").alias("sum_bal"),
     )
+
+
+@register(
+    "linkage_fuzzy_part_names",
+    oracle="""
+WITH n AS (SELECT p_name, min(p_partkey) AS pid FROM part GROUP BY 1),
+s AS (SELECT pid, p_name, str_split(lower(p_name), ' ')[1] AS blk FROM n)
+SELECT a.pid AS id_a, b.pid AS id_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+FROM s a JOIN s b ON a.blk = b.blk AND a.pid < b.pid
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+""",
+    tags=("linkage", "dedup"),
+)
+def linkage_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked edit distance
+    (operators/linkage.fuzzy_match_pairs): distinct part names paired
+    inside first-token blocks when levenshtein <= 3 — finds the
+    'hot rod'/'hot ring' near-labels without ever forming a cross
+    product. Levenshtein is an exact integer metric, identical on both
+    engines, so the oracle checks full values."""
+    from terra_bonobo_nodes_spark.operators.linkage import fuzzy_match_pairs
+
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("pid"))
+    )
+    return fuzzy_match_pairs(names, "pid", "p_name", max_distance=3)

@@ -787,3 +787,41 @@ def test_morton_code_out_of_range_raises(spark):
     df = spark.createDataFrame([(1 << 8, 3)], "x long, y long")
     with _pytest.raises(Exception, match="morton_code"):
         df.select(morton_code(F.col("x"), F.col("y"), bits=8)).collect()
+
+
+# --- record linkage ----------------------------------------------------------
+
+
+def test_fuzzy_match_pairs_blocking_and_cap(spark):
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.operators.linkage import fuzzy_match_pairs
+
+    rows = [
+        (1, "acme corp"), (2, "acme korp"),      # d=1, same block
+        (3, "acme labs"),                        # d>3 from corp/korp? corp->labs=4
+        (4, "zenith inc"), (5, "zenith ink"),    # d=1
+        (6, "apex corp"),                        # different block than acme corp
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in fuzzy_match_pairs(df, "id", "name", max_distance=2).collect()
+    }
+    assert got == {(1, 2): 1, (4, 5): 1}
+    # cross-block pair (1,6) never considered even though d(corp names)=2
+
+    # degenerate block dropped by the cap: all share one key
+    many = spark.createDataFrame(
+        [(i, f"same name{i % 3}") for i in range(20)], "id long, name string"
+    )
+    assert fuzzy_match_pairs(many, "id", "name", max_block_size=10).count() == 0
+    assert fuzzy_match_pairs(many, "id", "name", max_block_size=100).count() > 0
+
+
+def test_fuzzy_match_plan_has_no_cartesian(spark):
+    from terra_bonobo_nodes_spark.operators.linkage import fuzzy_match_pairs
+    from terra_bonobo_nodes_spark.plans.audit import assert_no_cartesian
+
+    df = spark.createDataFrame([(1, "a b"), (2, "a c")], "id long, name string")
+    assert_no_cartesian(fuzzy_match_pairs(df, "id", "name"))
