@@ -1731,3 +1731,22 @@ def linkage_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("p_partkey").alias("pid"))
     )
     return fuzzy_match_pairs(names, "pid", "p_name", max_distance=3)
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketch: engine-specific estimator, no cross-engine oracle
+    tags=("sketch", "aggregate"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type — THE
+    100 TB cardinality primitive (constant memory, mergeable across
+    partitions, re-aggregable across days, where exact distinct
+    shuffles every key). No cross-engine oracle by design: sketch
+    estimates are engine-specific; the pytest bound pins the estimate
+    within max_estimation_error of the exact count on every type."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

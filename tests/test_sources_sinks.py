@@ -825,3 +825,27 @@ def test_fuzzy_match_plan_has_no_cartesian(spark):
 
     df = spark.createDataFrame([(1, "a b"), (2, "a c")], "id long, name string")
     assert_no_cartesian(fuzzy_match_pairs(df, "id", "name"))
+
+
+def test_approx_distinct_within_error_bound(spark):
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    approx = {
+        r.event_type: r.a
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("a"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.e
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("e"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, e in exact.items():
+        assert abs(approx[t] - e) <= max(0.05 * e, 2), (t, approx[t], e)
