@@ -1750,3 +1750,41 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "full_outer_reconciliation",
+    oracle="""
+WITH c AS (SELECT c_custkey, count(*) AS n_cust FROM customer GROUP BY 1),
+o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+       coalesce(c.n_cust, 0) AS n_cust,
+       coalesce(o.n_orders, 0) AS n_orders,
+       CASE WHEN c.c_custkey IS NULL THEN 'orphan_order'
+            WHEN o.o_custkey IS NULL THEN 'no_orders'
+            ELSE 'matched' END AS status
+FROM c FULL OUTER JOIN o ON o.o_custkey = c.c_custkey
+""",
+    tags=("join", "reconciliation"),
+)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided reconciliation via FULL OUTER join: customers without
+    orders, orders referencing unknown customers, and the matched rest
+    — the warehouse integrity diff that completes the engine's join-
+    type surface (inner/left/semi/anti/asof/range/interval elsewhere)."""
+    c = load_table(spark, sf_dir, "customer").groupBy("c_custkey").agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    o = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.when(F.col("c_custkey").isNull(), "orphan_order")
+        .when(F.col("o_custkey").isNull(), "no_orders")
+        .otherwise("matched")
+        .alias("status"),
+    )

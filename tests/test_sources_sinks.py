@@ -849,3 +849,42 @@ def test_approx_distinct_within_error_bound(spark):
     assert set(approx) == set(exact)
     for t, e in exact.items():
         assert abs(approx[t] - e) <= max(0.05 * e, 2), (t, approx[t], e)
+
+
+# --- extension-point wiring (functions/extensions.py) ------------------------
+
+
+def test_grouped_agg_pandas_udf_matches_expression(spark):
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.functions.extensions import (
+        geometric_mean,
+        geometric_mean_expr,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 4, 8)] + [("b", 3.0), ("b", 27.0)],
+        "g string, v double",
+    )
+    udf_out = {
+        r.g: r.gm for r in df.groupBy("g").agg(geometric_mean("v").alias("gm")).collect()
+    }
+    expr_out = {
+        r.g: r.gm
+        for r in df.groupBy("g").agg(geometric_mean_expr("v").alias("gm")).collect()
+    }
+    assert abs(udf_out["a"] - expr_out["a"]) < 1e-12 and abs(udf_out["a"] - 2.8284271247461903) < 1e-12
+    assert abs(udf_out["b"] - 9.0) < 1e-12 and abs(expr_out["b"] - 9.0) < 1e-9
+
+
+def test_python_udtf_tokenize_from_sql(spark):
+    from terra_bonobo_nodes_spark.functions.extensions import TokenizeUDTF
+
+    spark.udtf.register("tokenize_tbns_test", TokenizeUDTF)
+    rows = spark.sql(
+        "SELECT t.* FROM VALUES ('hello big world'), (NULL) AS v(s), "
+        "LATERAL tokenize_tbns_test(v.s) t"
+    ).collect()
+    assert [(r.token, r.pos, r.n_chars) for r in rows] == [
+        ("hello", 0, 5), ("big", 1, 3), ("world", 2, 5),
+    ]
