@@ -25,16 +25,20 @@ from pyspark.sql.functions import pandas_udf, udtf
 
 
 @pandas_udf("double")
-def geometric_mean(v: pd.Series) -> float:
+def geometric_mean(v: pd.Series) -> float | None:
     """GROUPED_AGG pandas UDF: exp(mean(ln x)) over positive values.
-    NULLs are ignored (pandas skipna), non-positive values yield NaN —
-    matching the domain of the log. Partial aggregation does NOT apply
-    to grouped-agg UDFs (each group's values ship to one executor), so
-    prefer the expression form ``exp(avg(ln(x)))`` for skewed/huge
-    groups; this exists to pin the custom-UDAF wiring."""
+    Domain rule mirrors the expression form exactly — ``ln`` of a NULL
+    or non-positive value is NULL and ``avg`` skips NULLs — so the two
+    agree on EVERY input, including groups containing zeros/negatives
+    (asserted in pytest). A group with no positive values returns NULL.
+    Partial aggregation does NOT apply to grouped-agg UDFs (each
+    group's values ship to one executor), so prefer the expression form
+    ``exp(avg(ln(x)))`` for skewed/huge groups; this exists to pin the
+    custom-UDAF wiring."""
     arr = v.dropna().to_numpy(dtype=np.float64)
+    arr = arr[arr > 0.0]
     if arr.size == 0:
-        return float("nan")
+        return None
     return float(np.exp(np.log(arr).mean()))
 
 
@@ -44,7 +48,7 @@ def geometric_mean_expr(col: str | Column) -> Column:
     return F.exp(F.avg(F.log(c)))
 
 
-@udtf(returnType="token STRING, pos INT, n_chars INT")
+@udtf(returnType="token STRING, pos INT, n_chars INT", useArrow=True)
 class TokenizeUDTF:
     """Arrow Python UDTF: explode a string into (token, position,
     length) rows — one input row, many typed output rows, callable

@@ -41,7 +41,10 @@ def fuzzy_match_pairs(
     Plan: one shuffle on the blocking key for the cap aggregate, a
     broadcast anti-join of the (small) hot-block set, one equi-join on
     the block key, codegen levenshtein filter. Pair order is canonical
-    (id_a < id_b), so results are set-stable."""
+    on (id, name) struct ordering, so results are set-stable AND
+    duplicate id values (a messy ingest — exactly linkage territory)
+    still pair as long as their names differ; identical (id, name)
+    rows are true self-pairs and are skipped."""
     b = block if block is not None else default_block(name_col)
     rows = df.select(
         F.col(id_col).alias("_id"), F.col(name_col).alias("_name"), b.alias("_blk")
@@ -61,7 +64,10 @@ def fuzzy_match_pairs(
     )
     return (
         a.join(c, ["_blk"])
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.struct(F.col("id_a"), F.col("name_a"))
+            < F.struct(F.col("id_b"), F.col("name_b"))
+        )
         .withColumn("distance", F.levenshtein("name_a", "name_b").cast("long"))
         .where(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "name_a", "name_b", "distance")

@@ -47,14 +47,19 @@ def plan_fingerprint(df: DataFrame) -> dict[str, object]:
     a changed fingerprint on unchanged code is an engine/statistics
     shift worth knowing about before it costs a cluster-day."""
     plan = executed_plan(df)
-    fp: dict[str, object] = {
-        op: plan.count(op) for op in _OPS if plan.count(op) > 0
-    }
-    # "Exchange" also matches "BroadcastExchange" as a substring; report
-    # the shuffle-only count under its own key.
-    n_bx = plan.count("BroadcastExchange")
+    # word-boundary matching: "HashAggregate" must not count every
+    # "ObjectHashAggregate", and "Exchange" must not count
+    # "BroadcastExchange"/"ReusedExchange" (a reused exchange is not a
+    # new exchange of either kind).
+    def _count(op: str) -> int:
+        return len(re.findall(rf"(?<![A-Za-z]){op}", plan))
+
+    fp: dict[str, object] = {op: _count(op) for op in _OPS if _count(op) > 0}
+    n_reused = len(re.findall(r"ReusedExchange", plan))
+    if n_reused:
+        fp["ReusedExchange"] = n_reused
     if "Exchange" in fp:
-        fp["ShuffleExchange"] = int(fp.pop("Exchange")) - n_bx
+        fp["ShuffleExchange"] = int(fp.pop("Exchange"))
         if not fp["ShuffleExchange"]:
             del fp["ShuffleExchange"]
     fp["scans"] = len(re.findall(r"Scan parquet|FileScan|LocalTableScan|Scan ExistingRDD", plan))
@@ -64,19 +69,22 @@ def plan_fingerprint(df: DataFrame) -> dict[str, object]:
     return fp
 
 
-def assert_no_cartesian(df: DataFrame, allow: bool = False) -> None:
-    """Fail fast if the plan contains an unbounded cross product
-    (CartesianProduct, or a BroadcastNestedLoopJoin that is not an
-    intentionally-allowed bounded broadcast). The same rejection the
-    engine-wide test audit applies, available at pipeline-build time."""
-    if allow:
-        return
+def assert_no_cartesian(df: DataFrame, allow_broadcast_nlj: bool = False) -> None:
+    """Fail fast if the plan contains an unbounded cross product.
+    ``allow_broadcast_nlj=True`` permits a deliberately bounded
+    BroadcastNestedLoopJoin (bbox-culled spatial joins do this) but an
+    unkeyed CartesianProduct is NEVER allowed — there is no bounded
+    variant of it. The same rejection the engine-wide test audit
+    applies, available at pipeline-build time."""
     plan = executed_plan(df)
-    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+    bad_ops = ["CartesianProduct"]
+    if not allow_broadcast_nlj:
+        bad_ops.append("BroadcastNestedLoopJoin")
+    for bad in bad_ops:
         if bad in plan:
             raise ValueError(
                 f"plan contains {bad} — an O(n*m) join that will not "
                 "survive scale; use an equi-join key (grid cell, LSH "
-                "band, salt) or pass allow=True for a deliberately "
-                "bounded broadcast NLJ:\n" + plan[:1500]
+                "band, salt) or pass allow_broadcast_nlj=True for a "
+                "deliberately bounded broadcast NLJ:\n" + plan[:1500]
             )

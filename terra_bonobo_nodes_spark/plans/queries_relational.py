@@ -1707,12 +1707,16 @@ def ntile_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "linkage_fuzzy_part_names",
     oracle="""
 WITH n AS (SELECT p_name, min(p_partkey) AS pid FROM part GROUP BY 1),
-s AS (SELECT pid, p_name, str_split(lower(p_name), ' ')[1] AS blk FROM n)
+s0 AS (SELECT pid, p_name, str_split(lower(p_name), ' ')[1] AS blk FROM n),
+-- mirror the operator's max_block_size cap (degenerate blocks dropped)
+s AS (SELECT * FROM s0
+      QUALIFY count(*) OVER (PARTITION BY blk) <= 10000)
 SELECT a.pid AS id_a, b.pid AS id_b,
        a.p_name AS name_a, b.p_name AS name_b,
        CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
-FROM s a JOIN s b ON a.blk = b.blk AND a.pid < b.pid
-WHERE levenshtein(a.p_name, b.p_name) <= 3
+FROM s a JOIN s b ON a.blk = b.blk
+WHERE (a.pid, a.p_name) < (b.pid, b.p_name)
+  AND levenshtein(a.p_name, b.p_name) <= 3
 """,
     tags=("linkage", "dedup"),
 )

@@ -108,4 +108,11 @@ def test_plan_fingerprint_and_assert_api(spark):
 
     with _pytest.raises(ValueError, match="will not survive scale"):
         assert_no_cartesian(cross)
-    assert_no_cartesian(cross, allow=True)  # documented escape hatch
+    # the escape hatch permits only bounded broadcast NLJs — an unkeyed
+    # CartesianProduct is rejected regardless
+    plan = cross._jdf.queryExecution().executedPlan().toString()
+    if "CartesianProduct" in plan:
+        with _pytest.raises(ValueError, match="CartesianProduct"):
+            assert_no_cartesian(cross, allow_broadcast_nlj=True)
+    else:
+        assert_no_cartesian(cross, allow_broadcast_nlj=True)

@@ -824,22 +824,23 @@ def test_fuzzy_match_plan_has_no_cartesian(spark):
     from terra_bonobo_nodes_spark.plans.audit import assert_no_cartesian
 
     df = spark.createDataFrame([(1, "a b"), (2, "a c")], "id long, name string")
-    assert_no_cartesian(fuzzy_match_pairs(df, "id", "name"))
+    assert_no_cartesian(fuzzy_match_pairs(df, "id", "name"))  # strict mode
 
 
 def test_approx_distinct_within_error_bound(spark):
     from pyspark.sql import functions as F
 
+    from terra_bonobo_nodes_spark.plans.registry import all_queries
     from terra_bonobo_nodes_spark.tables import load_table
     from tests.conftest import SF_DIR
 
-    ev = load_table(spark, SF_DIR, "events")
+    # run the REGISTERED query (its oracle is rows-only), so this bound
+    # is the query's actual correctness check
+    q = all_queries()["approx_distinct_users"]
     approx = {
-        r.event_type: r.a
-        for r in ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("a"))
-        .collect()
+        r.event_type: r.approx_users for r in q.spark_fn(spark, SF_DIR).collect()
     }
+    ev = load_table(spark, SF_DIR, "events")
     exact = {
         r.event_type: r.e
         for r in ev.groupBy("event_type")
@@ -875,6 +876,15 @@ def test_grouped_agg_pandas_udf_matches_expression(spark):
     }
     assert abs(udf_out["a"] - expr_out["a"]) < 1e-12 and abs(udf_out["a"] - 2.8284271247461903) < 1e-12
     assert abs(udf_out["b"] - 9.0) < 1e-12 and abs(expr_out["b"] - 9.0) < 1e-9
+
+    # domain agreement: zeros/negatives are outside ln's domain on BOTH
+    # paths (NULL-skipped), and an all-non-positive group is NULL
+    mixed = spark.createDataFrame(
+        [("z", 0.0), ("z", 4.0), ("n", -1.0), ("n", 0.0)], "g string, v double"
+    )
+    u = {r.g: r.gm for r in mixed.groupBy("g").agg(geometric_mean("v").alias("gm")).collect()}
+    e = {r.g: r.gm for r in mixed.groupBy("g").agg(geometric_mean_expr("v").alias("gm")).collect()}
+    assert u == e and u["z"] == 4.0 and u["n"] is None
 
 
 def test_python_udtf_tokenize_from_sql(spark):
