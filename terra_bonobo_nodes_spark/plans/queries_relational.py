@@ -1792,3 +1792,38 @@ def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("matched")
         .alias("status"),
     )
+
+
+@register(
+    "grouping_sets_lineitem",
+    oracle="""
+SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+       coalesce(l_linestatus, '<all>') AS linestatus,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+       count(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                        (l_returnflag, l_linestatus), ())
+""",
+    tags=("aggregate", "grouping-sets"),
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general multi-granularity aggregate
+    of which rollup/cube (both covered elsewhere) are special cases,
+    with grouping() markers disambiguating genuine NULL groups from
+    subtotal rows. Spark executes one Expand + single aggregation, not
+    one scan per set."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql("""
+SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+       coalesce(l_linestatus, '<all>') AS linestatus,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+       count(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+FROM gs_lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                        (l_returnflag, l_linestatus), ())
+""")

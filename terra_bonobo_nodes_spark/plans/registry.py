@@ -102,6 +102,7 @@ _PRIORITY: tuple[str, ...] = (
     "linkage_fuzzy_part_names",
     "approx_distinct_users",
     "full_outer_reconciliation",
+    "grouping_sets_lineitem",
     # --- (1b) r02-stale greens, promoted above section (2) this round:
     # their last driver row is three rounds old (oldest in the registry),
     # while every section-(2) entry has an r04 green and the round-5
