@@ -27,10 +27,13 @@ from pyspark.sql.functions import pandas_udf, udtf
 @pandas_udf("double")
 def geometric_mean(v: pd.Series) -> float | None:
     """GROUPED_AGG pandas UDF: exp(mean(ln x)) over positive values.
-    Domain rule mirrors the expression form exactly — ``ln`` of a NULL
-    or non-positive value is NULL and ``avg`` skips NULLs — so the two
-    agree on EVERY input, including groups containing zeros/negatives
-    (asserted in pytest). A group with no positive values returns NULL.
+    Domain rule mirrors the expression form — ``ln`` of a NULL or
+    non-positive value is NULL and ``avg`` skips NULLs — so the two
+    agree on NULL/zero/negative-bearing groups (asserted in pytest).
+    KNOWN divergence: a literal NaN input is indistinguishable from
+    NULL through Arrow (both arrive as NaN) and is skipped here, while
+    the expression form propagates it (log(NaN) = NaN). A group with
+    no positive values returns NULL.
     Partial aggregation does NOT apply to grouped-agg UDFs (each
     group's values ship to one executor), so prefer the expression form
     ``exp(avg(ln(x)))`` for skewed/huge groups; this exists to pin the

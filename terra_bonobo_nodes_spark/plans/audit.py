@@ -54,14 +54,13 @@ def plan_fingerprint(df: DataFrame) -> dict[str, object]:
     def _count(op: str) -> int:
         return len(re.findall(rf"(?<![A-Za-z]){op}", plan))
 
-    fp: dict[str, object] = {op: _count(op) for op in _OPS if _count(op) > 0}
+    counts = ((op, _count(op)) for op in _OPS)
+    fp: dict[str, object] = {op: n for op, n in counts if n > 0}
     n_reused = len(re.findall(r"ReusedExchange", plan))
     if n_reused:
         fp["ReusedExchange"] = n_reused
     if "Exchange" in fp:
-        fp["ShuffleExchange"] = int(fp.pop("Exchange"))
-        if not fp["ShuffleExchange"]:
-            del fp["ShuffleExchange"]
+        fp["ShuffleExchange"] = fp.pop("Exchange")
     fp["scans"] = len(re.findall(r"Scan parquet|FileScan|LocalTableScan|Scan ExistingRDD", plan))
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     if any(p.strip() for p in pushed):

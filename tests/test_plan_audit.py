@@ -110,8 +110,9 @@ def test_plan_fingerprint_and_assert_api(spark):
         assert_no_cartesian(cross)
     # the escape hatch permits only bounded broadcast NLJs — an unkeyed
     # CartesianProduct is rejected regardless
-    plan = cross._jdf.queryExecution().executedPlan().toString()
-    if "CartesianProduct" in plan:
+    from terra_bonobo_nodes_spark.plans.audit import executed_plan
+
+    if "CartesianProduct" in executed_plan(cross):
         with _pytest.raises(ValueError, match="CartesianProduct"):
             assert_no_cartesian(cross, allow_broadcast_nlj=True)
     else:
