@@ -1,7 +1,13 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (the driver captures a bounded TAIL of stdout and
+parses the LAST line as JSON — BENCH_r05 lost its parse because one
+giant line with per-pass samples outgrew that window):
+- second-to-last stdout line: {"samples": {name: [s1, s2, s3]}} — the
+  per-pass timings that make host-load spikes adjudicable;
+- LAST stdout line, compact: {"metric": ..., "value": total_sec,
+  "unit": "sec", "queries": {name: sec}, "sf": ...}.
 
 Each query is materialized with the built-in ``noop`` sink — full plan
 execution on the executors without py4j row transfer, so timings measure
@@ -74,6 +80,10 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s {samples[name]}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Samples on their OWN line (first), compact medians line LAST: the
+    # driver tail-captures stdout and parses the final line — keeping
+    # the final line small is what makes BENCH_r{N} machine-readable.
+    print(json.dumps({"samples": samples}))
     print(
         json.dumps(
             {
@@ -81,7 +91,6 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
-                "samples": samples,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
