@@ -29,6 +29,7 @@ def resample_ffill(
     value_col: str,
     step_seconds: int,
     agg: str = "last",
+    max_buckets_per_key: int = 1_000_000,
 ) -> DataFrame:
     """Resample each key's series onto a regular ``step_seconds`` grid
     and forward-fill empty buckets with the last observed value.
@@ -42,8 +43,11 @@ def resample_ffill(
 
     The grid explode is the size hazard: a key spanning years at
     1-second steps explodes accordingly — the span/step product is the
-    operator's cost model, same contract as interval_point_join's
-    bucket explosion guard."""
+    operator's cost model. ``max_buckets_per_key`` FAILS FAST when any
+    key's span/step exceeds the cap (same fail-fast contract as
+    interval_point_join's bucket-explosion guard): raise the cap
+    explicitly, widen the step, or split the key rather than letting a
+    single degenerate series explode an executor."""
     b = (F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds) * step_seconds).cast(
         "long"
     )
@@ -70,10 +74,27 @@ def resample_ffill(
     span = per_bucket.groupBy(*keys).agg(
         F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
     )
+    # assert_true returns NULL on success; wiring it INTO the explode
+    # argument (rather than a separate column) keeps column pruning
+    # from optimizing the guard away (interval_point_join convention).
+    guard = F.assert_true(
+        (F.col("_hi") - F.col("_lo")) / F.lit(step_seconds)
+        < F.lit(max_buckets_per_key),
+        F.concat(
+            F.lit("resample_ffill: a key spans more than "),
+            F.lit(str(max_buckets_per_key)),
+            F.lit(f" buckets of {step_seconds}s (span "),
+            (F.col("_hi") - F.col("_lo")).cast("string"),
+            F.lit("s); raise max_buckets_per_key or widen step_seconds"),
+        ),
+    )
     grid = span.select(
         *keys,
         F.explode(
-            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step_seconds))
+            F.when(
+                guard.isNull(),
+                F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step_seconds)),
+            )
         ).alias("_b"),
     )
     # explicit observation marker: a bucket can be OBSERVED with an

@@ -699,6 +699,27 @@ def test_resample_avg_and_bad_agg(spark):
         resample_ffill(df, ["g"], "ts", "v", 3600, agg="median")
 
 
+def test_resample_ffill_bucket_explosion_guard(spark):
+    """A key whose span/step exceeds max_buckets_per_key must fail fast
+    (the grid explode is the operator's cost hazard) — and the guard
+    must not fire on well-behaved keys at the same cap."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from terra_bonobo_nodes_spark.operators.timeseries import resample_ffill
+
+    rows = [
+        ("u", datetime(2024, 1, 1, 0, 0), 1.0),
+        ("u", datetime(2024, 3, 1, 0, 0), 2.0),  # 60 days -> 1440 hourly buckets
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    with _pytest.raises(Exception, match="resample_ffill.*max_buckets_per_key"):
+        resample_ffill(df, ["g"], "ts", "v", 3600, max_buckets_per_key=100).collect()
+    ok = resample_ffill(df, ["g"], "ts", "v", 3600, max_buckets_per_key=2000).collect()
+    assert len(ok) == 1441
+
+
 def test_rolling_range_agg_vs_naive(spark):
     from datetime import datetime, timedelta
 
