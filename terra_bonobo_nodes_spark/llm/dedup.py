@@ -29,10 +29,23 @@ All text-hash paths are pure Column expressions with DuckDB-parity
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from terra_bonobo_nodes_spark.llm.hashing import band_hash, hash32, normalize
+
+
+def _cap_metrics(counted: DataFrame, over_cap: Column, name: str) -> DataFrame:
+    """1-row companion metrics DataFrame counting rows over a skew cap.
+
+    Companion aggregate rather than ``df.observe``: AQE empty-relation
+    propagation can remove a CollectMetrics node together with an empty
+    join side, losing the metric exactly when everything was capped.
+    ``counted`` is derived from the op's persisted/checkpointed
+    intermediate, so evaluating the metric is one cheap extra job."""
+    return counted.agg(
+        F.coalesce(F.sum(F.when(over_cap, 1)), F.lit(0)).cast("long").alias(name)
+    )
 
 
 def fingerprint_col(text):
@@ -129,14 +142,20 @@ def minhash_lsh_pairs(
     min_est_jaccard: float = 0.0,
     max_band_bucket: int | None = None,
     persist_signatures: bool = True,
-) -> DataFrame:
+    with_metrics: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """LSH candidate pairs (id_a < id_b) with the MinHash-estimated
     jaccard (fraction of equal signature components).
 
     Plan shape: signatures (narrow) → explode bands (xN) → self-join on
     (band, hash) → distinct pairs → estimate. The distinct collapses
     pairs that collide in several bands. ``max_band_bucket`` drops
-    pathological buckets (all-identical spam clusters) before the join.
+    pathological buckets (all-identical spam clusters) before the join
+    — observably, not silently: ``with_metrics=True`` returns
+    ``(pairs, metrics)`` with a 1-row ``n_capped_band_rows`` DataFrame
+    counting the (doc, band) rows the cap excluded (see
+    :func:`_cap_metrics`; reads the persisted signatures, one cheap
+    extra job).
     """
     assert n_hashes % bands == 0, "bands must divide n_hashes"
     rows_per_band = n_hashes // bands
@@ -166,10 +185,18 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "sig", "bb.band", "bb.bh")
+    metrics = None
     if max_band_bucket is not None:
         wb = Window.partitionBy("band", "bh")
-        banded = banded.withColumn("_bc", F.count(F.lit(1)).over(wb)).where(
-            F.col("_bc") <= max_band_bucket
+        counted = banded.withColumn("_bc", F.count(F.lit(1)).over(wb))
+        if with_metrics:
+            metrics = _cap_metrics(
+                counted, F.col("_bc") > max_band_bucket, "n_capped_band_rows"
+            )
+        banded = counted.where(F.col("_bc") <= max_band_bucket)
+    elif with_metrics:  # no cap configured -> nothing can be dropped
+        metrics = df.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("n_capped_band_rows")
         )
     left = banded.select(
         F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bh"
@@ -195,6 +222,8 @@ def minhash_lsh_pairs(
     out = pairs.select("id_a", "id_b", est)
     if min_est_jaccard > 0:
         out = out.where(F.col("est_jaccard") >= min_est_jaccard)
+    if with_metrics:
+        return out, metrics
     return out
 
 
@@ -323,14 +352,19 @@ def ngram_jaccard_pairs(
     word_grams: bool = True,
     min_jaccard: float = 0.5,
     max_shingle_df: int | None = None,
-) -> DataFrame:
+    with_metrics: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Exact n-gram Jaccard pairs via inverted index self-join.
 
     jaccard = |A ∩ B| / (|A| + |B| − |A ∩ B|) over DISTINCT shingles.
     The common-shingle count comes from a (doc, shingle) self-join —
     linear in posting-list sizes, never quadratic in docs. The exactness
     caveat: dropping stop-shingles via ``max_shingle_df`` changes the
-    sets (document it when used) but is mandatory at corpus scale.
+    sets but is mandatory at corpus scale — and is observable, not
+    silent: ``with_metrics=True`` returns ``(pairs, metrics)`` with a
+    1-row ``n_capped_posting_rows`` DataFrame counting the
+    (doc, shingle) posting rows the cap excluded (reads the persisted
+    posting relation — one cheap extra job, see :func:`_cap_metrics`).
     """
     from terra_bonobo_nodes_spark.llm.hashing import (
         explode_char_shingles,
@@ -346,11 +380,19 @@ def ngram_jaccard_pairs(
         .dropDuplicates([id_col, "shingle"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    metrics = None
     if max_shingle_df is not None:
         wdf = Window.partitionBy("shingle")
-        posting = posting.withColumn("_df", F.count(F.lit(1)).over(wdf)).where(
-            F.col("_df") <= max_shingle_df
-        ).drop("_df")
+        counted = posting.withColumn("_df", F.count(F.lit(1)).over(wdf))
+        if with_metrics:
+            metrics = _cap_metrics(
+                counted, F.col("_df") > max_shingle_df, "n_capped_posting_rows"
+            )
+        posting = counted.where(F.col("_df") <= max_shingle_df).drop("_df")
+    elif with_metrics:
+        metrics = df.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("n_capped_posting_rows")
+        )
     sizes = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         posting.select(F.col(id_col).alias("id_a"), "shingle")
@@ -359,7 +401,7 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return (
+    out = (
         common.join(
             sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
             "id_a",
@@ -378,6 +420,9 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= min_jaccard)
     )
+    if with_metrics:
+        return out, metrics
+    return out
 
 
 def connected_components(
@@ -552,7 +597,8 @@ def minhash_lsh_match(
     word_grams: bool = False,
     min_est_jaccard: float = 0.0,
     max_band_bucket: int | None = None,
-) -> DataFrame:
+    with_metrics: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Incremental-ingestion dedup: LSH-match NEW documents against an
     EXISTING corpus — the asymmetric form of :func:`minhash_lsh_pairs`
     used at ingestion time (is this incoming batch a near-dup of
@@ -567,7 +613,9 @@ def minhash_lsh_match(
     each incoming batch then costs its own shingling plus one shuffle
     of the batch-side bands against the stored, already-partitioned
     band table. ``max_band_bucket`` caps pathological corpus buckets
-    exactly like the self-join form."""
+    exactly like the self-join form; with ``with_metrics=True`` the
+    excluded (corpus, band) row count comes back as a 1-row companion
+    ``n_capped_band_rows`` DataFrame (see :func:`_cap_metrics`)."""
     assert n_hashes % bands == 0, "bands must divide n_hashes"
     rows_per_band = n_hashes // bands
 
@@ -596,11 +644,19 @@ def minhash_lsh_match(
 
     new_b = _banded(new_df, "new_id").withColumnRenamed("sig", "sig_n")
     cor_b = _banded(corpus_df, "corpus_id").withColumnRenamed("sig", "sig_c")
+    metrics = None
     if max_band_bucket is not None:
         wb = Window.partitionBy("band", "bh")
-        cor_b = cor_b.withColumn("_bc", F.count(F.lit(1)).over(wb)).where(
-            F.col("_bc") <= max_band_bucket
-        ).drop("_bc")
+        cor_b = cor_b.withColumn("_bc", F.count(F.lit(1)).over(wb))
+        if with_metrics:
+            metrics = _cap_metrics(
+                cor_b, F.col("_bc") > max_band_bucket, "n_capped_band_rows"
+            )
+        cor_b = cor_b.where(F.col("_bc") <= max_band_bucket).drop("_bc")
+    elif with_metrics:
+        metrics = new_df.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("n_capped_band_rows")
+        )
     pairs = (
         new_b.join(cor_b, ["band", "bh"])
         .select("new_id", "corpus_id", "sig_n", "sig_c")
@@ -618,4 +674,6 @@ def minhash_lsh_match(
     out = pairs.select("new_id", "corpus_id", est)
     if min_est_jaccard > 0:
         out = out.where(F.col("est_jaccard") >= min_est_jaccard)
+    if with_metrics:
+        return out, metrics
     return out

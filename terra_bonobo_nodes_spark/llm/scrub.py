@@ -109,13 +109,23 @@ def remove_boilerplate(
     para_tokens: int = 8,
     max_df: int = 5,
     out_col: str = "clean_text",
-) -> DataFrame:
+    with_metrics: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Drop paragraphs that appear in more than ``max_df`` distinct
     documents (subscription prompts, license headers, nav chrome) and
     reassemble each document from its surviving paragraphs in order.
 
     Returns ``id_col, out_col, n_para, n_kept``. Documents whose every
-    paragraph was boilerplate survive with ``out_col = ''``.
+    paragraph was boilerplate survive with ``out_col = ''``. The hot-set
+    cut is OBSERVABLE, not silent: ``with_metrics=True`` returns
+    ``(clean, metrics)`` with a 1-row metrics DataFrame
+    ``(n_hot_paragraphs, n_dropped_doc_paras)`` — distinct boilerplate
+    paragraphs removed and the document-paragraph occurrences they
+    accounted for. Companion DataFrame rather than ``df.observe``
+    because AQE empty-relation propagation can drop a CollectMetrics
+    node with an empty join side (see linkage.fuzzy_match_pairs); the
+    companion aggregate reads the localCheckpointed paragraph relation,
+    so it costs one cheap extra job.
 
     Plan: explode (id, idx, para) → groupBy(md5(para)) count-distinct-id
     → the >max_df hot set broadcasts into a LEFT ANTI join (never a
@@ -138,14 +148,13 @@ def remove_boilerplate(
         .withColumn("_h", F.md5("_para"))
         .localCheckpoint(eager=False)
     )
-    hot = (
+    agged = (
         paras.where(F.col("_h").isNotNull())
         .groupBy("_h")
         .agg(F.count_distinct(F.col(id_col)).alias("_df"))
-        .where(F.col("_df") > max_df)
-        .select("_h")
     )
-    kept = paras.join(F.broadcast(hot), "_h", "left_anti")
+    hot = agged.where(F.col("_df") > max_df)
+    kept = paras.join(F.broadcast(hot.select("_h")), "_h", "left_anti")
     clean = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -159,7 +168,7 @@ def remove_boilerplate(
     totals = paras.groupBy(id_col).agg(
         F.count("_para").cast("long").alias("n_para")
     )
-    return (
+    result = (
         totals.join(clean, id_col, "left")
         .select(
             id_col,
@@ -168,3 +177,14 @@ def remove_boilerplate(
             F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
         )
     )
+    if not with_metrics:
+        return result
+    metrics = agged.agg(
+        F.coalesce(F.sum(F.when(F.col("_df") > max_df, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_hot_paragraphs"),
+        F.coalesce(F.sum(F.when(F.col("_df") > max_df, F.col("_df"))), F.lit(0))
+        .cast("long")
+        .alias("n_dropped_doc_paras"),
+    )
+    return result, metrics

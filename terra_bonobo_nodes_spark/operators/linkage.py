@@ -28,15 +28,25 @@ def fuzzy_match_pairs(
     max_distance: int = 3,
     block: Column | None = None,
     max_block_size: int = 10_000,
-) -> DataFrame:
+    with_metrics: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Candidate pairs (id_a, id_b, name_a, name_b, distance) with
     ``levenshtein(name_a, name_b) <= max_distance``, generated inside
     equi-join blocks only.
 
     ``max_block_size`` drops blocks with more members than the cap
     (a degenerate key like an empty first token would otherwise go
-    quadratic); dropped blocks carry no discriminating signal anyway —
-    document the cap with the run like the dedup operators do.
+    quadratic); dropped blocks carry no discriminating signal anyway.
+    The drop is OBSERVABLE, not silent: with ``with_metrics=True`` the
+    return value is ``(pairs, metrics)`` where ``metrics`` is a 1-row
+    DataFrame ``(n_hot_blocks, n_dropped_rows)`` — the blocks excluded
+    by the cap and the input rows that went with them, the numbers a
+    production run logs alongside its result. (A companion DataFrame
+    rather than ``df.observe``: AQE's empty-relation propagation can
+    remove a CollectMetrics node together with an empty join side, so
+    observed metrics vanish exactly when everything — or nothing — was
+    capped. The companion aggregate is one cheap extra job over the
+    same block counts.)
 
     Plan: one shuffle on the blocking key for the cap aggregate, a
     broadcast anti-join of the (small) hot-block set, one equi-join on
@@ -49,20 +59,16 @@ def fuzzy_match_pairs(
     rows = df.select(
         F.col(id_col).alias("_id"), F.col(name_col).alias("_name"), b.alias("_blk")
     )
-    hot = (
-        rows.groupBy("_blk")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") > max_block_size)
-        .select("_blk")
-    )
-    rows = rows.join(F.broadcast(hot), "_blk", "left_anti")
+    agged = rows.groupBy("_blk").agg(F.count(F.lit(1)).alias("_n"))
+    hot = agged.where(F.col("_n") > max_block_size)
+    rows = rows.join(F.broadcast(hot.select("_blk")), "_blk", "left_anti")
     a = rows.select(
         F.col("_blk"), F.col("_id").alias("id_a"), F.col("_name").alias("name_a")
     )
     c = rows.select(
         F.col("_blk"), F.col("_id").alias("id_b"), F.col("_name").alias("name_b")
     )
-    return (
+    pairs = (
         a.join(c, ["_blk"])
         .where(
             F.struct(F.col("id_a"), F.col("name_a"))
@@ -72,3 +78,16 @@ def fuzzy_match_pairs(
         .where(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "name_a", "name_b", "distance")
     )
+    if not with_metrics:
+        return pairs
+    metrics = agged.agg(
+        F.coalesce(F.sum(F.when(F.col("_n") > max_block_size, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_hot_blocks"),
+        F.coalesce(
+            F.sum(F.when(F.col("_n") > max_block_size, F.col("_n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_dropped_rows"),
+    )
+    return pairs, metrics
