@@ -1038,15 +1038,24 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-time dedup: LSH-match a 'new batch' (doc_id % 10 = 0)
     against the stored corpus (the rest) via the asymmetric
     ``minhash_lsh_match`` — one (band, hash) equi-join, no self-join,
-    no new×new pairs. The production shape persists the corpus-side
-    signatures between batches; here both sides derive from the same
-    table so the oracle can rebuild them."""
+    no new×new pairs.
+
+    This query exercises BOTH operator branches: the corpus side feeds
+    PRECOMPUTED signatures (the ``sig`` column fast path — at 100 TB
+    the corpus is hashed once, persisted, and every batch joins against
+    the stored band table), while the new side arrives as raw text and
+    re-hashes. Signatures are deterministic, so the oracle (which
+    rebuilds both sides from text) is unchanged; presig ≡ recompute is
+    additionally pinned by tests/test_llm_ops.py."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     new = docs.where(F.col("doc_id") % 10 == 0)
     corpus = docs.where(F.col("doc_id") % 10 != 0)
+    corpus_sigs = dedup.minhash_signatures(
+        corpus, "text", "doc_id", n_hashes=_MH_K, shingle_n=_MH_SHINGLE
+    )  # (doc_id, sig) — the persisted artifact a production store keeps
     return dedup.minhash_lsh_match(
         new,
-        corpus,
+        corpus_sigs,
         "text",
         "doc_id",
         n_hashes=_MH_K,

@@ -958,3 +958,27 @@ def test_pii_counts_null_text_is_zero(spark):
     assert all(r[f"n_{k}"] == 0 for k in scrub.PII_PATTERNS)
     rr = scrub.pii_redact(df).collect()[0]
     assert rr.redacted is None  # redaction passes NULL through
+
+
+def test_minhash_lsh_match_presig_equals_recompute(spark, near_dup_docs):
+    """The persisted-signature fast path (the actual 100 TB ingestion
+    contract: corpus hashed once, ever) must produce pair-for-pair the
+    same matches as re-hashing raw text — for either side, and for
+    both at once."""
+    new = near_dup_docs.where(F.col("doc_id") % 2 == 0)
+    corpus = near_dup_docs.where(F.col("doc_id") % 2 != 0)
+    kw = dict(n_hashes=8, bands=4, shingle_n=5)
+
+    def run(n, c):
+        out = dedup.minhash_lsh_match(n, c, "text", "doc_id", **kw)
+        return sorted(
+            (r.new_id, r.corpus_id, round(r.est_jaccard, 6)) for r in out.collect()
+        )
+
+    new_sig = dedup.minhash_signatures(new, "text", "doc_id", 8, 5)
+    cor_sig = dedup.minhash_signatures(corpus, "text", "doc_id", 8, 5)
+    base = run(new, corpus)
+    assert base  # the fixture contains cross-side near-dups
+    assert run(new, cor_sig) == base      # corpus presig (production shape)
+    assert run(new_sig, corpus) == base   # new-side presig
+    assert run(new_sig, cor_sig) == base  # both presig
