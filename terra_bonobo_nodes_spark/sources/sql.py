@@ -9,6 +9,8 @@ float semantics.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
@@ -61,3 +63,57 @@ def jdbc_extract(
     for k, v in options.items():
         reader = reader.option(k, v)
     return decimals_to_double(reader.load())
+
+
+@dataclass(frozen=True)
+class JDBCConf:
+    """Connector seam for S3/S4 (the ES-seam pattern, ``sinks/es.py``):
+    the SAME extract calls run against a live database by passing a
+    conf with ``backend="jdbc"`` — a config change, not a code change.
+    The parquet stand-in (default) keeps the identical DataFrame
+    contract, so tests and oracle queries are backend-agnostic.
+
+    Option mapping onto ``spark.read.format("jdbc")``, mirroring the
+    reference's paginated ``ExtractFeatures`` scan
+    (``terra.py:177-211``): the LIMIT/OFFSET pagination over an ordered
+    queryset becomes ``partitionColumn`` + ``numPartitions`` +
+    ``lowerBound/upperBound`` (Spark derives one bounded predicate per
+    partition — the pagination IS the partitioning, executed in
+    parallel instead of serially); the reference's ``batch_size=1000``
+    row window (``terra.py:194``) maps to ``fetchsize`` (rows per
+    database round-trip within a partition). Extra ``options`` pass
+    through verbatim (driver, user, sessionInitStatement, ...).
+    """
+
+    backend: str = "parquet"  # "parquet" (stand-in) | "jdbc" (live DB)
+    url: str = "jdbc:postgresql://localhost:5432/terra"
+    partition_column: str | None = "id"
+    num_partitions: int = 8
+    lower_bound: int = 0
+    upper_bound: int = 1_000_000
+    fetchsize: int = 1000  # ExtractFeatures batch_size, terra.py:194
+    options: dict[str, str] = field(default_factory=dict)
+
+    def reader_options(self, query: str) -> dict[str, str]:
+        opts = {
+            "url": self.url,
+            "query": query,
+            "fetchsize": str(self.fetchsize),
+            **self.options,
+        }
+        if self.partition_column is not None:
+            opts.update(
+                partitionColumn=self.partition_column,
+                numPartitions=str(self.num_partitions),
+                lowerBound=str(self.lower_bound),
+                upperBound=str(self.upper_bound),
+            )
+        return opts
+
+    def read(self, spark: SparkSession, query: str) -> DataFrame:
+        """Live-DB scan through the option map above, with the same
+        Decimal->float coercion contract as ``sql_extract``."""
+        reader = spark.read.format("jdbc")
+        for k, v in self.reader_options(query).items():
+            reader = reader.option(k, v)
+        return decimals_to_double(reader.load())

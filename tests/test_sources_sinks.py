@@ -919,3 +919,32 @@ def test_python_udtf_tokenize_from_sql(spark):
     assert [(r.token, r.pos, r.n_chars) for r in rows] == [
         ("hello", 0, 5), ("big", 1, 3), ("world", 2, 5),
     ]
+
+
+def test_jdbc_conf_seam_option_mapping():
+    """Config-only connector seam for S3/S4 (the ESConf pattern): the
+    reference's paginated ExtractFeatures scan (terra.py:177-211,
+    batch_size 1000 at terra.py:194) maps onto Spark's JDBC reader as
+    partitionColumn bounds + fetchsize, without touching the parquet
+    stand-in code path."""
+    from terra_bonobo_nodes_spark.sources.sql import JDBCConf
+
+    conf = JDBCConf(
+        backend="jdbc",
+        url="jdbc:postgresql://db:5432/terra",
+        partition_column="id",
+        num_partitions=16,
+        upper_bound=500_000,
+        options={"user": "terra", "driver": "org.postgresql.Driver"},
+    )
+    o = conf.reader_options("SELECT id, properties FROM features")
+    assert o["url"].startswith("jdbc:postgresql://db")
+    assert o["partitionColumn"] == "id" and o["numPartitions"] == "16"
+    assert o["lowerBound"] == "0" and o["upperBound"] == "500000"
+    assert o["fetchsize"] == "1000"  # ExtractFeatures batch_size parity
+    assert o["user"] == "terra" and o["driver"] == "org.postgresql.Driver"
+    # unpartitioned scan drops the bound options entirely
+    flat = JDBCConf(partition_column=None).reader_options("SELECT 1")
+    assert "partitionColumn" not in flat and "numPartitions" not in flat
+    # default conf stays on the parquet stand-in
+    assert JDBCConf().backend == "parquet"
