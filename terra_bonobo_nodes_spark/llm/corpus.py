@@ -202,3 +202,59 @@ def reservoir_sample(
         df.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= n)
     )
+
+
+def decontaminate_substring(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Exact-substring benchmark decontamination via winnowed
+    fingerprints (Schleimer et al. 2003) — the paraphrase-resistant
+    complement to n-gram containment (:func:`decontaminate`): by the
+    winnowing guarantee, any candidate document sharing a verbatim
+    substring of length >= k + window - 1 characters (normalized) with
+    ANY benchmark document shares at least one fingerprint, no matter
+    how the surrounding text was rewritten. This is the MOSS match
+    step run asymmetrically, candidates x benchmark.
+
+    Emits per candidate doc: fingerprint count, fingerprints also in
+    the benchmark set, and a ``contaminated`` flag at ``min_shared``.
+
+    Plan (100 TB shape): both sides winnow in an Arrow kernel
+    (llm/text.winnow_fingerprints — one pass, no self-join), the
+    benchmark reduces to its DISTINCT fingerprint set (an eval suite is
+    MBs; the candidate corpus is the TB side), then one LEFT SEMI join
+    on the fingerprint — AQE broadcasts the benchmark set, so the
+    corpus is never shuffled: scan -> kernel -> map-side semi-join ->
+    one aggregate on the id. Never candidate x candidate.
+    """
+    from terra_bonobo_nodes_spark.llm.text import winnow_fingerprints
+
+    cand = winnow_fingerprints(df, text_col, "_fps", k, window).select(
+        F.col(id_col), F.explode("_fps").alias("fp")
+    )
+    bench = (
+        winnow_fingerprints(benchmark, text_col, "_fps", k, window)
+        .select(F.explode("_fps").alias("fp"))
+        .distinct()
+    )
+    totals = cand.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    hits = (
+        cand.join(bench, "fp", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+    )
+    out = totals.join(hits, id_col, "left").withColumn(
+        "n_shared_fp", F.coalesce(F.col("n_shared_fp"), F.lit(0))
+    )
+    return out.select(
+        id_col,
+        "n_fp",
+        "n_shared_fp",
+        (F.col("n_shared_fp") >= F.lit(int(min_shared))).alias("contaminated"),
+    )

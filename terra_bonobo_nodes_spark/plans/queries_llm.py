@@ -993,6 +993,45 @@ def llm_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(cand, bench, "text", "doc_id", n=3, threshold=0.5)
 
 
+@register(
+    "llm_substring_decontaminate",
+    headline=True,
+    oracle=f"""{_winnow_cte()},
+inv AS (SELECT doc_id, unnest(fps) AS fp FROM fd),
+cand AS (SELECT i.doc_id, i.fp FROM inv i
+         JOIN documents d ON d.doc_id = i.doc_id WHERE d.source <> 'src0'),
+bset AS (SELECT DISTINCT i.fp FROM inv i
+         JOIN documents d ON d.doc_id = i.doc_id WHERE d.source = 'src0'),
+tot AS (SELECT doc_id, count(*) AS n_fp FROM cand GROUP BY 1),
+hit AS (SELECT c.doc_id, count(*) AS n_shared_fp
+        FROM cand c JOIN bset b ON c.fp = b.fp GROUP BY 1)
+SELECT t.doc_id, t.n_fp,
+       coalesce(h.n_shared_fp, 0) AS n_shared_fp,
+       coalesce(h.n_shared_fp, 0) >= 1 AS contaminated
+FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+""",
+    tags=("llm", "corpus", "dedup"),
+)
+def llm_substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination (``corpus.decontaminate_
+    substring``): every non-src0 document screened against the src0
+    "benchmark" via winnowed fingerprints — any shared verbatim
+    substring of >= k+window-1 normalized chars is guaranteed to
+    surface at least one shared fingerprint regardless of surrounding
+    paraphrase. The benchmark reduces to a distinct fingerprint set
+    that broadcasts; the candidate corpus never shuffles."""
+    from terra_bonobo_nodes_spark.llm.corpus import decontaminate_substring
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    bench = docs.where(F.col("source") == "src0")
+    cand = docs.where(F.col("source") != "src0")
+    return decontaminate_substring(
+        cand, bench, "text", "doc_id", k=_WN_K, window=_WN_WINDOW, min_shared=1
+    )
+
+
 def _incremental_oracle() -> str:
     """Two-sided mirror of _minhash_oracle: signatures for the 'new'
     batch (doc_id % 10 = 0) vs the stored corpus (the rest), banded,

@@ -198,6 +198,62 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_upsert_compaction_roundtrip",
+    oracle="""
+SELECT event_id AS identifier, event_type, round(value, 4) AS value
+FROM events
+""",
+    tags=("streaming", "K1", "sink"),
+)
+def stream_upsert_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 under Structured Streaming, END TO END: the events feed
+    delivered at-least-once (two stream readers unioned — every event
+    arrives twice, split across micro-batches), upserted via the
+    ``foreachBatch`` last-writer-wins sink (``streaming/ops.
+    upsert_foreach_batch``, the reference's transactional window flush
+    at terra.py:155-161), then the fragmented store is compacted
+    (``sinks/compact.py`` staged swap) and read back. Idempotent upsert
+    must make at-least-once delivery equal exactly-once: the store is
+    byte-for-byte the pristine events projection. Duplicate deliveries
+    carry identical payloads, so last-writer-wins is deterministic
+    across any batch split."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from terra_bonobo_nodes_spark.sinks.compact import compact_parquet_dir
+    from terra_bonobo_nodes_spark.streaming.ops import (
+        read_events_stream,
+        upsert_foreach_batch,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"tbns_k1_stream_{tag}")
+    shutil.rmtree(base, ignore_errors=True)  # rerunnable: fresh store + ckpt
+    tgt = os.path.join(base, "store")
+    replayed = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    stream = replayed.select(
+        F.col("event_id").alias("identifier"), "event_type", "value"
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert_foreach_batch(tgt, "identifier"))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    q.awaitTermination(600)
+    # micro-batch upserts fragment the store; repack to ~1 file
+    compact_parquet_dir(spark, tgt, min_files=2)
+    df = spark.read.parquet(tgt)
+    return df.select(
+        "identifier", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+@register(
     "stream_static_enrich",
     oracle=f"""
 SELECT n.n_name, count(*) AS n_events, {DSUM_VALUE}

@@ -982,3 +982,31 @@ def test_minhash_lsh_match_presig_equals_recompute(spark, near_dup_docs):
     assert run(new, cor_sig) == base      # corpus presig (production shape)
     assert run(new_sig, corpus) == base   # new-side presig
     assert run(new_sig, cor_sig) == base  # both presig
+
+
+def test_decontaminate_substring_guarantee(spark):
+    """Winnowing guarantee carried to decontamination: a candidate that
+    embeds a verbatim >= k+window-1 char benchmark substring inside
+    fully rewritten surroundings MUST flag; an unrelated doc must not."""
+    from terra_bonobo_nodes_spark.llm.corpus import decontaminate_substring
+
+    secret = "the canonical benchmark answer string"  # 38 chars >> k+w-1=11
+    bench = spark.createDataFrame(
+        [(100, f"question preamble {secret} trailing rubric")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [
+            (1, f"totally paraphrased framing yet {secret} smuggled verbatim"),
+            (2, "an honestly clean document about spark shuffle partitioning"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in decontaminate_substring(
+            cand, bench, "text", "doc_id", k=8, window=4
+        ).collect()
+    }
+    assert out[1].contaminated and out[1].n_shared_fp >= 1
+    assert not out[2].contaminated and out[2].n_shared_fp == 0
