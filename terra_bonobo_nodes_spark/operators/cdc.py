@@ -1,0 +1,86 @@
+"""Change-data-capture application: changelog → current state.
+
+The reference's K1 sink upserts one batch into the feature store
+(delete-then-insert per identifier window, ``terra.py:155-161``); a
+CDC-shaped ingest generalizes that to a LOG of keyed changes
+(insert/update/delete, Debezium/DMS style) that must be collapsed and
+applied onto a base snapshot — the operation Delta Lake ships as
+``APPLY CHANGES INTO``, here expressed with plain DataFrame ops.
+
+Scale shape (100 TB): the base snapshot is the big side and is NEVER
+shuffled — collapsing the changelog costs one window over the (small)
+changelog, and applying it is a LEFT ANTI join keyed on the primary key
+(the collapsed changelog broadcasts in the common snapshot≫changelog
+case; AQE falls back to a shuffle join when a backfill-sized changelog
+arrives) plus a union. No MERGE engine support needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def collapse_changes(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """One surviving change per key: the highest ``seq_col`` wins
+    (a CDC log's LSN/commit sequence). Ties on (key, seq) — which a
+    well-formed log does not produce — break deterministically on
+    ``op_col`` descending, so the result never depends on
+    partitioning."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    broadcast_changes: bool = True,
+) -> DataFrame:
+    """Apply a keyed changelog onto a base snapshot and return the new
+    current state (the batch equivalent of Delta's APPLY CHANGES INTO).
+
+    Semantics per key: the latest change (max ``seq_col``) decides —
+    ``delete_op`` removes the row; any other op (insert and update are
+    the same upsert under last-writer-wins) replaces it with the
+    change's payload columns. Keys without changes pass through from
+    ``base`` untouched. ``changes`` must carry the key columns,
+    ``seq_col``, ``op_col``, and exactly the base payload columns.
+
+    Plan: one window shuffle on the changelog, one anti-join keyed on
+    the primary key, one union. The snapshot is scanned once and never
+    shuffled. ``broadcast_changes`` (default) hints the collapsed
+    changelog's key set into the anti-join build side — right for the
+    nightly-changelog case; pass ``False`` for a backfill-sized
+    changelog so the planner picks a shuffle join instead.
+    """
+    keys = list(key_cols)
+    missing = [c for c in base.columns if c not in changes.columns]
+    if missing:
+        raise ValueError(
+            f"apply_changes: changelog lacks base payload columns {missing}; "
+            "a CDC upsert row must carry the full row image"
+        )
+    latest = collapse_changes(changes, keys, seq_col, op_col)
+    key_set = latest.select(*keys)
+    if broadcast_changes:
+        key_set = F.broadcast(key_set)
+    survivors = base.join(key_set, keys, "left_anti")
+    upserts = latest.where(F.col(op_col) != delete_op).select(*base.columns)
+    return survivors.unionByName(upserts)

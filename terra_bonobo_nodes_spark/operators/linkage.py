@@ -91,3 +91,54 @@ def fuzzy_match_pairs(
         .alias("n_dropped_rows"),
     )
     return pairs, metrics
+
+
+def golden_record(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_distance: int = 3,
+    block: Column | None = None,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """Entity resolution end to end: fuzzy pairs → connected components
+    → one GOLDEN RECORD per entity — the master-data step after
+    :func:`fuzzy_match_pairs` says "these records are the same thing".
+
+    Every input record maps to an entity: members of a match component
+    take the component's id (min member id, from
+    ``llm.dedup.connected_components``' pointer-jumping label
+    propagation); unmatched records are singleton entities of
+    themselves. Per entity the survivor name is elected
+    deterministically — longest name wins, ties break lexicographically
+    last — the usual most-informative-value policy, partitioning-proof
+    because it is a pure struct max.
+
+    Returns ``(entity_id, n_members, canonical_name)``.
+
+    Plan: the pair generation and component iteration dominate (see the
+    respective operators); the merge itself is one left join of the
+    records against the (small — only matched ids) component map plus
+    one aggregate. Scale-safe wherever the two inputs are.
+    """
+    from terra_bonobo_nodes_spark.llm.dedup import connected_components
+
+    pairs = fuzzy_match_pairs(
+        df, id_col, name_col, max_distance, block, max_block_size
+    )
+    comp = connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("doc_id").alias(id_col), "component_id"
+    )
+    mapped = df.select(id_col, name_col).join(comp, id_col, "left").select(
+        F.coalesce(F.col("component_id"), F.col(id_col)).alias("entity_id"),
+        F.col(name_col),
+    )
+    pick = F.max(
+        F.struct(
+            F.length(name_col).alias("l"), F.col(name_col).alias("n")
+        )
+    )
+    return mapped.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        pick["n"].alias("canonical_name"),
+    )

@@ -1460,3 +1460,49 @@ def llm_dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full.withColumn("_rn", F.row_number().over(w)).select(
         "doc_id", "component_id", (F.col("_rn") == 1).alias("is_kept")
     )
+
+
+# --- round 6: BM25 keyword retrieval ----------------------------------------
+
+_BM25_TERMS = ["dup", "spark", "window"]  # one rare + two common terms
+_BM25_K = 50
+
+
+def _bm25_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm.retrieval import bm25_sql
+
+    return f"""
+WITH scored AS ({bm25_sql(_BM25_TERMS)}),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT doc_id, n_terms_hit, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_BM25_K}
+"""
+
+
+@register(
+    "llm_bm25_keyword_topk",
+    headline=True,
+    oracle=_bm25_oracle(),
+    tags=("llm", "retrieval"),
+)
+def llm_bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword retrieval (llm/retrieval.bm25_scores): the
+    lexical first stage of a RAG/hybrid-search stack, top-50 documents
+    for a 3-term query (one rare discriminator + two common terms).
+    Corpus tokenizes in one pass computing doc length and query-term
+    tf together; N/avgdl reduce to a broadcast row; scoring is a
+    projection. Per-term components quantize to 9 dp before a DECIMAL
+    sum, so the score — and therefore the ranking — is bit-identical
+    across engines and partitionings."""
+    from terra_bonobo_nodes_spark.llm.retrieval import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = bm25_scores(docs, _BM25_TERMS, "text", "doc_id")
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _BM25_K)
+        .select("doc_id", "n_terms_hit", "score", "rank")
+    )

@@ -1827,3 +1827,147 @@ FROM gs_lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
                         (l_returnflag, l_linestatus), ())
 """)
+
+
+# --- round 6: CDC, sessionization, golden record ----------------------------
+
+
+@register(
+    "cdc_apply_changes",
+    headline=True,
+    oracle="""
+WITH base AS (SELECT c_custkey, round(c_acctbal, 4) AS bal FROM customer),
+ch AS (SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+              CASE WHEN o_orderstatus = 'O' THEN 'D' ELSE 'U' END AS op,
+              round(o_totalprice, 4) AS bal
+       FROM orders),
+latest AS (
+  SELECT * FROM ch
+  QUALIFY row_number() OVER (
+    PARTITION BY c_custkey ORDER BY seq DESC, op DESC) = 1)
+SELECT b.c_custkey, b.bal
+FROM base b LEFT JOIN latest l ON l.c_custkey = b.c_custkey
+WHERE l.c_custkey IS NULL
+UNION ALL
+SELECT c_custkey, bal FROM latest WHERE op <> 'D'
+""",
+    tags=("cdc", "upsert"),
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application (operators/cdc.apply_changes — Delta's
+    APPLY CHANGES INTO in plain DataFrame ops): the customer snapshot
+    receives a synthetic orders-derived changelog (orderkey = commit
+    sequence; open orders delete, others upsert the order total as the
+    new balance). Collapse = one window over the changelog; apply =
+    anti-join + union with the snapshot scanned once, never shuffled —
+    the K1 delete-then-insert contract (terra.py:155-161) generalized
+    to a keyed change log."""
+    from terra_bonobo_nodes_spark.operators.cdc import apply_changes
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 4).alias("bal")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    ch = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderstatus") == "O", "D").otherwise("U").alias("op"),
+        F.round("o_totalprice", 4).alias("bal"),
+    )
+    return apply_changes(base, ch, ["c_custkey"], "seq")
+
+
+@register(
+    "sessionize_clickstream",
+    headline=True,
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY sec, event_id
+    ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq,
+       min(sec) AS session_start,
+       max(sec) AS session_end,
+       count(*) AS n_events,
+       max(sec) - min(sec) AS duration_s,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY 1, 2
+""",
+    tags=("sessions", "window"),
+)
+def sessionize_clickstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (operators/sessions.session_stats): per-user
+    sessions split at >30-minute gaps, with start/end/count/duration
+    and exact value sums. The batch twin of stream_session_window_agg's
+    state-store windows — gaps-and-islands in ONE sort-window per key
+    (lag and the running session counter share the frame, single
+    Exchange), oracled against the same construction in SQL. Ordering
+    is explicit on (ts, event_id) — Bonobo's arrival-order semantics
+    made deterministic (SURVEY §4.2)."""
+    from terra_bonobo_nodes_spark.operators.sessions import session_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(
+        ev, ["user_id"], "ts", gap_seconds=1800,
+        value_col="value", order_cols=["event_id"],
+    )
+
+
+@register(
+    "golden_record_part_names",
+    oracle="""
+WITH RECURSIVE
+n AS (SELECT p_name, min(p_partkey) AS pid FROM part GROUP BY 1),
+s0 AS (SELECT pid, p_name, str_split(lower(p_name), ' ')[1] AS blk FROM n),
+s AS (SELECT * FROM s0
+      QUALIFY count(*) OVER (PARTITION BY blk) <= 10000),
+p AS (SELECT a.pid AS id_a, b.pid AS id_b
+      FROM s a JOIN s b ON a.blk = b.blk
+      WHERE (a.pid, a.p_name) < (b.pid, b.p_name)
+        AND levenshtein(a.p_name, b.p_name) <= 3),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS pid, least(src, min(dst)) AS component_id
+         FROM reach GROUP BY src),
+mapped AS (SELECT coalesce(c.component_id, n.pid) AS entity_id, n.p_name
+           FROM n LEFT JOIN comp c ON c.pid = n.pid)
+SELECT entity_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       (array_agg(p_name ORDER BY length(p_name) DESC, p_name DESC))[1]
+         AS canonical_name
+FROM mapped GROUP BY 1
+""",
+    tags=("linkage", "dedup"),
+)
+def golden_record_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Master-data golden record (operators/linkage.golden_record):
+    fuzzy part-name pairs → connected components → one canonical
+    record per entity (longest name wins, lexicographically-last tie
+    break, singletons kept as themselves). The oracle rebuilds the
+    iterative component step with a recursive-CTE closure and the
+    survivor election with an ordered array_agg."""
+    from terra_bonobo_nodes_spark.operators.linkage import golden_record
+
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("pid"))
+    )
+    return golden_record(names, "pid", "p_name", max_distance=3)
