@@ -62,105 +62,32 @@ def register(
 # past two rounds; (4) freshest greens last, where a cap costs least.
 # At the end of every round, move anything the round touched into
 # section (2).
+# ROUND-6 BUDGET (the driver checks exactly 50 rows/round; 137
+# registered ⇒ steady-state refresh cycle = ceil(137/50) = 3 rounds,
+# documented in README "Correctness rotation"): section (A) = the 36
+# r03-green queries at the freshness-contract edge (the round-5 verdict
+# order #1); section (B) = the 7 queries whose operator functions
+# changed in round 6 (with_metrics plumbing in minhash_lsh_pairs/
+# minhash_lsh_match/ngram_jaccard_pairs/fuzzy_match_pairs/
+# remove_boilerplate, the resample_ffill guard, and the presig rework
+# of llm_incremental_dedup's query body); section (C) = the 6 new
+# round-6 queries. 36 + 7 + 6 = slots 1..49, leaving slot 50 for the
+# head of section (D).
+#
+# DEFERRED-MAINTENANCE LEDGER (scheduling, not neglect): the six
+# ADVICE_r05 low-severity fixes all live in functions whose queries are
+# r05-green and NOT otherwise touched this round (similarity.py empty-
+# schema x2, scrub.pii_redact_sql quoting, quality.py empty-dict guard,
+# jsonl keep_cols collision, stream_static_enrich default key_expr).
+# Fixing them in round 6 would cost 6 extra re-green slots and push 6
+# contract-critical r03 queries past the cap; their queries rotate due
+# in ROUND 7 anyway (r05 greens hit the freshness edge then), so the
+# fixes land in r07 at zero marginal slot cost. Round-7 builder: do
+# them FIRST, then place llm_cosine_topk / llm_quantized_rerank_topk /
+# llm_pii_scrub / dq_lineitem_constraints / profile_customer_columns /
+# s9_jsonl_roundtrip / stream_static_enrich in that round's section (B).
 _PRIORITY: tuple[str, ...] = (
-    # --- (1) never had a driver row (new in round 5) ---
-    "stream_interval_join",
-    "g7e_transform_polar",
-    "llm_length_percentiles",
-    "llm_temperature_mix_weights",
-    "llm_decontaminate_overlap",
-    "asof_forward_next_click",
-    "llm_incremental_dedup",
-    "llm_curation_funnel",
-    "llm_pii_scrub",
-    "llm_boilerplate_removal",
-    "stream_dedup_replay",
-    "stream_static_enrich",
-    "tpch_q3_shipping_priority",
-    "tpch_q17_small_quantity",
-    "s9_jsonl_roundtrip",
-    "llm_quantized_rerank_topk",
-    "t5_user_value_trend",
-    "spatial_zorder_code",
-    "llm_reservoir_sample",
-    "funnel_view_click_purchase",
-    "cohort_daily_retention",
-    "weighted_median_price",
-    "interval_union_coverage",
-    "t6_isotonic_value_fit",
-    "llm_char_lm_entropy",
-    "dq_lineitem_constraints",
-    "skew_salted_join_rollup",
-    "event_transition_matrix",
-    "scd2_user_value_history",
-    "profile_customer_columns",
-    "rolling_range_window_1h",
-    "timeseries_gapfill_ffill",
-    "llm_dedup_keep_policy",
-    "tpch_q5_local_supplier_volume",
-    "ntile_customer_deciles",
-    "linkage_fuzzy_part_names",
-    "approx_distinct_users",
-    "full_outer_reconciliation",
-    "grouping_sets_lineitem",
-    # --- (1b) r02-stale greens, promoted above section (2) this round:
-    # their last driver row is three rounds old (oldest in the registry),
-    # while every section-(2) entry has an r04 green and the round-5
-    # events-read refactor behind it was replica-verified at sf0.01 in
-    # session. With ~50 driver rows and 116 queries, leaving them below
-    # section (2) would age them past the two-round contract again.
-    "setops_customer_segments",
-    "star_join_revenue_by_region",
-    "s5_k2_es_roundtrip",
-    # --- (2) operator code changed since last green row (round 5) ---
-    # NOTE on the ~50-row cap: with 30+ never-checked round-5 queries in
-    # section (1), this section's tail (the g7*/a2/t1/pipeline geo
-    # queries, ~positions 51-61) will likely rotate past the cap. That
-    # is deliberate: their OPERATOR code is unchanged since their
-    # r03/r04 greens — the only round-5 change they share is the
-    # memoized events-reader path (tables.py), which 12+ section-(1)
-    # rows (streams, asof, trend, funnel, cohort, ...) and the driver's
-    # entry() smoke all exercise first. Streams sit at the top of this
-    # section because read_events_stream is a genuinely distinct path.
-    # asof_join gained a deterministic tie-break key in its window sort
-    "asof_purchase_last_view",
-    # winnow_pairs: persist barrier -> lazy localCheckpoint (leak fix)
-    "llm_winnow_pairs",
-    # simhash_col: width-matched token hash (bits 29..32 bit-identical
-    # to the old hash32 path; this query uses bits=32)
-    "llm_simhash_pairs",
-    # brute_force_topk: query-side collect guard (limit + fail-fast)
-    "llm_cosine_topk",
-    # events read path refactored (memoized footer sniff, shared
-    # normalize_events_ts, session-level nanosAsLong) — every
-    # events-reading query needs a post-change row; streams first
-    # (they also exercise read_events_stream), then cheapest-first.
-    "stream_tumbling_window_agg",
-    "stream_sliding_window_agg",
-    "stream_session_window_agg",
-    "stream_props_json_rollup",
-    "pivot_value_by_event_type",
-    "unpivot_roundtrip",
-    "range_join_clicks_after_error",
-    "t1_running_lag_diff",
-    "p10_hstore_parse",
-    "k5_retention_filter",
-    "k1_upsert_last_writer_wins",
-    "s2_geojson_reader_roundtrip",
-    "e1_isochrone_calculation",
-    "a4_grid_cluster_collect_sum",
-    "g1_geojson_attribute_roundtrip",
-    "g7_transform_mercator",
-    "g7b_transform_lambert93",
-    "g7c_transform_utm",
-    "g7d_transform_laea",
-    "a2_union_on_property_centroid",
-    "a2_union_area_dissolve",
-    "t1_isochrone_subtraction_geo",
-    "pipeline_file_import",
-    "pipeline_osm_clusters",
-    # --- (3) stale greens, oldest round first (r02 trio promoted to 1b) ---
-    # r03, cheapest first
+    # --- (A) r03 greens at the 2-round freshness edge, cheapest first ---
     "llm_token_count",
     "llm_bpe_token_count",
     "llm_repetition_ratios",
@@ -187,7 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "g9_line_clip_length",
     "llm_embedding_cosine_pairs",
     "llm_embedding_cosine_pairs_blocked",
-    "llm_ngram_jaccard_pairs",
+    "llm_ngram_jaccard_pairs",  # also in (B): ngram_jaccard_pairs changed
     "llm_lsh_ann_topk",
     "llm_ivf_ann_topk",
     "llm_multimodal_decode",
@@ -197,7 +124,22 @@ _PRIORITY: tuple[str, ...] = (
     "j2_dissolve_overlapping_layer",
     "j3_intersection_geom_area",
     "j5_attribute_from_sql",
-    # --- (4) freshest greens (r04), cheapest first ---
+    # --- (B) operator code changed in round 6 (see ledger above) ---
+    "llm_minhash_lsh_pairs",
+    "llm_dedup_components",   # consumes minhash_lsh_pairs
+    "llm_dedup_keep_policy",  # consumes minhash_lsh_pairs
+    "llm_incremental_dedup",  # presig fast path now exercised
+    "llm_boilerplate_removal",
+    "linkage_fuzzy_part_names",
+    "timeseries_gapfill_ffill",  # resample_ffill explosion guard
+    # --- (C) new in round 6, never had a driver row ---
+    "stream_upsert_compaction_roundtrip",
+    "llm_substring_decontaminate",
+    "cdc_apply_changes",
+    "sessionize_clickstream",
+    "llm_bm25_keyword_topk",
+    "golden_record_part_names",
+    # --- (D) fresh greens: r04 first (due in r07), cheapest first ---
     "fn_json_roundtrip",
     "llm_hash_split_counts",
     "llm_stratified_sample_counts",
@@ -205,8 +147,6 @@ _PRIORITY: tuple[str, ...] = (
     "llm_embedding_quantize",
     "llm_winnow_fingerprints",
     "llm_tfidf_topk_terms",
-    "llm_minhash_lsh_pairs",
-    "llm_dedup_components",
     "fn_math_array_surface",
     "topk_orders_per_customer",
     "s3_sql_extract_decimals",
@@ -223,6 +163,72 @@ _PRIORITY: tuple[str, ...] = (
     "s8_zip_reader_roundtrip",
     "j1_boolean_intersect",
     "j1_bigbig_grid_intersect",
+    # --- (D continued) r05 greens, code untouched in round 6 ---
+    "dq_lineitem_constraints",
+    "profile_customer_columns",
+    "s9_jsonl_roundtrip",
+    "llm_pii_scrub",
+    "llm_cosine_topk",
+    "llm_quantized_rerank_topk",
+    "stream_static_enrich",
+    "stream_interval_join",
+    "stream_dedup_replay",
+    "stream_tumbling_window_agg",
+    "stream_sliding_window_agg",
+    "stream_session_window_agg",
+    "stream_props_json_rollup",
+    "g7e_transform_polar",
+    "llm_length_percentiles",
+    "llm_temperature_mix_weights",
+    "llm_decontaminate_overlap",
+    "asof_forward_next_click",
+    "asof_purchase_last_view",
+    "llm_curation_funnel",
+    "tpch_q3_shipping_priority",
+    "tpch_q17_small_quantity",
+    "tpch_q5_local_supplier_volume",
+    "t5_user_value_trend",
+    "spatial_zorder_code",
+    "llm_reservoir_sample",
+    "funnel_view_click_purchase",
+    "cohort_daily_retention",
+    "weighted_median_price",
+    "interval_union_coverage",
+    "t6_isotonic_value_fit",
+    "llm_char_lm_entropy",
+    "skew_salted_join_rollup",
+    "event_transition_matrix",
+    "scd2_user_value_history",
+    "rolling_range_window_1h",
+    "ntile_customer_deciles",
+    "approx_distinct_users",
+    "full_outer_reconciliation",
+    "grouping_sets_lineitem",
+    "setops_customer_segments",
+    "star_join_revenue_by_region",
+    "s5_k2_es_roundtrip",
+    "llm_winnow_pairs",
+    "llm_simhash_pairs",
+    "pivot_value_by_event_type",
+    "unpivot_roundtrip",
+    "range_join_clicks_after_error",
+    "t1_running_lag_diff",
+    "p10_hstore_parse",
+    "k5_retention_filter",
+    "k1_upsert_last_writer_wins",
+    "s2_geojson_reader_roundtrip",
+    "e1_isochrone_calculation",
+    "a4_grid_cluster_collect_sum",
+    "g1_geojson_attribute_roundtrip",
+    "g7_transform_mercator",
+    "g7b_transform_lambert93",
+    "g7c_transform_utm",
+    "g7d_transform_laea",
+    "a2_union_on_property_centroid",
+    "a2_union_area_dissolve",
+    "t1_isochrone_subtraction_geo",
+    "pipeline_file_import",
+    "pipeline_osm_clusters",
 )
 
 
