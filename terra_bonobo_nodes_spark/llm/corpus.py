@@ -235,8 +235,14 @@ def decontaminate_substring(
     """
     from terra_bonobo_nodes_spark.llm.text import winnow_fingerprints
 
-    cand = winnow_fingerprints(df, text_col, "_fps", k, window).select(
-        F.col(id_col), F.explode("_fps").alias("fp")
+    # lazy localCheckpoint: the candidate posting feeds BOTH the totals
+    # and the semi-join branch — without the barrier the winnow Arrow
+    # kernel runs twice over the full corpus. (id, fp) longs only;
+    # plan-owned, ContextCleaner-freed (winnow_pairs convention).
+    cand = (
+        winnow_fingerprints(df, text_col, "_fps", k, window)
+        .select(F.col(id_col), F.explode("_fps").alias("fp"))
+        .localCheckpoint(eager=False)
     )
     bench = (
         winnow_fingerprints(benchmark, text_col, "_fps", k, window)

@@ -58,8 +58,16 @@ def bm25_scores(
             F.filter(F.col("_toks"), lambda t: t.isin(*terms))
         ).alias("_t"),
     )
-    tf = per_doc.groupBy(id_col, "_dl", "_t").agg(
-        F.count(F.lit(1)).alias("_tf")
+    # lazy localCheckpoint: tf is referenced twice (df counts + scoring)
+    # and without the barrier Catalyst re-inlines the whole
+    # tokenize+explode pipeline into each consumer — a third full
+    # corpus scan for a relation of at most |docs|·|terms| tiny rows.
+    # Checkpoint (not persist) so the RDD is owned by the plan and
+    # freed by the ContextCleaner (winnow_pairs convention, llm/text.py).
+    tf = (
+        per_doc.groupBy(id_col, "_dl", "_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .localCheckpoint(eager=False)
     )
     # corpus stats: N and avgdl (exact decimal mean), one broadcast row
     stats = toks.agg(
