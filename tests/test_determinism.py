@@ -33,6 +33,11 @@ SENSITIVE = [
     "llm_winnow_pairs",
     "t6_isotonic_value_fit",
     "interval_union_coverage",
+    # round 6: float score ranking (bm25), survivor election +
+    # iterative components (golden record), window-collapse CDC
+    "llm_bm25_keyword_topk",
+    "golden_record_part_names",
+    "cdc_apply_changes",
 ]
 
 
