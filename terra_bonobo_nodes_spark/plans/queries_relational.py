@@ -1896,7 +1896,8 @@ numbered AS (
     ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM marked
 )
-SELECT user_id, session_seq,
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
        min(sec) AS session_start,
        max(sec) AS session_end,
        count(*) AS n_events,
