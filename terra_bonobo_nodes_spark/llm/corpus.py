@@ -224,6 +224,10 @@ def decontaminate_substring(
 
     Emits per candidate doc: fingerprint count, fingerprints also in
     the benchmark set, and a ``contaminated`` flag at ``min_shared``.
+    Documents too short to produce any fingerprint (normalized length
+    < k) are absent from the report — they cannot contain a
+    k+window-1-char overlap by construction (same contract as the
+    n-gram form's sub-n-word documents).
 
     Plan (100 TB shape): both sides winnow in an Arrow kernel
     (llm/text.winnow_fingerprints — one pass, no self-join), the

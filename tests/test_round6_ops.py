@@ -178,3 +178,81 @@ def test_golden_record_transitive_merge_and_singletons(spark):
     assert out[1].n_members == 3
     assert out[1].canonical_name == "acme corpse"  # longest wins
     assert out[9].n_members == 1 and out[9].canonical_name == "zzz unrelated"
+
+
+# --- randomized-reference sweeps (one Spark job over many generated cases) --
+
+
+def test_apply_changes_random_logs_match_python_fold(spark):
+    """200 keys x random I/U/D change sequences, applied once through
+    the operator, must equal a per-key Python fold of the log (highest
+    seq wins; delete removes; unchanged keys pass through)."""
+    import random
+
+    from terra_bonobo_nodes_spark.operators.cdc import apply_changes
+
+    rng = random.Random(42)
+    base_rows = [(k, f"base{k}") for k in range(200) if rng.random() < 0.7]
+    change_rows = []
+    seq = 0
+    for k in range(200):
+        for _ in range(rng.randrange(0, 4)):
+            seq += 1
+            op = rng.choice(["I", "U", "D"])
+            change_rows.append((k, seq, op, f"v{seq}" if op != "D" else None))
+    rng.shuffle(change_rows)  # arrival order must not matter
+
+    expect = {k: v for k, v in base_rows}
+    for k, s, op, v in sorted(change_rows, key=lambda r: r[1]):
+        if op == "D":
+            expect.pop(k, None)
+        else:
+            expect[k] = v
+
+    base = spark.createDataFrame(base_rows, "k long, v string")
+    changes = spark.createDataFrame(
+        change_rows, "k long, seq long, op string, v string"
+    )
+    got = {
+        r.k: r.v for r in apply_changes(base, changes, ["k"], "seq").collect()
+    }
+    assert got == expect
+
+
+def test_sessionize_random_series_match_python_reference(spark):
+    """50 keys x random gaps: session assignment must equal the naive
+    Python walk (new session when gap > threshold, floored seconds)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from terra_bonobo_nodes_spark.operators.sessions import sessionize
+
+    rng = random.Random(7)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for k in range(50):
+        t = t0
+        for _ in range(rng.randrange(1, 12)):
+            t = t + timedelta(seconds=rng.randrange(0, 4000))
+            eid += 1
+            rows.append((f"k{k}", t, eid))
+
+    expect = {}
+    by_key = {}
+    for key, t, e in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        prev, seq = by_key.get(key, (None, 0))
+        sec = int(t.timestamp())
+        if prev is None or sec - prev > 1800:
+            seq += 1
+        by_key[key] = (sec, seq)
+        expect[e] = seq
+
+    df = spark.createDataFrame(rows, "g string, ts timestamp, eid long")
+    got = {
+        r.eid: r.session_seq
+        for r in sessionize(
+            df.repartition(5), ["g"], "ts", 1800, order_cols=["eid"]
+        ).collect()
+    }
+    assert got == expect
