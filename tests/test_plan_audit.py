@@ -24,6 +24,7 @@ CROSS_JOIN_OK: dict[str, str] = {
     "e2_transit_time_one_to_many": "one-to-many matrix vs broadcast destinations",
     "e3_transit_time_one_to_one": "same enrichment matrix pattern",
     "llm_tfidf_topk_terms": "single-row corpus-size N broadcast into the score join",
+    "llm_bm25_keyword_topk": "single-row (N, avgdl) corpus-stats broadcast into the score projection",
     "llm_temperature_mix_weights": "single-row (sum_n, sum_s) totals broadcast into the per-group weights",
     "llm_lsh_ann_topk": "per-table plane matrix is a broadcast single-row literal",
     "llm_cosine_topk": "broadcast query-matrix literal into mapInPandas scoring",
