@@ -48,6 +48,35 @@ def _cap_metrics(counted: DataFrame, over_cap: Column, name: str) -> DataFrame:
     )
 
 
+def _capped(
+    df: DataFrame,
+    partition_cols: list[str],
+    cap: int | None,
+    metric_name: str,
+    with_metrics: bool,
+) -> tuple[DataFrame, DataFrame | None]:
+    """The shared skew-cap shape: count rows per ``partition_cols`` key
+    with a window, DROP rows in over-``cap`` groups, and (optionally)
+    report the dropped-row count as a 1-row companion DataFrame.
+    ``cap=None`` passes rows through with a literal-zero metric —
+    nothing can be dropped when no cap is configured."""
+    if cap is None:
+        metrics = None
+        if with_metrics:
+            metrics = df.sparkSession.range(1).select(
+                F.lit(0).cast("long").alias(metric_name)
+            )
+        return df, metrics
+    w = Window.partitionBy(*partition_cols)
+    counted = df.withColumn("_capn", F.count(F.lit(1)).over(w))
+    metrics = (
+        _cap_metrics(counted, F.col("_capn") > cap, metric_name)
+        if with_metrics
+        else None
+    )
+    return counted.where(F.col("_capn") <= cap).drop("_capn"), metrics
+
+
 def fingerprint_col(text):
     """md5 of normalized text — the exact-dedup key."""
     c = F.col(text) if isinstance(text, str) else text
@@ -185,19 +214,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "sig", "bb.band", "bb.bh")
-    metrics = None
-    if max_band_bucket is not None:
-        wb = Window.partitionBy("band", "bh")
-        counted = banded.withColumn("_bc", F.count(F.lit(1)).over(wb))
-        if with_metrics:
-            metrics = _cap_metrics(
-                counted, F.col("_bc") > max_band_bucket, "n_capped_band_rows"
-            )
-        banded = counted.where(F.col("_bc") <= max_band_bucket)
-    elif with_metrics:  # no cap configured -> nothing can be dropped
-        metrics = df.sparkSession.range(1).select(
-            F.lit(0).cast("long").alias("n_capped_band_rows")
-        )
+    banded, metrics = _capped(
+        banded, ["band", "bh"], max_band_bucket, "n_capped_band_rows", with_metrics
+    )
     left = banded.select(
         F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bh"
     )
@@ -380,19 +399,9 @@ def ngram_jaccard_pairs(
         .dropDuplicates([id_col, "shingle"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    metrics = None
-    if max_shingle_df is not None:
-        wdf = Window.partitionBy("shingle")
-        counted = posting.withColumn("_df", F.count(F.lit(1)).over(wdf))
-        if with_metrics:
-            metrics = _cap_metrics(
-                counted, F.col("_df") > max_shingle_df, "n_capped_posting_rows"
-            )
-        posting = counted.where(F.col("_df") <= max_shingle_df).drop("_df")
-    elif with_metrics:
-        metrics = df.sparkSession.range(1).select(
-            F.lit(0).cast("long").alias("n_capped_posting_rows")
-        )
+    posting, metrics = _capped(
+        posting, ["shingle"], max_shingle_df, "n_capped_posting_rows", with_metrics
+    )
     sizes = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         posting.select(F.col(id_col).alias("id_a"), "shingle")
@@ -644,19 +653,9 @@ def minhash_lsh_match(
 
     new_b = _banded(new_df, "new_id").withColumnRenamed("sig", "sig_n")
     cor_b = _banded(corpus_df, "corpus_id").withColumnRenamed("sig", "sig_c")
-    metrics = None
-    if max_band_bucket is not None:
-        wb = Window.partitionBy("band", "bh")
-        cor_b = cor_b.withColumn("_bc", F.count(F.lit(1)).over(wb))
-        if with_metrics:
-            metrics = _cap_metrics(
-                cor_b, F.col("_bc") > max_band_bucket, "n_capped_band_rows"
-            )
-        cor_b = cor_b.where(F.col("_bc") <= max_band_bucket).drop("_bc")
-    elif with_metrics:
-        metrics = new_df.sparkSession.range(1).select(
-            F.lit(0).cast("long").alias("n_capped_band_rows")
-        )
+    cor_b, metrics = _capped(
+        cor_b, ["band", "bh"], max_band_bucket, "n_capped_band_rows", with_metrics
+    )
     pairs = (
         new_b.join(cor_b, ["band", "bh"])
         .select("new_id", "corpus_id", "sig_n", "sig_c")

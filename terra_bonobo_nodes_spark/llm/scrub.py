@@ -148,10 +148,17 @@ def remove_boilerplate(
         .withColumn("_h", F.md5("_para"))
         .localCheckpoint(eager=False)
     )
+    # _df (distinct docs) decides hotness; _tot (all occurrences) feeds
+    # the dropped-paragraph metric — a hot paragraph repeated within one
+    # document drops ALL its occurrences, and the metric must balance
+    # against sum(n_para) - sum(n_kept)
     agged = (
         paras.where(F.col("_h").isNotNull())
         .groupBy("_h")
-        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("_df"),
+            F.count(F.lit(1)).alias("_tot"),
+        )
     )
     hot = agged.where(F.col("_df") > max_df)
     kept = paras.join(F.broadcast(hot.select("_h")), "_h", "left_anti")
@@ -183,7 +190,7 @@ def remove_boilerplate(
         F.coalesce(F.sum(F.when(F.col("_df") > max_df, 1)), F.lit(0))
         .cast("long")
         .alias("n_hot_paragraphs"),
-        F.coalesce(F.sum(F.when(F.col("_df") > max_df, F.col("_df"))), F.lit(0))
+        F.coalesce(F.sum(F.when(F.col("_df") > max_df, F.col("_tot"))), F.lit(0))
         .cast("long")
         .alias("n_dropped_doc_paras"),
     )

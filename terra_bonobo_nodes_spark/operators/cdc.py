@@ -82,5 +82,18 @@ def apply_changes(
     if broadcast_changes:
         key_set = F.broadcast(key_set)
     survivors = base.join(key_set, keys, "left_anti")
-    upserts = latest.where(F.col(op_col) != delete_op).select(*base.columns)
+    # a NULL op is a malformed CDC record, not a delete: the naive
+    # `op != delete_op` filter is NULL for it, which would silently
+    # drop the key from the snapshot. Fail fast in-plan instead
+    # (assert_true returns NULL on success; wiring it into the filter
+    # keeps column pruning from optimizing the guard away).
+    op_ok = F.when(
+        F.assert_true(
+            F.col(op_col).isNotNull(),
+            f"apply_changes: NULL {op_col} in changelog (malformed CDC "
+            "record) — a missing op is not a delete",
+        ).isNull(),
+        F.col(op_col),
+    )
+    upserts = latest.where(op_ok != delete_op).select(*base.columns)
     return survivors.unionByName(upserts)

@@ -1882,7 +1882,7 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     oracle="""
 WITH marked AS (
-  SELECT user_id, event_id, value,
+  SELECT user_id, event_id, value, ts,
          CAST(floor(epoch(ts)) AS BIGINT) AS sec,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
@@ -1891,8 +1891,12 @@ WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 numbered AS (
+  -- ORDER BY full-precision ts (not the truncated sec): both windows
+  -- must walk rows in the SAME order the Spark operator uses, or a
+  -- same-second inversion between event_id and microsecond order
+  -- would count a boundary row into the wrong session
   SELECT *, sum(new_session) OVER (
-    PARTITION BY user_id ORDER BY sec, event_id
+    PARTITION BY user_id ORDER BY ts, event_id
     ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM marked
 )

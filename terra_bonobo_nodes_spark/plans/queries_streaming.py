@@ -244,7 +244,15 @@ def stream_upsert_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> Data
         .option("checkpointLocation", os.path.join(base, "ckpt"))
         .start()
     )
-    q.awaitTermination(600)
+    # awaitTermination(timeout) returns False WITHOUT raising on
+    # timeout — compacting under a still-running stream would race the
+    # staged-swap renames, so stop and fail loudly instead
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "stream_upsert_compaction_roundtrip: availableNow stream did "
+            "not finish within 600s; refusing to compact a moving store"
+        )
     # micro-batch upserts fragment the store; repack to ~1 file
     compact_parquet_dir(spark, tgt, min_files=2)
     df = spark.read.parquet(tgt)

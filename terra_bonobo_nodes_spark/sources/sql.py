@@ -79,7 +79,9 @@ class JDBCConf:
     queryset becomes ``partitionColumn`` + ``numPartitions`` +
     ``lowerBound/upperBound`` (Spark derives one bounded predicate per
     partition — the pagination IS the partitioning, executed in
-    parallel instead of serially); the reference's ``batch_size=1000``
+    parallel instead of serially; the query routes through ``dbtable``
+    as a derived table because Spark rejects ``query`` together with
+    ``partitionColumn``); the reference's ``batch_size=1000``
     row window (``terra.py:194``) maps to ``fetchsize`` (rows per
     database round-trip within a partition). Extra ``options`` pass
     through verbatim (driver, user, sessionInitStatement, ...).
@@ -97,17 +99,23 @@ class JDBCConf:
     def reader_options(self, query: str) -> dict[str, str]:
         opts = {
             "url": self.url,
-            "query": query,
             "fetchsize": str(self.fetchsize),
             **self.options,
         }
         if self.partition_column is not None:
+            # Spark's JDBC source REJECTS 'query' together with
+            # 'partitionColumn' (verified: IllegalArgumentException
+            # before any connection) — a partitioned scan must go
+            # through 'dbtable' with the query as a derived table.
             opts.update(
+                dbtable=f"({query}) AS tbns_sub",
                 partitionColumn=self.partition_column,
                 numPartitions=str(self.num_partitions),
                 lowerBound=str(self.lower_bound),
                 upperBound=str(self.upper_bound),
             )
+        else:
+            opts["query"] = query
         return opts
 
     def read(self, spark: SparkSession, query: str) -> DataFrame:

@@ -57,6 +57,27 @@ def test_remove_boilerplate_reports_hot_paragraphs(spark):
     assert (m.n_hot_paragraphs, m.n_dropped_doc_paras) == (1, 8)
 
 
+def test_remove_boilerplate_counts_within_doc_repeats(spark):
+    """A hot paragraph repeated WITHIN one document drops every
+    occurrence — the metric must count occurrences (so it balances
+    against sum(n_para) - sum(n_kept)), not distinct documents."""
+    from terra_bonobo_nodes_spark.llm.scrub import remove_boilerplate
+
+    banner = "one two three four five six seven eight"
+    rows = [(0, f"{banner} {banner} unique tail zero")] + [
+        (i, f"{banner} unique tail {i}") for i in range(1, 8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out, metrics = remove_boilerplate(
+        df, "doc_id", "text", para_tokens=8, max_df=5, with_metrics=True
+    )
+    rows_out = out.collect()
+    m = metrics.collect()[0]
+    assert m.n_hot_paragraphs == 1
+    assert m.n_dropped_doc_paras == 9  # 8 docs + doc 0's second copy
+    assert m.n_dropped_doc_paras == sum(r.n_para - r.n_kept for r in rows_out)
+
+
 def test_remove_boilerplate_zero_metrics_when_nothing_hot(spark):
     from terra_bonobo_nodes_spark.llm.scrub import remove_boilerplate
 

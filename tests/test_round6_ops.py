@@ -50,6 +50,19 @@ def test_apply_changes_rejects_partial_payload(spark):
         apply_changes(base, changes, ["k"], "seq")
 
 
+def test_apply_changes_null_op_fails_fast(spark):
+    """A NULL op is a malformed CDC record, not a delete: the naive
+    filter would silently drop the key from the snapshot."""
+    from terra_bonobo_nodes_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame([(1, "a0")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, 10, None, "a1")], "k long, seq long, op string, v string"
+    )
+    with pytest.raises(Exception, match="malformed CDC"):
+        apply_changes(base, changes, ["k"], "seq").collect()
+
+
 def test_collapse_changes_tie_break_deterministic(spark):
     from terra_bonobo_nodes_spark.operators.cdc import collapse_changes
 

@@ -943,8 +943,34 @@ def test_jdbc_conf_seam_option_mapping():
     assert o["lowerBound"] == "0" and o["upperBound"] == "500000"
     assert o["fetchsize"] == "1000"  # ExtractFeatures batch_size parity
     assert o["user"] == "terra" and o["driver"] == "org.postgresql.Driver"
-    # unpartitioned scan drops the bound options entirely
+    # Spark REJECTS query+partitionColumn together: the partitioned
+    # form must route the query through dbtable as a derived table
+    assert "query" not in o
+    assert o["dbtable"] == "(SELECT id, properties FROM features) AS tbns_sub"
+    # unpartitioned scan uses plain 'query' and drops the bound options
     flat = JDBCConf(partition_column=None).reader_options("SELECT 1")
-    assert "partitionColumn" not in flat and "numPartitions" not in flat
+    assert flat["query"] == "SELECT 1"
+    assert "partitionColumn" not in flat and "dbtable" not in flat
     # default conf stays on the parquet stand-in
     assert JDBCConf().backend == "parquet"
+
+
+def test_jdbc_conf_live_partitioned_read_via_derby(spark):
+    """The seam against a REAL database: Spark's embedded Derby serves
+    an in-memory table through the partitioned dbtable path — the exact
+    option set a PostGIS deployment would use, minus only the URL."""
+    from terra_bonobo_nodes_spark.sources.sql import JDBCConf
+
+    conf = JDBCConf(
+        backend="jdbc",
+        url="jdbc:derby:memory:tbns_seam;create=true",
+        partition_column="id",
+        num_partitions=2,
+        upper_bound=10,
+        options={"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"},
+    )
+    df = conf.read(
+        spark, "SELECT n AS id, n * 2 AS v FROM (VALUES 1, 2, 3, 4) AS t(n)"
+    )
+    # Derby uppercases unquoted identifiers; values are what matter
+    assert sorted(tuple(r) for r in df.collect()) == [(1, 2), (2, 4), (3, 6), (4, 8)]
