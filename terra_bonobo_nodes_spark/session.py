@@ -32,6 +32,8 @@ def get_spark(app_name: str = "terra_bonobo_nodes_spark") -> SparkSession:
         # loaders never have to mutate session config mid-query.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource predicate pushdown (sources/scroll.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -1,0 +1,157 @@
+"""Paginated-scan source on the Spark 4 Python DataSource API.
+
+The reference has two serial, driver-side pagination loops: the ES
+scroll scan (S5 ``ESExtract``: 5000-hit pages on a 2m scroll cursor,
+``elasticsearch.py:33-44``) and the LIMIT/OFFSET feature pagination
+(S4 ``ExtractFeatures``: 1000-row pages, ``terra.py:194-211``). Both
+fetch page after page on one thread and push rows downstream.
+
+Re-expressed Spark-first, each PAGE is an ``InputPartition``: planning
+enumerates pages once on the driver (a cheap listing/count probe, the
+equivalent of opening the scroll), the page FETCHES run on executors in
+parallel, and Catalyst's predicate pushdown reaches the source through
+``pushFilters`` — range/equality predicates on the configured id column
+are served source-side (the way the real ES connector compiles filters
+into query DSL) instead of post-scan.
+
+Backend: a directory of JSONL page files (``page-*.json``) stands in
+for the scroll service in this environment; ``fetch_page`` is the seam
+a live deployment overrides with an HTTP/ES client (the subclass is
+cloudpickled to the executors with the source, so clients initialize
+per partition — SURVEY §2.9's per-partition service injection).
+
+Usage::
+
+    spark.dataSource.register(ScrollDataSource)
+    df = (spark.read.format("tbns_scroll")
+          .schema("id BIGINT, name STRING")
+          .option("path", pages_dir).option("id_col", "id").load())
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+
+class PagePartition(InputPartition):
+    def __init__(self, index: int, path: str) -> None:
+        self.index = index
+        self.path = path
+
+
+class ScrollDataSource(DataSource):
+    """``format("tbns_scroll")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tbns_scroll"
+
+    def schema(self) -> str:
+        # never infer: a scroll source at 100 TB cannot afford a
+        # sampling pass, and the reference's _source docs are schemaless
+        # — the caller declares the projection (jsonl.py convention)
+        raise ValueError(
+            "tbns_scroll requires an explicit schema: "
+            'spark.read.format("tbns_scroll").schema("id BIGINT, ...")'
+        )
+
+    def reader(self, schema: StructType) -> ScrollReader:
+        return ScrollReader(schema, self.options)
+
+
+class ScrollReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        if "path" not in options:
+            raise ValueError("tbns_scroll: 'path' option is required")
+        self.path = options["path"]
+        self.id_col = options.get("id_col")
+        self.fields = [f.name for f in schema.fields]
+        # (op, value) bounds pushed onto the id column; applied inside
+        # fetch_page exactly like a service-side query would be
+        self.bounds: list[tuple[str, float]] = []
+
+    # --- planning (driver) --------------------------------------------------
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Consume range/equality predicates on ``id_col``; everything
+        else stays with Spark. Called once during planning."""
+        supported = {
+            EqualTo: "==",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        for f in filters:
+            op = supported.get(type(f))
+            if (
+                op is not None
+                and self.id_col is not None
+                and f.attribute == (self.id_col,)
+                and isinstance(f.value, (int, float))
+            ):
+                self.bounds.append((op, f.value))
+            else:
+                yield f  # Spark evaluates it post-scan
+
+    def partitions(self) -> Sequence[PagePartition]:
+        """One partition per page — the scroll cursor's serial walk
+        becomes parallel fetches. The listing is the driver-side probe
+        (a live backend would issue the scroll-open / COUNT here)."""
+        pages = sorted(
+            os.path.join(self.path, n)
+            for n in os.listdir(self.path)
+            if n.startswith("page-") and n.endswith(".json")
+        )
+        if not pages:
+            raise FileNotFoundError(f"tbns_scroll: no page-*.json under {self.path}")
+        return [PagePartition(i, p) for i, p in enumerate(pages)]
+
+    # --- execution (executors) ----------------------------------------------
+
+    def fetch_page(self, partition: PagePartition) -> Iterator[dict]:
+        """The service seam: yield one record dict per hit. The
+        stand-in reads a JSONL page file; a live deployment overrides
+        this with an HTTP/ES call that ALSO applies ``self.bounds``
+        server-side (here they are applied in ``read`` either way, so
+        an override that cannot push them stays correct)."""
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    yield json.loads(line)
+
+    def _keep(self, rec: dict) -> bool:
+        if not self.bounds:
+            return True
+        v = rec.get(self.id_col)
+        if v is None:
+            return False
+        return all(
+            (op == "==" and v == bound)
+            or (op == ">" and v > bound)
+            or (op == ">=" and v >= bound)
+            or (op == "<" and v < bound)
+            or (op == "<=" and v <= bound)
+            for op, bound in self.bounds
+        )
+
+    def read(self, partition: PagePartition) -> Iterator[tuple]:
+        for rec in self.fetch_page(partition):
+            if self._keep(rec):
+                yield tuple(rec.get(name) for name in self.fields)
