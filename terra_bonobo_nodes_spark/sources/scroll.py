@@ -37,6 +37,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -72,6 +73,9 @@ class ScrollDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ScrollReader:
         return ScrollReader(schema, self.options)
+
+    def streamReader(self, schema: StructType) -> "ScrollStreamReader":
+        return ScrollStreamReader(schema, self.options)
 
 
 class ScrollReader(DataSourceReader):
@@ -155,3 +159,55 @@ class ScrollReader(DataSourceReader):
         for rec in self.fetch_page(partition):
             if self._keep(rec):
                 yield tuple(rec.get(name) for name in self.fields)
+
+
+class ScrollStreamReader(DataSourceStreamReader):
+    """Streaming form of the scroll scan: the reference's scroll cursor
+    IS a progressing offset, so the mapping is direct — the offset is
+    the count of pages consumed, ``latestOffset`` is the service probe
+    ("how far has the scroll advanced"), and each micro-batch's
+    ``partitions(start, end)`` are the newly arrived pages, fetched in
+    parallel on executors exactly like the batch reader. Exactly-once
+    comes from Spark's offset log: a replayed batch re-reads the same
+    page range (pages are immutable once written — the append-only
+    contract every scroll/changefeed service provides)."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        if "path" not in options:
+            raise ValueError("tbns_scroll: 'path' option is required")
+        self.path = options["path"]
+        self.fields = [f.name for f in schema.fields]
+
+    def _pages(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            os.path.join(self.path, n)
+            for n in os.listdir(self.path)
+            if n.startswith("page-") and n.endswith(".json")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"n_pages": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n_pages": len(self._pages())}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[PagePartition]:
+        pages = self._pages()[start["n_pages"] : end["n_pages"]]
+        return [
+            PagePartition(start["n_pages"] + i, p) for i, p in enumerate(pages)
+        ]
+
+    def read(self, partition: PagePartition) -> Iterator[tuple]:
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    rec = json.loads(line)
+                    yield tuple(rec.get(name) for name in self.fields)
+
+    def commit(self, end: dict) -> None:
+        # a live scroll backend would release cursors/acks up to `end`;
+        # the file stand-in has nothing to release
+        pass

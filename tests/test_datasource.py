@@ -109,3 +109,52 @@ def test_scroll_source_client_seam_override(spark):
         .where(F.col("id") >= 2)
     )
     assert sorted(r["id"] for r in df.collect()) == [2, 3, 4, 5]
+
+
+def test_scroll_stream_reader_picks_up_new_pages(spark, pages_dir, tmp_path):
+    """The scroll cursor as a streaming offset: pages present at start
+    arrive in the first micro-batch; pages appended while the stream
+    runs arrive in later ones. Offsets are page counts, so Spark's
+    offset log gives exactly-once over the append-only page sequence."""
+    import json as _json
+    import time
+
+    spark.dataSource.register(ScrollDataSource)
+    stream = (
+        spark.readStream.format("tbns_scroll")
+        .schema("id BIGINT, name STRING, score DOUBLE")
+        .option("path", pages_dir)
+        .load()
+    )
+    name = "scroll_stream_sink"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        def wait_for(n, timeout=60):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                if spark.table(name).count() >= n:
+                    return True
+                time.sleep(0.5)
+            return False
+
+        assert wait_for(12), "initial pages never arrived"
+        # a new page lands while the stream is running
+        extra = [
+            _json.dumps({"id": 100 + i, "name": f"late{i}", "score": 1.0})
+            for i in range(2)
+        ]
+        import os as _os
+
+        with open(_os.path.join(pages_dir, "page-99999.json"), "w") as fh:
+            fh.write("\n".join(extra))
+        assert wait_for(14), "late page never arrived"
+        got = {r["id"] for r in spark.table(name).collect()}
+        assert got == set(range(12)) | {100, 101}
+    finally:
+        q.stop()
