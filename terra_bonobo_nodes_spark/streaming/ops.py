@@ -11,6 +11,12 @@ Scale notes (100 TB / unbounded):
   partition — idempotent under retries (exactly-once per epoch), the
   streaming analogue of the reference's windowed delete-then-insert
   sink (terra.py:125-161).
+- Custom state uses ``applyInPandasWithState``. Spark 4's successor
+  API (``transformWithStateInPandas``) is ENVIRONMENT-BLOCKED here:
+  its driver worker imports ``google.protobuf`` for state serde, which
+  this container lacks (probed round 6 — StreamingPythonRunner init
+  dies with ImportError). Migrate when protobuf is available; the
+  operator contracts below are API-agnostic.
 """
 
 from __future__ import annotations
