@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -42,9 +43,11 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    DataSourceWriter,
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -239,3 +242,114 @@ class ScrollStreamReader(DataSourceStreamReader):
         # a live scroll backend would release cursors/acks up to `end`;
         # the file stand-in has nothing to release
         pass
+
+
+# --- write side: bulk indexing as a DataSourceWriter ------------------------
+
+
+@dataclass
+class BulkCommitMessage(WriterCommitMessage):
+    task_file: str
+    n_docs: int
+
+
+class BulkIndexDataSource(DataSource):
+    """``format("tbns_bulk")`` — the K2 ``LoadInES`` bulk window
+    (1000-doc flushes, ``elasticsearch.py:62-98``) as a Python
+    DataSourceWriter with a real TWO-PHASE COMMIT: every task writes
+    its bulk batches to a staging area and returns a commit message;
+    the driver's ``commit`` publishes a manifest of exactly the task
+    files that succeeded (``abort`` removes them), so a failed or
+    speculatively re-run task can never leave half-indexed documents
+    visible — the transactional guarantee the reference approximates
+    with per-window DB transactions (terra.py:155-161).
+
+    Stand-in backend: JSONL bulk files under ``path`` + a
+    ``_manifest.json``; ``flush_bulk`` is the client seam a live ES
+    deployment overrides with a ``helpers.bulk`` call."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tbns_bulk"
+
+    def writer(self, schema: StructType, overwrite: bool) -> "BulkIndexWriter":
+        return BulkIndexWriter(schema, self.options, overwrite)
+
+
+class BulkIndexWriter(DataSourceWriter):
+    def __init__(self, schema: StructType, options: dict, overwrite: bool) -> None:
+        if "path" not in options:
+            raise ValueError("tbns_bulk: 'path' option is required")
+        self.path = options["path"]
+        self.window = int(options.get("window", 1000))  # LoadInES length
+        self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    # --- executor side ------------------------------------------------------
+
+    def flush_bulk(self, task_file: str, docs: list[dict]) -> None:
+        """The client seam: one bulk call per window. Stand-in appends
+        to the task's staging file; a live deployment posts to ES and
+        (matching the reference's contract, elasticsearch.py:81-84)
+        decides whether to log-and-continue or raise per batch."""
+        with open(task_file, "a", encoding="utf-8") as fh:
+            for d in docs:
+                fh.write(json.dumps(d) + "\n")
+
+    def write(self, iterator: Iterator) -> BulkCommitMessage:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        stage = os.path.join(self.path, "_staging")
+        os.makedirs(stage, exist_ok=True)
+        # attempt number in the name: a speculative/retried task writes
+        # its OWN file, and only the attempt whose message reaches
+        # commit() is published
+        task_file = os.path.join(
+            stage, f"task-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.json"
+        )
+        n = 0
+        buf: list[dict] = []
+        for row in iterator:
+            buf.append({f: row[i] for i, f in enumerate(self.fields)})
+            n += 1
+            if len(buf) >= self.window:
+                self.flush_bulk(task_file, buf)
+                buf = []
+        if buf:
+            self.flush_bulk(task_file, buf)
+        if n == 0:
+            task_file = ""  # nothing staged; nothing to publish
+        return BulkCommitMessage(task_file=task_file, n_docs=n)
+
+    # --- driver side --------------------------------------------------------
+
+    def commit(self, messages) -> None:
+        files = [m.task_file for m in messages if m is not None and m.task_file]
+        manifest = {
+            "files": sorted(os.path.basename(f) for f in files),
+            "n_docs": sum(m.n_docs for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, "_manifest.json"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.task_file and os.path.exists(m.task_file):
+                os.remove(m.task_file)
+
+
+def read_bulk_store(path: str) -> list[dict]:
+    """Read back ONLY the committed documents: the manifest is the
+    source of truth — stray staging files from failed attempts are
+    invisible, which is the point of the two-phase protocol."""
+    mpath = os.path.join(path, "_manifest.json")
+    if not os.path.exists(mpath):
+        return []
+    with open(mpath, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    docs: list[dict] = []
+    for name in manifest["files"]:
+        with open(os.path.join(path, "_staging", name), encoding="utf-8") as fh:
+            docs.extend(json.loads(line) for line in fh if line.strip())
+    return docs

@@ -158,3 +158,74 @@ def test_scroll_stream_reader_picks_up_new_pages(spark, pages_dir, tmp_path):
         assert got == set(range(12)) | {100, 101}
     finally:
         q.stop()
+
+
+# --- write side: bulk-index writer with two-phase commit --------------------
+
+
+def test_bulk_writer_two_phase_commit_roundtrip(spark, tmp_path):
+    from terra_bonobo_nodes_spark.sources.scroll import (
+        BulkIndexDataSource,
+        read_bulk_store,
+    )
+
+    spark.dataSource.register(BulkIndexDataSource)
+    d = str(tmp_path / "bulk")
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(10)], "id long, name string"
+    ).repartition(3)
+    (
+        df.write.format("tbns_bulk")
+        .mode("append")
+        .option("path", d)
+        .option("window", "3")  # LoadInES-style small flush windows
+        .save()
+    )
+    docs = read_bulk_store(d)
+    assert sorted(r["id"] for r in docs) == list(range(10))
+    import json as _json
+    import os as _os
+
+    manifest = _json.load(open(_os.path.join(d, "_manifest.json")))
+    assert manifest["n_docs"] == 10
+    assert 1 <= len(manifest["files"]) <= 3  # one staged file per task
+
+
+def test_bulk_writer_failed_job_publishes_nothing(spark, tmp_path):
+    """A task failure mid-job must leave the store EMPTY to readers:
+    no manifest is committed, and stray staging files from the failed
+    attempt are invisible because the manifest is the source of truth."""
+    from terra_bonobo_nodes_spark.sources.scroll import (
+        BulkIndexDataSource,
+        BulkIndexWriter,
+        read_bulk_store,
+    )
+
+    class FailingBulkSource(BulkIndexDataSource):
+        @classmethod
+        def name(cls):
+            return "tbns_bulk_failing"
+
+        def writer(self, schema, overwrite):
+            class W(BulkIndexWriter):
+                def flush_bulk(self, task_file, docs):
+                    if any(d["id"] == 7 for d in docs):
+                        raise RuntimeError("bulk endpoint rejected batch")
+                    super().flush_bulk(task_file, docs)
+
+            return W(schema, dict(self.options), overwrite)
+
+    spark.dataSource.register(FailingBulkSource)
+    d = str(tmp_path / "bulk_fail")
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(10)], "id long, name string"
+    ).repartition(2)
+    with pytest.raises(Exception, match="bulk endpoint rejected"):
+        (
+            df.write.format("tbns_bulk_failing")
+            .mode("append")
+            .option("path", d)
+            .option("window", "2")
+            .save()
+        )
+    assert read_bulk_store(d) == []  # nothing committed, nothing visible
