@@ -606,3 +606,57 @@ def st_union_agg(g) -> Column:
 def st_union_area_agg(g) -> Column:
     """Area of the true union of the group's geometries."""
     return _st_union_area_agg(_col(g))
+
+
+# --- SQL registration --------------------------------------------------------
+
+# every kernel under its PostGIS-style SQL name (SQL lookup is
+# case-insensitive, so st_area(...) works too)
+_SQL_FUNCTIONS = {
+    "ST_Point": _st_point,
+    "ST_PointZ": _st_pointz,
+    "ST_X": _st_x,
+    "ST_Y": _st_y,
+    "ST_AsText": _st_astext,
+    "ST_GeomFromText": _st_geomfromtext,
+    "ST_AsGeoJSON": _st_asgeojson,
+    "ST_GeomFromGeoJSON": _st_geomfromgeojson,
+    "ST_GeomFromAny": _st_geomfromany,
+    "ST_IsEmpty": _st_isempty,
+    "ST_NPoints": _st_npoints,
+    "ST_Area": _st_area,
+    "ST_Length": _st_length,
+    "ST_Centroid": _st_centroid,
+    "ST_BBox": _st_bbox,
+    "ST_MakePolygon": _st_make_polygon,
+    "ST_MakeLine": _st_make_line,
+    "ST_Distance": _st_distance,
+    "ST_Intersects": _st_intersects,
+    "ST_Intersection": _st_intersection,
+    "ST_IntersectionArea": _st_intersection_area,
+    "ST_Difference": _st_difference,
+    "ST_Simplify": _st_simplify,
+    "ST_MakeValid": _st_makevalid,
+    "ST_Force2D": _st_force2d,
+    "ST_Transform": _st_transform,
+    "ST_SnapToGrid": _st_snaptogrid,
+    "ST_Envelope": _st_envelope,
+    "ST_Subdivide": _st_subdivide,
+    "ST_Collect_Agg": _st_collect_agg,
+    "ST_Union_Agg": _st_union_agg,
+    "ST_Union_Area_Agg": _st_union_area_agg,
+}
+
+
+def register_st_sql(spark) -> list[str]:
+    """Expose the geometry kernel to ``spark.sql`` under PostGIS-style
+    names — the SQL surface a reference user's raw-SQL nodes
+    (``LayerClusters``' GROUP BY ST_SnapToGrid, ``terra.py:54-64``;
+    ``SubdivideGeom``'s ST_Subdivide, ``terra.py:95-97``) expect. The
+    Column API (``st_area`` etc. above) stays the primary interface;
+    this is the same Arrow-batched kernels reachable from SQL text,
+    aggregates included (``SELECT ST_Union_Area_Agg(geom) ... GROUP
+    BY``). Returns the registered names. Idempotent per session."""
+    for name, fn in _SQL_FUNCTIONS.items():
+        spark.udf.register(name, fn)
+    return sorted(_SQL_FUNCTIONS)
