@@ -113,7 +113,6 @@ class ScrollReader(DataSourceReader):
         self.path = options["path"]
         self.id_col = options.get("id_col")
         self._schema = schema
-        self.fields = [f.name for f in schema.fields]
         # (op, value) bounds pushed onto the id column; applied inside
         # fetch_page exactly like a service-side query would be
         self.bounds: list[tuple[str, float]] = []
@@ -145,14 +144,24 @@ class ScrollReader(DataSourceReader):
     def partitions(self) -> Sequence[PagePartition]:
         """One partition per page — the scroll cursor's serial walk
         becomes parallel fetches. The listing is the driver-side probe
-        (a live backend would issue the scroll-open / COUNT here)."""
+        (a live backend would issue the scroll-open / COUNT here).
+        A MISSING directory is a config error and raises; an existing
+        directory with zero pages is a legitimately empty scroll (the
+        extract ran before the first ingest) and scans as 0 rows —
+        same contract as the streaming reader's idle state."""
+        if not os.path.isdir(self.path):
+            raise FileNotFoundError(
+                f"tbns_scroll: page directory does not exist: {self.path}"
+            )
         pages = sorted(
             os.path.join(self.path, n)
             for n in os.listdir(self.path)
             if n.startswith("page-") and n.endswith(".json")
         )
         if not pages:
-            raise FileNotFoundError(f"tbns_scroll: no page-*.json under {self.path}")
+            # Spark requires at least one partition; an empty-path
+            # sentinel scans as zero rows (fetch_page yields nothing)
+            return [PagePartition(0, "")]
         return [PagePartition(i, p) for i, p in enumerate(pages)]
 
     # --- execution (executors) ----------------------------------------------
@@ -163,6 +172,8 @@ class ScrollReader(DataSourceReader):
         this with an HTTP/ES call that ALSO applies ``self.bounds``
         server-side (here they are applied in ``read`` either way, so
         an override that cannot push them stays correct)."""
+        if not partition.path:  # empty-scroll sentinel partition
+            return
         with open(partition.path, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
@@ -194,18 +205,24 @@ class ScrollStreamReader(DataSourceStreamReader):
     IS a progressing offset, so the mapping is direct — the offset is
     the count of pages consumed, ``latestOffset`` is the service probe
     ("how far has the scroll advanced"), and each micro-batch's
-    ``partitions(start, end)`` are the newly arrived pages, fetched in
-    parallel on executors exactly like the batch reader. Exactly-once
-    comes from Spark's offset log: a replayed batch re-reads the same
-    page range (pages are immutable once written — the append-only
-    contract every scroll/changefeed service provides)."""
+    ``partitions(start, end)`` are the newly arrived pages, fetched on
+    executors through the SAME ``fetch_page`` seam as the batch reader.
+    Exactly-once comes from Spark's offset log: a replayed batch
+    re-reads the same page range (pages are immutable once written).
+
+    CONTRACT: page names must arrive in lexicographically increasing
+    order — the append-only property every scroll/changefeed cursor
+    has by construction. A violation (a new page sorting before an
+    already-consumed one, e.g. inconsistent zero-padding widths) would
+    silently shift the index-based offsets, duplicating consumed pages
+    and skipping the new one — so the offset carries the last consumed
+    page name and ``partitions`` FAILS FAST on any mismatch instead."""
 
     def __init__(self, schema: StructType, options: dict) -> None:
         if "path" not in options:
             raise ValueError("tbns_scroll: 'path' option is required")
         self.path = options["path"]
         self._schema = schema
-        self.fields = [f.name for f in schema.fields]
 
     def _pages(self) -> list[str]:
         if not os.path.isdir(self.path):
@@ -217,26 +234,42 @@ class ScrollStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
-        return {"n_pages": 0}
+        return {"n_pages": 0, "last": ""}
 
     def latestOffset(self) -> dict:
-        return {"n_pages": len(self._pages())}
+        pages = self._pages()
+        return {
+            "n_pages": len(pages),
+            "last": os.path.basename(pages[-1]) if pages else "",
+        }
 
     def partitions(self, start: dict, end: dict) -> Sequence[PagePartition]:
-        pages = self._pages()[start["n_pages"] : end["n_pages"]]
-        return [
-            PagePartition(start["n_pages"] + i, p) for i, p in enumerate(pages)
-        ]
+        pages = self._pages()
+        n0 = start["n_pages"]
+        if n0 > 0:
+            got = os.path.basename(pages[n0 - 1]) if n0 <= len(pages) else None
+            if got != start["last"]:
+                raise RuntimeError(
+                    "tbns_scroll stream: page sequence changed under the "
+                    f"offset (expected consumed page {n0} to be "
+                    f"{start['last']!r}, listing has {got!r}) — page names "
+                    "must be monotone in arrival order (append-only scroll "
+                    "contract); fix the page-naming scheme"
+                )
+        new = pages[n0 : end["n_pages"]]
+        return [PagePartition(n0 + i, p) for i, p in enumerate(new)]
+
+    def fetch_page(self, partition: PagePartition) -> Iterator[dict]:
+        """Same client seam as the batch reader: a live deployment
+        overrides this (alone) with its HTTP/ES call."""
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    yield json.loads(line)
 
     def read(self, partition: PagePartition) -> Iterator:
-        def records() -> Iterator[dict]:
-            with open(partition.path, encoding="utf-8") as fh:
-                for line in fh:
-                    line = line.strip()
-                    if line:
-                        yield json.loads(line)
-
-        yield from _arrow_batches(records(), self._schema)
+        yield from _arrow_batches(self.fetch_page(partition), self._schema)
 
     def commit(self, end: dict) -> None:
         # a live scroll backend would release cursors/acks up to `end`;
@@ -266,7 +299,11 @@ class BulkIndexDataSource(DataSource):
 
     Stand-in backend: JSONL bulk files under ``path`` + a
     ``_manifest.json``; ``flush_bulk`` is the client seam a live ES
-    deployment overrides with a ``helpers.bulk`` call."""
+    deployment overrides with a ``helpers.bulk`` call.
+    ``mode("append")`` merges into the existing manifest;
+    ``mode("overwrite")`` replaces it (and removes superseded staging
+    files). Staging names carry a job-unique token so leftovers from a
+    crashed earlier application can never be republished."""
 
     @classmethod
     def name(cls) -> str:
@@ -284,6 +321,15 @@ class BulkIndexWriter(DataSourceWriter):
         self.window = int(options.get("window", 1000))  # LoadInES length
         self.fields = [f.name for f in schema.fields]
         self.overwrite = overwrite
+        # job-unique token, generated on the driver and shipped to every
+        # task: staging names depend on it, so a crashed PREVIOUS
+        # application's leftover staging files (whose abort() never saw
+        # a message) can never collide with — or be appended to and then
+        # published by — a later job. Without this, partition/attempt
+        # ids restart per application and ghost-publish is possible.
+        import uuid
+
+        self.job_token = uuid.uuid4().hex[:12]
 
     # --- executor side ------------------------------------------------------
 
@@ -291,10 +337,13 @@ class BulkIndexWriter(DataSourceWriter):
         """The client seam: one bulk call per window. Stand-in appends
         to the task's staging file; a live deployment posts to ES and
         (matching the reference's contract, elasticsearch.py:81-84)
-        decides whether to log-and-continue or raise per batch."""
+        decides whether to log-and-continue or raise per batch.
+        ``default=str`` makes timestamp/date/decimal/binary columns
+        serializable — the stand-in's JSON rendering of them, exactly
+        what an ES _source document would carry."""
         with open(task_file, "a", encoding="utf-8") as fh:
             for d in docs:
-                fh.write(json.dumps(d) + "\n")
+                fh.write(json.dumps(d, default=str) + "\n")
 
     def write(self, iterator: Iterator) -> BulkCommitMessage:
         from pyspark import TaskContext
@@ -302,11 +351,13 @@ class BulkIndexWriter(DataSourceWriter):
         ctx = TaskContext.get()
         stage = os.path.join(self.path, "_staging")
         os.makedirs(stage, exist_ok=True)
-        # attempt number in the name: a speculative/retried task writes
-        # its OWN file, and only the attempt whose message reaches
-        # commit() is published
+        # job token + attempt id: a speculative/retried task writes its
+        # OWN file, and only the attempt whose message reaches commit()
+        # is published
         task_file = os.path.join(
-            stage, f"task-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.json"
+            stage,
+            f"task-{self.job_token}-{ctx.partitionId():05d}"
+            f"-{ctx.taskAttemptId()}.json",
         )
         n = 0
         buf: list[dict] = []
@@ -325,13 +376,39 @@ class BulkIndexWriter(DataSourceWriter):
     # --- driver side --------------------------------------------------------
 
     def commit(self, messages) -> None:
-        files = [m.task_file for m in messages if m is not None and m.task_file]
-        manifest = {
-            "files": sorted(os.path.basename(f) for f in files),
-            "n_docs": sum(m.n_docs for m in messages if m is not None),
-        }
-        with open(os.path.join(self.path, "_manifest.json"), "w") as fh:
+        """Publish this job's task files. ``mode("append")`` MERGES
+        with the existing manifest (earlier jobs' documents stay
+        visible); ``mode("overwrite")`` replaces it and deletes the
+        superseded staging files."""
+        files = sorted(
+            os.path.basename(m.task_file)
+            for m in messages
+            if m is not None and m.task_file
+        )
+        n_docs = sum(m.n_docs for m in messages if m is not None)
+        mpath = os.path.join(self.path, "_manifest.json")
+        old_files: list[str] = []
+        old_docs = 0
+        if os.path.exists(mpath):
+            with open(mpath, encoding="utf-8") as fh:
+                prev = json.load(fh)
+            old_files = prev.get("files", [])
+            old_docs = prev.get("n_docs", 0)
+        if self.overwrite:
+            manifest = {"files": files, "n_docs": n_docs}
+        else:
+            manifest = {
+                "files": sorted(set(old_files) | set(files)),
+                "n_docs": old_docs + n_docs,
+            }
+        with open(mpath, "w", encoding="utf-8") as fh:
             json.dump(manifest, fh)
+        if self.overwrite:
+            stage = os.path.join(self.path, "_staging")
+            for name in set(old_files) - set(files):
+                superseded = os.path.join(stage, name)
+                if os.path.exists(superseded):
+                    os.remove(superseded)
 
     def abort(self, messages) -> None:
         for m in messages:

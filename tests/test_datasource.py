@@ -229,3 +229,95 @@ def test_bulk_writer_failed_job_publishes_nothing(spark, tmp_path):
             .save()
         )
     assert read_bulk_store(d) == []  # nothing committed, nothing visible
+
+
+def test_bulk_writer_append_merges_and_overwrite_replaces(spark, tmp_path):
+    """Second review findings: append must MERGE with the existing
+    manifest (no silent loss of earlier jobs' documents); overwrite
+    replaces it and removes superseded staging files; non-JSON-native
+    column types (timestamps) serialize through the stand-in."""
+    import os as _os
+    from datetime import datetime as _dt
+
+    from terra_bonobo_nodes_spark.sources.scroll import (
+        BulkIndexDataSource,
+        read_bulk_store,
+    )
+
+    spark.dataSource.register(BulkIndexDataSource)
+    d = str(tmp_path / "bulk_merge")
+
+    def write(ids, mode):
+        df = spark.createDataFrame(
+            [(i, _dt(2024, 1, 1, i)) for i in ids], "id long, ts timestamp"
+        ).coalesce(1)
+        df.write.format("tbns_bulk").mode(mode).option("path", d).save()
+
+    write([1, 2], "append")
+    write([3], "append")
+    docs = read_bulk_store(d)
+    assert sorted(r["id"] for r in docs) == [1, 2, 3]  # merged, not replaced
+    assert all("2024-01-01" in r["ts"] for r in docs)  # timestamps serialized
+
+    write([9], "overwrite")
+    assert [r["id"] for r in read_bulk_store(d)] == [9]
+    staged = _os.listdir(_os.path.join(d, "_staging"))
+    assert len(staged) == 1  # superseded staging files removed
+
+
+def test_scroll_batch_read_of_empty_directory_is_zero_rows(spark, tmp_path):
+    """An existing-but-empty page directory is a legitimately empty
+    scroll (extract before first ingest) — 0 rows, not a crash; a
+    MISSING directory is still a config error."""
+    import os as _os
+
+    d = str(tmp_path / "empty_pages")
+    _os.makedirs(d)
+    df = _read(spark, d)
+    assert df.count() == 0
+    with pytest.raises(Exception, match="does not exist"):
+        _read(spark, str(tmp_path / "nope")).count()
+
+
+def test_scroll_stream_rejects_non_monotone_page_names(spark, tmp_path):
+    """A new page sorting BEFORE a consumed one would silently shift
+    index offsets (duplicate + skip); the offset carries the last
+    consumed name and the stream fails fast instead."""
+    import json as _json
+    import os as _os
+    import time
+
+    d = str(tmp_path / "pages_mono")
+    _os.makedirs(d)
+    for p in range(2):
+        with open(_os.path.join(d, f"page-{p:05d}.json"), "w") as fh:
+            fh.write(_json.dumps({"id": p, "name": f"doc{p}", "score": 0.0}))
+    spark.dataSource.register(ScrollDataSource)
+    stream = (
+        spark.readStream.format("tbns_scroll")
+        .schema("id BIGINT, name STRING, score DOUBLE")
+        .option("path", d)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("scroll_mono_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mono"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table("scroll_mono_sink").count() < 2:
+            time.sleep(0.5)
+        assert spark.table("scroll_mono_sink").count() == 2
+        # 'page-0.json' sorts BEFORE the consumed 'page-00000.json'
+        with open(_os.path.join(d, "page-0.json"), "w") as fh:
+            fh.write(_json.dumps({"id": 99, "name": "bad", "score": 0.0}))
+        deadline = time.time() + 60
+        while time.time() < deadline and q.exception() is None:
+            time.sleep(0.5)
+        exc = q.exception()
+        assert exc is not None and "monotone" in str(exc)
+    finally:
+        q.stop()
