@@ -118,3 +118,36 @@ def test_plan_fingerprint_and_assert_api(spark):
             assert_no_cartesian(cross, allow_broadcast_nlj=True)
     else:
         assert_no_cartesian(cross, allow_broadcast_nlj=True)
+
+
+def test_cdc_snapshot_side_never_shuffles(spark):
+    """cdc_apply_changes: the base snapshot must reach the anti-join
+    with ZERO exchanges (scan -> broadcast anti-join); only the
+    changelog side shuffles for its collapse window."""
+    q = all_queries()["cdc_apply_changes"]
+    plan = q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the customer scan feeds the anti-join directly: no Exchange may
+    # appear between the scan and the join on the streamed side
+    stream_side = plan.split("LeftAnti")[1].split("BroadcastExchange")[0]
+    assert "customer.parquet" in stream_side
+    assert "Exchange hashpartitioning" not in stream_side
+
+
+def test_sessionize_is_single_exchange(spark):
+    """sessionize_clickstream: lag + running counter + rollup must all
+    ride ONE hashpartitioning exchange on the session key — the
+    gaps-and-islands optimum (PLANS.md round 6)."""
+    q = all_queries()["sessionize_clickstream"]
+    plan = q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") >= 1
+
+
+def test_bm25_corpus_scans_are_bounded(spark):
+    """llm_bm25_keyword_topk: exactly two corpus scans (tf pipeline +
+    corpus stats) — the tf relation's checkpoint barrier must keep the
+    dfreq branch from re-inlining a third tokenize pass."""
+    q = all_queries()["llm_bm25_keyword_topk"]
+    plan = q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") <= 2
