@@ -1,11 +1,13 @@
 """Pure-Python/numpy codecs for the multimodal decode contract.
 
-The container has no Pillow/cv2/librosa, but three real formats are
+The container has no Pillow/cv2/librosa, but four real formats are
 decodable with the standard library + numpy alone:
 
 - BMP (Windows bitmap, uncompressed 24/32-bit BITMAPINFOHEADER) —
   ~60 LoC of struct parsing,
 - PPM (Netpbm P6 binary RGB) — a whitespace-delimited header + raw RGB,
+- PNG (8-bit gray/RGB/palette/alpha, non-interlaced) — stdlib ``zlib``
+  inflate + the five scanline filters unrolled by hand,
 - WAV (RIFF PCM) — stdlib ``wave``.
 
 ``image_decoder`` dispatches on magic bytes and satisfies the
@@ -130,15 +132,19 @@ def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
 
 def image_decoder(payload: bytes) -> tuple[int, int, bytes]:
     """Magic-byte dispatch satisfying the decode_image(decoder=...)
-    contract. PNG/JPEG need a compression library this container lacks —
-    those still raise, per the stub policy (never fake a decode)."""
+    contract. BMP/PPM/PNG decode for real (PNG via stdlib zlib +
+    hand-rolled unfiltering, see decode_png); JPEG is a genuine codec
+    (huffman+DCT) and still raises, per the stub policy (never fake a
+    decode)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:4] == b"\x89PNG":
+        return decode_png(payload)
     raise NotImplementedError(
         f"no pure-Python decoder for magic {payload[:4]!r} "
-        "(PNG/JPEG need Pillow/cv2; inject a decoder)"
+        "(JPEG needs Pillow/cv2; inject a decoder)"
     )
 
 
@@ -191,3 +197,170 @@ def encode_wav(rate: int, samples: np.ndarray) -> bytes:
         w.setframerate(rate)
         w.writeframes(ints.tobytes())
     return buf.getvalue()
+
+
+# --- PNG ---------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an 8-bit non-interlaced PNG → (width, height, raw RGB).
+
+    The round-5 'environment-blocked' call was half wrong: PNG's only
+    external dependency is INFLATE, and stdlib ``zlib`` provides it —
+    the rest is chunk parsing and the five scanline filters, done here
+    by hand. Supports color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA); alpha is dropped and gray expanded so the
+    output contract matches the BMP/PPM decoders. Bit depths other
+    than 8 and Adam7 interlacing still raise — never fake a decode.
+    JPEG (huffman+DCT, a real codec) remains injection-only."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    plte = b""
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} unsupported (8 only)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color} unsupported")
+
+    import zlib
+
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    bpp = channels  # bytes per pixel at depth 8
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for y in range(h):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                up_left = prev[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + _paeth(left, prev[x], up_left)) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+
+    px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, channels)
+    if color == 2:
+        rgb = px
+    elif color == 6:
+        rgb = px[:, :, :3]
+    elif color == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif color == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:  # palette
+        if not plte:
+            raise ValueError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        rgb = pal[px[:, :, 0]]
+    return w, h, rgb.astype(np.uint8).tobytes()
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, rgb: bytes, filter_type: int = 0) -> bytes:
+    """Minimal RGB8 PNG encoder (test-fixture grade). ``filter_type``
+    applies one of the five scanline filters to every row so the
+    decoder's unfiltering paths are each exercisable by roundtrip."""
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    stride = width * 3
+    bpp = 3
+    arr = bytearray(rgb)
+    lines = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        cur = bytes(arr[y * stride : (y + 1) * stride])
+        f = bytearray(stride)
+        if filter_type == 0:
+            f[:] = cur
+        elif filter_type == 1:
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                f[x] = (cur[x] - left) & 0xFF
+        elif filter_type == 2:
+            for x in range(stride):
+                f[x] = (cur[x] - prev[x]) & 0xFF
+        elif filter_type == 3:
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                f[x] = (cur[x] - ((left + prev[x]) >> 1)) & 0xFF
+        elif filter_type == 4:
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                up_left = prev[x - bpp] if x >= bpp else 0
+                f[x] = (cur[x] - _paeth(left, prev[x], up_left)) & 0xFF
+        else:
+            raise ValueError("filter_type must be 0..4")
+        lines.append(filter_type)
+        lines.extend(f)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )

@@ -434,8 +434,13 @@ def test_image_decoder_dispatch_and_unknown_magic():
     rgb = _checker_rgb(3, 3)
     assert codecs.image_decoder(codecs.encode_bmp(3, 3, rgb))[2] == rgb
     assert codecs.image_decoder(codecs.encode_ppm(3, 3, rgb))[2] == rgb
-    with pytest.raises(NotImplementedError):
+    assert codecs.image_decoder(codecs.encode_png(3, 3, rgb))[2] == rgb
+    # PNG now decodes for real (TestPngCodec): a PNG-magic payload with
+    # garbage chunks is a PARSE error, not an unimplemented format
+    with pytest.raises(ValueError):
         codecs.image_decoder(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):  # JPEG: genuine codec gap
+        codecs.image_decoder(b"\xff\xd8\xff\xe0....")
 
 
 def test_decode_image_real_bmp_through_spark(spark):
@@ -1010,3 +1015,101 @@ def test_decontaminate_substring_guarantee(spark):
     }
     assert out[1].contaminated and out[1].n_shared_fp >= 1
     assert not out[2].contaminated and out[2].n_shared_fp == 0
+
+
+class TestPngCodec:
+    """PNG decode with stdlib zlib + hand-rolled unfiltering — closes
+    the round-5 'PNG is environment-blocked' item (only JPEG truly
+    needs an external codec)."""
+
+    @staticmethod
+    def _pixels(w, h):
+        import numpy as _np
+
+        rng = _np.random.RandomState(7)
+        return rng.randint(0, 256, size=(h, w, 3), dtype=_np.uint8).tobytes()
+
+    def test_roundtrip_every_filter_type(self):
+        from terra_bonobo_nodes_spark.llm.codecs import decode_png, encode_png
+
+        rgb = self._pixels(13, 7)  # odd sizes catch stride bugs
+        for ftype in range(5):
+            png = encode_png(13, 7, rgb, filter_type=ftype)
+            assert decode_png(png) == (13, 7, rgb), f"filter {ftype}"
+
+    def test_png_agrees_with_bmp_for_same_pixels(self):
+        from terra_bonobo_nodes_spark.llm.codecs import (
+            decode_bmp,
+            decode_png,
+            encode_bmp,
+            encode_png,
+        )
+
+        rgb = self._pixels(8, 5)
+        assert decode_png(encode_png(8, 5, rgb, 4)) == decode_bmp(encode_bmp(8, 5, rgb))
+
+    def test_gray_rgba_palette_color_types(self):
+        import struct as _struct
+        import zlib as _zlib
+
+        from terra_bonobo_nodes_spark.llm.codecs import _PNG_SIG, _png_chunk, decode_png
+
+        def build(color, channels, pixel_rows, plte=b""):
+            h = len(pixel_rows)
+            w = len(pixel_rows[0]) // channels
+            ihdr = _struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+            raw = b"".join(b"\x00" + bytes(r) for r in pixel_rows)
+            chunks = _png_chunk(b"IHDR", ihdr)
+            if plte:
+                chunks += _png_chunk(b"PLTE", plte)
+            chunks += _png_chunk(b"IDAT", _zlib.compress(raw))
+            return _PNG_SIG + chunks + _png_chunk(b"IEND", b"")
+
+        # gray 2x1: values expand to R=G=B
+        w, h, rgb = decode_png(build(0, 1, [[10, 200]]))
+        assert (w, h) == (2, 1) and rgb == bytes([10, 10, 10, 200, 200, 200])
+        # gray+alpha: alpha dropped
+        w, h, rgb = decode_png(build(4, 2, [[10, 255, 200, 0]]))
+        assert rgb == bytes([10, 10, 10, 200, 200, 200])
+        # RGBA: alpha dropped
+        w, h, rgb = decode_png(build(6, 4, [[1, 2, 3, 9, 4, 5, 6, 9]]))
+        assert rgb == bytes([1, 2, 3, 4, 5, 6])
+        # palette: PLTE lookup
+        pal = bytes([255, 0, 0, 0, 255, 0])
+        w, h, rgb = decode_png(build(3, 1, [[1, 0]], plte=pal))
+        assert rgb == bytes([0, 255, 0, 255, 0, 0])
+
+    def test_unsupported_variants_still_raise(self):
+        import struct as _struct
+        import zlib as _zlib
+
+        import pytest as _pytest
+
+        from terra_bonobo_nodes_spark.llm.codecs import (
+            _PNG_SIG,
+            _png_chunk,
+            decode_png,
+            image_decoder,
+        )
+
+        def ihdr_only(depth, color, interlace):
+            ihdr = _struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace)
+            return (
+                _PNG_SIG
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", _zlib.compress(b"\x00\x00"))
+                + _png_chunk(b"IEND", b"")
+            )
+
+        with _pytest.raises(NotImplementedError, match="bit depth"):
+            decode_png(ihdr_only(16, 0, 0))
+        with _pytest.raises(NotImplementedError, match="interlaced"):
+            decode_png(ihdr_only(8, 0, 1))
+        with _pytest.raises(NotImplementedError, match="JPEG"):
+            image_decoder(b"\xff\xd8\xff\xe0fakejpeg")
+
+    def test_image_decoder_dispatches_png(self):
+        from terra_bonobo_nodes_spark.llm.codecs import encode_png, image_decoder
+
+        rgb = self._pixels(4, 4)
+        assert image_decoder(encode_png(4, 4, rgb, 2)) == (4, 4, rgb)
