@@ -1,6 +1,6 @@
 """Pure-Python/numpy codecs for the multimodal decode contract.
 
-The container has no Pillow/cv2/librosa, but four real formats are
+The container has no Pillow/cv2/librosa, but five real formats are
 decodable with the standard library + numpy alone:
 
 - BMP (Windows bitmap, uncompressed 24/32-bit BITMAPINFOHEADER) —
@@ -8,6 +8,8 @@ decodable with the standard library + numpy alone:
 - PPM (Netpbm P6 binary RGB) — a whitespace-delimited header + raw RGB,
 - PNG (8-bit gray/RGB/palette/alpha, non-interlaced) — stdlib ``zlib``
   inflate + the five scanline filters unrolled by hand,
+- JPEG (baseline SOF0, generic sampling factors) — full Huffman entropy
+  decode + numpy IDCT in ``jpeg.py``,
 - WAV (RIFF PCM) — stdlib ``wave``.
 
 ``image_decoder`` dispatches on magic bytes and satisfies the
@@ -132,19 +134,22 @@ def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
 
 def image_decoder(payload: bytes) -> tuple[int, int, bytes]:
     """Magic-byte dispatch satisfying the decode_image(decoder=...)
-    contract. BMP/PPM/PNG decode for real (PNG via stdlib zlib +
-    hand-rolled unfiltering, see decode_png); JPEG is a genuine codec
-    (huffman+DCT) and still raises, per the stub policy (never fake a
-    decode)."""
+    contract. BMP/PPM/PNG/JPEG all decode for real (PNG via stdlib
+    zlib + hand-rolled unfiltering; baseline JPEG via the full Huffman
+    + IDCT implementation in jpeg.py); unknown formats still raise,
+    per the stub policy (never fake a decode)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:4] == b"\x89PNG":
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from terra_bonobo_nodes_spark.llm.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        f"no pure-Python decoder for magic {payload[:4]!r} "
-        "(JPEG needs Pillow/cv2; inject a decoder)"
+        f"no pure-Python decoder for magic {payload[:4]!r}; inject a decoder"
     )
 
 

@@ -435,12 +435,13 @@ def test_image_decoder_dispatch_and_unknown_magic():
     assert codecs.image_decoder(codecs.encode_bmp(3, 3, rgb))[2] == rgb
     assert codecs.image_decoder(codecs.encode_ppm(3, 3, rgb))[2] == rgb
     assert codecs.image_decoder(codecs.encode_png(3, 3, rgb))[2] == rgb
-    # PNG now decodes for real (TestPngCodec): a PNG-magic payload with
-    # garbage chunks is a PARSE error, not an unimplemented format
+    # PNG/JPEG now decode for real (TestPngCodec/TestJpegCodec): a
+    # recognized-magic payload with garbage contents is a PARSE error,
+    # not an unimplemented format — only unknown magics raise that
     with pytest.raises(ValueError):
         codecs.image_decoder(b"\x89PNG\r\n\x1a\n....")
-    with pytest.raises(NotImplementedError):  # JPEG: genuine codec gap
-        codecs.image_decoder(b"\xff\xd8\xff\xe0....")
+    with pytest.raises(NotImplementedError):
+        codecs.image_decoder(b"GIF89a....")
 
 
 def test_decode_image_real_bmp_through_spark(spark):
@@ -1105,11 +1106,97 @@ class TestPngCodec:
             decode_png(ihdr_only(16, 0, 0))
         with _pytest.raises(NotImplementedError, match="interlaced"):
             decode_png(ihdr_only(8, 0, 1))
-        with _pytest.raises(NotImplementedError, match="JPEG"):
-            image_decoder(b"\xff\xd8\xff\xe0fakejpeg")
+        with _pytest.raises(NotImplementedError):
+            image_decoder(b"GIF89a-fake")
 
     def test_image_decoder_dispatches_png(self):
         from terra_bonobo_nodes_spark.llm.codecs import encode_png, image_decoder
 
         rgb = self._pixels(4, 4)
         assert image_decoder(encode_png(4, 4, rgb, 2)) == (4, 4, rgb)
+
+
+class TestJpegCodec:
+    """Baseline JPEG encode/decode (llm/jpeg.py): pure numpy Huffman +
+    DCT. JPEG is lossy, so assertions are tolerance bands — exact-ish
+    for uniform blocks, small max error for smooth content."""
+
+    @staticmethod
+    def _gradient(w, h):
+        import numpy as _np
+
+        yy, xx = _np.mgrid[0:h, 0:w]
+        return _np.stack(
+            [(yy * 5) % 256, (xx * 3) % 256, ((xx + yy) * 2) % 256], axis=-1
+        ).astype(_np.uint8)
+
+    def test_uniform_color_near_exact(self):
+        import numpy as _np
+
+        from terra_bonobo_nodes_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+        rgb = _np.full((16, 24, 3), [120, 60, 200], dtype=_np.uint8)
+        w, h, out = decode_jpeg(encode_jpeg(24, 16, rgb.tobytes()))
+        o = _np.frombuffer(out, dtype=_np.uint8).reshape(16, 24, 3)
+        assert (w, h) == (24, 16)
+        assert int(_np.abs(o.astype(int) - rgb.astype(int)).max()) <= 2
+
+    def test_gradient_roundtrip_444_and_420(self):
+        import numpy as _np
+
+        from terra_bonobo_nodes_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+        grad = self._gradient(37, 23)  # odd dims exercise padding
+        for sub, tol in (("444", 8), ("420", 16)):
+            w, h, out = decode_jpeg(
+                encode_jpeg(37, 23, grad.tobytes(), subsampling=sub)
+            )
+            o = _np.frombuffer(out, dtype=_np.uint8).reshape(23, 37, 3)
+            err = _np.abs(o.astype(int) - grad.astype(int))
+            assert (w, h) == (37, 23)
+            assert int(err.max()) <= tol, f"{sub}: max err {err.max()}"
+
+    def test_grayscale_single_component(self):
+        import numpy as _np
+
+        from terra_bonobo_nodes_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+        g = self._gradient(16, 16)
+        gray = _np.repeat(
+            (0.299 * g[..., 0] + 0.587 * g[..., 1] + 0.114 * g[..., 2])[..., None],
+            3, axis=2,
+        ).astype(_np.uint8)
+        w, h, out = decode_jpeg(
+            encode_jpeg(16, 16, gray.tobytes(), subsampling="gray")
+        )
+        o = _np.frombuffer(out, dtype=_np.uint8).reshape(16, 16, 3)
+        assert int(_np.abs(o.astype(int) - gray.astype(int)).max()) <= 8
+        # gray output: channels identical
+        assert (o[..., 0] == o[..., 1]).all() and (o[..., 1] == o[..., 2]).all()
+
+    def test_unsupported_variants_raise(self):
+        import struct as _struct
+
+        from terra_bonobo_nodes_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+        base = encode_jpeg(8, 8, self._gradient(8, 8).tobytes())
+        # rewrite SOF0 marker (FFC0) to progressive SOF2 (FFC2)
+        prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        with pytest.raises(NotImplementedError, match="baseline"):
+            decode_jpeg(prog)
+        # inject a DRI (restart interval) segment after SOI
+        dri = b"\xff\xdd" + _struct.pack(">H", 4) + _struct.pack(">H", 4)
+        with pytest.raises(NotImplementedError, match="restart"):
+            decode_jpeg(base[:2] + dri + base[2:])
+
+    def test_image_decoder_dispatches_jpeg(self):
+        import numpy as _np
+
+        from terra_bonobo_nodes_spark.llm.codecs import image_decoder
+        from terra_bonobo_nodes_spark.llm.jpeg import encode_jpeg
+
+        grad = self._gradient(12, 9)
+        w, h, out = image_decoder(encode_jpeg(12, 9, grad.tobytes()))
+        o = _np.frombuffer(out, dtype=_np.uint8).reshape(9, 12, 3)
+        assert (w, h) == (12, 9)
+        assert int(_np.abs(o.astype(int) - grad.astype(int)).max()) <= 8
