@@ -119,11 +119,11 @@ def decode_image(
     target: tuple[int, int] = (224, 224),
 ) -> DataFrame:
     """Decode + resize stage. ``decoder(payload) -> (width, height,
-    raw_rgb)`` defaults to ``codecs.image_decoder`` — a REAL pure-Python
-    decoder for BMP and P6 PPM payloads (the formats decodable without
-    Pillow/cv2, which this container lacks). Unknown formats (PNG/JPEG)
-    raise ``NotImplementedError`` per the stub policy: a format is either
-    actually decoded or loudly unsupported, never faked. ``raw`` in the
+    raw_rgb)`` defaults to ``codecs.image_decoder`` — REAL pure-Python
+    decoders for BMP, P6 PPM, PNG (stdlib zlib + hand unfiltering), and
+    baseline JPEG (full Huffman + numpy IDCT, llm/jpeg.py). Unknown
+    formats raise ``NotImplementedError`` per the stub policy: a format
+    is either actually decoded or loudly unsupported, never faked. ``raw`` in the
     output is the nearest-neighbor resample to ``target`` — the fixed
     tensor shape an encoder stage consumes."""
     from terra_bonobo_nodes_spark.llm import codecs

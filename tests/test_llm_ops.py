@@ -1200,3 +1200,35 @@ class TestJpegCodec:
         o = _np.frombuffer(out, dtype=_np.uint8).reshape(9, 12, 3)
         assert (w, h) == (12, 9)
         assert int(_np.abs(o.astype(int) - grad.astype(int)).max()) <= 8
+
+
+def test_decode_image_all_four_formats_through_spark(spark):
+    """End-to-end mapInPandas decode over a binary column MIXING all
+    four real formats (BMP, PPM, PNG, JPEG) through the default
+    dispatching decoder — one Arrow pipeline, heterogeneous payloads,
+    exactly the mixed-crawl shape a multimodal ingest sees."""
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm import codecs
+    from terra_bonobo_nodes_spark.llm.jpeg import encode_jpeg
+
+    rgb = _checker_rgb(16, 9)
+    payloads = [
+        (1, codecs.encode_bmp(16, 9, rgb)),
+        (2, codecs.encode_ppm(16, 9, rgb)),
+        (3, codecs.encode_png(16, 9, rgb, filter_type=4)),
+        (4, encode_jpeg(16, 9, rgb)),
+    ]
+    assets = spark.createDataFrame(payloads, ["asset_id", "payload"])
+    rows = {
+        r.asset_id: r
+        for r in multimodal.decode_image(assets, target=(8, 8)).collect()
+    }
+    want = np.frombuffer(
+        codecs.resize_nearest(16, 9, rgb, 8, 8), dtype=np.uint8
+    ).astype(int)
+    for aid in (1, 2, 3, 4):
+        assert (rows[aid].width, rows[aid].height) == (16, 9)
+        got = np.frombuffer(bytes(rows[aid].raw), dtype=np.uint8).astype(int)
+        tol = 0 if aid < 4 else 40  # JPEG: lossy on a checkerboard
+        assert np.abs(got - want).max() <= tol, f"format {aid}"
