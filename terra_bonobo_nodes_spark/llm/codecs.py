@@ -262,7 +262,10 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
 
     import zlib
 
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # truncated/corrupt IDAT -> codec's own error
+        raise ValueError(f"PNG IDAT stream corrupt or truncated: {e}") from e
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data size mismatch")

@@ -317,3 +317,60 @@ def test_morton_code_bijective_and_matches_reference(spark, pts):
     for x, y in pts:
         assert got[(x, y)] == _morton_ref(x, y, 12)
     assert len(set(got.values())) == len(pts)  # injective on the domain
+
+
+# --- image codecs (round 6: PNG + baseline JPEG) ----------------------------
+
+rgb_image = st.tuples(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.randoms(use_true_random=False),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(rgb_image, st.integers(min_value=0, max_value=4))
+def test_png_roundtrip_any_shape_any_filter(img, filter_type):
+    from terra_bonobo_nodes_spark.llm.codecs import decode_png, encode_png
+
+    w, h, rnd = img
+    rgb = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+    assert decode_png(encode_png(w, h, rgb, filter_type)) == (w, h, rgb)
+
+
+@settings(max_examples=30, deadline=None)
+@given(rgb_image)
+def test_jpeg_uniform_blocks_near_exact_any_shape(img):
+    from terra_bonobo_nodes_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    w, h, rnd = img
+    color = [rnd.randrange(256) for _ in range(3)]
+    rgb = bytes(color * (w * h))
+    dw, dh, out = decode_jpeg(encode_jpeg(w, h, rgb))
+    assert (dw, dh) == (w, h)
+    assert max(abs(a - b) for a, b in zip(out, rgb)) <= 2
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(min_value=2, max_value=200), st.integers(min_value=0, max_value=4))
+def test_truncated_codec_payloads_fail_cleanly(cut, filter_type):
+    """Malformed/truncated PNG and JPEG payloads must raise ordinary
+    exceptions (parse errors), never hang or corrupt — the property a
+    crawl-scale decode stage depends on."""
+    from terra_bonobo_nodes_spark.llm.codecs import decode_png, encode_png
+    from terra_bonobo_nodes_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    rgb = bytes(range(48)) * 4  # 8x8
+    png = encode_png(8, 8, rgb, filter_type)
+    jpg = encode_jpeg(8, 8, rgb)
+    for payload, fn in ((png, decode_png), (jpg, decode_jpeg)):
+        trunc = payload[: max(2, len(payload) - cut)]
+        if trunc == payload:
+            continue
+        try:
+            fn(trunc)
+        except (ValueError, NotImplementedError, IndexError, struct.error, KeyError):
+            pass  # clean parse failure
+
+
+import struct  # noqa: E402  (used by the truncation property)
