@@ -628,6 +628,8 @@ _SQL_FUNCTIONS = {
     "ST_Length": _st_length,
     "ST_Centroid": _st_centroid,
     "ST_BBox": _st_bbox,
+    "ST_BBox_Boxy": _st_bbox_boxy,
+    "ST_Prepare": _st_prepare,
     "ST_MakePolygon": _st_make_polygon,
     "ST_MakeLine": _st_make_line,
     "ST_Distance": _st_distance,

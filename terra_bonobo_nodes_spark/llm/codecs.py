@@ -311,6 +311,11 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         if not plte:
             raise ValueError("palette PNG missing PLTE")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(px.max()) >= len(pal):  # corrupt index -> codec's own error
+            raise ValueError(
+                f"PNG palette index {int(px.max())} out of range "
+                f"(palette has {len(pal)} entries)"
+            )
         rgb = pal[px[:, :, 0]]
     return w, h, rgb.astype(np.uint8).tobytes()
 

@@ -109,6 +109,10 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
+        # truncate consumed bits: without this the Python-int
+        # accumulator grows with the WHOLE stream and every shift
+        # becomes O(stream) — quadratic overall (23x measured at 128px)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -146,7 +150,11 @@ class _BitReader:
         while self.nbits < length:
             self._fill()
         self.nbits -= length
-        return (self.acc >> self.nbits) & ((1 << length) - 1)
+        out = (self.acc >> self.nbits) & ((1 << length) - 1)
+        # truncate consumed bits (see _BitWriter.put: unbounded bignum
+        # accumulators make the codec quadratic in stream size)
+        self.acc &= (1 << self.nbits) - 1
+        return out
 
     def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
         code = 0
@@ -377,6 +385,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError("JPEG has no SOS segment")
     if not comps or not width:
         raise ValueError("JPEG missing SOF0")
+    if len(comps) not in (1, 3):
+        # 4-component (Adobe CMYK/YCCK) baseline files would pass every
+        # other check and then be silently misread as YCbCr — never
+        # fake a decode
+        raise NotImplementedError(
+            f"JPEG with {len(comps)} components unsupported (1=gray, 3=YCbCr)"
+        )
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

@@ -58,6 +58,26 @@ class PagePartition(InputPartition):
         self.path = path
 
 
+def _list_pages(path: str) -> list[str]:
+    """Sorted page-file listing — the one place the page-naming
+    convention lives (both readers and their tests share it)."""
+    return sorted(
+        os.path.join(path, n)
+        for n in os.listdir(path)
+        if n.startswith("page-") and n.endswith(".json")
+    )
+
+
+def _read_page_file(path: str):
+    """JSONL page parse — the one stand-in backend implementation both
+    readers' fetch_page seams delegate to."""
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                yield json.loads(line)
+
+
 class ScrollDataSource(DataSource):
     """``format("tbns_scroll")`` — see module docstring."""
 
@@ -153,11 +173,7 @@ class ScrollReader(DataSourceReader):
             raise FileNotFoundError(
                 f"tbns_scroll: page directory does not exist: {self.path}"
             )
-        pages = sorted(
-            os.path.join(self.path, n)
-            for n in os.listdir(self.path)
-            if n.startswith("page-") and n.endswith(".json")
-        )
+        pages = _list_pages(self.path)
         if not pages:
             # Spark requires at least one partition; an empty-path
             # sentinel scans as zero rows (fetch_page yields nothing)
@@ -172,13 +188,7 @@ class ScrollReader(DataSourceReader):
         this with an HTTP/ES call that ALSO applies ``self.bounds``
         server-side (here they are applied in ``read`` either way, so
         an override that cannot push them stays correct)."""
-        if not partition.path:  # empty-scroll sentinel partition
-            return
-        with open(partition.path, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if line:
-                    yield json.loads(line)
+        yield from _read_page_file(partition.path)
 
     def _keep(self, rec: dict) -> bool:
         if not self.bounds:
@@ -196,6 +206,10 @@ class ScrollReader(DataSourceReader):
         )
 
     def read(self, partition: PagePartition) -> Iterator:
+        if not partition.path:  # empty-scroll sentinel: 0 rows
+            # guarded HERE, not in fetch_page, so a live-backend
+            # override of the seam inherits the sentinel handling
+            return
         kept = (r for r in self.fetch_page(partition) if self._keep(r))
         yield from _arrow_batches(kept, self._schema)
 
@@ -227,11 +241,7 @@ class ScrollStreamReader(DataSourceStreamReader):
     def _pages(self) -> list[str]:
         if not os.path.isdir(self.path):
             return []
-        return sorted(
-            os.path.join(self.path, n)
-            for n in os.listdir(self.path)
-            if n.startswith("page-") and n.endswith(".json")
-        )
+        return _list_pages(self.path)
 
     def initialOffset(self) -> dict:
         return {"n_pages": 0, "last": ""}
@@ -245,28 +255,30 @@ class ScrollStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[PagePartition]:
         pages = self._pages()
-        n0 = start["n_pages"]
-        if n0 > 0:
-            got = os.path.basename(pages[n0 - 1]) if n0 <= len(pages) else None
-            if got != start["last"]:
+
+        def check(n: int, want: str, which: str) -> None:
+            # BOTH offset boundaries must still name the same pages:
+            # checking only the start would let a violation INSIDE the
+            # batch range be read and committed before detection
+            got = os.path.basename(pages[n - 1]) if 0 < n <= len(pages) else None
+            if n > 0 and got != want:
                 raise RuntimeError(
                     "tbns_scroll stream: page sequence changed under the "
-                    f"offset (expected consumed page {n0} to be "
-                    f"{start['last']!r}, listing has {got!r}) — page names "
-                    "must be monotone in arrival order (append-only scroll "
+                    f"offset ({which} boundary: expected page {n} to be "
+                    f"{want!r}, listing has {got!r}) — page names must be "
+                    "monotone in arrival order (append-only scroll "
                     "contract); fix the page-naming scheme"
                 )
-        new = pages[n0 : end["n_pages"]]
-        return [PagePartition(n0 + i, p) for i, p in enumerate(new)]
+
+        check(start["n_pages"], start.get("last", ""), "start")
+        check(end["n_pages"], end.get("last", ""), "end")
+        new = pages[start["n_pages"] : end["n_pages"]]
+        return [PagePartition(start["n_pages"] + i, p) for i, p in enumerate(new)]
 
     def fetch_page(self, partition: PagePartition) -> Iterator[dict]:
         """Same client seam as the batch reader: a live deployment
         overrides this (alone) with its HTTP/ES call."""
-        with open(partition.path, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if line:
-                    yield json.loads(line)
+        yield from _read_page_file(partition.path)
 
     def read(self, partition: PagePartition) -> Iterator:
         yield from _arrow_batches(self.fetch_page(partition), self._schema)

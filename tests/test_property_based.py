@@ -368,9 +368,12 @@ def test_truncated_codec_payloads_fail_cleanly(cut, filter_type):
         if trunc == payload:
             continue
         try:
-            fn(trunc)
+            w, h, out = fn(trunc)
         except (ValueError, NotImplementedError, IndexError, struct.error, KeyError):
-            pass  # clean parse failure
+            continue  # clean parse failure
+        # shallow cuts (trailing IEND/EOI/CRC bytes) may still decode —
+        # then the result must be fully shape-consistent, never garbage
+        assert (w, h) == (8, 8) and len(out) == 8 * 8 * 3
 
 
 import struct  # noqa: E402  (used by the truncation property)
