@@ -6,8 +6,8 @@ decodable with the standard library + numpy alone:
 - BMP (Windows bitmap, uncompressed 24/32-bit BITMAPINFOHEADER) —
   ~60 LoC of struct parsing,
 - PPM (Netpbm P6 binary RGB) — a whitespace-delimited header + raw RGB,
-- PNG (8-bit gray/RGB/palette/alpha, non-interlaced) — stdlib ``zlib``
-  inflate + the five scanline filters unrolled by hand,
+- PNG (8-bit gray/RGB/palette/alpha, incl. Adam7 interlace) — stdlib
+  ``zlib`` inflate + the five scanline filters unrolled by hand,
 - JPEG (baseline SOF0, generic sampling factors) — full Huffman entropy
   decode + numpy IDCT in ``jpeg.py``,
 - WAV (RIFF PCM) — stdlib ``wave``.
@@ -219,8 +219,54 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+_ADAM7 = [  # (x0, y0, dx, dy) per pass
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(
+    raw: bytes, offset: int, h: int, stride: int, bpp: int
+) -> tuple[bytearray, int]:
+    """Undo the five scanline filters over ``h`` rows of ``stride``
+    bytes starting at ``offset`` (each row prefixed by its filter
+    byte). Returns (pixels, offset past the consumed rows) — shared by
+    the sequential path and each Adam7 pass."""
+    if len(raw) - offset < h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for y in range(h):
+        row_start = offset + y * (stride + 1)
+        ftype = raw[row_start]
+        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                up_left = prev[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + _paeth(left, prev[x], up_left)) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return out, offset + h * (stride + 1)
+
+
 def decode_png(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode an 8-bit non-interlaced PNG → (width, height, raw RGB).
+    """Decode an 8-bit PNG (sequential or Adam7-interlaced) → (width,
+    height, raw RGB).
 
     The round-5 'environment-blocked' call was half wrong: PNG's only
     external dependency is INFLATE, and stdlib ``zlib`` provides it —
@@ -254,8 +300,8 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     w, h, depth, color, _comp, _filt, interlace = ihdr
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} unsupported (8 only)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} invalid")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise NotImplementedError(f"PNG color type {color} unsupported")
@@ -266,39 +312,26 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:  # truncated/corrupt IDAT -> codec's own error
         raise ValueError(f"PNG IDAT stream corrupt or truncated: {e}") from e
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data size mismatch")
-    bpp = channels  # bytes per pixel at depth 8
-    out = bytearray(h * stride)
-    prev = bytearray(stride)
-    for y in range(h):
-        row_start = y * (stride + 1)
-        ftype = raw[row_start]
-        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
-        if ftype == 0:
-            pass
-        elif ftype == 1:  # Sub
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                left = line[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                left = line[x - bpp] if x >= bpp else 0
-                up_left = prev[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + _paeth(left, prev[x], up_left)) & 0xFF
-        else:
-            raise ValueError(f"PNG filter type {ftype} invalid")
-        out[y * stride : (y + 1) * stride] = line
-        prev = line
-
-    px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, channels)
+    if interlace == 0:
+        stride = w * channels
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel data size mismatch")
+        out, _ = _png_unfilter(raw, 0, h, stride, channels)
+        px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, channels)
+    else:  # Adam7: 7 sub-images, each filtered independently, scattered
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue  # empty pass contributes no scanlines
+            stride = wp * channels
+            sub, off = _png_unfilter(raw, off, hp, stride, channels)
+            sp = np.frombuffer(bytes(sub), dtype=np.uint8).reshape(hp, wp, channels)
+            px[y0::dy, x0::dx] = sp
+        if off != len(raw):
+            raise ValueError("PNG interlaced pixel data size mismatch")
     if color == 2:
         rgb = px
     elif color == 6:

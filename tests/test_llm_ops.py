@@ -1104,8 +1104,11 @@ class TestPngCodec:
 
         with _pytest.raises(NotImplementedError, match="bit depth"):
             decode_png(ihdr_only(16, 0, 0))
-        with _pytest.raises(NotImplementedError, match="interlaced"):
-            decode_png(ihdr_only(8, 0, 1))
+        # Adam7 (interlace=1) now decodes for real; only an invalid
+        # interlace METHOD raises
+        assert decode_png(ihdr_only(8, 0, 1)) == (1, 1, b"\x00\x00\x00")
+        with _pytest.raises(ValueError, match="interlace"):
+            decode_png(ihdr_only(8, 0, 2))
         with _pytest.raises(NotImplementedError):
             image_decoder(b"GIF89a-fake")
 
@@ -1232,3 +1235,42 @@ def test_decode_image_all_four_formats_through_spark(spark):
         got = np.frombuffer(bytes(rows[aid].raw), dtype=np.uint8).astype(int)
         tol = 0 if aid < 4 else 40  # JPEG: lossy on a checkerboard
         assert np.abs(got - want).max() <= tol, f"format {aid}"
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7: build an interlaced file by hand (7 passes, filter-0
+    rows) from known pixels — decode must reproduce them exactly and
+    agree with the sequential encoding of the same image."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm.codecs import (
+        _ADAM7,
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    w, h = 11, 6  # non-multiples of 8 exercise partial passes
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    passes = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            passes.append(0)  # filter None
+            passes.extend(row.tobytes())
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(passes)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png(payload) == (w, h, img.tobytes())
+    assert decode_png(payload) == decode_png(encode_png(w, h, img.tobytes(), 3))
