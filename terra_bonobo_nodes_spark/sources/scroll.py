@@ -37,13 +37,13 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
-    DataSourceWriter,
     InputPartition,
     LessThan,
     LessThanOrEqual,
@@ -325,7 +325,7 @@ class BulkIndexDataSource(DataSource):
         return BulkIndexWriter(schema, self.options, overwrite)
 
 
-class BulkIndexWriter(DataSourceWriter):
+class BulkIndexWriter(DataSourceArrowWriter):
     def __init__(self, schema: StructType, options: dict, overwrite: bool) -> None:
         if "path" not in options:
             raise ValueError("tbns_bulk: 'path' option is required")
@@ -358,6 +358,10 @@ class BulkIndexWriter(DataSourceWriter):
                 fh.write(json.dumps(d, default=str) + "\n")
 
     def write(self, iterator: Iterator) -> BulkCommitMessage:
+        # DataSourceArrowWriter: rows arrive as columnar Arrow
+        # RecordBatches (the same row-vs-Arrow boundary win as the
+        # reader side), converted per batch into the bulk-doc dicts
+        # the flush seam posts
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
@@ -373,12 +377,13 @@ class BulkIndexWriter(DataSourceWriter):
         )
         n = 0
         buf: list[dict] = []
-        for row in iterator:
-            buf.append({f: row[i] for i, f in enumerate(self.fields)})
-            n += 1
-            if len(buf) >= self.window:
-                self.flush_bulk(task_file, buf)
-                buf = []
+        for batch in iterator:
+            for rec in batch.to_pylist():
+                buf.append(rec)
+                n += 1
+                if len(buf) >= self.window:
+                    self.flush_bulk(task_file, buf)
+                    buf = []
         if buf:
             self.flush_bulk(task_file, buf)
         if n == 0:
