@@ -331,7 +331,6 @@ class BulkIndexWriter(DataSourceArrowWriter):
             raise ValueError("tbns_bulk: 'path' option is required")
         self.path = options["path"]
         self.window = int(options.get("window", 1000))  # LoadInES length
-        self.fields = [f.name for f in schema.fields]
         self.overwrite = overwrite
         # job-unique token, generated on the driver and shipped to every
         # task: staging names depend on it, so a crashed PREVIOUS
