@@ -6,8 +6,8 @@ decodable with the standard library + numpy alone:
 - BMP (Windows bitmap, uncompressed 24/32-bit BITMAPINFOHEADER) —
   ~60 LoC of struct parsing,
 - PPM (Netpbm P6 binary RGB) — a whitespace-delimited header + raw RGB,
-- PNG (8-bit gray/RGB/palette/alpha, incl. Adam7 interlace) — stdlib
-  ``zlib`` inflate + the five scanline filters unrolled by hand,
+- PNG (8/16-bit gray/RGB/palette/alpha, incl. Adam7 interlace) —
+  stdlib ``zlib`` inflate + the five scanline filters unrolled by hand,
 - JPEG (baseline SOF0, generic sampling factors) — full Huffman entropy
   decode + numpy IDCT in ``jpeg.py``,
 - WAV (RIFF PCM) — stdlib ``wave``.
@@ -298,13 +298,16 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} unsupported (8 only)")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth} unsupported (8/16)")
+    if depth == 16 and color == 3:
+        raise ValueError("16-bit palette PNG is invalid")
     if interlace not in (0, 1):
         raise ValueError(f"PNG interlace method {interlace} invalid")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise NotImplementedError(f"PNG color type {color} unsupported")
+    sb = depth // 8  # bytes per sample; 16-bit keeps the HIGH byte
 
     import zlib
 
@@ -312,12 +315,18 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:  # truncated/corrupt IDAT -> codec's own error
         raise ValueError(f"PNG IDAT stream corrupt or truncated: {e}") from e
+    def to_px(buf: bytearray, rows: int, cols: int) -> "np.ndarray":
+        a = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(
+            rows, cols, channels, sb
+        )
+        return a[..., 0]  # big-endian: byte 0 is the high byte
+
     if interlace == 0:
-        stride = w * channels
+        stride = w * channels * sb
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG pixel data size mismatch")
-        out, _ = _png_unfilter(raw, 0, h, stride, channels)
-        px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, channels)
+        out, _ = _png_unfilter(raw, 0, h, stride, channels * sb)
+        px = to_px(out, h, w)
     else:  # Adam7: 7 sub-images, each filtered independently, scattered
         px = np.zeros((h, w, channels), dtype=np.uint8)
         off = 0
@@ -326,10 +335,9 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             hp = (h - y0 + dy - 1) // dy
             if wp <= 0 or hp <= 0:
                 continue  # empty pass contributes no scanlines
-            stride = wp * channels
-            sub, off = _png_unfilter(raw, off, hp, stride, channels)
-            sp = np.frombuffer(bytes(sub), dtype=np.uint8).reshape(hp, wp, channels)
-            px[y0::dy, x0::dx] = sp
+            stride = wp * channels * sb
+            sub, off = _png_unfilter(raw, off, hp, stride, channels * sb)
+            px[y0::dy, x0::dx] = to_px(sub, hp, wp)
         if off != len(raw):
             raise ValueError("PNG interlaced pixel data size mismatch")
     if color == 2:

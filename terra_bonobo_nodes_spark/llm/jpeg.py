@@ -9,9 +9,10 @@ implemented here from the JFIF/T.81 baseline spec:
   tables work, not just ours), byte-unstuffed entropy decode, DC
   prediction, dequant + orthonormal IDCT via one 8x8 matrix product,
   generic MCU interleave for sampling factors 1-2 (4:4:4, 4:2:2,
-  4:2:0, grayscale), replication chroma upsampling, BT.601 YCbCr→RGB.
-  Progressive (SOF2), arithmetic coding, 12-bit precision, and restart
-  intervals raise ``NotImplementedError`` — never fake a decode.
+  4:2:0, grayscale), restart intervals (DRI/RSTn with DC-predictor
+  reset — the camera-JPEG layout), replication chroma upsampling,
+  BT.601 YCbCr→RGB. Progressive (SOF2), arithmetic coding, and 12-bit
+  precision raise ``NotImplementedError`` — never fake a decode.
 - **encoder** (fixture grade): 4:4:4, flat quantization tables, and
   SELF-CHOSEN canonical Huffman tables (all DC categories at 4 bits,
   all 162 AC symbols at 8 bits) written into DHT — any prefix-free
@@ -114,6 +115,14 @@ class _BitWriter:
         # becomes O(stream) — quadratic overall (23x measured at 128px)
         self.acc &= (1 << self.nbits) - 1
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-padding) and emit RSTm — markers are written
+        RAW, never byte-stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
     def flush(self) -> bytes:
         if self.nbits:
             pad = 8 - self.nbits
@@ -123,8 +132,9 @@ class _BitWriter:
 
 class _BitReader:
     """MSB-first reader over the entropy-coded segment, removing
-    0xFF00 stuffing; any other 0xFF-marker mid-stream is an error
-    (restart intervals are rejected at the DRI marker already)."""
+    0xFF00 stuffing. Restart markers are consumed only at interval
+    boundaries via ``sync_restart``; any marker elsewhere is an
+    error."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
@@ -140,7 +150,9 @@ class _BitReader:
             if nxt == 0x00:
                 self.pos += 1
             elif 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError("JPEG restart markers unsupported")
+                raise ValueError(
+                    "restart marker out of position (corrupt interval)"
+                )
             else:
                 raise ValueError("unexpected marker inside entropy stream")
         self.acc = (self.acc << 8) | b
@@ -155,6 +167,18 @@ class _BitReader:
         # accumulators make the codec quadratic in stream size)
         self.acc &= (1 << self.nbits) - 1
         return out
+
+    def sync_restart(self, m: int) -> None:
+        """At a restart boundary: drop the pad bits, consume RSTm."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (m & 7)
+        ):
+            raise ValueError(f"expected JPEG restart marker RST{m & 7}")
+        self.pos += 2
 
     def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
         code = 0
@@ -234,12 +258,20 @@ def _dqt_segment(tid: int, q: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(width: int, height: int, rgb: bytes, subsampling: str = "444") -> bytes:
+def encode_jpeg(
+    width: int,
+    height: int,
+    rgb: bytes,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """Baseline JFIF encoder (fixture grade, see module doc).
     ``subsampling``: "444" (one block per component per MCU) or "420"
     (2x2 luma blocks + box-filtered half-resolution chroma per MCU) —
     the latter exists chiefly so the decoder's generic MCU-interleave
-    and chroma-upsample paths are exercised by our own fixtures."""
+    and chroma-upsample paths are exercised by our own fixtures.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (DC predictors reset) — the camera-JPEG layout."""
     if len(rgb) != width * height * 3:
         raise ValueError("rgb length != width*height*3")
     samp = {
@@ -273,8 +305,13 @@ def encode_jpeg(width: int, height: int, rgb: bytes, subsampling: str = "444") -
     w = _BitWriter()
     preds = [0] * nc
     qtabs = [_Q_LUMA, _Q_CHROMA, _Q_CHROMA][:nc]
+    mcu_idx = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                w.restart(mcu_idx // restart_interval - 1)
+                preds = [0] * nc
+            mcu_idx += 1
             for ci, (h, v) in enumerate(samp):
                 for bv in range(v):
                     for bh in range(h):
@@ -295,6 +332,11 @@ def encode_jpeg(width: int, height: int, rgb: bytes, subsampling: str = "444") -
         sos_bytes += [ci + 1, 0x00 if ci == 0 else 0x11]
     sof = struct.pack(">BHHB", 8, height, width, nc) + bytes(comp_bytes)
     sos = bytes(sos_bytes + [0, 63, 0])
+    dri = (
+        b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"  # SOI
         + _dqt_segment(0, _Q_LUMA)
@@ -304,6 +346,7 @@ def encode_jpeg(width: int, height: int, rgb: bytes, subsampling: str = "444") -
         + _dht_segment(1, 0, _AC_BITS, _AC_VALS)
         + _dht_segment(0, 1, _DC_BITS, _DC_VALS)
         + _dht_segment(1, 1, _AC_BITS, _AC_VALS)
+        + dri
         + b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos  # SOS
         + scan
         + b"\xff\xd9"  # EOI
@@ -322,6 +365,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps: list[dict] = []
     width = height = 0
+    restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected in JPEG header")
@@ -368,8 +412,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 comps.append({"id": cid, "h": h, "v": v, "q": qid})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("only baseline (SOF0) JPEG supported")
-        elif marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = body[0]
             for i in range(ns):
@@ -404,8 +448,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
 
     reader = _BitReader(payload, pos)
     preds = [0] * len(comps)
+    mcu_idx = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                reader.sync_restart(mcu_idx // restart_interval - 1)
+                preds = [0] * len(comps)
+            mcu_idx += 1
             for ci, c in enumerate(comps):
                 for bv in range(c["v"]):
                     for bh in range(c["h"]):

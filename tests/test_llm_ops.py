@@ -1103,6 +1103,10 @@ class TestPngCodec:
             )
 
         with _pytest.raises(NotImplementedError, match="bit depth"):
+            decode_png(ihdr_only(4, 0, 0))  # sub-byte depths unsupported
+        # 16-bit is now SUPPORTED; this malformed 16-bit body (1 byte
+        # where a 2-byte sample is required) is a size-mismatch error
+        with _pytest.raises(ValueError, match="size mismatch"):
             decode_png(ihdr_only(16, 0, 0))
         # Adam7 (interlace=1) now decodes for real; only an invalid
         # interlace METHOD raises
@@ -1187,10 +1191,21 @@ class TestJpegCodec:
         prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
         with pytest.raises(NotImplementedError, match="baseline"):
             decode_jpeg(prog)
-        # inject a DRI (restart interval) segment after SOI
-        dri = b"\xff\xdd" + _struct.pack(">H", 4) + _struct.pack(">H", 4)
-        with pytest.raises(NotImplementedError, match="restart"):
-            decode_jpeg(base[:2] + dri + base[2:])
+        # 4-component (Adobe CMYK-style) SOF0 must refuse, not misread
+        import numpy as _np
+        sof_3comp = base[base.index(b"\xff\xc0"):]
+        with pytest.raises(NotImplementedError, match="components"):
+            # splice a 4-component SOF0 built from scratch
+            from terra_bonobo_nodes_spark.llm.jpeg import _dqt_segment, _Q_LUMA
+            sof = _struct.pack(">BHHB", 8, 8, 8, 4) + bytes(
+                [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0]
+            )
+            fake = (
+                b"\xff\xd8" + _dqt_segment(0, _Q_LUMA)
+                + b"\xff\xc0" + _struct.pack(">H", len(sof) + 2) + sof
+                + base[base.index(b"\xff\xc4"):]
+            )
+            decode_jpeg(fake)
 
     def test_image_decoder_dispatches_jpeg(self):
         import numpy as _np
@@ -1274,3 +1289,61 @@ def test_png_adam7_interlaced_decode():
     )
     assert decode_png(payload) == (w, h, img.tobytes())
     assert decode_png(payload) == decode_png(encode_png(w, h, img.tobytes(), 3))
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn (the camera-JPEG layout): markers every N MCUs with
+    DC-predictor resets must decode identically to the same image
+    without restarts."""
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(24, 40, 3), dtype=np.uint8)  # 15 MCUs
+    plain = decode_jpeg(encode_jpeg(40, 24, img.tobytes()))
+    for ri in (1, 2, 4, 7):
+        with_rst = encode_jpeg(40, 24, img.tobytes(), restart_interval=ri)
+        assert b"\xff\xdd" in with_rst  # DRI present
+        assert decode_jpeg(with_rst) == plain, f"restart_interval={ri}"
+    # 4:2:0 with restarts exercises the multi-block-MCU predictor reset
+    sub = encode_jpeg(40, 24, img.tobytes(), subsampling="420", restart_interval=2)
+    plain420 = decode_jpeg(encode_jpeg(40, 24, img.tobytes(), subsampling="420"))
+    assert decode_jpeg(sub) == plain420
+
+
+def test_png_16bit_depth_reduces_to_high_byte():
+    """16-bit PNG: filters operate on 2-byte samples (bpp doubles) and
+    the decoder keeps each big-endian sample's high byte — the standard
+    16-to-8 reduction."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm.codecs import _PNG_SIG, _png_chunk, decode_png
+
+    w, h = 5, 3
+    rng = np.random.RandomState(9)
+    px16 = rng.randint(0, 65536, size=(h, w, 3), dtype=np.uint16)
+    be = px16.astype(">u2").tobytes()
+    stride = w * 6
+    rows = [be[i * stride : (i + 1) * stride] for i in range(h)]
+    raw = bytearray()
+    # row 0: filter None; row 1: Sub (bpp = 6 bytes); row 2: Up
+    raw += b"\x00" + rows[0]
+    sub = bytearray(rows[1])
+    for x in range(stride - 1, 5, -1):
+        sub[x] = (sub[x] - rows[1][x - 6]) & 0xFF
+    raw += b"\x01" + bytes(sub)
+    raw += b"\x02" + bytes((a - b) & 0xFF for a, b in zip(rows[2], rows[1]))
+    ihdr = _struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    got_w, got_h, rgb = decode_png(payload)
+    assert (got_w, got_h) == (w, h)
+    assert rgb == (px16 >> 8).astype(np.uint8).tobytes()
