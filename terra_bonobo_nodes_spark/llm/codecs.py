@@ -265,17 +265,17 @@ def _png_unfilter(
 
 
 def decode_png(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode an 8-bit PNG (sequential or Adam7-interlaced) → (width,
-    height, raw RGB).
+    """Decode an 8- or 16-bit PNG (sequential or Adam7-interlaced) →
+    (width, height, raw 8-bit RGB; 16-bit samples reduce to their high
+    byte).
 
     The round-5 'environment-blocked' call was half wrong: PNG's only
     external dependency is INFLATE, and stdlib ``zlib`` provides it —
     the rest is chunk parsing and the five scanline filters, done here
     by hand. Supports color types 0 (gray), 2 (RGB), 3 (palette),
     4 (gray+alpha), 6 (RGBA); alpha is dropped and gray expanded so the
-    output contract matches the BMP/PPM decoders. Bit depths other
-    than 8 and Adam7 interlacing still raise — never fake a decode.
-    JPEG (huffman+DCT, a real codec) remains injection-only."""
+    output contract matches the BMP/PPM decoders. Sub-byte bit depths
+    (1/2/4) still raise — never fake a decode."""
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = len(_PNG_SIG)

@@ -1192,8 +1192,6 @@ class TestJpegCodec:
         with pytest.raises(NotImplementedError, match="baseline"):
             decode_jpeg(prog)
         # 4-component (Adobe CMYK-style) SOF0 must refuse, not misread
-        import numpy as _np
-        sof_3comp = base[base.index(b"\xff\xc0"):]
         with pytest.raises(NotImplementedError, match="components"):
             # splice a 4-component SOF0 built from scratch
             from terra_bonobo_nodes_spark.llm.jpeg import _dqt_segment, _Q_LUMA
