@@ -630,7 +630,29 @@ def minhash_lsh_match(
 
     def _banded(df: DataFrame, out_id: str) -> DataFrame:
         if "sig" in df.columns:
-            sigs = df.select(F.col(id_col).alias(out_id), "sig")
+            # ADVICE_r06: the fast path used any column literally named
+            # 'sig' — a coincidental column, or one built with different
+            # n_hashes, silently produced wrong band hashes. Validate the
+            # dtype eagerly and the length in-plan (assert_true wired
+            # into the projection so pruning can't drop the guard).
+            sig_t = dict(df.dtypes)["sig"]
+            if not sig_t.startswith("array<"):
+                raise ValueError(
+                    f"minhash_lsh_match: column 'sig' has type {sig_t}, "
+                    "expected the array signature produced by "
+                    "minhash_signatures — rename the column if it is not "
+                    "a precomputed signature"
+                )
+            sig_ok = F.when(
+                F.assert_true(
+                    F.size("sig") == n_hashes,
+                    f"minhash_lsh_match: precomputed 'sig' length != "
+                    f"n_hashes={n_hashes} — signatures built with "
+                    "different parameters cannot be banded consistently",
+                ).isNull(),
+                F.col("sig"),
+            )
+            sigs = df.select(F.col(id_col).alias(out_id), sig_ok.alias("sig"))
         else:
             sigs = minhash_signatures(
                 df, text_col, id_col, n_hashes, shingle_n, word_grams

@@ -373,6 +373,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected in JPEG header")
+        # T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes —
+        # skip them so the byte after the LAST 0xFF is taken as the marker
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

@@ -82,7 +82,11 @@ def pii_redact_sql(expr: str, patterns: dict[str, str] | None = None) -> str:
     (DuckDB's regexp_replace needs the 'g' flag; Spark's is global)."""
     pats = patterns or PII_PATTERNS
     for name, pat in pats.items():
-        expr = f"regexp_replace({expr}, '{pat}', '<{name.upper()}>', 'g')"
+        # ADVICE_r05: a pattern (or name) containing a single quote must
+        # not break out of the SQL string literal — escape '' per ANSI
+        sq_pat = pat.replace("'", "''")
+        sq_tok = f"<{name.upper()}>".replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sq_pat}', '{sq_tok}', 'g')"
     return expr
 
 

@@ -113,8 +113,13 @@ def brute_force_topk(
             "lsh_ann_topk/ivf_ann_topk (or raise the cap explicitly)"
         )
     if not q_rows:
+        # schema must match the non-empty path, which types both id
+        # columns from the CORPUS id column (ADVICE_r05: hardcoding
+        # `long` made the empty-query schema diverge for non-bigint ids)
+        id_type = corpus.schema[id_col].dataType.simpleString()
         schema = (
-            f"{query_id_col} long, neighbor_id long, cos_sim double, rank int"
+            f"{query_id_col} {id_type}, neighbor_id {id_type}, "
+            "cos_sim double, rank int"
         )
         return corpus.sparkSession.createDataFrame([], schema)
     q_ids = [r[0] for r in q_rows]
@@ -491,9 +496,12 @@ def quantized_rerank_topk(
             "brute_force_topk)"
         )
     if not q_rows:
+        # same empty-path schema contract as brute_force_topk: id
+        # columns typed from the corpus, matching the non-empty path
+        id_type = corpus.schema[id_col].dataType.simpleString()
         schema = (
-            f"{query_id_col} long, neighbor_id long, coarse_score long, "
-            "cos_sim double, rank int"
+            f"{query_id_col} {id_type}, neighbor_id {id_type}, "
+            "coarse_score long, cos_sim double, rank int"
         )
         return corpus.sparkSession.createDataFrame([], schema)
 

@@ -24,6 +24,10 @@ def check_constraints(
     predicate is false OR null — an unevaluable constraint is a
     failing one), pass flag. Single scan, map-side partial aggregation,
     one final row per check."""
+    if not checks:
+        # ADVICE_r05: an empty dict previously reached F.stack(0) and
+        # died with an obscure analysis error deep in Catalyst
+        raise ValueError("check_constraints: checks dict is empty")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for name, pred in checks.items():
         aggs.append(
@@ -74,6 +78,8 @@ def profile_columns(
     one row per column — the profiling step a 100 TB ingest runs
     before committing a partition."""
     string_cols = string_cols or []
+    if not numeric_cols and not string_cols:
+        raise ValueError("profile_columns: no columns given to profile")
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in numeric_cols + string_cols:
         aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nul_{c}"))

@@ -280,7 +280,9 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     dim = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    joined = ops.stream_static_enrich(ev, dim)
+    joined = ops.stream_static_enrich(
+        ev, dim, key_expr=F.col("user_id") % 25, dim_key="n_nationkey"
+    )
     return joined.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("sum_value"),

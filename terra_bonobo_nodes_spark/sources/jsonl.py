@@ -51,4 +51,13 @@ def jsonl_documents_to_rows(
         F.explode(F.split(F.col(content_col), r"\r?\n")).alias("_line"),
     ).filter(F.length(F.trim("_line")) > 0)
     parsed = lines.withColumn("_rec", F.from_json(F.col("_line"), schema))
+    # ADVICE_r05: a keep_col sharing a name with a record field yielded
+    # silent duplicate output columns; fail fast with both names instead
+    rec_fields = set(parsed.schema["_rec"].dataType.fieldNames())
+    clash = sorted(rec_fields & set(keep_cols or []))
+    if clash:
+        raise ValueError(
+            f"jsonl_documents_to_rows: keep_cols {clash} collide with "
+            "record schema fields — rename one side"
+        )
     return parsed.select(*(keep_cols or []), "_rec.*")

@@ -196,6 +196,11 @@ class ScrollReader(DataSourceReader):
         v = rec.get(self.id_col)
         if v is None:
             return False
+        # a pushed numeric bound against a non-numeric id value in a
+        # JSONL record must filter the row, not raise TypeError on the
+        # executor (booleans excluded: True > 0 would "match")
+        if not isinstance(v, (int, float)) or isinstance(v, bool):
+            return False
         return all(
             (op == "==" and v == bound)
             or (op == ">" and v > bound)
@@ -332,6 +337,17 @@ class BulkIndexWriter(DataSourceArrowWriter):
         self.path = options["path"]
         self.window = int(options.get("window", 1000))  # LoadInES length
         self.overwrite = overwrite
+        # ADVICE_r06: abort() never runs for a crashed DRIVER, so its
+        # orphaned staging files (invisible to readers, but disk) leak
+        # across failed jobs. gc_orphans=true lets the next successful
+        # commit sweep every staging file absent from the merged
+        # manifest. Default OFF: with CONCURRENT writers to one store,
+        # the sweep would delete another in-flight job's staged (not yet
+        # committed) files — only enable under a single-writer regime.
+        self.gc_orphans = str(options.get("gc_orphans", "false")).lower() in (
+            "true",
+            "1",
+        )
         # job-unique token, generated on the driver and shipped to every
         # task: staging names depend on it, so a crashed PREVIOUS
         # application's leftover staging files (whose abort() never saw
@@ -419,12 +435,20 @@ class BulkIndexWriter(DataSourceArrowWriter):
             }
         with open(mpath, "w", encoding="utf-8") as fh:
             json.dump(manifest, fh)
+        stage = os.path.join(self.path, "_staging")
         if self.overwrite:
-            stage = os.path.join(self.path, "_staging")
             for name in set(old_files) - set(files):
                 superseded = os.path.join(stage, name)
                 if os.path.exists(superseded):
                     os.remove(superseded)
+        if self.gc_orphans and os.path.isdir(stage):
+            # single-writer GC (see __init__): anything staged but not
+            # in the manifest we just published is an orphan — a crashed
+            # earlier driver's leftovers or this job's failed attempts
+            published = set(manifest["files"])
+            for name in os.listdir(stage):
+                if name.startswith("task-") and name not in published:
+                    os.remove(os.path.join(stage, name))
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -335,8 +335,8 @@ def stream_stream_interval_join(
 def stream_static_enrich(
     events: DataFrame,
     dim: DataFrame,
-    key_expr: Column | None = None,
-    dim_key: str = "n_nationkey",
+    key_expr: Column,
+    dim_key: str,
     how: str = "inner",
 ) -> DataFrame:
     """Stream-static join: enrich an (unbounded) event stream with a
@@ -348,11 +348,17 @@ def stream_static_enrich(
     (common.py GeoCommands context queries) without the N+1 round
     trips.
 
-    ``key_expr`` defaults to ``user_id % 25`` (the testdata's synthetic
-    user→nation mapping); pass any deterministic Column for real keys.
-    Works identically in batch mode, which is how the oracle checks it.
+    ``key_expr`` (the stream-side join key Column) and ``dim_key`` are
+    REQUIRED: an earlier default of ``user_id % 25`` baked this repo's
+    synthetic testdata mapping into the library, so a real caller
+    omitting it would silently join on garbage (ADVICE_r05). Works
+    identically in batch mode, which is how the oracle checks it.
     """
-    k = key_expr if key_expr is not None else (F.col("user_id") % 25)
-    lhs = events.withColumn("_dim_key", k.cast("int"))
+    if key_expr is None:
+        raise ValueError(
+            "stream_static_enrich: key_expr is required — there is no "
+            "sensible default stream-side join key"
+        )
+    lhs = events.withColumn("_dim_key", key_expr.cast("int"))
     rhs = F.broadcast(dim.withColumnRenamed(dim_key, "_dim_key"))
     return lhs.join(rhs, "_dim_key", how).drop("_dim_key")

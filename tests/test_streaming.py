@@ -269,13 +269,19 @@ def test_stream_stream_interval_join_rejects_unbounded_outer(spark):
 def test_stream_static_enrich_matches_batch(spark):
     dim = load_table(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
     stream = ops.read_events_stream(spark, SF_DIR)
-    enriched = ops.stream_static_enrich(stream, dim).groupBy("n_name").agg(
-        F.count(F.lit(1)).alias("n_events")
+    key = F.col("user_id") % 25
+    enriched = (
+        ops.stream_static_enrich(stream, dim, key_expr=key, dim_key="n_nationkey")
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_events"))
     )
     name = _run_stream(enriched, mode="complete")
     got = {(r.n_name, r.n_events) for r in spark.table(name).collect()}
     batch = (
-        ops.stream_static_enrich(load_table(spark, SF_DIR, "events"), dim)
+        ops.stream_static_enrich(
+            load_table(spark, SF_DIR, "events"), dim,
+            key_expr=key, dim_key="n_nationkey",
+        )
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
@@ -286,7 +292,14 @@ def test_stream_static_enrich_matches_batch(spark):
 def test_stream_static_enrich_no_stream_side_shuffle(spark):
     dim = load_table(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
     ev = load_table(spark, SF_DIR, "events")
-    plan = ops.stream_static_enrich(ev, dim)._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        ops.stream_static_enrich(
+            ev, dim, key_expr=F.col("user_id") % 25, dim_key="n_nationkey"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
