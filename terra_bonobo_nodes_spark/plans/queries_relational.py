@@ -101,6 +101,56 @@ def a4_grid_cluster_collect_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a4_sql_text_cluster",
+    oracle=f"""
+WITH pts AS (
+SELECT event_id, value,
+       ((value % 360) - 180) AS x, ((value % 170) - 85) AS y
+FROM events
+)
+SELECT CAST(floor(x / 10.0) * 10.0 AS DOUBLE) AS gx,
+       CAST(floor(y / 10.0) * 10.0 AS DOUBLE) AS gy,
+       count(*) AS point_count,
+       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS ids,
+       {DSUM_SQL.format(x="value", alias="sum_value")}
+FROM pts GROUP BY 1, 2
+""",
+    tags=("A4", "sql-text"),
+)
+def a4_sql_text_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's LayerClusters node is raw SQL TEXT over PostGIS
+    (``terra.py:54-64``: ``array_agg(id) ... GROUP BY
+    ST_SnapToGrid(ST_Transform(geom, srid), size)``) — this query runs
+    that exact shape as a ``spark.sql`` string through
+    ``register_st_sql``'s ST_* surface, proving the SQL-text entry path
+    end to end (the Column-form equivalent is
+    ``a4_grid_cluster_collect_sum``). The snapped corner comes back via
+    ST_X/ST_Y (floor-corner snap, ``geo/ops.py::snap_to_grid``) so the
+    grouping key is plain doubles, not engine-formatted WKT."""
+    from terra_bonobo_nodes_spark.geo.kernels import register_st_sql
+
+    register_st_sql(spark)
+    _events_points(spark, sf_dir).createOrReplaceTempView("tbns_a4_pts")
+    return spark.sql(
+        """
+        SELECT ST_X(cell) AS gx,
+               ST_Y(cell) AS gy,
+               count(*) AS point_count,
+               concat_ws(',',
+                   transform(sort_array(collect_list(event_id)),
+                             v -> CAST(v AS STRING))) AS ids,
+               CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        FROM (
+            SELECT event_id, value,
+                   ST_SnapToGrid(ST_Point(x, y), 10.0) AS cell
+            FROM tbns_a4_pts
+        )
+        GROUP BY cell
+        """
+    )
+
+
 # --- P1/P2/P9: identifiers --------------------------------------------------
 
 

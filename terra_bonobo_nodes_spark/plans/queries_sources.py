@@ -330,3 +330,84 @@ def s9_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jsonl_documents_to_rows(
         docs, "content", "p_partkey BIGINT, p_name STRING, p_size INT"
     )
+
+
+@register(
+    "s10_scroll_bulk_roundtrip",
+    oracle="""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE doc_id >= 100 AND doc_id < 300
+""",
+    tags=("S4", "S5", "K2", "datasource"),
+)
+def s10_scroll_bulk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end driver proof for the Spark 4 Python DataSource trilogy
+    (``sources/scroll.py``): documents -> ``tbns_bulk`` two-phase-commit
+    bulk writer (staging files + manifest publish, the K2 LoadInES
+    window contract, elasticsearch.py:62-98) -> the committed manifest
+    files become scroll pages -> ``tbns_scroll`` paginated reader scans
+    them back, one partition per page, with a doc_id range predicate
+    the reader serves itself when Python-source filter pushdown is on
+    (and that Spark applies post-scan when it is off — correct either
+    way, which is what the oracle certifies; the pushdown-consumed plan
+    shape is pinned by tests/test_datasource.py).
+
+    The bridge step (committed bulk files renamed to page files) is the
+    point, not a shortcut: the reader must see EXACTLY the committed
+    set — a failed attempt's staging leftovers must never surface."""
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from terra_bonobo_nodes_spark.sources.scroll import (
+        BulkIndexDataSource,
+        ScrollDataSource,
+    )
+
+    spark.dataSource.register(BulkIndexDataSource)
+    spark.dataSource.register(ScrollDataSource)
+    # Spark HARD-FAILS a pushFilters-implementing reader when this conf
+    # is off (DATA_SOURCE_PUSHDOWN_DISABLED) — it is a runtime SQL conf,
+    # so enable it here for sessions (like the driver's vanilla one)
+    # that didn't start with it; session.get_spark sets it at build time
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .where(F.col("doc_id") < 300)
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/tbns_s10_{tag}"
+    bulk = os.path.join(root, "bulk")
+    (
+        docs.write.format("tbns_bulk")
+        .mode("overwrite")
+        .option("path", bulk)
+        .option("window", "64")
+        .save()
+    )
+    # bridge: committed manifest files -> scroll pages (driver-side
+    # metadata op over a handful of file names, no data movement)
+    with open(os.path.join(bulk, "_manifest.json"), encoding="utf-8") as fh:
+        manifest = _json.load(fh)
+    pages = os.path.join(root, "pages")
+    if os.path.isdir(pages):
+        shutil.rmtree(pages)
+    os.makedirs(pages)
+    for i, name in enumerate(manifest["files"]):
+        shutil.copy(
+            os.path.join(bulk, "_staging", name),
+            os.path.join(pages, f"page-{i:05d}.json"),
+        )
+    return (
+        spark.read.format("tbns_scroll")
+        .schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+        .option("path", pages)
+        .option("id_col", "doc_id")
+        .load()
+        .where(F.col("doc_id") >= 100)
+    )

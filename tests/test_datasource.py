@@ -321,3 +321,16 @@ def test_scroll_stream_rejects_non_monotone_page_names(spark, tmp_path):
         assert exc is not None and "monotone" in str(exc)
     finally:
         q.stop()
+
+
+def test_s10_registered_query_consumes_pushed_bounds(spark):
+    """The driver-registered roundtrip (s10_scroll_bulk_roundtrip) must
+    actually push its doc_id bound into the scroll source under the
+    tuned session: no residual >= filter in the executed plan."""
+    from terra_bonobo_nodes_spark.plans.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    df = all_queries()["s10_scroll_bulk_roundtrip"].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan tbns_scroll" in plan
+    assert ">= 100" not in plan  # consumed by pushFilters, not residual

@@ -1,0 +1,91 @@
+"""The correctness-rotation freshness contract as CI, not prose.
+
+The driver records exactly the first DRIVER_CAP queries of
+``registry.all_queries()`` order each round. The standing rule says no
+query's last driver green may age past two rounds — round 6 breached it
+(``a2_union_area_dissolve`` sat three rounds stale because a
+hand-maintained list misfiled it), so the ordering is now computed from
+the CORRECTNESS_r*.json artifacts and these tests pin the invariants
+that made the breach possible."""
+
+from __future__ import annotations
+
+from terra_bonobo_nodes_spark.plans.registry import (
+    DRIVER_CAP,
+    _CHANGED_THIS_ROUND,
+    _DEFERRED_TO_NEXT_ROUND,
+    _NEW_THIS_ROUND,
+    _last_green_rounds,
+    all_queries,
+)
+
+QS = all_queries()
+ORDER = list(QS)
+WINDOW = set(ORDER[:DRIVER_CAP])
+LATEST, LAST = _last_green_rounds()
+
+
+def test_artifacts_loaded():
+    # the computed ordering is meaningless without the artifacts; if the
+    # repo layout moves them this must fail loudly, not sort arbitrarily
+    assert LATEST >= 6
+    assert len(LAST) >= 100
+
+
+def test_due_cohort_fits_inside_the_driver_window():
+    """Every query whose last green is >= 2 rounds old MUST be checked
+    next round — this is the test that is red on the round-6 tree
+    (a2_union_area_dissolve, last green r03, sat at priority slot 137)."""
+    due = [n for n in ORDER if n in LAST and LAST[n][0] <= LATEST - 2]
+    missing = [n for n in due if n not in WINDOW]
+    assert not missing, f"due-cohort queries outside the check window: {missing}"
+
+
+def test_changed_code_queries_are_scheduled():
+    """A green row for old code is not a green row: everything in the
+    changed list must be re-checked this round or explicitly deferred."""
+    for n in _CHANGED_THIS_ROUND:
+        assert n in QS, f"changed-list name {n!r} is not a registered query"
+        assert n in WINDOW, f"changed-code query {n!r} missed the window"
+
+
+def test_new_queries_take_their_first_row_or_are_deferred():
+    for n in _NEW_THIS_ROUND:
+        assert n in QS, f"new-list name {n!r} is not a registered query"
+        assert n in WINDOW, f"new query {n!r} missed the window"
+    for n in _DEFERRED_TO_NEXT_ROUND:
+        assert n in QS, f"deferred-list name {n!r} is not a registered query"
+
+
+def test_deferred_queue_heads_the_next_round():
+    """Deferral is one round, not forever: the deferred block must sit
+    immediately after the window so next round's recompute (or even an
+    unedited registry) checks it first."""
+    tail = ORDER[DRIVER_CAP : DRIVER_CAP + len(_DEFERRED_TO_NEXT_ROUND) + 2]
+    for n in _DEFERRED_TO_NEXT_ROUND:
+        assert n in tail, f"deferred query {n!r} is not at the head of next round"
+
+
+def test_every_registered_query_is_tracked():
+    """No query may exist outside the rotation: it either has a driver
+    row already or is explicitly scheduled as new/deferred."""
+    untracked = [
+        n
+        for n in ORDER
+        if n not in LAST
+        and n not in _NEW_THIS_ROUND
+        and n not in _DEFERRED_TO_NEXT_ROUND
+    ]
+    assert not untracked, f"queries with no row and no schedule: {untracked}"
+
+
+def test_budget_arithmetic_holds():
+    """due + changed + new must fit in the cap — if a future round
+    over-subscribes, this fails at authoring time instead of silently
+    dropping the window's tail."""
+    due = {n for n in ORDER if n in LAST and LAST[n][0] <= LATEST - 2}
+    demand = due | set(_CHANGED_THIS_ROUND) | set(_NEW_THIS_ROUND)
+    assert len(demand) <= DRIVER_CAP, (
+        f"rotation over-subscribed: {len(demand)} must-check queries for "
+        f"{DRIVER_CAP} slots — defer explicitly via _DEFERRED_TO_NEXT_ROUND"
+    )
