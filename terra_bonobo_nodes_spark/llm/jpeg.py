@@ -4,20 +4,29 @@ Closes the last multimodal decode gap: BMP/PPM/PNG decode elsewhere in
 ``codecs.py``; JPEG needs Huffman entropy coding + the 8x8 DCT, both
 implemented here from the JFIF/T.81 baseline spec:
 
-- **decoder**: SOI/APP*/COM/DQT/DHT/SOF0/SOS parsing, canonical
-  Huffman tables built from the DHT segments (so any baseline file's
-  tables work, not just ours), byte-unstuffed entropy decode, DC
-  prediction, dequant + orthonormal IDCT via one 8x8 matrix product,
-  generic MCU interleave for sampling factors 1-2 (4:4:4, 4:2:2,
-  4:2:0, grayscale), restart intervals (DRI/RSTn with DC-predictor
-  reset — the camera-JPEG layout), replication chroma upsampling,
-  BT.601 YCbCr→RGB. Progressive (SOF2), arithmetic coding, and 12-bit
-  precision raise ``NotImplementedError`` — never fake a decode.
-- **encoder** (fixture grade): 4:4:4, flat quantization tables, and
-  SELF-CHOSEN canonical Huffman tables (all DC categories at 4 bits,
-  all 162 AC symbols at 8 bits) written into DHT — any prefix-free
-  table is valid JPEG, and generating ours canonically avoids
-  transcribing the 162-entry Annex K tables by hand. Compression is
+- **decoder**: SOI/APP*/COM/DQT/DHT/SOF0/SOF2/SOS parsing, canonical
+  Huffman tables built from the DHT segments (so any file's tables
+  work, not just ours), byte-unstuffed entropy decode, DC prediction,
+  dequant + batched orthonormal IDCT, generic MCU interleave for
+  sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0, grayscale), restart
+  intervals (DRI/RSTn with DC-predictor/EOB-run reset — the
+  camera-JPEG layout), and full PROGRESSIVE decode (T.81 Annex G:
+  multi-scan spectral selection + successive approximation, DC
+  first/refine, AC first/refine with EOB runs and interleaved
+  correction bits — the libjpeg jdphuff semantics, since real web
+  corpora are majority-progressive). Replication chroma upsampling,
+  BT.601 YCbCr→RGB. Arithmetic coding, hierarchical (SOF3/5-7/9-11),
+  and 12-bit precision raise ``NotImplementedError`` — never fake a
+  decode.
+- **encoder** (fixture grade): 4:4:4/4:2:0/gray, flat quantization
+  tables, and SELF-CHOSEN canonical Huffman tables (all DC categories
+  at 4 bits, all AC symbols at 8 bits) written into DHT — any
+  prefix-free table is valid JPEG, and generating ours canonically
+  avoids transcribing the 162-entry Annex K tables by hand.
+  ``progressive=True`` emits a real multi-scan file (DC first at
+  Al=1 + DC refine, split AC bands at Al=1 + AC refine, cross-block
+  EOB runs with buffered correction bits) so the decoder's
+  progressive paths are exercised by our own fixtures. Compression is
   a little worse than libjpeg's; correctness is what fixtures need.
 
 JPEG is lossy: tests assert tolerance bands (exact for uniform blocks,
@@ -90,6 +99,20 @@ _DC_BITS, _DC_VALS = _flat_table(_DC_SYMBOLS, 4)
 _AC_BITS, _AC_VALS = _flat_table(sorted(_AC_SYMBOLS), 8)
 _DC_ENC = _canonical_codes(_DC_BITS, _DC_VALS)
 _AC_ENC = _canonical_codes(_AC_BITS, _AC_VALS)
+
+# progressive AC scans additionally need the EOBn symbols (r<<4 with
+# size 0, r = 0..14, T.81 G.1.2.2) — 176 symbols total, still flat 8-bit
+_AC_PROG_SYMBOLS = sorted(_AC_SYMBOLS + [(r << 4) for r in range(15) if r != 0])
+_AC_PROG_BITS, _AC_PROG_VALS = _flat_table(_AC_PROG_SYMBOLS, 8)
+_AC_PROG_ENC = _canonical_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+
+# natural (row-major) coefficient index -> zigzag index, for batched
+# dequant+IDCT over the per-block zigzag coefficient store
+_NAT_TO_ZZ = np.zeros(64, dtype=np.int64)
+for _i, (_r2, _c2) in enumerate(_ZIGZAG):
+    _NAT_TO_ZZ[_r2 * 8 + _c2] = _i
+_ZZ_ROWS = np.array([r for r, _ in _ZIGZAG])
+_ZZ_COLS = np.array([c for _, c in _ZIGZAG])
 
 
 # --- bit I/O -----------------------------------------------------------------
@@ -268,6 +291,7 @@ def encode_jpeg(
     rgb: bytes,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Baseline JFIF encoder (fixture grade, see module doc).
     ``subsampling``: "444" (one block per component per MCU) or "420"
@@ -275,9 +299,16 @@ def encode_jpeg(
     the latter exists chiefly so the decoder's generic MCU-interleave
     and chroma-upsample paths are exercised by our own fixtures.
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
-    that many MCUs (DC predictors reset) — the camera-JPEG layout."""
+    that many MCUs (DC predictors reset) — the camera-JPEG layout.
+    ``progressive=True`` emits SOF2 with the scan script documented in
+    :func:`_encode_progressive` (restart intervals are baseline-only
+    in this fixture encoder)."""
     if len(rgb) != width * height * 3:
         raise ValueError("rgb length != width*height*3")
+    if progressive and restart_interval:
+        raise ValueError(
+            "fixture encoder supports restart intervals only for baseline"
+        )
     samp = {
         "444": [(1, 1), (1, 1), (1, 1)],
         "420": [(2, 2), (1, 1), (1, 1)],
@@ -304,6 +335,9 @@ def encode_jpeg(
         if ry > 1 or rx > 1:  # box-filter downsample
             p = p.reshape(fh // ry, ry, fw // rx, rx).mean(axis=(1, 3))
         planes.append(p)
+
+    if progressive:
+        return _encode_progressive(planes, samp, width, height)
 
     nc = len(samp)
     w = _BitWriter()
@@ -357,20 +391,447 @@ def encode_jpeg(
     )
 
 
+# --- progressive encoder -----------------------------------------------------
+
+
+class _ProgACState:
+    """Cross-block AC-scan state: the accumulated end-of-band run plus
+    the correction bits buffered inside it (T.81 G.1.2.3 / the libjpeg
+    jcphuff BE buffer). Both flush together, EOBn symbol first."""
+
+    def __init__(self, w: _BitWriter, enc: dict[int, tuple[int, int]]) -> None:
+        self.w = w
+        self.enc = enc
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush(self) -> None:
+        if self.eobrun == 0 and not self.pending:
+            return
+        nbits = self.eobrun.bit_length() - 1
+        code, ln = self.enc[nbits << 4]
+        self.w.put(code, ln)
+        if nbits:
+            self.w.put(self.eobrun & ((1 << nbits) - 1), nbits)
+        for bit in self.pending:
+            self.w.put(bit, 1)
+        self.eobrun = 0
+        self.pending = []
+
+
+def _emit_ac_first(
+    st: _ProgACState, band: "np.ndarray", al: int
+) -> None:
+    """One block of an AC first scan (Ah=0): values point-transformed
+    by Al, zero runs + EOB runs exactly as G.1.2.2."""
+    w, enc = st.w, st.enc
+    r = 0
+    for v in band:
+        v = int(v)
+        t = (v if v >= 0 else -v) >> al
+        if t == 0:
+            r += 1
+            continue
+        st.flush()
+        while r > 15:
+            code, ln = enc[0xF0]
+            w.put(code, ln)
+            r -= 16
+        nbits = t.bit_length()
+        sv = t if v >= 0 else -t
+        code, ln = enc[(r << 4) | nbits]
+        w.put(code, ln)
+        w.put(sv if sv >= 0 else sv + (1 << nbits) - 1, nbits)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush()
+
+
+def _emit_ac_refine(
+    st: _ProgACState, band: "np.ndarray", al: int
+) -> None:
+    """One block of an AC refinement scan (Ah=Al+1): newly-nonzero
+    coefficients coded with size 1 + sign, already-nonzero ones as
+    correction bits emitted after the NEXT symbol (or folded into the
+    EOB run's buffer) — the bit ordering the decoder's advance loop
+    consumes (libjpeg jcphuff encode_mcu_AC_refine)."""
+    w, enc = st.w, st.enc
+    vals = [int(v) for v in band]
+    ts = [((v if v >= 0 else -v) >> al) for v in vals]
+    eob_pos = -1
+    for i, t in enumerate(ts):
+        if t == 1:
+            eob_pos = i
+    r = 0
+    br: list[int] = []
+    for i, (v, t) in enumerate(zip(vals, ts)):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob_pos:
+            st.flush()
+            code, ln = enc[0xF0]
+            w.put(code, ln)
+            r -= 16
+            for bit in br:
+                w.put(bit, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        st.flush()
+        code, ln = enc[(r << 4) | 1]
+        w.put(code, ln)
+        w.put(0 if v < 0 else 1, 1)
+        for bit in br:
+            w.put(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.pending.extend(br)
+        if st.eobrun == 0x7FFF:
+            st.flush()
+
+
+def _encode_progressive(
+    planes: list["np.ndarray"], samp: list[tuple[int, int]], width: int, height: int
+) -> bytes:
+    """SOF2 multi-scan writer. Scan script (exercises every decoder
+    path): interleaved DC first at Al=1; per-component AC bands
+    (1-5, 6-63) at Al=1; interleaved DC refine to Al=0; per-component
+    AC refine to Al=0. AC scans are non-interleaved as T.81 requires."""
+    nc = len(samp)
+    qtabs = [_Q_LUMA, _Q_CHROMA, _Q_CHROMA][:nc]
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcuy = planes[0].shape[0] // (8 * samp[0][1])
+    mcux = planes[0].shape[1] // (8 * samp[0][0])
+
+    # quantize every block once, zigzag order (all scans share it)
+    coefs = []
+    for ci, (h, v) in enumerate(samp):
+        p = planes[ci]
+        nbv, nbh = p.shape[0] // 8, p.shape[1] // 8
+        arr = np.zeros((nbv, nbh, 64), dtype=np.int64)
+        for by in range(nbv):
+            for bx in range(nbh):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                qc = np.round((_M @ (block - 128.0) @ _M.T) / qtabs[ci]).astype(
+                    np.int64
+                )
+                arr[by, bx] = qc[_ZZ_ROWS, _ZZ_COLS]
+        coefs.append(arr)
+
+    def _ac_block_grid(ci: int) -> tuple[int, int]:
+        # non-interleaved scans cover the component's OWN block grid
+        # (ceil dims), not the MCU-padded plane (T.81 A.2.2)
+        h, v = samp[ci]
+        cw = -(-width * h // hmax)
+        ch = -(-height * v // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    def _dc_scan(ah: int, al: int) -> bytes:
+        w = _BitWriter()
+        preds = [0] * nc
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (h, v) in enumerate(samp):
+                    for bv in range(v):
+                        for bh_ in range(h):
+                            dc = int(coefs[ci][my * v + bv, mx * h + bh_, 0])
+                            if ah == 0:
+                                pt = dc >> al  # arithmetic point transform
+                                diff = pt - preds[ci]
+                                preds[ci] = pt
+                                t = _category(diff)
+                                code, ln = _DC_ENC[t]
+                                w.put(code, ln)
+                                if t:
+                                    w.put(
+                                        diff if diff >= 0 else diff + (1 << t) - 1, t
+                                    )
+                            else:
+                                w.put((dc >> al) & 1, 1)
+        return w.flush()
+
+    def _ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        w = _BitWriter()
+        st = _ProgACState(w, _AC_PROG_ENC)
+        bh_n, bw = _ac_block_grid(ci)
+        for by in range(bh_n):
+            for bx in range(bw):
+                band = coefs[ci][by, bx, ss : se + 1]
+                if ah == 0:
+                    _emit_ac_first(st, band, al)
+                else:
+                    _emit_ac_refine(st, band, al)
+        st.flush()
+        return w.flush()
+
+    def _sos(scomps: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = [len(scomps)]
+        for cid, tabs in scomps:
+            body += [cid, tabs]
+        body += [ss, se, (ah << 4) | al]
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + bytes(body)
+
+    comp_bytes = []
+    for ci, (h, v) in enumerate(samp):
+        comp_bytes += [ci + 1, (h << 4) | v, 0 if ci == 0 else 1]
+    sof = struct.pack(">BHHB", 8, height, width, nc) + bytes(comp_bytes)
+    out = bytearray(
+        b"\xff\xd8"
+        + _dqt_segment(0, _Q_LUMA)
+        + _dqt_segment(1, _Q_CHROMA)
+        + b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+        + _dht_segment(0, 0, _DC_BITS, _DC_VALS)
+        + _dht_segment(1, 0, _AC_PROG_BITS, _AC_PROG_VALS)
+        + _dht_segment(0, 1, _DC_BITS, _DC_VALS)
+        + _dht_segment(1, 1, _AC_PROG_BITS, _AC_PROG_VALS)
+    )
+    all_dc = [(ci + 1, (0 if ci == 0 else 1) << 4) for ci in range(nc)]
+    out += _sos(all_dc, 0, 0, 0, 1) + _dc_scan(0, 1)
+    for ci in range(nc):
+        actab = 0 if ci == 0 else 1
+        out += _sos([(ci + 1, actab)], 1, 5, 0, 1) + _ac_scan(ci, 1, 5, 0, 1)
+        out += _sos([(ci + 1, actab)], 6, 63, 0, 1) + _ac_scan(ci, 6, 63, 0, 1)
+    out += _sos(all_dc, 0, 0, 1, 0) + _dc_scan(1, 0)
+    for ci in range(nc):
+        actab = 0 if ci == 0 else 1
+        out += _sos([(ci + 1, actab)], 1, 63, 1, 0) + _ac_scan(ci, 1, 63, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- decoder -----------------------------------------------------------------
 
 
+def _decode_block_full(reader, dc_tab, ac_tab, zz, pred: int) -> int:
+    """Baseline (SOF0) block: DC diff + full AC band in one pass."""
+    t = reader.read_symbol(dc_tab)
+    diff = _extend(reader.get(t), t) if t else 0
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        sym = reader.read_symbol(ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run != 15:
+                raise ValueError("bad AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC index overflow")
+        zz[k] = _extend(reader.get(size), size)
+        k += 1
+    return pred
+
+
+def _decode_block_dc_first(reader, dc_tab, zz, al: int, pred: int) -> int:
+    """Progressive DC first scan (G.1.2.1): prediction runs in the
+    point-transformed domain; the stored coefficient is shifted back."""
+    t = reader.read_symbol(dc_tab)
+    diff = _extend(reader.get(t), t) if t else 0
+    pred += diff
+    zz[0] = pred << al
+    return pred
+
+
+def _decode_block_dc_refine(reader, zz, al: int) -> None:
+    """Progressive DC refinement: one raw bit per block, OR-ed into the
+    Al position (two's-complement, so negative values refine correctly)."""
+    if reader.get(1):
+        zz[0] = int(zz[0]) | (1 << al)
+
+
+def _decode_block_ac_first(reader, ac_tab, zz, ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC first scan (G.1.2.2) with end-of-band runs."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = reader.read_symbol(ac_tab)
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = 1 << run
+            if run:
+                eobrun += reader.get(run)
+            return eobrun - 1
+        k += run
+        if k > se:
+            raise ValueError("AC index overflow in progressive scan")
+        zz[k] = _extend(reader.get(size), size) << al
+        k += 1
+    return 0
+
+
+def _decode_block_ac_refine(reader, ac_tab, zz, ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC refinement (G.1.2.3): newly-nonzero coefficients
+    arrive as size-1 symbols; history-nonzero coefficients consume one
+    correction bit each as the position pointer advances past them —
+    including inside ZRL skips and end-of-band runs (the libjpeg
+    jdphuff advance-loop semantics)."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = reader.read_symbol(ac_tab)
+            run, size = sym >> 4, sym & 0x0F
+            val = 0
+            if size != 0:
+                if size != 1:
+                    raise ValueError("AC refinement size must be 1")
+                val = p1 if reader.get(1) else m1
+            elif run != 15:
+                eobrun = 1 << run
+                if run:
+                    eobrun += reader.get(run)
+                break  # the EOB-run tail below finishes this block
+            # advance: correction bits for nonzero history, count
+            # `run` still-zero coefficients (16 total for ZRL)
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.get(1) and (int(zz[k]) & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("AC refine position overflow")
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if reader.get(1) and (int(zz[k]) & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(
+    payload: bytes,
+    pos: int,
+    scan_comps: list[tuple[int, dict]],
+    comps: list[dict],
+    coefs: list["np.ndarray"],
+    htables: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+    progressive: bool,
+    geom: tuple[int, int, int, int, int, int],
+) -> int:
+    """Decode one entropy-coded scan into the coefficient store;
+    returns the stream position after the scan's entropy data."""
+    mcux, mcuy, hmax, vmax, width, height = geom
+    ns = len(scan_comps)
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and ns != 1:
+            raise ValueError("progressive AC scans must be non-interleaved")
+        if ss > se or se > 63:
+            raise ValueError("bad spectral selection bounds")
+    reader = _BitReader(payload, pos)
+    preds = {ci: 0 for ci, _ in scan_comps}
+    eobrun = 0
+
+    def _tab(tclass: int, tid: int):
+        try:
+            return htables[(tclass, tid)]
+        except KeyError:
+            raise ValueError(
+                f"JPEG scan references undefined Huffman table "
+                f"(class={tclass}, id={tid})"
+            ) from None
+
+    def _one(ci: int, c: dict, zz) -> None:
+        nonlocal eobrun
+        if not progressive:
+            preds[ci] = _decode_block_full(
+                reader, _tab(0, c["dc"]), _tab(1, c["ac"]), zz, preds[ci]
+            )
+        elif ss == 0 and ah == 0:
+            preds[ci] = _decode_block_dc_first(
+                reader, _tab(0, c["dc"]), zz, al, preds[ci]
+            )
+        elif ss == 0:
+            _decode_block_dc_refine(reader, zz, al)
+        elif ah == 0:
+            eobrun = _decode_block_ac_first(
+                reader, _tab(1, c["ac"]), zz, ss, se, al, eobrun
+            )
+        else:
+            eobrun = _decode_block_ac_refine(
+                reader, _tab(1, c["ac"]), zz, ss, se, al, eobrun
+            )
+
+    unit = 0
+
+    def _maybe_restart() -> None:
+        nonlocal unit, eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.sync_restart(unit // restart_interval - 1)
+            for ci in preds:
+                preds[ci] = 0
+            eobrun = 0
+        unit += 1
+
+    if ns > 1:  # interleaved: MCU traversal over every (padded) block
+        for my in range(mcuy):
+            for mx in range(mcux):
+                _maybe_restart()
+                for ci, c in scan_comps:
+                    for bv in range(c["v"]):
+                        for bh in range(c["h"]):
+                            zz = coefs[ci][my * c["v"] + bv, mx * c["h"] + bh]
+                            _one(ci, c, zz)
+    else:  # non-interleaved: the component's OWN block grid (A.2.2)
+        ci, c = scan_comps[0]
+        cw = -(-width * c["h"] // hmax)
+        ch = -(-height * c["v"] // vmax)
+        bw, bh_n = -(-cw // 8), -(-ch // 8)
+        for by in range(bh_n):
+            for bx in range(bw):
+                _maybe_restart()
+                _one(ci, c, coefs[ci][by, bx])
+    return reader.pos
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline JPEG → (width, height, raw RGB bytes)."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG →
+    (width, height, raw RGB bytes)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps: list[dict] = []
+    coefs: list[np.ndarray] | None = None
+    geom = None
     width = height = 0
     restart_interval = 0
-    while pos < len(payload):
+    progressive = False
+    n_scans = 0
+    while pos + 1 < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected in JPEG header")
         # T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes —
@@ -381,8 +842,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:  # EOI before SOS
-            raise ValueError("JPEG has no scan data")
+        if marker == 0xD9:  # EOI
+            break
         (seglen,) = struct.unpack_from(">H", payload, pos)
         body = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
@@ -396,7 +857,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                     q[r, c] = body[b + 1 + i]
                 qtables[tid] = q
                 b += 65
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (tables may also arrive between scans)
             b = 0
             while b < len(body):
                 tclass, tid = body[b] >> 4, body[b] & 0x0F
@@ -408,7 +869,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                     (ln, code): sym for sym, (code, ln) in enc.items()
                 }
                 b += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if coefs is not None:
+                raise ValueError("multiple SOF segments")
+            progressive = marker == 0xC2
             prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG precision supported")
@@ -418,87 +882,86 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 if h not in (1, 2) or v not in (1, 2):
                     raise NotImplementedError(f"sampling {h}x{v} unsupported")
                 comps.append({"id": cid, "h": h, "v": v, "q": qid})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("only baseline (SOF0) JPEG supported")
+            if len(comps) not in (1, 3):
+                # 4-component (Adobe CMYK/YCCK) files would pass every
+                # other check and then be silently misread as YCbCr —
+                # never fake a decode
+                raise NotImplementedError(
+                    f"JPEG with {len(comps)} components unsupported "
+                    "(1=gray, 3=YCbCr)"
+                )
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            geom = (mcux, mcuy, hmax, vmax, width, height)
+            coefs = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+                for c in comps
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "only baseline (SOF0) and progressive (SOF2) JPEG supported"
+            )
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
                 raise ValueError("truncated JPEG DRI segment")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
+            if coefs is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = body[0]
+            scan_comps: list[tuple[int, dict]] = []
             for i in range(ns):
                 cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
-                for comp in comps:
+                for ci, comp in enumerate(comps):
                     if comp["id"] == cid:
                         comp["dc"] = tabs >> 4
                         comp["ac"] = tabs & 0x0F
-            pos += seglen
-            break
+                        scan_comps.append((ci, comp))
+                        break
+                else:
+                    raise ValueError(f"SOS references unknown component {cid}")
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            pos = _decode_scan(
+                payload,
+                pos + seglen,
+                scan_comps,
+                comps,
+                coefs,
+                htables,
+                ss,
+                se,
+                ahal >> 4,
+                ahal & 0x0F,
+                restart_interval,
+                progressive,
+                geom,
+            )
+            n_scans += 1
+            # tolerate pad bytes between the entropy data and the next
+            # marker (the reader may leave the stream mid-padding)
+            while pos < len(payload) and payload[pos] != 0xFF:
+                pos += 1
+            continue
         pos += seglen
-    else:
-        raise ValueError("JPEG has no SOS segment")
-    if not comps or not width:
-        raise ValueError("JPEG missing SOF0")
-    if len(comps) not in (1, 3):
-        # 4-component (Adobe CMYK/YCCK) baseline files would pass every
-        # other check and then be silently misread as YCbCr — never
-        # fake a decode
-        raise NotImplementedError(
-            f"JPEG with {len(comps)} components unsupported (1=gray, 3=YCbCr)"
-        )
+    if coefs is None or not width:
+        raise ValueError("JPEG missing SOF")
+    if n_scans == 0:
+        raise ValueError("JPEG has no scan data")
 
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
+    mcux, mcuy, hmax, vmax, width, height = geom
+    # batched dequant + IDCT per component: zigzag store -> natural
+    # order -> one einsum over every block at once
     planes = []
-    for c in comps:
-        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
-        planes.append(np.zeros((ph, pw)))
-
-    reader = _BitReader(payload, pos)
-    preds = [0] * len(comps)
-    mcu_idx = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
-                reader.sync_restart(mcu_idx // restart_interval - 1)
-                preds = [0] * len(comps)
-            mcu_idx += 1
-            for ci, c in enumerate(comps):
-                for bv in range(c["v"]):
-                    for bh in range(c["h"]):
-                        dc_tab = htables[(0, c["dc"])]
-                        ac_tab = htables[(1, c["ac"])]
-                        t = reader.read_symbol(dc_tab)
-                        diff = _extend(reader.get(t), t) if t else 0
-                        preds[ci] += diff
-                        zz = [0] * 64
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            sym = reader.read_symbol(ac_tab)
-                            if sym == 0x00:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 0x0F
-                            if size == 0:
-                                if run != 15:
-                                    raise ValueError("bad AC symbol")
-                                k += 16  # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            zz[k] = _extend(reader.get(size), size)
-                            k += 1
-                        coef = np.zeros((8, 8))
-                        for i, (r, cc) in enumerate(_ZIGZAG):
-                            coef[r, cc] = zz[i]
-                        coef *= qtables[c["q"]]
-                        block = _M.T @ coef @ _M + 128.0
-                        y0 = (my * c["v"] + bv) * 8
-                        x0 = (mx * c["h"] + bh) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    for ci, c in enumerate(comps):
+        if c["q"] not in qtables:
+            raise ValueError(f"JPEG component references undefined DQT {c['q']}")
+        q = qtables[c["q"]].astype(np.float64)
+        nbv, nbh = coefs[ci].shape[:2]
+        nat = coefs[ci][:, :, _NAT_TO_ZZ].reshape(nbv, nbh, 8, 8).astype(np.float64)
+        blocks = np.einsum("ab,ijbc,cd->ijad", _M.T, nat * q[None, None], _M) + 128.0
+        planes.append(blocks.transpose(0, 2, 1, 3).reshape(nbv * 8, nbh * 8))
 
     # upsample chroma by replication to (height, width)
     full = []

@@ -1187,10 +1187,16 @@ class TestJpegCodec:
         from terra_bonobo_nodes_spark.llm.jpeg import decode_jpeg, encode_jpeg
 
         base = encode_jpeg(8, 8, self._gradient(8, 8).tobytes())
-        # rewrite SOF0 marker (FFC0) to progressive SOF2 (FFC2)
-        prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
-        with pytest.raises(NotImplementedError, match="baseline"):
-            decode_jpeg(prog)
+        # a baseline file RELABELED as progressive (FFC0 -> FFC2) is
+        # malformed: its single scan says Ss=0,Se=63, which a real
+        # progressive DC scan forbids — reject, don't misdecode
+        mislabeled = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        with pytest.raises(ValueError, match="Se=0"):
+            decode_jpeg(mislabeled)
+        # arithmetic-coded (SOF9) and lossless (SOF3) still refuse
+        for sof in (b"\xff\xc9", b"\xff\xc3"):
+            with pytest.raises(NotImplementedError, match="SOF"):
+                decode_jpeg(base.replace(b"\xff\xc0", sof, 1))
         # 4-component (Adobe CMYK-style) SOF0 must refuse, not misread
         with pytest.raises(NotImplementedError, match="components"):
             # splice a 4-component SOF0 built from scratch
@@ -1234,6 +1240,7 @@ def test_decode_image_all_four_formats_through_spark(spark):
         (2, codecs.encode_ppm(16, 9, rgb)),
         (3, codecs.encode_png(16, 9, rgb, filter_type=4)),
         (4, encode_jpeg(16, 9, rgb)),
+        (5, encode_jpeg(16, 9, rgb, progressive=True)),
     ]
     assets = spark.createDataFrame(payloads, ["asset_id", "payload"])
     rows = {
@@ -1243,11 +1250,14 @@ def test_decode_image_all_four_formats_through_spark(spark):
     want = np.frombuffer(
         codecs.resize_nearest(16, 9, rgb, 8, 8), dtype=np.uint8
     ).astype(int)
-    for aid in (1, 2, 3, 4):
+    for aid in (1, 2, 3, 4, 5):
         assert (rows[aid].width, rows[aid].height) == (16, 9)
         got = np.frombuffer(bytes(rows[aid].raw), dtype=np.uint8).astype(int)
         tol = 0 if aid < 4 else 40  # JPEG: lossy on a checkerboard
         assert np.abs(got - want).max() <= tol, f"format {aid}"
+    # progressive and baseline reconstruct the same quantized
+    # coefficients, so their decodes must agree exactly
+    assert bytes(rows[5].raw) == bytes(rows[4].raw)
 
 
 def test_png_adam7_interlaced_decode():
@@ -1345,3 +1355,89 @@ def test_png_16bit_depth_reduces_to_high_byte():
     got_w, got_h, rgb = decode_png(payload)
     assert (got_w, got_h) == (w, h)
     assert rgb == (px16 >> 8).astype(np.uint8).tobytes()
+
+
+def test_progressive_jpeg_decodes_bit_identical_to_baseline():
+    """SOF2 spectral selection + successive approximation must
+    reconstruct EXACTLY the coefficients baseline codes in one scan —
+    randomized over sizes, content, and subsampling (noise maximizes
+    ZRL/EOB-run/correction-bit traffic through the refine paths)."""
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(17)
+    for h, w in [(8, 8), (9, 13), (24, 40), (33, 17), (64, 64)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for sub in ("444", "420", "gray"):
+            prog = encode_jpeg(w, h, img.tobytes(), subsampling=sub, progressive=True)
+            base = encode_jpeg(w, h, img.tobytes(), subsampling=sub)
+            assert decode_jpeg(prog) == decode_jpeg(base), (h, w, sub)
+
+
+def test_progressive_jpeg_is_really_multiscan():
+    """The fixture encoder must emit a genuine progressive layout:
+    SOF2, no SOF0, and one SOS per scan-script entry (2 DC + 2x3 AC
+    first + 3 AC refine for color = 9 scans)."""
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm.jpeg import encode_jpeg
+
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    prog = encode_jpeg(16, 16, img.tobytes(), progressive=True)
+    assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog
+    assert prog.count(b"\xff\xda") >= 9 - 2  # stuffing can't fake SOS: FF DA is never emitted stuffed
+    gray = encode_jpeg(16, 16, img.tobytes(), subsampling="gray", progressive=True)
+    assert gray.count(b"\xff\xda") >= 4
+
+
+def test_progressive_jpeg_uniform_image_max_eob_runs():
+    """A uniform image makes every AC band empty — the whole scan
+    collapses into end-of-band runs (the EOBn > 1 decoder path)."""
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.full((40, 56, 3), 77, dtype=np.uint8)
+    w_, h_, rgb = decode_jpeg(encode_jpeg(56, 40, flat.tobytes(), progressive=True))
+    a = np.frombuffer(rgb, dtype=np.uint8).astype(int)
+    assert (w_, h_) == (56, 40)
+    assert np.abs(a - 77).max() <= 2
+
+
+def test_progressive_rejects_interleaved_ac_and_refinement_size():
+    """Malformed progressive streams fail fast: an AC scan claiming
+    more than one component is structurally illegal (T.81 B.2.3)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from terra_bonobo_nodes_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    prog = encode_jpeg(8, 8, img.tobytes(), progressive=True)
+    # find the first AC SOS (ns=1) and forge ns=3 with Ss=1
+    # easier: craft header-level corruption — flip the DC scan's Se byte
+    i = prog.index(b"\xff\xda")
+    # SOS layout: FF DA len2 ns (cid tabs)*ns Ss Se AhAl — DC scan ns=3
+    ss_off = i + 5 + 2 * 3
+    bad = bytearray(prog)
+    bad[ss_off + 1] = 13  # DC scan with Se=13
+    with _pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg(bytes(bad))
+
+
+def test_progressive_jpeg_fill_bytes_between_scans():
+    """0xFF fill bytes are legal before ANY marker, including the SOS
+    of a later progressive scan."""
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.arange(12 * 20 * 3, dtype=np.uint8).reshape(12, 20, 3)
+    prog = encode_jpeg(20, 12, img.tobytes(), progressive=True)
+    want = decode_jpeg(prog)
+    # pad the SECOND SOS marker with fill bytes
+    first = prog.index(b"\xff\xda")
+    second = prog.index(b"\xff\xda", first + 2)
+    padded = prog[:second] + b"\xff\xff" + prog[second:]
+    assert decode_jpeg(padded) == want
