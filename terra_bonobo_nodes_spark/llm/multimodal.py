@@ -11,16 +11,17 @@ driver. At 100 TB the knobs that matter are partition sizing
 counts) and ``spark.sql.execution.arrow.maxRecordsPerBatch`` to bound
 decode memory per batch.
 
-Pillow/cv2/librosa are NOT in this container, so formats that need a
-compression library (PNG/JPEG/MP3) stay stubbed: ``decode_features``
-computes deterministic pseudo-features from payload bytes (md5-derived)
-and unknown image magics raise ``NotImplementedError``. But BMP, P6
-PPM, and RIFF PCM WAV are decodable with stdlib+numpy alone, and
-``decode_image``/``decode_audio`` decode those for REAL (see
-``codecs.py``) — actual pixels, actual samples, actual nearest-neighbor
-resize. The Spark-side plumbing — schemas, batching, UDF signatures,
-partitioning — is identical for the real and stubbed formats; swapping
-in Pillow for JPEG is a one-function change.
+Pillow/cv2/librosa are NOT in this container, but the four image
+formats a crawl actually carries all decode for REAL with stdlib+numpy
+alone: BMP and P6 PPM trivially, PNG via zlib + hand-rolled unfiltering
+(8/16-bit, Adam7 — ``codecs.py``), and JPEG via a from-spec T.81
+implementation covering baseline AND progressive (``jpeg.py``), plus
+RIFF PCM WAV for audio. ``decode_features`` remains the deliberately
+cheap stub stage (md5-derived pseudo-features) for pipelines that only
+need the plumbing; ``decode_image``/``decode_audio`` return actual
+pixels/samples with nearest-neighbor resize. MP3/MP4 would need a real
+compression library and raise ``NotImplementedError`` — never fake a
+decode.
 """
 
 from __future__ import annotations
@@ -121,7 +122,7 @@ def decode_image(
     """Decode + resize stage. ``decoder(payload) -> (width, height,
     raw_rgb)`` defaults to ``codecs.image_decoder`` — REAL pure-Python
     decoders for BMP, P6 PPM, PNG (stdlib zlib + hand unfiltering), and
-    baseline JPEG (full Huffman + numpy IDCT, llm/jpeg.py). Unknown
+    baseline + progressive JPEG (full Huffman + numpy IDCT, llm/jpeg.py). Unknown
     formats raise ``NotImplementedError`` per the stub policy: a format
     is either actually decoded or loudly unsupported, never faked. ``raw`` in the
     output is the nearest-neighbor resample to ``target`` — the fixed
@@ -260,3 +261,73 @@ def sample_frames(
             )
 
     return frames.mapInPandas(run, schema)
+
+
+CODEC_BENCH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("enc_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+_CODEC_BENCH_FORMATS = ("png", "jpeg", "jpeg_progressive")
+
+
+def codec_roundtrip(
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    size: tuple[int, int] = (48, 32),
+) -> DataFrame:
+    """The codec throughput stage: per id, synthesize a deterministic
+    noise image (seeded by the id — worst-case entropy-coding load),
+    ENCODE it (format = id mod 3: PNG / baseline JPEG / progressive
+    JPEG) and DECODE it back, all inside one Arrow-batched
+    ``mapInPandas`` pass. Output is fully deterministic (decode means
+    rounded to 4dp), so the stage doubles as a correctness row; its
+    purpose in bench.py is making pure-Python codec regressions visible
+    round-over-round as wall-clock (the reference has no codec surface
+    to compare against — this is engine-native multimodal capacity).
+
+    Scale shape: embarrassingly parallel, zero shuffle, driver never
+    sees a payload; at 100 TB the partition count is the only knob."""
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm import codecs
+    from terra_bonobo_nodes_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = size
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in CODEC_BENCH_SCHEMA}
+            for did in pdf[id_col]:
+                did = int(did)
+                rng = np.random.RandomState(did % (2**31 - 1))
+                img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+                fmt = _CODEC_BENCH_FORMATS[did % 3]
+                if fmt == "png":
+                    payload = codecs.encode_png(w, h, img.tobytes(), 4)
+                    dw, dh, raw = codecs.decode_png(payload)
+                else:
+                    payload = encode_jpeg(
+                        w, h, img.tobytes(), progressive=fmt.endswith("progressive")
+                    )
+                    dw, dh, raw = decode_jpeg(payload)
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(dh, dw, 3)
+                out["asset_id"].append(did)
+                out["fmt"].append(fmt)
+                out["enc_bytes"].append(len(payload))
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["mean_r"].append(round(float(px[..., 0].mean()), 4))
+                out["mean_g"].append(round(float(px[..., 1].mean()), 4))
+                out["mean_b"].append(round(float(px[..., 2].mean()), 4))
+            yield pd.DataFrame(out)
+
+    return ids.select(id_col).mapInPandas(run, CODEC_BENCH_SCHEMA)

@@ -1506,3 +1506,34 @@ def llm_bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _BM25_K)
         .select("doc_id", "n_terms_hit", "score", "rank")
     )
+
+
+@register(
+    "llm_codec_throughput",
+    oracle=None,  # decode is not SQL-expressible; determinism + pixel
+    # correctness pinned by tests/test_llm_ops.py codec suites, rows by
+    # the driver's weaker check. Registered HEADLINE so the pure-Python
+    # codec path has a bench presence (codec regressions become visible
+    # as wall-clock in BENCH_r{N}, per the round-6 verdict order 6).
+    headline=True,
+    tags=("llm", "multimodal", "codec", "bench"),
+)
+def llm_codec_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize→encode→decode 1,536 images (PNG / baseline JPEG /
+    progressive JPEG round-robin) in one shuffle-free mapInPandas pass
+    (``multimodal.codec_roundtrip``): the decode-MB/s tripwire for the
+    from-spec codecs."""
+    from terra_bonobo_nodes_spark.llm import multimodal
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 1536)
+        # the parquet scan yields 1-2 partitions at these SFs, which
+        # would serialize ~30s of per-image Python onto one core; a
+        # round-robin shuffle of bare BIGINTs costs microseconds and is
+        # exactly the repartition a 100 TB decode stage does before its
+        # CPU-bound phase (partition by work, not by input bytes)
+        .repartition(int(spark.sparkContext.defaultParallelism))
+    )
+    return multimodal.codec_roundtrip(ids)

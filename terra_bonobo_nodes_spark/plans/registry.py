@@ -119,6 +119,7 @@ _DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "a4_sql_text_cluster",     # new: ST_* SQL-text entry path
     "llm_multimodal_decode",   # jpeg.py changed (fill bytes + progressive)
     "llm_incremental_dedup",   # dedup.py presig validation changed
+    "llm_codec_throughput",    # new: codec bench row (rows-only by design)
 )
 
 

@@ -234,3 +234,29 @@ def test_bulk_writer_gc_orphans_sweeps_crashed_job_leftovers(spark, tmp_path):
     w.option("gc_orphans", "true").save()
     assert not os.path.exists(orphan)
     assert sorted(r["id"] for r in read_bulk_store(d)) == [1, 1, 2, 2]
+
+
+# --- codec throughput stage (bench row, round 7) ------------------------------
+
+
+def test_codec_roundtrip_deterministic_and_correct(spark):
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm import multimodal
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    a = {r.asset_id: r for r in multimodal.codec_roundtrip(ids).collect()}
+    b = {r.asset_id: r for r in multimodal.codec_roundtrip(ids).collect()}
+    assert a.keys() == b.keys() and len(a) == 12
+    for k in a:
+        assert tuple(a[k]) == tuple(b[k])  # bit-stable across runs
+    # format round-robin and dimensions
+    assert {r.fmt for r in a.values()} == {"png", "jpeg", "jpeg_progressive"}
+    assert all((r.width, r.height) == (48, 32) for r in a.values())
+    # PNG is lossless: its means must equal the synthesized image's
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, size=(32, 48, 3)).astype(np.uint8)
+    assert a[0].fmt == "png"
+    assert a[0].mean_r == round(float(img[..., 0].mean()), 4)
+    # JPEG is lossy but close on noise means (DC is exact to ~q/2)
+    assert abs(a[1].mean_r - 127.5) < 30
