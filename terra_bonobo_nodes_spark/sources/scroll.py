@@ -19,6 +19,8 @@ for the scroll service in this environment; ``fetch_page`` is the seam
 a live deployment overrides with an HTTP/ES client (the subclass is
 cloudpickled to the executors with the source, so clients initialize
 per partition — SURVEY §2.9's per-partition service injection).
+``scroll_http.py`` is the worked live graft: the same reader paging an
+HTTP service, bounds forwarded as query params.
 
 Usage::
 
@@ -26,6 +28,15 @@ Usage::
     df = (spark.read.format("tbns_scroll")
           .schema("id BIGINT, name STRING")
           .option("path", pages_dir).option("id_col", "id").load())
+
+UPSTREAM CAVEAT (Spark 4.1, pinned by
+tests/test_datasource.py::test_pushed_filters_leak_into_filterless_rescan):
+Spark caches the planned scan of a Python data source on the loaded
+relation, and a FILTERLESS re-query of the same ``load()`` result
+reuses the most recently planned scan — stale pushed bounds included
+(queries that carry their own filters re-plan correctly). Until that
+is fixed upstream, treat one ``load()`` as one logical query: derive
+independently-filtered scans from separate ``load()`` calls.
 """
 
 from __future__ import annotations
