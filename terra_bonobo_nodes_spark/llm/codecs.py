@@ -273,9 +273,12 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     external dependency is INFLATE, and stdlib ``zlib`` provides it —
     the rest is chunk parsing and the five scanline filters, done here
     by hand. Supports color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA); alpha is dropped and gray expanded so the
-    output contract matches the BMP/PPM decoders. Sub-byte bit depths
-    (1/2/4) still raise — never fake a decode."""
+    4 (gray+alpha), 6 (RGBA) at depths 8/16, and the sub-byte depths
+    1/2/4 for gray and palette (bit-packed rows, MSB first, each row
+    padded to a byte — the bilevel-scan/paletted-icon layouts); alpha
+    is dropped, gray expanded, and sub-byte gray scaled by
+    255/(2^depth-1) so the output contract matches the BMP/PPM
+    decoders."""
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = len(_PNG_SIG)
@@ -298,16 +301,21 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth not in (8, 16):
-        raise NotImplementedError(f"PNG bit depth {depth} unsupported (8/16)")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"PNG bit depth {depth} invalid")
     if depth == 16 and color == 3:
         raise ValueError("16-bit palette PNG is invalid")
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(
+            f"PNG sub-byte depth {depth} is only valid for gray/palette"
+        )
     if interlace not in (0, 1):
         raise ValueError(f"PNG interlace method {interlace} invalid")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise NotImplementedError(f"PNG color type {color} unsupported")
-    sb = depth // 8  # bytes per sample; 16-bit keeps the HIGH byte
+    sub_byte = depth < 8
+    sb = max(depth // 8, 1)  # bytes per sample; 16-bit keeps the HIGH byte
 
     import zlib
 
@@ -315,17 +323,31 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:  # truncated/corrupt IDAT -> codec's own error
         raise ValueError(f"PNG IDAT stream corrupt or truncated: {e}") from e
+    def _row_stride(cols: int) -> int:
+        # sub-byte rows bit-pack MSB-first, padded to a whole byte
+        return (cols * depth + 7) // 8 if sub_byte else cols * channels * sb
+
+    # filters compare bytes `fbpp` apart; for sub-byte that is 1 byte
+    fbpp = 1 if sub_byte else channels * sb
+
     def to_px(buf: bytearray, rows: int, cols: int) -> "np.ndarray":
-        a = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(
-            rows, cols, channels, sb
-        )
-        return a[..., 0]  # big-endian: byte 0 is the high byte
+        if not sub_byte:
+            a = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(
+                rows, cols, channels, sb
+            )
+            return a[..., 0]  # big-endian: byte 0 is the high byte
+        a = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(rows, -1)
+        bits = np.unpackbits(a, axis=1)
+        # group `depth` bits per sample, MSB first, drop row padding
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        vals = (bits.reshape(rows, -1, depth) * weights).sum(axis=2)
+        return vals[:, :cols, None].astype(np.uint8)
 
     if interlace == 0:
-        stride = w * channels * sb
+        stride = _row_stride(w)
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG pixel data size mismatch")
-        out, _ = _png_unfilter(raw, 0, h, stride, channels * sb)
+        out, _ = _png_unfilter(raw, 0, h, stride, fbpp)
         px = to_px(out, h, w)
     else:  # Adam7: 7 sub-images, each filtered independently, scattered
         px = np.zeros((h, w, channels), dtype=np.uint8)
@@ -335,11 +357,14 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             hp = (h - y0 + dy - 1) // dy
             if wp <= 0 or hp <= 0:
                 continue  # empty pass contributes no scanlines
-            stride = wp * channels * sb
-            sub, off = _png_unfilter(raw, off, hp, stride, channels * sb)
+            stride = _row_stride(wp)
+            sub, off = _png_unfilter(raw, off, hp, stride, fbpp)
             px[y0::dy, x0::dx] = to_px(sub, hp, wp)
         if off != len(raw):
             raise ValueError("PNG interlaced pixel data size mismatch")
+    if sub_byte and color == 0:
+        # scale 1/2/4-bit gray to full range: 255/(2^depth-1) is exact
+        px = (px.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if color == 2:
         rgb = px
     elif color == 6:
@@ -418,3 +443,53 @@ def encode_png(width: int, height: int, rgb: bytes, filter_type: int = 0) -> byt
         + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def encode_png_subbyte(
+    width: int,
+    height: int,
+    samples: "list[int]",
+    depth: int,
+    palette: bytes | None = None,
+    filter_type: int = 0,
+) -> bytes:
+    """Fixture encoder for 1/2/4-bit PNGs (gray when ``palette`` is
+    None, color type 3 otherwise): row-major per-pixel sample values,
+    bit-packed MSB-first with byte-padded rows, ``filter_type`` 0
+    (None) or 2 (Up — byte-level, exercising the sub-byte unfilter
+    path). The layouts bilevel scans and paletted icons actually use."""
+    import zlib
+
+    if depth not in (1, 2, 4):
+        raise ValueError("depth must be 1, 2, or 4")
+    if len(samples) != width * height:
+        raise ValueError("samples length != width*height")
+    if any(s < 0 or s >= (1 << depth) for s in samples):
+        raise ValueError(f"sample out of range for depth {depth}")
+    stride = (width * depth + 7) // 8
+    rows = []
+    for y in range(height):
+        row = bytearray(stride)
+        for x in range(width):
+            v = samples[y * width + x]
+            bitpos = x * depth
+            row[bitpos // 8] |= v << (8 - depth - bitpos % 8)
+        rows.append(bytes(row))
+    lines = bytearray()
+    prev = bytes(stride)
+    for row in rows:
+        if filter_type == 0:
+            lines.append(0)
+            lines.extend(row)
+        elif filter_type == 2:  # Up
+            lines.append(2)
+            lines.extend((c - p) & 0xFF for c, p in zip(row, prev))
+        else:
+            raise ValueError("sub-byte fixture encoder supports filters 0 and 2")
+        prev = row
+    color = 0 if palette is None else 3
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, 0)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette)
+    return out + _png_chunk(b"IDAT", zlib.compress(bytes(lines))) + _png_chunk(b"IEND", b"")

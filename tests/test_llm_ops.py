@@ -1102,8 +1102,11 @@ class TestPngCodec:
                 + _png_chunk(b"IEND", b"")
             )
 
-        with _pytest.raises(NotImplementedError, match="bit depth"):
-            decode_png(ihdr_only(4, 0, 0))  # sub-byte depths unsupported
+        # sub-byte depths now decode (round 7); depth 3 never existed
+        with _pytest.raises(ValueError, match="bit depth"):
+            decode_png(ihdr_only(3, 0, 0))
+        # 1x1 4-bit gray: one padded byte per row, sample 0 -> black
+        assert decode_png(ihdr_only(4, 0, 0)) == (1, 1, b"\x00\x00\x00")
         # 16-bit is now SUPPORTED; this malformed 16-bit body (1 byte
         # where a 2-byte sample is required) is a size-mismatch error
         with _pytest.raises(ValueError, match="size mismatch"):
@@ -1441,3 +1444,95 @@ def test_progressive_jpeg_fill_bytes_between_scans():
     second = prog.index(b"\xff\xda", first + 2)
     padded = prog[:second] + b"\xff\xff" + prog[second:]
     assert decode_jpeg(padded) == want
+
+
+def test_png_subbyte_depths_decode():
+    """1/2/4-bit PNGs (bit-packed MSB-first, byte-padded rows): gray
+    scales by 255/(2^depth-1), palette indexes resolve, the Up filter
+    works at byte level, and odd widths exercise row padding."""
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm.codecs import decode_png, encode_png_subbyte
+
+    w, h = 13, 6
+    for depth in (1, 2, 4):
+        scale = 255 // ((1 << depth) - 1)
+        rng = np.random.RandomState(depth)
+        samples = [int(v) for v in rng.randint(0, 1 << depth, w * h)]
+        for ft in (0, 2):
+            dw, dh, rgb = decode_png(
+                encode_png_subbyte(w, h, samples, depth, filter_type=ft)
+            )
+            a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+            assert (dw, dh) == (w, h)
+            want = np.array(samples, dtype=np.uint8).reshape(h, w) * scale
+            assert (a[..., 0] == want).all(), (depth, ft)
+            assert (a[..., 0] == a[..., 1]).all() and (a[..., 1] == a[..., 2]).all()
+        # palette form of the same sample plane
+        pal = bytes(rng.randint(0, 256, (1 << depth) * 3).astype(np.uint8).tolist())
+        dw, dh, rgb = decode_png(encode_png_subbyte(w, h, samples, depth, palette=pal))
+        a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        pal3 = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+        assert (a == pal3[np.array(samples).reshape(h, w)]).all(), depth
+
+
+def test_png_subbyte_adam7_interlaced():
+    """Adam7 + sub-byte: each pass bit-packs its OWN rows with its own
+    byte padding — built by hand exactly as the spec lays passes out."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm.codecs import (
+        _ADAM7,
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    w, h, depth = 11, 7, 2
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 4, size=(h, w)).astype(np.uint8)
+    passes = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        stride = (sub.shape[1] * depth + 7) // 8
+        for row in sub:
+            packed = bytearray(stride)
+            for x, v in enumerate(row):
+                bitpos = x * depth
+                packed[bitpos // 8] |= int(v) << (8 - depth - bitpos % 8)
+            passes.append(0)
+            passes.extend(packed)
+    ihdr = _struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 1)  # gray, interlaced
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(passes)))
+        + _png_chunk(b"IEND", b"")
+    )
+    dw, dh, rgb = decode_png(payload)
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    assert (dw, dh) == (w, h)
+    assert (a[..., 0] == img * 85).all()
+
+
+def test_png_subbyte_invalid_forms_fail_fast():
+    import pytest as _pytest
+
+    from terra_bonobo_nodes_spark.llm.codecs import decode_png, encode_png_subbyte
+
+    # sub-byte RGB is illegal per the PNG spec: forge depth=4 color=2
+    ok = encode_png_subbyte(4, 2, [0] * 8, 4)
+    bad = bytearray(ok)
+    ihdr_off = ok.index(b"IHDR") + 4
+    bad[ihdr_off + 9] = 2  # color byte inside IHDR
+    with _pytest.raises(ValueError, match="only valid for gray/palette"):
+        decode_png(bytes(bad))
+    # out-of-range palette index still caught at sub-byte depths
+    pal = bytes([0, 0, 0] * 2)  # 2 entries, but depth-2 samples reach 3
+    with _pytest.raises(ValueError, match="out of range"):
+        decode_png(encode_png_subbyte(4, 1, [0, 1, 3, 2], 2, palette=pal))
