@@ -18,7 +18,7 @@ implemented here from the JFIF/T.81 baseline spec:
   BT.601 YCbCr→RGB. Arithmetic coding, hierarchical (SOF3/5-7/9-11),
   and 12-bit precision raise ``NotImplementedError`` — never fake a
   decode.
-- **encoder** (fixture grade): 4:4:4/4:2:0/gray, flat quantization
+- **encoder** (fixture grade): 4:4:4/4:2:2/4:2:0/gray, flat quantization
   tables, and SELF-CHOSEN canonical Huffman tables (all DC categories
   at 4 bits, all AC symbols at 8 bits) written into DHT — any
   prefix-free table is valid JPEG, and generating ours canonically
@@ -294,10 +294,12 @@ def encode_jpeg(
     progressive: bool = False,
 ) -> bytes:
     """Baseline JFIF encoder (fixture grade, see module doc).
-    ``subsampling``: "444" (one block per component per MCU) or "420"
-    (2x2 luma blocks + box-filtered half-resolution chroma per MCU) —
-    the latter exists chiefly so the decoder's generic MCU-interleave
-    and chroma-upsample paths are exercised by our own fixtures.
+    ``subsampling``: "444" (one block per component per MCU), "422"
+    (2x1 luma blocks, horizontally halved chroma), or "420" (2x2 luma
+    blocks + box-filtered half-resolution chroma per MCU) — the latter
+    two exist chiefly so the decoder's generic MCU-interleave and
+    chroma-upsample paths (including mixed h != v sampling) are
+    exercised by our own fixtures.
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     that many MCUs (DC predictors reset) — the camera-JPEG layout.
     ``progressive=True`` emits SOF2 with the scan script documented in
@@ -311,11 +313,12 @@ def encode_jpeg(
         )
     samp = {
         "444": [(1, 1), (1, 1), (1, 1)],
+        "422": [(2, 1), (1, 1), (1, 1)],  # horizontal-only chroma halving
         "420": [(2, 2), (1, 1), (1, 1)],
         "gray": [(1, 1)],  # luma-only single-component file
     }.get(subsampling)
     if samp is None:
-        raise ValueError("subsampling must be '444', '420', or 'gray'")
+        raise ValueError("subsampling must be '444', '422', '420', or 'gray'")
     img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
     ycc = _rgb_to_ycbcr(img.astype(np.float64))
     hmax = max(h for h, _ in samp)

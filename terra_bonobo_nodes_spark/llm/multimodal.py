@@ -331,3 +331,83 @@ def codec_roundtrip(
             yield pd.DataFrame(out)
 
     return ids.select(id_col).mapInPandas(run, CODEC_BENCH_SCHEMA)
+
+
+SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_windows", T.IntegerType()),
+        T.StructField("zcr", T.DoubleType()),
+        T.StructField("band_energy", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def audio_spectral_features(
+    assets: DataFrame,
+    n_bands: int = 8,
+    window: int = 1024,
+    hop: int = 512,
+) -> DataFrame:
+    """Real audio DSP over WAV payloads, numpy-only: mono mix, Hann
+    windows, rFFT power averaged into ``n_bands`` log-spaced bands
+    (normalized to sum 1), plus the zero-crossing rate — the cheap
+    spectral fingerprint an audio-curation pipeline uses to separate
+    speech / music / tones / silence before an expensive model stage.
+    One Arrow-batched ``mapInPandas`` pass, same plumbing as
+    ``decode_audio``; non-WAV payloads raise (never fake a decode).
+    All outputs rounded to 6dp so rows are engine-stable."""
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm import codecs
+
+    def _features(payload: bytes) -> tuple[int, int, float, list[float]]:
+        rate, _nch, n, samples = codecs.decode_wav(payload)
+        mono = samples.mean(axis=1) if samples.ndim > 1 else samples
+        if n >= 2:
+            zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        else:
+            zcr = 0.0
+        if n < window:  # too short for one window: pad to exactly one
+            mono = np.pad(mono, (0, window - n))
+        starts = range(0, len(mono) - window + 1, hop)
+        hann = np.hanning(window)
+        power = np.zeros(window // 2 + 1)
+        count = 0
+        for s in starts:
+            spec = np.fft.rfft(mono[s : s + window] * hann)
+            power += np.abs(spec) ** 2
+            count += 1
+        # log-spaced band edges over [1, nyquist_bin]; bin 0 (DC) joins
+        # the first band
+        edges = np.unique(
+            np.round(
+                np.logspace(0, np.log10(len(power) - 1), n_bands + 1)
+            ).astype(int)
+        )
+        while len(edges) < n_bands + 1:  # tiny windows: pad edges
+            edges = np.append(edges, edges[-1] + 1)
+        bands = [
+            float(power[int(edges[i]) : int(edges[i + 1]) + (1 if i == n_bands - 1 else 0)].sum())
+            for i in range(n_bands)
+        ]
+        bands[0] += float(power[0])
+        total = sum(bands)
+        if total > 0:
+            bands = [b / total for b in bands]
+        return rate, count, round(zcr, 6), [round(b, 6) for b in bands]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in SPECTRAL_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rate, count, zcr, bands = _features(bytes(payload))
+                out["asset_id"].append(int(aid))
+                out["sample_rate"].append(rate)
+                out["n_windows"].append(count)
+                out["zcr"].append(zcr)
+                out["band_energy"].append(bands)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(run, SPECTRAL_SCHEMA)

@@ -1151,13 +1151,13 @@ class TestJpegCodec:
         assert (w, h) == (24, 16)
         assert int(_np.abs(o.astype(int) - rgb.astype(int)).max()) <= 2
 
-    def test_gradient_roundtrip_444_and_420(self):
+    def test_gradient_roundtrip_all_subsamplings(self):
         import numpy as _np
 
         from terra_bonobo_nodes_spark.llm.jpeg import decode_jpeg, encode_jpeg
 
         grad = self._gradient(37, 23)  # odd dims exercise padding
-        for sub, tol in (("444", 8), ("420", 16)):
+        for sub, tol in (("444", 8), ("422", 16), ("420", 16)):
             w, h, out = decode_jpeg(
                 encode_jpeg(37, 23, grad.tobytes(), subsampling=sub)
             )
@@ -1372,7 +1372,7 @@ def test_progressive_jpeg_decodes_bit_identical_to_baseline():
     rng = np.random.default_rng(17)
     for h, w in [(8, 8), (9, 13), (24, 40), (33, 17), (64, 64)]:
         img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-        for sub in ("444", "420", "gray"):
+        for sub in ("444", "422", "420", "gray"):
             prog = encode_jpeg(w, h, img.tobytes(), subsampling=sub, progressive=True)
             base = encode_jpeg(w, h, img.tobytes(), subsampling=sub)
             assert decode_jpeg(prog) == decode_jpeg(base), (h, w, sub)
@@ -1536,3 +1536,44 @@ def test_png_subbyte_invalid_forms_fail_fast():
     pal = bytes([0, 0, 0] * 2)  # 2 entries, but depth-2 samples reach 3
     with _pytest.raises(ValueError, match="out of range"):
         decode_png(encode_png_subbyte(4, 1, [0, 1, 3, 2], 2, palette=pal))
+
+
+def test_audio_spectral_features_through_spark(spark):
+    """Real DSP through the Arrow pipeline: a pure tone's energy lands
+    in the band containing its frequency, silence has zero crossings,
+    white noise spreads across bands, and rows are bit-stable."""
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm import multimodal
+    from terra_bonobo_nodes_spark.llm.codecs import encode_wav
+
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 second
+    tone = np.sin(2 * np.pi * 1000 * t)[:, None]  # 1 kHz
+    silence = np.zeros((rate, 1))
+    rng = np.random.RandomState(2)
+    noise = rng.uniform(-0.5, 0.5, size=(rate, 2))  # stereo noise
+    assets = spark.createDataFrame(
+        [
+            (1, encode_wav(rate, tone)),
+            (2, encode_wav(rate, silence)),
+            (3, encode_wav(rate, noise)),
+        ],
+        ["asset_id", "payload"],
+    )
+    feats = multimodal.audio_spectral_features(assets, n_bands=8)
+    rows = {r.asset_id: r for r in feats.collect()}
+    assert rows[1].sample_rate == rate and rows[1].n_windows > 10
+    # 1 kHz at 8 kHz rate, window 1024 -> bin 128 of 513; the dominant
+    # band must hold the overwhelming share of the energy
+    tone_bands = rows[1].band_energy
+    assert max(tone_bands) > 0.95, tone_bands
+    # zero-crossing rates: tone ~ 2*f/rate = 0.25, silence = 0
+    assert abs(rows[1].zcr - 0.25) < 0.01
+    assert rows[2].zcr == 0.0 and sum(rows[2].band_energy) == 0.0
+    # noise: energy spread (no band dominates like the tone's)
+    assert max(rows[3].band_energy) < 0.9
+    # determinism: identical rows on re-run
+    again = {r.asset_id: r for r in multimodal.audio_spectral_features(assets).collect()}
+    for k in rows:
+        assert tuple(rows[k]) == tuple(again[k])
