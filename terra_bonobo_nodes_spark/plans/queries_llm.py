@@ -1537,3 +1537,55 @@ def llm_codec_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(int(spark.sparkContext.defaultParallelism))
     )
     return multimodal.codec_roundtrip(ids)
+
+
+@register(
+    "llm_audio_spectral",
+    oracle=None,  # FFT is not SQL-expressible; determinism, tone/band
+    # alignment, and zcr math pinned by tests/test_llm_ops.py
+    tags=("llm", "multimodal", "audio"),
+)
+def llm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio curation features end to end: per doc_id, synthesize a
+    deterministic PCM tone (frequency keyed by id), encode it as a real
+    RIFF WAV, decode it back, and compute the spectral fingerprint
+    (``multimodal.audio_spectral_features``) — band energies exploded
+    to one row per (asset, band) so the output is flat columns."""
+    from terra_bonobo_nodes_spark.llm import multimodal
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 256)
+        .repartition(int(spark.sparkContext.defaultParallelism))
+    )
+
+    import pandas as pd  # noqa: F401  (mapInPandas batches)
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from terra_bonobo_nodes_spark.llm.codecs import encode_wav
+
+        rate = 4000
+        t = np.arange(rate // 2) / rate  # half-second clips
+        for pdf in batches:
+            ids_, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                freq = 100.0 + (did % 16) * 100.0  # 100..1600 Hz
+                tone = np.sin(2 * np.pi * freq * t)[:, None]
+                ids_.append(did)
+                payloads.append(encode_wav(rate, tone))
+            yield pd.DataFrame({"asset_id": ids_, "payload": payloads})
+
+    assets = ids.mapInPandas(synth, "asset_id long, payload binary")
+    feats = multimodal.audio_spectral_features(assets, n_bands=8)
+    return feats.select(
+        "asset_id",
+        "sample_rate",
+        "n_windows",
+        "zcr",
+        F.posexplode("band_energy").alias("band", "energy"),
+    )

@@ -120,6 +120,7 @@ _DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "llm_multimodal_decode",   # jpeg.py changed (fill bytes + progressive)
     "llm_incremental_dedup",   # dedup.py presig validation changed
     "llm_codec_throughput",    # new: codec bench row (rows-only by design)
+    "llm_audio_spectral",      # new: audio DSP row (rows-only by design)
 )
 
 
