@@ -268,3 +268,51 @@ def decontaminate_substring(
         "n_shared_fp",
         (F.col("n_shared_fp") >= F.lit(int(min_shared))).alias("contaminated"),
     )
+
+
+def source_quota_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    cap: int = 100,
+    id_col: str = "doc_id",
+    seed: str = "tbns-quota-v1",
+) -> DataFrame:
+    """Per-source contribution caps (the 'domain quota' curation step:
+    no single site/dump may dominate the mix): keep at most ``cap``
+    documents per source, chosen DETERMINISTICALLY by seeded hash rank
+    so the sample is reproducible and append-stable in the prefix sense
+    — a document's rank never improves when new documents arrive, so a
+    kept set only shrinks toward better-ranked newcomers, never
+    reshuffles arbitrarily.
+
+    Plan: ONE window shuffle on the source key (rank + filter); no
+    join, no collect. At 100 TB the hazard is a mega-source skewing one
+    partition — the window still computes (rank is a streaming window
+    function, no buffering past the frame), and AQE's skew handling
+    splits the sort; for pathological single-source corpora pre-salt by
+    ``hash(id) % k`` and take per-salt caps of ``cap/k``.
+    """
+    from pyspark.sql import Window
+
+    u = hash32(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_qrank", F.row_number().over(w))
+        .where(F.col("_qrank") <= cap)
+        .drop("_qrank")
+    )
+
+
+def collapse_repeated_tokens(
+    text: Column | str,
+) -> Column:
+    """Within-document cleaning: collapse CONSECUTIVE duplicate
+    whitespace tokens to one ('the the the cat' -> 'the cat') — the
+    stutter artifact OCR, scraped templates, and bad decoders produce.
+    Pure column expression (zero shuffle, zero Python): an indexed
+    filter lambda keeps a token only when it differs from its
+    predecessor."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, r"\s+")
+    kept = F.filter(toks, lambda t, i: (i == F.lit(0)) | (t != F.element_at(toks, i)))
+    return F.array_join(kept, " ")

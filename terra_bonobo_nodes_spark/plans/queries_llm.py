@@ -1589,3 +1589,64 @@ def llm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zcr",
         F.posexplode("band_energy").alias("band", "energy"),
     )
+
+
+@register(
+    "llm_source_quota_sample",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {hashing.hash32_sql("'tbns-quota-v1' || CAST(doc_id AS VARCHAR)")} ASC,
+                    doc_id ASC
+         ) AS rnk
+  FROM documents
+)
+SELECT doc_id, source, lang FROM ranked WHERE rnk <= 20
+""",
+    tags=("llm", "pipeline", "curation"),
+)
+def llm_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution caps (``corpus.source_quota_sample``):
+    at most 20 documents per source, hash-rank deterministic — the
+    domain-quota step that stops one crawl dump from dominating a mix.
+    One window shuffle; the oracle is the same window in SQL."""
+    from terra_bonobo_nodes_spark.llm import corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return corpus.source_quota_sample(docs, "source", cap=20, id_col="doc_id")
+
+
+@register(
+    "llm_collapse_repeated_tokens",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), kept AS (
+  SELECT doc_id, w, i,
+         lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw
+  FROM toks
+)
+SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS cleaned
+FROM kept WHERE pw IS NULL OR w != pw
+GROUP BY doc_id
+""",
+    tags=("llm", "curation"),
+)
+def llm_collapse_repeated_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document stutter removal
+    (``corpus.collapse_repeated_tokens``): consecutive duplicate tokens
+    collapse to one. Spark side is a pure column expression — ZERO
+    shuffle, no Python; the oracle needs an unnest + window + string_agg
+    to express the same thing, which is exactly why the array-lambda
+    form is the 100 TB shape."""
+    from terra_bonobo_nodes_spark.llm import corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id", corpus.collapse_repeated_tokens("text").alias("cleaned")
+    )

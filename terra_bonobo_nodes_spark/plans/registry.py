@@ -121,6 +121,8 @@ _DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "llm_incremental_dedup",   # dedup.py presig validation changed
     "llm_codec_throughput",    # new: codec bench row (rows-only by design)
     "llm_audio_spectral",      # new: audio DSP row (rows-only by design)
+    "llm_source_quota_sample",      # new: domain-quota curation step
+    "llm_collapse_repeated_tokens",  # new: within-doc stutter cleanup
 )
 
 

@@ -1577,3 +1577,41 @@ def test_audio_spectral_features_through_spark(spark):
     again = {r.asset_id: r for r in multimodal.audio_spectral_features(assets).collect()}
     for k in rows:
         assert tuple(rows[k]) == tuple(again[k])
+
+
+def test_source_quota_sample_caps_and_append_stability(spark):
+    """Domain quotas: per-source counts capped, deterministic, and
+    append-stable in the prefix sense — adding documents never lets a
+    previously-better-ranked keeper be displaced by a WORSE rank."""
+    from terra_bonobo_nodes_spark.llm.corpus import source_quota_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = source_quota_sample(df, "source", cap=5)
+    counts = {r[0]: r[1] for r in kept.groupBy("source").count().collect()}
+    assert counts == {"s0": 5, "s1": 5, "s2": 5}
+    kept_ids = {r.doc_id for r in kept.collect()}
+    # grow the corpus: survivors of the bigger set that existed before
+    # must be a subset of the original keepers (ranks only improve)
+    bigger = spark.createDataFrame(
+        rows + [(i, f"s{i % 3}") for i in range(60, 90)],
+        "doc_id long, source string",
+    )
+    kept2_ids = {r.doc_id for r in source_quota_sample(bigger, "source", cap=5).collect()}
+    assert kept2_ids & set(range(60)) <= kept_ids
+
+
+def test_collapse_repeated_tokens_edge_cases(spark):
+    from terra_bonobo_nodes_spark.llm.corpus import collapse_repeated_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the cat sat sat on on on the mat"),
+            (2, "a b a b a"),  # non-consecutive repeats survive
+            (3, "x"),
+            (4, "y y"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.c for r in df.select("doc_id", collapse_repeated_tokens("text").alias("c")).collect()}
+    assert got == {1: "the cat sat on the mat", 2: "a b a b a", 3: "x", 4: "y"}
