@@ -1650,3 +1650,72 @@ def llm_collapse_repeated_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", corpus.collapse_repeated_tokens("text").alias("cleaned")
     )
+
+
+@register(
+    "llm_embedding_gram",
+    oracle="""
+WITH flat AS (
+  SELECT vec_id,
+         unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) - 1 AS pos
+  FROM embeddings
+)
+SELECT a.pos AS i, b.pos AS j,
+       ROUND(SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)), 4) AS g
+FROM flat a JOIN flat b USING (vec_id)
+WHERE a.pos <= b.pos
+GROUP BY 1, 2
+""",
+    tags=("llm", "embeddings"),
+)
+def llm_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X^T X over the embedding corpus (``embeddings.embedding_gram``):
+    per-partition numpy partial grams + one tiny-key shuffle — the
+    second-order-statistics shape that stays linear at 100 TB (the
+    oracle has to explode-and-self-join to say the same thing). Feeds
+    driver-side PCA (d x d is driver-sized by construction)."""
+    from terra_bonobo_nodes_spark.llm import embeddings as E
+
+    return E.embedding_gram(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "llm_embedding_outliers",
+    oracle="""
+WITH flat AS (
+  SELECT vec_id, label,
+         unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+), cent AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(v AS DECIMAL(30,10))) / COUNT(*) AS DOUBLE) AS c
+  FROM flat GROUP BY 1, 2
+), d2 AS (
+  SELECT f.vec_id, f.label,
+         SUM((CAST(f.v AS DOUBLE) - c.c) * (CAST(f.v AS DOUBLE) - c.c)) AS ss
+  FROM flat f JOIN cent c ON f.label = c.label AND f.pos = c.pos
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT label, vec_id, ROUND(SQRT(ss), 4) AS dist,
+         row_number() OVER (
+           PARTITION BY label ORDER BY SQRT(ss) DESC, vec_id ASC
+         ) AS rank
+  FROM d2
+)
+SELECT label, vec_id, dist, rank FROM ranked WHERE rank <= 3
+""",
+    tags=("llm", "embeddings", "curation"),
+)
+def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 farthest vectors from their own label centroid
+    (``embeddings.label_centroid_outliers``) — the corrupt/mislabeled
+    embedding screen. Centroids are DECIMAL-exact per-dimension means
+    that broadcast back into the scan; distances are zip_with/aggregate
+    column expressions, JVM-side."""
+    from terra_bonobo_nodes_spark.llm import embeddings as E
+
+    return E.label_centroid_outliers(
+        load_table(spark, sf_dir, "embeddings"), k=3
+    )

@@ -123,6 +123,8 @@ _DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "llm_audio_spectral",      # new: audio DSP row (rows-only by design)
     "llm_source_quota_sample",      # new: domain-quota curation step
     "llm_collapse_repeated_tokens",  # new: within-doc stutter cleanup
+    "llm_embedding_gram",        # new: distributed X^T X
+    "llm_embedding_outliers",    # new: centroid-distance screen
 )
 
 

@@ -1615,3 +1615,55 @@ def test_collapse_repeated_tokens_edge_cases(spark):
     )
     got = {r.doc_id: r.c for r in df.select("doc_id", collapse_repeated_tokens("text").alias("c")).collect()}
     assert got == {1: "the cat sat on the mat", 2: "a b a b a", 3: "x", 4: "y"}
+
+
+def test_pca_recovers_planted_direction(spark):
+    """Distributed gram -> driver eigh -> distributed projection: on a
+    corpus planted with one dominant direction, the first component
+    must align with it (|cos| > 0.99) and projections must match a
+    local numpy computation."""
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm import embeddings as E
+
+    rng = np.random.RandomState(4)
+    d, n = 16, 400
+    direction = rng.randn(d)
+    direction /= np.linalg.norm(direction)
+    data = (
+        rng.randn(n)[:, None] * 5.0 * direction[None, :]
+        + rng.randn(n, d) * 0.3
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<double>",
+    )
+    gram = E.embedding_gram(df, round_dp=None)
+    comps = E.pca_components(gram, d, 2)
+    assert abs(float(np.dot(comps[0], direction))) > 0.99
+    # unit rows, deterministic sign
+    assert np.allclose(np.linalg.norm(comps, axis=1), 1.0)
+    assert comps[0][int(np.argmax(np.abs(comps[0])))] > 0
+    # projection matches numpy (4dp contract)
+    got = {r.vec_id: r.pca for r in E.pca_project(df, comps).select("vec_id", "pca").collect()}
+    want = data @ comps.T
+    for i in range(0, n, 57):
+        assert abs(got[i][0] - round(float(want[i][0]), 4)) <= 1e-3
+        assert abs(got[i][1] - round(float(want[i][1]), 4)) <= 1e-3
+
+
+def test_label_centroid_outliers_flags_planted_outlier(spark):
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm import embeddings as E
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for i in range(60):
+        base = [float(x) for x in rng.randn(8) * 0.1]
+        rows.append((i, i % 2, base))
+    rows.append((999, 0, [50.0] * 8))  # the corrupt vector
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    out = E.label_centroid_outliers(df, k=1)
+    top = {r.label: r.vec_id for r in out.collect()}
+    assert top[0] == 999
