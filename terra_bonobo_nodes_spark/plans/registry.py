@@ -84,6 +84,15 @@ def register(
 # straggler a2_union_area_dissolve the round-6 verdict flagged) +
 # 7 changed + 1 new = exactly DRIVER_CAP.
 #
+# CAPACITY CEILING (standing): 145 registered / 50 per round = a
+# 2.9-round refresh cycle — the registry is AT the 3-round freshness
+# capacity, with ~5 slots of churn (changed-code re-greens + new first
+# rows) per 3-round window. Round 8+ builders: prefer re-greening and
+# deepening over widening; adding a query now requires either retiring
+# one or an explicit ledger note accepting where the slack comes from.
+# test_rotation_freshness.py::test_budget_arithmetic_holds enforces the
+# per-round arithmetic either way.
+#
 # DEFERRED-MAINTENANCE LEDGER (round 7): the ADVICE_r06 fixes to
 # llm/jpeg.py (0xFF fill bytes) and llm/dedup.py::minhash_lsh_match
 # (presig validation) change code under llm_multimodal_decode and

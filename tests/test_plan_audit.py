@@ -151,3 +151,46 @@ def test_bm25_corpus_scans_are_bounded(spark):
     q = all_queries()["llm_bm25_keyword_topk"]
     plan = q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("documents.parquet") <= 2
+
+
+def test_collapse_repeated_tokens_is_shuffle_free(spark):
+    """llm_collapse_repeated_tokens: a pure column expression — the
+    plan must contain NO exchange and NO Python stage at all."""
+    q = all_queries()["llm_collapse_repeated_tokens"]
+    plan = q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_source_quota_is_one_window_exchange(spark):
+    """llm_source_quota_sample: rank + filter ride exactly one
+    hashpartitioning exchange on the source key."""
+    q = all_queries()["llm_source_quota_sample"]
+    plan = q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_embedding_gram_partials_shuffle_tiny_keys(spark):
+    """llm_embedding_gram: ONE mapInPandas stage producing per-partition
+    partials, then one aggregate on (i, j) — the corpus itself must
+    never hash-shuffle (the exchange moves d(d+1)/2 keys per partition,
+    not rows)."""
+    q = all_queries()["llm_embedding_gram"]
+    plan = q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    # one exchange total: the partial-gram aggregation
+    assert plan.count("Exchange hashpartitioning") == 1
+    # and it sits ABOVE the python stage (partials, not vectors, move)
+    assert plan.index("Exchange hashpartitioning") < plan.index("MapInPandas")
+
+
+def test_embedding_outliers_centroids_broadcast_back(spark):
+    """llm_embedding_outliers: the per-label centroid table must come
+    back via a broadcast join — the scan side re-reads embeddings
+    without a hash shuffle on the join key (only the rank window
+    repartitions by label)."""
+    q = all_queries()["llm_embedding_outliers"]
+    plan = q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
