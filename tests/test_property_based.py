@@ -377,3 +377,64 @@ def test_truncated_codec_payloads_fail_cleanly(cut, filter_type):
 
 
 import struct  # noqa: E402  (used by the truncation property)
+
+
+# --- round 7: progressive JPEG + sub-byte PNG properties ---------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(rgb_image, st.sampled_from(["444", "422", "420", "gray"]))
+def test_progressive_equals_baseline_any_shape(img, sub):
+    """The invariant that makes progressive trustworthy: for ANY image,
+    size, and subsampling, the multi-scan decode reconstructs exactly
+    the coefficients the single-scan decode does."""
+    from terra_bonobo_nodes_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    w, h, rnd = img
+    rgb = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+    assert decode_jpeg(
+        encode_jpeg(w, h, rgb, subsampling=sub, progressive=True)
+    ) == decode_jpeg(encode_jpeg(w, h, rgb, subsampling=sub))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([1, 2, 4]),
+    st.sampled_from([0, 2]),
+    st.randoms(use_true_random=False),
+)
+def test_png_subbyte_roundtrip_any_shape(w, h, depth, ft, rnd):
+    """Sub-byte gray PNGs round-trip exactly (scaled by 255/(2^d-1))
+    for any shape — row bit-padding is the property under test."""
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm.codecs import decode_png, encode_png_subbyte
+
+    samples = [rnd.randrange(1 << depth) for _ in range(w * h)]
+    dw, dh, rgb = decode_png(encode_png_subbyte(w, h, samples, depth, filter_type=ft))
+    assert (dw, dh) == (w, h)
+    scale = 255 // ((1 << depth) - 1)
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    assert (a[..., 0] == np.array(samples, dtype=np.uint8).reshape(h, w) * scale).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=2, max_value=250))
+def test_truncated_progressive_jpeg_fails_cleanly(cut):
+    """Truncation anywhere in a multi-scan file must raise an ordinary
+    parse error (or decode shape-consistently for trailing-byte cuts) —
+    same contract as the baseline truncation property."""
+    from terra_bonobo_nodes_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    rgb = bytes(range(48)) * 4  # 8x8
+    payload = encode_jpeg(8, 8, rgb, progressive=True)
+    trunc = payload[: max(2, len(payload) - cut)]
+    if trunc == payload:
+        return
+    try:
+        w, h, out = decode_jpeg(trunc)
+    except (ValueError, NotImplementedError, IndexError, struct.error, KeyError):
+        return
+    assert (w, h) == (8, 8) and len(out) == 8 * 8 * 3
