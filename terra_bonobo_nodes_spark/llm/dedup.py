@@ -113,6 +113,7 @@ def minhash_signatures(
     n_hashes: int = 16,
     shingle_n: int = 5,
     word_grams: bool = False,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, sig) MinHash signatures via the *inverted* formulation:
     explode distinct shingles to rows, hash each ONCE, then
@@ -138,10 +139,20 @@ def minhash_signatures(
     # unrolled substr/ascii polynomial costs ~5x md5 because EACH
     # substring+ascii expression call carries ~µs-scale per-row overhead
     # (one substr+ascii alone: 3.2s; full 5-step Horner: 6.9s; a single
-    # md5+conv call: 2.4s; xxhash64 would be 0.3s but has no DuckDB
-    # mirror). Fewer expression calls win — md5-based hash32 for both
-    # shingle kinds, identical on the oracle side via hash32_sql.
-    shingle_hash = hash32(F.col("shingle"))
+    # md5+conv call: 2.4s; xxhash64: ~0.3s but no DuckDB mirror).
+    # Fewer expression calls win — md5-based hash32 stays the DEFAULT
+    # because it is oracle-mirrorable via hash32_sql; hash_fn="xxhash64"
+    # is the production lever (same banding math, ~8x cheaper shingle
+    # hashing; signatures are NOT interchangeable across hash_fn values,
+    # so persisted-signature pipelines must pick one and stick to it).
+    if hash_fn == "md5":
+        shingle_hash = hash32(F.col("shingle"))
+    elif hash_fn == "xxhash64":
+        from terra_bonobo_nodes_spark.llm.hashing import shingle_hash_fast
+
+        shingle_hash = shingle_hash_fast(F.col("shingle"))
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     posting = explode_fn(df, id_col, text_col, shingle_n).select(
         id_col, shingle_hash.alias("_h")
     )
@@ -172,9 +183,13 @@ def minhash_lsh_pairs(
     max_band_bucket: int | None = None,
     persist_signatures: bool = True,
     with_metrics: bool = False,
+    hash_fn: str = "md5",
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """LSH candidate pairs (id_a < id_b) with the MinHash-estimated
     jaccard (fraction of equal signature components).
+    ``hash_fn="xxhash64"`` switches the shingle hash to the ~8x-cheaper
+    JVM fast path (see :func:`minhash_signatures`) — the production
+    setting when no engine-external oracle has to replay the hashes.
 
     Plan shape: signatures (narrow) → explode bands (xN) → self-join on
     (band, hash) → distinct pairs → estimate. The distinct collapses
@@ -188,7 +203,9 @@ def minhash_lsh_pairs(
     """
     assert n_hashes % bands == 0, "bands must divide n_hashes"
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n, word_grams)
+    sigs = minhash_signatures(
+        df, text_col, id_col, n_hashes, shingle_n, word_grams, hash_fn
+    )
     if persist_signatures:
         # the self-join references sigs on both sides and Catalyst can't
         # reuse across a BroadcastExchange — without this the whole
@@ -607,6 +624,7 @@ def minhash_lsh_match(
     min_est_jaccard: float = 0.0,
     max_band_bucket: int | None = None,
     with_metrics: bool = False,
+    hash_fn: str = "md5",
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Incremental-ingestion dedup: LSH-match NEW documents against an
     EXISTING corpus — the asymmetric form of :func:`minhash_lsh_pairs`
@@ -655,7 +673,7 @@ def minhash_lsh_match(
             sigs = df.select(F.col(id_col).alias(out_id), sig_ok.alias("sig"))
         else:
             sigs = minhash_signatures(
-                df, text_col, id_col, n_hashes, shingle_n, word_grams
+                df, text_col, id_col, n_hashes, shingle_n, word_grams, hash_fn
             ).select(F.col(id_col).alias(out_id), "sig")
         return sigs.select(
             out_id,

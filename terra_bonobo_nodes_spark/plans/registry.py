@@ -134,6 +134,12 @@ _DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "llm_collapse_repeated_tokens",  # new: within-doc stutter cleanup
     "llm_embedding_gram",        # new: distributed X^T X
     "llm_embedding_outliers",    # new: centroid-distance screen
+    # hash_fn param threaded through the minhash family (additive,
+    # default-preserving, calibration-pinned in pytest) — their r06
+    # greens are stale-by-rule, re-green with the rest of this block:
+    "llm_minhash_lsh_pairs",
+    "llm_dedup_components",
+    "llm_dedup_keep_policy",
 )
 
 

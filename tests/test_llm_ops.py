@@ -1667,3 +1667,48 @@ def test_label_centroid_outliers_flags_planted_outlier(spark):
     out = E.label_centroid_outliers(df, k=1)
     top = {r.label: r.vec_id for r in out.collect()}
     assert top[0] == 999
+
+
+def test_minhash_xxhash64_fast_path_calibrated_and_equivalent(spark):
+    """hash_fn='xxhash64' (the production shingle hash — one JVM call
+    instead of md5+hex+conv) must be a drop-in: same near-dup detection
+    on planted duplicates, and a mean estimate calibrated to the true
+    jaccard within sampling noise. Signatures are NOT interchangeable
+    across hash_fn values (documented); bad values fail fast."""
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm.dedup import minhash_lsh_pairs, minhash_signatures
+
+    rng = np.random.default_rng(1)
+    words = [f"w{i:03d}" for i in range(300)]
+    rows = []
+    for p in range(30):  # planted pairs sharing 2/3 of their words
+        base = list(rng.choice(words, 60, replace=False))
+        rows.append((2 * p, " ".join(rng.permutation(base[:50]))))
+        rows.append((2 * p + 1, " ".join(rng.permutation(base[10:60]))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def sh(t, n=5):
+        return {t[i : i + n] for i in range(len(t) - n + 1)}
+
+    true_j = float(
+        np.mean(
+            [
+                len(sh(rows[2 * p][1]) & sh(rows[2 * p + 1][1]))
+                / len(sh(rows[2 * p][1]) | sh(rows[2 * p + 1][1]))
+                for p in range(30)
+            ]
+        )
+    )
+    for fn in ("md5", "xxhash64"):
+        pairs = minhash_lsh_pairs(
+            docs, min_est_jaccard=0.01, n_hashes=16, bands=16, hash_fn=fn
+        )
+        got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
+        ests = [got.get((2 * p, 2 * p + 1), 0.0) for p in range(30)]
+        assert abs(float(np.mean(ests)) - true_j) < 0.08, (fn, np.mean(ests), true_j)
+        # every planted pair is a candidate under exhaustive banding
+        assert all(e > 0 for e in ests), fn
+
+    with pytest.raises(ValueError, match="hash_fn"):
+        minhash_signatures(docs, hash_fn="sha1")
