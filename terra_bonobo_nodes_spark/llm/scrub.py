@@ -199,3 +199,55 @@ def remove_boilerplate(
         .alias("n_dropped_doc_paras"),
     )
     return result, metrics
+
+
+def _mojibake_table() -> list[tuple[str, str]]:
+    """(mojibake, fixed) pairs for the classic web-crawl corruption:
+    UTF-8 bytes misdecoded as cp1252/latin-1 ('é' -> 'Ã©',
+    '’' -> 'â€™'). Generated from the character list at
+    plan-build time — no table to transcribe — and ordered longest
+    mojibake first so 3-byte sequences repair before their 2-byte
+    prefixes."""
+    chars = (
+        "éèêëàáâäãçíìîïóòôöõúùûüñýÿßÉÈÊÀÁÂÄÇÍÎÏÓÔÖÚÛÜÑ"
+        "‘’“”–—…€«»°æøå"
+    )
+    out = []
+    for ch in chars:
+        raw = ch.encode("utf-8")
+        try:
+            bad = raw.decode("cp1252")
+        except UnicodeDecodeError:
+            # cp1252 leaves 5 bytes undefined; real-world decoders fall
+            # back to latin-1 control chars there (ftfy's sloppy-cp1252)
+            bad = "".join(
+                bytes([b]).decode("cp1252", errors="ignore") or bytes([b]).decode("latin-1")
+                for b in raw
+            )
+        if bad != ch:
+            out.append((bad, ch))
+    return sorted(out, key=lambda p: -len(p[0]))
+
+
+def fix_mojibake(text: Column | str) -> Column:
+    """Repair UTF-8-as-cp1252 double-encoding for the common Western
+    European + punctuation set, as a chain of LITERAL replaces (no
+    regex engine, JVM-side, zero shuffle). Not a general ftfy — a
+    deterministic repair of the single most common crawl corruption;
+    characters outside the table pass through untouched."""
+    c: Column = F.col(text) if isinstance(text, str) else text
+    for bad, good in _mojibake_table():
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    return c
+
+
+def mojibake_ratio(text: Column | str) -> Column:
+    """Fraction of characters that participate in a known mojibake
+    sequence — the curation signal for routing documents through
+    :func:`fix_mojibake` (or dropping them). Column-only: length delta
+    after repair, over original length."""
+    c: Column = F.col(text) if isinstance(text, str) else text
+    fixed_len = F.length(fix_mojibake(c))
+    return F.when(F.length(c) > 0, (F.length(c) - fixed_len) / F.length(c)).otherwise(
+        F.lit(0.0)
+    )

@@ -1712,3 +1712,35 @@ def test_minhash_xxhash64_fast_path_calibrated_and_equivalent(spark):
 
     with pytest.raises(ValueError, match="hash_fn"):
         minhash_signatures(docs, hash_fn="sha1")
+
+
+def test_fix_mojibake_repairs_double_encoding(spark):
+    """UTF-8-as-cp1252 double-encoding (the classic crawl corruption)
+    must repair exactly for the covered character set, flag a nonzero
+    mojibake ratio before repair, and leave clean text untouched."""
+    from terra_bonobo_nodes_spark.llm.scrub import (
+        _mojibake_table,
+        fix_mojibake,
+        mojibake_ratio,
+    )
+
+    good = "café — “l’été” coûte €5 à Besançon, naïveté garantie"
+    # corrupt per character in ONE pass (real mojibake is a single
+    # byte-level misdecode, not iterated string replaces)
+    tbl = {fixed: broken for broken, fixed in _mojibake_table()}
+    bad = "".join(tbl.get(ch, ch) for ch in good)
+    assert bad != good
+    df = spark.createDataFrame(
+        [(1, bad), (2, "plain ascii stays"), (3, None)], "id long, text string"
+    )
+    rows = {
+        r.id: (r.f, r.r)
+        for r in df.select(
+            "id",
+            fix_mojibake("text").alias("f"),
+            mojibake_ratio("text").alias("r"),
+        ).collect()
+    }
+    assert rows[1][0] == good and rows[1][1] > 0.1
+    assert rows[2] == ("plain ascii stays", 0.0)
+    assert rows[3][0] is None  # NULL passes through
