@@ -654,10 +654,13 @@ def minhash_lsh_match(
             # dtype eagerly and the length in-plan (assert_true wired
             # into the projection so pruning can't drop the guard).
             sig_t = dict(df.dtypes)["sig"]
-            if not sig_t.startswith("array<"):
+            if sig_t != "array<bigint>":
+                # exact element type, not just "some array": a
+                # coincidental array<double> (e.g. an embedding) of the
+                # right length would otherwise hash garbage bands
                 raise ValueError(
                     f"minhash_lsh_match: column 'sig' has type {sig_t}, "
-                    "expected the array signature produced by "
+                    "expected array<bigint> as produced by "
                     "minhash_signatures — rename the column if it is not "
                     "a precomputed signature"
                 )

@@ -242,10 +242,12 @@ def fix_mojibake(text: Column | str) -> Column:
 
 
 def mojibake_ratio(text: Column | str) -> Column:
-    """Fraction of characters that participate in a known mojibake
-    sequence — the curation signal for routing documents through
-    :func:`fix_mojibake` (or dropping them). Column-only: length delta
-    after repair, over original length."""
+    """Length-SHRINK fraction under repair: (len(text) - len(fixed)) /
+    len(text) — 0.0 for clean text, up to ~0.5 (2-byte sequences) or
+    ~0.67 (3-byte) for fully corrupted text. It is a routing signal,
+    not a per-character participation rate: anything > 0 contains
+    repairable mojibake, so thresholds belong near 0 (e.g. route to
+    :func:`fix_mojibake` when ratio > 0.01), never near 1."""
     c: Column = F.col(text) if isinstance(text, str) else text
     fixed_len = F.length(fix_mojibake(c))
     return F.when(F.length(c) > 0, (F.length(c) - fixed_len) / F.length(c)).otherwise(

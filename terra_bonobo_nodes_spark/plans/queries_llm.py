@@ -1622,9 +1622,11 @@ def llm_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_collapse_repeated_tokens",
     oracle="""
 WITH toks AS (
+  -- regex split to mirror the Spark side's split on \\s+: a document
+  -- with a double space / tab / newline must tokenize identically
   SELECT doc_id,
-         unnest(string_split(text, ' ')) AS w,
-         generate_subscripts(string_split(text, ' '), 1) AS i
+         unnest(string_split_regex(text, '\s+')) AS w,
+         generate_subscripts(string_split_regex(text, '\s+'), 1) AS i
   FROM documents
 ), kept AS (
   SELECT doc_id, w, i,
@@ -1698,9 +1700,12 @@ WITH flat AS (
   FROM flat f JOIN cent c ON f.label = c.label AND f.pos = c.pos
   GROUP BY 1, 2
 ), ranked AS (
+  -- rank on the ROUNDED distance (as the Spark side does): 4dp is what
+  -- absorbs cross-engine summation-order noise, so ranking on the raw
+  -- value would let 1e-16 drift flip near-tied ranks between engines
   SELECT label, vec_id, ROUND(SQRT(ss), 4) AS dist,
          row_number() OVER (
-           PARTITION BY label ORDER BY SQRT(ss) DESC, vec_id ASC
+           PARTITION BY label ORDER BY ROUND(SQRT(ss), 4) DESC, vec_id ASC
          ) AS rank
   FROM d2
 )

@@ -163,8 +163,16 @@ def test_minhash_lsh_match_rejects_non_array_sig_column(spark):
         [(1, "some text here", "coincidence")], "doc_id long, text string, sig string"
     )
     corpus = spark.createDataFrame([(2, "some text here")], "doc_id long, text string")
-    with pytest.raises(ValueError, match="expected the array signature"):
+    with pytest.raises(ValueError, match="expected array<bigint>"):
         minhash_lsh_match(new, corpus, n_hashes=8, bands=4)
+    # a coincidental array<double> of the right LENGTH must also refuse
+    # (the post-review hardening: length alone was not enough)
+    embed = spark.createDataFrame(
+        [(1, "some text here", [float(i) for i in range(8)])],
+        "doc_id long, text string, sig array<double>",
+    )
+    with pytest.raises(ValueError, match="expected array<bigint>"):
+        minhash_lsh_match(embed, corpus, n_hashes=8, bands=4)
 
 
 def test_minhash_lsh_match_rejects_wrong_length_sig(spark):
