@@ -1,9 +1,16 @@
 """Large-scale training-data pipeline operators.
 
 Beyond the reference's surface (BASELINE.json north star): deduplication
-(exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine),
-similarity search (brute-force + LSH ANN), text analysis (language id,
-quality scoring, token counting, fingerprinting), and multimodal binary
-column plumbing. All shuffle-conscious: blocking keys before pairwise
-work, banding before joins, no driver-side collects.
+(exact, MinHash+LSH incl. incremental ingestion, SimHash, n-gram
+Jaccard, embedding cosine), similarity search (brute-force, LSH/IVF
+ANN, int8 rerank), text analysis and hygiene (language id, quality
+scoring, token counting, fingerprinting, PII scrub, boilerplate and
+stutter removal, mojibake repair, decontamination), corpus assembly
+(hash/stratified/temperature/reservoir/quota sampling, pack-and-chunk,
+trainable BPE), embedding analytics (gram/PCA, centroid outliers),
+retrieval (BM25), and multimodal columns with REAL pure-Python codecs
+(PNG incl. sub-byte + Adam7, baseline + progressive JPEG, BMP/PPM/WAV,
+spectral audio features). All shuffle-conscious: blocking keys before
+pairwise work, banding before joins, driver collects only for bounded
+statistics by documented contract.
 """
