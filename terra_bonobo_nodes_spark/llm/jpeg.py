@@ -25,9 +25,11 @@ implemented here from the JFIF/T.81 baseline spec:
   avoids transcribing the 162-entry Annex K tables by hand.
   ``progressive=True`` emits a real multi-scan file (DC first at
   Al=1 + DC refine, split AC bands at Al=1 + AC refine, cross-block
-  EOB runs with buffered correction bits) so the decoder's
-  progressive paths are exercised by our own fixtures. Compression is
-  a little worse than libjpeg's; correctness is what fixtures need.
+  EOB runs with buffered correction bits, optional DRI/RSTn restart
+  intervals with per-interval predictor/EOB-run resets) so the
+  decoder's progressive paths are exercised by our own fixtures.
+  Compression is a little worse than libjpeg's; correctness is what
+  fixtures need.
 
 JPEG is lossy: tests assert tolerance bands (exact for uniform blocks,
 small max-error for smooth content), not byte equality.
@@ -307,10 +309,6 @@ def encode_jpeg(
     in this fixture encoder)."""
     if len(rgb) != width * height * 3:
         raise ValueError("rgb length != width*height*3")
-    if progressive and restart_interval:
-        raise ValueError(
-            "fixture encoder supports restart intervals only for baseline"
-        )
     samp = {
         "444": [(1, 1), (1, 1), (1, 1)],
         "422": [(2, 1), (1, 1), (1, 1)],  # horizontal-only chroma halving
@@ -340,7 +338,7 @@ def encode_jpeg(
         planes.append(p)
 
     if progressive:
-        return _encode_progressive(planes, samp, width, height)
+        return _encode_progressive(planes, samp, width, height, restart_interval)
 
     nc = len(samp)
     w = _BitWriter()
@@ -500,12 +498,20 @@ def _emit_ac_refine(
 
 
 def _encode_progressive(
-    planes: list["np.ndarray"], samp: list[tuple[int, int]], width: int, height: int
+    planes: list["np.ndarray"],
+    samp: list[tuple[int, int]],
+    width: int,
+    height: int,
+    restart_interval: int = 0,
 ) -> bytes:
     """SOF2 multi-scan writer. Scan script (exercises every decoder
     path): interleaved DC first at Al=1; per-component AC bands
     (1-5, 6-63) at Al=1; interleaved DC refine to Al=0; per-component
-    AC refine to Al=0. AC scans are non-interleaved as T.81 requires."""
+    AC refine to Al=0. AC scans are non-interleaved as T.81 requires.
+    ``restart_interval`` > 0 emits DRI + RSTn every that many MCUs
+    (interleaved scans) / data units (non-interleaved scans), with DC
+    predictors and the end-of-band run reset per interval — the
+    restart layout real progressive web JPEGs carry."""
     nc = len(samp)
     qtabs = [_Q_LUMA, _Q_CHROMA, _Q_CHROMA][:nc]
     hmax = max(h for h, _ in samp)
@@ -539,8 +545,13 @@ def _encode_progressive(
     def _dc_scan(ah: int, al: int) -> bytes:
         w = _BitWriter()
         preds = [0] * nc
+        mcu_idx = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                    w.restart(mcu_idx // restart_interval - 1)
+                    preds = [0] * nc
+                mcu_idx += 1
                 for ci, (h, v) in enumerate(samp):
                     for bv in range(v):
                         for bh_ in range(h):
@@ -564,8 +575,15 @@ def _encode_progressive(
         w = _BitWriter()
         st = _ProgACState(w, _AC_PROG_ENC)
         bh_n, bw = _ac_block_grid(ci)
+        unit = 0
         for by in range(bh_n):
             for bx in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    # the EOB run (and its buffered bits) may not cross
+                    # a restart boundary — flush BEFORE aligning
+                    st.flush()
+                    w.restart(unit // restart_interval - 1)
+                unit += 1
                 band = coefs[ci][by, bx, ss : se + 1]
                 if ah == 0:
                     _emit_ac_first(st, band, al)
@@ -594,6 +612,11 @@ def _encode_progressive(
         + _dht_segment(1, 0, _AC_PROG_BITS, _AC_PROG_VALS)
         + _dht_segment(0, 1, _DC_BITS, _DC_VALS)
         + _dht_segment(1, 1, _AC_PROG_BITS, _AC_PROG_VALS)
+        + (
+            b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+            if restart_interval
+            else b""
+        )
     )
     all_dc = [(ci + 1, (0 if ci == 0 else 1) << 4) for ci in range(nc)]
     out += _sos(all_dc, 0, 0, 0, 1) + _dc_scan(0, 1)

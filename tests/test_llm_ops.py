@@ -1809,3 +1809,28 @@ def test_bpe_word_table_contract(spark):
     wf = bpe.word_frequencies(docs, max_words=100_000)
     with _pytest.raises(ValueError, match="max_words"):
         bpe.train_bpe(wf, n_merges=5, max_words=3)
+
+
+def test_progressive_jpeg_restart_intervals():
+    """Progressive + DRI/RSTn (the layout real web progressive files
+    carry): every interval resets DC predictors and the EOB run, and
+    the decode must be bit-identical to the same image without
+    restarts — across subsamplings and down to interval=1 (a restart
+    between every single data unit, the maximum-stress case)."""
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    for sub in ("444", "422", "420", "gray"):
+        plain = decode_jpeg(
+            encode_jpeg(40, 24, img.tobytes(), subsampling=sub, progressive=True)
+        )
+        for ri in (1, 3, 7):
+            with_rst = encode_jpeg(
+                40, 24, img.tobytes(),
+                subsampling=sub, progressive=True, restart_interval=ri,
+            )
+            assert b"\xff\xdd" in with_rst  # DRI present
+            assert decode_jpeg(with_rst) == plain, (sub, ri)
