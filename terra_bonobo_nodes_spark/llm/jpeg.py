@@ -876,13 +876,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             b = 0
             while b < len(body):
                 prec, tid = body[b] >> 4, body[b] & 0x0F
-                if prec != 0:
-                    raise NotImplementedError("16-bit quant tables unsupported")
+                if prec not in (0, 1):
+                    raise ValueError(f"invalid DQT precision {prec}")
                 q = np.zeros((8, 8), dtype=np.int32)
                 for i, (r, c) in enumerate(_ZIGZAG):
-                    q[r, c] = body[b + 1 + i]
+                    if prec:  # 16-bit entries (high-quality encoders)
+                        q[r, c] = (body[b + 1 + 2 * i] << 8) | body[b + 2 + 2 * i]
+                    else:
+                        q[r, c] = body[b + 1 + i]
                 qtables[tid] = q
-                b += 65
+                b += 1 + 64 * (2 if prec else 1)
         elif marker == 0xC4:  # DHT (tables may also arrive between scans)
             b = 0
             while b < len(body):

@@ -1834,3 +1834,37 @@ def test_progressive_jpeg_restart_intervals():
             )
             assert b"\xff\xdd" in with_rst  # DRI present
             assert decode_jpeg(with_rst) == plain, (sub, ri)
+
+
+def test_jpeg_16bit_quant_tables_decode():
+    """DQT precision 1 (16-bit entries, the high-quality-encoder
+    layout): rewrite a fixture's 8-bit DQTs as 16-bit with identical
+    values — the decode must be byte-identical."""
+    import struct as _struct
+
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    plain = encode_jpeg(24, 16, img.tobytes())
+    want = decode_jpeg(plain)
+
+    out = bytearray()
+    pos = 0
+    while pos < len(plain):
+        if plain[pos : pos + 2] == b"\xff\xdb":
+            (seglen,) = _struct.unpack_from(">H", plain, pos + 2)
+            body = plain[pos + 4 : pos + 2 + seglen]
+            tid = body[0] & 0x0F
+            wide = bytes([0x10 | tid]) + b"".join(
+                _struct.pack(">H", v) for v in body[1:65]
+            )
+            out += b"\xff\xdb" + _struct.pack(">H", len(wide) + 2) + wide
+            pos += 2 + seglen
+        else:
+            out.append(plain[pos])
+            pos += 1
+    assert bytes(out) != plain
+    assert decode_jpeg(bytes(out)) == want
