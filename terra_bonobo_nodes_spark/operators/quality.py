@@ -123,3 +123,50 @@ def profile_columns(
         "column", "n_rows", "n_null", "n_distinct",
         "min_num", "max_num", "min_str", "max_str", "mean",
     )
+
+
+def partition_skew_report(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    top_n: int = 10,
+) -> DataFrame:
+    """The pre-repartition diagnostic a 100 TB job runs when a stage
+    straggles: per-partition row counts (physical balance — is one task
+    doing all the work?) and, when ``key_cols`` is given, the ``top_n``
+    heaviest key groups (logical skew — which keys need salting or an
+    AQE skew-join). One scan per facet, both map-side combinable;
+    output is a single tidy report: (facet, key, n_rows) with facet in
+    {'partition', 'hot_key'} and key a string (partition id or the
+    '\\x1f'-joined key tuple)."""
+    parts = (
+        df.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.lit("partition").alias("facet"),
+            F.col("_pid").cast("string").alias("key"),
+            "n_rows",
+        )
+    )
+    if not key_cols:
+        return parts
+    from pyspark.sql import Window
+
+    hot = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.orderBy(F.col("n_rows").desc(), *[F.col(c) for c in key_cols])
+            ),
+        )
+        .where(F.col("_r") <= top_n)
+        .select(
+            F.lit("hot_key").alias("facet"),
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols]).alias(
+                "key"
+            ),
+            "n_rows",
+        )
+    )
+    return parts.unionByName(hot)

@@ -268,3 +268,29 @@ def test_codec_roundtrip_deterministic_and_correct(spark):
     assert a[0].mean_r == round(float(img[..., 0].mean()), 4)
     # JPEG is lossy but close on noise means (DC is exact to ~q/2)
     assert abs(a[1].mean_r - 127.5) < 30
+
+
+# --- partition/key skew diagnostic (round 7) -----------------------------------
+
+
+def test_partition_skew_report(spark):
+    from terra_bonobo_nodes_spark.operators.quality import partition_skew_report
+
+    df = (
+        spark.range(1000)
+        .withColumn(
+            "k",
+            F.when(F.col("id") < 900, "hot").otherwise(F.col("id").cast("string")),
+        )
+        .repartition(4)
+    )
+    rows = {
+        (r.facet, r.key): r.n_rows
+        for r in partition_skew_report(df, ["k"], top_n=3).collect()
+    }
+    parts = {k: v for (f, k), v in rows.items() if f == "partition"}
+    hot = {k: v for (f, k), v in rows.items() if f == "hot_key"}
+    assert sum(parts.values()) == 1000 and len(parts) == 4
+    assert hot["hot"] == 900 and len(hot) == 3
+    # physical facet alone when no keys are given
+    assert {r.facet for r in partition_skew_report(df).collect()} == {"partition"}
