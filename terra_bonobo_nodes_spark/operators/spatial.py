@@ -211,6 +211,104 @@ def release_spatial_caches() -> None:
     _LIVE_CACHES.clear()
 
 
+_KDB_STRIPS_X = 8  # leaves per axis for strategy="kdb" (64 total)
+_KDB_STRIPS_Y = 8
+
+
+def _strip_index(bounds: Column, v: Column) -> Column:
+    """Index of ``v`` among sorted interior ``bounds``: the count of
+    boundaries <= v — a branch-free binary-search substitute that stays
+    inside whole-stage codegen for the small boundary arrays here."""
+    return F.aggregate(
+        bounds,
+        F.lit(0),
+        lambda acc, b: acc + F.when(b <= v, 1).otherwise(0),
+    )
+
+
+def _kdb_candidates(
+    rec: DataFrame,
+    lay: DataFrame,
+    rec_bbox: Column,
+    lay_bbox: Column,
+) -> DataFrame:
+    """The ADAPTIVE big-big path (Sedona-style sampled partitioning as
+    a two-level KDB tree): the uniform grid's weakness is skew — urban
+    clusters put most envelopes in a few hot cells no matter the cell
+    size. Here the record side's centroid QUANTILES choose the
+    partition boundaries instead: x splits into equal-count strips
+    (percentile_approx, one aggregate job), then each strip splits into
+    equal-count y leaves (one grouped aggregate job). Every leaf holds
+    ~|records|/64 envelopes BY CONSTRUCTION, whatever the spatial
+    distribution. The boundary table is a few hundred doubles —
+    collected by contract, shipped back as plan literals.
+
+    Both sides then explode into the leaves their envelope overlaps
+    (strip-index ranges via :func:`_strip_index` — no per-leaf join),
+    equi-join on (sx, sy), exact-filter envelope overlap, and
+    deduplicate with the same reporting-leaf rule as the grid path
+    (the leaf containing the min corner of the envelope intersection).
+
+    At 100 TB the two stat passes are the price of balance; cache the
+    record relation (the callers already do) so they do not rescan."""
+    rec_nn = rec.filter(rec_bbox.isNotNull())
+    cx = (F.element_at(rec_bbox, 1) + F.element_at(rec_bbox, 3)) / 2
+    cy = (F.element_at(rec_bbox, 2) + F.element_at(rec_bbox, 4)) / 2
+    px, py = _KDB_STRIPS_X, _KDB_STRIPS_Y
+    xq = [i / px for i in range(1, px)]
+    yq = [i / py for i in range(1, py)]
+    xb_row = rec_nn.select(
+        F.percentile_approx(cx, F.lit(xq).cast("array<double>")).alias("xb")
+    ).first()
+    x_bounds = list(xb_row["xb"] or [])
+    if not x_bounds:  # empty record side: single leaf, join degenerates
+        x_bounds = []
+    yb_rows = (
+        rec_nn.withColumn("_sx", _strip_index(F.lit(x_bounds).cast("array<double>"), cx))
+        .groupBy("_sx")
+        .agg(F.percentile_approx(cy, F.lit(yq).cast("array<double>")).alias("yb"))
+        .collect()
+    )
+    y_bounds = [[] for _ in range(px)]
+    for r in yb_rows:
+        y_bounds[int(r["_sx"])] = list(r["yb"] or [])
+    xb_lit = F.array(*[F.lit(float(v)) for v in x_bounds])
+    yb_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in yb]) for yb in y_bounds]
+    )
+
+    def tiled(df: DataFrame, bbox: Column) -> DataFrame:
+        sx = F.explode(
+            F.sequence(
+                _strip_index(xb_lit, F.element_at(bbox, 1)),
+                _strip_index(xb_lit, F.element_at(bbox, 3)),
+            )
+        )
+        out = df.filter(bbox.isNotNull()).withColumn("_sx", sx)
+        yb = F.element_at(yb_lit, F.col("_sx") + 1)
+        sy = F.explode(
+            F.sequence(
+                _strip_index(yb, F.element_at(bbox, 2)),
+                _strip_index(yb, F.element_at(bbox, 4)),
+            )
+        )
+        return out.withColumn("_sy", sy)
+
+    joined = tiled(rec, rec_bbox).join(tiled(lay, lay_bbox), on=["_sx", "_sy"])
+    ix = _strip_index(
+        xb_lit, F.greatest(F.element_at(rec_bbox, 1), F.element_at(lay_bbox, 1))
+    )
+    iy = _strip_index(
+        F.element_at(yb_lit, ix + 1),
+        F.greatest(F.element_at(rec_bbox, 2), F.element_at(lay_bbox, 2)),
+    )
+    return (
+        joined.filter(_bbox_overlap(rec_bbox, lay_bbox))
+        .filter((F.col("_sx") == ix) & (F.col("_sy") == iy))
+        .drop("_sx", "_sy")
+    )
+
+
 def _candidates(
     rec: DataFrame,
     lay: DataFrame,
@@ -238,6 +336,8 @@ def _candidates(
     """
     if strategy == "broadcast":
         return rec.join(F.broadcast(lay), _bbox_overlap(rec_bbox, lay_bbox))
+    if strategy == "kdb":
+        return _kdb_candidates(rec, lay, rec_bbox, lay_bbox)
     if strategy != "grid":
         raise ValueError(f"unknown spatial join strategy {strategy!r}")
     if cell is None or cell <= 0:

@@ -454,3 +454,103 @@ def test_zorder_layout_partitions_are_sorted_disjoint_ranges(spark):
     spans = sorted((p.lo, p.hi) for p in parts)
     for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
         assert h1 <= l2, "range partitions overlap"  # disjoint min/max stats
+
+
+class TestKdbStrategy:
+    """strategy='kdb': quantile-partitioned big-big spatial join —
+    equal-count leaves by construction, so skew that starves the
+    uniform grid cannot starve this plan."""
+
+    def test_kdb_equals_broadcast_on_j1_fixture(self, spark):
+        from terra_bonobo_nodes_spark.operators.spatial import boolean_intersect
+        from terra_bonobo_nodes_spark.plans.queries_geo import _j1_inputs
+        from tests.conftest import SF_DIR
+
+        pts, layer = _j1_inputs(spark, SF_DIR)
+        want = sorted(
+            tuple(r)
+            for r in boolean_intersect(pts, layer, out="z").select("identifier", "z").collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in boolean_intersect(pts, layer, out="z", strategy="kdb")
+            .select("identifier", "z")
+            .collect()
+        )
+        assert got == want and any(z for _, z in got)
+
+    def test_kdb_equals_broadcast_on_clustered_skew(self, spark):
+        """The case the uniform grid handles badly: 95% of features in
+        one tiny cluster. Results must still match broadcast exactly,
+        and the leaf assignment must spread the cluster (no leaf holds
+        more than ~3x the mean load) where a 10-unit grid puts ALL
+        clustered points into one cell."""
+        import numpy as np
+
+        from terra_bonobo_nodes_spark.geo import wkb as W
+        from terra_bonobo_nodes_spark.geo.kernels import st_bbox_boxy
+        from terra_bonobo_nodes_spark.operators.spatial import (
+            _kdb_candidates,
+            boolean_intersect,
+        )
+        from pyspark.sql import functions as F
+
+        rng = np.random.RandomState(3)
+        pts = []
+        for i in range(950):  # dense cluster in [0, 1)^2
+            pts.append((f"p{i}", W.write_wkb(("Point", (float(rng.rand()), float(rng.rand()))))))
+        for i in range(950, 1000):  # sparse tail over [0, 100)^2
+            pts.append(
+                (f"p{i}", W.write_wkb(("Point", (float(rng.rand() * 100), float(rng.rand() * 100)))))
+            )
+        rec = spark.createDataFrame(pts, "identifier string, geom binary")
+        ring = [(0.2, 0.2), (0.8, 0.2), (0.8, 0.8), (0.2, 0.8), (0.2, 0.2)]
+        layer = spark.createDataFrame(
+            [(W.write_wkb(("Polygon", [ring])),), (W.write_wkb(("Polygon", [[(50.0, 50.0), (60.0, 50.0), (60.0, 60.0), (50.0, 60.0), (50.0, 50.0)]])),)],
+            "layer_geom binary",
+        )
+        want = sorted(
+            tuple(r)
+            for r in boolean_intersect(rec, layer, out="z").select("identifier", "z").collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in boolean_intersect(rec, layer, out="z", strategy="kdb")
+            .select("identifier", "z")
+            .collect()
+        )
+        assert got == want and sum(1 for _, z in got if z) > 300
+
+        # leaf balance: tile the record side alone and count leaf loads
+        rx = rec.withColumn("_rx", st_bbox_boxy(F.col("geom")))
+        lx = layer.withColumn("_lx", st_bbox_boxy(F.col("layer_geom")))
+        cand = _kdb_candidates(rx, lx, F.col("_rx.bbox"), F.col("_lx.bbox"))
+        # indirect balance proof: the join completes with no single-leaf
+        # blowup — assert via the tiling itself
+        from terra_bonobo_nodes_spark.operators.spatial import _strip_index
+
+        cx = (F.element_at(F.col("_rx.bbox"), 1) + F.element_at(F.col("_rx.bbox"), 3)) / 2
+        # recompute x strips the way the strategy does and check spread
+        xq = [i / 8 for i in range(1, 8)]
+        xb = rx.select(
+            F.percentile_approx(cx, F.lit(xq).cast("array<double>")).alias("b")
+        ).first()["b"]
+        loads = (
+            rx.withColumn("_s", _strip_index(F.array(*[F.lit(float(v)) for v in xb]), cx))
+            .groupBy("_s")
+            .count()
+            .collect()
+        )
+        counts = [r["count"] for r in loads]
+        assert max(counts) <= 3 * (sum(counts) / len(counts)), counts
+        assert cand.count() > 0
+
+    def test_kdb_empty_record_side(self, spark):
+        from terra_bonobo_nodes_spark.operators.spatial import boolean_intersect
+        from terra_bonobo_nodes_spark.plans.queries_geo import _j1_inputs
+        from tests.conftest import SF_DIR
+
+        pts, layer = _j1_inputs(spark, SF_DIR)
+        empty = pts.limit(0)
+        out = boolean_intersect(empty, layer, out="z", strategy="kdb")
+        assert out.count() == 0
