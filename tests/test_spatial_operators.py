@@ -554,3 +554,48 @@ class TestKdbStrategy:
         empty = pts.limit(0)
         out = boolean_intersect(empty, layer, out="z", strategy="kdb")
         assert out.count() == 0
+
+    def test_kdb_equals_broadcast_on_j2_and_j3(self, spark):
+        """The strategy threads through every spatial join operator:
+        intersection percent and intersection geometry must also be
+        plan-independent."""
+        from terra_bonobo_nodes_spark.operators.spatial import (
+            intersection_geom,
+            intersection_percent_by_area,
+        )
+        from terra_bonobo_nodes_spark.plans.queries_geo import (
+            _customer_rects,
+            _tile_layer,
+        )
+        from tests.conftest import SF_DIR
+
+        from terra_bonobo_nodes_spark.geo import kernels as K
+        from pyspark.sql import functions as F
+
+        rec, lay = _customer_rects(spark, SF_DIR), _tile_layer(spark)
+        # percent-by-area: scalar outputs compare directly
+        base = intersection_percent_by_area(rec, lay)
+        want = sorted(
+            (r[0], round(r[1], 6))
+            for r in base.select("identifier", "intersection_percent").collect()
+        )
+        got = sorted(
+            (r[0], round(r[1], 6))
+            for r in intersection_percent_by_area(rec, lay, strategy="kdb")
+            .select("identifier", "intersection_percent")
+            .collect()
+        )
+        assert got == want and len(got) > 0
+        # intersection geometry: the SET of pieces is plan-independent
+        # but multipart ordering is not — compare via area, not raw WKB
+        def areas(df):  # geom_dest=None replaces the 'geom' column
+            return sorted(
+                (r[0], round(r[1] or 0.0, 6))
+                for r in df.select(
+                    "identifier", K.st_area(F.col("geom")).alias("a")
+                ).collect()
+            )
+
+        g_want = areas(intersection_geom(rec, lay))
+        g_got = areas(intersection_geom(rec, lay, strategy="kdb"))
+        assert g_got == g_want and any(a > 0 for _, a in g_got)
