@@ -45,21 +45,18 @@ def word_frequencies(
 ) -> DataFrame:
     """(word, n) for the ``max_words`` most frequent pretokens
     (count desc, word asc — deterministic truncation). One explode +
-    one count shuffle + a rank cut; the corpus is scanned once."""
-    from pyspark.sql import Window
-
+    one count shuffle + a distributed top-k cut (orderBy + limit runs
+    as TakeOrderedAndProject: each task keeps its own top ``max_words``
+    heap, so no single reducer ever sees the full distinct-word set —
+    a global row_number window here would funnel billions of distinct
+    words through one task at 100 TB). The corpus is scanned once."""
     words = df.select(
         F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_SPLIT_RE), 0)).alias(
             "word"
         )
     ).where(F.trim("word") != "")
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
-    return (
-        counts.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= max_words)
-        .drop("_r")
-    )
+    return counts.orderBy(F.col("n").desc(), F.col("word").asc()).limit(max_words)
 
 
 def train_bpe(
@@ -152,7 +149,10 @@ def encode_words(
     ``array_join`` it or count it downstream."""
     ranks = {pair: i for i, pair in enumerate(merges)}
     pretok = re.compile(BPE_SPLIT_RE)
-    schema = f"{id_col} long, {out_col} array<string>"
+    # id type follows the input (string ids are common in real corpora);
+    # a hardcoded 'long' here would miscast at the Arrow boundary
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, {out_col} array<string>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, list[str]] = {}

@@ -149,18 +149,15 @@ def partition_skew_report(
     )
     if not key_cols:
         return parts
-    from pyspark.sql import Window
-
+    # distributed top-k (TakeOrderedAndProject), NOT a global row_number
+    # window — on a high-cardinality key set the unpartitioned window
+    # would make this diagnostic the single-task straggler it exists to
+    # diagnose
     hot = (
         df.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("n_rows"))
-        .withColumn(
-            "_r",
-            F.row_number().over(
-                Window.orderBy(F.col("n_rows").desc(), *[F.col(c) for c in key_cols])
-            ),
-        )
-        .where(F.col("_r") <= top_n)
+        .orderBy(F.col("n_rows").desc(), *[F.col(c) for c in key_cols])
+        .limit(top_n)
         .select(
             F.lit("hot_key").alias("facet"),
             F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols]).alias(

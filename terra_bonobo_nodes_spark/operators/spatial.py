@@ -260,9 +260,9 @@ def _kdb_candidates(
     xb_row = rec_nn.select(
         F.percentile_approx(cx, F.lit(xq).cast("array<double>")).alias("xb")
     ).first()
+    # empty record side: x_bounds stays [], _strip_index degenerates to
+    # a single leaf and the join naturally produces zero candidates
     x_bounds = list(xb_row["xb"] or [])
-    if not x_bounds:  # empty record side: single leaf, join degenerates
-        x_bounds = []
     yb_rows = (
         rec_nn.withColumn("_sx", _strip_index(F.lit(x_bounds).cast("array<double>"), cx))
         .groupBy("_sx")

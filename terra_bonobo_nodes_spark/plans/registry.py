@@ -80,9 +80,14 @@ def register(
 #       round's due cohort is already in order; never-checked
 #       stragglers (should not exist) sort before all of these.
 #
-# ROUND-7 BUDGET: due cohort = 42 (the 41 r04 greens + the r03
-# straggler a2_union_area_dissolve the round-6 verdict flagged) +
-# 7 changed + 1 new = exactly DRIVER_CAP.
+# ROUND-8 BUDGET: due cohort = 38 (the r05 greens) + 5 changed-code
+# re-greens + 7 new first rows (all twelve carried over from the
+# round-7 deferral ledger) = exactly DRIVER_CAP. Zero slack: any query
+# ADDED in round 8 must enter via _DEFERRED_TO_NEXT_ROUND (first row in
+# round 9, where the due cohort is 45 and ~4 slots are free), and any
+# round-8 code change under an r06/r07-green query must either target a
+# module already in this window (the minhash family is) or be deferred
+# the same way.
 #
 # CAPACITY CEILING (standing): 145 registered / 50 per round = a
 # 2.9-round refresh cycle — the registry is AT the 3-round freshness
@@ -93,54 +98,42 @@ def register(
 # test_rotation_freshness.py::test_budget_arithmetic_holds enforces the
 # per-round arithmetic either way.
 #
-# DEFERRED-MAINTENANCE LEDGER (round 7): the ADVICE_r06 fixes to
-# llm/jpeg.py (0xFF fill bytes) and llm/dedup.py::minhash_lsh_match
-# (presig validation) change code under llm_multimodal_decode and
-# llm_incremental_dedup, whose r06 greens are therefore stale-by-rule;
-# the due cohort + the six promised ADVICE_r05 fix re-greens fill the
-# cap, so those two re-greens and the new st_* SQL-text query are
-# deferred to the HEAD of round 8 (where the due cohort is ~38 and
-# they fit with room to spare). Both fixes are behavior-preserving for
-# well-formed inputs and pinned by tests/test_round7_fixes.py now; the
-# freshness pytest (tests/test_rotation_freshness.py) enforces that no
-# deferral ever lets a query age past the contract edge.
+# ROUND-8 MAINTENANCE NOTES: the five ADVICE_r07 fixes touch
+# llm/bpe.py (trainable-BPE helpers, pytest-only — no registered query
+# uses them), operators/quality.py::partition_skew_report (diagnostic,
+# pytest-only), plans/registry.py itself (ordering, not semantics), and
+# operators/spatial.py (dead-code removal in _kdb_bounds' empty-side
+# guard — comment-grade, no behavior change, pinned by the existing kdb
+# equivalence tests) — none stales a driver query, so _CHANGED below
+# carries only the round-7 deferral ledger's five re-greens.
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
-# (2) operator code changed in round 7 (the six ADVICE_r05 fixes):
+# (2) operator code changed since the query's last green (carried from
+# the round-7 deferral ledger — jpeg fill bytes, dedup presig
+# validation, hash_fn threading through the minhash family):
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "llm_cosine_topk",            # similarity empty-query schema
-    "llm_quantized_rerank_topk",  # similarity empty-query schema
-    "llm_pii_scrub",              # pii_redact_sql quote escaping
-    "dq_lineitem_constraints",    # check_constraints empty-dict guard
-    "profile_customer_columns",   # profile_columns empty-cols guard
-    "s9_jsonl_roundtrip",         # jsonl keep_cols collision guard
-    "stream_static_enrich",       # key_expr/dim_key now required
-)
-
-# (3) first driver row this round:
-_NEW_THIS_ROUND: tuple[str, ...] = (
-    "s10_scroll_bulk_roundtrip",  # DataSource trilogy e2e (writer+reader+pushdown)
-)
-
-# (4) overflow — heads round 8's queue (see ledger above):
-_DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
-    "a4_sql_text_cluster",     # new: ST_* SQL-text entry path
     "llm_multimodal_decode",   # jpeg.py changed (fill bytes + progressive)
     "llm_incremental_dedup",   # dedup.py presig validation changed
-    "llm_codec_throughput",    # new: codec bench row (rows-only by design)
-    "llm_audio_spectral",      # new: audio DSP row (rows-only by design)
-    "llm_source_quota_sample",      # new: domain-quota curation step
-    "llm_collapse_repeated_tokens",  # new: within-doc stutter cleanup
-    "llm_embedding_gram",        # new: distributed X^T X
-    "llm_embedding_outliers",    # new: centroid-distance screen
-    # hash_fn param threaded through the minhash family (additive,
-    # default-preserving, calibration-pinned in pytest) — their r06
-    # greens are stale-by-rule, re-green with the rest of this block:
-    "llm_minhash_lsh_pairs",
-    "llm_dedup_components",
-    "llm_dedup_keep_policy",
+    "llm_minhash_lsh_pairs",   # hash_fn threading (r7)
+    "llm_dedup_components",    # hash_fn threading (r7)
+    "llm_dedup_keep_policy",   # hash_fn threading (r7)
 )
+
+# (3) first driver row this round (carried from the round-7 ledger):
+_NEW_THIS_ROUND: tuple[str, ...] = (
+    "a4_sql_text_cluster",     # ST_* SQL-text entry path
+    "llm_codec_throughput",    # codec bench row (rows-only by design)
+    "llm_audio_spectral",      # audio DSP row (rows-only by design)
+    "llm_source_quota_sample",       # domain-quota curation step
+    "llm_collapse_repeated_tokens",  # within-doc stutter cleanup
+    "llm_embedding_gram",      # distributed X^T X
+    "llm_embedding_outliers",  # centroid-distance screen
+)
+
+# (4) overflow — heads round 9's queue (round-8 additions land here;
+# the round-9 due cohort is 45, leaving ~5 slots):
+_DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = ()
 
 
 def _last_green_rounds() -> tuple[int, dict[str, tuple[int, int]]]:
@@ -178,6 +171,21 @@ def _compute_priority(registered: Iterable[str]) -> list[str]:
     the rotation (the round-6 failure mode)."""
     names = list(registered)
     latest, last = _last_green_rounds()
+    if not last:
+        # Without the artifacts the "stalest green first" sections
+        # silently degrade to registration order — the exact failure
+        # mode the computed ordering exists to prevent. Warn loudly so
+        # an installed-package / moved-artifacts deployment can't
+        # pretend the freshness contract is being honored.
+        import warnings
+
+        warnings.warn(
+            "registry: no CORRECTNESS_r*.json artifacts found next to the "
+            "package — correctness-rotation ordering degrades to "
+            "registration order (freshness contract NOT enforced)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     due = [n for n in names if n in last and last[n][0] <= latest - 2]
     due.sort(key=lambda n: last[n])
     order: list[str] = []
