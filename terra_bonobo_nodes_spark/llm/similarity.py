@@ -286,6 +286,16 @@ def ivf_train(
         .limit(int(sample_size))
         .collect()
     )
+    if len(rows) < n_clusters:
+        # A k-means codebook over fewer vectors than clusters is
+        # undefined; on an empty corpus np.array([]) is 1-D and the
+        # centroid math below would die deep in numpy with AxisError
+        # (the r08 empty-input-sweep defect). Fail fast and typed.
+        raise ValueError(
+            f"ivf_train: corpus sample has {len(rows)} vectors but "
+            f"n_clusters={n_clusters} — IVF needs at least one vector "
+            "per cluster (empty corpus?)"
+        )
     X = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
     C = X[:n_clusters].copy()
     for _ in range(iterations):

@@ -1620,9 +1620,9 @@ def llm_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_collapse_repeated_tokens",
-    oracle="""
+    oracle=r"""
 WITH toks AS (
-  -- regex split to mirror the Spark side's split on \\s+: a document
+  -- regex split to mirror the Spark side's split on \s+: a document
   -- with a double space / tab / newline must tokenize identically
   SELECT doc_id,
          unnest(string_split_regex(text, '\s+')) AS w,

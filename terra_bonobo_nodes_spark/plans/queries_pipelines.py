@@ -86,7 +86,11 @@ def pipeline_file_import(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("\n", F.sort_array(F.collect_list("_l"))),
         ).alias("content")
     )
-    rows = csv_documents_to_rows(docs.select("content"), "content")
+    rows = csv_documents_to_rows(
+        docs.select("content"),
+        "content",
+        header=["event_id", "event_type", "px", "py", "ts"],
+    )
     keyed = identifier_from_property(rows, "event_id")
     filtered = keyed.where(F.col("event_type") != "view")
     with_geom = attributes_to_point_geometry(filtered, "px", "py")

@@ -60,7 +60,9 @@ def s1_csv_document_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("content")
         )
     )
-    return csv_documents_to_rows(docs, "content")
+    return csv_documents_to_rows(
+        docs, "content", header=["c_custkey", "c_name", "c_mktsegment"]
+    )
 
 
 # --- S2: GeoJSON FeatureCollection ------------------------------------------
@@ -411,3 +413,77 @@ def s10_scroll_bulk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .where(F.col("doc_id") >= 100)
     )
+
+
+@register(
+    "s3_http_sql_pagination",
+    oracle="""
+SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+       round(s_acctbal, 2) AS bal
+FROM supplier
+WHERE s_suppkey > 2
+""",
+    tags=("S3", "S4", "datasource", "http"),
+)
+def s3_http_sql_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractFeatures' LIMIT/OFFSET pagination contract
+    (``terra.py:177-211``) proven over a REAL network service
+    (``sources/sql_http.py``): supplier is exported to a JSONL stand-in
+    database (scaffolding — a bounded dim-table collect), served by the
+    in-process paginated-SQL HTTP service, and scanned back through
+    ``tbns_sql_http`` — one COUNT probe at planning, one executor GET
+    per 64-row window, the s_suppkey bound pushed into both count and
+    rows (bound chosen so even sf0.001's 10-supplier table keeps rows). The oracle reads the original table: the scan must recover
+    the bounded queryset exactly."""
+    import hashlib
+    import os
+    import tempfile
+
+    from terra_bonobo_nodes_spark.sources.sql_http import (
+        SqlHttpDataSource,
+        serve_jsonl_table,
+    )
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/tbns_sqlhttp_{tag}.jsonl"
+    if not os.path.exists(path):
+        lines = "\n".join(
+            _json_dumps_row(r) for r in sup.orderBy("s_suppkey").collect()
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(lines)
+        os.replace(tmp, path)  # atomic publish: readers never see a partial file
+    base_url = serve_jsonl_table(path, "s_suppkey")
+    spark.dataSource.register(SqlHttpDataSource)
+    # the reader implements pushFilters, which HARD-FAILS under a
+    # vanilla session (DATA_SOURCE_PUSHDOWN_DISABLED) — the driver's
+    # harness session is vanilla, so enable it here (runtime-settable;
+    # the s10 precedent)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    scanned = (
+        spark.read.format("tbns_sql_http")
+        .schema(
+            "s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT, s_acctbal DOUBLE"
+        )
+        .option("base_url", base_url)
+        .option("id_col", "s_suppkey")
+        .option("batch_size", "64")
+        .load()
+        .where(F.col("s_suppkey") > 2)
+    )
+    return scanned.select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round("s_acctbal", 2).alias("bal"),
+    )
+
+
+def _json_dumps_row(row) -> str:
+    import json as _json
+
+    return _json.dumps(row.asDict())

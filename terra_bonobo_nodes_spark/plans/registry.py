@@ -80,59 +80,61 @@ def register(
 #       round's due cohort is already in order; never-checked
 #       stragglers (should not exist) sort before all of these.
 #
-# ROUND-8 BUDGET: due cohort = 38 (the r05 greens) + 5 changed-code
-# re-greens + 7 new first rows (all twelve carried over from the
-# round-7 deferral ledger) = exactly DRIVER_CAP. Zero slack: any query
-# ADDED in round 8 must enter via _DEFERRED_TO_NEXT_ROUND (first row in
-# round 9, where the due cohort is 45 and ~4 slots are free), and any
-# round-8 code change under an r06/r07-green query must either target a
-# module already in this window (the minhash family is) or be deferred
-# the same way.
+# ROUND-9 BUDGET: due cohort = 43 (the 45 r06 greens, minus the two
+# retired into the fn_scalar_surface merge below) + 2 changed-code
+# re-greens (s1/pipeline — the csv header fix; llm_ivf_ann_topk also
+# changed but is already in the due cohort) + 2 new first rows = 47 of
+# DRIVER_CAP, 3 slots of slack (filled by the computed stalest-green
+# tail: the oldest r07 greens pre-pay round 10's due cohort).
 #
-# CAPACITY CEILING (standing): 145 registered / 50 per round = a
-# 2.9-round refresh cycle — the registry is AT the 3-round freshness
-# capacity, with ~5 slots of churn (changed-code re-greens + new first
-# rows) per 3-round window. Round 8+ builders: prefer re-greening and
-# deepening over widening; adding a query now requires either retiring
-# one or an explicit ledger note accepting where the slack comes from.
+# CAPACITY POLICY (standing, decided round 9 per VERDICT_r08 item 4):
+# the registry is CAPPED at 144 registered queries — 144/50 = a
+# 2.88-round refresh cycle, leaving >= 6 checks of churn headroom
+# (changed-code re-greens + new first rows) per 3-round freshness
+# window. Adding a query REQUIRES retiring or merging one in the same
+# commit (precedent: the round-9 fn_* consolidation — the three
+# row-level scalar surfaces shared a grain and became one wide
+# projection, identical per-function coverage, two slots freed); new
+# capability work that cannot free a slot routes through pytest +
+# test_plan_audit.py instead (the mojibake/BPE/kdb precedent).
 # test_rotation_freshness.py::test_budget_arithmetic_holds enforces the
-# per-round arithmetic either way.
+# per-round arithmetic; test_registry_capacity_cap pins the cap.
 #
-# ROUND-8 MAINTENANCE NOTES: the five ADVICE_r07 fixes touch
-# llm/bpe.py (trainable-BPE helpers, pytest-only — no registered query
-# uses them), operators/quality.py::partition_skew_report (diagnostic,
-# pytest-only), plans/registry.py itself (ordering, not semantics), and
-# operators/spatial.py (dead-code removal in _kdb_bounds' empty-side
-# guard — comment-grade, no behavior change, pinned by the existing kdb
-# equivalence tests) — none stales a driver query, so _CHANGED below
-# carries only the round-7 deferral ledger's five re-greens.
+# ROUND-9 MAINTENANCE NOTES (what changed and why it's scheduled the
+# way it is):
+# - sources/csv.py grew an explicit header= parameter and a typed
+#   empty-corpus error (ADVICE_r08: the zero-column schema loss) —
+#   stales s1_csv_document_roundtrip and pipeline_file_import
+#   (_CHANGED below; both r07-green, not otherwise due).
+# - llm/similarity.py::ivf_train fails fast on len(sample) < n_clusters
+#   (ADVICE_r08: numpy AxisError on an empty corpus) — llm_ivf_ann_topk
+#   is r06-green and already heads the due cohort.
+# - fn_string_surface + fn_datetime_surface + fn_math_array_surface
+#   (r06/r06/r07 green) merged into fn_scalar_surface (first row this
+#   round); the only rename is md5 'h' -> 'md5h' (collided with hour).
+# - s3_http_sql_pagination is new: the LIMIT/OFFSET pagination contract
+#   (terra.py:177-211) proven over a real HTTP service
+#   (sources/sql_http.py), the VERDICT_r08 stretch item.
+# - plans/queries_llm.py's collapse-tokens oracle became a raw string
+#   (DeprecationWarning fix) — byte-identical SQL text, no re-green
+#   needed (llm_collapse_repeated_tokens stays r08-green).
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
-# (2) operator code changed since the query's last green (carried from
-# the round-7 deferral ledger — jpeg fill bytes, dedup presig
-# validation, hash_fn threading through the minhash family):
+# (2) operator code changed since the query's last green:
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "llm_multimodal_decode",   # jpeg.py changed (fill bytes + progressive)
-    "llm_incremental_dedup",   # dedup.py presig validation changed
-    "llm_minhash_lsh_pairs",   # hash_fn threading (r7)
-    "llm_dedup_components",    # hash_fn threading (r7)
-    "llm_dedup_keep_policy",   # hash_fn threading (r7)
+    "s1_csv_document_roundtrip",  # csv.py header= + typed empty error
+    "pipeline_file_import",       # same csv.py change (now passes header=)
+    "llm_ivf_ann_topk",           # ivf_train empty-corpus guard (also due)
 )
 
-# (3) first driver row this round (carried from the round-7 ledger):
+# (3) first driver row this round:
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    "a4_sql_text_cluster",     # ST_* SQL-text entry path
-    "llm_codec_throughput",    # codec bench row (rows-only by design)
-    "llm_audio_spectral",      # audio DSP row (rows-only by design)
-    "llm_source_quota_sample",       # domain-quota curation step
-    "llm_collapse_repeated_tokens",  # within-doc stutter cleanup
-    "llm_embedding_gram",      # distributed X^T X
-    "llm_embedding_outliers",  # centroid-distance screen
+    "fn_scalar_surface",       # r09 merge of the three scalar surfaces
+    "s3_http_sql_pagination",  # LIMIT/OFFSET-over-HTTP pagination graft
 )
 
-# (4) overflow — heads round 9's queue (round-8 additions land here;
-# the round-9 due cohort is 45, leaving ~5 slots):
+# (4) overflow — heads round 10's queue:
 _DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = ()
 
 

@@ -7,7 +7,8 @@ Two shapes:
 - content-based: ``csv_documents_to_rows`` — the reference's actual
   contract (a whole CSV document arrives as one string payload, e.g.
   out of a zip entry). Documents explode into lines JVM-side and parse
-  with ``from_csv``; the header is read from the first line of the
+  with ``from_csv``; the column layout comes from an explicit
+  ``header=`` argument, or failing that from the first line of the
   first document (driver-side metadata peek, like Spark's own
   header-inference).
 """
@@ -47,16 +48,35 @@ def csv_documents_to_rows(
     content_col: str = "content",
     delimiter: str = ",",
     keep_cols: list[str] | None = None,
+    header: list[str] | None = None,
 ) -> DataFrame:
     """Explode CSV document strings into typed rows (all-string columns).
 
     Empty documents yield no rows (reference: empty CSV -> nothing,
-    ``test_common.py:34-40``).
+    ``test_common.py:34-40``) — and with ``header`` given, an ALL-empty
+    corpus still returns a well-formed zero-row result carrying the
+    declared columns, so downstream column references keep resolving
+    (the r08 sweep defect: the old zero-column fallback broke
+    ``identifier_from_property`` on ``event_id``).
+
+    ``header``: explicit column names. Pass it whenever the layout is
+    known — it also removes the plan-build-time driver action below.
+    Without it, the header is read from the first line of the first
+    non-empty document (a bounded driver-side metadata peek, like
+    Spark's own CSV header inference); if the corpus is entirely empty
+    there is nothing to name the columns from, so the function fails
+    fast with a typed ``ValueError`` instead of returning a schema-less
+    DataFrame.
     """
-    first = df.select(content_col).filter(F.length(content_col) > 0).first()
-    if first is None:
-        return df.sparkSession.createDataFrame([], "dummy STRING").drop("dummy")
-    header = first[0].splitlines()[0].split(delimiter)
+    if header is None:
+        first = df.select(content_col).filter(F.length(content_col) > 0).first()
+        if first is None:
+            raise ValueError(
+                "csv_documents_to_rows: every document is empty and no "
+                "header= was given — pass header=[...] to get a typed "
+                "empty result"
+            )
+        header = first[0].splitlines()[0].split(delimiter)
     schema = ", ".join(f"`{h.strip()}` STRING" for h in header)
     lines = df.select(
         *(keep_cols or []),

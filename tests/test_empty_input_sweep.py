@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import pytest
 
-import pyarrow as pa
 import pyarrow.parquet as pq
 
 from tests.conftest import SF_DIR, TABLES
@@ -28,7 +27,12 @@ from tests.conftest import SF_DIR, TABLES
 
 # Queries allowed to raise on an empty corpus, with the documented
 # reason. Anything else that raises is a bug.
-EXPECTED_RAISES: dict[str, type[BaseException]] = {}
+EXPECTED_RAISES: dict[str, type[BaseException]] = {
+    # ivf_train: a k-means codebook needs >= 1 vector per cluster; on an
+    # empty corpus it fails fast with a typed error rather than training
+    # a garbage codebook (llm/similarity.py::ivf_train).
+    "llm_ivf_ann_topk": ValueError,
+}
 
 
 @pytest.fixture(scope="session")

@@ -79,6 +79,19 @@ def test_every_registered_query_is_tracked():
     assert not untracked, f"queries with no row and no schedule: {untracked}"
 
 
+def test_registry_capacity_cap():
+    """The round-9 capacity policy (registry.py header): at most 144
+    registered queries — 2.88 rounds per full refresh at DRIVER_CAP=50,
+    keeping >= 6 checks of churn headroom per 3-round freshness window.
+    Adding a query requires retiring or merging one in the same commit
+    (or routing the new capability through pytest + plan-audit only)."""
+    assert len(QS) <= 144, (
+        f"{len(QS)} registered queries breaches the 144 capacity cap — "
+        "retire/merge a query or cover the new capability with pytest + "
+        "test_plan_audit.py instead (see the policy in plans/registry.py)"
+    )
+
+
 def test_budget_arithmetic_holds():
     """due + changed + new must fit in the cap — if a future round
     over-subscribes, this fails at authoring time instead of silently
