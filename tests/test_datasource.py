@@ -464,3 +464,112 @@ def test_http_scroll_empty_service_is_zero_rows(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+# --- tbns_sql_http: LIMIT/OFFSET pagination over HTTP (round 9) --------------
+
+
+def _sql_http_load(spark, base_url, batch_size=4):
+    # one load() per logical query (the plan-cache caveat pinned above)
+    return (
+        spark.read.format("tbns_sql_http")
+        .schema("id BIGINT, name STRING")
+        .option("base_url", base_url)
+        .option("id_col", "id")
+        .option("batch_size", str(batch_size))
+        .load()
+    )
+
+
+def test_sql_http_pagination_and_pushdown(spark, tmp_path):
+    """The ExtractFeatures LIMIT/OFFSET contract (terra.py:177-211) on
+    the stand-in service: ceil(count/batch) window partitions, the
+    pushed id bound applied to BOTH /count and /rows (so offsets
+    enumerate the bounded queryset), every row recovered exactly."""
+    from terra_bonobo_nodes_spark.sources.sql_http import (
+        SqlHttpDataSource,
+        serve_jsonl_table,
+    )
+
+    path = tmp_path / "db.jsonl"
+    path.write_text(
+        "\n".join(json.dumps({"id": i, "name": f"rec{i}"}) for i in range(10))
+    )
+    base = serve_jsonl_table(str(path), "id")
+    spark.dataSource.register(SqlHttpDataSource)
+
+    df = _sql_http_load(spark, base)
+    assert df.rdd.getNumPartitions() == 3  # ceil(10 / 4) windows
+    assert sorted(r["id"] for r in df.collect()) == list(range(10))
+
+    bounded = _sql_http_load(spark, base).where(F.col("id") >= 6)
+    # bound reaches /count: 4 remaining rows -> ONE window, not three
+    assert bounded.rdd.getNumPartitions() == 1
+    assert sorted(r["id"] for r in bounded.collect()) == [6, 7, 8, 9]
+
+
+def test_sql_http_bound_ignoring_service_stays_correct(spark):
+    """A service that serves windows but ignores the bound params must
+    still yield the right answer: the client-side _keep re-check filters
+    post-fetch (bounds are a bandwidth optimization, not a correctness
+    dependency)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from terra_bonobo_nodes_spark.sources.sql_http import SqlHttpDataSource
+
+    rows = [{"id": i, "name": f"r{i}"} for i in range(8)]
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            params = {k: v[0] for k, v in parse_qs(u.query).items()}
+            if u.path == "/count":
+                body = json.dumps({"count": len(rows)}).encode()  # bound IGNORED
+            else:
+                lo = int(params.get("offset", 0))
+                hi = lo + int(params.get("limit", len(rows)))
+                body = "\n".join(json.dumps(r) for r in rows[lo:hi]).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        spark.dataSource.register(SqlHttpDataSource)
+        df = _sql_http_load(
+            spark, f"http://127.0.0.1:{srv.server_port}", batch_size=3
+        ).where(F.col("id") >= 5)
+        assert sorted(r["id"] for r in df.collect()) == [5, 6, 7]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_sql_http_empty_queryset_scans_zero_rows(spark, tmp_path):
+    from terra_bonobo_nodes_spark.sources.sql_http import (
+        SqlHttpDataSource,
+        serve_jsonl_table,
+    )
+
+    path = tmp_path / "empty.jsonl"
+    path.write_text("")
+    base = serve_jsonl_table(str(path), "id")
+    spark.dataSource.register(SqlHttpDataSource)
+    assert _sql_http_load(spark, base).count() == 0
+
+
+def test_sql_http_rejects_bad_options(spark):
+    from terra_bonobo_nodes_spark.sources.sql_http import SqlHttpReader
+    from pyspark.sql.types import StructType
+
+    with pytest.raises(ValueError, match="base_url"):
+        SqlHttpReader(StructType(), {})
+    with pytest.raises(ValueError, match="batch_size"):
+        SqlHttpReader(StructType(), {"base_url": "http://x", "batch_size": "0"})
