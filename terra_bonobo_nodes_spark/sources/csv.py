@@ -61,6 +61,11 @@ def csv_documents_to_rows(
 
     ``header``: explicit column names. Pass it whenever the layout is
     known — it also removes the plan-build-time driver action below.
+    NOTE: documents are still expected to CARRY a header line (line 0
+    of every document is skipped either way, the reference's
+    DictReader contract) — ``header=`` replaces the driver-side
+    probe, not the line. Headerless payloads need a synthesized
+    header line prepended upstream.
     Without it, the header is read from the first line of the first
     non-empty document (a bounded driver-side metadata peek, like
     Spark's own CSV header inference); if the corpus is entirely empty

@@ -21,10 +21,17 @@ The mapping, Spark-first:
 - range/equality predicates on the configured id column are consumed
   by ``pushFilters`` and forwarded to BOTH ``/count`` and ``/rows`` as
   query parameters (bounds must reach the count, or the offsets would
-  enumerate a different queryset than the pages). A service that
-  ignores them on ``/rows`` stays correct — the inherited client-side
-  ``_keep`` re-check covers it, and the page walk still spans the
-  unbounded queryset.
+  enumerate a different queryset than the pages). SERVICE CONTRACT:
+  ``/count`` and ``/rows`` must apply the SAME subset of the bound
+  params — both (the stand-in below) or neither (a bound-ignoring
+  service: the page walk then spans the unbounded queryset and the
+  inherited client-side ``_keep`` re-check restores the bound, pinned
+  by test_sql_http_bound_ignoring_service_stays_correct). The one
+  WRONG shape is bounding ``/count`` but not ``/rows``: the bounded
+  count plans too few windows over an unbounded row order, silently
+  dropping the tail. No re-check can detect missing pages client-side
+  — it is the LIMIT/OFFSET analogue of paginating without a stable
+  ORDER BY, and must be fixed in the service.
 
 STABILITY CONTRACT (same as the reference's, which orders by pk):
 LIMIT/OFFSET pagination is only exactly-once if the service serves a
