@@ -1,0 +1,130 @@
+"""llm/classifier.py: the learned quality filter.
+
+Covers: exact parity with a local numpy reference implementation (same
+zero init, standardization, update rule), separation on separable
+data, the pure-Column scoring contract (no Python eval node in the
+plan), the zero-variance guard, typed empty-input errors (the round-9
+degenerate-input discipline), and the end-to-end documents story
+(features from text.quality_score, labels from a held-out heuristic,
+the model orders the classes correctly).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from terra_bonobo_nodes_spark.llm.classifier import (
+    LogRegModel,
+    filter_quality,
+    score_quality,
+    train_quality_logreg,
+)
+
+
+def _reference_fit(X, y, iterations, lr=1.0, l2=0.0):
+    """Local numpy twin of train_quality_logreg (zero init, pop-std
+    standardization, batch avg-gradient updates)."""
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    m, s = X.mean(axis=0), np.maximum(X.std(axis=0), 1e-12)
+    Xs = (X - m) / s
+    w = np.zeros(X.shape[1])
+    b = 0.0
+    for _ in range(iterations):
+        p = 1.0 / (1.0 + np.exp(-(Xs @ w + b)))
+        r = p - y
+        b -= lr * r.mean()
+        w -= lr * ((Xs * r[:, None]).mean(axis=0) + l2 * w)
+    return w, b, m, s
+
+
+ROWS = [
+    (0.1, 5.0, 0), (0.9, 1.0, 1), (0.2, 4.0, 0), (0.8, 0.5, 1),
+    (0.3, 6.0, 0), (0.7, 1.5, 1), (0.15, 5.5, 0), (0.95, 0.2, 1),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, "x1 DOUBLE, x2 DOUBLE, label INT")
+
+
+def test_matches_numpy_reference(spark):
+    model = train_quality_logreg(
+        _df(spark), ["x1", "x2"], iterations=15, lr=0.7, l2=0.01
+    )
+    w, b, m, s = _reference_fit(
+        [r[:2] for r in ROWS], [r[2] for r in ROWS], 15, lr=0.7, l2=0.01
+    )
+    assert np.allclose(model.weights, w, rtol=1e-9, atol=1e-12)
+    assert math.isclose(model.bias, b, rel_tol=1e-9, abs_tol=1e-12)
+    assert np.allclose(model.means, m) and np.allclose(model.stds, s)
+
+
+def test_separable_data_separates(spark):
+    model = train_quality_logreg(_df(spark), ["x1", "x2"], iterations=60)
+    scored = score_quality(_df(spark), model)
+    rows = scored.collect()
+    assert all(
+        (r["quality_prob"] >= 0.5) == (r["label"] == 1) for r in rows
+    )
+    kept = filter_quality(_df(spark), model, threshold=0.5)
+    assert kept.count() == 4
+    assert {r["label"] for r in kept.collect()} == {1}
+
+
+def test_scoring_is_pure_column_no_python_eval(spark):
+    model = LogRegModel(("x1", "x2"), (1.0, -1.0), 0.1, (0.5, 2.0), (1.0, 1.0))
+    plan = (
+        score_quality(_df(spark), model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("BatchEvalPython", "ArrowEval", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in plan, f"scoring left the JVM: {node}\n{plan}"
+
+
+def test_zero_variance_feature_stays_finite(spark):
+    df = _df(spark).withColumn("const", F.lit(3.0))
+    model = train_quality_logreg(df, ["x1", "const"], iterations=10)
+    assert all(math.isfinite(v) for v in (*model.weights, model.bias))
+    # the constant feature standardizes to 0 everywhere -> weight 0
+    assert abs(model.weights[1]) < 1e-9
+
+
+def test_empty_corpus_raises_typed(spark):
+    empty = spark.createDataFrame([], "x1 DOUBLE, x2 DOUBLE, label INT")
+    with pytest.raises(ValueError, match="empty corpus"):
+        train_quality_logreg(empty, ["x1", "x2"])
+    with pytest.raises(ValueError, match="feature_cols"):
+        train_quality_logreg(_df(spark), [])
+
+
+def test_documents_end_to_end_orders_classes(spark, sf_dir):
+    """The real pipeline shape: engineered features from
+    text.quality_score, a label the model never sees as a feature
+    (here: the composite heuristic's top/bottom halves), one persisted
+    feature frame, a handful of one-scan iterations — the trained
+    model must rank the positive class above the negative."""
+    from terra_bonobo_nodes_spark.llm.text import quality_score
+    from terra_bonobo_nodes_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = quality_score(docs)
+    cols = ["q_n_tokens", "q_alpha_ratio", "q_punct_ratio", "q_stop_ratio"]
+    cut = feats.agg(F.expr("percentile(q_score, 0.5)")).collect()[0][0]
+    labeled = feats.withColumn(
+        "label", (F.col("q_score") >= F.lit(cut)).cast("int")
+    ).persist()
+    try:
+        model = train_quality_logreg(labeled, cols, iterations=20)
+        scored = score_quality(labeled, model)
+        agg = scored.groupBy("label").agg(F.avg("quality_prob").alias("p"))
+        by_label = {r["label"]: r["p"] for r in agg.collect()}
+        assert by_label[1] > by_label[0] + 0.1
+    finally:
+        labeled.unpersist()
