@@ -80,10 +80,17 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s {samples[name]}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # Samples on their OWN line (first), compact medians line LAST: the
-    # driver tail-captures stdout and parses the final line — keeping
-    # the final line small is what makes BENCH_r{N} machine-readable.
-    print(json.dumps({"samples": samples}))
+    # Per-query sample lines, CHEAPEST FIRST, then the compact totals
+    # line LAST. The driver keeps a bounded TAIL of stdout and parses
+    # the final line — the old one-big-line samples dict was truncated
+    # mid-way by BENCH_r08's 2000-byte tail, losing exactly the
+    # expensive queries a drift investigation needs (the r08 minhash
+    # question was unadjudicable from the artifact). One small line per
+    # query, ordered so the most expensive queries sit adjacent to the
+    # final line, keeps the hot queries' per-pass spread inside any
+    # reasonable tail window; the final line stays small either way.
+    for name in sorted(samples, key=lambda n: timings[n]):
+        print(json.dumps({"s": {name: samples[name]}}))
     print(
         json.dumps(
             {
