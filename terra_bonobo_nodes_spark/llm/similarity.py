@@ -242,6 +242,20 @@ def _cell_assign_udf(centroids: list[list[float]]):
     return assign
 
 
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Public nearest-centroid assignment: one Arrow-batched scan adds
+    ``out_col`` (int cell index) to every row. The codebook travels as
+    a closure-captured k×dim numpy matrix — broadcast-sized by
+    construction. Used by IVF search (:func:`ivf_topk`) and semantic
+    dedup (:mod:`llm.semdedup`)."""
+    return df.withColumn(out_col, _cell_assign_udf(centroids)(F.col(vec_col)))
+
+
 def _probe_cells_udf(centroids: list[list[float]], n_probe: int):
     """Arrow-batched n_probe-nearest-cells (for the query side); stable
     argsort keeps the lowest-index tie-break."""
@@ -297,6 +311,14 @@ def ivf_train(
             "per cluster (empty corpus?)"
         )
     X = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+    if X.ndim != 2:
+        # scalars or ragged lists build an object array (ndim 1) and the
+        # centroid math dies deep in numpy — same opaque-AxisError class
+        # as the empty-corpus case above; fail typed instead.
+        raise ValueError(
+            f"ivf_train: {vec_col!r} values are not fixed-length numeric "
+            "arrays (scalar column or ragged vectors?)"
+        )
     C = X[:n_clusters].copy()
     for _ in range(iterations):
         cn = (C * C).sum(axis=1)

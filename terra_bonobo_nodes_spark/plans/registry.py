@@ -115,6 +115,10 @@ def register(
 # - s3_http_sql_pagination is new: the LIMIT/OFFSET pagination contract
 #   (terra.py:177-211) proven over a real HTTP service
 #   (sources/sql_http.py), the VERDICT_r08 stretch item.
+# - llm/similarity.py additions later in round 9: public assign_cells
+#   wrapper + a second typed guard in ivf_train (non-2D sample) for
+#   llm/semdedup.py — llm_ivf_ann_topk is already scheduled above;
+#   no other registered query touches these paths.
 # - plans/queries_llm.py's collapse-tokens oracle became a raw string
 #   (DeprecationWarning fix) — byte-identical SQL text, no re-green
 #   needed (llm_collapse_repeated_tokens stays r08-green).
