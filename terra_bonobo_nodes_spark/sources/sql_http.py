@@ -63,10 +63,14 @@ from collections.abc import Iterator, Sequence
 from urllib.parse import urlencode
 from urllib.request import urlopen
 
-from pyspark.sql.datasource import DataSource
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader
 from pyspark.sql.types import StructType
 
-from terra_bonobo_nodes_spark.sources.scroll import PagePartition, ScrollReader
+from terra_bonobo_nodes_spark.sources.scroll import (
+    PagePartition,
+    ScrollReader,
+    _arrow_batches,
+)
 from terra_bonobo_nodes_spark.sources.scroll_http import _OP_PARAM
 
 
@@ -85,6 +89,9 @@ class SqlHttpDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "SqlHttpReader":
         return SqlHttpReader(schema, self.options)
+
+    def streamReader(self, schema: StructType) -> "SqlHttpStreamReader":
+        return SqlHttpStreamReader(schema, self.options)
 
 
 class SqlHttpReader(ScrollReader):
@@ -142,6 +149,91 @@ class SqlHttpReader(ScrollReader):
                 line = line.strip()
                 if line:
                     yield json.loads(line)
+
+
+class SqlHttpStreamReader(DataSourceStreamReader):
+    """Incremental extract: the LIMIT/OFFSET cursor as a streaming
+    offset. The batch reader snapshots the queryset; this form tails it
+    — each micro-batch reads exactly the rows appended since the last
+    committed offset, in ``batch_size`` windows fetched on executors.
+    Exactly-once comes from Spark's offset log (a replayed batch
+    re-reads the same [start, end) row range).
+
+    CONTRACT (the changefeed analogue of the scroll reader's
+    append-only page names): the service's stable ORDER BY id must be
+    APPEND-ONLY — every new row takes an id greater than all existing
+    ones, so consumed row positions never shift. Deletes or smaller-id
+    inserts would silently remap LIMIT/OFFSET positions (duplicating
+    some rows, skipping others), so both offset boundaries carry the id
+    they last saw and ``partitions`` re-probes them (two 1-row GETs)
+    and FAILS FAST on any mismatch instead."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        if "base_url" not in options:
+            raise ValueError("tbns_sql_http: 'base_url' option is required")
+        if "id_col" not in options:
+            raise ValueError(
+                "tbns_sql_http stream: 'id_col' option is required (the "
+                "append-only cursor column the boundary re-probe checks)"
+            )
+        self.base_url = options["base_url"].rstrip("/")
+        self.id_col = options["id_col"]
+        self.batch_size = int(options.get("batch_size", 1000))
+        if self.batch_size <= 0:
+            raise ValueError("tbns_sql_http: batch_size must be positive")
+        self.timeout = float(options.get("timeout", 30))
+        self._schema = schema
+
+    def _fetch(self, url: str) -> list[dict]:
+        with urlopen(url, timeout=self.timeout) as resp:
+            return [
+                json.loads(line)
+                for line in resp.read().decode("utf-8").splitlines()
+                if line.strip()
+            ]
+
+    def _id_at(self, pos: int):
+        rows = self._fetch(f"{self.base_url}/rows?limit=1&offset={pos}")
+        return rows[0][self.id_col] if rows else None
+
+    def initialOffset(self) -> dict:
+        return {"n_rows": 0, "last_id": None}
+
+    def latestOffset(self) -> dict:
+        with urlopen(f"{self.base_url}/count", timeout=self.timeout) as resp:
+            n = int(json.load(resp)["count"])
+        return {"n_rows": n, "last_id": self._id_at(n - 1) if n else None}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[PagePartition]:
+        for which, off in (("start", start), ("end", end)):
+            n = off["n_rows"]
+            if n > 0:
+                got = self._id_at(n - 1)
+                if got != off.get("last_id"):
+                    raise RuntimeError(
+                        "tbns_sql_http stream: row order changed under the "
+                        f"offset ({which} boundary: expected id "
+                        f"{off.get('last_id')!r} at position {n - 1}, "
+                        f"service has {got!r}) — the queryset must be "
+                        "append-only with monotone ids (no deletes, no "
+                        "smaller-id inserts); fix the cursor column"
+                    )
+        lo, hi = start["n_rows"], end["n_rows"]
+        return [
+            PagePartition(
+                i,
+                f"{self.base_url}/rows?"
+                f"limit={min(self.batch_size, hi - p)}&offset={p}",
+            )
+            for i, p in enumerate(range(lo, hi, self.batch_size))
+        ]
+
+    def read(self, partition: PagePartition) -> "Iterator":
+        yield from _arrow_batches(iter(self._fetch(partition.path)), self._schema)
+
+    def commit(self, end: dict) -> None:
+        # a live backend would advance/ack a server-side cursor here
+        pass
 
 
 # --- stand-in service --------------------------------------------------------

@@ -573,3 +573,105 @@ def test_sql_http_rejects_bad_options(spark):
         SqlHttpReader(StructType(), {})
     with pytest.raises(ValueError, match="batch_size"):
         SqlHttpReader(StructType(), {"base_url": "http://x", "batch_size": "0"})
+
+
+def test_sql_http_stream_tails_appended_rows(spark, tmp_path):
+    """The LIMIT/OFFSET cursor as a streaming offset: rows present at
+    start arrive in the first micro-batch, rows appended (with HIGHER
+    ids — the append-only contract) arrive in later ones, each row
+    exactly once."""
+    import time
+
+    from terra_bonobo_nodes_spark.sources.sql_http import (
+        SqlHttpDataSource,
+        serve_jsonl_table,
+    )
+
+    path = tmp_path / "tail.jsonl"
+    path.write_text(
+        "\n".join(json.dumps({"id": i, "name": f"r{i}"}) for i in range(5))
+    )
+    base = serve_jsonl_table(str(path), "id")
+    spark.dataSource.register(SqlHttpDataSource)
+    stream = (
+        spark.readStream.format("tbns_sql_http")
+        .schema("id BIGINT, name STRING")
+        .option("base_url", base)
+        .option("id_col", "id")
+        .option("batch_size", "2")
+        .load()
+    )
+    name = "sql_http_stream_sink"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        def wait_for(n, timeout=60):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                if spark.table(name).count() >= n:
+                    return True
+                time.sleep(0.5)
+            return False
+
+        assert wait_for(5), "initial rows never arrived"
+        with open(path, "a") as fh:
+            fh.write("\n" + "\n".join(
+                json.dumps({"id": 100 + i, "name": f"late{i}"}) for i in range(3)
+            ))
+        assert wait_for(8), "appended rows never arrived"
+        got = sorted(r["id"] for r in spark.table(name).collect())
+        assert got == [0, 1, 2, 3, 4, 100, 101, 102]  # exactly once each
+    finally:
+        q.stop()
+
+
+def test_sql_http_stream_rejects_smaller_id_insert(spark, tmp_path):
+    """A smaller-id insert remaps every LIMIT/OFFSET position after it;
+    the boundary re-probe must kill the stream rather than silently
+    duplicate/skip rows."""
+    import time
+
+    from terra_bonobo_nodes_spark.sources.sql_http import (
+        SqlHttpDataSource,
+        serve_jsonl_table,
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    path = tmp_path / "bad.jsonl"
+    path.write_text(
+        "\n".join(json.dumps({"id": 10 + i, "name": f"r{i}"}) for i in range(4))
+    )
+    base = serve_jsonl_table(str(path), "id")
+    spark.dataSource.register(SqlHttpDataSource)
+    stream = (
+        spark.readStream.format("tbns_sql_http")
+        .schema("id BIGINT, name STRING")
+        .option("base_url", base)
+        .option("id_col", "id")
+        .load()
+    )
+    name = "sql_http_stream_bad_sink"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table(name).count() < 4:
+            time.sleep(0.5)
+        assert spark.table(name).count() == 4
+        # id 1 sorts BEFORE every consumed row: violation
+        with open(path, "a") as fh:
+            fh.write("\n" + json.dumps({"id": 1, "name": "intruder"}))
+        with pytest.raises(StreamingQueryException, match="append-only"):
+            q.awaitTermination(60)
+    finally:
+        q.stop()
