@@ -40,7 +40,11 @@ pretraining pipeline needs.
 from __future__ import annotations
 
 import math
+from collections.abc import Iterator
 from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -152,6 +156,138 @@ def score_quality(
 ) -> DataFrame:
     """P(keep) per row as a pure Column expression — JVM-side, no UDF."""
     return df.withColumn(out_col, _sigmoid(model.z()))
+
+
+# --- hashed-text form (the documented large-d path) --------------------------
+#
+# The fastText-style quality classifier proper: features are a hashed
+# bag of tokens (dim in the thousands), so the literal-unrolled Column
+# gradient above stops scaling and the gradient moves to the
+# llm/embeddings.py layout — per-partition numpy partials over
+# mapInPandas, a (dim+1)-key shuffle of float sums, a driver-side
+# update of a dim+1-float model that re-ships in the next iteration's
+# closure (~8·dim bytes). Still one scan per iteration; still nothing
+# row-sized on the driver.
+
+
+def _token_hash_ids(text: str, dim: int) -> "tuple":
+    """Stable token -> bucket hashing (crc32 — Python's hash() is
+    per-process salted and would unstabilize the model across runs)."""
+    import zlib
+
+    toks = str(text).lower().split()
+    ids = [zlib.crc32(t.encode("utf-8")) % dim for t in toks]
+    return ids
+
+
+@dataclass(frozen=True)
+class HashedTextModel:
+    """dim+1 floats + the hashing dimension; L1-normalized hashed
+    token counts are the (implicit) features."""
+
+    dim: int
+    weights: tuple[float, ...]  # len == dim
+    bias: float
+
+
+def train_hashed_text_logreg(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    dim: int = 1024,
+    iterations: int = 10,
+    lr: float = 1.0,
+    l2: float = 0.0,
+) -> HashedTextModel:
+    """Fit the hashed-bag-of-tokens logistic classifier.
+
+    Per iteration: ONE ``mapInPandas`` scan emits each partition's
+    partial gradient as at most dim+1 ``(j, g)`` rows (j = dim is the
+    bias slot) regardless of row count — np.add.at scatter-adds the
+    residuals into a local dense gradient, the map-side combine — then
+    a dim+1-key shuffle sums partials and the driver updates the
+    weights. Empty corpus raises typed (round-9 contract)."""
+    if dim <= 0:
+        raise ValueError("train_hashed_text_logreg: dim must be positive")
+    n = df.select(F.count(F.lit(1))).collect()[0][0]
+    if n == 0:
+        raise ValueError("train_hashed_text_logreg: empty corpus")
+
+    w = np.zeros(dim, dtype=np.float64)
+    b = 0.0
+    src = df.select(
+        F.col(text_col).alias("_t"), F.col(label_col).cast("double").alias("_y")
+    )
+    for _ in range(int(iterations)):
+        w_now, b_now = w.copy(), b
+
+        def grad_partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc = np.zeros(dim + 1, dtype=np.float64)  # [dw..., db]
+            seen = False
+            for pdf in batches:
+                for text, y in zip(pdf["_t"], pdf["_y"]):
+                    ids = _token_hash_ids(text, dim)
+                    if ids:
+                        idx, cnt = np.unique(ids, return_counts=True)
+                        x = cnt.astype(np.float64) / len(ids)  # L1 norm
+                        z = b_now + float(w_now[idx] @ x)
+                    else:
+                        idx, x, z = None, None, b_now
+                    resid = 1.0 / (1.0 + math.exp(-z)) - float(y)
+                    if idx is not None:
+                        np.add.at(acc, idx, resid * x)
+                    acc[dim] += resid
+                    seen = True
+            if seen:
+                nz = np.nonzero(acc)[0]
+                yield pd.DataFrame({"j": nz.astype("int64"), "g": acc[nz]})
+
+        g = (
+            src.mapInPandas(grad_partial, "j LONG, g DOUBLE")
+            .groupBy("j")
+            .agg(F.sum("g").alias("g"))
+            .collect()
+        )
+        full = np.zeros(dim + 1, dtype=np.float64)
+        for r in g:
+            full[r["j"]] = r["g"]
+        full /= n
+        b -= lr * full[dim]
+        w -= lr * (full[:dim] + l2 * w)
+        if not (np.isfinite(w).all() and math.isfinite(b)):
+            raise ArithmeticError(
+                "train_hashed_text_logreg: diverged — lower lr or raise l2"
+            )
+    return HashedTextModel(dim=dim, weights=tuple(w.tolist()), bias=b)
+
+
+def score_hashed_text(
+    df: DataFrame,
+    model: HashedTextModel,
+    text_col: str = "text",
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """P(keep) per row. Hashed featurization is inherently kernel work,
+    so scoring is one Arrow-batched pandas UDF (the weights travel in
+    the closure, ~8·dim bytes per task) — unlike the engineered-feature
+    form above, which scores in pure Columns."""
+    w = np.asarray(model.weights, dtype=np.float64)
+    b, dim = model.bias, model.dim
+
+    @F.pandas_udf("double")
+    def prob(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.float64)
+        for i, text in enumerate(texts):
+            ids = _token_hash_ids(text, dim)
+            if ids:
+                idx, cnt = np.unique(ids, return_counts=True)
+                z = b + float(w[idx] @ (cnt.astype(np.float64) / len(ids)))
+            else:
+                z = b
+            out[i] = 1.0 / (1.0 + math.exp(-z))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, prob(F.col(text_col)))
 
 
 def filter_quality(

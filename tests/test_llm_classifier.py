@@ -128,3 +128,95 @@ def test_documents_end_to_end_orders_classes(spark, sf_dir):
         assert by_label[1] > by_label[0] + 0.1
     finally:
         labeled.unpersist()
+
+
+# --- hashed-text form --------------------------------------------------------
+
+
+TEXTS = [
+    ("the quick brown fox jumps over the lazy dog", 1),
+    ("a clear well written informative paragraph about science", 1),
+    ("readable prose with ordinary common words and structure", 1),
+    ("buy now click here free free free winner", 0),
+    ("zzzz qqqq xxxx spam spam spam spam", 0),
+    ("click click click buy buy buy now now", 0),
+]
+
+
+def _text_df(spark):
+    return spark.createDataFrame(TEXTS, "text STRING, label INT")
+
+
+def _reference_hashed_fit(rows, dim, iterations, lr=1.0, l2=0.0):
+    import zlib
+
+    import numpy as np
+
+    w = np.zeros(dim)
+    b = 0.0
+    feats = []
+    for text, y in rows:
+        ids = [zlib.crc32(t.encode()) % dim for t in str(text).lower().split()]
+        idx, cnt = np.unique(ids, return_counts=True)
+        feats.append((idx, cnt / len(ids), float(y)))
+    n = len(rows)
+    for _ in range(iterations):
+        g = np.zeros(dim + 1)
+        for idx, x, y in feats:
+            z = b + float(w[idx] @ x)
+            r = 1.0 / (1.0 + np.exp(-z)) - y
+            np.add.at(g, idx, r * x)
+            g[dim] += r
+        g /= n
+        b -= lr * g[dim]
+        w -= lr * (g[:dim] + l2 * w)
+    return w, b
+
+
+def test_hashed_matches_numpy_reference(spark):
+    from terra_bonobo_nodes_spark.llm.classifier import train_hashed_text_logreg
+
+    model = train_hashed_text_logreg(
+        _text_df(spark), dim=64, iterations=8, lr=0.5, l2=0.01
+    )
+    w, b = _reference_hashed_fit(TEXTS, 64, 8, lr=0.5, l2=0.01)
+    import numpy as np
+
+    assert np.allclose(model.weights, w, rtol=1e-9, atol=1e-12)
+    assert math.isclose(model.bias, b, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_hashed_separates_and_is_partitioning_invariant(spark):
+    from terra_bonobo_nodes_spark.llm.classifier import (
+        score_hashed_text,
+        train_hashed_text_logreg,
+    )
+
+    df = _text_df(spark)
+    m1 = train_hashed_text_logreg(df.repartition(1), dim=256, iterations=40)
+    m4 = train_hashed_text_logreg(df.repartition(4), dim=256, iterations=40)
+    import numpy as np
+
+    # gradient partials sum in different orders -> last-ulp drift only
+    assert np.allclose(m1.weights, m4.weights, rtol=1e-8)
+    scored = score_hashed_text(df, m4)
+    assert all(
+        (r["quality_prob"] >= 0.5) == (r["label"] == 1) for r in scored.collect()
+    )
+
+
+def test_hashed_empty_corpus_and_empty_text(spark):
+    from terra_bonobo_nodes_spark.llm.classifier import (
+        score_hashed_text,
+        train_hashed_text_logreg,
+        HashedTextModel,
+    )
+
+    empty = spark.createDataFrame([], "text STRING, label INT")
+    with pytest.raises(ValueError, match="empty corpus"):
+        train_hashed_text_logreg(empty)
+    # zero-token documents score at the bias, not a crash
+    model = HashedTextModel(dim=8, weights=(0.0,) * 8, bias=0.0)
+    df = spark.createDataFrame([("",), ("   ",)], "text STRING")
+    rows = score_hashed_text(df, model).collect()
+    assert all(abs(r["quality_prob"] - 0.5) < 1e-12 for r in rows)
