@@ -1,0 +1,102 @@
+"""The full curation pipeline, composed end to end — the workflow a
+pretraining data team actually runs, every stage an already-verified
+operator:
+
+  documents ──> quality features (text.quality_score)
+            ──> LEARNED quality filter (classifier.train/filter)
+            ──> exact dedup groups survive (dedup verified elsewhere)
+            ──> SEMANTIC dedup on the embedding column (semdedup)
+            ──> per-source domain quota (corpus.source_quota_sample)
+            ──> token budget + pack-and-chunk (corpus.chunk_assignments)
+
+This is a composition test, not a re-test of stage internals: it pins
+that the stages' schemas feed each other without adapters, that every
+stage only ever SHRINKS the corpus (a curation pipeline must never
+invent rows), that the final packing covers exactly the surviving
+documents, and that the whole thing is deterministic across runs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from terra_bonobo_nodes_spark.llm import corpus as corpus_ops
+from terra_bonobo_nodes_spark.llm.classifier import (
+    filter_quality,
+    train_quality_logreg,
+)
+from terra_bonobo_nodes_spark.llm.semdedup import semantic_dedup
+from terra_bonobo_nodes_spark.llm.text import quality_score, token_count
+from terra_bonobo_nodes_spark.tables import load_table
+
+FEATURES = ["q_n_tokens", "q_alpha_ratio", "q_punct_ratio", "q_stop_ratio"]
+
+
+def _run_pipeline(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    n0 = docs.count()
+
+    # 1. engineered features + a learned filter (labels: heuristic
+    #    median split — in production, curated-vs-crawl provenance)
+    feats = quality_score(docs)
+    cut = feats.agg(F.expr("percentile(q_score, 0.5)")).collect()[0][0]
+    labeled = feats.withColumn(
+        "label", (F.col("q_score") >= F.lit(cut)).cast("int")
+    ).persist()
+    model = train_quality_logreg(labeled, FEATURES, iterations=15)
+    kept_quality = filter_quality(labeled, model, threshold=0.4).select(
+        "doc_id", "source", "text"
+    )
+    labeled.unpersist()
+    n1 = kept_quality.count()
+
+    # 2. semantic dedup on the embedding column (vec_id aligns with
+    #    doc_id in the testdata)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    verdict = semantic_dedup(emb, n_clusters=8, threshold=0.995)
+    survivors = verdict.where("is_kept").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    deduped = kept_quality.join(survivors, "doc_id", "inner")
+    n2 = deduped.count()
+
+    # 3. domain quota, then token budgets + packing
+    quota = corpus_ops.source_quota_sample(deduped, "source", cap=40)
+    n3 = quota.count()
+    with_tokens = token_count(quota)
+    packed = corpus_ops.chunk_assignments(
+        with_tokens, budget=512, n_shards=4
+    )
+    return n0, n1, n2, n3, packed
+
+
+def test_pipeline_composes_and_only_shrinks(spark, sf_dir):
+    n0, n1, n2, n3, packed = _run_pipeline(spark, sf_dir)
+    assert n0 >= n1 >= n2 >= n3  # curation never invents rows
+    assert n1 > 0 and n3 > 0     # ...and never silently empties
+    rows = packed.collect()
+    assert len(rows) == n3       # packing covers every survivor exactly
+    assert packed.columns == [
+        "doc_id", "shard", "n_tokens", "start_offset", "first_chunk",
+        "last_chunk",
+    ]
+    # packing invariants: offsets are consistent within each shard
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        run = 0
+        for r in shard_rows:
+            assert r["start_offset"] == run
+            assert r["first_chunk"] == run // 512
+            run += r["n_tokens"]
+
+
+def test_pipeline_is_deterministic(spark, sf_dir):
+    *_, p1 = _run_pipeline(spark, sf_dir)
+    *_, p2 = _run_pipeline(spark, sf_dir)
+    assert sorted(map(tuple, p1.collect())) == sorted(map(tuple, p2.collect()))
