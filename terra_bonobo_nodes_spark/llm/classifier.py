@@ -170,14 +170,17 @@ def score_quality(
 # row-sized on the driver.
 
 
-def _token_hash_ids(text: str, dim: int) -> "tuple":
+def _token_hash_ids(text: str, dim: int) -> "list[int]":
     """Stable token -> bucket hashing (crc32 — Python's hash() is
-    per-process salted and would unstabilize the model across runs)."""
+    per-process salted and would unstabilize the model across runs).
+    NULL text is an empty document, not the literal token 'none'
+    (pandas delivers SQL NULLs as None/NaN in object series)."""
     import zlib
 
+    if text is None or (isinstance(text, float) and math.isnan(text)):
+        return []
     toks = str(text).lower().split()
-    ids = [zlib.crc32(t.encode("utf-8")) % dim for t in toks]
-    return ids
+    return [zlib.crc32(t.encode("utf-8")) % dim for t in toks]
 
 
 @dataclass(frozen=True)

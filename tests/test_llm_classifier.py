@@ -217,6 +217,7 @@ def test_hashed_empty_corpus_and_empty_text(spark):
         train_hashed_text_logreg(empty)
     # zero-token documents score at the bias, not a crash
     model = HashedTextModel(dim=8, weights=(0.0,) * 8, bias=0.0)
-    df = spark.createDataFrame([("",), ("   ",)], "text STRING")
+    df = spark.createDataFrame([("",), ("   ",), (None,)], "text STRING")
     rows = score_hashed_text(df, model).collect()
+    # NULL text is an empty document (NOT the literal token 'none')
     assert all(abs(r["quality_prob"] - 0.5) < 1e-12 for r in rows)
