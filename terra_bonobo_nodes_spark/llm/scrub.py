@@ -15,9 +15,9 @@ Scale shapes (100 TB):
 - Boilerplate removal shuffles once on the paragraph hash to count
   document frequency, reduces the hot set (df > max_df) to a SMALL
   relation (boilerplate is by definition few distinct paragraphs), and
-  broadcasts it back as an anti-join — the same df-cap shape as
-  ``winnow_pairs``/``tfidf`` (llm/text.py). The per-doc regroup is the
-  second and last shuffle.
+  broadcasts it back as a hotness-marker join — the same df-cap shape
+  as ``winnow_pairs``/``tfidf`` (llm/text.py). The per-doc regroup is
+  the second and last shuffle.
 """
 
 from __future__ import annotations
@@ -132,11 +132,13 @@ def remove_boilerplate(
     so it costs one cheap extra job.
 
     Plan: explode (id, idx, para) → groupBy(md5(para)) count-distinct-id
-    → the >max_df hot set broadcasts into a LEFT ANTI join (never a
-    shuffle of the corpus against itself) → regroup by id. Two shuffles
-    total; the hot set is small by the boilerplate definition itself.
+    → the >max_df hot set broadcasts back as a LEFT-join hotness marker
+    (never a shuffle of the corpus against itself) → ONE regroup by id
+    computing totals, kept counts and the reassembled text together.
+    Two shuffles total; the hot set is small by the boilerplate
+    definition itself.
     """
-    # Lazy localCheckpoint: three consumers (df count, anti-join, totals)
+    # Lazy localCheckpoint: two consumers (hotness agg, marker join)
     # read this relation — without the barrier the tokenize+chunk+md5
     # pipeline re-executes per consumer (measured 2x on the sf0.1
     # bench). Checkpoint ownership follows the returned plan, so it is
@@ -165,29 +167,35 @@ def remove_boilerplate(
         )
     )
     hot = agged.where(F.col("_df") > max_df)
-    kept = paras.join(F.broadcast(hot.select("_h")), "_h", "left_anti")
-    clean = kept.groupBy(id_col).agg(
+    # Broadcast LEFT join as a hotness MARKER (not an anti-join): every
+    # paragraph row survives to ONE groupBy(id) that computes totals,
+    # kept counts, and the reassembled text together. The pre-r09 shape
+    # (anti-join -> groupBy + a second totals groupBy + a final join)
+    # exchanged the paragraph relation by id twice and joined two
+    # aggregates; this fuses it to a single paragraph-level exchange —
+    # same two logical shuffles (hash groupBy + id groupBy), half the
+    # shuffled bytes. All-boilerplate documents keep their (marked)
+    # rows, so they emerge with out_col = '' without a totals join.
+    marked = paras.join(
+        F.broadcast(hot.select("_h", F.lit(True).alias("_hot"))), "_h", "left"
+    )
+    keep = F.col("_hot").isNull()
+    result = marked.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("_idx", "_para"))),
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("_idx", "_para", "_hot"))
+                    ),
+                    lambda s: s["_hot"].isNull(),
+                ),
                 lambda s: s["_para"],
             ),
             " ",
         ).alias(out_col),
-        F.count("_para").cast("long").alias("n_kept"),
-    )
-    totals = paras.groupBy(id_col).agg(
-        F.count("_para").cast("long").alias("n_para")
-    )
-    result = (
-        totals.join(clean, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
-            "n_para",
-            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
-        )
-    )
+        F.count("_para").cast("long").alias("n_para"),
+        F.count(F.when(keep, F.col("_para"))).cast("long").alias("n_kept"),
+    ).select(id_col, out_col, "n_para", "n_kept")
     if not with_metrics:
         return result
     metrics = agged.agg(

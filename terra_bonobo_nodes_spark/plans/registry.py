@@ -119,6 +119,10 @@ def register(
 #   wrapper + a second typed guard in ivf_train (non-2D sample) for
 #   llm/semdedup.py — llm_ivf_ann_topk is already scheduled above;
 #   no other registered query touches these paths.
+# - llm/scrub.py::remove_boilerplate fused its two per-doc regroups
+#   into one via a broadcast hotness-marker join (late round 9) —
+#   llm_boilerplate_removal is r06-green and already in the due
+#   cohort; listed in _CHANGED for the audit trail (no demand change).
 # - plans/queries_llm.py's collapse-tokens oracle became a raw string
 #   (DeprecationWarning fix) — byte-identical SQL text, no re-green
 #   needed (llm_collapse_repeated_tokens stays r08-green).
@@ -129,7 +133,8 @@ DRIVER_CAP = 50  # rows the correctness driver records per round
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "s1_csv_document_roundtrip",  # csv.py header= + typed empty error
     "pipeline_file_import",       # same csv.py change (now passes header=)
-    "llm_ivf_ann_topk",           # ivf_train empty-corpus guard (also due)
+    "llm_ivf_ann_topk",           # ivf_train empty-corpus guards (also due)
+    "llm_boilerplate_removal",    # scrub.py marker-join fusion (also due)
 )
 
 # (3) first driver row this round:
