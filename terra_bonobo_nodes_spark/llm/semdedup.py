@@ -49,12 +49,20 @@ def semantic_dedup(
     sample_size: int = 65536,
     centroids: list[list[float]] | None = None,
     prefer_col: str | None = None,
-) -> DataFrame:
+    with_metrics: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Per-row semantic-dedup verdict: ``(id_col, cell, component_id,
     is_kept)``. One survivor per near-duplicate component — the row
     with the highest ``prefer_col`` (e.g. a quality score; ties and
     the default policy go to the smallest id). Singletons keep
     themselves, as their own component.
+
+    ``with_metrics=True`` returns ``(verdicts, metrics)`` with a 1-row
+    companion DataFrame ``(n_cells_used, max_cell_rows, mean_cell_rows)``
+    — the skew watch for the quadratic per-cell pair term (a hot cell
+    means raise ``n_clusters``). Companion DataFrame, not
+    ``df.observe``, for the AQE empty-side reason documented at
+    ``scrub.remove_boilerplate``.
 
     An empty corpus returns an empty, well-formed result (the round-9
     degenerate-input contract); a corpus smaller than ``n_clusters``
@@ -80,11 +88,14 @@ def semantic_dedup(
         n_avail = df.select(id_col).limit(4 * int(n_clusters)).count()
         if n_avail == 0:
             spark = df.sparkSession
-            return spark.createDataFrame(
+            empty = spark.createDataFrame(
                 [],
                 f"{id_col} {out_schema}, cell INT, "
                 f"component_id {out_schema}, is_kept BOOLEAN",
             )
+            if with_metrics:
+                return empty, _cell_metrics_empty(spark)
+            return empty
         centroids = ivf_train(
             df,
             n_clusters=min(int(n_clusters), max(1, int(n_avail) // 4)),
@@ -115,7 +126,7 @@ def semantic_dedup(
     w = Window.partitionBy("component_id").orderBy(
         *prefer, F.col(id_col).asc()
     )
-    return (
+    verdicts = (
         full.withColumn("_rn", F.row_number().over(w))
         .select(
             id_col,
@@ -123,4 +134,22 @@ def semantic_dedup(
             "component_id",
             (F.col("_rn") == 1).alias("is_kept"),
         )
+    )
+    if not with_metrics:
+        return verdicts
+    # one extra job over one assignment scan: per-cell row counts,
+    # reduced to the three numbers the skew watch needs
+    cell_sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+    metrics = cell_sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells_used"),
+        F.coalesce(F.max("_n"), F.lit(0)).cast("long").alias("max_cell_rows"),
+        F.coalesce(F.round(F.avg("_n"), 2), F.lit(0.0)).alias("mean_cell_rows"),
+    )
+    return verdicts, metrics
+
+
+def _cell_metrics_empty(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [(0, 0, 0.0)],
+        "n_cells_used LONG, max_cell_rows LONG, mean_cell_rows DOUBLE",
     )

@@ -120,3 +120,20 @@ def test_real_embeddings_table_runs(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == n                      # verdict for every row
     assert sum(r["is_kept"] for r in rows) >= 1
+
+
+def test_with_metrics_reports_cell_stats(corpus, spark):
+    out, metrics = semantic_dedup(
+        corpus, n_clusters=3, threshold=0.999, with_metrics=True
+    )
+    m = metrics.collect()[0]
+    assert m["n_cells_used"] >= 1
+    assert m["max_cell_rows"] >= 3        # group A has 3 members in one cell
+    assert m["mean_cell_rows"] > 0
+    assert out.count() == 7
+
+    empty = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    e_out, e_m = semantic_dedup(empty, with_metrics=True)
+    assert e_out.count() == 0
+    row = e_m.collect()[0]
+    assert (row["n_cells_used"], row["max_cell_rows"]) == (0, 0)
