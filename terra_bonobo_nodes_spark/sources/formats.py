@@ -1,0 +1,81 @@
+"""Additional ingest formats: ORC and XML.
+
+The reference reads CSV / GeoJSON / zip / OSM-XML / SQL
+(``common.py``, ``overpass.py``, ``sql.py``); a team migrating from it
+also holds columnar archives (ORC is the other Hadoop-native columnar
+format besides parquet) and generic XML exports. Spark 4 ships both
+natively, so these are thin wrappers that pin the house conventions —
+explicit schema preferred over inference, and a content-based
+documents-to-rows form to match the CSV/JSONL family
+(``csv.csv_documents_to_rows``, ``jsonl.jsonl_documents_to_rows``):
+payloads that arrive as whole-document strings (zip entries, API
+bodies) explode into typed rows without touching a filesystem.
+
+100 TB notes: ORC scans get the same pushdown/pruning treatment as
+parquet (``PushedFilters``/``ReadSchema`` in ``.explain``); the XML
+path-based reader is schema-driven (never let it infer on a large
+corpus — inference is a full extra pass); the content-based XML form
+is a JVM-side regexp explode + ``from_xml`` projection, zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """ORC scan. Schema optional — ORC carries its own types (unlike
+    CSV), so this is projection pinning, not inference avoidance."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: str | None = None,
+) -> DataFrame:
+    """Path-based XML scan (Spark 4 built-in source). ALWAYS pass a
+    schema on real corpora — inference costs a full extra pass."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def xml_documents_to_rows(
+    df: DataFrame,
+    content_col: str,
+    row_tag: str,
+    schema: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Explode XML document strings into typed rows: each document may
+    hold many ``<row_tag>...</row_tag>`` records. JVM-side throughout —
+    a regexp pulls the record fragments (non-greedy, so adjacent
+    records don't merge), explode fans them out, ``from_xml`` types
+    them. Empty documents (or documents with zero records) contribute
+    zero rows and the declared schema always survives — the
+    ``csv_documents_to_rows`` round-9 empty-corpus contract.
+
+    Records must not nest ``row_tag`` within itself (the regexp is
+    non-recursive — same restriction as most streaming XML splitters);
+    for nested-same-tag documents use the path-based reader.
+    """
+    # (?s): records span lines; non-greedy body so adjacent records
+    # don't merge; the second alternative catches self-closing records
+    frag = rf"(?s)<{row_tag}(?:\s[^>]*)?>.*?</{row_tag}>|<{row_tag}(?:\s[^>]*)?/>"
+    rows = df.select(
+        *(keep_cols or []),
+        F.explode(
+            F.regexp_extract_all(F.col(content_col), F.lit(frag), 0)
+        ).alias("_frag"),
+    )
+    parsed = rows.withColumn("_rec", F.from_xml(F.col("_frag"), schema))
+    return parsed.select(*(keep_cols or []), "_rec.*")

@@ -1,0 +1,83 @@
+"""sources/formats.py: ORC + XML ingest."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from terra_bonobo_nodes_spark.sources.formats import (
+    read_orc,
+    read_xml,
+    xml_documents_to_rows,
+)
+
+
+def test_orc_roundtrip_preserves_types(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25)], "id BIGINT, name STRING, v DOUBLE"
+    )
+    path = str(tmp_path / "t.orc")
+    src.write.mode("overwrite").orc(path)
+    back = read_orc(spark, path)
+    assert dict(back.dtypes) == {"id": "bigint", "name": "string", "v": "double"}
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_orc_scan_pushes_filters(spark, tmp_path):
+    src = spark.createDataFrame([(i, f"n{i}") for i in range(100)], "id BIGINT, name STRING")
+    path = str(tmp_path / "p.orc")
+    src.write.mode("overwrite").orc(path)
+    df = read_orc(spark, path).where(F.col("id") > 90).select("name")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,90)]" in plan
+    assert df.count() == 9
+
+
+def test_xml_path_reader_with_schema(spark, tmp_path):
+    p = tmp_path / "d.xml"
+    p.write_text(
+        "<rows><row><id>1</id><name>a</name></row>"
+        "<row><id>2</id><name>b</name></row></rows>"
+    )
+    df = read_xml(spark, str(p), "row", "id BIGINT, name STRING")
+    assert sorted(map(tuple, df.collect())) == [(1, "a"), (2, "b")]
+
+
+def _docs(spark, contents):
+    return spark.createDataFrame([(i, c) for i, c in enumerate(contents)],
+                                 "doc INT, content STRING")
+
+
+def test_xml_documents_to_rows_multirecord(spark):
+    docs = _docs(spark, [
+        "<r><id>1</id><name>x &amp; y</name></r><r><id>2</id><name>b</name></r>",
+        "<export>\n  <r>\n    <id>3</id>\n    <name>multi\nline</name>\n  </r>\n</export>",
+        "",                       # empty document: zero rows
+        "<r><id>4</id></r>",      # missing field -> NULL
+    ])
+    out = xml_documents_to_rows(
+        docs, "content", "r", "id BIGINT, name STRING", keep_cols=["doc"]
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert got == [
+        (0, 1, "x & y"),          # entity decoded by from_xml
+        (0, 2, "b"),
+        (1, 3, "multi\nline"),    # (?s): records span lines
+        (3, 4, None),
+    ]
+    assert out.columns == ["doc", "id", "name"]
+
+
+def test_xml_documents_to_rows_empty_corpus_keeps_schema(spark):
+    docs = _docs(spark, ["", "no xml here"])
+    out = xml_documents_to_rows(docs, "content", "r", "id BIGINT, name STRING")
+    assert out.columns == ["id", "name"]
+    assert out.count() == 0
+
+
+def test_xml_documents_to_rows_attributes_and_selfclosing(spark):
+    docs = _docs(spark, ['<r id="9"><name>a</name></r><r id="10"/>'])
+    out = xml_documents_to_rows(
+        docs, "content", "r", "_id BIGINT, name STRING"
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert got == [(9, "a"), (10, None)]  # attributes arrive as _-prefixed
