@@ -8,6 +8,9 @@ scoring, token counting, fingerprinting, PII scrub, boilerplate and
 stutter removal, mojibake repair, decontamination), corpus assembly
 (hash/stratified/temperature/reservoir/quota sampling, pack-and-chunk,
 trainable BPE), embedding analytics (gram/PCA, centroid outliers),
+model-based curation (learned quality filters: engineered-feature and
+fastText-style hashed-token logistic regression, ``classifier``;
+semantic dedup over embedding cells, ``semdedup``),
 retrieval (BM25), and multimodal columns with REAL pure-Python codecs
 (PNG incl. sub-byte + Adam7, baseline + progressive JPEG, BMP/PPM/WAV,
 spectral audio features). All shuffle-conscious: blocking keys before
