@@ -68,6 +68,15 @@ def xml_documents_to_rows(
     non-recursive — same restriction as most streaming XML splitters);
     for nested-same-tag documents use the path-based reader.
     """
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z_][\w.-]*", row_tag):
+        # the tag is interpolated into a regex — a metacharacter would
+        # not error, it would silently match the wrong fragments
+        raise ValueError(
+            f"xml_documents_to_rows: {row_tag!r} is not a plain XML "
+            "element name"
+        )
     # (?s): records span lines; non-greedy body so adjacent records
     # don't merge; the second alternative catches self-closing records
     frag = rf"(?s)<{row_tag}(?:\s[^>]*)?>.*?</{row_tag}>|<{row_tag}(?:\s[^>]*)?/>"

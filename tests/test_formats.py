@@ -81,3 +81,11 @@ def test_xml_documents_to_rows_attributes_and_selfclosing(spark):
     )
     got = sorted(map(tuple, out.collect()))
     assert got == [(9, "a"), (10, None)]  # attributes arrive as _-prefixed
+
+
+def test_xml_documents_to_rows_rejects_regex_metacharacter_tags(spark):
+    import pytest as _pytest
+
+    docs = _docs(spark, ["<r><id>1</id></r>"])
+    with _pytest.raises(ValueError, match="element name"):
+        xml_documents_to_rows(docs, "content", "r.*", "id BIGINT")
