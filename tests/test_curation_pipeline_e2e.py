@@ -100,3 +100,23 @@ def test_pipeline_is_deterministic(spark, sf_dir):
     *_, p1 = _run_pipeline(spark, sf_dir)
     *_, p2 = _run_pipeline(spark, sf_dir)
     assert sorted(map(tuple, p1.collect())) == sorted(map(tuple, p2.collect()))
+
+
+def test_curated_corpus_snapshot_replay(spark, sf_dir, tmp_path):
+    """The reproducibility tail of the pipeline: publish the curated
+    output as an immutable snapshot version, re-curate (a new version),
+    and replay the pinned version bit-for-bit — what a training run
+    records so its corpus is re-readable after later curation passes."""
+    from terra_bonobo_nodes_spark.sinks.snapshots import (
+        snapshot_read,
+        snapshot_write,
+    )
+
+    *_, packed = _run_pipeline(spark, sf_dir)
+    root = str(tmp_path / "curated")
+    v1 = snapshot_write(packed, root, note="run-1 curation")
+    want = sorted(map(tuple, packed.collect()))
+    # a later pass publishes a different corpus over the same store
+    snapshot_write(packed.limit(3), root, note="run-2 tighter quota")
+    assert sorted(map(tuple, snapshot_read(spark, root, version=v1).collect())) == want
+    assert snapshot_read(spark, root).count() == 3  # the head moved on

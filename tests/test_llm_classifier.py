@@ -221,3 +221,22 @@ def test_hashed_empty_corpus_and_empty_text(spark):
     rows = score_hashed_text(df, model).collect()
     # NULL text is an empty document (NOT the literal token 'none')
     assert all(abs(r["quality_prob"] - 0.5) < 1e-12 for r in rows)
+
+
+def test_training_gradient_is_one_jvm_aggregation(spark):
+    """The one-scan-per-iteration claim, pinned on the plan: the
+    gradient aggregate is a partial+final HashAggregate pair over the
+    scan with no Python eval node anywhere."""
+    df = _df(spark)
+    feats = [F.col(c).cast("double") for c in ("x1", "x2")]
+    y = F.col("label").cast("double")
+    z = F.lit(0.0) + F.lit(0.1) * feats[0] + F.lit(-0.2) * feats[1]
+    resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - y
+    g = df.agg(
+        F.avg(resid).alias("g_b"),
+        *[F.avg(resid * x).alias(f"g{i}") for i, x in enumerate(feats)],
+    )
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") == 2  # partial + final
+    for node in ("BatchEvalPython", "ArrowEval", "MapInPandas"):
+        assert node not in plan
