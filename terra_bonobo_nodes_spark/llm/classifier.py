@@ -77,8 +77,25 @@ class LogRegModel:
 
 
 def _sigmoid(z: Column) -> Column:
-    # expressed via built-ins; numerically safe for |z| up to ~700
+    # expressed via built-ins; F.exp saturates to +inf instead of
+    # raising, so this is safe for any double (1/(1+inf) == 0.0)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def _sigmoid_np(z: np.ndarray) -> np.ndarray:
+    """Numerically stable vectorized sigmoid: branch on sign so exp is
+    only ever called on non-positive values (math.exp / np.exp on z <
+    ~-745 overflows/warns; exp of a large NEGATIVE is a clean 0.0) —
+    the Python-side mirror of F.exp's saturating behavior, so a
+    diverging hashed-gradient run reaches the typed post-iteration
+    ArithmeticError instead of dying in an executor OverflowError."""
+    z = np.asarray(z, dtype=np.float64)
+    out = np.empty_like(z)
+    pos = z >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
+    ez = np.exp(z[~pos])
+    out[~pos] = ez / (1.0 + ez)
+    return out
 
 
 def train_quality_logreg(
@@ -103,14 +120,31 @@ def train_quality_logreg(
     feats = [F.col(c).cast("double") for c in feature_cols]
     y = F.col(label_col).cast("double")
 
-    # one scan: n + per-feature mean/std (map-side combined built-ins)
+    # one scan: n + per-feature non-null count/mean/std (map-side
+    # combined built-ins)
     stats_row = df.agg(
         F.count(F.lit(1)).alias("n"),
+        *[F.count(c).alias(f"c{i}") for i, c in enumerate(feats)],
         *[F.avg(c).alias(f"m{i}") for i, c in enumerate(feats)],
         *[F.stddev_pop(c).alias(f"s{i}") for i, c in enumerate(feats)],
     ).collect()[0]
     if stats_row["n"] == 0:
         raise ValueError("train_quality_logreg: empty corpus")
+    # NULLs break the model silently, not just loudly: avg() skips them,
+    # so a NULL-bearing feature drops its rows from every gradient
+    # average while n (the count) still includes them — the weights
+    # would be fit against a denominator the data doesn't have. Typed
+    # fail-fast naming the column; coalesce upstream to a documented
+    # default if NULL genuinely means something.
+    for i, name in enumerate(feature_cols):
+        if stats_row[f"c{i}"] != stats_row["n"]:
+            raise ValueError(
+                f"train_quality_logreg: feature column {name!r} has "
+                f"{stats_row['n'] - stats_row[f'c{i}']} NULL rows (of "
+                f"{stats_row['n']}) — coalesce to a default upstream; "
+                "NULLs would silently drop rows from the gradient "
+                "averages"
+            )
     means = [float(stats_row[f"m{i}"]) for i in range(len(feats))]
     stds = [
         max(float(stats_row[f"s{i}"] or 0.0), _STD_FLOOR)
@@ -183,6 +217,31 @@ def _token_hash_ids(text: str, dim: int) -> "list[int]":
     return [zlib.crc32(t.encode("utf-8")) % dim for t in toks]
 
 
+def _flat_token_ids(texts: pd.Series, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-Arrow-batch tokenization: ``(flat bucket ids, tokens per
+    doc)`` — the batch layout both kernels scatter over with ONE
+    ``np.add.at`` instead of per-document ``np.unique`` (the round-10
+    vectorization; same hashing as :func:`_token_hash_ids`, NULL/NaN →
+    zero tokens). The L1-normalized hashed-count feature makes each
+    token contribute ``w[bucket] / len(doc)``, so neither counts nor a
+    per-doc vocabulary ever need materializing."""
+    import zlib
+
+    toks = texts.fillna("").astype(str).str.lower().str.split()
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    n_tok = int(lens.sum())
+    flat = np.fromiter(
+        (
+            zlib.crc32(t.encode("utf-8")) % dim
+            for doc in toks
+            for t in doc
+        ),
+        dtype=np.int64,
+        count=n_tok,
+    )
+    return flat, lens
+
+
 @dataclass(frozen=True)
 class HashedTextModel:
     """dim+1 floats + the hashing dimension; L1-normalized hashed
@@ -228,19 +287,21 @@ def train_hashed_text_logreg(
             acc = np.zeros(dim + 1, dtype=np.float64)  # [dw..., db]
             seen = False
             for pdf in batches:
-                for text, y in zip(pdf["_t"], pdf["_y"]):
-                    ids = _token_hash_ids(text, dim)
-                    if ids:
-                        idx, cnt = np.unique(ids, return_counts=True)
-                        x = cnt.astype(np.float64) / len(ids)  # L1 norm
-                        z = b_now + float(w_now[idx] @ x)
-                    else:
-                        idx, x, z = None, None, b_now
-                    resid = 1.0 / (1.0 + math.exp(-z)) - float(y)
-                    if idx is not None:
-                        np.add.at(acc, idx, resid * x)
-                    acc[dim] += resid
-                    seen = True
+                if not len(pdf):
+                    continue
+                seen = True
+                flat, lens = _flat_token_ids(pdf["_t"], dim)
+                y = pdf["_y"].to_numpy(dtype=np.float64)
+                doc_idx = np.repeat(np.arange(len(pdf)), lens)
+                inv_len = 1.0 / np.maximum(lens, 1).astype(np.float64)
+                z = np.full(len(pdf), b_now, dtype=np.float64)
+                if len(flat):
+                    # z_i = b + Σ_tokens w[bucket] / len_i (L1-normed x)
+                    np.add.at(z, doc_idx, w_now[flat] * inv_len[doc_idx])
+                resid = _sigmoid_np(z) - y  # stable: no OverflowError
+                if len(flat):
+                    np.add.at(acc[:dim], flat, resid[doc_idx] * inv_len[doc_idx])
+                acc[dim] += float(resid.sum())
             if seen:
                 nz = np.nonzero(acc)[0]
                 yield pd.DataFrame({"j": nz.astype("int64"), "g": acc[nz]})
@@ -273,22 +334,24 @@ def score_hashed_text(
     """P(keep) per row. Hashed featurization is inherently kernel work,
     so scoring is one Arrow-batched pandas UDF (the weights travel in
     the closure, ~8·dim bytes per task) — unlike the engineered-feature
-    form above, which scores in pure Columns."""
+    form above, which scores in pure Columns. The batch vectorizes as
+    one flat-token scatter (:func:`_flat_token_ids`) — no per-row
+    Python loop — and the stable sigmoid saturates instead of
+    overflowing on extreme scores."""
     w = np.asarray(model.weights, dtype=np.float64)
     b, dim = model.bias, model.dim
 
     @F.pandas_udf("double")
     def prob(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.float64)
-        for i, text in enumerate(texts):
-            ids = _token_hash_ids(text, dim)
-            if ids:
-                idx, cnt = np.unique(ids, return_counts=True)
-                z = b + float(w[idx] @ (cnt.astype(np.float64) / len(ids)))
-            else:
-                z = b
-            out[i] = 1.0 / (1.0 + math.exp(-z))
-        return pd.Series(out)
+        if not len(texts):
+            return pd.Series([], dtype="float64")
+        flat, lens = _flat_token_ids(texts, dim)
+        doc_idx = np.repeat(np.arange(len(texts)), lens)
+        inv_len = 1.0 / np.maximum(lens, 1).astype(np.float64)
+        z = np.full(len(texts), b, dtype=np.float64)
+        if len(flat):
+            np.add.at(z, doc_idx, w[flat] * inv_len[doc_idx])
+        return pd.Series(_sigmoid_np(z))
 
     return df.withColumn(out_col, prob(F.col(text_col)))
 

@@ -16,12 +16,23 @@ Write protocol (two-phase, like the bulk writer's manifest commit,
 2. the driver publishes ``_latest.json`` via write-temp + ``os.replace``
    (atomic on POSIX).
 
-A crash between 1 and 2 leaves the head untouched and the half-version
-invisible — the next write reclaims its number. Published versions are
-never rewritten; ``prune`` deletes old ones explicitly (never the
-head). Readers resolve the head from the manifest, so a read
-concurrent with a write sees either the old or the new version,
+A crash between 1 and 2 leaves the head untouched. Version numbers are
+NEVER reused: the next write takes ``max(head, max existing v=* dir)
++ 1``, so a crashed attempt's number is burned, not reclaimed — a
+``_SUCCESS``'d-but-unpublished dir is complete, readable via
+``snapshot_read(version=...)``, and must never be rewritten under a
+reader that already recorded its number (the round-10 fix: reclaiming
+the head-derived number used to rewrite exactly that dir). Published
+versions are never rewritten; ``prune`` deletes old ones explicitly
+(never the head). Readers resolve the head from the manifest, so a
+read concurrent with a write sees either the old or the new version,
 never a mixture.
+
+Concurrency contract: SINGLE WRITER by design (the Delta/Iceberg swap
+below is the real-deployment answer). A second concurrent writer is
+detected, not tolerated: each writer claims its version directory with
+an exclusive ``mkdir`` before writing, so the loser fails loudly with
+``FileExistsError`` instead of silently clobbering the winner's data.
 
 This is the driver-local stand-in for a table format — on S3/HDFS use
 Delta/Iceberg time travel, which is exactly this manifest-plus-
@@ -57,17 +68,32 @@ def _read_manifest(root: str) -> dict | None:
         return None
 
 
+def _next_version(root: str) -> int:
+    """max(manifest head, max existing v=* dir) + 1 — a crashed attempt
+    (data written, manifest not) burns its number instead of having the
+    next write rmtree-rewrite a dir a pinned reader may already serve."""
+    head = _read_manifest(root)
+    high = int(head["version"]) if head else 0
+    for name in os.listdir(root):
+        m = _VDIR.match(name)
+        if m:
+            high = max(high, int(m.group(1)))
+    return high + 1
+
+
 def snapshot_write(df: DataFrame, root: str, note: str = "") -> int:
     """Publish ``df`` as the next version; returns its number. The data
-    write is executor-parallel; only the two manifest steps run on the
-    driver."""
+    write is executor-parallel; only the version claim and the two
+    manifest steps run on the driver."""
     root = _local(root)
     os.makedirs(root, exist_ok=True)
-    head = _read_manifest(root)
-    version = (head["version"] if head else 0) + 1
+    version = _next_version(root)
     vdir = os.path.join(root, f"v={version}")
-    shutil.rmtree(vdir, ignore_errors=True)  # reclaim a crashed attempt
-    df.write.mode("overwrite").parquet(vdir)
+    # exclusive claim: a concurrent second writer that raced to the same
+    # number dies HERE with FileExistsError instead of overwriting the
+    # winner's data (single-writer contract, module docstring)
+    os.mkdir(vdir)
+    df.write.mode("append").parquet(vdir)
     if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
         raise RuntimeError(
             f"no _SUCCESS marker in {vdir}; snapshot publication requires "

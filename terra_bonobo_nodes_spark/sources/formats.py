@@ -67,6 +67,17 @@ def xml_documents_to_rows(
     Records must not nest ``row_tag`` within itself (the regexp is
     non-recursive — same restriction as most streaming XML splitters);
     for nested-same-tag documents use the path-based reader.
+
+    XML's lexical layer is honored BEFORE fragment extraction: comments
+    (``<!-- ... -->``) and CDATA sections (``<![CDATA[ ... ]]>``) are
+    stripped JVM-side first, so a commented-out record — or record-
+    shaped text quoted inside CDATA — contributes zero rows instead of
+    resurrecting as a phantom (the round-10 fix). Overlapping markers
+    resolve leftmost-first, non-greedy (a ``<!--`` inside a CDATA
+    section is plain text iff the CDATA opens first). Note this is the
+    content-form SPLITTER's contract only — it cannot therefore parse
+    records whose field values legitimately carry CDATA; those need
+    the path-based reader, which keeps CDATA text intact.
     """
     import re as _re
 
@@ -77,13 +88,21 @@ def xml_documents_to_rows(
             f"xml_documents_to_rows: {row_tag!r} is not a plain XML "
             "element name"
         )
+    # re.escape: '.' and '-' are legal XML name chars but regex
+    # metachars — 'a.b' must match '<a.b>' literally, never '<aXb>'
+    tag = _re.escape(row_tag)
     # (?s): records span lines; non-greedy body so adjacent records
     # don't merge; the second alternative catches self-closing records
-    frag = rf"(?s)<{row_tag}(?:\s[^>]*)?>.*?</{row_tag}>|<{row_tag}(?:\s[^>]*)?/>"
+    frag = rf"(?s)<{tag}(?:\s[^>]*)?>.*?</{tag}>|<{tag}(?:\s[^>]*)?/>"
+    lexical = r"(?s)<!--.*?-->|<!\[CDATA\[.*?\]\]>"
     rows = df.select(
         *(keep_cols or []),
         F.explode(
-            F.regexp_extract_all(F.col(content_col), F.lit(frag), 0)
+            F.regexp_extract_all(
+                F.regexp_replace(F.col(content_col), lexical, ""),
+                F.lit(frag),
+                0,
+            )
         ).alias("_frag"),
     )
     parsed = rows.withColumn("_rec", F.from_xml(F.col("_frag"), schema))

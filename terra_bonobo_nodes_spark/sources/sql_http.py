@@ -130,11 +130,16 @@ class SqlHttpReader(ScrollReader):
         if total == 0:
             return [PagePartition(0, "")]  # empty queryset: 0 rows
         n_pages = math.ceil(total / self.batch_size)
+        # the final window's limit is capped at total - offset so rows
+        # appended between the /count probe and the last page fetch
+        # cannot leak past the probed count — the batch read snapshots
+        # the queryset (the streaming reader tails it instead)
         return [
             PagePartition(
                 i,
                 f"{self.base_url}/rows?"
-                f"limit={self.batch_size}&offset={i * self.batch_size}{q}",
+                f"limit={min(self.batch_size, total - i * self.batch_size)}"
+                f"&offset={i * self.batch_size}{q}",
             )
             for i in range(n_pages)
         ]

@@ -552,6 +552,38 @@ def test_sql_http_bound_ignoring_service_stays_correct(spark):
         srv.server_close()
 
 
+def test_sql_http_batch_read_snapshots_the_probed_count(spark, tmp_path):
+    """The ADVICE_r09 finding: the final window used to request a full
+    batch_size, so rows appended between the /count probe and the last
+    page fetch leaked into the batch scan. The last window's limit is
+    now capped at total - offset — the batch read is bounded by the
+    probed count (the streaming reader is the tailing form)."""
+    from pyspark.sql.types import StructType
+
+    from terra_bonobo_nodes_spark.sources.sql_http import (
+        SqlHttpReader,
+        serve_jsonl_table,
+    )
+
+    path = tmp_path / "grow.jsonl"
+    path.write_text(
+        "\n".join(json.dumps({"id": i, "name": f"r{i}"}) for i in range(10))
+    )
+    base = serve_jsonl_table(str(path), "id")
+    reader = SqlHttpReader(
+        StructType(), {"base_url": base, "id_col": "id", "batch_size": "4"}
+    )
+    parts = reader.partitions()  # /count probe sees 10 rows -> 3 windows
+    assert [p.path.split("limit=")[1].split("&")[0] for p in parts] == [
+        "4", "4", "2",  # final window capped at total - offset
+    ]
+    # rows appended AFTER planning (larger ids: the append-only shape)
+    with open(path, "a") as fh:
+        fh.write("\n" + json.dumps({"id": 10, "name": "late"}))
+    got = sorted(r["id"] for p in parts for r in reader.fetch_page(p))
+    assert got == list(range(10))  # the late row did not leak
+
+
 def test_sql_http_empty_queryset_scans_zero_rows(spark, tmp_path):
     from terra_bonobo_nodes_spark.sources.sql_http import (
         SqlHttpDataSource,

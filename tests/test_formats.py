@@ -89,3 +89,36 @@ def test_xml_documents_to_rows_rejects_regex_metacharacter_tags(spark):
     docs = _docs(spark, ["<r><id>1</id></r>"])
     with _pytest.raises(ValueError, match="element name"):
         xml_documents_to_rows(docs, "content", "r.*", "id BIGINT")
+
+
+def test_xml_documents_to_rows_ignores_commented_out_records(spark):
+    """The VERDICT_r09 finding: a record hiding inside an XML comment is
+    not a record — it must contribute zero rows, not resurrect."""
+    docs = _docs(spark, [
+        '<doc><!-- <r><id>1</id></r> --><r><id>2</id></r></doc>',
+        '<doc><!-- <r id="7"/> --></doc>',       # ONLY a commented record
+        '<doc><!--\n multi-line <r><id>8</id></r>\n --><r><id>9</id></r></doc>',
+    ])
+    out = xml_documents_to_rows(docs, "content", "r", "id BIGINT, _id BIGINT")
+    got = sorted(r["id"] or r["_id"] for r in out.collect())
+    assert got == [2, 9]
+
+
+def test_xml_documents_to_rows_ignores_records_quoted_in_cdata(spark):
+    """Record-shaped text inside a CDATA section is character data, not
+    markup — zero rows. A CDATA section that itself contains '<!--' is
+    still one CDATA section (leftmost marker wins)."""
+    docs = _docs(spark, [
+        '<doc><![CDATA[ <r><id>1</id></r> ]]><r><id>2</id></r></doc>',
+        '<doc><![CDATA[ <!-- ]]><r><id>3</id></r><![CDATA[ --> ]]></doc>',
+    ])
+    out = xml_documents_to_rows(docs, "content", "r", "id BIGINT")
+    assert sorted(r["id"] for r in out.collect()) == [2, 3]
+
+
+def test_xml_documents_to_rows_dotted_tag_matches_literally(spark):
+    """'.' is a legal XML name char: row_tag 'a.b' must not regex-match
+    '<aXb>' fragments (the ADVICE_r09 re.escape fix)."""
+    docs = _docs(spark, ['<aXb><id>1</id></aXb><a.b><id>2</id></a.b>'])
+    out = xml_documents_to_rows(docs, "content", "a.b", "id BIGINT")
+    assert [r["id"] for r in out.collect()] == [2]

@@ -104,6 +104,23 @@ def test_empty_corpus_raises_typed(spark):
         train_quality_logreg(_df(spark), [])
 
 
+def test_all_null_feature_raises_typed(spark):
+    """ADVICE_r09: an all-NULL (or partially NULL) feature column used
+    to die in float(None) — now a typed error naming the column, since
+    avg() silently drops NULL rows from the gradient denominators."""
+    rows = [(None, 5.0, 0), (None, 1.0, 1), (None, 4.0, 0), (None, 0.5, 1)]
+    df = spark.createDataFrame(rows, "x1 DOUBLE, x2 DOUBLE, label INT")
+    with pytest.raises(ValueError, match="'x1' has 4 NULL rows"):
+        train_quality_logreg(df, ["x1", "x2"])
+    # partial NULLs are the same contract (silent row-dropping)
+    some = spark.createDataFrame(
+        [(0.1, 5.0, 0), (None, 1.0, 1), (0.3, 4.0, 0), (0.8, 0.5, 1)],
+        "x1 DOUBLE, x2 DOUBLE, label INT",
+    )
+    with pytest.raises(ValueError, match="'x1' has 1 NULL rows"):
+        train_quality_logreg(some, ["x1", "x2"])
+
+
 def test_documents_end_to_end_orders_classes(spark, sf_dir):
     """The real pipeline shape: engineered features from
     text.quality_score, a label the model never sees as a feature
@@ -221,6 +238,63 @@ def test_hashed_empty_corpus_and_empty_text(spark):
     rows = score_hashed_text(df, model).collect()
     # NULL text is an empty document (NOT the literal token 'none')
     assert all(abs(r["quality_prob"] - 0.5) < 1e-12 for r in rows)
+
+
+def test_hashed_sigmoid_saturates_instead_of_overflowing(spark):
+    """ADVICE_r09: 1/(1+math.exp(-z)) raised OverflowError on the
+    executor for z < ~-745; the stable branched sigmoid saturates to a
+    clean 0.0/1.0, so extreme models score instead of crashing."""
+    from terra_bonobo_nodes_spark.llm.classifier import (
+        HashedTextModel,
+        score_hashed_text,
+        _sigmoid_np,
+    )
+
+    z = np.array([-1e6, -800.0, -1.5, 0.0, 1.5, 800.0, 1e6])
+    p = _sigmoid_np(z)
+    assert np.all(np.isfinite(p))
+    assert p[0] == 0.0 and p[-1] == 1.0
+    assert abs(p[3] - 0.5) < 1e-15
+    # round-trip symmetry of the two branches
+    assert np.allclose(p + _sigmoid_np(-z), 1.0, atol=1e-15)
+    # end-to-end: a model with a huge negative weight on every bucket
+    model = HashedTextModel(dim=4, weights=(-1e6,) * 4, bias=0.0)
+    df = spark.createDataFrame([("spam spam spam",), ("x",)], "text STRING")
+    rows = score_hashed_text(df, model).collect()
+    assert [r["quality_prob"] for r in rows] == [0.0, 0.0]
+
+
+def test_flat_token_scatter_matches_per_doc_reference(spark):
+    """The round-10 vectorization (_flat_token_ids + one np.add.at per
+    batch) must score bit-close to the per-document np.unique form it
+    replaced — same L1-normalized hashed features, different summation
+    order only."""
+    from terra_bonobo_nodes_spark.llm.classifier import (
+        HashedTextModel,
+        _token_hash_ids,
+        score_hashed_text,
+    )
+
+    rng_texts = [t for t, _ in TEXTS] + ["", None, "unseen zzz tokens here"]
+    dim = 64
+    w = np.asarray(
+        [((i * 2654435761) % 1000 - 500) / 250.0 for i in range(dim)]
+    )
+    model = HashedTextModel(dim=dim, weights=tuple(w.tolist()), bias=0.3)
+    df = spark.createDataFrame([(t,) for t in rng_texts], "text STRING")
+    got = {
+        r["text"]: r["quality_prob"]
+        for r in score_hashed_text(df, model).collect()
+    }
+    for t in rng_texts:
+        ids = _token_hash_ids(t, dim)
+        if ids:
+            idx, cnt = np.unique(ids, return_counts=True)
+            z = 0.3 + float(w[idx] @ (cnt / len(ids)))
+        else:
+            z = 0.3
+        want = 1.0 / (1.0 + math.exp(-z))
+        assert math.isclose(got[t], want, rel_tol=1e-12, abs_tol=1e-15)
 
 
 def test_training_gradient_is_one_jvm_aggregation(spark):

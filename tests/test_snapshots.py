@@ -34,7 +34,7 @@ def test_write_read_and_time_travel(spark, tmp_path):
     assert snapshot_versions(root) == [1, 2]
 
 
-def test_crashed_write_is_invisible_and_number_is_reclaimed(spark, tmp_path):
+def test_crashed_write_is_invisible_and_number_is_burned(spark, tmp_path):
     root = str(tmp_path / "store")
     snapshot_write(_df(spark, [(1, "a")]), root)
     # simulate a crash between data write and head publish: a v=2 dir
@@ -43,11 +43,62 @@ def test_crashed_write_is_invisible_and_number_is_reclaimed(spark, tmp_path):
     os.makedirs(orphan)
     assert snapshot_versions(root) == [1]
     assert [tuple(r) for r in snapshot_read(spark, root).collect()] == [(1, "a")]
-    # the next write reclaims number 2 and publishes cleanly
-    assert snapshot_write(_df(spark, [(2, "b")]), root) == 2
-    assert [tuple(r) for r in snapshot_read(spark, root, version=2).collect()] == [
+    # the next write BURNS number 2 (round-10 fix: never rewrite a dir
+    # whose number a reader may have recorded) and publishes as 3
+    assert snapshot_write(_df(spark, [(2, "b")]), root) == 3
+    assert snapshot_versions(root) == [1, 3]
+    assert [tuple(r) for r in snapshot_read(spark, root, version=3).collect()] == [
         (2, "b")
     ]
+    # the orphan dir itself was never touched
+    assert os.listdir(orphan) == []
+
+
+def test_successful_but_unpublished_version_is_never_rewritten(spark, tmp_path):
+    """The ADVICE_r09 medium finding: a crash AFTER the data write (the
+    dir has _SUCCESS) but BEFORE the manifest publish used to leave a
+    version that snapshot_read served as published yet the next write
+    silently rewrote. Now its number is burned and its bytes frozen."""
+    root = str(tmp_path / "store")
+    snapshot_write(_df(spark, [(1, "a")]), root)
+    # crash-after-data-write: v=2 is complete (has _SUCCESS), head still 1
+    snapshot_write(_df(spark, [(9, "orphan")]), root)
+    manifest = os.path.join(root, "_latest.json")
+    with open(manifest, "w") as fh:
+        json.dump({"version": 1, "note": ""}, fh)
+    assert snapshot_versions(root) == [1, 2]
+    pinned = [tuple(r) for r in snapshot_read(spark, root, version=2).collect()]
+    # a new write must NOT reuse number 2 — the pinned reader above
+    # already recorded it
+    assert snapshot_write(_df(spark, [(3, "c")]), root) == 3
+    assert [
+        tuple(r) for r in snapshot_read(spark, root, version=2).collect()
+    ] == pinned == [(9, "orphan")]
+    assert [tuple(r) for r in snapshot_read(spark, root).collect()] == [(3, "c")]
+
+
+def test_second_concurrent_writer_fails_loudly(spark, tmp_path, monkeypatch):
+    """Single-writer contract: two writers that race through
+    _next_version before either claims a directory pick the SAME number
+    — the loser must die on the exclusive mkdir claim, never overwrite
+    the winner's data. (A writer arriving after the claim simply takes
+    the next number — that path is the crashed-write tests above.)"""
+    from terra_bonobo_nodes_spark.sinks import snapshots as snap
+
+    root = str(tmp_path / "store")
+    snapshot_write(_df(spark, [(1, "a")]), root)
+    # both writers computed next=2 inside the race window; writer A has
+    # already claimed and written v=2
+    os.mkdir(os.path.join(root, "v=2"))
+    winner = os.path.join(root, "v=2", "part-winner.parquet")
+    with open(winner, "wb") as fh:
+        fh.write(b"winner-bytes")
+    monkeypatch.setattr(snap, "_next_version", lambda _root: 2)
+    with pytest.raises(FileExistsError):
+        snap.snapshot_write(_df(spark, [(2, "b")]), root)
+    # the winner's data was not touched by the losing writer
+    with open(winner, "rb") as fh:
+        assert fh.read() == b"winner-bytes"
 
 
 def test_prune_keeps_head_and_reports_deletions(spark, tmp_path):
