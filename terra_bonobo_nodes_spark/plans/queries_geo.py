@@ -241,30 +241,16 @@ def g6_simplify_zigzag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- G7: web-mercator reprojection ------------------------------------------
 
 
-@register(
-    "g7_transform_mercator",
-    oracle="""
+# Registered via g7_transform_surface (round-10 consolidation — the
+# five G7 CRS queries shared the one-row-per-event grain and are now
+# ONE wide projection; see the registration after the polar oracle).
+_MERC_ORACLE = """
 SELECT event_id,
        round(((value % 360) - 180) * pi() * 6378137.0 / 180.0, 4) AS mx,
        round(6378137.0 * ln(tan(pi() / 4.0 + ((value % 170) - 85) * pi() / 360.0)), 4)
          AS my
 FROM events
-""",
-    tags=("G7",),
-)
-def g7_transform_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        ((F.col("value") % 360) - 180).alias("x"),
-        ((F.col("value") % 170) - 85).alias("y"),
-    )
-    pts = ev.withColumn("geom", K.st_point("x", "y"))
-    merc = transform_geom(pts, "EPSG:4326", "EPSG:3857")
-    return merc.select(
-        "event_id",
-        F.round(K.st_x("geom"), 4).alias("mx"),
-        F.round(K.st_y("geom"), 4).alias("my"),
-    )
+"""
 
 
 # --- G7b: Lambert-93 (EPSG:2154) reprojection + roundtrip --------------------
@@ -301,35 +287,7 @@ FROM f
 """
 
 
-@register(
-    "g7b_transform_lambert93",
-    oracle=_lambert93_oracle(),
-    tags=("G7",),
-)
-def g7b_transform_lambert93(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TransformGeom over the reference's French metric CRS
-    (``terra.py:43,474-494`` with metric_projection_srid=2154): project
-    France-ranged lon/lat through the real WKB kernel, check the forward
-    coordinates against the closed form AND that the inverse (iterative,
-    not SQL-expressible) closes the roundtrip to <1e-9 degrees."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        ((F.col("value") % 15) - 5).alias("lon"),
-        ((F.col("value") % 10) + 41).alias("lat"),
-    )
-    pts = ev.withColumn("geom", K.st_point("lon", "lat"))
-    fwd = transform_geom(pts, "EPSG:4326", "EPSG:2154")
-    back = transform_geom(fwd, "EPSG:2154", "EPSG:4326", geom_out="geom_back")
-    rt_err = F.greatest(
-        F.abs(K.st_x("geom_back") - F.col("lon")),
-        F.abs(K.st_y("geom_back") - F.col("lat")),
-    )
-    return back.select(
-        "event_id",
-        F.round(K.st_x("geom"), 4).alias("lx"),
-        F.round(K.st_y("geom"), 4).alias("ly"),
-        (rt_err < 1e-9).alias("rt_ok"),
-    )
+# (g7b registration merged into g7_transform_surface, round 10)
 
 
 # --- G7c: UTM 31N (EPSG:32631) Krüger forward + roundtrip --------------------
@@ -397,35 +355,7 @@ FROM f
 """
 
 
-@register(
-    "g7c_transform_utm",
-    oracle=_utm31n_oracle(),
-    tags=("G7",),
-)
-def g7c_transform_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TransformGeom over UTM (``terra.py:43,474-494`` with an arbitrary
-    ``metric_projection_srid`` — here 32631): project zone-31-ranged
-    lon/lat through the real WKB kernel, check forward coordinates
-    against the closed-form Krüger series AND that the iterative inverse
-    closes the roundtrip to <1e-9 degrees."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        (F.col("value") % 6).alias("lon"),
-        ((F.col("value") % 10) + 41).alias("lat"),
-    )
-    pts = ev.withColumn("geom", K.st_point("lon", "lat"))
-    fwd = transform_geom(pts, "EPSG:4326", "EPSG:32631")
-    back = transform_geom(fwd, "EPSG:32631", "EPSG:4326", geom_out="geom_back")
-    rt_err = F.greatest(
-        F.abs(K.st_x("geom_back") - F.col("lon")),
-        F.abs(K.st_y("geom_back") - F.col("lat")),
-    )
-    return back.select(
-        "event_id",
-        F.round(K.st_x("geom"), 4).alias("ux"),
-        F.round(K.st_y("geom"), 4).alias("uy"),
-        (rt_err < 1e-9).alias("rt_ok"),
-    )
+# (g7c registration merged into g7_transform_surface, round 10)
 
 
 # --- G8: subdivision preserves area -----------------------------------------
@@ -921,34 +851,7 @@ FROM f
 """
 
 
-@register(
-    "g7d_transform_laea",
-    oracle=_laea_oracle(),
-    tags=("G7",),
-)
-def g7d_transform_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TransformGeom through the third projection family (azimuthal
-    equal-area, EPSG:3035 Europe grid): Europe-ranged lon/lat through
-    the WKB kernel, forward checked against the closed form in SQL,
-    inverse checked as roundtrip closure < 1e-9 degrees."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        ((F.col("value") % 40) - 10).alias("lon"),
-        ((F.col("value") % 30) + 40).alias("lat"),
-    )
-    pts = ev.withColumn("geom", K.st_point("lon", "lat"))
-    fwd = transform_geom(pts, "EPSG:4326", "EPSG:3035")
-    back = transform_geom(fwd, "EPSG:3035", "EPSG:4326", geom_out="geom_back")
-    rt_err = F.greatest(
-        F.abs(K.st_x("geom_back") - F.col("lon")),
-        F.abs(K.st_y("geom_back") - F.col("lat")),
-    )
-    return back.select(
-        "event_id",
-        F.round(K.st_x("geom"), 4).alias("lx"),
-        F.round(K.st_y("geom"), 4).alias("ly"),
-        (rt_err < 1e-9).alias("rt_ok"),
-    )
+# (g7d registration merged into g7_transform_surface, round 10)
 
 
 def _polar_oracle() -> str:
