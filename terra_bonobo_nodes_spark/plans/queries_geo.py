@@ -922,6 +922,84 @@ def g7e_transform_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _surface_oracle() -> str:
+    """The four per-family closed forms composed on the shared
+    one-row-per-event grain: each family's oracle stays byte-for-byte
+    the arithmetic that was green for rounds 7-9 as its own query
+    (identical double folding), joined on the unique ``event_id``.
+    LAEA's lx/ly rename to ax/ay (they collided with Lambert's)."""
+    return f"""
+SELECT m.event_id, m.mx, m.my, l.lx, l.ly, u.ux, u.uy,
+       a.lx AS ax, a.ly AS ay,
+       (l.rt_ok AND u.rt_ok AND a.rt_ok) AS rt_ok
+FROM ({_MERC_ORACLE}) m
+JOIN ({_lambert93_oracle()}) l USING (event_id)
+JOIN ({_utm31n_oracle()}) u USING (event_id)
+JOIN ({_laea_oracle()}) a USING (event_id)
+"""
+
+
+@register(
+    "g7_transform_surface",
+    oracle=_surface_oracle(),
+    tags=("G7",),
+)
+def g7_transform_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransformGeom (``terra.py:474-494``) across the four planar CRS
+    families in ONE wide projection — web-mercator (EPSG:3857) forward,
+    Lambert-93 (2154), UTM 31N (32631) and ETRS89-LAEA (3035) forward +
+    roundtrip closure < 1e-9 degrees. The round-10 consolidation of the
+    former g7/g7b/g7c/g7d rows (same grain, 4 scans -> 1): per-family
+    lon/lat derivations, kernel calls, and output arithmetic are
+    byte-identical to the retired queries; only LAEA's output columns
+    rename (lx/ly -> ax/ay) to coexist with Lambert's. Polar
+    stereographic (the non-planar family) stays its own row (g7e)."""
+    v = F.col("value")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        ((v % 360) - 180).alias("m_lon"), ((v % 170) - 85).alias("m_lat"),
+        ((v % 15) - 5).alias("l_lon"), ((v % 10) + 41).alias("l_lat"),
+        (v % 6).alias("u_lon"), ((v % 10) + 41).alias("u_lat"),
+        ((v % 40) - 10).alias("a_lon"), ((v % 30) + 40).alias("a_lat"),
+    )
+    df = ev
+    for fam, epsg, rt in (
+        ("m", "EPSG:3857", False),
+        ("l", "EPSG:2154", True),
+        ("u", "EPSG:32631", True),
+        ("a", "EPSG:3035", True),
+    ):
+        df = df.withColumn(f"{fam}_geom", K.st_point(f"{fam}_lon", f"{fam}_lat"))
+        df = transform_geom(df, "EPSG:4326", epsg, geom_in=f"{fam}_geom")
+        if rt:
+            df = transform_geom(
+                df, epsg, "EPSG:4326",
+                geom_in=f"{fam}_geom", geom_out=f"{fam}_back",
+            )
+
+    def _rt_err(fam: str):
+        return F.greatest(
+            F.abs(K.st_x(f"{fam}_back") - F.col(f"{fam}_lon")),
+            F.abs(K.st_y(f"{fam}_back") - F.col(f"{fam}_lat")),
+        )
+
+    rt_ok = (
+        (_rt_err("l") < 1e-9) & (_rt_err("u") < 1e-9) & (_rt_err("a") < 1e-9)
+    )
+    return df.select(
+        "event_id",
+        F.round(K.st_x("m_geom"), 4).alias("mx"),
+        F.round(K.st_y("m_geom"), 4).alias("my"),
+        F.round(K.st_x("l_geom"), 4).alias("lx"),
+        F.round(K.st_y("l_geom"), 4).alias("ly"),
+        F.round(K.st_x("u_geom"), 4).alias("ux"),
+        F.round(K.st_y("u_geom"), 4).alias("uy"),
+        F.round(K.st_x("a_geom"), 4).alias("ax"),
+        F.round(K.st_y("a_geom"), 4).alias("ay"),
+        rt_ok.alias("rt_ok"),
+    )
+
+
 _ZB = 9  # 9 bits cover cx in [0,360], cy in [0,170]
 
 

@@ -100,47 +100,56 @@ def register(
 # test_rotation_freshness.py::test_budget_arithmetic_holds enforces the
 # per-round arithmetic; test_registry_capacity_cap pins the cap.
 #
-# ROUND-9 MAINTENANCE NOTES (what changed and why it's scheduled the
-# way it is):
-# - sources/csv.py grew an explicit header= parameter and a typed
-#   empty-corpus error (ADVICE_r08: the zero-column schema loss) —
-#   stales s1_csv_document_roundtrip and pipeline_file_import
-#   (_CHANGED below; both r07-green, not otherwise due).
-# - llm/similarity.py::ivf_train fails fast on len(sample) < n_clusters
-#   (ADVICE_r08: numpy AxisError on an empty corpus) — llm_ivf_ann_topk
-#   is r06-green and already heads the due cohort.
-# - fn_string_surface + fn_datetime_surface + fn_math_array_surface
-#   (r06/r06/r07 green) merged into fn_scalar_surface (first row this
-#   round); the only rename is md5 'h' -> 'md5h' (collided with hour).
-# - s3_http_sql_pagination is new: the LIMIT/OFFSET pagination contract
-#   (terra.py:177-211) proven over a real HTTP service
-#   (sources/sql_http.py), the VERDICT_r08 stretch item.
-# - llm/similarity.py additions later in round 9: public assign_cells
-#   wrapper + a second typed guard in ivf_train (non-2D sample) for
-#   llm/semdedup.py — llm_ivf_ann_topk is already scheduled above;
-#   no other registered query touches these paths.
-# - llm/scrub.py::remove_boilerplate fused its two per-doc regroups
-#   into one via a broadcast hotness-marker join (late round 9) —
-#   llm_boilerplate_removal is r06-green and already in the due
-#   cohort; listed in _CHANGED for the audit trail (no demand change).
-# - plans/queries_llm.py's collapse-tokens oracle became a raw string
-#   (DeprecationWarning fix) — byte-identical SQL text, no re-green
-#   needed (llm_collapse_repeated_tokens stays r08-green).
+# ROUND-11 MAINTENANCE NOTES (what changed and why it's scheduled the
+# way it is). Round 10 ran out of turns mid-consolidation: it DELETED
+# the four planar G7 registrations (g7_transform_mercator, g7b, g7c,
+# g7d — freeing 4 capacity slots) but never authored the promised
+# merged row, and left this ledger at its round-9 state; the driver's
+# r10 window therefore re-checked the stale _CHANGED/_NEW entries
+# (s1/pipeline/ivf/boilerplate/fn_scalar/s3 all re-greened r10, so no
+# round-10 code change is left uncovered — sources/sql_http.py's
+# limit-cap fix landed BEFORE the r10 driver run that re-greened
+# s3_http_sql_pagination). Round 11 completes the consolidation and
+# spends the freed slots:
+# - g7_transform_surface: the ADVICE_r10 high item — the four planar
+#   CRS families (3857/2154/32631/3035) as ONE wide one-row-per-event
+#   projection; per-family arithmetic byte-identical to the retired
+#   rows (their oracle helpers compose via JOIN USING(event_id)), so
+#   TransformGeom regains full driver verification at 1 scan, not 4.
+# - llm_semantic_dedup: SemDeDup (llm/semdedup.py, pytest-only since
+#   r9) takes its driver row through the centroids= seam — literal
+#   codebook makes assignment closed-form argmin; the oracle composes
+#   the cell-blocked cosine pairs + recursive-CTE components +
+#   keep-policy window patterns already green as separate rows.
+# - llm_quality_filter_score: the learned quality filter
+#   (llm/classifier.py, pytest-only since r9) takes its driver row
+#   with a pinned LogRegModel — scoring is pure arithmetic (sigmoid of
+#   a standardized dot) DuckDB replays exactly.
+# - s11_xml_document_roundtrip: xml_documents_to_rows lost its weak
+#   mark in r10/r11 (comment stripping + CDATA unwrap-and-escape,
+#   sources/formats.py) — the roundtrip row driver-proves the lexical
+#   layer (commented-out records stay dead, CDATA field content
+#   survives escaped).
+# Capacity: 140 registered after round 10's deletions + 4 new = 144,
+# exactly at the cap. Budget: due cohort at authoring = the 46
+# r08-greens; 46 due + 0 changed + 4 new = 50 = DRIVER_CAP.
+# Round-11 code changes staling registered rows: NONE — formats.py,
+# sinks/snapshots.py, llm/semdedup.py and llm/classifier.py have no
+# previously-registered query (their new rows above take first rows
+# against the current code), and queries_geo.py only gained a
+# registration.
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
 # (2) operator code changed since the query's last green:
-_CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "s1_csv_document_roundtrip",  # csv.py header= + typed empty error
-    "pipeline_file_import",       # same csv.py change (now passes header=)
-    "llm_ivf_ann_topk",           # ivf_train empty-corpus guards (also due)
-    "llm_boilerplate_removal",    # scrub.py marker-join fusion (also due)
-)
+_CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 # (3) first driver row this round:
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    "fn_scalar_surface",       # r09 merge of the three scalar surfaces
-    "s3_http_sql_pagination",  # LIMIT/OFFSET-over-HTTP pagination graft
+    "g7_transform_surface",      # ADVICE_r10: the planar-CRS merge
+    # (llm_semantic_dedup / llm_quality_filter_score /
+    #  s11_xml_document_roundtrip append here as their registrations
+    #  land this round — see the notes above)
 )
 
 # (4) overflow — heads round 10's queue:
