@@ -68,16 +68,33 @@ def xml_documents_to_rows(
     non-recursive — same restriction as most streaming XML splitters);
     for nested-same-tag documents use the path-based reader.
 
-    XML's lexical layer is honored BEFORE fragment extraction: comments
-    (``<!-- ... -->``) and CDATA sections (``<![CDATA[ ... ]]>``) are
-    stripped JVM-side first, so a commented-out record — or record-
-    shaped text quoted inside CDATA — contributes zero rows instead of
-    resurrecting as a phantom (the round-10 fix). Overlapping markers
-    resolve leftmost-first, non-greedy (a ``<!--`` inside a CDATA
-    section is plain text iff the CDATA opens first). Note this is the
-    content-form SPLITTER's contract only — it cannot therefore parse
-    records whose field values legitimately carry CDATA; those need
-    the path-based reader, which keeps CDATA text intact.
+    XML's lexical layer is honored BEFORE fragment extraction, exactly
+    (the round-11 fix — round 10 stripped CDATA wholesale, which killed
+    phantom rows but silently emptied legitimate CDATA field values):
+
+    - **comments** (``<!-- ... -->``) are removed, so a commented-out
+      record contributes zero rows instead of resurrecting as a
+      phantom. The removal is CDATA-aware: a leftmost-first alternation
+      keeps CDATA sections intact, so ``<!--`` quoted inside CDATA is
+      character data, not a comment.
+    - **CDATA sections** (``<![CDATA[ ... ]]>``) are unwrapped with
+      their content XML-escaped (``& < >`` → entities) — semantically
+      CDATA *is* an escaping mechanism, so ``<name><![CDATA[a<b]]>
+      </name>`` parses to ``a<b`` just like ``a&lt;b`` would. Record-
+      shaped text quoted inside CDATA becomes escaped text the fragment
+      regex can never match (no phantoms), while real field values
+      survive ``from_xml``'s entity decoding unchanged. The unwrap
+      exploits two well-formedness rules — CDATA never nests and a
+      literal ``]]>`` is forbidden in character data — so after comment
+      removal the marker-split segments alternate outside/inside and
+      parity identifies what to escape. All JVM-side (split/transform/
+      array_join), zero Python.
+
+    Remaining lexical limits (use the path-based reader for these): an
+    attribute value carrying a literal ``]]>`` (legal XML, desyncs the
+    marker parity), and malformed input with an unterminated marker
+    (the trailing remainder is treated as inside-CDATA and escaped, so
+    it yields zero records rather than phantoms).
     """
     import re as _re
 
@@ -94,16 +111,31 @@ def xml_documents_to_rows(
     # (?s): records span lines; non-greedy body so adjacent records
     # don't merge; the second alternative catches self-closing records
     frag = rf"(?s)<{tag}(?:\s[^>]*)?>.*?</{tag}>|<{tag}(?:\s[^>]*)?/>"
-    lexical = r"(?s)<!--.*?-->|<!\[CDATA\[.*?\]\]>"
+    # 1. drop comments, keeping CDATA intact (leftmost-first: whichever
+    #    construct opens first wins, so '<!--' inside CDATA survives
+    #    and ']]>' inside a comment leaves with the comment)
+    no_comments = F.regexp_replace(
+        F.col(content_col),
+        r"(?s)(<!\[CDATA\[.*?\]\]>)|<!--.*?-->",
+        r"$1",
+    )
+    # 2. unwrap CDATA, escaping its content: split on the markers —
+    #    odd segments are inside a section (parity argument above)
+    def _xml_escape(s):
+        s = F.replace(s, F.lit("&"), F.lit("&amp;"))
+        s = F.replace(s, F.lit("<"), F.lit("&lt;"))
+        return F.replace(s, F.lit(">"), F.lit("&gt;"))
+
+    clean = F.array_join(
+        F.transform(
+            F.split(no_comments, r"<!\[CDATA\[|\]\]>", -1),
+            lambda s, i: F.when(i % 2 == 1, _xml_escape(s)).otherwise(s),
+        ),
+        "",
+    )
     rows = df.select(
         *(keep_cols or []),
-        F.explode(
-            F.regexp_extract_all(
-                F.regexp_replace(F.col(content_col), lexical, ""),
-                F.lit(frag),
-                0,
-            )
-        ).alias("_frag"),
+        F.explode(F.regexp_extract_all(clean, F.lit(frag), 0)).alias("_frag"),
     )
     parsed = rows.withColumn("_rec", F.from_xml(F.col("_frag"), schema))
     return parsed.select(*(keep_cols or []), "_rec.*")
