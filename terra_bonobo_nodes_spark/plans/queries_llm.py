@@ -1724,3 +1724,167 @@ def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.label_centroid_outliers(
         load_table(spark, sf_dir, "embeddings"), k=3
     )
+
+
+# --- round 12: the two curation flagships take their driver rows ------------
+#
+# Both were pytest-only since round 9 (VERDICT_r09 #1, VERDICT_r11 #1).
+# The deterministic seams that make a DuckDB oracle exact:
+#
+# - semantic dedup: the ``centroids=`` seam takes a LITERAL one-hot
+#   codebook (centroid k = unit vector along dimension k). Then the
+#   nearest-centroid distance is d_k = |c_k|^2 - 2 v.c_k = 1 - 2*v[k]
+#   with every intermediate EXACT in both engines (the BLAS row-dot in
+#   ``assign_cells`` sums one nonzero product; the oracle's argmin over
+#   d_k reduces to first-max over v[1..4] — same first-index tie-break
+#   as np.argmin), so cell assignment is bit-identical, and everything
+#   downstream reuses the already-green oracle patterns: cell-blocked
+#   cosine pairs (dot_exact left-fold), recursive-CTE components,
+#   keep-policy window.
+# - quality filter: a PINNED LogRegModel over integer-exact features
+#   (chars / tokens / distinct tokens) with dyadic constants — z is the
+#   same left-associated IEEE op sequence on both engines, so is_kept
+#   (z-sign) is exact and the 4dp-rounded sigmoid absorbs any last-ulp
+#   exp() difference.
+
+_SD_CELLS = 4
+
+
+def _semantic_dedup_oracle() -> str:
+    dot = similarity.dot_exact_sql("a.v", "b.v")
+    return f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, {_CAST_EMB} AS v FROM embeddings),
+cells AS (
+  SELECT vec_id, v,
+         CASE WHEN v[1] >= v[2] AND v[1] >= v[3] AND v[1] >= v[4] THEN 0
+              WHEN v[2] >= v[3] AND v[2] >= v[4] THEN 1
+              WHEN v[3] >= v[4] THEN 2 ELSE 3 END AS cell
+  FROM e),
+n AS (SELECT vec_id, v, cell, {similarity.norm_sql('v')} AS nrm FROM cells),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {dot} / (a.nrm * b.nrm) >= {_COS_THRESHOLD}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+comp AS (SELECT src AS vec_id, least(src, min(dst)) AS component_id
+         FROM reach GROUP BY src),
+fullv AS (
+  SELECT c.vec_id, c.cell,
+         coalesce(cp.component_id, c.vec_id) AS component_id
+  FROM cells c LEFT JOIN comp cp USING (vec_id)),
+r AS (
+  SELECT vec_id, cell, component_id,
+         row_number() OVER (PARTITION BY component_id
+                            ORDER BY vec_id ASC) AS rn
+  FROM fullv)
+SELECT vec_id, CAST(cell AS INT) AS cell, component_id, rn = 1 AS is_kept
+FROM r
+"""
+
+
+@register(
+    "llm_semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    tags=("llm", "dedup", "embedding", "curation"),
+)
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end (``llm/semdedup.py``): codebook assignment ->
+    cell-blocked cosine pairs (no cross-cell pair ever materializes) ->
+    connected components -> one survivor per component. The literal
+    one-hot codebook replaces only ``ivf_train`` (whose k-means is
+    iterative, hence not SQL-expressible); assignment, pairing,
+    grouping and election — the operator's entire distributed body —
+    run exactly as production would."""
+    from terra_bonobo_nodes_spark.llm.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = [
+        [1.0 if d == k else 0.0 for d in range(EMB_DIM)]
+        for k in range(_SD_CELLS)
+    ]
+    out = semantic_dedup(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        centroids=cents,
+        threshold=_COS_THRESHOLD,
+    )
+    return out.select("vec_id", "cell", "component_id", "is_kept")
+
+
+# Pinned model: dyadic-exact constants near the corpus statistics
+# (sf0.01: chars 298+-138, tokens 54+-25, distinct 23.4+-5.5) so scores
+# spread across (0,1) and both verdicts occur. 24.0 is not a power of
+# two but division rounds identically (IEEE) on both engines; all other
+# constants are exactly representable.
+_QF_MODEL = dict(
+    feature_cols=("f_chars", "f_tokens", "f_distinct"),
+    weights=(1.25, -0.75, 0.5),
+    bias=-0.25,
+    means=(256.0, 48.0, 24.0),
+    stds=(128.0, 32.0, 8.0),
+)
+
+
+def _quality_filter_oracle() -> str:
+    m = _QF_MODEL
+    terms = " + ".join(
+        f"({w!r}) * ((f.{c} - {mu!r}) / {s!r})"
+        for c, w, mu, s in zip(
+            m["feature_cols"], m["weights"], m["means"], m["stds"]
+        )
+    )
+    z = f"({m['bias']!r} + {terms})"
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(n_chars AS DOUBLE) AS f_chars,
+         CAST(len({TOKS_SQL}) AS DOUBLE) AS f_tokens,
+         CAST(len(list_distinct({TOKS_SQL})) AS DOUBLE) AS f_distinct
+  FROM documents)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-{z})), 4) AS quality_prob,
+       1.0 / (1.0 + exp(-{z})) >= 0.5 AS is_kept
+FROM f
+"""
+
+
+@register(
+    "llm_quality_filter_score",
+    oracle=_quality_filter_oracle(),
+    tags=("llm", "text", "curation"),
+)
+def llm_quality_filter_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned quality filter (``llm/classifier.py``) scoring the
+    corpus with a pinned ``LogRegModel``: featurization (integer-exact
+    column expressions), standardization, and the sigmoid-of-dot score
+    are the production ``score_quality`` path verbatim — training is
+    the only stage the pin replaces (iterative, hence not
+    SQL-expressible; its gradient math is pytest-pinned). ``is_kept``
+    is the ``filter_quality`` predicate at threshold 0.5."""
+    from terra_bonobo_nodes_spark.llm import classifier
+
+    m = classifier.LogRegModel(**_QF_MODEL)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text"
+    )
+    feats = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("f_chars"),
+        F.size(text.tokens("text")).cast("double").alias("f_tokens"),
+        F.size(F.array_distinct(text.tokens("text")))
+        .cast("double")
+        .alias("f_distinct"),
+    )
+    scored = classifier.score_quality(feats, m)
+    return scored.select(
+        "doc_id",
+        F.round("quality_prob", 4).alias("quality_prob"),
+        (F.col("quality_prob") >= 0.5).alias("is_kept"),
+    )

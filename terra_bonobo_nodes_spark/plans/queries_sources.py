@@ -416,6 +416,60 @@ def s10_scroll_bulk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s11_xml_document_roundtrip",
+    oracle="""
+SELECT doc_id, text AS body, lang FROM documents
+""",
+    tags=("S11", "xml"),
+)
+def s11_xml_document_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> one XML document per source, each record's body
+    wrapped in CDATA, plus a commented-out phantom record per document
+    -> ``xml_documents_to_rows`` -> recover every (doc_id, text, lang)
+    exactly. This driver-proves the lexical layer the round-11/12 fixes
+    built (``sources/formats.py``): the commented record contributes
+    ZERO rows (a phantom would break the row count), and CDATA-wrapped
+    field content SURVIVES unwrap-and-escape verbatim through
+    ``from_xml``'s entity decoding (a regression to wholesale CDATA
+    stripping would NULL every body and break the value hash). The
+    corpus text is trimmed/non-empty/']]>'-free by construction
+    (TESTDATA.md), which is exactly the precondition CDATA wrapping
+    needs."""
+    from terra_bonobo_nodes_spark.sources.formats import xml_documents_to_rows
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text", "lang"
+    )
+    rec = F.concat(
+        F.lit("<rec><id>"),
+        F.col("doc_id").cast("string"),
+        F.lit("</id><body><![CDATA["),
+        F.col("text"),
+        F.lit("]]></body><lang>"),
+        F.col("lang"),
+        F.lit("</lang></rec>"),
+    )
+    xml_docs = (
+        docs.withColumn("_rec", rec)
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit(
+                    "<export><!-- <rec><id>-1</id><body>phantom</body>"
+                    "<lang>xx</lang></rec> -->"
+                ),
+                F.concat_ws("", F.sort_array(F.collect_list("_rec"))),
+                F.lit("</export>"),
+            ).alias("content")
+        )
+    )
+    out = xml_documents_to_rows(
+        xml_docs, "content", "rec", "id BIGINT, body STRING, lang STRING"
+    )
+    return out.select(F.col("id").alias("doc_id"), "body", "lang")
+
+
+@register(
     "s3_http_sql_pagination",
     oracle="""
 SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey,

@@ -100,44 +100,41 @@ def register(
 # test_rotation_freshness.py::test_budget_arithmetic_holds enforces the
 # per-round arithmetic; test_registry_capacity_cap pins the cap.
 #
-# ROUND-11 MAINTENANCE NOTES (what changed and why it's scheduled the
-# way it is). Round 10 ran out of turns mid-consolidation: it DELETED
-# the four planar G7 registrations (g7_transform_mercator, g7b, g7c,
-# g7d — freeing 4 capacity slots) but never authored the promised
-# merged row, and left this ledger at its round-9 state; the driver's
-# r10 window therefore re-checked the stale _CHANGED/_NEW entries
-# (s1/pipeline/ivf/boilerplate/fn_scalar/s3 all re-greened r10, so no
-# round-10 code change is left uncovered — sources/sql_http.py's
-# limit-cap fix landed BEFORE the r10 driver run that re-greened
-# s3_http_sql_pagination). Round 11 completes the consolidation and
-# spends the freed slots:
-# - g7_transform_surface: the ADVICE_r10 high item — the four planar
-#   CRS families (3857/2154/32631/3035) as ONE wide one-row-per-event
-#   projection; per-family arithmetic byte-identical to the retired
-#   rows (their oracle helpers compose via JOIN USING(event_id)), so
-#   TransformGeom regains full driver verification at 1 scan, not 4.
+# ROUND-11 CLOSING (rewritten in round 12 per ADVICE_r11 low — the
+# original prose here was authored mid-round and went stale at HEAD):
+# round 11 was short (48 turns) and landed exactly ONE new
+# registration, g7_transform_surface (the ADVICE_r10 planar-CRS merge
+# — green r11), plus the CDATA unwrap-and-escape fix in
+# sources/formats.py (no registered query touched it yet). The three
+# other rows the mid-round notes promised (llm_semantic_dedup,
+# llm_quality_filter_score, s11_xml_document_roundtrip) were NOT
+# authored in round 11; true round-11 capacity was 141 registered
+# (140 after round 10's G7 deletions + 1 new), and the r11 driver
+# window ran 46 due + 1 new + 3 stalest-green fillers.
+#
+# ROUND-12 MAINTENANCE NOTES. The three carried rows land now:
 # - llm_semantic_dedup: SemDeDup (llm/semdedup.py, pytest-only since
-#   r9) takes its driver row through the centroids= seam — literal
-#   codebook makes assignment closed-form argmin; the oracle composes
-#   the cell-blocked cosine pairs + recursive-CTE components +
-#   keep-policy window patterns already green as separate rows.
+#   r9 — VERDICT_r09/r11 #1) through the centroids= seam: a literal
+#   one-hot codebook makes cell assignment bit-exact cross-engine
+#   (d_k = 1 - 2*v[k]); the oracle composes the cell-blocked cosine
+#   pairs + recursive-CTE components + keep-policy window patterns
+#   already green as separate rows (queries_llm.py tail).
 # - llm_quality_filter_score: the learned quality filter
-#   (llm/classifier.py, pytest-only since r9) takes its driver row
-#   with a pinned LogRegModel — scoring is pure arithmetic (sigmoid of
-#   a standardized dot) DuckDB replays exactly.
-# - s11_xml_document_roundtrip: xml_documents_to_rows lost its weak
-#   mark in r10/r11 (comment stripping + CDATA unwrap-and-escape,
-#   sources/formats.py) — the roundtrip row driver-proves the lexical
+#   (llm/classifier.py, pytest-only since r9) with a pinned
+#   LogRegModel over integer-exact features — scoring is pure
+#   arithmetic (sigmoid of a standardized dot) DuckDB replays.
+# - s11_xml_document_roundtrip: driver-proves formats.py's lexical
 #   layer (commented-out records stay dead, CDATA field content
-#   survives escaped).
-# Capacity: 140 registered after round 10's deletions + 4 new = 144,
-# exactly at the cap. Budget: due cohort at authoring = the 46
-# r08-greens; 46 due + 0 changed + 4 new = 50 = DRIVER_CAP.
-# Round-11 code changes staling registered rows: NONE — formats.py,
-# sinks/snapshots.py, llm/semdedup.py and llm/classifier.py have no
-# previously-registered query (their new rows above take first rows
-# against the current code), and queries_geo.py only gained a
-# registration.
+#   survives escaped) — paired with the round-12 lexer fix (split on
+#   ']]>' only; a literal '<![CDATA[' inside a section is content,
+#   the ADVICE_r11 medium) and its new pytest pins.
+# Capacity: 141 + 3 new = 144, exactly at the cap. Budget: due cohort
+# = the 41 r09 greens; 41 due + 0 changed + 3 new = 44 <= 50, slack
+# filled by the 6 stalest r10 greens (pre-paying round 13's cohort).
+# Round-12 code changes staling registered rows: the formats.py lexer
+# rewrite has no previously-registered query (s11 takes its FIRST row
+# against the fixed code); sinks/snapshots.py gc changes have no
+# registered query (pytest-only by design).
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
@@ -146,10 +143,9 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 # (3) first driver row this round:
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    "g7_transform_surface",      # ADVICE_r10: the planar-CRS merge
-    # (llm_semantic_dedup / llm_quality_filter_score /
-    #  s11_xml_document_roundtrip append here as their registrations
-    #  land this round — see the notes above)
+    "llm_semantic_dedup",
+    "llm_quality_filter_score",
+    "s11_xml_document_roundtrip",
 )
 
 # (4) overflow — heads round 10's queue:

@@ -83,18 +83,24 @@ def xml_documents_to_rows(
       </name>`` parses to ``a<b`` just like ``a&lt;b`` would. Record-
       shaped text quoted inside CDATA becomes escaped text the fragment
       regex can never match (no phantoms), while real field values
-      survive ``from_xml``'s entity decoding unchanged. The unwrap
-      exploits two well-formedness rules — CDATA never nests and a
-      literal ``]]>`` is forbidden in character data — so after comment
-      removal the marker-split segments alternate outside/inside and
-      parity identifies what to escape. All JVM-side (split/transform/
-      array_join), zero Python.
+      survive ``from_xml``'s entity decoding unchanged. Tokenization
+      (the ADVICE_r11 fix — the earlier both-marker parity split wrongly
+      treated a literal ``<![CDATA[`` INSIDE a section as an opener,
+      desyncing everything after it): a section ends at the FIRST
+      ``]]>`` after it opens and a literal ``<![CDATA[`` inside content
+      is plain character data (CDATA never nests), so the text splits
+      on ``]]>`` alone and each segment unwraps from its first
+      ``<![CDATA[`` — leftmost-open / first-close, exactly how the
+      regex ``<!\\[CDATA\\[.*?\\]\\]>`` would tokenize. All JVM-side
+      (split/locate/substring/transform/array_join), zero Python.
 
-    Remaining lexical limits (use the path-based reader for these): an
-    attribute value carrying a literal ``]]>`` (legal XML, desyncs the
-    marker parity), and malformed input with an unterminated marker
-    (the trailing remainder is treated as inside-CDATA and escaped, so
-    it yields zero records rather than phantoms).
+    Remaining lexical limits (use the path-based reader for these): a
+    ``]]>`` appearing OUTSIDE any section (legal only in attribute
+    values) is dropped and does not close anything — harmless for
+    element content, wrong for attributes that carry it; malformed
+    input with an unterminated ``<![CDATA[`` treats the remainder as
+    inside-CDATA and escapes it, so it yields zero records rather than
+    phantoms.
     """
     import re as _re
 
@@ -119,18 +125,29 @@ def xml_documents_to_rows(
         r"(?s)(<!\[CDATA\[.*?\]\]>)|<!--.*?-->",
         r"$1",
     )
-    # 2. unwrap CDATA, escaping its content: split on the markers —
-    #    odd segments are inside a section (parity argument above)
+    # 2. unwrap CDATA, escaping its content: split on the CLOSE marker
+    #    only — each non-final segment holds at most one section, opened
+    #    at its first '<![CDATA[' (later occurrences are content; CDATA
+    #    never nests). '&' escapes first, or it would re-escape the
+    #    entities the other two replacements introduce.
     def _xml_escape(s):
         s = F.replace(s, F.lit("&"), F.lit("&amp;"))
         s = F.replace(s, F.lit("<"), F.lit("&lt;"))
         return F.replace(s, F.lit(">"), F.lit("&gt;"))
 
+    def _unwrap_segment(s):
+        pos = F.locate("<![CDATA[", s)  # 1-based; 0 = no section here
+        return F.when(pos == 0, s).otherwise(
+            F.concat(
+                F.substring(s, F.lit(1), pos - F.lit(1)),
+                _xml_escape(
+                    F.substring(s, pos + F.lit(9), F.length(s))
+                ),
+            )
+        )
+
     clean = F.array_join(
-        F.transform(
-            F.split(no_comments, r"<!\[CDATA\[|\]\]>", -1),
-            lambda s, i: F.when(i % 2 == 1, _xml_escape(s)).otherwise(s),
-        ),
+        F.transform(F.split(no_comments, r"\]\]>", -1), _unwrap_segment),
         "",
     )
     rows = df.select(

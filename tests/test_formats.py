@@ -116,6 +116,54 @@ def test_xml_documents_to_rows_ignores_records_quoted_in_cdata(spark):
     assert sorted(r["id"] for r in out.collect()) == [2, 3]
 
 
+def test_xml_documents_to_rows_cdata_content_survives(spark):
+    """The round-11 headline (pinned round 12 per ADVICE_r11): CDATA is
+    an ESCAPING mechanism — legitimate field values wrapped in it must
+    survive unwrap-and-escape and come back verbatim through from_xml's
+    entity decoding, not be silently emptied (the round-10 regression
+    wholesale-stripped them)."""
+    docs = _docs(spark, [
+        "<r><id>1</id><name><![CDATA[a<b & c>d]]></name></r>",
+        # multiple sections in one value, markup-shaped content
+        "<r><id>2</id><name><![CDATA[a]]> and <![CDATA[<b>]]></name></r>",
+        # pre-escaped entity text inside CDATA stays LITERAL (escape
+        # order: '&' first, or '&amp;' would double-decode)
+        "<r><id>3</id><name><![CDATA[x &amp; y]]></name></r>",
+        "<r><id>4</id><name><![CDATA[]]></name></r>",  # empty section
+    ])
+    out = xml_documents_to_rows(docs, "content", "r", "id BIGINT, name STRING")
+    got = {r["id"]: r["name"] for r in out.collect()}
+    assert got[1] == "a<b & c>d"
+    assert got[2] == "a and <b>"
+    assert got[3] == "x &amp; y"
+    assert 4 in got  # empty CDATA: record survives, value empty/NULL
+
+
+def test_xml_documents_to_rows_literal_open_marker_inside_cdata(spark):
+    """ADVICE_r11 medium: a literal '<![CDATA[' INSIDE a section is
+    character data (CDATA never nests — only ']]>' is forbidden), so it
+    must NOT desync the lexer: the real record after the section
+    survives, and the section's content never produces phantoms."""
+    docs = _docs(spark, [
+        "<doc><![CDATA[a <![CDATA[ b]]><r><id>3</id></r></doc>",
+        # record-shaped text after an inner open marker stays quoted
+        "<doc><![CDATA[x <![CDATA[ <r><id>7</id></r>]]><r><id>4</id></r></doc>",
+    ])
+    out = xml_documents_to_rows(docs, "content", "r", "id BIGINT")
+    assert sorted(r["id"] for r in out.collect()) == [3, 4]
+
+
+def test_xml_documents_to_rows_unterminated_cdata_yields_no_phantoms(spark):
+    """Malformed input: an unterminated '<![CDATA[' treats the remainder
+    as inside-CDATA (escaped) — zero records, never phantoms."""
+    docs = _docs(spark, [
+        "<doc><![CDATA[ <r><id>1</id></r>",
+        "<doc><r><id>5</id></r><![CDATA[ <r><id>6</id></r></doc>",
+    ])
+    out = xml_documents_to_rows(docs, "content", "r", "id BIGINT")
+    assert sorted(r["id"] for r in out.collect()) == [5]
+
+
 def test_xml_documents_to_rows_dotted_tag_matches_literally(spark):
     """'.' is a legal XML name char: row_tag 'a.b' must not regex-match
     '<aXb>' fragments (the ADVICE_r09 re.escape fix)."""
