@@ -127,8 +127,14 @@ def snapshot_read(
 
 
 def snapshot_versions(root: str) -> list[int]:
-    """Published, readable versions (ascending). Unpublished crash
-    leftovers (no ``_SUCCESS``) and the manifest are excluded."""
+    """Complete, readable versions (ascending): every ``v=*`` dir with a
+    ``_SUCCESS`` marker. NOTE this is *complete*, not *published* — a
+    writer that finished its data write but crashed before the head
+    publish leaves a ``_SUCCESS``'d dir ABOVE the manifest head, which
+    is listed here (it is fully readable via
+    ``snapshot_read(version=...)``) even though no manifest ever
+    pointed at it. Dirs without ``_SUCCESS`` (data write died mid-way)
+    are excluded; ``snapshot_incomplete`` lists those."""
     root = _local(root)
     if not os.path.isdir(root):
         return []
@@ -140,22 +146,50 @@ def snapshot_versions(root: str) -> list[int]:
     return sorted(out)
 
 
+def snapshot_incomplete(root: str) -> list[int]:
+    """Crash leftovers (ascending): ``v=*`` dirs WITHOUT a ``_SUCCESS``
+    marker — a data write died mid-way, the dir holds partial parquet
+    bytes, and no reader will ever serve it. ``snapshot_prune`` deletes
+    the ones below the manifest head; one ABOVE the head could be an
+    in-flight write (under the single-writer contract any live write's
+    number exceeds the head) and is left alone."""
+    root = _local(root)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        m = _VDIR.match(name)
+        if m and not os.path.exists(os.path.join(root, name, "_SUCCESS")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
 def snapshot_prune(root: str, keep_last: int = 2) -> list[int]:
-    """Delete all but the newest ``keep_last`` versions; the manifest
-    head is always kept regardless. Returns the deleted versions —
-    pruning is the ONLY way a published version disappears, so the
-    caller owns the reproducibility trade explicitly."""
+    """Delete all but the newest ``keep_last`` complete versions (the
+    manifest head is always kept regardless), PLUS every incomplete
+    crash-leftover dir below the head — those hold partial bytes no
+    reader can ever serve, and nothing else ever reclaims them (version
+    numbers are burned, not reused). An incomplete dir above the head
+    is spared: under the single-writer contract it may be the one
+    in-flight write. Returns the deleted versions — pruning is the ONLY
+    way a version directory disappears, so the caller owns the
+    reproducibility trade explicitly."""
     if keep_last < 1:
         raise ValueError("snapshot_prune: keep_last must be >= 1")
     root = _local(root)
     head = _read_manifest(root)
+    head_v = int(head["version"]) if head else 0
     versions = snapshot_versions(root)
     keep = set(versions[-keep_last:])
     if head:
-        keep.add(int(head["version"]))
+        keep.add(head_v)
     deleted = []
     for v in versions:
         if v not in keep:
             shutil.rmtree(os.path.join(root, f"v={v}"))
             deleted.append(v)
-    return deleted
+    for v in snapshot_incomplete(root):
+        if v < head_v:
+            shutil.rmtree(os.path.join(root, f"v={v}"))
+            deleted.append(v)
+    return sorted(deleted)

@@ -8,6 +8,7 @@ import os
 import pytest
 
 from terra_bonobo_nodes_spark.sinks.snapshots import (
+    snapshot_incomplete,
     snapshot_prune,
     snapshot_read,
     snapshot_versions,
@@ -114,6 +115,74 @@ def test_prune_keeps_head_and_reports_deletions(spark, tmp_path):
         assert json.load(fh)["version"] == 4
     assert snapshot_prune(root, keep_last=1) == [3]
     assert [tuple(r) for r in snapshot_read(spark, root).collect()] == [(4, "v4")]
+
+
+def test_prune_gcs_incomplete_leftovers_below_head(spark, tmp_path):
+    """The ADVICE_r10 low finding (closed round 12): a data write that
+    died mid-way leaves a no-_SUCCESS dir whose partial parquet bytes
+    nothing ever reclaimed — snapshot_versions can't see it, so the old
+    prune skipped it forever. Prune now deletes incomplete dirs BELOW
+    the manifest head (definitely dead: any in-flight write's number
+    exceeds the head under the single-writer contract) and spares one
+    above it (possibly in-flight)."""
+    root = str(tmp_path / "store")
+    snapshot_write(_df(spark, [(1, "a")]), root)
+    # crashed attempt: partial bytes, no _SUCCESS; head moves past it
+    dead = os.path.join(root, "v=2")
+    os.makedirs(dead)
+    with open(os.path.join(dead, "part-partial.parquet"), "wb") as fh:
+        fh.write(b"partial-bytes")
+    assert snapshot_write(_df(spark, [(3, "c")]), root) == 3
+    # possibly-in-flight attempt ABOVE the head: must be spared
+    live = os.path.join(root, "v=9")
+    os.makedirs(live)
+    assert snapshot_incomplete(root) == [2, 9]
+    assert snapshot_prune(root, keep_last=2) == [2]
+    assert not os.path.isdir(dead)
+    assert os.path.isdir(live)
+    assert snapshot_incomplete(root) == [9]
+    # complete versions untouched by the gc
+    assert snapshot_versions(root) == [1, 3]
+    assert [tuple(r) for r in snapshot_read(spark, root).collect()] == [(3, "c")]
+
+
+def test_snapshot_incomplete_excludes_complete_and_missing(spark, tmp_path):
+    root = str(tmp_path / "store")
+    assert snapshot_incomplete(str(tmp_path / "absent")) == []
+    snapshot_write(_df(spark, [(1, "a")]), root)
+    assert snapshot_incomplete(root) == []
+
+
+def test_load_table_routes_through_snapshot_store(spark, tmp_path):
+    """The replay seam (VERDICT_r09 item 4): when {sf_dir}/{name}/ is a
+    versioned snapshot store, load_table reads its head by default and
+    an exact pinned version on request — so a curation run can replay
+    'the corpus as run X saw it' through the SAME entry point every
+    registered query uses. version= against a plain parquet table is a
+    typed error."""
+    from terra_bonobo_nodes_spark.tables import load_table
+
+    sf_dir = str(tmp_path)
+    store = os.path.join(sf_dir, "documents")
+    v1 = spark.createDataFrame([(1, "old")], "doc_id BIGINT, text STRING")
+    v2 = spark.createDataFrame(
+        [(1, "new"), (2, "added")], "doc_id BIGINT, text STRING"
+    )
+    assert snapshot_write(v1, store) == 1
+    assert snapshot_write(v2, store) == 2
+    # head read through the standard entry point
+    assert sorted(map(tuple, load_table(spark, sf_dir, "documents").collect())) == [
+        (1, "new"), (2, "added"),
+    ]
+    # pinned replay: exactly what version 1 held
+    assert [
+        tuple(r) for r in load_table(spark, sf_dir, "documents", version=1).collect()
+    ] == [(1, "old")]
+    # plain-parquet tables reject a pinned read loudly
+    plain = spark.createDataFrame([(1, "p")], "p_partkey BIGINT, p_name STRING")
+    plain.write.mode("overwrite").parquet(os.path.join(sf_dir, "part.parquet"))
+    with pytest.raises(ValueError, match="snapshot store"):
+        load_table(spark, sf_dir, "part", version=1)
 
 
 def test_missing_store_and_bad_args(spark, tmp_path):
