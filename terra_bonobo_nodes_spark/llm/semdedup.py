@@ -50,6 +50,7 @@ def semantic_dedup(
     centroids: list[list[float]] | None = None,
     prefer_col: str | None = None,
     with_metrics: bool = False,
+    cc_max_iterations: int = 24,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Per-row semantic-dedup verdict: ``(id_col, cell, component_id,
     is_kept)``. One survivor per near-duplicate component — the row
@@ -113,9 +114,16 @@ def semantic_dedup(
         threshold=threshold,
         block_col="cell",
     )
-    comp = connected_components(pairs.select("id_a", "id_b")).select(
-        F.col("doc_id").alias(id_col), "component_id"
-    )
+    # cc_max_iterations=24 (vs connected_components' default 10): cosine
+    # near-dup graphs at moderate thresholds are CHAIN-shaped (observed
+    # sf0.1: 1645 edges / 1603 nodes / 111 components — ~1 edge per
+    # node), and chain diameter grows with corpus size, so the default
+    # cap genuinely exhausts (reproduced at sf0.1, round 12). The
+    # fixed-point check stops the loop early whenever convergence is
+    # faster, so the higher cap costs nothing on small graphs.
+    comp = connected_components(
+        pairs.select("id_a", "id_b"), max_iterations=cc_max_iterations
+    ).select(F.col("doc_id").alias(id_col), "component_id")
     prefer = (
         [F.col(prefer_col).desc()] if prefer_col is not None else []
     )

@@ -120,3 +120,28 @@ def test_curated_corpus_snapshot_replay(spark, sf_dir, tmp_path):
     snapshot_write(packed.limit(3), root, note="run-2 tighter quota")
     assert sorted(map(tuple, snapshot_read(spark, root, version=v1).collect())) == want
     assert snapshot_read(spark, root).count() == 3  # the head moved on
+
+
+def test_curated_corpus_replays_through_load_table(spark, sf_dir, tmp_path):
+    """Round-12 seam (VERDICT_r09 item 4): a snapshot store laid out as
+    {sf_dir}/{table}/ replays through load_table itself — the pinned
+    corpus flows back into the SAME entry point every registered query
+    uses, so a recorded run re-reads its exact inputs with zero special
+    casing in the query code."""
+    from terra_bonobo_nodes_spark.sinks.snapshots import snapshot_write
+    from terra_bonobo_nodes_spark.tables import load_table
+
+    curated_sf = tmp_path / "curated_sf"
+    curated_sf.mkdir()
+    store = str(curated_sf / "documents")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    v1 = snapshot_write(docs.where("n_chars >= 100"), store, note="run-1")
+    snapshot_write(docs.where("n_chars >= 300"), store, note="run-2")
+    head = load_table(spark, str(curated_sf), "documents")
+    pinned = load_table(spark, str(curated_sf), "documents", version=v1)
+    assert head.count() < pinned.count()  # head moved on; pin did not
+    assert sorted(r["doc_id"] for r in pinned.collect()) == sorted(
+        r["doc_id"] for r in docs.where("n_chars >= 100").collect()
+    )

@@ -137,3 +137,29 @@ def test_with_metrics_reports_cell_stats(corpus, spark):
     assert e_out.count() == 0
     row = e_m.collect()[0]
     assert (row["n_cells_used"], row["max_cell_rows"]) == (0, 0)
+
+
+def test_chain_shaped_component_converges(spark):
+    """Round-12 regression pin: cosine near-dup graphs at moderate
+    thresholds are CHAIN-shaped (sf0.1 showed ~1 edge per node), and a
+    chain's diameter exhausted connected_components' default 10
+    iterations. semantic_dedup now passes cc_max_iterations=24; this
+    pins a 200-node chain (adjacent cosine ~0.996, non-adjacent below
+    threshold) collapsing into ONE component with one survivor."""
+    import math
+
+    n, theta = 200, math.radians(5.0)
+    rows = [
+        (i, [math.cos(i * theta), math.sin(i * theta)] + [0.0] * 6)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    # one cell: the chain is a single component candidate set
+    out = semantic_dedup(
+        df, centroids=[[1.0] + [0.0] * 7], threshold=0.99
+    ).collect()
+    assert len(out) == n
+    comp = {r["component_id"] for r in out}
+    assert comp == {0}  # the whole chain is one component
+    kept = [r["vec_id"] for r in out if r["is_kept"]]
+    assert kept == [0]  # smallest id survives
