@@ -170,3 +170,100 @@ def test_xml_documents_to_rows_dotted_tag_matches_literally(spark):
     docs = _docs(spark, ['<aXb><id>1</id></aXb><a.b><id>2</id></a.b>'])
     out = xml_documents_to_rows(docs, "content", "a.b", "id BIGINT")
     assert [r["id"] for r in out.collect()] == [2]
+
+
+# --- property sweep: the lexer against an independent Python reference -------
+
+
+def _ref_xml_rows(doc: str) -> list[tuple]:
+    """Independent Python model of xml_documents_to_rows' lexical layer
+    (comment strip CDATA-aware leftmost-first; close-marker split with
+    first-open unwrap-and-escape; fragment regex; entity decode) — the
+    hypothesis oracle for the Spark expression pipeline."""
+    import re
+
+    no_comments = re.sub(
+        r"(?s)(<!\[CDATA\[.*?\]\]>)|<!--.*?-->",
+        lambda m: m.group(1) or "",
+        doc,
+    )
+    parts = []
+    for seg in no_comments.split("]]>"):
+        i = seg.find("<![CDATA[")
+        if i < 0:
+            parts.append(seg)
+        else:
+            content = (
+                seg[i + 9:]
+                .replace("&", "&amp;")
+                .replace("<", "&lt;")
+                .replace(">", "&gt;")
+            )
+            parts.append(seg[:i] + content)
+    clean = "".join(parts)
+    rows = []
+    for frag in re.findall(r"(?s)<r(?:\s[^>]*)?>.*?</r>|<r(?:\s[^>]*)?/>", clean):
+        mid = re.search(r"<id>(\d+)</id>", frag)
+        mname = re.search(r"(?s)<name>(.*?)</name>", frag)
+        name = mname.group(1) if mname else None
+        if name is not None:
+            # entity decode (&amp; LAST — reverse of escape order), then
+            # surrounding-whitespace trim (from_xml's
+            # ignoreSurroundingSpaces default)
+            name = (
+                name.replace("&lt;", "<").replace("&gt;", ">")
+                .replace("&amp;", "&")
+            ).strip()
+        rows.append((int(mid.group(1)) if mid else None, name))
+    return rows
+
+
+def test_lexer_matches_python_reference_on_random_documents(spark):
+    """Random piece soups (records, CDATA/comment markers, markup-shaped
+    filler) must lex identically in the Spark expression pipeline and
+    the pure-Python reference — the sweep example-based tests can't
+    cover. Records are atomic pieces (the operator's documented
+    no-nested-row-tag contract), so escape boundaries always align with
+    piece boundaries and the two implementations are comparable on any
+    generated input, including unterminated markers and stray closers."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    fillers = [
+        "plain text", "a < b", "x & y", "-->", "<!--", "<![CDATA[",
+        "]]>", " <x>not a record</x> ", "junk ]] > almost",
+    ]
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.sampled_from(fillers),
+                st.tuples(st.sampled_from(["rec"]), st.text(
+                    alphabet="abc xyz", min_size=0, max_size=8
+                )),
+            ),
+            min_size=0,
+            max_size=10,
+        )
+    )
+    def check(pieces):
+        doc, n = [], 0
+        for p in pieces:
+            if isinstance(p, tuple):
+                doc.append(f"<r><id>{n}</id><name>{p[1]}</name></r>")
+                n += 1
+            else:
+                doc.append(p)
+        content = "".join(doc)
+        docs = spark.createDataFrame([(content,)], "content STRING")
+        got = sorted(
+            (r["id"], r["name"])
+            for r in xml_documents_to_rows(
+                docs, "content", "r", "id BIGINT, name STRING"
+            ).collect()
+        )
+        want = sorted(_ref_xml_rows(content))
+        assert got == want, f"doc={content!r}"
+
+    check()
