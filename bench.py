@@ -43,6 +43,30 @@ def main() -> None:
     first = next(iter(queries.values()))
     run(first.spark_fn(spark, sf_dir))
 
+    def probe() -> float:
+        # Fixed, data-independent calibration workload (pure JVM hash
+        # aggregation over a generated range — no IO, no Python): its
+        # wall time moves with HOST LOAD only, so the artifact carries
+        # its own normalization anchor. Round 11's uniform 1.17x "drift"
+        # took a round to adjudicate precisely because min-of-3
+        # round-robin cannot shed a whole-run-slow host; probe_sec
+        # makes that case readable straight off the JSON (queries up
+        # AND probe up => host; queries up, probe flat => regression).
+        from pyspark.sql import functions as PF
+
+        t0 = time.perf_counter()
+        # avg, not sum: summing 50M raw xxhash64 longs overflows under
+        # the session's ANSI mode
+        spark.range(50_000_000).select(
+            PF.avg(PF.xxhash64("id"))
+        ).collect()
+        return round(time.perf_counter() - t0, 4)
+
+    probe()  # warm the probe's own codegen
+    probes = [probe()]  # + one after EVERY pass: start/end-only sampling
+    # missed mid-run load on first deployment (probe read clean while
+    # the passes ran 1.2x) — the boundary profile is what adjudicates.
+
     def release_all_state() -> None:
         # clearCache drops cached DataFrames but NOT localCheckpoint
         # RDDs (components/IVF leave those behind); release both so no
@@ -75,6 +99,7 @@ def main() -> None:
             t0 = time.perf_counter()
             run(q.spark_fn(spark, sf_dir))
             samples[name].append(round(time.perf_counter() - t0, 4))
+        probes.append(probe())
     timings = {n: min(s) for n, s in samples.items()}
     for name in dict(ordered):
         print(f"# {name}: {timings[name]:.3f}s {samples[name]}", file=sys.stderr)
@@ -99,6 +124,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # host-load anchor: fixed JVM-only workload timed at
+                # every pass boundary (min = clean-host cost; the
+                # sample spread = the run's load profile). Compare
+                # across rounds BEFORE reading query drift.
+                "probe_sec": min(probes),
+                "probe_samples": probes,
             }
         )
     )
