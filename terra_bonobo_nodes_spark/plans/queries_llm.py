@@ -41,35 +41,29 @@ EMB_DIM = 64
 
 
 @register(
-    "llm_token_count",
+    "llm_text_counts_surface",
     oracle=f"""
-SELECT doc_id, lang, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens
-FROM documents
-""",
-    tags=("llm", "text"),
-)
-def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    return text.token_count(docs, "text").select("doc_id", "lang", "n_tokens")
-
-
-@register(
-    "llm_bpe_token_count",
-    oracle=f"""
-SELECT doc_id,
+SELECT doc_id, lang,
+       CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens,
        CAST(len(regexp_extract_all(lower(text), '{text.BPE_SPLIT_RE_SQL}')) AS BIGINT)
-         AS n_bpe_tokens,
-       CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens
+         AS n_bpe_tokens
 FROM documents
 """,
     tags=("llm", "text"),
 )
-def llm_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace tokens vs BPE-ish pretokens side by side — the
-    sequence-length estimate a training pipeline budgets by."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def llm_text_counts_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish pretokens side by side — the
+    sequence-length estimates a training pipeline budgets by. Round-12
+    merge of llm_token_count + llm_bpe_token_count (fn_scalar_surface
+    precedent: the bpe row already carried n_tokens, so the two rows
+    shared a grain and column expressions; one wide doc-grain
+    projection keeps identical per-function coverage and frees a
+    rotation slot for e4_osm_points_roundtrip)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     out = text.bpe_token_count(docs, "text")
-    return text.token_count(out, "text").select("doc_id", "n_bpe_tokens", "n_tokens")
+    return text.token_count(out, "text").select(
+        "doc_id", "lang", "n_tokens", "n_bpe_tokens"
+    )
 
 
 _PUNCT_SQL = "'[.,;:!?''\"()\\[\\]{}-]'"

@@ -470,6 +470,72 @@ def s11_xml_document_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e4_osm_points_roundtrip",
+    oracle="""
+SELECT CAST(event_id AS VARCHAR) AS feature_id, event_type,
+       ((value % 360) - 180) AS gx, ((value % 170) - 85) AS gy
+FROM events
+""",
+    tags=("E4",),
+)
+def e4_osm_points_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> OSM XML documents (one per event_type, tagged
+    ``<node>``s) -> ``osm_xml_to_geojson`` with the REAL in-process
+    points-layer converter (``osm_points_geojson_runner`` — stdlib XML
+    parse to GeoJSON on the executors via mapInPandas, round-12; the
+    subprocess runner stays the path for line/polygon layers where GDAL
+    exists) -> ``geojson_reader`` -> recover every event's id, tag, and
+    coordinates exactly. Takes E4 from pytest-only to driver-verified:
+    the fake-free chain is XML synthesis, conversion, and GeoJSON
+    explode, with doubles round-tripping through two text formats
+    (shortest-roundtrip repr both times). Mirrors s2's coordinate
+    derivation so the oracle is the same events projection."""
+    from terra_bonobo_nodes_spark.sources.osm import (
+        osm_points_geojson_runner,
+        osm_xml_to_geojson,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        ((F.col("value") % 360) - 180).alias("x"),
+        ((F.col("value") % 170) - 85).alias("y"),
+    )
+    node = F.concat(
+        F.lit('<node id="'),
+        F.col("event_id").cast("string"),
+        F.lit('" lat="'),
+        F.col("y").cast("string"),
+        F.lit('" lon="'),
+        F.col("x").cast("string"),
+        F.lit('"><tag k="event_type" v="'),
+        F.col("event_type"),
+        F.lit('"/></node>'),
+    )
+    xml_docs = (
+        ev.withColumn("_n", node)
+        .groupBy("event_type")
+        .agg(
+            F.concat(
+                F.lit('<osm version="0.6">'),
+                F.concat_ws("", F.sort_array(F.collect_list("_n"))),
+                F.lit("</osm>"),
+            ).alias("xml")
+        )
+    )
+    docs = osm_xml_to_geojson(
+        xml_docs, layer="points", runner=osm_points_geojson_runner
+    )
+    feats = geojson_reader(docs, "content")
+    return feats.select(
+        "feature_id",
+        F.col("properties").getItem("event_type").alias("event_type"),
+        K.st_x("geom").alias("gx"),
+        K.st_y("geom").alias("gy"),
+    )
+
+
+@register(
     "s3_http_sql_pagination",
     oracle="""
 SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey,

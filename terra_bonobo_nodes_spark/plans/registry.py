@@ -128,13 +128,27 @@ def register(
 #   survives escaped) — paired with the round-12 lexer fix (split on
 #   ']]>' only; a literal '<![CDATA[' inside a section is content,
 #   the ADVICE_r11 medium) and its new pytest pins.
-# Capacity: 141 + 3 new = 144, exactly at the cap. Budget: due cohort
-# = the 41 r09 greens; 41 due + 0 changed + 3 new = 44 <= 50, slack
-# filled by the 6 stalest r10 greens (pre-paying round 13's cohort).
+# Late round-12 additions (add-one-retire-one policy honored):
+# - llm_text_counts_surface: merge of llm_token_count +
+#   llm_bpe_token_count (fn_scalar precedent — the bpe row already
+#   carried n_tokens, same doc grain, byte-identical column
+#   expressions; identical per-function coverage, one slot freed).
+# - e4_osm_points_roundtrip: E4 leaves the n/a-by-design set — the
+#   round-12 pure-Python points-layer converter
+#   (sources/osm.py::osm_points_geojson_runner) makes the OSM->GeoJSON
+#   chain runnable in-process, so the roundtrip row verifies XML
+#   synthesis -> executor-side conversion -> geojson_reader against
+#   the events projection (the s5_k2 stand-in precedent).
+# Capacity: 141 + 5 new - 2 retired = 144, exactly at the cap.
+# Budget: due cohort = the 41 r09 greens; 41 due + 0 changed + 5 new
+# = 46 <= 50, slack filled by the 4 stalest r10 greens (pre-paying
+# round 13's cohort).
 # Round-12 code changes staling registered rows: the formats.py lexer
 # rewrite has no previously-registered query (s11 takes its FIRST row
-# against the fixed code); sinks/snapshots.py gc changes have no
-# registered query (pytest-only by design).
+# against the fixed code); llm/semdedup.py's cc_max_iterations change
+# lands BEFORE llm_semantic_dedup's first row (new this round);
+# sinks/snapshots.py gc changes have no registered query (pytest-only
+# by design); bench.py's probe touches no query plan.
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
@@ -146,6 +160,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "llm_semantic_dedup",
     "llm_quality_filter_score",
     "s11_xml_document_roundtrip",
+    "llm_text_counts_surface",
+    "e4_osm_points_roundtrip",
 )
 
 # (4) overflow — heads round 10's queue:

@@ -50,6 +50,64 @@ def build_ogr2ogr_command(
     return cmd
 
 
+def osm_points_geojson_runner(cmd: list[str], payload: bytes) -> bytes:
+    """Pure-Python (stdlib) OSM-XML -> GeoJSON converter for the POINTS
+    layer: every ``<node>`` with at least one ``<tag>`` becomes a Point
+    feature whose properties are its tags (ogr2ogr's points-layer rule —
+    untagged nodes are geometry vertices, not features; with
+    ``ATTRIBUTES=all_tags`` tags arrive as properties). A real in-process
+    implementation of the E4 conversion for the common points case, NOT
+    a test fake — it makes ``osm_xml_to_geojson`` runnable where GDAL is
+    absent (this environment included), while the subprocess runner
+    remains the full-fidelity path for line/polygon layers.
+
+    Signature matches ``convert.Runner`` so it drops into the same
+    injection seam; ``cmd`` is accepted (and its layer sanity-checked)
+    but the conversion itself needs no subprocess. Feature order is
+    document order; floats round-trip exactly (Python ``repr`` emits
+    shortest-roundtrip decimals, and JSON/GeoJSON parsing restores the
+    identical double)."""
+    import json as _json
+    import xml.etree.ElementTree as ET
+
+    if "points" not in cmd:
+        raise ValueError(
+            "osm_points_geojson_runner converts the 'points' layer only; "
+            f"command requested {cmd!r} — use the subprocess runner for "
+            "other layers"
+        )
+    root = ET.fromstring(payload.decode("utf-8"))
+    features = []
+    for node in root.iter("node"):
+        tags = {
+            t.get("k"): t.get("v")
+            for t in node.findall("tag")
+            if t.get("k") is not None
+        }
+        if not tags:
+            continue
+        features.append(
+            {
+                "type": "Feature",
+                "id": node.get("id"),
+                "geometry": {
+                    "type": "Point",
+                    "coordinates": [
+                        float(node.get("lon")),
+                        float(node.get("lat")),
+                    ],
+                },
+                "properties": tags,
+            }
+        )
+    doc = {
+        "type": "FeatureCollection",
+        "crs": {"type": "name", "properties": {"name": "EPSG:4326"}},
+        "features": features,
+    }
+    return _json.dumps(doc).encode("utf-8")
+
+
 def osm_xml_to_geojson(
     df: DataFrame,
     layer: str = "points",

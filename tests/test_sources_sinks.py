@@ -137,6 +137,62 @@ def test_osm_pipeline_with_fake_runner(spark):
     assert W.parse_wkb(feats[0]["geom"]) == ("Point", (1.0, 2.0))
 
 
+def test_osm_points_geojson_runner_real_conversion():
+    """Round-12: the pure-Python points-layer converter is a REAL E4
+    implementation (stdlib XML parse -> GeoJSON), not a fake — tagged
+    nodes become Point features with tag properties, untagged nodes are
+    skipped (ogr2ogr's points-layer rule), floats round-trip exactly."""
+    import json as _json
+
+    from terra_bonobo_nodes_spark.sources.osm import osm_points_geojson_runner
+
+    xml = b"""<osm version="0.6">
+      <node id="1" lat="48.85837" lon="2.294481">
+        <tag k="name" v="tour eiffel"/><tag k="tourism" v="attraction"/>
+      </node>
+      <node id="2" lat="-1.5" lon="103.25"/>
+      <node id="3" lat="0.1" lon="-0.2"><tag k="amenity" v="bench"/></node>
+      <way id="9"><nd ref="1"/><nd ref="2"/></way>
+    </osm>"""
+    cmd = build_ogr2ogr_command("/x.osm", "points")
+    doc = _json.loads(osm_points_geojson_runner(cmd, xml))
+    assert doc["type"] == "FeatureCollection"
+    ids = [f["id"] for f in doc["features"]]
+    assert ids == ["1", "3"]  # node 2 untagged -> vertex, not a feature
+    f1 = doc["features"][0]
+    assert f1["geometry"]["coordinates"] == [2.294481, 48.85837]
+    assert f1["properties"] == {"name": "tour eiffel", "tourism": "attraction"}
+    with pytest.raises(ValueError, match="points"):
+        osm_points_geojson_runner(
+            build_ogr2ogr_command("/x.osm", "lines"), xml
+        )
+
+
+def test_osm_points_runner_feeds_geojson_reader(spark):
+    """The in-process E4 path end to end on executors: XML documents ->
+    mapInPandas conversion with the points runner -> geojson_reader."""
+    from terra_bonobo_nodes_spark.sources.osm import osm_points_geojson_runner
+
+    xml_df = spark.createDataFrame(
+        [
+            (
+                "q",
+                '<osm><node id="7" lat="1.5" lon="-2.25">'
+                '<tag k="event_type" v="click"/></node></osm>',
+            )
+        ],
+        "query STRING, xml STRING",
+    )
+    docs = osm_xml_to_geojson(
+        xml_df, layer="points", runner=osm_points_geojson_runner
+    )
+    feats = geojson_reader(docs, "content").collect()
+    assert len(feats) == 1
+    assert feats[0]["feature_id"] == "7"
+    assert W.parse_wkb(feats[0]["geom"]) == ("Point", (-2.25, 1.5))
+    assert dict(feats[0]["properties"]) == {"event_type": "click"}
+
+
 def test_shapefile_pipeline_with_fake_runner(spark):
     zips = spark.createDataFrame([(bytearray(b"PKfake"),)], "content BINARY")
     docs = zip_shapefile_to_geojson(zips, runner=lambda cmd, b: FAKE_GEOJSON.encode())
