@@ -338,25 +338,6 @@ _COS_THRESHOLD = 0.35
 _CAST_EMB = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
 
-@register(
-    "llm_embedding_cosine_pairs",
-    oracle=f"""
-WITH e AS (SELECT vec_id, {_CAST_EMB} AS v FROM embeddings),
-n AS (SELECT vec_id, v, {similarity.norm_sql('v')} AS nrm FROM e)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {similarity.dot_exact_sql('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos_sim
-FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE {similarity.dot_exact_sql('a.v', 'b.v')} / (a.nrm * b.nrm) >= {_COS_THRESHOLD}
-""",
-    tags=("llm", "dedup", "embedding"),
-)
-def llm_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return dedup.embedding_cosine_pairs(
-        emb, "vec_id", "embedding", threshold=_COS_THRESHOLD
-    )
-
-
 _BLK_PLANES = 4
 
 
@@ -375,38 +356,54 @@ def _sig_sql(n_planes: int, vec: str = "v") -> str:
     return "(" + " + ".join(sig_terms) + ")"
 
 
-def _blocked_pairs_oracle() -> str:
+def _cosine_pairs_oracle() -> str:
     sig = _sig_sql(_BLK_PLANES)
     return f"""
 WITH e AS (SELECT vec_id, {_CAST_EMB} AS v FROM embeddings),
 sigs AS (SELECT vec_id, v, {similarity.norm_sql('v')} AS nrm,
                 {sig} AS blk FROM e)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {similarity.dot_exact_sql('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos_sim
-FROM sigs a JOIN sigs b ON a.blk = b.blk AND a.vec_id < b.vec_id
+       {similarity.dot_exact_sql('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos_sim,
+       a.blk = b.blk AS in_lsh_block
+FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
 WHERE {similarity.dot_exact_sql('a.v', 'b.v')} / (a.nrm * b.nrm) >= {_COS_THRESHOLD}
 """
 
 
 @register(
-    "llm_embedding_cosine_pairs_blocked",
-    oracle=_blocked_pairs_oracle(),
+    "llm_embedding_cosine_pairs",
+    oracle=_cosine_pairs_oracle(),
     tags=("llm", "dedup", "embedding"),
 )
-def llm_embedding_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB shape of embedding near-dup pairs: block on a
-    hyperplane LSH signature so the self-join is an equi-join on the
-    bucket key (shuffle hash join over ~2^planes cells), never a
-    crossJoin. The oracle blocks identically, so the driver row checks
-    both the blocking and the scoring; the unblocked exact form above
-    stays as the tiny-input reference answer."""
+def llm_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 merge of the exact and LSH-blocked pair rows (same pair
+    grain, shared scoring math): every exact pair (the documented
+    tiny-input all-pairs reference form) carries ``in_lsh_block`` — did
+    the 100 TB path's hyperplane-signature equi-join surface it too?
+    The Spark side RUNS both code paths (crossJoin form + block_col
+    equi-join form, left-joined), so blocking, scoring, and the
+    blocked join's recall picture are all driver-checked in one row;
+    the oracle derives the flag as signature equality, which is what
+    block-key collision means."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planes = similarity.hyperplanes(_BLK_PLANES, EMB_DIM)
-    blocked = emb.withColumn(
-        "blk", similarity.hyperplane_signature(F.col("embedding"), planes)
+    exact = dedup.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=_COS_THRESHOLD
     )
-    return dedup.embedding_cosine_pairs(
-        blocked, "vec_id", "embedding", threshold=_COS_THRESHOLD, block_col="blk"
+    planes = similarity.hyperplanes(_BLK_PLANES, EMB_DIM)
+    blocked = dedup.embedding_cosine_pairs(
+        emb.withColumn(
+            "blk", similarity.hyperplane_signature(F.col("embedding"), planes)
+        ),
+        "vec_id",
+        "embedding",
+        threshold=_COS_THRESHOLD,
+        block_col="blk",
+    ).select("id_a", "id_b", F.lit(True).alias("in_lsh_block"))
+    return exact.join(blocked, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "cos_sim",
+        F.coalesce("in_lsh_block", F.lit(False)).alias("in_lsh_block"),
     )
 
 

@@ -219,14 +219,19 @@ SELECT c_custkey,
        (abs((c_acctbal % 100.0) - 10.0) + abs(CAST(c_custkey % 100 AS DOUBLE) - 10.0))
          AS t10,
        (abs((c_acctbal % 100.0) - 10.0) + abs(CAST(c_custkey % 100 AS DOUBLE) - 10.0))
-         * 2.0 AS t11
+         * 2.0 AS t11,
+       (abs(c_acctbal % 100.0) + abs(CAST(c_custkey % 100 AS DOUBLE))) AS times_one
 FROM customer
 """,
-    tags=("E2",),
+    tags=("E2", "E3"),
 )
 def e2_transit_time_one_to_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two target points (0,0) and (10,10), two vehicles (car, bike=2x);
-    fake time = manhattan distance * vehicle factor."""
+    fake time = manhattan distance * vehicle factor. Round-12 merge of
+    the retired e3_transit_time_one_to_one row (same customer grain):
+    ``times_one`` runs the actual one-to-one operator — a single-point
+    car-only matrix collapsed to a scalar by transit_time_one_to_one —
+    so both E2 and E3 keep driver verification in one row."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         (F.col("c_acctbal") % 100.0).alias("x"),
@@ -242,36 +247,20 @@ def e2_transit_time_one_to_many(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, manhattan_fake_client_factory(), vehicles=("car", "bike")
     )
     t = F.col("times")
-    return timed.select(
+    many = timed.select(
         "c_custkey",
         F.element_at(F.element_at(t, 1), 1).alias("t00"),
         F.element_at(F.element_at(t, 1), 2).alias("t01"),
         F.element_at(F.element_at(t, 2), 1).alias("t10"),
         F.element_at(F.element_at(t, 2), 2).alias("t11"),
     )
-
-
-@register(
-    "e3_transit_time_one_to_one",
-    oracle="""
-SELECT c_custkey,
-       (abs(c_acctbal % 100.0) + abs(CAST(c_custkey % 100 AS DOUBLE))) AS times
-FROM customer
-""",
-    tags=("E3",),
-)
-def e3_transit_time_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        (F.col("c_acctbal") % 100.0).alias("x"),
-        (F.col("c_custkey") % 100).cast("double").alias("y"),
-    )
-    pts = cust.withColumn("points", F.array(F.array(F.lit(0.0), F.lit(0.0))))
-    timed = transit_time_one_to_many(
-        pts, manhattan_fake_client_factory(), vehicles=("car",)
-    )
-    scalar = transit_time_one_to_one(timed)
-    return scalar.select("c_custkey", "times")
+    pts1 = cust.withColumn("points", F.array(F.array(F.lit(0.0), F.lit(0.0))))
+    one = transit_time_one_to_one(
+        transit_time_one_to_many(
+            pts1, manhattan_fake_client_factory(), vehicles=("car",)
+        )
+    ).select("c_custkey", F.col("times").alias("times_one"))
+    return many.join(one, "c_custkey")
 
 
 # --- S5/K2: document-index sink + scroll-scan round-trip ---------------------
@@ -529,6 +518,142 @@ def e4_osm_points_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = geojson_reader(docs, "content")
     return feats.select(
         "feature_id",
+        F.col("properties").getItem("event_type").alias("event_type"),
+        K.st_x("geom").alias("gx"),
+        K.st_y("geom").alias("gy"),
+    )
+
+
+@register(
+    "s6_overpass_http_roundtrip",
+    oracle="""
+SELECT CAST(event_id AS VARCHAR) AS feature_id, event_type,
+       ((value % 360) - 180) AS gx, ((value % 170) - 85) AS gy
+FROM events WHERE event_id < 2000
+""",
+    tags=("S6", "E4", "http"),
+)
+def s6_overpass_http_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OverpassExtract proven over a REAL socket (the s3_http/s5
+    precedent): an events-derived OSM XML export is served by the
+    in-process Overpass stand-in, ``overpass_extract`` POSTs the QL
+    query through a real stdlib HTTP client and lands the response in a
+    DataFrame, then the round-12 in-process points converter +
+    geojson_reader recover every node exactly. The export collect is
+    bounded scaffolding (the s3 JSONL-export precedent; S6's semantics
+    are inherently one driver-sized response — the reference yields a
+    single requests.post body, osm.py:14-39)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from terra_bonobo_nodes_spark.sources.osm import (
+        osm_points_geojson_runner,
+        osm_xml_to_geojson,
+        overpass_extract,
+        serve_overpass_xml,
+        urllib_http_post,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        ((F.col("value") % 360) - 180).alias("x"),
+        ((F.col("value") % 170) - 85).alias("y"),
+    ).where(F.col("event_id") < 2000)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/tbns_overpass_{tag}.xml"
+    if not os.path.exists(path):
+        node = F.concat(
+            F.lit('<node id="'),
+            F.col("event_id").cast("string"),
+            F.lit('" lat="'),
+            F.col("y").cast("string"),
+            F.lit('" lon="'),
+            F.col("x").cast("string"),
+            F.lit('"><tag k="event_type" v="'),
+            F.col("event_type"),
+            F.lit('"/></node>'),
+        )
+        body = "".join(
+            r["_n"] for r in ev.select(node.alias("_n")).orderBy("event_id").collect()
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(f'<osm version="0.6">{body}</osm>')
+        os.replace(tmp, path)  # atomic publish, the s3 precedent
+    endpoint = serve_overpass_xml(path)
+    fetched = overpass_extract(
+        spark,
+        'node["event_type"](bbox);out;',
+        urllib_http_post,
+        endpoint=endpoint,
+    )
+    docs = osm_xml_to_geojson(
+        fetched, layer="points", runner=osm_points_geojson_runner
+    )
+    feats = geojson_reader(docs, "content")
+    return feats.select(
+        "feature_id",
+        F.col("properties").getItem("event_type").alias("event_type"),
+        K.st_x("geom").alias("gx"),
+        K.st_y("geom").alias("gy"),
+    )
+
+
+@register(
+    "e5_shapefile_points_roundtrip",
+    oracle="""
+SELECT CAST(event_id AS VARCHAR) AS event_id, event_type,
+       ((value % 360) - 180) AS gx, ((value % 170) - 85) AS gy
+FROM events
+""",
+    tags=("E5",),
+)
+def e5_shapefile_points_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZipShapefileToGeojson with a REAL codec end to end: events ->
+    one zipped point shapefile per event_type (the round-12 from-spec
+    .shp/.shx/.dbf writer packs on the EXECUTORS via applyInPandas, the
+    s8 zip precedent) -> ``zip_shapefile_to_geojson`` with the
+    in-process points runner (mapInPandas) -> ``geojson_reader`` ->
+    exact recovery. Coordinates travel as binary little-endian doubles
+    inside the archive — no text formatting in the geometry path — so
+    the roundtrip is bit-exact by construction; attributes come back as
+    DBF text, hence the VARCHAR event_id in the oracle."""
+    import pandas as pd
+
+    from terra_bonobo_nodes_spark.sources.shapefile import (
+        zip_shapefile_to_geojson,
+    )
+    from terra_bonobo_nodes_spark.sources.shp_codec import (
+        shapefile_points_geojson_runner,
+        write_point_shapefile_zip,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        ((F.col("value") % 360) - 180).alias("x"),
+        ((F.col("value") % 170) - 85).alias("y"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        z = write_point_shapefile_zip(
+            [float(v) for v in pdf["x"]],
+            [float(v) for v in pdf["y"]],
+            {
+                "event_id": [int(v) for v in pdf["event_id"]],
+                "event_type": [str(v) for v in pdf["event_type"]],
+            },
+        )
+        return pd.DataFrame({"content": [z]})
+
+    zips = ev.groupBy("event_type").applyInPandas(pack, "content BINARY")
+    docs = zip_shapefile_to_geojson(zips, runner=shapefile_points_geojson_runner)
+    feats = geojson_reader(docs, "content")
+    return feats.select(
+        F.col("properties").getItem("event_id").alias("event_id"),
         F.col("properties").getItem("event_type").alias("event_type"),
         K.st_x("geom").alias("gx"),
         K.st_y("geom").alias("gy"),

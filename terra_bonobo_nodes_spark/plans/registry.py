@@ -139,10 +139,25 @@ def register(
 #   chain runnable in-process, so the roundtrip row verifies XML
 #   synthesis -> executor-side conversion -> geojson_reader against
 #   the events projection (the s5_k2 stand-in precedent).
-# Capacity: 141 + 5 new - 2 retired = 144, exactly at the cap.
-# Budget: due cohort = the 41 r09 greens; 41 due + 0 changed + 5 new
-# = 46 <= 50, slack filled by the 4 stalest r10 greens (pre-paying
-# round 13's cohort).
+# - s6_overpass_http_roundtrip: OverpassExtract proven over a REAL
+#   socket (in-process Overpass stand-in + stdlib POST client — the
+#   s3_http precedent), feeding the E4 in-process chain. S6 leaves the
+#   n/a set. Paired retirement: e3_transit_time_one_to_one merged INTO
+#   e2_transit_time_one_to_many (same customer grain; the widened row
+#   runs BOTH operators and adds times_one).
+# - e5_shapefile_points_roundtrip: ZipShapefileToGeojson with the
+#   round-12 from-spec pure-Python .shp/.shx/.dbf codec
+#   (sources/shp_codec.py) — executor-side pack, in-process convert,
+#   exact binary-double geometry roundtrip. E5 leaves the n/a set.
+#   Paired retirement: llm_embedding_cosine_pairs_blocked merged INTO
+#   llm_embedding_cosine_pairs (same pair grain; the widened row runs
+#   both the exact crossJoin form and the block_col equi-join and
+#   flags each pair with in_lsh_block).
+# Capacity: 141 + 7 new - 2 merged-away + ... = 144, exactly at the
+# cap (check: len(all_queries()) == 144). Budget: due cohort = the 41
+# r09 greens minus the retired blocked row = 40 (the widened cosine
+# row is due AND changed — one check); + 1 changed (e2, r10 green,
+# code widened) + 7 new = 48 <= 50, 2 slots of stalest-green slack.
 # Round-12 code changes staling registered rows: the formats.py lexer
 # rewrite has no previously-registered query (s11 takes its FIRST row
 # against the fixed code); llm/semdedup.py's cc_max_iterations change
@@ -153,7 +168,10 @@ def register(
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
 # (2) operator code changed since the query's last green:
-_CHANGED_THIS_ROUND: tuple[str, ...] = ()
+_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "llm_embedding_cosine_pairs",   # widened: + in_lsh_block (merge)
+    "e2_transit_time_one_to_many",  # widened: + times_one (e3 merge)
+)
 
 # (3) first driver row this round:
 _NEW_THIS_ROUND: tuple[str, ...] = (
@@ -162,6 +180,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "s11_xml_document_roundtrip",
     "llm_text_counts_surface",
     "e4_osm_points_roundtrip",
+    "s6_overpass_http_roundtrip",
+    "e5_shapefile_points_roundtrip",
 )
 
 # (4) overflow — heads round 10's queue:

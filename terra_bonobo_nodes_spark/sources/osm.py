@@ -37,6 +37,70 @@ def overpass_extract(
     return spark.createDataFrame([(query, xml)], "query STRING, xml STRING")
 
 
+_OVERPASS_SERVERS: dict[str, str] = {}
+_OVERPASS_LOCK = None  # created lazily; module import stays side-effect-free
+
+
+def serve_overpass_xml(path: str) -> str:
+    """In-process Overpass stand-in (the ``sql_http.serve_jsonl_table``
+    precedent applied to S6): a daemon HTTP server whose
+    ``POST /api/interpreter`` returns the file's XML, so
+    ``overpass_extract``'s fetch contract — POST body carries the QL
+    query, response body is OSM XML — is proven over a REAL socket
+    rather than an injected fake. One cached daemon per file path for
+    the process lifetime (repeated driver invocations must not leak a
+    listener per call); returns the endpoint URL."""
+    import os
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    global _OVERPASS_LOCK
+    if _OVERPASS_LOCK is None:
+        _OVERPASS_LOCK = threading.Lock()
+    key = os.path.abspath(path)
+    with _OVERPASS_LOCK:
+        if key in _OVERPASS_SERVERS:
+            return _OVERPASS_SERVERS[key]
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # keep driver/pytest output clean
+                pass
+
+            def do_POST(self):
+                if self.path != "/api/interpreter":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                # drain the request body (the QL query) per HTTP/1.1
+                self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                with open(key, "rb") as fh:
+                    body = fh.read()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/osm3s+xml")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{srv.server_port}/api/interpreter"
+        _OVERPASS_SERVERS[key] = url
+        return url
+
+
+def urllib_http_post(url: str, data: str) -> str:
+    """Real stdlib HTTP POST matching ``overpass_extract``'s client
+    signature. Non-2xx raises (urllib's HTTPError), honoring the
+    reference's raise-for-status contract (``osm.py:37-38``)."""
+    from urllib.request import Request, urlopen
+
+    req = Request(
+        url, data=data.encode("utf-8"), headers={"Content-Type": "text/plain"}
+    )
+    with urlopen(req, timeout=30) as resp:
+        return resp.read().decode("utf-8")
+
+
 def build_ogr2ogr_command(
     src_path: str, layer: str = "points", all_tags: bool = True
 ) -> list[str]:

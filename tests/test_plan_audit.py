@@ -20,9 +20,8 @@ SF_DIR = "/root/testdata/sf0.001"
 CROSS_JOIN_OK: dict[str, str] = {
     "j4_knn_closest_features": "kNN broadcast crossJoin vs dimension-sized right side",
     "j4_knn_closests_list": "same kNN broadcast pattern",
-    "llm_embedding_cosine_pairs": "exact all-pairs form is the documented tiny-input oracle; blocked variant is the scale path",
-    "e2_transit_time_one_to_many": "one-to-many matrix vs broadcast destinations",
-    "e3_transit_time_one_to_one": "same enrichment matrix pattern",
+    "llm_embedding_cosine_pairs": "exact all-pairs form is the documented tiny-input oracle; the same row also runs the blocked equi-join scale path and flags its pairs",
+    "e2_transit_time_one_to_many": "one-to-many matrix vs broadcast destinations (also carries the merged one-to-one scalar)",
     "llm_tfidf_topk_terms": "single-row corpus-size N broadcast into the score join",
     "llm_bm25_keyword_topk": "single-row (N, avgdl) corpus-stats broadcast into the score projection",
     "llm_temperature_mix_weights": "single-row (sum_n, sum_s) totals broadcast into the per-group weights",

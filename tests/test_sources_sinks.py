@@ -1030,3 +1030,100 @@ def test_jdbc_conf_live_partitioned_read_via_derby(spark):
     )
     # Derby uppercases unquoted identifiers; values are what matter
     assert sorted(tuple(r) for r in df.collect()) == [(1, 2), (2, 4), (3, 6), (4, 8)]
+
+
+# --- round 12: pure-Python point-shapefile codec (E5 in-process path) --------
+
+
+def test_shp_codec_roundtrip_exact_doubles():
+    from terra_bonobo_nodes_spark.sources.shp_codec import (
+        read_point_shapefile_zip,
+        write_point_shapefile_zip,
+    )
+
+    xs = [2.294481, -179.99999999, 0.1 + 0.2]  # awkward doubles
+    ys = [48.85837, -85.5, 1e-13]
+    z = write_point_shapefile_zip(
+        xs, ys, {"event_id": [7, 8, 9], "kind": ["a", "bc", ""]}
+    )
+    # determinism: identical inputs -> identical archive bytes
+    assert z == write_point_shapefile_zip(
+        xs, ys, {"event_id": [7, 8, 9], "kind": ["a", "bc", ""]}
+    )
+    feats = read_point_shapefile_zip(z)
+    assert [(f["x"], f["y"]) for f in feats] == list(zip(xs, ys))  # bit-exact
+    assert [f["attrs"]["event_id"] for f in feats] == ["7", "8", "9"]
+    assert [f["attrs"]["kind"] for f in feats] == ["a", "bc", ""]
+
+
+def test_shp_codec_rejects_unsupported_profiles():
+    from terra_bonobo_nodes_spark.sources.shp_codec import (
+        read_point_shapefile_zip,
+        write_point_shapefile_zip,
+    )
+
+    with pytest.raises(ValueError, match="ragged"):
+        write_point_shapefile_zip([1.0], [1.0, 2.0], {})
+    with pytest.raises(ValueError, match="int .* and str"):
+        write_point_shapefile_zip([1.0], [1.0], {"f": [1.5]})
+    z = write_point_shapefile_zip([1.0], [2.0], {})
+    # corrupt the declared shape type -> typed NotImplementedError
+    import io as _io
+    import struct as _struct
+    import zipfile as _zip
+
+    buf = _io.BytesIO()
+    with _zip.ZipFile(_io.BytesIO(z)) as src, _zip.ZipFile(buf, "w") as dst:
+        for name in src.namelist():
+            data = src.read(name)
+            if name.endswith(".shp"):
+                data = data[:32] + _struct.pack("<i", 5) + data[36:]
+            dst.writestr(name, data)
+    with pytest.raises(NotImplementedError, match="shape type 5"):
+        read_point_shapefile_zip(buf.getvalue())
+    with pytest.raises(ValueError, match="no .shp"):
+        read_point_shapefile_zip(_make_zip({"x.txt": b"nope"}))
+
+
+def _make_zip(members):
+    import io as _io
+    import zipfile as _zip
+
+    buf = _io.BytesIO()
+    with _zip.ZipFile(buf, "w") as zf:
+        for name, data in members.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def test_shp_runner_feeds_geojson_reader(spark):
+    """E5 end to end with the REAL in-process codec: zip payloads ->
+    executor-side conversion -> geojson_reader recovers geometry and
+    attributes; only -t_srs EPSG:4326 commands are accepted."""
+    from terra_bonobo_nodes_spark.sources.shp_codec import (
+        shapefile_points_geojson_runner,
+        write_point_shapefile_zip,
+    )
+
+    z = write_point_shapefile_zip(
+        [-2.25, 3.5], [1.5, -4.0], {"event_id": [11, 12]}
+    )
+    zips = spark.createDataFrame([(bytearray(z),)], "content BINARY")
+    docs = zip_shapefile_to_geojson(zips, runner=shapefile_points_geojson_runner)
+    feats = geojson_reader(docs, "content").collect()
+    got = sorted(
+        (
+            dict(f["properties"])["event_id"],
+            W.parse_wkb(f["geom"]),
+        )
+        for f in feats
+    )
+    assert got == [
+        ("11", ("Point", (-2.25, 1.5))),
+        ("12", ("Point", (3.5, -4.0))),
+    ]
+    with pytest.raises(Exception, match="EPSG:4326"):
+        zip_shapefile_to_geojson(
+            zips, target_srs="EPSG:2154",
+            runner=shapefile_points_geojson_runner, distributed=False,
+        ).collect()
