@@ -37,8 +37,10 @@ def overpass_extract(
     return spark.createDataFrame([(query, xml)], "query STRING, xml STRING")
 
 
+import threading as _threading
+
 _OVERPASS_SERVERS: dict[str, str] = {}
-_OVERPASS_LOCK = None  # created lazily; module import stays side-effect-free
+_OVERPASS_LOCK = _threading.Lock()
 
 
 def serve_overpass_xml(path: str) -> str:
@@ -54,9 +56,6 @@ def serve_overpass_xml(path: str) -> str:
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    global _OVERPASS_LOCK
-    if _OVERPASS_LOCK is None:
-        _OVERPASS_LOCK = threading.Lock()
     key = os.path.abspath(path)
     with _OVERPASS_LOCK:
         if key in _OVERPASS_SERVERS:
