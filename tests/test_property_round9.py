@@ -144,3 +144,93 @@ def test_semdedup_verdict_invariants(spark, data):
     for comp_id, members in by_comp.items():
         assert sum(m["is_kept"] for m in members) == 1  # one survivor
         assert comp_id in {m["vec_id"] for m in members}  # label is a member
+
+
+# --- round 12: from-spec codecs under random inputs ---------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(
+                min_value=-180, max_value=180, allow_nan=False, width=64
+            ),
+            st.floats(min_value=-90, max_value=90, allow_nan=False, width=64),
+            st.integers(min_value=-(10 ** 15), max_value=10 ** 15),
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=32, max_codepoint=126, exclude_characters=""
+                ),
+                max_size=20,
+            ),
+        ),
+        max_size=25,
+    )
+)
+def test_shp_codec_roundtrips_any_point_set(rows):
+    """write_point_shapefile_zip ∘ read_point_shapefile_zip is the
+    identity on any point set in the supported profile: coordinates
+    bit-exact (binary doubles), 'N'/'C' attributes back as their str()
+    text, record order preserved, archives deterministic."""
+    from terra_bonobo_nodes_spark.sources.shp_codec import (
+        read_point_shapefile_zip,
+        write_point_shapefile_zip,
+    )
+
+    xs = [r[0] for r in rows]
+    ys = [r[1] for r in rows]
+    attrs = {"k": [r[2] for r in rows], "s": [r[3].strip() for r in rows]}
+    z = write_point_shapefile_zip(xs, ys, attrs)
+    assert z == write_point_shapefile_zip(xs, ys, attrs)
+    feats = read_point_shapefile_zip(z)
+    assert [(f["x"], f["y"]) for f in feats] == list(zip(xs, ys))
+    assert [f["attrs"]["k"] for f in feats] == [str(v) for v in attrs["k"]]
+    # DBF 'C' storage is space-padded text, so values strip-roundtrip
+    assert [f["attrs"]["s"] for f in feats] == [v.strip() for v in attrs["s"]]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10 ** 9),
+            st.floats(min_value=-90, max_value=90, allow_nan=False),
+            st.floats(min_value=-180, max_value=180, allow_nan=False),
+            st.booleans(),  # tagged?
+        ),
+        max_size=15,
+    )
+)
+def test_osm_points_runner_on_random_node_sets(nodes):
+    """Random node soups: exactly the TAGGED nodes come back as Point
+    features (ogr2ogr's points-layer rule), coordinates exact through
+    repr -> JSON, tag text preserved."""
+    import json as _json
+
+    from terra_bonobo_nodes_spark.sources.osm import (
+        build_ogr2ogr_command,
+        osm_points_geojson_runner,
+    )
+
+    xml = "<osm>" + "".join(
+        f'<node id="{i}" lat="{lat!r}" lon="{lon!r}">'
+        + (f'<tag k="n" v="t{i}"/>' if tagged else "")
+        + "</node>"
+        for i, (nid, lat, lon, tagged) in enumerate(nodes)
+    ) + "</osm>"
+    doc = _json.loads(
+        osm_points_geojson_runner(
+            build_ogr2ogr_command("/x.osm", "points"), xml.encode()
+        )
+    )
+    want = [
+        (str(i), [lon, lat], {"n": f"t{i}"})
+        for i, (nid, lat, lon, tagged) in enumerate(nodes)
+        if tagged
+    ]
+    got = [
+        (f["id"], f["geometry"]["coordinates"], f["properties"])
+        for f in doc["features"]
+    ]
+    assert got == want
