@@ -231,9 +231,11 @@ def shapefile_points_geojson_runner(cmd: list[str], payload: bytes) -> bytes:
     FeatureCollection (feature id = 1-based FID, ogr2ogr's convention;
     attributes as string properties, matching DBF's text storage).
     Coordinates pass binary-double -> ``repr`` (shortest-roundtrip) ->
-    JSON, so they survive exactly. The command must target EPSG:4326
-    and the payload is ASSUMED to already be in it (no .prj
-    reprojection — that is the GDAL runner's job)."""
+    JSON, so they survive exactly. The command must target EPSG:4326.
+    A ``.prj`` in the archive is honored as a declaration only: WGS84
+    names pass through, anything else fails typed (this runner cannot
+    reproject — that is the GDAL runner's job); no ``.prj`` keeps the
+    assume-4326 contract."""
     import json as _json
 
     if "EPSG:4326" not in cmd:
@@ -242,6 +244,19 @@ def shapefile_points_geojson_runner(cmd: list[str], payload: bytes) -> bytes:
             f"supported (command: {cmd!r}); reprojection needs the GDAL "
             "subprocess runner"
         )
+    # honor a .prj if the archive carries one: WGS84 passes through; any
+    # other named CRS would need actual reprojection — fail typed rather
+    # than emit coordinates silently mislabeled as 4326. (No .prj keeps
+    # the documented assume-4326 contract.)
+    zf = zipfile.ZipFile(io.BytesIO(payload))
+    prj_name = _single_member(zf, ".prj", required=False)
+    if prj_name is not None:
+        wkt = zf.read(prj_name).decode("ascii", errors="replace")
+        if not any(m in wkt for m in ("GCS_WGS_1984", "WGS 84", "WGS84", "4326")):
+            raise NotImplementedError(
+                f"shapefile .prj declares a non-WGS84 CRS ({wkt[:80]!r}...) — "
+                "reprojection needs the GDAL subprocess runner"
+            )
     features = [
         {
             "type": "Feature",

@@ -1127,3 +1127,36 @@ def test_shp_runner_feeds_geojson_reader(spark):
             zips, target_srs="EPSG:2154",
             runner=shapefile_points_geojson_runner, distributed=False,
         ).collect()
+
+
+def test_shp_runner_honors_prj_crs_declaration():
+    """A .prj naming WGS84 passes through; any other named CRS fails
+    typed (the runner cannot reproject) instead of emitting coordinates
+    silently mislabeled as EPSG:4326; no .prj keeps the documented
+    assume-4326 contract."""
+    import io as _io
+    import json as _json
+    import zipfile as _zip
+
+    from terra_bonobo_nodes_spark.sources.shp_codec import (
+        shapefile_points_geojson_runner,
+        write_point_shapefile_zip,
+    )
+
+    cmd = build_shapefile_command("/x.zip")
+
+    def with_prj(wkt):
+        z = write_point_shapefile_zip([1.0], [2.0], {})
+        buf = _io.BytesIO()
+        with _zip.ZipFile(_io.BytesIO(z)) as src, _zip.ZipFile(buf, "w") as dst:
+            for name in src.namelist():
+                dst.writestr(name, src.read(name))
+            dst.writestr("layer.prj", wkt)
+        return buf.getvalue()
+
+    wgs = 'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984"]]'
+    doc = _json.loads(shapefile_points_geojson_runner(cmd, with_prj(wgs)))
+    assert len(doc["features"]) == 1
+    lam93 = 'PROJCS["RGF93 / Lambert-93",GEOGCS["RGF93"]]'
+    with pytest.raises(NotImplementedError, match="non-WGS84"):
+        shapefile_points_geojson_runner(cmd, with_prj(lam93))
