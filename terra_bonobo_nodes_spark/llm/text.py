@@ -145,6 +145,116 @@ def repetition_ratios(
     )
 
 
+# The required-stopword list Gopher publishes (Rae et al. 2021 §A1.1):
+# a document must contain at least 2 of these to survive.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    prefix: str = "g_",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021 §A1.1, public) as
+    named per-rule violation flags plus the combined ``keep`` verdict —
+    the thresholded-rules complement to ``quality_score``'s blended
+    score (a curation pipeline wants to know WHICH rule fired, to audit
+    the filter's yield per rule before committing to it at corpus
+    scale). Default thresholds are the paper's.
+
+    Emits ``{prefix}n_words``, ``{prefix}mean_word_len``, one boolean
+    ``{prefix}flag_*`` per rule (True = violates = Gopher would drop),
+    and ``{prefix}keep`` (no rule fired). An empty/wordless document
+    fires ``flag_n_words``, ``flag_mean_word_len`` and
+    ``flag_alpha_words`` (its ratios degrade to 0) — consistent with
+    the paper, which never lets an empty page through.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min_mean_word_len, max_mean_word_len]; '#'-to-word and
+    ellipsis-to-word ratios <= max_symbol_word_ratio; fraction of
+    lines starting with a bullet <= max_bullet_line_ratio; fraction of
+    lines ending in an ellipsis <= max_ellipsis_line_ratio; fraction
+    of words containing a letter >= min_alpha_word_ratio; at least
+    min_stop_hits DISTINCT ``GOPHER_STOPWORDS`` present.
+
+    Pure Column expressions in the cross-engine regex subset (module
+    docstring) — scan-speed projection, zero shuffles, oracle-ready.
+    """
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n = F.size(toks)
+    nd = n.cast("double")
+    mean_word_len = F.when(
+        n > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).cast("double")
+        / nd,
+    ).otherwise(F.lit(0.0))
+    n_hash = (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))).cast(
+        "double"
+    )
+    # non-overlapping, like the paper's counting: '....' is one ellipsis
+    n_ellipsis = F.regexp_count(c, F.lit(r"\.\.\.|…")).cast("double")
+    hash_ratio = F.when(n > 0, n_hash / nd).otherwise(F.lit(0.0))
+    ellipsis_ratio = F.when(n > 0, n_ellipsis / nd).otherwise(F.lit(0.0))
+    lines = F.filter(
+        F.transform(F.split(c, "\n", -1), F.trim), lambda l: F.length(l) > 0
+    )
+    n_lines = F.size(lines).cast("double")
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.rlike("^[-*•]"))
+    ).cast("double")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+    ).cast("double")
+    bullet_ratio = F.when(n_lines > 0, bullet_lines / n_lines).otherwise(F.lit(0.0))
+    ellipsis_line_ratio = F.when(n_lines > 0, ellipsis_lines / n_lines).otherwise(
+        F.lit(0.0)
+    )
+    alpha_ratio = F.when(
+        n > 0, F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / nd
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*(F.lit(w) for w in GOPHER_STOPWORDS)),
+            lambda w: F.array_contains(toks, w),
+        )
+    )
+    flags = {
+        f"{prefix}flag_n_words": (n < min_words) | (n > max_words),
+        f"{prefix}flag_mean_word_len": (mean_word_len < min_mean_word_len)
+        | (mean_word_len > max_mean_word_len),
+        f"{prefix}flag_symbol_ratio": (hash_ratio > max_symbol_word_ratio)
+        | (ellipsis_ratio > max_symbol_word_ratio),
+        f"{prefix}flag_bullet_lines": bullet_ratio > max_bullet_line_ratio,
+        f"{prefix}flag_ellipsis_lines": ellipsis_line_ratio
+        > max_ellipsis_line_ratio,
+        f"{prefix}flag_alpha_words": alpha_ratio < min_alpha_word_ratio,
+        f"{prefix}flag_stopwords": stop_hits < min_stop_hits,
+    }
+    keep = None
+    for flag in flags.values():
+        keep = flag if keep is None else (keep | flag)
+    return df.withColumns(
+        {
+            f"{prefix}n_words": n.cast("long"),
+            f"{prefix}mean_word_len": mean_word_len,
+            **flags,
+            f"{prefix}keep": ~keep,
+        }
+    )
+
+
 def lang_id(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,175 @@
+"""URL canonicalization for URL-keyed corpus dedup.
+
+Web-crawl curation dedupes by URL before it ever hashes content
+(the same page fetched twice, with and without ``utm_*`` decoration,
+is one document). The reference pipeline has no URL nodes (its
+Overpass/SQL sources are keyed upstream), so this is a
+training-data-pipeline extension in the ``llm/`` family: a pure
+Column-expression canonicalizer (zero Python, whole-stage codegen)
+plus a DuckDB SQL mirror (``canonical_url_sql``) so a driver row can
+oracle-pair it — the ``pii_redact_sql`` precedent (llm/scrub.py:80).
+
+Canonical form (designed for http(s) web URLs):
+
+- whitespace trimmed, fragment (``#...``) dropped;
+- scheme and authority lowercased (path/query case is significant,
+  ``example.com/API?q=Foo`` keeps its case);
+- a leading ``www.`` label and the scheme's default port (``:80`` for
+  http, ``:443`` for https) are stripped from the host;
+- duplicate slashes in the path collapse, a trailing slash drops
+  (except the root), an empty path becomes ``/`` (RFC 3986 §6.2.3:
+  for http an empty path is equivalent to ``/``);
+- tracking query parameters (``utm_*``, click ids, ``ref`` — see
+  ``TRACKING_PARAM_RE``) are removed, the survivors are sorted
+  byte-lexicographically and rejoined; an emptied query drops its
+  ``?``.
+
+Out of scope, documented: percent-encoding normalization (``%2f`` vs
+``%2F`` stay distinct — needs per-match callbacks neither engine's
+``regexp_replace`` has), IDN/punycode, and non-hierarchical schemes
+(``mailto:`` has no ``://`` so the whole remainder is treated as
+authority and lowercased — acceptable for a web-corpus key, wrong for
+preserving mailbox case).
+
+Cross-engine contract: every regex sticks to the Java/RE2 shared
+subset (llm/scrub.py module docstring); splits use literal
+single-character separators that mean the same thing to Spark's
+regex ``split`` and DuckDB's literal ``string_split``; and the
+expression is IDEMPOTENT (``canonical(canonical(u)) ==
+canonical(u)``), pinned by a hypothesis sweep in
+tests/test_urls.py.
+
+100 TB notes: per-row projection, zero shuffles, scan-bound; the
+dedup that consumes it is one hash-groupBy on the canonical key
+(llm/dedup.py::exact_dedup_groups' shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Param names are matched case-sensitively against the lowercase
+# conventional spellings (tracking decorators are machine-emitted and
+# lowercase in the wild; a cased variant is left alone rather than
+# guessed at).
+TRACKING_PARAM_RE = (
+    r"^(?:utm_[A-Za-z0-9_]*|fbclid|gclid|dclid|msclkid|mc_eid|igshid"
+    r"|ref|ref_src)(?:=|$)"
+)
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def canonical_url(
+    url: Column | str, tracking_param_re: str = TRACKING_PARAM_RE
+) -> Column:
+    """Canonical dedup key for a URL column (see module docstring for
+    the exact form). NULL in -> NULL out; '' in -> '/' (empty path
+    normalizes to root, same as any other empty-path URL)."""
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    u = F.get(F.split(u, "#", 2), 0)  # fragment off; never NULL for non-NULL u
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    auth = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    tail = F.substring(rest, F.length(auth) + 1, F.length(rest))
+    # strip 'www.' only when another dotted label remains — 'www.com'
+    # is itself a registrable host and must survive
+    host = F.regexp_replace(auth, r"^www\.(.+\..+)$", "$1")
+    host = F.when(
+        scheme == "http", F.regexp_replace(host, ":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(host, ":443$", "")
+    ).otherwise(host)
+    # path = up to the FIRST '?', query = everything after it (a later
+    # '?' is query content; extract+substring rather than split so both
+    # engines agree — DuckDB's string_split has no limit argument)
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    query = F.substring(tail, F.length(path) + 2, F.length(tail))
+    path = F.regexp_replace(path, "/{2,}", "/")
+    path = F.when(F.length(path) > 1, F.regexp_replace(path, "/$", "")).otherwise(
+        path
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&", -1),
+            lambda p: (p != "") & ~p.rlike(tracking_param_re),
+        )
+    )
+    qjoined = F.array_join(kept, "&")
+    recomposed = F.concat(
+        F.when(scheme == "", F.lit("")).otherwise(F.concat(scheme, F.lit("://"))),
+        host,
+        path,
+        F.when(qjoined == "", F.lit("")).otherwise(F.concat(F.lit("?"), qjoined)),
+    )
+    return F.when(u.isNull(), F.lit(None).cast("string")).otherwise(recomposed)
+
+
+def canonical_url_sql(
+    expr: str, tracking_param_re: str = TRACKING_PARAM_RE
+) -> str:
+    """DuckDB SQL mirror of ``canonical_url`` for oracle pairing.
+    Structured as a chain of scalar subquery-free nested expressions;
+    DuckDB's ``string_split`` is literal (matching the single-char
+    separators), ``regexp_replace`` needs the explicit ``'g'`` flag
+    where Spark replaces globally, and ``list_sort`` defaults to the
+    same byte order as Spark's ``array_sort`` on ASCII keys."""
+    pat = tracking_param_re.replace("'", "''")
+    u = f"trim({expr})"
+    u = f"string_split({u}, '#')[1]"
+    scheme = f"lower(regexp_extract({u}, '{_SCHEME_RE}', 1))"
+    rest = f"regexp_replace({u}, '{_SCHEME_RE}', '')"
+    auth = f"lower(regexp_extract({rest}, '^([^/?]*)', 1))"
+    tail = f"substring({rest}, length({auth}) + 1)"
+    host = f"regexp_replace({auth}, '^www\\.(.+\\..+)$', '\\1')"
+    host = (
+        f"case when {scheme} = 'http' then regexp_replace({host}, ':80$', '') "
+        f"when {scheme} = 'https' then regexp_replace({host}, ':443$', '') "
+        f"else {host} end"
+    )
+    path_raw = f"regexp_extract({tail}, '^([^?]*)', 1)"
+    query = f"substring({tail}, length({path_raw}) + 2)"
+    path = f"regexp_replace({path_raw}, '/{{2,}}', '/', 'g')"
+    path = (
+        f"case when length({path}) > 1 then regexp_replace({path}, '/$', '') "
+        f"else {path} end"
+    )
+    path = f"case when {path} = '' then '/' else {path} end"
+    kept = (
+        f"list_sort(list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' and not regexp_matches(p, '{pat}')))"
+    )
+    # array_to_string has string_agg semantics (empty list -> NULL)
+    # where Spark's array_join gives '' — coalesce restores parity
+    qjoined = f"coalesce(array_to_string({kept}, '&'), '')"
+    return (
+        f"case when {expr} is null then null else "
+        f"concat(case when {scheme} = '' then '' else concat({scheme}, '://') end, "
+        f"{host}, {path}, "
+        f"case when {qjoined} = '' then '' else concat('?', {qjoined}) end) end"
+    )
+
+
+def url_dedup_groups(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    out_key: str = "url_key",
+) -> DataFrame:
+    """URL-keyed exact dedup summary: one row per canonical URL with
+    the survivor (min id — deterministic, append-stable for monotonic
+    ids) and the duplicate count. One hash-groupBy on the canonical
+    key — the exact_dedup_groups shape (llm/dedup.py:86), scan-bound
+    before the single shuffle."""
+    return (
+        df.select(
+            canonical_url(url_col).alias(out_key), F.col(id_col)
+        )
+        .groupBy(out_key)
+        .agg(
+            F.min(id_col).alias("keep_" + id_col),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+    )

@@ -164,6 +164,23 @@ def register(
 # lands BEFORE llm_semantic_dedup's first row (new this round);
 # sinks/snapshots.py gc changes have no registered query (pytest-only
 # by design); bench.py's probe touches no query plan.
+#
+# ROUND-13 CANDIDATES (pytest-only as of round 12 — CANDIDATES, not
+# commitments; round 13 budgets them against its own due cohort and
+# the add-one-retire-one policy). Late round 12 added two curation
+# operators with no registered row yet:
+# - llm/urls.py::canonical_url + url_dedup_groups (URL-keyed corpus
+#   dedup): the canonical_url_sql mirror exists (pii_redact_sql
+#   precedent), so a row is one synthesized-URL projection + groupBy
+#   against it — oracle-ready, cross-engine parity pinned by
+#   tests/test_urls.py.
+# - llm/text.py::gopher_rules (named Gopher rule flags + keep): pure
+#   Column expressions in the cross-engine regex subset; an oracle
+#   would restate the flags in DuckDB list/regexp SQL (quality_score
+#   row precedent). Pinned by tests/test_gopher.py.
+# The shp_codec .prj-declaration guard (round 12, post-window) is
+# covered by e5's round-12 row (the guard is on e5's execution path
+# and the row re-verified green after it landed).
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
