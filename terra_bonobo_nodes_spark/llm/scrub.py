@@ -209,6 +209,107 @@ def remove_boilerplate(
     return result, metrics
 
 
+# The C4 line-level drop phrases (Raffel et al. 2020 §2.2, public):
+# "javascript" catches script-soup lines; the policy substrings catch
+# cookie/TOS chrome. Matched against the lowercased line.
+C4_LINE_BLOCK_PHRASES = (
+    "javascript",
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+    "use of cookies",
+    "use cookies",
+)
+
+# Wikipedia-style citation markers C4 strips before filtering: [12],
+# [edit], [citation needed].
+C4_CITATION_RE = r"\[[0-9]*\]|\[edit\]|\[citation needed\]"
+
+# A C4 line must end in terminal punctuation (., !, ?, or a closing
+# double quote).
+C4_END_RE = r"[.!?\"]$"
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    prefix: str = "c4_",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    line_block_phrases: tuple[str, ...] = C4_LINE_BLOCK_PHRASES,
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2, public) as a
+    line-grain filter plus page-level flags — the rule-based complement
+    to :func:`remove_boilerplate`'s frequency-based paragraph cut (C4
+    drops a line because of what it LOOKS like; boilerplate removal
+    drops a paragraph because of how OFTEN it repeats — a crawl
+    pipeline wants both).
+
+    Per line (split on newline, citation markers stripped, trimmed), a
+    line is KEPT iff it ends in terminal punctuation (``. ! ? "``), has
+    at least ``min_words_per_line`` whitespace-separated words, and
+    contains none of ``line_block_phrases`` (lowercased match). Emits:
+
+    - ``{prefix}text`` — the surviving lines rejoined with newlines
+      (C4's cleaned page; ``''`` when nothing survives);
+    - ``{prefix}n_lines`` / ``{prefix}n_lines_kept`` — per-rule yield;
+    - ``{prefix}flag_lorem_ipsum`` — page contains ``lorem ipsum``
+      (lowercased), C4 drops the whole page;
+    - ``{prefix}flag_curly_brace`` — page contains ``{`` (code soup);
+    - ``{prefix}flag_min_lines`` — fewer than ``min_kept_lines`` lines
+      survived (C4's 3-sentence floor, counted on kept lines);
+    - ``{prefix}keep`` — no page flag fired.
+
+    NULL text behaves as empty (no lines survive, page drops via
+    ``flag_min_lines``) so downstream filters need no null guards.
+
+    Pure Column expressions in the cross-engine regex subset (module
+    docstring) — scan-speed projection, zero shuffles, zero Python.
+    The badwords page filter is deliberately out of scope: it needs a
+    language-specific blocklist corpus this repo doesn't ship; pass
+    those as extra ``line_block_phrases`` or compose a blocklist join
+    upstream.
+    """
+    c = F.coalesce(
+        F.col(text_col) if isinstance(text_col, str) else text_col, F.lit("")
+    )
+    lines = F.transform(
+        F.split(c, "\n", -1),
+        lambda l: F.trim(F.regexp_replace(l, C4_CITATION_RE, "")),
+    )
+    lines = F.filter(lines, lambda l: F.length(l) > 0)
+
+    def _keeps(l: Column) -> Column:
+        ok = l.rlike(C4_END_RE) & (
+            F.regexp_count(l, F.lit(r"\S+")) >= min_words_per_line
+        )
+        low = F.lower(l)
+        for phrase in line_block_phrases:
+            ok = ok & ~low.contains(phrase)
+        return ok
+
+    kept = F.filter(lines, _keeps)
+    n_kept = F.size(kept)
+    flags = {
+        f"{prefix}flag_lorem_ipsum": F.lower(c).contains("lorem ipsum"),
+        f"{prefix}flag_curly_brace": c.contains("{"),
+        f"{prefix}flag_min_lines": n_kept < min_kept_lines,
+    }
+    keep = None
+    for flag in flags.values():
+        keep = flag if keep is None else (keep | flag)
+    return df.withColumns(
+        {
+            f"{prefix}text": F.array_join(kept, "\n"),
+            f"{prefix}n_lines": F.size(lines).cast("long"),
+            f"{prefix}n_lines_kept": n_kept.cast("long"),
+            **flags,
+            f"{prefix}keep": ~keep,
+        }
+    )
+
+
 def _mojibake_table() -> list[tuple[str, str]]:
     """(mojibake, fixed) pairs for the classic web-crawl corruption:
     UTF-8 bytes misdecoded as cp1252/latin-1 ('é' -> 'Ã©',

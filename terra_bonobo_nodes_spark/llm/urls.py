@@ -152,6 +152,100 @@ def canonical_url_sql(
     )
 
 
+def host_of(url: Column | str) -> Column:
+    """Lowercased host of a URL (authority minus any ``:port`` and any
+    ``user@`` prefix) — the key a domain blocklist matches against.
+    NULL in -> NULL out; a scheme-less input treats everything before
+    the first ``/``/``?`` as the authority (same convention as
+    :func:`canonical_url`)."""
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    auth = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    auth = F.regexp_replace(auth, r"^[^@]*@", "")
+    return F.regexp_replace(auth, r":[0-9]*$", "")
+
+
+def host_suffixes(host: Column | str) -> Column:
+    """The dot-suffix chain of a host, every suffix with >= 2 labels:
+    ``a.b.c.com`` -> ``[a.b.c.com, b.c.com, c.com]``. Blocklists name
+    registrable domains; a host is blocked when ANY suffix is listed
+    (blocking ``example.com`` blocks ``cdn.example.com``). Bare TLDs
+    are not emitted — a blocklist that wants to kill a whole TLD is an
+    upstream policy decision, not a suffix match. A host with fewer
+    than 2 labels yields an empty array."""
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(h, r"\.", -1)
+    n = F.size(labels)
+    idxs = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idxs, lambda i: F.array_join(F.slice(labels, i, n - i + 1), ".")
+    )
+
+
+def flag_blocked_hosts(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+    out: str = "host_blocked",
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """Mark rows whose URL host matches a domain blocklist (exact host
+    or any parent domain, via :func:`host_suffixes`). Adds boolean
+    ``out``; :func:`filter_blocked_hosts` is the filtering form.
+
+    Plan shape (100 TB): the (id, suffix) projection explodes each row
+    into ~2-4 suffix rows, semi-joins the blocklist (broadcast by
+    default — curated blocklists are millions of short strings at
+    most; pass ``hint_broadcast=False`` to let AQE pick a shuffle join
+    for a giant list), reduces to the DISTINCT blocked id set (small —
+    the blocked fraction), and left-joins that marker back on the id.
+    The wide document row never flows through the explode.
+    """
+    bl = blocklist.select(F.lower(F.col(domain_col)).alias("_bl_sfx")).distinct()
+    if hint_broadcast:
+        bl = F.broadcast(bl)
+    hits = (
+        df.select(
+            F.col(id_col),
+            F.explode(host_suffixes(host_of(url_col))).alias("_bl_sfx"),
+        )
+        .join(bl, "_bl_sfx", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("_blocked", F.lit(True))
+    )
+    return df.join(hits, id_col, "left").withColumn(
+        out, F.coalesce(F.col("_blocked"), F.lit(False))
+    ).drop("_blocked")
+
+
+def filter_blocked_hosts(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """Rows whose host matches no blocklist domain (suffix semantics,
+    see :func:`flag_blocked_hosts`) — the crawl-pipeline filtering
+    form, as a left-anti join on the blocked id set."""
+    flagged = flag_blocked_hosts(
+        df,
+        blocklist,
+        url_col=url_col,
+        id_col=id_col,
+        domain_col=domain_col,
+        out="_hb",
+        hint_broadcast=hint_broadcast,
+    )
+    return flagged.filter(~F.col("_hb")).drop("_hb")
+
+
 def url_dedup_groups(
     df: DataFrame,
     url_col: str = "url",

@@ -178,6 +178,12 @@ def register(
 #   Column expressions in the cross-engine regex subset; an oracle
 #   would restate the flags in DuckDB list/regexp SQL (quality_score
 #   row precedent). Pinned by tests/test_gopher.py.
+# - llm/scrub.py::c4_line_filter (C4 §2.2 line rules + page flags):
+#   same cross-engine shape as gopher_rules; pinned by tests/test_c4.py
+#   including a hypothesis sweep against a pure-Python reference.
+# - llm/urls.py::flag_blocked_hosts (domain blocklist, suffix-chain
+#   semi-join): oracle would be an unnest + semi-join in DuckDB;
+#   pinned by tests/test_urls.py.
 # The shp_codec .prj-declaration guard (round 12, post-window) is
 # covered by e5's round-12 row (the guard is on e5's execution path
 # and the row re-verified green after it landed).

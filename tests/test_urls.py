@@ -163,3 +163,77 @@ def test_url_dedup_groups(spark):
         "http://a.com/p": (1, 3),
         "https://a.com/p": (3, 1),
     }
+
+
+# --- host extraction + domain blocklist ----------------------------------
+
+from terra_bonobo_nodes_spark.llm.urls import (  # noqa: E402
+    filter_blocked_hosts,
+    flag_blocked_hosts,
+    host_of,
+    host_suffixes,
+)
+
+
+@pytest.mark.parametrize(
+    "url,host",
+    [
+        ("https://WWW.Example.COM/a", "www.example.com"),
+        ("http://example.com:8080/a?b=1", "example.com"),
+        ("https://user:pw@Example.org/x", "example.org"),
+        ("example.com/path", "example.com"),
+        ("https://example.com#frag", "example.com"),
+        ("localhost", "localhost"),
+    ],
+)
+def test_host_of(spark, url, host):
+    df = spark.createDataFrame([(url,)], "url string")
+    assert df.select(host_of("url").alias("h")).first()["h"] == host
+
+
+@pytest.mark.parametrize(
+    "host,suffixes",
+    [
+        ("a.b.c.com", ["a.b.c.com", "b.c.com", "c.com"]),
+        ("example.com", ["example.com"]),
+        ("localhost", []),
+        ("", []),
+    ],
+)
+def test_host_suffixes(spark, host, suffixes):
+    df = spark.createDataFrame([(host,)], "h string")
+    assert df.select(host_suffixes("h").alias("s")).first()["s"] == suffixes
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "https://spam.example.com/a"),
+            (2, "https://example.com/b"),
+            (3, "https://good.org/c"),
+            (4, "https://notexample.com/d"),  # no label boundary -> clean
+            (5, "https://cdn.assets.spam.example.com/e"),
+        ],
+        "doc_id long, url string",
+    )
+
+
+def _blocklist(spark):
+    return spark.createDataFrame([("Example.COM",)], "domain string")
+
+
+def test_flag_blocked_hosts_suffix_semantics(spark):
+    out = flag_blocked_hosts(_docs(spark), _blocklist(spark))
+    got = {r["doc_id"]: r["host_blocked"] for r in out.collect()}
+    assert got == {1: True, 2: True, 3: False, 4: False, 5: True}
+
+
+def test_filter_blocked_hosts(spark):
+    out = filter_blocked_hosts(_docs(spark), _blocklist(spark))
+    assert sorted(r["doc_id"] for r in out.collect()) == [3, 4]
+    assert out.columns == ["doc_id", "url"]
+
+
+def test_blocklist_join_is_broadcast(spark):
+    plan = flag_blocked_hosts(_docs(spark), _blocklist(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
