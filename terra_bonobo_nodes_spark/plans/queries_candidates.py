@@ -1,0 +1,249 @@
+"""ROUND-13 CANDIDATE driver rows — authored and oracle-verified, NOT
+registered (the registry sits at its 144-query capacity cap; see the
+capacity policy in plans/registry.py). Each entry here is a complete
+(spark_fn, oracle) pair in the registered-row idiom, pinned green
+against DuckDB by tests/test_candidates_oracle.py at sf0.001, so
+promoting one in round 13 is exactly: move the function to its family
+module, wrap in @register, add to _NEW_THIS_ROUND, and retire/merge a
+slot per the add-one-retire-one policy.
+
+Kept OUT of registry.all_queries() on purpose: this module is not in
+the registry's import list, so nothing here counts against the cap or
+enters the driver window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terra_bonobo_nodes_spark.llm import text
+from terra_bonobo_nodes_spark.llm.urls import canonical_url, canonical_url_sql, url_dedup_groups
+from terra_bonobo_nodes_spark.plans.queries_llm import TOKS_SQL
+from terra_bonobo_nodes_spark.tables import load_table
+
+# --- llm_url_dedup_groups ---------------------------------------------------
+
+# Deterministic URL synthesis over documents: 4 presentation variants
+# per logical page (doc_id mod 13 is the page; 13 is coprime to the 4-way
+# variant selector, so every page sees every variant), all collapsing to one
+# canonical key — exercises www/default-port/dup-slash/trailing-slash
+# strip, tracking-param removal, param sort and fragment drop. The
+# expression uses only cross-engine exact string ops.
+_URL_VARIANTS_SPARK = (
+    "CASE pmod(doc_id, 4) "
+    "WHEN 0 THEN concat('https://www.example.com:443/d//', cast(pmod(doc_id, 13) as string), '/?utm_source=feed#frag') "
+    "WHEN 1 THEN concat('https://example.com/d/', cast(pmod(doc_id, 13) as string), '?b=2&a=1') "
+    "WHEN 2 THEN concat('https://example.com/d/', cast(pmod(doc_id, 13) as string), '/?a=1&b=2&gclid=x') "
+    "ELSE concat('https://EXAMPLE.com/d/', cast(pmod(doc_id, 13) as string)) END"
+)
+_URL_VARIANTS_DUCK = (
+    "CASE (doc_id % 4) "
+    "WHEN 0 THEN concat('https://www.example.com:443/d//', cast(doc_id % 13 as varchar), '/?utm_source=feed#frag') "
+    "WHEN 1 THEN concat('https://example.com/d/', cast(doc_id % 13 as varchar), '?b=2&a=1') "
+    "WHEN 2 THEN concat('https://example.com/d/', cast(doc_id % 13 as varchar), '/?a=1&b=2&gclid=x') "
+    "ELSE concat('https://EXAMPLE.com/d/', cast(doc_id % 13 as varchar)) END"
+)
+
+
+def llm_url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select("doc_id", F.expr(_URL_VARIANTS_SPARK).alias("url"))
+    grouped = url_dedup_groups(urls, url_col="url", id_col="doc_id")
+    return grouped.select("url_key", "keep_doc_id", "n_dups")
+
+
+URL_DEDUP_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, {_URL_VARIANTS_DUCK} AS url FROM documents
+), k AS (
+  SELECT doc_id, {canonical_url_sql('url')} AS url_key FROM u
+)
+SELECT url_key, min(doc_id) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM k GROUP BY url_key
+"""
+
+# --- llm_gopher_rules -------------------------------------------------------
+
+
+def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.gopher_rules(docs)
+    return out.select(
+        "doc_id",
+        "g_n_words",
+        F.round("g_mean_word_len", 6).alias("g_mean_word_len"),
+        "g_flag_n_words",
+        "g_flag_mean_word_len",
+        "g_flag_symbol_ratio",
+        "g_flag_bullet_lines",
+        "g_flag_ellipsis_lines",
+        "g_flag_alpha_words",
+        "g_flag_stopwords",
+        "g_keep",
+    )
+
+
+_STOPS = ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS)
+
+# Every intermediate is an exact integer or an exact-operand double
+# division, so the flag comparisons are bit-identical cross-engine
+# (the llm_quality_score precedent); only the surfaced mean rounds.
+GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {TOKS_SQL} AS toks,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id, text, toks, lines,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(len(lines) AS DOUBLE) AS n_lines,
+         CASE WHEN len(toks) > 0
+              THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS mean_wl,
+         CASE WHEN len(toks) > 0
+              THEN CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS hash_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS ellipsis_ratio,
+         CASE WHEN len(lines) > 0
+              THEN CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+              ELSE 0.0 END AS bullet_ratio,
+         CASE WHEN len(lines) > 0
+              THEN CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+              ELSE 0.0 END AS ell_line_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS alpha_ratio,
+         len(list_filter([{_STOPS}], w -> list_contains(toks, w))) AS stop_hits
+  FROM t
+), f AS (
+  SELECT doc_id,
+         CAST(n AS BIGINT) AS g_n_words,
+         round(mean_wl, 6) AS g_mean_word_len,
+         (n < 50 OR n > 100000) AS g_flag_n_words,
+         (mean_wl < 3.0 OR mean_wl > 10.0) AS g_flag_mean_word_len,
+         (hash_ratio > 0.1 OR ellipsis_ratio > 0.1) AS g_flag_symbol_ratio,
+         (bullet_ratio > 0.9) AS g_flag_bullet_lines,
+         (ell_line_ratio > 0.3) AS g_flag_ellipsis_lines,
+         (alpha_ratio < 0.8) AS g_flag_alpha_words,
+         (stop_hits < 2) AS g_flag_stopwords
+  FROM m
+)
+SELECT *,
+       NOT (g_flag_n_words OR g_flag_mean_word_len OR g_flag_symbol_ratio
+            OR g_flag_bullet_lines OR g_flag_ellipsis_lines
+            OR g_flag_alpha_words OR g_flag_stopwords) AS g_keep
+FROM f
+"""
+
+# --- llm_c4_line_filter -----------------------------------------------------
+
+
+def llm_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terra_bonobo_nodes_spark.llm.scrub import c4_line_filter
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return c4_line_filter(docs).select(
+        "doc_id",
+        "c4_text",
+        "c4_n_lines",
+        "c4_n_lines_kept",
+        "c4_flag_lorem_ipsum",
+        "c4_flag_curly_brace",
+        "c4_flag_min_lines",
+        "c4_keep",
+    )
+
+
+_C4_PHRASES_SQL = " AND ".join(
+    f"NOT contains(lower(l), '{p}')"
+    for p in (
+        "javascript",
+        "terms of use",
+        "privacy policy",
+        "cookie policy",
+        "uses cookies",
+        "use of cookies",
+        "use cookies",
+    )
+)
+
+C4_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), l AS (
+  SELECT doc_id, text,
+         list_filter(
+           list_transform(string_split(text, chr(10)),
+                          l -> trim(regexp_replace(l, '\\[[0-9]*\\]|\\[edit\\]|\\[citation needed\\]', '', 'g'))),
+           l -> l <> '') AS lines
+  FROM t
+), k AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines,
+           l -> regexp_matches(l, '[.!?"]$')
+                AND len(regexp_extract_all(l, '\\S+')) >= 5
+                AND {_C4_PHRASES_SQL}) AS kept
+  FROM l
+)
+SELECT doc_id,
+       coalesce(array_to_string(kept, chr(10)), '') AS c4_text,
+       CAST(len(lines) AS BIGINT) AS c4_n_lines,
+       CAST(len(kept) AS BIGINT) AS c4_n_lines_kept,
+       contains(lower(text), 'lorem ipsum') AS c4_flag_lorem_ipsum,
+       contains(text, '{{') AS c4_flag_curly_brace,
+       (len(kept) < 3) AS c4_flag_min_lines,
+       NOT (contains(lower(text), 'lorem ipsum') OR contains(text, '{{')
+            OR len(kept) < 3) AS c4_keep
+FROM k
+"""
+
+# --- llm_blocked_hosts ------------------------------------------------------
+
+# Host synthesis: 5 host shapes over a 2-domain blocklist — exact
+# match, subdomain match, deep-subdomain match, a clean host, and the
+# no-label-boundary trap ('notbad.com' must NOT match 'bad.com').
+_HOST_SPARK = (
+    "CASE pmod(doc_id, 5) "
+    "WHEN 0 THEN 'bad.com' WHEN 1 THEN 'spam.bad.com' "
+    "WHEN 2 THEN 'cdn.assets.bad.com' WHEN 3 THEN 'notbad.com' "
+    "ELSE 'good.org' END"
+)
+_HOST_DUCK = _HOST_SPARK.replace("pmod(doc_id, 5)", "(doc_id % 5)")
+
+
+def llm_blocked_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terra_bonobo_nodes_spark.llm.urls import flag_blocked_hosts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), F.expr(_HOST_SPARK), F.lit("/p")).alias("url"),
+    )
+    bl = spark.createDataFrame([("bad.com",), ("ads.net",)], "domain string")
+    return flag_blocked_hosts(urls, bl).select("doc_id", "host_blocked")
+
+
+BLOCKED_HOSTS_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, {_HOST_DUCK} AS host FROM documents
+), bl AS (
+  SELECT * FROM (VALUES ('bad.com'), ('ads.net')) AS b(domain)
+)
+SELECT doc_id,
+       EXISTS (SELECT 1 FROM bl
+               WHERE u.host = bl.domain
+                  OR u.host LIKE '%.' || bl.domain) AS host_blocked
+FROM u
+"""
+
+CANDIDATES: dict[str, tuple] = {
+    "llm_url_dedup_groups": (llm_url_dedup_groups, URL_DEDUP_ORACLE),
+    "llm_gopher_rules": (llm_gopher_rules, GOPHER_ORACLE),
+    "llm_c4_line_filter": (llm_c4_line_filter, C4_ORACLE),
+    "llm_blocked_hosts": (llm_blocked_hosts, BLOCKED_HOSTS_ORACLE),
+}

@@ -167,22 +167,26 @@ def register(
 #
 # ROUND-13 CANDIDATES (pytest-only as of round 12 — CANDIDATES, not
 # commitments; round 13 budgets them against its own due cohort and
-# the add-one-retire-one policy). Late round 12 added two curation
-# operators with no registered row yet:
-# - llm/urls.py::canonical_url + url_dedup_groups (URL-keyed corpus
-#   dedup): the canonical_url_sql mirror exists (pii_redact_sql
-#   precedent), so a row is one synthesized-URL projection + groupBy
-#   against it — oracle-ready, cross-engine parity pinned by
-#   tests/test_urls.py.
-# - llm/text.py::gopher_rules (named Gopher rule flags + keep): pure
-#   Column expressions in the cross-engine regex subset; an oracle
-#   would restate the flags in DuckDB list/regexp SQL (quality_score
-#   row precedent). Pinned by tests/test_gopher.py.
-# - llm/scrub.py::c4_line_filter (C4 §2.2 line rules + page flags):
-#   same cross-engine shape as gopher_rules; pinned by tests/test_c4.py
-#   including a hypothesis sweep against a pure-Python reference.
-# - llm/urls.py::flag_blocked_hosts (domain blocklist, suffix-chain
-#   semi-join): oracle would be an unnest + semi-join in DuckDB;
+# the add-one-retire-one policy). Late round 12 added four curation
+# operators with no registered row yet. For ALL FOUR, COMPLETE
+# (spark_fn, oracle) pairs are already authored and hash-verified at
+# sf0.001 AND sf0.01 in plans/queries_candidates.py (NOT imported by
+# all_queries(), so they don't count against the cap; re-pinned every
+# suite run by tests/test_candidates_oracle.py under the driver's
+# exact compare contract); promotion is a registration edit plus a
+# retire/merge per candidate:
+# - llm_url_dedup_groups (llm/urls.py::canonical_url + url_dedup_groups
+#   over a synthesized 4-variant URL projection; oracle via
+#   canonical_url_sql). Parity also pinned by tests/test_urls.py,
+#   including a hypothesis cross-engine sweep on generated URLs.
+# - llm_gopher_rules (llm/text.py::gopher_rules; oracle restates the
+#   flags in DuckDB list/regexp SQL, quality_score precedent). Parity
+#   also pinned by tests/test_gopher.py.
+# - llm_c4_line_filter (llm/scrub.py::c4_line_filter, C4 §2.2 line
+#   rules + page flags); pinned by tests/test_c4.py including a
+#   hypothesis sweep against a pure-Python reference.
+# - llm_blocked_hosts (llm/urls.py::flag_blocked_hosts over 5 host
+#   shapes; oracle restates suffix semantics as EXISTS + LIKE);
 #   pinned by tests/test_urls.py.
 # The shp_codec .prj-declaration guard (round 12, post-window) is
 # covered by e5's round-12 row (the guard is on e5's execution path

@@ -1,0 +1,87 @@
+"""Streaming ingest-curation: the wave-4/5 curation projections
+(c4_line_filter, gopher_rules, canonical_url) are stateless Column
+expressions, so the SAME call must run unchanged over a readStream and
+produce the batch result — the front half of a continuously-ingesting
+curation pipeline, with fingerprint dedup bounding state via the
+watermark contract."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from terra_bonobo_nodes_spark.llm.dedup import fingerprint_col
+from terra_bonobo_nodes_spark.llm.scrub import c4_line_filter
+from terra_bonobo_nodes_spark.llm.text import gopher_rules
+from terra_bonobo_nodes_spark.llm.urls import canonical_url
+from terra_bonobo_nodes_spark.streaming.ops import dedup_within_watermark
+
+GOOD_LINE = "The quick brown fox jumps over the lazy dog with that same old energy of course."
+GOOD = "\n".join([GOOD_LINE] * 4)
+
+
+def _write_batches(spark, path):
+    rows = [
+        # two batches; doc 1 duplicated across them (same text), doc 3
+        # is chrome-heavy and must be dropped by the filters
+        (1, GOOD, "https://www.a.com:443/x/?utm_source=f", "2024-01-01 00:00:00"),
+        (2, GOOD + "\nIs this not a fine day for curation work, friends?", "https://a.com/x/", "2024-01-01 00:10:00"),
+        (3, "enable javascript\n{ nav: 1 }\nshort.", "https://b.com/y", "2024-01-01 00:20:00"),
+        (4, GOOD, "https://c.com/z", "2024-01-01 00:30:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, url string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.where("doc_id <= 2").coalesce(1).write.mode("overwrite").parquet(path)
+    df.where("doc_id >= 3").coalesce(1).write.mode("append").parquet(path)
+    return df
+
+
+def _curate(df):
+    out = gopher_rules(c4_line_filter(df), text_col="c4_text")
+    out = out.where(F.col("c4_keep") & F.col("g_keep")).select(
+        "doc_id",
+        "ts",
+        F.col("c4_text").alias("text"),
+        canonical_url("url").alias("url_key"),
+    )
+    out = out.withColumn("fp", fingerprint_col(F.col("text")))
+    return dedup_within_watermark(out, ["fp"], watermark="10 hours")
+
+
+def test_stream_curation_matches_batch(spark, tmp_path):
+    path = str(tmp_path / "docs")
+    src = _write_batches(spark, path)
+
+    batch = _curate(spark.read.parquet(path))
+    stream = _curate(
+        spark.readStream.schema(src.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    assert stream.isStreaming
+
+    name = f"cur_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(f"select * from {name}")
+
+    batch_rows = sorted(
+        (r["doc_id"], r["text"], r["url_key"]) for r in batch.collect()
+    )
+    got_rows = sorted((r["doc_id"], r["text"], r["url_key"]) for r in got.collect())
+    # doc 3 filtered, and of the fingerprint-duplicates {1, 4} exactly
+    # one survives (streaming keeps the first arrival, batch
+    # dropDuplicates an arbitrary one — compare on the text multiset)
+    assert [r[1] != "" for r in got_rows] == [True, True]
+    assert sorted(r[1] for r in got_rows) == sorted(r[1] for r in batch_rows)
+    assert {r[0] for r in got_rows} <= {1, 2, 4}
+    # the canonicalizer collapsed the utm/www/port/trailing-slash
+    # variants of docs 1 and 2 to one key
+    keys = {r[2] for r in got_rows if r[0] in (1, 2)}
+    assert keys == {"https://a.com/x"}

@@ -237,3 +237,31 @@ def test_filter_blocked_hosts(spark):
 def test_blocklist_join_is_broadcast(spark):
     plan = flag_blocked_hosts(_docs(spark), _blocklist(spark))._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+# URL-ish alphabet: every structural delimiter the canonicalizer
+# dispatches on, multi-char fragments that hit the www/tracking rules,
+# and junk. The mirror must match Spark BYTE FOR BYTE on anything.
+_url_piece = st.sampled_from(
+    list("abXY09:/?#&=.@%-_~ ")
+    + ["www.", "http://", "HTTPS://", "utm_source=x", "ref", ":443", ":80", "//"]
+)
+_url_like = st.lists(_url_piece, min_size=0, max_size=12).map("".join)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_url_like, min_size=1, max_size=8))
+def test_sql_mirror_matches_spark_on_generated_urls(spark, urls):
+    rows = [(i, u) for i, u in enumerate(urls)]
+    df = spark.createDataFrame(rows, "i int, url string")
+    sparkside = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url("url").alias("c")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE urls (i int, url text)")
+    con.executemany("INSERT INTO urls VALUES (?, ?)", rows)
+    duck = dict(
+        con.execute(f"SELECT i, {canonical_url_sql('url')} FROM urls").fetchall()
+    )
+    assert sparkside == duck
