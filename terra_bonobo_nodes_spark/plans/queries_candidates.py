@@ -241,9 +241,73 @@ SELECT doc_id,
 FROM u
 """
 
+# --- llm_source_rule_yield --------------------------------------------------
+# The audit surface the gopher_rules docstring promises: per-source
+# per-rule violation counts + combined keep rates for BOTH rule
+# batteries — the report a data team reads before committing a filter
+# at corpus scale. One scan (both filters are projections on the same
+# row), one aggregate.
+
+
+def llm_source_rule_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terra_bonobo_nodes_spark.llm.scrub import c4_line_filter
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    flagged = text.gopher_rules(c4_line_filter(docs))
+    cnt = lambda c: F.count(F.when(F.col(c), 1)).cast("long")  # noqa: E731
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        cnt("c4_keep").alias("n_c4_keep"),
+        cnt("g_keep").alias("n_gopher_keep"),
+        cnt("g_flag_n_words").alias("n_flag_n_words"),
+        cnt("g_flag_mean_word_len").alias("n_flag_mean_word_len"),
+        cnt("g_flag_symbol_ratio").alias("n_flag_symbol_ratio"),
+        cnt("g_flag_bullet_lines").alias("n_flag_bullet_lines"),
+        cnt("g_flag_ellipsis_lines").alias("n_flag_ellipsis_lines"),
+        cnt("g_flag_alpha_words").alias("n_flag_alpha_words"),
+        cnt("g_flag_stopwords").alias("n_flag_stopwords"),
+    )
+
+
+def _agg_oracle() -> str:
+    # Reuse the two single-doc oracles verbatim as CTE bodies: strip
+    # their trailing SELECT into named relations and aggregate the
+    # join. (String surgery instead of duplication so the per-doc and
+    # aggregated forms can never drift apart.)
+    gopher_per_doc = GOPHER_ORACLE.strip()
+    c4_per_doc = C4_ORACLE.strip()
+    return f"""
+WITH gopher AS ({gopher_per_doc}),
+c4 AS ({c4_per_doc}),
+j AS (
+  SELECT d.source, g.*, c.c4_keep
+  FROM documents d
+  JOIN gopher g ON g.doc_id = d.doc_id
+  JOIN c4 c ON c.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (c4_keep) AS BIGINT) AS n_c4_keep,
+       CAST(count(*) FILTER (g_keep) AS BIGINT) AS n_gopher_keep,
+       CAST(count(*) FILTER (g_flag_n_words) AS BIGINT) AS n_flag_n_words,
+       CAST(count(*) FILTER (g_flag_mean_word_len) AS BIGINT) AS n_flag_mean_word_len,
+       CAST(count(*) FILTER (g_flag_symbol_ratio) AS BIGINT) AS n_flag_symbol_ratio,
+       CAST(count(*) FILTER (g_flag_bullet_lines) AS BIGINT) AS n_flag_bullet_lines,
+       CAST(count(*) FILTER (g_flag_ellipsis_lines) AS BIGINT) AS n_flag_ellipsis_lines,
+       CAST(count(*) FILTER (g_flag_alpha_words) AS BIGINT) AS n_flag_alpha_words,
+       CAST(count(*) FILTER (g_flag_stopwords) AS BIGINT) AS n_flag_stopwords
+FROM j GROUP BY source
+"""
+
+
+SOURCE_RULE_YIELD_ORACLE = _agg_oracle()
+
 CANDIDATES: dict[str, tuple] = {
     "llm_url_dedup_groups": (llm_url_dedup_groups, URL_DEDUP_ORACLE),
     "llm_gopher_rules": (llm_gopher_rules, GOPHER_ORACLE),
     "llm_c4_line_filter": (llm_c4_line_filter, C4_ORACLE),
     "llm_blocked_hosts": (llm_blocked_hosts, BLOCKED_HOSTS_ORACLE),
+    "llm_source_rule_yield": (llm_source_rule_yield, SOURCE_RULE_YIELD_ORACLE),
 }
