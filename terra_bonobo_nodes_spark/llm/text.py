@@ -206,8 +206,11 @@ def gopher_rules(
     n_ellipsis = F.regexp_count(c, F.lit(r"\.\.\.|…")).cast("double")
     hash_ratio = F.when(n > 0, n_hash / nd).otherwise(F.lit(0.0))
     ellipsis_ratio = F.when(n > 0, n_ellipsis / nd).otherwise(F.lit(0.0))
+    # NOT `F.transform(..., F.trim)`: trim(col, trim=None) is binary, so
+    # transform would feed it (element, index) and strip index digits.
     lines = F.filter(
-        F.transform(F.split(c, "\n", -1), F.trim), lambda l: F.length(l) > 0
+        F.transform(F.split(c, "\n", -1), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
     )
     n_lines = F.size(lines).cast("double")
     bullet_lines = F.size(

@@ -106,3 +106,54 @@ def test_stopword_list_is_gophers():
     assert GOPHER_STOPWORDS == (
         "the", "be", "to", "of", "and", "that", "have", "with",
     )
+
+
+# --- pure-Python reference sweep (the test_c4 precedent) -----------------
+
+import re as _re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ref(text):
+    toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+    n = len(toks)
+    lines = [l.strip() for l in text.split("\n")]
+    lines = [l for l in lines if l]
+    mean_wl = sum(map(len, toks)) / n if n else 0.0
+    hash_ratio = text.count("#") / n if n else 0.0
+    ellipsis_ratio = len(_re.findall(r"\.\.\.|…", text)) / n if n else 0.0
+    bullet = sum(bool(_re.match(r"[-*•]", l)) for l in lines)
+    ell_end = sum(bool(_re.search(r"(\.\.\.|…)$", l)) for l in lines)
+    alpha = sum(bool(_re.search("[a-z]", t)) for t in toks)
+    flags = {
+        "g_flag_n_words": n < 50 or n > 100_000,
+        "g_flag_mean_word_len": mean_wl < 3.0 or mean_wl > 10.0,
+        "g_flag_symbol_ratio": hash_ratio > 0.1 or ellipsis_ratio > 0.1,
+        "g_flag_bullet_lines": (bullet / len(lines) if lines else 0.0) > 0.9,
+        "g_flag_ellipsis_lines": (ell_end / len(lines) if lines else 0.0) > 0.3,
+        "g_flag_alpha_words": (alpha / n if n else 0.0) < 0.8,
+        "g_flag_stopwords": len(set(toks) & set(GOPHER_STOPWORDS)) < 2,
+    }
+    return n, flags
+
+
+_piece = st.sampled_from(
+    list("ab z.#…!-*•\n09")
+    + ["the ", "of ", "and ", "...", "word ", "- item\n", "longwordhere "]
+)
+_doc = st.lists(_piece, min_size=0, max_size=60).map("".join)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=8))
+def test_matches_python_reference(spark, docs):
+    rows = _run(spark, docs)
+    for i, doc in enumerate(docs):
+        n, flags = _ref(doc)
+        r = rows[i]
+        assert r["g_n_words"] == n, (i, doc)
+        for k, v in flags.items():
+            assert r[k] == v, (i, k, doc)
+        assert r["g_keep"] == (not any(flags.values())), (i, doc)
