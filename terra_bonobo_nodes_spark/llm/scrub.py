@@ -362,3 +362,64 @@ def mojibake_ratio(text: Column | str) -> Column:
     return F.when(F.length(c) > 0, (F.length(c) - fixed_len) / F.length(c)).otherwise(
         F.lit(0.0)
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix: str = "ld_",
+) -> DataFrame:
+    """Corpus-level line deduplication (CCNet, Wenzek et al. 2020 §3.1,
+    public): every distinct non-empty trimmed line survives exactly
+    once across the WHOLE corpus, at its first occurrence in
+    (``id_col``, line-position) order; later copies — including repeats
+    inside one document — are dropped. This removes the cross-document
+    boilerplate per-document filters cannot see (nav bars, cookie
+    banners, footers) and is the order-aware complement to
+    :func:`remove_boilerplate`'s frequency threshold: that one drops
+    ALL copies of a too-frequent paragraph, this one keeps the first.
+
+    Emits ``{prefix}text`` (survivors rejoined with newlines, ``''``
+    when none survive), ``{prefix}n_lines`` (non-empty lines before),
+    ``{prefix}n_lines_kept``. NULL text behaves as empty. ``id_col``
+    values must be non-null (winner election compares them).
+
+    Plan (100 TB shape): explode to line grain once, elect each line's
+    winner with a combinable ``min(struct(id, pos))`` groupBy — the
+    map-side partial collapses a line's duplicates inside each input
+    partition, so the shuffle carries at most one row per (line, input
+    partition), not one per occurrence — then one equi-join back on
+    the line (AQE skew-join splits mega-duplicated lines; no global
+    window, no per-key single-task sort anywhere) and one id-grain
+    regroup to reassemble survivors in original order.
+    """
+    src = F.coalesce(F.col(text_col), F.lit(""))
+    lines_arr = F.filter(
+        F.transform(F.split(src, "\n", -1), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    ex = df.select(F.col(id_col), F.posexplode(lines_arr).alias("_pos", "_line"))
+    winners = ex.groupBy("_line").agg(
+        F.min(F.struct(id_col, "_pos")).alias("_w")
+    )
+    kept = ex.join(winners, "_line").where(
+        F.struct(id_col, "_pos") == F.col("_w")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("_txt"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    enriched = df.withColumn("_n_lines", F.size(lines_arr).cast("long"))
+    return enriched.join(reassembled, id_col, "left").select(
+        *[enriched[c] for c in df.columns],
+        F.coalesce(F.col("_txt"), F.lit("")).alias(f"{prefix}text"),
+        F.col("_n_lines").alias(f"{prefix}n_lines"),
+        F.coalesce(F.col("_k"), F.lit(0)).cast("long").alias(f"{prefix}n_lines_kept"),
+    )

@@ -663,3 +663,81 @@ def char_lm_entropy(
             F.coalesce(F.col(out_col), F.lit(0.0)).alias(out_col),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probs: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    out_col: str = "ppl_bucket",
+    cutoffs: tuple[float, float] | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3,
+    public): split the corpus into ``head`` / ``middle`` / ``tail`` by
+    corpus quantiles of the char-bigram cross-entropy
+    (:func:`char_lm_entropy` — lower = more fluent = head, the slice
+    CCNet trains on first). Documents with no bigrams get ``empty``
+    and do not influence the cutoffs.
+
+    Buckets are decided on the 4-decimal-quantized entropy (the same
+    quantum the registered entropy row pins cross-engine), so the
+    boundary comparisons are engine-exact: for p = k/3 the
+    interpolation fraction is in {0, 1/3, 2/3}, placing an interpolated
+    cutoff at least 3.3e-5 inside an adjacent-value gap of the 1e-4
+    grid — no quantized value can straddle it.
+
+    Scale (100 TB): pass ``cutoffs=`` (computed once upstream, e.g.
+    from a prior run or a sample) and the tagging is a pure projection
+    over the entropy scores. ``cutoffs=None`` computes them in-plan:
+    ``exact=False`` (default) uses ``percentile_approx`` — mergeable
+    sketch, the production path; ``exact=True`` uses the exact
+    ``percentile`` aggregate, which gathers the group's values on one
+    reducer — the oracle/validation form, not the 100 TB one.
+
+    Returns ``id_col``, ``n_bigrams``, ``lm_entropy`` (quantized), and
+    ``out_col``.
+    """
+    scored = char_lm_entropy(df, id_col, text_col).withColumn(
+        "_e4", F.round(F.col("lm_entropy"), 4)
+    )
+    if cutoffs is not None:
+        tagged = scored.withColumns(
+            {"_c1": F.lit(float(cutoffs[0])), "_c2": F.lit(float(cutoffs[1]))}
+        )
+    else:
+        # the doc-grain scores feed BOTH the cutoff aggregation and the
+        # final tagging — checkpoint so the char-LM subtree (explode +
+        # model build) runs once, not twice (winnow lifetime contract)
+        scored = scored.localCheckpoint(eager=False)
+        nonempty = scored.where(F.col("n_bigrams") > 0)
+        if exact:
+            cut = nonempty.agg(
+                F.percentile("_e4", F.lit(float(probs[0]))).alias("_c1"),
+                F.percentile("_e4", F.lit(float(probs[1]))).alias("_c2"),
+            )
+        else:
+            # accuracy 1e5: rank error <= n/1e5 — at most one grid
+            # value off at the boundary, and exact below 1e5 values.
+            cut = nonempty.agg(
+                F.percentile_approx(
+                    "_e4", F.lit(float(probs[0])), F.lit(100_000)
+                ).alias("_c1"),
+                F.percentile_approx(
+                    "_e4", F.lit(float(probs[1])), F.lit(100_000)
+                ).alias("_c2"),
+            )
+        tagged = scored.crossJoin(F.broadcast(cut))
+    bucket = (
+        F.when(F.col("n_bigrams") == 0, F.lit("empty"))
+        .when(F.col("_e4") <= F.col("_c1"), F.lit("head"))
+        .when(F.col("_e4") <= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return tagged.select(
+        id_col,
+        "n_bigrams",
+        F.col("_e4").alias("lm_entropy"),
+        bucket.alias(out_col),
+    )

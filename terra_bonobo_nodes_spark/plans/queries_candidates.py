@@ -304,10 +304,126 @@ FROM j GROUP BY source
 
 SOURCE_RULE_YIELD_ORACLE = _agg_oracle()
 
+# --- llm_line_dedup ---------------------------------------------------------
+# The sf testdata documents are single-line, so the row synthesizes the
+# crawl shape line dedup exists for (the URL-variants precedent): a
+# 7-way shared section header and a corpus-wide footer around each
+# document's own (unique) text. Line dedup must keep each header once
+# (at its lowest doc_id), the footer once, and every unique body line.
+
+
+def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terra_bonobo_nodes_spark.llm.scrub import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Section "),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit("\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\nCopyright footer - all rights reserved."),
+        ).alias("text"),
+    )
+    return line_dedup(synth).select(
+        "doc_id", "ld_text", "ld_n_lines", "ld_n_lines_kept"
+    )
+
+
+LINE_DEDUP_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         concat('Section ', CAST(doc_id % 7 AS VARCHAR), chr(10),
+                coalesce(text, ''), chr(10),
+                'Copyright footer - all rights reserved.') AS text
+  FROM documents
+), t AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines
+  FROM s
+), ex AS (
+  SELECT doc_id, unnest(lines) AS line,
+         unnest(range(1, len(lines) + 1)) AS pos
+  FROM t
+), r AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM ex
+), agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS txt,
+         count(*) AS k
+  FROM r WHERE rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(agg.txt, '') AS ld_text,
+       CAST(len(t.lines) AS BIGINT) AS ld_n_lines,
+       CAST(coalesce(agg.k, 0) AS BIGINT) AS ld_n_lines_kept
+FROM t LEFT JOIN agg USING (doc_id)
+"""
+
+# --- llm_perplexity_buckets ---------------------------------------------
+# CCNet head/middle/tail split by char-LM cross-entropy terciles. The
+# oracle restates the registered llm_char_lm_entropy model (same
+# normalize, add-one smoothing, DECIMAL(20,6) log quantization) and
+# takes quantile_cont cutoffs over the 4-decimal-quantized entropy —
+# the quantization makes every boundary comparison engine-exact (see
+# the perplexity_buckets docstring's grid-margin argument).
+
+
+def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.perplexity_buckets(docs, exact=True)
+
+
+def _ppl_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm import hashing
+    from terra_bonobo_nodes_spark.llm.text import LM_ALPHABET_SIZE
+
+    return f"""
+WITH nd AS (SELECT doc_id, {hashing.normalize_sql('text')} AS t FROM documents),
+bg AS (SELECT doc_id, substr(t, CAST(r.i AS INTEGER), 2) AS b
+       FROM nd, unnest(range(1, length(t))) AS r(i)
+       WHERE length(t) >= 2),
+mc AS (SELECT b, count(*) AS c FROM bg GROUP BY 1),
+pc AS (SELECT substr(b, 1, 1) AS c1, CAST(SUM(c) AS BIGINT) AS p FROM mc GROUP BY 1),
+model AS (
+  SELECT mc.b,
+         CAST(mc.c + 1 AS DOUBLE) / CAST(pc.p + {LM_ALPHABET_SIZE} AS DOUBLE)
+           AS prob
+  FROM mc JOIN pc ON substr(mc.b, 1, 1) = pc.c1),
+sc AS (SELECT bg.doc_id, CAST(ln(model.prob) AS DECIMAL(20,6)) AS lp
+       FROM bg JOIN model ON model.b = bg.b),
+agg AS (SELECT doc_id, count(*) AS m,
+               -CAST(SUM(lp) AS DOUBLE) / count(*) AS h
+        FROM sc GROUP BY 1),
+e AS (
+  SELECT d.doc_id,
+         CAST(coalesce(agg.m, 0) AS BIGINT) AS n_bigrams,
+         round(coalesce(agg.h, 0.0), 4) AS lm_entropy
+  FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id),
+c AS (
+  SELECT quantile_cont(lm_entropy, CAST(1 AS DOUBLE) / 3) AS c1,
+         quantile_cont(lm_entropy, CAST(2 AS DOUBLE) / 3) AS c2
+  FROM e WHERE n_bigrams > 0)
+SELECT doc_id, n_bigrams, lm_entropy,
+       CASE WHEN n_bigrams = 0 THEN 'empty'
+            WHEN lm_entropy <= c1 THEN 'head'
+            WHEN lm_entropy <= c2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM e CROSS JOIN c
+"""
+
+
+PPL_BUCKETS_ORACLE = _ppl_oracle()
+
 CANDIDATES: dict[str, tuple] = {
     "llm_url_dedup_groups": (llm_url_dedup_groups, URL_DEDUP_ORACLE),
     "llm_gopher_rules": (llm_gopher_rules, GOPHER_ORACLE),
     "llm_c4_line_filter": (llm_c4_line_filter, C4_ORACLE),
     "llm_blocked_hosts": (llm_blocked_hosts, BLOCKED_HOSTS_ORACLE),
     "llm_source_rule_yield": (llm_source_rule_yield, SOURCE_RULE_YIELD_ORACLE),
+    "llm_line_dedup": (llm_line_dedup, LINE_DEDUP_ORACLE),
+    "llm_perplexity_buckets": (llm_perplexity_buckets, PPL_BUCKETS_ORACLE),
 }

@@ -167,8 +167,8 @@ def register(
 #
 # ROUND-13 CANDIDATES (pytest-only as of round 12 — CANDIDATES, not
 # commitments; round 13 budgets them against its own due cohort and
-# the add-one-retire-one policy). Late round 12 added four curation
-# operators with no registered row yet. For ALL FOUR, COMPLETE
+# the add-one-retire-one policy). Late round 12 added SEVEN curation
+# operators with no registered row yet. For ALL SEVEN, COMPLETE
 # (spark_fn, oracle) pairs are already authored and hash-verified at
 # sf0.001 AND sf0.01 in plans/queries_candidates.py (NOT imported by
 # all_queries(), so they don't count against the cap; re-pinned every
@@ -188,6 +188,21 @@ def register(
 # - llm_blocked_hosts (llm/urls.py::flag_blocked_hosts over 5 host
 #   shapes; oracle restates suffix semantics as EXISTS + LIKE);
 #   pinned by tests/test_urls.py.
+# - llm_source_rule_yield (per-source per-rule violation counts +
+#   keep rates for BOTH rule batteries in one scan + one aggregate;
+#   oracle reuses the gopher/c4 per-doc oracles verbatim as CTEs).
+# - llm_line_dedup (llm/scrub.py::line_dedup, CCNet corpus-level
+#   first-occurrence line dedup over a synthesized header/footer
+#   corpus — the testdata documents are single-line); pinned by
+#   tests/test_line_dedup.py including a hypothesis sweep against a
+#   pure-Python reference.
+# - llm_perplexity_buckets (llm/text.py::perplexity_buckets, CCNet
+#   head/middle/tail by char-LM entropy terciles on the 4-decimal
+#   quantized entropy; exact=True oracle form, percentile_approx +
+#   cutoffs= seam as the scale path); pinned by
+#   tests/test_perplexity_buckets.py. NOTE for promotion: the in-plan
+#   cutoff broadcast is a 1-row BroadcastNestedLoopJoin — add a
+#   test_plan_audit allowlist entry with it.
 # The shp_codec .prj-declaration guard (round 12, post-window) is
 # covered by e5's round-12 row (the guard is on e5's execution path
 # and the row re-verified green after it landed).
