@@ -316,3 +316,102 @@ def collapse_repeated_tokens(
     toks = F.split(c, r"\s+")
     kept = F.filter(toks, lambda t, i: (i == F.lit(0)) | (t != F.element_at(toks, i)))
     return F.array_join(kept, " ")
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10_000,
+    prefix: str = "dsir_",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", public): score each raw
+    document by how target-like its hashed n-gram profile is,
+
+        log w(x) = sum_i c_i(x) * [log p_t(i) - log p_q(i)]
+
+    over hashed word unigram+bigram buckets, where p_t / p_q are
+    add-one-smoothed bucket multinomials of the ``target`` sample and
+    the raw corpus itself. High ``{prefix}logweight`` = looks like the
+    target distribution; resample the corpus proportionally (compose
+    with ``reservoir_sample``/``quota_sample`` on the weight) to build
+    a target-matched pretraining mix.
+
+    Numerics (the char_lm_entropy precedent): each log is quantized to
+    DECIMAL(20,6) BEFORE the subtraction and the per-doc sum, so
+    reduction order cannot move the result and a 1-ulp ln() difference
+    between engines is absorbed by the quantum. Documents with no
+    features (empty text) get logweight 0.0 and n_features 0.
+
+    Plan (100 TB shape): the corpus explodes to feature grain once and
+    collapses immediately to per-doc bucket counts (map-side combine);
+    that relation is lazily checkpointed and feeds BOTH the raw model
+    (a <= ``buckets``-row aggregate) and the scoring join. The
+    log-ratio table is at most ``buckets`` rows — broadcast — so
+    scoring is a broadcast join plus one id-grain aggregate. The
+    target sample is small by construction (it is a sample); its model
+    build is one aggregation. No self-joins, no windows.
+    """
+    from terra_bonobo_nodes_spark.llm.text import tokens
+
+    def _feats(frame: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        n = F.size(toks)
+        pair_len = F.greatest(n - 1, F.lit(0))
+        bigrams = F.zip_with(
+            F.slice(toks, 1, pair_len),
+            F.slice(toks, 2, pair_len),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        return frame.select(
+            F.col(id_col),
+            F.explode(F.concat(toks, bigrams)).alias("_f"),
+        )
+
+    bucket = lambda c: F.pmod(hash32(c), F.lit(buckets))  # noqa: E731
+    fc = (
+        _feats(df)
+        .select(id_col, bucket(F.col("_f")).alias("_b"))
+        .groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    q = fc.groupBy("_b").agg(F.sum("_c").alias("_qc"))
+    t = (
+        _feats(target)
+        .select(bucket(F.col("_f")).alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_tc"))
+    )
+    model = q.join(t, "_b", "full").select(
+        "_b",
+        F.coalesce("_qc", F.lit(0)).alias("_qc"),
+        F.coalesce("_tc", F.lit(0)).alias("_tc"),
+    )
+    totals = model.agg(F.sum("_qc").alias("_qt"), F.sum("_tc").alias("_tt"))
+    lr = model.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        (
+            F.log(
+                (F.col("_tc") + 1).cast("double")
+                / (F.col("_tt") + buckets).cast("double")
+            ).cast("decimal(20,6)")
+            - F.log(
+                (F.col("_qc") + 1).cast("double")
+                / (F.col("_qt") + buckets).cast("double")
+            ).cast("decimal(20,6)")
+        ).alias("_lr"),
+    )
+    scored = fc.join(F.broadcast(lr), "_b").groupBy(id_col).agg(
+        F.sum("_c").alias("_m"),
+        F.sum(F.col("_lr") * F.col("_c")).alias("_lw"),
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("_m", F.lit(0)).cast("long").alias(f"{prefix}n_features"),
+        F.coalesce(F.col("_lw").cast("double"), F.lit(0.0)).alias(
+            f"{prefix}logweight"
+        ),
+    )

@@ -418,6 +418,68 @@ FROM e CROSS JOIN c
 
 PPL_BUCKETS_ORACLE = _ppl_oracle()
 
+# --- llm_dsir_logweights ------------------------------------------------
+# DSIR importance weights with the English slice of documents as the
+# target sample: every raw doc scored by how en-like its hashed
+# unigram+bigram profile is. The oracle replays the identical hashed
+# buckets (hash32 md5 mirror), add-one smoothing, and the
+# DECIMAL(20,6)-quantized log ratios, so the weights are exact.
+
+_DSIR_BUCKETS = 10_000
+
+
+def llm_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terra_bonobo_nodes_spark.llm.corpus import dsir_logweights
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    raw = docs.select("doc_id", "text")
+    target = docs.where(F.col("lang") == "en").select("doc_id", "text")
+    out = dsir_logweights(raw, target, buckets=_DSIR_BUCKETS)
+    return out.select("doc_id", "dsir_n_features", "dsir_logweight")
+
+
+DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {TOKS_SQL} AS t FROM documents
+), feats AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(t,
+           list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                          i -> t[i] || ' ' || t[i + 1]))) AS f
+  FROM toks
+), fb AS (
+  SELECT doc_id, lang,
+         (('0x' || substr(md5(f), 1, 8))::BIGINT % {_DSIR_BUCKETS}) AS b
+  FROM feats
+), fc AS (
+  SELECT doc_id, b, count(*) AS c FROM fb GROUP BY 1, 2
+), q AS (
+  SELECT b, sum(c) AS qc FROM fc GROUP BY 1
+), tgt AS (
+  SELECT b, count(*) AS tc FROM fb WHERE lang = 'en' GROUP BY 1
+), model AS (
+  SELECT coalesce(q.b, tgt.b) AS b,
+         coalesce(qc, 0) AS qc, coalesce(tc, 0) AS tc
+  FROM q FULL OUTER JOIN tgt ON q.b = tgt.b
+), tot AS (
+  SELECT sum(qc) AS qt, sum(tc) AS tt FROM model
+), lr AS (
+  SELECT b,
+         CAST(ln(CAST(tc + 1 AS DOUBLE) / CAST(tt + {_DSIR_BUCKETS} AS DOUBLE))
+              AS DECIMAL(20,6))
+       - CAST(ln(CAST(qc + 1 AS DOUBLE) / CAST(qt + {_DSIR_BUCKETS} AS DOUBLE))
+              AS DECIMAL(20,6)) AS lr
+  FROM model CROSS JOIN tot
+), sc AS (
+  SELECT fc.doc_id, sum(c) AS m, sum(lr * c) AS lw
+  FROM fc JOIN lr ON lr.b = fc.b GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(m, 0) AS BIGINT) AS dsir_n_features,
+       CAST(coalesce(lw, 0) AS DOUBLE) AS dsir_logweight
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+"""
+
 CANDIDATES: dict[str, tuple] = {
     "llm_url_dedup_groups": (llm_url_dedup_groups, URL_DEDUP_ORACLE),
     "llm_gopher_rules": (llm_gopher_rules, GOPHER_ORACLE),
@@ -426,4 +488,5 @@ CANDIDATES: dict[str, tuple] = {
     "llm_source_rule_yield": (llm_source_rule_yield, SOURCE_RULE_YIELD_ORACLE),
     "llm_line_dedup": (llm_line_dedup, LINE_DEDUP_ORACLE),
     "llm_perplexity_buckets": (llm_perplexity_buckets, PPL_BUCKETS_ORACLE),
+    "llm_dsir_logweights": (llm_dsir_logweights, DSIR_ORACLE),
 }
