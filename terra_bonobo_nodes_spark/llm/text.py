@@ -189,8 +189,12 @@ def gopher_rules(
     Pure Column expressions in the cross-engine regex subset (module
     docstring) — scan-speed projection, zero shuffles, oracle-ready.
     """
-    c = F.col(text_col)
-    toks = tokens(text_col)
+    # NULL text behaves as the empty page (ADVICE_r12): like the sibling
+    # filters c4_line_filter/line_dedup, coalesce to '' so the empty-doc
+    # flags fire instead of NULL keep verdicts silently propagating into
+    # downstream boolean filters.
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(c)
     n = F.size(toks)
     nd = n.cast("double")
     # total token chars as length-of-concat: one O(n) join beats the

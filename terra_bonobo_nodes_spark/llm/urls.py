@@ -26,10 +26,15 @@ Canonical form (designed for http(s) web URLs):
 
 Out of scope, documented: percent-encoding normalization (``%2f`` vs
 ``%2F`` stay distinct — needs per-match callbacks neither engine's
-``regexp_replace`` has), IDN/punycode, and non-hierarchical schemes
+``regexp_replace`` has), IDN/punycode, non-hierarchical schemes
 (``mailto:`` has no ``://`` so the whole remainder is treated as
 authority and lowercased — acceptable for a web-corpus key, wrong for
-preserving mailbox case).
+preserving mailbox case), and authority userinfo
+(``http://User@example.com/`` treats ``user@host`` as one authority
+token: the userinfo is lowercased with it and a ``www.``/default-port
+strip won't fire through it — userinfo URLs are vanishingly rare in
+web crawls and the key stays deterministic and idempotent, so they
+dedup among themselves, just not against their userinfo-free twins).
 
 Cross-engine contract: every regex sticks to the Java/RE2 shared
 subset (llm/scrub.py module docstring); splits use literal
@@ -52,8 +57,16 @@ from pyspark.sql import functions as F
 # Param names are matched case-sensitively against the lowercase
 # conventional spellings (tracking decorators are machine-emitted and
 # lowercase in the wild; a cased variant is left alone rather than
-# guessed at).
+# guessed at). 'ref'/'ref_src' are NOT in the default (ADVICE_r12):
+# 'ref' is functional on many real sites (GitHub's ?ref=<branch>
+# selects different content), so stripping it by default would merge
+# genuinely distinct pages into one canonical dedup key and drop real
+# documents. Opt in for corpora where it is known to be a tracking
+# decorator: tracking_param_re=TRACKING_PARAM_WITH_REF_RE.
 TRACKING_PARAM_RE = (
+    r"^(?:utm_[A-Za-z0-9_]*|fbclid|gclid|dclid|msclkid|mc_eid|igshid)(?:=|$)"
+)
+TRACKING_PARAM_WITH_REF_RE = (
     r"^(?:utm_[A-Za-z0-9_]*|fbclid|gclid|dclid|msclkid|mc_eid|igshid"
     r"|ref|ref_src)(?:=|$)"
 )

@@ -1,15 +1,20 @@
-"""ROUND-13 CANDIDATE driver rows — authored and oracle-verified, NOT
-registered (the registry sits at its 144-query capacity cap; see the
-capacity policy in plans/registry.py). Each entry here is a complete
-(spark_fn, oracle) pair in the registered-row idiom, pinned green
-against DuckDB by tests/test_candidates_oracle.py at sf0.001, so
-promoting one in round 13 is exactly: move the function to its family
-module, wrap in @register, add to _NEW_THIS_ROUND, and retire/merge a
-slot per the add-one-retire-one policy.
+"""Crawl-curation driver rows, authored late round 12 as candidates.
 
-Kept OUT of registry.all_queries() on purpose: this module is not in
-the registry's import list, so nothing here counts against the cap or
-enters the driver window.
+ROUND-13 STATUS: the five highest-value rows for a crawl-curation user
+are PROMOTED — registered below via @register (this module is now in
+registry.all_queries()'s import list), each slot paid for by a
+same-grain merge per the add-one-retire-one policy (the full five-merge
+ledger is in plans/registry.py): llm_url_dedup_groups, llm_line_dedup,
+llm_gopher_rules, llm_c4_line_filter, llm_blocked_hosts.
+
+Three remain CANDIDATES, deferred to round 14 with the budget
+pre-computed in the registry ledger: llm_source_rule_yield (its
+constituent rule batteries take their own first rows this round),
+llm_perplexity_buckets (needs the documented 1-row-BNLJ plan-audit
+allowlist entry at registration), llm_dsir_logweights. Deferred
+entries stay complete (spark_fn, oracle) pairs pinned green against
+DuckDB by tests/test_candidates_oracle.py under the driver's exact
+compare contract, so each future promotion stays a registration edit.
 """
 
 from __future__ import annotations
@@ -20,6 +25,7 @@ from pyspark.sql import functions as F
 from terra_bonobo_nodes_spark.llm import text
 from terra_bonobo_nodes_spark.llm.urls import canonical_url, canonical_url_sql, url_dedup_groups
 from terra_bonobo_nodes_spark.plans.queries_llm import TOKS_SQL
+from terra_bonobo_nodes_spark.plans.registry import register
 from terra_bonobo_nodes_spark.tables import load_table
 
 # --- llm_url_dedup_groups ---------------------------------------------------
@@ -46,13 +52,6 @@ _URL_VARIANTS_DUCK = (
 )
 
 
-def llm_url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    urls = docs.select("doc_id", F.expr(_URL_VARIANTS_SPARK).alias("url"))
-    grouped = url_dedup_groups(urls, url_col="url", id_col="doc_id")
-    return grouped.select("url_key", "keep_doc_id", "n_dups")
-
-
 URL_DEDUP_ORACLE = f"""
 WITH u AS (
   SELECT doc_id, {_URL_VARIANTS_DUCK} AS url FROM documents
@@ -64,26 +63,26 @@ SELECT url_key, min(doc_id) AS keep_doc_id,
 FROM k GROUP BY url_key
 """
 
+
+@register(
+    "llm_url_dedup_groups",
+    oracle=URL_DEDUP_ORACLE,
+    headline=True,
+    tags=("llm", "curation", "urls"),
+)
+def llm_url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup (llm/urls.py::canonical_url + url_dedup_groups):
+    pure-Column canonicalizer — zero Python, zero exchanges before the
+    one groupBy on the canonical key — over a synthesized 4-variant URL
+    projection (www/default-port/dup-slash/trailing-slash strip,
+    tracking-param removal, param sort, fragment drop all exercised).
+    Promoted round 13 (authored+verified round 12)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select("doc_id", F.expr(_URL_VARIANTS_SPARK).alias("url"))
+    grouped = url_dedup_groups(urls, url_col="url", id_col="doc_id")
+    return grouped.select("url_key", "keep_doc_id", "n_dups")
+
 # --- llm_gopher_rules -------------------------------------------------------
-
-
-def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    out = text.gopher_rules(docs)
-    return out.select(
-        "doc_id",
-        "g_n_words",
-        F.round("g_mean_word_len", 6).alias("g_mean_word_len"),
-        "g_flag_n_words",
-        "g_flag_mean_word_len",
-        "g_flag_symbol_ratio",
-        "g_flag_bullet_lines",
-        "g_flag_ellipsis_lines",
-        "g_flag_alpha_words",
-        "g_flag_stopwords",
-        "g_keep",
-    )
-
 
 _STOPS = ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS)
 
@@ -91,11 +90,13 @@ _STOPS = ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS)
 # division, so the flag comparisons are bit-identical cross-engine
 # (the llm_quality_score precedent); only the surfaced mean rounds.
 GOPHER_ORACLE = f"""
-WITH t AS (
+WITH t0 AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), t AS (
   SELECT doc_id, text, {TOKS_SQL} AS toks,
          list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
                      l -> l <> '') AS lines
-  FROM documents
+  FROM t0
 ), m AS (
   SELECT doc_id, text, toks, lines,
          CAST(len(toks) AS DOUBLE) AS n,
@@ -140,24 +141,37 @@ SELECT *,
 FROM f
 """
 
-# --- llm_c4_line_filter -----------------------------------------------------
 
-
-def llm_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from terra_bonobo_nodes_spark.llm.scrub import c4_line_filter
-
+@register(
+    "llm_gopher_rules",
+    oracle=GOPHER_ORACLE,
+    headline=True,
+    tags=("llm", "curation", "quality"),
+)
+def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery (llm/text.py::gopher_rules): per-rule
+    violation flags + keep verdict at paper-default thresholds, pure
+    Column expressions — zero exchanges, zero Python. Promoted round 13
+    (authored+verified round 12; hypothesis-swept vs an independent
+    Python reference in tests/test_gopher.py)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return c4_line_filter(docs).select(
+    out = text.gopher_rules(docs)
+    return out.select(
         "doc_id",
-        "c4_text",
-        "c4_n_lines",
-        "c4_n_lines_kept",
-        "c4_flag_lorem_ipsum",
-        "c4_flag_curly_brace",
-        "c4_flag_min_lines",
-        "c4_keep",
+        "g_n_words",
+        F.round("g_mean_word_len", 6).alias("g_mean_word_len"),
+        "g_flag_n_words",
+        "g_flag_mean_word_len",
+        "g_flag_symbol_ratio",
+        "g_flag_bullet_lines",
+        "g_flag_ellipsis_lines",
+        "g_flag_alpha_words",
+        "g_flag_stopwords",
+        "g_keep",
     )
 
+
+# --- llm_c4_line_filter -----------------------------------------------------
 
 _C4_PHRASES_SQL = " AND ".join(
     f"NOT contains(lower(l), '{p}')"
@@ -202,6 +216,34 @@ SELECT doc_id,
 FROM k
 """
 
+
+@register(
+    "llm_c4_line_filter",
+    oracle=C4_ORACLE,
+    headline=True,
+    tags=("llm", "curation", "quality"),
+)
+def llm_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 §2.2 line cleaning (llm/scrub.py::c4_line_filter): citation-
+    marker strip, terminal-punctuation / min-word line rules, page
+    flags (lorem ipsum, curly brace, min kept lines) — pure Column,
+    zero exchanges. Promoted round 13 (authored+verified round 12;
+    hypothesis-swept vs a pure-Python reference in tests/test_c4.py)."""
+    from terra_bonobo_nodes_spark.llm.scrub import c4_line_filter
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return c4_line_filter(docs).select(
+        "doc_id",
+        "c4_text",
+        "c4_n_lines",
+        "c4_n_lines_kept",
+        "c4_flag_lorem_ipsum",
+        "c4_flag_curly_brace",
+        "c4_flag_min_lines",
+        "c4_keep",
+    )
+
+
 # --- llm_blocked_hosts ------------------------------------------------------
 
 # Host synthesis: 5 host shapes over a 2-domain blocklist — exact
@@ -216,18 +258,6 @@ _HOST_SPARK = (
 _HOST_DUCK = _HOST_SPARK.replace("pmod(doc_id, 5)", "(doc_id % 5)")
 
 
-def llm_blocked_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from terra_bonobo_nodes_spark.llm.urls import flag_blocked_hosts
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    urls = docs.select(
-        "doc_id",
-        F.concat(F.lit("https://"), F.expr(_HOST_SPARK), F.lit("/p")).alias("url"),
-    )
-    bl = spark.createDataFrame([("bad.com",), ("ads.net",)], "domain string")
-    return flag_blocked_hosts(urls, bl).select("doc_id", "host_blocked")
-
-
 BLOCKED_HOSTS_ORACLE = f"""
 WITH u AS (
   SELECT doc_id, {_HOST_DUCK} AS host FROM documents
@@ -240,6 +270,29 @@ SELECT doc_id,
                   OR u.host LIKE '%.' || bl.domain) AS host_blocked
 FROM u
 """
+
+
+@register(
+    "llm_blocked_hosts",
+    oracle=BLOCKED_HOSTS_ORACLE,
+    tags=("llm", "curation", "urls"),
+)
+def llm_blocked_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist (llm/urls.py::flag_blocked_hosts): registrable-
+    suffix match via exploded (id, suffix) broadcast semi-join — wide
+    document rows never flow through the explode, so the plan holds at
+    crawl scale. The 5 synthesized host shapes include the
+    no-label-boundary trap ('notbad.com' must NOT match 'bad.com').
+    Promoted round 13 (authored+verified round 12)."""
+    from terra_bonobo_nodes_spark.llm.urls import flag_blocked_hosts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), F.expr(_HOST_SPARK), F.lit("/p")).alias("url"),
+    )
+    bl = spark.createDataFrame([("bad.com",), ("ads.net",)], "domain string")
+    return flag_blocked_hosts(urls, bl).select("doc_id", "host_blocked")
 
 # --- llm_source_rule_yield --------------------------------------------------
 # The audit surface the gopher_rules docstring promises: per-source
@@ -312,25 +365,6 @@ SOURCE_RULE_YIELD_ORACLE = _agg_oracle()
 # (at its lowest doc_id), the footer once, and every unique body line.
 
 
-def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from terra_bonobo_nodes_spark.llm.scrub import line_dedup
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    synth = docs.select(
-        "doc_id",
-        F.concat(
-            F.lit("Section "),
-            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
-            F.lit("\n"),
-            F.coalesce(F.col("text"), F.lit("")),
-            F.lit("\nCopyright footer - all rights reserved."),
-        ).alias("text"),
-    )
-    return line_dedup(synth).select(
-        "doc_id", "ld_text", "ld_n_lines", "ld_n_lines_kept"
-    )
-
-
 LINE_DEDUP_ORACLE = """
 WITH s AS (
   SELECT doc_id,
@@ -362,6 +396,39 @@ SELECT t.doc_id,
        CAST(coalesce(agg.k, 0) AS BIGINT) AS ld_n_lines_kept
 FROM t LEFT JOIN agg USING (doc_id)
 """
+
+
+@register(
+    "llm_line_dedup",
+    oracle=LINE_DEDUP_ORACLE,
+    headline=True,
+    tags=("llm", "curation", "dedup"),
+)
+def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet corpus-level first-occurrence line dedup
+    (llm/scrub.py::line_dedup): the combinable min(struct(id, pos))
+    groupBy design — map-side partials collapse per-partition
+    duplicates, no global window, no per-key single-task sort; AQE
+    skew-join splits mega-duplicated lines (scale sweep: PLANS.md r13).
+    Promoted round 13 (authored+verified round 12; hypothesis-swept vs
+    a pure-Python reference in tests/test_line_dedup.py)."""
+    from terra_bonobo_nodes_spark.llm.scrub import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Section "),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit("\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\nCopyright footer - all rights reserved."),
+        ).alias("text"),
+    )
+    return line_dedup(synth).select(
+        "doc_id", "ld_text", "ld_n_lines", "ld_n_lines_kept"
+    )
+
 
 # --- llm_perplexity_buckets ---------------------------------------------
 # CCNet head/middle/tail split by char-LM cross-entropy terciles. The
@@ -480,13 +547,11 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 """
 
+# Still-deferred candidates (round-14 budget — see the registry
+# ledger); the five promoted rows left this dict for the registry and
+# are now pinned by the driver contract itself.
 CANDIDATES: dict[str, tuple] = {
-    "llm_url_dedup_groups": (llm_url_dedup_groups, URL_DEDUP_ORACLE),
-    "llm_gopher_rules": (llm_gopher_rules, GOPHER_ORACLE),
-    "llm_c4_line_filter": (llm_c4_line_filter, C4_ORACLE),
-    "llm_blocked_hosts": (llm_blocked_hosts, BLOCKED_HOSTS_ORACLE),
     "llm_source_rule_yield": (llm_source_rule_yield, SOURCE_RULE_YIELD_ORACLE),
-    "llm_line_dedup": (llm_line_dedup, LINE_DEDUP_ORACLE),
     "llm_perplexity_buckets": (llm_perplexity_buckets, PPL_BUCKETS_ORACLE),
     "llm_dsir_logweights": (llm_dsir_logweights, DSIR_ORACLE),
 }

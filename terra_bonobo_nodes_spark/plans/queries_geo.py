@@ -527,29 +527,35 @@ def _j1_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
 
 @register(
     "j1_boolean_intersect",
-    oracle=_J1_ORACLE,
+    oracle=_J1_ORACLE.replace(
+        "AS in_zone\n",
+        """AS in_zone,
+       coalesce(bool_or(p.x >= r.x0 AND p.x <= r.x0 + 10
+                    AND p.y >= r.y0 AND p.y <= r.y0 + 20), FALSE) AS in_zone_grid
+""",
+    ),
     headline=True,
-    tags=("J1",),
-)
-def j1_boolean_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts, layer = _j1_inputs(spark, sf_dir)
-    flagged = boolean_intersect(pts, layer, out="in_zone")
-    return flagged.select(F.col("identifier").alias("event_id"), "in_zone")
-
-
-@register(
-    "j1_bigbig_grid_intersect",
-    oracle=_J1_ORACLE,
     tags=("J1", "grid"),
 )
-def j1_bigbig_grid_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The big-big plan for the SAME question as j1_boolean_intersect:
-    ``strategy="grid"`` tiles both envelope sets into 20°cells and
-    equi-joins on the cell key (no broadcast, no nested loop) — the
-    driver row proves grid ≡ broadcast on the shared oracle."""
+def j1_boolean_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BooleanIntersect through BOTH physical strategies on one row
+    (r13 merge of the former j1_bigbig_grid_intersect, the
+    llm_embedding_cosine_pairs precedent): ``in_zone`` is the broadcast
+    dimension-join plan, ``in_zone_grid`` re-answers the same question
+    through ``strategy="grid"`` — both envelope sets tiled into 20°
+    cells, equi-joined on the cell key (no broadcast, no nested loop;
+    the plan a 100 TB layer needs). The shared oracle column is emitted
+    twice, so the row proves grid ≡ broadcast ≡ the SQL ground truth.
+    The two strategies CHAIN (boolean_intersect preserves its input
+    columns), so no extra join is paid to combine the flags."""
     pts, layer = _j1_inputs(spark, sf_dir)
-    flagged = boolean_intersect(pts, layer, out="in_zone", strategy="grid", cell=20.0)
-    return flagged.select(F.col("identifier").alias("event_id"), "in_zone")
+    flagged = boolean_intersect(pts, layer, out="in_zone")
+    both = boolean_intersect(
+        flagged, layer, out="in_zone_grid", strategy="grid", cell=20.0
+    )
+    return both.select(
+        F.col("identifier").alias("event_id"), "in_zone", "in_zone_grid"
+    )
 
 
 # --- J2: intersection percent by area ---------------------------------------
@@ -886,56 +892,26 @@ FROM t1
 """
 
 
-@register(
-    "g7e_transform_polar",
-    oracle=_polar_oracle(),
-    tags=("G7",),
-)
-def g7e_transform_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TransformGeom through the fourth projection family (conformal
-    azimuthal, EPSG:3413 NSIDC polar stereographic north): Arctic-ranged
-    lon/lat through the WKB kernel, forward checked against the closed
-    form in SQL, inverse checked as roundtrip closure < 1e-9 degrees."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        ((F.col("value") % 360) - 180).alias("lon"),
-        ((F.col("value") % 30) + 55).alias("lat"),
-    )
-    pts = ev.withColumn("geom", K.st_point("lon", "lat"))
-    fwd = transform_geom(pts, "EPSG:4326", "EPSG:3413")
-    back = transform_geom(fwd, "EPSG:3413", "EPSG:4326", geom_out="geom_back")
-    # longitude closure is modulo 360 (the inverse returns (-180, 180]:
-    # lon = -180 legitimately comes back as +180)
-    rt_err = F.greatest(
-        F.abs(
-            F.pmod(K.st_x("geom_back") - F.col("lon") + 180.0, 360.0) - 180.0
-        ),
-        F.abs(K.st_y("geom_back") - F.col("lat")),
-    )
-    return back.select(
-        "event_id",
-        # + 0.0 normalizes IEEE negative zero (round(-1e-10, 4) is -0.0
-        # in DuckDB, 0.0 in Spark -> canonicalized-string mismatch)
-        (F.round(K.st_x("geom"), 4) + F.lit(0.0)).alias("px"),
-        (F.round(K.st_y("geom"), 4) + F.lit(0.0)).alias("py"),
-        (rt_err < 1e-9).alias("rt_ok"),
-    )
+# (g7e registration merged into g7_transform_surface, round 13 — the
+# polar family rides the wide row as px/py below; _polar_oracle() is
+# composed into _surface_oracle unchanged)
 
 
 def _surface_oracle() -> str:
-    """The four per-family closed forms composed on the shared
+    """The five per-family closed forms composed on the shared
     one-row-per-event grain: each family's oracle stays byte-for-byte
-    the arithmetic that was green for rounds 7-9 as its own query
+    the arithmetic that was green for rounds 7-12 as its own query
     (identical double folding), joined on the unique ``event_id``.
     LAEA's lx/ly rename to ax/ay (they collided with Lambert's)."""
     return f"""
 SELECT m.event_id, m.mx, m.my, l.lx, l.ly, u.ux, u.uy,
-       a.lx AS ax, a.ly AS ay,
-       (l.rt_ok AND u.rt_ok AND a.rt_ok) AS rt_ok
+       a.lx AS ax, a.ly AS ay, p.px, p.py,
+       (l.rt_ok AND u.rt_ok AND a.rt_ok AND p.rt_ok) AS rt_ok
 FROM ({_MERC_ORACLE}) m
 JOIN ({_lambert93_oracle()}) l USING (event_id)
 JOIN ({_utm31n_oracle()}) u USING (event_id)
 JOIN ({_laea_oracle()}) a USING (event_id)
+JOIN ({_polar_oracle()}) p USING (event_id)
 """
 
 
@@ -945,15 +921,17 @@ JOIN ({_laea_oracle()}) a USING (event_id)
     tags=("G7",),
 )
 def g7_transform_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TransformGeom (``terra.py:474-494``) across the four planar CRS
-    families in ONE wide projection — web-mercator (EPSG:3857) forward,
+    """TransformGeom (``terra.py:474-494``) across the five CRS families
+    in ONE wide projection — web-mercator (EPSG:3857) forward,
     Lambert-93 (2154), UTM 31N (32631) and ETRS89-LAEA (3035) forward +
-    roundtrip closure < 1e-9 degrees. The round-10 consolidation of the
-    former g7/g7b/g7c/g7d rows (same grain, 4 scans -> 1): per-family
-    lon/lat derivations, kernel calls, and output arithmetic are
-    byte-identical to the retired queries; only LAEA's output columns
-    rename (lx/ly -> ax/ay) to coexist with Lambert's. Polar
-    stereographic (the non-planar family) stays its own row (g7e)."""
+    roundtrip closure < 1e-9 degrees, and (round-13 merge of the former
+    g7e_transform_polar row, same event grain) NSIDC polar
+    stereographic north (EPSG:3413) forward + modulo-360 roundtrip
+    closure. The round-10 consolidation of the former g7/g7b/g7c/g7d
+    rows plus the r13 polar fold (5 scans -> 1): per-family lon/lat
+    derivations, kernel calls, and output arithmetic are byte-identical
+    to the retired queries; only LAEA's output columns rename (lx/ly ->
+    ax/ay) to coexist with Lambert's."""
     v = F.col("value")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -961,6 +939,7 @@ def g7_transform_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((v % 15) - 5).alias("l_lon"), ((v % 10) + 41).alias("l_lat"),
         (v % 6).alias("u_lon"), ((v % 10) + 41).alias("u_lat"),
         ((v % 40) - 10).alias("a_lon"), ((v % 30) + 40).alias("a_lat"),
+        ((v % 360) - 180).alias("p_lon"), ((v % 30) + 55).alias("p_lat"),
     )
     df = ev
     for fam, epsg, rt in (
@@ -968,6 +947,7 @@ def g7_transform_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("l", "EPSG:2154", True),
         ("u", "EPSG:32631", True),
         ("a", "EPSG:3035", True),
+        ("p", "EPSG:3413", True),
     ):
         df = df.withColumn(f"{fam}_geom", K.st_point(f"{fam}_lon", f"{fam}_lat"))
         df = transform_geom(df, "EPSG:4326", epsg, geom_in=f"{fam}_geom")
@@ -983,8 +963,15 @@ def g7_transform_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(K.st_y(f"{fam}_back") - F.col(f"{fam}_lat")),
         )
 
+    # polar longitude closure is modulo 360 (the inverse returns
+    # (-180, 180]: lon = -180 legitimately comes back as +180)
+    p_rt_err = F.greatest(
+        F.abs(F.pmod(K.st_x("p_back") - F.col("p_lon") + 180.0, 360.0) - 180.0),
+        F.abs(K.st_y("p_back") - F.col("p_lat")),
+    )
     rt_ok = (
         (_rt_err("l") < 1e-9) & (_rt_err("u") < 1e-9) & (_rt_err("a") < 1e-9)
+        & (p_rt_err < 1e-9)
     )
     return df.select(
         "event_id",
@@ -996,6 +983,10 @@ def g7_transform_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(K.st_y("u_geom"), 4).alias("uy"),
         F.round(K.st_x("a_geom"), 4).alias("ax"),
         F.round(K.st_y("a_geom"), 4).alias("ay"),
+        # + 0.0 normalizes IEEE negative zero (round(-1e-10, 4) is -0.0
+        # in DuckDB, 0.0 in Spark -> canonicalized-string mismatch)
+        (F.round(K.st_x("p_geom"), 4) + F.lit(0.0)).alias("px"),
+        (F.round(K.st_y("p_geom"), 4) + F.lit(0.0)).alias("py"),
         rt_ok.alias("rt_ok"),
     )
 

@@ -408,11 +408,16 @@ def llm_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TOPK_K, _TOPK_NQ = 5, 10
+_RR_CK = 40  # coarse candidates kept per query by the int8 first stage
+_INT_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_zip({a}, {b}), x -> x[1] * x[2])), "
+    "(acc, x) -> acc + x)"
+)
 
 
-@register(
-    "llm_cosine_topk",
-    oracle=f"""
+def _exact_topk_oracle_body() -> str:
+    return f"""
 WITH e AS (SELECT vec_id, {_CAST_EMB} AS v FROM embeddings),
 n AS (SELECT vec_id, v, {similarity.norm_sql('v')} AS nrm FROM e),
 q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
@@ -429,18 +434,92 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {_TOPK_K}
+"""
+
+
+def _rerank_topk_oracle_body() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, {_CAST_EMB} AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         CASE WHEN list_aggregate(list_transform(v, x -> abs(x)), 'max') > 0.0
+              THEN 127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max')
+              ELSE 0.0 END AS scale
+  FROM e),
+z AS (SELECT vec_id, v,
+             list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
+      FROM s),
+q AS (SELECT vec_id AS query_id, v AS qfv, qv AS qqv FROM z
+      WHERE vec_id < {_TOPK_NQ}),
+coarse AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_INT_DOT.format(a="c.qv", b="q.qqv")} AS coarse_score,
+         c.v AS nv, q.qfv AS qv2
+  FROM z c CROSS JOIN q WHERE c.vec_id != q.query_id),
+cand AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY coarse_score DESC, neighbor_id ASC) AS crank
+    FROM coarse) WHERE crank <= {_RR_CK}),
+rer AS (
+  SELECT query_id, neighbor_id, coarse_score,
+         {similarity.dot_exact_sql('qv2', 'nv')}
+           / ({similarity.norm_sql('qv2')} * {similarity.norm_sql('nv')}) AS cos_sim
+  FROM cand)
+SELECT query_id, neighbor_id, coarse_score, cos_sim, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM rer)
+WHERE rank <= {_TOPK_K}
+"""
+
+
+@register(
+    "llm_cosine_topk",
+    oracle=f"""
+WITH ex AS ({_exact_topk_oracle_body()}),
+rr AS ({_rerank_topk_oracle_body()})
+SELECT ex.query_id, CAST(ex.rank AS INT) AS rank,
+       ex.neighbor_id, ex.cos_sim,
+       rr.neighbor_id AS rr_neighbor_id,
+       rr.coarse_score AS rr_coarse_score,
+       rr.cos_sim AS rr_cos_sim
+FROM ex JOIN rr ON ex.query_id = rr.query_id AND ex.rank = rr.rank
 """,
     headline=True,
     tags=("llm", "similarity"),
 )
 def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k AND two-stage quantized retrieval
+    (llm/similarity.quantized_rerank_topk: int8 integer-dot coarse cut
+    — exact arithmetic, so the candidate set is engine/partitioning-
+    independent — then float re-rank of the survivors) on ONE row per
+    (query_id, rank): the round-13 merge of the former
+    llm_quantized_rerank_topk row (same grain — both stages emit
+    exactly k ranks per query — the llm_embedding_cosine_pairs
+    precedent). The oracle replays both retrieval paths bit-for-bit
+    and joins them on rank, so one hash pins exact-kNN ground truth
+    and both rerank stages."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    out = similarity.brute_force_topk(
-        emb, emb.where(F.col("vec_id") < _TOPK_NQ), k=_TOPK_K
+    queries_df = emb.where(F.col("vec_id") < _TOPK_NQ)
+    exact = similarity.brute_force_topk(emb, queries_df, k=_TOPK_K).select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "neighbor_id",
+        "cos_sim",
     )
-    return out.select(
-        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    rr = similarity.quantized_rerank_topk(
+        emb, queries_df, k=_TOPK_K, coarse_k=_RR_CK
+    ).select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("neighbor_id").alias("rr_neighbor_id"),
+        F.col("coarse_score").alias("rr_coarse_score"),
+        F.col("cos_sim").alias("rr_cos_sim"),
     )
+    # both paths emit exactly k ranks for every query (corpus >> k at
+    # every SF), so the combining join is key-equal inner on tiny sides
+    return exact.join(rr, ["query_id", "rank"])
 
 
 _ANN_PLANES = 6
@@ -1271,67 +1350,8 @@ def llm_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RR_NQ, _RR_CK, _RR_K = 10, 40, 5
-_INT_DOT = (
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(list_zip({a}, {b}), x -> x[1] * x[2])), "
-    "(acc, x) -> acc + x)"
-)
-
-
-@register(
-    "llm_quantized_rerank_topk",
-    headline=True,
-    oracle=f"""
-WITH e AS (SELECT vec_id, {_CAST_EMB} AS v FROM embeddings),
-s AS (
-  SELECT vec_id, v,
-         CASE WHEN list_aggregate(list_transform(v, x -> abs(x)), 'max') > 0.0
-              THEN 127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max')
-              ELSE 0.0 END AS scale
-  FROM e),
-z AS (SELECT vec_id, v,
-             list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
-      FROM s),
-q AS (SELECT vec_id AS query_id, v AS qfv, qv AS qqv FROM z
-      WHERE vec_id < {_RR_NQ}),
-coarse AS (
-  SELECT q.query_id, c.vec_id AS neighbor_id,
-         {_INT_DOT.format(a="c.qv", b="q.qqv")} AS coarse_score,
-         c.v AS nv, q.qfv AS qv2
-  FROM z c CROSS JOIN q WHERE c.vec_id != q.query_id),
-cand AS (
-  SELECT * FROM (
-    SELECT *, row_number() OVER (
-      PARTITION BY query_id ORDER BY coarse_score DESC, neighbor_id ASC) AS crank
-    FROM coarse) WHERE crank <= {_RR_CK}),
-rer AS (
-  SELECT query_id, neighbor_id, coarse_score,
-         {similarity.dot_exact_sql('qv2', 'nv')}
-           / ({similarity.norm_sql('qv2')} * {similarity.norm_sql('nv')}) AS cos_sim
-  FROM cand)
-SELECT query_id, neighbor_id, coarse_score, cos_sim, CAST(rank AS INT) AS rank
-FROM (SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
-      FROM rer)
-WHERE rank <= {_RR_K}
-""",
-    tags=("llm", "similarity"),
-)
-def llm_quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage retrieval (llm/similarity.quantized_rerank_topk):
-    int8 integer-dot coarse cut (exact arithmetic — the candidate set
-    is engine/partitioning-independent) then float re-rank of the
-    survivors only. The oracle replays both stages bit-for-bit."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    out = similarity.quantized_rerank_topk(
-        emb, emb.where(F.col("vec_id") < _RR_NQ), k=_RR_K, coarse_k=_RR_CK
-    )
-    return out.select(
-        "query_id", "neighbor_id", "coarse_score", "cos_sim",
-        F.col("rank").cast("int").alias("rank"),
-    )
-
+# (llm_quantized_rerank_topk registration merged into llm_cosine_topk,
+# round 13 — both retrieval paths ride that one (query_id, rank) row)
 
 _RSV_N, _RSV_SEED = 15, "tbns-reservoir-v1"
 

@@ -448,7 +448,7 @@ def j4_knn_closest_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "j4_knn_closests_list",
+    "j4_knn_list_grid",
     oracle="""
 WITH c AS (SELECT c_custkey, (c_acctbal % 100.0) AS cx,
                   CAST(c_custkey % 100 AS DOUBLE) AS cy FROM customer),
@@ -465,76 +465,28 @@ WITH c AS (SELECT c_custkey, (c_acctbal % 100.0) AS cx,
                                  ORDER BY distance, s_suppkey) AS rank
        FROM pairs WHERE distance < 25.0)
 SELECT c_custkey,
-       array_to_string(list(s_suppkey ORDER BY rank), ',') AS closests
+       array_to_string(list(s_suppkey ORDER BY rank), ',') AS closests,
+       array_to_string(list(s_suppkey ORDER BY rank), ',') AS closests_grid
 FROM ranked WHERE rank <= 3 GROUP BY c_custkey
-""",
-    tags=("J4",),
-)
-def j4_knn_closests_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's OUTPUT shape for ClosestFeatures: the k nearest
-    appended as an ordered LIST on the record (``closests``,
-    ``terra.py:326-328``) rather than exploded rows. collect_list is
-    order-nondeterministic, so the list is rebuilt deterministically:
-    collect (rank, id) structs, sort_array, project the ids."""
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        (F.col("c_acctbal") % 100.0).alias("cx"),
-        (F.col("c_custkey") % 100).cast("double").alias("cy"),
-    )
-    supp = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey",
-        (F.col("s_acctbal") % 100.0).alias("sx"),
-        (F.col("s_suppkey") % 100).cast("double").alias("sy"),
-    )
-    ranked = knn_join(
-        cust,
-        supp,
-        left_xy=("cx", "cy"),
-        right_xy=("sx", "sy"),
-        left_id="c_custkey",
-        k=3,
-        max_distance=25.0,
-        tie_breaker="s_suppkey",
-    )
-    closests = F.transform(
-        F.sort_array(F.collect_list(F.struct("rank", "s_suppkey"))),
-        lambda x: x["s_suppkey"].cast("string"),
-    )
-    # serialized as a joined string: array-valued result columns are
-    # comparator-hostile (pandas/duckdb round-trip them as ndarrays)
-    return ranked.groupBy("c_custkey").agg(
-        F.array_join(closests, ",").alias("closests")
-    )
-
-
-@register(
-    "j4_grid_knn_bigbig",
-    oracle="""
-WITH c AS (SELECT c_custkey, (c_acctbal % 100.0) AS cx,
-                  CAST(c_custkey % 100 AS DOUBLE) AS cy FROM customer),
-     s AS (SELECT s_suppkey, (s_acctbal % 100.0) AS sx,
-                  CAST(s_suppkey % 100 AS DOUBLE) AS sy FROM supplier),
-     pairs AS (
-       SELECT c.c_custkey, s.s_suppkey,
-              sqrt((c.cx - s.sx) * (c.cx - s.sx) + (c.cy - s.sy) * (c.cy - s.sy))
-                AS distance
-       FROM c CROSS JOIN s),
-     ranked AS (
-       SELECT c_custkey, s_suppkey, distance,
-              row_number() OVER (PARTITION BY c_custkey
-                                 ORDER BY distance, s_suppkey) AS rank
-       FROM pairs WHERE distance < 25.0)
-SELECT c_custkey, s_suppkey, distance, rank FROM ranked WHERE rank <= 3
 """,
     tags=("J4", "scale"),
 )
-def j4_grid_knn_bigbig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The big-big kNN scale path: same query as j4 but through
-    ``grid_knn_join`` — both sides bucketed into max_distance-sized
-    cells, left replicated into its 3x3 neighborhood, equi-join on the
-    cell key instead of a cross product. The oracle is the NAIVE
-    cross-join top-k, so this also proves the grid join loses no
-    neighbors within the radius."""
+def j4_knn_list_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OUTPUT shape for ClosestFeatures — the k nearest
+    appended as an ordered LIST on the record (``closests``,
+    ``terra.py:326-328``) — computed through BOTH physical strategies
+    on one row (r13 merge of the former j4_knn_closests_list and
+    j4_grid_knn_bigbig, the llm_embedding_cosine_pairs precedent):
+    ``closests`` ranks via the broadcast ``knn_join``; ``closests_grid``
+    re-answers through ``grid_knn_join`` — both sides bucketed into
+    max_distance-sized cells, left replicated into its 3x3
+    neighborhood, equi-join on the cell key instead of a cross product
+    (the big-big scale path). The oracle is the NAIVE cross-join top-k
+    emitted twice, so the row proves the grid join loses no neighbors
+    within the radius AND that both strategies match the SQL ground
+    truth. collect_list is order-nondeterministic, so each list is
+    rebuilt deterministically: collect (rank, id) structs, sort_array,
+    project the ids."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         (F.col("c_acctbal") % 100.0).alias("cx"),
@@ -545,9 +497,7 @@ def j4_grid_knn_bigbig(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s_acctbal") % 100.0).alias("sx"),
         (F.col("s_suppkey") % 100).cast("double").alias("sy"),
     )
-    out = grid_knn_join(
-        cust,
-        supp,
+    kw = dict(
         left_xy=("cx", "cy"),
         right_xy=("sx", "sy"),
         left_id="c_custkey",
@@ -555,7 +505,23 @@ def j4_grid_knn_bigbig(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_distance=25.0,
         tie_breaker="s_suppkey",
     )
-    return out.select("c_custkey", "s_suppkey", "distance", "rank")
+
+    def as_list(ranked: DataFrame, out: str) -> DataFrame:
+        closests = F.transform(
+            F.sort_array(F.collect_list(F.struct("rank", "s_suppkey"))),
+            lambda x: x["s_suppkey"].cast("string"),
+        )
+        # serialized as a joined string: array-valued result columns are
+        # comparator-hostile (pandas/duckdb round-trip them as ndarrays)
+        return ranked.groupBy("c_custkey").agg(
+            F.array_join(closests, ",").alias(out)
+        )
+
+    bcast = as_list(knn_join(cust, supp, **kw), "closests")
+    grid = as_list(grid_knn_join(cust, supp, **kw), "closests_grid")
+    # both strategies emit exactly the customers with >=1 neighbor in
+    # radius, so the combining join is key-equal inner
+    return bcast.join(grid, on="c_custkey")
 
 
 # --- J5: decorrelated per-row subquery enrichment ---------------------------
@@ -958,26 +924,13 @@ def range_join_clicks_after_error(spark: SparkSession, sf_dir: str) -> DataFrame
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
-@register(
-    "pivot_value_by_event_type",
-    oracle="""
-SELECT user_id,
-"""
-    + ",\n".join(
-        f"       CAST(SUM(CAST(value AS DECIMAL(20,6))) "
-        f"FILTER (event_type = '{t}') AS DOUBLE) AS {t}"
-        for t in _EVENT_TYPES
-    )
-    + """
-FROM events GROUP BY user_id
-""",
-    tags=("relational", "pivot"),
-)
 def pivot_value_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide per-user value totals via Catalyst's pivot (one shuffle with
     partial aggregation; the pivot column list is explicit so no extra
     distinct-values job runs). Missing (user, type) combos stay NULL on
-    both engines."""
+    both engines. Registration merged into unpivot_roundtrip (round 13):
+    the NULL-keeping melt there surfaces every wide cell — including the
+    absent-combo NULL semantics this row used to pin — as a long row."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
     return (
         ev.groupBy("user_id")
@@ -989,27 +942,31 @@ def pivot_value_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "unpivot_roundtrip",
     oracle="""
-SELECT user_id, event_type,
-       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
-FROM events GROUP BY user_id, event_type
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t AS (SELECT * FROM (VALUES ('click'), ('error'), ('purchase'),
+                            ('signup'), ('view')) AS t(event_type)),
+s AS (SELECT user_id, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY user_id, event_type)
+SELECT u.user_id, t.event_type, s.sum_value
+FROM u CROSS JOIN t
+LEFT JOIN s ON s.user_id = u.user_id AND s.event_type = t.event_type
 """,
     tags=("relational", "pivot"),
 )
 def unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """unpivot(pivot(events)) == plain GROUP BY — melts the wide pivot
-    back to (user_id, event_type, sum_value) and checks against the
-    direct aggregation as oracle; NULL cells (combos absent from the
-    input) drop on melt, exactly mirroring the inner grouping.
-
-    ASSUMES events.value is non-NULL (true at every testdata SF): a
-    present combo whose values were ALL NULL would pivot to a NULL cell
-    and get dropped here, while the oracle would keep it as a NULL-sum
-    row. If value ever becomes nullable, filter the oracle with
-    ``HAVING count(value) > 0`` to keep the two sides aligned."""
+    """unpivot(pivot(events)) == the full user x type grid of direct
+    sums — the round-13 merge of the former pivot_value_by_event_type
+    row (same underlying aggregate). The melt KEEPS NULL cells, so the
+    long result enumerates every cell of the wide pivot — one row per
+    (user, declared type), sum_value NULL exactly where the combo is
+    absent from events — and a single hash pins BOTH the pivot's wide
+    semantics (NULL fill included) and unpivot's inverse. The oracle
+    rebuilds that grid as users x VALUES-list LEFT JOIN the direct
+    GROUP BY (the cross join is DuckDB-side only; the Spark plan stays
+    pivot -> Expand, no join)."""
     wide = pivot_value_by_event_type(spark, sf_dir)
-    return wide.unpivot(
-        "user_id", list(_EVENT_TYPES), "event_type", "sum_value"
-    ).where(F.col("sum_value").isNotNull())
+    return wide.unpivot("user_id", list(_EVENT_TYPES), "event_type", "sum_value")
 
 
 @register(

@@ -563,25 +563,28 @@ def s6_overpass_http_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("event_id") < 2000)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = f"{tempfile.gettempdir()}/tbns_overpass_{tag}.xml"
-    if not os.path.exists(path):
-        node = F.concat(
-            F.lit('<node id="'),
-            F.col("event_id").cast("string"),
-            F.lit('" lat="'),
-            F.col("y").cast("string"),
-            F.lit('" lon="'),
-            F.col("x").cast("string"),
-            F.lit('"><tag k="event_type" v="'),
-            F.col("event_type"),
-            F.lit('"/></node>'),
-        )
-        body = "".join(
-            r["_n"] for r in ev.select(node.alias("_n")).orderBy("event_id").collect()
-        )
-        tmp = f"{path}.tmp-{os.getpid()}"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(f'<osm version="0.6">{body}</osm>')
-        os.replace(tmp, path)  # atomic publish, the s3 precedent
+    # ALWAYS rewrite (ADVICE_r12): the file persists across processes,
+    # so an exists-check would serve stale XML if the testdata at this
+    # sf_dir were ever regenerated; the export is bounded (<2000 rows)
+    # and the tmp+os.replace publish keeps concurrent readers atomic.
+    node = F.concat(
+        F.lit('<node id="'),
+        F.col("event_id").cast("string"),
+        F.lit('" lat="'),
+        F.col("y").cast("string"),
+        F.lit('" lon="'),
+        F.col("x").cast("string"),
+        F.lit('"><tag k="event_type" v="'),
+        F.col("event_type"),
+        F.lit('"/></node>'),
+    )
+    body = "".join(
+        r["_n"] for r in ev.select(node.alias("_n")).orderBy("event_id").collect()
+    )
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(f'<osm version="0.6">{body}</osm>')
+    os.replace(tmp, path)  # atomic publish, the s3 precedent
     endpoint = serve_overpass_xml(path)
     fetched = overpass_extract(
         spark,

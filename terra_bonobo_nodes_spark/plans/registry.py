@@ -165,68 +165,85 @@ def register(
 # sinks/snapshots.py gc changes have no registered query (pytest-only
 # by design); bench.py's probe touches no query plan.
 #
-# ROUND-13 CANDIDATES (pytest-only as of round 12 — CANDIDATES, not
-# commitments; round 13 budgets them against its own due cohort and
-# the add-one-retire-one policy). Late round 12 added SEVEN curation
-# operators with no registered row yet. For ALL SEVEN, COMPLETE
-# (spark_fn, oracle) pairs are already authored and hash-verified at
-# sf0.001 AND sf0.01 in plans/queries_candidates.py (NOT imported by
-# all_queries(), so they don't count against the cap; re-pinned every
-# suite run by tests/test_candidates_oracle.py under the driver's
-# exact compare contract); promotion is a registration edit plus a
-# retire/merge per candidate:
-# - llm_url_dedup_groups (llm/urls.py::canonical_url + url_dedup_groups
-#   over a synthesized 4-variant URL projection; oracle via
-#   canonical_url_sql). Parity also pinned by tests/test_urls.py,
-#   including a hypothesis cross-engine sweep on generated URLs.
-# - llm_gopher_rules (llm/text.py::gopher_rules; oracle restates the
-#   flags in DuckDB list/regexp SQL, quality_score precedent). Parity
-#   also pinned by tests/test_gopher.py.
-# - llm_c4_line_filter (llm/scrub.py::c4_line_filter, C4 §2.2 line
-#   rules + page flags); pinned by tests/test_c4.py including a
-#   hypothesis sweep against a pure-Python reference.
-# - llm_blocked_hosts (llm/urls.py::flag_blocked_hosts over 5 host
-#   shapes; oracle restates suffix semantics as EXISTS + LIKE);
-#   pinned by tests/test_urls.py.
-# - llm_source_rule_yield (per-source per-rule violation counts +
-#   keep rates for BOTH rule batteries in one scan + one aggregate;
-#   oracle reuses the gopher/c4 per-doc oracles verbatim as CTEs).
-# - llm_line_dedup (llm/scrub.py::line_dedup, CCNet corpus-level
-#   first-occurrence line dedup over a synthesized header/footer
-#   corpus — the testdata documents are single-line); pinned by
-#   tests/test_line_dedup.py including a hypothesis sweep against a
-#   pure-Python reference.
-# - llm_perplexity_buckets (llm/text.py::perplexity_buckets, CCNet
-#   head/middle/tail by char-LM entropy terciles on the 4-decimal
-#   quantized entropy; exact=True oracle form, percentile_approx +
-#   cutoffs= seam as the scale path); pinned by
-#   tests/test_perplexity_buckets.py. NOTE for promotion: the in-plan
-#   cutoff broadcast is a 1-row BroadcastNestedLoopJoin — add a
-#   test_plan_audit allowlist entry with it.
-# The shp_codec .prj-declaration guard (round 12, post-window) is
-# covered by e5's round-12 row (the guard is on e5's execution path
-# and the row re-verified green after it landed).
+# ROUND-12 CANDIDATE LEDGER CORRECTION (ADVICE/VERDICT_r12 item): late
+# round 12 authored EIGHT curation candidates, not the seven the
+# original note listed — the eighth, llm_dsir_logweights
+# (plans/queries_candidates.py, llm/corpus.py::dsir_logweights), was
+# authored last and missed both this note and SURVEY §8. Full list as
+# authored: llm_url_dedup_groups, llm_gopher_rules, llm_c4_line_filter,
+# llm_blocked_hosts, llm_source_rule_yield, llm_line_dedup,
+# llm_perplexity_buckets, llm_dsir_logweights.
+#
+# ROUND-13 PROMOTIONS AND MERGES. Five candidates promote into the
+# registry (highest crawl-curation user value first, per VERDICT_r12
+# item 2): llm_url_dedup_groups, llm_line_dedup, llm_gopher_rules,
+# llm_c4_line_filter, llm_blocked_hosts — each registered in
+# plans/queries_candidates.py (now in the all_queries() import list).
+# Five slots freed by five same-grain merges (add-one-retire-one):
+# - j1_bigbig_grid_intersect merged INTO j1_boolean_intersect (same
+#   event grain; the widened row answers through BOTH the broadcast
+#   and the grid strategy, in_zone / in_zone_grid — the
+#   llm_embedding_cosine_pairs precedent).
+# - j4_knn_closests_list + j4_grid_knn_bigbig merged into
+#   j4_knn_list_grid (same customer grain, closests / closests_grid
+#   through knn_join and grid_knn_join against the shared naive
+#   cross-join oracle).
+# - g7e_transform_polar merged INTO g7_transform_surface (same event
+#   grain; polar stereographic becomes the fifth CRS family on the
+#   wide row, px/py + modulo-360 roundtrip closure folded into rt_ok).
+# - llm_quantized_rerank_topk merged INTO llm_cosine_topk (same
+#   (query_id, rank) grain; the widened row joins exact brute-force
+#   top-k and two-stage int8-coarse/float-rerank top-k on rank).
+# - pivot_value_by_event_type merged INTO unpivot_roundtrip (the melt
+#   now KEEPS NULL cells, so every wide pivot cell — including the
+#   absent-combo NULL semantics the pivot row pinned — appears as one
+#   long row; oracle = users x types grid LEFT JOIN the direct sums).
+# Capacity: 144 - 5 merged-away + 5 promoted = 144, at the cap.
+# Deferred to round 14 with pre-computed budget (VERDICT_r12 item 4):
+# llm_source_rule_yield (its constituent rule batteries take their own
+# first rows this round; the aggregate-grain report row adds most
+# value once those are green), llm_perplexity_buckets (needs the
+# documented 1-row-BNLJ plan-audit allowlist entry when registered),
+# llm_dsir_logweights (ledger-corrected above). All three stay
+# hash-pinned every suite run by tests/test_candidates_oracle.py;
+# r14 budget: due cohort = the 48 r11 greens minus g7_transform_surface
+# (re-greened r13) ≈ 47, so r14 absorbs up to 3 new rows only WITH
+# matching merges/retires — the three deferred candidates are the
+# r14 new-row budget.
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
+# The round whose window the hand-maintained lists below budget for.
+# Once the driver writes CORRECTNESS_r{_ROTATION_ROUND}.json the lists
+# are SPENT: _compute_priority and test_rotation_freshness treat them
+# as empty (their names are either green at LATEST — obligation met —
+# or surface loudly as never-green stragglers at the head of the next
+# window). This keeps the suite green both mid-round and at the
+# post-artifact handoff state the next round inherits (VERDICT_r12
+# "What's wrong" #1: the r12 lists stayed active after the artifact
+# landed and over-subscribed the r13 demand computation).
+_ROTATION_ROUND = 13
+
 # (2) operator code changed since the query's last green:
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "llm_embedding_cosine_pairs",   # widened: + in_lsh_block (merge)
-    "e2_transit_time_one_to_many",  # widened: + times_one (e3 merge)
+    "s6_overpass_http_roundtrip",  # ADVICE_r12: unconditional cache rewrite
+    "g7_transform_surface",        # widened: + polar family (g7e merge)
+    "llm_cosine_topk",             # widened: + rerank stage (merge); also due
+    "unpivot_roundtrip",           # widened: NULL-keeping melt (pivot merge); also due
+    "j1_boolean_intersect",        # widened: + in_zone_grid (merge); also due
 )
 
 # (3) first driver row this round:
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    "llm_semantic_dedup",
-    "llm_quality_filter_score",
-    "s11_xml_document_roundtrip",
-    "llm_text_counts_surface",
-    "e4_osm_points_roundtrip",
-    "s6_overpass_http_roundtrip",
-    "e5_shapefile_points_roundtrip",
+    "j4_knn_list_grid",
+    "llm_url_dedup_groups",
+    "llm_gopher_rules",
+    "llm_c4_line_filter",
+    "llm_blocked_hosts",
+    "llm_line_dedup",
 )
 
-# (4) overflow — heads round 10's queue:
+# (4) overflow — heads the next round's queue:
 _DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = ()
 
 
@@ -259,6 +276,17 @@ def _last_green_rounds() -> tuple[int, dict[str, tuple[int, int]]]:
     return latest, last
 
 
+def _active_lists(
+    latest: int,
+) -> tuple[tuple[str, ...], tuple[str, ...], tuple[str, ...]]:
+    """The hand-maintained changed/new/deferred lists, or empty tuples
+    once the round they budget for has its artifact (lists are spent —
+    see the _ROTATION_ROUND note above)."""
+    if latest >= _ROTATION_ROUND:
+        return (), (), ()
+    return _CHANGED_THIS_ROUND, _NEW_THIS_ROUND, _DEFERRED_TO_NEXT_ROUND
+
+
 def _compute_priority(registered: Iterable[str]) -> list[str]:
     """The five-section ordering documented above, generated from the
     artifacts so a bookkeeping slip can't silently age a query out of
@@ -282,9 +310,10 @@ def _compute_priority(registered: Iterable[str]) -> list[str]:
         )
     due = [n for n in names if n in last and last[n][0] <= latest - 2]
     due.sort(key=lambda n: last[n])
+    changed, new, deferred = _active_lists(latest)
     order: list[str] = []
     seen: set[str] = set()
-    for block in (due, _CHANGED_THIS_ROUND, _NEW_THIS_ROUND, _DEFERRED_TO_NEXT_ROUND):
+    for block in (due, changed, new, deferred):
         for n in block:
             if n in names and n not in seen:
                 order.append(n)
@@ -299,6 +328,7 @@ def _compute_priority(registered: Iterable[str]) -> list[str]:
 def all_queries() -> dict[str, Query]:
     # Import side-effect modules that populate the registry.
     from terra_bonobo_nodes_spark.plans import (  # noqa: F401
+        queries_candidates,
         queries_functions,
         queries_geo,
         queries_llm,

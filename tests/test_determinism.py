@@ -26,7 +26,7 @@ SENSITIVE = [
     "t5_user_value_trend",
     "weighted_median_price",
     "llm_char_lm_entropy",
-    "llm_quantized_rerank_topk",
+    "llm_cosine_topk",  # carries the merged rerank columns since r13
     "llm_reservoir_sample",
     "llm_dedup_components",
     "llm_minhash_lsh_pairs",

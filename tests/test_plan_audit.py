@@ -19,7 +19,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # query -> why a nested-loop/cross join is intentional and bounded
 CROSS_JOIN_OK: dict[str, str] = {
     "j4_knn_closest_features": "kNN broadcast crossJoin vs dimension-sized right side",
-    "j4_knn_closests_list": "same kNN broadcast pattern",
+    "j4_knn_list_grid": "same kNN broadcast pattern on the exact side; the grid side equi-joins",
     "llm_embedding_cosine_pairs": "exact all-pairs form is the documented tiny-input oracle; the same row also runs the blocked equi-join scale path and flags its pairs",
     "e2_transit_time_one_to_many": "one-to-many matrix vs broadcast destinations (also carries the merged one-to-one scalar)",
     "llm_tfidf_topk_terms": "single-row corpus-size N broadcast into the score join",
@@ -30,7 +30,8 @@ CROSS_JOIN_OK: dict[str, str] = {
     # bbox-culled broadcast spatial joins: the bbox-overlap predicate is a
     # range condition (not equi-joinable), the layer side is dimension-sized
     # and broadcast — the GiST-index-scan shape. strategy="grid" is the
-    # big-big equi-join path, driver-proven by j1_bigbig_grid_intersect.
+    # big-big equi-join path, driver-proven inside the widened
+    # j1_boolean_intersect row (in_zone_grid column, r13 merge).
     "j1_boolean_intersect": "bbox-culled broadcast NLJ vs dimension layer",
     "j2_concave_overlay_percent": "same broadcast spatial-join shape",
     "j2_dissolve_overlapping_layer": "same broadcast spatial-join shape",

@@ -40,9 +40,11 @@ BATTERY = [
         "http://a.com/p?a=1&b=2",
     ),
     ("http://a.com/p?utm_campaign=x&gclid=1", "http://a.com/p"),
-    ("http://a.com/p?ref=hn&real=1", "http://a.com/p?real=1"),
-    # 'ref' strips bare or valued; 'reference' is NOT 'ref'
-    ("http://a.com/p?ref&z=1", "http://a.com/p?z=1"),
+    # 'ref' is functional on many sites (GitHub ?ref=<branch>) — the
+    # default keeps it (ADVICE_r12); stripping is opt-in, see
+    # test_canonical_url_ref_strip_is_opt_in
+    ("http://a.com/p?ref=hn&real=1", "http://a.com/p?real=1&ref=hn"),
+    ("http://a.com/p?ref&z=1", "http://a.com/p?ref&z=1"),
     ("http://a.com/p?reference=1", "http://a.com/p?reference=1"),
     # a second '?' is query content, not a new query
     ("http://a.com/p?a=1?b=2", "http://a.com/p?a=1?b=2"),
@@ -64,6 +66,32 @@ def test_canonical_url_battery(spark):
         for r in df.select("i", canonical_url("url").alias("c")).collect()
     }
     for i, (raw, want) in enumerate(BATTERY):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_canonical_url_ref_strip_is_opt_in(spark):
+    """'ref'/'ref_src' strip only under TRACKING_PARAM_WITH_REF_RE —
+    the opt-in for corpora where 'ref' is known to be a tracking
+    decorator; 'reference' is never 'ref' under either regex."""
+    from terra_bonobo_nodes_spark.llm.urls import TRACKING_PARAM_WITH_REF_RE
+
+    cases = [
+        ("http://a.com/p?ref=hn&real=1", "http://a.com/p?real=1"),
+        ("http://a.com/p?ref&z=1", "http://a.com/p?z=1"),
+        ("http://a.com/p?ref_src=twsrc&a=1", "http://a.com/p?a=1"),
+        ("http://a.com/p?reference=1", "http://a.com/p?reference=1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)], "i int, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i",
+            canonical_url("url", TRACKING_PARAM_WITH_REF_RE).alias("c"),
+        ).collect()
+    }
+    for i, (raw, want) in enumerate(cases):
         assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
 
 
