@@ -389,10 +389,20 @@ def line_dedup(
     winner with a combinable ``min(struct(id, pos))`` groupBy — the
     map-side partial collapses a line's duplicates inside each input
     partition, so the shuffle carries at most one row per (line, input
-    partition), not one per occurrence — then one equi-join back on
-    the line (AQE skew-join splits mega-duplicated lines; no global
-    window, no per-key single-task sort anywhere) and one id-grain
-    regroup to reassemble survivors in original order.
+    partition), not one per occurrence — then one equi-join back and
+    one id-grain regroup to reassemble survivors in original order.
+    No global window, no per-key single-task sort anywhere.
+
+    Skew (verified, round-13 sweep at 500K docs / 4M lines with 5
+    corpus-wide mega-duplicated lines, PLANS.md): the plan is
+    skew-proof WITHOUT relying on AQE's skew-join. Catalyst folds the
+    winner predicate ``struct(id, pos) == _w`` into the join as a
+    second equi-key, so the join shuffle hashes on
+    ``(line, (id, pos))`` — near-unique keys, no hot partition exists
+    to split — and the election groupBy's hot line keys are collapsed
+    by the map-side partials before its shuffle. The only skewable
+    exchange left is the final id-grain regroup, keyed by document id
+    (uniform by construction).
     """
     src = F.coalesce(F.col(text_col), F.lit(""))
     lines_arr = F.filter(

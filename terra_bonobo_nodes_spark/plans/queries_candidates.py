@@ -408,10 +408,12 @@ def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet corpus-level first-occurrence line dedup
     (llm/scrub.py::line_dedup): the combinable min(struct(id, pos))
     groupBy design — map-side partials collapse per-partition
-    duplicates, no global window, no per-key single-task sort; AQE
-    skew-join splits mega-duplicated lines (scale sweep: PLANS.md r13).
-    Promoted round 13 (authored+verified round 12; hypothesis-swept vs
-    a pure-Python reference in tests/test_line_dedup.py)."""
+    duplicates, no global window, no per-key single-task sort, and the
+    winner predicate folds into the join-back as a second equi-key so
+    mega-duplicated lines never form a hot join partition (r13 skew
+    sweep at 500K docs: PLANS.md). Promoted round 13 (authored+verified
+    round 12; hypothesis-swept vs a pure-Python reference in
+    tests/test_line_dedup.py)."""
     from terra_bonobo_nodes_spark.llm.scrub import line_dedup
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

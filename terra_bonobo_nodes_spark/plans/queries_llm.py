@@ -601,19 +601,67 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
-@register("llm_ivf_ann_topk", oracle=None, tags=("llm", "similarity"))
+_IVF_CELLS, _IVF_PROBE = 8, 2
+
+
+def _ivf_oracle() -> str:
+    """Full-value IVF oracle through the ``centroids=`` seam (the r12
+    semantic-dedup precedent, extended r13): with a LITERAL one-hot
+    codebook the assignment UDF's distance is d_k = |c_k|^2 - 2 v.c_k
+    = 1.0 - 2.0*v[k] — the SQL below replays that EXACT double
+    arithmetic (not the argmax shortcut) and takes argmin / the
+    n_probe smallest with the same first-index tie-break as np.argmin
+    / stable argsort, so cells and probe lists are bit-identical
+    cross-engine; scoring reuses the exact left-fold cosine."""
+    return f"""
+WITH e AS (SELECT vec_id, {_CAST_EMB} AS v FROM embeddings),
+d8 AS (SELECT vec_id, v, {similarity.norm_sql('v')} AS nrm,
+              list_transform(v[1:{_IVF_CELLS}], x -> 1.0 - 2.0 * x) AS d
+       FROM e),
+c AS (SELECT vec_id, v, nrm,
+             (list_position(d, list_aggregate(d, 'min')) - 1) AS cell
+      FROM d8),
+qp AS (SELECT d8.vec_id AS query_id, d8.v AS qv, d8.nrm AS qn,
+              (r.i - 1) AS cell,
+              row_number() OVER (PARTITION BY d8.vec_id
+                                 ORDER BY d[r.i] ASC, r.i ASC) AS pr
+       FROM d8, unnest(range(1, {_IVF_CELLS} + 1)) AS r(i)
+       WHERE d8.vec_id < {_TOPK_NQ}),
+q AS (SELECT query_id, qv, qn, cell FROM qp WHERE pr <= {_IVF_PROBE}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {similarity.dot_exact_sql('q.qv', 'c.v')} / (q.qn * c.nrm) AS cos_sim
+  FROM c JOIN q ON c.cell = q.cell AND c.vec_id != q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_TOPK_K}
+"""
+
+
+@register("llm_ivf_ann_topk", oracle=_ivf_oracle(), tags=("llm", "similarity"))
 def llm_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (k-means codebook) approximate top-k. No SQL oracle: k-means
-    is an iterative algorithm (driver records the rows-only check);
-    recall and score-exactness vs brute force are pinned by
-    tests/test_llm_ops.py::test_ivf_ann_recall_vs_brute_force."""
+    """IVF approximate top-k, hash-checked since round 13 (was
+    rows-only): the ``centroids=`` seam takes a literal one-hot
+    codebook so the driver verifies the operator's entire distributed
+    body — Arrow-batched cell assignment, n_probe cell explode, the
+    cell equi-join, exact cosine scoring, per-query ranking — against
+    a full-value DuckDB replay; only iterative k-means training is
+    pinned elsewhere (tests/test_llm_ops.py::
+    test_ivf_ann_recall_vs_brute_force runs the trained path)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = [
+        [1.0 if d == k else 0.0 for d in range(EMB_DIM)]
+        for k in range(_IVF_CELLS)
+    ]
     return similarity.ivf_topk(
         emb,
         emb.where(F.col("vec_id") < _TOPK_NQ),
         k=_TOPK_K,
-        n_clusters=8,
-        n_probe=2,
+        n_probe=_IVF_PROBE,
+        centroids=cents,
     )
 
 

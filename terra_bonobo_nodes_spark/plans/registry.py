@@ -231,6 +231,8 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "llm_cosine_topk",             # widened: + rerank stage (merge); also due
     "unpivot_roundtrip",           # widened: NULL-keeping melt (pivot merge); also due
     "j1_boolean_intersect",        # widened: + in_zone_grid (merge); also due
+    "llm_ivf_ann_topk",            # upgraded rows-only -> full hash oracle
+    #   via the one-hot centroids= seam (semdedup precedent); also due
 )
 
 # (3) first driver row this round:

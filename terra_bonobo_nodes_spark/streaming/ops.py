@@ -172,6 +172,69 @@ def dedup_within_watermark(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def line_dedup_stream(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Line-grain dedup for a continuously-ingesting curation stream —
+    the streaming face of ``llm/scrub.py::line_dedup``, completing the
+    CCNet chain coverage of the streaming front-end (c4 -> gopher ->
+    canonical_url -> doc-fingerprint dedup -> THIS).
+
+    Emits kept lines at (``id_col``, ``line_pos``, ``line``) grain.
+    Per-document reassembly stays a downstream BATCH regroup on
+    purpose: in append mode a document's surviving lines are only
+    final once the watermark passes its event time, so gluing them
+    back inside the stream would either buffer unbounded per-doc state
+    or emit provisional documents.
+
+    SEMANTICS DIVERGENCE, documented: CCNet's corpus-level
+    first-OCCURRENCE rule (the ``min(struct(id, pos))`` winner) cannot
+    be streamed exactly — a stream must commit keep/drop at ARRIVAL
+    time, and the (id, pos)-minimal copy of a line may arrive after a
+    later-ordered copy was already emitted downstream; retraction is
+    not expressible in append mode. This variant therefore keeps the
+    first ARRIVED copy within the watermark horizon (state evicts as
+    the watermark passes — duplicates farther apart than ``watermark``
+    both survive, the ``dedup_within_watermark`` contract), which
+    EQUALS the batch semantics exactly when arrival order follows
+    (id, pos) order — the ordered-backfill case the parity test pins.
+    State is one md5 key (32 hex chars) per distinct line in the
+    horizon, not the line text.
+
+    Batch fallback: the same combinable min-struct winner election as
+    ``line_dedup`` at this grain (corpus-level first occurrence), so
+    batch callers get CCNet semantics from the identical call.
+    """
+    src = F.coalesce(F.col(text_col), F.lit(""))
+    lines_arr = F.filter(
+        F.transform(F.split(src, "\n", -1), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    ex = df.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.posexplode(lines_arr).alias("line_pos", "line"),
+    ).withColumn("line_fp", F.md5("line"))
+    if not df.isStreaming:
+        winners = ex.groupBy("line_fp").agg(
+            F.min(F.struct(id_col, "line_pos")).alias("_w")
+        )
+        return (
+            ex.join(winners, "line_fp")
+            .where(F.struct(F.col(id_col), F.col("line_pos")) == F.col("_w"))
+            .select(id_col, ts_col, "line_pos", "line", "line_fp")
+        )
+    return (
+        ex.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["line_fp"])
+        .select(id_col, ts_col, "line_pos", "line", "line_fp")
+    )
+
+
 _RUNNING_STATE_SCHEMA = "total DOUBLE, n BIGINT"
 _RUNNING_OUT_SCHEMA = T.StructType(
     [

@@ -12,10 +12,13 @@ import uuid
 from pyspark.sql import functions as F
 
 from terra_bonobo_nodes_spark.llm.dedup import fingerprint_col
-from terra_bonobo_nodes_spark.llm.scrub import c4_line_filter
+from terra_bonobo_nodes_spark.llm.scrub import c4_line_filter, line_dedup
 from terra_bonobo_nodes_spark.llm.text import gopher_rules
 from terra_bonobo_nodes_spark.llm.urls import canonical_url
-from terra_bonobo_nodes_spark.streaming.ops import dedup_within_watermark
+from terra_bonobo_nodes_spark.streaming.ops import (
+    dedup_within_watermark,
+    line_dedup_stream,
+)
 
 GOOD_LINE = "The quick brown fox jumps over the lazy dog with that same old energy of course."
 GOOD = "\n".join([GOOD_LINE] * 4)
@@ -85,3 +88,74 @@ def test_stream_curation_matches_batch(spark, tmp_path):
     # variants of docs 1 and 2 to one key
     keys = {r[2] for r in got_rows if r[0] in (1, 2)}
     assert keys == {"https://a.com/x"}
+
+
+def _write_line_batches(spark, path):
+    """Docs in doc_id order across micro-batch files (ordered backfill
+    — the case where streaming first-arrival == batch first-occurrence)
+    with a line duplicated ACROSS batches (nav), within a batch
+    (footer), and within one document (inner repeat)."""
+    rows = [
+        (1, "nav bar\nalpha body\ninner repeat\ninner repeat", "2024-01-01 00:00:00"),
+        (2, "nav bar\nbeta body\nfooter", "2024-01-01 00:10:00"),
+        (3, "footer\ngamma body\nnav bar", "2024-01-01 00:20:00"),
+        (4, "delta body\nnav bar\nfooter", "2024-01-01 00:30:00"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df.where("doc_id <= 2").coalesce(1).write.mode("overwrite").parquet(path)
+    df.where("doc_id >= 3").coalesce(1).write.mode("append").parquet(path)
+    return df
+
+
+def test_line_dedup_stream_matches_batch_on_ordered_backfill(spark, tmp_path):
+    """The full CCNet chain's line stage runs over readStream: under
+    (doc_id, pos)-ordered arrival the watermarked first-arrival dedup
+    emits exactly the corpus-level first-occurrence set, line for line
+    — including cross-batch, cross-doc-within-batch, and within-doc
+    duplicates. (Out-of-order arrival diverges by design; the operator
+    docstring states why exact CCNet semantics cannot be streamed.)"""
+    path = str(tmp_path / "linedocs")
+    src = _write_line_batches(spark, path)
+
+    batch = line_dedup_stream(spark.read.parquet(path))
+    stream = line_dedup_stream(
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path),
+        watermark="10 hours",
+    )
+    assert stream.isStreaming
+
+    name = f"ld_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["doc_id"], r["line_pos"], r["line"])
+        for r in spark.sql(f"select * from {name}").collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["line_pos"], r["line"]) for r in batch.collect()
+    )
+    assert got == want
+    # and the batch face of the same call agrees with scrub.line_dedup
+    # (the registered operator) on the kept multiset of lines
+    ld = line_dedup(spark.read.parquet(path))
+    kept_via_operator = sorted(
+        line
+        for r in ld.collect()
+        for line in (r["ld_text"].split("\n") if r["ld_text"] else [])
+    )
+    assert sorted(r[2] for r in want) == kept_via_operator
+    # each duplicated line survived exactly once, at its first occurrence
+    lines = [r[2] for r in got]
+    assert lines.count("nav bar") == 1 and lines.count("footer") == 1
+    assert lines.count("inner repeat") == 1
+    assert (1, 0, "nav bar") in got and (2, 2, "footer") in got
