@@ -1,0 +1,147 @@
+"""Bloom-filter n-gram decontamination — the fixed-memory scale path.
+
+``llm/text.py::substring_decontaminate`` flags corpus documents that
+contain benchmark n-grams by broadcasting the benchmark's shingle SET
+into a semi-join: exact, but the broadcast grows linearly with the
+benchmark and the probe is a join. This module trades a bounded,
+tunable false-positive rate for a CONSTANT-size filter and a
+join-free probe — the classic production shape when the blocklist /
+benchmark side is large (Bloom 1970, public):
+
+- **build**: every benchmark word n-gram sets ``k`` bits of an
+  ``m``-bit filter (positions = independent md5-derived hashes mod
+  ``m``). The build is distributed — explode shingles, explode the k
+  positions, distinct, pack ``32`` bits per word with a ``bit_or``
+  aggregate — and collects only the packed words (``m/32`` BIGINTs:
+  16 KiB at the default ``m = 2^16``). That bounded collect IS the
+  point: the filter is the broadcast artifact, exactly like
+  ``similarity.ivf_train`` collecting its codebook.
+- **probe**: a pure Column projection — for each document n-gram,
+  test all ``k`` bits against the literal packed array. Zero
+  shuffles, zero joins, zero Python; md5-per-shingle is the dominant
+  cost and scales with scanned bytes.
+
+False positives: rate ≈ (1 - e^(-k·n/m))^k for n distinct benchmark
+n-grams — choose ``m`` ≈ 10-15 bits per benchmark n-gram for <1%.
+False negatives: none (every benchmark n-gram's bits are set).
+
+Cross-engine contract: positions come from the md5-based
+:func:`hashing.hash32` family (NOT the engines' divergent native
+hashes), so a DuckDB oracle replays the SAME positions and verifies
+membership through the equivalent position-SET formulation; the
+packed-bits-vs-position-set equivalence is pinned by pytest
+(tests/test_bloom.py). Bit masks use 32 bits per BIGINT word so the
+``2^bit`` mask is exactly representable as a double on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from terra_bonobo_nodes_spark.llm import hashing
+
+_SEED = "tbns-bloom-v1"
+_BITS_PER_WORD = 32
+
+
+def _position(shingle: Column, i: int, m_bits: int) -> Column:
+    """Hash ``i`` of a shingle -> bit position in [0, m_bits)."""
+    return F.pmod(
+        hashing.hash32(F.concat(F.lit(f"{_SEED}-{i}-"), shingle)),
+        F.lit(m_bits),
+    )
+
+
+def position_sql(expr: str, i: int, m_bits: int) -> str:
+    """DuckDB fragment matching :func:`_position`."""
+    seeded = f"'{_SEED}-{i}-' || {expr}"
+    return f"({hashing.hash32_sql(seeded)} % {m_bits})"
+
+
+def build_bloom_bits(
+    bench: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> list[int]:
+    """Distributed Bloom build over the benchmark's word n-grams.
+
+    Returns the packed filter as ``m_bits / 32`` ints (low 32 bits of
+    each used) — ship it to :func:`flag_bloom_contaminated` as a plan
+    literal. The only driver-side materialization is the packed words
+    (16 KiB at the default m): shingling, hashing, distinct and
+    packing all run distributed with map-side partial aggregation.
+    """
+    if m_bits % _BITS_PER_WORD:
+        raise ValueError(f"m_bits must be a multiple of {_BITS_PER_WORD}")
+    grams = bench.select(
+        F.explode(hashing.word_shingles(F.col(text_col), n)).alias("_s")
+    )
+    pos = grams.select(
+        F.explode(
+            F.array(*[_position(F.col("_s"), i, m_bits) for i in range(k)])
+        ).alias("_p")
+    ).distinct()
+    packed = (
+        pos.select(
+            F.floor(F.col("_p") / _BITS_PER_WORD).cast("int").alias("_w"),
+            F.pow(F.lit(2.0), F.col("_p") % _BITS_PER_WORD)
+            .cast("bigint")
+            .alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_bits"))
+        .collect()
+    )
+    words = [0] * (m_bits // _BITS_PER_WORD)
+    for r in packed:
+        words[r["_w"]] = r["_bits"]
+    return words
+
+
+def _member(sh: Column, bits_lit: Column, m_bits: int, k: int) -> Column:
+    """True iff all k bits for this shingle are set in the literal
+    packed array (1-based element_at; mask = 2^bit exact in double
+    for bit < 32)."""
+    test = None
+    for i in range(k):
+        p = _position(sh, i, m_bits)
+        word = F.element_at(
+            bits_lit, F.floor(p / _BITS_PER_WORD).cast("int") + 1
+        )
+        mask = F.pow(F.lit(2.0), p % _BITS_PER_WORD).cast("bigint")
+        hit = word.bitwiseAND(mask) != 0
+        test = hit if test is None else (test & hit)
+    return test
+
+
+def flag_bloom_contaminated(
+    corpus: DataFrame,
+    bloom_bits: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 3,
+    prefix: str = "bloom_",
+) -> DataFrame:
+    """Join-free contamination probe: flags documents whose word
+    n-grams hit the filter. Emits ``{prefix}n_ngrams`` (total n-gram
+    occurrences probed), ``{prefix}n_hits`` (occurrences whose k bits
+    are all set — includes the filter's false-positive rate),
+    ``{prefix}flagged`` (any hit). Pure Column projection: the filter
+    rides the plan as one array literal, so the probe plans with zero
+    exchanges and zero Python — the shape that holds at 100 TB where
+    the exact semi-join's broadcast would track benchmark size."""
+    m_bits = len(bloom_bits) * _BITS_PER_WORD
+    bits_lit = F.lit(bloom_bits)
+    grams = hashing.word_shingles(F.col(text_col), n)
+    hits = F.filter(grams, lambda s: _member(s, bits_lit, m_bits, k))
+    return corpus.withColumns(
+        {
+            f"{prefix}n_ngrams": F.size(grams).cast("long"),
+            f"{prefix}n_hits": F.size(hits).cast("long"),
+            f"{prefix}flagged": F.size(hits) > 0,
+        }
+    )

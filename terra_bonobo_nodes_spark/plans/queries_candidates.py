@@ -549,6 +549,71 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 """
 
+# --- llm_bloom_decontaminate (authored round 13, r14 candidate) ---------
+# Bloom-filter n-gram decontamination (llm/bloom.py): the fixed-memory
+# complement to llm_substring_decontaminate's exact broadcast semi-join.
+# Benchmark = the doc_id % 97 slice of documents; the filter builds
+# distributed and ships as one 2048-long plan literal; the probe is a
+# zero-exchange zero-Python projection. The oracle replays the SAME
+# md5-derived positions (position_sql mirror) and verifies membership
+# through the equivalent position-SET formulation — packed-bits ==
+# position-set is pinned by tests/test_bloom.py.
+
+_BLOOM_M, _BLOOM_K, _BLOOM_N = 1 << 16, 3, 3
+
+
+def llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terra_bonobo_nodes_spark.llm.bloom import (
+        build_bloom_bits,
+        flag_bloom_contaminated,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    bench = docs.where(F.pmod("doc_id", F.lit(97)) == 0)
+    bits = build_bloom_bits(
+        bench, n=_BLOOM_N, m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    out = flag_bloom_contaminated(docs, bits, n=_BLOOM_N, k=_BLOOM_K)
+    return out.select(
+        "doc_id", "bloom_n_ngrams", "bloom_n_hits", "bloom_flagged"
+    )
+
+
+def _bloom_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm import hashing
+    from terra_bonobo_nodes_spark.llm.bloom import position_sql
+
+    gs = hashing.word_shingles_sql("coalesce(text, '')", _BLOOM_N)
+    pos_union = "\nUNION ALL ".join(
+        f"SELECT {position_sql('s', i, _BLOOM_M)} AS p FROM bg"
+        for i in range(_BLOOM_K)
+    )
+    probes = "\n    AND ".join(
+        f"EXISTS (SELECT 1 FROM pos WHERE pos.p = {position_sql('cg.s', i, _BLOOM_M)})"
+        for i in range(_BLOOM_K)
+    )
+    return f"""
+WITH bench AS (
+  SELECT {gs} AS gs FROM documents WHERE (doc_id % 97) = 0
+), bg AS (SELECT unnest(gs) AS s FROM bench),
+pos AS (SELECT DISTINCT p FROM ({pos_union})),
+cg AS (SELECT doc_id, unnest({gs}) AS s FROM documents),
+hit AS (
+  SELECT doc_id FROM cg
+  WHERE {probes}
+), h AS (SELECT doc_id, count(*) AS nh FROM hit GROUP BY 1),
+g AS (SELECT doc_id, CAST(len({gs}) AS BIGINT) AS ng FROM documents)
+SELECT g.doc_id, g.ng AS bloom_n_ngrams,
+       CAST(coalesce(h.nh, 0) AS BIGINT) AS bloom_n_hits,
+       coalesce(h.nh, 0) > 0 AS bloom_flagged
+FROM g LEFT JOIN h USING (doc_id)
+"""
+
+
+BLOOM_ORACLE = _bloom_oracle()
+
 # Still-deferred candidates (round-14 budget — see the registry
 # ledger); the five promoted rows left this dict for the registry and
 # are now pinned by the driver contract itself.
@@ -556,4 +621,5 @@ CANDIDATES: dict[str, tuple] = {
     "llm_source_rule_yield": (llm_source_rule_yield, SOURCE_RULE_YIELD_ORACLE),
     "llm_perplexity_buckets": (llm_perplexity_buckets, PPL_BUCKETS_ORACLE),
     "llm_dsir_logweights": (llm_dsir_logweights, DSIR_ORACLE),
+    "llm_bloom_decontaminate": (llm_bloom_decontaminate, BLOOM_ORACLE),
 }
