@@ -614,6 +614,77 @@ FROM g LEFT JOIN h USING (doc_id)
 
 BLOOM_ORACLE = _bloom_oracle()
 
+# --- llm_cms_token_freq (authored round 13, r14 candidate) --------------
+# Count-Min Sketch heavy hitters (llm/sketch.py): the bounded-memory
+# token-frequency primitive (constant d x w counters, mergeable by
+# addition, never undercounts). The row builds the sketch distributed,
+# takes the exact top-25 tokens (TakeOrdered), and surfaces
+# exact_count + cms_estimate + the never_undercounts guarantee — every
+# quantity an exact BIGINT, so the oracle replays build AND estimate
+# bit-for-bit (the repo's cleanest oracle class: zero floats).
+
+_CMS_D, _CMS_W, _CMS_TOP = 4, 1 << 12, 25
+
+
+def llm_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terra_bonobo_nodes_spark.llm.sketch import cms_build, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.coalesce("text", F.lit("")).alias("text")
+    )
+    toks = docs.select(F.explode(text.tokens("text")).alias("token"))
+    counters = cms_build(toks, token_col="token", d=_CMS_D, w=_CMS_W)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("token").asc())
+        .limit(_CMS_TOP)
+    )
+    est = cms_estimate("token", counters)
+    return top.select(
+        "token",
+        "exact_count",
+        est.alias("cms_estimate"),
+        (est >= F.col("exact_count")).alias("never_undercounts"),
+    )
+
+
+def _cms_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm.sketch import position_sql
+
+    cells_union = "\nUNION ALL ".join(
+        f"SELECT {i} AS i, {position_sql('token', i, _CMS_W)} AS p FROM toks"
+        for i in range(_CMS_D)
+    )
+    joins = "\n".join(
+        f"JOIN cells c{i} ON c{i}.i = {i} AND c{i}.p = {position_sql('t.token', i, _CMS_W)}"
+        for i in range(_CMS_D)
+    )
+    least = ", ".join(f"c{i}.n" for i in range(_CMS_D))
+    return f"""
+WITH toks AS (
+  SELECT unnest({TOKS_SQL}) AS token
+  FROM (SELECT coalesce(text, '') AS text FROM documents)
+), tf AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+  FROM toks GROUP BY 1
+), top AS (
+  SELECT token, exact_count FROM tf
+  ORDER BY exact_count DESC, token ASC LIMIT {_CMS_TOP}
+), cells AS (
+  SELECT i, p, CAST(count(*) AS BIGINT) AS n
+  FROM ({cells_union}) GROUP BY 1, 2
+)
+SELECT t.token, t.exact_count,
+       least({least}) AS cms_estimate,
+       least({least}) >= t.exact_count AS never_undercounts
+FROM top t
+{joins}
+"""
+
+
+CMS_ORACLE = _cms_oracle()
+
 # Still-deferred candidates (round-14 budget — see the registry
 # ledger); the five promoted rows left this dict for the registry and
 # are now pinned by the driver contract itself.
@@ -622,4 +693,5 @@ CANDIDATES: dict[str, tuple] = {
     "llm_perplexity_buckets": (llm_perplexity_buckets, PPL_BUCKETS_ORACLE),
     "llm_dsir_logweights": (llm_dsir_logweights, DSIR_ORACLE),
     "llm_bloom_decontaminate": (llm_bloom_decontaminate, BLOOM_ORACLE),
+    "llm_cms_token_freq": (llm_cms_token_freq, CMS_ORACLE),
 }

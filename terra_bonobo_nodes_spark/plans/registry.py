@@ -206,17 +206,26 @@ def register(
 # documented 1-row-BNLJ plan-audit allowlist entry when registered),
 # llm_dsir_logweights (ledger-corrected above). All three stay
 # hash-pinned every suite run by tests/test_candidates_oracle.py.
-# A FOURTH candidate was authored late round 13: llm_bloom_decontaminate
-# (llm/bloom.py — Bloom-filter n-gram decontamination, the fixed-memory
-# complement to llm_substring_decontaminate's exact broadcast semi-join;
-# position-set oracle, packed-bits equivalence pinned by
-# tests/test_bloom.py; hash-green at sf0.001 + sf0.01).
+# TWO more candidates were authored late round 13 (both hash-green at
+# sf0.001 + sf0.01 under the driver compare contract):
+# - llm_bloom_decontaminate (llm/bloom.py — Bloom-filter n-gram
+#   decontamination, the fixed-memory complement to
+#   llm_substring_decontaminate's exact broadcast semi-join;
+#   position-set oracle, packed-bits equivalence pinned by
+#   tests/test_bloom.py).
+# - llm_cms_token_freq (llm/sketch.py — Count-Min Sketch heavy
+#   hitters; exact-BIGINT build+estimate replay, never-undercount
+#   guarantee surfaced; tests/test_sketch.py).
 # r14 handoff SIMULATED this round (the standing practice): pretend
 # the first 50 of the current order green as CORRECTNESS_r13 -> r14
-# due cohort = 45, zero never-green, demand with all FOUR deferred
-# promotions = 49 <= 50. Window-wise r14 absorbs all four; each
-# still needs a freed SLOT (capacity is at 144) — four r14
-# merges/retires are the promotion price, same as this round.
+# due cohort = 45, zero never-green, demand with all FIVE deferred
+# promotions = 50 — exactly DRIVER_CAP, zero slack. Promotion rank if
+# r14 prefers slack or frees fewer slots (highest curation-user value
+# first): llm_source_rule_yield, llm_perplexity_buckets,
+# llm_dsir_logweights, llm_bloom_decontaminate, llm_cms_token_freq —
+# defer the tail, never the head. Each promotion still needs a freed
+# SLOT (capacity is at 144): up to five r14 merges/retires, same
+# add-one-retire-one price as this round.
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 

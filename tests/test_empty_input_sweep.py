@@ -28,10 +28,10 @@ from tests.conftest import SF_DIR, TABLES
 # Queries allowed to raise on an empty corpus, with the documented
 # reason. Anything else that raises is a bug.
 EXPECTED_RAISES: dict[str, type[BaseException]] = {
-    # ivf_train: a k-means codebook needs >= 1 vector per cluster; on an
-    # empty corpus it fails fast with a typed error rather than training
-    # a garbage codebook (llm/similarity.py::ivf_train).
-    "llm_ivf_ann_topk": ValueError,
+    # (empty since r13: llm_ivf_ann_topk no longer trains k-means in
+    # its registered row — the one-hot centroids= seam means empty
+    # corpus -> empty result, the better contract; ivf_train's own
+    # typed empty-input error is still pinned in test_round9_fixes.)
 }
 
 

@@ -208,6 +208,58 @@ def test_xml_roundtrip_plans_no_python_eval(spark):
     assert "MapInPandas" not in plan
 
 
+def test_gopher_and_c4_rows_plan_zero_exchange_zero_python(spark):
+    """The two promoted rule-battery rows are scan-speed projections —
+    the registered plan must carry NO exchange and NO Python stage
+    (the property their 100 TB story rests on)."""
+    for name in ("llm_gopher_rules", "llm_c4_line_filter"):
+        q = all_queries()[name]
+        plan = q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, name
+        assert "Python" not in plan and "ArrowEval" not in plan, name
+
+
+def test_url_dedup_row_is_single_aggregate_exchange(spark):
+    """llm_url_dedup_groups: canonicalization is a pure projection; the
+    only exchange is the hash groupBy on the canonical key (partial
+    agg map-side)."""
+    q = all_queries()["llm_url_dedup_groups"]
+    plan = q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_line_dedup_row_exchange_budget(spark):
+    """llm_line_dedup: explode -> winner-election agg -> join-back ->
+    doc regroup -> result join = at most 5 hash exchanges, zero
+    Python, and the winner predicate folded into the join as an
+    equi-key (no NLJ/cartesian — also enforced by the global audit)."""
+    q = all_queries()["llm_line_dedup"]
+    plan = q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 5
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_bloom_probe_candidate_plans_zero_exchange(spark):
+    """The bloom candidate's probe side (corpus scan -> literal-filter
+    membership projection) must stay join-free; only the build side
+    aggregates. Probed through the operator directly (the candidate
+    row includes the build job)."""
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.llm.bloom import flag_bloom_contaminated
+
+    corpus = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    plan = (
+        flag_bloom_contaminated(corpus, [0] * 2048)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
 def test_quality_filter_scoring_plans_no_python_eval(spark):
     """The registered quality-filter row scores in pure Columns
     (sigmoid of a standardized dot unrolled over feature columns) —

@@ -1,0 +1,126 @@
+"""Count-Min Sketch (llm/sketch.py): counters vs a pure-Python
+reference, the never-undercount guarantee, estimate exactness for
+isolated tokens, merge-by-addition, and the zero-exchange estimate
+plan."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from terra_bonobo_nodes_spark.llm.sketch import (
+    _SEED,
+    cms_build,
+    cms_estimate,
+)
+
+D, W = 4, 1 << 12
+
+
+def _py_pos(tok: str, i: int, w: int) -> int:
+    return int(hashlib.md5(f"{_SEED}-{i}-{tok}".encode()).hexdigest()[:8], 16) % w
+
+
+def _py_build(tokens: list[str], d: int, w: int) -> list[list[int]]:
+    counters = [[0] * w for _ in range(d)]
+    for t in tokens:
+        for i in range(d):
+            counters[i][_py_pos(t, i, w)] += 1
+    return counters
+
+
+def _py_estimate(counters, tok: str) -> int:
+    return min(c[_py_pos(tok, i, len(c))] for i, c in enumerate(counters))
+
+
+TOKENS = ["the"] * 50 + ["spark"] * 20 + ["catalyst"] * 7 + ["rare"]
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    df = spark.createDataFrame([(t,) for t in TOKENS], "token string")
+    return cms_build(df, d=D, w=W)
+
+
+def test_counters_match_python_reference(built):
+    assert built == _py_build(TOKENS, D, W)
+
+
+def test_estimates_never_undercount_and_exact_when_isolated(spark, built):
+    """With 4 distinct tokens in 4096 counters, collisions are absent —
+    every estimate is exact; and >= truth holds by construction."""
+    truth = {"the": 50, "spark": 20, "catalyst": 7, "rare": 1, "absent": 0}
+    df = spark.createDataFrame([(t,) for t in truth], "token string")
+    got = {
+        r.token: r.est
+        for r in df.select(
+            "token", cms_estimate("token", built).alias("est")
+        ).collect()
+    }
+    for t, n in truth.items():
+        assert got[t] >= n
+        assert got[t] == _py_estimate(built, t)
+    assert got["the"] == 50 and got["absent"] == 0
+
+
+def test_sketches_merge_by_addition(spark):
+    """CMS of a union == elementwise sum of the parts' sketches — the
+    property that makes per-day / per-partition sketches re-aggregable
+    without touching raw data."""
+    a, b = TOKENS[:40], TOKENS[40:]
+    df_a = spark.createDataFrame([(t,) for t in a], "token string")
+    df_b = spark.createDataFrame([(t,) for t in b], "token string")
+    df_ab = spark.createDataFrame([(t,) for t in TOKENS], "token string")
+    ca, cb = cms_build(df_a, d=2, w=64), cms_build(df_b, d=2, w=64)
+    cab = cms_build(df_ab, d=2, w=64)
+    summed = [[x + y for x, y in zip(ra, rb)] for ra, rb in zip(ca, cb)]
+    assert summed == cab
+
+
+def test_estimate_plans_zero_exchange_zero_python(spark, built):
+    df = spark.createDataFrame([("x",)], "token string")
+    plan = (
+        df.select(cms_estimate("token", built))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["a", "bb", "ccc", "dd dd", "1", "zz"]),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_hypothesis_build_and_estimate_match_reference(spark, tokens):
+    """Small-w sketches (forced collisions) still match the reference
+    exactly — build and estimate are integer-deterministic even when
+    tokens collide."""
+    w = 8
+    ref = _py_build(tokens, 2, w)
+    if tokens:
+        df = spark.createDataFrame([(t,) for t in tokens], "token string")
+        built = cms_build(df, d=2, w=w)
+        assert built == ref
+        qdf = spark.createDataFrame(
+            [(t,) for t in sorted(set(tokens))], "token string"
+        )
+        got = {
+            r.token: r.est
+            for r in qdf.select(
+                "token", cms_estimate("token", built).alias("est")
+            ).collect()
+        }
+        for t in set(tokens):
+            assert got[t] == _py_estimate(ref, t)
+            assert got[t] >= tokens.count(t)
