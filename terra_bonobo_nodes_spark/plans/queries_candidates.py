@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from terra_bonobo_nodes_spark.llm import text
-from terra_bonobo_nodes_spark.llm.urls import canonical_url, canonical_url_sql, url_dedup_groups
+from terra_bonobo_nodes_spark.llm.urls import canonical_url_sql, url_dedup_groups
 from terra_bonobo_nodes_spark.plans.queries_llm import TOKS_SQL
 from terra_bonobo_nodes_spark.plans.registry import register
 from terra_bonobo_nodes_spark.tables import load_table

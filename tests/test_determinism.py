@@ -38,6 +38,11 @@ SENSITIVE = [
     "llm_bm25_keyword_topk",
     "golden_record_part_names",
     "cdc_apply_changes",
+    # round 13: the promoted shuffle-bearing curation rows — line
+    # dedup's min-struct winner election and url dedup's canonical-key
+    # groupBy must not move with partition layout
+    "llm_line_dedup",
+    "llm_url_dedup_groups",
 ]
 
 
