@@ -1,0 +1,122 @@
+"""HTML -> text extraction: step 0 of the crawl-curation chain.
+
+Web crawls arrive as HTML; every downstream operator in ``llm/``
+(c4_line_filter, gopher_rules, line_dedup, dedup) consumes TEXT. This
+module is the WET-grade extraction between the two — deliberately the
+Common-Crawl-WET class of fidelity (strip markup, keep block
+structure as newlines), NOT a browser: good enough that C4/Gopher
+statistics mean what they meant in the papers, cheap enough to run at
+scan speed on 100 TB.
+
+Pipeline (ordered, each a Column ``regexp_replace`` / ``replace`` —
+zero Python, zero shuffles, whole-stage codegen):
+
+1. comments ``<!-- ... -->`` removed (non-greedy, dotall);
+2. ``script`` / ``style`` / ``noscript`` / ``template`` elements
+   removed WITH their content (case-insensitive, non-greedy to the
+   matching close tag);
+3. block-structure boundaries become newlines BEFORE tags are
+   stripped (``<br>``, ``<hr>``, and BOTH openers and closers of
+   p/div/li/ul/ol/h1-6/tr/table/section/article/header/footer/
+   blockquote/pre/dd/dt), so visual lines survive as text lines —
+   the structure c4_line_filter and line_dedup key on;
+4. every remaining tag stripped;
+5. the common named entities decoded as literal replaces, ``&amp;``
+   LAST — single-pass order gives correct HTML semantics
+   (``&amp;lt;`` decodes to the literal text ``&lt;``, not ``<``);
+6. whitespace normalized: intra-line runs collapse to one space,
+   spaces trimmed around newlines, newline runs collapse to ONE
+   newline (paragraph = line; the line-grain consumers drop empties
+   anyway), ends trimmed.
+
+Documented limits (the WET-grade line): an UNCLOSED ``<script>``
+leaks its tail as text (the close tag is the only unambiguous
+boundary); numeric character references (``&#8217;``) pass through
+undecoded (per-match arithmetic needs a callback neither engine's
+``regexp_replace`` has — the mojibake repair table in scrub.py covers
+the common punctuation these encode); CDATA sections in foreign
+content are treated as text. NULL in -> NULL out.
+
+Cross-engine: every pattern stays in the shared Java/RE2 subset
+(inline ``(?is)`` flags, non-greedy ``.*?``, no backrefs), and
+:func:`html_to_text_sql` is the DuckDB mirror — parity pinned by a
+case battery + hypothesis sweep in tests/test_html.py, so a future
+driver row is a registration edit (the canonical_url precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_REMOVED_ELEMENTS = ("script", "style", "noscript", "template")
+_BLOCK_ELEMENTS = (
+    "p|div|li|ul|ol|h[1-6]|tr|table|section|article|header|footer"
+    "|blockquote|pre|dd|dt"
+)
+
+# (pattern, replacement) applied in order; all patterns replace
+# globally on both engines.
+_STEPS: tuple[tuple[str, str], ...] = (
+    (r"(?s)<!--.*?-->", ""),
+    *(
+        (rf"(?is)<{el}\b[^>]*>.*?</{el}\s*>", "")
+        for el in _REMOVED_ELEMENTS
+    ),
+    (
+        rf"(?is)<(?:br|hr)\s*/?>|</?(?:{_BLOCK_ELEMENTS})(?:\s[^>]*)?\s*/?>",
+        "\n",
+    ),
+    (r"(?s)<[^>]*>", ""),
+)
+
+# literal entity decodes, &amp; LAST (module docstring, step 5)
+_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+_WS_STEPS: tuple[tuple[str, str], ...] = (
+    (r"[ \t\x0b\f\r]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n{2,}", "\n"),
+)
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Extract WET-grade text from an HTML column (see module
+    docstring for the exact pipeline and its documented limits)."""
+    c = F.col(html) if isinstance(html, str) else html
+    out = c
+    for pat, repl in _STEPS:
+        out = F.regexp_replace(out, pat, repl)
+    for ent, ch in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    for pat, repl in _WS_STEPS:
+        out = F.regexp_replace(out, pat, repl)
+    # trim spaces AND newlines off both ends (F.trim is space-only)
+    return F.btrim(out, F.lit(" \n"))
+
+
+def html_to_text_sql(expr: str) -> str:
+    """DuckDB SQL mirror of :func:`html_to_text` (oracle pairing).
+    DuckDB string literals are standard-SQL (backslash is literal), so
+    regex patterns embed verbatim apart from quote doubling."""
+    out = expr
+    for pat, repl in _STEPS:
+        p = pat.replace("'", "''")
+        r = repl.replace("\n", "' || chr(10) || '")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    for ent, ch in _ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{ch_sql}')"
+    for pat, repl in _WS_STEPS:
+        r = repl.replace("\n", "' || chr(10) || '")
+        out = f"regexp_replace({out}, '{pat}', '{r}', 'g')"
+    return f"trim({out}, ' ' || chr(10))"
