@@ -12,6 +12,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from terra_bonobo_nodes_spark.llm.dedup import fingerprint_col
+from terra_bonobo_nodes_spark.llm.html import html_to_text
 from terra_bonobo_nodes_spark.llm.scrub import c4_line_filter, line_dedup
 from terra_bonobo_nodes_spark.llm.text import gopher_rules
 from terra_bonobo_nodes_spark.llm.urls import canonical_url
@@ -22,6 +23,9 @@ from terra_bonobo_nodes_spark.streaming.ops import (
 
 GOOD_LINE = "The quick brown fox jumps over the lazy dog with that same old energy of course."
 GOOD = "\n".join([GOOD_LINE] * 4)
+# the same documents as markup: html_to_text must recover GOOD exactly
+# (block <p> boundaries -> the newlines the raw fixture encodes)
+GOOD_HTML = "<html><body>" + "".join(f"<p>{GOOD_LINE}</p>" for _ in range(4)) + "</body></html>"
 
 
 def _write_batches(spark, path):
@@ -88,6 +92,48 @@ def test_stream_curation_matches_batch(spark, tmp_path):
     # variants of docs 1 and 2 to one key
     keys = {r[2] for r in got_rows if r[0] in (1, 2)}
     assert keys == {"https://a.com/x"}
+
+
+def test_html_front_end_streams_and_matches_raw_text(spark, tmp_path):
+    """Step 0 prepended: the SAME curation chain fed HTML through
+    html_to_text produces the raw-text result, batch AND streaming
+    (html_to_text is a stateless projection, so the whole front half
+    stays streaming-safe)."""
+    rows = [
+        (1, GOOD_HTML, "2024-01-01 00:00:00"),
+        (2, "<script>nav()</script><p>enable javascript</p>", "2024-01-01 00:10:00"),
+    ]
+    src = spark.createDataFrame(
+        rows, "doc_id long, html string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "htmldocs")
+    src.coalesce(1).write.parquet(path)
+
+    def chain(df):
+        out = gopher_rules(
+            c4_line_filter(df.withColumn("text", html_to_text("html"))),
+            text_col="c4_text",
+        )
+        return out.select("doc_id", "c4_keep", "g_keep", "c4_text")
+
+    batch = {r.doc_id: r for r in chain(spark.read.parquet(path)).collect()}
+    assert batch[1].c4_keep and batch[1].c4_text == GOOD
+    assert not batch[2].c4_keep  # chrome page: too few kept lines
+
+    stream = chain(
+        spark.readStream.schema(src.schema).parquet(path)
+    )
+    assert stream.isStreaming
+    name = f"hf_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.sql(f"select * from {name}").collect()}
+    assert {
+        (k, v.c4_keep, v.g_keep, v.c4_text) for k, v in got.items()
+    } == {(k, v.c4_keep, v.g_keep, v.c4_text) for k, v in batch.items()}
 
 
 def _write_line_batches(spark, path):
