@@ -904,8 +904,10 @@ def _surface_oracle() -> str:
     (identical double folding), joined on the unique ``event_id``.
     LAEA's lx/ly rename to ax/ay (they collided with Lambert's)."""
     return f"""
-SELECT m.event_id, m.mx, m.my, l.lx, l.ly, u.ux, u.uy,
-       a.lx AS ax, a.ly AS ay, p.px, p.py,
+SELECT m.event_id, m.mx + 0.0 AS mx, m.my + 0.0 AS my,
+       l.lx + 0.0 AS lx, l.ly + 0.0 AS ly,
+       u.ux + 0.0 AS ux, u.uy + 0.0 AS uy,
+       a.lx + 0.0 AS ax, a.ly + 0.0 AS ay, p.px, p.py,
        (l.rt_ok AND u.rt_ok AND a.rt_ok AND p.rt_ok) AS rt_ok
 FROM ({_MERC_ORACLE}) m
 JOIN ({_lambert93_oracle()}) l USING (event_id)
@@ -973,20 +975,25 @@ def g7_transform_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_rt_err("l") < 1e-9) & (_rt_err("u") < 1e-9) & (_rt_err("a") < 1e-9)
         & (p_rt_err < 1e-9)
     )
+    # + 0.0 on EVERY coordinate normalizes IEEE negative zero
+    # (round(-1e-10, 4) is -0.0 in DuckDB, 0.0 in Spark ->
+    # canonicalized-string mismatch). Originally only the polar pair
+    # carried it; the r13 sf0.1 sweep caught web-mercator my = -0 on
+    # 3 of 100K rows (equator-adjacent latitudes sf0.01 never hits),
+    # so all five families normalize on both sides now.
+    z = F.lit(0.0)
     return df.select(
         "event_id",
-        F.round(K.st_x("m_geom"), 4).alias("mx"),
-        F.round(K.st_y("m_geom"), 4).alias("my"),
-        F.round(K.st_x("l_geom"), 4).alias("lx"),
-        F.round(K.st_y("l_geom"), 4).alias("ly"),
-        F.round(K.st_x("u_geom"), 4).alias("ux"),
-        F.round(K.st_y("u_geom"), 4).alias("uy"),
-        F.round(K.st_x("a_geom"), 4).alias("ax"),
-        F.round(K.st_y("a_geom"), 4).alias("ay"),
-        # + 0.0 normalizes IEEE negative zero (round(-1e-10, 4) is -0.0
-        # in DuckDB, 0.0 in Spark -> canonicalized-string mismatch)
-        (F.round(K.st_x("p_geom"), 4) + F.lit(0.0)).alias("px"),
-        (F.round(K.st_y("p_geom"), 4) + F.lit(0.0)).alias("py"),
+        (F.round(K.st_x("m_geom"), 4) + z).alias("mx"),
+        (F.round(K.st_y("m_geom"), 4) + z).alias("my"),
+        (F.round(K.st_x("l_geom"), 4) + z).alias("lx"),
+        (F.round(K.st_y("l_geom"), 4) + z).alias("ly"),
+        (F.round(K.st_x("u_geom"), 4) + z).alias("ux"),
+        (F.round(K.st_y("u_geom"), 4) + z).alias("uy"),
+        (F.round(K.st_x("a_geom"), 4) + z).alias("ax"),
+        (F.round(K.st_y("a_geom"), 4) + z).alias("ay"),
+        (F.round(K.st_x("p_geom"), 4) + z).alias("px"),
+        (F.round(K.st_y("p_geom"), 4) + z).alias("py"),
         rt_ok.alias("rt_ok"),
     )
 
