@@ -9,8 +9,9 @@ join-free probe — the classic production shape when the blocklist /
 benchmark side is large (Bloom 1970, public):
 
 - **build**: every benchmark word n-gram sets ``k`` bits of an
-  ``m``-bit filter (positions = independent md5-derived hashes mod
-  ``m``). The build is distributed — explode shingles, explode the k
+  ``m``-bit filter (positions = the k 32-bit slices of ONE md5
+  digest, mod ``m`` — so a shingle costs one digest, not k; k <= 4).
+  The build is distributed — explode shingles, explode the k
   positions, distinct, pack ``32`` bits per word with a ``bit_or``
   aggregate — and collects only the packed words (``m/32`` BIGINTs:
   16 KiB at the default ``m = 2^16``). That bounded collect IS the
@@ -25,10 +26,10 @@ False positives: rate ≈ (1 - e^(-k·n/m))^k for n distinct benchmark
 n-grams — choose ``m`` ≈ 10-15 bits per benchmark n-gram for <1%.
 False negatives: none (every benchmark n-gram's bits are set).
 
-Cross-engine contract: positions come from the md5-based
-:func:`hashing.hash32` family (NOT the engines' divergent native
-hashes), so a DuckDB oracle replays the SAME positions and verifies
-membership through the equivalent position-SET formulation; the
+Cross-engine contract: positions are slices of one md5 digest per
+shingle (md5 is identical in both engines; their native hash()/
+xxhash64 diverge), so a DuckDB oracle replays the SAME positions and
+verifies membership through the equivalent position-SET formulation; the
 packed-bits-vs-position-set equivalence is pinned by pytest
 (tests/test_bloom.py). Bit masks use 32 bits per BIGINT word so the
 ``2^bit`` mask is exactly representable as a double on both engines.
@@ -43,20 +44,37 @@ from terra_bonobo_nodes_spark.llm import hashing
 
 _SEED = "tbns-bloom-v1"
 _BITS_PER_WORD = 32
+# k positions come from ONE md5 digest sliced into 8-hex-char windows
+# (md5 has 32 hex chars = 4 independent 32-bit slices; k <= 4) — the
+# Kirsch-Mitzenmacher-style derivation that makes the per-shingle
+# hash cost ONE digest instead of k (md5-per-shingle is the dominant
+# probe cost; measured 3x on the sf0.1 candidate row). Still exactly
+# mirrorable: DuckDB slices the same digest.
+_MAX_K = 4
 
 
-def _position(shingle: Column, i: int, m_bits: int) -> Column:
-    """Hash ``i`` of a shingle -> bit position in [0, m_bits)."""
+def _digest(shingle: Column) -> Column:
+    return F.md5(F.concat(F.lit(f"{_SEED}-"), shingle))
+
+
+def _position_from(digest: Column, i: int, m_bits: int) -> Column:
+    """Slice ``i`` of the shared digest -> bit position in [0, m_bits)."""
     return F.pmod(
-        hashing.hash32(F.concat(F.lit(f"{_SEED}-{i}-"), shingle)),
+        F.conv(F.substring(digest, 1 + 8 * i, 8), 16, 10).cast("bigint"),
         F.lit(m_bits),
     )
 
 
+def _position(shingle: Column, i: int, m_bits: int) -> Column:
+    return _position_from(_digest(shingle), i, m_bits)
+
+
 def position_sql(expr: str, i: int, m_bits: int) -> str:
     """DuckDB fragment matching :func:`_position`."""
-    seeded = f"'{_SEED}-{i}-' || {expr}"
-    return f"({hashing.hash32_sql(seeded)} % {m_bits})"
+    digest = f"md5('{_SEED}-' || {expr})"
+    return (
+        f"(('0x' || substr({digest}, {1 + 8 * i}, 8))::BIGINT % {m_bits})"
+    )
 
 
 def build_bloom_bits(
@@ -76,12 +94,16 @@ def build_bloom_bits(
     """
     if m_bits % _BITS_PER_WORD:
         raise ValueError(f"m_bits must be a multiple of {_BITS_PER_WORD}")
+    if not 1 <= k <= _MAX_K:
+        raise ValueError(f"k must be in [1, {_MAX_K}] (one md5 digest)")
     grams = bench.select(
         F.explode(hashing.word_shingles(F.col(text_col), n)).alias("_s")
     )
-    pos = grams.select(
+    # one digest per shingle, k positions sliced from it
+    digests = grams.select(_digest(F.col("_s")).alias("_dg"))
+    pos = digests.select(
         F.explode(
-            F.array(*[_position(F.col("_s"), i, m_bits) for i in range(k)])
+            F.array(*[_position_from(F.col("_dg"), i, m_bits) for i in range(k)])
         ).alias("_p")
     ).distinct()
     packed = (
@@ -101,13 +123,15 @@ def build_bloom_bits(
     return words
 
 
-def _member(sh: Column, bits_lit: Column, m_bits: int, k: int) -> Column:
-    """True iff all k bits for this shingle are set in the literal
-    packed array (1-based element_at; mask = 2^bit exact in double
-    for bit < 32)."""
+def _member_from_digest(
+    dg: Column, bits_lit: Column, m_bits: int, k: int
+) -> Column:
+    """True iff all k bits for this shingle's digest are set in the
+    literal packed array (1-based element_at; mask = 2^bit exact in
+    double for bit < 32)."""
     test = None
     for i in range(k):
-        p = _position(sh, i, m_bits)
+        p = _position_from(dg, i, m_bits)
         word = F.element_at(
             bits_lit, F.floor(p / _BITS_PER_WORD).cast("int") + 1
         )
@@ -134,10 +158,17 @@ def flag_bloom_contaminated(
     rides the plan as one array literal, so the probe plans with zero
     exchanges and zero Python — the shape that holds at 100 TB where
     the exact semi-join's broadcast would track benchmark size."""
+    if not 1 <= k <= _MAX_K:
+        raise ValueError(f"k must be in [1, {_MAX_K}] (one md5 digest)")
     m_bits = len(bloom_bits) * _BITS_PER_WORD
     bits_lit = F.lit(bloom_bits)
     grams = hashing.word_shingles(F.col(text_col), n)
-    hits = F.filter(grams, lambda s: _member(s, bits_lit, m_bits, k))
+    # transform to digests FIRST so each shingle pays exactly one md5
+    # regardless of codegen subexpression elimination
+    digests = F.transform(grams, _digest)
+    hits = F.filter(
+        digests, lambda d: _member_from_digest(d, bits_lit, m_bits, k)
+    )
     return corpus.withColumns(
         {
             f"{prefix}n_ngrams": F.size(grams).cast("long"),

@@ -8,7 +8,8 @@ counters — constant memory, mergeable across partitions/days by plain
 addition, never undercounting:
 
 - **build**: every token occurrence increments one counter per hash
-  row (position = md5-derived hash_i(token) mod w). Distributed as
+  row (row i's position = the i-th 32-bit slice of ONE md5 digest of
+  the token, mod w — one digest per token, not d; d <= 4). Distributed as
   explode-to-(row, position) + ONE count aggregate on (row, position)
   keys (bounded key space: d*w), then a bounded collect of the d*w
   counters (128 KiB at the default 4 x 4096 BIGINTs) — the
@@ -19,8 +20,8 @@ addition, never undercounting:
   (deterministically, not probabilistically); overestimate is bounded
   by ~2N/w per row with high probability.
 
-Cross-engine contract: positions come from the md5
-:func:`hashing.hash32` family and every quantity is an exact BIGINT,
+Cross-engine contract: positions are md5-digest slices (identical in
+both engines) and every quantity is an exact BIGINT,
 so a DuckDB oracle replays build AND estimate bit-for-bit — no float
 anywhere (the cleanest oracle class in the repo).
 """
@@ -30,21 +31,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from terra_bonobo_nodes_spark.llm import hashing
-
 _SEED = "tbns-cms-v1"
+# the d rows address via the d 32-bit slices of ONE md5 digest per
+# token (d <= 4) — one digest instead of d, same trick as llm/bloom.py
+_MAX_D = 4
 
 
-def _position(token: Column, i: int, w: int) -> Column:
+def _digest(token: Column) -> Column:
+    return F.md5(F.concat(F.lit(f"{_SEED}-"), token))
+
+
+def _position_from(digest: Column, i: int, w: int) -> Column:
     return F.pmod(
-        hashing.hash32(F.concat(F.lit(f"{_SEED}-{i}-"), token)), F.lit(w)
+        F.conv(F.substring(digest, 1 + 8 * i, 8), 16, 10).cast("bigint"),
+        F.lit(w),
     )
 
 
 def position_sql(expr: str, i: int, w: int) -> str:
-    """DuckDB fragment matching :func:`_position`."""
-    seeded = f"'{_SEED}-{i}-' || {expr}"
-    return f"({hashing.hash32_sql(seeded)} % {w})"
+    """DuckDB fragment matching :func:`_position_from` over the shared
+    per-token digest."""
+    digest = f"md5('{_SEED}-' || {expr})"
+    return f"(('0x' || substr({digest}, {1 + 8 * i}, 8))::BIGINT % {w})"
 
 
 def cms_build(
@@ -59,13 +67,16 @@ def cms_build(
     — at most ``d*w`` of them regardless of corpus size; counting runs
     distributed with map-side partial aggregation on the bounded
     (row, position) key space."""
-    cells = tokens.select(
+    if not 1 <= d <= _MAX_D:
+        raise ValueError(f"d must be in [1, {_MAX_D}] (one md5 digest)")
+    digests = tokens.select(_digest(F.col(token_col)).alias("_dg"))
+    cells = digests.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("i"),
-                        _position(F.col(token_col), i, w).alias("p"),
+                        _position_from(F.col("_dg"), i, w).alias("p"),
                     )
                     for i in range(d)
                 ]
@@ -91,8 +102,11 @@ def cms_estimate(
     (1-based element_at). estimate >= true count always."""
     c = F.col(token) if isinstance(token, str) else token
     d, w = len(counters), len(counters[0])
+    dg = _digest(c)
     ests = [
-        F.element_at(F.lit(counters[i]), _position(c, i, w).cast("int") + 1)
+        F.element_at(
+            F.lit(counters[i]), _position_from(dg, i, w).cast("int") + 1
+        )
         for i in range(d)
     ]
     return F.least(*ests)

@@ -38,10 +38,8 @@ def _py_shingles(s: str, n: int) -> list[str]:
 
 
 def _py_positions(sh: str, m: int, k: int) -> list[int]:
-    return [
-        int(hashlib.md5(f"{_SEED}-{i}-{sh}".encode()).hexdigest()[:8], 16) % m
-        for i in range(k)
-    ]
+    h = hashlib.md5(f"{_SEED}-{sh}".encode()).hexdigest()
+    return [int(h[8 * i : 8 * i + 8], 16) % m for i in range(k)]
 
 
 def _py_member(bits: list[int], sh: str, m: int, k: int) -> bool:

@@ -23,7 +23,8 @@ D, W = 4, 1 << 12
 
 
 def _py_pos(tok: str, i: int, w: int) -> int:
-    return int(hashlib.md5(f"{_SEED}-{i}-{tok}".encode()).hexdigest()[:8], 16) % w
+    h = hashlib.md5(f"{_SEED}-{tok}".encode()).hexdigest()
+    return int(h[8 * i : 8 * i + 8], 16) % w
 
 
 def _py_build(tokens: list[str], d: int, w: int) -> list[list[int]]:
