@@ -44,37 +44,25 @@ from terra_bonobo_nodes_spark.llm import hashing
 
 _SEED = "tbns-bloom-v1"
 _BITS_PER_WORD = 32
-# k positions come from ONE md5 digest sliced into 8-hex-char windows
-# (md5 has 32 hex chars = 4 independent 32-bit slices; k <= 4) — the
-# Kirsch-Mitzenmacher-style derivation that makes the per-shingle
-# hash cost ONE digest instead of k (md5-per-shingle is the dominant
-# probe cost; measured 3x on the sf0.1 candidate row). Still exactly
-# mirrorable: DuckDB slices the same digest.
-_MAX_K = 4
+# k bit positions = the k 32-bit slices of ONE md5 digest per shingle
+# (hashing.seeded_digest/digest_slice — shared with llm/sketch.py so
+# the cross-engine slice math exists once); md5-per-shingle is the
+# dominant probe cost, so one digest instead of k is the 3x lever.
+_MAX_K = hashing.DIGEST_SLICES
 
 
 def _digest(shingle: Column) -> Column:
-    return F.md5(F.concat(F.lit(f"{_SEED}-"), shingle))
+    return hashing.seeded_digest(shingle, _SEED)
 
 
 def _position_from(digest: Column, i: int, m_bits: int) -> Column:
     """Slice ``i`` of the shared digest -> bit position in [0, m_bits)."""
-    return F.pmod(
-        F.conv(F.substring(digest, 1 + 8 * i, 8), 16, 10).cast("bigint"),
-        F.lit(m_bits),
-    )
-
-
-def _position(shingle: Column, i: int, m_bits: int) -> Column:
-    return _position_from(_digest(shingle), i, m_bits)
+    return hashing.digest_slice(digest, i, m_bits)
 
 
 def position_sql(expr: str, i: int, m_bits: int) -> str:
-    """DuckDB fragment matching :func:`_position`."""
-    digest = f"md5('{_SEED}-' || {expr})"
-    return (
-        f"(('0x' || substr({digest}, {1 + 8 * i}, 8))::BIGINT % {m_bits})"
-    )
+    """DuckDB fragment matching the position derivation."""
+    return hashing.digest_slice_sql(expr, _SEED, i, m_bits)
 
 
 def build_bloom_bits(
@@ -99,13 +87,21 @@ def build_bloom_bits(
     grams = bench.select(
         F.explode(hashing.word_shingles(F.col(text_col), n)).alias("_s")
     )
-    # one digest per shingle, k positions sliced from it
-    digests = grams.select(_digest(F.col("_s")).alias("_dg"))
+    # one digest per shingle, k positions sliced from it. A NULL text
+    # row shingles to [NULL] -> NULL digest: dropped here (a NULL
+    # n-gram can never be probed for — the probe side's NULL digests
+    # fail membership the same way), instead of crashing the packing
+    # loop with a NULL position. No .distinct(): bit_or packing is
+    # idempotent, so deduplicating positions first would only add a
+    # second shuffle for the identical filter.
+    digests = grams.select(_digest(F.col("_s")).alias("_dg")).where(
+        F.col("_dg").isNotNull()
+    )
     pos = digests.select(
         F.explode(
             F.array(*[_position_from(F.col("_dg"), i, m_bits) for i in range(k)])
         ).alias("_p")
-    ).distinct()
+    )
     packed = (
         pos.select(
             F.floor(F.col("_p") / _BITS_PER_WORD).cast("int").alias("_w"),

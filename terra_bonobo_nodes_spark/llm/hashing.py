@@ -207,6 +207,36 @@ def word_shingles_sql(expr: str, n: int) -> str:
 # inverted explode + groupBy-aggregate formulation instead.
 
 
+# --- multi-position digest slicing (Bloom / Count-Min) ----------------------
+# One md5 digest per key, its four 8-hex-char windows used as up to 4
+# independent 32-bit hashes (Kirsch-Mitzenmacher-style derivation):
+# the sketch operators pay ONE digest per key instead of k/d. Shared
+# here so the cross-engine-critical slice-and-mod arithmetic and its
+# DuckDB mirror exist exactly once (llm/bloom.py and llm/sketch.py
+# both consume these with their own seeds).
+
+DIGEST_SLICES = 4  # md5 = 32 hex chars = 4 x 8-hex 32-bit windows
+
+
+def seeded_digest(c: Column, seed: str) -> Column:
+    """md5 hex digest of ``seed + '-' + value`` (NULL in -> NULL out)."""
+    return F.md5(F.concat(F.lit(f"{seed}-"), c))
+
+
+def digest_slice(digest: Column, i: int, mod: int) -> Column:
+    """32-bit slice ``i`` (0..3) of an md5 hex digest, mod ``mod``."""
+    return F.pmod(
+        F.conv(F.substring(digest, 1 + 8 * i, 8), 16, 10).cast("bigint"),
+        F.lit(mod),
+    )
+
+
+def digest_slice_sql(expr: str, seed: str, i: int, mod: int) -> str:
+    """DuckDB fragment matching ``digest_slice(seeded_digest(expr))``."""
+    digest = f"md5('{seed}-' || {expr})"
+    return f"(('0x' || substr({digest}, {1 + 8 * i}, 8))::BIGINT % {mod})"
+
+
 def band_hash(sig: Column, band: int, rows_per_band: int) -> Column:
     """md5 of one signature band (rows_per_band consecutive components)."""
     piece = F.slice(sig, band * rows_per_band + 1, rows_per_band)

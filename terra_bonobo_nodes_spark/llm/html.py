@@ -17,8 +17,9 @@ zero Python, zero shuffles, whole-stage codegen):
    matching close tag);
 3. block-structure boundaries become newlines BEFORE tags are
    stripped (``<br>``, ``<hr>``, and BOTH openers and closers of
-   p/div/li/ul/ol/h1-6/tr/table/section/article/header/footer/
-   blockquote/pre/dd/dt), so visual lines survive as text lines —
+   p/div/li/ul/ol/h1-6/tr/td/th/caption/table/section/article/
+   header/footer/blockquote/pre/dd/dt — cells included, so adjacent
+   table cells never concatenate into one word), so visual lines survive as text lines —
    the structure c4_line_filter and line_dedup key on;
 4. every remaining tag stripped;
 5. the common named entities decoded as literal replaces, ``&amp;``
@@ -51,8 +52,8 @@ from pyspark.sql import functions as F
 
 _REMOVED_ELEMENTS = ("script", "style", "noscript", "template")
 _BLOCK_ELEMENTS = (
-    "p|div|li|ul|ol|h[1-6]|tr|table|section|article|header|footer"
-    "|blockquote|pre|dd|dt"
+    "p|div|li|ul|ol|h[1-6]|tr|td|th|caption|table|section|article"
+    "|header|footer|blockquote|pre|dd|dt"
 )
 
 # (pattern, replacement) applied in order; all patterns replace

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from terra_bonobo_nodes_spark.llm.text import tokens
+from terra_bonobo_nodes_spark.llm.text import nonempty_trimmed_lines, tokens
 
 # name -> portable pattern. Order matters for redaction: emails first
 # (their local part may contain digit runs), then IPs (dotted digit
@@ -404,11 +404,7 @@ def line_dedup(
     exchange left is the final id-grain regroup, keyed by document id
     (uniform by construction).
     """
-    src = F.coalesce(F.col(text_col), F.lit(""))
-    lines_arr = F.filter(
-        F.transform(F.split(src, "\n", -1), lambda l: F.trim(l)),
-        lambda l: F.length(l) > 0,
-    )
+    lines_arr = nonempty_trimmed_lines(F.coalesce(F.col(text_col), F.lit("")))
     ex = df.select(F.col(id_col), F.posexplode(lines_arr).alias("_pos", "_line"))
     winners = ex.groupBy("_line").agg(
         F.min(F.struct(id_col, "_pos")).alias("_w")

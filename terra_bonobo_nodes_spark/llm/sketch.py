@@ -31,28 +31,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from terra_bonobo_nodes_spark.llm import hashing
+
 _SEED = "tbns-cms-v1"
 # the d rows address via the d 32-bit slices of ONE md5 digest per
-# token (d <= 4) — one digest instead of d, same trick as llm/bloom.py
-_MAX_D = 4
+# token (hashing.seeded_digest/digest_slice — shared with llm/bloom.py
+# so the cross-engine slice math exists once)
+_MAX_D = hashing.DIGEST_SLICES
 
 
 def _digest(token: Column) -> Column:
-    return F.md5(F.concat(F.lit(f"{_SEED}-"), token))
+    return hashing.seeded_digest(token, _SEED)
 
 
 def _position_from(digest: Column, i: int, w: int) -> Column:
-    return F.pmod(
-        F.conv(F.substring(digest, 1 + 8 * i, 8), 16, 10).cast("bigint"),
-        F.lit(w),
-    )
+    return hashing.digest_slice(digest, i, w)
 
 
 def position_sql(expr: str, i: int, w: int) -> str:
     """DuckDB fragment matching :func:`_position_from` over the shared
     per-token digest."""
-    digest = f"md5('{_SEED}-' || {expr})"
-    return f"(('0x' || substr({digest}, {1 + 8 * i}, 8))::BIGINT % {w})"
+    return hashing.digest_slice_sql(expr, _SEED, i, w)
 
 
 def cms_build(
@@ -69,7 +68,12 @@ def cms_build(
     (row, position) key space."""
     if not 1 <= d <= _MAX_D:
         raise ValueError(f"d must be in [1, {_MAX_D}] (one md5 digest)")
-    digests = tokens.select(_digest(F.col(token_col)).alias("_dg"))
+    # NULL tokens digest to NULL: dropped (a NULL can never be
+    # estimated — cms_estimate(NULL) is NULL) instead of crashing the
+    # counter-filling loop with a NULL position
+    digests = tokens.select(_digest(F.col(token_col)).alias("_dg")).where(
+        F.col("_dg").isNotNull()
+    )
     cells = digests.select(
         F.explode(
             F.array(
@@ -102,6 +106,12 @@ def cms_estimate(
     (1-based element_at). estimate >= true count always."""
     c = F.col(token) if isinstance(token, str) else token
     d, w = len(counters), len(counters[0])
+    if not 1 <= d <= _MAX_D:
+        raise ValueError(
+            f"d must be in [1, {_MAX_D}] (one md5 digest) — got {d} "
+            "counter rows; estimates beyond the digest's slices would "
+            "silently use only the first 4"
+        )
     dg = _digest(c)
     ests = [
         F.element_at(

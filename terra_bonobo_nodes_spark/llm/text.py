@@ -34,6 +34,22 @@ def tokens(text: Column | str) -> Column:
     )
 
 
+def nonempty_trimmed_lines(text: Column | str) -> Column:
+    """Non-empty trimmed lines of a text column — THE line grain every
+    line-level operator keys on (gopher_rules' line flags,
+    scrub.line_dedup, streaming line_dedup_stream), defined once so
+    batch and stream can never disagree about what a line is.
+
+    NOT ``F.transform(..., F.trim)``: trim(col, trim=None) is binary,
+    so transform would feed it (element, index) and strip index digits
+    from every line (the round-12 hypothesis-sweep bug)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.transform(F.split(c, "\n", -1), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+
+
 def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
     """Whitespace/punct token count (the BPE-ish regex tokenizer's
     sequence length upper bound)."""
@@ -210,12 +226,7 @@ def gopher_rules(
     n_ellipsis = F.regexp_count(c, F.lit(r"\.\.\.|…")).cast("double")
     hash_ratio = F.when(n > 0, n_hash / nd).otherwise(F.lit(0.0))
     ellipsis_ratio = F.when(n > 0, n_ellipsis / nd).otherwise(F.lit(0.0))
-    # NOT `F.transform(..., F.trim)`: trim(col, trim=None) is binary, so
-    # transform would feed it (element, index) and strip index digits.
-    lines = F.filter(
-        F.transform(F.split(c, "\n", -1), lambda l: F.trim(l)),
-        lambda l: F.length(l) > 0,
-    )
+    lines = nonempty_trimmed_lines(c)
     n_lines = F.size(lines).cast("double")
     bullet_lines = F.size(
         F.filter(lines, lambda l: l.rlike("^[-*•]"))

@@ -209,11 +209,11 @@ def line_dedup_stream(
     ``line_dedup`` at this grain (corpus-level first occurrence), so
     batch callers get CCNet semantics from the identical call.
     """
-    src = F.coalesce(F.col(text_col), F.lit(""))
-    lines_arr = F.filter(
-        F.transform(F.split(src, "\n", -1), lambda l: F.trim(l)),
-        lambda l: F.length(l) > 0,
-    )
+    from terra_bonobo_nodes_spark.llm.text import nonempty_trimmed_lines
+
+    # the SAME line grain as scrub.line_dedup (shared helper) so batch
+    # and stream can never disagree about what a line is
+    lines_arr = nonempty_trimmed_lines(F.coalesce(F.col(text_col), F.lit("")))
     ex = df.select(
         F.col(id_col),
         F.col(ts_col),

@@ -69,12 +69,12 @@ def test_front_end_chain_matches_composed_oracles(spark):
     )
     scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
 
-    # DuckDB: extraction mirror feeds the SAME oracle SQL the driver
-    # rows use, re-based onto the extracted relation. The gopher
-    # mirror must read the C4-CLEANED text (text_col="c4_text" above),
-    # so the c4 oracle runs first and its c4_text becomes gopher's
-    # input — string surgery on the registered oracles keeps the three
-    # forms from drifting.
+    # DuckDB: the extraction mirror feeds the SAME oracle SQL the
+    # driver rows use, re-based onto the extracted relation — BOTH
+    # batteries read the extracted text (matching the Spark chain
+    # above: gopher_rules' default text_col="text"), so the mirrors
+    # and the operators compose identically; string surgery on the
+    # registered oracles keeps the forms from drifting.
     con = duckdb.connect()
     synth = _synth_sql(SF_DIR)
     extract_sql = (
@@ -106,7 +106,7 @@ FROM g JOIN c4r ON c4r.doc_id = g.doc_id
     # and the chain did real work: gopher counted the EXTRACTED words
     # (markup gone — the testdata word-soup has no terminal
     # punctuation, so C4 keeping zero lines is the correct verdict for
-    # every page, and gopher ran on that empty c4_text), while feeding
+    # every page, and gopher read the full extracted text), while feeding
     # the raw markup through the rules directly trips the markup flags
     raw = c4_line_filter(_synth_html(spark), text_col="html")
     ext_words = _synth_html(spark).select(

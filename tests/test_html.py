@@ -50,6 +50,11 @@ BATTERY = [
         "<!-- nav -->a<br>b<hr/>c<ul><li>x</li><li>y</li></ul>",
         "a\nb\nc\nx\ny",
     ),
+    # table cells are block boundaries: adjacent cells never glue
+    (
+        "<table><tr><td>Alpha</td><td>Beta</td></tr><tr><th>H</th></tr></table>",
+        "Alpha\nBeta\nH",
+    ),
     # entity decode order: &amp;lt; is the literal text '&lt;'
     ("5 &lt; 6 &amp;&amp; 7 &gt; 2", "5 < 6 && 7 > 2"),
     ("write &amp;lt; for a literal", "write &lt; for a literal"),
