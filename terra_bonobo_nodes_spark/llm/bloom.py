@@ -134,7 +134,11 @@ def _member_from_digest(
         mask = F.pow(F.lit(2.0), p % _BITS_PER_WORD).cast("bigint")
         hit = word.bitwiseAND(mask) != 0
         test = hit if test is None else (test & hit)
-    return test
+    # explicit NULL guard (a NULL-text row shingles to [NULL]):
+    # element_at with a NULL index does NOT reliably return NULL
+    # (observed returning the last element), so a NULL digest must
+    # fail membership outright rather than ride NULL propagation
+    return dg.isNotNull() & test
 
 
 def flag_bloom_contaminated(

@@ -119,4 +119,7 @@ def cms_estimate(
         )
         for i in range(d)
     ]
-    return F.least(*ests)
+    # explicit NULL guard: element_at with a NULL index does NOT
+    # reliably return NULL (observed returning the last element), so a
+    # NULL token must short-circuit to a NULL estimate here
+    return F.when(c.isNotNull(), F.least(*ests))

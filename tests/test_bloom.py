@@ -157,3 +157,16 @@ def test_hypothesis_probe_matches_python_reference(spark, bits, texts):
 def test_build_rejects_bad_width():
     with pytest.raises(ValueError, match="multiple"):
         build_bloom_bits(None, m_bits=100)
+
+
+def test_build_tolerates_null_text_rows(spark):
+    """A NULL text row digests to NULL and is dropped from the build
+    (review regression: it used to crash the packing loop with a NULL
+    position) — the filter equals the one built without the row."""
+    clean = spark.createDataFrame([(0, BENCH_TEXTS[0])], "doc_id long, text string")
+    noisy = spark.createDataFrame(
+        [(0, BENCH_TEXTS[0]), (1, None)], "doc_id long, text string"
+    )
+    assert build_bloom_bits(noisy, n=N, m_bits=M, k=K) == build_bloom_bits(
+        clean, n=N, m_bits=M, k=K
+    )

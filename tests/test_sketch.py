@@ -83,6 +83,23 @@ def test_sketches_merge_by_addition(spark):
     assert summed == cab
 
 
+def test_build_tolerates_null_tokens_and_estimate_null_is_null(spark):
+    """NULL tokens drop from the build (review regression: NULL
+    position used to crash counter filling); estimating a NULL token
+    yields NULL, and a 5-row counter table is rejected like cms_build
+    rejects d=5."""
+    noisy = spark.createDataFrame(
+        [("a",), (None,), ("a",)], "token string"
+    )
+    clean = spark.createDataFrame([("a",), ("a",)], "token string")
+    assert cms_build(noisy, d=2, w=64) == cms_build(clean, d=2, w=64)
+    built = cms_build(clean, d=2, w=64)
+    df = spark.createDataFrame([(None,)], "token string")
+    assert df.select(cms_estimate("token", built).alias("e")).collect()[0]["e"] is None
+    with pytest.raises(ValueError, match="counter rows"):
+        cms_estimate("token", [[0] * 8] * 5)
+
+
 def test_estimate_plans_zero_exchange_zero_python(spark, built):
     df = spark.createDataFrame([("x",)], "token string")
     plan = (
