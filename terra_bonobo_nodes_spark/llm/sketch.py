@@ -54,23 +54,22 @@ def position_sql(expr: str, i: int, w: int) -> str:
     return hashing.digest_slice_sql(expr, _SEED, i, w)
 
 
-def cms_build(
+def cms_cells(
     tokens: DataFrame,
     token_col: str = "token",
     d: int = 4,
     w: int = 1 << 12,
-) -> list[list[int]]:
-    """Build the sketch from a token-occurrence DataFrame (one row per
-    occurrence). Returns ``d`` rows of ``w`` BIGINT counters. The only
-    driver-side materialization is the (row, position, count) triples
-    — at most ``d*w`` of them regardless of corpus size; counting runs
-    distributed with map-side partial aggregation on the bounded
-    (row, position) key space."""
+) -> DataFrame:
+    """The sketch's distributed body: (i, p, n) counter cells from a
+    token-occurrence DataFrame. Runs UNCHANGED over a readStream —
+    the aggregation's key space is BOUNDED at d*w by construction, so
+    complete-output-mode streaming state is constant-size regardless
+    of corpus/vocabulary growth (the property that makes CMS the
+    streaming-frequency primitive; pinned batch==stream by
+    tests/test_sketch.py). NULL tokens digest to NULL and are dropped
+    (a NULL can never be estimated — cms_estimate(NULL) is NULL)."""
     if not 1 <= d <= _MAX_D:
         raise ValueError(f"d must be in [1, {_MAX_D}] (one md5 digest)")
-    # NULL tokens digest to NULL: dropped (a NULL can never be
-    # estimated — cms_estimate(NULL) is NULL) instead of crashing the
-    # counter-filling loop with a NULL position
     digests = tokens.select(_digest(F.col(token_col)).alias("_dg")).where(
         F.col("_dg").isNotNull()
     )
@@ -87,11 +86,24 @@ def cms_build(
             )
         ).alias("c")
     )
-    rows = (
-        cells.groupBy("c.i", "c.p")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
+    return cells.groupBy(
+        F.col("c.i").alias("i"), F.col("c.p").alias("p")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def cms_build(
+    tokens: DataFrame,
+    token_col: str = "token",
+    d: int = 4,
+    w: int = 1 << 12,
+) -> list[list[int]]:
+    """Build the sketch from a token-occurrence DataFrame (one row per
+    occurrence). Returns ``d`` rows of ``w`` BIGINT counters. The only
+    driver-side materialization is :func:`cms_cells`' (row, position,
+    count) triples — at most ``d*w`` of them regardless of corpus
+    size; counting runs distributed with map-side partial aggregation
+    on the bounded (row, position) key space."""
+    rows = cms_cells(tokens, token_col, d, w).collect()
     counters = [[0] * w for _ in range(d)]
     for r in rows:
         counters[r["i"]][r["p"]] = r["n"]

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from terra_bonobo_nodes_spark.llm.sketch import (
     _SEED,
     cms_build,
+    cms_cells,
     cms_estimate,
 )
 
@@ -142,3 +143,45 @@ def test_hypothesis_build_and_estimate_match_reference(spark, tokens):
         for t in set(tokens):
             assert got[t] == _py_estimate(ref, t)
             assert got[t] >= tokens.count(t)
+
+
+def test_cells_aggregate_streams_complete_mode(spark, tmp_path):
+    """The sketch's distributed body runs unchanged over a readStream:
+    the (i, p) key space is bounded at d*w by construction, so the
+    complete-mode aggregation state is constant-size — final streamed
+    counters equal the batch build exactly."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tokens")
+    df = spark.createDataFrame([(t,) for t in TOKENS], "token string")
+    df.where(F.length("token") > 3).coalesce(1).write.mode("overwrite").parquet(path)
+    df.where(F.length("token") <= 3).coalesce(1).write.mode("append").parquet(path)
+
+    stream = cms_cells(
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path),
+        d=2,
+        w=64,
+    )
+    assert stream.isStreaming
+    name = f"cms_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["i"], r["p"]): r["n"]
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    want = {
+        (r["i"], r["p"]): r["n"]
+        for r in cms_cells(spark.read.parquet(path), d=2, w=64).collect()
+    }
+    assert got == want
