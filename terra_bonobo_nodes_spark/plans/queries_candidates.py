@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from terra_bonobo_nodes_spark.llm import text
+from terra_bonobo_nodes_spark.llm import selfdedup, text
 from terra_bonobo_nodes_spark.llm.urls import canonical_url_sql, url_dedup_groups
 from terra_bonobo_nodes_spark.plans.queries_llm import TOKS_SQL
 from terra_bonobo_nodes_spark.plans.registry import register
@@ -685,6 +685,58 @@ FROM top t
 
 CMS_ORACLE = _cms_oracle()
 
+
+# --- llm_exact_substring_spans (authored round 13, r14 candidate #6) ---------
+# ExactSubstr self-dedup (Lee et al. 2022) over documents with planted
+# duplication: ~2/7 of docs share a 12-token boilerplate tail (cross-
+# document spans), docs with doc_id % 11 == 0 carry an internally
+# repeated phrase (within-document duplication), and the natural
+# small-vocabulary corpus supplies background duplicated 5-grams. All
+# synthesis is exact integer/string arithmetic, cross-engine.
+
+_SD_K = 5
+_SD_BOILER = (
+    " subscribe to our newsletter today for free daily updates and special offers"
+)
+_SD_REPEAT = " please visit our site now please visit our site now"
+_SD_SYNTH_SPARK = (
+    "concat(coalesce(text, ''), "
+    f"CASE WHEN pmod(doc_id, 7) < 2 THEN '{_SD_BOILER}' ELSE '' END, "
+    f"CASE WHEN pmod(doc_id, 11) = 0 THEN '{_SD_REPEAT}' ELSE '' END)"
+)
+_SD_SYNTH_DUCK = _SD_SYNTH_SPARK.replace("pmod(doc_id, 7)", "(doc_id % 7)").replace(
+    "pmod(doc_id, 11)", "(doc_id % 11)"
+)
+
+SELF_DEDUP_ORACLE = selfdedup.self_dedup_report_sql(
+    "text",
+    f"SELECT doc_id, {_SD_SYNTH_DUCK} AS text FROM documents",
+    k=_SD_K,
+)
+
+
+def llm_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style self-dedup report
+    (llm/selfdedup.py::self_dedup_report): corpus-wide duplicated
+    k-gram detection (combinable gram-count groupBy, left-semi join
+    back), per-document gaps-and-islands span merge (window bounded by
+    one document's length), and the cut-every-occurrence clean text.
+    The span-grain complement to doc-grain MinHash/exact dedup and
+    line-grain CCNet dedup. Hypothesis-swept vs an independent Python
+    reference and mirrored in DuckDB (tests/test_selfdedup.py)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    synth = docs.select("doc_id", F.expr(_SD_SYNTH_SPARK).alias("text"))
+    return selfdedup.self_dedup_report(synth, k=_SD_K).select(
+        "doc_id",
+        "n_toks",
+        "n_dup_grams",
+        "n_spans",
+        "dup_toks",
+        "dup_frac",
+        "clean_text",
+        "n_kept_toks",
+    )
+
 # Still-deferred candidates (round-14 budget — see the registry
 # ledger); the five promoted rows left this dict for the registry and
 # are now pinned by the driver contract itself.
@@ -694,4 +746,5 @@ CANDIDATES: dict[str, tuple] = {
     "llm_dsir_logweights": (llm_dsir_logweights, DSIR_ORACLE),
     "llm_bloom_decontaminate": (llm_bloom_decontaminate, BLOOM_ORACLE),
     "llm_cms_token_freq": (llm_cms_token_freq, CMS_ORACLE),
+    "llm_exact_substring_spans": (llm_exact_substring_spans, SELF_DEDUP_ORACLE),
 }
