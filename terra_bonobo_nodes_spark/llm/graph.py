@@ -1,0 +1,143 @@
+"""Link-graph analytics for crawl curation: PageRank over the host
+graph (Page et al. 1999, public; Common Crawl publishes exactly this —
+host- and domain-level rank files — as the standard crawl-quality
+prior). A host's rank is a cheap, text-free quality signal that joins
+against every per-document operator in :mod:`llm` by host key
+(:func:`llm.urls.canonical_url` exposes the host).
+
+Determinism design — FIXED-POINT INTEGER ARITHMETIC: float PageRank is
+not reproducible across engines or even across partitionings (float
+addition is not associative, and a 1000-executor sum tree differs from
+DuckDB's single-threaded one). Ranks here are BIGINT micro-units
+(``scale`` = 1.0), every per-edge contribution is an integer floor
+division ``rank div outdeg``, and the damping multiply is
+``(num * sum) div den`` — all exact on both engines, so the k-th
+iteration is bit-identical everywhere, including the DuckDB oracle
+(:func:`pagerank_fixed_sql` unrolls the same k iterations as a CTE
+chain). Floor division loses < 1 unit per edge per iteration, so the
+deviation from real-valued PageRank after ``iterations`` rounds is
+bounded by ``iterations * max_indegree / scale`` — pick ``scale``
+accordingly (default 1e6 units).
+
+Semantics: the damping-``d`` update ``r'(v) = (1-d)*scale +
+d * sum_{(u,v) in E} r(u) div outdeg(u)`` from a uniform ``scale``
+start, run a FIXED ``iterations`` count (no convergence test — a
+data-dependent stopping rule would make the result depend on float
+tolerance; fixed-k is what production link-rank pipelines run anyway).
+Multi-edges count once per occurrence in both outdegree and
+contribution. Dangling nodes (no out-edges) leak their rank mass, the
+standard simplification — redistributing it needs a global scalar per
+iteration; add it via a 1-row cross join if mass conservation matters.
+
+100 TB shape: the edge frame joins its outdegree ONCE and is
+localCheckpointed (every iteration reuses the materialized frame
+instead of re-scanning). Each iteration is one equi-join (edges x
+ranks on src — the ranks side is one row per NODE, millions of hosts
+vs billions of edges, so AQE broadcasts it) and one combinable sum
+groupBy on dst (map-side partials absorb celebrity-host in-link skew
+before the shuffle). No driver state beyond the loop counter; no
+Python in any hot path; no cartesian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SCALE = 1_000_000
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    scale: int = DEFAULT_SCALE,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """(node, rank) after ``iterations`` exact fixed-point PageRank
+    rounds; ``rank`` is in units of ``1/scale``. Every node appearing
+    as source or destination gets a row. NULL endpoints are rejected
+    upstream semantics (an edge needs both ends); rows with a NULL
+    endpoint are dropped before anything counts them."""
+    ed = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+    nodes = (
+        ed.select(F.col("_src").alias("node"))
+        .union(ed.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = ed.groupBy("_src").agg(F.count(F.lit(1)).alias("_outdeg"))
+    e = ed.join(deg, "_src").localCheckpoint(eager=False)
+
+    base = scale * (damp_den - damp_num) // damp_den
+    ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank"))
+    for _ in range(int(iterations)):
+        contrib = e.join(
+            ranks.select(F.col("node").alias("_src"), "rank"), "_src"
+        ).select(
+            F.col("_dst").alias("node"),
+            F.expr("rank div _outdeg").alias("_c"),
+        )
+        sums = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(int(base))
+                    + F.expr(f"({int(damp_num)} * coalesce(_s, 0L)) div {int(damp_den)}")
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def pagerank_fixed_sql(
+    edges_sql: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    scale: int = DEFAULT_SCALE,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> str:
+    """DuckDB restatement of :func:`pagerank_fixed`: the same k
+    iterations unrolled as a CTE chain (DuckDB ``//`` and Spark ``div``
+    both truncate, and every operand here is non-negative, so the floor
+    divisions agree). ``edges_sql`` is a relation providing the two
+    endpoint columns."""
+    base = scale * (damp_den - damp_num) // damp_den
+    parts = [
+        f"""WITH edges AS (
+  SELECT {src_col} AS src, {dst_col} AS dst FROM ({edges_sql})
+  WHERE {src_col} IS NOT NULL AND {dst_col} IS NOT NULL
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), deg AS (
+  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+), e AS (
+  SELECT edges.src, edges.dst, deg.outdeg FROM edges JOIN deg USING (src)
+), r0 AS (
+  SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes
+)"""
+    ]
+    for i in range(1, int(iterations) + 1):
+        parts.append(
+            f""", r{i} AS (
+  SELECT n.node,
+         CAST({base} + ({damp_num} * coalesce(s.s, 0)) // {damp_den} AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r{i - 1}.rank // e.outdeg) AS s
+    FROM e JOIN r{i - 1} ON e.src = r{i - 1}.node GROUP BY e.dst
+  ) s USING (node)
+)"""
+        )
+    parts.append(f"\nSELECT node, rank FROM r{int(iterations)}")
+    return "".join(parts)

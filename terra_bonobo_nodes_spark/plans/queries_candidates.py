@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from terra_bonobo_nodes_spark.llm import selfdedup, text
+from terra_bonobo_nodes_spark.llm import graph, selfdedup, text
 from terra_bonobo_nodes_spark.llm.urls import canonical_url_sql, url_dedup_groups
 from terra_bonobo_nodes_spark.plans.queries_llm import TOKS_SQL
 from terra_bonobo_nodes_spark.plans.registry import register
@@ -715,6 +715,43 @@ SELF_DEDUP_ORACLE = selfdedup.self_dedup_report_sql(
 )
 
 
+# --- llm_host_pagerank (authored round 13, r14 candidate #7) -----------------
+# Fixed-point PageRank over a synthesized 101-host link graph: every
+# document's host (doc_id mod 101) emits two out-links to affine-mapped
+# hosts (7x+3 and 13x+5 mod 101 — both coprime maps, so in-link counts
+# are uniform-ish with heavy multi-edges at every (src, dst) pair,
+# exercising per-occurrence multi-edge counting). All arithmetic is
+# BIGINT; the oracle unrolls the same 5 integer iterations.
+
+_PR_EDGES_DUCK = (
+    "SELECT doc_id % 101 AS src, (doc_id * 7 + 3) % 101 AS dst FROM documents "
+    "UNION ALL "
+    "SELECT doc_id % 101 AS src, (doc_id * 13 + 5) % 101 AS dst FROM documents"
+)
+
+HOST_PAGERANK_ORACLE = graph.pagerank_fixed_sql(_PR_EDGES_DUCK, iterations=5)
+
+
+def llm_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank (llm/graph.py::pagerank_fixed): 5 exact
+    fixed-point BIGINT iterations — rank div outdeg contributions, a
+    combinable sum groupBy absorbing celebrity-host in-link skew
+    map-side, the per-node ranks frame broadcast into each iteration's
+    edge join, the degree-joined edge frame localCheckpointed once.
+    Hypothesis-swept vs an independent Python reference and mirrored in
+    DuckDB as an unrolled CTE chain (tests/test_graph.py)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    e1 = docs.select(
+        F.expr("pmod(doc_id, 101)").alias("src"),
+        F.expr("pmod(doc_id * 7 + 3, 101)").alias("dst"),
+    )
+    e2 = docs.select(
+        F.expr("pmod(doc_id, 101)").alias("src"),
+        F.expr("pmod(doc_id * 13 + 5, 101)").alias("dst"),
+    )
+    return graph.pagerank_fixed(e1.union(e2), iterations=5).select("node", "rank")
+
+
 def llm_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style self-dedup report
     (llm/selfdedup.py::self_dedup_report): corpus-wide duplicated
@@ -747,4 +784,5 @@ CANDIDATES: dict[str, tuple] = {
     "llm_bloom_decontaminate": (llm_bloom_decontaminate, BLOOM_ORACLE),
     "llm_cms_token_freq": (llm_cms_token_freq, CMS_ORACLE),
     "llm_exact_substring_spans": (llm_exact_substring_spans, SELF_DEDUP_ORACLE),
+    "llm_host_pagerank": (llm_host_pagerank, HOST_PAGERANK_ORACLE),
 }

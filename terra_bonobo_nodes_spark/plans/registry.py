@@ -216,27 +216,32 @@ def register(
 # - llm_cms_token_freq (llm/sketch.py — Count-Min Sketch heavy
 #   hitters; exact-BIGINT build+estimate replay, never-undercount
 #   guarantee surfaced; tests/test_sketch.py).
-# A SIXTH candidate was authored in the round-13 continuation
-# (hash-green at sf0.001 + sf0.01 + sf0.1 under the driver compare
-# contract):
+# TWO more candidates were authored in the round-13 continuation
+# (each hash-green at sf0.001 + sf0.01 + sf0.1 under the driver
+# compare contract):
 # - llm_exact_substring_spans (llm/selfdedup.py — ExactSubstr-style
 #   self-dedup, Lee et al. 2022: corpus-wide duplicated k-gram spans
 #   via combinable gram-count groupBy + left-semi join-back, per-doc
 #   gaps-and-islands merge, cut-every-occurrence clean text;
 #   full-report oracle, hypothesis-swept vs a pure-Python reference;
 #   tests/test_selfdedup.py).
+# - llm_host_pagerank (llm/graph.py — fixed-point integer PageRank
+#   over the host link graph, the Common Crawl-style crawl-quality
+#   prior; BIGINT floor-div arithmetic makes all 5 iterations
+#   bit-identical cross-engine, oracle = the same iterations unrolled
+#   as a CTE chain; tests/test_graph.py).
 # r14 handoff SIMULATED this round (the standing practice): pretend
 # the first 50 of the current order green as CORRECTNESS_r13 -> r14
-# due cohort = 45, zero never-green, demand with all SIX deferred
-# promotions = 51 — ONE over DRIVER_CAP, so r14 promotes at most five
-# outright or buys the sixth with a same-grain merge among the due
-# cohort. Promotion rank if r14 prefers slack or frees fewer slots
+# due cohort = 45, zero never-green, demand with all SEVEN deferred
+# promotions = 52 — TWO over DRIVER_CAP, so r14 promotes at most five
+# outright or buys the sixth/seventh with same-grain merges among the
+# due cohort. Promotion rank if r14 prefers slack or frees fewer slots
 # (highest curation-user value first): llm_source_rule_yield,
 # llm_exact_substring_spans, llm_perplexity_buckets,
-# llm_dsir_logweights, llm_bloom_decontaminate, llm_cms_token_freq —
-# defer the tail, never the head. Each promotion still needs a freed
-# SLOT (capacity is at 144): up to six r14 merges/retires, same
-# add-one-retire-one price as this round.
+# llm_host_pagerank, llm_dsir_logweights, llm_bloom_decontaminate,
+# llm_cms_token_freq — defer the tail, never the head. Each promotion
+# still needs a freed SLOT (capacity is at 144): up to seven r14
+# merges/retires, same add-one-retire-one price as this round.
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
