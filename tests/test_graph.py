@@ -102,3 +102,8 @@ def test_matches_python_reference(spark, edges, iterations):
     assert _run(spark, edges, iterations=iterations) == _ref(
         edges, iterations=iterations
     ), (edges, iterations)
+
+
+def test_empty_edge_frame(spark):
+    e = spark.createDataFrame([], "src string, dst string")
+    assert pagerank_fixed(e).collect() == []

@@ -192,3 +192,8 @@ def test_matches_python_reference(spark, docs, k):
     for i in range(len(docs)):
         got = {c: rows[i][c] for c in COLS}
         assert got == pytest.approx(ref[i]), (i, k, docs)
+
+
+def test_empty_corpus(spark):
+    d = spark.createDataFrame([], "doc_id long, text string")
+    assert self_dedup_report(d).collect() == []
