@@ -1,0 +1,207 @@
+"""Distributed Lloyd's k-means with a bit-exact cross-engine oracle —
+the iterative clustering step the curation pipeline previously only
+PINNED (llm/semdedup.py runs the full SemDeDup body but takes its
+codebook from a seam; llm/similarity.ivf_train clusters a bounded
+sample driver-side). This module runs the real thing distributed: every
+iteration's assignment scan and centroid update execute as Spark jobs
+over the full corpus, and the whole run is reproducible to the bit on
+any engine or partitioning.
+
+Determinism design — FIXED-POINT INTEGER ARITHMETIC (the
+:mod:`llm.graph` PageRank trick, applied to geometry):
+
+- Quantization is EXACT, not just deterministic: components multiply by
+  ``2**shift`` (an exponent shift in IEEE arithmetic — NO rounding
+  occurs for any finite float) before ``floor``, so Spark, DuckDB and
+  Python all see identical BIGINT coordinates from the same floats.
+- Distances are integer sums of squares; centroid updates are
+  per-dimension ``sum div count`` floor divisions. No float addition
+  anywhere, so partitioning/aggregation order cannot change results.
+- Ties break deterministically: argmin by ``(dist, cluster)``; init is
+  the quantized vectors of the ``k`` smallest ids (first-k init — a
+  fixed, engine-independent choice; swap in better seeds by passing
+  ``init`` explicitly).
+- Fixed ``iterations`` count, no convergence test (a data-dependent
+  stopping rule would reintroduce tolerance). Empty clusters die (the
+  standard Lloyd simplification), identically on both engines.
+
+The grid step ``2**-shift`` (default ``2**-16 ~ 1.5e-5``) is far below
+any meaningful embedding-space distance, so fixed-point assignments
+match float Lloyd's except for points near-equidistant at that scale —
+and those are exactly the assignments float k-means cannot reproduce
+across engines either.
+
+100 TB shape: per iteration, ONE broadcast cross join against the
+k-row centroid frame (the canonical k-means assignment shape — a
+k-row BroadcastNestedLoopJoin, the justified-by-construction kind) +
+one combinable min-struct groupBy per vector (map-side partial), one
+id-keyed join to recover coordinates, and one (cluster, dim)-keyed sum
+groupBy for the update — k*d cells, tiny. Centroid frames are k rows,
+localCheckpointed per iteration (the pointer-jumping convention); no
+driver-side collect anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SHIFT = 16
+
+
+def quantize_vec(col, shift: int = DEFAULT_SHIFT):
+    """array<float> -> array<bigint> on the exact 2**-shift grid."""
+    return F.transform(
+        col, lambda v: F.floor(v.cast("double") * F.lit(float(2**shift))).cast("long")
+    )
+
+
+def _sqdist(x, c):
+    """Integer squared euclidean distance of two array<bigint>."""
+    return F.aggregate(
+        F.zip_with(x, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_fixed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 3,
+    shift: int = DEFAULT_SHIFT,
+    init: DataFrame | None = None,
+) -> DataFrame:
+    """(id, cluster, dist) after ``iterations`` exact fixed-point Lloyd
+    rounds over the full corpus; ``dist`` is the integer squared
+    distance to the winning centroid on the quantized grid. ``init``
+    optionally supplies a (cluster, c: array<bigint>) frame; default is
+    first-k-by-id. NULL vectors are dropped (no coordinates to
+    cluster); callers wanting them surfaced should flag upstream."""
+    if int(iterations) < 1:
+        raise ValueError("kmeans_fixed needs iterations >= 1")
+    q = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), quantize_vec(F.col(vec_col), shift).alias("_x")
+    )
+    q = q.localCheckpoint(eager=False)
+
+    if init is None:
+        cents = (
+            q.orderBy("_id")
+            .limit(int(k))
+            .select(
+                (F.row_number().over(_w_by_id()) - 1).alias("_cl"),
+                F.col("_x").alias("_c"),
+            )
+        )
+    else:
+        cents = init.select(F.col("cluster").alias("_cl"), F.col("c").alias("_c"))
+    cents = cents.localCheckpoint(eager=False)
+
+    assigned = None
+    for it in range(int(iterations)):
+        scored = q.crossJoin(F.broadcast(cents)).select(
+            "_id", "_cl", _sqdist(F.col("_x"), F.col("_c")).alias("_d")
+        )
+        assigned = (
+            scored.groupBy("_id")
+            .agg(F.min(F.struct("_d", "_cl")).alias("_w"))
+            .select("_id", F.col("_w._cl").alias("_cl"), F.col("_w._d").alias("_d"))
+        ).localCheckpoint(eager=False)
+        if it == int(iterations) - 1:
+            break
+        dims = (
+            assigned.join(q, "_id")
+            .select("_cl", F.posexplode("_x").alias("_dim", "_v"))
+            .groupBy("_cl", "_dim")
+            .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+        )
+        cents = (
+            dims.groupBy("_cl")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_dim", F.expr("_s div _n").alias("_q")))
+                    ),
+                    lambda s: s["_q"],
+                ).alias("_c")
+            )
+        ).localCheckpoint(eager=False)
+    return assigned.select(
+        F.col("_id").alias(id_col),
+        F.col("_cl").cast("long").alias("cluster"),
+        F.col("_d").alias("dist"),
+    )
+
+
+def _w_by_id():
+    from pyspark.sql import Window
+
+    return Window.orderBy("_id")
+
+
+def kmeans_fixed_sql(
+    vecs_sql: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 3,
+    dim: int = 64,
+    shift: int = DEFAULT_SHIFT,
+) -> str:
+    """DuckDB restatement of :func:`kmeans_fixed` (first-k init): the
+    same iterations unrolled as a CTE chain. ``dim`` must match the
+    embedding dimensionality (the distance sum is unrolled literally).
+    Centroid sums CAN be negative; verified: DuckDB ``//`` and Spark
+    ``div`` BOTH truncate toward zero on integers (-7 -> -3), so the
+    update divisions mirror exactly with no sign handling."""
+    scale = float(2**shift)
+    d2 = " + ".join(
+        f"(a.x[{i}] - c.c[{i}]) * (a.x[{i}] - c.c[{i}])" for i in range(1, dim + 1)
+    )
+    parts = [
+        f"""WITH q AS (
+  SELECT {id_col} AS id,
+         list_transform({vec_col},
+                        v -> CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT)) AS x
+  FROM ({vecs_sql}) WHERE {vec_col} IS NOT NULL
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cl, x AS c
+  FROM (SELECT id, x FROM q ORDER BY id LIMIT {k})
+)"""
+    ]
+    for i in range(1, int(iterations) + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f""", s{i} AS (
+  SELECT a.id, c.cl, {d2} AS d
+  FROM q a CROSS JOIN {prev} c
+), a{i} AS (
+  SELECT id, cl, d FROM (
+    SELECT id, cl, d,
+           row_number() OVER (PARTITION BY id ORDER BY d, cl) AS rn
+    FROM s{i}) WHERE rn = 1
+)"""
+        )
+        if i == int(iterations):
+            break
+        parts.append(
+            f""", u{i} AS (
+  SELECT a.cl, dim, sum(v) AS s, count(*) AS n
+  FROM (SELECT a{i}.cl, unnest(q.x) AS v,
+               unnest(range(1, {dim} + 1)) AS dim
+        FROM a{i} JOIN q USING (id)) a
+  GROUP BY a.cl, dim
+), c{i} AS (
+  SELECT cl, list(s // n ORDER BY dim) AS c
+  FROM u{i} GROUP BY cl
+)"""
+        )
+    parts.append(
+        f"""
+SELECT id AS {id_col}, CAST(cl AS BIGINT) AS cluster, CAST(d AS BIGINT) AS dist
+FROM a{int(iterations)}"""
+    )
+    return "".join(parts)

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from terra_bonobo_nodes_spark.llm import graph, selfdedup, text
+from terra_bonobo_nodes_spark.llm import graph, kmeans, selfdedup, text
 from terra_bonobo_nodes_spark.llm.urls import canonical_url_sql, url_dedup_groups
 from terra_bonobo_nodes_spark.plans.queries_llm import TOKS_SQL
 from terra_bonobo_nodes_spark.plans.registry import register
@@ -686,6 +686,38 @@ FROM top t
 CMS_ORACLE = _cms_oracle()
 
 
+# --- llm_kmeans_fixed_cells (authored round 13, r14 candidate #8) ------------
+# Distributed Lloyd's k-means over the embeddings table with the
+# fixed-point BIGINT design (llm/kmeans.py): 8 clusters, 3 iterations,
+# first-8-by-id init, 2^16 exponent-shift quantization. This is the
+# REAL iterative clustering the semdedup row pins via its codebook
+# seam — assignment scan, argmin, and centroid update all run
+# distributed, and the oracle replays the identical integer iterations
+# as an unrolled CTE chain.
+
+_KM_K, _KM_ITERS, _KM_DIM = 8, 3, 64
+
+KMEANS_ORACLE = kmeans.kmeans_fixed_sql(
+    "SELECT vec_id, embedding FROM embeddings",
+    k=_KM_K,
+    iterations=_KM_ITERS,
+    dim=_KM_DIM,
+)
+
+
+def llm_kmeans_fixed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point distributed k-means (llm/kmeans.py::kmeans_fixed):
+    per iteration one k-row broadcast assignment join + combinable
+    min-struct argmin + (cluster, dim)-keyed integer centroid update;
+    no float addition anywhere, so the run is bit-identical on any
+    engine or partitioning. Hypothesis-swept vs an independent Python
+    reference and mirrored in DuckDB (tests/test_kmeans.py)."""
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans.kmeans_fixed(vecs, k=_KM_K, iterations=_KM_ITERS).select(
+        "vec_id", "cluster", "dist"
+    )
+
+
 # --- llm_exact_substring_spans (authored round 13, r14 candidate #6) ---------
 # ExactSubstr self-dedup (Lee et al. 2022) over documents with planted
 # duplication: ~2/7 of docs share a 12-token boilerplate tail (cross-
@@ -785,4 +817,5 @@ CANDIDATES: dict[str, tuple] = {
     "llm_cms_token_freq": (llm_cms_token_freq, CMS_ORACLE),
     "llm_exact_substring_spans": (llm_exact_substring_spans, SELF_DEDUP_ORACLE),
     "llm_host_pagerank": (llm_host_pagerank, HOST_PAGERANK_ORACLE),
+    "llm_kmeans_fixed_cells": (llm_kmeans_fixed_cells, KMEANS_ORACLE),
 }

@@ -216,7 +216,7 @@ def register(
 # - llm_cms_token_freq (llm/sketch.py — Count-Min Sketch heavy
 #   hitters; exact-BIGINT build+estimate replay, never-undercount
 #   guarantee surfaced; tests/test_sketch.py).
-# TWO more candidates were authored in the round-13 continuation
+# THREE more candidates were authored in the round-13 continuation
 # (each hash-green at sf0.001 + sf0.01 + sf0.1 under the driver
 # compare contract):
 # - llm_exact_substring_spans (llm/selfdedup.py — ExactSubstr-style
@@ -230,18 +230,28 @@ def register(
 #   prior; BIGINT floor-div arithmetic makes all 5 iterations
 #   bit-identical cross-engine, oracle = the same iterations unrolled
 #   as a CTE chain; tests/test_graph.py).
+# - llm_kmeans_fixed_cells (llm/kmeans.py — distributed Lloyd's
+#   k-means in fixed-point BIGINT: 2^16 exponent-shift quantization is
+#   EXACT in IEEE arithmetic, distances/updates are integer, so the
+#   iterative clustering the semdedup row pins via its codebook seam
+#   runs distributed with a bit-exact unrolled-CTE oracle;
+#   tests/test_kmeans.py. A natural r14 merge partner: widen
+#   llm_semantic_dedup to take its codebook FROM kmeans_fixed,
+#   retiring the one-hot pin while keeping the row's grain.)
 # r14 handoff SIMULATED this round (the standing practice): pretend
 # the first 50 of the current order green as CORRECTNESS_r13 -> r14
-# due cohort = 45, zero never-green, demand with all SEVEN deferred
-# promotions = 52 — TWO over DRIVER_CAP, so r14 promotes at most five
-# outright or buys the sixth/seventh with same-grain merges among the
-# due cohort. Promotion rank if r14 prefers slack or frees fewer slots
-# (highest curation-user value first): llm_source_rule_yield,
-# llm_exact_substring_spans, llm_perplexity_buckets,
-# llm_host_pagerank, llm_dsir_logweights, llm_bloom_decontaminate,
-# llm_cms_token_freq — defer the tail, never the head. Each promotion
-# still needs a freed SLOT (capacity is at 144): up to seven r14
-# merges/retires, same add-one-retire-one price as this round.
+# due cohort = 45, zero never-green, demand with all EIGHT deferred
+# promotions = 53 — THREE over DRIVER_CAP, so r14 promotes at most
+# five outright and buys the rest with same-grain merges among the due
+# cohort (the kmeans/semdedup merge above frees one for free).
+# Promotion rank if r14 prefers slack or frees fewer slots (highest
+# curation-user value first): llm_source_rule_yield,
+# llm_exact_substring_spans, llm_kmeans_fixed_cells,
+# llm_perplexity_buckets, llm_host_pagerank, llm_dsir_logweights,
+# llm_bloom_decontaminate, llm_cms_token_freq — defer the tail, never
+# the head. Each promotion still needs a freed SLOT (capacity is at
+# 144): up to eight r14 merges/retires, same add-one-retire-one price
+# as this round.
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
