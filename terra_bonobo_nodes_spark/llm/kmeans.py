@@ -142,7 +142,7 @@ def _w_by_id():
     return Window.orderBy("_id")
 
 
-def kmeans_fixed_sql(
+def kmeans_fixed_ctes(
     vecs_sql: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -151,18 +151,17 @@ def kmeans_fixed_sql(
     dim: int = 64,
     shift: int = DEFAULT_SHIFT,
 ) -> str:
-    """DuckDB restatement of :func:`kmeans_fixed` (first-k init): the
-    same iterations unrolled as a CTE chain. ``dim`` must match the
-    embedding dimensionality (the distance sum is unrolled literally).
-    Centroid sums CAN be negative; verified: DuckDB ``//`` and Spark
-    ``div`` BOTH truncate toward zero on integers (-7 -> -3), so the
-    update divisions mirror exactly with no sign handling."""
+    """The CTE chain of :func:`kmeans_fixed_sql` WITHOUT the leading
+    ``WITH`` or trailing SELECT, for composition into larger oracles
+    (the semdedup end-to-end row): defines ``q`` (quantized vectors,
+    columns id/x) through ``a{iterations}`` (final assignment, columns
+    id/cl/d)."""
     scale = float(2**shift)
     d2 = " + ".join(
         f"(a.x[{i}] - c.c[{i}]) * (a.x[{i}] - c.c[{i}])" for i in range(1, dim + 1)
     )
     parts = [
-        f"""WITH q AS (
+        f"""q AS (
   SELECT {id_col} AS id,
          list_transform({vec_col},
                         v -> CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT)) AS x
@@ -199,9 +198,27 @@ def kmeans_fixed_sql(
   FROM u{i} GROUP BY cl
 )"""
         )
-    parts.append(
-        f"""
-SELECT id AS {id_col}, CAST(cl AS BIGINT) AS cluster, CAST(d AS BIGINT) AS dist
-FROM a{int(iterations)}"""
-    )
     return "".join(parts)
+
+
+def kmeans_fixed_sql(
+    vecs_sql: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 3,
+    dim: int = 64,
+    shift: int = DEFAULT_SHIFT,
+) -> str:
+    """DuckDB restatement of :func:`kmeans_fixed` (first-k init): the
+    same iterations unrolled as a CTE chain. ``dim`` must match the
+    embedding dimensionality (the distance sum is unrolled literally).
+    Centroid sums CAN be negative; verified: DuckDB ``//`` and Spark
+    ``div`` BOTH truncate toward zero on integers (-7 -> -3), so the
+    update divisions mirror exactly with no sign handling."""
+    ctes = kmeans_fixed_ctes(vecs_sql, vec_col, id_col, k, iterations, dim, shift)
+    return (
+        f"WITH {ctes}\n"
+        f"SELECT id AS {id_col}, CAST(cl AS BIGINT) AS cluster, "
+        f"CAST(d AS BIGINT) AS dist\nFROM a{int(iterations)}"
+    )

@@ -22,7 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from terra_bonobo_nodes_spark.llm import graph, kmeans, selfdedup, text
+from terra_bonobo_nodes_spark.llm import graph, kmeans, selfdedup, similarity, text
+from terra_bonobo_nodes_spark.plans import queries_llm
 from terra_bonobo_nodes_spark.llm.urls import canonical_url_sql, url_dedup_groups
 from terra_bonobo_nodes_spark.plans.queries_llm import TOKS_SQL
 from terra_bonobo_nodes_spark.plans.registry import register
@@ -718,6 +719,103 @@ def llm_kmeans_fixed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- llm_semdedup_kmeans_e2e (authored round 13, r14 candidate #9) -----------
+# SemDeDup with ZERO pins: the registered llm_semantic_dedup row pins
+# its codebook (one-hot seam) because float nearest-centroid argmin is
+# not engine-exact; here the cells come from kmeans_fixed's BIGINT
+# iterations instead, so the ENTIRE pipeline — codebook training, cell
+# assignment, cell-blocked cosine pairs, connected components,
+# survivor election — is computed distributed AND replayed exactly by
+# the oracle (kmeans CTE chain + the registered row's proven
+# pairs/components/election SQL). This is the composition the r14
+# semdedup/kmeans merge would register; the body below mirrors
+# semantic_dedup's post-assignment code with the cell source swapped.
+
+_SDK_K, _SDK_ITERS = 8, 3
+
+_SDK_CTES = kmeans.kmeans_fixed_ctes(
+    "SELECT vec_id, embedding FROM embeddings",
+    k=_SDK_K,
+    iterations=_SDK_ITERS,
+    dim=queries_llm.EMB_DIM,
+)
+
+SEMDEDUP_KMEANS_ORACLE = f"""
+WITH RECURSIVE
+{_SDK_CTES},
+e AS (SELECT vec_id, {queries_llm._CAST_EMB} AS v FROM embeddings),
+cells AS (
+  SELECT e.vec_id, e.v, CAST(a{_SDK_ITERS}.cl AS INT) AS cell
+  FROM e JOIN a{_SDK_ITERS} ON e.vec_id = a{_SDK_ITERS}.id),
+n AS (SELECT vec_id, v, cell, {similarity.norm_sql('v')} AS nrm FROM cells),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {similarity.dot_exact_sql('a.v', 'b.v')} / (a.nrm * b.nrm)
+        >= {queries_llm._COS_THRESHOLD}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+comp AS (SELECT src AS vec_id, least(src, min(dst)) AS component_id
+         FROM reach GROUP BY src),
+fullv AS (
+  SELECT c.vec_id, c.cell,
+         coalesce(cp.component_id, c.vec_id) AS component_id
+  FROM cells c LEFT JOIN comp cp USING (vec_id)),
+r AS (
+  SELECT vec_id, cell, component_id,
+         row_number() OVER (PARTITION BY component_id
+                            ORDER BY vec_id ASC) AS rn
+  FROM fullv)
+SELECT vec_id, cell, component_id, rn = 1 AS is_kept FROM r
+"""
+
+
+def llm_semdedup_kmeans_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end with a COMPUTED codebook: kmeans_fixed
+    BIGINT cells (llm/kmeans.py) -> cell-blocked exact cosine pairs ->
+    pointer-jumping connected components -> smallest-id survivor per
+    component. No pinned centroids anywhere; every stage distributed
+    and oracle-replayed."""
+    from pyspark.sql import Window
+
+    from terra_bonobo_nodes_spark.llm.dedup import (
+        connected_components,
+        embedding_cosine_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cells = kmeans.kmeans_fixed(emb, k=_SDK_K, iterations=_SDK_ITERS).select(
+        "vec_id", F.col("cluster").cast("int").alias("cell")
+    )
+    assigned = emb.join(cells, "vec_id")
+    pairs = embedding_cosine_pairs(
+        assigned,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=queries_llm._COS_THRESHOLD,
+        block_col="cell",
+    )
+    comp = connected_components(
+        pairs.select("id_a", "id_b"), max_iterations=24
+    ).select(F.col("doc_id").alias("vec_id"), "component_id")
+    full = (
+        assigned.select("vec_id", "cell")
+        .join(comp, "vec_id", "left")
+        .withColumn("component_id", F.coalesce("component_id", "vec_id"))
+    )
+    w = Window.partitionBy("component_id").orderBy(F.col("vec_id").asc())
+    return (
+        full.withColumn("_rn", F.row_number().over(w))
+        .select(
+            "vec_id", "cell", "component_id", (F.col("_rn") == 1).alias("is_kept")
+        )
+    )
+
+
 # --- llm_exact_substring_spans (authored round 13, r14 candidate #6) ---------
 # ExactSubstr self-dedup (Lee et al. 2022) over documents with planted
 # duplication: ~2/7 of docs share a 12-token boilerplate tail (cross-
@@ -818,4 +916,5 @@ CANDIDATES: dict[str, tuple] = {
     "llm_exact_substring_spans": (llm_exact_substring_spans, SELF_DEDUP_ORACLE),
     "llm_host_pagerank": (llm_host_pagerank, HOST_PAGERANK_ORACLE),
     "llm_kmeans_fixed_cells": (llm_kmeans_fixed_cells, KMEANS_ORACLE),
+    "llm_semdedup_kmeans_e2e": (llm_semdedup_kmeans_e2e, SEMDEDUP_KMEANS_ORACLE),
 }
