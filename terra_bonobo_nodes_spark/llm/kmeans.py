@@ -79,7 +79,10 @@ def kmeans_fixed(
     distance to the winning centroid on the quantized grid. ``init``
     optionally supplies a (cluster, c: array<bigint>) frame; default is
     first-k-by-id. NULL vectors are dropped (no coordinates to
-    cluster); callers wanting them surfaced should flag upstream."""
+    cluster); callers wanting them surfaced should flag upstream.
+    Vectors must share one dimensionality — zip_with pads a shorter
+    array with NULLs, which would propagate NULL distances; validate
+    ragged corpora upstream."""
     if int(iterations) < 1:
         raise ValueError("kmeans_fixed needs iterations >= 1")
     q = df.where(F.col(vec_col).isNotNull()).select(

@@ -96,7 +96,14 @@ def duplicated_positions(
     convention) — without the barrier the tokenize+slice explode runs
     twice over the full corpus.
     """
-    grams = _gram_positions(_tokenized(df, text_col, id_col), id_col, k)
+    return _dup_positions(
+        _gram_positions(_tokenized(df, text_col, id_col), id_col, k),
+        id_col,
+        min_count,
+    )
+
+
+def _dup_positions(grams: DataFrame, id_col: str, min_count: int) -> DataFrame:
     grams = grams.localCheckpoint(eager=False)
     dup = (
         grams.groupBy("_gram")
@@ -158,17 +165,18 @@ def self_dedup_report(
     for clean ones; ``clean_text`` is the full normalized text when
     nothing was cut and ``''`` for empty/NULL input.
 
-    Plan: the duplicated-position frame is computed ONCE (it already
-    carries its own localCheckpoint barrier over the gram explode) and
-    then localCheckpointed again here because it feeds BOTH the
-    per-doc gram aggregate and the span derivation; the span frame gets
-    the same treatment (span aggregate + drop-position explode). All
-    joins are id-keyed (uniform); the cut's anti-join is on (id, pos)
-    — near-unique, no hot key.
+    Plan: the corpus is TOKENIZED ONCE (the toked frame is a lazy
+    localCheckpoint feeding the totals, the gram explode, and the cut's
+    token explode); the duplicated-position frame is localCheckpointed
+    because it feeds both the per-doc gram aggregate and the span
+    derivation; the span frame gets the same treatment (span aggregate
+    + drop-position explode). All joins are id-keyed (uniform); the
+    cut's anti-join is on (id, pos) — near-unique, no hot key.
     """
-    toked = _tokenized(df, text_col, id_col)
-    dp = duplicated_positions(df, text_col, id_col, k, min_count)
-    dp = dp.localCheckpoint(eager=False)
+    toked = _tokenized(df, text_col, id_col).localCheckpoint(eager=False)
+    dp = _dup_positions(
+        _gram_positions(toked, id_col, k), id_col, min_count
+    ).localCheckpoint(eager=False)
     spans = _spans_from_positions(dp, id_col, k).localCheckpoint(eager=False)
 
     base = toked.select(id_col, F.size("_toks").cast("long").alias("n_toks"))
@@ -195,7 +203,7 @@ def self_dedup_report(
     if not cut:
         return out
 
-    tok_rows = _tokenized(df, text_col, id_col).select(
+    tok_rows = toked.select(
         id_col, F.posexplode("_toks").alias("_p0", "_tok")
     ).select(id_col, (F.col("_p0") + 1).alias("pos"), "_tok")
     drop_pos = spans.select(
