@@ -85,11 +85,59 @@ def kmeans_fixed(
     ragged corpora upstream."""
     if int(iterations) < 1:
         raise ValueError("kmeans_fixed needs iterations >= 1")
-    q = df.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("_id"), quantize_vec(F.col(vec_col), shift).alias("_x")
+    q = _quantized(df, vec_col, id_col, shift)
+    cents = _train(q, k, iterations, init)
+    return _assign(q, cents).select(
+        F.col("_id").alias(id_col),
+        F.col("_cl").cast("long").alias("cluster"),
+        F.col("_d").alias("dist"),
     )
-    q = q.localCheckpoint(eager=False)
 
+
+def kmeans_fixed_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 3,
+    shift: int = DEFAULT_SHIFT,
+    init: DataFrame | None = None,
+) -> DataFrame:
+    """(cluster, c: array<bigint>) — the trained codebook, i.e. the
+    centroids :func:`kmeans_fixed`'s FINAL assignment pass uses (the
+    init after ``iterations - 1`` update rounds). Collect these k rows
+    and hand them to :func:`assign_fixed_expr` to score new vectors —
+    including over a readStream, where the literal form is a stateless
+    projection (the cms_estimate precedent: train distributed, serve
+    as a plan literal)."""
+    if int(iterations) < 1:
+        raise ValueError("kmeans_fixed_centroids needs iterations >= 1")
+    q = _quantized(df, vec_col, id_col, shift)
+    return _train(q, k, iterations, init).select(
+        F.col("_cl").cast("long").alias("cluster"), F.col("_c").alias("c")
+    )
+
+
+def _quantized(df: DataFrame, vec_col: str, id_col: str, shift: int) -> DataFrame:
+    return df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), quantize_vec(F.col(vec_col), shift).alias("_x")
+    ).localCheckpoint(eager=False)
+
+
+def _assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    scored = q.crossJoin(F.broadcast(cents)).select(
+        "_id", "_cl", _sqdist(F.col("_x"), F.col("_c")).alias("_d")
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(F.min(F.struct("_d", "_cl")).alias("_w"))
+        .select("_id", F.col("_w._cl").alias("_cl"), F.col("_w._d").alias("_d"))
+    ).localCheckpoint(eager=False)
+
+
+def _train(q: DataFrame, k: int, iterations: int, init: DataFrame | None) -> DataFrame:
+    """The centroid frame after ``iterations - 1`` assign+update
+    rounds from the init (first-k-by-id unless given)."""
     if init is None:
         cents = (
             q.orderBy("_id")
@@ -102,19 +150,8 @@ def kmeans_fixed(
     else:
         cents = init.select(F.col("cluster").alias("_cl"), F.col("c").alias("_c"))
     cents = cents.localCheckpoint(eager=False)
-
-    assigned = None
-    for it in range(int(iterations)):
-        scored = q.crossJoin(F.broadcast(cents)).select(
-            "_id", "_cl", _sqdist(F.col("_x"), F.col("_c")).alias("_d")
-        )
-        assigned = (
-            scored.groupBy("_id")
-            .agg(F.min(F.struct("_d", "_cl")).alias("_w"))
-            .select("_id", F.col("_w._cl").alias("_cl"), F.col("_w._d").alias("_d"))
-        ).localCheckpoint(eager=False)
-        if it == int(iterations) - 1:
-            break
+    for _ in range(int(iterations) - 1):
+        assigned = _assign(q, cents)
         dims = (
             assigned.join(q, "_id")
             .select("_cl", F.posexplode("_x").alias("_dim", "_v"))
@@ -132,11 +169,41 @@ def kmeans_fixed(
                 ).alias("_c")
             )
         ).localCheckpoint(eager=False)
-    return assigned.select(
-        F.col("_id").alias(id_col),
-        F.col("_cl").cast("long").alias("cluster"),
-        F.col("_d").alias("dist"),
+    return cents
+
+
+def assign_fixed_expr(
+    vec_col,
+    centroids: dict[int, list[int]] | list[list[int]],
+    shift: int = DEFAULT_SHIFT,
+):
+    """struct(cluster, dist) Column scoring a float vector against a
+    LITERAL quantized codebook — ``{row["cluster"]: row["c"] for row
+    in kmeans_fixed_centroids(...).collect()}`` (k*d ints,
+    driver-sized by construction; a plain list means cluster id =
+    index). Pure projection: zero state, zero shuffle, so it runs
+    unchanged over a readStream (pinned batch==stream by
+    tests/test_kmeans.py). Ties break to the lower cluster id via
+    struct ordering, matching the distributed argmin exactly. NULL
+    vectors score NULL."""
+    if not centroids:
+        raise ValueError("assign_fixed_expr needs a non-empty codebook")
+    items = sorted(
+        centroids.items() if isinstance(centroids, dict) else enumerate(centroids)
     )
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    x = quantize_vec(vec, shift)
+    entries = [
+        F.struct(
+            _sqdist(x, F.array(*[F.lit(int(v)).cast("long") for v in c])).alias(
+                "dist"
+            ),
+            F.lit(int(cl)).cast("long").alias("cluster"),
+        )
+        for cl, c in items
+    ]
+    best = F.array_min(F.array(*entries))
+    return F.struct(best["cluster"].alias("cluster"), best["dist"].alias("dist"))
 
 
 def _w_by_id():

@@ -145,3 +145,85 @@ _vecs = st.lists(
 def test_matches_python_reference(spark, vecs, iterations, k):
     got = _run(spark, vecs, k=k, iterations=iterations)
     assert got == _ref(vecs, k=k, iterations=iterations), (vecs, k, iterations)
+
+
+def test_centroids_plus_literal_assign_reproduce_kmeans(spark):
+    from terra_bonobo_nodes_spark.llm.kmeans import (
+        assign_fixed_expr,
+        kmeans_fixed_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    vecs = [
+        [0.0, 0.1], [1.0, 1.1], [0.1, 0.0], [0.05, 0.05],
+        [1.1, 1.0], [1.05, 1.05], [-0.4, -0.5],
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    cb = {
+        r["cluster"]: r["c"]
+        for r in kmeans_fixed_centroids(df, k=2, iterations=3).collect()
+    }
+    scored = df.select(
+        "vec_id", assign_fixed_expr("embedding", cb).alias("a")
+    ).select("vec_id", "a.cluster", "a.dist")
+    got = {r["vec_id"]: (r["cluster"], r["dist"]) for r in scored.collect()}
+    assert got == _run(spark, vecs, k=2, iterations=3)
+
+
+def test_literal_assign_streams_stateless(spark, tmp_path):
+    """Train distributed, serve as a plan literal: the assignment
+    projection runs unchanged over a readStream in append mode (no
+    state at all) and matches the batch scoring row for row."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.llm.kmeans import (
+        assign_fixed_expr,
+        kmeans_fixed_centroids,
+    )
+
+    vecs = [[i / 7.0, (i * 3 % 5) / 5.0] for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    cb = {
+        r["cluster"]: r["c"]
+        for r in kmeans_fixed_centroids(df, k=3, iterations=2).collect()
+    }
+    path = str(tmp_path / "vecs")
+    df.where("vec_id < 10").coalesce(1).write.mode("overwrite").parquet(path)
+    df.where("vec_id >= 10").coalesce(1).write.mode("append").parquet(path)
+
+    expr = assign_fixed_expr("embedding", cb).alias("a")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("vec_id", expr)
+        .select("vec_id", "a.cluster", "a.dist")
+    )
+    assert stream.isStreaming
+    name = f"km_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    want = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in spark.read.parquet(path)
+        .select("vec_id", expr)
+        .select("vec_id", "a.cluster", "a.dist")
+        .collect()
+    }
+    assert got == want and len(got) == 20
