@@ -719,6 +719,65 @@ def llm_kmeans_fixed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- s12_warc_wet_roundtrip (authored round 13, r14 candidate #10) -----------
+# WARC/WET ingestion proven end-to-end IN-PLAN: documents pack into
+# WET-style conversion records (one WARC blob per Arrow batch,
+# executor-side — no files, no driver collect), warc_reader explodes
+# the blobs back to records, and (doc_id, text) is recovered exactly
+# from the Target-URI + utf-8 payload. The Common Crawl dump-ingestion
+# step, same verification shape as s11's XML roundtrip and e5's
+# shapefile codec.
+
+WARC_ORACLE = """
+SELECT doc_id, coalesce(text, '') AS text FROM documents
+"""
+
+
+def s12_warc_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET conversion-record roundtrip (sources/warc_codec.py +
+    sources/warc.py::warc_reader): Content-Length-driven from-spec
+    parsing (payloads with CRLFCRLF pinned), Arrow-batched explode,
+    payload bytes exact. Hypothesis-swept codec; reader pinned in
+    tests/test_warc.py."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from terra_bonobo_nodes_spark.sources.warc import warc_reader
+    from terra_bonobo_nodes_spark.sources.warc_codec import write_warc_records
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            blob = write_warc_records(
+                [
+                    {
+                        "headers": {
+                            "WARC-Type": "conversion",
+                            "WARC-Target-URI": f"http://corpus.example/doc/{i}",
+                            "WARC-Date": "2026-08-15T00:00:00Z",
+                            "Content-Type": "text/plain",
+                        },
+                        "payload": t.encode("utf-8"),
+                    }
+                    for i, t in zip(pdf["doc_id"], pdf["text"])
+                ]
+            )
+            yield pd.DataFrame({"content": [blob]})
+
+    packed = docs.mapInPandas(pack, "content binary")
+    records = warc_reader(packed)
+    return records.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.decode("payload", "UTF-8").alias("text"),
+    )
+
+
 # --- llm_semdedup_kmeans_e2e (authored round 13, r14 candidate #9) -----------
 # SemDeDup with ZERO pins: the registered llm_semantic_dedup row pins
 # its codebook (one-hot seam) because float nearest-centroid argmin is
@@ -917,4 +976,5 @@ CANDIDATES: dict[str, tuple] = {
     "llm_host_pagerank": (llm_host_pagerank, HOST_PAGERANK_ORACLE),
     "llm_kmeans_fixed_cells": (llm_kmeans_fixed_cells, KMEANS_ORACLE),
     "llm_semdedup_kmeans_e2e": (llm_semdedup_kmeans_e2e, SEMDEDUP_KMEANS_ORACLE),
+    "s12_warc_wet_roundtrip": (s12_warc_wet_roundtrip, WARC_ORACLE),
 }
