@@ -22,6 +22,7 @@ real, interpretation explicit).
 
 from __future__ import annotations
 
+import gzip
 from collections.abc import Iterator, Sequence
 
 import pandas as pd
@@ -48,7 +49,14 @@ def warc_reader(
     keep_cols: Sequence[str] = (),
     strip_http: bool = False,
 ) -> DataFrame:
-    """Explode WARC byte streams into one row per record."""
+    """Explode WARC byte streams into one row per record. ``.warc.gz``
+    content is handled transparently: a gzip magic prefix triggers
+    whole-file decompression, and Python's gzip module consumes the
+    member-per-record concatenation Common Crawl ships (it loops over
+    concatenated members by design), so the same reader serves both
+    layouts. Per-member random access — the reason the member framing
+    exists — is an INDEXED-fetch optimization that doesn't apply to a
+    whole-file scan."""
     schema = ", ".join(
         [
             *(f"{c} STRING" for c in keep_cols),
@@ -66,7 +74,10 @@ def warc_reader(
             for i, blob in enumerate(pdf[content_col]):
                 if blob is None:
                     continue
-                for rec in parse_warc_records(bytes(blob)):
+                raw = bytes(blob)
+                if raw.startswith(b"\x1f\x8b"):
+                    raw = gzip.decompress(raw)
+                for rec in parse_warc_records(raw):
                     hs = rec["headers"]
                     payload = rec["payload"]
                     ctype = header(hs, "Content-Type") or ""

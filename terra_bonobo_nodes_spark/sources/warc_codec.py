@@ -15,11 +15,13 @@ routinely contain ``\\r\\n\\r\\n`` (every HTTP response envelope does),
 so any implementation that searches for a separator is wrong on real
 crawl data — the tests pin exactly that case.
 
-Out of scope, documented: header obs-fold continuation lines (obsolete
-in the spec, absent from crawler output), gzip-per-record framing (the
-``.warc.gz`` member-per-record convention — decompress upstream; Spark
-``binaryFile`` + ``F.decompress``-style handling or a preprocessing
-pass own that), and WARC/0.x legacy versions (rejected loudly).
+Out of scope here, documented: header obs-fold continuation lines
+(obsolete in the spec, absent from crawler output) and WARC/0.x legacy
+versions (rejected loudly). The ``.warc.gz`` member-per-record gzip
+framing is handled one layer up — ``sources/warc.py::warc_reader``
+decompresses a gzip-magic-prefixed file before parsing (Python's gzip
+consumes concatenated members by design); this codec stays a pure
+bytes-in/records-out spec implementation.
 """
 
 from __future__ import annotations

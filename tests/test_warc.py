@@ -124,3 +124,21 @@ def test_spark_reader_null_content_skipped(spark):
         [("f1", None)], "path string, content binary"
     )
     assert warc_reader(df).collect() == []
+
+
+def test_spark_reader_handles_warc_gz_member_per_record(spark):
+    """Common Crawl's member-per-record gzip framing: each record its
+    own gzip member, members concatenated — one decompress consumes
+    them all."""
+    import gzip as _gz
+
+    members = b"".join(
+        _gz.compress(write_warc_records([_rec(f"http://h/{i}", f"body {i}".encode())]))
+        for i in range(3)
+    )
+    df = spark.createDataFrame(
+        [("f.warc.gz", bytearray(members))], "path string, content binary"
+    )
+    out = warc_reader(df).collect()
+    assert {r["target_uri"] for r in out} == {f"http://h/{i}" for i in range(3)}
+    assert {bytes(r["payload"]) for r in out} == {f"body {i}".encode() for i in range(3)}
