@@ -55,12 +55,23 @@ def pagerank_fixed(
     scale: int = DEFAULT_SCALE,
     damp_num: int = 85,
     damp_den: int = 100,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` exact fixed-point PageRank
     rounds; ``rank`` is in units of ``1/scale``. Every node appearing
     as source or destination gets a row. NULL endpoints are rejected
     upstream semantics (an edge needs both ends); rows with a NULL
-    endpoint are dropped before anything counts them."""
+    endpoint are dropped before anything counts them.
+
+    ``seeds`` switches to TRUSTRANK (Gyongyi et al. 2004, public — the
+    link-spam demotion signal): pass a 1-column frame of trusted nodes
+    and both the initial mass and the per-iteration teleport term go
+    ONLY to seeds (non-seeds start at 0 and receive nothing but
+    propagated trust). A spam farm that links itself into a high plain
+    PageRank gets a near-zero TrustRank unless a trusted host links
+    into it — the standard pair of signals, one flag apart. Seeds are
+    broadcast (a trust list is curator-sized); the iteration shape is
+    unchanged."""
     ed = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     ).where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
@@ -68,13 +79,29 @@ def pagerank_fixed(
         ed.select(F.col("_src").alias("node"))
         .union(ed.select(F.col("_dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    if seeds is not None:
+        seed_col = seeds.columns[0]
+        sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+        nodes = nodes.join(F.broadcast(sd.select("node", F.lit(True).alias("_seed"))),
+                           "node", "left").select(
+            "node", F.coalesce("_seed", F.lit(False)).alias("_seed")
+        )
+    else:
+        nodes = nodes.select("node", F.lit(True).alias("_seed"))
+    nodes = nodes.localCheckpoint(eager=False)
     deg = ed.groupBy("_src").agg(F.count(F.lit(1)).alias("_outdeg"))
     e = ed.join(deg, "_src").localCheckpoint(eager=False)
 
     base = scale * (damp_den - damp_num) // damp_den
-    ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank"))
+    base_term = F.when(F.col("_seed"), F.lit(int(base))).otherwise(F.lit(0))
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("_seed"), F.lit(int(scale)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
     for _ in range(int(iterations)):
         contrib = e.join(
             ranks.select(F.col("node").alias("_src"), "rank"), "_src"
@@ -88,7 +115,7 @@ def pagerank_fixed(
             .select(
                 "node",
                 (
-                    F.lit(int(base))
+                    base_term
                     + F.expr(f"({int(damp_num)} * coalesce(_s, 0L)) div {int(damp_den)}")
                 )
                 .cast("long")
@@ -107,32 +134,46 @@ def pagerank_fixed_sql(
     scale: int = DEFAULT_SCALE,
     damp_num: int = 85,
     damp_den: int = 100,
+    seeds_sql: str | None = None,
 ) -> str:
     """DuckDB restatement of :func:`pagerank_fixed`: the same k
     iterations unrolled as a CTE chain (DuckDB ``//`` and Spark ``div``
     both truncate, and every operand here is non-negative, so the floor
     divisions agree). ``edges_sql`` is a relation providing the two
-    endpoint columns."""
+    endpoint columns; ``seeds_sql`` (one column of trusted nodes)
+    mirrors the TrustRank variant."""
     base = scale * (damp_den - damp_num) // damp_den
+    if seeds_sql is None:
+        nodes_cte = (
+            "SELECT src AS node, TRUE AS seed FROM edges "
+            "UNION SELECT dst, TRUE FROM edges"
+        )
+    else:
+        nodes_cte = f"""
+  SELECT b.node, coalesce(s.seed, FALSE) AS seed
+  FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges) b
+  LEFT JOIN (SELECT DISTINCT node, TRUE AS seed
+             FROM (SELECT * FROM ({seeds_sql}) t(node))) s USING (node)"""
     parts = [
         f"""WITH edges AS (
   SELECT {src_col} AS src, {dst_col} AS dst FROM ({edges_sql})
   WHERE {src_col} IS NOT NULL AND {dst_col} IS NOT NULL
-), nodes AS (
-  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), nodes AS ({nodes_cte}
 ), deg AS (
   SELECT src, count(*) AS outdeg FROM edges GROUP BY src
 ), e AS (
   SELECT edges.src, edges.dst, deg.outdeg FROM edges JOIN deg USING (src)
 ), r0 AS (
-  SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes
+  SELECT node, CAST(CASE WHEN seed THEN {scale} ELSE 0 END AS BIGINT) AS rank
+  FROM nodes
 )"""
     ]
     for i in range(1, int(iterations) + 1):
         parts.append(
             f""", r{i} AS (
   SELECT n.node,
-         CAST({base} + ({damp_num} * coalesce(s.s, 0)) // {damp_den} AS BIGINT) AS rank
+         CAST(CASE WHEN n.seed THEN {base} ELSE 0 END
+              + ({damp_num} * coalesce(s.s, 0)) // {damp_den} AS BIGINT) AS rank
   FROM nodes n LEFT JOIN (
     SELECT e.dst AS node, sum(r{i - 1}.rank // e.outdeg) AS s
     FROM e JOIN r{i - 1} ON e.src = r{i - 1}.node GROUP BY e.dst

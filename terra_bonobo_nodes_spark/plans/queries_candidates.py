@@ -920,6 +920,38 @@ _PR_EDGES_DUCK = (
 
 HOST_PAGERANK_ORACLE = graph.pagerank_fixed_sql(_PR_EDGES_DUCK, iterations=5)
 
+# TrustRank variant over the same graph: hosts 0-9 are the trusted
+# seed set; trust reaches only what the seeds (transitively) link to,
+# so the affine maps' images of the seed set score and everything
+# outside the reachable frontier sits at exactly 0.
+_TRUST_SEEDS_DUCK = "VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)"
+
+HOST_TRUSTRANK_ORACLE = graph.pagerank_fixed_sql(
+    _PR_EDGES_DUCK, iterations=5, seeds_sql=_TRUST_SEEDS_DUCK
+)
+
+
+def llm_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (llm/graph.py::pagerank_fixed with seeds=): the
+    link-spam demotion signal — initial mass and the teleport term go
+    only to a broadcast trusted-seed set, so self-linking farms score
+    exactly 0 unless trusted hosts link in. Same integer iteration
+    shape as plain PageRank; spam-farm demotion and trust propagation
+    pinned in tests/test_graph.py."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    e1 = docs.select(
+        F.expr("pmod(doc_id, 101)").alias("src"),
+        F.expr("pmod(doc_id * 7 + 3, 101)").alias("dst"),
+    )
+    e2 = docs.select(
+        F.expr("pmod(doc_id, 101)").alias("src"),
+        F.expr("pmod(doc_id * 13 + 5, 101)").alias("dst"),
+    )
+    seeds = spark.range(10).select(F.col("id").alias("host"))
+    return graph.pagerank_fixed(e1.union(e2), iterations=5, seeds=seeds).select(
+        "node", "rank"
+    )
+
 
 def llm_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-graph PageRank (llm/graph.py::pagerank_fixed): 5 exact
@@ -974,6 +1006,7 @@ CANDIDATES: dict[str, tuple] = {
     "llm_cms_token_freq": (llm_cms_token_freq, CMS_ORACLE),
     "llm_exact_substring_spans": (llm_exact_substring_spans, SELF_DEDUP_ORACLE),
     "llm_host_pagerank": (llm_host_pagerank, HOST_PAGERANK_ORACLE),
+    "llm_host_trustrank": (llm_host_trustrank, HOST_TRUSTRANK_ORACLE),
     "llm_kmeans_fixed_cells": (llm_kmeans_fixed_cells, KMEANS_ORACLE),
     "llm_semdedup_kmeans_e2e": (llm_semdedup_kmeans_e2e, SEMDEDUP_KMEANS_ORACLE),
     "s12_warc_wet_roundtrip": (s12_warc_wet_roundtrip, WARC_ORACLE),

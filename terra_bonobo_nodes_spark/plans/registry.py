@@ -216,7 +216,7 @@ def register(
 # - llm_cms_token_freq (llm/sketch.py — Count-Min Sketch heavy
 #   hitters; exact-BIGINT build+estimate replay, never-undercount
 #   guarantee surfaced; tests/test_sketch.py).
-# FIVE more candidates were authored in the round-13 continuation
+# SIX more candidates were authored in the round-13 continuation
 # (each hash-green at sf0.001 + sf0.01 + sf0.1 under the driver
 # compare contract):
 # - llm_exact_substring_spans (llm/selfdedup.py — ExactSubstr-style
@@ -238,6 +238,12 @@ def register(
 #   tests/test_kmeans.py. A natural r14 merge partner: widen
 #   llm_semantic_dedup to take its codebook FROM kmeans_fixed,
 #   retiring the one-hot pin while keeping the row's grain.)
+# - llm_host_trustrank (llm/graph.py — TrustRank, Gyongyi et al.
+#   2004: pagerank_fixed with a broadcast trusted-seed set receiving
+#   all initial mass and teleport; self-linked spam farms score
+#   exactly 0 without an inbound trusted link. Same oracle builder
+#   with seeds_sql; a natural r14 merge partner for llm_host_pagerank
+#   — same node grain, rank + trust_rank on one widened row.)
 # - s12_warc_wet_roundtrip (sources/warc_codec.py + sources/warc.py —
 #   from-spec WARC 1.0 codec, Content-Length-driven, + Arrow-batched
 #   reader; documents pack into WET conversion records executor-side
@@ -251,16 +257,18 @@ def register(
 #   now literally: register this row in llm_semantic_dedup's slot.)
 # r14 handoff SIMULATED this round (the standing practice): pretend
 # the first 50 of the current order green as CORRECTNESS_r13 -> r14
-# due cohort = 45, zero never-green, demand with all TEN deferred
-# promotions = 55 — FIVE over DRIVER_CAP; but the semdedup-e2e row
-# replaces llm_semantic_dedup (same grain, strictly stronger) and the
-# kmeans row can merge into it the same way, so the effective new-slot
+# due cohort = 45, zero never-green, demand with all ELEVEN deferred
+# promotions = 56 — SIX over DRIVER_CAP; but the semdedup-e2e row
+# replaces llm_semantic_dedup (same grain, strictly stronger), the
+# kmeans row can merge into it the same way, and pagerank+trustrank
+# share a node grain (one widened row), so the effective new-slot
 # demand is EIGHT. Promotion rank if r14 prefers slack or frees fewer
 # slots (highest curation-user value first): llm_semdedup_kmeans_e2e
 # (replaces llm_semantic_dedup — zero net slots),
 # llm_source_rule_yield, llm_exact_substring_spans,
 # s12_warc_wet_roundtrip, llm_kmeans_fixed_cells,
-# llm_perplexity_buckets, llm_host_pagerank, llm_dsir_logweights,
+# llm_host_pagerank+llm_host_trustrank (merged, one slot),
+# llm_perplexity_buckets, llm_dsir_logweights,
 # llm_bloom_decontaminate, llm_cms_token_freq — defer the tail, never
 # the head. Each remaining promotion still needs a freed SLOT
 # (capacity is at 144), same add-one-retire-one price as this round.
