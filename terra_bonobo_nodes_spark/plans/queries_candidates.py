@@ -22,7 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from terra_bonobo_nodes_spark.llm import graph, kmeans, selfdedup, similarity, text
+from terra_bonobo_nodes_spark.llm import (
+    fuzzy,
+    graph,
+    kmeans,
+    selfdedup,
+    similarity,
+    text,
+)
 from terra_bonobo_nodes_spark.plans import queries_llm
 from terra_bonobo_nodes_spark.llm.urls import canonical_url_sql, url_dedup_groups
 from terra_bonobo_nodes_spark.plans.queries_llm import TOKS_SQL
@@ -719,6 +726,45 @@ def llm_kmeans_fixed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- llm_fuzzy_title_pairs (authored round 13, r14 candidate #12) ------------
+# Edit-distance similarity join over synthesized record titles: groups
+# of 3 docs share a numeric base title with per-variant typos (append,
+# trailing char), so within-group pairs sit at distance 1-2 and
+# adjacent group numbers contribute digit-typo pairs. Runs the CAPPED
+# production form (block_cap drops stop-gram blocks like 'rec'
+# deterministically — mirrored in SQL by the same count filter).
+
+_FZ_CAP, _FZ_D = 256, 2
+_FZ_TITLE_SPARK = (
+    "concat(cast(doc_id div 3 as string), ' rec', "
+    "CASE pmod(doc_id, 3) WHEN 0 THEN '' WHEN 1 THEN ' x' ELSE 'q' END)"
+)
+_FZ_TITLE_DUCK = (
+    "concat(cast(doc_id // 3 as varchar), ' rec', "
+    "CASE (doc_id % 3) WHEN 0 THEN '' WHEN 1 THEN ' x' ELSE 'q' END)"
+)
+
+FUZZY_ORACLE = fuzzy.edit_distance_pairs_sql(
+    f"SELECT doc_id, {_FZ_TITLE_DUCK} AS text FROM documents",
+    max_dist=_FZ_D,
+    block_cap=_FZ_CAP,
+)
+
+
+def llm_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (llm/fuzzy.py
+    ::edit_distance_pairs): tiered q-gram/char/tiny blocking with a
+    PROVEN completeness guarantee (brute-force hypothesis sweep,
+    tests/test_fuzzy.py), deterministic block cap for stop-gram hot
+    blocks, exact JVM levenshtein inside blocks only — never a
+    cartesian. The record-linkage operator."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    titled = docs.select("doc_id", F.expr(_FZ_TITLE_SPARK).alias("text"))
+    return fuzzy.edit_distance_pairs(
+        titled, max_dist=_FZ_D, block_cap=_FZ_CAP
+    ).select("id_a", "id_b", "dist")
+
+
 # --- s12_warc_wet_roundtrip (authored round 13, r14 candidate #10) -----------
 # WARC/WET ingestion proven end-to-end IN-PLAN: documents pack into
 # WET-style conversion records (one WARC blob per Arrow batch,
@@ -1010,4 +1056,5 @@ CANDIDATES: dict[str, tuple] = {
     "llm_kmeans_fixed_cells": (llm_kmeans_fixed_cells, KMEANS_ORACLE),
     "llm_semdedup_kmeans_e2e": (llm_semdedup_kmeans_e2e, SEMDEDUP_KMEANS_ORACLE),
     "s12_warc_wet_roundtrip": (s12_warc_wet_roundtrip, WARC_ORACLE),
+    "llm_fuzzy_title_pairs": (llm_fuzzy_title_pairs, FUZZY_ORACLE),
 }
