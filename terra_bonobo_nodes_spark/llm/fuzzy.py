@@ -91,7 +91,11 @@ def edit_distance_pairs(
 ) -> DataFrame:
     """All pairs (id_a, id_b, dist) with ``dist <= max_dist``, id_a <
     id_b. Empty keys participate (two empty strings are distance 0);
-    NULL keys are dropped (no linkage semantics for NULL)."""
+    NULL keys are dropped (no linkage semantics for NULL). ``key_col``
+    is meant to be a LINKAGE KEY — a title, name, or URL, tens of
+    characters — not document bodies: keys travel through the block
+    join and the pair dedup, and edit distance on kilobyte strings is
+    the wrong similarity anyway (use MinHash for those)."""
     if max_dist < 1:
         raise ValueError("max_dist must be >= 1 (use exact dedup for 0)")
     key = F.col(key_col)
@@ -120,10 +124,10 @@ def edit_distance_pairs(
         .select("id_a", "id_b", "_ka", "_kb")
         .distinct()
     )
-    return cand.where(
-        F.levenshtein("_ka", "_kb") <= F.lit(int(max_dist))
-    ).select(
-        "id_a", "id_b", F.levenshtein("_ka", "_kb").alias("dist")
+    return (
+        cand.withColumn("dist", F.levenshtein("_ka", "_kb"))
+        .where(F.col("dist") <= F.lit(int(max_dist)))
+        .select("id_a", "id_b", "dist")
     )
 
 
