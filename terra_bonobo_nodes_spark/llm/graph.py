@@ -141,44 +141,73 @@ def pagerank_fixed_sql(
     both truncate, and every operand here is non-negative, so the floor
     divisions agree). ``edges_sql`` is a relation providing the two
     endpoint columns; ``seeds_sql`` (one column of trusted nodes)
-    mirrors the TrustRank variant."""
+    mirrors the TrustRank variant. For composing several chains in one
+    statement use :func:`pagerank_fixed_ctes`."""
+    return (
+        "WITH "
+        + pagerank_fixed_ctes(
+            edges_sql, src_col, dst_col, iterations, scale, damp_num,
+            damp_den, seeds_sql,
+        )
+        + f"\nSELECT node, rank FROM r{int(iterations)}"
+    )
+
+
+def pagerank_fixed_ctes(
+    edges_sql: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    scale: int = DEFAULT_SCALE,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    seeds_sql: str | None = None,
+    prefix: str = "",
+) -> str:
+    """The CTE chain of :func:`pagerank_fixed_sql` without the leading
+    ``WITH`` or trailing SELECT; ``prefix`` renames every CTE
+    (``{prefix}edges`` ... ``{prefix}r{k}``) so two chains — e.g. a
+    plain and a seeded run over the same graph — compose into one
+    statement (the kmeans_fixed_ctes convention)."""
     base = scale * (damp_den - damp_num) // damp_den
     if seeds_sql is None:
         nodes_cte = (
-            "SELECT src AS node, TRUE AS seed FROM edges "
-            "UNION SELECT dst, TRUE FROM edges"
+            f"SELECT src AS node, TRUE AS seed FROM {prefix}edges "
+            f"UNION SELECT dst, TRUE FROM {prefix}edges"
         )
     else:
         nodes_cte = f"""
   SELECT b.node, coalesce(s.seed, FALSE) AS seed
-  FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges) b
+  FROM (SELECT src AS node FROM {prefix}edges
+        UNION SELECT dst FROM {prefix}edges) b
   LEFT JOIN (SELECT DISTINCT node, TRUE AS seed
              FROM (SELECT * FROM ({seeds_sql}) t(node))) s USING (node)"""
     parts = [
-        f"""WITH edges AS (
+        f"""{prefix}edges AS (
   SELECT {src_col} AS src, {dst_col} AS dst FROM ({edges_sql})
   WHERE {src_col} IS NOT NULL AND {dst_col} IS NOT NULL
-), nodes AS ({nodes_cte}
-), deg AS (
-  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
-), e AS (
-  SELECT edges.src, edges.dst, deg.outdeg FROM edges JOIN deg USING (src)
-), r0 AS (
+), {prefix}nodes AS ({nodes_cte}
+), {prefix}deg AS (
+  SELECT src, count(*) AS outdeg FROM {prefix}edges GROUP BY src
+), {prefix}e AS (
+  SELECT {prefix}edges.src, {prefix}edges.dst, {prefix}deg.outdeg
+  FROM {prefix}edges JOIN {prefix}deg USING (src)
+), {prefix}r0 AS (
   SELECT node, CAST(CASE WHEN seed THEN {scale} ELSE 0 END AS BIGINT) AS rank
-  FROM nodes
+  FROM {prefix}nodes
 )"""
     ]
     for i in range(1, int(iterations) + 1):
         parts.append(
-            f""", r{i} AS (
+            f""", {prefix}r{i} AS (
   SELECT n.node,
          CAST(CASE WHEN n.seed THEN {base} ELSE 0 END
               + ({damp_num} * coalesce(s.s, 0)) // {damp_den} AS BIGINT) AS rank
-  FROM nodes n LEFT JOIN (
-    SELECT e.dst AS node, sum(r{i - 1}.rank // e.outdeg) AS s
-    FROM e JOIN r{i - 1} ON e.src = r{i - 1}.node GROUP BY e.dst
+  FROM {prefix}nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank // e.outdeg) AS s
+    FROM {prefix}e e JOIN {prefix}r{i - 1} r ON e.src = r.node
+    GROUP BY e.dst
   ) s USING (node)
 )"""
         )
-    parts.append(f"\nSELECT node, rank FROM r{int(iterations)}")
     return "".join(parts)

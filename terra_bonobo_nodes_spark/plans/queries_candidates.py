@@ -7,14 +7,15 @@ same-grain merge per the add-one-retire-one policy (the full five-merge
 ledger is in plans/registry.py): llm_url_dedup_groups, llm_line_dedup,
 llm_gopher_rules, llm_c4_line_filter, llm_blocked_hosts.
 
-Three remain CANDIDATES, deferred to round 14 with the budget
-pre-computed in the registry ledger: llm_source_rule_yield (its
-constituent rule batteries take their own first rows this round),
-llm_perplexity_buckets (needs the documented 1-row-BNLJ plan-audit
-allowlist entry at registration), llm_dsir_logweights. Deferred
-entries stay complete (spark_fn, oracle) pairs pinned green against
-DuckDB by tests/test_candidates_oracle.py under the driver's exact
-compare contract, so each future promotion stays a registration edit.
+THIRTEEN rows are CANDIDATES for round 14, each deferred with the
+budget pre-computed in the registry ledger (see the ROUND-13
+continuation note there for the full list, the promotion rank, and
+the three same-grain merge pairings). Deferred entries stay complete
+(spark_fn, oracle) pairs pinned green against DuckDB by
+tests/test_candidates_oracle.py under the driver's exact compare
+contract — at sf0.001 every suite run and at sf0.01/sf0.1 during
+authoring — and pass the registered queries' empty-tables sweep, so
+each future promotion stays a registration edit.
 """
 
 from __future__ import annotations
@@ -1041,6 +1042,72 @@ def llm_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept_toks",
     )
 
+
+# --- llm_host_quality_report (authored round 13, r14 candidate #13) ----------
+# The capstone composition a curation team actually reads: ONE
+# host-grain report joining link authority (plain PageRank), trust
+# (seeded TrustRank) and per-host corpus contribution (doc count,
+# exact char mass) — every column integer-exact, the two rank chains
+# composed in one oracle via pagerank_fixed_ctes(prefix=).
+
+HOST_REPORT_ORACLE = f"""
+WITH {graph.pagerank_fixed_ctes(_PR_EDGES_DUCK, iterations=5, prefix="pr_")},
+{graph.pagerank_fixed_ctes(_PR_EDGES_DUCK, iterations=5,
+                           seeds_sql=_TRUST_SEEDS_DUCK, prefix="tr_")},
+stats AS (
+  SELECT doc_id % 101 AS host, count(*) AS n_docs,
+         sum(length(coalesce(text, ''))) AS sum_chars
+  FROM documents GROUP BY 1
+)
+SELECT p.node AS host,
+       p.rank AS rank,
+       t.rank AS trust_rank,
+       CAST(coalesce(s.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(coalesce(s.sum_chars, 0) AS BIGINT) AS sum_chars
+FROM pr_r5 p
+JOIN tr_r5 t ON p.node = t.node
+LEFT JOIN stats s ON s.host = p.node
+"""
+
+
+def llm_host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-grain curation report: pagerank_fixed plain + seeded runs
+    joined with per-host document statistics — the per-host triage
+    table (authority high / trust zero = link spam; n_docs high /
+    trust low = crawl bias). All-integer columns, three id-keyed
+    joins, both rank chains reuse one edge synthesis."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e1 = docs.select(
+        F.expr("pmod(doc_id, 101)").alias("src"),
+        F.expr("pmod(doc_id * 7 + 3, 101)").alias("dst"),
+    )
+    e2 = docs.select(
+        F.expr("pmod(doc_id, 101)").alias("src"),
+        F.expr("pmod(doc_id * 13 + 5, 101)").alias("dst"),
+    )
+    edges = e1.union(e2)
+    seeds = spark.range(10).select(F.col("id").alias("host"))
+    pr = graph.pagerank_fixed(edges, iterations=5)
+    tr = graph.pagerank_fixed(edges, iterations=5, seeds=seeds).select(
+        "node", F.col("rank").alias("trust_rank")
+    )
+    stats = docs.groupBy(F.expr("pmod(doc_id, 101)").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(F.coalesce("text", F.lit("")))).alias("sum_chars"),
+    )
+    return (
+        pr.join(tr, "node")
+        .join(stats, "node", "left")
+        .select(
+            F.col("node").alias("host"),
+            "rank",
+            "trust_rank",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("sum_chars", F.lit(0)).cast("long").alias("sum_chars"),
+        )
+    )
+
+
 # Still-deferred candidates (round-14 budget — see the registry
 # ledger); the five promoted rows left this dict for the registry and
 # are now pinned by the driver contract itself.
@@ -1057,4 +1124,5 @@ CANDIDATES: dict[str, tuple] = {
     "llm_semdedup_kmeans_e2e": (llm_semdedup_kmeans_e2e, SEMDEDUP_KMEANS_ORACLE),
     "s12_warc_wet_roundtrip": (s12_warc_wet_roundtrip, WARC_ORACLE),
     "llm_fuzzy_title_pairs": (llm_fuzzy_title_pairs, FUZZY_ORACLE),
+    "llm_host_quality_report": (llm_host_quality_report, HOST_REPORT_ORACLE),
 }

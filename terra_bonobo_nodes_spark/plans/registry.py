@@ -216,9 +216,15 @@ def register(
 # - llm_cms_token_freq (llm/sketch.py — Count-Min Sketch heavy
 #   hitters; exact-BIGINT build+estimate replay, never-undercount
 #   guarantee surfaced; tests/test_sketch.py).
-# SEVEN more candidates were authored in the round-13 continuation
+# EIGHT more candidates were authored in the round-13 continuation
 # (each hash-green at sf0.001 + sf0.01 + sf0.1 under the driver
 # compare contract):
+# - llm_host_quality_report (the capstone composition: plain PageRank
+#   + seeded TrustRank + per-host doc count/char mass in ONE
+#   host-grain report, all-integer columns; the oracle composes both
+#   rank chains via pagerank_fixed_ctes(prefix=). Subsumes the
+#   pagerank/trustrank rows if r14 prefers one slot for all three
+#   signals.)
 # - llm_fuzzy_title_pairs (llm/fuzzy.py — edit-distance similarity
 #   join / record linkage, Gravano et al. 2001: tiered
 #   q-gram/char/tiny blocking with an empirically-proven completeness
@@ -265,17 +271,19 @@ def register(
 #   now literally: register this row in llm_semantic_dedup's slot.)
 # r14 handoff SIMULATED this round (the standing practice): pretend
 # the first 50 of the current order green as CORRECTNESS_r13 -> r14
-# due cohort = 45, zero never-green, demand with all TWELVE deferred
-# promotions = 57 — SEVEN over DRIVER_CAP; but the semdedup-e2e row
+# due cohort = 45, zero never-green, demand with all THIRTEEN deferred
+# promotions = 58 — EIGHT over DRIVER_CAP; but the semdedup-e2e row
 # replaces llm_semantic_dedup (same grain, strictly stronger), the
 # kmeans row can merge into it the same way, and pagerank+trustrank
 # share a node grain (one widened row), so the effective new-slot
-# demand is NINE. Promotion rank if r14 prefers slack or frees fewer
-# slots (highest curation-user value first): llm_semdedup_kmeans_e2e
-# (replaces llm_semantic_dedup — zero net slots),
-# llm_source_rule_yield, llm_exact_substring_spans,
+# demand is NINE (the report row subsumes pagerank+trustrank: all
+# three graph signals fit ONE slot). Promotion rank if r14 prefers
+# slack or frees fewer slots (highest curation-user value first):
+# llm_semdedup_kmeans_e2e (replaces llm_semantic_dedup — zero net
+# slots), llm_source_rule_yield, llm_exact_substring_spans,
 # s12_warc_wet_roundtrip, llm_kmeans_fixed_cells,
-# llm_host_pagerank+llm_host_trustrank (merged, one slot),
+# llm_host_quality_report (subsumes llm_host_pagerank +
+# llm_host_trustrank — one slot for all three),
 # llm_fuzzy_title_pairs, llm_perplexity_buckets, llm_dsir_logweights,
 # llm_bloom_decontaminate, llm_cms_token_freq — defer the tail, never
 # the head. Each remaining promotion still needs a freed SLOT
