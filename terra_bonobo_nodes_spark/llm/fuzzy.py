@@ -131,6 +131,60 @@ def edit_distance_pairs(
     )
 
 
+def edit_distance_match(
+    df: DataFrame,
+    reference: DataFrame,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    ref_key_col: str = "text",
+    ref_id_col: str = "ref_id",
+    max_dist: int = 2,
+    q: int = 3,
+    normalize_key: bool = True,
+) -> DataFrame:
+    """Asymmetric linkage — match incoming records against a STATIC
+    reference/master table: (``id_col``, ``ref_id``, ``dist``) for
+    every reference entry within ``max_dist`` of a record's key. Same
+    tiered blocks and completeness argument as
+    :func:`edit_distance_pairs`, run as an equi-join between the two
+    sides' block sets instead of a self-join — which makes it a
+    STREAM-STATIC join: ``df`` may be a readStream (append mode, no
+    state; the per-record dedup across blocks uses dropDuplicates
+    WITHIN the record's own exploded rows, a stateless projection via
+    a distinct-free formulation: blocks are emitted distinct per side,
+    and a (record, reference) pair surviving in several blocks is
+    collapsed by the final aggregate-free distinct ONLY in batch — in
+    streaming the caller gets at-least-once pair delivery and dedups
+    downstream, documented). Pinned batch and over readStream by
+    tests/test_fuzzy.py."""
+    key = F.col(key_col)
+    rkey = F.col(ref_key_col)
+    if normalize_key:
+        key, rkey = normalize(key), normalize(rkey)
+    left = df.select(F.col(id_col).alias("_id"), key.alias("_k")).where(
+        key.isNotNull()
+    )
+    right = reference.select(
+        F.col(ref_id_col).alias("ref_id"), rkey.alias("_rk")
+    ).where(rkey.isNotNull())
+    lex = left.select(
+        "_id", "_k", F.explode(_blocks(F.col("_k"), q, max_dist)).alias("_b")
+    )
+    rex = right.select(
+        "ref_id", "_rk", F.explode(_blocks(F.col("_rk"), q, max_dist)).alias("_b")
+    )
+    cand = (
+        lex.join(rex, "_b")
+        .where(F.abs(F.length("_k") - F.length("_rk")) <= F.lit(int(max_dist)))
+        .withColumn("dist", F.levenshtein("_k", "_rk"))
+        .where(F.col("dist") <= F.lit(int(max_dist)))
+        .select(F.col("_id").alias(id_col), "ref_id", "dist")
+    )
+    if cand.isStreaming:
+        return cand  # at-least-once per shared block; dedup downstream
+    return cand.distinct()
+
+
 def edit_distance_pairs_sql(
     source_sql: str,
     key_expr: str = "text",

@@ -149,3 +149,72 @@ def test_capped_mirror_matches(spark):
     )
     want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
     assert got == want
+
+
+def test_match_against_reference_batch(spark):
+    recs = spark.createDataFrame(
+        [(0, "jon smith"), (1, "mary jones"), (2, "unrelated qq")],
+        "doc_id long, text string",
+    )
+    master = spark.createDataFrame(
+        [(100, "john smith"), (101, "marie jones"), (102, "zzz")],
+        "ref_id long, text string",
+    )
+    from terra_bonobo_nodes_spark.llm.fuzzy import edit_distance_match
+
+    got = {
+        (r["doc_id"], r["ref_id"], r["dist"])
+        for r in edit_distance_match(recs, master, max_dist=2).collect()
+    }
+    assert (0, 100, 1) in got
+    assert (1, 101, 2) in got
+    assert not any(d == 2 for d, _, _ in got if d == 2 and _ == 102)
+    assert all(ref != 102 for _, ref, _ in got)
+
+
+def test_match_streams_against_static_master(spark, tmp_path):
+    """The linkage-serving shape: a readStream of records matched
+    against a static master table (stream-static equi-join, append
+    mode, no state). Streamed matches == batch matches after the
+    documented downstream dedup."""
+    import uuid
+
+    from terra_bonobo_nodes_spark.llm.fuzzy import edit_distance_match
+
+    recs = [(i, f"record {i % 5} name") for i in range(10)]
+    master_rows = [(100 + j, f"record {j} name") for j in range(5)]
+    master = spark.createDataFrame(master_rows, "ref_id long, text string")
+
+    path = str(tmp_path / "recs")
+    df = spark.createDataFrame(recs, "doc_id long, text string")
+    df.where("doc_id < 5").coalesce(1).write.mode("overwrite").parquet(path)
+    df.where("doc_id >= 5").coalesce(1).write.mode("append").parquet(path)
+
+    stream = edit_distance_match(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path),
+        master,
+        max_dist=1,
+    )
+    assert stream.isStreaming
+    name = f"fz_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["ref_id"], r["dist"])
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    want = {
+        (r["doc_id"], r["ref_id"], r["dist"])
+        for r in edit_distance_match(
+            spark.read.parquet(path), master, max_dist=1
+        ).collect()
+    }
+    assert got == want and len(want) >= 10
