@@ -1108,6 +1108,46 @@ def llm_host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- llm_word_lm_xent (authored round 13, r14 candidate) ----------------
+# CCNet's production quality signal in its production SHAPE (Wenzek et
+# al. 2020 §3.3): a word-bigram LM trained on a TRUSTED reference (here
+# the English slice of documents, the llm_dsir_logweights precedent)
+# scores every document by cross-entropy — the train-on-target
+# complement to the registered llm_char_lm_entropy, which trains on
+# the scored corpus itself at char grain. The oracle replays identical
+# tokenization, exact BIGINT counts, the one-division probability, and
+# the DECIMAL(20,6) per-log quantum. Plan note for promotion: carries
+# the documented 1-row vocabulary-scalar cross join (the
+# perplexity_buckets cutoff precedent) — needs a plan-audit allowlist
+# entry when registered.
+
+
+def llm_word_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terra_bonobo_nodes_spark.llm.lm import word_lm_xent
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    ref = docs.where(F.col("lang") == "en").select("text")
+    out = word_lm_xent(docs.select("doc_id", "text"), ref)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("lm_xent", 4).alias("lm_xent")
+    )
+
+
+def _word_lm_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm.lm import word_lm_xent_sql
+
+    inner = word_lm_xent_sql(
+        "documents", "(SELECT text FROM documents WHERE lang = 'en')"
+    )
+    return (
+        "SELECT doc_id, n_bigrams, round(lm_xent, 4) AS lm_xent "
+        f"FROM ({inner})"
+    )
+
+
+WORD_LM_ORACLE = _word_lm_oracle()
+
+
 # Still-deferred candidates (round-14 budget — see the registry
 # ledger); the five promoted rows left this dict for the registry and
 # are now pinned by the driver contract itself.
@@ -1125,4 +1165,5 @@ CANDIDATES: dict[str, tuple] = {
     "s12_warc_wet_roundtrip": (s12_warc_wet_roundtrip, WARC_ORACLE),
     "llm_fuzzy_title_pairs": (llm_fuzzy_title_pairs, FUZZY_ORACLE),
     "llm_host_quality_report": (llm_host_quality_report, HOST_REPORT_ORACLE),
+    "llm_word_lm_xent": (llm_word_lm_xent, WORD_LM_ORACLE),
 }

@@ -269,21 +269,33 @@ def register(
 #   oracle, so codebook training, assignment, pairing, components and
 #   election ALL run distributed and replay exactly. The r14 merge is
 #   now literally: register this row in llm_semantic_dedup's slot.)
+# - llm_word_lm_xent (llm/lm.py — CCNet's quality signal in its
+#   production SHAPE: word-bigram LM trained on a trusted reference
+#   slice, cross-entropy scored over the whole corpus; the
+#   train-on-target complement to the registered char-LM row. Exact
+#   BIGINT counts + DECIMAL(20,6) per-log quantum; carries the
+#   documented 1-row vocabulary-scalar BNLJ needing an allowlist
+#   entry at registration; tests/test_lm.py. A natural same-grain
+#   merge partner for llm_char_lm_entropy — both emit (doc_id,
+#   n_bigrams, entropy): one widened row fits both signals.)
 # r14 handoff SIMULATED this round (the standing practice): pretend
 # the first 50 of the current order green as CORRECTNESS_r13 -> r14
-# due cohort = 45, zero never-green, demand with all THIRTEEN deferred
-# promotions = 58 — EIGHT over DRIVER_CAP; but the semdedup-e2e row
+# due cohort = 45, zero never-green, demand with all FOURTEEN deferred
+# promotions = 59 — NINE over DRIVER_CAP; but the semdedup-e2e row
 # replaces llm_semantic_dedup (same grain, strictly stronger), the
 # kmeans row can merge into it the same way, and pagerank+trustrank
 # share a node grain (one widened row), so the effective new-slot
-# demand is NINE (the report row subsumes pagerank+trustrank: all
-# three graph signals fit ONE slot). Promotion rank if r14 prefers
+# demand stays NINE (the report row subsumes pagerank+trustrank: all
+# three graph signals fit ONE slot; word-lm widens the char-LM row —
+# same (doc_id, n_bigrams, entropy) grain — instead of taking its
+# own). Promotion rank if r14 prefers
 # slack or frees fewer slots (highest curation-user value first):
 # llm_semdedup_kmeans_e2e (replaces llm_semantic_dedup — zero net
 # slots), llm_source_rule_yield, llm_exact_substring_spans,
 # s12_warc_wet_roundtrip, llm_kmeans_fixed_cells,
 # llm_host_quality_report (subsumes llm_host_pagerank +
-# llm_host_trustrank — one slot for all three),
+# llm_host_trustrank — one slot for all three), llm_word_lm_xent
+# (zero net slots if merged into llm_char_lm_entropy's grain),
 # llm_fuzzy_title_pairs, llm_perplexity_buckets, llm_dsir_logweights,
 # llm_bloom_decontaminate, llm_cms_token_freq — defer the tail, never
 # the head. Each remaining promotion still needs a freed SLOT
