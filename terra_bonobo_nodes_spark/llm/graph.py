@@ -211,3 +211,151 @@ def pagerank_fixed_ctes(
 )"""
         )
     return "".join(parts)
+
+
+# --- HITS --------------------------------------------------------------------
+
+
+def hits_fixed(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """(node, hub, auth) after ``iterations`` exact fixed-point HITS
+    rounds (Kleinberg 1999, public) — the hubs-and-authorities pair of
+    signals: an AUTHORITY is linked to by good hubs (content worth
+    crawling), a HUB links to good authorities (a directory/aggregator
+    page; high hub + low authority is the classic link-farm shape that
+    plain in-link counting misses).
+
+    Same determinism contract as :func:`pagerank_fixed`: BIGINT scores
+    in units of 1/``scale``, and where classic HITS L2-normalizes each
+    float vector, this normalizes by INTEGER QUOTIENT — ``q =
+    greatest(max(raw) div scale, 1)``, every score ``div q`` — so the
+    post-normalization maximum sits in [scale, 2*scale) and nothing is
+    ever MULTIPLIED by scale: the only overflow bound is
+    ``max_degree * 2 * scale < 2^63`` (degree < ~4.6e12 at the default
+    scale — beyond any real host graph). Division-only normalization
+    keeps every iteration bit-identical on both engines; ranking is
+    preserved exactly (x div q is monotone), which is what curation
+    thresholds consume. Update order is the classic one: authorities
+    from current hubs, then hubs from the NEW authorities. Nodes with
+    no in-edges get auth 0; no out-edges, hub 0.
+
+    100 TB shape: per iteration, two equi-joins (edges x the one-row-
+    per-node score frame — AQE broadcasts it) and two combinable sum
+    groupBys (map-side partials absorb celebrity-host skew); the
+    normalization quotient is a 1-row aggregate broadcast back by
+    cross join (the documented single-row-scalar shape, as
+    perplexity_buckets' cutoffs). Edges localCheckpoint once; no
+    Python anywhere."""
+    ed = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).where(
+        F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+    ).localCheckpoint(eager=False)
+    nodes = (
+        ed.select(F.col("_src").alias("node"))
+        .union(ed.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hubs = nodes.select("node", F.lit(int(scale)).cast("long").alias("hub"))
+    auth = nodes.select("node", F.lit(0).cast("long").alias("auth"))
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        q = raw.agg(
+            F.greatest(
+                F.expr(f"coalesce(max(_raw), 0L) div {int(scale)}"), F.lit(1)
+            )
+            .cast("long")
+            .alias("_q")
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(q))
+            .select(
+                "node",
+                F.expr("coalesce(_raw, 0L) div _q").cast("long").alias(col),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    for _ in range(int(iterations)):
+        araw = ed.join(
+            hubs.select(F.col("node").alias("_src"), "hub"), "_src"
+        ).groupBy(F.col("_dst").alias("node")).agg(F.sum("hub").alias("_raw"))
+        auth = _norm(araw, "auth")
+        hraw = ed.join(
+            auth.select(F.col("node").alias("_dst"), "auth"), "_dst"
+        ).groupBy(F.col("_src").alias("node")).agg(F.sum("auth").alias("_raw"))
+        hubs = _norm(hraw, "hub")
+    return hubs.join(auth, "node").select("node", "hub", "auth")
+
+
+def hits_fixed_ctes(
+    edges_sql: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    scale: int = DEFAULT_SCALE,
+    prefix: str = "",
+) -> str:
+    """DuckDB CTE chain replaying :func:`hits_fixed` exactly (the
+    :func:`pagerank_fixed_ctes` convention: no leading WITH, compose
+    via ``prefix``; read the final ``{prefix}h{k}`` / ``{prefix}a{k}``).
+    DuckDB ``//`` and Spark ``div`` agree on the non-negative operands
+    used here."""
+    p = prefix
+    k = int(iterations)
+    parts = [
+        f"""{p}edges AS MATERIALIZED (
+  SELECT {src_col} AS src, {dst_col} AS dst FROM ({edges_sql})
+  WHERE {src_col} IS NOT NULL AND {dst_col} IS NOT NULL
+), {p}nodes AS MATERIALIZED (
+  SELECT src AS node FROM {p}edges UNION SELECT dst FROM {p}edges
+), {p}h0 AS (
+  SELECT node, CAST({int(scale)} AS BIGINT) AS hub FROM {p}nodes
+), {p}a0 AS (
+  SELECT node, CAST(0 AS BIGINT) AS auth FROM {p}nodes
+)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""", {p}ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.hub) AS raw
+  FROM {p}edges e JOIN {p}h{i - 1} h ON e.src = h.node GROUP BY e.dst
+), {p}qa{i} AS (
+  SELECT greatest(coalesce(max(raw), 0) // {int(scale)}, 1) AS q FROM {p}ar{i}
+), {p}a{i} AS MATERIALIZED (
+  SELECT n.node, CAST(coalesce(r.raw, 0) // q.q AS BIGINT) AS auth
+  FROM {p}nodes n LEFT JOIN {p}ar{i} r USING (node) CROSS JOIN {p}qa{i} q
+), {p}hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.auth) AS raw
+  FROM {p}edges e JOIN {p}a{i} a ON e.dst = a.node GROUP BY e.src
+), {p}qh{i} AS (
+  SELECT greatest(coalesce(max(raw), 0) // {int(scale)}, 1) AS q FROM {p}hr{i}
+), {p}h{i} AS MATERIALIZED (
+  SELECT n.node, CAST(coalesce(r.raw, 0) // q.q AS BIGINT) AS hub
+  FROM {p}nodes n LEFT JOIN {p}hr{i} r USING (node) CROSS JOIN {p}qh{i} q
+)"""
+        )
+    return "".join(parts)
+
+
+def hits_fixed_sql(
+    edges_sql: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    scale: int = DEFAULT_SCALE,
+) -> str:
+    """Full DuckDB statement for :func:`hits_fixed`."""
+    k = int(iterations)
+    ctes = hits_fixed_ctes(edges_sql, src_col, dst_col, k, scale)
+    return (
+        f"WITH {ctes}\nSELECT h.node, h.hub, a.auth "
+        f"FROM h{k} h JOIN a{k} a USING (node)"
+    )

@@ -184,3 +184,104 @@ def test_plain_pagerank_unchanged_by_trust_extension(spark):
 def test_trust_matches_python_reference(spark, edges, seeds):
     got = _run_trust(spark, edges, sorted(seeds), iterations=3)
     assert got == _ref_trust(edges, seeds, iterations=3), (edges, seeds)
+
+
+# --- HITS --------------------------------------------------------------------
+
+from terra_bonobo_nodes_spark.llm.graph import hits_fixed, hits_fixed_sql
+
+
+def _run_hits(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r["node"]: (r["hub"], r["auth"]) for r in hits_fixed(df, **kw).collect()
+    }
+
+
+def _ref_hits(edges, iterations=5, scale=DEFAULT_SCALE):
+    """Independent reference: adjacency lists, same quotient-normalized
+    integer arithmetic."""
+    edges = [(s, d) for s, d in edges if s is not None and d is not None]
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    hub = {n: scale for n in nodes}
+    auth = {n: 0 for n in nodes}
+
+    def norm(raw):
+        q = max(max(raw.values(), default=0) // scale, 1)
+        return {n: raw.get(n, 0) // q for n in nodes}
+
+    for _ in range(iterations):
+        araw: dict[str, int] = {}
+        for s, d in edges:
+            araw[d] = araw.get(d, 0) + hub[s]
+        auth = norm(araw)
+        hraw: dict[str, int] = {}
+        for s, d in edges:
+            hraw[s] = hraw.get(s, 0) + auth[d]
+        hub = norm(hraw)
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
+def test_hits_hub_authority_separation(spark):
+    # dir links to three pages; pages link to one winner
+    edges = [
+        ("dir", "p1"), ("dir", "p2"), ("dir", "p3"),
+        ("p1", "win"), ("p2", "win"), ("p3", "win"),
+    ]
+    got = _run_hits(spark, edges)
+    assert got == _ref_hits(edges)
+    # 'win' is the best authority; the pages pointing at it are the
+    # best hubs (each points at THE top authority; 'dir' points only
+    # at middling ones); roles don't mix at the poles
+    assert got["win"][1] == max(v[1] for v in got.values())
+    assert got["p1"][0] == max(v[0] for v in got.values())
+    assert got["p1"][0] > got["dir"][0] > 0
+    assert got["win"][0] == 0  # the sink links to nothing: zero hub
+    assert got["dir"][1] == 0  # nothing links to the directory: zero auth
+    assert got["p1"] == got["p2"] == got["p3"]  # symmetric middle ties
+
+
+def test_hits_multi_edge_counts_per_occurrence(spark):
+    edges = [("a", "b"), ("a", "b"), ("c", "b")]
+    got = _run_hits(spark, edges)
+    assert got == _ref_hits(edges)
+    assert got["a"][0] > got["c"][0]  # the doubled edge makes a the better hub
+
+
+def test_hits_null_endpoints_and_empty(spark):
+    got = _run_hits(spark, [("a", "b"), (None, "b"), ("a", None)])
+    assert set(got) == {"a", "b"}
+    df = spark.createDataFrame([], "src string, dst string")
+    assert hits_fixed(df).collect() == []
+
+
+def test_hits_matches_duckdb_mirror(spark, tmp_path):
+    edges = [
+        ("dir", "p1"), ("dir", "p2"), ("p1", "win"), ("p2", "win"),
+        ("win", "dir"), ("x", "win"), ("x", "p1"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    path = str(tmp_path / "edges")
+    df.write.parquet(path)
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits_fixed(spark.read.parquet(path), iterations=4).collect()
+    }
+    sql = hits_fixed_sql(
+        f"SELECT src, dst FROM read_parquet('{path}/*.parquet')", iterations=4
+    )
+    want = {n: (h, a) for n, h, a in duckdb.sql(sql).fetchall()}
+    assert got == want
+
+
+_hnode = st.sampled_from("abcdef")
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.tuples(_hnode, _hnode), min_size=1, max_size=12),
+    st.sampled_from([1, 3]),
+)
+def test_hits_matches_python_reference(spark, edges, iterations):
+    got = _run_hits(spark, edges, iterations=iterations)
+    assert got == _ref_hits(edges, iterations=iterations), edges
