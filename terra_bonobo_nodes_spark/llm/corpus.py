@@ -415,3 +415,81 @@ def dsir_logweights(
             f"{prefix}logweight"
         ),
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+    seed: str = "tbns-budget-v1",
+    default_budget: int | None = None,
+) -> DataFrame:
+    """Token-budgeted data mixing — the 'data mixture' step of a
+    training pipeline, where the spec is TOKENS per domain ('30B web,
+    5B code'), not document counts (:func:`source_quota_sample` is the
+    count-capped sibling): per source, take documents in seeded-hash
+    order until the source's token budget is filled. A document is
+    kept iff the tokens accumulated BEFORE it are still under the
+    budget — greedy fill, so the crossing document is kept (every
+    positive budget yields at least one document from a non-empty
+    source) and the overshoot is bounded by one document.
+
+    ``budgets`` maps source values to token budgets; sources absent
+    from the map get ``default_budget`` (``None`` = dropped —
+    unbudgeted domains don't leak into the mix). Token counts come
+    from integer ``tokens_col`` if given (use your tokenizer's
+    counts), else a whitespace count over normalize() — exact integers
+    either way, so kept sets replay exactly cross-engine.
+
+    Deterministic and append-stable in the prefix sense (the
+    :func:`source_quota_sample` contract): a document's hash position
+    never improves when new documents arrive, so arrivals can only
+    push the boundary document out, never reshuffle the kept set.
+
+    Plan: ONE window shuffle on the source key — a RUNNING sum
+    (rows-between unbounded-preceding and -1), so nothing buffers past
+    the frame; no join (the budget map is a literal CASE), no collect.
+    At 100 TB the hazard is a mega-source serializing its running sum
+    in one task; unlike the count-capped sibling there is no salting
+    remedy (a prefix sum is order-global per key) — pre-aggregate
+    per-document token counts upstream (cheap projection) and split
+    pathological sources into explicit sub-sources if one domain
+    dominates the corpus.
+    """
+    from terra_bonobo_nodes_spark.llm.hashing import normalize
+
+    if tokens_col is not None:
+        n_tok = F.col(tokens_col).cast("long")
+    else:
+        n_tok = F.size(
+            F.filter(
+                F.split(normalize(F.col(text_col)), " "),
+                lambda w: F.length(w) > 0,
+            )
+        ).cast("long")
+    budget = F.lit(None).cast("long")
+    for k, v in sorted(budgets.items()):
+        budget = F.when(F.col(source_col) == k, F.lit(int(v))).otherwise(budget)
+    if default_budget is not None:
+        budget = F.coalesce(budget, F.lit(int(default_budget)))
+    u = hash32(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(u.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.withColumns(
+        {
+            "_ntok": n_tok,
+            "_budget": budget,
+            "_before": F.coalesce(F.sum(n_tok).over(w), F.lit(0)),
+        }
+    )
+    return (
+        out.where(F.col("_budget").isNotNull() & (F.col("_before") < F.col("_budget")))
+        .drop("_budget", "_before")
+        .withColumnRenamed("_ntok", "n_tokens")
+    )
