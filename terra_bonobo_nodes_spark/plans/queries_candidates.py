@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from terra_bonobo_nodes_spark.llm import (
     fuzzy,
     graph,
+    hashing,
     kmeans,
     selfdedup,
     similarity,
@@ -1108,6 +1109,87 @@ def llm_host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- llm_token_budget_mix (authored round 13, r14 candidate) ------------
+# Token-budgeted data mixing (llm/corpus.py::token_budget_sample): the
+# 'data mixture' step where the spec is TOKENS per domain, not doc
+# counts — per-lang budgets filled greedily in seeded-hash order, the
+# crossing doc kept, the unbudgeted domain (de) dropped wholesale. The
+# oracle replays the identical md5-derived ordering, whitespace token
+# counts, and running-sum window, so the KEPT SET matches exactly.
+
+_TBM_SEED = "tbns-budget-v1"
+_TBM_BUDGETS = {"en": 5000, "fr": 2000, "es": 1500, "zh": 900}
+
+
+def llm_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terra_bonobo_nodes_spark.llm.corpus import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = token_budget_sample(
+        docs, _TBM_BUDGETS, source_col="lang", seed=_TBM_SEED
+    )
+    return out.select("doc_id", "lang", "n_tokens")
+
+
+_TBM_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_TBM_BUDGETS.items()))
+    + " END"
+)
+
+TOKEN_BUDGET_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(str_split({hashing.normalize_sql('text')}, ' '),
+                              w -> len(w) > 0)) AS BIGINT) AS n_tokens,
+         {hashing.hash32_sql(f"'{_TBM_SEED}' || CAST(doc_id AS VARCHAR)")} AS u
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY u ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM t)
+SELECT doc_id, lang, n_tokens FROM c
+WHERE {_TBM_CASE} IS NOT NULL AND before < {_TBM_CASE}
+"""
+
+
+# --- llm_host_hits (authored round 13, r14 candidate) -------------------
+# HITS hubs-and-authorities over the same synthetic host graph as
+# llm_host_pagerank — the third classic link signal (high hub + low
+# authority = directory/link-farm shape that in-link counting misses).
+# Quotient-normalized fixed-point BIGINT iterations, division-only
+# (nothing multiplied by scale), exact cross-engine; the oracle
+# unrolls the identical iterations (llm/graph.py::hits_fixed_sql).
+# Same node grain as pagerank/trustrank/quality-report — a natural
+# merge into llm_host_quality_report if r14 wants one slot for all
+# four graph signals. Carries the per-iteration 1-row normalization
+# scalar (documented single-row BNLJ; allowlist entry at promotion).
+
+
+def llm_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    e1 = docs.select(
+        F.expr("pmod(doc_id, 101)").alias("src"),
+        F.expr("pmod(doc_id * 7 + 3, 101)").alias("dst"),
+    )
+    e2 = docs.select(
+        F.expr("pmod(doc_id, 101)").alias("src"),
+        F.expr("pmod(doc_id * 13 + 5, 101)").alias("dst"),
+    )
+    return graph.hits_fixed(e1.union(e2), iterations=5).select(
+        F.col("node").alias("host"), "hub", "auth"
+    )
+
+
+HOST_HITS_ORACLE = (
+    "SELECT node AS host, hub, auth FROM ("
+    + graph.hits_fixed_sql(_PR_EDGES_DUCK, iterations=5)
+    + ")"
+)
+
+
 # --- llm_word_lm_xent (authored round 13, r14 candidate) ----------------
 # CCNet's production quality signal in its production SHAPE (Wenzek et
 # al. 2020 §3.3): a word-bigram LM trained on a TRUSTED reference (here
@@ -1166,4 +1248,6 @@ CANDIDATES: dict[str, tuple] = {
     "llm_fuzzy_title_pairs": (llm_fuzzy_title_pairs, FUZZY_ORACLE),
     "llm_host_quality_report": (llm_host_quality_report, HOST_REPORT_ORACLE),
     "llm_word_lm_xent": (llm_word_lm_xent, WORD_LM_ORACLE),
+    "llm_host_hits": (llm_host_hits, HOST_HITS_ORACLE),
+    "llm_token_budget_mix": (llm_token_budget_mix, TOKEN_BUDGET_ORACLE),
 }

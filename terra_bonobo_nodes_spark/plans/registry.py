@@ -278,25 +278,45 @@ def register(
 #   entry at registration; tests/test_lm.py. A natural same-grain
 #   merge partner for llm_char_lm_entropy — both emit (doc_id,
 #   n_bigrams, entropy): one widened row fits both signals.)
+# - llm_host_hits (llm/graph.py::hits_fixed — HITS hubs/authorities,
+#   Kleinberg 1999: the third link signal; high hub + low authority =
+#   the directory/link-farm shape in-link counting misses.
+#   Quotient-normalized division-only BIGINT iterations — nothing is
+#   multiplied by scale, so the only overflow bound is degree*2*scale
+#   < 2^63; the oracle unrolls identical iterations with MATERIALIZED
+#   CTEs (plain CTEs re-inline and go exponential past k=3 — measured
+#   0.09/0.29/3.4s at k=1/2/3, 0.15s at k=5 materialized). Same node
+#   grain as the other graph rows — merges into
+#   llm_host_quality_report for one-slot promotion; tests/test_graph.)
+# - llm_token_budget_mix (llm/corpus.py::token_budget_sample — the
+#   'data mixture' step where the spec is TOKENS per domain, not doc
+#   counts: greedy per-source fill in seeded-hash order, crossing doc
+#   kept, unbudgeted domains dropped; one running-sum window, exact
+#   integer replay; the count-capped sibling of source_quota_sample.
+#   tests/test_token_budget.py.)
 # r14 handoff SIMULATED this round (the standing practice): pretend
 # the first 50 of the current order green as CORRECTNESS_r13 -> r14
-# due cohort = 45, zero never-green, demand with all FOURTEEN deferred
-# promotions = 59 — NINE over DRIVER_CAP; but the semdedup-e2e row
+# due cohort = 45, zero never-green, demand with all SIXTEEN deferred
+# promotions = 61 — ELEVEN over DRIVER_CAP; but the semdedup-e2e row
 # replaces llm_semantic_dedup (same grain, strictly stronger), the
 # kmeans row can merge into it the same way, and pagerank+trustrank
 # share a node grain (one widened row), so the effective new-slot
-# demand stays NINE (the report row subsumes pagerank+trustrank: all
-# three graph signals fit ONE slot; word-lm widens the char-LM row —
-# same (doc_id, n_bigrams, entropy) grain — instead of taking its
-# own). Promotion rank if r14 prefers
+# demand is TEN (the report row subsumes pagerank+trustrank AND
+# can absorb hits — all four graph signals share the node grain and
+# fit ONE slot; word-lm widens the char-LM row — same (doc_id,
+# n_bigrams, entropy) grain — instead of taking its own; the budget
+# mixer takes a slot of its own, kept-doc grain). Promotion
+# rank if r14 prefers
 # slack or frees fewer slots (highest curation-user value first):
 # llm_semdedup_kmeans_e2e (replaces llm_semantic_dedup — zero net
 # slots), llm_source_rule_yield, llm_exact_substring_spans,
 # s12_warc_wet_roundtrip, llm_kmeans_fixed_cells,
 # llm_host_quality_report (subsumes llm_host_pagerank +
-# llm_host_trustrank — one slot for all three), llm_word_lm_xent
-# (zero net slots if merged into llm_char_lm_entropy's grain),
-# llm_fuzzy_title_pairs, llm_perplexity_buckets, llm_dsir_logweights,
+# llm_host_trustrank + llm_host_hits — one slot for all four),
+# llm_word_lm_xent (zero net slots if merged into
+# llm_char_lm_entropy's grain),
+# llm_token_budget_mix, llm_fuzzy_title_pairs,
+# llm_perplexity_buckets, llm_dsir_logweights,
 # llm_bloom_decontaminate, llm_cms_token_freq — defer the tail, never
 # the head. Each remaining promotion still needs a freed SLOT
 # (capacity is at 144), same add-one-retire-one price as this round.
