@@ -121,3 +121,44 @@ def html_to_text_sql(expr: str) -> str:
         r = repl.replace("\n", "' || chr(10) || '")
         out = f"regexp_replace({out}, '{pat}', '{r}', 'g')"
     return f"trim({out}, ' ' || chr(10))"
+
+
+# --- link extraction ---------------------------------------------------------
+# The edge between page-grain curation and the host-graph operators
+# (llm/graph.py): real pipelines derive the link graph FROM the crawl,
+# not from a side table. Quoted hrefs only (double or single) — an
+# unquoted href is invalid-but-tolerated HTML whose end is ambiguous
+# without a parser; documented limit, same WET-grade line as above.
+# Both patterns stay in the shared Java/RE2 subset.
+
+_HREF_DQ = r"""(?is)<a\s[^>]*href\s*=\s*"([^"]*)\""""
+_HREF_SQ = r"(?is)<a\s[^>]*href\s*=\s*'([^']*)'"
+
+
+def extract_links(html: Column | str) -> Column:
+    """Array of raw href values of every ``<a>`` in document order
+    within each quoting style (double-quoted first, then
+    single-quoted; graph consumers aggregate per edge, so relative
+    order across styles is immaterial — stated so the SQL mirror can
+    replay the concatenation exactly). NULL in -> NULL out; a page
+    with no links yields an empty array."""
+    c = F.col(html) if isinstance(html, str) else html
+    return F.when(
+        c.isNull(), F.lit(None).cast("array<string>")
+    ).otherwise(
+        F.concat(
+            F.regexp_extract_all(c, F.lit(_HREF_DQ), F.lit(1)),
+            F.regexp_extract_all(c, F.lit(_HREF_SQ), F.lit(1)),
+        )
+    )
+
+
+def extract_links_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`extract_links`."""
+    dq = _HREF_DQ.replace("'", "''")
+    sq = _HREF_SQ.replace("'", "''")
+    return (
+        f"CASE WHEN {expr} IS NULL THEN NULL ELSE "
+        f"list_concat(regexp_extract_all({expr}, '{dq}', 1), "
+        f"regexp_extract_all({expr}, '{sq}', 1)) END"
+    )

@@ -280,3 +280,54 @@ def url_dedup_groups(
             F.count(F.lit(1)).cast("long").alias("n_dups"),
         )
     )
+
+
+def host_link_edges(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(src, dst) host-graph edges extracted from each page's ``<a
+    href>`` links (:func:`llm.html.extract_links`) — the step that
+    derives the link graph the :mod:`llm.graph` operators (PageRank /
+    TrustRank / HITS) consume FROM the crawl itself. One edge per link
+    OCCURRENCE (pagerank counts multi-edges per occurrence; ``
+    .distinct()`` downstream if simple-graph semantics are wanted).
+
+    Per link: absolute (``scheme://``) and protocol-relative (``//``)
+    links resolve to their own host via :func:`host_of`;
+    non-hierarchical schemes (``mailto:``, ``javascript:``, ``tel:``
+    ...) are dropped; fragment-only and empty hrefs are dropped (self
+    references, not edges); everything else is a relative link — an
+    edge back to the page's own host. Pages whose own URL has no host
+    are dropped (no source node).
+
+    Plan: explode of a per-row extracted array — one scan, one
+    Generate, zero joins, zero Python; the edge classification is a
+    CASE over two regexes. The graph operators downstream do the
+    shuffling."""
+    from terra_bonobo_nodes_spark.llm.html import extract_links
+
+    src = host_of(F.col(url_col))
+    ex = df.select(
+        src.alias(src_col),
+        F.explode(extract_links(F.col(html_col))).alias("_href"),
+    ).where(F.col(src_col) != "")
+    h = F.trim(F.col("_href"))
+    is_abs = h.rlike(_SCHEME_RE) | h.startswith("//")
+    is_dropped = (
+        (h == "")
+        | h.startswith("#")
+        | (h.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:") & ~h.rlike(_SCHEME_RE))
+    )
+    # host_of needs a scheme to find the authority — give
+    # protocol-relative links ('//host/p') a placeholder one
+    habs = F.regexp_replace(h, "^//", "x://")
+    dst = F.when(is_abs, host_of(habs)).otherwise(F.col(src_col))
+    return (
+        ex.where(~is_dropped)
+        .select(src_col, dst.alias(dst_col))
+        .where(F.col(dst_col) != "")
+    )

@@ -1,0 +1,88 @@
+"""Link extraction (llm/html.extract_links) and host-graph edge
+building (llm/urls.host_link_edges): hand cases, the DuckDB mirror,
+and the composed html -> edges -> pagerank chain."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from terra_bonobo_nodes_spark.llm.html import extract_links, extract_links_sql
+from terra_bonobo_nodes_spark.llm.urls import host_link_edges
+
+_PAGE = (
+    '<html><body>'
+    '<a href="http://other.example/p1">abs</a>'
+    "<a class='x' href='https://single.example/p2'>sq</a>"
+    '<a href="//proto.example/p3">proto-rel</a>'
+    '<a href="/local/page">rel</a>'
+    '<a href="mailto:a@b.example">mail</a>'
+    '<a href="javascript:void(0)">js</a>'
+    '<a href="#frag">frag</a>'
+    '<a href="">empty</a>'
+    '<A HREF="HTTP://UPPER.EXAMPLE/P4">upper</A>'
+    '</body></html>'
+)
+
+
+def test_extract_links_hand_case(spark):
+    df = spark.createDataFrame([(1, _PAGE), (2, "<p>no links</p>"), (3, None)],
+                               "doc_id long, html string")
+    got = {r["doc_id"]: r["links"] for r in
+           df.select("doc_id", extract_links("html").alias("links")).collect()}
+    # double-quoted in order, then single-quoted
+    assert got[1] == [
+        "http://other.example/p1", "//proto.example/p3", "/local/page",
+        "mailto:a@b.example", "javascript:void(0)", "#frag", "",
+        "HTTP://UPPER.EXAMPLE/P4", "https://single.example/p2",
+    ]
+    assert got[2] == []
+    assert got[3] is None
+
+
+def test_extract_links_duckdb_mirror(spark):
+    pages = [(1, _PAGE), (2, "<p>none</p>"), (3, None),
+             (4, '<a href="x">1</a><a href=\'y\'>2</a>')]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    got = {r["doc_id"]: r["links"] for r in
+           df.select("doc_id", extract_links("html").alias("links")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (doc_id BIGINT, html VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pages)
+    want = dict(con.execute(
+        f"SELECT doc_id, {extract_links_sql('html')} FROM p"
+    ).fetchall())
+    assert got == want
+
+
+def test_host_link_edges_classification(spark):
+    df = spark.createDataFrame(
+        [("http://me.example/index", _PAGE),
+         ("", "<a href=\"http://x.example/\">orphan</a>"),   # no src host
+         ("http://lonely.example/", None)],                   # NULL html
+        "url string, html string",
+    )
+    got = sorted(tuple(r) for r in host_link_edges(df).collect())
+    assert got == sorted([
+        ("me.example", "other.example"),
+        ("me.example", "proto.example"),      # protocol-relative resolves
+        ("me.example", "me.example"),         # relative -> self edge
+        ("me.example", "upper.example"),      # host lowercased
+        ("me.example", "single.example"),
+    ])
+
+
+def test_edges_feed_pagerank(spark):
+    """The composition the module exists for: html -> edges -> rank."""
+    from terra_bonobo_nodes_spark.llm.graph import pagerank_fixed
+
+    pages = [
+        (f"http://h{i}.ex/", f'<a href="http://h{(i + 1) % 3}.ex/p">n</a>')
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank_fixed(host_link_edges(df)).collect()}
+    # a 3-cycle: perfectly symmetric, all ranks identical and positive
+    assert len(ranks) == 3 and len(set(ranks.values())) == 1
+    assert next(iter(ranks.values())) > 0
