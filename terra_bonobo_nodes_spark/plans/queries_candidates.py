@@ -1109,6 +1109,73 @@ def llm_host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- llm_link_graph_rank (authored round 13, r14 candidate) -------------
+# The pipeline-shaped graph row: instead of a side table of edges, the
+# link graph is EXTRACTED from page HTML (llm/html.extract_links ->
+# llm/urls.host_link_edges — quoted-href regex, absolute /
+# protocol-relative / relative / non-hierarchical classification) and
+# fed to fixed-point PageRank. The synthesized pages exercise all four
+# link classes (absolute double-quoted, protocol-relative
+# single-quoted, relative self-edge, dropped mailto); the oracle
+# replays extraction (extract_links_sql), the same classification
+# CASE, and the unrolled rank iterations.
+
+
+def llm_link_graph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terra_bonobo_nodes_spark.llm.urls import host_link_edges
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hn = lambda m, a: F.pmod(F.col("doc_id") * m + a, F.lit(101)).cast("string")  # noqa: E731
+    pages = docs.select(
+        F.concat(F.lit("http://h"), hn(1, 0), F.lit(".example/idx")).alias("url"),
+        F.concat(
+            F.lit('<a href="http://h'), hn(7, 3), F.lit('.example/a">x</a>'),
+            F.lit("<a href='//h"), hn(13, 5), F.lit(".example/b'>y</a>"),
+            F.lit('<a href="/self">z</a><a href="mailto:x@y">m</a>'),
+        ).alias("html"),
+    )
+    edges = host_link_edges(pages)
+    return graph.pagerank_fixed(edges, iterations=5).select(
+        F.col("node").alias("host"), "rank"
+    )
+
+
+def _link_graph_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm.html import extract_links_sql
+
+    pages = """
+SELECT 'h' || (doc_id % 101) || '.example' AS src,
+       '<a href="http://h' || ((doc_id * 7 + 3) % 101) || '.example/a">x</a>'
+       || '<a href=''//h' || ((doc_id * 13 + 5) % 101) || '.example/b''>y</a>'
+       || '<a href="/self">z</a><a href="mailto:x@y">m</a>' AS html
+FROM documents"""
+    edges = f"""
+WITH lg_pages AS ({pages}),
+lg_href AS (SELECT src, unnest({extract_links_sql('html')}) AS href
+            FROM lg_pages),
+lg_h AS (SELECT src, trim(href) AS h FROM lg_href)
+SELECT src,
+  CASE WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*://')
+            OR h LIKE '//%' THEN
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(regexp_replace(h, '^//', 'x://'),
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+      '^[^@]*@', ''), ':[0-9]*$', '')
+  ELSE src END AS dst
+FROM lg_h
+WHERE NOT (h = '' OR h LIKE '#%'
+           OR (regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:')
+               AND NOT regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*://')))"""
+    return (
+        "SELECT node AS host, rank FROM ("
+        + graph.pagerank_fixed_sql(edges, iterations=5)
+        + ")"
+    )
+
+
+LINK_GRAPH_ORACLE = _link_graph_oracle()
+
+
 # --- llm_token_budget_mix (authored round 13, r14 candidate) ------------
 # Token-budgeted data mixing (llm/corpus.py::token_budget_sample): the
 # 'data mixture' step where the spec is TOKENS per domain, not doc
@@ -1250,4 +1317,5 @@ CANDIDATES: dict[str, tuple] = {
     "llm_word_lm_xent": (llm_word_lm_xent, WORD_LM_ORACLE),
     "llm_host_hits": (llm_host_hits, HOST_HITS_ORACLE),
     "llm_token_budget_mix": (llm_token_budget_mix, TOKEN_BUDGET_ORACLE),
+    "llm_link_graph_rank": (llm_link_graph_rank, LINK_GRAPH_ORACLE),
 }

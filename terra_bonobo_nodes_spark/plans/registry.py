@@ -294,10 +294,20 @@ def register(
 #   kept, unbudgeted domains dropped; one running-sum window, exact
 #   integer replay; the count-capped sibling of source_quota_sample.
 #   tests/test_token_budget.py.)
+# - llm_link_graph_rank (llm/html.py::extract_links +
+#   llm/urls.py::host_link_edges + pagerank: the pipeline-shaped graph
+#   row — the link graph is EXTRACTED from page HTML (quoted-href
+#   regex; absolute / protocol-relative / relative / non-hierarchical
+#   classification, all four exercised) instead of arriving as a side
+#   table. Zero-join extraction (one explode), full SQL replay of
+#   extraction + classification + unrolled rank. Strictly more
+#   pipeline coverage than llm_host_pagerank at the same host grain —
+#   its natural REPLACEMENT at promotion. tests/test_links.py.)
 # r14 handoff SIMULATED this round (the standing practice): pretend
 # the first 50 of the current order green as CORRECTNESS_r13 -> r14
-# due cohort = 45, zero never-green, demand with all SIXTEEN deferred
-# promotions = 61 — ELEVEN over DRIVER_CAP; but the semdedup-e2e row
+# due cohort = 45, zero never-green, demand with all SEVENTEEN
+# deferred promotions = 62 — TWELVE over DRIVER_CAP; but the
+# semdedup-e2e row
 # replaces llm_semantic_dedup (same grain, strictly stronger), the
 # kmeans row can merge into it the same way, and pagerank+trustrank
 # share a node grain (one widened row), so the effective new-slot
@@ -305,7 +315,9 @@ def register(
 # can absorb hits — all four graph signals share the node grain and
 # fit ONE slot; word-lm widens the char-LM row — same (doc_id,
 # n_bigrams, entropy) grain — instead of taking its own; the budget
-# mixer takes a slot of its own, kept-doc grain). Promotion
+# mixer takes a slot of its own, kept-doc grain; link_graph_rank
+# REPLACES llm_host_pagerank's slot — same host grain, strictly more
+# pipeline coverage — zero net). Promotion
 # rank if r14 prefers
 # slack or frees fewer slots (highest curation-user value first):
 # llm_semdedup_kmeans_e2e (replaces llm_semantic_dedup — zero net
@@ -313,6 +325,7 @@ def register(
 # s12_warc_wet_roundtrip, llm_kmeans_fixed_cells,
 # llm_host_quality_report (subsumes llm_host_pagerank +
 # llm_host_trustrank + llm_host_hits — one slot for all four),
+# llm_link_graph_rank (zero net slots — replaces llm_host_pagerank),
 # llm_word_lm_xent (zero net slots if merged into
 # llm_char_lm_entropy's grain),
 # llm_token_budget_mix, llm_fuzzy_title_pairs,
