@@ -162,3 +162,80 @@ def extract_links_sql(expr: str) -> str:
         f"list_concat(regexp_extract_all({expr}, '{dq}', 1), "
         f"regexp_extract_all({expr}, '{sq}', 1)) END"
     )
+
+
+# Whole <a> elements (open tag + inner + close): the tag-aware form
+# that also yields rel=nofollow and the anchor text. Unclosed <a>
+# elements are dropped (the close tag is the only unambiguous end —
+# the html_to_text unclosed-script rationale); nested <a> is invalid
+# HTML and the non-greedy match ends at the FIRST close.
+_A_ELEM = r"(?is)(<a\s[^>]*>.*?</a\s*>)"
+_A_OPEN = r"(?is)^<a\s[^>]*>"
+_NOFOLLOW = r"""(?is)^<a\s[^>]*\brel\s*=\s*["'][^"']*nofollow"""
+
+
+def extract_link_tags(html: Column | str) -> Column:
+    """``array<struct<href,anchor,nofollow>>`` — one entry per closed
+    ``<a>`` element with a QUOTED href, in document order. ``anchor``
+    is the inner content with tags stripped and whitespace collapsed
+    (the classic relevance signal an anchor-text index aggregates per
+    target); ``nofollow`` is the ``rel`` flag link-graph builders
+    honor. Entries without a quoted href are dropped (same WET-grade
+    line as :func:`extract_links`). NULL in -> NULL out."""
+    c = F.col(html) if isinstance(html, str) else html
+
+    def entry(e: Column) -> Column:
+        opener = F.regexp_extract(e, _A_OPEN, 0)
+        dq = F.regexp_extract(opener, _HREF_DQ, 1)
+        has_dq = opener.rlike(_HREF_DQ)
+        sq = F.regexp_extract(opener, _HREF_SQ, 1)
+        has_sq = opener.rlike(_HREF_SQ)
+        href = F.when(has_dq, dq).when(has_sq, sq)
+        inner = F.regexp_replace(e, r"(?is)^<a\s[^>]*>|</a\s*>$", "")
+        anchor = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(inner, r"(?s)<[^>]*>", " "), r"\s+", " "
+            )
+        )
+        return F.struct(
+            href.alias("href"),
+            anchor.alias("anchor"),
+            e.rlike(_NOFOLLOW).alias("nofollow"),
+        )
+
+    elems = F.regexp_extract_all(c, F.lit(_A_ELEM), F.lit(1))
+    return F.when(c.isNull(), F.lit(None)).otherwise(
+        F.filter(
+            F.transform(elems, entry), lambda s: s.getField("href").isNotNull()
+        )
+    )
+
+
+def extract_link_tags_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`extract_link_tags`."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    elem, opener = q(_A_ELEM), q(_A_OPEN)
+    dq, sq, nf = q(_HREF_DQ), q(_HREF_SQ), q(_NOFOLLOW)
+    e = "e"
+    op = f"regexp_extract({e}, '{opener}', 0)"
+    href = (
+        f"CASE WHEN regexp_matches({op}, '{dq}') "
+        f"THEN regexp_extract({op}, '{dq}', 1) "
+        f"WHEN regexp_matches({op}, '{sq}') "
+        f"THEN regexp_extract({op}, '{sq}', 1) END"
+    )
+    inner = f"regexp_replace({e}, '(?is)^<a\\s[^>]*>|</a\\s*>$', '', 'g')"
+    anchor = (
+        f"trim(regexp_replace(regexp_replace({inner}, '(?s)<[^>]*>', ' ', "
+        f"'g'), '\\s+', ' ', 'g'))"
+    )
+    return (
+        f"CASE WHEN {expr} IS NULL THEN NULL ELSE "
+        f"list_filter(list_transform(regexp_extract_all({expr}, '{elem}', 1), "
+        f"e -> struct_pack(href := {href}, anchor := {anchor}, "
+        f"nofollow := regexp_matches(e, '{nf}'))), "
+        f"s -> s.href IS NOT NULL) END"
+    )

@@ -288,6 +288,7 @@ def host_link_edges(
     html_col: str = "html",
     src_col: str = "src",
     dst_col: str = "dst",
+    skip_nofollow: bool = False,
 ) -> DataFrame:
     """(src, dst) host-graph edges extracted from each page's ``<a
     href>`` links (:func:`llm.html.extract_links`) — the step that
@@ -302,18 +303,32 @@ def host_link_edges(
     ...) are dropped; fragment-only and empty hrefs are dropped (self
     references, not edges); everything else is a relative link — an
     edge back to the page's own host. Pages whose own URL has no host
-    are dropped (no source node).
+    are dropped (no source node). ``skip_nofollow=True`` honors
+    ``rel=nofollow`` the way production link-graph builders do
+    (via :func:`llm.html.extract_link_tags` — note that form only
+    sees CLOSED ``<a>`` elements, the documented tag-aware line).
 
     Plan: explode of a per-row extracted array — one scan, one
     Generate, zero joins, zero Python; the edge classification is a
     CASE over two regexes. The graph operators downstream do the
     shuffling."""
-    from terra_bonobo_nodes_spark.llm.html import extract_links
+    from terra_bonobo_nodes_spark.llm.html import (
+        extract_link_tags,
+        extract_links,
+    )
 
     src = host_of(F.col(url_col))
+    if skip_nofollow:
+        tags = extract_link_tags(F.col(html_col))
+        links = F.transform(
+            F.filter(tags, lambda s: ~s.getField("nofollow")),
+            lambda s: s.getField("href"),
+        )
+    else:
+        links = extract_links(F.col(html_col))
     ex = df.select(
         src.alias(src_col),
-        F.explode(extract_links(F.col(html_col))).alias("_href"),
+        F.explode(links).alias("_href"),
     ).where(F.col(src_col) != "")
     h = F.trim(F.col("_href"))
     is_abs = h.rlike(_SCHEME_RE) | h.startswith("//")

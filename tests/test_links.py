@@ -86,3 +86,67 @@ def test_edges_feed_pagerank(spark):
     # a 3-cycle: perfectly symmetric, all ranks identical and positive
     assert len(ranks) == 3 and len(set(ranks.values())) == 1
     assert next(iter(ranks.values())) > 0
+
+
+# --- tag-aware extraction: nofollow + anchor text ----------------------------
+
+from terra_bonobo_nodes_spark.llm.html import (
+    extract_link_tags,
+    extract_link_tags_sql,
+)
+
+_TAGGED = (
+    '<a href="http://a.ex/1">plain <b>bold</b> anchor</a>'
+    '<a rel="nofollow" href="http://spam.ex/2">sponsored</a>'
+    "<a href='http://b.ex/3' rel='ugc nofollow'>ugc</a>"
+    '<a href="http://c.ex/4"></a>'
+    '<a name="no-href">not a link</a>'
+    '<a href="http://open.ex/5">unclosed'
+)
+
+
+def test_extract_link_tags_hand_case(spark):
+    df = spark.createDataFrame([(1, _TAGGED), (2, None)], "i long, html string")
+    got = {r["i"]: r["t"] for r in
+           df.select("i", extract_link_tags("html").alias("t")).collect()}
+    assert got[2] is None
+    rows = [(s["href"], s["anchor"], s["nofollow"]) for s in got[1]]
+    assert rows == [
+        ("http://a.ex/1", "plain bold anchor", False),
+        ("http://spam.ex/2", "sponsored", True),
+        ("http://b.ex/3", "ugc", True),
+        ("http://c.ex/4", "", False),
+        # no-href and unclosed <a> both dropped
+    ]
+
+
+def test_extract_link_tags_duckdb_mirror(spark):
+    pages = [(1, _TAGGED), (2, None), (3, "<p>none</p>")]
+    df = spark.createDataFrame(pages, "i long, html string")
+    got = {
+        r["i"]: None if r["t"] is None else [tuple(s) for s in r["t"]]
+        for r in df.select("i", extract_link_tags("html").alias("t")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (i BIGINT, html VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pages)
+    want = {
+        i: None if t is None else [(s["href"], s["anchor"], s["nofollow"]) for s in t]
+        for i, t in con.execute(
+            f"SELECT i, {extract_link_tags_sql('html')} FROM p"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_skip_nofollow_edges(spark):
+    df = spark.createDataFrame(
+        [("http://me.ex/", _TAGGED)], "url string, html string"
+    )
+    followed = sorted(
+        r["dst"] for r in host_link_edges(df, skip_nofollow=True).collect()
+    )
+    assert followed == ["a.ex", "c.ex"]  # both nofollow forms honored
+    all_edges = sorted(r["dst"] for r in host_link_edges(df).collect())
+    # the href-only form also sees the unclosed element's link
+    assert all_edges == ["a.ex", "b.ex", "c.ex", "open.ex", "spam.ex"]
