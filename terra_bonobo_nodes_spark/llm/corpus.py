@@ -462,11 +462,13 @@ def token_budget_sample(
     from terra_bonobo_nodes_spark.llm.hashing import normalize
 
     if tokens_col is not None:
-        n_tok = F.col(tokens_col).cast("long")
+        n_tok = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
     else:
+        # NULL text counts as 0 tokens (coalesce — size(NULL) is NULL),
+        # so NULL-text docs neither consume budget nor emit NULL counts
         n_tok = F.size(
             F.filter(
-                F.split(normalize(F.col(text_col)), " "),
+                F.split(normalize(F.coalesce(F.col(text_col), F.lit(""))), " "),
                 lambda w: F.length(w) > 0,
             )
         ).cast("long")
@@ -476,16 +478,19 @@ def token_budget_sample(
     if default_budget is not None:
         budget = F.coalesce(budget, F.lit(int(default_budget)))
     u = hash32(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    # materialize the token count ONCE below the window — feeding the
+    # tokenization expression to both the projection and the window sum
+    # would normalize+tokenize every document twice in the same stage
+    out = df.withColumn("_ntok", n_tok)
     w = (
         Window.partitionBy(source_col)
         .orderBy(u.asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    out = df.withColumns(
+    out = out.withColumns(
         {
-            "_ntok": n_tok,
             "_budget": budget,
-            "_before": F.coalesce(F.sum(n_tok).over(w), F.lit(0)),
+            "_before": F.coalesce(F.sum("_ntok").over(w), F.lit(0)),
         }
     )
     return (

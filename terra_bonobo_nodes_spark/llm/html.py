@@ -131,8 +131,19 @@ def html_to_text_sql(expr: str) -> str:
 # without a parser; documented limit, same WET-grade line as above.
 # Both patterns stay in the shared Java/RE2 subset.
 
-_HREF_DQ = r"""(?is)<a\s[^>]*href\s*=\s*"([^"]*)\""""
-_HREF_SQ = r"(?is)<a\s[^>]*href\s*=\s*'([^']*)'"
+# _WS = the EXPLICIT whitespace class shared bit-identically by Java
+# and RE2 — Java's \s includes \x0b where RE2's does not, so \s is
+# NOT in the shared subset and never appears in these patterns.
+# href/rel must be preceded by a delimiter (whitespace or a closing
+# quote), NOT matched as an attribute-name substring: without it,
+# data-href/ng-href/data-rel values would be captured as the real
+# attribute (and greedy backtracking would even PREFER a later
+# data-href over the real href).
+_WS = r"[ \t\n\x0b\f\r]"
+_HREF_DQ = (
+    rf"""(?is)<a{_WS}(?:[^>]*{_WS})?href{_WS}*={_WS}*"([^"]*)\""""
+)
+_HREF_SQ = rf"(?is)<a{_WS}(?:[^>]*{_WS})?href{_WS}*={_WS}*'([^']*)'"
 
 
 def extract_links(html: Column | str) -> Column:
@@ -169,9 +180,12 @@ def extract_links_sql(expr: str) -> str:
 # elements are dropped (the close tag is the only unambiguous end —
 # the html_to_text unclosed-script rationale); nested <a> is invalid
 # HTML and the non-greedy match ends at the FIRST close.
-_A_ELEM = r"(?is)(<a\s[^>]*>.*?</a\s*>)"
-_A_OPEN = r"(?is)^<a\s[^>]*>"
-_NOFOLLOW = r"""(?is)^<a\s[^>]*\brel\s*=\s*["'][^"']*nofollow"""
+_A_ELEM = rf"(?is)(<a{_WS}[^>]*>.*?</a{_WS}*>)"
+_A_OPEN = rf"(?is)^<a{_WS}[^>]*>"
+_NOFOLLOW = (
+    rf"""(?is)^<a{_WS}(?:[^>]*[{_WS[1:-1]}"'])?rel{_WS}*={_WS}*"""
+    rf"""["'][^"']*\bnofollow"""
+)
 
 
 def extract_link_tags(html: Column | str) -> Column:
@@ -194,7 +208,7 @@ def extract_link_tags(html: Column | str) -> Column:
         inner = F.regexp_replace(e, r"(?is)^<a\s[^>]*>|</a\s*>$", "")
         anchor = F.trim(
             F.regexp_replace(
-                F.regexp_replace(inner, r"(?s)<[^>]*>", " "), r"\s+", " "
+                F.regexp_replace(inner, r"(?s)<[^>]*>", " "), _WS + "+", " "
             )
         )
         return F.struct(
@@ -227,10 +241,13 @@ def extract_link_tags_sql(expr: str) -> str:
         f"WHEN regexp_matches({op}, '{sq}') "
         f"THEN regexp_extract({op}, '{sq}', 1) END"
     )
-    inner = f"regexp_replace({e}, '(?is)^<a\\s[^>]*>|</a\\s*>$', '', 'g')"
+    ws = q(_WS)
+    inner = (
+        f"regexp_replace({e}, '(?is)^<a{ws}[^>]*>|</a{ws}*>$', '', 'g')"
+    )
     anchor = (
         f"trim(regexp_replace(regexp_replace({inner}, '(?s)<[^>]*>', ' ', "
-        f"'g'), '\\s+', ' ', 'g'))"
+        f"'g'), '{ws}+', ' ', 'g'))"
     )
     return (
         f"CASE WHEN {expr} IS NULL THEN NULL ELSE "

@@ -48,21 +48,21 @@ from pyspark.sql import functions as F
 from terra_bonobo_nodes_spark.llm.hashing import normalize, normalize_sql
 
 
-def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, b) rows — one per word-bigram position, b = 'w1 w2'
-    (tokens are space-free after normalize(), so the space join is
-    unambiguous). Tokens materialize once per document; documents with
-    fewer than two tokens emit nothing."""
-    toked = df.select(
-        F.col(id_col),
-        F.filter(
-            F.split(normalize(F.col(text_col)), " "),
-            lambda w: F.length(w) > 0,
-        ).alias("_toks"),
-    )
+def _tokens(text: Column) -> Column:
+    """Non-empty normalized tokens — THE tokenization of this module;
+    model training and corpus scoring must share it exactly."""
+    return F.filter(F.split(normalize(text), " "), lambda w: F.length(w) > 0)
+
+
+def _bigrams_of(toked: DataFrame, *keep_cols: str) -> DataFrame:
+    """Explode a ``_toks``-carrying frame to one row per word-bigram
+    position, b = 'w1 w2' (tokens are space-free after normalize(), so
+    the space join is unambiguous); documents with fewer than two
+    tokens emit nothing. Shared by the reference and corpus sides so
+    the pairing logic exists exactly once."""
     n = F.size("_toks")
     return toked.where(n >= 2).select(
-        id_col,
+        *keep_cols,
         F.explode(
             F.zip_with(
                 F.slice("_toks", 1, n - 1),
@@ -71,6 +71,14 @@ def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
         ).alias("_b"),
     )
+
+
+def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, b) rows — tokenize then pair (see :func:`_bigrams_of`)."""
+    toked = df.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
+    )
+    return _bigrams_of(toked, id_col)
 
 
 def word_lm_xent(
@@ -91,20 +99,10 @@ def word_lm_xent(
     ``perplexity_buckets`` 'empty' convention)."""
     rcol = ref_text_col or text_col
     rt = reference.select(
-        F.filter(
-            F.split(normalize(F.col(rcol)), " "), lambda w: F.length(w) > 0
-        ).alias("_toks")
+        _tokens(F.col(rcol)).alias("_toks")
     ).localCheckpoint(eager=False)
     # model: reference bigram counts, context counts, vocabulary scalar
-    rb = rt.where(F.size("_toks") >= 2).select(
-        F.explode(
-            F.zip_with(
-                F.slice("_toks", 1, F.size("_toks") - 1),
-                F.slice("_toks", 2, F.size("_toks") - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("_b")
-    )
+    rb = _bigrams_of(rt)
     tc = rb.groupBy("_b").agg(F.count(F.lit(1)).alias("_c12"))
     ctx = rb.groupBy(F.split("_b", " ").getItem(0).alias("_w1")).agg(
         F.count(F.lit(1)).alias("_c1")

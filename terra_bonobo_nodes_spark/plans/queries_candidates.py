@@ -1207,8 +1207,9 @@ _TBM_CASE = (
 TOKEN_BUDGET_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, lang,
-         CAST(len(list_filter(str_split({hashing.normalize_sql('text')}, ' '),
-                              w -> len(w) > 0)) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(
+           str_split({hashing.normalize_sql("coalesce(text, '')")}, ' '),
+           w -> len(w) > 0)) AS BIGINT) AS n_tokens,
          {hashing.hash32_sql(f"'{_TBM_SEED}' || CAST(doc_id AS VARCHAR)")} AS u
   FROM documents
 ), c AS (

@@ -150,3 +150,37 @@ def test_skip_nofollow_edges(spark):
     all_edges = sorted(r["dst"] for r in host_link_edges(df).collect())
     # the href-only form also sees the unclosed element's link
     assert all_edges == ["a.ex", "b.ex", "c.ex", "open.ex", "spam.ex"]
+
+
+def test_attribute_name_substrings_not_matched(spark):
+    """data-href / ng-href / data-rel must not be read as href/rel
+    (the regexes require a delimiter before the attribute name), and
+    anchor whitespace collapse uses the explicit Java∩RE2 class so
+    \\x0b round-trips identically on both engines."""
+    pages = [
+        (1, '<a href="/real" data-href="http://tracker.ex/x">t</a>'),
+        (2, '<a data-href="http://only.ex/u">no real href</a>'),
+        (3, '<a data-rel="x nofollow" href="http://a.ex/1">kept</a>'),
+        (4, '<a href="http://a.ex/1">w1\x0bw2</a>'),
+    ]
+    df = spark.createDataFrame(pages, "i long, html string")
+    links = {r["i"]: r["l"] for r in
+             df.select("i", extract_links("html").alias("l")).collect()}
+    assert links[1] == ["/real"]          # the real href, not the data-href
+    assert links[2] == []                  # no quoted real href at all
+    tags = {r["i"]: r["t"] for r in
+            df.select("i", extract_link_tags("html").alias("t")).collect()}
+    assert tags[3][0]["nofollow"] is False  # data-rel is not rel
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p2 (i BIGINT, html VARCHAR)")
+    con.executemany("INSERT INTO p2 VALUES (?, ?)", pages)
+    want = {
+        i: None if t is None else [(s["href"], s["anchor"], s["nofollow"]) for s in t]
+        for i, t in con.execute(
+            f"SELECT i, {extract_link_tags_sql('html')} FROM p2"
+        ).fetchall()
+    }
+    got = {r["i"]: [tuple(s) for s in r["t"]] for r in
+           df.select("i", extract_link_tags("html").alias("t")).collect()}
+    assert got == want
+    assert got[4][0][1] == "w1 w2"  # \x0b collapsed identically

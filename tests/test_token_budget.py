@@ -108,3 +108,8 @@ def test_empty_and_null_text(spark):
     assert got == _ref(rows, {"a": 2})
     # zero-token docs consume no budget; they are kept while under it
     assert got.get(2, None) in (3, None)
+    # with a budget that keeps everything: NULL/empty text is EXACTLY
+    # 0 tokens, never NULL (size(NULL) is NULL without the coalesce —
+    # review finding, pinned regardless of where the hash orders them)
+    all_kept = _run(spark, rows, {"a": 1000})
+    assert all_kept == {0: 0, 1: 0, 2: 3}
