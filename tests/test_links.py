@@ -184,3 +184,44 @@ def test_attribute_name_substrings_not_matched(spark):
            df.select("i", extract_link_tags("html").alias("t")).collect()}
     assert got == want
     assert got[4][0][1] == "w1 w2"  # \x0b collapsed identically
+
+
+# --- hypothesis sweep vs an independent Python reference --------------------
+
+import re as _re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _py_extract(html: str) -> list[str]:
+    """Independent re-implementation of the documented contract:
+    double-quoted hrefs in document order, then single-quoted; href
+    must be delimiter-preceded."""
+    ws = r"[ \t\n\x0b\f\r]"
+    dq = _re.compile(
+        rf'(?is)<a{ws}(?:[^>]*{ws})?href{ws}*={ws}*"([^"]*)"'
+    )
+    sq = _re.compile(
+        rf"(?is)<a{ws}(?:[^>]*{ws})?href{ws}*={ws}*'([^']*)'"
+    )
+    return dq.findall(html) + sq.findall(html)
+
+
+_frag = st.sampled_from([
+    '<a href="http://x.ex/a">t</a>', "<a href='/rel'>r</a>",
+    '<a data-href="http://no.ex/">d</a>', '<a href="">e</a>',
+    "plain text ", "<p>block</p>", '<a href="#f">f</a>',
+    '<a\thref="http://tab.ex/">tab</a>', "<a name=x>anchorless</a>",
+    '<a href = "http://sp.ex/">spaced</a>', "<A HREF='HTTP://UP.EX/'>u</A>",
+    "&amp; <b>bold</b> ", '<a rel="nofollow" href="http://nf.ex/">n</a>',
+])
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_frag, min_size=0, max_size=8))
+def test_extract_links_sweep_vs_python(spark, frags):
+    html = "".join(frags)
+    df = spark.createDataFrame([(1, html)], "i long, html string")
+    got = df.select(extract_links("html").alias("l")).collect()[0]["l"]
+    assert got == _py_extract(html), html
