@@ -205,7 +205,9 @@ def extract_link_tags(html: Column | str) -> Column:
         sq = F.regexp_extract(opener, _HREF_SQ, 1)
         has_sq = opener.rlike(_HREF_SQ)
         href = F.when(has_dq, dq).when(has_sq, sq)
-        inner = F.regexp_replace(e, r"(?is)^<a\s[^>]*>|</a\s*>$", "")
+        inner = F.regexp_replace(
+            e, rf"(?is)^<a{_WS}[^>]*>|</a{_WS}*>$", ""
+        )
         anchor = F.trim(
             F.regexp_replace(
                 F.regexp_replace(inner, r"(?s)<[^>]*>", " "), _WS + "+", " "
