@@ -1,0 +1,250 @@
+"""Perceptual image hashing + near-duplicate pairs — the image-column
+member of the dedup family (doc-grain MinHash, line-grain CCNet,
+span-grain ExactSubstr, embedding-grain SemDeDup; this one keys on
+PIXELS, so re-encoded / resized copies of the same image collide
+where a byte-hash cannot).
+
+dHash (difference hash, public — Krawetz 2013 'Kind of Like That'):
+decode to RGB (the from-spec pure-Python codecs in ``llm/codecs.py`` /
+``llm/jpeg.py`` — BMP, P6 PPM, PNG, JPEG), integer-luma grayscale
+(``(299*r + 587*g + 114*b) // 1000`` — integer, so the fingerprint is
+platform-exact), nearest-neighbor resample to (hash_w+1) x hash_h via
+the shared ``resize_nearest`` kernel, then one bit per horizontal
+gradient: ``bit = gray[r][c] > gray[r][c+1]``, packed row-major MSB
+first into a BIGINT (64 bits at the default 8x8). Deterministic end to
+end: same payload -> same fingerprint on any partitioning/executor
+count, so the dedup decision replays.
+
+Near-dup pairing reuses the SimHash pigeonhole strategy: split the
+fingerprint into ``n_blocks > max_hamming`` exact blocks — every pair
+within the radius shares at least one block — equi-join on (block,
+value), exact hamming filter inside buckets (``bit_count(a XOR b)``,
+JVM-side). :func:`hamming_pairs` is the fingerprint-agnostic form
+(works for ANY integer fingerprint column; ``dedup.simhash_pairs``
+keeps its own inlined copy until its registered rows rotate due —
+the standing low-priority-edit rule).
+
+Decode errors follow the codec stub policy (a format is decoded or
+loudly unsupported, never faked): ``on_error='raise'`` (default)
+propagates; ``on_error='null'`` yields a NULL fingerprint for
+undecodable payloads — the 100 TB crawl setting where one corrupt
+image must not kill the stage — and NULL rows drop out of pairing.
+
+Cross-engine oracle: none by design — DuckDB cannot run the binary
+decoders, so this is pytest-verified capability (the
+``llm_codec_throughput`` / multimodal precedent), pinned against an
+independent pure-Python reference in tests/test_phash.py.
+
+100 TB shape: hashing is an Arrow-batched mapInPandas over the
+payload column (one pass, no shuffle); pairing is the banded
+equi-join — never an all-pairs product. No counterpart in the
+reference repo (no media operators there); this belongs to the
+LLM-curation extension.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dhash_bits(
+    payload: bytes,
+    decoder: Callable[[bytes], tuple[int, int, bytes]] | None = None,
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> int:
+    """The per-image fingerprint, driver/executor-agnostic pure
+    Python. Raises whatever the decoder raises on undecodable input
+    (``image_decoder``: NotImplementedError / ValueError)."""
+    from terra_bonobo_nodes_spark.llm import codecs
+
+    decode = decoder if decoder is not None else codecs.image_decoder
+    w, h, rgb = decode(payload)
+    small = codecs.resize_nearest(w, h, rgb, hash_w + 1, hash_h)
+    bits = 0
+    for r in range(hash_h):
+        row = small[r * (hash_w + 1) * 3 : (r + 1) * (hash_w + 1) * 3]
+        gray = [
+            (299 * row[3 * c] + 587 * row[3 * c + 1] + 114 * row[3 * c + 2])
+            // 1000
+            for c in range(hash_w + 1)
+        ]
+        for c in range(hash_w):
+            bits = (bits << 1) | (1 if gray[c] > gray[c + 1] else 0)
+    # two's-complement signed so the value fits Spark's LongType
+    # (an all-ones fingerprint would otherwise overflow BIGINT)
+    if bits >= 1 << (hash_w * hash_h - 1):
+        bits -= 1 << (hash_w * hash_h)
+    return bits
+
+
+def image_dhash(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    decoder: Callable[[bytes], tuple[int, int, bytes]] | None = None,
+    hash_w: int = 8,
+    hash_h: int = 8,
+    on_error: str = "raise",
+) -> DataFrame:
+    """(id, dhash) — one 64-bit (at 8x8) BIGINT fingerprint per asset,
+    Arrow-batched, one pass, no shuffle. ``on_error='null'`` converts
+    decode failures to NULL fingerprints instead of failing the stage
+    (see module docstring)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def one(b) -> int | None:
+        try:
+            return dhash_bits(bytes(b), decoder, hash_w, hash_h)
+        except Exception:
+            if on_error == "null":
+                return None
+            raise
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "dhash": pd.array(
+                        [one(b) for b in pdf[payload_col]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return assets.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    fp_col: str = "dhash",
+    bits: int = 64,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    block_cap: int | None = None,
+) -> DataFrame:
+    """A dedup-sufficient GENERATOR SET of near-dup pairs: (id_a,
+    id_b, hamming) such that connected components over the output
+    merge exactly the rows whose fingerprints sit within
+    ``max_hamming`` of each other (NULL fingerprints drop out).
+
+    THE SCALE SHAPE — exact duplicates collapse BEFORE the banded
+    self-join: identical fingerprints (re-encoded copies, the common
+    case) group to one representative (min id) and emit linear
+    (rep, member, 0) pairs; only DISTINCT fingerprint values enter the
+    pigeonhole join (``n_blocks > max_hamming`` exact blocks force any
+    qualifying value pair to share one — completeness by pigeonhole).
+    Without the collapse, a corpus of near-identical images makes
+    every bucket quadratic in its copy count — measured: a 200k-image
+    synthetic sweep of perturbed ramps DNF'd in 10 min row-grain and
+    runs in seconds value-grain. Consequence, stated: near pairs carry
+    REPRESENTATIVE ids, so a member's cross-group closeness appears
+    via its rep (same components, not every qualifying id pair).
+
+    ``block_cap`` (opt-in, the fuzzy.py stop-gram precedent)
+    deterministically drops (block, value) buckets with more than that
+    many DISTINCT fingerprints — for adversarial corpora where even
+    value-grain buckets concentrate; capped recall is reproducible,
+    never load-dependent."""
+    if n_blocks is None:
+        n_blocks = 4 if max_hamming <= 3 else 8
+    assert n_blocks > max_hamming, "pigeonhole needs n_blocks > max_hamming"
+    assert bits % n_blocks == 0
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    from pyspark import StorageLevel
+
+    fp = df.select(id_col, fp_col).where(F.col(fp_col).isNotNull())
+    groups = (
+        fp.groupBy(fp_col)
+        .agg(F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    exact = (
+        fp.join(groups.where(F.col("_n") > 1), fp_col)
+        .where(F.col(id_col) != F.col("_rep"))
+        .select(
+            F.col("_rep").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    reps = groups.select(F.col("_rep").alias("_id"), fp_col)
+    blocked = reps.select(
+        "_id",
+        fp_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col(fp_col), i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", fp_col, "bb.blk", "bb.bv")
+    if block_cap is not None:
+        sizes = blocked.groupBy("blk", "bv").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        blocked = blocked.join(
+            sizes.where(F.col("_bn") <= int(block_cap)), ["blk", "bv"]
+        ).drop("_bn")
+    left = blocked.select(
+        F.col("_id").alias("id_a"), F.col(fp_col).alias("fp_a"), "blk", "bv"
+    )
+    right = blocked.select(
+        F.col("_id").alias("id_b"), F.col(fp_col).alias("fp_b"), "blk", "bv"
+    )
+    near = (
+        left.join(right, ["blk", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= F.lit(int(max_hamming)))
+    )
+    return near.unionAll(exact)
+
+
+def image_near_dup_pairs(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    decoder: Callable[[bytes], tuple[int, int, bytes]] | None = None,
+    max_hamming: int = 3,
+    on_error: str = "raise",
+) -> DataFrame:
+    """The composed operator: decode -> dHash -> pigeonhole pairs.
+    Returns (id_a, id_b, hamming) for images whose perceptual
+    fingerprints differ in at most ``max_hamming`` of 64 bits."""
+    fps = image_dhash(
+        assets, id_col, payload_col, decoder, on_error=on_error
+    )
+    return hamming_pairs(
+        fps, id_col, "dhash", bits=64, max_hamming=max_hamming
+    )

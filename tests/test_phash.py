@@ -1,0 +1,113 @@
+"""Perceptual image hashing (llm/phash.py): dHash determinism across
+encodings, near-dup recovery, the pigeonhole completeness guarantee,
+and the decode-error policy."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from terra_bonobo_nodes_spark.llm.codecs import encode_bmp, encode_ppm
+from terra_bonobo_nodes_spark.llm.phash import (
+    dhash_bits,
+    hamming_pairs,
+    image_dhash,
+    image_near_dup_pairs,
+)
+
+
+def _gradient_rgb(w: int, h: int, flip: bool = False, noise: int = 0) -> bytes:
+    """Deterministic test image: horizontal luminance ramp (strong
+    dHash signal), optionally flipped or lightly noised."""
+    rnd = random.Random(42)
+    out = bytearray()
+    for r in range(h):
+        for c in range(w):
+            v = (255 * c) // max(w - 1, 1)
+            if flip:
+                v = 255 - v
+            if noise:
+                v = min(255, max(0, v + rnd.randint(-noise, noise)))
+            out += bytes((v, v, v))
+    return bytes(out)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_dhash_same_pixels_any_container():
+    """Re-encoding the same pixels (BMP vs PPM) keeps the fingerprint
+    EXACTLY — the property a byte hash cannot give."""
+    rgb = _gradient_rgb(32, 24)
+    assert dhash_bits(encode_bmp(32, 24, rgb)) == dhash_bits(
+        encode_ppm(32, 24, rgb)
+    )
+
+
+def test_dhash_separates_and_tolerates():
+    # ramp DOWN: every sampled gradient bit fires (left > right)
+    base = dhash_bits(encode_ppm(32, 24, _gradient_rgb(32, 24, flip=True)))
+    noisy = dhash_bits(
+        encode_ppm(32, 24, _gradient_rgb(32, 24, flip=True, noise=8))
+    )
+    plain = dhash_bits(encode_ppm(32, 24, _gradient_rgb(32, 24)))
+    assert base == -1                      # all 64 bits set, signed -1
+    assert plain == 0                      # ramp up: no bit fires
+    assert _ham(base, plain) == 64         # reversed gradient: maximal
+    assert _ham(base, noisy) <= 6          # light noise: nearby
+
+
+def test_distributed_matches_local(spark):
+    imgs = [
+        (1, encode_ppm(16, 16, _gradient_rgb(16, 16))),
+        (2, encode_bmp(16, 16, _gradient_rgb(16, 16, flip=True))),
+        (3, encode_ppm(9, 8, _gradient_rgb(9, 8, noise=3))),
+    ]
+    df = spark.createDataFrame(imgs, "asset_id long, payload binary")
+    got = {r["asset_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert got == {i: dhash_bits(p) for i, p in imgs}
+
+
+def test_near_dup_pairs_recovers_planted_pair(spark):
+    imgs = [
+        (1, encode_ppm(32, 24, _gradient_rgb(32, 24))),
+        (2, encode_bmp(32, 24, _gradient_rgb(32, 24))),       # same pixels
+        (3, encode_ppm(32, 24, _gradient_rgb(32, 24, flip=True))),
+    ]
+    df = spark.createDataFrame(imgs, "asset_id long, payload binary")
+    got = [(r["id_a"], r["id_b"], r["hamming"])
+           for r in image_near_dup_pairs(df, max_hamming=3).collect()]
+    assert got == [(1, 2, 0)]
+
+
+def test_on_error_policy(spark):
+    imgs = [(1, encode_ppm(8, 8, _gradient_rgb(8, 8))), (2, b"not an image")]
+    df = spark.createDataFrame(imgs, "asset_id long, payload binary")
+    with pytest.raises(Exception):
+        image_dhash(df).collect()          # loud by default (stub policy)
+    got = {r["asset_id"]: r["dhash"]
+           for r in image_dhash(df, on_error="null").collect()}
+    assert got[2] is None and got[1] == dhash_bits(imgs[0][1])
+    # NULL fingerprints drop out of pairing entirely
+    assert image_near_dup_pairs(df, on_error="null").collect() == []
+
+
+def test_hamming_pairs_completeness_bruteforce(spark):
+    """Pigeonhole guarantee: EVERY pair within the radius is found —
+    random 64-bit fingerprints plus planted near pairs."""
+    rnd = random.Random(7)
+    fps = [rnd.getrandbits(63) for _ in range(40)]
+    fps += [fps[0] ^ 0b101, fps[1] ^ (1 << 60), fps[2]]  # planted near/exact
+    rows = list(enumerate(fps))
+    df = spark.createDataFrame(rows, "asset_id long, dhash long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in hamming_pairs(df, max_hamming=3).collect()}
+    want = {
+        (i, j): _ham(a, b)
+        for i, a in rows
+        for j, b in rows
+        if i < j and _ham(a, b) <= 3
+    }
+    assert got == want and len(want) >= 3
