@@ -248,3 +248,103 @@ def image_near_dup_pairs(
     return hamming_pairs(
         fps, id_col, "dhash", bits=64, max_hamming=max_hamming
     )
+
+
+# --- audio fingerprint (the WAV sibling; same pairing machinery) -------------
+
+
+def audio_afp_bits(
+    payload: bytes, frames: int = 8, bands: int = 9
+) -> int:
+    """Chromaprint-style audio fingerprint (Lalinsky 2011, public —
+    simplified): mono mix, ``frames`` equal time segments, rFFT power
+    per segment into ``bands`` log-spaced bands, one bit per
+    BAND GRADIENT within each frame (``E[t][b] > E[t][b+1]``) —
+    frames x (bands-1) = 64 bits at the defaults, packed signed like
+    :func:`dhash_bits`. Gradient bits are AMPLITUDE-INVARIANT (a
+    volume change scales every band together), which is what makes
+    this a perceptual key where a byte hash is not. Raises on non-WAV
+    payloads (the codec stub policy)."""
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm import codecs
+
+    _rate, _nch, n, samples = codecs.decode_wav(payload)
+    mono = samples.mean(axis=1) if samples.ndim > 1 else samples
+    seg = max(len(mono) // frames, 1)
+    if len(mono) < frames * seg or len(mono) == 0:
+        mono = np.pad(mono, (0, frames * seg - len(mono)))
+    bits = 0
+    for t in range(frames):
+        power = np.abs(np.fft.rfft(mono[t * seg : (t + 1) * seg])) ** 2
+        edges = np.unique(
+            np.round(
+                np.logspace(0, np.log10(max(len(power) - 1, 1)), bands + 1)
+            ).astype(int)
+        )
+        while len(edges) < bands + 1:
+            edges = np.append(edges, edges[-1] + 1)
+        e = [
+            float(power[int(edges[b]) : max(int(edges[b + 1]), int(edges[b]) + 1)].sum())
+            for b in range(bands)
+        ]
+        for b in range(bands - 1):
+            bits = (bits << 1) | (1 if e[b] > e[b + 1] else 0)
+    width = frames * (bands - 1)
+    if bits >= 1 << (width - 1):
+        bits -= 1 << width
+    return bits
+
+
+def audio_fingerprint(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    frames: int = 8,
+    bands: int = 9,
+    on_error: str = "raise",
+) -> DataFrame:
+    """(id, afp) — one 64-bit fingerprint per WAV asset; same batching
+    and error policy as :func:`image_dhash`."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("afp", T.LongType()),
+        ]
+    )
+
+    def one(b) -> int | None:
+        try:
+            return audio_afp_bits(bytes(b), frames, bands)
+        except Exception:
+            if on_error == "null":
+                return None
+            raise
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "afp": pd.array(
+                        [one(b) for b in pdf[payload_col]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return assets.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def audio_near_dup_pairs(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    on_error: str = "raise",
+) -> DataFrame:
+    """decode -> audio fingerprint -> pigeonhole pairs (the
+    :func:`image_near_dup_pairs` contract at audio grain)."""
+    fps = audio_fingerprint(assets, id_col, payload_col, on_error=on_error)
+    return hamming_pairs(fps, id_col, "afp", bits=64, max_hamming=max_hamming)

@@ -111,3 +111,53 @@ def test_hamming_pairs_completeness_bruteforce(spark):
         if i < j and _ham(a, b) <= 3
     }
     assert got == want and len(want) >= 3
+
+
+# --- audio fingerprint -------------------------------------------------------
+
+import numpy as np
+
+from terra_bonobo_nodes_spark.llm.codecs import encode_wav
+from terra_bonobo_nodes_spark.llm.phash import (
+    audio_afp_bits,
+    audio_fingerprint,
+    audio_near_dup_pairs,
+)
+
+
+def _tone(freqs, n=8192, rate=8000, amp=0.5):
+    t = np.arange(n) / rate
+    sig = sum(np.sin(2 * np.pi * f * t) for f in freqs)
+    return amp * sig / max(len(freqs), 1)
+
+
+def test_audio_fp_amplitude_invariant():
+    """Volume scaling moves every band's energy together — the
+    gradient bits don't budge (the perceptual property)."""
+    loud = encode_wav(8000, _tone([440, 1200], amp=0.8))
+    quiet = encode_wav(8000, _tone([440, 1200], amp=0.2))
+    assert audio_afp_bits(loud) == audio_afp_bits(quiet)
+
+
+def test_audio_fp_separates():
+    a = audio_afp_bits(encode_wav(8000, _tone([440])))
+    b = audio_afp_bits(encode_wav(8000, _tone([3400])))
+    assert _ham(a, b) >= 8  # different spectral shapes land far apart
+
+
+def test_audio_distributed_and_pairs(spark):
+    wavs = [
+        (1, encode_wav(8000, _tone([440, 1200], amp=0.8))),
+        (2, encode_wav(8000, _tone([440, 1200], amp=0.3))),  # same content
+        (3, encode_wav(8000, _tone([3400]))),
+        (4, b"not a wav"),
+    ]
+    df = spark.createDataFrame(wavs, "asset_id long, payload binary")
+    got = {r["asset_id"]: r["afp"]
+           for r in audio_fingerprint(df.where("asset_id < 4")).collect()}
+    assert got == {i: audio_afp_bits(p) for i, p in wavs[:3]}
+    pairs = [(r["id_a"], r["id_b"], r["hamming"])
+             for r in audio_near_dup_pairs(df, on_error="null").collect()]
+    assert pairs == [(1, 2, 0)]
+    with pytest.raises(Exception):
+        audio_near_dup_pairs(df).collect()  # loud by default
