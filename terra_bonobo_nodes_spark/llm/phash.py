@@ -84,6 +84,56 @@ def dhash_bits(
     return bits
 
 
+def _fingerprint_df(
+    assets: DataFrame,
+    id_col: str,
+    payload_col: str,
+    out_col: str,
+    fn: Callable[[bytes], int],
+    width: int,
+    on_error: str,
+) -> DataFrame:
+    """Shared Arrow-batched (id, fingerprint) scaffolding for every
+    per-payload fingerprint kind (image dHash, audio AFP, future
+    delegates) — the error policy and batching exist exactly once.
+    ``width`` > 64 is rejected UP FRONT: the schema is LongType, and a
+    wider fingerprint would otherwise crash pandas' Int64 conversion
+    outside the per-item error handling (on_error could not save it)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    if width > 64:
+        raise ValueError(
+            f"fingerprint width {width} exceeds the 64-bit BIGINT column"
+        )
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(out_col, T.LongType()),
+        ]
+    )
+
+    def one(b) -> int | None:
+        try:
+            return fn(bytes(b))
+        except Exception:
+            if on_error == "null":
+                return None
+            raise
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: pd.array(
+                        [one(b) for b in pdf[payload_col]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return assets.select(id_col, payload_col).mapInPandas(run, schema)
+
+
 def image_dhash(
     assets: DataFrame,
     id_col: str = "asset_id",
@@ -97,35 +147,15 @@ def image_dhash(
     Arrow-batched, one pass, no shuffle. ``on_error='null'`` converts
     decode failures to NULL fingerprints instead of failing the stage
     (see module docstring)."""
-    if on_error not in ("raise", "null"):
-        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
-    schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType()),
-            T.StructField("dhash", T.LongType()),
-        ]
+    return _fingerprint_df(
+        assets,
+        id_col,
+        payload_col,
+        "dhash",
+        lambda b: dhash_bits(b, decoder, hash_w, hash_h),
+        hash_w * hash_h,
+        on_error,
     )
-
-    def one(b) -> int | None:
-        try:
-            return dhash_bits(bytes(b), decoder, hash_w, hash_h)
-        except Exception:
-            if on_error == "null":
-                return None
-            raise
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "dhash": pd.array(
-                        [one(b) for b in pdf[payload_col]], dtype="Int64"
-                    ),
-                }
-            )
-
-    return assets.select(id_col, payload_col).mapInPandas(run, schema)
 
 
 def hamming_pairs(
@@ -168,7 +198,16 @@ def hamming_pairs(
     mask = (1 << block_bits) - 1
     from pyspark import StorageLevel
 
-    fp = df.select(id_col, fp_col).where(F.col(fp_col).isNotNull())
+    # persist the INPUT: both the groups aggregate and the exact-pair
+    # join consume it, and for the composed operators that input is the
+    # decode+hash mapInPandas — without the persist the pure-Python
+    # image decode would run twice per asset (the simhash_pairs sh
+    # persist rationale)
+    fp = (
+        df.select(id_col, fp_col)
+        .where(F.col(fp_col).isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     groups = (
         fp.groupBy(fp_col)
         .agg(F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_n"))
@@ -240,8 +279,11 @@ def image_near_dup_pairs(
     on_error: str = "raise",
 ) -> DataFrame:
     """The composed operator: decode -> dHash -> pigeonhole pairs.
-    Returns (id_a, id_b, hamming) for images whose perceptual
-    fingerprints differ in at most ``max_hamming`` of 64 bits."""
+    Returns the :func:`hamming_pairs` GENERATOR SET — exact-duplicate
+    fingerprints as linear (rep, member, 0) pairs plus rep-grain near
+    pairs; feed connected components for dedup groups (a member's
+    cross-group closeness appears via its representative, not as its
+    own id pair)."""
     fps = image_dhash(
         assets, id_col, payload_col, decoder, on_error=on_error
     )
@@ -305,36 +347,16 @@ def audio_fingerprint(
     on_error: str = "raise",
 ) -> DataFrame:
     """(id, afp) — one 64-bit fingerprint per WAV asset; same batching
-    and error policy as :func:`image_dhash`."""
-    if on_error not in ("raise", "null"):
-        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
-    schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType()),
-            T.StructField("afp", T.LongType()),
-        ]
+    and error policy as :func:`image_dhash` (shared scaffolding)."""
+    return _fingerprint_df(
+        assets,
+        id_col,
+        payload_col,
+        "afp",
+        lambda b: audio_afp_bits(b, frames, bands),
+        frames * (bands - 1),
+        on_error,
     )
-
-    def one(b) -> int | None:
-        try:
-            return audio_afp_bits(bytes(b), frames, bands)
-        except Exception:
-            if on_error == "null":
-                return None
-            raise
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "afp": pd.array(
-                        [one(b) for b in pdf[payload_col]], dtype="Int64"
-                    ),
-                }
-            )
-
-    return assets.select(id_col, payload_col).mapInPandas(run, schema)
 
 
 def audio_near_dup_pairs(
@@ -345,6 +367,7 @@ def audio_near_dup_pairs(
     on_error: str = "raise",
 ) -> DataFrame:
     """decode -> audio fingerprint -> pigeonhole pairs (the
-    :func:`image_near_dup_pairs` contract at audio grain)."""
+    :func:`image_near_dup_pairs` GENERATOR-SET contract at audio
+    grain — see :func:`hamming_pairs` for the rep-grain semantics)."""
     fps = audio_fingerprint(assets, id_col, payload_col, on_error=on_error)
     return hamming_pairs(fps, id_col, "afp", bits=64, max_hamming=max_hamming)

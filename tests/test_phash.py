@@ -98,8 +98,19 @@ def test_hamming_pairs_completeness_bruteforce(spark):
     """Pigeonhole guarantee: EVERY pair within the radius is found —
     random 64-bit fingerprints plus planted near pairs."""
     rnd = random.Random(7)
-    fps = [rnd.getrandbits(63) for _ in range(40)]
-    fps += [fps[0] ^ 0b101, fps[1] ^ (1 << 60), fps[2]]  # planted near/exact
+
+    def signed64(v: int) -> int:
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    # full 64-bit draws: about half the fingerprints are NEGATIVE
+    # longs, exercising Spark's sign-extending shiftright on the top
+    # block (the one subtle hazard in the block extraction)
+    fps = [signed64(rnd.getrandbits(64)) for _ in range(40)]
+    fps += [
+        fps[0] ^ 0b101,                    # hamming 2, sign preserved
+        signed64((fps[1] & ((1 << 64) - 1)) ^ (1 << 63)),  # sign FLIP, hamming 1
+        fps[2],                            # exact duplicate
+    ]
     rows = list(enumerate(fps))
     df = spark.createDataFrame(rows, "asset_id long, dhash long")
     got = {(r["id_a"], r["id_b"]): r["hamming"]
@@ -111,6 +122,18 @@ def test_hamming_pairs_completeness_bruteforce(spark):
         if i < j and _ham(a, b) <= 3
     }
     assert got == want and len(want) >= 3
+    assert any(a < 0 or b < 0 for i, a in rows for j, b in rows
+               if (i, j) in want)  # negatives actually exercised
+
+
+def test_fingerprint_width_rejected_up_front(spark):
+    from terra_bonobo_nodes_spark.llm.phash import audio_fingerprint, image_dhash
+
+    df = spark.createDataFrame([(1, b"x")], "asset_id long, payload binary")
+    with pytest.raises(ValueError, match="64-bit"):
+        image_dhash(df, hash_w=16, hash_h=16)    # 256 bits: plan-time error
+    with pytest.raises(ValueError, match="64-bit"):
+        audio_fingerprint(df, frames=16)          # 128 bits: same
 
 
 # --- audio fingerprint -------------------------------------------------------
