@@ -184,3 +184,51 @@ def test_audio_distributed_and_pairs(spark):
     assert pairs == [(1, 2, 0)]
     with pytest.raises(Exception):
         audio_near_dup_pairs(df).collect()  # loud by default
+
+
+def test_block_cap_drops_hot_buckets_deterministically(spark):
+    """Adversarial concentration: many DISTINCT fingerprints sharing
+    one block value. block_cap excludes that bucket's candidates
+    reproducibly; pairs still reachable through an uncapped block
+    survive (pigeonhole through the other three blocks)."""
+    # 20 distinct fps agree on block 0 (low 16 bits == 0xBEEF) and are
+    # far apart elsewhere; plus one pair differing ONLY inside block 0
+    hot = [(i, (i << 16) | 0xBEEF) for i in range(1, 21)]
+    close = [(100, 0x7000_0000_0000_0001), (101, 0x7000_0000_0000_0003)]
+    df = spark.createDataFrame(hot + close, "asset_id long, dhash long")
+    capped = {(r["id_a"], r["id_b"]) for r in
+              hamming_pairs(df, max_hamming=3, block_cap=10).collect()}
+    # the close pair differs only in block 0 bits but AGREES on blocks
+    # 1-3, so it survives the cap through an uncapped block
+    assert (100, 101) in capped
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                hamming_pairs(df, max_hamming=3).collect()}
+    assert capped <= uncapped  # the cap only ever removes pairs
+    # determinism: same input, same capped set
+    again = {(r["id_a"], r["id_b"]) for r in
+             hamming_pairs(df, max_hamming=3, block_cap=10).collect()}
+    assert again == capped
+
+
+def test_fingerprints_run_over_readstream(spark, tmp_path):
+    """The hashing stage is stateless mapInPandas — it must run
+    UNCHANGED over readStream (the curation front-end pin genre)."""
+    import uuid
+
+    imgs = [(i, encode_ppm(8, 8, _gradient_rgb(8, 8, noise=i % 5)))
+            for i in range(6)]
+    path = str(tmp_path / "imgs")
+    df = spark.createDataFrame(imgs, "asset_id long, payload binary")
+    df.coalesce(2).write.parquet(path)
+    stream = image_dhash(
+        spark.readStream.schema("asset_id long, payload binary")
+        .option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    assert stream.isStreaming
+    name = f"ph_{uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["asset_id"]: r["dhash"]
+           for r in spark.sql(f"select * from {name}").collect()}
+    assert got == {i: dhash_bits(p) for i, p in imgs}
