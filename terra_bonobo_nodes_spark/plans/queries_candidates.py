@@ -1109,6 +1109,96 @@ def llm_host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- llm_anchor_text_topk (authored round 13, r14 candidate) ------------
+# The anchor-text index — "what the web says about a host" (the
+# classic off-page relevance signal): pages -> TAG-AWARE link
+# extraction (llm/html.extract_link_tags: href + anchor + nofollow as
+# one struct) -> followed links only -> anchor terms aggregated per
+# TARGET host -> top-5 terms per host by (count desc, term asc). The
+# synthesized anchors are real document prose (normalize(text)
+# prefixes — markup-safe by construction), every stage replayed by the
+# struct-typed SQL mirror, so this row drives extract_link_tags
+# through a full value-hash oracle; one page per doc carries a
+# nofollow decoy link whose anchor must NOT be indexed.
+
+_ANCHOR_K = 5
+
+
+def llm_anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from terra_bonobo_nodes_spark.llm.hashing import normalize
+    from terra_bonobo_nodes_spark.llm.html import extract_link_tags
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    anchor = F.substring(normalize(F.col("text")), 1, 48)
+    hn = F.pmod(F.col("doc_id") * 7 + 3, F.lit(101)).cast("string")
+    pages = docs.select(
+        F.concat(
+            F.lit('<a href="http://h'), hn, F.lit('.example/p">'),
+            anchor, F.lit("</a>"),
+            F.lit('<a rel="nofollow" href="http://h'), hn,
+            F.lit('.example/ad">sponsored decoy</a>'),
+        ).alias("html"),
+        F.concat(F.lit("h"), hn, F.lit(".example")).alias("host"),
+    )
+    links = pages.select(
+        "host", F.explode(extract_link_tags("html")).alias("lt")
+    ).where(~F.col("lt.nofollow"))
+    terms = links.select(
+        "host",
+        F.explode(
+            F.filter(
+                F.split(F.col("lt.anchor"), " "),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("term"),
+    )
+    counts = terms.groupBy("host", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("host").orderBy(
+        F.col("n").desc(), F.col("term").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _ANCHOR_K)
+        .select("host", "term", "n", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _anchor_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm.html import extract_link_tags_sql
+
+    norm = hashing.normalize_sql("text")
+    pages = f"""
+SELECT '<a href="http://h' || ((doc_id * 7 + 3) % 101) || '.example/p">'
+       || substr({norm}, 1, 48) || '</a>'
+       || '<a rel="nofollow" href="http://h' || ((doc_id * 7 + 3) % 101)
+       || '.example/ad">sponsored decoy</a>' AS html,
+       'h' || ((doc_id * 7 + 3) % 101) || '.example' AS host
+FROM documents"""
+    return f"""
+WITH an_pages AS ({pages}),
+an_links AS (
+  SELECT host, unnest({extract_link_tags_sql('html')}) AS lt FROM an_pages
+), an_terms AS (
+  SELECT host,
+         unnest(list_filter(str_split(lt.anchor, ' '), w -> len(w) > 0))
+           AS term
+  FROM an_links WHERE NOT lt.nofollow
+), an_counts AS (
+  SELECT host, term, count(*) AS n FROM an_terms GROUP BY 1, 2
+)
+SELECT host, term, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+FROM (SELECT host, term, n,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY n DESC, term ASC) AS rank
+      FROM an_counts)
+WHERE rank <= {_ANCHOR_K}"""
+
+
+ANCHOR_TOPK_ORACLE = _anchor_oracle()
+
+
 # --- llm_link_graph_rank (authored round 13, r14 candidate) -------------
 # The pipeline-shaped graph row: instead of a side table of edges, the
 # link graph is EXTRACTED from page HTML (llm/html.extract_links ->
@@ -1319,4 +1409,5 @@ CANDIDATES: dict[str, tuple] = {
     "llm_host_hits": (llm_host_hits, HOST_HITS_ORACLE),
     "llm_token_budget_mix": (llm_token_budget_mix, TOKEN_BUDGET_ORACLE),
     "llm_link_graph_rank": (llm_link_graph_rank, LINK_GRAPH_ORACLE),
+    "llm_anchor_text_topk": (llm_anchor_text_topk, ANCHOR_TOPK_ORACLE),
 }

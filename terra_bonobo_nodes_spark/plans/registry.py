@@ -303,21 +303,28 @@ def register(
 #   extraction + classification + unrolled rank. Strictly more
 #   pipeline coverage than llm_host_pagerank at the same host grain —
 #   its natural REPLACEMENT at promotion. tests/test_links.py.)
+# - llm_anchor_text_topk (the anchor-text index — "what the web says
+#   about a host": tag-aware extraction (extract_link_tags, struct
+#   mirror) -> followed links only (a nofollow decoy is planted and
+#   must not index) -> per-target-host anchor term top-5. Drives the
+#   tag-aware extraction through a FULL value-hash oracle; (host,
+#   term) grain, its own slot.)
 # r14 handoff SIMULATED this round (the standing practice): pretend
 # the first 50 of the current order green as CORRECTNESS_r13 -> r14
-# due cohort = 45, zero never-green, demand with all SEVENTEEN
-# deferred promotions = 62 — TWELVE over DRIVER_CAP; but the
+# due cohort = 45, zero never-green, demand with all EIGHTEEN
+# deferred promotions = 63 — THIRTEEN over DRIVER_CAP; but the
 # semdedup-e2e row
 # replaces llm_semantic_dedup (same grain, strictly stronger), the
 # kmeans row can merge into it the same way, and pagerank+trustrank
 # share a node grain (one widened row), so the effective new-slot
-# demand is TEN (the report row subsumes pagerank+trustrank AND
+# demand is ELEVEN (the report row subsumes pagerank+trustrank AND
 # can absorb hits — all four graph signals share the node grain and
 # fit ONE slot; word-lm widens the char-LM row — same (doc_id,
 # n_bigrams, entropy) grain — instead of taking its own; the budget
 # mixer takes a slot of its own, kept-doc grain; link_graph_rank
 # REPLACES llm_host_pagerank's slot — same host grain, strictly more
-# pipeline coverage — zero net). Promotion
+# pipeline coverage — zero net; anchor-text top-k is a new (host,
+# term) grain, its own slot). Promotion
 # rank if r14 prefers
 # slack or frees fewer slots (highest curation-user value first):
 # llm_semdedup_kmeans_e2e (replaces llm_semantic_dedup — zero net
@@ -326,6 +333,7 @@ def register(
 # llm_host_quality_report (subsumes llm_host_pagerank +
 # llm_host_trustrank + llm_host_hits — one slot for all four),
 # llm_link_graph_rank (zero net slots — replaces llm_host_pagerank),
+# llm_anchor_text_topk,
 # llm_word_lm_xent (zero net slots if merged into
 # llm_char_lm_entropy's grain),
 # llm_token_budget_mix, llm_fuzzy_title_pairs,
