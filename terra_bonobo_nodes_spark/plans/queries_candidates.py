@@ -1109,6 +1109,102 @@ def llm_host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- llm_robots_filter (authored round 13, r14 candidate) ---------------
+# robots.txt compliance (RFC 9309, llm/robots.py): per-host robots
+# TEXT is synthesized (three group shapes: prefix-disallow with a
+# longer allow override, a wildcard disallow, and no rules at all),
+# PARSED by the real mapInPandas parser in-plan, and every document's
+# URL judged by the longest-match/allow-tie/default-allow decision.
+# The oracle restates the rules the construction fixes (the parser
+# itself is pinned by tests/test_robots.py against RFC examples) and
+# replays host derivation, regex matching, and the decision window.
+
+_RB_TXT0 = "User-agent: *\nDisallow: /private/\nAllow: /private/ok$"
+
+
+def llm_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terra_bonobo_nodes_spark.llm.robots import (
+        flag_robots_disallowed,
+        robots_rules,
+    )
+
+    k3 = F.pmod(F.col("id"), F.lit(3))
+    hosts = spark.range(101).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        F.when(k3 == 0, F.lit(_RB_TXT0))
+        .when(
+            k3 == 1,
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /d"),
+                F.pmod(F.col("id"), F.lit(7)).cast("string"),
+                F.lit("*"),
+            ),
+        )
+        .otherwise(F.lit(""))
+        .alias("robots_txt"),
+    )
+    rules = robots_rules(hosts)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.pmod(F.col("doc_id"), F.lit(101)).cast("string")
+    m5 = F.pmod(F.col("doc_id"), F.lit(5))
+    p = (
+        F.when(m5 == 0, F.lit("/private/secret"))
+        .when(m5 == 1, F.lit("/private/ok"))
+        .when(
+            m5 == 2,
+            F.concat(
+                F.lit("/d"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+                F.lit("x"),
+            ),
+        )
+        .when(m5 == 3, F.lit("/public"))
+        .otherwise(F.lit(""))  # authority-only URL -> path '/'
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://h"), h, F.lit(".example"), p).alias("url"),
+    )
+    out = flag_robots_disallowed(urls, rules)
+    return out.select("doc_id", F.col("robots_allowed").alias("allowed"))
+
+
+ROBOTS_ORACLE = """
+WITH rb_hosts AS (SELECT range AS k FROM range(101)),
+rb_rules AS (
+  SELECT 'h' || k || '.example' AS host, FALSE AS allow,
+         '^/private/' AS regex, 9 AS plen
+  FROM rb_hosts WHERE k % 3 = 0
+  UNION ALL
+  SELECT 'h' || k || '.example', TRUE, '^/private/ok$', 12
+  FROM rb_hosts WHERE k % 3 = 0
+  UNION ALL
+  SELECT 'h' || k || '.example', FALSE, '^/d' || (k % 7) || '.*', 4
+  FROM rb_hosts WHERE k % 3 = 1
+), rb_docs AS (
+  SELECT doc_id, 'h' || (doc_id % 101) || '.example' AS host,
+         CASE CAST(doc_id % 5 AS INTEGER)
+           WHEN 0 THEN '/private/secret'
+           WHEN 1 THEN '/private/ok'
+           WHEN 2 THEN '/d' || (doc_id % 7) || 'x'
+           WHEN 3 THEN '/public'
+           ELSE '/' END AS p
+  FROM documents
+), rb_j AS (
+  SELECT d.doc_id, r.allow, r.plen,
+         (r.regex IS NOT NULL AND regexp_matches(d.p, r.regex)) AS hit
+  FROM rb_docs d LEFT JOIN rb_rules r USING (host)
+), rb_best AS (
+  SELECT doc_id, allow, hit,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hit DESC, plen DESC, allow DESC) AS rn
+  FROM rb_j)
+SELECT doc_id, CASE WHEN hit THEN allow ELSE TRUE END AS allowed
+FROM rb_best WHERE rn = 1
+"""
+
+
 # --- llm_anchor_text_topk (authored round 13, r14 candidate) ------------
 # The anchor-text index — "what the web says about a host" (the
 # classic off-page relevance signal): pages -> TAG-AWARE link
@@ -1410,4 +1506,5 @@ CANDIDATES: dict[str, tuple] = {
     "llm_token_budget_mix": (llm_token_budget_mix, TOKEN_BUDGET_ORACLE),
     "llm_link_graph_rank": (llm_link_graph_rank, LINK_GRAPH_ORACLE),
     "llm_anchor_text_topk": (llm_anchor_text_topk, ANCHOR_TOPK_ORACLE),
+    "llm_robots_filter": (llm_robots_filter, ROBOTS_ORACLE),
 }

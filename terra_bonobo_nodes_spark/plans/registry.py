@@ -309,10 +309,18 @@ def register(
 #   must not index) -> per-target-host anchor term top-5. Drives the
 #   tag-aware extraction through a FULL value-hash oracle; (host,
 #   term) grain, its own slot.)
+# - llm_robots_filter (llm/robots.py — RFC 9309 robots.txt compliance,
+#   the third URL-hygiene member: real mapInPandas parser runs
+#   in-plan over synthesized per-host robots TEXT, matching =
+#   host-equi-join + longest-match/allow-tie/default-allow window,
+#   oracle replays the decision over the construction-fixed rules.
+#   Natural zero-net promotion: WIDEN the registered llm_blocked_hosts
+#   row — same doc-grain URL-hygiene verdict, host_blocked +
+#   robots_allowed on one row. tests/test_robots.py.)
 # r14 handoff SIMULATED this round (the standing practice): pretend
 # the first 50 of the current order green as CORRECTNESS_r13 -> r14
-# due cohort = 45, zero never-green, demand with all EIGHTEEN
-# deferred promotions = 63 — THIRTEEN over DRIVER_CAP; but the
+# due cohort = 45, zero never-green, demand with all NINETEEN
+# deferred promotions = 64 — FOURTEEN over DRIVER_CAP; but the
 # semdedup-e2e row
 # replaces llm_semantic_dedup (same grain, strictly stronger), the
 # kmeans row can merge into it the same way, and pagerank+trustrank
@@ -324,7 +332,8 @@ def register(
 # mixer takes a slot of its own, kept-doc grain; link_graph_rank
 # REPLACES llm_host_pagerank's slot — same host grain, strictly more
 # pipeline coverage — zero net; anchor-text top-k is a new (host,
-# term) grain, its own slot). Promotion
+# term) grain, its own slot; robots_filter widens the registered
+# llm_blocked_hosts row — same doc grain — zero net). Promotion
 # rank if r14 prefers
 # slack or frees fewer slots (highest curation-user value first):
 # llm_semdedup_kmeans_e2e (replaces llm_semantic_dedup — zero net
@@ -334,6 +343,7 @@ def register(
 # llm_host_trustrank + llm_host_hits — one slot for all four),
 # llm_link_graph_rank (zero net slots — replaces llm_host_pagerank),
 # llm_anchor_text_topk,
+# llm_robots_filter (zero net slots — widens llm_blocked_hosts),
 # llm_word_lm_xent (zero net slots if merged into
 # llm_char_lm_entropy's grain),
 # llm_token_budget_mix, llm_fuzzy_title_pairs,
