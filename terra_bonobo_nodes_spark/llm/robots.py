@@ -13,12 +13,14 @@ Split design (each half verified where it is strongest):
   group) — an Arrow-batched ``mapInPandas`` over the per-host robots
   text (robots.txt is KiB-sized by convention; one row in, a handful
   of rule rows out), pinned by pytest against the RFC's own examples.
-- MATCHING (:func:`flag_robots_disallowed`) is where the data is: an
-  equi-join of documents to their host's rules, regex prefix match,
-  and the RFC's decision — LONGEST pattern wins, allow wins a
-  length tie, no matching rule means allowed. Pure Column + one
-  window; fully SQL-replayable (the rule regexes are deterministic
-  strings both engines compile identically — see :func:`rule_regex`).
+- MATCHING (:func:`flag_robots_disallowed`) is where the data is:
+  rules collapse to ONE array row per host, broadcast into a single
+  left join, and the RFC's decision — LONGEST pattern wins, allow
+  wins a length tie, no matching rule means allowed — is a
+  higher-order fold over the matched rules. Pure Column, no window,
+  row-preserving; fully SQL-replayable (the rule regexes are
+  deterministic strings both engines compile identically — see
+  :func:`rule_regex`).
 
 Semantics implemented (and the documented simplifications):
 ``User-agent`` matching is case-insensitive exact-token or ``*`` (RFC
@@ -31,11 +33,11 @@ wildcard and ``$`` end anchor. Matching is against the URL's path +
 optional ``?query`` (the RFC's URI path-and-query), percent-encoding
 left as-is (the canonical_url out-of-scope precedent).
 
-100 TB shape: rules are host-grain and curator-to-web sized — the
-join broadcasts under AQE; the per-document window partitions on the
-document key (bounded frame, one doc's matched rules). No Python in
-the matching path; the regex compile per (doc, rule) pair is JVM-side
-``rlike``.
+100 TB shape: rules are host-grain and web-host sized — their
+per-host arrays broadcast into the one left join, and the document
+table NEVER SHUFFLES (the flag_blocked_hosts convention). No Python
+in the matching path; the per-(doc, rule) regex test is JVM-side
+``regexp_like`` inside the fold.
 """
 
 from __future__ import annotations
@@ -45,7 +47,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -86,7 +88,10 @@ def parse_robots(host: str, text: str, agent: str = "*") -> list[tuple]:
     groups: list[tuple[set[str], list[tuple[bool, str]]]] = []
     cur_agents: set[str] | None = None
     in_ua_run = False
-    for raw in (text or "").splitlines():
+    # RFC 9309 §2.3: a leading UTF-8 BOM is skipped — without this the
+    # first field parses as '\ufeffuser-agent' and the WHOLE file
+    # degrades to allow-everything
+    for raw in (text or "").lstrip("\ufeff").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
             continue
@@ -102,10 +107,10 @@ def parse_robots(host: str, text: str, agent: str = "*") -> list[tuple]:
             in_ua_run = False
             if cur_agents is None:
                 continue  # rules before any user-agent line: ignored
-            if value == "" and field == "disallow":
-                continue  # the RFC's allow-everything idiom
-            if value == "" and field == "allow":
-                continue  # vacuous
+            if not value:
+                # empty Disallow is the RFC's allow-everything idiom;
+                # empty Allow is vacuous — neither emits a rule
+                continue
             groups[-1][1].append((field == "allow", value))
         else:
             in_ua_run = False  # crawl-delay/sitemap/unknown: skipped
@@ -153,7 +158,11 @@ def path_of(url) -> F.Column:
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     tail = F.regexp_replace(rest, r"^[^/?]*", "")
     return F.when(u.isNull(), F.lit(None).cast("string")).otherwise(
-        F.when(tail == "", F.lit("/")).otherwise(tail)
+        F.when(tail == "", F.lit("/"))
+        # host-root with a query ('http://h.ex?q=1'): the RFC match
+        # target is '/?q=1' — without the '/', 'Disallow: /' misses it
+        .when(tail.startswith("?"), F.concat(F.lit("/"), tail))
+        .otherwise(tail)
     )
 
 
@@ -161,31 +170,50 @@ def flag_robots_disallowed(
     docs: DataFrame,
     rules: DataFrame,
     url_col: str = "url",
-    id_col: str = "doc_id",
     out_col: str = "robots_allowed",
 ) -> DataFrame:
     """Append ``out_col``: the RFC 9309 verdict for each document's
     URL under its host's rules — longest matching pattern wins, allow
     wins a length tie, hosts/paths with no matching rule are allowed.
-    One equi-join on host (rules broadcast under AQE) + one bounded
-    window per document."""
+
+    ROW-PRESERVING by construction (one output row per input row,
+    duplicate or NULL keys immaterial — there is no per-document
+    window): rules collapse to one array<struct> row per host, that
+    host-grain table broadcasts into a single left join, and the
+    longest-match decision is a higher-order fold over the matched
+    rules — no shuffle of the document table at all (the
+    flag_blocked_hosts zero-doc-shuffle convention). Internal columns
+    use the reserved ``_rb_`` prefix; a docs column named ``_rb_*``
+    or ``out_col`` would be overwritten — don't do that."""
+    by_host = rules.groupBy("host").agg(
+        F.collect_list(F.struct("plen", "allow", "regex")).alias("_rb_rules")
+    ).withColumnRenamed("host", "_rb_h")
     d = docs.withColumns(
-        {"_h": host_of(F.col(url_col)), "_p": path_of(F.col(url_col))}
+        {"_rb_h": host_of(F.col(url_col)), "_rb_p": path_of(F.col(url_col))}
     )
-    joined = d.join(rules.withColumnRenamed("host", "_h"), "_h", "left")
-    matched = joined.withColumn(
-        "_hit",
-        F.col("regex").isNotNull() & F.expr("_p rlike regex"),
+    j = d.join(F.broadcast(by_host), "_rb_h", "left")
+    hits = F.filter(
+        "_rb_rules",
+        lambda r: F.regexp_like(F.col("_rb_p"), r.getField("regex")),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_hit").desc(), F.col("plen").desc(), F.col("allow").desc()
+    # fold to the winning rule: score = 2*plen + allow — longest wins,
+    # allow wins the tie; the (-1, TRUE) start is also the
+    # no-matching-rule (and no-rules-host, via coalesce) default
+    start = F.struct(
+        F.lit(-1).alias("plen"), F.lit(True).alias("allow")
     )
-    best = (
-        matched.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .withColumn(
-            out_col,
-            F.when(F.col("_hit"), F.col("allow")).otherwise(F.lit(True)),
-        )
+    best = F.aggregate(
+        F.coalesce(hits, F.array().cast("array<struct<plen:int,allow:boolean,regex:string>>")),
+        start,
+        lambda acc, r: F.when(
+            (r.getField("plen") * 2 + r.getField("allow").cast("int"))
+            > (acc.getField("plen") * 2 + acc.getField("allow").cast("int")),
+            F.struct(
+                r.getField("plen").alias("plen"),
+                r.getField("allow").alias("allow"),
+            ),
+        ).otherwise(acc),
     )
-    return best.select(*docs.columns, out_col)
+    return j.withColumn(out_col, best.getField("allow")).select(
+        *docs.columns, out_col
+    )

@@ -7,7 +7,9 @@ same-grain merge per the add-one-retire-one policy (the full five-merge
 ledger is in plans/registry.py): llm_url_dedup_groups, llm_line_dedup,
 llm_gopher_rules, llm_c4_line_filter, llm_blocked_hosts.
 
-THIRTEEN rows are CANDIDATES for round 14, each deferred with the
+The OTHER rows are CANDIDATES for round 14 — the authoritative count
+and promotion arithmetic live in the registry ledger, not here (this
+docstring went stale twice enumerating them), each deferred with the
 budget pre-computed in the registry ledger (see the ROUND-13
 continuation note there for the full list, the promotion rank, and
 the three same-grain merge pairings). Deferred entries stay complete

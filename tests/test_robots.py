@@ -103,3 +103,39 @@ def test_path_of_shapes(spark):
     )
     got = {r["i"]: r["p"] for r in df.select("i", path_of("url").alias("p")).collect()}
     assert got == {1: "/a/b?q=1", 2: "/", 3: None}
+
+
+def test_bom_and_root_query_and_duplicate_ids(spark):
+    """The review-pass pins: a BOM-prefixed robots.txt still parses
+    (RFC 9309 §2.3), a host-root-with-query URL matches as '/?q'
+    (so 'Disallow: /' catches it), and the matcher is row-preserving
+    under duplicate and NULL ids."""
+    bom_txt = "﻿User-agent: *\nDisallow: /"
+    assert [(a, p) for _, a, p, _, _ in parse_robots("h.ex", bom_txt)] == [
+        (False, "/")
+    ]
+    rules = robots_rules(
+        spark.createDataFrame(
+            [("h.ex", bom_txt)], "host string, robots_txt string"
+        )
+    )
+    docs = spark.createDataFrame(
+        [
+            (7, "http://h.ex?q=1"),       # root-with-query: disallowed
+            (7, "http://h.ex/x"),          # duplicate id: still one row each
+            (None, "http://h.ex/y"),       # NULL id: preserved
+            (None, "http://other.ex/z"),   # NULL id, no rules: allowed
+        ],
+        "doc_id long, url string",
+    )
+    out = flag_robots_disallowed(docs, rules).collect()
+    assert len(out) == 4  # row-preserving
+    verdicts = sorted(
+        (r["url"], r["robots_allowed"]) for r in out
+    )
+    assert verdicts == [
+        ("http://h.ex/x", False),
+        ("http://h.ex/y", False),
+        ("http://h.ex?q=1", False),
+        ("http://other.ex/z", True),
+    ]
