@@ -65,6 +65,18 @@ def position_sql(expr: str, i: int, m_bits: int) -> str:
     return hashing.digest_slice_sql(expr, _SEED, i, m_bits)
 
 
+def _probe_grams(text: Column, n: int) -> Column:
+    """THE gram set both build and probe share: word n-grams of the
+    NULL-as-empty text, minus the '' gram an empty/whitespace-only
+    document degenerates to (word_shingles('') = ['']). NULL and empty
+    text therefore contribute/probe ZERO n-grams — the NULL-behaves-
+    as-empty convention of the sibling filters (gopher_rules,
+    c4_line_filter), per ADVICE_r13: n_ngrams = 1 for a NULL document
+    was inconsistent and counted an n-gram that never existed."""
+    shingles = hashing.word_shingles(F.coalesce(text, F.lit("")), n)
+    return F.filter(shingles, lambda g: g != F.lit(""))
+
+
 def build_bloom_bits(
     bench: DataFrame,
     text_col: str = "text",
@@ -85,13 +97,12 @@ def build_bloom_bits(
     if not 1 <= k <= _MAX_K:
         raise ValueError(f"k must be in [1, {_MAX_K}] (one md5 digest)")
     grams = bench.select(
-        F.explode(hashing.word_shingles(F.col(text_col), n)).alias("_s")
+        F.explode(_probe_grams(F.col(text_col), n)).alias("_s")
     )
-    # one digest per shingle, k positions sliced from it. A NULL text
-    # row shingles to [NULL] -> NULL digest: dropped here (a NULL
-    # n-gram can never be probed for — the probe side's NULL digests
-    # fail membership the same way), instead of crashing the packing
-    # loop with a NULL position. No .distinct(): bit_or packing is
+    # one digest per shingle, k positions sliced from it. NULL/empty
+    # text contributes no grams (_probe_grams); the NULL-digest guard
+    # stays as defense in depth so a NULL gram can never crash the
+    # packing loop with a NULL position. No .distinct(): bit_or packing is
     # idempotent, so deduplicating positions first would only add a
     # second shuffle for the identical filter.
     digests = grams.select(_digest(F.col("_s")).alias("_dg")).where(
@@ -134,10 +145,11 @@ def _member_from_digest(
         mask = F.pow(F.lit(2.0), p % _BITS_PER_WORD).cast("bigint")
         hit = word.bitwiseAND(mask) != 0
         test = hit if test is None else (test & hit)
-    # explicit NULL guard (a NULL-text row shingles to [NULL]):
-    # element_at with a NULL index does NOT reliably return NULL
-    # (observed returning the last element), so a NULL digest must
-    # fail membership outright rather than ride NULL propagation
+    # explicit NULL guard (defense in depth — _probe_grams yields no
+    # NULL grams, but a caller-supplied gram column might): element_at
+    # with a NULL index does NOT reliably return NULL (observed
+    # returning the last element), so a NULL digest must fail
+    # membership outright rather than ride NULL propagation
     return dg.isNotNull() & test
 
 
@@ -152,7 +164,8 @@ def flag_bloom_contaminated(
 ) -> DataFrame:
     """Join-free contamination probe: flags documents whose word
     n-grams hit the filter. Emits ``{prefix}n_ngrams`` (total n-gram
-    occurrences probed), ``{prefix}n_hits`` (occurrences whose k bits
+    occurrences probed — 0 for NULL/empty text, the NULL-behaves-as-
+    empty convention), ``{prefix}n_hits`` (occurrences whose k bits
     are all set — includes the filter's false-positive rate),
     ``{prefix}flagged`` (any hit). Pure Column projection: the filter
     rides the plan as one array literal, so the probe plans with zero
@@ -162,7 +175,7 @@ def flag_bloom_contaminated(
         raise ValueError(f"k must be in [1, {_MAX_K}] (one md5 digest)")
     m_bits = len(bloom_bits) * _BITS_PER_WORD
     bits_lit = F.lit(bloom_bits)
-    grams = hashing.word_shingles(F.col(text_col), n)
+    grams = _probe_grams(F.col(text_col), n)
     # transform to digests FIRST so each shingle pays exactly one md5
     # regardless of codegen subexpression elimination
     digests = F.transform(grams, _digest)

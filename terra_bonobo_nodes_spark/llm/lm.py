@@ -42,7 +42,7 @@ operators); this module belongs to the LLM-curation extension.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from terra_bonobo_nodes_spark.llm.hashing import normalize, normalize_sql

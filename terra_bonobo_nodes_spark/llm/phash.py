@@ -105,9 +105,13 @@ def _fingerprint_df(
         raise ValueError(
             f"fingerprint width {width} exceeds the 64-bit BIGINT column"
         )
+    # the id field keeps the INPUT's type (ADVICE_r13: a LongType pin
+    # broke Arrow conversion for string asset ids even though id_col
+    # presents as a free parameter); the fingerprint is always BIGINT
+    id_field = assets.schema[id_col]
     schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
             T.StructField(out_col, T.LongType()),
         ]
     )
@@ -192,8 +196,18 @@ def hamming_pairs(
     never load-dependent."""
     if n_blocks is None:
         n_blocks = 4 if max_hamming <= 3 else 8
-    assert n_blocks > max_hamming, "pigeonhole needs n_blocks > max_hamming"
-    assert bits % n_blocks == 0
+    # ValueError, not assert (module convention — bloom/sketch/kmeans):
+    # python -O strips asserts, and a violated pigeonhole precondition
+    # would then silently lose near-dup pairs
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"pigeonhole needs n_blocks > max_hamming "
+            f"(got n_blocks={n_blocks}, max_hamming={max_hamming})"
+        )
+    if bits % n_blocks:
+        raise ValueError(
+            f"bits ({bits}) must be divisible by n_blocks ({n_blocks})"
+        )
     block_bits = bits // n_blocks
     mask = (1 << block_bits) - 1
     from pyspark import StorageLevel

@@ -175,6 +175,9 @@ def flag_robots_disallowed(
     """Append ``out_col``: the RFC 9309 verdict for each document's
     URL under its host's rules — longest matching pattern wins, allow
     wins a length tie, hosts/paths with no matching rule are allowed.
+    A NULL URL yields a NULL verdict (it has no match target), never
+    the default allow — filter with ``out_col IS NOT FALSE`` if
+    unkeyed rows should pass, ``out_col`` if they must not.
 
     ROW-PRESERVING by construction (one output row per input row,
     duplicate or NULL keys immaterial — there is no per-document
@@ -214,6 +217,8 @@ def flag_robots_disallowed(
             ),
         ).otherwise(acc),
     )
-    return j.withColumn(out_col, best.getField("allow")).select(
-        *docs.columns, out_col
-    )
+    # a NULL URL has no match target: surface NULL, not the
+    # default-allow the fold would fall through to (ADVICE_r13 — an
+    # unkeyed row must not silently pass the compliance filter)
+    verdict = F.when(F.col("_rb_p").isNotNull(), best.getField("allow"))
+    return j.withColumn(out_col, verdict).select(*docs.columns, out_col)

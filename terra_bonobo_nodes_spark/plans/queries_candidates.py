@@ -597,7 +597,13 @@ def _bloom_oracle() -> str:
     from terra_bonobo_nodes_spark.llm import hashing
     from terra_bonobo_nodes_spark.llm.bloom import position_sql
 
-    gs = hashing.word_shingles_sql("coalesce(text, '')", _BLOOM_N)
+    # mirror llm/bloom._probe_grams: NULL-as-empty text, '' gram (the
+    # empty-document degenerate) excluded — NULL/empty docs probe 0
+    gs = (
+        "list_filter("
+        + hashing.word_shingles_sql("coalesce(text, '')", _BLOOM_N)
+        + ", s -> s <> '')"
+    )
     pos_union = "\nUNION ALL ".join(
         f"SELECT {position_sql('s', i, _BLOOM_M)} AS p FROM bg"
         for i in range(_BLOOM_K)

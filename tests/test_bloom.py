@@ -31,8 +31,13 @@ def _py_normalize(s: str) -> str:
     return re.sub(" +", " ", re.sub("[^a-z0-9]+", " ", s.lower())).strip()
 
 
-def _py_shingles(s: str, n: int) -> list[str]:
-    toks = _py_normalize(s).split(" ")
+def _py_shingles(s: str | None, n: int) -> list[str]:
+    # NULL-as-empty; the '' gram an empty doc degenerates to is
+    # excluded (llm/bloom._probe_grams) so NULL/empty probe 0 n-grams
+    norm = _py_normalize(s or "")
+    if not norm:
+        return []
+    toks = norm.split(" ")
     top = max(len(toks) - (n - 1), 1)
     return [" ".join(toks[i : i + n]) for i in range(top)]
 
@@ -97,8 +102,10 @@ def test_no_false_negatives_and_fp_sanity(spark, bits):
     # a contained benchmark doc hits on EVERY one of its n-grams
     assert rows[0].bloom_n_hits == rows[0].bloom_n_ngrams
     assert not rows[2].bloom_flagged
-    assert not rows[3].bloom_flagged and rows[3].bloom_n_ngrams == 1
-    assert not rows[4].bloom_flagged
+    # NULL and '' text probe ZERO n-grams (ADVICE_r13: the old
+    # behavior counted the degenerate '' gram as 1 probed n-gram)
+    assert not rows[3].bloom_flagged and rows[3].bloom_n_ngrams == 0
+    assert not rows[4].bloom_flagged and rows[4].bloom_n_ngrams == 0
 
 
 def test_partial_overlap_counts_occurrences(spark, bits):

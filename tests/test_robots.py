@@ -125,13 +125,14 @@ def test_bom_and_root_query_and_duplicate_ids(spark):
             (7, "http://h.ex/x"),          # duplicate id: still one row each
             (None, "http://h.ex/y"),       # NULL id: preserved
             (None, "http://other.ex/z"),   # NULL id, no rules: allowed
+            (9, None),                     # NULL url: NULL verdict
         ],
         "doc_id long, url string",
     )
     out = flag_robots_disallowed(docs, rules).collect()
-    assert len(out) == 4  # row-preserving
+    assert len(out) == 5  # row-preserving
     verdicts = sorted(
-        (r["url"], r["robots_allowed"]) for r in out
+        (r["url"], r["robots_allowed"]) for r in out if r["url"] is not None
     )
     assert verdicts == [
         ("http://h.ex/x", False),
@@ -139,3 +140,9 @@ def test_bom_and_root_query_and_duplicate_ids(spark):
         ("http://h.ex?q=1", False),
         ("http://other.ex/z", True),
     ]
+    # ADVICE_r13: a NULL URL must surface NULL, not the default allow
+    # the fold falls through to — unkeyed rows must not silently pass
+    null_verdicts = [
+        r["robots_allowed"] for r in out if r["url"] is None
+    ]
+    assert null_verdicts == [None]
