@@ -48,6 +48,7 @@ def semantic_dedup(
     iterations: int = 3,
     sample_size: int = 65536,
     centroids: list[list[float]] | None = None,
+    cell_col: str | None = None,
     prefer_col: str | None = None,
     with_metrics: bool = False,
     cc_max_iterations: int = 24,
@@ -69,6 +70,11 @@ def semantic_dedup(
     degenerate-input contract); a corpus smaller than ``n_clusters``
     trains on as many cells as it has rows — the codebook shrinks, the
     semantics do not.
+
+    Codebook seams, in precedence order: ``cell_col`` names an already-
+    assigned blocking column (e.g. ``kmeans.kmeans_fixed`` clusters) and
+    skips training AND assignment; ``centroids`` supplies a literal
+    codebook and skips training; otherwise ``ivf_train`` learns one.
     """
     from terra_bonobo_nodes_spark.llm.dedup import (
         connected_components,
@@ -79,6 +85,22 @@ def semantic_dedup(
     out_schema = (
         f"{df.schema[id_col].dataType.simpleString()}"  # id type follows input
     )
+    if cell_col is not None:
+        # PRE-ASSIGNED cells (e.g. kmeans.kmeans_fixed clusters — the
+        # llm_semdedup_kmeans_e2e seam): skip codebook training and
+        # assignment entirely and run the operator's distributed body
+        # (blocked pairing, components, election) on the caller's
+        # blocking. Mutually exclusive with centroids= by construction.
+        if centroids is not None:
+            raise ValueError("pass centroids= or cell_col=, not both")
+        assigned = (
+            df if cell_col == "cell"
+            else df.withColumn("cell", F.col(cell_col).cast("int"))
+        )
+        return _dedup_from_cells(
+            assigned, id_col, vec_col, threshold, prefer_col,
+            with_metrics, cc_max_iterations,
+        )
     if centroids is None:
         # bounded probe: LIMIT 4k stops the scan after 4*n_clusters
         # rows — O(k), not a corpus count. The codebook shrinks so each
@@ -107,6 +129,29 @@ def semantic_dedup(
         )
 
     assigned = assign_cells(df, centroids, vec_col=vec_col, out_col="cell")
+    return _dedup_from_cells(
+        assigned, id_col, vec_col, threshold, prefer_col,
+        with_metrics, cc_max_iterations,
+    )
+
+
+def _dedup_from_cells(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    prefer_col: str | None,
+    with_metrics: bool,
+    cc_max_iterations: int,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """The operator's distributed body — cell-blocked pairing,
+    connected components, survivor election — shared by the trained-
+    codebook, literal-codebook and pre-assigned ``cell_col`` paths."""
+    from terra_bonobo_nodes_spark.llm.dedup import (
+        connected_components,
+        embedding_cosine_pairs,
+    )
+
     pairs = embedding_cosine_pairs(
         assigned,
         id_col=id_col,

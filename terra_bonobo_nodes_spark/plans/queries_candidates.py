@@ -1,23 +1,26 @@
-"""Crawl-curation driver rows, authored late round 12 as candidates.
+"""Crawl-curation driver rows: registered promotions + the candidate queue.
 
-ROUND-13 STATUS: the five highest-value rows for a crawl-curation user
-are PROMOTED — registered below via @register (this module is now in
-registry.all_queries()'s import list), each slot paid for by a
-same-grain merge per the add-one-retire-one policy (the full five-merge
-ledger is in plans/registry.py): llm_url_dedup_groups, llm_line_dedup,
-llm_gopher_rules, llm_c4_line_filter, llm_blocked_hosts.
+ROUND-13 promoted llm_url_dedup_groups, llm_line_dedup,
+llm_gopher_rules, llm_c4_line_filter, llm_blocked_hosts. ROUND-14
+promoted llm_semdedup_kmeans_e2e (into llm_semantic_dedup's slot),
+llm_host_quality_report (widened with HITS — all four graph signals in
+one slot), s12_warc_wet_roundtrip, llm_link_graph_rank,
+llm_source_rule_yield, widened llm_blocked_hosts with the robots
+verdict, and folded word-LM cross-entropy into queries_llm's
+llm_lm_entropy_surface; the subsumed standalone candidates
+(pagerank/trustrank/hits, robots, word-LM) were removed — their
+operators stay pinned by tests/test_graph.py, test_robots.py,
+test_lm.py.
 
-The OTHER rows are CANDIDATES for round 14 — the authoritative count
-and promotion arithmetic live in the registry ledger, not here (this
-docstring went stale twice enumerating them), each deferred with the
-budget pre-computed in the registry ledger (see the ROUND-13
-continuation note there for the full list, the promotion rank, and
-the three same-grain merge pairings). Deferred entries stay complete
-(spark_fn, oracle) pairs pinned green against DuckDB by
-tests/test_candidates_oracle.py under the driver's exact compare
-contract — at sf0.001 every suite run and at sf0.01/sf0.1 during
-authoring — and pass the registered queries' empty-tables sweep, so
-each future promotion stays a registration edit.
+The remaining CANDIDATES-dict rows are the round-15 queue — the
+authoritative count and promotion arithmetic live in the registry
+ledger, not here (this docstring went stale twice enumerating them).
+Deferred entries stay complete (spark_fn, oracle) pairs pinned green
+against DuckDB by tests/test_candidates_oracle.py under the driver's
+exact compare contract — at sf0.001 every suite run and at
+sf0.01/sf0.1 during authoring — and pass the registered queries'
+empty-tables sweep, so each future promotion stays a registration
+edit.
 """
 
 from __future__ import annotations
@@ -284,10 +287,29 @@ FROM u
 """
 
 
+# WIDENED round 14 (zero-net promotion of llm_robots_filter, the j1
+# broadcast+grid precedent): the row is the doc-grain URL-HYGIENE
+# surface — flag_blocked_hosts' verdict over the 5-shape blocklist
+# synthesis AND flag_robots_disallowed's RFC 9309 verdict over the
+# robots candidate's 101-host/5-path synthesis, one row per document.
+# Each operator keeps exactly the coverage its standalone row had; the
+# oracle composes both original oracles as derived tables.
+_URL_HYGIENE_ORACLE_TMPL = """
+SELECT b.doc_id, b.host_blocked, r.allowed AS robots_allowed
+FROM ({blocked}) b JOIN ({robots}) r USING (doc_id)
+"""
+
+
+def _url_hygiene_oracle() -> str:
+    return _URL_HYGIENE_ORACLE_TMPL.format(
+        blocked=BLOCKED_HOSTS_ORACLE, robots=ROBOTS_ORACLE
+    )
+
+
 @register(
     "llm_blocked_hosts",
-    oracle=BLOCKED_HOSTS_ORACLE,
-    tags=("llm", "curation", "urls"),
+    oracle=None,  # bound post-definition: ROBOTS_ORACLE is defined below
+    tags=("llm", "curation", "urls", "robots"),
 )
 def llm_blocked_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain blocklist (llm/urls.py::flag_blocked_hosts): registrable-
@@ -295,7 +317,10 @@ def llm_blocked_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     document rows never flow through the explode, so the plan holds at
     crawl scale. The 5 synthesized host shapes include the
     no-label-boundary trap ('notbad.com' must NOT match 'bad.com').
-    Promoted round 13 (authored+verified round 12)."""
+    Promoted round 13 (authored+verified round 12); widened round 14
+    with the robots.txt compliance verdict (llm/robots.py — parser
+    mapInPandas over KiB host snapshots, broadcast-fold matcher, zero
+    document-table shuffle)."""
     from terra_bonobo_nodes_spark.llm.urls import flag_blocked_hosts
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -304,7 +329,11 @@ def llm_blocked_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("https://"), F.expr(_HOST_SPARK), F.lit("/p")).alias("url"),
     )
     bl = spark.createDataFrame([("bad.com",), ("ads.net",)], "domain string")
-    return flag_blocked_hosts(urls, bl).select("doc_id", "host_blocked")
+    blocked = flag_blocked_hosts(urls, bl).select("doc_id", "host_blocked")
+    robots = _robots_verdicts(spark, sf_dir)
+    return blocked.join(robots, "doc_id").select(
+        "doc_id", "host_blocked", F.col("allowed").alias("robots_allowed")
+    )
 
 # --- llm_source_rule_yield --------------------------------------------------
 # The audit surface the gopher_rules docstring promises: per-source
@@ -368,6 +397,14 @@ FROM j GROUP BY source
 
 
 SOURCE_RULE_YIELD_ORACLE = _agg_oracle()
+
+# registered round 14 (post-definition: the oracle literal is composed
+# above from the rule batteries' SQL mirrors)
+register(
+    "llm_source_rule_yield",
+    oracle=SOURCE_RULE_YIELD_ORACLE,
+    tags=("llm", "curation", "report"),
+)(llm_source_rule_yield)
 
 # --- llm_line_dedup ---------------------------------------------------------
 # The sf testdata documents are single-line, so the row synthesizes the
@@ -789,6 +826,12 @@ SELECT doc_id, coalesce(text, '') AS text FROM documents
 """
 
 
+@register(
+    "s12_warc_wet_roundtrip",
+    oracle=WARC_ORACLE,
+    headline=True,
+    tags=("source", "warc", "ingestion"),
+)
 def s12_warc_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET conversion-record roundtrip (sources/warc_codec.py +
     sources/warc.py::warc_reader): Content-Length-driven from-spec
@@ -834,17 +877,18 @@ def s12_warc_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- llm_semdedup_kmeans_e2e (authored round 13, r14 candidate #9) -----------
-# SemDeDup with ZERO pins: the registered llm_semantic_dedup row pins
+# --- llm_semdedup_kmeans_e2e (REGISTERED round 14, in
+# llm_semantic_dedup's slot — same vec_id grain, strictly stronger) ----------
+# SemDeDup with ZERO pins: the retired llm_semantic_dedup row pinned
 # its codebook (one-hot seam) because float nearest-centroid argmin is
 # not engine-exact; here the cells come from kmeans_fixed's BIGINT
 # iterations instead, so the ENTIRE pipeline — codebook training, cell
 # assignment, cell-blocked cosine pairs, connected components,
 # survivor election — is computed distributed AND replayed exactly by
-# the oracle (kmeans CTE chain + the registered row's proven
-# pairs/components/election SQL). This is the composition the r14
-# semdedup/kmeans merge would register; the body below mirrors
-# semantic_dedup's post-assignment code with the cell source swapped.
+# the oracle (kmeans CTE chain + the retired row's proven
+# pairs/components/election SQL). The row drives the PRODUCTION
+# operator body via semantic_dedup(cell_col=...) — llm/semdedup.py's
+# pairing/components/election code, not a re-composition.
 
 _SDK_K, _SDK_ITERS = 8, 3
 
@@ -889,46 +933,32 @@ SELECT vec_id, cell, component_id, rn = 1 AS is_kept FROM r
 """
 
 
+@register(
+    "llm_semdedup_kmeans_e2e",
+    oracle=SEMDEDUP_KMEANS_ORACLE,
+    tags=("llm", "dedup", "embedding", "curation"),
+)
 def llm_semdedup_kmeans_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup end-to-end with a COMPUTED codebook: kmeans_fixed
-    BIGINT cells (llm/kmeans.py) -> cell-blocked exact cosine pairs ->
+    BIGINT cells (llm/kmeans.py) feed semantic_dedup(cell_col=...) —
+    the production operator's cell-blocked exact cosine pairs ->
     pointer-jumping connected components -> smallest-id survivor per
     component. No pinned centroids anywhere; every stage distributed
     and oracle-replayed."""
-    from pyspark.sql import Window
-
-    from terra_bonobo_nodes_spark.llm.dedup import (
-        connected_components,
-        embedding_cosine_pairs,
-    )
+    from terra_bonobo_nodes_spark.llm.semdedup import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cells = kmeans.kmeans_fixed(emb, k=_SDK_K, iterations=_SDK_ITERS).select(
         "vec_id", F.col("cluster").cast("int").alias("cell")
     )
     assigned = emb.join(cells, "vec_id")
-    pairs = embedding_cosine_pairs(
+    return semantic_dedup(
         assigned,
         id_col="vec_id",
         vec_col="embedding",
         threshold=queries_llm._COS_THRESHOLD,
-        block_col="cell",
-    )
-    comp = connected_components(
-        pairs.select("id_a", "id_b"), max_iterations=24
-    ).select(F.col("doc_id").alias("vec_id"), "component_id")
-    full = (
-        assigned.select("vec_id", "cell")
-        .join(comp, "vec_id", "left")
-        .withColumn("component_id", F.coalesce("component_id", "vec_id"))
-    )
-    w = Window.partitionBy("component_id").orderBy(F.col("vec_id").asc())
-    return (
-        full.withColumn("_rn", F.row_number().over(w))
-        .select(
-            "vec_id", "cell", "component_id", (F.col("_rn") == 1).alias("is_kept")
-        )
-    )
+        cell_col="cell",
+    ).select("vec_id", "cell", "component_id", "is_kept")
 
 
 # --- llm_exact_substring_spans (authored round 13, r14 candidate #6) ---------
@@ -960,75 +990,6 @@ SELF_DEDUP_ORACLE = selfdedup.self_dedup_report_sql(
 )
 
 
-# --- llm_host_pagerank (authored round 13, r14 candidate #7) -----------------
-# Fixed-point PageRank over a synthesized 101-host link graph: every
-# document's host (doc_id mod 101) emits two out-links to affine-mapped
-# hosts (7x+3 and 13x+5 mod 101 — both coprime maps, so in-link counts
-# are uniform-ish with heavy multi-edges at every (src, dst) pair,
-# exercising per-occurrence multi-edge counting). All arithmetic is
-# BIGINT; the oracle unrolls the same 5 integer iterations.
-
-_PR_EDGES_DUCK = (
-    "SELECT doc_id % 101 AS src, (doc_id * 7 + 3) % 101 AS dst FROM documents "
-    "UNION ALL "
-    "SELECT doc_id % 101 AS src, (doc_id * 13 + 5) % 101 AS dst FROM documents"
-)
-
-HOST_PAGERANK_ORACLE = graph.pagerank_fixed_sql(_PR_EDGES_DUCK, iterations=5)
-
-# TrustRank variant over the same graph: hosts 0-9 are the trusted
-# seed set; trust reaches only what the seeds (transitively) link to,
-# so the affine maps' images of the seed set score and everything
-# outside the reachable frontier sits at exactly 0.
-_TRUST_SEEDS_DUCK = "VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)"
-
-HOST_TRUSTRANK_ORACLE = graph.pagerank_fixed_sql(
-    _PR_EDGES_DUCK, iterations=5, seeds_sql=_TRUST_SEEDS_DUCK
-)
-
-
-def llm_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TrustRank (llm/graph.py::pagerank_fixed with seeds=): the
-    link-spam demotion signal — initial mass and the teleport term go
-    only to a broadcast trusted-seed set, so self-linking farms score
-    exactly 0 unless trusted hosts link in. Same integer iteration
-    shape as plain PageRank; spam-farm demotion and trust propagation
-    pinned in tests/test_graph.py."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    e1 = docs.select(
-        F.expr("pmod(doc_id, 101)").alias("src"),
-        F.expr("pmod(doc_id * 7 + 3, 101)").alias("dst"),
-    )
-    e2 = docs.select(
-        F.expr("pmod(doc_id, 101)").alias("src"),
-        F.expr("pmod(doc_id * 13 + 5, 101)").alias("dst"),
-    )
-    seeds = spark.range(10).select(F.col("id").alias("host"))
-    return graph.pagerank_fixed(e1.union(e2), iterations=5, seeds=seeds).select(
-        "node", "rank"
-    )
-
-
-def llm_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Host-graph PageRank (llm/graph.py::pagerank_fixed): 5 exact
-    fixed-point BIGINT iterations — rank div outdeg contributions, a
-    combinable sum groupBy absorbing celebrity-host in-link skew
-    map-side, the per-node ranks frame broadcast into each iteration's
-    edge join, the degree-joined edge frame localCheckpointed once.
-    Hypothesis-swept vs an independent Python reference and mirrored in
-    DuckDB as an unrolled CTE chain (tests/test_graph.py)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    e1 = docs.select(
-        F.expr("pmod(doc_id, 101)").alias("src"),
-        F.expr("pmod(doc_id * 7 + 3, 101)").alias("dst"),
-    )
-    e2 = docs.select(
-        F.expr("pmod(doc_id, 101)").alias("src"),
-        F.expr("pmod(doc_id * 13 + 5, 101)").alias("dst"),
-    )
-    return graph.pagerank_fixed(e1.union(e2), iterations=5).select("node", "rank")
-
-
 def llm_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style self-dedup report
     (llm/selfdedup.py::self_dedup_report): corpus-wide duplicated
@@ -1052,6 +1013,31 @@ def llm_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- llm_host_pagerank (authored round 13, r14 candidate #7) -----------------
+# Fixed-point PageRank over a synthesized 101-host link graph: every
+# document's host (doc_id mod 101) emits two out-links to affine-mapped
+# hosts (7x+3 and 13x+5 mod 101 — both coprime maps, so in-link counts
+# are uniform-ish with heavy multi-edges at every (src, dst) pair,
+# exercising per-occurrence multi-edge counting). All arithmetic is
+# BIGINT; the oracle unrolls the same 5 integer iterations.
+
+_PR_EDGES_DUCK = (
+    "SELECT doc_id % 101 AS src, (doc_id * 7 + 3) % 101 AS dst FROM documents "
+    "UNION ALL "
+    "SELECT doc_id % 101 AS src, (doc_id * 13 + 5) % 101 AS dst FROM documents"
+)
+
+# llm_host_pagerank / llm_host_trustrank standalone candidates REMOVED
+# round 14: both signals (plus HITS and per-host stats) are driver-
+# verified inside the registered llm_host_quality_report, and the
+# pipeline-shaped llm_link_graph_rank registration covers extraction ->
+# rank end-to-end. The operators stay pinned by tests/test_graph.py.
+
+# TrustRank's trusted seed set: hosts 0-9 — trust reaches only what
+# the seeds (transitively) link to; everything outside the reachable
+# frontier scores exactly 0.
+_TRUST_SEEDS_DUCK = "VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)"
+
 # --- llm_host_quality_report (authored round 13, r14 candidate #13) ----------
 # The capstone composition a curation team actually reads: ONE
 # host-grain report joining link authority (plain PageRank), trust
@@ -1067,24 +1053,40 @@ stats AS (
   SELECT doc_id % 101 AS host, count(*) AS n_docs,
          sum(length(coalesce(text, ''))) AS sum_chars
   FROM documents GROUP BY 1
+),
+hits AS (
+  SELECT node, hub, auth
+  FROM ({graph.hits_fixed_sql(_PR_EDGES_DUCK, iterations=5)})
 )
 SELECT p.node AS host,
        p.rank AS rank,
        t.rank AS trust_rank,
+       h.hub AS hub,
+       h.auth AS auth,
        CAST(coalesce(s.n_docs, 0) AS BIGINT) AS n_docs,
        CAST(coalesce(s.sum_chars, 0) AS BIGINT) AS sum_chars
 FROM pr_r5 p
 JOIN tr_r5 t ON p.node = t.node
+JOIN hits h ON p.node = h.node
 LEFT JOIN stats s ON s.host = p.node
 """
 
 
+@register(
+    "llm_host_quality_report",
+    oracle=HOST_REPORT_ORACLE,
+    tags=("llm", "graph", "curation"),
+)
 def llm_host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Host-grain curation report: pagerank_fixed plain + seeded runs
-    joined with per-host document statistics — the per-host triage
-    table (authority high / trust zero = link spam; n_docs high /
-    trust low = crawl bias). All-integer columns, three id-keyed
-    joins, both rank chains reuse one edge synthesis."""
+    """Host-grain curation report — ALL FOUR link signals in one slot
+    (registered round 14): plain PageRank, seeded TrustRank, HITS
+    hub/authority (widened in at registration, per the r13 ledger:
+    high hub + low authority = the directory/link-farm shape in-link
+    counting misses), joined with per-host document statistics — the
+    per-host triage table (authority high / trust zero = link spam;
+    n_docs high / trust low = crawl bias). All-integer columns,
+    id-keyed joins, all three fixed-point chains reuse one edge
+    synthesis."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     e1 = docs.select(
         F.expr("pmod(doc_id, 101)").alias("src"),
@@ -1100,17 +1102,21 @@ def llm_host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = graph.pagerank_fixed(edges, iterations=5, seeds=seeds).select(
         "node", F.col("rank").alias("trust_rank")
     )
+    ha = graph.hits_fixed(edges, iterations=5).select("node", "hub", "auth")
     stats = docs.groupBy(F.expr("pmod(doc_id, 101)").alias("node")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length(F.coalesce("text", F.lit("")))).alias("sum_chars"),
     )
     return (
         pr.join(tr, "node")
+        .join(ha, "node")
         .join(stats, "node", "left")
         .select(
             F.col("node").alias("host"),
             "rank",
             "trust_rank",
+            "hub",
+            "auth",
             F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
             F.coalesce("sum_chars", F.lit(0)).cast("long").alias("sum_chars"),
         )
@@ -1130,7 +1136,9 @@ def llm_host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RB_TXT0 = "User-agent: *\nDisallow: /private/\nAllow: /private/ok$"
 
 
-def llm_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, allowed) — the robots candidate's synthesis + verdict,
+    consumed by the widened llm_blocked_hosts row since round 14."""
     from terra_bonobo_nodes_spark.llm.robots import (
         flag_robots_disallowed,
         robots_rules,
@@ -1211,6 +1219,14 @@ rb_rules AS (
 SELECT doc_id, CASE WHEN hit THEN allow ELSE TRUE END AS allowed
 FROM rb_best WHERE rn = 1
 """
+
+# bind the widened llm_blocked_hosts oracle now that both composition
+# sources exist (the @register above passed oracle=None as a forward
+# reference)
+from terra_bonobo_nodes_spark.plans.registry import _REGISTRY as _REG  # noqa: E402
+
+_REG["llm_blocked_hosts"].oracle = _url_hygiene_oracle()
+
 
 
 # --- llm_anchor_text_topk (authored round 13, r14 candidate) ------------
@@ -1369,6 +1385,14 @@ WHERE NOT (h = '' OR h LIKE '#%'
 
 LINK_GRAPH_ORACLE = _link_graph_oracle()
 
+# registered round 14 (post-definition, as above)
+register(
+    "llm_link_graph_rank",
+    oracle=LINK_GRAPH_ORACLE,
+    headline=True,
+    tags=("llm", "graph", "pipeline"),
+)(llm_link_graph_rank)
+
 
 # --- llm_token_budget_mix (authored round 13, r14 candidate) ------------
 # Token-budgeted data mixing (llm/corpus.py::token_budget_sample): the
@@ -1417,102 +1441,23 @@ WHERE {_TBM_CASE} IS NOT NULL AND before < {_TBM_CASE}
 """
 
 
-# --- llm_host_hits (authored round 13, r14 candidate) -------------------
-# HITS hubs-and-authorities over the same synthetic host graph as
-# llm_host_pagerank — the third classic link signal (high hub + low
-# authority = directory/link-farm shape that in-link counting misses).
-# Quotient-normalized fixed-point BIGINT iterations, division-only
-# (nothing multiplied by scale), exact cross-engine; the oracle
-# unrolls the identical iterations (llm/graph.py::hits_fixed_sql).
-# Same node grain as pagerank/trustrank/quality-report — a natural
-# merge into llm_host_quality_report if r14 wants one slot for all
-# four graph signals. Carries the per-iteration 1-row normalization
-# scalar (documented single-row BNLJ; allowlist entry at promotion).
-
-
-def llm_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    e1 = docs.select(
-        F.expr("pmod(doc_id, 101)").alias("src"),
-        F.expr("pmod(doc_id * 7 + 3, 101)").alias("dst"),
-    )
-    e2 = docs.select(
-        F.expr("pmod(doc_id, 101)").alias("src"),
-        F.expr("pmod(doc_id * 13 + 5, 101)").alias("dst"),
-    )
-    return graph.hits_fixed(e1.union(e2), iterations=5).select(
-        F.col("node").alias("host"), "hub", "auth"
-    )
-
-
-HOST_HITS_ORACLE = (
-    "SELECT node AS host, hub, auth FROM ("
-    + graph.hits_fixed_sql(_PR_EDGES_DUCK, iterations=5)
-    + ")"
-)
-
-
-# --- llm_word_lm_xent (authored round 13, r14 candidate) ----------------
-# CCNet's production quality signal in its production SHAPE (Wenzek et
-# al. 2020 §3.3): a word-bigram LM trained on a TRUSTED reference (here
-# the English slice of documents, the llm_dsir_logweights precedent)
-# scores every document by cross-entropy — the train-on-target
-# complement to the registered llm_char_lm_entropy, which trains on
-# the scored corpus itself at char grain. The oracle replays identical
-# tokenization, exact BIGINT counts, the one-division probability, and
-# the DECIMAL(20,6) per-log quantum. Plan note for promotion: carries
-# the documented 1-row vocabulary-scalar cross join (the
-# perplexity_buckets cutoff precedent) — needs a plan-audit allowlist
-# entry when registered.
-
-
-def llm_word_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from terra_bonobo_nodes_spark.llm.lm import word_lm_xent
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    ref = docs.where(F.col("lang") == "en").select("text")
-    out = word_lm_xent(docs.select("doc_id", "text"), ref)
-    return out.select(
-        "doc_id", "n_bigrams", F.round("lm_xent", 4).alias("lm_xent")
-    )
-
-
-def _word_lm_oracle() -> str:
-    from terra_bonobo_nodes_spark.llm.lm import word_lm_xent_sql
-
-    inner = word_lm_xent_sql(
-        "documents", "(SELECT text FROM documents WHERE lang = 'en')"
-    )
-    return (
-        "SELECT doc_id, n_bigrams, round(lm_xent, 4) AS lm_xent "
-        f"FROM ({inner})"
-    )
-
-
-WORD_LM_ORACLE = _word_lm_oracle()
-
+# llm_host_hits / llm_word_lm_xent standalone candidates REMOVED round
+# 14: HITS hub/auth is driver-verified inside the registered (widened)
+# llm_host_quality_report; word-LM cross-entropy inside the registered
+# llm_lm_entropy_surface (the widened char-LM row). Operators stay
+# pinned by tests/test_graph.py and tests/test_lm.py.
 
 # Still-deferred candidates (round-14 budget — see the registry
 # ledger); the five promoted rows left this dict for the registry and
 # are now pinned by the driver contract itself.
 CANDIDATES: dict[str, tuple] = {
-    "llm_source_rule_yield": (llm_source_rule_yield, SOURCE_RULE_YIELD_ORACLE),
     "llm_perplexity_buckets": (llm_perplexity_buckets, PPL_BUCKETS_ORACLE),
     "llm_dsir_logweights": (llm_dsir_logweights, DSIR_ORACLE),
     "llm_bloom_decontaminate": (llm_bloom_decontaminate, BLOOM_ORACLE),
     "llm_cms_token_freq": (llm_cms_token_freq, CMS_ORACLE),
     "llm_exact_substring_spans": (llm_exact_substring_spans, SELF_DEDUP_ORACLE),
-    "llm_host_pagerank": (llm_host_pagerank, HOST_PAGERANK_ORACLE),
-    "llm_host_trustrank": (llm_host_trustrank, HOST_TRUSTRANK_ORACLE),
     "llm_kmeans_fixed_cells": (llm_kmeans_fixed_cells, KMEANS_ORACLE),
-    "llm_semdedup_kmeans_e2e": (llm_semdedup_kmeans_e2e, SEMDEDUP_KMEANS_ORACLE),
-    "s12_warc_wet_roundtrip": (s12_warc_wet_roundtrip, WARC_ORACLE),
     "llm_fuzzy_title_pairs": (llm_fuzzy_title_pairs, FUZZY_ORACLE),
-    "llm_host_quality_report": (llm_host_quality_report, HOST_REPORT_ORACLE),
-    "llm_word_lm_xent": (llm_word_lm_xent, WORD_LM_ORACLE),
-    "llm_host_hits": (llm_host_hits, HOST_HITS_ORACLE),
     "llm_token_budget_mix": (llm_token_budget_mix, TOKEN_BUDGET_ORACLE),
-    "llm_link_graph_rank": (llm_link_graph_rank, LINK_GRAPH_ORACLE),
     "llm_anchor_text_topk": (llm_anchor_text_topk, ANCHOR_TOPK_ORACLE),
-    "llm_robots_filter": (llm_robots_filter, ROBOTS_ORACLE),
 }

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from terra_bonobo_nodes_spark.llm import (
     dedup,
     hashing,
+    lm,
     multimodal,
     scrub,
     similarity,
@@ -197,7 +198,9 @@ _MH_K, _MH_BANDS, _MH_SHINGLE = 16, 4, 5
 _MH_ROWS = _MH_K // _MH_BANDS
 
 
-def _minhash_oracle() -> str:
+def _minhash_cte(prefix: str = "mh_") -> str:
+    """The minhash signature -> banded-LSH pair chain as prefixed CTEs
+    ending in ``{prefix}pairs(id_a, id_b, est_jaccard)``."""
     shingles = hashing.char_shingles_sql("text", _MH_SHINGLE)
     params = hashing.perm_params(_MH_K)
     mins = ", ".join(
@@ -205,49 +208,32 @@ def _minhash_oracle() -> str:
     )
     band_rows = "\nUNION ALL\n".join(
         f"SELECT doc_id, sig, {b} AS band, "
-        f"{hashing.band_hash_sql('sig', b, _MH_ROWS)} AS bh FROM sigs"
+        f"{hashing.band_hash_sql('sig', b, _MH_ROWS)} AS bh FROM {prefix}sigs"
         for b in range(_MH_BANDS)
     )
+    est = (
+        f"CAST(len(list_filter(list_zip(sig_a, sig_b), x -> x[1] = x[2])) "
+        f"AS DOUBLE) / {float(_MH_K)}"
+    )
     return f"""
-WITH posting AS (
+{prefix}posting AS (
   SELECT doc_id, unnest({shingles}) AS sh FROM documents
 ),
-hashed AS (SELECT doc_id, {hashing.hash32_sql('sh')} AS h
-           FROM posting),
-sigs AS (SELECT doc_id, [{mins}] AS sig FROM hashed GROUP BY doc_id),
-banded AS ({band_rows}),
-pairs AS (
+{prefix}hashed AS (SELECT doc_id, {hashing.hash32_sql('sh')} AS h
+           FROM {prefix}posting),
+{prefix}sigs AS (SELECT doc_id, [{mins}] AS sig FROM {prefix}hashed
+                 GROUP BY doc_id),
+{prefix}banded AS ({band_rows}),
+{prefix}cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          a.sig AS sig_a, b.sig AS sig_b
-  FROM banded a JOIN banded b
+  FROM {prefix}banded a JOIN {prefix}banded b
     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-)
-SELECT id_a, id_b,
-       CAST(len(list_filter(list_zip(sig_a, sig_b), x -> x[1] = x[2])) AS DOUBLE)
-         / {float(_MH_K)} AS est_jaccard
-FROM pairs
-WHERE CAST(len(list_filter(list_zip(sig_a, sig_b), x -> x[1] = x[2])) AS DOUBLE)
-         / {float(_MH_K)} >= 0.5
-"""
-
-
-@register(
-    "llm_minhash_lsh_pairs",
-    oracle=_minhash_oracle(),
-    headline=True,
-    tags=("llm", "dedup"),
-)
-def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return dedup.minhash_lsh_pairs(
-        docs,
-        "text",
-        "doc_id",
-        n_hashes=_MH_K,
-        bands=_MH_BANDS,
-        shingle_n=_MH_SHINGLE,
-        min_est_jaccard=0.5,
-    )
+),
+{prefix}pairs AS (
+  SELECT id_a, id_b, {est} AS est_jaccard
+  FROM {prefix}cand WHERE {est} >= 0.5
+)"""
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -257,7 +243,15 @@ _SH_BLOCKS = 8
 _SH_BLOCK_BITS = _SH_BITS // _SH_BLOCKS
 
 
-def _simhash_oracle() -> str:
+def _simhash_cte(prefix: str = "sh_") -> str:
+    """The simhash -> value-grain pigeonhole pair chain as prefixed
+    CTEs ending in ``{prefix}pairs(id_a, id_b, hamming)``.
+
+    VALUE-GRAIN since round 14 (dedup.simhash_pairs now delegates to
+    the shared phash.hamming_pairs kernel): identical simhashes
+    collapse to a min-id representative emitting (rep, member, 0)
+    rows, and only DISTINCT simhash values enter the banded join —
+    the dedup-sufficient generator-set contract, mirrored here."""
     toks = f"str_split({hashing.normalize_sql('text')}, ' ')"
     sums = ", ".join(f"sum((h >> {b}) & 1) AS c{b}" for b in range(_SH_BITS))
     sh = " + ".join(
@@ -266,33 +260,75 @@ def _simhash_oracle() -> str:
     )
     mask = (1 << _SH_BLOCK_BITS) - 1
     blocks = "\nUNION ALL\n".join(
-        f"SELECT doc_id, sh, {i} AS blk, (sh >> {i * _SH_BLOCK_BITS}) & {mask} AS bv "
-        "FROM sims"
+        f"SELECT rep, sh, {i} AS blk, (sh >> {i * _SH_BLOCK_BITS}) & {mask} AS bv "
+        f"FROM {prefix}grp"
         for i in range(_SH_BLOCKS)
     )
     return f"""
-WITH posting AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
-hashed AS (SELECT doc_id, {hashing.hash32_sql('tok')} AS h FROM posting),
-agg AS (SELECT doc_id, count(*) AS n, {sums} FROM hashed GROUP BY doc_id),
-sims AS (SELECT doc_id, ({sh}) AS sh FROM agg),
-blocked AS ({blocks}),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
-  FROM blocked a JOIN blocked b
-    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+{prefix}posting AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
+{prefix}hashed AS (SELECT doc_id, {hashing.hash32_sql('tok')} AS h
+                   FROM {prefix}posting),
+{prefix}agg AS (SELECT doc_id, count(*) AS n, {sums} FROM {prefix}hashed
+                GROUP BY doc_id),
+{prefix}sims AS (SELECT doc_id, ({sh}) AS sh FROM {prefix}agg),
+{prefix}grp AS (SELECT sh, min(doc_id) AS rep FROM {prefix}sims GROUP BY sh),
+{prefix}exact AS (
+  SELECT g.rep AS id_a, s.doc_id AS id_b, CAST(0 AS INT) AS hamming
+  FROM {prefix}sims s JOIN {prefix}grp g USING (sh) WHERE s.doc_id <> g.rep),
+{prefix}blocked AS ({blocks}),
+{prefix}near AS (
+  SELECT DISTINCT a.rep AS id_a, b.rep AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM {prefix}blocked a JOIN {prefix}blocked b
+    ON a.blk = b.blk AND a.bv = b.bv AND a.rep < b.rep
+),
+{prefix}pairs AS (
+  SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+  FROM {prefix}near WHERE bit_count(xor(sh_a, sh_b)) <= {_SH_MAXHAM}
+  UNION ALL
+  SELECT id_a, id_b, hamming FROM {prefix}exact
+)"""
+
+
+# llm_minhash_lsh_pairs + llm_simhash_pairs MERGED round 14 into ONE
+# pair-grain row (the j1 broadcast+grid / llm_cosine_topk exact+rerank
+# precedent): both hash-fingerprint near-dup generators run against
+# the same corpus and FULL-OUTER-join on the pair key, so every pair
+# carries which detector(s) proposed it (NULL est_jaccard = simhash-
+# only, NULL hamming = minhash-only). Identical per-function coverage
+# in one slot; the simhash side verifies the round-14 delegation to
+# the shared value-grain pigeonhole kernel (phash.hamming_pairs).
+@register(
+    "llm_hash_neardup_pairs",
+    oracle=f"""
+WITH {_minhash_cte()},
+{_simhash_cte()}
+SELECT coalesce(m.id_a, s.id_a) AS id_a,
+       coalesce(m.id_b, s.id_b) AS id_b,
+       m.est_jaccard AS est_jaccard,
+       s.hamming AS hamming
+FROM mh_pairs m FULL JOIN sh_pairs s
+  ON m.id_a = s.id_a AND m.id_b = s.id_b
+""",
+    headline=True,
+    tags=("llm", "dedup"),
 )
-SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
-FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {_SH_MAXHAM}
-"""
-
-
-@register("llm_simhash_pairs", oracle=_simhash_oracle(), tags=("llm", "dedup"))
-def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_hash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    out = dedup.simhash_pairs(
-        docs, "text", "doc_id", bits=_SH_BITS, max_hamming=_SH_MAXHAM
+    mh = dedup.minhash_lsh_pairs(
+        docs,
+        "text",
+        "doc_id",
+        n_hashes=_MH_K,
+        bands=_MH_BANDS,
+        shingle_n=_MH_SHINGLE,
+        min_est_jaccard=0.5,
     )
-    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    sh = dedup.simhash_pairs(
+        docs, "text", "doc_id", bits=_SH_BITS, max_hamming=_SH_MAXHAM
+    ).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+    return mh.join(sh, ["id_a", "id_b"], "full")
 
 
 # --- n-gram Jaccard ---------------------------------------------------------
@@ -568,7 +604,8 @@ def _components_oracle() -> str:
     a full-value oracle even though the Spark side is iterative."""
     return f"""
 WITH RECURSIVE
-mh AS (SELECT id_a, id_b FROM ({_minhash_oracle()}) q),
+{_minhash_cte()},
+mh AS (SELECT id_a, id_b FROM mh_pairs),
 edges AS (SELECT id_a AS src, id_b AS dst FROM mh UNION SELECT id_b, id_a FROM mh),
 reach AS (
   SELECT src, dst FROM edges
@@ -1151,7 +1188,7 @@ def llm_substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_oracle() -> str:
-    """Two-sided mirror of _minhash_oracle: signatures for the 'new'
+    """Two-sided mirror of _minhash_cte: signatures for the 'new'
     batch (doc_id % 10 = 0) vs the stored corpus (the rest), banded,
     one asymmetric join."""
     shingles = hashing.char_shingles_sql("text", _MH_SHINGLE)
@@ -1404,39 +1441,93 @@ def llm_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RSV_N, _RSV_SEED = 15, "tbns-reservoir-v1"
 
 
+# llm_reservoir_sample + llm_source_quota_sample MERGED round 14 into
+# ONE doc-grain row (the fn_scalar / llm_text_counts_surface
+# precedent): both deterministic hash-rank samplers — the fixed-size
+# per-language reservoir and the per-source contribution cap — are the
+# same operator family (llm/corpus.py seeded-hash window rank), and a
+# doc-grain surface carries each verdict as a column (NULL
+# reservoir_rank = not selected; in_quota boolean). The SELECTED SETS
+# stay fully verified: the rank column pins the reservoir's exact
+# ordering, the boolean pins the quota's membership, over every doc.
 @register(
-    "llm_reservoir_sample",
+    "llm_sample_surface",
     oracle=f"""
 WITH h AS (
-  SELECT doc_id, lang,
+  SELECT doc_id,
          {hashing.hash32_sql(f"'{_RSV_SEED}' || CAST(doc_id AS VARCHAR)")} AS u
   FROM documents),
 r AS (
-  SELECT doc_id, lang,
+  SELECT doc_id,
          row_number() OVER (PARTITION BY lang ORDER BY u ASC, doc_id ASC)
            AS sample_rank
-  FROM h)
-SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
-FROM r WHERE sample_rank <= {_RSV_N}
+  FROM h JOIN documents USING (doc_id)),
+res AS (SELECT doc_id, CAST(sample_rank AS BIGINT) AS reservoir_rank
+        FROM r WHERE sample_rank <= {_RSV_N}),
+qr AS (
+  SELECT doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {hashing.hash32_sql("'tbns-quota-v1' || CAST(doc_id AS VARCHAR)")} ASC,
+                    doc_id ASC
+         ) AS rnk
+  FROM documents),
+qk AS (SELECT doc_id FROM qr WHERE rnk <= 20)
+SELECT d.doc_id, d.lang, d.source,
+       res.reservoir_rank AS reservoir_rank,
+       qk.doc_id IS NOT NULL AS in_quota
+FROM documents d
+LEFT JOIN res USING (doc_id)
+LEFT JOIN qk USING (doc_id)
 """,
     tags=("llm", "corpus", "sample"),
 )
-def llm_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-size per-group sampling (llm/corpus.reservoir_sample):
-    exactly n docs per language, selected by seeded-hash rank — the
-    deterministic eval-set builder. The oracle replays the identical
-    hash ordering, so the SELECTED SET matches, not just its size."""
-    from terra_bonobo_nodes_spark.llm.corpus import reservoir_sample
+def llm_sample_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-grain sampling surface: reservoir_sample's per-language
+    seeded-hash rank (NULL when not selected) and source_quota_sample's
+    per-source cap membership, on one row per document. Two window
+    shuffles (one per grouping key) — the operators' own plans,
+    unchanged; the surface join is on the table's own key."""
+    from terra_bonobo_nodes_spark.llm.corpus import (
+        reservoir_sample,
+        source_quota_sample,
+    )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    out = reservoir_sample(docs, ["lang"], _RSV_N, "doc_id", seed=_RSV_SEED)
-    return out.select(
-        "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    rs = reservoir_sample(
+        docs.select("doc_id", "lang"), ["lang"], _RSV_N, "doc_id",
+        seed=_RSV_SEED,
+    ).select(
+        "doc_id", F.col("sample_rank").cast("long").alias("reservoir_rank")
+    )
+    qs = source_quota_sample(
+        docs.select("doc_id", "source", "lang"), "source", cap=20,
+        id_col="doc_id",
+    ).select("doc_id", F.lit(True).alias("in_quota"))
+    return (
+        docs.join(rs, "doc_id", "left")
+        .join(qs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "reservoir_rank",
+            F.coalesce("in_quota", F.lit(False)).alias("in_quota"),
+        )
     )
 
 
+# llm_char_lm_entropy WIDENED round 14 into llm_lm_entropy_surface
+# (zero-net promotion of the llm_word_lm_xent candidate — same doc
+# grain, the llm_text_counts_surface precedent): the corpus-trained
+# char-bigram LM entropy and CCNet's train-on-trusted-reference
+# word-bigram LM cross-entropy (Wenzek et al. 2020 §3.3) on one row
+# per document. Each signal keeps its exact standalone contract
+# (integer-count probabilities, quantized DECIMAL(20,6) logs).
 @register(
-    "llm_char_lm_entropy",
+    "llm_lm_entropy_surface",
     oracle=f"""
 WITH nd AS (SELECT doc_id, {hashing.normalize_sql('text')} AS t FROM documents),
 bg AS (SELECT doc_id, substr(t, CAST(r.i AS INTEGER), 2) AS b
@@ -1453,24 +1544,49 @@ sc AS (SELECT bg.doc_id, CAST(ln(model.prob) AS DECIMAL(20,6)) AS lp
        FROM bg JOIN model ON model.b = bg.b),
 agg AS (SELECT doc_id, count(*) AS m,
                -CAST(SUM(lp) AS DOUBLE) / count(*) AS h
-        FROM sc GROUP BY 1)
+        FROM sc GROUP BY 1),
+w AS (
+  SELECT doc_id, n_bigrams AS word_n_bigrams,
+         round(lm_xent, 4) AS word_xent
+  FROM ({lm.word_lm_xent_sql(
+      "documents", "(SELECT text FROM documents WHERE lang = 'en')")})
+)
 SELECT d.doc_id,
-       CAST(coalesce(agg.m, 0) AS BIGINT) AS n_bigrams,
-       round(coalesce(agg.h, 0.0), 4) AS lm_entropy
-FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+       CAST(coalesce(agg.m, 0) AS BIGINT) AS char_n_bigrams,
+       round(coalesce(agg.h, 0.0), 4) AS char_entropy,
+       w.word_n_bigrams, w.word_xent
+FROM documents d
+LEFT JOIN agg ON agg.doc_id = d.doc_id
+JOIN w ON w.doc_id = d.doc_id
 """,
     tags=("llm", "text", "quality"),
 )
-def llm_char_lm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-trained char-bigram LM cross-entropy per document
-    (llm/text.char_lm_entropy): the fluency/quality signal with
-    add-one smoothing; integer-count probabilities, quantized-log
-    exact sums — identical across engines by construction."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    out = text.char_lm_entropy(docs, "doc_id", "text")
-    return out.select(
-        "doc_id", "n_bigrams", F.round("lm_entropy", 4).alias("lm_entropy")
+def llm_lm_entropy_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LM quality signals (llm/text.char_lm_entropy +
+    llm/lm.word_lm_xent): char-bigram entropy trained on the scored
+    corpus itself, and word-bigram cross-entropy trained on the
+    trusted English slice — add-one smoothing, exact BIGINT counts,
+    quantized-log sums, identical across engines by construction. The
+    word model ships as one broadcast table plus a single-row
+    vocabulary scalar (the documented 1-row BNLJ — see
+    tests/test_plan_audit.CROSS_JOIN_OK)."""
+    from terra_bonobo_nodes_spark.llm import lm as _lm
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
     )
+    ch = text.char_lm_entropy(docs.select("doc_id", "text"), "doc_id", "text").select(
+        "doc_id",
+        F.col("n_bigrams").alias("char_n_bigrams"),
+        F.round("lm_entropy", 4).alias("char_entropy"),
+    )
+    ref = docs.where(F.col("lang") == "en").select("text")
+    wd = _lm.word_lm_xent(docs.select("doc_id", "text"), ref).select(
+        "doc_id",
+        F.col("n_bigrams").alias("word_n_bigrams"),
+        F.round("lm_xent", 4).alias("word_xent"),
+    )
+    return ch.join(wd, "doc_id")
 
 
 @register(
@@ -1650,31 +1766,7 @@ def llm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_source_quota_sample",
-    oracle=f"""
-WITH ranked AS (
-  SELECT doc_id, source, lang,
-         row_number() OVER (
-           PARTITION BY source
-           ORDER BY {hashing.hash32_sql("'tbns-quota-v1' || CAST(doc_id AS VARCHAR)")} ASC,
-                    doc_id ASC
-         ) AS rnk
-  FROM documents
-)
-SELECT doc_id, source, lang FROM ranked WHERE rnk <= 20
-""",
-    tags=("llm", "pipeline", "curation"),
-)
-def llm_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source contribution caps (``corpus.source_quota_sample``):
-    at most 20 documents per source, hash-rank deterministic — the
-    domain-quota step that stops one crawl dump from dominating a mix.
-    One window shuffle; the oracle is the same window in SQL."""
-    from terra_bonobo_nodes_spark.llm import corpus
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
-    return corpus.source_quota_sample(docs, "source", cap=20, id_col="doc_id")
+# llm_source_quota_sample: merged into llm_sample_surface (above).
 
 
 @register(
@@ -1806,76 +1898,14 @@ def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   (z-sign) is exact and the 4dp-rounded sigmoid absorbs any last-ulp
 #   exp() difference.
 
-_SD_CELLS = 4
-
-
-def _semantic_dedup_oracle() -> str:
-    dot = similarity.dot_exact_sql("a.v", "b.v")
-    return f"""
-WITH RECURSIVE
-e AS (SELECT vec_id, {_CAST_EMB} AS v FROM embeddings),
-cells AS (
-  SELECT vec_id, v,
-         CASE WHEN v[1] >= v[2] AND v[1] >= v[3] AND v[1] >= v[4] THEN 0
-              WHEN v[2] >= v[3] AND v[2] >= v[4] THEN 1
-              WHEN v[3] >= v[4] THEN 2 ELSE 3 END AS cell
-  FROM e),
-n AS (SELECT vec_id, v, cell, {similarity.norm_sql('v')} AS nrm FROM cells),
-p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE {dot} / (a.nrm * b.nrm) >= {_COS_THRESHOLD}),
-edges AS (SELECT id_a AS src, id_b AS dst FROM p
-          UNION SELECT id_b, id_a FROM p),
-reach AS (
-  SELECT src, dst FROM edges
-  UNION
-  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
-comp AS (SELECT src AS vec_id, least(src, min(dst)) AS component_id
-         FROM reach GROUP BY src),
-fullv AS (
-  SELECT c.vec_id, c.cell,
-         coalesce(cp.component_id, c.vec_id) AS component_id
-  FROM cells c LEFT JOIN comp cp USING (vec_id)),
-r AS (
-  SELECT vec_id, cell, component_id,
-         row_number() OVER (PARTITION BY component_id
-                            ORDER BY vec_id ASC) AS rn
-  FROM fullv)
-SELECT vec_id, CAST(cell AS INT) AS cell, component_id, rn = 1 AS is_kept
-FROM r
-"""
-
-
-@register(
-    "llm_semantic_dedup",
-    oracle=_semantic_dedup_oracle(),
-    tags=("llm", "dedup", "embedding", "curation"),
-)
-def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup end-to-end (``llm/semdedup.py``): codebook assignment ->
-    cell-blocked cosine pairs (no cross-cell pair ever materializes) ->
-    connected components -> one survivor per component. The literal
-    one-hot codebook replaces only ``ivf_train`` (whose k-means is
-    iterative, hence not SQL-expressible); assignment, pairing,
-    grouping and election — the operator's entire distributed body —
-    run exactly as production would."""
-    from terra_bonobo_nodes_spark.llm.semdedup import semantic_dedup
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = [
-        [1.0 if d == k else 0.0 for d in range(EMB_DIM)]
-        for k in range(_SD_CELLS)
-    ]
-    out = semantic_dedup(
-        emb,
-        id_col="vec_id",
-        vec_col="embedding",
-        centroids=cents,
-        threshold=_COS_THRESHOLD,
-    )
-    return out.select("vec_id", "cell", "component_id", "is_kept")
-
+# llm_semantic_dedup (the one-hot literal-codebook SemDeDup row,
+# registered r12) RETIRED round 14: llm_semdedup_kmeans_e2e
+# (plans/queries_candidates.py) occupies its slot — same vec_id grain,
+# strictly stronger (codebook training, assignment, pairing,
+# components and election ALL distributed via kmeans_fixed cells and
+# the semantic_dedup(cell_col=) seam, oracle-replayed end to end).
+# The centroids= literal-codebook seam itself stays pytest-covered
+# (tests/test_semdedup.py).
 
 # Pinned model: dyadic-exact constants near the corpus statistics
 # (sf0.01: chars 298+-138, tokens 54+-25, distinct 23.4+-5.5) so scores

@@ -788,26 +788,51 @@ def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- as-of (point-in-time) join ---------------------------------------------
 
 
+# asof_purchase_last_view + asof_forward_next_click MERGED round 14
+# into ONE (kind, event_id)-grain row (the e2/e3 transit-time
+# precedent): both directions of operators/joins.asof_join run —
+# backward (purchase -> same user's latest view at or before) and
+# forward (error -> earliest click at or after) — union-tagged by
+# kind, each verified against DuckDB's native ASOF LEFT JOIN of the
+# matching direction. Identical per-function coverage in one slot;
+# value columns exist only on the backward side (the forward events
+# projection never carried them) and are NULL on forward rows.
 @register(
-    "asof_purchase_last_view",
+    "asof_event_joins",
     headline=True,
     oracle="""
 WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
-v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')
-SELECT p.event_id, p.user_id,
-       epoch_us(p.ts) AS ts_us,
-       round(p.value, 6) AS purchase_value,
-       epoch_us(v.ts) AS view_ts_us,
-       v.event_id AS view_event_id,
-       round(v.value, 6) AS view_value
-FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+back AS (
+  SELECT 'backward' AS kind, p.event_id, p.user_id,
+         epoch_us(p.ts) AS ts_us,
+         round(p.value, 6) AS left_value,
+         v.event_id AS matched_event_id,
+         epoch_us(v.ts) AS matched_ts_us,
+         round(v.value, 6) AS matched_value
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+), fwd AS (
+  SELECT 'forward' AS kind, e.event_id, e.user_id,
+         epoch_us(e.ts) AS ts_us,
+         CAST(NULL AS DOUBLE) AS left_value,
+         c.event_id AS matched_event_id,
+         epoch_us(c.ts) AS matched_ts_us,
+         CAST(NULL AS DOUBLE) AS matched_value
+  FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts <= c.ts
+)
+SELECT * FROM back UNION ALL SELECT * FROM fwd
 """,
     tags=("join", "asof"),
 )
-def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join oracle-checked against DuckDB's native ASOF LEFT JOIN:
-    for every purchase event, the same user's latest view event at or
-    before it. Timestamps exported as epoch micros (exact integers)."""
+def asof_event_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both as-of directions, oracle-checked against DuckDB's native
+    ASOF LEFT JOIN: for every purchase the same user's latest view at
+    or before it (backward), and for every error the same user's
+    earliest click at or after it (forward — the time-to-recovery
+    join). Same single-shuffle tagged-union window plan in each
+    direction; timestamps exported as epoch micros (exact integers)."""
     from terra_bonobo_nodes_spark.operators.joins import asof_join
 
     ev = load_table(spark, sf_dir, "events")
@@ -817,59 +842,39 @@ def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.where(F.col("event_type") == "view").select(
         "event_id", "user_id", "ts", "value"
     )
-    j = asof_join(
-        purchases, views, on="user_id", left_ts="ts", right_ts="ts", suffix="_view"
-    )
-    return j.select(
+    back = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        suffix="_view",
+    ).select(
+        F.lit("backward").alias("kind"),
         "event_id",
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
-        F.round("value", 6).alias("purchase_value"),
-        F.unix_micros("ts_view").alias("view_ts_us"),
-        F.col("event_id_view").alias("view_event_id"),
-        F.round("value_view", 6).alias("view_value"),
+        F.round("value", 6).alias("left_value"),
+        F.col("event_id_view").alias("matched_event_id"),
+        F.unix_micros("ts_view").alias("matched_ts_us"),
+        F.round("value_view", 6).alias("matched_value"),
     )
-
-
-@register(
-    "asof_forward_next_click",
-    oracle="""
-WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
-c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
-SELECT e.event_id, e.user_id,
-       epoch_us(e.ts) AS ts_us,
-       epoch_us(c.ts) AS click_ts_us,
-       c.event_id AS click_event_id
-FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts <= c.ts
-""",
-    tags=("join", "asof"),
-)
-def asof_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward-direction as-of join against DuckDB's native forward
-    ASOF (``l.ts <= r.ts``): for every error event, the same user's
-    EARLIEST click at or after it — the time-to-recovery join. Same
-    single-shuffle tagged-union window plan as the backward form, with
-    the timestamp order reversed."""
-    from terra_bonobo_nodes_spark.operators.joins import asof_join
-
-    ev = load_table(spark, sf_dir, "events")
     errors = ev.where(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts"
     )
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    j = asof_join(
+    fwd = asof_join(
         errors, clicks, on="user_id", left_ts="ts", right_ts="ts",
         direction="forward", suffix="_click",
-    )
-    return j.select(
+    ).select(
+        F.lit("forward").alias("kind"),
         "event_id",
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
-        F.unix_micros("ts_click").alias("click_ts_us"),
-        F.col("event_id_click").alias("click_event_id"),
+        F.lit(None).cast("double").alias("left_value"),
+        F.col("event_id_click").alias("matched_event_id"),
+        F.unix_micros("ts_click").alias("matched_ts_us"),
+        F.lit(None).cast("double").alias("matched_value"),
     )
+    return back.unionAll(fwd)
 
 
 @register(

@@ -27,48 +27,59 @@ from terra_bonobo_nodes_spark.tables import load_table
 DSUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value"
 
 
+# stream_tumbling_window_agg + stream_sliding_window_agg MERGED round
+# 14 into ONE (kind, window, key)-grain row (the j1 broadcast+grid
+# precedent): both event-time windowers run over the same events table
+# and union tagged by kind — tumbling rows keep their event_type key,
+# sliding rows (keyless by design) carry 'ALL'. Identical per-function
+# coverage in one slot; each operator's plan is unchanged (the union
+# is above both aggregations).
 @register(
-    "stream_tumbling_window_agg",
+    "stream_window_agg_surface",
     oracle=f"""
-SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
-       event_type,
-       count(*) AS n_events,
-       {DSUM_VALUE}
-FROM events
-GROUP BY 1, 2
-""",
-    headline=True,
-    tags=("streaming", "window"),
-)
-def stream_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return tumbling_window_agg(ev, duration="1 hour")
-
-
-@register(
-    "stream_sliding_window_agg",
-    oracle=f"""
-WITH expanded AS (
+WITH t AS (
+  SELECT 'tumbling' AS kind,
+         CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+           AS window_start,
+         event_type, count(*) AS n_events, {DSUM_VALUE}
+  FROM events GROUP BY 2, 3
+), expanded AS (
   SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
   UNION ALL
   SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws,
          value
   FROM events
+), s AS (
+  SELECT 'sliding' AS kind, CAST(epoch(ws) AS BIGINT) AS window_start,
+         'ALL' AS event_type, count(*) AS n_events, {DSUM_VALUE}
+  FROM expanded GROUP BY 2
 )
-SELECT CAST(epoch(ws) AS BIGINT) AS window_start,
-       count(*) AS n_events,
-       {DSUM_VALUE}
-FROM expanded
-GROUP BY 1
+SELECT * FROM t UNION ALL SELECT * FROM s
 """,
+    headline=True,
     tags=("streaming", "window"),
 )
-def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1h windows sliding every 30m: every event expands into exactly
-    two windows (duration/slide), mirrored in SQL by the shifted-bucket
-    UNION ALL."""
+def stream_window_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows per event_type plus keyless 1h/30m sliding
+    windows (every event expands into exactly duration/slide = 2
+    windows, mirrored in SQL by the shifted-bucket UNION ALL), tagged
+    by kind on one row shape."""
     ev = load_table(spark, sf_dir, "events")
-    return sliding_window_agg(ev, duration="1 hour", slide="30 minutes")
+    t = tumbling_window_agg(ev, duration="1 hour").select(
+        F.lit("tumbling").alias("kind"),
+        "window_start",
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    s = sliding_window_agg(ev, duration="1 hour", slide="30 minutes").select(
+        F.lit("sliding").alias("kind"),
+        "window_start",
+        F.lit("ALL").alias("event_type"),
+        "n_events",
+        "sum_value",
+    )
+    return t.unionAll(s)
 
 
 @register(

@@ -153,8 +153,18 @@ def register(
 #   llm_embedding_cosine_pairs (same pair grain; the widened row runs
 #   both the exact crossJoin form and the block_col equi-join and
 #   flags each pair with in_lsh_block).
-# Capacity: 141 + 7 new - 2 merged-away + ... = 144, exactly at the
-# cap (check: len(all_queries()) == 144). Budget: due cohort = the 41
+# Capacity arithmetic, spelled out (rewritten round 14 per VERDICT_r13
+# "What's wrong" #3 — the earlier "141 + 7 new - 2 merged-away" prose
+# did not close): round 11 ended at 141 registered. Round 12 ADDED 7
+# (llm_semantic_dedup, llm_quality_filter_score,
+# s11_xml_document_roundtrip, llm_text_counts_surface,
+# e4_osm_points_roundtrip, s6_overpass_http_roundtrip,
+# e5_shapefile_points_roundtrip) and RETIRED 4 by merge
+# (llm_token_count + llm_bpe_token_count -> llm_text_counts_surface;
+# e3_transit_time_one_to_one -> e2_transit_time_one_to_many;
+# llm_embedding_cosine_pairs_blocked -> llm_embedding_cosine_pairs):
+# 141 + 7 - 4 = 144, exactly at the cap (check:
+# len(all_queries()) == 144). Budget: due cohort = the 41
 # r09 greens minus the retired blocked row = 40 (the widened cosine
 # row is due AND changed — one check); + 1 changed (e2, r10 green,
 # code widened) + 7 new = 48 <= 50, 2 slots of stalest-green slack.
@@ -352,6 +362,70 @@ def register(
 # the head. Each remaining promotion still needs a freed SLOT
 # (capacity is at 144), same add-one-retire-one price as this round.
 
+# ROUND-14 PROMOTIONS, MERGES AND WIDENINGS (executing VERDICT_r13
+# items 1-3 and the r13 ledger's pre-computed plan). Capacity closes
+# name-for-name: TEN names retired, TEN registered, 144 - 10 + 10 =
+# 144 (check: len(all_queries()) == 144).
+#
+# Retired (10):
+#   llm_semantic_dedup            (slot taken by llm_semdedup_kmeans_e2e)
+#   llm_minhash_lsh_pairs         (merged -> llm_hash_neardup_pairs)
+#   llm_simhash_pairs             (merged -> llm_hash_neardup_pairs)
+#   llm_reservoir_sample          (merged -> llm_sample_surface)
+#   llm_source_quota_sample       (merged -> llm_sample_surface)
+#   stream_tumbling_window_agg    (merged -> stream_window_agg_surface)
+#   stream_sliding_window_agg     (merged -> stream_window_agg_surface)
+#   asof_purchase_last_view       (merged -> asof_event_joins)
+#   asof_forward_next_click       (merged -> asof_event_joins)
+#   llm_char_lm_entropy           (widened -> llm_lm_entropy_surface)
+# New (10):
+#   llm_semdedup_kmeans_e2e    — SemDeDup ZERO-pin e2e: kmeans_fixed
+#     BIGINT cells through the PRODUCTION semantic_dedup(cell_col=)
+#     seam; retires the registry's last architectural pin (the one-hot
+#     codebook). VERDICT_r09's original #1, closed.
+#   llm_hash_neardup_pairs     — minhash-LSH est_jaccard FULL OUTER
+#     value-grain simhash hamming on the pair key; also drives the r14
+#     dedup.simhash_pairs -> phash.hamming_pairs kernel delegation
+#     (the standing duplicated-pigeonhole item, closed).
+#   llm_sample_surface         — doc-grain sampling surface: reservoir
+#     rank (NULL = not selected) + source-quota membership.
+#   stream_window_agg_surface  — tumbling (per event_type) + sliding
+#     (keyless, 'ALL') event-time windows union-tagged by kind.
+#   asof_event_joins           — backward AND forward as-of directions
+#     union-tagged by kind, each vs DuckDB's native ASOF LEFT JOIN.
+#   llm_host_quality_report    — the graph capstone, widened at
+#     registration with HITS hub/auth: ALL FOUR link signals
+#     (PageRank, TrustRank, hub, authority) + per-host doc stats in
+#     one host-grain slot (subsumes the llm_host_pagerank /
+#     llm_host_trustrank / llm_host_hits candidates, now removed).
+#   s12_warc_wet_roundtrip     — WARC/WET from-spec ingestion (the
+#     Common Crawl dump front door; VERDICT_r13 item 3).
+#   llm_link_graph_rank        — pipeline-shaped graph row: HTML link
+#     extraction -> host edges -> fixed-point rank, full SQL replay.
+#   llm_source_rule_yield      — per-source per-rule yield report for
+#     both rule batteries (ledger promotion rank #2).
+#   llm_lm_entropy_surface     — char-bigram LM entropy (corpus-
+#     trained) + word-bigram LM cross-entropy (trusted-reference-
+#     trained, CCNet shape) at doc grain; absorbs the
+#     llm_word_lm_xent candidate zero-net. Carries the documented
+#     1-row vocabulary-scalar BNLJ (test_plan_audit.CROSS_JOIN_OK).
+# Zero-net widening of a kept name (changed, not new):
+#   llm_blocked_hosts          — + robots_allowed: the RFC 9309
+#     verdict over the robots candidate's 101-host/5-path synthesis
+#     (absorbs the llm_robots_filter candidate; its synthesis lives on
+#     as queries_candidates._robots_verdicts).
+#
+# BUDGET (r14 window, DRIVER_CAP=50): due cohort = the 45 r11 greens
+# minus the NINE retired rows that were in it (minhash, simhash,
+# reservoir, quota, tumbling, sliding, both asof rows, char_lm) = 36;
+# + 1 changed (llm_blocked_hosts, r13 green, widened) + 10 new first
+# rows = 47 <= 50, 3 slots of stalest-green slack (the oldest r12
+# greens pre-pay round 15's due cohort). Candidate queue after this
+# round: 9 (ledger order: llm_exact_substring_spans,
+# llm_kmeans_fixed_cells, llm_anchor_text_topk, llm_token_budget_mix,
+# llm_fuzzy_title_pairs, llm_perplexity_buckets, llm_dsir_logweights,
+# llm_bloom_decontaminate, llm_cms_token_freq).
+
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
 # The round whose window the hand-maintained lists below budget for.
@@ -363,30 +437,26 @@ DRIVER_CAP = 50  # rows the correctness driver records per round
 # post-artifact handoff state the next round inherits (VERDICT_r12
 # "What's wrong" #1: the r12 lists stayed active after the artifact
 # landed and over-subscribed the r13 demand computation).
-_ROTATION_ROUND = 13
+_ROTATION_ROUND = 14
 
 # (2) operator code changed since the query's last green:
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "s6_overpass_http_roundtrip",  # ADVICE_r12: unconditional cache rewrite
-    "g7_transform_surface",        # widened: + polar family (g7e merge)
-    "llm_cosine_topk",             # widened: + rerank stage (merge); also due
-    "unpivot_roundtrip",           # widened: NULL-keeping melt (pivot merge); also due
-    "j1_boolean_intersect",        # widened: + in_zone_grid (merge); also due
-    "llm_ivf_ann_topk",            # upgraded rows-only -> full hash oracle
-    #   via the one-hot centroids= seam (semdedup precedent); also due
-    "approx_distinct_users",       # upgraded rows-only -> hash oracle via
-    #   the estimate_ok acceptance predicate (g7 rt_ok precedent); r11
-    #   green, so +1 demand (49 of 50)
+    "llm_blocked_hosts",  # widened: + robots_allowed (RFC 9309 verdict;
+    #   r13 green, so +1 demand)
 )
 
-# (3) first driver row this round:
+# (3) first driver row this round (the ROUND-14 ledger above):
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    "j4_knn_list_grid",
-    "llm_url_dedup_groups",
-    "llm_gopher_rules",
-    "llm_c4_line_filter",
-    "llm_blocked_hosts",
-    "llm_line_dedup",
+    "llm_semdedup_kmeans_e2e",
+    "llm_hash_neardup_pairs",
+    "llm_sample_surface",
+    "stream_window_agg_surface",
+    "asof_event_joins",
+    "llm_host_quality_report",
+    "s12_warc_wet_roundtrip",
+    "llm_link_graph_rank",
+    "llm_source_rule_yield",
+    "llm_lm_entropy_surface",
 )
 
 # (4) overflow — heads the next round's queue:

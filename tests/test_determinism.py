@@ -25,11 +25,11 @@ from tests.conftest import SF_DIR
 SENSITIVE = [
     "t5_user_value_trend",
     "weighted_median_price",
-    "llm_char_lm_entropy",
+    "llm_lm_entropy_surface",  # r14 widen: + word-LM xent
     "llm_cosine_topk",  # carries the merged rerank columns since r13
-    "llm_reservoir_sample",
+    "llm_sample_surface",  # r14 merge: reservoir rank + quota membership
     "llm_dedup_components",
-    "llm_minhash_lsh_pairs",
+    "llm_hash_neardup_pairs",  # r14 merge: minhash est + value-grain simhash
     "llm_winnow_pairs",
     "t6_isotonic_value_fit",
     "interval_union_coverage",

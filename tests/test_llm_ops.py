@@ -145,7 +145,9 @@ def test_brute_force_topk_query_cap(spark, sf_dir):
 
 
 def test_simhash_block_count_guard(near_dup_docs):
-    with pytest.raises(AssertionError):
+    # ValueError since the r14 delegation to phash.hamming_pairs (the
+    # shared kernel raises instead of asserting — survives python -O)
+    with pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_pairs(
             near_dup_docs, "text", "doc_id", bits=32, max_hamming=5, n_blocks=4
         )

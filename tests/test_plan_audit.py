@@ -27,6 +27,7 @@ CROSS_JOIN_OK: dict[str, str] = {
     "llm_temperature_mix_weights": "single-row (sum_n, sum_s) totals broadcast into the per-group weights",
     "llm_lsh_ann_topk": "per-table plane matrix is a broadcast single-row literal",
     "llm_cosine_topk": "broadcast query-matrix literal into mapInPandas scoring",
+    "llm_lm_entropy_surface": "single-row word-LM vocabulary scalar broadcast (documented at llm/lm.py::word_lm_xent; merged r14)",
     # bbox-culled broadcast spatial joins: the bbox-overlap predicate is a
     # range condition (not equi-joinable), the layer side is dimension-sized
     # and broadcast — the GiST-index-scan shape. strategy="grid" is the
@@ -163,10 +164,18 @@ def test_collapse_repeated_tokens_is_shuffle_free(spark):
 
 
 def test_source_quota_is_one_window_exchange(spark):
-    """llm_source_quota_sample: rank + filter ride exactly one
-    hashpartitioning exchange on the source key."""
-    q = all_queries()["llm_source_quota_sample"]
-    plan = q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    """source_quota_sample (inside the merged llm_sample_surface row):
+    rank + filter ride exactly one hashpartitioning exchange on the
+    source key — audited on the operator directly since the r14 merge
+    joined it with the reservoir window."""
+    from terra_bonobo_nodes_spark.llm.corpus import source_quota_sample
+    from terra_bonobo_nodes_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    out = source_quota_sample(docs, "source", cap=20, id_col="doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
 
