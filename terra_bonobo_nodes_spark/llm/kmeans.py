@@ -220,52 +220,56 @@ def kmeans_fixed_ctes(
     iterations: int = 3,
     dim: int = 64,
     shift: int = DEFAULT_SHIFT,
+    prefix: str = "",
 ) -> str:
     """The CTE chain of :func:`kmeans_fixed_sql` WITHOUT the leading
     ``WITH`` or trailing SELECT, for composition into larger oracles
-    (the semdedup end-to-end row): defines ``q`` (quantized vectors,
-    columns id/x) through ``a{iterations}`` (final assignment, columns
-    id/cl/d)."""
+    (the semdedup end-to-end row): defines ``{prefix}q`` (quantized
+    vectors, columns id/x) through ``{prefix}a{iterations}`` (final
+    assignment, columns id/cl/d). ``prefix`` (the pagerank_fixed_ctes
+    precedent) namespaces the chain so several trainings — e.g. one
+    per PQ subspace — compose into one oracle."""
     scale = float(2**shift)
+    p = prefix
     d2 = " + ".join(
         f"(a.x[{i}] - c.c[{i}]) * (a.x[{i}] - c.c[{i}])" for i in range(1, dim + 1)
     )
     parts = [
-        f"""q AS (
+        f"""{p}q AS (
   SELECT {id_col} AS id,
          list_transform({vec_col},
                         v -> CAST(floor(CAST(v AS DOUBLE) * {scale}) AS BIGINT)) AS x
   FROM ({vecs_sql}) WHERE {vec_col} IS NOT NULL
-), c0 AS (
+), {p}c0 AS (
   SELECT row_number() OVER (ORDER BY id) - 1 AS cl, x AS c
-  FROM (SELECT id, x FROM q ORDER BY id LIMIT {k})
+  FROM (SELECT id, x FROM {p}q ORDER BY id LIMIT {k})
 )"""
     ]
     for i in range(1, int(iterations) + 1):
-        prev = f"c{i - 1}"
+        prev = f"{p}c{i - 1}"
         parts.append(
-            f""", s{i} AS (
+            f""", {p}s{i} AS (
   SELECT a.id, c.cl, {d2} AS d
-  FROM q a CROSS JOIN {prev} c
-), a{i} AS (
+  FROM {p}q a CROSS JOIN {prev} c
+), {p}a{i} AS (
   SELECT id, cl, d FROM (
     SELECT id, cl, d,
            row_number() OVER (PARTITION BY id ORDER BY d, cl) AS rn
-    FROM s{i}) WHERE rn = 1
+    FROM {p}s{i}) WHERE rn = 1
 )"""
         )
         if i == int(iterations):
             break
         parts.append(
-            f""", u{i} AS (
+            f""", {p}u{i} AS (
   SELECT a.cl, dim, sum(v) AS s, count(*) AS n
-  FROM (SELECT a{i}.cl, unnest(q.x) AS v,
+  FROM (SELECT {p}a{i}.cl, unnest({p}q.x) AS v,
                unnest(range(1, {dim} + 1)) AS dim
-        FROM a{i} JOIN q USING (id)) a
+        FROM {p}a{i} JOIN {p}q USING (id)) a
   GROUP BY a.cl, dim
-), c{i} AS (
+), {p}c{i} AS (
   SELECT cl, list(s // n ORDER BY dim) AS c
-  FROM u{i} GROUP BY cl
+  FROM {p}u{i} GROUP BY cl
 )"""
         )
     return "".join(parts)

@@ -33,6 +33,7 @@ from terra_bonobo_nodes_spark.llm import (
     graph,
     hashing,
     kmeans,
+    pq,
     selfdedup,
     similarity,
     text,
@@ -1450,7 +1451,106 @@ WHERE {_TBM_CASE} IS NOT NULL AND before < {_TBM_CASE}
 # Still-deferred candidates (round-14 budget — see the registry
 # ledger); the five promoted rows left this dict for the registry and
 # are now pinned by the driver contract itself.
+
+# --- llm_pq_codes (authored round 14, r15 candidate) ---------------------
+# Product quantization (llm/pq.py, Jegou et al. 2011): the memory side
+# of production ANN — m per-subspace codebooks trained distributed via
+# kmeans_fixed (exact fixed-point), every vector encoded to m small
+# codes (pure Column argmin), reconstruction error surfaced, and the
+# asymmetric (ADC) distance to a pinned query computed as table
+# lookups. The oracle replays ALL of it: one kmeans_fixed_ctes(prefix=)
+# chain per subspace, codes = each chain's final assignment,
+# recon_err = the sum of winning distances, adc = the unrolled integer
+# distance from the quantized query subvector to the assigned
+# centroid (p{j}_c{iters-1}) — table[j][code_j] by construction.
+
+_PQ_DIM, _PQ_M, _PQ_K, _PQ_ITERS = 64, 4, 8, 2
+_PQ_SUB = _PQ_DIM // _PQ_M
+# deterministic non-degenerate query spread over [0, 1)
+_PQ_QUERY = [((i * 7) % 13) / 13.0 for i in range(_PQ_DIM)]
+
+
+def llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # degenerate-input contract (the semantic_dedup precedent): an empty
+    # corpus yields an empty well-formed frame; pq_train itself stays
+    # loud (an empty TRAINING set is a caller bug in production)
+    if emb.limit(1).count() == 0:
+        cols = ", ".join(f"code_{j} BIGINT" for j in range(_PQ_M))
+        return spark.createDataFrame(
+            [], f"vec_id BIGINT, {cols}, recon_err BIGINT, adc_dist BIGINT"
+        )
+    books = pq.pq_train(
+        emb, dim=_PQ_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS
+    )
+    table = pq.adc_table(_PQ_QUERY, books)
+    coded = emb.where(F.col("embedding").isNotNull()).select(
+        "vec_id",
+        pq.pq_encode_expr("embedding", books).alias("_codes"),
+        pq.pq_reconstruction_error_expr("embedding", books).alias("recon_err"),
+    )
+    return coded.select(
+        "vec_id",
+        *[
+            F.element_at("_codes", j + 1).alias(f"code_{j}")
+            for j in range(_PQ_M)
+        ],
+        "recon_err",
+        pq.pq_adc_dist_expr("_codes", table).alias("adc_dist"),
+    )
+
+
+def _pq_oracle() -> str:
+    import math
+
+    from terra_bonobo_nodes_spark.llm.kmeans import DEFAULT_SHIFT
+
+    scale = float(2**DEFAULT_SHIFT)
+    qv = [int(math.floor(v * scale)) for v in _PQ_QUERY]
+    chain = pq.pq_codes_ctes(
+        "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS embedding FROM embeddings",
+        dim=_PQ_DIM,
+        m=_PQ_M,
+        k=_PQ_K,
+        iterations=_PQ_ITERS,
+    )
+    a = _PQ_ITERS
+    adc_ctes, adc_cols = [], []
+    for j in range(_PQ_M):
+        qs = qv[j * _PQ_SUB : (j + 1) * _PQ_SUB]
+        d2 = " + ".join(
+            f"({q} - c.c[{i + 1}]) * ({q} - c.c[{i + 1}])"
+            for i, q in enumerate(qs)
+        )
+        adc_ctes.append(
+            f""",
+p{j}_adc AS (
+  SELECT a.id, CAST({d2} AS BIGINT) AS adc
+  FROM p{j}_a{a} a JOIN p{j}_c{a - 1} c ON a.cl = c.cl
+)"""
+        )
+        adc_cols.append(f"p{j}_adc.adc")
+    joins = "\n  ".join(
+        f"JOIN p{j}_adc ON pq_codes.id = p{j}_adc.id" for j in range(_PQ_M)
+    )
+    code_cols = ", ".join(
+        f"CAST(code_{j} AS BIGINT) AS code_{j}" for j in range(_PQ_M)
+    )
+    return f"""
+WITH {chain}{"".join(adc_ctes)}
+SELECT pq_codes.id AS vec_id, {code_cols}, recon_err,
+       CAST({" + ".join(adc_cols)} AS BIGINT) AS adc_dist
+FROM pq_codes
+  {joins}
+"""
+
+
+PQ_ORACLE = _pq_oracle()
+
+
 CANDIDATES: dict[str, tuple] = {
+    "llm_pq_codes": (llm_pq_codes, PQ_ORACLE),
     "llm_perplexity_buckets": (llm_perplexity_buckets, PPL_BUCKETS_ORACLE),
     "llm_dsir_logweights": (llm_dsir_logweights, DSIR_ORACLE),
     "llm_bloom_decontaminate": (llm_bloom_decontaminate, BLOOM_ORACLE),

@@ -421,10 +421,12 @@ def register(
 # + 1 changed (llm_blocked_hosts, r13 green, widened) + 10 new first
 # rows = 47 <= 50, 3 slots of stalest-green slack (the oldest r12
 # greens pre-pay round 15's due cohort). Candidate queue after this
-# round: 9 (ledger order: llm_exact_substring_spans,
+# round: 10 (ledger order: llm_exact_substring_spans,
 # llm_kmeans_fixed_cells, llm_anchor_text_topk, llm_token_budget_mix,
 # llm_fuzzy_title_pairs, llm_perplexity_buckets, llm_dsir_logweights,
-# llm_bloom_decontaminate, llm_cms_token_freq).
+# llm_bloom_decontaminate, llm_cms_token_freq; llm_pq_codes authored
+# later in round 14 — product quantization, the ANN memory side —
+# joins the queue after llm_fuzzy_title_pairs).
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
