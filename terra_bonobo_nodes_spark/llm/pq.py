@@ -285,3 +285,160 @@ pq_codes AS (
   {joins}
 )"""
     )
+
+
+# --- IVF-PQ (IVFADC: Jégou et al. 2011 §V) ----------------------------------
+# The production composition: a coarse quantizer prunes WHICH cells to
+# scan (n_probe of k_coarse), PQ codes over the RESIDUAL (x - coarse
+# centroid) score the survivors. Residuals live on the already-
+# quantized integer grid (integer subtraction is exact), so residual
+# PQ reuses the same machinery at shift=0 — floor(v * 2^0) of an
+# integer-valued double is the identity, and every distance stays a
+# BIGINT. Training, encoding, probing and ADC are therefore bit-exact
+# cross-engine end to end, like everything else in this module.
+
+
+def ivf_pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    k_coarse: int = 8,
+    m: int = 8,
+    k_sub: int = 16,
+    iterations: int = 3,
+    shift: int = _km.DEFAULT_SHIFT,
+) -> tuple[dict[int, list[int]], Codebooks]:
+    """(coarse codebook, residual PQ codebooks). The coarse book is a
+    ``{cell: quantized centroid}`` dict from :func:`kmeans_fixed`
+    (k_coarse * dim ints); the PQ books quantize the integer residual
+    against the assigned coarse centroid (shift=0 — see module note).
+    Total driver state: (k_coarse + k_sub) * dim ints."""
+    coarse_df = _km.kmeans_fixed_centroids(
+        df.where(F.col(vec_col).isNotNull()),
+        vec_col,
+        id_col,
+        k=k_coarse,
+        iterations=iterations,
+        shift=shift,
+    ).collect()
+    coarse = {int(r["cluster"]): [int(v) for v in r["c"]] for r in coarse_df}
+    if not coarse:
+        raise ValueError("ivf_pq_train: empty input — nothing to quantize")
+    res = _residuals(df, coarse, vec_col=vec_col, id_col=id_col, shift=shift)
+    books = pq_train(
+        res, vec_col="_res", id_col=id_col, dim=dim, m=m, k=k_sub,
+        iterations=iterations, shift=0,
+    )
+    return coarse, books
+
+
+def _centroid_lookup(coarse: dict[int, list[int]], cell) -> Column:
+    """array<bigint> centroid for a cell-id Column, via a literal
+    when-chain (k_coarse entries — plan-literal sized)."""
+    expr = None
+    for cl, cent in sorted(coarse.items()):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in cent])
+        expr = (
+            F.when(cell == int(cl), arr)
+            if expr is None
+            else expr.when(cell == int(cl), arr)
+        )
+    return expr
+
+
+def _residuals(
+    df: DataFrame,
+    coarse: dict[int, list[int]],
+    vec_col: str,
+    id_col: str,
+    shift: int,
+) -> DataFrame:
+    """(id, _cell, _res): coarse assignment + integer residual of the
+    quantized vector against its coarse centroid, carried as
+    integer-valued doubles so the PQ machinery consumes it at
+    shift=0. |residual| < 2^shift * max|coord| * 2 stays far inside
+    the 2^53 exact-double window for embedding-scale inputs."""
+    assign = _km.assign_fixed_expr(F.col(vec_col), coarse, shift)
+    x = _km.quantize_vec(F.col(vec_col), shift)
+    with_cell = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), assign["cluster"].alias("_cell"), x.alias("_x")
+    )
+    cent = _centroid_lookup(coarse, F.col("_cell"))
+    return with_cell.select(
+        id_col,
+        "_cell",
+        F.zip_with(
+            F.col("_x"), cent, lambda a, b: (a - b).cast("double")
+        ).alias("_res"),
+    )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query: list[float],
+    coarse: dict[int, list[int]],
+    books: Codebooks,
+    n_probe: int = 2,
+    k_top: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shift: int = _km.DEFAULT_SHIFT,
+) -> DataFrame:
+    """(id, cell, adc_dist, rank): IVFADC search. The n_probe cells
+    nearest the query (driver-side integer math over the k_coarse-row
+    codebook) gate a pure-Column cell filter — vectors outside probed
+    cells are never residual-encoded or scored — then per-cell
+    residual ADC tables (one per probed cell: the query residual
+    differs per cell) score the survivors and one
+    TakeOrderedAndProject returns the top k. Deterministic ties by
+    (dist, id)."""
+    if not coarse:
+        raise ValueError("ivf_pq_topk needs a coarse codebook")
+    if n_probe < 1:
+        raise ValueError("n_probe must be >= 1")
+    import math
+
+    scale = float(2**shift)
+    q = [int(math.floor(float(v) * scale)) for v in query]
+    ranked = sorted(
+        (
+            (sum((a - b) * (a - b) for a, b in zip(q, cent)), cl)
+            for cl, cent in coarse.items()
+        )
+    )
+    probed = [cl for _, cl in ranked[: int(n_probe)]]
+    # per-probed-cell ADC table over the query's residual in that cell
+    tables = {
+        cl: adc_table(
+            [float(a - b) for a, b in zip(q, coarse[cl])], books, shift=0
+        )
+        for cl in probed
+    }
+    res = _residuals(df, coarse, vec_col=vec_col, id_col=id_col, shift=shift)
+    survivors = res.where(F.col("_cell").isin([int(c) for c in probed]))
+    codes = pq_encode_expr(F.col("_res"), books, shift=0)
+    # when-chain keyed by probed cell: each cell scores against ITS
+    # residual table; the otherwise-NULL arm is unreachable (survivors
+    # are already filtered to probed cells)
+    dist = None
+    for cl in probed:
+        d = pq_adc_dist_expr(codes, tables[cl])
+        dist = (
+            F.when(F.col("_cell") == int(cl), d)
+            if dist is None
+            else dist.when(F.col("_cell") == int(cl), d)
+        )
+    dist = dist.otherwise(F.lit(None).cast("long"))
+    scored = survivors.select(
+        F.col(id_col),
+        F.col("_cell").alias("cell"),
+        dist.alias("adc_dist"),
+    )
+    top = scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(
+        int(k_top)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

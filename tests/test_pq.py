@@ -183,3 +183,99 @@ def test_training_invariant_under_repartition(spark, tiny):
     a = pq.pq_train(tiny, dim=4, m=2, k=2, iterations=3)
     b = pq.pq_train(tiny.repartition(5), dim=4, m=2, k=2, iterations=3)
     assert a == b
+
+
+# --- IVF-PQ (IVFADC) --------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def two_cells(spark):
+    # two well-separated cells in 4-d; 8 points each, small intra-cell
+    # spread so coarse k=2 training lands one centroid per blob
+    rows = []
+    for i in range(8):
+        rows.append((i, [0.0 + i * 0.01, 0.0, 0.0 + i * 0.01, 0.0]))
+    for i in range(8):
+        rows.append((100 + i, [5.0, 5.0 + i * 0.01, 5.0, 5.0 + i * 0.01]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.fixture(scope="module")
+def ivfpq(two_cells):
+    return pq.ivf_pq_train(
+        two_cells, dim=4, k_coarse=2, m=2, k_sub=4, iterations=3
+    )
+
+
+def test_ivf_pq_train_shapes(ivfpq):
+    coarse, books = ivfpq
+    assert 1 <= len(coarse) <= 2
+    assert len(books) == 2
+    for cent in coarse.values():
+        assert len(cent) == 4
+
+
+def test_ivf_pq_topk_finds_the_right_blob(spark, two_cells, ivfpq):
+    coarse, books = ivfpq
+    out = pq.ivf_pq_topk(
+        two_cells, [0.0, 0.0, 0.0, 0.0], coarse, books, n_probe=1, k_top=5
+    ).collect()
+    assert len(out) == 5
+    assert all(r["vec_id"] < 100 for r in out)  # only the near blob
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    # nearest point by construction is id 0
+    assert out[0]["vec_id"] == 0
+
+
+def test_ivf_pq_probe_gates_the_scan(spark, two_cells, ivfpq):
+    coarse, books = ivfpq
+    if len(coarse) < 2:
+        pytest.skip("coarse training merged the blobs")
+    one = pq.ivf_pq_topk(
+        two_cells, [5.0, 5.0, 5.0, 5.0], coarse, books, n_probe=1, k_top=100
+    ).collect()
+    both = pq.ivf_pq_topk(
+        two_cells, [5.0, 5.0, 5.0, 5.0], coarse, books, n_probe=2, k_top=100
+    ).collect()
+    assert len(one) == 8      # only the probed cell's vectors scored
+    assert len(both) == 16    # both cells probed
+    assert all(r["vec_id"] >= 100 for r in one)
+
+
+def test_ivf_pq_adc_matches_python_replay(spark, two_cells, ivfpq):
+    coarse, books = ivfpq
+    query = [0.2, 0.1, 0.2, 0.1]
+    out = pq.ivf_pq_topk(
+        two_cells, query, coarse, books, n_probe=2, k_top=16
+    ).collect()
+    q = [_q(v) for v in query]
+    raw = {r["vec_id"]: r["embedding"] for r in two_cells.collect()}
+    sub = pq._sub_dim(books)
+    for r in out:
+        cl = r["cell"]
+        qres = [float(a - b) for a, b in zip(q, coarse[cl])]
+        table = pq.adc_table(qres, books, shift=0)
+        # replay the vector's own residual codes
+        x = [_q(v) for v in raw[r["vec_id"]]]
+        res = [a - b for a, b in zip(x, coarse[cl])]
+        want = 0
+        for j, book in enumerate(books):
+            rs = res[j * sub : (j + 1) * sub]
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(rs, cent)), code)
+                for code, cent in book.items()
+            )
+            want += table[j][best[1]]
+        assert r["adc_dist"] == want, r
+
+
+def test_ivf_pq_guards(spark, two_cells):
+    with pytest.raises(ValueError, match="coarse codebook"):
+        pq.ivf_pq_topk(two_cells, [0.0] * 4, {}, [{0: [0, 0]}])
+    with pytest.raises(ValueError, match="n_probe"):
+        pq.ivf_pq_topk(
+            two_cells, [0.0] * 4, {0: [0, 0, 0, 0]}, [{0: [0, 0]}], n_probe=0
+        )
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty input"):
+        pq.ivf_pq_train(empty, dim=4, k_coarse=2, m=2, k_sub=2)
