@@ -21,11 +21,14 @@ Content-Length-driven (chunk sizes, never scanning for magics), so
 frame payloads containing ``RIFF``/``LIST`` bytes parse correctly.
 
 100 TB shape: containers are opaque binary column values; parsing and
-frame decode are Arrow-batched Python over payload bytes only
-(:func:`multimodal.sample_frames` does the JVM-side explode BEFORE
-Python so fan-out is Catalyst-visible); fingerprints collapse to
-value grain in :func:`llm.phash.hamming_pairs`' banded join; the only
-video-grain shuffle is the final (video_a, video_b) count aggregate.
+frame decode are Arrow-batched Python over payload bytes only, the
+container parsed ONCE per asset (:func:`avi_sample_frames` — the
+generic :func:`multimodal.sample_frames` JVM-explode shape remains
+for injected extractors, but per-frame re-parse of a whole container
+is O(samples x video bytes) and was rearchitected out, round-14
+review); fingerprints collapse to value grain in
+:func:`llm.phash.hamming_pairs`' banded join; the only video-grain
+shuffle is the final (video_a, video_b) count aggregate.
 """
 
 from __future__ import annotations
@@ -220,13 +223,66 @@ def avi_frame_at_ms(payload: bytes, ms: int) -> bytes:
 
 # --- Spark composition: video frame hashing + near-dup ----------------------
 
-_FRAME_FP_SCHEMA = T.StructType(
-    [
-        T.StructField("asset_id", T.LongType()),
-        T.StructField("frame_ms", T.LongType()),
-        T.StructField("frame_fp", T.LongType()),
-    ]
-)
+
+def avi_sample_frames(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    every_ms: int = 1000,
+    on_error: str = "raise",
+) -> DataFrame:
+    """(id, frame_ms, frame): sample one frame per ``every_ms`` from
+    each AVI payload — the container parsed ONCE per asset inside the
+    Arrow batch (``avi_frame_at_ms`` per sampled timestamp would
+    re-parse the whole container per frame: O(samples x video bytes)
+    per asset; review finding, round 14). The per-asset fan-out
+    happens in Python, bounded by duration/every_ms per video;
+    :func:`multimodal.sample_frames` remains the generic JVM-explode
+    shape for injected extractors and the stub path.
+
+    ``on_error='null'``: an unparseable or zero-frame container yields
+    NO frame rows for that asset instead of killing the stage (the
+    ``image_dhash`` escape, extended to the parse step — one corrupt
+    video in a crawl batch must not abort the job). The id field keeps
+    the input's type (the phash ADVICE_r13 convention)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+
+    import pandas as pd
+
+    id_field = assets.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("frame_ms", T.LongType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+    step = int(every_ms)
+    if step < 1:
+        raise ValueError("every_ms must be >= 1")
+
+    def run(batches):
+        for pdf in batches:
+            ids, mss, frames = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    meta = parse_avi_mjpeg(bytes(b))
+                    if not meta["frames"]:
+                        raise ValueError("video has no frames")
+                except Exception:
+                    if on_error == "null":
+                        continue
+                    raise
+                uspf, fr = meta["us_per_frame"], meta["frames"]
+                for ms in range(0, max(meta["duration_ms"], 1), step):
+                    idx = min(ms * 1000 // uspf, len(fr) - 1)
+                    ids.append(i)
+                    mss.append(ms)
+                    frames.append(fr[max(idx, 0)])
+            yield pd.DataFrame({id_col: ids, "frame_ms": mss, "frame": frames})
+
+    return assets.select(id_col, payload_col).mapInPandas(run, schema)
 
 
 def video_frame_dhash(
@@ -235,16 +291,26 @@ def video_frame_dhash(
     frame_col: str = "frame",
     on_error: str = "raise",
 ) -> DataFrame:
-    """(asset_id, frame_ms, frame_fp): perceptual dHash of each sampled
+    """(id, frame_ms, frame_fp): perceptual dHash of each sampled
     frame — container-extracted JPEG bytes through the repo's own
     decoder (:func:`llm.phash.dhash_bits`). Arrow-batched; the
-    ``on_error='null'`` escape mirrors ``image_dhash``."""
+    ``on_error='null'`` escape mirrors ``image_dhash``; the id field
+    keeps the input's type."""
     from terra_bonobo_nodes_spark.llm.phash import dhash_bits
 
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
 
     import pandas as pd
+
+    id_field = frames.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("frame_ms", T.LongType()),
+            T.StructField("frame_fp", T.LongType()),
+        ]
+    )
 
     def run(batches):
         for pdf in batches:
@@ -259,13 +325,13 @@ def video_frame_dhash(
                         raise
             yield pd.DataFrame(
                 {
-                    "asset_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "frame_ms": pdf["frame_ms"],
                     "frame_fp": pd.array(fps, dtype="Int64"),
                 }
             )
 
-    return frames.mapInPandas(run, _FRAME_FP_SCHEMA)
+    return frames.mapInPandas(run, schema)
 
 
 def video_near_dup_pairs(
@@ -279,8 +345,9 @@ def video_near_dup_pairs(
 ) -> DataFrame:
     """(video_a, video_b, n_matched_frames, min_hamming) — video pairs
     sharing at least ``min_matched_frames`` sampled frames within
-    ``max_hamming`` dHash bits. ``assets`` needs ``meta.duration_ms``
-    (the :func:`multimodal.sample_frames` contract).
+    ``max_hamming`` dHash bits; sampling timestamps come from each
+    container's OWN header (duration/us_per_frame), parsed once per
+    asset by :func:`avi_sample_frames`.
 
     Generator-set semantics all the way down (the
     :func:`llm.phash.hamming_pairs` contract): identical frame hashes
@@ -288,17 +355,18 @@ def video_near_dup_pairs(
     videos sharing one frame value yield rep-anchored pairs —
     sufficient for connected-component grouping, not an exhaustive
     pairwise count. Frame keys pack (video, frame index) into one
-    BIGINT (2^22 frame slots per video); video ids must fit 41 bits."""
-    from terra_bonobo_nodes_spark.llm import multimodal
+    BIGINT (2^22 frame slots per video); video ids must fit 41 bits.
+    ``on_error='null'`` covers BOTH failure points: an unparseable /
+    zero-frame container contributes no frames (parse step), and an
+    undecodable frame contributes no fingerprint (decode step)."""
     from terra_bonobo_nodes_spark.llm.phash import hamming_pairs
 
-    frames = multimodal.sample_frames(
+    frames = avi_sample_frames(
         assets.select(
-            F.col(id_col).alias("asset_id"), F.col(payload_col).alias("payload"),
-            "meta",
+            F.col(id_col).alias("asset_id"), F.col(payload_col).alias("payload")
         ),
         every_ms=every_ms,
-        frame_extractor=avi_frame_at_ms,
+        on_error=on_error,
     )
     fps = video_frame_dhash(frames, on_error=on_error)
     keyed = fps.where(F.col("frame_fp").isNotNull()).select(

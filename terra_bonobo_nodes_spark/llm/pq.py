@@ -216,11 +216,18 @@ def pq_adc_topk(
     ``query`` by asymmetric PQ distance. Encode + table-lookup are one
     projection; the only ordering is a TakeOrderedAndProject on
     (adc_dist, id). Deterministic ties by id."""
-    codes = pq_encode_expr(F.col(vec_col), codebooks, shift)
     table = adc_table(query, codebooks, shift)
-    scored = df.where(F.col(vec_col).isNotNull()).select(
+    # materialize the codes column ONCE: pq_adc_dist_expr references it
+    # m times, and inlining the full m-argmin encode tree into each
+    # lookup term would carry m^2 copies of it in the plan (round-14
+    # review finding)
+    coded = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
-        pq_adc_dist_expr(codes, table).alias("adc_dist"),
+        pq_encode_expr(F.col(vec_col), codebooks, shift).alias("_codes"),
+    )
+    scored = coded.select(
+        F.col(id_col),
+        pq_adc_dist_expr("_codes", table).alias("adc_dist"),
     )
     top = scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(
         int(k_top)
@@ -417,20 +424,26 @@ def ivf_pq_topk(
     }
     res = _residuals(df, coarse, vec_col=vec_col, id_col=id_col, shift=shift)
     survivors = res.where(F.col("_cell").isin([int(c) for c in probed]))
-    codes = pq_encode_expr(F.col("_res"), books, shift=0)
+    # materialize the residual codes ONCE (see pq_adc_topk note): the
+    # when-chain below references them m times per probed cell
+    coded = survivors.select(
+        F.col(id_col),
+        "_cell",
+        pq_encode_expr(F.col("_res"), books, shift=0).alias("_codes"),
+    )
     # when-chain keyed by probed cell: each cell scores against ITS
     # residual table; the otherwise-NULL arm is unreachable (survivors
     # are already filtered to probed cells)
     dist = None
     for cl in probed:
-        d = pq_adc_dist_expr(codes, tables[cl])
+        d = pq_adc_dist_expr("_codes", tables[cl])
         dist = (
             F.when(F.col("_cell") == int(cl), d)
             if dist is None
             else dist.when(F.col("_cell") == int(cl), d)
         )
     dist = dist.otherwise(F.lit(None).cast("long"))
-    scored = survivors.select(
+    scored = coded.select(
         F.col(id_col),
         F.col("_cell").alias("cell"),
         dist.alias("adc_dist"),

@@ -307,11 +307,6 @@ def _url_hygiene_oracle() -> str:
     )
 
 
-@register(
-    "llm_blocked_hosts",
-    oracle=None,  # bound post-definition: ROBOTS_ORACLE is defined below
-    tags=("llm", "curation", "urls", "robots"),
-)
 def llm_blocked_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain blocklist (llm/urls.py::flag_blocked_hosts): registrable-
     suffix match via exploded (id, suffix) broadcast semi-join — wide
@@ -1221,12 +1216,15 @@ SELECT doc_id, CASE WHEN hit THEN allow ELSE TRUE END AS allowed
 FROM rb_best WHERE rn = 1
 """
 
-# bind the widened llm_blocked_hosts oracle now that both composition
-# sources exist (the @register above passed oracle=None as a forward
-# reference)
-from terra_bonobo_nodes_spark.plans.registry import _REGISTRY as _REG  # noqa: E402
-
-_REG["llm_blocked_hosts"].oracle = _url_hygiene_oracle()
+# registered post-definition once both composition sources exist (the
+# llm_source_rule_yield / llm_link_graph_rank pattern — review finding:
+# the earlier oracle=None + private-registry mutation left a window
+# where the entry read as rows-only)
+register(
+    "llm_blocked_hosts",
+    oracle=_url_hygiene_oracle(),
+    tags=("llm", "curation", "urls", "robots"),
+)(llm_blocked_hosts)
 
 
 
@@ -1550,14 +1548,16 @@ PQ_ORACLE = _pq_oracle()
 
 
 CANDIDATES: dict[str, tuple] = {
+    # ledger order (plans/registry.py round-14 note) — dict order IS
+    # the promotion rank, kept in sync by review finding r14
+    "llm_exact_substring_spans": (llm_exact_substring_spans, SELF_DEDUP_ORACLE),
+    "llm_kmeans_fixed_cells": (llm_kmeans_fixed_cells, KMEANS_ORACLE),
+    "llm_anchor_text_topk": (llm_anchor_text_topk, ANCHOR_TOPK_ORACLE),
+    "llm_token_budget_mix": (llm_token_budget_mix, TOKEN_BUDGET_ORACLE),
+    "llm_fuzzy_title_pairs": (llm_fuzzy_title_pairs, FUZZY_ORACLE),
     "llm_pq_codes": (llm_pq_codes, PQ_ORACLE),
     "llm_perplexity_buckets": (llm_perplexity_buckets, PPL_BUCKETS_ORACLE),
     "llm_dsir_logweights": (llm_dsir_logweights, DSIR_ORACLE),
     "llm_bloom_decontaminate": (llm_bloom_decontaminate, BLOOM_ORACLE),
     "llm_cms_token_freq": (llm_cms_token_freq, CMS_ORACLE),
-    "llm_exact_substring_spans": (llm_exact_substring_spans, SELF_DEDUP_ORACLE),
-    "llm_kmeans_fixed_cells": (llm_kmeans_fixed_cells, KMEANS_ORACLE),
-    "llm_fuzzy_title_pairs": (llm_fuzzy_title_pairs, FUZZY_ORACLE),
-    "llm_token_budget_mix": (llm_token_budget_mix, TOKEN_BUDGET_ORACLE),
-    "llm_anchor_text_topk": (llm_anchor_text_topk, ANCHOR_TOPK_ORACLE),
 }

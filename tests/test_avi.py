@@ -164,3 +164,50 @@ def test_video_near_dup_pairs_end_to_end(spark):
     assert got[(10, 11)]["n_matched_frames"] == 3
     assert got[(10, 11)]["min_hamming"] == 0
     assert (10, 12) not in got and (11, 12) not in got
+
+
+def test_avi_sample_frames_on_error_null_skips_bad_assets(spark):
+    from terra_bonobo_nodes_spark.llm.avi import avi_sample_frames
+
+    frames = _frames(3)
+    good = encode_avi_mjpeg(16, 16, frames, us_per_frame=40_000)
+    zero = encode_avi_mjpeg(16, 16, [])  # valid container, no frames
+    df = spark.createDataFrame(
+        [(1, good), (2, b"NOTANAVI"), (3, zero)],
+        "asset_id long, payload binary",
+    )
+    out = avi_sample_frames(df, every_ms=40, on_error="null").collect()
+    assert sorted({r["asset_id"] for r in out}) == [1]  # bad assets skipped
+    assert len(out) == 3
+    with pytest.raises(Exception):
+        avi_sample_frames(df, every_ms=40, on_error="raise").collect()
+
+
+def test_avi_sample_frames_string_ids(spark):
+    # the id field follows the input schema (the phash ADVICE_r13
+    # convention — a LongType pin would crash Arrow conversion here)
+    from terra_bonobo_nodes_spark.llm.avi import avi_sample_frames
+
+    avi = encode_avi_mjpeg(16, 16, _frames(1), us_per_frame=40_000)
+    df = spark.createDataFrame(
+        [("vid-a", avi)], "asset_id string, payload binary"
+    )
+    out = avi_sample_frames(df, every_ms=40).collect()
+    assert len(out) == 3 and all(r["asset_id"] == "vid-a" for r in out)
+
+
+def test_avi_sample_frames_matches_frame_at_ms(spark):
+    # sampling equivalence: the parse-once batch path must pick exactly
+    # the frame avi_frame_at_ms (the per-timestamp reference) picks
+    from terra_bonobo_nodes_spark.llm.avi import avi_sample_frames
+
+    frames = _frames(2, n=6)
+    avi = encode_avi_mjpeg(16, 16, frames, us_per_frame=40_000)  # 240ms
+    df = spark.createDataFrame([(7, avi)], "asset_id long, payload binary")
+    out = {
+        r["frame_ms"]: bytes(r["frame"])
+        for r in avi_sample_frames(df, every_ms=70).collect()
+    }
+    assert sorted(out) == [0, 70, 140, 210]
+    for ms, frame in out.items():
+        assert frame == avi_frame_at_ms(avi, ms)
