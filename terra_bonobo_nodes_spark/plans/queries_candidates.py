@@ -1547,6 +1547,53 @@ FROM pq_codes
 PQ_ORACLE = _pq_oracle()
 
 
+
+# --- llm_bitext_margin_pairs (authored round 14, r15 candidate) ----------
+# Margin-based bitext mining (llm/bitext.py, Artetxe & Schwenk 2019):
+# the cross-lingual pairing step — embeddings split by vec_id parity
+# into pseudo source/target collections, mutual best matches kept at
+# ratio margin >= 1.0. Cosines are the fold-order-exact doubles the
+# cosine rows already pin; ranks tie-break by id; margins are ratios
+# of identically-computed doubles, so the oracle replays verdicts
+# value-for-value (floats surfaced at 4dp for the hash).
+
+
+def llm_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terra_bonobo_nodes_spark.llm import bitext
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = emb.where(F.pmod("vec_id", F.lit(2)) == 0)
+    tgt = emb.where(F.pmod("vec_id", F.lit(2)) == 1)
+    out = bitext.margin_knn_pairs(
+        src, tgt, k=4, min_margin=1.0, mutual_only=True, max_rows=None
+    )
+    return out.select(
+        "src_id",
+        "tgt_id",
+        F.round("cos_sim", 4).alias("cos_sim"),
+        F.round("margin", 4).alias("margin"),
+    )
+
+
+def _bitext_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm import bitext
+
+    inner = bitext.margin_knn_pairs_sql(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0",
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1",
+        k=4,
+        min_margin=1.0,
+        mutual_only=True,
+    )
+    return (
+        "SELECT src_id, tgt_id, round(cos_sim, 4) AS cos_sim, "
+        f"round(margin, 4) AS margin FROM ({inner})"
+    )
+
+
+BITEXT_ORACLE = _bitext_oracle()
+
+
 CANDIDATES: dict[str, tuple] = {
     # ledger order (plans/registry.py round-14 note) — dict order IS
     # the promotion rank, kept in sync by review finding r14
@@ -1556,6 +1603,7 @@ CANDIDATES: dict[str, tuple] = {
     "llm_token_budget_mix": (llm_token_budget_mix, TOKEN_BUDGET_ORACLE),
     "llm_fuzzy_title_pairs": (llm_fuzzy_title_pairs, FUZZY_ORACLE),
     "llm_pq_codes": (llm_pq_codes, PQ_ORACLE),
+    "llm_bitext_margin_pairs": (llm_bitext_margin_pairs, BITEXT_ORACLE),
     "llm_perplexity_buckets": (llm_perplexity_buckets, PPL_BUCKETS_ORACLE),
     "llm_dsir_logweights": (llm_dsir_logweights, DSIR_ORACLE),
     "llm_bloom_decontaminate": (llm_bloom_decontaminate, BLOOM_ORACLE),

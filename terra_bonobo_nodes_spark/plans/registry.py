@@ -424,9 +424,11 @@ def register(
 # round: 10 (ledger order: llm_exact_substring_spans,
 # llm_kmeans_fixed_cells, llm_anchor_text_topk, llm_token_budget_mix,
 # llm_fuzzy_title_pairs, llm_perplexity_buckets, llm_dsir_logweights,
-# llm_bloom_decontaminate, llm_cms_token_freq; llm_pq_codes authored
-# later in round 14 — product quantization, the ANN memory side —
-# joins the queue after llm_fuzzy_title_pairs).
+# llm_bloom_decontaminate, llm_cms_token_freq; authored later in
+# round 14 and queued after llm_fuzzy_title_pairs, in order:
+# llm_pq_codes (product quantization, the ANN memory side) and
+# llm_bitext_margin_pairs (margin-criterion bitext mining). The
+# CANDIDATES dict order in queries_candidates.py IS this rank.
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
