@@ -66,6 +66,26 @@ def norm_sql(a: str) -> str:
     return f"sqrt({dot_exact_sql(a, a)})"
 
 
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize a float vector (NULL-safe; an all-zero vector
+    yields NULL rather than a division blow-up). On the unit sphere
+    euclidean rank order EQUALS cosine rank order — the preprocessing
+    that makes euclidean-metric operators (kmeans_fixed, PQ/IVFADC)
+    rank like the cosine retrieval stack; the round-14 recall harness
+    measured the mismatch on raw vectors (PLANS.md)."""
+    n = norm(a)
+    return F.when(n > 0, F.transform(a, lambda x: x.cast("double") / n))
+
+
+def l2_normalize_sql(a: str) -> str:
+    """DuckDB mirror of :func:`l2_normalize` (same fold-order norm)."""
+    n = norm_sql(a)
+    return (
+        f"CASE WHEN {n} > 0 THEN "
+        f"list_transform({a}, x -> CAST(x AS DOUBLE) / {n}) END"
+    )
+
+
 def cosine_sql(a: str, b: str) -> str:
     return (
         f"{dot_exact_sql(a, b)} / "

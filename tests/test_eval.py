@@ -84,3 +84,53 @@ def test_live_measurement_over_repo_ann(spark):
 
 
 from pyspark.sql import functions as F  # noqa: E402
+
+
+def test_l2_normalize_contract(spark):
+    from terra_bonobo_nodes_spark.llm.similarity import l2_normalize
+
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [0.0, 0.0]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r["n"]
+        for r in df.select(
+            "vec_id", l2_normalize(F.col("embedding")).alias("n")
+        ).collect()
+    }
+    assert rows[0] == [0.6, 0.8]
+    assert rows[1] is None  # zero vector: NULL, not a division blow-up
+    assert rows[2] is None
+
+
+def test_l2_normalize_sql_mirror(spark):
+    import duckdb
+
+    from terra_bonobo_nodes_spark.llm.similarity import (
+        l2_normalize,
+        l2_normalize_sql,
+    )
+
+    vecs = [[1.0, 2.0, 2.0], [0.5, 0.5, 0.1], [0.0, 0.0, 0.0]]
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r["n"]
+        for r in df.select(
+            "vec_id", l2_normalize(F.col("embedding")).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE v AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {v})" for i, v in enumerate(vecs))
+        + ") t(vec_id, embedding)"
+    )
+    want = dict(
+        con.execute(
+            f"SELECT vec_id, {l2_normalize_sql('embedding')} FROM v"
+        ).fetchall()
+    )
+    assert got == want  # exact doubles, both engines
