@@ -1594,6 +1594,34 @@ def _bitext_oracle() -> str:
 BITEXT_ORACLE = _bitext_oracle()
 
 
+
+# --- llm_sentence_stats (authored round 14, r15 candidate) ---------------
+# Sentence segmentation + per-sentence quality surface
+# (llm/sentences.py): the sentence-grain signals C4-class filters
+# consume (terminated-sentence count, mean words per sentence, short-
+# fragment fraction), RE2-safe splitter (regexp_extract_all — no
+# lookarounds), full SQL mirror. Pure-Column scan, zero shuffles.
+
+
+def llm_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from terra_bonobo_nodes_spark.llm.sentences import sentence_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return sentence_stats(docs).select(
+        "doc_id", "sent_n", "sent_n_terminated", "sent_mean_words",
+        "sent_frac_short",
+    )
+
+
+def _sentence_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm.sentences import sentence_stats_sql
+
+    return f"SELECT doc_id, {sentence_stats_sql('text')} FROM documents"
+
+
+SENTENCE_ORACLE = _sentence_oracle()
+
+
 CANDIDATES: dict[str, tuple] = {
     # ledger order (plans/registry.py round-14 note) — dict order IS
     # the promotion rank, kept in sync by review finding r14
@@ -1604,6 +1632,7 @@ CANDIDATES: dict[str, tuple] = {
     "llm_fuzzy_title_pairs": (llm_fuzzy_title_pairs, FUZZY_ORACLE),
     "llm_pq_codes": (llm_pq_codes, PQ_ORACLE),
     "llm_bitext_margin_pairs": (llm_bitext_margin_pairs, BITEXT_ORACLE),
+    "llm_sentence_stats": (llm_sentence_stats, SENTENCE_ORACLE),
     "llm_perplexity_buckets": (llm_perplexity_buckets, PPL_BUCKETS_ORACLE),
     "llm_dsir_logweights": (llm_dsir_logweights, DSIR_ORACLE),
     "llm_bloom_decontaminate": (llm_bloom_decontaminate, BLOOM_ORACLE),

@@ -427,7 +427,8 @@ def register(
 # llm_bloom_decontaminate, llm_cms_token_freq; authored later in
 # round 14 and queued after llm_fuzzy_title_pairs, in order:
 # llm_pq_codes (product quantization, the ANN memory side) and
-# llm_bitext_margin_pairs (margin-criterion bitext mining). The
+# llm_bitext_margin_pairs (margin-criterion bitext mining) and
+# llm_sentence_stats (sentence-grain quality surface). The
 # CANDIDATES dict order in queries_candidates.py IS this rank.
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
