@@ -986,6 +986,11 @@ SELF_DEDUP_ORACLE = selfdedup.self_dedup_report_sql(
 )
 
 
+@register(
+    "llm_exact_substring_spans",
+    oracle=SELF_DEDUP_ORACLE,
+    tags=("llm", "dedup", "spans"),
+)
 def llm_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style self-dedup report
     (llm/selfdedup.py::self_dedup_report): corpus-wide duplicated
@@ -1625,7 +1630,6 @@ SENTENCE_ORACLE = _sentence_oracle()
 CANDIDATES: dict[str, tuple] = {
     # ledger order (plans/registry.py round-14 note) — dict order IS
     # the promotion rank, kept in sync by review finding r14
-    "llm_exact_substring_spans": (llm_exact_substring_spans, SELF_DEDUP_ORACLE),
     "llm_kmeans_fixed_cells": (llm_kmeans_fixed_cells, KMEANS_ORACLE),
     "llm_anchor_text_topk": (llm_anchor_text_topk, ANCHOR_TOPK_ORACLE),
     "llm_token_budget_mix": (llm_token_budget_mix, TOKEN_BUDGET_ORACLE),

@@ -1105,86 +1105,97 @@ def llm_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mix_weights(docs, "source", alpha=0.3)
 
 
-def _decontaminate_oracle() -> str:
+# llm_decontaminate_overlap + llm_substring_decontaminate MERGED round
+# 14 into ONE doc-grain decontamination surface (the j1 / sample-
+# surface precedent): both screens run over the SAME candidate set
+# (every non-src0 document vs the src0 "benchmark") and join on the
+# doc key — word-trigram containment (the n-gram overlap sweep) and
+# winnowed-fingerprint exact-substring detection on one row, each
+# keeping its standalone contract and oracle arithmetic. One slot
+# freed; it registers llm_exact_substring_spans (queue head).
+def _decontamination_surface_oracle() -> str:
     from terra_bonobo_nodes_spark.llm.hashing import word_shingles_sql
 
     grams = word_shingles_sql("text", 3)
-    return f"""
-WITH bench AS (
+    return f"""{_winnow_cte()},
+ng_bench AS (
   SELECT DISTINCT g FROM (
     SELECT unnest({grams}) AS g FROM documents WHERE source = 'src0')),
-cand AS (
+ng_cand AS (
   SELECT DISTINCT doc_id, g FROM (
     SELECT doc_id, unnest({grams}) AS g
     FROM documents WHERE source <> 'src0')),
-tot AS (SELECT doc_id, count(*) AS n_grams FROM cand GROUP BY doc_id),
-hit AS (
+ng_tot AS (SELECT doc_id, count(*) AS n_grams FROM ng_cand GROUP BY doc_id),
+ng_hit AS (
   SELECT c.doc_id, count(*) AS n_hits
-  FROM cand c JOIN bench b ON c.g = b.g GROUP BY c.doc_id)
-SELECT t.doc_id, t.n_grams,
-       coalesce(h.n_hits, 0) AS n_hits,
-       round(coalesce(h.n_hits, 0) * 1.0 / t.n_grams, 6) AS containment,
-       coalesce(h.n_hits, 0) * 1.0 / t.n_grams >= 0.5 AS contaminated
-FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+  FROM ng_cand c JOIN ng_bench b ON c.g = b.g GROUP BY c.doc_id),
+ng AS (
+  SELECT t.doc_id, t.n_grams,
+         coalesce(h.n_hits, 0) AS n_hits,
+         round(coalesce(h.n_hits, 0) * 1.0 / t.n_grams, 6) AS containment,
+         coalesce(h.n_hits, 0) * 1.0 / t.n_grams >= 0.5 AS ngram_contaminated
+  FROM ng_tot t LEFT JOIN ng_hit h ON h.doc_id = t.doc_id),
+ss_inv AS (SELECT doc_id, unnest(fps) AS fp FROM fd),
+ss_cand AS (SELECT i.doc_id, i.fp FROM ss_inv i
+            JOIN documents d ON d.doc_id = i.doc_id WHERE d.source <> 'src0'),
+ss_bset AS (SELECT DISTINCT i.fp FROM ss_inv i
+            JOIN documents d ON d.doc_id = i.doc_id WHERE d.source = 'src0'),
+ss_tot AS (SELECT doc_id, count(*) AS n_fp FROM ss_cand GROUP BY 1),
+ss_hit AS (SELECT c.doc_id, count(*) AS n_shared_fp
+           FROM ss_cand c JOIN ss_bset b ON c.fp = b.fp GROUP BY 1),
+ss AS (
+  SELECT t.doc_id, t.n_fp,
+         coalesce(h.n_shared_fp, 0) AS n_shared_fp,
+         coalesce(h.n_shared_fp, 0) >= 1 AS substr_contaminated
+  FROM ss_tot t LEFT JOIN ss_hit h ON h.doc_id = t.doc_id)
+SELECT ng.doc_id, ng.n_grams, ng.n_hits, ng.containment,
+       ng.ngram_contaminated, ss.n_fp, ss.n_shared_fp,
+       ss.substr_contaminated
+FROM ng JOIN ss ON ng.doc_id = ss.doc_id
 """
 
 
 @register(
-    "llm_decontaminate_overlap",
-    oracle=_decontaminate_oracle(),
+    "llm_decontamination_surface",
+    oracle=_decontamination_surface_oracle(),
     headline=True,
-    tags=("llm", "corpus"),
-)
-def llm_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: word-trigram containment of every
-    non-src0 document against the src0 "benchmark" gram set (the
-    train/test-overlap sweep every pretraining mix runs). Checked
-    value-for-value against DuckDB's exact set arithmetic."""
-    from terra_bonobo_nodes_spark.llm.corpus import decontaminate
-
-    docs = load_table(spark, sf_dir, "documents")
-    bench = docs.where(F.col("source") == "src0")
-    cand = docs.where(F.col("source") != "src0")
-    return decontaminate(cand, bench, "text", "doc_id", n=3, threshold=0.5)
-
-
-@register(
-    "llm_substring_decontaminate",
-    headline=True,
-    oracle=f"""{_winnow_cte()},
-inv AS (SELECT doc_id, unnest(fps) AS fp FROM fd),
-cand AS (SELECT i.doc_id, i.fp FROM inv i
-         JOIN documents d ON d.doc_id = i.doc_id WHERE d.source <> 'src0'),
-bset AS (SELECT DISTINCT i.fp FROM inv i
-         JOIN documents d ON d.doc_id = i.doc_id WHERE d.source = 'src0'),
-tot AS (SELECT doc_id, count(*) AS n_fp FROM cand GROUP BY 1),
-hit AS (SELECT c.doc_id, count(*) AS n_shared_fp
-        FROM cand c JOIN bset b ON c.fp = b.fp GROUP BY 1)
-SELECT t.doc_id, t.n_fp,
-       coalesce(h.n_shared_fp, 0) AS n_shared_fp,
-       coalesce(h.n_shared_fp, 0) >= 1 AS contaminated
-FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
-""",
     tags=("llm", "corpus", "dedup"),
 )
-def llm_substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring decontamination (``corpus.decontaminate_
-    substring``): every non-src0 document screened against the src0
-    "benchmark" via winnowed fingerprints — any shared verbatim
-    substring of >= k+window-1 normalized chars is guaranteed to
-    surface at least one shared fingerprint regardless of surrounding
-    paraphrase. The benchmark reduces to a distinct fingerprint set
-    that broadcasts; the candidate corpus never shuffles."""
-    from terra_bonobo_nodes_spark.llm.corpus import decontaminate_substring
+def llm_decontamination_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both benchmark-decontamination screens at doc grain: word-
+    trigram containment (``corpus.decontaminate`` — the train/test
+    overlap sweep) AND winnowed-fingerprint exact-substring detection
+    (``corpus.decontaminate_substring`` — any shared verbatim
+    substring of >= k+window-1 normalized chars surfaces at least one
+    shared fingerprint regardless of surrounding paraphrase). Each
+    benchmark side reduces to a broadcastable set; the candidate
+    corpus never shuffles; the surface join is on the table key."""
+    from terra_bonobo_nodes_spark.llm.corpus import (
+        decontaminate,
+        decontaminate_substring,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
     bench = docs.where(F.col("source") == "src0")
     cand = docs.where(F.col("source") != "src0")
-    return decontaminate_substring(
-        cand, bench, "text", "doc_id", k=_WN_K, window=_WN_WINDOW, min_shared=1
+    ng = decontaminate(cand, bench, "text", "doc_id", n=3, threshold=0.5).select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        "containment",
+        F.col("contaminated").alias("ngram_contaminated"),
     )
+    ss = decontaminate_substring(
+        cand, bench, "text", "doc_id", k=_WN_K, window=_WN_WINDOW, min_shared=1
+    ).select(
+        "doc_id",
+        "n_fp",
+        "n_shared_fp",
+        F.col("contaminated").alias("substr_contaminated"),
+    )
+    return ng.join(ss, "doc_id")
 
 
 def _incremental_oracle() -> str:

@@ -415,13 +415,22 @@ def register(
 #     (absorbs the llm_robots_filter candidate; its synthesis lives on
 #     as queries_candidates._robots_verdicts).
 #
+# SECOND WAVE (late round 14): llm_decontaminate_overlap (r13 green) +
+# llm_substring_decontaminate (r12 green) MERGE into
+# llm_decontamination_surface — same doc grain, the SAME candidate set
+# on both screens, each keeping its standalone contract; the freed
+# slot registers llm_exact_substring_spans (the candidate-queue head).
+# Capacity: 144 - 2 + 2 = 144.
+#
 # BUDGET (r14 window, DRIVER_CAP=50): due cohort = the 45 r11 greens
 # minus the NINE retired rows that were in it (minhash, simhash,
 # reservoir, quota, tumbling, sliding, both asof rows, char_lm) = 36;
-# + 1 changed (llm_blocked_hosts, r13 green, widened) + 10 new first
-# rows = 47 <= 50, 3 slots of stalest-green slack (the oldest r12
-# greens pre-pay round 15's due cohort). Candidate queue after this
-# round: 10 (ledger order: llm_exact_substring_spans,
+# + 1 changed (llm_blocked_hosts, r13 green, widened) + 12 new first
+# rows (10 wave-one + the 2 second-wave rows above) = 49 <= 50, 1 slot
+# of stalest-green slack (an oldest r12 green pre-pays round 15's due
+# cohort). Candidate queue after this
+# round: 12 at queue-freeze, minus llm_exact_substring_spans
+# (registered in the second wave) = 11 (ledger order:
 # llm_kmeans_fixed_cells, llm_anchor_text_topk, llm_token_budget_mix,
 # llm_fuzzy_title_pairs, llm_perplexity_buckets, llm_dsir_logweights,
 # llm_bloom_decontaminate, llm_cms_token_freq; authored later in
@@ -462,6 +471,10 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "llm_link_graph_rank",
     "llm_source_rule_yield",
     "llm_lm_entropy_surface",
+    # second wave (late round 14): the decontamination merge frees the
+    # slot that registers the candidate-queue head
+    "llm_decontamination_surface",
+    "llm_exact_substring_spans",
 )
 
 # (4) overflow — heads the next round's queue:
