@@ -151,3 +151,34 @@ def test_compression_separates_repetitive_from_prose(spark):
 def test_compression_level_guard(spark, docs):
     with pytest.raises(ValueError, match="zlib level"):
         compression_signal(docs, level=11)
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+import re as _re  # noqa: E402
+
+
+def _py_split(t: str | None) -> list[str]:
+    out = []
+    for m in _re.findall(r"[^.!?]*[.!?]+|[^.!?]+$", t or ""):
+        s = _re.sub(r"^\s+|\s+$", "", m)
+        if s:
+            out.append(s)
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(alphabet="ab .!?\n\t", min_size=0, max_size=60),
+                min_size=1, max_size=5))
+def test_hypothesis_split_matches_python_reference(spark, texts):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["s"])
+        for r in df.select(
+            "doc_id", split_sentences("text").alias("s")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_split(t), (i, t)
