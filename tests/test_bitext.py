@@ -145,3 +145,82 @@ def test_sql_mirror_value_parity(spark, corpus):
         for r in out
     }
     assert got == want  # exact doubles, both engines
+
+
+# --- hypothesis: Spark margins == independent pure-Python replay -------------
+
+
+import math  # noqa: E402
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _py_margin_pairs(src, tgt, k, min_margin):
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y  # left fold, like dot_exact
+        return acc
+
+    def norm(a):
+        return math.sqrt(dot(a, a))
+
+    cos = {}
+    for i, va in src:
+        for j, vb in tgt:
+            cos[(i, j)] = dot(va, vb) / (norm(va) * norm(vb))
+    rs = {}
+    for i, _ in src:
+        order = sorted(((-cos[(i, j)], j) for j, _ in tgt))
+        rs.update({(i, j): r + 1 for r, (_, j) in enumerate(order)})
+    rt = {}
+    for j, _ in tgt:
+        order = sorted(((-cos[(i, j)], i) for i, _ in src))
+        rt.update({(i, j): r + 1 for r, (_, i) in enumerate(order)})
+    avg_s = {
+        i: sum(cos[(i, j)] for j, _ in tgt if rs[(i, j)] <= k)
+        / min(k, len(tgt))
+        for i, _ in src
+    }
+    avg_t = {
+        j: sum(cos[(i, j)] for i, _ in src if rt[(i, j)] <= k)
+        / min(k, len(src))
+        for j, _ in tgt
+    }
+    out = {}
+    for (i, j), c in cos.items():
+        m = c / ((avg_s[i] + avg_t[j]) / 2.0)
+        if m >= min_margin:
+            out[(i, j)] = (rs[(i, j)] == 1 and rt[(i, j)] == 1)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.floats(min_value=0.0625, max_value=2, allow_nan=False,
+                           width=16),
+                 min_size=3, max_size=3),
+        min_size=2, max_size=4,
+    ),
+    st.lists(
+        st.lists(st.floats(min_value=0.0625, max_value=2, allow_nan=False,
+                           width=16),
+                 min_size=3, max_size=3),
+        min_size=2, max_size=4,
+    ),
+)
+def test_hypothesis_margins_match_python_reference(spark, sv, tv):
+    # strictly positive coords: no zero vectors, margins well-defined;
+    # width=16 floats make exact float64 replay trivially stable
+    src = [(i, [float(x) for x in v]) for i, v in enumerate(sv)]
+    tgt = [(100 + j, [float(x) for x in v]) for j, v in enumerate(tv)]
+    sdf = spark.createDataFrame(src, "vec_id long, embedding array<double>")
+    tdf = spark.createDataFrame(tgt, "vec_id long, embedding array<double>")
+    out = bitext.margin_knn_pairs(
+        sdf, tdf, k=2, min_margin=1.0, mutual_only=False
+    ).collect()
+    got = {(r["src_id"], r["tgt_id"]): r["mutual"] for r in out}
+    want = _py_margin_pairs(src, tgt, k=2, min_margin=1.0)
+    assert got == want

@@ -279,3 +279,50 @@ def test_ivf_pq_guards(spark, two_cells):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty input"):
         pq.ivf_pq_train(empty, dim=4, k_coarse=2, m=2, k_sub=2)
+
+
+# --- hypothesis: Spark encode/ADC == independent pure-Python replay ---------
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _py_codes(vec, books):
+    sub = pq._sub_dim(books)
+    out = []
+    for j, book in enumerate(books):
+        qs = [_q(v) for v in vec[j * sub : (j + 1) * sub]]
+        best = min(
+            (sum((a - b) * (a - b) for a, b in zip(qs, cent)), cl)
+            for cl, cent in book.items()
+        )
+        out.append(best[1])
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-4, max_value=4, allow_nan=False,
+                      width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=2, max_size=10,
+    )
+)
+def test_hypothesis_encode_matches_python_argmin(spark, vecs):
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq.pq_train(df, dim=4, m=2, k=2, iterations=2)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in df.select(
+            "vec_id", pq.pq_encode_expr("embedding", books).alias("codes")
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        assert got[i] == _py_codes([float(x) for x in v], books), (i, v)
