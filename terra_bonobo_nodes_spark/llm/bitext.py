@@ -69,15 +69,6 @@ def margin_knn_pairs(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    if block_col is None and max_rows is not None:
-        for side, df in (("src", src), ("tgt", tgt)):
-            n = df.limit(int(max_rows) + 1).count()
-            if n > int(max_rows):
-                raise ValueError(
-                    f"{side} side exceeds max_rows={max_rows} without a "
-                    "block_col — blocked mining (IVF cell / LSH bucket) "
-                    "is the scale path; max_rows=None opts out explicitly"
-                )
     a_cols = [F.col(id_col).alias("src_id"), F.col(vec_col).alias("_va")]
     b_cols = [F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("_vb")]
     if block_col is not None:
@@ -89,6 +80,17 @@ def margin_knn_pairs(
     b = tgt.where(F.col(vec_col).isNotNull()).select(*b_cols).withColumn(
         "_nb", similarity.norm(F.col("_vb"))
     )
+    if block_col is None and max_rows is not None:
+        # guard the POST-filter frames (review finding: counting raw
+        # inputs refused corpora whose effective candidate count — the
+        # non-NULL rows that actually enter the cross join — was fine)
+        for side, df in (("src", a), ("tgt", b)):
+            if df.limit(int(max_rows) + 1).count() > int(max_rows):
+                raise ValueError(
+                    f"{side} side exceeds max_rows={max_rows} without a "
+                    "block_col — blocked mining (IVF cell / LSH bucket) "
+                    "is the scale path; max_rows=None opts out explicitly"
+                )
     if block_col is not None:
         cand = a.join(b, "_blk")
     else:
@@ -106,13 +108,17 @@ def margin_knn_pairs(
     w_tgt = Window.partitionBy("tgt_id").orderBy(
         F.col("cos_sim").desc(), F.col("src_id").asc()
     )
+    # localCheckpoint: three consumers (both avgk aggregates + the
+    # final margin join) would otherwise re-execute the candidate
+    # join + double window per branch (the corpus/fuzzy/graph
+    # multi-consumer-lineage convention)
     ranked = scored.select(
         "src_id",
         "tgt_id",
         "cos_sim",
         F.row_number().over(w_src).alias("_rs"),
         F.row_number().over(w_tgt).alias("_rt"),
-    )
+    ).localCheckpoint(eager=False)
     avg_src = (
         ranked.where(F.col("_rs") <= int(k))
         .groupBy("src_id")

@@ -72,13 +72,25 @@ def l2_normalize(a: Column) -> Column:
     euclidean rank order EQUALS cosine rank order — the preprocessing
     that makes euclidean-metric operators (kmeans_fixed, PQ/IVFADC)
     rank like the cosine retrieval stack; the round-14 recall harness
-    measured the mismatch on raw vectors (PLANS.md)."""
+    measured the mismatch on raw vectors (PLANS.md).
+
+    The norm is bound ONCE per row via zip_with against an
+    array_repeat of the scalar (review finding: an ``x / n`` lambda
+    re-evaluates the O(d) norm fold per element — O(d^2) per
+    vector)."""
     n = norm(a)
-    return F.when(n > 0, F.transform(a, lambda x: x.cast("double") / n))
+    repeated = F.array_repeat(n, F.size(a))
+    return F.when(
+        n > 0, F.zip_with(a, repeated, lambda x, m: x.cast("double") / m)
+    )
 
 
 def l2_normalize_sql(a: str) -> str:
-    """DuckDB mirror of :func:`l2_normalize` (same fold-order norm)."""
+    """DuckDB mirror of :func:`l2_normalize`. NOTE: this inline form
+    re-states the norm fold inside the lambda (SQL has no expression-
+    level let-binding), so it is O(d^2) per vector — fine for the
+    bounded oracle tables it exists for; hoist the norm into its own
+    CTE column when composing larger oracles."""
     n = norm_sql(a)
     return (
         f"CASE WHEN {n} > 0 THEN "

@@ -1148,10 +1148,10 @@ ss AS (
          coalesce(h.n_shared_fp, 0) AS n_shared_fp,
          coalesce(h.n_shared_fp, 0) >= 1 AS substr_contaminated
   FROM ss_tot t LEFT JOIN ss_hit h ON h.doc_id = t.doc_id)
-SELECT ng.doc_id, ng.n_grams, ng.n_hits, ng.containment,
-       ng.ngram_contaminated, ss.n_fp, ss.n_shared_fp,
-       ss.substr_contaminated
-FROM ng JOIN ss ON ng.doc_id = ss.doc_id
+SELECT coalesce(ng.doc_id, ss.doc_id) AS doc_id,
+       ng.n_grams, ng.n_hits, ng.containment, ng.ngram_contaminated,
+       ss.n_fp, ss.n_shared_fp, ss.substr_contaminated
+FROM ng FULL JOIN ss ON ng.doc_id = ss.doc_id
 """
 
 
@@ -1195,7 +1195,7 @@ def llm_decontamination_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared_fp",
         F.col("contaminated").alias("substr_contaminated"),
     )
-    return ng.join(ss, "doc_id")
+    return ng.join(ss, "doc_id", "full")
 
 
 def _incremental_oracle() -> str:

@@ -1870,3 +1870,41 @@ def test_jpeg_16bit_quant_tables_decode():
             pos += 1
     assert bytes(out) != plain
     assert decode_jpeg(bytes(out)) == want
+
+
+def test_decontamination_screens_union_not_intersect(spark):
+    """Round-14 review regression: the two screens have different
+    minimum-input bounds (trigrams need >= 3 words; winnow
+    fingerprints need >= k+window-1 normalized chars), and the merged
+    surface must be their UNION — a doc contaminated under one screen
+    must never vanish because the other screen could not score it."""
+    from terra_bonobo_nodes_spark.llm.corpus import (
+        decontaminate,
+        decontaminate_substring,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "a b c d shared verbatim benchmark sentence fragment")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [
+            # empty text: the ngram screen emits it (degenerate gram),
+            # the winnow screen has nothing to fingerprint and drops it
+            (1, ""),
+            # long enough for both screens
+            (2, "shared verbatim benchmark sentence fragment and more"),
+        ],
+        "doc_id long, text string",
+    )
+    ng = decontaminate(cand, bench, "text", "doc_id", n=3, threshold=0.5).select(
+        "doc_id", F.col("contaminated").alias("ngram_contaminated")
+    )
+    ss = decontaminate_substring(
+        cand, bench, "text", "doc_id", k=8, window=4, min_shared=1
+    ).select("doc_id", F.col("contaminated").alias("substr_contaminated"))
+    merged = {r["doc_id"]: r for r in ng.join(ss, "doc_id", "full").collect()}
+    assert 1 in merged, "doc screenable by only one side must survive"
+    assert merged[1]["ngram_contaminated"] is not None
+    assert merged[1]["substr_contaminated"] is None  # not screenable
+    assert merged[2]["substr_contaminated"] is True
