@@ -359,3 +359,118 @@ def hits_fixed_sql(
         f"WITH {ctes}\nSELECT h.node, h.hub, a.auth "
         f"FROM h{k} h JOIN a{k} a USING (node)"
     )
+
+
+# --- k-core membership (Seidman 1983, public) --------------------------------
+# The connectivity prior link-spam analysis leans on alongside the
+# rank signals: the k-core is the maximal subgraph where every node
+# keeps degree >= k after everything weaker is peeled away. Organic
+# hub neighborhoods survive deep cores; sparse link rings and
+# pendant-chain farms peel out in the first rounds. Degrees here are
+# UNDIRECTED DISTINCT-neighbor degrees (multi-edges and direction
+# don't add robustness, so they don't add degree).
+#
+# Determinism: peeling is a monotone fixpoint (the surviving set only
+# shrinks), so a FIXED iteration count is exact whenever the peel
+# converges within it and both engines unroll the same rounds either
+# way — the pagerank/hits contract. Each round is one distinct-edge
+# degree aggregate + one semi-join; no floats anywhere.
+
+
+def kcore_fixed(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 8,
+) -> DataFrame:
+    """(node, in_kcore) for every node of the graph after
+    ``iterations`` peel rounds at threshold ``k``. Converges (and
+    stops shuffling real data) as soon as a round removes nothing;
+    raise ``iterations`` for pathological pendant chains — peel depth
+    is the longest chain of cascading removals, usually tiny on web
+    graphs."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if int(iterations) < 1:
+        raise ValueError("kcore_fixed needs iterations >= 1")
+    ed = edges.select(
+        F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
+    ).where(
+        F.col(src_col).isNotNull()
+        & F.col(dst_col).isNotNull()
+        & (F.col(src_col) != F.col(dst_col))  # self-loops add no support
+    )
+    und = (
+        ed.union(ed.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    all_nodes = und.select(F.col("_a").alias("node")).distinct()
+    live = und
+    for _ in range(int(iterations)):
+        deg = live.groupBy("_a").agg(F.count(F.lit(1)).alias("_d"))
+        keep = deg.where(F.col("_d") >= int(k)).select("_a")
+        live = (
+            live.join(keep, "_a", "left_semi")
+            .join(keep.select(F.col("_a").alias("_b")), "_b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    members = live.select(F.col("_a").alias("node")).distinct()
+    return all_nodes.join(
+        members.select("node", F.lit(True).alias("in_kcore")), "node", "left"
+    ).select("node", F.coalesce("in_kcore", F.lit(False)).alias("in_kcore"))
+
+
+def kcore_fixed_ctes(
+    edges_sql: str,
+    k: int,
+    iterations: int = 8,
+    prefix: str = "kc_",
+) -> str:
+    """CTE chain (no leading WITH) unrolling the same peel rounds:
+    defines ``{prefix}und`` (distinct undirected edges),
+    ``{prefix}live{i}`` per round, and ``{prefix}out(node,
+    in_kcore)``. Every round CTE is MATERIALIZED — each ``live{i}``
+    references ``keep{i}`` twice and ``live{i-1}`` through it, so
+    plain CTEs re-inline exponentially in the round count (the
+    hits_fixed_ctes lesson, measured there)."""
+    p = prefix
+    parts = [
+        f"""{p}e AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM ({edges_sql})
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+), {p}und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM {p}e UNION ALL SELECT b, a FROM {p}e)
+), {p}nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM {p}und),
+{p}live0 AS MATERIALIZED (SELECT a, b FROM {p}und)"""
+    ]
+    for i in range(1, int(iterations) + 1):
+        prev = f"{p}live{i - 1}"
+        parts.append(
+            f""", {p}keep{i} AS MATERIALIZED (
+  SELECT a FROM {prev} GROUP BY a HAVING count(*) >= {int(k)}
+), {p}live{i} AS MATERIALIZED (
+  SELECT l.a, l.b FROM {prev} l
+  JOIN {p}keep{i} ka ON l.a = ka.a
+  JOIN {p}keep{i} kb ON l.b = kb.a
+)"""
+        )
+    last = f"{p}live{int(iterations)}"
+    parts.append(
+        f""", {p}out AS (
+  SELECT n.node,
+         EXISTS (SELECT 1 FROM {last} m WHERE m.a = n.node) AS in_kcore
+  FROM {p}nodes n
+)"""
+    )
+    return "".join(parts)
+
+
+def kcore_fixed_sql(
+    edges_sql: str, k: int, iterations: int = 8
+) -> str:
+    """DuckDB restatement of :func:`kcore_fixed`."""
+    ctes = kcore_fixed_ctes(edges_sql, k, iterations)
+    return f"WITH {ctes}\nSELECT node, in_kcore FROM kc_out"

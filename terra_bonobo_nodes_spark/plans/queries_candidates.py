@@ -1058,17 +1058,20 @@ stats AS (
 hits AS (
   SELECT node, hub, auth
   FROM ({graph.hits_fixed_sql(_PR_EDGES_DUCK, iterations=5)})
-)
+),
+{graph.kcore_fixed_ctes(_PR_EDGES_DUCK, k=3, iterations=6)}
 SELECT p.node AS host,
        p.rank AS rank,
        t.rank AS trust_rank,
        h.hub AS hub,
        h.auth AS auth,
+       kc.in_kcore AS in_3core,
        CAST(coalesce(s.n_docs, 0) AS BIGINT) AS n_docs,
        CAST(coalesce(s.sum_chars, 0) AS BIGINT) AS sum_chars
 FROM pr_r5 p
 JOIN tr_r5 t ON p.node = t.node
 JOIN hits h ON p.node = h.node
+JOIN kc_out kc ON p.node = kc.node
 LEFT JOIN stats s ON s.host = p.node
 """
 
@@ -1079,15 +1082,15 @@ LEFT JOIN stats s ON s.host = p.node
     tags=("llm", "graph", "curation"),
 )
 def llm_host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Host-grain curation report — ALL FOUR link signals in one slot
+    """Host-grain curation report — ALL FIVE link signals in one slot
     (registered round 14): plain PageRank, seeded TrustRank, HITS
-    hub/authority (widened in at registration, per the r13 ledger:
-    high hub + low authority = the directory/link-farm shape in-link
-    counting misses), joined with per-host document statistics — the
-    per-host triage table (authority high / trust zero = link spam;
-    n_docs high / trust low = crawl bias). All-integer columns,
-    id-keyed joins, all three fixed-point chains reuse one edge
-    synthesis."""
+    hub/authority (high hub + low authority = the directory/link-farm
+    shape in-link counting misses), 3-core membership (Seidman 1983 —
+    the connectivity prior: sparse rings and pendant-chain farms peel
+    out), joined with per-host document statistics — the per-host
+    triage table (authority high / trust zero = link spam; n_docs high
+    / trust low = crawl bias). All-integer/boolean columns, id-keyed
+    joins, all four fixed-point chains reuse one edge synthesis."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     e1 = docs.select(
         F.expr("pmod(doc_id, 101)").alias("src"),
@@ -1104,6 +1107,9 @@ def llm_host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("rank").alias("trust_rank")
     )
     ha = graph.hits_fixed(edges, iterations=5).select("node", "hub", "auth")
+    kc = graph.kcore_fixed(edges, k=3, iterations=6).select(
+        "node", F.col("in_kcore").alias("in_3core")
+    )
     stats = docs.groupBy(F.expr("pmod(doc_id, 101)").alias("node")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length(F.coalesce("text", F.lit("")))).alias("sum_chars"),
@@ -1111,6 +1117,7 @@ def llm_host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pr.join(tr, "node")
         .join(ha, "node")
+        .join(kc, "node")
         .join(stats, "node", "left")
         .select(
             F.col("node").alias("host"),
@@ -1118,6 +1125,7 @@ def llm_host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trust_rank",
             "hub",
             "auth",
+            "in_3core",
             F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
             F.coalesce("sum_chars", F.lit(0)).cast("long").alias("sum_chars"),
         )

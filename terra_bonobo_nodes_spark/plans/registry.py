@@ -394,10 +394,12 @@ def register(
 #   asof_event_joins           — backward AND forward as-of directions
 #     union-tagged by kind, each vs DuckDB's native ASOF LEFT JOIN.
 #   llm_host_quality_report    — the graph capstone, widened at
-#     registration with HITS hub/auth: ALL FOUR link signals
-#     (PageRank, TrustRank, hub, authority) + per-host doc stats in
-#     one host-grain slot (subsumes the llm_host_pagerank /
-#     llm_host_trustrank / llm_host_hits candidates, now removed).
+#     registration with HITS hub/auth AND (late r14) 3-core
+#     membership: ALL FIVE link signals (PageRank, TrustRank, hub,
+#     authority, k-core) + per-host doc stats in one host-grain slot
+#     (subsumes the llm_host_pagerank / llm_host_trustrank /
+#     llm_host_hits candidates, now removed; kcore_fixed authored
+#     directly onto the row — llm/graph.py, MATERIALIZED-CTE oracle).
 #   s12_warc_wet_roundtrip     — WARC/WET from-spec ingestion (the
 #     Common Crawl dump front door; VERDICT_r13 item 3).
 #   llm_link_graph_rank        — pipeline-shaped graph row: HTML link

@@ -285,3 +285,67 @@ _hnode = st.sampled_from("abcdef")
 def test_hits_matches_python_reference(spark, edges, iterations):
     got = _run_hits(spark, edges, iterations=iterations)
     assert got == _ref_hits(edges, iterations=iterations), edges
+
+
+# --- k-core membership -------------------------------------------------------
+
+
+def test_kcore_triangle_survives_pendants(spark):
+    """A triangle is a 2-core; pendant chains hanging off it peel away
+    ROUND BY ROUND (the cascade the fixed iteration count must cover)."""
+    from terra_bonobo_nodes_spark.llm.graph import kcore_fixed
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0),          # triangle: the 2-core
+         (2, 3), (3, 4), (4, 5)],         # pendant chain: peels in 3 rounds
+        "src long, dst long",
+    )
+    got = {r["node"]: r["in_kcore"] for r in kcore_fixed(edges, k=2).collect()}
+    assert got == {0: True, 1: True, 2: True, 3: False, 4: False, 5: False}
+
+
+def test_kcore_degree_is_distinct_undirected(spark):
+    """Multi-edges and both directions of the same pair add no degree
+    support; self-loops add none either."""
+    from terra_bonobo_nodes_spark.llm.graph import kcore_fixed
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 0), (0, 0), (1, 1)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["in_kcore"] for r in kcore_fixed(edges, k=2).collect()}
+    assert got == {0: False, 1: False}  # one distinct neighbor each
+
+
+def test_kcore_sql_mirror(spark, duck):
+    from terra_bonobo_nodes_spark.llm.graph import kcore_fixed, kcore_fixed_sql
+
+    rows = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (0, 3)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        r["node"]: r["in_kcore"] for r in kcore_fixed(edges, k=2).collect()
+    }
+    duck.execute(
+        "CREATE OR REPLACE TABLE kce AS SELECT * FROM (VALUES "
+        + ", ".join(f"({a}, {b})" for a, b in rows)
+        + ") t(src, dst)"
+    )
+    want = dict(
+        duck.execute(
+            kcore_fixed_sql("SELECT src, dst FROM kce", k=2)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_kcore_guards_and_empty(spark):
+    from terra_bonobo_nodes_spark.llm.graph import kcore_fixed
+
+    import pytest as _pt
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert kcore_fixed(edges, k=2).count() == 0
+    with _pt.raises(ValueError, match="k must"):
+        kcore_fixed(edges, k=0)
+    with _pt.raises(ValueError, match="iterations"):
+        kcore_fixed(edges, k=1, iterations=0)
