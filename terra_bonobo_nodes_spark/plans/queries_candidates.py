@@ -1463,22 +1463,34 @@ WHERE {_TBM_CASE} IS NOT NULL AND before < {_TBM_CASE}
 # ledger); the five promoted rows left this dict for the registry and
 # are now pinned by the driver contract itself.
 
-# --- llm_pq_codes (authored round 14, r15 candidate) ---------------------
-# Product quantization (llm/pq.py, Jegou et al. 2011): the memory side
-# of production ANN — m per-subspace codebooks trained distributed via
-# kmeans_fixed (exact fixed-point), every vector encoded to m small
-# codes (pure Column argmin), reconstruction error surfaced, and the
-# asymmetric (ADC) distance to a pinned query computed as table
-# lookups. The oracle replays ALL of it: one kmeans_fixed_ctes(prefix=)
-# chain per subspace, codes = each chain's final assignment,
-# recon_err = the sum of winning distances, adc = the unrolled integer
-# distance from the quantized query subvector to the assigned
-# centroid (p{j}_c{iters-1}) — table[j][code_j] by construction.
+# --- llm_pq_codes (authored round 14, r15 candidate; WIDENED late r14
+# with the full IVFADC composition) -----------------------------------------
+# Product quantization + IVFADC (llm/pq.py, Jegou et al. 2011 incl.
+# §V): flat PQ — m per-subspace codebooks trained distributed via
+# kmeans_fixed, codes + reconstruction error + ADC distance to a
+# pinned query — AND the production composition: coarse kmeans cells,
+# PQ retrained on the INTEGER residual (shift=0 — floor(v*2^0) of an
+# integer-valued double is the identity), residual codes/recon and the
+# per-cell ADC of the query's residual. The oracle replays EVERYTHING:
+# flat chains p{j}_*, coarse chain cc_*, residual chains r{j}_* over
+# the SQL-computed residual vectors, and both ADC arithmetics. Only
+# the driver-side n_probe cell ranking stays pytest-only (a sort over
+# k_coarse driver ints).
 
 _PQ_DIM, _PQ_M, _PQ_K, _PQ_ITERS = 64, 4, 8, 2
 _PQ_SUB = _PQ_DIM // _PQ_M
+_IVF_KC = 4
 # deterministic non-degenerate query spread over [0, 1)
 _PQ_QUERY = [((i * 7) % 13) / 13.0 for i in range(_PQ_DIM)]
+
+
+def _pq_query_quantized() -> list[int]:
+    import math
+
+    from terra_bonobo_nodes_spark.llm.kmeans import DEFAULT_SHIFT
+
+    scale = float(2**DEFAULT_SHIFT)
+    return [int(math.floor(v * scale)) for v in _PQ_QUERY]
 
 
 def llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1488,9 +1500,13 @@ def llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # loud (an empty TRAINING set is a caller bug in production)
     if emb.limit(1).count() == 0:
         cols = ", ".join(f"code_{j} BIGINT" for j in range(_PQ_M))
+        rcols = ", ".join(f"ivf_code_{j} BIGINT" for j in range(_PQ_M))
         return spark.createDataFrame(
-            [], f"vec_id BIGINT, {cols}, recon_err BIGINT, adc_dist BIGINT"
+            [],
+            f"vec_id BIGINT, {cols}, recon_err BIGINT, adc_dist BIGINT, "
+            f"ivf_cell BIGINT, {rcols}, ivf_recon BIGINT, ivf_adc BIGINT",
         )
+    # flat PQ
     books = pq.pq_train(
         emb, dim=_PQ_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS
     )
@@ -1500,7 +1516,7 @@ def llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq.pq_encode_expr("embedding", books).alias("_codes"),
         pq.pq_reconstruction_error_expr("embedding", books).alias("recon_err"),
     )
-    return coded.select(
+    flat = coded.select(
         "vec_id",
         *[
             F.element_at("_codes", j + 1).alias(f"code_{j}")
@@ -1509,24 +1525,60 @@ def llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recon_err",
         pq.pq_adc_dist_expr("_codes", table).alias("adc_dist"),
     )
+    # IVFADC: coarse cells + residual PQ
+    coarse, rbooks = pq.ivf_pq_train(
+        emb, dim=_PQ_DIM, k_coarse=_IVF_KC, m=_PQ_M, k_sub=_PQ_K,
+        iterations=_PQ_ITERS,
+    )
+    res = pq._residuals(emb, coarse, vec_col="embedding", id_col="vec_id",
+                        shift=16)
+    qv = _pq_query_quantized()
+    tables = {
+        cl: pq.adc_table(
+            [float(a - b) for a, b in zip(qv, coarse[cl])], rbooks, shift=0
+        )
+        for cl in coarse
+    }
+    rcoded = res.select(
+        "vec_id",
+        F.col("_cell").cast("long").alias("ivf_cell"),
+        pq.pq_encode_expr(F.col("_res"), rbooks, shift=0).alias("_rc"),
+        pq.pq_reconstruction_error_expr(F.col("_res"), rbooks, shift=0)
+        .alias("ivf_recon"),
+    )
+    ivf_adc = None
+    for cl in sorted(coarse):
+        d = pq.pq_adc_dist_expr("_rc", tables[cl])
+        ivf_adc = (
+            F.when(F.col("ivf_cell") == int(cl), d)
+            if ivf_adc is None
+            else ivf_adc.when(F.col("ivf_cell") == int(cl), d)
+        )
+    ivf = rcoded.select(
+        "vec_id",
+        "ivf_cell",
+        *[
+            F.element_at("_rc", j + 1).alias(f"ivf_code_{j}")
+            for j in range(_PQ_M)
+        ],
+        "ivf_recon",
+        ivf_adc.alias("ivf_adc"),
+    )
+    return flat.join(ivf, "vec_id")
 
 
 def _pq_oracle() -> str:
-    import math
-
-    from terra_bonobo_nodes_spark.llm.kmeans import DEFAULT_SHIFT
-
-    scale = float(2**DEFAULT_SHIFT)
-    qv = [int(math.floor(v * scale)) for v in _PQ_QUERY]
-    chain = pq.pq_codes_ctes(
+    qv = _pq_query_quantized()
+    emb_sql = (
         "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
-        " AS embedding FROM embeddings",
-        dim=_PQ_DIM,
-        m=_PQ_M,
-        k=_PQ_K,
-        iterations=_PQ_ITERS,
+        " AS embedding FROM embeddings"
+    )
+    chain = pq.pq_codes_ctes(
+        emb_sql, dim=_PQ_DIM, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITERS
     )
     a = _PQ_ITERS
+    # flat ADC: distance from the quantized query subvector to the
+    # assigned centroid = table[j][code_j] by construction
     adc_ctes, adc_cols = [], []
     for j in range(_PQ_M):
         qs = qv[j * _PQ_SUB : (j + 1) * _PQ_SUB]
@@ -1542,23 +1594,84 @@ p{j}_adc AS (
 )"""
         )
         adc_cols.append(f"p{j}_adc.adc")
-    joins = "\n  ".join(
-        f"JOIN p{j}_adc ON pq_codes.id = p{j}_adc.id" for j in range(_PQ_M)
+    # coarse chain + SQL-computed integer residuals
+    from terra_bonobo_nodes_spark.llm import kmeans as _km
+
+    cc = _km.kmeans_fixed_ctes(
+        emb_sql, k=_IVF_KC, iterations=_PQ_ITERS, dim=_PQ_DIM, prefix="cc_"
     )
+    qlit = "[" + ", ".join(str(v) for v in qv) + "]"
+    res_cte = f""",
+res AS (
+  SELECT a.id, a.cl,
+         list_transform(list_zip(q.x, c.c),
+                        p -> CAST(p[1] - p[2] AS DOUBLE)) AS r
+  FROM cc_a{a} a
+  JOIN cc_q q ON q.id = a.id
+  JOIN cc_c{a - 1} c ON c.cl = a.cl
+), qres AS (
+  SELECT cl, list_transform(list_zip(c, {qlit}), p -> p[2] - p[1]) AS qr
+  FROM cc_c{a - 1}
+)"""
+    rchains, radc_ctes = [], []
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_SUB + 1, (j + 1) * _PQ_SUB
+        rchains.append(
+            _km.kmeans_fixed_ctes(
+                f"SELECT id, list_slice(r, {lo}, {hi}) AS sub FROM res",
+                vec_col="sub",
+                id_col="id",
+                k=_PQ_K,
+                iterations=_PQ_ITERS,
+                dim=_PQ_SUB,
+                shift=0,
+                prefix=f"r{j}_",
+            )
+        )
+        radc_ctes.append(
+            f""",
+r{j}_adc AS (
+  SELECT a.id,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(list_zip(list_slice(qr.qr, {lo}, {hi}), c.c),
+                             p -> (p[1] - p[2]) * (p[1] - p[2]))),
+              (acc, x) -> acc + x) AS BIGINT) AS adc
+  FROM r{j}_a{a} a
+  JOIN res ON res.id = a.id
+  JOIN qres qr ON qr.cl = res.cl
+  JOIN r{j}_c{a - 1} c ON c.cl = a.cl
+)"""
+        )
     code_cols = ", ".join(
         f"CAST(code_{j} AS BIGINT) AS code_{j}" for j in range(_PQ_M)
     )
+    rcode_cols = ", ".join(
+        f"CAST(r{j}_a{a}.cl AS BIGINT) AS ivf_code_{j}" for j in range(_PQ_M)
+    )
+    rrecon = " + ".join(f"r{j}_a{a}.d" for j in range(_PQ_M))
+    radc = " + ".join(f"r{j}_adc.adc" for j in range(_PQ_M))
+    joins = "\n  ".join(
+        [f"JOIN p{j}_adc ON pq_codes.id = p{j}_adc.id" for j in range(_PQ_M)]
+        + ["JOIN res ON res.id = pq_codes.id"]
+        + [f"JOIN r{j}_a{a} ON r{j}_a{a}.id = pq_codes.id" for j in range(_PQ_M)]
+        + [f"JOIN r{j}_adc ON r{j}_adc.id = pq_codes.id" for j in range(_PQ_M)]
+    )
     return f"""
-WITH {chain}{"".join(adc_ctes)}
+WITH {chain}{"".join(adc_ctes)},
+{cc}{res_cte},
+{",".join(rchains)}{"".join(radc_ctes)}
 SELECT pq_codes.id AS vec_id, {code_cols}, recon_err,
-       CAST({" + ".join(adc_cols)} AS BIGINT) AS adc_dist
+       CAST({" + ".join(adc_cols)} AS BIGINT) AS adc_dist,
+       CAST(res.cl AS BIGINT) AS ivf_cell,
+       {rcode_cols},
+       CAST({rrecon} AS BIGINT) AS ivf_recon,
+       CAST({radc} AS BIGINT) AS ivf_adc
 FROM pq_codes
   {joins}
 """
 
 
 PQ_ORACLE = _pq_oracle()
-
 
 
 # --- llm_bitext_margin_pairs (authored round 14, r15 candidate) ----------
