@@ -22,6 +22,7 @@ Scale shapes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -429,3 +430,45 @@ def line_dedup(
         F.col("_n_lines").alias(f"{prefix}n_lines"),
         F.coalesce(F.col("_k"), F.lit(0)).cast("long").alias(f"{prefix}n_lines_kept"),
     )
+
+
+def nfkc_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_nfkc",
+    strip_controls: bool = True,
+) -> DataFrame:
+    """Append ``out_col``: NFKC-normalized text with (optionally) the
+    C0/C1 control characters stripped — tab/newline/CR kept, they are
+    document structure. The standard pre-tokenization cleanup (NFKC
+    folds fullwidth forms, ligatures, compatibility digits and spacing
+    marks to their canonical compatibles, so 'ﬁle' and 'ｆｉｌｅ'
+    tokenize like 'file').
+
+    Unicode normalization needs the full UCD tables — not available as
+    a JVM Column builtin in either engine — so this is ONE Arrow-
+    batched pandas-UDF column over stdlib ``unicodedata`` (the
+    :func:`llm.compress.compression_signal` shape): rows-only class,
+    pinned against the same stdlib the executors run. NULL passes
+    through as NULL (this is a rewriter, not a filter — the
+    NULL-as-empty convention belongs to the filters that consume it).
+    """
+    import unicodedata
+
+    keep = {"\t", "\n", "\r"}
+
+    def one(t):
+        if t is None:
+            return None
+        n = unicodedata.normalize("NFKC", t)
+        if not strip_controls:
+            return n
+        return "".join(
+            ch for ch in n if ch in keep or unicodedata.category(ch) != "Cc"
+        )
+
+    @F.pandas_udf("string")
+    def _nfkc(s: pd.Series) -> pd.Series:
+        return s.map(one)
+
+    return df.withColumn(out_col, _nfkc(F.col(text_col)))

@@ -182,3 +182,39 @@ def test_hypothesis_split_matches_python_reference(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == _py_split(t), (i, t)
+
+
+# --- NFKC scrub (llm/scrub.py) — grouped here with the other round-14
+# pre-tokenization signals ----------------------------------------------------
+
+
+def test_nfkc_scrub_folds_and_strips(spark):
+    import unicodedata
+
+    from terra_bonobo_nodes_spark.llm.scrub import nfkc_scrub
+
+    rows = [
+        (0, "ｆｉｌｅ"),          # fullwidth 'file'
+        (1, "ﬁle"),                            # ligature fi + 'le'
+        (2, "a\x00b\x07c\td\ne"),                  # controls; keep \t \n
+        (3, None),
+        (4, "① µ"),                      # circled 1, micro sign
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text_nfkc"] for r in nfkc_scrub(df).collect()
+    }
+    assert got[0] == "file"
+    assert got[1] == "file"
+    assert got[2] == "abc\td\ne"     # NUL/BEL stripped, structure kept
+    assert got[3] is None            # rewriter: NULL passes through
+    # pinned against the same stdlib the executors run
+    assert got[4] == unicodedata.normalize("NFKC", rows[4][1])
+
+
+def test_nfkc_scrub_keep_controls_option(spark):
+    from terra_bonobo_nodes_spark.llm.scrub import nfkc_scrub
+
+    df = spark.createDataFrame([(0, "a\x07b")], "doc_id long, text string")
+    out = nfkc_scrub(df, strip_controls=False).collect()[0]["text_nfkc"]
+    assert out == "a\x07b"
