@@ -441,6 +441,18 @@ def register(
 # llm_bitext_margin_pairs (margin-criterion bitext mining) and
 # llm_sentence_stats (sentence-grain quality surface). The
 # CANDIDATES dict order in queries_candidates.py IS this rank.
+# TWO more candidates authored in the round-14 continuation (both
+# hash-green at sf0.001 + sf0.01 + sf0.1 under the driver compare
+# contract), queued at the tail:
+# - llm_distinct_sketch_report (llm/distinct.py — KMV bottom-k + HLL
+#   register distinct-count sketches, integer-exact estimates that
+#   hash-compare; same event_type grain as the registered
+#   approx_distinct_users predicate row = its natural zero-net merge
+#   partner at promotion).
+# - llm_length_quantile_sketch (llm/quantiles.py — bounded-bin
+#   addition-mergeable histogram percentiles with the coverage
+#   guarantee as a column; the sketch counterpart of the registered
+#   exact llm_length_percentiles row).
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
