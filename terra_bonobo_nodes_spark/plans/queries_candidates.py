@@ -1895,6 +1895,112 @@ def _quantile_oracle() -> str:
 QUANTILE_ORACLE = _quantile_oracle()
 
 
+# --- layout_zorder_pruning (authored round 14, r15 candidate) ----------------
+# Z-order data layout vs natural insert order, measured through zone
+# maps (operators/layout.py): the same orders rows are laid into 64
+# model files two ways — o_orderkey order (the insert-order default)
+# and Morton(custkey, orderdate-day) order (what OPTIMIZE ZORDER BY
+# does) — and a fixed panel of rectangle predicates counts how many
+# files a min/max pruner must read under each. The row's VALUE is the
+# comparison: customer-slice probes collapse from scan-everything to
+# a handful of files under Z-order while time-slice probes stay
+# prunable, quantifying the layout decision a 100 TB table lives with.
+# Every quantity is BIGINT bit/ntile/window arithmetic — full replay.
+
+_ZO_FILES = 64
+# (probe_id, custkey_lo, custkey_hi, day_lo, day_hi) — days since
+# epoch; data spans custkey [0, 1500), day ~[9131, 11535].
+_ZO_PROBES = [
+    (1, 100, 149, 9000, 12000),  # one customer block, all time
+    (2, 0, 1500, 9862, 9891),  # one month, all customers
+    (3, 400, 449, 10227, 10347),  # customer block x one quarter
+    (4, 0, 99, 9131, 9495),  # low customers, first year
+    (5, 1400, 1499, 11170, 11535),  # high customers, last year
+    (6, 750, 760, 9000, 12000),  # narrow customer stripe, all time
+]
+
+
+def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning comparison (operators/layout.py): morton_key
+    is a 10-op codegen expression; file_assignments MODELS the write
+    (production = repartitionByRange on the key); zone_maps is one
+    bounded per-file aggregate; probe_scan_counts is a broadcast
+    product of two tiny bounded sides (probes x files). files_natural
+    vs files_zorder is the measured pruning win."""
+    from terra_bonobo_nodes_spark.operators import layout
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("_day"),
+    )
+
+    def scan_counts(order_cols, label):
+        placed = layout.file_assignments(orders, order_cols, _ZO_FILES)
+        zones = layout.zone_maps(placed, "o_custkey", "_day")
+        return layout.probe_scan_counts(zones, _ZO_PROBES).withColumnRenamed(
+            "files_scanned", label
+        )
+
+    natural = scan_counts(["o_orderkey"], "files_natural")
+    zordered = scan_counts(
+        [
+            layout.morton_key(F.col("o_custkey"), F.col("_day")).alias("_z"),
+            "o_orderkey",
+        ],
+        "files_zorder",
+    )
+    keys = ["probe_id", "x_lo", "x_hi", "y_lo", "y_hi"]
+    return natural.join(zordered, keys).select(*keys, "files_natural", "files_zorder")
+
+
+def _zorder_oracle() -> str:
+    from terra_bonobo_nodes_spark.operators.layout import morton_key_sql
+
+    day = "(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400)"
+    probes = ", ".join(f"({p}, {xl}, {xh}, {yl}, {yh})" for p, xl, xh, yl, yh in _ZO_PROBES)
+
+    def layout_cte(name: str, order_by: str) -> str:
+        return f"""
+_{name}_placed AS (
+  SELECT o_custkey AS x, d AS y,
+         ntile({_ZO_FILES}) OVER (ORDER BY {order_by}) AS file_id
+  FROM _zo_src
+),
+_{name}_zones AS (
+  SELECT file_id, min(x) AS min_x, max(x) AS max_x,
+         min(y) AS min_y, max(y) AS max_y
+  FROM _{name}_placed GROUP BY 1
+),
+_{name}_scans AS (
+  SELECT p.probe_id, p.x_lo, p.x_hi, p.y_lo, p.y_hi,
+         sum(CASE WHEN z.max_x >= p.x_lo AND z.min_x <= p.x_hi
+                   AND z.max_y >= p.y_lo AND z.min_y <= p.y_hi
+              THEN 1 ELSE 0 END)::BIGINT AS files_scanned
+  FROM _zo_probes p CROSS JOIN _{name}_zones z
+  GROUP BY 1, 2, 3, 4, 5
+)"""
+
+    return f"""
+WITH _zo_src AS (
+  SELECT o_orderkey, o_custkey, {day} AS d FROM orders
+),
+_zo_probes(probe_id, x_lo, x_hi, y_lo, y_hi) AS (VALUES {probes}),
+{layout_cte("nat", "o_orderkey")},
+{layout_cte("zo", f"{morton_key_sql('o_custkey', 'd')}, o_orderkey")}
+SELECT n.probe_id,
+       CAST(n.x_lo AS INT) AS x_lo, CAST(n.x_hi AS INT) AS x_hi,
+       CAST(n.y_lo AS INT) AS y_lo, CAST(n.y_hi AS INT) AS y_hi,
+       n.files_scanned AS files_natural,
+       z.files_scanned AS files_zorder
+FROM _nat_scans n
+JOIN _zo_scans z ON z.probe_id = n.probe_id
+"""
+
+
+ZORDER_ORACLE = _zorder_oracle()
+
+
 CANDIDATES: dict[str, tuple] = {
     # ledger order (plans/registry.py round-14 note) — dict order IS
     # the promotion rank, kept in sync by review finding r14
@@ -1917,4 +2023,5 @@ CANDIDATES: dict[str, tuple] = {
         llm_length_quantile_sketch,
         QUANTILE_ORACLE,
     ),
+    "layout_zorder_pruning": (layout_zorder_pruning, ZORDER_ORACLE),
 }

@@ -453,6 +453,13 @@ def register(
 #   addition-mergeable histogram percentiles with the coverage
 #   guarantee as a column; the sketch counterpart of the registered
 #   exact llm_length_percentiles row).
+# - layout_zorder_pruning (operators/layout.py — Morton-key Z-order
+#   layout vs natural insert order measured through zone-map file
+#   pruning counts over six rectangle probes on orders; at sf0.1 the
+#   natural layout scans 64/64 files on every probe, Z-order 2-7/64.
+#   NOTE for registration: probe_scan_counts carries a documented
+#   broadcast crossJoin of two bounded per-FILE sides (probes x
+#   zones) — needs a test_plan_audit CROSS_JOIN_OK entry then.)
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
