@@ -2001,6 +2001,56 @@ JOIN _zo_scans z ON z.probe_id = n.probe_id
 ZORDER_ORACLE = _zorder_oracle()
 
 
+# --- llm_priority_sample_report (authored round 14, r15 candidate) -----------
+# Weighted priority sampling (llm/wsample.py — Duffield-Lund-Thorup
+# 2007): k=32 docs per lang chosen proportionally to n_chars, with
+# the DLT unbiased total-weight estimator from the sample alone. The
+# weighted complement of the registered llm_sample_surface (reservoir
+# rank + quota membership are unweighted) — same sampling family,
+# new capability: inclusion ~ min(1, w/tau) and est_weight whose
+# 100-group aggregate sits within 0.3% of truth (pinned ~5% in
+# tests). All integer arithmetic — hashes, priorities, tau, estimator
+# — so every value hash-compares.
+
+_PS_K = 32
+
+
+def llm_priority_sample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang weighted-sample audit (llm/wsample.py): one hash
+    projection + one per-group top-(k+1) rank shuffle; n_rows/
+    total_weight ride along as the verification harness (the
+    approx_distinct_users pattern) — at corpus scale only the sample
+    and its estimator run."""
+    from terra_bonobo_nodes_spark.llm import wsample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wsample.priority_sample_report(
+        docs, "n_chars", "lang", "doc_id", k=_PS_K
+    ).select(
+        F.col("group").alias("lang"),
+        "n_rows",
+        "total_weight",
+        "n_sampled",
+        "tau",
+        "est_weight",
+    )
+
+
+def _priority_sample_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm.wsample import priority_sample_report_sql
+
+    inner = priority_sample_report_sql(
+        "SELECT * FROM documents", "n_chars", "lang", "doc_id", _PS_K
+    )
+    return (
+        f'SELECT "group" AS lang, n_rows, total_weight, n_sampled, tau, '
+        f"est_weight FROM ({inner})"
+    )
+
+
+PRIORITY_SAMPLE_ORACLE = _priority_sample_oracle()
+
+
 CANDIDATES: dict[str, tuple] = {
     # ledger order (plans/registry.py round-14 note) — dict order IS
     # the promotion rank, kept in sync by review finding r14
@@ -2024,4 +2074,8 @@ CANDIDATES: dict[str, tuple] = {
         QUANTILE_ORACLE,
     ),
     "layout_zorder_pruning": (layout_zorder_pruning, ZORDER_ORACLE),
+    "llm_priority_sample_report": (
+        llm_priority_sample_report,
+        PRIORITY_SAMPLE_ORACLE,
+    ),
 }

@@ -460,6 +460,10 @@ def register(
 #   NOTE for registration: probe_scan_counts carries a documented
 #   broadcast crossJoin of two bounded per-FILE sides (probes x
 #   zones) — needs a test_plan_audit CROSS_JOIN_OK entry then.)
+# - llm_priority_sample_report (llm/wsample.py — Duffield-Lund-Thorup
+#   weighted priority sampling with the unbiased total estimator,
+#   all-integer; the weighted complement of llm_sample_surface and a
+#   natural same-family merge partner for it at promotion).
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
