@@ -51,7 +51,7 @@ def split_sentences_sql(expr: str) -> str:
     raw = f"regexp_extract_all(coalesce({expr}, ''), '{_SENT_RE}')"
     return (
         f"list_filter(list_transform({raw}, "
-        "s -> regexp_replace(s, '^\s+|\s+$', '', 'g')), s -> s <> '')"
+        r"s -> regexp_replace(s, '^\s+|\s+$', '', 'g')), s -> s <> '')"
     )
 
 

@@ -1748,85 +1748,12 @@ def _sentence_oracle() -> str:
 SENTENCE_ORACLE = _sentence_oracle()
 
 
-# --- llm_distinct_sketch_report (authored round 14, r15 candidate) -----------
-# Distinct-count sketches (llm/distinct.py): KMV bottom-k + HLL
-# registers per event_type over events.user_id — the cardinality
-# members of the sketch family (Bloom answers membership, CMS answers
-# frequency). Unlike the registered approx_distinct_users row (Spark's
-# engine-internal HLL++ verified through an error-bound predicate),
-# BOTH estimates here are from-scratch integer-exact computations, so
-# the estimate VALUES hash-compare — the full-replay upgrade of the
-# same event_type grain, and that row's natural merge partner at
-# promotion (zero net slots). k=64 exercises both KMV regimes across
-# the SFs (15 distinct < k at sf0.001 -> exact mode; 150/1500 -> the
-# (k-1)*2^60 div h_k estimator); p=5 exercises both HLL regimes
-# (linear-counting correction at sf0.001, raw harmonic estimator
-# above 2.5m).
-
-_DS_K, _DS_P = 64, 5
-
-
-def llm_distinct_sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV + HLL distinct-user report (llm/distinct.py): kmv_sketch is
-    the persistable k-BIGINTs-per-group artifact (mergeable exactly —
-    kmv_merge — so day-over-day re-aggregation never re-reads raw
-    data); hll_registers is the bounded-key combinable build (runs
-    unchanged over a readStream). Exact distinct rides along as the
-    verification harness, the approx_distinct_users pattern — at
-    corpus scale only the sketches run."""
-    from terra_bonobo_nodes_spark.llm import distinct as ds
-
-    ev = load_table(spark, sf_dir, "events")
-    exact = ev.groupBy(F.col("event_type").alias("group")).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.countDistinct("user_id").alias("exact_users"),
-    )
-    kmv = ds.kmv_estimate(
-        ds.kmv_sketch(ev, "user_id", "event_type", k=_DS_K), _DS_K
-    )
-    hll = ds.hll_estimate(
-        ds.hll_registers(ev, "user_id", "event_type", p=_DS_P), _DS_P
-    )
-    return (
-        exact.join(kmv, "group")
-        .join(hll, "group")
-        .select(
-            F.col("group").alias("event_type"),
-            "n_events",
-            "exact_users",
-            "kmv_size",
-            "kmv_est",
-            "hll_zero_regs",
-            "hll_est",
-        )
-    )
-
-
-def _distinct_oracle() -> str:
-    from terra_bonobo_nodes_spark.llm import distinct as ds
-
-    kmv = ds.kmv_report_sql(
-        "SELECT * FROM events", "user_id", "event_type", _DS_K
-    )
-    hll = ds.hll_report_sql(
-        "SELECT * FROM events", "user_id", "event_type", _DS_P
-    )
-    return f"""
-WITH _ex AS (
-  SELECT event_type AS "group",
-         CAST(count(*) AS BIGINT) AS n_events,
-         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
-  FROM events GROUP BY 1
-), _k AS ({kmv}), _h AS ({hll})
-SELECT _ex."group" AS event_type, _ex.n_events, _ex.exact_users,
-       _k.kmv_size, _k.kmv_est, _h.hll_zero_regs, _h.hll_est
-FROM _ex
-JOIN _k ON _k."group" = _ex."group"
-JOIN _h ON _h."group" = _ex."group"
-"""
-
-
-DISTINCT_ORACLE = _distinct_oracle()
+# --- llm_distinct_sketch_report: PROMOTED round 14 (zero-net merge) --------
+# The KMV+HLL distinct-count report merged INTO the registered
+# approx_distinct_users row (same event_type grain — the
+# llm_blocked_hosts widening precedent): that row now hash-compares
+# both from-scratch estimate VALUES next to the engine-internal HLL++
+# error-bound predicate. See plans/queries_relational.py.
 
 
 # --- llm_length_quantile_sketch (authored round 14, r15 candidate) -----------
@@ -2065,10 +1992,6 @@ CANDIDATES: dict[str, tuple] = {
     "llm_dsir_logweights": (llm_dsir_logweights, DSIR_ORACLE),
     "llm_bloom_decontaminate": (llm_bloom_decontaminate, BLOOM_ORACLE),
     "llm_cms_token_freq": (llm_cms_token_freq, CMS_ORACLE),
-    "llm_distinct_sketch_report": (
-        llm_distinct_sketch_report,
-        DISTINCT_ORACLE,
-    ),
     "llm_length_quantile_sketch": (
         llm_length_quantile_sketch,
         QUANTILE_ORACLE,

@@ -1762,31 +1762,65 @@ def linkage_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_match_pairs(names, "pid", "p_name", max_distance=3)
 
 
+def _distinct_sketch_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm import distinct as ds
+
+    kmv = ds.kmv_report_sql(
+        "SELECT * FROM events", "user_id", "event_type", _ADU_K
+    )
+    hll = ds.hll_report_sql(
+        "SELECT * FROM events", "user_id", "event_type", _ADU_P
+    )
+    return f"""
+WITH _ex AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+         TRUE AS estimate_ok
+  FROM events GROUP BY 1
+), _k AS ({kmv}), _h AS ({hll})
+SELECT _ex.event_type, _ex.n_events, _ex.exact_users, _ex.estimate_ok,
+       _k.kmv_size, _k.kmv_est, _h.hll_zero_regs, _h.hll_est
+FROM _ex
+JOIN _k ON _k."group" = _ex.event_type
+JOIN _h ON _h."group" = _ex.event_type
+"""
+
+
+_ADU_K, _ADU_P = 64, 5
+
+
 @register(
     "approx_distinct_users",
-    oracle="""
-SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-       TRUE AS estimate_ok
-FROM events GROUP BY event_type
-""",
+    oracle=_distinct_sketch_oracle(),
     tags=("sketch", "aggregate"),
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-user estimate per event type — THE
-    100 TB cardinality primitive (constant memory, mergeable across
+    """Distinct-user cardinality sketches per event type — THE 100 TB
+    cardinality primitive (constant memory, mergeable across
     partitions, re-aggregable across days, where exact distinct
-    shuffles every key). Hash-checked since round 13 (was rows-only):
-    the raw estimate is engine-specific so it never surfaces in the
-    compared output; instead the row computes BOTH the sketch and the
-    exact distinct and surfaces ``estimate_ok`` — the |approx - exact|
-    <= 3*rsd*exact bound as a boolean the oracle expects TRUE (the
-    g7 rt_ok precedent: a non-SQL-replayable computation verified
-    through a deterministic acceptance predicate). Spark's HLL++ is
-    deterministic, so the flag is stable round over round. The exact
-    side is the verification harness; at corpus scale only the sketch
-    runs (the pytest error-bound test covers the trained path)."""
+    shuffles every key). Widened round 14 (the llm_blocked_hosts
+    zero-net precedent) to absorb the llm_distinct_sketch_report
+    candidate: the row now runs THREE estimators at the same
+    event_type grain —
+
+    - Spark's engine-internal HLL++ (approx_count_distinct), verified
+      through the ``estimate_ok`` error-bound predicate since its raw
+      value is engine-specific (the g7 rt_ok precedent);
+    - the from-scratch KMV bottom-k sketch (llm/distinct.py) whose
+      ``kmv_est`` VALUE hash-compares cross-engine (k=64 exercises
+      both regimes across the SFs: exact below k, the
+      (k-1)*2^60 div h_k estimator above);
+    - the from-scratch HLL register sketch whose ``hll_est`` VALUE
+      hash-compares (p=5 exercises linear-counting correction at
+      sf0.001 and the raw harmonic estimator above).
+
+    Exact distinct rides along as the verification harness; at corpus
+    scale only the sketches run. kmv_sketch is the persistable
+    k-BIGINTs-per-group artifact (kmv_merge is EXACT, pinned), and
+    hll_registers is combinable + streamable in complete mode."""
+    from terra_bonobo_nodes_spark.llm import distinct as ds
+
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
@@ -1797,8 +1831,28 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("_approx") - F.col("exact_users"))
         <= 3 * 0.02 * F.col("exact_users")
     )
-    return agg.select(
+    base = agg.select(
         "event_type", "n_events", "exact_users", err_ok.alias("estimate_ok")
+    )
+    kmv = ds.kmv_estimate(
+        ds.kmv_sketch(ev, "user_id", "event_type", k=_ADU_K), _ADU_K
+    )
+    hll = ds.hll_estimate(
+        ds.hll_registers(ev, "user_id", "event_type", p=_ADU_P), _ADU_P
+    )
+    return (
+        base.join(kmv, base.event_type == kmv.group)
+        .join(hll, base.event_type == hll.group)
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            "estimate_ok",
+            "kmv_size",
+            "kmv_est",
+            "hll_zero_regs",
+            "hll_est",
+        )
     )
 
 

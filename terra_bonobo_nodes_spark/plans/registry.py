@@ -427,10 +427,11 @@ def register(
 # BUDGET (r14 window, DRIVER_CAP=50): due cohort = the 45 r11 greens
 # minus the NINE retired rows that were in it (minhash, simhash,
 # reservoir, quota, tumbling, sliding, both asof rows, char_lm) = 36;
-# + 1 changed (llm_blocked_hosts, r13 green, widened) + 12 new first
-# rows (10 wave-one + the 2 second-wave rows above) = 49 <= 50, 1 slot
-# of stalest-green slack (an oldest r12 green pre-pays round 15's due
-# cohort). Candidate queue after this
+# + 2 changed (llm_blocked_hosts widened, r13 green; + the
+# continuation's approx_distinct_users widening absorbing the
+# llm_distinct_sketch_report candidate — zero net slots, +1 demand)
+# + 12 new first rows (10 wave-one + the 2 second-wave rows above)
+# = 50 = DRIVER_CAP exactly, zero slack. Candidate queue after this
 # round: 12 at queue-freeze, minus llm_exact_substring_spans
 # (registered in the second wave) = 11 (ledger order:
 # llm_kmeans_fixed_cells, llm_anchor_text_topk, llm_token_budget_mix,
@@ -448,7 +449,9 @@ def register(
 #   register distinct-count sketches, integer-exact estimates that
 #   hash-compare; same event_type grain as the registered
 #   approx_distinct_users predicate row = its natural zero-net merge
-#   partner at promotion).
+#   partner at promotion). PROMOTED later in the continuation: the
+#   approx_distinct_users row widened in place to carry both
+#   from-scratch estimate values (zero net slots, +1 changed demand).
 # - llm_length_quantile_sketch (llm/quantiles.py — bounded-bin
 #   addition-mergeable histogram percentiles with the coverage
 #   guarantee as a column; the sketch counterpart of the registered
@@ -482,6 +485,10 @@ _ROTATION_ROUND = 14
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "llm_blocked_hosts",  # widened: + robots_allowed (RFC 9309 verdict;
     #   r13 green, so +1 demand)
+    "approx_distinct_users",  # widened (continuation): + kmv_est /
+    #   hll_est full-replay columns absorbing the
+    #   llm_distinct_sketch_report candidate (r13 green, so +1 demand
+    #   — consumes the last slack slot, 50/50 exactly)
 )
 
 # (3) first driver row this round (the ROUND-14 ledger above):
