@@ -474,3 +474,140 @@ def kcore_fixed_sql(
     """DuckDB restatement of :func:`kcore_fixed`."""
     ctes = kcore_fixed_ctes(edges_sql, k, iterations)
     return f"WITH {ctes}\nSELECT node, in_kcore FROM kc_out"
+
+
+# --- label propagation communities (Raghavan et al. 2007, public) -------------
+# The community signal that completes the link family: PageRank says
+# "important", TrustRank says "trusted", k-core says "robustly
+# connected" — LPA says WHICH GROUP a host belongs to (mirror pools,
+# template farms, forum rings all collapse into one label), which is
+# what source-level mixing quotas and per-community dedup budgets key
+# on. Raghavan/Albert/Kumara 2007 is the public reference; the
+# synchronous variant here is the one a shared-nothing engine runs.
+#
+# Determinism design (the pagerank/hits/kcore contract): classic LPA
+# breaks count ties at random and visits nodes in random order — both
+# unacceptable here. This variant is SYNCHRONOUS (all nodes update
+# from the round-(i-1) labels), includes the node's OWN current label
+# once next to its distinct neighbors' labels (the standard
+# oscillation damper for bipartite shapes), and breaks ties by
+# SMALLEST label, so every round is a pure function of the previous
+# one and both engines replay it bit-identically. A fixed iteration
+# count (no convergence test) keeps the result engine-independent;
+# labels only ever move toward smaller ids within a community, so on
+# typical graphs the fixpoint lands well inside the default budget.
+
+
+def lpa_fixed(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+) -> DataFrame:
+    """(node, label) after ``iterations`` synchronous label-propagation
+    rounds over the distinct undirected graph (NULL endpoints dropped,
+    self-loops add no support — the kcore_fixed preparation). Every
+    node starts labeled with itself; each round it adopts the most
+    frequent label among {its distinct neighbors' labels} ∪ {its own},
+    smallest label winning ties. The label column has the node id's
+    type; nodes in one community converge onto that community's
+    smallest member id.
+
+    100 TB shape: per round, ONE equi-join (undirected edges x the
+    one-row-per-node label frame — AQE broadcasts the label side on
+    host-scale graphs) and two combinable aggregates on (node, label)
+    — map-side partials absorb celebrity-host in-link skew before
+    either shuffle. The round result is localCheckpointed so iteration
+    k+1 reuses the materialized frame; no Python, no cartesian, no
+    driver state beyond the loop counter."""
+    if int(iterations) < 1:
+        raise ValueError("lpa_fixed needs iterations >= 1")
+    ed = edges.select(
+        F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
+    ).where(
+        F.col(src_col).isNotNull()
+        & F.col(dst_col).isNotNull()
+        & (F.col(src_col) != F.col(dst_col))
+    )
+    und = (
+        ed.union(ed.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = und.select(F.col("_a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(int(iterations)):
+        cand = und.join(
+            labels.select(F.col("node").alias("_b"), "label"), "_b"
+        ).select(F.col("_a").alias("node"), "label").unionByName(
+            labels.select("node", "label")
+        )
+        counts = cand.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        top = counts.groupBy("node").agg(F.max("_c").alias("_mc"))
+        labels = (
+            counts.join(top, "node")
+            .where(F.col("_c") == F.col("_mc"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def lpa_fixed_ctes(
+    edges_sql: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    prefix: str = "lp_",
+) -> str:
+    """CTE chain (no leading WITH) unrolling the same synchronous
+    rounds: defines ``{prefix}und``, ``{prefix}l{i}`` per round; read
+    the final ``{prefix}l{k}(node, label)``. The per-round count CTE is
+    referenced twice (by the max subquery and the tie-break filter), so
+    it is MATERIALIZED — the hits/kcore exponential-re-inlining
+    lesson."""
+    p = prefix
+    parts = [
+        f"""{p}e AS MATERIALIZED (
+  SELECT {src_col} AS a, {dst_col} AS b FROM ({edges_sql})
+  WHERE {src_col} IS NOT NULL AND {dst_col} IS NOT NULL
+    AND {src_col} <> {dst_col}
+), {p}und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM {p}e UNION ALL SELECT b, a FROM {p}e)
+), {p}l0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, a AS label FROM {p}und
+)"""
+    ]
+    for i in range(1, int(iterations) + 1):
+        prev = f"{p}l{i - 1}"
+        parts.append(
+            f""", {p}c{i} AS MATERIALIZED (
+  SELECT node, label, count(*) AS c FROM (
+    SELECT u.a AS node, l.label FROM {p}und u JOIN {prev} l ON u.b = l.node
+    UNION ALL SELECT node, label FROM {prev}
+  ) GROUP BY node, label
+), {p}l{i} AS MATERIALIZED (
+  SELECT c.node, min(c.label) AS label
+  FROM {p}c{i} c
+  JOIN (SELECT node, max(c) AS mc FROM {p}c{i} GROUP BY node) m
+    ON c.node = m.node AND c.c = m.mc
+  GROUP BY c.node
+)"""
+        )
+    return "".join(parts)
+
+
+def lpa_fixed_sql(
+    edges_sql: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+) -> str:
+    """DuckDB restatement of :func:`lpa_fixed`."""
+    ctes = lpa_fixed_ctes(edges_sql, src_col, dst_col, iterations)
+    return f"WITH {ctes}\nSELECT node, label FROM lp_l{int(iterations)}"

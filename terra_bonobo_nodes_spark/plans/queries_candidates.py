@@ -1132,6 +1132,54 @@ def llm_host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- llm_host_communities (authored round 14 continuation, r15 candidate) ----
+# Label-propagation communities (llm/graph.py::lpa_fixed) over the
+# same synthesized host graph the registered capstone reads — the
+# SIXTH link signal: WHICH GROUP a host belongs to (mirror pools,
+# template farms, forum rings collapse onto one label), the key that
+# per-community dedup budgets and source-mixing quotas group by.
+# Node grain like the capstone; community_size rides along so the
+# report is directly consumable (and exercises a second aggregate
+# grain over the converged labels).
+
+HOST_COMMUNITIES_ORACLE = f"""
+WITH {graph.lpa_fixed_ctes(_PR_EDGES_DUCK, iterations=5)}
+SELECT l.node AS host,
+       l.label AS community,
+       CAST(count(*) OVER (PARTITION BY l.label) AS BIGINT)
+         AS community_size
+FROM lp_l5 l
+"""
+
+
+def llm_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-grain community assignment: 5 synchronous LPA rounds
+    (min tie-break, self-inclusion — deterministic, integer-exact) over
+    the capstone's host link graph, plus the converged community size.
+    One equi-join + two combinable aggregates per round; the size is
+    one window over the one-row-per-host result."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    e1 = docs.select(
+        F.expr("pmod(doc_id, 101)").alias("src"),
+        F.expr("pmod(doc_id * 7 + 3, 101)").alias("dst"),
+    )
+    e2 = docs.select(
+        F.expr("pmod(doc_id, 101)").alias("src"),
+        F.expr("pmod(doc_id * 13 + 5, 101)").alias("dst"),
+    )
+    labels = graph.lpa_fixed(e1.union(e2), iterations=5)
+    return labels.select(
+        F.col("node").alias("host"),
+        F.col("label").alias("community"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .cast("long")
+        .alias("community_size"),
+    )
+
+
 # --- llm_robots_filter (authored round 13, r14 candidate) ---------------
 # robots.txt compliance (RFC 9309, llm/robots.py): per-host robots
 # TEXT is synthesized (three group shapes: prefix-disallow with a
@@ -1992,6 +2040,10 @@ CANDIDATES: dict[str, tuple] = {
     "llm_dsir_logweights": (llm_dsir_logweights, DSIR_ORACLE),
     "llm_bloom_decontaminate": (llm_bloom_decontaminate, BLOOM_ORACLE),
     "llm_cms_token_freq": (llm_cms_token_freq, CMS_ORACLE),
+    "llm_host_communities": (
+        llm_host_communities,
+        HOST_COMMUNITIES_ORACLE,
+    ),
     "llm_length_quantile_sketch": (
         llm_length_quantile_sketch,
         QUANTILE_ORACLE,

@@ -349,3 +349,109 @@ def test_kcore_guards_and_empty(spark):
         kcore_fixed(edges, k=0)
     with _pt.raises(ValueError, match="iterations"):
         kcore_fixed(edges, k=1, iterations=0)
+
+
+# --- label propagation (lpa_fixed) --------------------------------------------
+
+
+def _lpa_ref(edges, iterations=5):
+    """Independent Python reference of the synchronous min-tie-break
+    LPA with self-inclusion over the distinct undirected graph."""
+    ed = {
+        (a, b)
+        for a, b in edges
+        if a is not None and b is not None and a != b
+    }
+    und: dict = {}
+    for a, b in ed:
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+    labels = {n: n for n in und}
+    for _ in range(iterations):
+        new = {}
+        for n, nbrs in und.items():
+            cand: dict = {}
+            for m in nbrs:
+                cand[labels[m]] = cand.get(labels[m], 0) + 1
+            cand[labels[n]] = cand.get(labels[n], 0) + 1
+            mc = max(cand.values())
+            new[n] = min(l for l, c in cand.items() if c == mc)
+        labels = new
+    return labels
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    from terra_bonobo_nodes_spark.llm.graph import lpa_fixed
+
+    # two triangles joined by one bridge edge: each converges onto its
+    # smallest member; the bridge does not merge them (each endpoint
+    # sees 2 in-clique votes + 1 own vs 1 across the bridge)
+    rows = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (2, 10)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {r["node"]: r["label"] for r in lpa_fixed(edges).collect()}
+    assert got == _lpa_ref(rows)
+    # the two triangles land on different labels (bridge did not merge)
+    assert got[0] == got[1] == got[2] == 0
+    assert got[11] == got[12] and got[11] != 0
+
+
+def test_lpa_self_loops_and_nulls_dropped(spark):
+    from terra_bonobo_nodes_spark.llm.graph import lpa_fixed
+
+    rows = [(1, 1), (None, 2), (2, None), (2, 3)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {r["node"]: r["label"] for r in lpa_fixed(edges, iterations=3).collect()}
+    # node 1 vanishes (self-loop only), 2/3 form one community
+    assert got == {2: 2, 3: 2}
+
+
+def test_lpa_sql_mirror(spark, duck):
+    from terra_bonobo_nodes_spark.llm.graph import lpa_fixed, lpa_fixed_sql
+
+    rows = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (2, 10),
+            (5, 6), (7, 5), (6, 7), (7, 8)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {r["node"]: r["label"] for r in lpa_fixed(edges, iterations=4).collect()}
+    duck.execute(
+        "CREATE OR REPLACE TABLE lpe AS SELECT * FROM (VALUES "
+        + ", ".join(f"({a}, {b})" for a, b in rows)
+        + ") t(src, dst)"
+    )
+    want = dict(
+        duck.execute(
+            lpa_fixed_sql("SELECT src, dst FROM lpe", iterations=4)
+        ).fetchall()
+    )
+    assert got == want == _lpa_ref(rows, iterations=4)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=30,
+    ),
+    iterations=st.integers(1, 4),
+)
+@settings(max_examples=12, deadline=None)
+def test_lpa_matches_python_reference(spark, edges, iterations):
+    from terra_bonobo_nodes_spark.llm.graph import lpa_fixed
+
+    ref = _lpa_ref(edges, iterations)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in lpa_fixed(df, iterations=iterations).collect()
+    }
+    assert got == ref
+
+
+def test_lpa_guards_and_empty(spark):
+    import pytest as _pt
+
+    from terra_bonobo_nodes_spark.llm.graph import lpa_fixed
+
+    with _pt.raises(ValueError):
+        lpa_fixed(spark.range(0).selectExpr("id src", "id dst"), iterations=0)
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert lpa_fixed(empty, iterations=2).count() == 0
