@@ -341,3 +341,160 @@ SELECT "group", CAST(hll_zero_regs AS BIGINT) AS hll_zero_regs,
          AS hll_est
 FROM _hll_raw
 """
+
+
+# --- KMV set operations -------------------------------------------------------
+# The operation HLL registers cannot answer and KMV can (Beyer et al.
+# 2007 §4, public): OVERLAP between two sets from their sketches
+# alone. The union sketch of two bottom-k sketches is exact
+# (kmv_merge); the fraction of union-sketch hashes present in BOTH
+# input sketches is the standard Jaccard estimator rho = |S_u ∩ A ∩ B|
+# / k', and intersection-cardinality = rho * union_est. For corpus
+# curation this is the "how much does crawl dump A overlap dump B /
+# how many users do two event streams share" question, answered from
+# two k-row artifacts without re-reading either corpus.
+#
+# Cross-engine contract: rho stays an integer PAIR (jaccard_num = the
+# shared count, jaccard_den = k' = the union-sketch size) and the
+# intersection estimate is (num * union_est) div den — every surfaced
+# column BIGINT, bit-identical in DuckDB. Below k everything is exact
+# (union sketch = union, shared = true intersection).
+
+
+def kmv_set_ops(sketch: DataFrame, k: int) -> DataFrame:
+    """Pairwise set-operation estimates between every unordered pair
+    of groups in a KMV sketch frame (the :func:`kmv_sketch` output —
+    (group, h, rank) rows, one sketch per group). Emits per pair
+    (group_a < group_b):
+
+    - ``union_size``  — rows in the merged bottom-k sketch (k' <= k);
+    - ``union_est``   — distinct-count estimate of A ∪ B (exact while
+      the merged sketch is not full);
+    - ``jaccard_num`` / ``jaccard_den`` — shared-hash count over k'
+      (the Jaccard estimator as an exact integer ratio);
+    - ``inter_est``   — (jaccard_num * union_est) div jaccard_den.
+
+    100 TB shape: sketches are k rows per group, so this never touches
+    raw data — the pair frame is (groups^2 / 2) * 2k rows at most; the
+    group list is broadcast into the sketch scan, the union re-rank is
+    one window per pair. Run it on persisted sketch artifacts, not on
+    a fresh build, when the raw corpus is the expensive part."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (the estimator divides by h_k)")
+    num = (k - 1) * _HASH_SPACE
+    groups = sketch.select("group").distinct()
+    pairs = (
+        groups.select(F.col("group").alias("_ga"))
+        .join(
+            F.broadcast(groups.select(F.col("group").alias("_gb"))),
+            F.col("_ga") < F.col("_gb"),
+        )
+    )
+    sk = sketch.select("group", "h")
+    rows_a = pairs.join(sk, sk["group"] == pairs["_ga"]).select(
+        "_ga", "_gb", "h", F.lit(1).alias("_in_a"), F.lit(0).alias("_in_b")
+    )
+    rows_b = pairs.join(sk, sk["group"] == pairs["_gb"]).select(
+        "_ga", "_gb", "h", F.lit(0).alias("_in_a"), F.lit(1).alias("_in_b")
+    )
+    both = (
+        rows_a.unionByName(rows_b)
+        .groupBy("_ga", "_gb", "h")
+        .agg(F.max("_in_a").alias("_a"), F.max("_in_b").alias("_b"))
+    )
+    w = Window.partitionBy("_ga", "_gb").orderBy("h")
+    merged = both.select(
+        "_ga", "_gb", "h", "_a", "_b", F.row_number().over(w).alias("_rk")
+    ).where(F.col("_rk") <= k)
+    agg = merged.groupBy("_ga", "_gb").agg(
+        F.count(F.lit(1)).alias("union_size"),
+        F.max(F.when(F.col("_rk") == k, F.col("h"))).alias("_hk"),
+        F.sum(F.col("_a") * F.col("_b")).alias("jaccard_num"),
+    )
+    union_est = F.when(
+        F.col("union_size") < k, F.col("union_size")
+    ).otherwise(F.expr(f"CAST({num} AS DECIMAL(38,0)) div _hk"))
+    return agg.select(
+        F.col("_ga").alias("group_a"),
+        F.col("_gb").alias("group_b"),
+        "union_size",
+        union_est.cast("bigint").alias("union_est"),
+        F.col("jaccard_num").cast("bigint").alias("jaccard_num"),
+        F.col("union_size").cast("bigint").alias("jaccard_den"),
+    ).select(
+        "group_a",
+        "group_b",
+        "union_size",
+        "union_est",
+        "jaccard_num",
+        "jaccard_den",
+        F.expr("CAST(jaccard_num * union_est AS DECIMAL(38,0)) div jaccard_den")
+        .cast("bigint")
+        .alias("inter_est"),
+    )
+
+
+def kmv_set_ops_sql(
+    src_sql: str, value_expr: str, group_expr: str, k: int
+) -> str:
+    """DuckDB replay of ``kmv_set_ops(kmv_sketch(...))`` built from the
+    raw relation (the oracle builds the same sketches first)."""
+    num = (k - 1) * _HASH_SPACE
+    return f"""
+WITH _so_src AS ({src_sql}),
+_so_h AS (
+  SELECT DISTINCT {group_expr} AS "group",
+         {distinct_hash_sql(value_expr)} AS h
+  FROM _so_src WHERE {value_expr} IS NOT NULL
+),
+_so_sk AS (
+  SELECT * FROM (
+    SELECT "group", h,
+           row_number() OVER (PARTITION BY "group" ORDER BY h) AS rank
+    FROM _so_h
+  ) WHERE rank <= {k}
+),
+_so_pairs AS (
+  SELECT a."group" AS ga, b."group" AS gb
+  FROM (SELECT DISTINCT "group" FROM _so_sk) a
+  JOIN (SELECT DISTINCT "group" FROM _so_sk) b ON a."group" < b."group"
+),
+_so_both AS (
+  SELECT ga, gb, h, max(in_a) AS a, max(in_b) AS b
+  FROM (
+    SELECT p.ga, p.gb, s.h, 1 AS in_a, 0 AS in_b
+    FROM _so_pairs p JOIN _so_sk s ON s."group" = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, s.h, 0, 1
+    FROM _so_pairs p JOIN _so_sk s ON s."group" = p.gb
+  ) GROUP BY 1, 2, 3
+),
+_so_merged AS (
+  SELECT * FROM (
+    SELECT ga, gb, h, a, b,
+           row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+    FROM _so_both
+  ) WHERE rk <= {k}
+),
+_so_agg AS (
+  SELECT ga, gb,
+         count(*) AS union_size,
+         max(CASE WHEN rk = {k} THEN h END) AS hk,
+         sum(a * b) AS jaccard_num
+  FROM _so_merged GROUP BY 1, 2
+),
+_so_est AS (
+  SELECT ga, gb, union_size, jaccard_num,
+         CASE WHEN union_size < {k} THEN union_size::HUGEINT
+              ELSE {num}::HUGEINT // hk::HUGEINT END AS union_est
+  FROM _so_agg
+)
+SELECT ga AS group_a, gb AS group_b,
+       CAST(union_size AS BIGINT) AS union_size,
+       CAST(union_est AS BIGINT) AS union_est,
+       CAST(jaccard_num AS BIGINT) AS jaccard_num,
+       CAST(union_size AS BIGINT) AS jaccard_den,
+       CAST((jaccard_num::HUGEINT * union_est) // union_size AS BIGINT)
+         AS inter_est
+FROM _so_est
+"""

@@ -210,3 +210,105 @@ def test_hll_build_streams_complete_mode(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+# --- KMV set operations --------------------------------------------------
+
+
+def _py_set_ops(sets: dict, k: int):
+    """Independent reference of kmv_set_ops over raw value sets."""
+    sk = {
+        g: sorted({_py_hash(v) for v in vs if v is not None})[:k]
+        for g, vs in sets.items()
+    }
+    out = {}
+    for ga in sorted(sk):
+        for gb in sorted(sk):
+            if ga >= gb:
+                continue
+            merged = sorted(set(sk[ga]) | set(sk[gb]))[:k]
+            size = len(merged)
+            a, b = set(sk[ga]), set(sk[gb])
+            shared = sum(1 for h in merged if h in a and h in b)
+            est = size if size < k else ((k - 1) << 60) // merged[-1]
+            out[(ga, gb)] = (
+                size, est, shared, size, (shared * est) // size
+            )
+    return out
+
+
+def _two_group_df(spark, sets):
+    rows = [(g, v) for g, vs in sets.items() for v in vs]
+    return spark.createDataFrame(rows, "group string, value string")
+
+
+def test_set_ops_exact_below_k(spark):
+    sets = {"a": [f"u{i}" for i in range(10)],
+            "b": [f"u{i}" for i in range(6, 16)]}
+    df = _two_group_df(spark, sets)
+    out = D.kmv_set_ops(D.kmv_sketch(df, k=64), k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    # below k everything is exact: union 16, intersection 4
+    assert (r["union_size"], r["union_est"]) == (16, 16)
+    assert (r["jaccard_num"], r["jaccard_den"]) == (4, 16)
+    assert r["inter_est"] == 4
+
+
+def test_set_ops_estimator_tracks_truth(spark):
+    n, ov = 3000, 1000  # |a|=3000, |b|=3000, overlap 1000 -> union 5000
+    sets = {"a": [f"u{i}" for i in range(n)],
+            "b": [f"u{i}" for i in range(n - ov, 2 * n - ov)]}
+    df = _two_group_df(spark, sets)
+    r = D.kmv_set_ops(D.kmv_sketch(df, k=256), k=256).collect()[0]
+    assert abs(r["union_est"] - 5000) / 5000 < 0.2
+    assert abs(r["inter_est"] - ov) / ov < 0.35
+    assert tuple(r)[2:] == _py_set_ops(sets, 256)[("a", "b")]
+
+
+def test_set_ops_matches_python_reference_multigroup(spark):
+    sets = {
+        "a": [f"x{i}" for i in range(40)],
+        "b": [f"x{i}" for i in range(20, 80)],
+        "c": [f"y{i}" for i in range(30)],
+    }
+    df = _two_group_df(spark, sets)
+    got = {
+        (r["group_a"], r["group_b"]): (
+            r["union_size"], r["union_est"], r["jaccard_num"],
+            r["jaccard_den"], r["inter_est"],
+        )
+        for r in D.kmv_set_ops(D.kmv_sketch(df, k=32), k=32).collect()
+    }
+    assert got == _py_set_ops(sets, 32)
+    # disjoint pair shares nothing
+    assert got[("a", "c")][2] == 0 and got[("a", "c")][4] == 0
+
+
+def test_set_ops_sql_mirror(spark, duck):
+    sets = {"a": [f"m{i}" for i in range(50)],
+            "b": [f"m{i}" for i in range(25, 75)]}
+    df = _two_group_df(spark, sets)
+    got = sorted(
+        tuple(r)
+        for r in D.kmv_set_ops(D.kmv_sketch(df, k=16), k=16).collect()
+    )
+    duck.execute(
+        "CREATE OR REPLACE TABLE so_raw AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{g}', '{v}')" for g, vs in sets.items() for v in vs)
+        + ") t(grp, val)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            D.kmv_set_ops_sql("SELECT * FROM so_raw", "val", "grp", 16)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_set_ops_guards_and_degenerate(spark):
+    with pytest.raises(ValueError):
+        D.kmv_set_ops(_two_group_df(spark, {"a": ["x"]}), k=1)
+    one = D.kmv_sketch(_two_group_df(spark, {"a": ["x", "y"]}), k=8)
+    assert D.kmv_set_ops(one, k=8).count() == 0  # no pairs from one group
