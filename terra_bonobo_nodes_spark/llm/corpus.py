@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from terra_bonobo_nodes_spark.llm.hashing import hash32
+from terra_bonobo_nodes_spark.llm.hashing import hash32, hash32_sql
 
 
 def chunk_assignments(
@@ -498,3 +498,99 @@ def token_budget_sample(
         .drop("_budget", "_before")
         .withColumnRenamed("_ntok", "n_tokens")
     )
+
+
+def stride_interleave(
+    df: DataFrame,
+    weights: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "tbns-stride-v1",
+    stride_one: int = 1 << 20,
+) -> DataFrame:
+    """Deterministic proportional-share WRITE ORDER for a heterogeneous
+    training mixture — the step after the samplers pick WHICH documents:
+    a training reader consuming the output in key order sees sources
+    interleaved at their weight ratios from the first batch, instead of
+    a megabatch of one domain followed by a megabatch of the next
+    (which turns mixture ratios into a curriculum nobody asked for).
+
+    Stride scheduling (Waldspurger & Weihl 1995, public): each source
+    ``s`` with weight ``w_s`` emits its ``j``-th document (0-based,
+    seeded-hash order within the source) at virtual time
+    ``(2j + 1) * stride_one div (2 * w_s)`` — the exact integer
+    midpoint rule, so a weight-3 source lands 3 documents in every
+    weight-1 source's gap, deterministically. Emits the input columns
+    plus ``src_rank`` (j) and ``interleave_key``; CONSUMERS SORT BY
+    ``(interleave_key, source, src_rank)`` — the two tie-break columns
+    make the total order unambiguous where floor division collides.
+
+    Sources absent from ``weights`` are DROPPED (the token_budget
+    contract: unlisted domains don't leak into the mix); weights must
+    be positive integers.
+
+    100 TB shape: ONE window shuffle on the source key for ``j`` (the
+    samplers' shape), the key itself pure integer arithmetic in
+    codegen. No global window: the total order is realized by the
+    writer's ``repartitionByRange(interleave_key, ...)`` +
+    ``sortWithinPartitions``, which samples range bounds instead of
+    single-tasking a global row_number. Prefix-deviation bound: in any
+    key-prefix, each source's share deviates from ``w_s / W`` by at
+    most one document per source (the stride invariant), so even the
+    first training batch is on-mixture."""
+    if not weights:
+        raise ValueError("stride_interleave needs a non-empty weight map")
+    for s, w in weights.items():
+        if int(w) < 1:
+            raise ValueError(f"weight for {s!r} must be a positive integer")
+        if 2 * int(w) > stride_one:
+            raise ValueError(f"weight for {s!r} exceeds stride_one/2")
+    wexpr = F.lit(None).cast("long")
+    for s, w in sorted(weights.items()):
+        wexpr = F.when(F.col(source_col) == s, F.lit(int(w))).otherwise(wexpr)
+    u = hash32(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w_rank = Window.partitionBy(source_col).orderBy(
+        u.asc(), F.col(id_col).asc()
+    )
+    out = (
+        df.withColumn("_w", wexpr)
+        .where(F.col("_w").isNotNull())
+        .withColumn("src_rank", F.row_number().over(w_rank) - F.lit(1))
+    )
+    return out.withColumn(
+        "interleave_key",
+        F.expr(f"(2 * src_rank + 1) * CAST({int(stride_one)} AS BIGINT) div (2 * _w)"),
+    ).drop("_w")
+
+
+def stride_interleave_sql(
+    src_sql: str,
+    weights: dict[str, int],
+    source_expr: str = "source",
+    id_expr: str = "doc_id",
+    seed: str = "tbns-stride-v1",
+    stride_one: int = 1 << 20,
+) -> str:
+    """DuckDB replay of :func:`stride_interleave` (same columns)."""
+    cases = " ".join(
+        f"WHEN {source_expr} = '{s}' THEN {int(w)}"
+        for s, w in sorted(weights.items())
+    )
+    u = hash32_sql(f"'{seed}' || CAST({id_expr} AS VARCHAR)")
+    return f"""
+WITH _si_src AS ({src_sql}),
+_si_w AS (
+  SELECT *, CASE {cases} END AS _w FROM _si_src
+  WHERE CASE {cases} END IS NOT NULL
+),
+_si_rk AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY {source_expr}
+           ORDER BY {u} ASC, {id_expr} ASC) - 1 AS BIGINT) AS src_rank
+  FROM _si_w
+)
+SELECT * EXCLUDE (_w),
+       CAST((2 * src_rank + 1) * {int(stride_one)}::HUGEINT // (2 * _w)
+            AS BIGINT) AS interleave_key
+FROM _si_rk
+"""

@@ -1132,6 +1132,123 @@ def llm_host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- llm_corpus_overlap_report (authored round 14 continuation, r15 candidate)
+# KMV set operations (llm/distinct.py::kmv_set_ops, Beyer et al. 2007
+# §4): pairwise union / Jaccard / intersection ESTIMATES between the
+# per-event-type user populations, answered from the k-row sketch
+# artifacts alone — the question HLL registers cannot answer and the
+# one a curation team asks of two crawl dumps ("how much does dump A
+# overlap dump B") without re-reading either. Every surfaced column
+# BIGINT (Jaccard stays an integer num/den pair); exact truth columns
+# ride along as the verification harness (the approx_distinct_users
+# pattern). Pair grain — 5 event types -> 10 pairs at every SF.
+
+_SO_K = 64
+
+
+def llm_corpus_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event-type pair: KMV union/Jaccard/intersection estimates
+    from bottom-64 sketches + the exact truth columns for verification.
+    At corpus scale only the sketch path runs — it reads k rows per
+    group, never the raw table."""
+    from terra_bonobo_nodes_spark.llm import distinct as ds
+
+    ev = load_table(spark, sf_dir, "events")
+    ops = ds.kmv_set_ops(
+        ds.kmv_sketch(ev, "user_id", "event_type", k=_SO_K), _SO_K
+    )
+    users = ev.select("event_type", "user_id").distinct()
+    ua = users.select(
+        F.col("event_type").alias("group_a"), F.col("user_id").alias("_u")
+    )
+    ub = users.select(
+        F.col("event_type").alias("group_b"), F.col("user_id").alias("_u")
+    )
+    exact = (
+        ua.join(ub, "_u")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    return (
+        ops.join(exact, ["group_a", "group_b"], "left")
+        .select(
+            "group_a",
+            "group_b",
+            "union_size",
+            "union_est",
+            "jaccard_num",
+            "jaccard_den",
+            "inter_est",
+            F.coalesce("exact_inter", F.lit(0)).cast("long").alias("exact_inter"),
+        )
+    )
+
+
+def _corpus_overlap_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm import distinct as ds
+
+    ops = ds.kmv_set_ops_sql(
+        "SELECT * FROM events", "user_id", "event_type", _SO_K
+    )
+    return f"""
+WITH _ops AS ({ops}),
+_uu AS (SELECT DISTINCT event_type, user_id FROM events),
+_exact AS (
+  SELECT a.event_type AS group_a, b.event_type AS group_b,
+         count(*) AS exact_inter
+  FROM _uu a JOIN _uu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT o.group_a, o.group_b, o.union_size, o.union_est,
+       o.jaccard_num, o.jaccard_den, o.inter_est,
+       CAST(coalesce(e.exact_inter, 0) AS BIGINT) AS exact_inter
+FROM _ops o LEFT JOIN _exact e USING (group_a, group_b)
+"""
+
+
+CORPUS_OVERLAP_ORACLE = _corpus_overlap_oracle()
+
+
+# --- llm_stride_interleave_order (authored round 14 continuation, r15 cand.) --
+# Stride-scheduling mixture interleave (llm/corpus.py::
+# stride_interleave, Waldspurger & Weihl 1995): the deterministic
+# proportional-share WRITE ORDER for a heterogeneous mixture — the
+# step between the samplers (which pick the documents) and the shard
+# writer (which materializes the order via repartitionByRange on the
+# key). en-heavy 4:2:1:1 weights over the documents langs; zh left
+# unlisted to pin the drop contract. Doc grain; every column integer.
+
+_SI_WEIGHTS = {"en": 4, "fr": 2, "de": 1, "es": 1}
+
+
+def llm_stride_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per kept document: within-source seeded-hash rank and the
+    integer stride key a training reader sorts by — in any key prefix
+    each language's share deviates from its weight ratio by at most
+    one document per source. One window shuffle on the source key."""
+    from terra_bonobo_nodes_spark.llm.corpus import stride_interleave
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stride_interleave(
+        docs, _SI_WEIGHTS, source_col="lang", id_col="doc_id"
+    ).select("doc_id", "lang", "src_rank", "interleave_key")
+
+
+def _stride_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm.corpus import stride_interleave_sql
+
+    inner = stride_interleave_sql(
+        "SELECT doc_id, lang FROM documents", _SI_WEIGHTS,
+        source_expr="lang", id_expr="doc_id",
+    )
+    return f"SELECT doc_id, lang, src_rank, interleave_key FROM ({inner})"
+
+
+STRIDE_ORACLE = _stride_oracle()
+
+
 # --- llm_host_communities (authored round 14 continuation, r15 candidate) ----
 # Label-propagation communities (llm/graph.py::lpa_fixed) over the
 # same synthesized host graph the registered capstone reads — the
@@ -2040,6 +2157,14 @@ CANDIDATES: dict[str, tuple] = {
     "llm_dsir_logweights": (llm_dsir_logweights, DSIR_ORACLE),
     "llm_bloom_decontaminate": (llm_bloom_decontaminate, BLOOM_ORACLE),
     "llm_cms_token_freq": (llm_cms_token_freq, CMS_ORACLE),
+    "llm_stride_interleave_order": (
+        llm_stride_interleave_order,
+        STRIDE_ORACLE,
+    ),
+    "llm_corpus_overlap_report": (
+        llm_corpus_overlap_report,
+        CORPUS_OVERLAP_ORACLE,
+    ),
     "llm_host_communities": (
         llm_host_communities,
         HOST_COMMUNITIES_ORACLE,
