@@ -1249,6 +1249,110 @@ def _stride_oracle() -> str:
 STRIDE_ORACLE = _stride_oracle()
 
 
+# --- corpus_version_diff (authored round 14 continuation, r15 candidate) ------
+# Snapshot diff (operators/cdc.py::snapshot_diff): the report a
+# curation team reads before promoting corpus v(N+1) over vN — every
+# doc labeled added/removed/changed/unchanged in ONE full-outer key
+# join (the inverse question of the registered cdc_apply_changes,
+# which replays a changelog). v2 here is a deterministic perturbation
+# of documents: every 11th doc removed, every 7th surviving doc's
+# n_chars bumped, every 13th doc re-keyed high as an addition — all
+# four verdicts populated at every SF.
+
+
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-grain verdict + compared-column pairs between documents and
+    its synthesized next version. One full-outer join on the key;
+    comparison in codegen; no window, no Python."""
+    from terra_bonobo_nodes_spark.operators.cdc import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    survivors = docs.where(F.expr("pmod(doc_id, 11) != 0"))
+    v2 = survivors.select(
+        "doc_id",
+        F.when(
+            F.expr("pmod(doc_id, 7) = 0"), F.col("n_chars") + 1
+        ).otherwise(F.col("n_chars")).alias("n_chars"),
+    ).unionByName(
+        docs.where(F.expr("pmod(doc_id, 13) = 0")).select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "n_chars"
+        )
+    )
+    return snapshot_diff(docs, v2, ["doc_id"], compare_cols=["n_chars"])
+
+
+CORPUS_DIFF_ORACLE = """
+WITH v1 AS (SELECT doc_id, n_chars FROM documents),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 11 != 0
+  UNION ALL
+  SELECT doc_id + 1000000, n_chars FROM documents WHERE doc_id % 13 = 0
+)
+SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN v1.n_chars IS NOT DISTINCT FROM v2.n_chars THEN 'unchanged'
+            ELSE 'changed' END AS verdict,
+       v1.n_chars AS n_chars_old,
+       v2.n_chars AS n_chars_new
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+"""
+
+
+# --- llm_vocab_coverage_report (authored round 14 continuation, r15 cand.) ----
+# Tokenizer-fit report (llm/text.py::vocab_coverage + top_tokens):
+# per-language OOV rate against a vocabulary built from the corpus's
+# own top-256 tokens — the signal that decides whether a tokenizer
+# trained on one mix is reusable on another. The top-k builder plans
+# as TakeOrderedAndProject (per-partition heaps, no global sort); the
+# coverage join broadcasts the vocabulary. Every surfaced column an
+# exact integer (rate in ppm by floor division).
+
+_VC_K = 256
+
+
+def llm_vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_tokens, n_oov, oov_rate_ppm) against the corpus's own
+    top-256 token vocabulary."""
+    from terra_bonobo_nodes_spark.llm.text import top_tokens, vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    vocab = top_tokens(docs, _VC_K).select("token")
+    return vocab_coverage(docs, vocab, group_col="lang").select(
+        F.col("group").alias("lang"), "n_tokens", "n_oov", "oov_rate_ppm"
+    )
+
+
+VOCAB_COVERAGE_ORACLE = f"""
+WITH _toks AS (
+  SELECT lang, unnest({TOKS_SQL}) AS tok
+  FROM (SELECT lang, coalesce(text, '') AS text FROM documents)
+),
+_vocab AS (
+  SELECT tok AS vtok FROM (
+    SELECT tok, count(*) AS n FROM _toks GROUP BY tok
+  ) ORDER BY n DESC, tok ASC LIMIT {_VC_K}
+),
+_grps AS (SELECT DISTINCT lang FROM documents),
+_agg AS (
+  SELECT t.lang,
+         count(*) AS n_tokens,
+         sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM _toks t LEFT JOIN _vocab v ON t.tok = v.vtok
+  GROUP BY t.lang
+)
+SELECT g.lang,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+       CAST(CASE WHEN coalesce(a.n_tokens, 0) > 0
+            THEN (a.n_oov * 1000000) // a.n_tokens END AS BIGINT)
+         AS oov_rate_ppm
+FROM _grps g LEFT JOIN _agg a USING (lang)
+"""
+
+
 # --- llm_host_communities (authored round 14 continuation, r15 candidate) ----
 # Label-propagation communities (llm/graph.py::lpa_fixed) over the
 # same synthesized host graph the registered capstone reads — the
@@ -2157,6 +2261,14 @@ CANDIDATES: dict[str, tuple] = {
     "llm_dsir_logweights": (llm_dsir_logweights, DSIR_ORACLE),
     "llm_bloom_decontaminate": (llm_bloom_decontaminate, BLOOM_ORACLE),
     "llm_cms_token_freq": (llm_cms_token_freq, CMS_ORACLE),
+    "llm_vocab_coverage_report": (
+        llm_vocab_coverage_report,
+        VOCAB_COVERAGE_ORACLE,
+    ),
+    "corpus_version_diff": (
+        corpus_version_diff,
+        CORPUS_DIFF_ORACLE,
+    ),
     "llm_stride_interleave_order": (
         llm_stride_interleave_order,
         STRIDE_ORACLE,
