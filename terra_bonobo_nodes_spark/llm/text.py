@@ -756,3 +756,86 @@ def perplexity_buckets(
         F.col("_e4").alias("lm_entropy"),
         bucket.alias(out_col),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    vocab_col: str = "token",
+) -> DataFrame:
+    """Tokenizer-fit report: per group, how much of the token stream a
+    fixed vocabulary covers — the signal that decides whether a
+    tokenizer trained on one mix is reusable on another (a source with
+    a high OOV rate fragments into bytes/unks and trains badly).
+    Emits (group, n_tokens, n_oov, oov_rate_ppm) — the rate in exact
+    integer parts-per-million ((n_oov * 1_000_000) div n_tokens), so
+    the report hash-compares cross-engine.
+
+    Plan: one posexplode of :func:`tokens` (the shared whitespace+punct
+    grain), a LEFT join against the vocabulary (one row per distinct
+    vocab token — broadcast at any real vocab size: 100k tokens is
+    KBs), and one combinable groupBy on the group key. NULL text
+    contributes zero tokens; a group whose every doc is NULL still
+    reports (0, 0, NULL rate)."""
+    toks = df.select(
+        F.col(group_col).alias("group"),
+        F.explode_outer(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "_tok"
+        ),
+    )
+    vv = vocab.select(
+        F.col(vocab_col).alias("_tok"), F.lit(True).alias("_in_vocab")
+    ).distinct()
+    joined = toks.join(F.broadcast(vv), "_tok", "left")
+    agg = joined.groupBy("group").agg(
+        F.count(F.col("_tok")).alias("n_tokens"),
+        F.sum(
+            F.when(
+                F.col("_tok").isNotNull() & F.col("_in_vocab").isNull(), 1
+            ).otherwise(0)
+        ).alias("n_oov"),
+    )
+    return agg.select(
+        "group",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("(n_oov * 1000000) div n_tokens"),
+        )
+        .cast("long")
+        .alias("oov_rate_ppm"),
+    )
+
+
+def top_tokens(
+    df: DataFrame,
+    k: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus's k most frequent tokens — (token, n) with the
+    deterministic (count desc, token asc) tie-break; the from-corpus
+    vocabulary builder :func:`vocab_coverage` pairs with. One explode +
+    one combinable count, then ``orderBy().limit(k)`` — Spark plans
+    that as TakeOrderedAndProject (per-partition top-k heaps merged on
+    the driver), NOT a single-partition global sort, so the plan holds
+    at any distinct-token count. Total order: token is unique within
+    the count frame, so the tie-break is unambiguous."""
+    if k < 1:
+        raise ValueError("top_tokens needs k >= 1")
+    counts = (
+        df.select(
+            F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias(
+                "token"
+            )
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(int(k))
+        .select("token", F.col("n").cast("long").alias("n"))
+    )

@@ -97,3 +97,85 @@ def apply_changes(
     )
     upserts = latest.where(op_ok != delete_op).select(*base.columns)
     return survivors.unionByName(upserts)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    verdict_col: str = "verdict",
+) -> DataFrame:
+    """Version-over-version corpus diff — the inverse question of
+    :func:`apply_changes`: given two SNAPSHOTS (no changelog — e.g.
+    two monthly crawl curations, or a snapshots.py time-travel pair),
+    label every key ``added`` / ``removed`` / ``changed`` /
+    ``unchanged``. This is the report a curation team reads before
+    promoting a new corpus version: how much churned, and where.
+
+    ``compare_cols`` are the value columns whose inequality means
+    ``changed`` (default: every shared non-key column). NULL-safe
+    comparison (``<=>``): NULL == NULL is unchanged, NULL vs value is
+    changed. Emits the key columns, the verdict, and each compared
+    column's old/new pair (``<col>_old`` / ``<col>_new``) so the diff
+    is directly actionable.
+
+    Scale shape (100 TB): ONE full outer join on the key — exactly the
+    shuffle the question requires (both sides hash-partition by key;
+    with bucketed snapshot tables even that exchange vanishes). The
+    per-column comparison is codegen; no window, no Python, nothing
+    driver-side. Downstream aggregation to a churn summary is one
+    combinable groupBy on the verdict."""
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("snapshot_diff needs at least one key column")
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    cmp_cols = list(compare_cols)
+    o = old.select(
+        *[F.col(k).alias(f"_ko_{k}") for k in keys],
+        *[F.col(c).alias(f"{c}_old") for c in cmp_cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_kn_{k}") for k in keys],
+        *[F.col(c).alias(f"{c}_new") for c in cmp_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    cond = None
+    for k in keys:
+        e = F.col(f"_ko_{k}") == F.col(f"_kn_{k}")
+        cond = e if cond is None else (cond & e)
+    j = o.join(n, cond, "full_outer")
+    same = F.lit(True)
+    for c in cmp_cols:
+        same = same & F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+    verdict = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    key_out = [
+        F.coalesce(F.col(f"_ko_{k}"), F.col(f"_kn_{k}")).alias(k) for k in keys
+    ]
+    pair_out = [
+        c
+        for pair in (
+            (F.col(f"{x}_old"), F.col(f"{x}_new")) for x in cmp_cols
+        )
+        for c in pair
+    ]
+    return j.select(*key_out, verdict.alias(verdict_col), *pair_out)
+
+
+def snapshot_diff_summary(
+    diff: DataFrame, verdict_col: str = "verdict"
+) -> DataFrame:
+    """Churn summary over a :func:`snapshot_diff` result: one row per
+    verdict with its count — the number a promotion gate thresholds
+    on. Combinable aggregate, 4 rows out."""
+    return diff.groupBy(verdict_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys")
+    )
