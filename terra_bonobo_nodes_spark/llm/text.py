@@ -839,3 +839,101 @@ def top_tokens(
         .limit(int(k))
         .select("token", F.col("n").cast("long").alias("n"))
     )
+
+
+def readability(
+    df: DataFrame, text_col: str = "text", prefix: str = "r_"
+) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade as EXACT integer
+    milli-point columns — the classic readability pair (Flesch 1948,
+    Kincaid et al. 1975, public) that quality filters use as a
+    too-simple/too-dense text signal next to :func:`quality_score`'s
+    ratios. Counts are deterministic heuristics: words = the shared
+    :func:`tokens` grain; sentences = [.!?]+ runs (min 1 so ratios are
+    total); syllables = vowel-group ([aeiouy]+) runs per word, min 1
+    per word — the standard approximation.
+
+    Formulas in scaled integer floor arithmetic (both engines agree):
+    ``flesch_milli = 206835 - (1015 * W * 1000) div S div 1000 -
+    (84600 * Syl) div W`` is algebraically restated below with all
+    divisions as single floor divs; NULL when a document has no words.
+    Pure Column expressions — no UDF, no shuffle."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(c)
+    syl = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.greatest(
+                F.lit(1),
+                F.size(
+                    F.filter(
+                        F.split(t, "[^aeiouy]+"), lambda x: F.length(x) > 0
+                    )
+                ),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_words = F.size(toks).cast("long")
+    n_sent = F.greatest(
+        F.lit(1),
+        F.size(
+            F.filter(
+                F.split(c, "[.!?]+"),
+                lambda s: F.length(F.trim(s)) > 0,
+            )
+        ),
+    ).cast("long")
+    flesch = F.when(
+        n_words > 0,
+        F.lit(206835)
+        - F.expr(f"(1015 * {prefix}n_words) div {prefix}n_sentences")
+        - F.expr(f"(84600 * {prefix}n_syllables) div {prefix}n_words"),
+    ).cast("long")
+    fk = F.when(
+        n_words > 0,
+        F.expr(f"(390 * {prefix}n_words) div {prefix}n_sentences")
+        + F.expr(f"(11800 * {prefix}n_syllables) div {prefix}n_words")
+        - F.lit(15590),
+    ).cast("long")
+    out = df.withColumns(
+        {
+            f"{prefix}n_words": n_words,
+            f"{prefix}n_sentences": n_sent,
+            f"{prefix}n_syllables": syl,
+        }
+    )
+    return out.withColumns(
+        {f"{prefix}flesch_milli": flesch, f"{prefix}fk_grade_milli": fk}
+    )
+
+
+def readability_sql(expr: str, prefix: str = "r_") -> str:
+    """DuckDB SELECT-fragment mirror of :func:`readability` (append to
+    a projection over the same relation)."""
+    toks = (
+        f"list_filter(str_split_regex(lower(coalesce({expr}, '')), "
+        "'[^a-z0-9]+'), x -> length(x) > 0)"
+    )
+    syl = (
+        f"list_sum(list_transform({toks}, t -> greatest(1, "
+        "len(list_filter(str_split_regex(t, '[^aeiouy]+'), "
+        "x -> length(x) > 0)))))"
+    )
+    sent = (
+        f"greatest(1, len(list_filter(str_split_regex(coalesce({expr}, ''), "
+        "'[.!?]+'), s -> length(trim(s)) > 0)))"
+    )
+    return f"""
+  CAST(len({toks}) AS BIGINT) AS {prefix}n_words,
+  CAST({sent} AS BIGINT) AS {prefix}n_sentences,
+  CAST(coalesce({syl}, 0) AS BIGINT) AS {prefix}n_syllables,
+  CAST(CASE WHEN len({toks}) > 0 THEN
+    206835 - (1015 * len({toks})) // {sent}
+           - (84600 * coalesce({syl}, 0)) // len({toks})
+  END AS BIGINT) AS {prefix}flesch_milli,
+  CAST(CASE WHEN len({toks}) > 0 THEN
+    (390 * len({toks})) // {sent}
+    + (11800 * coalesce({syl}, 0)) // len({toks}) - 15590
+  END AS BIGINT) AS {prefix}fk_grade_milli"""

@@ -1353,6 +1353,151 @@ FROM _grps g LEFT JOIN _agg a USING (lang)
 """
 
 
+# --- llm_readability_scores (authored round 14 continuation, r15 candidate) ---
+# Flesch / Flesch-Kincaid readability (llm/text.py::readability) as
+# exact integer milli-points — the too-simple/too-dense text signal
+# quality filters read next to the gopher/c4 batteries. Doc grain;
+# natural r15 zero-net partner: widen llm_quality_filter_score (same
+# grain) the way robots widened llm_blocked_hosts.
+
+
+def llm_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: word/sentence/syllable counts and both scores in
+    milli-points. Pure Column; runs at scan speed."""
+    from terra_bonobo_nodes_spark.llm.text import readability
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return readability(docs).select(
+        "doc_id",
+        "r_n_words",
+        "r_n_sentences",
+        "r_n_syllables",
+        "r_flesch_milli",
+        "r_fk_grade_milli",
+    )
+
+
+def _readability_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm.text import readability_sql
+
+    return f"SELECT doc_id, {readability_sql('text')} FROM documents"
+
+
+READABILITY_ORACLE = _readability_oracle()
+
+
+# --- llm_curation_funnel (authored round 14 continuation, r15 candidate) ------
+# The SEQUENTIAL survival funnel per source: raw -> gopher keep ->
+# (AND) c4 keep -> exact-dedup survivor, with raw and final token
+# mass. The registered llm_source_rule_yield reports each battery's
+# yield INDEPENDENTLY (which rule fired); this row reports the
+# pipeline's composed retention (what actually survives the chain,
+# and how many tokens make it through) — the number a mixing budget
+# is planned against. Oracle reuses GOPHER_ORACLE and C4_ORACLE
+# verbatim as CTE bodies (the _agg_oracle string-surgery precedent)
+# plus the registered exact-dedup fingerprint expression, so the
+# funnel and its constituent rows can never drift apart.
+
+
+def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: n_raw, n_gopher (g_keep), n_c4 (g AND c4),
+    n_unique (exact-dedup survivors of the filtered set, min-id wins),
+    tok_raw, tok_final (c4_text tokens of the survivors). Plan:
+    the two rule batteries are pure Column over one scan; dedup is one
+    window on the fingerprint over the FILTERED set only; aggregates
+    are combinable; the final shape is two groupBys joined on the
+    20-row source key."""
+    from pyspark.sql import Window
+
+    from terra_bonobo_nodes_spark.llm.dedup import fingerprint_col
+    from terra_bonobo_nodes_spark.llm.scrub import c4_line_filter
+    from terra_bonobo_nodes_spark.llm.text import gopher_rules, tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    staged = c4_line_filter(gopher_rules(docs)).withColumn(
+        "_tok_raw",
+        F.size(tokens(F.coalesce(F.col("text"), F.lit("")))).cast("long"),
+    )
+    raw_agg = staged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum("_tok_raw").cast("long").alias("tok_raw"),
+        F.count(F.when(F.col("g_keep"), 1)).cast("long").alias("n_gopher"),
+        F.count(F.when(F.col("g_keep") & F.col("c4_keep"), 1))
+        .cast("long")
+        .alias("n_c4"),
+    )
+    filtered = staged.where(F.col("g_keep") & F.col("c4_keep"))
+    w = Window.partitionBy(fingerprint_col("text")).orderBy(
+        F.col("doc_id").asc()
+    )
+    surv = filtered.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    )
+    uniq_agg = surv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum(F.size(tokens(F.col("c4_text"))).cast("long"))
+        .cast("long")
+        .alias("tok_final"),
+    )
+    return raw_agg.join(uniq_agg, "source", "left").select(
+        "source",
+        "n_raw",
+        "n_gopher",
+        "n_c4",
+        F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+        "tok_raw",
+        F.coalesce("tok_final", F.lit(0)).cast("long").alias("tok_final"),
+    )
+
+
+def _funnel_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm import hashing
+
+    gopher_per_doc = GOPHER_ORACLE.strip()
+    c4_per_doc = C4_ORACLE.strip()
+    fp = f"md5({hashing.normalize_sql('d.text')})"
+    return f"""
+WITH fgopher AS ({gopher_per_doc}),
+fc4 AS ({c4_per_doc}),
+fj AS (
+  SELECT d.source, d.doc_id, d.text, g.g_keep, c.c4_keep, c.c4_text,
+         len({TOKS_SQL.replace("lower(text)", "lower(coalesce(d.text, ''))")}) AS tok_raw,
+         {fp} AS fp
+  FROM documents d
+  JOIN fgopher g ON g.doc_id = d.doc_id
+  JOIN fc4 c ON c.doc_id = d.doc_id
+),
+fraw AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_raw,
+         CAST(sum(tok_raw) AS BIGINT) AS tok_raw,
+         CAST(count(*) FILTER (g_keep) AS BIGINT) AS n_gopher,
+         CAST(count(*) FILTER (g_keep AND c4_keep) AS BIGINT) AS n_c4
+  FROM fj GROUP BY source
+),
+ffiltered AS (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM fj WHERE g_keep AND c4_keep
+),
+funiq AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_unique,
+         CAST(sum(len({TOKS_SQL.replace("lower(text)", "lower(c4_text)")})) AS BIGINT) AS tok_final
+  FROM ffiltered WHERE rn = 1 GROUP BY source
+)
+SELECT r.source, r.n_raw, r.n_gopher, r.n_c4,
+       CAST(coalesce(u.n_unique, 0) AS BIGINT) AS n_unique,
+       r.tok_raw,
+       CAST(coalesce(u.tok_final, 0) AS BIGINT) AS tok_final
+FROM fraw r LEFT JOIN funiq u USING (source)
+"""
+
+
+CURATION_FUNNEL_ORACLE = _funnel_oracle()
+
+
 # --- llm_host_communities (authored round 14 continuation, r15 candidate) ----
 # Label-propagation communities (llm/graph.py::lpa_fixed) over the
 # same synthesized host graph the registered capstone reads — the
@@ -2261,6 +2406,14 @@ CANDIDATES: dict[str, tuple] = {
     "llm_dsir_logweights": (llm_dsir_logweights, DSIR_ORACLE),
     "llm_bloom_decontaminate": (llm_bloom_decontaminate, BLOOM_ORACLE),
     "llm_cms_token_freq": (llm_cms_token_freq, CMS_ORACLE),
+    "llm_curation_funnel": (
+        llm_curation_funnel,
+        CURATION_FUNNEL_ORACLE,
+    ),
+    "llm_readability_scores": (
+        llm_readability_scores,
+        READABILITY_ORACLE,
+    ),
     "llm_vocab_coverage_report": (
         llm_vocab_coverage_report,
         VOCAB_COVERAGE_ORACLE,

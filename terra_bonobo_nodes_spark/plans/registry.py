@@ -467,6 +467,34 @@ def register(
 #   weighted priority sampling with the unbiased total estimator,
 #   all-integer; the weighted complement of llm_sample_surface and a
 #   natural same-family merge partner for it at promotion).
+# SEVEN more candidates authored in the second round-14 continuation
+# (each hash-green at sf0.001 + sf0.01 + sf0.1 under the driver
+# compare contract; llm_distinct_sketch_report left the queue by the
+# approx_distinct_users in-place widening):
+# - llm_host_communities (llm/graph.py::lpa_fixed — synchronous
+#   min-tie-break label propagation, the sixth link signal; natural
+#   zero-net partner: widen llm_host_quality_report, same node grain).
+# - llm_corpus_overlap_report (llm/distinct.py::kmv_set_ops —
+#   union/Jaccard/intersection estimates between corpus slices from
+#   bottom-k sketches alone; pair grain, own slot).
+# - llm_stride_interleave_order (llm/corpus.py::stride_interleave —
+#   Waldspurger-Weihl proportional-share write order; doc grain).
+# - corpus_version_diff (operators/cdc.py::snapshot_diff — the
+#   version-promotion churn report, one full-outer key join; doc
+#   grain, own slot).
+# - llm_vocab_coverage_report (llm/text.py::vocab_coverage+top_tokens
+#   — OOV ppm per lang vs the corpus's own top-256 vocabulary;
+#   TakeOrderedAndProject builder plan pinned).
+# - llm_readability_scores (llm/text.py::readability — Flesch/FK in
+#   exact integer milli-points; natural zero-net partner: widen
+#   llm_quality_filter_score, same doc grain).
+# - llm_curation_funnel (the SEQUENTIAL per-source survival funnel
+#   raw -> gopher -> c4 -> exact-dedup with token mass; oracle reuses
+#   GOPHER/C4 oracles verbatim — complements the INDEPENDENT yields of
+#   the registered llm_source_rule_yield; strong promotion-rank head
+#   alongside the sketch family).
+# Plus pytest-only (rows-only class): llm/exif.py EXIF parse + GPS
+# scrub (image PII; byte-structure parsing not SQL-expressible).
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
