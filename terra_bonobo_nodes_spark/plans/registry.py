@@ -495,6 +495,30 @@ def register(
 #   alongside the sketch family).
 # Plus pytest-only (rows-only class): llm/exif.py EXIF parse + GPS
 # scrub (image PII; byte-structure parsing not SQL-expressible).
+#
+# r15 HANDOFF SIMULATED (second continuation, after the
+# approx_distinct_users widening): pretend the first 50 of the current
+# order green as CORRECTNESS_r14 -> r15 due cohort = 47, zero
+# never-green, so r15 churn headroom is THREE slots (changed + new
+# combined). The r14 window spent all 50 (36 due + 2 changed + 12 new),
+# which is why r15 runs tight; the 14 fresh r14 greens come due again
+# only at r16, which relaxes back to ~12 slots of headroom. r15
+# promotion plan that fits the 3 slots, highest value first:
+#   1. llm_length_quantile_sketch -> WIDEN llm_length_percentiles in
+#      place (same grain; the approx_distinct_users precedent) — 1
+#      changed slot, zero net registrations.
+#   2. llm_readability_scores -> WIDEN llm_quality_filter_score (same
+#      doc grain) — 1 changed slot.
+#   3. llm_curation_funnel -> REGISTER via a same-grain merge that
+#      frees a slot (candidate: fold llm_source_rule_yield's per-rule
+#      counts INTO the funnel row — both source-grain reports; one
+#      widened row carries independent yields AND sequential
+#      retention) — 1 new slot.
+# Everything else (host_communities -> host_quality_report widening,
+# corpus_overlap, stride order, version diff, vocab coverage, the
+# kmeans/anchor/token-budget/fuzzy/pq/bitext/sentence/perplexity/
+# dsir/bloom/cms tail) stays queued for r16's wide window, each
+# hash-pinned every suite run by tests/test_candidates_oracle.py.
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
