@@ -279,3 +279,49 @@ def test_quality_filter_scoring_plans_no_python_eval(spark):
     assert "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
     assert "*(" in plan  # whole-stage-codegen stage markers
+
+
+# --- staged candidates get the cartesian audit BEFORE promotion --------------
+# A staged row that plans an accidental cross join would only be caught
+# at registration (when the registered-query sweep above picks it up) —
+# after its driver slot is already budgeted. Audit the queue too, with
+# the same documented-intent allowlist discipline.
+
+CANDIDATE_CROSS_JOIN_OK: dict[str, str] = {
+    "layout_zorder_pruning": (
+        "probe_scan_counts is a broadcast product of two BOUNDED"
+        " per-FILE sides (6 probes x 64 zone rows) — documented in"
+        " operators/layout.py; needs a CROSS_JOIN_OK entry at"
+        " registration"
+    ),
+    "llm_corpus_overlap_report": (
+        "the group-pair frame is groups x groups under an inequality"
+        " (5 event types -> 10 pairs), broadcast by construction —"
+        " sketch rows, never raw data; needs CROSS_JOIN_OK at"
+        " registration"
+    ),
+    "llm_dsir_logweights": (
+        "single-row feature-total scalars broadcast into the"
+        " per-doc weight projection (llm/corpus.py::dsir_logweights)"
+    ),
+    "llm_perplexity_buckets": (
+        "the documented 1-row bucket-cutoff scalar BNLJ"
+        " (llm/text.py::perplexity_buckets)"
+    ),
+}
+
+
+def _candidates():
+    from terra_bonobo_nodes_spark.plans.queries_candidates import CANDIDATES
+
+    return CANDIDATES
+
+
+@pytest.mark.parametrize("name", sorted(_candidates()))
+def test_candidate_no_accidental_cartesian(name, spark):
+    fn, _ = _candidates()[name]
+    plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    has_cross = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+    if name in CANDIDATE_CROSS_JOIN_OK:
+        return
+    assert not has_cross, f"candidate {name} plans a cartesian join:\n{plan[:2000]}"
