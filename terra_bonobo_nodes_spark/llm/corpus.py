@@ -594,3 +594,125 @@ SELECT * EXCLUDE (_w),
             AS BIGINT) AS interleave_key
 FROM _si_rk
 """
+
+
+def packing_efficiency(
+    df: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 32,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """The padding-waste ledger that justifies sequence packing: per
+    source, how many ``budget``-token training sequences the corpus
+    costs (a) NAIVE — each document alone, padded to the budget
+    boundary — versus (b) PACKED — documents concatenated into
+    :func:`chunk_assignments`' per-shard streams and cut every
+    ``budget`` tokens. Emits exact integers: doc/token counts, both
+    sequence counts, and each layout's wasted-token share in ppm
+    ((seqs * budget - total) * 1e6 div (seqs * budget)). Typical web
+    corpora waste 30-60% of naive sequences on padding; packed waste
+    is bounded by one partial sequence per (source, shard).
+
+    Plan: one projection for the shard key (the chunk_assignments
+    hash), then ONE combinable groupBy (source, shard) and one on
+    source — no window at all: the naive ceil is per-row arithmetic
+    inside the partial aggregate, and the packed ceil needs only each
+    shard-stream's token TOTAL, not its running sum."""
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    ntok = F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
+    rows = df.select(
+        F.col(source_col).alias("source"),
+        F.pmod(hash32(F.col(id_col).cast("string")), F.lit(n_shards)).alias(
+            "_shard"
+        ),
+        ntok.alias("_ntok"),
+        F.expr(
+            f"(coalesce(CAST({n_tokens_col} AS BIGINT), 0) + {int(budget) - 1})"
+            f" div {int(budget)}"
+        ).alias("_naive_seqs"),
+    )
+    per_shard = rows.groupBy("source", "_shard").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_ntok").alias("_tok"),
+        F.sum("_naive_seqs").alias("_naive"),
+    )
+    agg = per_shard.groupBy("source").agg(
+        F.sum("_n").cast("long").alias("n_docs"),
+        F.sum("_tok").cast("long").alias("total_tokens"),
+        F.sum("_naive").cast("long").alias("naive_seqs"),
+        F.sum(
+            F.expr(f"(_tok + {int(budget) - 1}) div {int(budget)}")
+        )
+        .cast("long")
+        .alias("packed_seqs"),
+    )
+    def waste(seqs):
+        return (
+            F.when(
+                F.col(seqs) > 0,
+                F.expr(
+                    f"(({seqs} * {int(budget)} - total_tokens) * 1000000)"
+                    f" div ({seqs} * {int(budget)})"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "naive_seqs",
+        "packed_seqs",
+        waste("naive_seqs").alias("naive_waste_ppm"),
+        waste("packed_seqs").alias("packed_waste_ppm"),
+    )
+
+
+def packing_efficiency_sql(
+    src_sql: str,
+    budget: int = 2048,
+    n_shards: int = 32,
+    source_expr: str = "source",
+    id_expr: str = "doc_id",
+    n_tokens_expr: str = "n_tokens",
+) -> str:
+    """DuckDB replay of :func:`packing_efficiency`."""
+    h = hash32_sql(f"CAST({id_expr} AS VARCHAR)")
+    b = int(budget)
+    return f"""
+WITH _pe_rows AS (
+  SELECT {source_expr} AS source,
+         {h} % {int(n_shards)} AS shard,
+         coalesce(CAST({n_tokens_expr} AS BIGINT), 0) AS ntok,
+         (coalesce(CAST({n_tokens_expr} AS BIGINT), 0) + {b - 1}) // {b}
+           AS naive_seqs
+  FROM ({src_sql})
+),
+_pe_shard AS (
+  SELECT source, shard, count(*) AS n, sum(ntok) AS tok,
+         sum(naive_seqs) AS naive
+  FROM _pe_rows GROUP BY 1, 2
+),
+_pe AS (
+  SELECT source,
+         CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(sum(tok) AS BIGINT) AS total_tokens,
+         CAST(sum(naive) AS BIGINT) AS naive_seqs,
+         CAST(sum((tok + {b - 1}) // {b}) AS BIGINT) AS packed_seqs
+  FROM _pe_shard GROUP BY 1
+)
+SELECT source, n_docs, total_tokens, naive_seqs, packed_seqs,
+       CAST(CASE WHEN naive_seqs > 0
+            THEN ((naive_seqs * {b} - total_tokens) * 1000000)
+                 // (naive_seqs * {b}) ELSE 0 END AS BIGINT)
+         AS naive_waste_ppm,
+       CAST(CASE WHEN packed_seqs > 0
+            THEN ((packed_seqs * {b} - total_tokens) * 1000000)
+                 // (packed_seqs * {b}) ELSE 0 END AS BIGINT)
+         AS packed_waste_ppm
+FROM _pe
+"""

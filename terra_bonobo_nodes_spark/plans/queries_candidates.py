@@ -1498,6 +1498,50 @@ FROM fraw r LEFT JOIN funiq u USING (source)
 CURATION_FUNNEL_ORACLE = _funnel_oracle()
 
 
+# --- llm_packing_efficiency (authored round 14 continuation, r15 candidate) ---
+# Padding-waste ledger (llm/corpus.py::packing_efficiency): per source,
+# training sequences under NAIVE one-doc-per-sequence padding vs the
+# chunk_assignments PACKED stream at a 512-token budget — the report
+# that justifies the packing step in tokens saved. Source grain,
+# every column an exact integer; zero windows (the packed ceil needs
+# only per-shard token totals).
+
+_PE_BUDGET, _PE_SHARDS = 512, 8
+
+
+def llm_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: doc/token counts, naive vs packed sequence counts,
+    and each layout's wasted-token ppm."""
+    from terra_bonobo_nodes_spark.llm.corpus import packing_efficiency
+    from terra_bonobo_nodes_spark.llm.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return packing_efficiency(
+        docs, budget=_PE_BUDGET, n_shards=_PE_SHARDS
+    )
+
+
+def _packing_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm.corpus import packing_efficiency_sql
+
+    toks_coal = TOKS_SQL.replace("lower(text)", "lower(coalesce(text, ''))")
+    src_rel = (
+        "SELECT doc_id, source, "
+        f"len({toks_coal}) AS n_tokens "
+        "FROM documents"
+    )
+    return packing_efficiency_sql(src_rel, _PE_BUDGET, _PE_SHARDS)
+
+
+PACKING_ORACLE = _packing_oracle()
+
+
 # --- llm_host_communities (authored round 14 continuation, r15 candidate) ----
 # Label-propagation communities (llm/graph.py::lpa_fixed) over the
 # same synthesized host graph the registered capstone reads — the
@@ -2406,6 +2450,10 @@ CANDIDATES: dict[str, tuple] = {
     "llm_dsir_logweights": (llm_dsir_logweights, DSIR_ORACLE),
     "llm_bloom_decontaminate": (llm_bloom_decontaminate, BLOOM_ORACLE),
     "llm_cms_token_freq": (llm_cms_token_freq, CMS_ORACLE),
+    "llm_packing_efficiency": (
+        llm_packing_efficiency,
+        PACKING_ORACLE,
+    ),
     "llm_curation_funnel": (
         llm_curation_funnel,
         CURATION_FUNNEL_ORACLE,

@@ -111,3 +111,63 @@ def test_weight_one_everywhere_is_hash_round_robin(spark):
     # same j -> same key; pairs alternate blocks of {x,y} at each j
     for i in range(0, 40, 2):
         assert set(ordered[i : i + 2]) == {"x", "y"}
+
+
+# --- packing efficiency (same module, llm/corpus.py) -------------------------
+
+
+def test_packing_efficiency_hand_case(spark):
+    from terra_bonobo_nodes_spark.llm.corpus import packing_efficiency
+
+    # one shard so packed math is checkable by hand
+    rows = [(1, "a", 100), (2, "a", 100), (3, "a", 56), (4, "b", 300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = {
+        r["source"]: tuple(r)[1:]
+        for r in packing_efficiency(df, budget=128, n_shards=1).collect()
+    }
+    # a: 256 tokens; naive = ceil(100/128)*2 + ceil(56/128) = 3 seqs
+    #    packed = ceil(256/128) = 2 seqs -> zero waste
+    assert got["a"] == (3, 256, 3, 2, ((3 * 128 - 256) * 10**6) // (3 * 128), 0)
+    # b: one 300-token doc: naive = packed = 3 seqs (384 cap)
+    assert got["b"][2] == got["b"][3] == 3
+
+
+def test_packing_efficiency_null_tokens_and_guard(spark):
+    import pytest as _pt
+
+    from terra_bonobo_nodes_spark.llm.corpus import packing_efficiency
+
+    df = spark.createDataFrame(
+        [(1, "a", None)], "doc_id long, source string, n_tokens long"
+    )
+    r = packing_efficiency(df, budget=64, n_shards=1).collect()[0]
+    assert (r["total_tokens"], r["naive_seqs"], r["packed_seqs"]) == (0, 0, 0)
+    assert r["naive_waste_ppm"] == 0  # zero-seq group reports 0, not NULL
+    with _pt.raises(ValueError):
+        packing_efficiency(df, budget=0)
+
+
+def test_packing_efficiency_sql_mirror(spark, duck):
+    from terra_bonobo_nodes_spark.llm.corpus import (
+        packing_efficiency,
+        packing_efficiency_sql,
+    )
+
+    rows = [(i, ["web", "code"][i % 2], (i * 37) % 500) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = sorted(
+        tuple(r) for r in packing_efficiency(df, budget=256, n_shards=8).collect()
+    )
+    duck.execute(
+        "CREATE OR REPLACE TABLE pe_raw AS SELECT * FROM (VALUES "
+        + ", ".join(f"({d}, '{s}', {n})" for d, s, n in rows)
+        + ") t(doc_id, source, n_tokens)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            packing_efficiency_sql("SELECT * FROM pe_raw", 256, 8)
+        ).fetchall()
+    )
+    assert got == want
