@@ -13,7 +13,12 @@ fastText-style hashed-token logistic regression, ``classifier``;
 semantic dedup over embedding cells, ``semdedup``),
 retrieval (BM25), and multimodal columns with REAL pure-Python codecs
 (PNG incl. sub-byte + Adam7, baseline + progressive JPEG, BMP/PPM/WAV,
-spectral audio features). All shuffle-conscious: blocking keys before
-pairwise work, banding before joins, driver collects only for bounded
-statistics by documented contract.
+spectral audio features, EXIF parse + GPS scrub, pixel-statistics
+screens). Corpus-operations reports round it out: KMV set-operation
+overlap between slices, stride-scheduled mixture write order,
+packing-efficiency/padding-waste ledgers, readability and
+vocabulary-fit signals, label-propagation host communities. All
+shuffle-conscious: blocking keys before pairwise work, banding before
+joins, driver collects only for bounded statistics by documented
+contract.
 """

@@ -238,3 +238,36 @@ def test_sentence_and_compression_signals_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.read.parquet(out_path).collect()}
     assert got == want
+
+
+def test_readability_and_scrub_signals_stream(spark, tmp_path):
+    """Second-continuation additions hold the batch==stream contract:
+    readability is pure Column and the NFKC/pii scrub columns are
+    stateless projections — all run unchanged over a readStream and
+    reproduce the batch rows exactly."""
+    from terra_bonobo_nodes_spark.llm.scrub import pii_redact
+    from terra_bonobo_nodes_spark.llm.text import readability
+
+    path = str(tmp_path / f"docs-{uuid.uuid4().hex}")
+    batch = _write_batches(spark, path)
+
+    def curate(df):
+        return pii_redact(readability(df)).select(
+            "doc_id", "r_n_words", "r_n_sentences", "r_n_syllables",
+            "r_flesch_milli", "r_fk_grade_milli", "redacted",
+        )
+
+    want = {tuple(r) for r in curate(batch).collect()}
+    out_path = str(tmp_path / "out-rd")
+    q = (
+        curate(spark.readStream.schema(batch.schema).parquet(path))
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "ckpt-rd"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out_path).collect()}
+    assert got == want
