@@ -38,33 +38,35 @@ from pyspark.sql import types as T
 _BUCKETS = 64  # 2 bits per channel
 
 
-def _bucket_counts(width: int, height: int, rgb: bytes) -> list[int]:
-    counts = [0] * _BUCKETS
-    mv = memoryview(rgb)
-    for i in range(0, width * height * 3, 3):
-        b = ((mv[i] >> 6) << 4) | ((mv[i + 1] >> 6) << 2) | (mv[i + 2] >> 6)
-        counts[b] += 1
-    return counts
+def _pixel_buckets(width: int, height: int, rgb: bytes):
+    """(h, w) array of 6-bit color buckets — vectorized; the
+    per-pixel Python loop this replaces cost ~5s on a 4K frame."""
+    import numpy as np
+
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    # all-uint8 arithmetic: values stay < 64, so the shifts never
+    # overflow and no widening copy of the 3*w*h buffer is made
+    q = px >> 6
+    return (q[:, :, 0] << 4) | (q[:, :, 1] << 2) | q[:, :, 2]
 
 
-def _border_counts(width: int, height: int, rgb: bytes) -> list[int]:
-    counts = [0] * _BUCKETS
-    mv = memoryview(rgb)
+def _bucket_counts(buckets) -> list[int]:
+    import numpy as np
 
-    def add(x: int, y: int) -> None:
-        i = (y * width + x) * 3
-        b = ((mv[i] >> 6) << 4) | ((mv[i + 1] >> 6) << 2) | (mv[i + 2] >> 6)
-        counts[b] += 1
+    return np.bincount(buckets.ravel(), minlength=_BUCKETS).tolist()
 
-    for x in range(width):
-        add(x, 0)
-        if height > 1:
-            add(x, height - 1)
-    for y in range(1, height - 1):
-        add(0, y)
-        if width > 1:
-            add(width - 1, y)
-    return counts
+
+def _border_counts(buckets) -> list[int]:
+    import numpy as np
+
+    h, w = buckets.shape
+    parts = [buckets[0, :], buckets[-1, :]] if h > 1 else [buckets[0, :]]
+    if h > 2:
+        parts += [buckets[1:-1, 0], buckets[1:-1, -1]] if w > 1 else [
+            buckets[1:-1, 0]
+        ]
+    ring = np.concatenate(parts) if len(parts) > 1 else parts[0]
+    return np.bincount(ring, minlength=_BUCKETS).tolist()
 
 
 def _entropy_mb(counts: list[int]) -> int:
@@ -84,8 +86,9 @@ def screen_stats(width: int, height: int, rgb: bytes) -> dict:
     if width < 1 or height < 1 or len(rgb) != width * height * 3:
         raise ValueError("screen_stats needs a w*h*3 RGB buffer")
     n = width * height
-    counts = _bucket_counts(width, height, rgb)
-    border = _border_counts(width, height, rgb)
+    buckets = _pixel_buckets(width, height, rgb)
+    counts = _bucket_counts(buckets)
+    border = _border_counts(buckets)
     n_border = sum(border)
     return {
         "width": width,

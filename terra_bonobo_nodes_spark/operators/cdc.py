@@ -116,7 +116,10 @@ def snapshot_diff(
     ``compare_cols`` are the value columns whose inequality means
     ``changed`` (default: every shared non-key column). NULL-safe
     comparison (``<=>``): NULL == NULL is unchanged, NULL vs value is
-    changed. Emits the key columns, the verdict, and each compared
+    changed. KEY columns are joined with plain equality, so a NULL key
+    never matches across versions — a NULL-keyed row reports as
+    removed+added, not unchanged (snapshots should not have NULL keys;
+    this makes the violation visible instead of silently pairing). Emits the key columns, the verdict, and each compared
     column's old/new pair (``<col>_old`` / ``<col>_new``) so the diff
     is directly actionable.
 
