@@ -93,3 +93,60 @@ def test_spark_surface_over_bmp(spark):
     assert got[1]["solid_ratio_e3"] == 1000 and got[1]["hist_entropy_mb"] == 0
     assert got[2]["hist_entropy_mb"] > 5500
     assert got[3]["aspect_e3"] == 10000
+
+
+def test_image_pipeline_e2e(spark):
+    """The image-corpus curation chain end to end: screens drop the
+    solid/banner junk -> EXIF GPS scrub certifies the export -> the
+    survivors' near-dup pairing finds the re-encoded copy. Each stage
+    is its own operator; this pins the COMPOSITION."""
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.llm import exif as X
+    from terra_bonobo_nodes_spark.llm.jpeg import encode_jpeg
+    from terra_bonobo_nodes_spark.llm.phash import image_near_dup_pairs
+
+    def photo(seed, w=32, h=32):
+        return bytes(
+            ((x * 7 + y * 13 + c * 29 + seed) % 251)
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+
+    base = photo(0)
+    rows = [
+        # 1: a real photo with a GPS fix
+        (1, X.build_exif_jpeg(encode_jpeg(32, 32, base), gps=(48.85, 2.29))),
+        # 2: the same pixels re-encoded (near-dup of 1), no EXIF
+        (2, encode_jpeg(32, 32, base)),
+        # 3: a solid banner (screened out)
+        (3, encode_jpeg(32, 32, bytes((200, 10, 10)) * (32 * 32))),
+        # 4: an unrelated photo
+        (4, encode_jpeg(32, 32, photo(120))),
+        # 5: an extreme-aspect strip (screened out)
+        (5, encode_jpeg(128, 8, photo(7, 128, 8))),
+    ]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+
+    screens = image_screens(assets)
+    keep_ids = screens.where(
+        (F.col("min_side") >= 16)
+        & (F.col("aspect_e3") <= 3000)
+        & (F.col("solid_ratio_e3") <= 900)
+    ).select("asset_id")
+    kept = assets.join(keep_ids, "asset_id", "left_semi")
+    assert sorted(
+        r["asset_id"] for r in kept.select("asset_id").collect()
+    ) == [1, 2, 4]
+
+    scrubbed = X.exif_scrub_gps(kept)
+    flags = {r["asset_id"]: r["had_gps"] for r in scrubbed.collect()}
+    assert flags == {1: True, 2: False, 4: False}
+    for r in scrubbed.collect():
+        assert not X.parse_exif_jpeg(bytes(r["payload"]))["has_gps"]
+
+    pairs = image_near_dup_pairs(scrubbed, max_hamming=3).collect()
+    got = {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])) for r in pairs}
+    assert (1, 2) in got            # the re-encoded copy is found
+    assert all(4 not in p for p in got)  # the unrelated photo pairs with nothing
