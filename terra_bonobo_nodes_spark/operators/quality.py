@@ -167,3 +167,100 @@ def partition_skew_report(
         )
     )
     return parts.unionByName(hot)
+
+
+def distribution_drift(
+    old: DataFrame,
+    new: DataFrame,
+    bucket_col: str,
+) -> DataFrame:
+    """Population Stability Index between two corpus versions — the
+    drift gate that complements ``cdc.snapshot_diff``'s key-level
+    churn: diff says WHICH rows changed, PSI says whether the
+    DISTRIBUTION moved (a new crawl that doubles the short-document
+    share can be 95% "unchanged" rows and still poison a mixture).
+    Standard credit-scoring metric (public): PSI = sum over buckets of
+    (p - q) * ln(p / q); rule of thumb <0.1 stable, >0.25 shifted.
+
+    Per bucket: both counts, both shares in exact integer ppm, and the
+    PSI term. Shares are Laplace-smoothed ((n + 1) / (N + B)) so empty
+    buckets on either side stay finite — the standard treatment, and
+    it makes every bucket of the UNION of both versions' buckets
+    comparable. The PSI term is the one double in the row (ln has no
+    integer form); it is computed from exact integer counts and
+    rounded to 6 decimals, the repo's cross-engine float convention.
+    Total PSI = ``sum(psi_term)`` downstream — one combinable
+    aggregate.
+
+    Plan: one combinable count per side, a full-outer bucket join
+    (bucket cardinality, tiny), and the two 1-row totals broadcast in
+    — no window, no Python, nothing proportional to row count past
+    the two scans."""
+    o = old.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_old")
+    )
+    n = new.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    j = o.join(n, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    )
+    tot = j.agg(
+        F.sum("n_old").alias("_tot_old"),
+        F.sum("n_new").alias("_tot_new"),
+        F.count(F.lit(1)).alias("_b"),
+    )
+    out = j.crossJoin(F.broadcast(tot))
+    p = (F.col("n_old") + 1) / (F.col("_tot_old") + F.col("_b"))
+    q = (F.col("n_new") + 1) / (F.col("_tot_new") + F.col("_b"))
+    return out.select(
+        "bucket",
+        "n_old",
+        "n_new",
+        F.expr("(n_old * 1000000) div greatest(_tot_old, 1)")
+        .cast("long")
+        .alias("share_old_ppm"),
+        F.expr("(n_new * 1000000) div greatest(_tot_new, 1)")
+        .cast("long")
+        .alias("share_new_ppm"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+
+
+def distribution_drift_sql(
+    old_sql: str, new_sql: str, bucket_expr: str
+) -> str:
+    """DuckDB replay of :func:`distribution_drift`."""
+    return f"""
+WITH _dd_o AS (
+  SELECT {bucket_expr} AS bucket, count(*) AS n_old
+  FROM ({old_sql}) GROUP BY 1
+),
+_dd_n AS (
+  SELECT {bucket_expr} AS bucket, count(*) AS n_new
+  FROM ({new_sql}) GROUP BY 1
+),
+_dd_j AS (
+  SELECT coalesce(o.bucket, n.bucket) AS bucket,
+         CAST(coalesce(o.n_old, 0) AS BIGINT) AS n_old,
+         CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new
+  FROM _dd_o o FULL OUTER JOIN _dd_n n ON o.bucket = n.bucket
+),
+_dd_t AS (
+  SELECT sum(n_old) AS tot_old, sum(n_new) AS tot_new, count(*) AS b
+  FROM _dd_j
+)
+SELECT bucket, n_old, n_new,
+       CAST((n_old * 1000000) // greatest(tot_old, 1) AS BIGINT)
+         AS share_old_ppm,
+       CAST((n_new * 1000000) // greatest(tot_new, 1) AS BIGINT)
+         AS share_new_ppm,
+       round(
+         ((n_old + 1)::DOUBLE / (tot_old + b)
+          - (n_new + 1)::DOUBLE / (tot_new + b))
+         * ln(((n_old + 1)::DOUBLE / (tot_old + b))
+              / ((n_new + 1)::DOUBLE / (tot_new + b))), 6) AS psi_term
+FROM _dd_j CROSS JOIN _dd_t
+"""

@@ -1542,6 +1542,59 @@ def _packing_oracle() -> str:
 PACKING_ORACLE = _packing_oracle()
 
 
+# --- corpus_drift_psi (authored round 14 continuation, r15 candidate) ---------
+# PSI distribution drift (operators/quality.py::distribution_drift):
+# the promotion-gate complement of corpus_version_diff — diff says
+# WHICH rows changed, PSI says whether the length DISTRIBUTION moved.
+# Buckets = n_chars div 100; new version = the same deterministic
+# perturbation corpus_version_diff uses, so the two gate reports read
+# off one synthetic v2. The psi_term double is computed from exact
+# integer counts and rounded to 6dp (the repo float convention).
+
+
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per length bucket: v1/v2 counts, exact ppm shares, PSI term."""
+    from terra_bonobo_nodes_spark.operators.quality import distribution_drift
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    v2 = docs.where(F.expr("pmod(doc_id, 11) != 0")).select(
+        "doc_id",
+        F.when(
+            F.expr("pmod(doc_id, 7) = 0"), F.col("n_chars") + 1
+        ).otherwise(F.col("n_chars")).alias("n_chars"),
+    ).unionByName(
+        docs.where(F.expr("pmod(doc_id, 13) = 0")).select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "n_chars"
+        )
+    )
+    bucketed = lambda d: d.select(  # noqa: E731
+        F.expr("n_chars div 100").alias("len_bucket")
+    )
+    return distribution_drift(bucketed(docs), bucketed(v2), "len_bucket")
+
+
+def _drift_oracle() -> str:
+    from terra_bonobo_nodes_spark.operators.quality import (
+        distribution_drift_sql,
+    )
+
+    v2 = """
+  SELECT CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 11 != 0
+  UNION ALL
+  SELECT n_chars FROM documents WHERE doc_id % 13 = 0
+"""
+    inner = distribution_drift_sql(
+        "SELECT n_chars // 100 AS len_bucket FROM documents",
+        f"SELECT n_chars // 100 AS len_bucket FROM ({v2})",
+        "len_bucket",
+    )
+    return f"SELECT bucket, n_old, n_new, share_old_ppm, share_new_ppm, psi_term FROM ({inner})"
+
+
+DRIFT_ORACLE = _drift_oracle()
+
+
 # --- llm_host_communities (authored round 14 continuation, r15 candidate) ----
 # Label-propagation communities (llm/graph.py::lpa_fixed) over the
 # same synthesized host graph the registered capstone reads — the
@@ -2450,6 +2503,10 @@ CANDIDATES: dict[str, tuple] = {
     "llm_dsir_logweights": (llm_dsir_logweights, DSIR_ORACLE),
     "llm_bloom_decontaminate": (llm_bloom_decontaminate, BLOOM_ORACLE),
     "llm_cms_token_freq": (llm_cms_token_freq, CMS_ORACLE),
+    "corpus_drift_psi": (
+        corpus_drift_psi,
+        DRIFT_ORACLE,
+    ),
     "llm_packing_efficiency": (
         llm_packing_efficiency,
         PACKING_ORACLE,

@@ -304,6 +304,11 @@ CANDIDATE_CROSS_JOIN_OK: dict[str, str] = {
         "single-row feature-total scalars broadcast into the"
         " per-doc weight projection (llm/corpus.py::dsir_logweights)"
     ),
+    "corpus_drift_psi": (
+        "the 1-row (tot_old, tot_new, n_buckets) total broadcast into"
+        " the per-bucket share projection (operators/quality.py::"
+        "distribution_drift)"
+    ),
     "llm_perplexity_buckets": (
         "the documented 1-row bucket-cutoff scalar BNLJ"
         " (llm/text.py::perplexity_buckets)"
