@@ -1595,6 +1595,57 @@ def _drift_oracle() -> str:
 DRIFT_ORACLE = _drift_oracle()
 
 
+# --- events_conversion_funnel / events_cohort_retention (r14 cont., r15) ------
+# Event-sequence analytics (operators/funnels.py): the ordered-step
+# conversion funnel and the cohort retention triangle — the two
+# reports every events warehouse runs, both combinable-aggregate
+# shaped (funnel: one groupBy(user) pass + an array fold in codegen;
+# retention: min-per-user + join-back + cell counts). Every surfaced
+# column an exact integer (ppm by floor division, cohorts as epoch
+# BIGINT per the repo timestamp convention).
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase, in-order semantics, per step:
+    users reaching it and conversion vs step 1 in ppm."""
+    from terra_bonobo_nodes_spark.operators.funnels import conversion_funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return conversion_funnel(ev, _FUNNEL_STEPS)
+
+
+def _funnel_oracle_sql() -> str:
+    from terra_bonobo_nodes_spark.operators.funnels import (
+        conversion_funnel_sql,
+    )
+
+    return conversion_funnel_sql("SELECT * FROM events", _FUNNEL_STEPS)
+
+
+EVENTS_FUNNEL_ORACLE = _funnel_oracle_sql()
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over events."""
+    from terra_bonobo_nodes_spark.operators.funnels import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, period="week")
+
+
+def _retention_oracle_sql() -> str:
+    from terra_bonobo_nodes_spark.operators.funnels import (
+        cohort_retention_sql,
+    )
+
+    return cohort_retention_sql("SELECT * FROM events", period="week")
+
+
+EVENTS_RETENTION_ORACLE = _retention_oracle_sql()
+
+
 # --- llm_host_communities (authored round 14 continuation, r15 candidate) ----
 # Label-propagation communities (llm/graph.py::lpa_fixed) over the
 # same synthesized host graph the registered capstone reads — the
@@ -2503,6 +2554,14 @@ CANDIDATES: dict[str, tuple] = {
     "llm_dsir_logweights": (llm_dsir_logweights, DSIR_ORACLE),
     "llm_bloom_decontaminate": (llm_bloom_decontaminate, BLOOM_ORACLE),
     "llm_cms_token_freq": (llm_cms_token_freq, CMS_ORACLE),
+    "events_conversion_funnel": (
+        events_conversion_funnel,
+        EVENTS_FUNNEL_ORACLE,
+    ),
+    "events_cohort_retention": (
+        events_cohort_retention,
+        EVENTS_RETENTION_ORACLE,
+    ),
     "corpus_drift_psi": (
         corpus_drift_psi,
         DRIFT_ORACLE,
