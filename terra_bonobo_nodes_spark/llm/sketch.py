@@ -135,3 +135,67 @@ def cms_estimate(
     # reliably return NULL (observed returning the last element), so a
     # NULL token must short-circuit to a NULL estimate here
     return F.when(c.isNotNull(), F.least(*ests))
+
+
+def cms_inner_product(
+    cells_a: DataFrame, cells_b: DataFrame
+) -> DataFrame:
+    """Join-size / inner-product estimation from two CMS cell frames
+    (Cormode & Muthukrishnan 2005 §4.2, public — the sketch answer to
+    "how big will this join be?" asked BEFORE paying for the join):
+    for each counter row ``i``, ``dot_i = sum_p nA[i][p] * nB[i][p]``
+    over-counts the true ``sum_k fA(k) * fB(k)`` only by hash
+    collisions, so ``min_i dot_i`` is a never-undercounting estimate
+    with the standard (epsilon * N_a * N_b, delta) guarantee. Both
+    frames must come from :func:`cms_cells` with the SAME (d, w) — the
+    shared seed/positions are fixed by this module.
+
+    Emits ONE row: (est_join_size, d_used). Plan: the cell frames are
+    bounded at d*w rows each, so this is an equi-join and two tiny
+    aggregates over sketch-sized data — the raw tables are never
+    touched. Every value BIGINT (cells are counts; products of two
+    corpus counts fit 63 bits for anything under ~3e9 rows per cell —
+    at that scale raise w)."""
+    a = cells_a.select("i", "p", F.col("n").alias("_na"))
+    b = cells_b.select("i", "p", F.col("n").alias("_nb"))
+    dots = (
+        a.join(b, ["i", "p"])
+        .groupBy("i")
+        .agg(F.sum(F.col("_na") * F.col("_nb")).alias("_dot"))
+    )
+    return dots.agg(
+        F.coalesce(F.min("_dot"), F.lit(0)).cast("long").alias(
+            "est_join_size"
+        ),
+        F.count(F.lit(1)).cast("int").alias("d_used"),
+    )
+
+
+def cms_inner_product_sql(
+    src_a: str, src_b: str, key_a: str, key_b: str, d: int, w: int
+) -> str:
+    """DuckDB replay of ``cms_inner_product(cms_cells(A), cms_cells(B))``
+    built from the two raw relations."""
+
+    def cells(src: str, key: str, tag: str) -> str:
+        union = "\nUNION ALL ".join(
+            f"SELECT {i} AS i, {position_sql(key, i, w)} AS p"
+            f" FROM ({src}) WHERE {key} IS NOT NULL"
+            for i in range(d)
+        )
+        return (
+            f"{tag} AS (SELECT i, p, CAST(count(*) AS BIGINT) AS n"
+            f" FROM ({union}) GROUP BY 1, 2)"
+        )
+
+    return f"""
+WITH {cells(src_a, key_a, "_ca")},
+{cells(src_b, key_b, "_cb")},
+_dots AS (
+  SELECT a.i, sum(a.n * b.n) AS dot
+  FROM _ca a JOIN _cb b USING (i, p) GROUP BY a.i
+)
+SELECT CAST(coalesce(min(dot), 0) AS BIGINT) AS est_join_size,
+       CAST(count(*) AS INT) AS d_used
+FROM _dots
+"""

@@ -1646,6 +1646,99 @@ def _retention_oracle_sql() -> str:
 EVENTS_RETENTION_ORACLE = _retention_oracle_sql()
 
 
+# --- cms_join_size_report (authored round 14 continuation, r15 candidate) -----
+# Sketch-based join-size estimation (llm/sketch.py::cms_inner_product,
+# Cormode & Muthukrishnan 2005 §4.2): "how big will this join be?"
+# answered from two d*w sketches BEFORE paying for the join — the
+# planner question that completes the sketch family's five
+# (membership / frequency / cardinality / quantile / join size).
+# Two joins measured: orders x lineitem on orderkey (fk shape) and
+# the events self-join on user_id (skew shape, sum n_u^2); exact truth
+# rides along with the never-undercount flag.
+
+# w sizing: the estimate's additive error is ~ N_a*N_b/w per the CM
+# guarantee, so w must scale with the CROSS size over the acceptable
+# absolute error — at sf0.1 (150k orders x 600k lineitems) w=2^18
+# bounds the collision mass near the true join size (measured:
+# est/exact 2.0 at 2^18 vs 37x at the 2^12 default; still only
+# d*w = 1M BIGINT cells, sketch-sized). The same report at w=2^12
+# would be honest but useless — the exact column exists to SHOW that.
+_JS_D, _JS_W = 4, 1 << 18
+
+
+def cms_join_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(join_name, est_join_size, exact_join_size, never_under)."""
+    from terra_bonobo_nodes_spark.llm.sketch import cms_cells, cms_inner_product
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("token")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("token")
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("token")
+    )
+
+    def one(name, ta, tb):
+        est = cms_inner_product(
+            cms_cells(ta, d=_JS_D, w=_JS_W), cms_cells(tb, d=_JS_D, w=_JS_W)
+        ).select("est_join_size")
+        ca = ta.groupBy("token").agg(F.count(F.lit(1)).alias("_fa"))
+        cb = tb.groupBy("token").agg(F.count(F.lit(1)).alias("_fb"))
+        exact = ca.join(cb, "token").agg(
+            F.coalesce(F.sum(F.col("_fa") * F.col("_fb")), F.lit(0))
+            .cast("long")
+            .alias("exact_join_size")
+        )
+        return est.crossJoin(exact).select(
+            F.lit(name).alias("join_name"),
+            "est_join_size",
+            "exact_join_size",
+            (F.col("est_join_size") >= F.col("exact_join_size")).alias(
+                "never_under"
+            ),
+        )
+
+    return one("orders_lineitem", orders, li).unionByName(
+        one("events_self_users", ev, ev)
+    )
+
+
+def _join_size_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm.sketch import cms_inner_product_sql
+
+    def one(name, src_a, src_b, ka, kb):
+        ip = cms_inner_product_sql(src_a, src_b, ka, kb, _JS_D, _JS_W)
+        return f"""
+SELECT '{name}' AS join_name, i.est_join_size,
+       CAST(coalesce(x.exact, 0) AS BIGINT) AS exact_join_size,
+       i.est_join_size >= coalesce(x.exact, 0) AS never_under
+FROM ({ip}) i CROSS JOIN (
+  SELECT sum(fa * fb) AS exact FROM
+    (SELECT k, count(*) AS fa FROM ({src_a}) t(k) GROUP BY 1) a
+    JOIN (SELECT k, count(*) AS fb FROM ({src_b}) t(k) GROUP BY 1) b
+    USING (k)
+) x"""
+
+    q1 = one(
+        "orders_lineitem",
+        "SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders",
+        "SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem",
+        "k", "k",
+    )
+    q2 = one(
+        "events_self_users",
+        "SELECT CAST(user_id AS VARCHAR) AS k FROM events",
+        "SELECT CAST(user_id AS VARCHAR) AS k FROM events",
+        "k", "k",
+    )
+    return q1 + "\nUNION ALL\n" + q2
+
+
+JOIN_SIZE_ORACLE = _join_size_oracle()
+
+
 # --- llm_host_communities (authored round 14 continuation, r15 candidate) ----
 # Label-propagation communities (llm/graph.py::lpa_fixed) over the
 # same synthesized host graph the registered capstone reads — the
@@ -2554,6 +2647,10 @@ CANDIDATES: dict[str, tuple] = {
     "llm_dsir_logweights": (llm_dsir_logweights, DSIR_ORACLE),
     "llm_bloom_decontaminate": (llm_bloom_decontaminate, BLOOM_ORACLE),
     "llm_cms_token_freq": (llm_cms_token_freq, CMS_ORACLE),
+    "cms_join_size_report": (
+        cms_join_size_report,
+        JOIN_SIZE_ORACLE,
+    ),
     "events_conversion_funnel": (
         events_conversion_funnel,
         EVENTS_FUNNEL_ORACLE,

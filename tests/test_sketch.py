@@ -185,3 +185,75 @@ def test_cells_aggregate_streams_complete_mode(spark, tmp_path):
         for r in cms_cells(spark.read.parquet(path), d=2, w=64).collect()
     }
     assert got == want
+
+
+# --- inner product / join-size estimation -------------------------------------
+
+
+def _toks(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "token string")
+
+
+def test_inner_product_exact_without_collisions(spark):
+    from terra_bonobo_nodes_spark.llm.sketch import cms_cells, cms_inner_product
+
+    a = _toks(spark, ["x"] * 3 + ["y"] * 2 + ["only_a"])
+    b = _toks(spark, ["x"] * 4 + ["y"] * 5 + ["only_b"] * 7)
+    # true inner product: 3*4 + 2*5 = 22; w large enough -> no collisions
+    r = cms_inner_product(
+        cms_cells(a, d=4, w=1 << 12), cms_cells(b, d=4, w=1 << 12)
+    ).collect()[0]
+    assert (r["est_join_size"], r["d_used"]) == (22, 4)
+
+
+def test_inner_product_never_undercounts_under_collisions(spark):
+    from terra_bonobo_nodes_spark.llm.sketch import cms_cells, cms_inner_product
+
+    vals_a = [f"k{i}" for i in range(60) for _ in (0, 1)]  # 60 keys x2
+    vals_b = [f"k{i}" for i in range(0, 120, 2)]           # 60 keys x1, half shared
+    true = sum(2 * 1 for i in range(60) if i % 2 == 0)     # shared keys k0,k2..k58
+    a, b = _toks(spark, vals_a), _toks(spark, vals_b)
+    r = cms_inner_product(
+        cms_cells(a, d=3, w=16), cms_cells(b, d=3, w=16)
+    ).collect()[0]
+    assert r["est_join_size"] >= true
+
+
+def test_inner_product_empty_and_disjoint(spark):
+    from terra_bonobo_nodes_spark.llm.sketch import cms_cells, cms_inner_product
+
+    empty = _toks(spark, [])
+    some = _toks(spark, ["a", "b"])
+    r = cms_inner_product(
+        cms_cells(empty, d=2, w=64), cms_cells(some, d=2, w=64)
+    ).collect()[0]
+    assert r["est_join_size"] == 0
+
+
+def test_inner_product_sql_mirror(spark, duck):
+    from terra_bonobo_nodes_spark.llm.sketch import (
+        cms_cells,
+        cms_inner_product,
+        cms_inner_product_sql,
+    )
+
+    vals_a = [f"u{(i * 7) % 40}" for i in range(300)]
+    vals_b = [f"u{(i * 11) % 50}" for i in range(200)]
+    got = cms_inner_product(
+        cms_cells(_toks(spark, vals_a), d=4, w=256),
+        cms_cells(_toks(spark, vals_b), d=4, w=256),
+    ).collect()[0]
+    duck.execute(
+        "CREATE OR REPLACE TABLE ip_a AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{v}')" for v in vals_a) + ") t(k)"
+    )
+    duck.execute(
+        "CREATE OR REPLACE TABLE ip_b AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{v}')" for v in vals_b) + ") t(k)"
+    )
+    want = duck.execute(
+        cms_inner_product_sql(
+            "SELECT k FROM ip_a", "SELECT k FROM ip_b", "k", "k", 4, 256
+        )
+    ).fetchone()
+    assert (got["est_join_size"], got["d_used"]) == want
