@@ -467,7 +467,10 @@ def register(
 #   weighted priority sampling with the unbiased total estimator,
 #   all-integer; the weighted complement of llm_sample_surface and a
 #   natural same-family merge partner for it at promotion).
-# SEVEN more candidates authored in the second round-14 continuation
+# TWELVE more candidates authored in the second round-14 continuation
+# (final queue at handoff: 26 — dict order in queries_candidates.py
+# is the promotion rank; every row hash-green at 3 SFs and swept for
+# accidental cartesians by test_plan_audit's candidate audit)
 # (each hash-green at sf0.001 + sf0.01 + sf0.1 under the driver
 # compare contract; llm_distinct_sketch_report left the queue by the
 # approx_distinct_users in-place widening):
@@ -493,6 +496,19 @@ def register(
 #   GOPHER/C4 oracles verbatim — complements the INDEPENDENT yields of
 #   the registered llm_source_rule_yield; strong promotion-rank head
 #   alongside the sketch family).
+# - llm_packing_efficiency (llm/corpus.py::packing_efficiency — the
+#   padding-waste ledger, naive vs packed sequence counts, zero
+#   windows; measured 89.4% vs 14.0% waste at sf0.1/512).
+# - corpus_drift_psi (operators/quality.py::distribution_drift — PSI
+#   between corpus versions; the promotion gate's second report,
+#   rides the same synthetic v2 as corpus_version_diff).
+# - events_conversion_funnel + events_cohort_retention
+#   (operators/funnels.py — ordered-step funnel in one groupBy(user)
+#   pass and the weekly retention triangle; 20M-event sweeps 21.9s /
+#   20.9s local[16]).
+# - cms_join_size_report (llm/sketch.py::cms_inner_product — the
+#   join-planner question from two sketches; w sizing rule
+#   demonstrated by measurement, 37x at 2^12 -> 1.57x at 2^18).
 # Plus pytest-only (rows-only class): llm/exif.py EXIF parse + GPS
 # scrub (image PII; byte-structure parsing not SQL-expressible).
 #
