@@ -61,3 +61,39 @@ def test_result_invariant_under_shuffle_layout(name, spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", default)
     assert baseline == hostile, f"{name} result moved with shuffle layout"
+
+
+# --- staged candidates: same contract before promotion ------------------------
+# The shuffle/ordering-sensitive continuation rows (window ranks, top-k
+# boundaries, iterative label propagation, float PSI terms, array
+# folds) must already be layout-invariant while staged — a
+# partitioning-dependent result found at promotion wastes a driver
+# slot (the candidate cartesian-audit rationale).
+
+CANDIDATE_SENSITIVE = [
+    "llm_host_communities",        # 5 synchronous LPA rounds
+    "llm_corpus_overlap_report",   # bottom-k union re-rank
+    "llm_stride_interleave_order", # per-source hash-rank window
+    "llm_vocab_coverage_report",   # top-256 boundary + broadcast join
+    "llm_curation_funnel",         # dedup window over the filtered set
+    "llm_packing_efficiency",      # two-level combinable rollup
+    "corpus_drift_psi",            # the one float (psi_term) column
+    "events_conversion_funnel",    # sorted-array fold per user
+    "events_cohort_retention",     # min-per-user + cell counts
+    "cms_join_size_report",        # d*w cell joins + min-of-dots
+]
+
+
+@pytest.mark.parametrize("name", CANDIDATE_SENSITIVE)
+def test_candidate_invariant_under_shuffle_layout(name, spark):
+    from terra_bonobo_nodes_spark.plans.queries_candidates import CANDIDATES
+
+    fn, _ = CANDIDATES[name]
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    baseline = _rows(fn(spark, SF_DIR))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        hostile = _rows(fn(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default)
+    assert baseline == hostile, f"{name} result moved with shuffle layout"
