@@ -1739,6 +1739,70 @@ FROM ({ip}) i CROSS JOIN (
 JOIN_SIZE_ORACLE = _join_size_oracle()
 
 
+# --- llm_novelty_scores (authored round 14 continuation, r15 candidate) -------
+# Semantic novelty of a corpus-version ADDITION set: each new vector's
+# nearest neighbor in the standing corpus and a novel/redundant
+# verdict — the embedding-space complement of corpus_version_diff
+# (key churn) and corpus_drift_psi (distribution drift): "are the new
+# documents actually NEW, or re-crawls of what we have?". Additions =
+# vec_id % 13 == 0 (the version-diff modulus convention); the
+# standing corpus is everything else. brute_force_topk(k=1) is the
+# bounded-query-side exact path (the additions batch is the SMALL
+# side by construction — for addition sets past the documented cap,
+# ivf_ann_topk is the scale path).
+
+_NOV_THRESH = 0.99
+
+
+def llm_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, nn_id, cos_sim, is_novel) for every added vector."""
+    from terra_bonobo_nodes_spark.llm.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    standing = emb.where(F.expr("pmod(vec_id, 13) != 0"))
+    added = emb.where(F.expr("pmod(vec_id, 13) = 0"))
+    nn = brute_force_topk(standing, added, k=1)
+    return nn.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("neighbor_id").alias("nn_id"),
+        "cos_sim",
+        (F.col("cos_sim") < F.lit(_NOV_THRESH)).alias("is_novel"),
+    )
+
+
+NOVELTY_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(list_zip(v, v), x -> x[1] * x[2])),
+           (acc, x) -> acc + x)) AS nrm
+  FROM e
+),
+q AS (SELECT vec_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 13 = 0),
+c AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 13 != 0),
+scored AS (
+  SELECT q.vec_id, c.vec_id AS nn_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(list_zip(q.qv, c.v), x -> x[1] * x[2])),
+           (acc, x) -> acc + x) / (q.qn * c.nrm) AS cos_sim
+  FROM c CROSS JOIN q
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id ASC) AS rank
+  FROM scored
+)
+SELECT vec_id, nn_id, cos_sim, cos_sim < 0.99 AS is_novel
+FROM ranked WHERE rank = 1
+"""
+
+
 # --- llm_host_communities (authored round 14 continuation, r15 candidate) ----
 # Label-propagation communities (llm/graph.py::lpa_fixed) over the
 # same synthesized host graph the registered capstone reads — the
@@ -2647,6 +2711,10 @@ CANDIDATES: dict[str, tuple] = {
     "llm_dsir_logweights": (llm_dsir_logweights, DSIR_ORACLE),
     "llm_bloom_decontaminate": (llm_bloom_decontaminate, BLOOM_ORACLE),
     "llm_cms_token_freq": (llm_cms_token_freq, CMS_ORACLE),
+    "llm_novelty_scores": (
+        llm_novelty_scores,
+        NOVELTY_ORACLE,
+    ),
     "cms_join_size_report": (
         cms_join_size_report,
         JOIN_SIZE_ORACLE,

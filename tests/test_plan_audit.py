@@ -304,6 +304,10 @@ CANDIDATE_CROSS_JOIN_OK: dict[str, str] = {
         "single-row feature-total scalars broadcast into the"
         " per-doc weight projection (llm/corpus.py::dsir_logweights)"
     ),
+    "cms_join_size_report": (
+        "two 1-row frames crossJoined per measured join (the sketch"
+        " estimate scalar x the exact-truth scalar)"
+    ),
     "corpus_drift_psi": (
         "the 1-row (tot_old, tot_new, n_buckets) total broadcast into"
         " the per-bucket share projection (operators/quality.py::"
