@@ -467,10 +467,11 @@ def register(
 #   weighted priority sampling with the unbiased total estimator,
 #   all-integer; the weighted complement of llm_sample_surface and a
 #   natural same-family merge partner for it at promotion).
-# TWELVE more candidates authored in the second round-14 continuation
-# (final queue at handoff: 26 — dict order in queries_candidates.py
-# is the promotion rank; every row hash-green at 3 SFs and swept for
-# accidental cartesians by test_plan_audit's candidate audit)
+# THIRTEEN more candidates authored in the second round-14
+# continuation (final queue at handoff: 27 — dict order in
+# queries_candidates.py is the promotion rank; every row hash-green
+# at 3 SFs and swept for accidental cartesians AND shuffle-layout
+# invariance by test_plan_audit / test_determinism candidate sweeps)
 # (each hash-green at sf0.001 + sf0.01 + sf0.1 under the driver
 # compare contract; llm_distinct_sketch_report left the queue by the
 # approx_distinct_users in-place widening):
@@ -509,6 +510,9 @@ def register(
 # - cms_join_size_report (llm/sketch.py::cms_inner_product — the
 #   join-planner question from two sketches; w sizing rule
 #   demonstrated by measurement, 37x at 2^12 -> 1.57x at 2^18).
+# - llm_novelty_scores (the meaning-level promotion-gate member:
+#   added vectors' exact NN in the standing corpus + novel verdict;
+#   IEEE dot-fold parity makes raw cos_sim hash-comparable).
 # Plus pytest-only (rows-only class): llm/exif.py EXIF parse + GPS
 # scrub (image PII; byte-structure parsing not SQL-expressible).
 #
