@@ -145,3 +145,29 @@ def test_curated_corpus_replays_through_load_table(spark, sf_dir, tmp_path):
     assert sorted(r["doc_id"] for r in pinned.collect()) == sorted(
         r["doc_id"] for r in docs.where("n_chars >= 100").collect()
     )
+
+
+def test_pipeline_write_order_is_on_mixture(spark, sf_dir):
+    """Continuation stage: the interleaved WRITE ORDER composes onto
+    the pipeline's survivor set without adapters, covers exactly the
+    listed-language rows, and its first range partition is already
+    on-mixture — the property a training reader consumes."""
+    from terra_bonobo_nodes_spark.llm.corpus import stride_interleave
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    weights = {"en": 3, "fr": 1, "de": 1, "es": 1}
+    ordered = stride_interleave(
+        docs, weights, source_col="lang", id_col="doc_id"
+    )
+    assert ordered.count() == docs.where(
+        F.col("lang").isin(*weights)
+    ).count()
+    ranked = ordered.orderBy("interleave_key", "lang", "src_rank")
+    prefix = [r["lang"] for r in ranked.limit(120).collect()]
+    en = sum(1 for s in prefix if s == "en")
+    # weight 3 of 6 -> en should hold ~half of any prefix (stride
+    # deviation <= one doc per source, plus hash-order noise between
+    # equal keys)
+    assert abs(en - 60) <= 6, en
