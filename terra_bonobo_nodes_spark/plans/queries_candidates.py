@@ -1420,6 +1420,7 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_tok_raw",
         F.size(tokens(F.coalesce(F.col("text"), F.lit("")))).cast("long"),
     )
+    cnt = lambda c: F.count(F.when(F.col(c), 1)).cast("long")  # noqa: E731
     raw_agg = staged.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_raw"),
         F.sum("_tok_raw").cast("long").alias("tok_raw"),
@@ -1427,6 +1428,19 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("g_keep") & F.col("c4_keep"), 1))
         .cast("long")
         .alias("n_c4"),
+        # the per-rule audit columns (widened late round 14 so the r15
+        # promotion can RETIRE llm_source_rule_yield into this row —
+        # same source grain, independent yields + sequential retention
+        # on one report): c4 keep INDEPENDENT of gopher, then each
+        # gopher rule's violation count
+        cnt("c4_keep").alias("n_c4_keep"),
+        cnt("g_flag_n_words").alias("n_flag_n_words"),
+        cnt("g_flag_mean_word_len").alias("n_flag_mean_word_len"),
+        cnt("g_flag_symbol_ratio").alias("n_flag_symbol_ratio"),
+        cnt("g_flag_bullet_lines").alias("n_flag_bullet_lines"),
+        cnt("g_flag_ellipsis_lines").alias("n_flag_ellipsis_lines"),
+        cnt("g_flag_alpha_words").alias("n_flag_alpha_words"),
+        cnt("g_flag_stopwords").alias("n_flag_stopwords"),
     )
     filtered = staged.where(F.col("g_keep") & F.col("c4_keep"))
     w = Window.partitionBy(fingerprint_col("text")).orderBy(
@@ -1449,6 +1463,14 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
         "tok_raw",
         F.coalesce("tok_final", F.lit(0)).cast("long").alias("tok_final"),
+        "n_c4_keep",
+        "n_flag_n_words",
+        "n_flag_mean_word_len",
+        "n_flag_symbol_ratio",
+        "n_flag_bullet_lines",
+        "n_flag_ellipsis_lines",
+        "n_flag_alpha_words",
+        "n_flag_stopwords",
     )
 
 
@@ -1463,6 +1485,9 @@ WITH fgopher AS ({gopher_per_doc}),
 fc4 AS ({c4_per_doc}),
 fj AS (
   SELECT d.source, d.doc_id, d.text, g.g_keep, c.c4_keep, c.c4_text,
+         g.g_flag_n_words, g.g_flag_mean_word_len, g.g_flag_symbol_ratio,
+         g.g_flag_bullet_lines, g.g_flag_ellipsis_lines,
+         g.g_flag_alpha_words, g.g_flag_stopwords,
          len({TOKS_SQL.replace("lower(text)", "lower(coalesce(d.text, ''))")}) AS tok_raw,
          {fp} AS fp
   FROM documents d
@@ -1474,7 +1499,15 @@ fraw AS (
          CAST(count(*) AS BIGINT) AS n_raw,
          CAST(sum(tok_raw) AS BIGINT) AS tok_raw,
          CAST(count(*) FILTER (g_keep) AS BIGINT) AS n_gopher,
-         CAST(count(*) FILTER (g_keep AND c4_keep) AS BIGINT) AS n_c4
+         CAST(count(*) FILTER (g_keep AND c4_keep) AS BIGINT) AS n_c4,
+         CAST(count(*) FILTER (c4_keep) AS BIGINT) AS n_c4_keep,
+         CAST(count(*) FILTER (g_flag_n_words) AS BIGINT) AS n_flag_n_words,
+         CAST(count(*) FILTER (g_flag_mean_word_len) AS BIGINT) AS n_flag_mean_word_len,
+         CAST(count(*) FILTER (g_flag_symbol_ratio) AS BIGINT) AS n_flag_symbol_ratio,
+         CAST(count(*) FILTER (g_flag_bullet_lines) AS BIGINT) AS n_flag_bullet_lines,
+         CAST(count(*) FILTER (g_flag_ellipsis_lines) AS BIGINT) AS n_flag_ellipsis_lines,
+         CAST(count(*) FILTER (g_flag_alpha_words) AS BIGINT) AS n_flag_alpha_words,
+         CAST(count(*) FILTER (g_flag_stopwords) AS BIGINT) AS n_flag_stopwords
   FROM fj GROUP BY source
 ),
 ffiltered AS (
@@ -1490,7 +1523,10 @@ funiq AS (
 SELECT r.source, r.n_raw, r.n_gopher, r.n_c4,
        CAST(coalesce(u.n_unique, 0) AS BIGINT) AS n_unique,
        r.tok_raw,
-       CAST(coalesce(u.tok_final, 0) AS BIGINT) AS tok_final
+       CAST(coalesce(u.tok_final, 0) AS BIGINT) AS tok_final,
+       r.n_c4_keep, r.n_flag_n_words, r.n_flag_mean_word_len,
+       r.n_flag_symbol_ratio, r.n_flag_bullet_lines,
+       r.n_flag_ellipsis_lines, r.n_flag_alpha_words, r.n_flag_stopwords
 FROM fraw r LEFT JOIN funiq u USING (source)
 """
 

@@ -529,11 +529,12 @@ def register(
 #      changed slot, zero net registrations.
 #   2. llm_readability_scores -> WIDEN llm_quality_filter_score (same
 #      doc grain) — 1 changed slot.
-#   3. llm_curation_funnel -> REGISTER via a same-grain merge that
-#      frees a slot (candidate: fold llm_source_rule_yield's per-rule
-#      counts INTO the funnel row — both source-grain reports; one
-#      widened row carries independent yields AND sequential
-#      retention) — 1 new slot.
+#   3. llm_curation_funnel -> REGISTER in llm_source_rule_yield's
+#      slot (retire-and-replace, zero net): the candidate was WIDENED
+#      late round 14 to a strict superset of the rule-yield row —
+#      same source grain, all per-rule counts + independent c4 keep +
+#      the sequential retention and token-mass columns; hash-green at
+#      3 SFs post-widening. One registration edit — 1 new slot.
 # Everything else (host_communities -> host_quality_report widening,
 # corpus_overlap, stride order, version diff, vocab coverage, the
 # kmeans/anchor/token-budget/fuzzy/pq/bitext/sentence/perplexity/
