@@ -264,3 +264,104 @@ SELECT bucket, n_old, n_new,
               / ((n_new + 1)::DOUBLE / (tot_new + b))), 6) AS psi_term
 FROM _dd_j CROSS JOIN _dd_t
 """
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k_num: int = 5,
+    k_den: int = 1,
+) -> DataFrame:
+    """Median/MAD outlier screen — the robust alternative to
+    mean/stddev z-scores (one 2GB page in a source of tweets moves a
+    mean arbitrarily; it cannot move the median). A row is an outlier
+    when ``|x - median| > (k_num/k_den) * MAD``, evaluated as the
+    integer cross-multiplication ``k_den * |x - med| > k_num * mad``
+    so integer value columns replay exactly cross-engine.
+
+    Medians here are EXACT DISCRETE lower medians — the value at
+    ascending position ``(n+1) div 2`` — so ``med`` and ``mad`` are
+    actual corpus values (integers for integer columns), not
+    interpolations; ties in the sort are irrelevant because the value
+    at a rank is well-defined under value ordering. The standard MAD
+    caveat applies and is deliberate: a group where >50% of values are
+    identical has MAD 0 and every deviating row flags.
+
+    Emits the input columns plus (med, mad, is_outlier). Plan: two
+    rank-window passes over the group key (median, then deviation
+    median) and two group-grain joins back — the exact-companion
+    shape; at 100 TB swap the medians for the histogram-sketch
+    quantiles (llm/quantiles.py) and keep the same flag expression."""
+    if k_num < 0 or k_den < 1:
+        raise ValueError("k must be a non-negative rational (k_num/k_den)")
+    v = F.col(value_col)
+    g = F.col(group_col)
+
+    def _disc_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col).orderBy(F.col(col).asc())
+        wn = Window.partitionBy(group_col)
+        ranked = frame.select(
+            group_col,
+            col,
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wn).alias("_n"),
+        )
+        return ranked.where(
+            F.col("_rn") == F.expr("(_n + 1) div 2")
+        ).select(g.alias("_g"), F.col(col).alias(out))
+
+    base = df.where(v.isNotNull())
+    med = _disc_median(base, value_col, "med")
+    with_med = base.join(med, base[group_col] == med["_g"]).drop("_g")
+    dev = with_med.select(
+        group_col, F.abs(v - F.col("med")).alias("_absdev")
+    )
+    mad = _disc_median(dev, "_absdev", "mad")
+    out = with_med.join(mad, with_med[group_col] == mad["_g"]).drop("_g")
+    return out.withColumn(
+        "is_outlier",
+        F.lit(int(k_den)) * F.abs(v - F.col("med"))
+        > F.lit(int(k_num)) * F.col("mad"),
+    )
+
+
+def robust_outliers_sql(
+    src_sql: str,
+    value_expr: str,
+    group_expr: str,
+    k_num: int = 5,
+    k_den: int = 1,
+) -> str:
+    """DuckDB replay of :func:`robust_outliers` (emits group, value,
+    med, mad, is_outlier)."""
+    return f"""
+WITH _ro_base AS (
+  SELECT {group_expr} AS g, {value_expr} AS v FROM ({src_sql})
+  WHERE {value_expr} IS NOT NULL
+),
+_ro_med AS (
+  SELECT g, v AS med FROM (
+    SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v ASC) AS rn,
+           count(*) OVER (PARTITION BY g) AS n
+    FROM _ro_base
+  ) WHERE rn = (n + 1) // 2
+),
+_ro_dev AS (
+  SELECT b.g, abs(b.v - m.med) AS absdev
+  FROM _ro_base b JOIN _ro_med m USING (g)
+),
+_ro_mad AS (
+  SELECT g, absdev AS mad FROM (
+    SELECT g, absdev,
+           row_number() OVER (PARTITION BY g ORDER BY absdev ASC) AS rn,
+           count(*) OVER (PARTITION BY g) AS n
+    FROM _ro_dev
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT b.g, b.v, m.med, d.mad,
+       {int(k_den)} * abs(b.v - m.med) > {int(k_num)} * d.mad AS is_outlier
+FROM _ro_base b JOIN _ro_med m USING (g) JOIN _ro_mad d USING (g)
+"""

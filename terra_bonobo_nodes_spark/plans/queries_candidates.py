@@ -1839,6 +1839,41 @@ FROM ranked WHERE rank = 1
 """
 
 
+# --- llm_length_outliers (authored round 14 continuation, r15 candidate) ------
+# Median/MAD robust outlier screen (operators/quality.py::
+# robust_outliers): the screen that survives the one 2GB page a
+# mean/stddev z-score cannot — exact discrete medians, integer
+# cross-multiplied threshold, full replay. Doc grain over n_chars per
+# source at k=5.
+
+
+def llm_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_chars, med, mad, is_outlier) per document."""
+    from terra_bonobo_nodes_spark.operators.quality import robust_outliers
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    )
+    return robust_outliers(docs, "n_chars", "source", k_num=5).select(
+        "source", "n_chars", "med", "mad", "is_outlier"
+    )
+
+
+def _length_outliers_oracle() -> str:
+    from terra_bonobo_nodes_spark.operators.quality import robust_outliers_sql
+
+    inner = robust_outliers_sql(
+        "SELECT source, n_chars FROM documents", "n_chars", "source", 5
+    )
+    return (
+        "SELECT g AS source, v AS n_chars, med, mad, is_outlier "
+        f"FROM ({inner})"
+    )
+
+
+LENGTH_OUTLIERS_ORACLE = _length_outliers_oracle()
+
+
 # --- llm_host_communities (authored round 14 continuation, r15 candidate) ----
 # Label-propagation communities (llm/graph.py::lpa_fixed) over the
 # same synthesized host graph the registered capstone reads — the
@@ -2747,6 +2782,10 @@ CANDIDATES: dict[str, tuple] = {
     "llm_dsir_logweights": (llm_dsir_logweights, DSIR_ORACLE),
     "llm_bloom_decontaminate": (llm_bloom_decontaminate, BLOOM_ORACLE),
     "llm_cms_token_freq": (llm_cms_token_freq, CMS_ORACLE),
+    "llm_length_outliers": (
+        llm_length_outliers,
+        LENGTH_OUTLIERS_ORACLE,
+    ),
     "llm_novelty_scores": (
         llm_novelty_scores,
         NOVELTY_ORACLE,

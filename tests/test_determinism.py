@@ -82,6 +82,7 @@ CANDIDATE_SENSITIVE = [
     "events_cohort_retention",     # min-per-user + cell counts
     "cms_join_size_report",        # d*w cell joins + min-of-dots
     "llm_novelty_scores",          # per-batch top-k merge window
+    "llm_length_outliers",         # two rank-window median passes
 ]
 
 

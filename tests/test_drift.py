@@ -73,3 +73,112 @@ def test_sql_mirror(spark, duck):
         ).fetchall()
     )
     assert got == want
+
+
+def test_new_side_bucket_counts_stream_complete_mode(spark, tmp_path):
+    """The drift monitor's production shape: the NEW side's bucket
+    counts are a bounded-key combinable aggregate (buckets by
+    construction), so they run unchanged over a readStream in complete
+    mode — the cms_cells/hll_registers property — and a foreachBatch
+    (or the driver) joins the static old-side counts and computes PSI.
+    Pinned batch == stream on the aggregate itself."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / f"drift-{uuid.uuid4().hex[:8]}")
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(500)], "b long"
+    )
+    df.limit(200).coalesce(1).write.mode("overwrite").parquet(path)
+    df.subtract(df.limit(0)).coalesce(1).write.mode("append").parquet(path)
+
+    counts = (
+        spark.readStream.schema("b long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    assert counts.isStreaming
+    name = f"drift_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.sql(f"select * from {name}").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+        .collect()
+    )
+    assert got == want
+
+
+# --- robust (median/MAD) outliers (same module family) ------------------------
+
+
+def test_robust_outliers_hand_case(spark):
+    from terra_bonobo_nodes_spark.operators.quality import robust_outliers
+
+    # group a: values 1..9 plus a 1000 spike; lower median of 10
+    # values = position 5 = 5; absdevs {0..4, 995...} -> mad = 2
+    rows = [("a", v) for v in range(1, 10)] + [("a", 1000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["v"]: (r["med"], r["mad"], r["is_outlier"])
+           for r in robust_outliers(df, "v", "g", k_num=3).collect()}
+    assert got[1000] == (5, 2, True)
+    assert got[5] == (5, 2, False)
+    # |1-5|=4 <= 3*2 -> inlier; |v-med| > 6 only for the spike
+    assert not any(f for v, (_, _, f) in got.items() if v != 1000)
+
+
+def test_robust_outliers_constant_group_and_nulls(spark):
+    import pytest as _pt
+
+    from terra_bonobo_nodes_spark.operators.quality import robust_outliers
+
+    df = spark.createDataFrame(
+        [("c", 7), ("c", 7), ("c", 7), ("c", 8), ("c", None)],
+        "g string, v long",
+    )
+    got = {(r["v"], r["is_outlier"]) for r in
+           robust_outliers(df, "v", "g").collect()}
+    # MAD 0: the deviating row flags at any k; NULL rows are dropped
+    assert got == {(7, False), (8, True)}
+    with _pt.raises(ValueError):
+        robust_outliers(df, "v", "g", k_den=0)
+
+
+def test_robust_outliers_sql_mirror(spark, duck):
+    from terra_bonobo_nodes_spark.operators.quality import (
+        robust_outliers,
+        robust_outliers_sql,
+    )
+
+    rows = [(f"g{i % 3}", (i * 37) % 100 + (1000 if i % 17 == 0 else 0))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = sorted(
+        (r["g"], r["v"], r["med"], r["mad"], r["is_outlier"])
+        for r in robust_outliers(df, "v", "g").collect()
+    )
+    duck.execute(
+        "CREATE OR REPLACE TABLE ro_raw AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{g}', {v})" for g, v in rows) + ") t(g, v)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            robust_outliers_sql("SELECT * FROM ro_raw", "v", "g")
+        ).fetchall()
+    )
+    assert got == want
