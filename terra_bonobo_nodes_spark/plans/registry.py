@@ -467,8 +467,8 @@ def register(
 #   weighted priority sampling with the unbiased total estimator,
 #   all-integer; the weighted complement of llm_sample_surface and a
 #   natural same-family merge partner for it at promotion).
-# THIRTEEN more candidates authored in the second round-14
-# continuation (final queue at handoff: 27 — dict order in
+# FOURTEEN more candidates authored in the second round-14
+# continuation (final queue at handoff: 28 — dict order in
 # queries_candidates.py is the promotion rank; every row hash-green
 # at 3 SFs and swept for accidental cartesians AND shuffle-layout
 # invariance by test_plan_audit / test_determinism candidate sweeps)
@@ -513,6 +513,9 @@ def register(
 # - llm_novelty_scores (the meaning-level promotion-gate member:
 #   added vectors' exact NN in the standing corpus + novel verdict;
 #   IEEE dot-fold parity makes raw cos_sim hash-comparable).
+# - llm_length_outliers (operators/quality.py::robust_outliers —
+#   median/MAD screen, exact discrete medians, integer-crossmul
+#   threshold; the robust sibling of the z-score family).
 # Plus pytest-only (rows-only class): llm/exif.py EXIF parse + GPS
 # scrub (image PII; byte-structure parsing not SQL-expressible).
 #
