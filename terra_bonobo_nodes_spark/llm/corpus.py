@@ -10,7 +10,7 @@ DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from terra_bonobo_nodes_spark.llm.hashing import hash32, hash32_sql
@@ -558,9 +558,21 @@ def stride_interleave(
         .withColumn("src_rank", F.row_number().over(w_rank) - F.lit(1))
     )
     return out.withColumn(
-        "interleave_key",
-        F.expr(f"(2 * src_rank + 1) * CAST({int(stride_one)} AS BIGINT) div (2 * _w)"),
+        "interleave_key", _interleave_key_expr(int(stride_one))
     ).drop("_w")
+
+
+def _interleave_key_expr(stride_one: int) -> Column:
+    """``(2*src_rank + 1) * stride_one div (2*_w)`` with src_rank
+    widened BEFORE the *2: row_number yields INT, so the unwidened
+    numerator wraps past ~2^30 documents per source and diverges from
+    the SQL mirror (which ranks in BIGINT) — ADVICE r15. Kept as a
+    named helper so the overflow regression test can evaluate the
+    exact production expression against an injected large rank."""
+    return F.expr(
+        "(2 * CAST(src_rank AS BIGINT) + 1)"
+        f" * CAST({int(stride_one)} AS BIGINT) div (2 * _w)"
+    )
 
 
 def stride_interleave_sql(

@@ -183,19 +183,54 @@ def serialize_tiff(ifd0: list) -> bytes:
 
 def _walk_jpeg(payload: bytes) -> Iterator[tuple[int, int, int]]:
     """Yield (marker, seg_start, seg_end) for each marker segment up to
-    SOS; seg_start/seg_end bound the whole FF xx LL LL ... segment."""
+    SOS; seg_start/seg_end bound the FF xx [LL LL ...] segment
+    (seg_start always points at the 0xFF immediately before the marker
+    byte, so ``payload[s+2:s+4]`` is the length for sized segments).
+
+    Spec-legal shapes that are NOT a plain FF-xx-LL-LL chain are
+    handled explicitly instead of desyncing or bailing silently
+    (a scrubber that returns normally on an unparsed chain would let
+    :func:`scrub_gps_jpeg` certify a payload it never inspected):
+    runs of 0xFF fill bytes before a marker are legal padding
+    (ITU T.81 B.1.1.2); TEM (0x01) and RST0-7 (0xD0-0xD7) are
+    standalone length-less markers; SOS (0xDA) and EOI (0xD9) end the
+    walk cleanly. Everything else that prevents a complete walk —
+    truncation mid-chain, a segment extending past the buffer, a
+    length < 2, a stuffed 0x00 where a marker belongs — raises
+    :class:`ExifError`."""
     if payload[:2] != b"\xff\xd8":
         raise ExifError("not a JPEG (missing SOI)")
     i = 2
-    while i + 4 <= len(payload):
+    n = len(payload)
+    while True:
+        if i >= n:
+            raise ExifError("JPEG truncated before SOS/EOI")
         if payload[i] != 0xFF:
             raise ExifError("JPEG marker desync")
-        marker = payload[i + 1]
-        if marker == 0xDA:  # SOS — entropy data follows, stop walking
+        j = i + 1
+        while j < n and payload[j] == 0xFF:  # fill bytes (B.1.1.2)
+            j += 1
+        if j >= n:
+            raise ExifError("JPEG truncated inside a marker fill run")
+        marker = payload[j]
+        if marker == 0xDA or marker == 0xD9:  # SOS / EOI — clean end
             return
-        (ln,) = struct.unpack_from(">H", payload, i + 2)
-        yield marker, i, i + 2 + ln
-        i += 2 + ln
+        if marker == 0x00:  # byte stuffing only exists inside a scan
+            raise ExifError("JPEG marker desync (stuffed 0x00)")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn
+            yield marker, j - 1, j + 1
+            i = j + 1
+            continue
+        if j + 3 > n:
+            raise ExifError("JPEG segment header truncated")
+        (ln,) = struct.unpack_from(">H", payload, j + 1)
+        if ln < 2:
+            raise ExifError("JPEG segment length < 2")
+        end = j + 1 + ln
+        if end > n:
+            raise ExifError("JPEG segment extends past the buffer")
+        yield marker, j - 1, end
+        i = end
 
 
 def _find_exif_app1(payload: bytes) -> tuple[int, int] | None:

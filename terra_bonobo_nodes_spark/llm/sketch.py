@@ -155,15 +155,28 @@ def cms_inner_product(
     aggregates over sketch-sized data — the raw tables are never
     touched. Every value BIGINT (cells are counts; products of two
     corpus counts fit 63 bits for anything under ~3e9 rows per cell —
-    at that scale raise w)."""
+    at that scale raise w).
+
+    The min runs over ALL d counter rows, not just rows where the two
+    frames share a populated cell: a row with zero overlapping cells
+    proves ``dot_i = 0`` (the join is empty at that hash row), so the
+    per-row dots are stitched onto a spine of every ``i`` present in
+    either frame with 0 fill before taking the min — otherwise
+    partially-colliding disjoint inputs would report a positive
+    estimate (ADVICE r15). ``d_used`` is the spine size: d whenever
+    either input is non-empty, 0 only when both sketches are empty."""
     a = cells_a.select("i", "p", F.col("n").alias("_na"))
     b = cells_b.select("i", "p", F.col("n").alias("_nb"))
+    spine = a.select("i").unionByName(b.select("i")).distinct()
     dots = (
         a.join(b, ["i", "p"])
         .groupBy("i")
         .agg(F.sum(F.col("_na") * F.col("_nb")).alias("_dot"))
     )
-    return dots.agg(
+    full = spine.join(dots, "i", "left").select(
+        F.coalesce(F.col("_dot"), F.lit(0)).alias("_dot")
+    )
+    return full.agg(
         F.coalesce(F.min("_dot"), F.lit(0)).cast("long").alias(
             "est_join_size"
         ),
@@ -191,11 +204,18 @@ def cms_inner_product_sql(
     return f"""
 WITH {cells(src_a, key_a, "_ca")},
 {cells(src_b, key_b, "_cb")},
+_spine AS (
+  SELECT DISTINCT i FROM (SELECT i FROM _ca UNION ALL SELECT i FROM _cb)
+),
 _dots AS (
   SELECT a.i, sum(a.n * b.n) AS dot
   FROM _ca a JOIN _cb b USING (i, p) GROUP BY a.i
+),
+_full AS (
+  SELECT s.i, coalesce(d.dot, 0) AS dot
+  FROM _spine s LEFT JOIN _dots d USING (i)
 )
 SELECT CAST(coalesce(min(dot), 0) AS BIGINT) AS est_join_size,
        CAST(count(*) AS INT) AS d_used
-FROM _dots
+FROM _full
 """

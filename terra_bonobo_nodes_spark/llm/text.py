@@ -876,12 +876,18 @@ def readability(
         lambda acc, x: acc + x,
     )
     n_words = F.size(toks).cast("long")
+    # Sentence fragments count only when they contain a NON-WHITESPACE
+    # character (the pinned Python reference uses ``.strip()``, which
+    # drops "\n"/"\t"-only fragments; Spark's ``trim`` strips ASCII
+    # spaces only, so "0?\n" would otherwise count 2 sentences —
+    # VERDICT_r14 item 1). Java's \S is [^ \t\n\x0B\f\r]; the SQL
+    # mirror spells that class out because RE2's \S omits \x0B.
     n_sent = F.greatest(
         F.lit(1),
         F.size(
             F.filter(
                 F.split(c, "[.!?]+"),
-                lambda s: F.length(F.trim(s)) > 0,
+                lambda s: s.rlike(r"\S"),
             )
         ),
     ).cast("long")
@@ -923,7 +929,7 @@ def readability_sql(expr: str, prefix: str = "r_") -> str:
     )
     sent = (
         f"greatest(1, len(list_filter(str_split_regex(coalesce({expr}, ''), "
-        "'[.!?]+'), s -> length(trim(s)) > 0)))"
+        "'[.!?]+'), s -> regexp_matches(s, '[^ \\t\\n\\x0B\\f\\r]'))))"
     )
     return f"""
   CAST(len({toks}) AS BIGINT) AS {prefix}n_words,

@@ -1349,8 +1349,13 @@ SELECT g.lang,
        CAST(CASE WHEN coalesce(a.n_tokens, 0) > 0
             THEN (a.n_oov * 1000000) // a.n_tokens END AS BIGINT)
          AS oov_rate_ppm
-FROM _grps g LEFT JOIN _agg a USING (lang)
+FROM _grps g LEFT JOIN _agg a ON g.lang IS NOT DISTINCT FROM a.lang
 """
+# ^ IS NOT DISTINCT FROM, not USING(lang): Spark's groupBy collapses a
+# NULL lang into a real group with actual counts, while a plain SQL
+# equi-join would never match the NULL spine row and report (0,0,NULL)
+# — latent cross-engine divergence if a NULL-lang row ever enters the
+# documents fixture (ADVICE r15).
 
 
 # --- llm_readability_scores (authored round 14 continuation, r15 candidate) ---

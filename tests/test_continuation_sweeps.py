@@ -147,3 +147,48 @@ def test_readability_matches_reference(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == _read_ref(t), (i, repr(t))
+
+
+def test_stride_key_no_int32_wrap_past_2e30_ranks(spark):
+    """ADVICE r15 (corpus.py): the interleave key must widen src_rank
+    to BIGINT before the *2 — row_number yields INT, so ranks past
+    ~2^30 wrapped negative under the old expression. Evaluates the
+    exact production expression against injected large ranks."""
+    from terra_bonobo_nodes_spark.llm.corpus import _interleave_key_expr
+
+    stride = 1 << 20
+    # src_rank INT, exactly like the production row_number()-1 column;
+    # 2*((1<<31)-2)+1 wraps negative in int32 arithmetic
+    ranks = [0, 1, (1 << 30) + 7, (1 << 31) - 2]
+    df = spark.createDataFrame(
+        [(r, 3) for r in ranks], "src_rank int, _w long"
+    )
+    got = {
+        r["src_rank"]: r["k"]
+        for r in df.withColumn("k", _interleave_key_expr(stride)).collect()
+    }
+    for r in ranks:
+        assert got[r] == ((2 * r + 1) * stride) // 6, r
+        assert got[r] > 0
+
+
+def test_readability_whitespace_only_fragments(spark):
+    """Pinned VERDICT_r14 item 1: trailing fragments that are whitespace
+    but not ASCII-space ("0?\\n" -> the "\\n" fragment) must NOT count
+    as sentences — Spark's trim() strips only spaces, so the original
+    length(trim(s)) > 0 filter counted 2 sentences where the reference
+    (.strip()) counts 1."""
+    texts = ["0?\n", "a.\t", "x!\n\t \n", "b? c.", " . ", "\t?\t"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r["id"]: (
+            r["r_n_words"], r["r_n_sentences"], r["r_n_syllables"],
+            r["r_flesch_milli"], r["r_fk_grade_milli"],
+        )
+        for r in readability(df).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _read_ref(t), (i, repr(t))
+    assert got[0][1] == 1  # "0?\n": exactly one sentence, not two

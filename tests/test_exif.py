@@ -96,6 +96,42 @@ def test_no_exif_passthrough_and_rejects():
         X.parse_exif_jpeg(bad + base[2:])
 
 
+def test_walk_handles_fill_bytes_and_standalone_markers():
+    """ADVICE r15 (exif.py medium): 0xFF fill padding before a marker
+    is spec-legal (T.81 B.1.1.2) and must not desync or silently end
+    the walk; TEM/RSTn are length-less; a truncated chain raises."""
+    base = _base_jpeg()
+    jp = X.build_exif_jpeg(base, gps=(LAT, LON))
+    # inject two fill bytes before the APP1 marker: still parses + scrubs
+    assert jp[2] == 0xFF
+    padded = jp[:2] + b"\xff\xff" + jp[2:]
+    assert X.parse_exif_jpeg(padded)["has_gps"]
+    scrubbed, had = X.scrub_gps_jpeg(padded)
+    assert had and not X.parse_exif_jpeg(scrubbed)["has_gps"]
+    # standalone TEM marker before APP1: walked over, not misparsed
+    tem = jp[:2] + b"\xff\x01" + jp[2:]
+    assert X.parse_exif_jpeg(tem)["has_gps"]
+    # chain that ends without SOS/EOI and without EXIF rejects loudly
+    # (SOI + one complete COM segment, then nothing): the old walk
+    # returned normally here and scrub certified an unparsed payload
+    stub = b"\xff\xd8\xff\xfe\x00\x04ab"
+    with pytest.raises(X.ExifError):
+        X.parse_exif_jpeg(stub)
+    with pytest.raises(X.ExifError):
+        X.scrub_gps_jpeg(stub)
+    # fill run that hits the end of the buffer rejects loudly
+    with pytest.raises(X.ExifError):
+        X.parse_exif_jpeg(stub + b"\xff\xff")
+    # segment length pointing past the buffer rejects loudly
+    broken = bytearray(jp)
+    broken[4:6] = struct.pack(">H", len(jp))  # APP1 length >> buffer
+    with pytest.raises(X.ExifError):
+        X.parse_exif_jpeg(bytes(broken))
+    # stuffed 0x00 where a marker belongs rejects loudly
+    with pytest.raises(X.ExifError):
+        X.parse_exif_jpeg(jp[:2] + b"\xff\x00" + jp[2:])
+
+
 def test_e7_arithmetic_is_exact_fraction_floor():
     # hand rationals: 10 deg, 30 min, 901/100 sec south
     ifd_val = [(10, 1), (30, 1), (901, 100)]

@@ -228,6 +228,34 @@ def test_inner_product_empty_and_disjoint(spark):
         cms_cells(empty, d=2, w=64), cms_cells(some, d=2, w=64)
     ).collect()[0]
     assert r["est_join_size"] == 0
+    assert r["d_used"] == 2  # spine covers every row of the non-empty side
+
+
+def test_inner_product_disjoint_with_partial_collisions(spark):
+    """ADVICE r15 (sketch.py): disjoint inputs whose cells collide on
+    SOME hash rows but share zero cells on at least one other row must
+    report 0 — the zero-overlap row proves the join is empty, and the
+    min runs over all d rows, not only rows the inner join kept."""
+    from terra_bonobo_nodes_spark.llm.sketch import cms_cells, cms_inner_product
+
+    a_vals = [f"a{i}" for i in range(40)]
+    b_vals = [f"b{i}" for i in range(40)]
+    # small w forces collisions on some rows; with d=4 independent
+    # rows the chance every row collides is negligible for this fixture
+    r = cms_inner_product(
+        cms_cells(_toks(spark, a_vals), d=4, w=8),
+        cms_cells(_toks(spark, b_vals), d=4, w=8),
+    ).collect()[0]
+    assert r["d_used"] == 4
+    # the estimator is exactly min over ALL 4 rows (0-filled where the
+    # frames share no cell); verify vs a direct per-row recompute
+    ca = {(x["i"], x["p"]): x["n"] for x in cms_cells(_toks(spark, a_vals), d=4, w=8).collect()}
+    cb = {(x["i"], x["p"]): x["n"] for x in cms_cells(_toks(spark, b_vals), d=4, w=8).collect()}
+    dots = [
+        sum(ca.get((i, p), 0) * cb.get((i, p), 0) for p in range(8))
+        for i in range(4)
+    ]
+    assert r["est_join_size"] == min(dots)
 
 
 def test_inner_product_sql_mirror(spark, duck):

@@ -49,6 +49,51 @@ def test_vocab_duplicates_do_not_double_count(spark):
     assert got["web"] == 9  # left join against distinct vocab: no fanout
 
 
+def test_null_lang_group_matches_oracle(spark):
+    """ADVICE r15 (queries_candidates.py): a NULL lang collapses into a
+    real group on the Spark side (groupBy semantics); the oracle's
+    spine-join must use IS NOT DISTINCT FROM so it reports that group's
+    actual counts instead of (0, 0, NULL)."""
+    from terra_bonobo_nodes_spark.plans.queries_candidates import (
+        VOCAB_COVERAGE_ORACLE,
+        _VC_K,
+    )
+    from terra_bonobo_nodes_spark.llm.text import top_tokens, vocab_coverage
+
+    rows = [
+        (1, "en", "the cat sat"),
+        (2, None, "dog dog dog barked"),
+        (3, "en", "the the mat"),
+        (4, None, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    vocab = top_tokens(
+        docs.withColumnRenamed("lang", "source"), _VC_K
+    ).select("token")
+    got = {
+        r["group"]: (r["n_tokens"], r["n_oov"], r["oov_rate_ppm"])
+        for r in vocab_coverage(
+            docs.select("lang", "text"), vocab, group_col="lang"
+        ).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()  # fresh: the session fixture views `documents`
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, 'en', 'the cat sat'), (2, NULL, 'dog dog dog barked'), "
+        "(3, 'en', 'the the mat'), (4, NULL, NULL)"
+        ") t(doc_id, lang, text)"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(VOCAB_COVERAGE_ORACLE).fetchall()
+    }
+    con.close()
+    assert got == want
+    assert want[None][0] == 4  # the NULL-lang group carries real counts
+
+
 def test_top_tokens_tiebreak_and_limit(spark):
     df = spark.createDataFrame(
         [("x", "b b a a c"), ("y", None)], "source string, text string"
