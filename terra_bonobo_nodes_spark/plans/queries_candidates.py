@@ -331,76 +331,15 @@ def llm_blocked_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "host_blocked", F.col("allowed").alias("robots_allowed")
     )
 
-# --- llm_source_rule_yield --------------------------------------------------
-# The audit surface the gopher_rules docstring promises: per-source
-# per-rule violation counts + combined keep rates for BOTH rule
-# batteries — the report a data team reads before committing a filter
-# at corpus scale. One scan (both filters are projections on the same
-# row), one aggregate.
-
-
-def llm_source_rule_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from terra_bonobo_nodes_spark.llm.scrub import c4_line_filter
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
-    )
-    flagged = text.gopher_rules(c4_line_filter(docs))
-    cnt = lambda c: F.count(F.when(F.col(c), 1)).cast("long")  # noqa: E731
-    return flagged.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        cnt("c4_keep").alias("n_c4_keep"),
-        cnt("g_keep").alias("n_gopher_keep"),
-        cnt("g_flag_n_words").alias("n_flag_n_words"),
-        cnt("g_flag_mean_word_len").alias("n_flag_mean_word_len"),
-        cnt("g_flag_symbol_ratio").alias("n_flag_symbol_ratio"),
-        cnt("g_flag_bullet_lines").alias("n_flag_bullet_lines"),
-        cnt("g_flag_ellipsis_lines").alias("n_flag_ellipsis_lines"),
-        cnt("g_flag_alpha_words").alias("n_flag_alpha_words"),
-        cnt("g_flag_stopwords").alias("n_flag_stopwords"),
-    )
-
-
-def _agg_oracle() -> str:
-    # Reuse the two single-doc oracles verbatim as CTE bodies: strip
-    # their trailing SELECT into named relations and aggregate the
-    # join. (String surgery instead of duplication so the per-doc and
-    # aggregated forms can never drift apart.)
-    gopher_per_doc = GOPHER_ORACLE.strip()
-    c4_per_doc = C4_ORACLE.strip()
-    return f"""
-WITH gopher AS ({gopher_per_doc}),
-c4 AS ({c4_per_doc}),
-j AS (
-  SELECT d.source, g.*, c.c4_keep
-  FROM documents d
-  JOIN gopher g ON g.doc_id = d.doc_id
-  JOIN c4 c ON c.doc_id = d.doc_id
-)
-SELECT source,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(count(*) FILTER (c4_keep) AS BIGINT) AS n_c4_keep,
-       CAST(count(*) FILTER (g_keep) AS BIGINT) AS n_gopher_keep,
-       CAST(count(*) FILTER (g_flag_n_words) AS BIGINT) AS n_flag_n_words,
-       CAST(count(*) FILTER (g_flag_mean_word_len) AS BIGINT) AS n_flag_mean_word_len,
-       CAST(count(*) FILTER (g_flag_symbol_ratio) AS BIGINT) AS n_flag_symbol_ratio,
-       CAST(count(*) FILTER (g_flag_bullet_lines) AS BIGINT) AS n_flag_bullet_lines,
-       CAST(count(*) FILTER (g_flag_ellipsis_lines) AS BIGINT) AS n_flag_ellipsis_lines,
-       CAST(count(*) FILTER (g_flag_alpha_words) AS BIGINT) AS n_flag_alpha_words,
-       CAST(count(*) FILTER (g_flag_stopwords) AS BIGINT) AS n_flag_stopwords
-FROM j GROUP BY source
-"""
-
-
-SOURCE_RULE_YIELD_ORACLE = _agg_oracle()
-
-# registered round 14 (post-definition: the oracle literal is composed
-# above from the rule batteries' SQL mirrors)
-register(
-    "llm_source_rule_yield",
-    oracle=SOURCE_RULE_YIELD_ORACLE,
-    tags=("llm", "curation", "report"),
-)(llm_source_rule_yield)
+# --- llm_source_rule_yield: RETIRED round 15 (subsumed) ----------------------
+# The per-source per-rule yield report (registered round 14) was a
+# strict SUBSET of the widened curation funnel: every n_docs /
+# n_c4_keep / n_gopher_keep / per-rule violation count appears
+# verbatim on llm_source_rule_funnel's source-grain row (where n_docs
+# = n_raw, n_gopher_keep = n_gopher), which ADDs the sequential
+# retention (gopher AND c4 -> exact-dedup survivors) and raw/final
+# token mass. One report instead of two at the same grain; the slot
+# registers the funnel (r15 ledger item 3).
 
 # --- llm_line_dedup ---------------------------------------------------------
 # The sf testdata documents are single-line, so the row synthesizes the
@@ -1358,60 +1297,38 @@ FROM _grps g LEFT JOIN _agg a ON g.lang IS NOT DISTINCT FROM a.lang
 # documents fixture (ADVICE r15).
 
 
-# --- llm_readability_scores (authored round 14 continuation, r15 candidate) ---
-# Flesch / Flesch-Kincaid readability (llm/text.py::readability) as
-# exact integer milli-points — the too-simple/too-dense text signal
-# quality filters read next to the gopher/c4 batteries. Doc grain;
-# natural r15 zero-net partner: widen llm_quality_filter_score (same
-# grain) the way robots widened llm_blocked_hosts.
-
-
-def llm_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per document: word/sentence/syllable counts and both scores in
-    milli-points. Pure Column; runs at scan speed."""
-    from terra_bonobo_nodes_spark.llm.text import readability
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return readability(docs).select(
-        "doc_id",
-        "r_n_words",
-        "r_n_sentences",
-        "r_n_syllables",
-        "r_flesch_milli",
-        "r_fk_grade_milli",
-    )
-
-
-def _readability_oracle() -> str:
-    from terra_bonobo_nodes_spark.llm.text import readability_sql
-
-    return f"SELECT doc_id, {readability_sql('text')} FROM documents"
-
-
-READABILITY_ORACLE = _readability_oracle()
+# --- llm_readability_scores: PROMOTED round 15 (zero-net merge) --------------
+# The Flesch / Flesch-Kincaid readability surface (llm/text.py::
+# readability, exact integer milli-points) merged INTO the registered
+# llm_quality_filter_score row (same doc grain — the llm_blocked_hosts
+# widening precedent): that row now hash-compares the five r_* columns
+# next to the learned quality score. See plans/queries_llm.py.
 
 
 # --- llm_curation_funnel (authored round 14 continuation, r15 candidate) ------
 # The SEQUENTIAL survival funnel per source: raw -> gopher keep ->
 # (AND) c4 keep -> exact-dedup survivor, with raw and final token
-# mass. The registered llm_source_rule_yield reports each battery's
-# yield INDEPENDENTLY (which rule fired); this row reports the
-# pipeline's composed retention (what actually survives the chain,
-# and how many tokens make it through) — the number a mixing budget
-# is planned against. Oracle reuses GOPHER_ORACLE and C4_ORACLE
-# verbatim as CTE bodies (the _agg_oracle string-surgery precedent)
-# plus the registered exact-dedup fingerprint expression, so the
-# funnel and its constituent rows can never drift apart.
+# mass, PLUS the independent per-rule yields (which rule fired) that
+# used to be llm_source_rule_yield's row — both reports at the same
+# source grain on one scan. REGISTERED round 15 as
+# llm_source_rule_funnel in the rule-yield slot (retire-and-replace).
+# Oracle reuses GOPHER_ORACLE and C4_ORACLE verbatim as CTE bodies
+# (string surgery, not duplication) plus the registered exact-dedup
+# fingerprint expression, so the funnel and its constituent rows can
+# never drift apart.
 
 
-def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_source_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per source: n_raw, n_gopher (g_keep), n_c4 (g AND c4),
     n_unique (exact-dedup survivors of the filtered set, min-id wins),
-    tok_raw, tok_final (c4_text tokens of the survivors). Plan:
-    the two rule batteries are pure Column over one scan; dedup is one
-    window on the fingerprint over the FILTERED set only; aggregates
-    are combinable; the final shape is two groupBys joined on the
-    20-row source key."""
+    tok_raw, tok_final (c4_text tokens of the survivors), PLUS the
+    independent per-rule audit columns retired from
+    llm_source_rule_yield (c4 keep independent of gopher, each gopher
+    rule's violation count) — the strict-superset row registered in
+    that slot round 15. Plan: the two rule batteries are pure Column
+    over one scan; dedup is one window on the fingerprint over the
+    FILTERED set only; aggregates are combinable; the final shape is
+    two groupBys joined on the 20-row source key."""
     from pyspark.sql import Window
 
     from terra_bonobo_nodes_spark.llm.dedup import fingerprint_col
@@ -1536,7 +1453,21 @@ FROM fraw r LEFT JOIN funiq u USING (source)
 """
 
 
-CURATION_FUNNEL_ORACLE = _funnel_oracle()
+SOURCE_RULE_FUNNEL_ORACLE = _funnel_oracle()
+
+# registered round 15 in llm_source_rule_yield's slot (retire-and-
+# replace, zero net — the strict-superset widening planned by the r14
+# ledger; post-definition because the oracle literal is composed above
+# from the rule batteries' SQL mirrors). NOTE: the r14 ledger called
+# this candidate "llm_curation_funnel", but that registry name belongs
+# to the round-5 raw->dedup->len/lang funnel row (still green, still
+# registered) — registering under it would collide, so the promoted
+# name says what the row is: the rule-yield report plus the funnel.
+register(
+    "llm_source_rule_funnel",
+    oracle=SOURCE_RULE_FUNNEL_ORACLE,
+    tags=("llm", "curation", "report"),
+)(llm_source_rule_funnel)
 
 
 # --- llm_packing_efficiency (authored round 14 continuation, r15 candidate) ---
@@ -2551,70 +2482,13 @@ SENTENCE_ORACLE = _sentence_oracle()
 # error-bound predicate. See plans/queries_relational.py.
 
 
-# --- llm_length_quantile_sketch (authored round 14, r15 candidate) -----------
-# Histogram quantile sketch (llm/quantiles.py): per-source n_chars
-# p50/p90/p99 from bounded (group, bin) cells — the quantile member of
-# the sketch family, replacing the per-group SORT exact percentiles
-# cost with an addition-mergeable, streamable, groups*bins-bounded
-# aggregate whose error is the a-priori bin width. The exact discrete
-# percentile rides along (the approx_distinct_users exact-side
-# pattern) plus the coverage guarantee as a column — and the whole
-# chain, corrections and thresholds included, is integer arithmetic,
-# so estimate VALUES hash-compare.
-
-_HQ_LO, _HQ_HI, _HQ_BINS, _HQ_QS = 0, 640, 64, (50, 90, 99)
-
-
-def llm_length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source document-length percentile report from histogram
-    cells (llm/quantiles.py): build is one bounded combinable
-    aggregate (streams in complete mode — pinned), query is a window
-    over <= bins rows per group, day-over-day merge is cell-count
-    addition (pinned). covers_exact states the sketch guarantee: the
-    true percentile lies inside the answered bin."""
-    from terra_bonobo_nodes_spark.llm import quantiles as hq
-
-    docs = load_table(spark, sf_dir, "documents")
-    cells = hq.histogram_cells(
-        docs, "n_chars", "source", _HQ_LO, _HQ_HI, _HQ_BINS
-    )
-    sk = hq.histogram_quantiles(cells, _HQ_QS, _HQ_LO, _HQ_HI, _HQ_BINS)
-    ex = hq.exact_disc_quantiles(docs, "n_chars", "source", _HQ_QS)
-    covers = (F.col("exact_q") >= F.col("bin_lo")) & (
-        (F.col("exact_q") < F.col("bin_hi"))
-        | ((F.col("qbin") == _HQ_BINS - 1) & (F.col("exact_q") <= _HQ_HI))
-    )
-    return sk.join(ex, ["group", "q"]).select(
-        F.col("group").alias("source"),
-        "q",
-        "n_values",
-        "qbin",
-        "bin_lo",
-        "bin_hi",
-        "exact_q",
-        covers.alias("covers_exact"),
-    )
-
-
-def _quantile_oracle() -> str:
-    from terra_bonobo_nodes_spark.llm.quantiles import histogram_quantile_sql
-
-    inner = histogram_quantile_sql(
-        "SELECT * FROM documents",
-        "n_chars",
-        "source",
-        _HQ_LO,
-        _HQ_HI,
-        _HQ_BINS,
-        _HQ_QS,
-    )
-    return (
-        f'SELECT "group" AS source, q, n_values, qbin, bin_lo, bin_hi, '
-        f"exact_q, covers_exact FROM ({inner})"
-    )
-
-
-QUANTILE_ORACLE = _quantile_oracle()
+# --- llm_length_quantile_sketch: PROMOTED round 15 (zero-net merge) ----------
+# The histogram quantile sketch (llm/quantiles.py — bounded-bin
+# addition-mergeable percentiles with the coverage guarantee) merged
+# INTO the registered llm_length_percentiles row, pivoted to source
+# grain (sk{50,90,99}_{lo,hi,exact,covers} next to the exact
+# interpolated p25..p99 — the approx_distinct_users precedent). See
+# plans/queries_llm.py.
 
 
 # --- layout_zorder_pruning (authored round 14, r15 candidate) ----------------
@@ -2815,14 +2689,10 @@ CANDIDATES: dict[str, tuple] = {
         llm_packing_efficiency,
         PACKING_ORACLE,
     ),
-    "llm_curation_funnel": (
-        llm_curation_funnel,
-        CURATION_FUNNEL_ORACLE,
-    ),
-    "llm_readability_scores": (
-        llm_readability_scores,
-        READABILITY_ORACLE,
-    ),
+    # llm_curation_funnel / llm_readability_scores /
+    # llm_length_quantile_sketch left the queue round 15: registered as
+    # llm_source_rule_funnel / widened into llm_quality_filter_score /
+    # widened into llm_length_percentiles respectively.
     "llm_vocab_coverage_report": (
         llm_vocab_coverage_report,
         VOCAB_COVERAGE_ORACLE,
@@ -2842,10 +2712,6 @@ CANDIDATES: dict[str, tuple] = {
     "llm_host_communities": (
         llm_host_communities,
         HOST_COMMUNITIES_ORACLE,
-    ),
-    "llm_length_quantile_sketch": (
-        llm_length_quantile_sketch,
-        QUANTILE_ORACLE,
     ),
     "layout_zorder_pruning": (layout_zorder_pruning, ZORDER_ORACLE),
     "llm_priority_sample_report": (

@@ -1044,39 +1044,133 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- corpus hygiene / assembly (round 5) ------------------------------------
 
 
+# Histogram-sketch bounds for the length profile: n_chars spans
+# [0, ~600] in the documents fixture; 64 bins over [0, 640] gives
+# 10-char resolution — the a-priori error the sketch contract states.
+_LP_LO, _LP_HI, _LP_BINS, _LP_QS = 0, 640, 64, (50, 90, 99)
+
+
+def _length_percentiles_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm.quantiles import histogram_quantile_sql
+
+    sk = histogram_quantile_sql(
+        "SELECT * FROM documents",
+        "n_chars",
+        "source",
+        _LP_LO,
+        _LP_HI,
+        _LP_BINS,
+        _LP_QS,
+    )
+    piv = ",\n         ".join(
+        f"min(CASE WHEN q = {q} THEN {c} END) AS sk{q}_{a}"
+        for q in _LP_QS
+        for c, a in (("bin_lo", "lo"), ("bin_hi", "hi"), ("exact_q", "exact"))
+    )
+    outcols = ",\n       ".join(
+        f"p.sk{q}_lo, p.sk{q}_hi, p.sk{q}_exact,\n       "
+        f"(p.sk{q}_exact >= p.sk{q}_lo AND (p.sk{q}_exact < p.sk{q}_hi OR "
+        f"(p.sk{q}_hi = {_LP_HI} AND p.sk{q}_exact <= {_LP_HI})))"
+        f" AS sk{q}_covers"
+        for q in _LP_QS
+    )
+    return f"""
+WITH _ex AS (
+  SELECT source,
+         count(*) AS n_docs,
+         round(quantile_cont(n_chars, 0.25), 6) AS p25,
+         round(quantile_cont(n_chars, 0.50), 6) AS p50,
+         round(quantile_cont(n_chars, 0.90), 6) AS p90,
+         round(quantile_cont(n_chars, 0.99), 6) AS p99
+  FROM documents GROUP BY source),
+_sk AS ({sk}),
+_skp AS (SELECT "group" AS source, {piv} FROM _sk GROUP BY 1)
+SELECT e.source, e.n_docs, e.p25, e.p50, e.p90, e.p99,
+       {outcols}
+FROM _ex e JOIN _skp p ON p.source IS NOT DISTINCT FROM e.source
+"""
+
+
 @register(
     "llm_length_percentiles",
-    oracle="""
-SELECT source,
-       count(*) AS n_docs,
-       round(quantile_cont(n_chars, 0.25), 6) AS p25,
-       round(quantile_cont(n_chars, 0.50), 6) AS p50,
-       round(quantile_cont(n_chars, 0.90), 6) AS p90,
-       round(quantile_cont(n_chars, 0.99), 6) AS p99
-FROM documents GROUP BY source
-""",
-    tags=("llm", "stats"),
+    oracle=_length_percentiles_oracle(),
+    tags=("llm", "stats", "sketch"),
 )
 def llm_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length percentile profile (the first chart
     of any corpus audit). EXACT percentiles with linear interpolation —
     Spark's `percentile` and DuckDB's `quantile_cont` share the
-    definition, so the oracle checks values, not approximations. One
-    shuffle; at 100 TB swap `percentile` for `percentile_approx`
-    (t-digest sketch, same plan shape) and drop the oracle to
-    tolerance."""
+    definition, so the oracle checks values, not approximations.
+
+    Widened round 15 (the approx_distinct_users zero-net precedent,
+    absorbing the llm_length_quantile_sketch candidate): the row also
+    carries the HISTOGRAM QUANTILE SKETCH answer for p50/p90/p99
+    (llm/quantiles.py) — per q, the sketch's bin bounds, the exact
+    discrete percentile, and the coverage guarantee (true percentile
+    inside the answered bin). The sketch is the 100 TB path: build is
+    one bounded combinable aggregate over groups*bins cells (streams
+    in complete mode, merges across days by cell addition — pinned in
+    test_quantiles), where the exact percentile is a per-group SORT.
+    All sketch values are integer arithmetic, so they hash-compare
+    cross-engine; the exact interpolated p25..p99 ride along as the
+    verification harness."""
+    from terra_bonobo_nodes_spark.llm import quantiles as hq
+
     docs = load_table(spark, sf_dir, "documents")
     pct = F.expr("percentile(n_chars, array(0.25, 0.5, 0.9, 0.99))")
     agg = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"), pct.alias("_p")
     )
-    return agg.select(
+    base = agg.select(
         "source",
         "n_docs",
         F.round(F.col("_p")[0], 6).alias("p25"),
         F.round(F.col("_p")[1], 6).alias("p50"),
         F.round(F.col("_p")[2], 6).alias("p90"),
         F.round(F.col("_p")[3], 6).alias("p99"),
+    )
+    cells = hq.histogram_cells(
+        docs, "n_chars", "source", _LP_LO, _LP_HI, _LP_BINS
+    )
+    sk = hq.histogram_quantiles(cells, _LP_QS, _LP_LO, _LP_HI, _LP_BINS)
+    ex = hq.exact_disc_quantiles(docs, "n_chars", "source", _LP_QS)
+    j = sk.join(ex, ["group", "q"])
+    piv = j.groupBy("group").agg(
+        *[
+            F.min(F.when(F.col("q") == q, F.col(c))).alias(f"sk{q}_{a}")
+            for q in _LP_QS
+            for c, a in (
+                ("bin_lo", "lo"),
+                ("bin_hi", "hi"),
+                ("exact_q", "exact"),
+            )
+        ]
+    )
+    piv = piv.withColumns(
+        {
+            f"sk{q}_covers": (F.col(f"sk{q}_exact") >= F.col(f"sk{q}_lo"))
+            & (
+                (F.col(f"sk{q}_exact") < F.col(f"sk{q}_hi"))
+                | (
+                    (F.col(f"sk{q}_hi") == _LP_HI)
+                    & (F.col(f"sk{q}_exact") <= _LP_HI)
+                )
+            )
+            for q in _LP_QS
+        }
+    )
+    return base.join(piv, base.source == piv.group).select(
+        "source",
+        "n_docs",
+        "p25",
+        "p50",
+        "p90",
+        "p99",
+        *[
+            f"sk{q}_{a}"
+            for q in _LP_QS
+            for a in ("lo", "hi", "exact", "covers")
+        ],
     )
 
 
@@ -1933,6 +2027,8 @@ _QF_MODEL = dict(
 
 
 def _quality_filter_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm.text import readability_sql
+
     m = _QF_MODEL
     terms = " + ".join(
         f"({w!r}) * ((f.{c} - {mu!r}) / {s!r})"
@@ -1947,11 +2043,14 @@ WITH f AS (
          CAST(n_chars AS DOUBLE) AS f_chars,
          CAST(len({TOKS_SQL}) AS DOUBLE) AS f_tokens,
          CAST(len(list_distinct({TOKS_SQL})) AS DOUBLE) AS f_distinct
-  FROM documents)
-SELECT doc_id,
+  FROM documents),
+r AS (SELECT doc_id, {readability_sql('text')} FROM documents)
+SELECT f.doc_id,
        round(1.0 / (1.0 + exp(-{z})), 4) AS quality_prob,
-       1.0 / (1.0 + exp(-{z})) >= 0.5 AS is_kept
-FROM f
+       1.0 / (1.0 + exp(-{z})) >= 0.5 AS is_kept,
+       r.r_n_words, r.r_n_sentences, r.r_n_syllables,
+       r.r_flesch_milli, r.r_fk_grade_milli
+FROM f JOIN r ON r.doc_id = f.doc_id
 """
 
 
@@ -1967,24 +2066,41 @@ def llm_quality_filter_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the production ``score_quality`` path verbatim — training is
     the only stage the pin replaces (iterative, hence not
     SQL-expressible; its gradient math is pytest-pinned). ``is_kept``
-    is the ``filter_quality`` predicate at threshold 0.5."""
+    is the ``filter_quality`` predicate at threshold 0.5.
+
+    Widened round 15 (zero-net, same doc grain — absorbing the
+    llm_readability_scores candidate): the row also carries the
+    Flesch / Flesch-Kincaid readability surface (``llm/text.py::
+    readability`` — exact integer milli-points, pure Column, runs at
+    scan speed), the too-simple/too-dense signal quality filters read
+    next to the learned score."""
     from terra_bonobo_nodes_spark.llm import classifier
 
     m = classifier.LogRegModel(**_QF_MODEL)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", "text"
     )
-    feats = docs.select(
+    feats = text.readability(docs).select(
         "doc_id",
         F.col("n_chars").cast("double").alias("f_chars"),
         F.size(text.tokens("text")).cast("double").alias("f_tokens"),
         F.size(F.array_distinct(text.tokens("text")))
         .cast("double")
         .alias("f_distinct"),
+        "r_n_words",
+        "r_n_sentences",
+        "r_n_syllables",
+        "r_flesch_milli",
+        "r_fk_grade_milli",
     )
     scored = classifier.score_quality(feats, m)
     return scored.select(
         "doc_id",
         F.round("quality_prob", 4).alias("quality_prob"),
         (F.col("quality_prob") >= 0.5).alias("is_kept"),
+        "r_n_words",
+        "r_n_sentences",
+        "r_n_syllables",
+        "r_flesch_milli",
+        "r_fk_grade_milli",
     )

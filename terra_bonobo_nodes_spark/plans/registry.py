@@ -544,6 +544,35 @@ def register(
 # dsir/bloom/cms tail) stays queued for r16's wide window, each
 # hash-pinned every suite run by tests/test_candidates_oracle.py.
 
+# ROUND-15 PROMOTIONS (executing the r14 ledger's 3-slot plan above,
+# exactly as budgeted — actual r15 due cohort recomputed from the
+# artifacts: 47). Capacity closes name-for-name: ONE retired, ONE
+# registered, 144 - 1 + 1 = 144 (checked: len(all_queries()) == 144).
+#
+# 1. llm_length_percentiles WIDENED in place (zero net): + the
+#    histogram quantile sketch (llm/quantiles.py) pivoted to source
+#    grain — sk{50,90,99}_{lo,hi,exact,covers} next to the exact
+#    interpolated p25..p99; absorbs the llm_length_quantile_sketch
+#    candidate. r13 green -> +1 changed demand.
+# 2. llm_quality_filter_score WIDENED in place (zero net): + the
+#    Flesch/FK readability surface (r_* integer milli-points; absorbs
+#    the llm_readability_scores candidate, AFTER fixing the
+#    trim-vs-strip sentence-count bug — VERDICT_r14 item 1). r12
+#    green = already in the r15 due cohort, so NO extra demand.
+# 3. llm_source_rule_yield RETIRED; the widened funnel candidate
+#    REGISTERED in its slot as llm_source_rule_funnel (strict
+#    superset: all per-rule yields + sequential retention + token
+#    mass, same source grain). The r14 ledger called the candidate
+#    "llm_curation_funnel"; that registry NAME belongs to the round-5
+#    raw->dedup->len/lang funnel row (green, untouched), so the
+#    promotion registers under a non-colliding name. +1 new demand.
+#
+# BUDGET (r15 window, DRIVER_CAP=50): 47 due + 1 changed
+# (llm_length_percentiles; quality_filter_score dedupes into the due
+# cohort) + 1 new (llm_source_rule_funnel) = 49 <= 50, one slack
+# slot. Candidate queue after this round: 24 (the three promoted rows
+# left it; dict order in queries_candidates.py is still the rank).
+
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
 # The round whose window the hand-maintained lists below budget for.
@@ -555,34 +584,19 @@ DRIVER_CAP = 50  # rows the correctness driver records per round
 # post-artifact handoff state the next round inherits (VERDICT_r12
 # "What's wrong" #1: the r12 lists stayed active after the artifact
 # landed and over-subscribed the r13 demand computation).
-_ROTATION_ROUND = 14
+_ROTATION_ROUND = 15
 
 # (2) operator code changed since the query's last green:
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "llm_blocked_hosts",  # widened: + robots_allowed (RFC 9309 verdict;
-    #   r13 green, so +1 demand)
-    "approx_distinct_users",  # widened (continuation): + kmv_est /
-    #   hll_est full-replay columns absorbing the
-    #   llm_distinct_sketch_report candidate (r13 green, so +1 demand
-    #   — consumes the last slack slot, 50/50 exactly)
+    "llm_length_percentiles",  # widened: + histogram quantile sketch
+    #   pivot (r13 green, so +1 demand)
+    "llm_quality_filter_score",  # widened: + readability r_* columns
+    #   (r12 green = already due, so NO extra demand — dedupes)
 )
 
-# (3) first driver row this round (the ROUND-14 ledger above):
+# (3) first driver row this round (the ROUND-15 ledger above):
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    "llm_semdedup_kmeans_e2e",
-    "llm_hash_neardup_pairs",
-    "llm_sample_surface",
-    "stream_window_agg_surface",
-    "asof_event_joins",
-    "llm_host_quality_report",
-    "s12_warc_wet_roundtrip",
-    "llm_link_graph_rank",
-    "llm_source_rule_yield",
-    "llm_lm_entropy_surface",
-    # second wave (late round 14): the decontamination merge frees the
-    # slot that registers the candidate-queue head
-    "llm_decontamination_surface",
-    "llm_exact_substring_spans",
+    "llm_source_rule_funnel",
 )
 
 # (4) overflow — heads the next round's queue:

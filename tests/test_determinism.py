@@ -43,6 +43,8 @@ SENSITIVE = [
     # groupBy must not move with partition layout
     "llm_line_dedup",
     "llm_url_dedup_groups",
+    # round 15: the promoted funnel's dedup window over the filtered set
+    "llm_source_rule_funnel",
 ]
 
 
@@ -75,7 +77,6 @@ CANDIDATE_SENSITIVE = [
     "llm_corpus_overlap_report",   # bottom-k union re-rank
     "llm_stride_interleave_order", # per-source hash-rank window
     "llm_vocab_coverage_report",   # top-256 boundary + broadcast join
-    "llm_curation_funnel",         # dedup window over the filtered set
     "llm_packing_efficiency",      # two-level combinable rollup
     "corpus_drift_psi",            # the one float (psi_term) column
     "events_conversion_funnel",    # sorted-array fold per user
