@@ -171,3 +171,205 @@ def test_pipeline_write_order_is_on_mixture(spark, sf_dir):
     # deviation <= one doc per source, plus hash-order noise between
     # equal keys)
     assert abs(en - 60) <= 6, en
+
+
+def test_crawl_chain_from_warc_front_door(spark, sf_dir, tmp_path):
+    """VERDICT_r14 item 8 — the registered crawl chain composed as ONE
+    plan from the Common Crawl front door:
+
+      pages packed as WARC *response* records (application/http)
+        -> warc_reader(strip_http=True)          [S12]
+        -> html_to_text + extract_links          [HTML stage]
+        -> blocklist + robots.txt hygiene        [url/robots stage]
+        -> gopher + C4 rule batteries            [scrub stage]
+        -> MinHash-LSH mirror dedup              [near-dup stage]
+        -> stride-interleave write order         [corpus stage]
+
+    and the capstone assertion: the REGISTERED llm_source_rule_funnel
+    row, pointed at the WARC-recovered corpus (written as a plain
+    parquet sf dir and read back through load_table), computes numbers
+    IDENTICAL to the same row on the original documents table — the
+    front door loses nothing the funnel can see."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from terra_bonobo_nodes_spark.llm.corpus import stride_interleave
+    from terra_bonobo_nodes_spark.llm.dedup import minhash_lsh_pairs
+    from terra_bonobo_nodes_spark.llm.html import extract_links, html_to_text
+    from terra_bonobo_nodes_spark.llm.robots import (
+        flag_robots_disallowed,
+        robots_rules,
+    )
+    from terra_bonobo_nodes_spark.llm.scrub import c4_line_filter
+    from terra_bonobo_nodes_spark.llm.text import gopher_rules
+    from terra_bonobo_nodes_spark.llm.urls import flag_blocked_hosts
+    from terra_bonobo_nodes_spark.plans.registry import all_queries
+    from terra_bonobo_nodes_spark.sources.warc import warc_reader
+    from terra_bonobo_nodes_spark.sources.warc_codec import write_warc_records
+
+    MIRROR = 1_000_000
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang",
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+    n_docs = docs.count()
+
+    # --- synthesize the crawl: one page per document on host
+    # h{doc_id%5}.example, two outlinks each; every 10th page also
+    # exists as a MIRROR copy (same text, mirror host, offset id) the
+    # near-dup stage must fold away
+    host = F.concat(
+        F.lit("h"), F.pmod("doc_id", F.lit(5)).cast("string"),
+        F.lit(".example"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"), host, F.lit("/p/"), F.col("doc_id")
+        ).alias("uri"),
+        "text",
+    )
+    mirrors = docs.where(F.pmod("doc_id", F.lit(10)) == 0).select(
+        (F.col("doc_id") + MIRROR).alias("doc_id"),
+        F.concat(
+            F.lit("http://mirror.example/p/"), F.col("doc_id") + MIRROR
+        ).alias("uri"),
+        "text",
+    )
+    n_mirrors = mirrors.count()
+    pages = base.unionByName(mirrors)
+    html = F.concat(
+        F.lit('<html><body><nav><a href="http://h'),
+        F.pmod(F.col("doc_id") + 1, F.lit(5)).cast("string"),
+        F.lit('.example/"></a><a href="http://ads.example/x"></a></nav><p>'),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    with_html = pages.select("uri", html.alias("html"))
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            blob = write_warc_records(
+                [
+                    {
+                        "headers": {
+                            "WARC-Type": "response",
+                            "WARC-Target-URI": u,
+                            "WARC-Date": "2026-08-16T00:00:00Z",
+                            "Content-Type":
+                                "application/http; msgtype=response",
+                        },
+                        "payload": (
+                            b"HTTP/1.1 200 OK\r\n"
+                            b"Content-Type: text/html\r\n\r\n"
+                            + h.encode("utf-8")
+                        ),
+                    }
+                    for u, h in zip(pdf["uri"], pdf["html"])
+                ]
+            )
+            yield pd.DataFrame({"content": [blob]})
+
+    # --- S12 front door: HTTP envelope stripped executor-side
+    records = warc_reader(
+        with_html.mapInPandas(pack, "content binary"), strip_http=True
+    )
+    recovered = records.select(
+        F.regexp_extract("target_uri", r"/p/(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("target_uri").alias("uri"),
+        F.decode("payload", "UTF-8").alias("html"),
+    ).select(
+        "doc_id", "uri",
+        html_to_text("html").alias("text"),
+        F.size(extract_links("html")).alias("n_links"),
+    ).persist()
+    assert recovered.count() == n_docs + n_mirrors
+    assert recovered.where(F.col("n_links") != 2).count() == 0
+
+    # --- near-dup stage: every mirror pairs with its original at
+    # est_jaccard 1.0 (identical text -> identical signatures)
+    pairs = minhash_lsh_pairs(
+        recovered.select("doc_id", "text"), min_est_jaccard=0.999
+    )
+    mirror_pairs = pairs.where(
+        (F.col("id_b") - F.col("id_a") == MIRROR)
+        & (F.col("est_jaccard") >= 0.999)
+    )
+    assert mirror_pairs.count() == n_mirrors
+    folded = recovered.where(F.col("doc_id") < MIRROR).persist()
+    assert folded.count() == n_docs
+
+    # --- capstone: the REGISTERED funnel row on the WARC-recovered
+    # corpus == the same row on the original table (text recovery is
+    # byte-exact through the HTML/WARC wrapping)
+    meta = docs.select("doc_id", "source", "lang")
+    curated_sf = tmp_path / "warc_recovered_sf"
+    curated_sf.mkdir()
+    folded.join(meta, "doc_id").select(
+        "doc_id", "source", "lang",
+        F.length("text").cast("int").alias("n_chars"), "text",
+    ).write.parquet(str(curated_sf / "documents.parquet"))
+    funnel = all_queries()["llm_source_rule_funnel"].spark_fn
+    got = sorted(map(tuple, funnel(spark, str(curated_sf)).collect()))
+    want = sorted(map(tuple, funnel(spark, sf_dir).collect()))
+    assert got == want
+
+    # --- hygiene: blocklist kills h4.example, robots kills h1.example
+    bl = spark.createDataFrame([("h4.example",)], "domain string")
+    rules = robots_rules(
+        spark.createDataFrame(
+            [("h1.example", "User-agent: *\nDisallow: /p/")],
+            "host string, robots_txt string",
+        )
+    )
+    hygienic = flag_robots_disallowed(
+        flag_blocked_hosts(folded, bl, url_col="uri"), rules, url_col="uri"
+    ).where(~F.col("host_blocked") & F.col("robots_allowed"))
+    n_clean = hygienic.count()
+    assert n_clean == folded.where(
+        ~F.pmod("doc_id", F.lit(5)).isin(1, 4)
+    ).count()
+
+    # --- rule batteries on the recovered text: the per-source pass
+    # counts must agree with the registered funnel row's n_c4 column
+    # restricted to the same hygienic subset (the sf0.001 fixture's
+    # synthetic texts fail BOTH batteries — n_c4 = 0 across sources,
+    # which the funnel row reports honestly — so the agreement is the
+    # assertion, not non-emptiness)
+    staged = c4_line_filter(gopher_rules(hygienic)).join(meta, "doc_id")
+    got_pass = {
+        r["source"]: r["n"]
+        for r in staged.where(F.col("g_keep") & F.col("c4_keep"))
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    want_pass = {
+        r["source"]: r["n"]
+        for r in c4_line_filter(
+            gopher_rules(
+                docs.where(~F.pmod("doc_id", F.lit(5)).isin(1, 4))
+            )
+        )
+        .where(F.col("g_keep") & F.col("c4_keep"))
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got_pass == want_pass
+
+    # --- write order over the hygienic corpus (non-empty at every SF)
+    weights = {"en": 3, "fr": 1, "de": 1, "es": 1}
+    ordered = stride_interleave(
+        hygienic.join(meta, "doc_id"),
+        weights,
+        source_col="lang",
+        id_col="doc_id",
+    )
+    n_listed = hygienic.join(meta, "doc_id").where(
+        F.col("lang").isin(*weights)
+    ).count()
+    assert ordered.count() == n_listed and n_listed > 0
+    assert ordered.where(F.col("interleave_key") < 0).count() == 0
+    recovered.unpersist()
+    folded.unpersist()
