@@ -572,6 +572,42 @@ def register(
 # cohort) + 1 new (llm_source_rule_funnel) = 49 <= 50, one slack
 # slot. Candidate queue after this round: 24 (the three promoted rows
 # left it; dict order in queries_candidates.py is still the rank).
+#
+# r16 HANDOFF SIMULATED (round 15): pretend the first 50 of the
+# current order green as CORRECTNESS_r15 -> last-green histogram
+# {r15: 50, r14: 49, r13: 45}, so the r16 due cohort is the 45
+# unrefreshed r13 greens and churn headroom is FIVE slots (NOT the
+# ~12 VERDICT_r14 hoped for — the 49-row r14 cohort comes due at r17,
+# which is the genuinely tight round: plan r16 so its two swaps also
+# thin r17's due set). r16 plan, highest value first, closing
+# arithmetic name-for-name:
+#   1. llm_host_communities -> WIDEN llm_host_quality_report in place
+#      (sixth link signal, same host grain; llm/graph.py::lpa_fixed)
+#      — 1 changed slot, zero net.
+#   2. llm_priority_sample_report -> WIDEN llm_sample_surface in
+#      place (Duffield-Lund-Thorup weighted priority rank next to the
+#      reservoir/quota columns, same doc grain; llm/wsample.py) — 1
+#      changed slot, zero net.
+#   3. events_conversion_funnel -> REGISTER, RETIRING
+#      funnel_view_click_purchase (the ordered-step generalization of
+#      the fixed view->click->purchase row; same events source, one
+#      groupBy(user) pass) — 1 new slot, zero net capacity.
+#   4. events_cohort_retention -> REGISTER, RETIRING
+#      cohort_daily_retention (the weekly retention triangle that
+#      subsumes the daily row's signal at report grain) — 1 new slot,
+#      zero net capacity.
+#   5. (uses the last slot ONLY if the recomputed r16 due cohort
+#      confirms 45) layout_zorder_pruning -> REGISTER, RETIRING
+#      spatial_zorder_code (the pruning measurement exercises
+#      morton_key AND adds the zone-map scan-count value the code row
+#      lacks) — 1 new slot, zero net capacity.
+# Total: 45 due + 2 changed + 3 new = 50 = DRIVER_CAP, zero slack
+# (drop item 5 to keep one slack slot if anything else must change).
+# The promotion-gate family (corpus_version_diff + corpus_drift_psi +
+# llm_novelty_scores) heads r17 — each needs a freed slot; candidate
+# retirement partners to evaluate then: scd2_user_value_history vs
+# corpus_version_diff (both churn reports), stream_props_json_rollup
+# merge into stream_window_agg_surface (same stream source).
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
