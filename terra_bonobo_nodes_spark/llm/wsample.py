@@ -155,18 +155,19 @@ def priority_sample_report(
     )
 
 
-def priority_sample_report_sql(
+def _priority_ctes(
     src_sql: str,
     weight_expr: str,
     group_expr: str,
     id_expr: str,
     k: int,
 ) -> str:
-    """DuckDB replay of :func:`priority_sample_report`."""
+    """The staged/ranked/tau CTE chain both SQL mirrors share (string
+    reuse, not duplication — the report and row-grain forms can never
+    drift apart)."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    return f"""
-WITH _ps_src AS ({src_sql}),
+    return f"""_ps_src AS ({src_sql}),
 _ps_staged AS (
   SELECT {group_expr} AS "group", {id_expr} AS id,
          CAST({weight_expr} AS BIGINT) AS weight,
@@ -185,7 +186,41 @@ _ps_tau AS (
   SELECT "group",
          coalesce(max(CASE WHEN rank = {k + 1} THEN q END), 0) AS tau
   FROM _ps_ranked GROUP BY 1
-),
+)"""
+
+
+def priority_sample_sql(
+    src_sql: str,
+    weight_expr: str,
+    group_expr: str,
+    id_expr: str,
+    k: int,
+) -> str:
+    """DuckDB replay of :func:`priority_sample` (the row-grain form:
+    one row per SAMPLED id with its rank and the group's tau)."""
+    ctes = _priority_ctes(src_sql, weight_expr, group_expr, id_expr, k)
+    return f"""
+WITH {ctes}
+SELECT r."group", r.id, r.weight,
+       r.q AS q,
+       CAST(r.rank AS BIGINT) AS rank,
+       CAST(t.tau AS BIGINT) AS tau
+FROM _ps_ranked r JOIN _ps_tau t ON t."group" = r."group"
+WHERE r.rank <= {k}
+"""
+
+
+def priority_sample_report_sql(
+    src_sql: str,
+    weight_expr: str,
+    group_expr: str,
+    id_expr: str,
+    k: int,
+) -> str:
+    """DuckDB replay of :func:`priority_sample_report`."""
+    ctes = _priority_ctes(src_sql, weight_expr, group_expr, id_expr, k)
+    return f"""
+WITH {ctes},
 _ps_est AS (
   SELECT r."group",
          CAST(count(*) AS BIGINT) AS n_sampled,

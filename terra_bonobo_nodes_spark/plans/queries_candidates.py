@@ -1858,6 +1858,33 @@ def llm_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- llm_host_quality_wide (STAGED r16 widening — ledger item 1) -------------
+# The registered llm_host_quality_report + the LPA community columns
+# on one host-grain row: the SIXTH link signal staged so the r16
+# promotion is a pure registration edit (swap the registered row's fn
+# and oracle for these, retire this candidate — the
+# llm_source_rule_funnel precedent). Composition only: both sides are
+# the already-verified rows, joined on the host key.
+
+HOST_REPORT_WIDE_ORACLE = f"""
+WITH _hr AS ({HOST_REPORT_ORACLE}),
+_cm AS ({HOST_COMMUNITIES_ORACLE})
+SELECT _hr.*, _cm.community, _cm.community_size
+FROM _hr JOIN _cm ON _cm.host = _hr.host
+"""
+
+
+def llm_host_quality_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All SIX link signals (PageRank, TrustRank, hub, authority,
+    3-core, LPA community + its size) + per-host corpus stats on one
+    host-grain row — the r16 widened form of the registered capstone."""
+    base = llm_host_quality_report(spark, sf_dir)
+    comm = llm_host_communities(spark, sf_dir)
+    return base.join(comm, "host").select(
+        *base.columns, "community", "community_size"
+    )
+
+
 # --- llm_robots_filter (authored round 13, r14 candidate) ---------------
 # robots.txt compliance (RFC 9309, llm/robots.py): per-host robots
 # TEXT is synthesized (three group shapes: prefix-disallow with a
@@ -2647,6 +2674,53 @@ def _priority_sample_oracle() -> str:
 PRIORITY_SAMPLE_ORACLE = _priority_sample_oracle()
 
 
+# --- llm_sample_surface_wide (STAGED r16 widening — ledger item 2) -----------
+# The registered doc-grain sampling surface + the weighted priority
+# sampler's verdict: priority_rank (NULL = not in the per-lang
+# weighted top-32 by n_chars — the reservoir_rank convention). Staged
+# so the r16 promotion is a pure registration edit. The oracle reuses
+# the REGISTERED row's oracle verbatim (string surgery via the
+# registry object) + wsample's row-grain SQL mirror.
+
+_PSW_K = 32
+
+
+def _sample_surface_wide_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm.wsample import priority_sample_sql
+    from terra_bonobo_nodes_spark.plans.registry import _REGISTRY
+
+    pw = priority_sample_sql(
+        "SELECT * FROM documents", "n_chars", "lang", "doc_id", _PSW_K
+    )
+    return f"""
+WITH _ss AS ({_REGISTRY["llm_sample_surface"].oracle}),
+_pw AS ({pw})
+SELECT _ss.*, CAST(_pw.rank AS BIGINT) AS priority_rank
+FROM _ss LEFT JOIN _pw ON _pw.id = _ss.doc_id
+"""
+
+
+def llm_sample_surface_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-grain sampling surface carrying all THREE samplers:
+    reservoir rank, quota membership, and the DLT weighted priority
+    rank — the r16 widened form of the registered row."""
+    from terra_bonobo_nodes_spark.llm import wsample
+    from terra_bonobo_nodes_spark.plans.queries_llm import llm_sample_surface
+
+    base = llm_sample_surface(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    pr = wsample.priority_sample(
+        docs, "n_chars", "lang", "doc_id", k=_PSW_K
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("rank").cast("long").alias("priority_rank"),
+    )
+    return base.join(pr, "doc_id", "left")
+
+
+SAMPLE_SURFACE_WIDE_ORACLE = _sample_surface_wide_oracle()
+
+
 CANDIDATES: dict[str, tuple] = {
     # ledger order (plans/registry.py round-14 note) — dict order IS
     # the promotion rank, kept in sync by review finding r14
@@ -2709,13 +2783,16 @@ CANDIDATES: dict[str, tuple] = {
         llm_corpus_overlap_report,
         CORPUS_OVERLAP_ORACLE,
     ),
-    "llm_host_communities": (
-        llm_host_communities,
-        HOST_COMMUNITIES_ORACLE,
+    # the r16 ledger's two zero-net widenings, staged as the COMBINED
+    # rows (subsume the llm_host_communities / llm_priority_sample_report
+    # standalone candidates — those fns stay as their components):
+    "llm_host_quality_wide": (
+        llm_host_quality_wide,
+        HOST_REPORT_WIDE_ORACLE,
+    ),
+    "llm_sample_surface_wide": (
+        llm_sample_surface_wide,
+        SAMPLE_SURFACE_WIDE_ORACLE,
     ),
     "layout_zorder_pruning": (layout_zorder_pruning, ZORDER_ORACLE),
-    "llm_priority_sample_report": (
-        llm_priority_sample_report,
-        PRIORITY_SAMPLE_ORACLE,
-    ),
 }

@@ -581,13 +581,15 @@ def register(
 # which is the genuinely tight round: plan r16 so its two swaps also
 # thin r17's due set). r16 plan, highest value first, closing
 # arithmetic name-for-name:
-#   1. llm_host_communities -> WIDEN llm_host_quality_report in place
-#      (sixth link signal, same host grain; llm/graph.py::lpa_fixed)
-#      — 1 changed slot, zero net.
-#   2. llm_priority_sample_report -> WIDEN llm_sample_surface in
-#      place (Duffield-Lund-Thorup weighted priority rank next to the
-#      reservoir/quota columns, same doc grain; llm/wsample.py) — 1
-#      changed slot, zero net.
+#   1. WIDEN llm_host_quality_report in place with the LPA community
+#      columns (sixth link signal, same host grain; llm/graph.py::
+#      lpa_fixed) — 1 changed slot, zero net. The COMBINED row is
+#      pre-staged hash-green as candidate llm_host_quality_wide: the
+#      r16 edit swaps the registered fn/oracle for the staged pair.
+#   2. WIDEN llm_sample_surface in place with the weighted priority
+#      rank (Duffield-Lund-Thorup, same doc grain; llm/wsample.py) —
+#      1 changed slot, zero net. Pre-staged hash-green as candidate
+#      llm_sample_surface_wide, same pure-swap edit.
 #   3. events_conversion_funnel -> REGISTER, RETIRING
 #      funnel_view_click_purchase (the ordered-step generalization of
 #      the fixed view->click->purchase row; same events source, one

@@ -73,7 +73,7 @@ def test_result_invariant_under_shuffle_layout(name, spark):
 # slot (the candidate cartesian-audit rationale).
 
 CANDIDATE_SENSITIVE = [
-    "llm_host_communities",        # 5 synchronous LPA rounds
+    "llm_host_quality_wide",       # 5 LPA rounds + 4 fixed-point chains
     "llm_corpus_overlap_report",   # bottom-k union re-rank
     "llm_stride_interleave_order", # per-source hash-rank window
     "llm_vocab_coverage_report",   # top-256 boundary + broadcast join
