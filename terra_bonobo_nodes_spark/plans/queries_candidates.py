@@ -2674,6 +2674,45 @@ def _priority_sample_oracle() -> str:
 PRIORITY_SAMPLE_ORACLE = _priority_sample_oracle()
 
 
+# --- llm_bpe_merges (authored round 15, queue tail) ---------------------------
+# BPE merge learning (llm/bpe.py — Sennrich 2016, the tokenizer-
+# training step every LLM vocabulary comes from): the first 8 merges
+# over the documents corpus, learned distributed (word-count table is
+# the working set; each round = one combinable pair aggregate + a
+# 1-row argmax + a pure-Column rewrite — the llm/kmeans.py bounded-
+# driver-state shape, 8 pairs total on the driver). Merge-grain row;
+# counts and tie-breaks exact integers/strings, so the oracle's
+# unrolled 8-round CTE chain hash-compares bit-for-bit.
+
+_BPE_M = 8
+
+
+def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(merge_rank, sym_a, sym_b, pair_count) — the learned merge
+    table, priority-ordered. The artifact a tokenizer ships."""
+    from terra_bonobo_nodes_spark.llm import bpe
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    merges = bpe.bpe_learn(docs, "text", n_merges=_BPE_M)
+    return spark.createDataFrame(
+        merges, "merge_rank int, sym_a string, sym_b string, pair_count long"
+    )
+
+
+def _bpe_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm.bpe import bpe_merges_sql
+
+    return (
+        "SELECT CAST(merge_rank AS INT) AS merge_rank, sym_a, sym_b, "
+        "CAST(pair_count AS BIGINT) AS pair_count FROM ("
+        + bpe_merges_sql("SELECT text FROM documents", "text", _BPE_M, TOKS_SQL)
+        + ")"
+    )
+
+
+BPE_ORACLE = _bpe_oracle()
+
+
 # --- llm_sample_surface_wide (STAGED r16 widening — ledger item 2) -----------
 # The registered doc-grain sampling surface + the weighted priority
 # sampler's verdict: priority_rank (NULL = not in the per-lang
@@ -2795,4 +2834,5 @@ CANDIDATES: dict[str, tuple] = {
         SAMPLE_SURFACE_WIDE_ORACLE,
     ),
     "layout_zorder_pruning": (layout_zorder_pruning, ZORDER_ORACLE),
+    "llm_bpe_merges": (llm_bpe_merges, BPE_ORACLE),
 }
