@@ -570,8 +570,11 @@ def register(
 # BUDGET (r15 window, DRIVER_CAP=50): 47 due + 1 changed
 # (llm_length_percentiles; quality_filter_score dedupes into the due
 # cohort) + 1 new (llm_source_rule_funnel) = 49 <= 50, one slack
-# slot. Candidate queue after this round: 24 (the three promoted rows
-# left it; dict order in queries_candidates.py is still the rank).
+# slot. Candidate queue after this round: 26 (the three promoted rows
+# left it; the two r16 widenings are staged as COMBINED wide rows
+# replacing their narrow entries; llm_bpe_merges — distributed BPE
+# merge learning, llm/bpe.py, authored round 15 — queued at the tail;
+# dict order in queries_candidates.py is still the rank).
 #
 # r16 HANDOFF SIMULATED (round 15): pretend the first 50 of the
 # current order green as CORRECTNESS_r15 -> last-green histogram
