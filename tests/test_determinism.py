@@ -84,6 +84,9 @@ CANDIDATE_SENSITIVE = [
     "cms_join_size_report",        # d*w cell joins + min-of-dots
     "llm_novelty_scores",          # per-batch top-k merge window
     "llm_length_outliers",         # two rank-window median passes
+    # round 15 additions
+    "llm_sample_surface_wide",     # three samplers' window ranks
+    "llm_bpe_merges",              # per-round argmax tie boundaries
 ]
 
 
