@@ -1328,40 +1328,100 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ISO_ORACLE = """
+WITH RECURSIVE
+_iso_rows AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS x,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY floor(epoch(ts)), round(value * 100, 0)) AS pos
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+-- PAVA itself, one leftmost block-merge per user per recursion step:
+-- valid because the isotonic solution is UNIQUE and pooling is
+-- confluent, so any merge order converges to the same blocks. The
+-- violation test is integer cross-multiplication (num/den fractions
+-- of cent sums over row counts) — no float anywhere, which is what
+-- makes this oracle exact where round 13's minimax float form wasn't.
+_iso_blocks(user_id, s, e, num, den, step) AS (
+  SELECT user_id, pos, pos, cents, CAST(1 AS BIGINT), 0 FROM _iso_rows
+  UNION ALL
+  SELECT user_id,
+         s,
+         CASE WHEN s = ls THEN ne ELSE e END,
+         CASE WHEN s = ls THEN num + nnum ELSE num END,
+         CASE WHEN s = ls THEN den + nden ELSE den END,
+         step + 1
+  FROM (
+    SELECT *,
+           min(CASE WHEN num * nden > nnum * den THEN s END)
+             OVER (PARTITION BY user_id) AS ls
+    FROM (
+      SELECT user_id, s, e, num, den, step,
+             lead(e)   OVER w AS ne,
+             lead(num) OVER w AS nnum,
+             lead(den) OVER w AS nden,
+             lag(s)    OVER w AS ps
+      FROM _iso_blocks
+      WINDOW w AS (PARTITION BY user_id ORDER BY s)
+    )
+  )
+  WHERE ls IS NOT NULL AND (ps IS NULL OR ps <> ls)
+),
+_iso_final AS (
+  SELECT b.* FROM _iso_blocks b
+  JOIN (SELECT user_id, max(step) AS ms FROM _iso_blocks GROUP BY 1) m
+    ON m.user_id = b.user_id AND m.ms = b.step
+)
+SELECT r.user_id, r.x, (10 * f.num) // f.den AS y_iso_milli
+FROM _iso_rows r
+JOIN _iso_final f
+  ON f.user_id = r.user_id AND r.pos BETWEEN f.s AND f.e
+"""
+
+
 @register(
     "t6_isotonic_value_fit",
-    oracle=None,  # see docstring: oracle attempted r13, rejected on evidence
+    oracle=_ISO_ORACLE,
     tags=("analytics", "grouped-map"),
 )
 def t6_isotonic_value_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user isotonic (monotone non-decreasing) fit of event value
-    over time via the PAVA grouped-map operator
-    (operators/grouped.isotonic_fit) — the applyInPandas extension
-    point exercised end-to-end. Rows-only driver check; the algorithm
-    is pinned against an independent quadratic reference and
-    partitioning-invariance tests in pytest.
+    over time via the PAVA grouped-map operator — the applyInPandas
+    extension point exercised end-to-end, surfaced in EXACT integer
+    milli-units: ``y_iso_milli = (10 * block_cent_sum) div block_count``
+    (operators/grouped.isotonic_fit_milli).
 
-    Rows-only is an EMPIRICAL endpoint, not an assumption (round 13):
-    a full-value oracle via the minimax closed form (y_i = max_{j<=i}
-    min_{k>=i} avg(y[j..k]), SQL-expressible with prefix sums + two
-    windows) was built and measured — it reproduces the fit but 3.2%
-    of rows hash-mismatch at 4 decimals, because block means are
-    rationals (cent_sum / count) that frequently sit EXACTLY on
-    decimal rounding boundaries, where pooling-vs-minimax float noise
-    (~1e-9) decides the digit. No surfaced-value grid fixes this
-    (k/c is dense at every grid's half-points for small c), and
-    run-structure observables fail the same way on the oracle side,
-    so the check stays rows-only with the quadratic pytest reference
-    as the value pin. Full analysis: PLANS.md round 13."""
-    from terra_bonobo_nodes_spark.operators.grouped import isotonic_fit
+    History: round 13 built a minimax-closed-form float oracle and
+    rejected it on evidence (3.2% of rows hash-mismatched at 4
+    decimals — block means are rationals that sit exactly on decimal
+    rounding boundaries, where pooling-vs-minimax float noise decides
+    the digit; analysis in PLANS.md round 13), so the row ran
+    rows-only through round 14. Round 15 removes the float from BOTH
+    engines instead of fighting it: the fit runs integer-exact
+    (cent sums / row counts as fractions, cross-multiplication
+    comparisons), the oracle replays PAVA itself as a RECURSIVE CTE
+    (one leftmost merge per user per step — confluence makes merge
+    order irrelevant), and floors of exact fractions have no noise to
+    decide. Full value-hash parity verified at all three SFs; the
+    float-surface form remains available as
+    operators/grouped.isotonic_fit."""
+    from terra_bonobo_nodes_spark.operators.grouped import isotonic_fit_milli
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.unix_timestamp("ts").alias("x"), F.col("value").alias("y")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").alias("x"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
     )
-    out = isotonic_fit(ev, ["user_id"], "x", "y")
-    return out.select(
-        "user_id", "x", F.round("y_iso", 4).alias("y_iso")
-    )
+    out = isotonic_fit_milli(ev, ["user_id"], "x", "cents")
+    return out.select("user_id", "x", "y_iso_milli")
 
 
 @register(

@@ -567,9 +567,18 @@ def register(
 #    raw->dedup->len/lang funnel row (green, untouched), so the
 #    promotion registers under a non-colliding name. +1 new demand.
 #
-# BUDGET (r15 window, DRIVER_CAP=50): 47 due + 1 changed
-# (llm_length_percentiles; quality_filter_score dedupes into the due
-# cohort) + 1 new (llm_source_rule_funnel) = 49 <= 50, one slack
+# LATE-ROUND ADDITION: t6_isotonic_value_fit converted from rows-only
+# to a FULL value-hash oracle — the r13 float-minimax rejection is
+# resolved by removing the float from BOTH engines (exact-integer
+# PAVA via operators/grouped.isotonic_fit_milli; the oracle replays
+# PAVA itself as a recursive CTE — confluence makes merge order
+# irrelevant; parity verified at 3 SFs). One fewer no-oracle row
+# (3 -> 2, both remaining are binary/DSP). +1 changed demand.
+#
+# BUDGET (r15 window, DRIVER_CAP=50): 47 due + 2 changed
+# (llm_length_percentiles, t6_isotonic_value_fit;
+# quality_filter_score dedupes into the due
+# cohort) + 1 new (llm_source_rule_funnel) = 50 = DRIVER_CAP, zero slack
 # slot. Candidate queue after this round: 26 (the three promoted rows
 # left it; the two r16 widenings are staged as COMBINED wide rows
 # replacing their narrow entries; llm_bpe_merges — distributed BPE
@@ -633,6 +642,10 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     #   pivot (r13 green, so +1 demand)
     "llm_quality_filter_score",  # widened: + readability r_* columns
     #   (r12 green = already due, so NO extra demand — dedupes)
+    "t6_isotonic_value_fit",  # converted rows-only -> FULL hash oracle
+    #   (exact-integer PAVA both engines, recursive-CTE replay; r14
+    #   rows-only green, so +1 demand — consumes the last slack slot,
+    #   50/50 exactly)
 )
 
 # (3) first driver row this round (the ROUND-15 ledger above):

@@ -650,6 +650,63 @@ def test_isotonic_fit_through_spark_and_partition_invariance(spark):
     assert all(a <= b + 1e-12 for a, b in zip(u_curve, u_curve[1:]))
 
 
+def test_pava_exact_matches_fraction_reference():
+    """Round 15: the integer-exact PAVA (num/den fractions, cross-
+    multiplication comparisons) vs an independent Fraction reference —
+    exact equality, no tolerance anywhere."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.operators.grouped import pava_exact
+
+    def ref(vals):
+        pools = [[Fraction(int(v)), 1] for v in vals]
+        changed = True
+        while changed:
+            changed = False
+            for i in range(len(pools) - 1):
+                if pools[i][0] > pools[i + 1][0]:
+                    num = pools[i][0] * pools[i][1] + pools[i + 1][0] * pools[i + 1][1]
+                    w = pools[i][1] + pools[i + 1][1]
+                    pools[i] = [num / w, w]
+                    del pools[i + 1]
+                    changed = True
+                    break
+        out = []
+        for m, w in pools:
+            out.extend([m] * w)
+        return out
+
+    for vals in (
+        [3, 1, 4, 1, 5, 9, 2, 6, 5, 3],
+        [5, 4, 3, 2, 1],
+        [1, 1, 1],
+        [7],
+        [2, 2, 1, 3, 3, 0],
+        list(range(20, 0, -1)) + list(range(40)),
+    ):
+        nums, dens = pava_exact(np.array(vals, dtype=np.int64))
+        got = [Fraction(int(n), int(d)) for n, d in zip(nums, dens)]
+        want = ref(vals)
+        assert got == want, vals
+        assert all(a <= b for a, b in zip(got, got[1:]))  # monotone
+        assert sum(got) == sum(vals)  # mean-preserving, exactly
+
+
+def test_isotonic_fit_milli_rejects_negative_values(spark):
+    import pytest as _pytest
+
+    from terra_bonobo_nodes_spark.operators.grouped import isotonic_fit_milli
+
+    df = spark.createDataFrame(
+        [("u", 1, -5), ("u", 2, 3)], "g string, x long, cents long"
+    )
+    with _pytest.raises(Exception) as exc:
+        isotonic_fit_milli(df, ["g"], "x", "cents").collect()
+    assert "non-negative" in str(exc.value)
+
+
 # --- data-quality constraints -----------------------------------------------
 
 
