@@ -585,12 +585,13 @@ def register(
 # merge learning, llm/bpe.py, authored round 15 — queued at the tail;
 # dict order in queries_candidates.py is still the rank).
 #
-# r16 HANDOFF SIMULATED (round 15): pretend the first 50 of the
-# current order green as CORRECTNESS_r15 -> last-green histogram
-# {r15: 50, r14: 49, r13: 45}, so the r16 due cohort is the 45
-# unrefreshed r13 greens and churn headroom is FIVE slots (NOT the
-# ~12 VERDICT_r14 hoped for — the 49-row r14 cohort comes due at r17,
-# which is the genuinely tight round: plan r16 so its two swaps also
+# r16 HANDOFF SIMULATED (round 15, re-run after the late t6
+# conversion joined the window): pretend the first 50 of the current
+# order green as CORRECTNESS_r15 -> last-green histogram
+# {r15: 50, r14: 48, r13: 46}, so the r16 due cohort is the 46
+# unrefreshed r13 greens and churn headroom is FOUR slots (NOT the
+# ~12 VERDICT_r14 hoped for — the 48-row r14 cohort comes due at r17,
+# which is the genuinely tight round: plan r16 so its swaps also
 # thin r17's due set). r16 plan, highest value first, closing
 # arithmetic name-for-name:
 #   1. WIDEN llm_host_quality_report in place with the LPA community
@@ -610,13 +611,13 @@ def register(
 #      cohort_daily_retention (the weekly retention triangle that
 #      subsumes the daily row's signal at report grain) — 1 new slot,
 #      zero net capacity.
-#   5. (uses the last slot ONLY if the recomputed r16 due cohort
-#      confirms 45) layout_zorder_pruning -> REGISTER, RETIRING
-#      spatial_zorder_code (the pruning measurement exercises
-#      morton_key AND adds the zone-map scan-count value the code row
-#      lacks) — 1 new slot, zero net capacity.
-# Total: 45 due + 2 changed + 3 new = 50 = DRIVER_CAP, zero slack
-# (drop item 5 to keep one slack slot if anything else must change).
+# Total: 46 due + 2 changed + 2 new = 50 = DRIVER_CAP, zero slack.
+# DEFERRED to r17's head by the re-simulated arithmetic (headroom
+# shrank 5 -> 4 when t6 joined the r15 window): layout_zorder_pruning
+# -> REGISTER, RETIRING spatial_zorder_code (the pruning measurement
+# exercises morton_key AND adds the zone-map scan-count value the
+# code row lacks) — the r17 window also retires spatial_zorder_code
+# from its due set, so the swap is self-funding there.
 # The promotion-gate family (corpus_version_diff + corpus_drift_psi +
 # llm_novelty_scores) heads r17 — each needs a freed slot; candidate
 # retirement partners to evaluate then: scd2_user_value_history vs
