@@ -227,5 +227,6 @@ SELECT p."group", CAST(p.q AS INT) AS q, p.n_values,
              OR (p.qbin = {bins - 1} AND e.exact_q <= {hi})))
          AS covers_exact
 FROM _hq_pick p
-JOIN _hq_exact e ON e."group" = p."group" AND e.q = p.q
+JOIN _hq_exact e
+  ON e."group" IS NOT DISTINCT FROM p."group" AND e.q = p.q
 """

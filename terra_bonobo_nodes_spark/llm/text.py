@@ -876,12 +876,18 @@ def readability(
         lambda acc, x: acc + x,
     )
     n_words = F.size(toks).cast("long")
-    # Sentence fragments count only when they contain a NON-WHITESPACE
-    # character (the pinned Python reference uses ``.strip()``, which
-    # drops "\n"/"\t"-only fragments; Spark's ``trim`` strips ASCII
-    # spaces only, so "0?\n" would otherwise count 2 sentences —
-    # VERDICT_r14 item 1). Java's \S is [^ \t\n\x0B\f\r]; the SQL
-    # mirror spells that class out because RE2's \S omits \x0B.
+    # Sentence fragments count only when they contain a character
+    # outside the explicit ASCII whitespace class [ \t\n\x0B\f\r]
+    # (Spark's ``trim`` strips only spaces, so "0?\n" counted 2
+    # sentences — VERDICT_r14 item 1). The class is the CONTRACT, by
+    # design C-locale: Java's \S is exactly that class, the SQL mirror
+    # spells it out (RE2's \S omits \x0B), and the pinned Python
+    # reference strips the same explicit set — a fragment of
+    # NON-ASCII whitespace (U+00A0, U+2028, ...) counts as a sentence
+    # on ALL engines identically. Unicode-whitespace definitions
+    # (Java (?U)\s, RE2 \p{Z}, Python str.isspace) disagree with each
+    # other at the edges, so no unicode contract can be cross-engine
+    # exact; the ASCII class can, and is (pinned with a U+00A0 case).
     n_sent = F.greatest(
         F.lit(1),
         F.size(

@@ -150,7 +150,13 @@ def priority_sample_report(
             F.sum("weight").alias("total_weight"),
         )
     )
-    return totals.join(est, "group").select(
+    # null-SAFE group join: a NULL group is a real stratum on both
+    # sides (groupBy keeps it; the SQL mirror joins IS NOT DISTINCT
+    # FROM) — a plain column-list join would silently drop it
+    est2 = est.withColumnRenamed("group", "_eg")
+    return totals.join(
+        est2, totals["group"].eqNullSafe(F.col("_eg"))
+    ).select(
         "group", "n_rows", "total_weight", "n_sampled", "tau", "est_weight"
     )
 
@@ -205,7 +211,7 @@ SELECT r."group", r.id, r.weight,
        r.q AS q,
        CAST(r.rank AS BIGINT) AS rank,
        CAST(t.tau AS BIGINT) AS tau
-FROM _ps_ranked r JOIN _ps_tau t ON t."group" = r."group"
+FROM _ps_ranked r JOIN _ps_tau t ON t."group" IS NOT DISTINCT FROM r."group"
 WHERE r.rank <= {k}
 """
 
@@ -226,7 +232,7 @@ _ps_est AS (
          CAST(count(*) AS BIGINT) AS n_sampled,
          CAST(max(t.tau) AS BIGINT) AS tau,
          CAST(sum(greatest(r.weight, t.tau)) AS BIGINT) AS est_weight
-  FROM _ps_ranked r JOIN _ps_tau t ON t."group" = r."group"
+  FROM _ps_ranked r JOIN _ps_tau t ON t."group" IS NOT DISTINCT FROM r."group"
   WHERE r.rank <= {k}
   GROUP BY 1
 ),
@@ -238,5 +244,5 @@ _ps_totals AS (
 )
 SELECT t."group", t.n_rows, t.total_weight,
        e.n_sampled, e.tau, e.est_weight
-FROM _ps_totals t JOIN _ps_est e ON e."group" = t."group"
+FROM _ps_totals t JOIN _ps_est e ON e."group" IS NOT DISTINCT FROM t."group"
 """

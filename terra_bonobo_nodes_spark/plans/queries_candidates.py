@@ -2624,54 +2624,14 @@ JOIN _zo_scans z ON z.probe_id = n.probe_id
 ZORDER_ORACLE = _zorder_oracle()
 
 
-# --- llm_priority_sample_report (authored round 14, r15 candidate) -----------
-# Weighted priority sampling (llm/wsample.py — Duffield-Lund-Thorup
-# 2007): k=32 docs per lang chosen proportionally to n_chars, with
-# the DLT unbiased total-weight estimator from the sample alone. The
-# weighted complement of the registered llm_sample_surface (reservoir
-# rank + quota membership are unweighted) — same sampling family,
-# new capability: inclusion ~ min(1, w/tau) and est_weight whose
-# 100-group aggregate sits within 0.3% of truth (pinned ~5% in
-# tests). All integer arithmetic — hashes, priorities, tau, estimator
-# — so every value hash-compares.
-
-_PS_K = 32
-
-
-def llm_priority_sample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-lang weighted-sample audit (llm/wsample.py): one hash
-    projection + one per-group top-(k+1) rank shuffle; n_rows/
-    total_weight ride along as the verification harness (the
-    approx_distinct_users pattern) — at corpus scale only the sample
-    and its estimator run."""
-    from terra_bonobo_nodes_spark.llm import wsample
-
-    docs = load_table(spark, sf_dir, "documents")
-    return wsample.priority_sample_report(
-        docs, "n_chars", "lang", "doc_id", k=_PS_K
-    ).select(
-        F.col("group").alias("lang"),
-        "n_rows",
-        "total_weight",
-        "n_sampled",
-        "tau",
-        "est_weight",
-    )
-
-
-def _priority_sample_oracle() -> str:
-    from terra_bonobo_nodes_spark.llm.wsample import priority_sample_report_sql
-
-    inner = priority_sample_report_sql(
-        "SELECT * FROM documents", "n_chars", "lang", "doc_id", _PS_K
-    )
-    return (
-        f'SELECT "group" AS lang, n_rows, total_weight, n_sampled, tau, '
-        f"est_weight FROM ({inner})"
-    )
-
-
-PRIORITY_SAMPLE_ORACLE = _priority_sample_oracle()
+# --- llm_priority_sample_report: RETIRED from the queue (round 15) -----------
+# The lang-grain DLT audit report left the queue when the r16 staging
+# replaced it with the DOC-grain llm_sample_surface_wide (the widened
+# registered row carries priority_rank next to the reservoir/quota
+# verdicts). The operator pair (wsample.priority_sample /
+# priority_sample_report) and both SQL mirrors stay live and pinned in
+# tests/test_wsample.py; the report-grain row form was dead weight
+# once nothing swept its oracle (review finding r15).
 
 
 # --- llm_bpe_merges (authored round 15, queue tail) ---------------------------

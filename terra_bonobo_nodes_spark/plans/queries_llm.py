@@ -1087,7 +1087,7 @@ _sk AS ({sk}),
 _skp AS (SELECT "group" AS source, {piv} FROM _sk GROUP BY 1)
 SELECT e.source, e.n_docs, e.p25, e.p50, e.p90, e.p99,
        {outcols}
-FROM _ex e JOIN _skp p ON p.source IS NOT DISTINCT FROM e.source
+FROM _ex e LEFT JOIN _skp p ON p.source IS NOT DISTINCT FROM e.source
 """
 
 
@@ -1133,8 +1133,14 @@ def llm_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "n_chars", "source", _LP_LO, _LP_HI, _LP_BINS
     )
     sk = hq.histogram_quantiles(cells, _LP_QS, _LP_LO, _LP_HI, _LP_BINS)
-    ex = hq.exact_disc_quantiles(docs, "n_chars", "source", _LP_QS)
-    j = sk.join(ex, ["group", "q"])
+    ex = hq.exact_disc_quantiles(docs, "n_chars", "source", _LP_QS).select(
+        F.col("group").alias("_eg"), F.col("q").alias("_eq"), "exact_q"
+    )
+    # null-SAFE group join (a NULL source is a real group on both
+    # sides — the vocab-coverage ADVICE r15 lesson applied here too)
+    j = sk.join(
+        ex, sk["group"].eqNullSafe(F.col("_eg")) & (sk["q"] == F.col("_eq"))
+    )
     piv = j.groupBy("group").agg(
         *[
             F.min(F.when(F.col("q") == q, F.col(c))).alias(f"sk{q}_{a}")
@@ -1159,7 +1165,12 @@ def llm_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in _LP_QS
         }
     )
-    return base.join(piv, base.source == piv.group).select(
+    # LEFT + null-safe: the report is ONE ROW PER SOURCE, ALWAYS — a
+    # source whose n_chars are all NULL has no sketch cells, and must
+    # surface with NULL sketch columns, not vanish from the report
+    return base.join(
+        piv, base["source"].eqNullSafe(piv["group"]), "left"
+    ).select(
         "source",
         "n_docs",
         "p25",

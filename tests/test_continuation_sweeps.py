@@ -108,7 +108,10 @@ def test_kmv_set_ops_matches_reference(spark, na, nb, overlap, k):
 def _read_ref(text):
     t = text or ""
     toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
-    sents = [s for s in re.split(r"[.!?]+", t) if s.strip()]
+    # the contract strips the EXPLICIT ASCII whitespace class — not
+    # .strip()'s unicode set, which no pair of engines agrees on
+    # (see llm/text.py readability); the U+00A0 case below pins it
+    sents = [s for s in re.split(r"[.!?]+", t) if s.strip(" \t\n\x0b\f\r")]
     n_s = max(1, len(sents))
     syl = sum(
         max(1, len([g for g in re.split(r"[^aeiouy]+", w) if g]))
@@ -178,7 +181,9 @@ def test_readability_whitespace_only_fragments(spark):
     as sentences — Spark's trim() strips only spaces, so the original
     length(trim(s)) > 0 filter counted 2 sentences where the reference
     (.strip()) counts 1."""
-    texts = ["0?\n", "a.\t", "x!\n\t \n", "b? c.", " . ", "\t?\t"]
+    # the U+00A0 case pins the C-locale contract: a NON-ASCII
+    # whitespace fragment IS a sentence, identically on all engines
+    texts = ["0?\n", "a.\t", "x!\n\t \n", "b? c.", " . ", "\t?\t", "hi. "]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "id long, text string"
     )

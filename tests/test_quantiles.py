@@ -168,3 +168,39 @@ def test_cells_build_streams_complete_mode(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_length_percentiles_keeps_all_null_and_null_sources(spark, tmp_path):
+    """Review finding r15: the widened llm_length_percentiles row must
+    stay ONE ROW PER SOURCE, ALWAYS — a source whose n_chars are all
+    NULL has no sketch cells and must surface with NULL sketch columns
+    (not vanish through an inner join), and a NULL source is a real
+    group on both engines."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from terra_bonobo_nodes_spark.plans.registry import all_queries
+
+    rows = {
+        "doc_id": [1, 2, 3, 4, 5],
+        "source": ["a", "a", "nulls", None, None],
+        "lang": ["en"] * 5,
+        "n_chars": [10, 20, None, 7, None],
+        "text": ["x"] * 5,
+    }
+    sf = tmp_path / "sf_nulls"
+    sf.mkdir()
+    pq.write_table(pa.table(rows), str(sf / "documents.parquet"))
+    q = all_queries()["llm_length_percentiles"]
+    got = {r["source"]: tuple(r) for r in q.spark_fn(spark, str(sf)).collect()}
+    assert set(got) == {"a", "nulls", None}  # nobody vanishes
+    assert got["nulls"][1] == 1 and got["nulls"][6] is None  # NULL sketch
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = {r[0]: tuple(r) for r in con.execute(q.oracle).fetchall()}
+    con.close()
+    assert got == want

@@ -128,3 +128,56 @@ def test_sql_mirror_matches_spark(spark):
     ).fetchone()
     srow = W.priority_sample_report(_df(spark, _ITEMS), k=32).collect()[0]
     assert tuple(orow) == tuple(srow)
+
+
+def _nkey(t):
+    return tuple((x is None, x) for x in t)
+
+
+def test_null_group_is_a_real_stratum_on_both_engines(spark):
+    """Review finding r15: a NULL group is a window partition on the
+    Spark side, so the SQL mirrors must stitch the tau/est joins with
+    IS NOT DISTINCT FROM (and the Spark report's group join must be
+    null-safe) — otherwise NULL-group rows silently vanish from one
+    engine and not the other."""
+    rows = [
+        (None, "a1", 10), (None, "a2", 20), (None, "a3", 30),
+        ("en", "b1", 5), ("en", "b2", 7),
+    ]
+    df = spark.createDataFrame(rows, "group string, id string, weight long")
+    got_sample = sorted(
+        ((r["group"], r["id"], r["rank"])
+         for r in W.priority_sample(df, k=2).collect()),
+        key=_nkey,
+    )
+    got_report = sorted(
+        (tuple(r) for r in W.priority_sample_report(df, k=2).collect()),
+        key=_nkey,
+    )
+    assert sum(1 for g, _, _ in got_sample if g is None) == 2
+    assert sum(1 for r in got_report if r[0] is None) == 1
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE nitems AS SELECT * FROM (VALUES "
+        "(NULL, 'a1', 10), (NULL, 'a2', 20), (NULL, 'a3', 30), "
+        "('en', 'b1', 5), ('en', 'b2', 7)) t(grp, item, w)"
+    )
+    osample = sorted(
+        ((r[0], r[1], r[4])
+         for r in con.execute(
+            W.priority_sample_sql("SELECT * FROM nitems", "w", "grp", "item", 2)
+         ).fetchall()),
+        key=_nkey,
+    )
+    oreport = sorted(
+        (tuple(r)
+         for r in con.execute(
+            W.priority_sample_report_sql(
+                "SELECT * FROM nitems", "w", "grp", "item", 2
+            )
+         ).fetchall()),
+        key=_nkey,
+    )
+    con.close()
+    assert got_sample == osample
+    assert got_report == oreport
