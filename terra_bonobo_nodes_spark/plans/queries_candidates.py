@@ -1015,11 +1015,9 @@ LEFT JOIN stats s ON s.host = p.node
 """
 
 
-@register(
-    "llm_host_quality_report",
-    oracle=HOST_REPORT_ORACLE,
-    tags=("llm", "graph", "curation"),
-)
+# ROUND-16: the registered name moved to the WIDE form below (ledger
+# item 1 — + LPA community columns); this base fn stays as the wide
+# row's component.
 def llm_host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-grain curation report — ALL FIVE link signals in one slot
     (registered round 14): plain PageRank, seeded TrustRank, HITS
@@ -1466,6 +1464,7 @@ SOURCE_RULE_FUNNEL_ORACLE = _funnel_oracle()
 register(
     "llm_source_rule_funnel",
     oracle=SOURCE_RULE_FUNNEL_ORACLE,
+    headline=True,  # promoted r15; benched since r16 (VERDICT_r15 #4)
     tags=("llm", "curation", "report"),
 )(llm_source_rule_funnel)
 
@@ -1598,6 +1597,19 @@ def _funnel_oracle_sql() -> str:
 
 EVENTS_FUNNEL_ORACLE = _funnel_oracle_sql()
 
+# ROUND-16 PROMOTION (ledger item 3): registered, RETIRING
+# funnel_view_click_purchase (plans/queries_relational.py) — the
+# ordered-step generalization of the fixed view->click->purchase row:
+# same events source, in-order semantics over ANY step list, one
+# groupBy(user) pass + a sorted-array fold in codegen instead of one
+# join-back per stage. Zero net capacity.
+register(
+    "events_conversion_funnel",
+    oracle=EVENTS_FUNNEL_ORACLE,
+    headline=True,  # promoted rows join the bench set (VERDICT_r15 #4)
+    tags=("analytics", "funnel"),
+)(events_conversion_funnel)
+
 
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle over events."""
@@ -1616,6 +1628,18 @@ def _retention_oracle_sql() -> str:
 
 
 EVENTS_RETENTION_ORACLE = _retention_oracle_sql()
+
+# ROUND-16 PROMOTION (ledger item 4): registered, RETIRING
+# cohort_daily_retention (plans/queries_relational.py) — the weekly
+# retention triangle subsumes the daily row's signal at report grain
+# (same min-per-user + join-back + cell-count shape, coarser period).
+# Zero net capacity.
+register(
+    "events_cohort_retention",
+    oracle=EVENTS_RETENTION_ORACLE,
+    headline=True,  # promoted rows join the bench set (VERDICT_r15 #4)
+    tags=("analytics", "cohort"),
+)(events_cohort_retention)
 
 
 # --- cms_join_size_report (authored round 14 continuation, r15 candidate) -----
@@ -1858,13 +1882,13 @@ def llm_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- llm_host_quality_wide (STAGED r16 widening — ledger item 1) -------------
-# The registered llm_host_quality_report + the LPA community columns
-# on one host-grain row: the SIXTH link signal staged so the r16
-# promotion is a pure registration edit (swap the registered row's fn
-# and oracle for these, retire this candidate — the
-# llm_source_rule_funnel precedent). Composition only: both sides are
-# the already-verified rows, joined on the host key.
+# --- llm_host_quality_report, the r16 WIDE registered form --------------------
+# ROUND-16 PROMOTION (ledger item 1; staged hash-green round 15 as the
+# llm_host_quality_wide candidate): the registered capstone + the LPA
+# community columns on one host-grain row — the SIXTH link signal.
+# Composition only: both sides are the already-verified rows, joined
+# on the host key. The candidate entry retired with this registration
+# (the llm_source_rule_funnel precedent).
 
 HOST_REPORT_WIDE_ORACLE = f"""
 WITH _hr AS ({HOST_REPORT_ORACLE}),
@@ -1883,6 +1907,14 @@ def llm_host_quality_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(comm, "host").select(
         *base.columns, "community", "community_size"
     )
+
+
+register(
+    "llm_host_quality_report",
+    oracle=HOST_REPORT_WIDE_ORACLE,
+    headline=True,  # promoted rows join the bench set (VERDICT_r15 #4)
+    tags=("llm", "graph", "curation"),
+)(llm_host_quality_wide)
 
 
 # --- llm_robots_filter (authored round 13, r14 candidate) ---------------
@@ -2673,51 +2705,11 @@ def _bpe_oracle() -> str:
 BPE_ORACLE = _bpe_oracle()
 
 
-# --- llm_sample_surface_wide (STAGED r16 widening — ledger item 2) -----------
-# The registered doc-grain sampling surface + the weighted priority
-# sampler's verdict: priority_rank (NULL = not in the per-lang
-# weighted top-32 by n_chars — the reservoir_rank convention). Staged
-# so the r16 promotion is a pure registration edit. The oracle reuses
-# the REGISTERED row's oracle verbatim (string surgery via the
-# registry object) + wsample's row-grain SQL mirror.
-
-_PSW_K = 32
-
-
-def _sample_surface_wide_oracle() -> str:
-    from terra_bonobo_nodes_spark.llm.wsample import priority_sample_sql
-    from terra_bonobo_nodes_spark.plans.registry import _REGISTRY
-
-    pw = priority_sample_sql(
-        "SELECT * FROM documents", "n_chars", "lang", "doc_id", _PSW_K
-    )
-    return f"""
-WITH _ss AS ({_REGISTRY["llm_sample_surface"].oracle}),
-_pw AS ({pw})
-SELECT _ss.*, CAST(_pw.rank AS BIGINT) AS priority_rank
-FROM _ss LEFT JOIN _pw ON _pw.id = _ss.doc_id
-"""
-
-
-def llm_sample_surface_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Doc-grain sampling surface carrying all THREE samplers:
-    reservoir rank, quota membership, and the DLT weighted priority
-    rank — the r16 widened form of the registered row."""
-    from terra_bonobo_nodes_spark.llm import wsample
-    from terra_bonobo_nodes_spark.plans.queries_llm import llm_sample_surface
-
-    base = llm_sample_surface(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
-    pr = wsample.priority_sample(
-        docs, "n_chars", "lang", "doc_id", k=_PSW_K
-    ).select(
-        F.col("id").alias("doc_id"),
-        F.col("rank").cast("long").alias("priority_rank"),
-    )
-    return base.join(pr, "doc_id", "left")
-
-
-SAMPLE_SURFACE_WIDE_ORACLE = _sample_surface_wide_oracle()
+# --- llm_sample_surface_wide: PROMOTED round 16 (ledger item 2) ---------------
+# The staged combined row left the queue by widening the registered
+# llm_sample_surface IN PLACE (plans/queries_llm.py — + priority_rank,
+# the DLT weighted per-language rank; the oracle composes the base
+# surface with wsample's row-grain SQL mirror there). Zero net slots.
 
 
 CANDIDATES: dict[str, tuple] = {
@@ -2746,14 +2738,9 @@ CANDIDATES: dict[str, tuple] = {
         cms_join_size_report,
         JOIN_SIZE_ORACLE,
     ),
-    "events_conversion_funnel": (
-        events_conversion_funnel,
-        EVENTS_FUNNEL_ORACLE,
-    ),
-    "events_cohort_retention": (
-        events_cohort_retention,
-        EVENTS_RETENTION_ORACLE,
-    ),
+    # events_conversion_funnel / events_cohort_retention left the
+    # queue round 16: REGISTERED (retiring funnel_view_click_purchase /
+    # cohort_daily_retention — ledger items 3-4).
     "corpus_drift_psi": (
         corpus_drift_psi,
         DRIFT_ORACLE,
@@ -2782,17 +2769,11 @@ CANDIDATES: dict[str, tuple] = {
         llm_corpus_overlap_report,
         CORPUS_OVERLAP_ORACLE,
     ),
-    # the r16 ledger's two zero-net widenings, staged as the COMBINED
-    # rows (subsume the llm_host_communities / llm_priority_sample_report
-    # standalone candidates — those fns stay as their components):
-    "llm_host_quality_wide": (
-        llm_host_quality_wide,
-        HOST_REPORT_WIDE_ORACLE,
-    ),
-    "llm_sample_surface_wide": (
-        llm_sample_surface_wide,
-        SAMPLE_SURFACE_WIDE_ORACLE,
-    ),
+    # llm_host_quality_wide / llm_sample_surface_wide left the queue
+    # round 16: the r15-staged combined rows are the REGISTERED
+    # llm_host_quality_report / llm_sample_surface (ledger items 1-2,
+    # zero net; the llm_host_communities / llm_priority_sample_report
+    # standalone fns stay as their components).
     "layout_zorder_pruning": (layout_zorder_pruning, ZORDER_ORACLE),
     "llm_bpe_merges": (llm_bpe_merges, BPE_ORACLE),
 }

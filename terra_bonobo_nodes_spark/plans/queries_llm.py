@@ -1094,6 +1094,7 @@ FROM _ex e LEFT JOIN _skp p ON p.source IS NOT DISTINCT FROM e.source
 @register(
     "llm_length_percentiles",
     oracle=_length_percentiles_oracle(),
+    headline=True,  # promoted r15; benched since r16 (VERDICT_r15 #4)
     tags=("llm", "stats", "sketch"),
 )
 def llm_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1566,9 +1567,15 @@ _RSV_N, _RSV_SEED = 15, "tbns-reservoir-v1"
 # reservoir_rank = not selected; in_quota boolean). The SELECTED SETS
 # stay fully verified: the rank column pins the reservoir's exact
 # ordering, the boolean pins the quota's membership, over every doc.
-@register(
-    "llm_sample_surface",
-    oracle=f"""
+# WIDENED round 16 (ledger item 2, pre-staged r15 as the hash-green
+# llm_sample_surface_wide candidate): + priority_rank, the
+# Duffield-Lund-Thorup weighted priority sampler's per-language rank
+# (llm/wsample.py; NULL = not in the weighted top-_PSW_K by n_chars —
+# the reservoir_rank convention), so all THREE samplers ride one
+# doc-grain row. One extra window shuffle (the sampler's own plan).
+_PSW_K = 32
+
+_SAMPLE_SURFACE_BASE_ORACLE = f"""
 WITH h AS (
   SELECT doc_id,
          {hashing.hash32_sql(f"'{_RSV_SEED}' || CAST(doc_id AS VARCHAR)")} AS u
@@ -1595,15 +1602,38 @@ SELECT d.doc_id, d.lang, d.source,
 FROM documents d
 LEFT JOIN res USING (doc_id)
 LEFT JOIN qk USING (doc_id)
-""",
+"""
+
+
+def _sample_surface_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm.wsample import priority_sample_sql
+
+    pw = priority_sample_sql(
+        "SELECT * FROM documents", "n_chars", "lang", "doc_id", _PSW_K
+    )
+    return f"""
+WITH _ss AS ({_SAMPLE_SURFACE_BASE_ORACLE}),
+_pw AS ({pw})
+SELECT _ss.*, CAST(_pw.rank AS BIGINT) AS priority_rank
+FROM _ss LEFT JOIN _pw ON _pw.id = _ss.doc_id
+"""
+
+
+@register(
+    "llm_sample_surface",
+    oracle=_sample_surface_oracle(),
+    headline=True,
     tags=("llm", "corpus", "sample"),
 )
 def llm_sample_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Doc-grain sampling surface: reservoir_sample's per-language
-    seeded-hash rank (NULL when not selected) and source_quota_sample's
-    per-source cap membership, on one row per document. Two window
-    shuffles (one per grouping key) — the operators' own plans,
-    unchanged; the surface join is on the table's own key."""
+    """Doc-grain sampling surface carrying all THREE samplers:
+    reservoir_sample's per-language seeded-hash rank (NULL when not
+    selected), source_quota_sample's per-source cap membership, and
+    the DLT weighted priority rank (NULL when outside the per-language
+    weighted top-k). Three window shuffles (one per sampler's grouping
+    key) — the operators' own plans, unchanged; the surface joins are
+    on the table's own key."""
+    from terra_bonobo_nodes_spark.llm import wsample
     from terra_bonobo_nodes_spark.llm.corpus import (
         reservoir_sample,
         source_quota_sample,
@@ -1611,6 +1641,13 @@ def llm_sample_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source"
+    )
+    pr = wsample.priority_sample(
+        load_table(spark, sf_dir, "documents"), "n_chars", "lang", "doc_id",
+        k=_PSW_K,
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("rank").cast("long").alias("priority_rank"),
     )
     rs = reservoir_sample(
         docs.select("doc_id", "lang"), ["lang"], _RSV_N, "doc_id",
@@ -1625,12 +1662,14 @@ def llm_sample_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.join(rs, "doc_id", "left")
         .join(qs, "doc_id", "left")
+        .join(pr, "doc_id", "left")
         .select(
             "doc_id",
             "lang",
             "source",
             "reservoir_rank",
             F.coalesce("in_quota", F.lit(False)).alias("in_quota"),
+            "priority_rank",
         )
     )
 
@@ -2068,6 +2107,7 @@ FROM f JOIN r ON r.doc_id = f.doc_id
 @register(
     "llm_quality_filter_score",
     oracle=_quality_filter_oracle(),
+    headline=True,  # promoted r15; benched since r16 (VERDICT_r15 #4)
     tags=("llm", "text", "curation"),
 )
 def llm_quality_filter_score(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1126,105 +1126,14 @@ def t5_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "funnel_view_click_purchase",
-    oracle="""
-WITH v AS (
-  SELECT user_id, min(ts) AS t_view FROM events
-  WHERE event_type = 'view' GROUP BY 1),
-c AS (
-  SELECT e.user_id, min(e.ts) AS t_click
-  FROM events e JOIN v ON v.user_id = e.user_id
-  WHERE e.event_type = 'click' AND e.ts >= v.t_view
-  GROUP BY 1),
-p AS (
-  SELECT e.user_id, min(e.ts) AS t_purchase
-  FROM events e JOIN c ON c.user_id = e.user_id
-  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
-  GROUP BY 1)
-SELECT v.user_id,
-       CAST(floor(epoch(v.t_view)) AS BIGINT) AS t_view,
-       CAST(floor(epoch(c.t_click)) AS BIGINT) AS t_click,
-       CAST(floor(epoch(p.t_purchase)) AS BIGINT) AS t_purchase
-FROM v LEFT JOIN c ON c.user_id = v.user_id
-       LEFT JOIN p ON p.user_id = v.user_id
-""",
-    tags=("analytics", "funnel"),
-)
-def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered three-stage funnel: first view, first click at-or-after it,
-    first purchase at-or-after that click — per user, NULL where the
-    funnel stalls. Each stage is one conditional aggregate joined back;
-    the stage relations are per-user (tiny vs events), so AQE broadcasts
-    them into the next stage's filter — the fact table is scanned, never
-    self-joined row-to-row. The classic product-analytics query the
-    reference's pipeline users run downstream in SQL."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") >= F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") >= F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    return (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .select(
-            "user_id",
-            F.unix_timestamp("t_view").alias("t_view"),
-            F.unix_timestamp("t_click").alias("t_click"),
-            F.unix_timestamp("t_purchase").alias("t_purchase"),
-        )
-    )
-
-
-@register(
-    "cohort_daily_retention",
-    oracle="""
-WITH f AS (
-  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1),
-a AS (
-  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
-SELECT CAST(date_diff('day', DATE '1970-01-01', f.d0) AS BIGINT) AS cohort_day,
-       CAST(date_diff('day', f.d0, a.d) AS BIGINT) AS day_offset,
-       count(*) AS n_users
-FROM a JOIN f ON f.user_id = a.user_id
-GROUP BY 1, 2
-""",
-    tags=("analytics", "cohort"),
-)
-def cohort_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily cohort retention matrix: users grouped by first-seen day,
-    counted on each later active day. Two aggregations (first-day per
-    user; distinct user-days) and one join keyed on user_id — the
-    (cohort, offset) matrix is tiny, the events table shuffles once for
-    each aggregate and never expands."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.col("ts").cast("date").alias("d")
-    )
-    f = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
-    a = ev.distinct()
-    return (
-        a.join(f, "user_id")
-        .groupBy(
-            F.unix_date("d0").cast("long").alias("cohort_day"),
-            F.datediff("d", "d0").cast("long").alias("day_offset"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
+# funnel_view_click_purchase RETIRED round 16 into the registered
+# events_conversion_funnel (plans/queries_candidates.py — the
+# ordered-step generalization: same events source, any step list, one
+# groupBy(user) pass + sorted-array fold instead of a join-back per
+# stage). cohort_daily_retention RETIRED the same round into the
+# registered events_cohort_retention (the weekly retention triangle at
+# report grain; operators/funnels.py carries both operators with their
+# SQL mirrors, pinned by tests/test_funnels.py). Ledger items 3-4.
 
 
 @register(

@@ -624,6 +624,59 @@ def register(
 # corpus_version_diff (both churn reports), stream_props_json_rollup
 # merge into stream_window_agg_surface (same stream source).
 
+# ROUND-16 PROMOTIONS (executing the r15 ledger's 4-slot plan above,
+# exactly as budgeted). Capacity closes name-for-name: TWO retired,
+# TWO registered, 144 - 2 + 2 = 144 (checked: len(all_queries())).
+#
+# 1. llm_host_quality_report WIDENED in place (zero net): the
+#    registered fn/oracle swapped for the r15-staged hash-green
+#    llm_host_quality_wide pair (+ LPA community + community_size —
+#    the SIXTH link signal, llm/graph.py::lpa_fixed; same host grain).
+#    r14 green -> +1 changed demand.
+# 2. llm_sample_surface WIDENED in place (zero net): + priority_rank,
+#    the DLT weighted per-language rank (llm/wsample.py; the
+#    r15-staged llm_sample_surface_wide pair, recomposed in
+#    queries_llm.py so the oracle builds from the base surface text
+#    directly). r14 green -> +1 changed demand.
+# 3. funnel_view_click_purchase RETIRED; events_conversion_funnel
+#    REGISTERED in its slot (operators/funnels.py — ordered-step
+#    generalization, one groupBy(user) pass). +1 new demand.
+# 4. cohort_daily_retention RETIRED; events_cohort_retention
+#    REGISTERED in its slot (the weekly retention triangle). +1 new
+#    demand.
+#
+# Also this round (VERDICT_r15 item 4): every row promoted in r15/r16
+# joins the bench headline set (headline=True on
+# llm_length_percentiles, llm_quality_filter_score,
+# llm_source_rule_funnel, llm_host_quality_report, llm_sample_surface,
+# events_conversion_funnel, events_cohort_retention) so promoted-row
+# regressions are visible the round they land.
+#
+# BUDGET (r16 window, DRIVER_CAP=50): due cohort recomputed from the
+# ACTUAL artifacts post-retirement = 46 (the unrefreshed r13-or-older
+# greens still registered; the r15 simulation's 46 counted the two
+# now-retired rows and missed two rows the real CORRECTNESS_r15
+# window didn't reach), + 2 changed (the widenings, both r14 green so
+# genuinely additive) + 2 new (funnel, retention) = 50 = DRIVER_CAP,
+# zero slack. Candidate queue after this round: 22 (the four promoted
+# entries left it).
+#
+# r17 HANDOFF SIMULATED: pretend the first 50 of the current order
+# green as CORRECTNESS_r16 -> the r17 due cohort is the unrefreshed
+# r14 cohort (~44 rows — the tight round the r15 ledger predicted) ->
+# churn headroom ~6 slots. r17 plan,
+# highest value first (the consolidation candidates authored this
+# round are the enabler):
+#   1. p_record_ops_surface REGISTERED, retiring the 10 one-line
+#      record-op rows p1/p2/p3/p4/p5/p6/p7/p9/p11 + g2 partner set —
+#      see the round-16 consolidation note in queries_candidates.py;
+#      frees ~9 due slots AT r17 exactly when the r14 cohort lands.
+#   2. g_scalar_geometry_surface REGISTERED, retiring g2/g5/g6/g8.
+#   3. The promotion-gate family (corpus_version_diff,
+#      corpus_drift_psi, llm_novelty_scores) into the freed slots.
+#   4. layout_zorder_pruning REGISTERED retiring spatial_zorder_code
+#      (self-funding: the retiree is in r17's due set).
+
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
 # The round whose window the hand-maintained lists below budget for.
@@ -635,23 +688,20 @@ DRIVER_CAP = 50  # rows the correctness driver records per round
 # post-artifact handoff state the next round inherits (VERDICT_r12
 # "What's wrong" #1: the r12 lists stayed active after the artifact
 # landed and over-subscribed the r13 demand computation).
-_ROTATION_ROUND = 15
+_ROTATION_ROUND = 16
 
 # (2) operator code changed since the query's last green:
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "llm_length_percentiles",  # widened: + histogram quantile sketch
-    #   pivot (r13 green, so +1 demand)
-    "llm_quality_filter_score",  # widened: + readability r_* columns
-    #   (r12 green = already due, so NO extra demand — dedupes)
-    "t6_isotonic_value_fit",  # converted rows-only -> FULL hash oracle
-    #   (exact-integer PAVA both engines, recursive-CTE replay; r14
-    #   rows-only green, so +1 demand — consumes the last slack slot,
-    #   50/50 exactly)
+    "llm_host_quality_report",  # widened: + LPA community columns
+    #   (r14 green, so +1 demand)
+    "llm_sample_surface",  # widened: + DLT priority_rank
+    #   (r14 green, so +1 demand)
 )
 
-# (3) first driver row this round (the ROUND-15 ledger above):
+# (3) first driver row this round (the ROUND-16 ledger above):
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    "llm_source_rule_funnel",
+    "events_conversion_funnel",
+    "events_cohort_retention",
 )
 
 # (4) overflow — heads the next round's queue:

@@ -45,6 +45,14 @@ SENSITIVE = [
     "llm_url_dedup_groups",
     # round 15: the promoted funnel's dedup window over the filtered set
     "llm_source_rule_funnel",
+    # round 16 promotions: the wide host report (5 LPA rounds + 4
+    # fixed-point chains), the events funnel (sorted-array fold per
+    # user) and retention (min-per-user + cell counts); the widened
+    # llm_sample_surface (three samplers' window ranks) is already
+    # listed above and now covers the priority rank too
+    "llm_host_quality_report",
+    "events_conversion_funnel",
+    "events_cohort_retention",
 ]
 
 
@@ -73,19 +81,16 @@ def test_result_invariant_under_shuffle_layout(name, spark):
 # slot (the candidate cartesian-audit rationale).
 
 CANDIDATE_SENSITIVE = [
-    "llm_host_quality_wide",       # 5 LPA rounds + 4 fixed-point chains
+    # (the r16-promoted rows — host_quality_wide, sample_surface_wide,
+    # events funnel/retention — moved to the registered SENSITIVE list)
     "llm_corpus_overlap_report",   # bottom-k union re-rank
     "llm_stride_interleave_order", # per-source hash-rank window
     "llm_vocab_coverage_report",   # top-256 boundary + broadcast join
     "llm_packing_efficiency",      # two-level combinable rollup
     "corpus_drift_psi",            # the one float (psi_term) column
-    "events_conversion_funnel",    # sorted-array fold per user
-    "events_cohort_retention",     # min-per-user + cell counts
     "cms_join_size_report",        # d*w cell joins + min-of-dots
     "llm_novelty_scores",          # per-batch top-k merge window
     "llm_length_outliers",         # two rank-window median passes
-    # round 15 additions
-    "llm_sample_surface_wide",     # three samplers' window ranks
     "llm_bpe_merges",              # per-round argmax tie boundaries
 ]
 
