@@ -1291,6 +1291,29 @@ JOIN _iso_final f
   ON f.user_id = r.user_id AND r.pos BETWEEN f.s AND f.e
 """
 
+# ADVICE_r16 (staged fix, swaps in at r17): _ISO_ORACLE's two user_id
+# equi-joins drop a NULL-user_id stratum that Spark's groupBy +
+# applyInPandas keeps as a real group — the same latent cross-engine
+# divergence class round 15 fixed in wsample/quantiles/vocab. The
+# null-safe twin below is pinned against the Spark fn on a NULL-group
+# fixture (tests/test_round16_fixes.py); the REGISTERED oracle stays
+# on _ISO_ORACLE this round because the r16 window is at 50/50 with
+# zero slack — an oracle edit puts t6 in _CHANGED_THIS_ROUND and
+# over-subscribes the rotation. r17's ledger swaps the registration to
+# this constant and lists t6 as changed (headroom ~6 there). Fixtures
+# have no NULL user_id, so both texts hash identically today.
+_ISO_ORACLE_NULLSAFE = _ISO_ORACLE.replace(
+    "ON m.user_id = b.user_id AND m.ms = b.step",
+    "ON m.user_id IS NOT DISTINCT FROM b.user_id AND m.ms = b.step",
+).replace(
+    "ON f.user_id = r.user_id AND r.pos BETWEEN f.s AND f.e",
+    "ON f.user_id IS NOT DISTINCT FROM r.user_id"
+    " AND r.pos BETWEEN f.s AND f.e",
+)
+# both .replace targets must have matched (a drifted _ISO_ORACLE text
+# would silently yield a no-op twin otherwise):
+assert _ISO_ORACLE_NULLSAFE.count("IS NOT DISTINCT FROM") == 2
+
 
 @register(
     "t6_isotonic_value_fit",

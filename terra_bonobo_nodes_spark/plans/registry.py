@@ -676,6 +676,11 @@ def register(
 #      corpus_drift_psi, llm_novelty_scores) into the freed slots.
 #   4. layout_zorder_pruning REGISTERED retiring spatial_zorder_code
 #      (self-funding: the retiree is in r17's due set).
+#   5. t6_isotonic_value_fit's oracle swapped to _ISO_ORACLE_NULLSAFE
+#      (queries_relational.py — the ADVICE_r16 null-safe user_id
+#      joins, staged + fixture-pinned this round in
+#      tests/test_round16_fixes.py; couldn't land in r16's zero-slack
+#      window) and t6 listed in r17's _CHANGED_THIS_ROUND.
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
