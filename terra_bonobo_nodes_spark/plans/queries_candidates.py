@@ -2712,7 +2712,284 @@ BPE_ORACLE = _bpe_oracle()
 # surface with wsample's row-grain SQL mirror there). Zero net slots.
 
 
+# --- p_record_ops_surface (authored round 16 — the r17 consolidation) --------
+# VERDICT_r15 "What's wrong" #1: p1/p2/p3/p4/p5/p6/p7/p9/p11 are NINE
+# separate driver rows for one-line record ops (operators/records.py,
+# operators/arrays.py), all refreshed together and all due together —
+# the rotation's biggest slot sink. This surface re-authors every one
+# of them at ONE grain (lineitem rows, the table's own key) with each
+# op's oracle check kept verbatim as a column, the
+# fn_scalar_surface/g7_transform_surface precedent:
+#   P1  identifier_from_property  -> p1_identifier (cast-to-string copy)
+#   P2  generate_identifier (md5) -> p2_identifier
+#   P3  exclude_attributes        -> p3_cols (surviving-schema literal;
+#       includes a missing name, pinning the tolerant-drop contract)
+#   P4  filter_attributes         -> p4_cols (whitelist literal)
+#   P5  filter_by_properties      -> p5_kept (the REAL op run twice,
+#       kept/dropped partition union — exact row multiset, no join)
+#   P6  map_properties            -> p6_net_price / p6_charge
+#   P7  min_array_attribute       -> p7_qty_min (collect_list at order
+#       grain + array_min, joined back — the A3 composition unchanged)
+#   P9  drop_identifier           -> p9_dropped_ok (schema verdict; the
+#       surface's dataflow runs THROUGH the add-then-drop composition)
+#   P11 accessibility_ratio_by_time -> p11_accessibility_ratio
+# Scale shape: one lineitem scan (read twice by the kept/dropped
+# union's two filters — both pushed to the scan) + one combinable
+# groupBy(l_orderkey) + one key-equi join back (AQE broadcasts the
+# per-order mins at small SF; at 100 TB both shuffles share the
+# table's own key).
+# P10 (hstore) keeps its own row: a real parser, not a projection.
+
+_P3_EXCLUDE = ["l_shipdate", "l_linestatus", "not_a_column"]
+_P4_KEEP = ["l_orderkey", "l_returnflag", "l_shipdate"]
+
+
+def p_record_ops_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every record-shaping operator's contract on one row per
+    lineitem — the r17 retire-and-replace for the nine standalone
+    record-op rows."""
+    from terra_bonobo_nodes_spark.operators.arrays import (
+        accessibility_ratio_by_time,
+        min_array_attribute,
+    )
+    from terra_bonobo_nodes_spark.operators.records import (
+        drop_identifier,
+        exclude_attributes,
+        filter_attributes,
+        filter_by_properties,
+        generate_identifier,
+        identifier_from_property,
+        map_properties,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    # schema-contract ops on the raw table -> literal verdict columns
+    p3_cols = ",".join(sorted(exclude_attributes(li, _P3_EXCLUDE).columns))
+    p4_cols = ",".join(sorted(filter_attributes(li, _P4_KEEP).columns))
+
+    # value ops chained on ONE frame (each a withColumn/withColumns)
+    cur = identifier_from_property(li, "l_orderkey", "p1_identifier")
+    gen = F.md5(
+        F.encode(
+            F.concat_ws(
+                "-",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            ),
+            "UTF-8",
+        )
+    )
+    cur = generate_identifier(cur, gen, identifier_col="p2_identifier")
+    net = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    cur = map_properties(
+        cur,
+        {"p6_net_price": net, "p6_charge": net * (F.lit(1.0) + F.col("l_tax"))},
+    )
+    cur = cur.withColumn(
+        "times",
+        F.array(
+            F.array(F.col("l_quantity"), F.col("l_extendedprice")),
+            F.array(F.col("l_discount"), F.col("l_tax")),
+        ),
+    )
+    cur = accessibility_ratio_by_time(cur, "times", [25.0, 1000.0])
+    # P9: the dataflow itself passes through add-identifier -> drop
+    cur = drop_identifier(identifier_from_property(cur, "l_orderkey"))
+    p9_dropped_ok = "identifier" not in cur.columns
+
+    # P5: the real filter op, exercised as a kept/dropped partition —
+    # union of filter(pred) and filter(~pred) keeps the exact row
+    # multiset with zero joins ((l_orderkey, l_linenumber) is NOT
+    # unique in the synthetic lineitem, so a membership join-back
+    # would multiply rows). Exact for non-NULL predicates, which this
+    # one is on these columns.
+    p5_pred = (F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R")
+    cur = filter_by_properties(cur, p5_pred).withColumn(
+        "p5_kept", F.lit(True)
+    ).unionByName(
+        filter_by_properties(cur, ~p5_pred).withColumn(
+            "p5_kept", F.lit(False)
+        )
+    )
+
+    # P7/A3: collect_list at order grain + array_min, joined back
+    # (one row per l_orderkey, so the join preserves cardinality)
+    arrays = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_quantity").alias("p7_qty_min")
+    )
+    mins = min_array_attribute(arrays, "p7_qty_min")
+
+    return (
+        cur.join(mins, "l_orderkey")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "p1_identifier",
+            "p2_identifier",
+            F.lit(p3_cols).alias("p3_cols"),
+            F.lit(p4_cols).alias("p4_cols"),
+            "p5_kept",
+            "p6_net_price",
+            "p6_charge",
+            "p7_qty_min",
+            F.lit(p9_dropped_ok).alias("p9_dropped_ok"),
+            F.col("accessibility_ratio").alias("p11_accessibility_ratio"),
+        )
+    )
+
+
+P_RECORD_OPS_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_orderkey AS VARCHAR) AS p1_identifier,
+       md5(concat_ws('-', CAST(l_orderkey AS VARCHAR),
+                          CAST(l_linenumber AS VARCHAR))) AS p2_identifier,
+       'l_discount,l_extendedprice,l_linenumber,l_orderkey,l_partkey,l_quantity,l_returnflag,l_suppkey,l_tax'
+         AS p3_cols,
+       'l_orderkey,l_returnflag,l_shipdate' AS p4_cols,
+       (l_quantity > 30 AND l_returnflag = 'R') AS p5_kept,
+       (l_extendedprice * (1.0 - l_discount)) AS p6_net_price,
+       ((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)) AS p6_charge,
+       min(l_quantity) OVER (PARTITION BY l_orderkey) AS p7_qty_min,
+       TRUE AS p9_dropped_ok,
+       ((CASE WHEN l_quantity <= 25.0 OR l_extendedprice <= 1000.0 THEN 1 ELSE 0 END)
+      + (CASE WHEN l_discount <= 25.0 OR l_tax <= 1000.0 THEN 1 ELSE 0 END)) / 2.0
+         AS p11_accessibility_ratio
+FROM lineitem
+"""
+
+
+# --- g_scalar_geometry_surface (authored round 16 — the r17 consolidation) ---
+# The same pass for the scalar-geometry rows: g2 (x/y attrs -> point
+# round-trip), g5 (3D -> 2D), g6 (Douglas-Peucker endpoints
+# invariant), g8 (subdivision preserves area) shared nothing but a
+# grain-per-table; re-authored here at SUPPLIER grain with every row's
+# closed-form oracle check verbatim as columns. g9 stays its own row —
+# it is a line x polygon overlay JOIN against the tile layer, not a
+# scalar kernel. Scale shape: one supplier scan of pure Column
+# kernels; the g8 branch subdivides (bounded fan-out, <= 4 parts per
+# 12-gon at max_vertices=8), sums per identifier (combinable) and
+# joins back on the table's own key.
+
+
+def g_scalar_geometry_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g2/g5/g6/g8 on one row per supplier — the r17
+    retire-and-replace for the four standalone scalar-geometry rows."""
+    import math
+
+    from terra_bonobo_nodes_spark.geo import kernels as K
+    from terra_bonobo_nodes_spark.operators.spatial import (
+        attributes_to_point_geometry,
+        geometry_3d_to_2d,
+        simplify_geom,
+        subdivide_geom,
+    )
+
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal"
+    )
+
+    # G2: string x/y attributes -> point -> coordinate round-trip
+    pts = attributes_to_point_geometry(
+        supp.select(
+            "s_suppkey",
+            "s_acctbal",
+            F.col("s_acctbal").cast("string").alias("x"),
+            F.pmod(F.col("s_suppkey"), F.lit(90)).cast("string").alias("y"),
+        ),
+        "x",
+        "y",
+    )
+    # G5: 3D point (z = s_suppkey) flattened back to 2D
+    p3d = pts.withColumn(
+        "g5geom",
+        K.st_pointz(
+            F.col("s_acctbal"), F.col("s_acctbal") % 7.0, F.col("s_suppkey")
+        ),
+    )
+    flat = geometry_3d_to_2d(p3d, "g5geom")
+    # G6: 5-vertex zigzag (deviation 0.4 < tolerance 0.5) -> endpoints
+    span = (F.col("s_acctbal") % 500.0).alias("span")
+    sp = F.col("span")
+    wkt = F.concat(
+        F.lit("LINESTRING (0 0, "),
+        (sp / 4).cast("string"), F.lit(" 0.4, "),
+        (sp / 2).cast("string"), F.lit(" -0.4, "),
+        (sp * 3 / 4).cast("string"), F.lit(" 0.4, "),
+        sp.cast("string"), F.lit(" 0)"),
+    )
+    lines = flat.withColumn("span", span).withColumn(
+        "g6geom", K.st_geomfromtext(wkt)
+    )
+    simp = simplify_geom(lines, tolerance=0.5, geom_in="g6geom")
+    scalars = simp.select(
+        "s_suppkey",
+        K.st_x("geom").alias("g2_px"),
+        K.st_y("geom").alias("g2_py"),
+        K.st_x("g5geom").alias("g5_fx"),
+        K.st_y("g5geom").alias("g5_fy"),
+        K.st_npoints("g6geom").cast("int").alias("g6_n_points"),
+        (K.st_x(K.st_centroid("g6geom")) * 2).alias("g6_span"),
+    )
+
+    # G8: 12-gon of radius r, subdivided; child areas sum to 3 r^2
+    g8 = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("identifier"),
+        (F.lit(2.0) + (F.col("s_acctbal") % 5.0)).alias("r"),
+    )
+    pieces = [F.lit("POLYGON ((")]
+    for k in range(13):
+        ang = 2 * math.pi * (k % 12) / 12
+        pieces.append((F.col("r") * F.lit(math.cos(ang))).cast("string"))
+        pieces.append(F.lit(" "))
+        pieces.append((F.col("r") * F.lit(math.sin(ang))).cast("string"))
+        if k < 12:
+            pieces.append(F.lit(", "))
+    poly_wkt = F.concat(*pieces, F.lit("))"))
+    polys = g8.withColumn("geom", K.st_geomfromtext(poly_wkt))
+    parts = subdivide_geom(polys, max_vertices=8)
+    areas = (
+        parts.withColumn(
+            "identifier", F.substring_index(F.col("identifier"), "-", 1)
+        )
+        .groupBy("identifier")
+        .agg(
+            F.round(
+                F.sum(K.st_area("geom").cast("decimal(20,12)")).cast("double"),
+                6,
+            ).alias("g8_total_area")
+        )
+        .select(
+            F.col("identifier").cast("long").alias("s_suppkey"),
+            "g8_total_area",
+        )
+    )
+    return scalars.join(areas, "s_suppkey")
+
+
+G_SCALAR_GEOMETRY_ORACLE = """
+SELECT s_suppkey,
+       s_acctbal AS g2_px,
+       CAST(s_suppkey % 90 AS DOUBLE) AS g2_py,
+       s_acctbal AS g5_fx,
+       (s_acctbal % 7.0) AS g5_fy,
+       2 AS g6_n_points,
+       (s_acctbal % 500.0) AS g6_span,
+       round(3.0 * (2.0 + (s_acctbal % 5.0)) * (2.0 + (s_acctbal % 5.0)), 6)
+         AS g8_total_area
+FROM supplier
+"""
+
+
 CANDIDATES: dict[str, tuple] = {
+    # ROUND-17 HEAD (the consolidation pass — each frees ~4-9 due
+    # slots in the round the r14 cohort lands; registry ledger r17
+    # plan items 1-2):
+    "p_record_ops_surface": (p_record_ops_surface, P_RECORD_OPS_ORACLE),
+    "g_scalar_geometry_surface": (
+        g_scalar_geometry_surface,
+        G_SCALAR_GEOMETRY_ORACLE,
+    ),
     # ledger order (plans/registry.py round-14 note) — dict order IS
     # the promotion rank, kept in sync by review finding r14
     "llm_kmeans_fixed_cells": (llm_kmeans_fixed_cells, KMEANS_ORACLE),

@@ -92,6 +92,9 @@ CANDIDATE_SENSITIVE = [
     "llm_novelty_scores",          # per-batch top-k merge window
     "llm_length_outliers",         # two rank-window median passes
     "llm_bpe_merges",              # per-round argmax tie boundaries
+    # round 16: the r17 consolidation surfaces (groupBy + join-back)
+    "p_record_ops_surface",
+    "g_scalar_geometry_surface",
 ]
 
 
