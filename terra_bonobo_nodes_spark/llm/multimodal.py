@@ -333,6 +333,63 @@ def codec_roundtrip(
     return ids.select(id_col).mapInPandas(run, CODEC_BENCH_SCHEMA)
 
 
+def codec_roundtrip_seeded(
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    size: tuple[int, int] = (48, 32),
+    seed_mod: int = 48,
+) -> DataFrame:
+    """``codec_roundtrip`` with the noise seed keyed by ``id %
+    seed_mod`` instead of the raw id: the SAME per-image decode work
+    (every id still synthesizes, encodes and decodes its own image)
+    but only ``seed_mod`` DISTINCT images exist, so the stage's entire
+    output is restatable as a ``seed_mod``-row known-answer table — a
+    full value-hash oracle for a codec row (VERDICT_r15 item 6).
+    ``seed_mod`` must be divisible by 3 so the format choice (id mod
+    3) is a function of the seed class.
+
+    A separate function rather than a parameter on ``codec_roundtrip``
+    because the registered llm_codec_throughput row (r14 green, not in
+    the r16 window) must not change code until its r17 due slot."""
+    import numpy as np
+
+    from terra_bonobo_nodes_spark.llm import codecs
+    from terra_bonobo_nodes_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    if seed_mod % 3:
+        raise ValueError("seed_mod must be divisible by 3 (fmt = id mod 3)")
+    w, h = size
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in CODEC_BENCH_SCHEMA}
+            for did in pdf[id_col]:
+                did = int(did)
+                rng = np.random.RandomState(did % seed_mod)
+                img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+                fmt = _CODEC_BENCH_FORMATS[did % 3]
+                if fmt == "png":
+                    payload = codecs.encode_png(w, h, img.tobytes(), 4)
+                    dw, dh, raw = codecs.decode_png(payload)
+                else:
+                    payload = encode_jpeg(
+                        w, h, img.tobytes(), progressive=fmt.endswith("progressive")
+                    )
+                    dw, dh, raw = decode_jpeg(payload)
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(dh, dw, 3)
+                out["asset_id"].append(did)
+                out["fmt"].append(fmt)
+                out["enc_bytes"].append(len(payload))
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["mean_r"].append(round(float(px[..., 0].mean()), 4))
+                out["mean_g"].append(round(float(px[..., 1].mean()), 4))
+                out["mean_b"].append(round(float(px[..., 2].mean()), 4))
+            yield pd.DataFrame(out)
+
+    return ids.select(id_col).mapInPandas(run, CODEC_BENCH_SCHEMA)
+
+
 SPECTRAL_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),

@@ -681,6 +681,12 @@ def register(
 #      joins, staged + fixture-pinned this round in
 #      tests/test_round16_fixes.py; couldn't land in r16's zero-slack
 #      window) and t6 listed in r17's _CHANGED_THIS_ROUND.
+#   6. llm_codec_throughput / llm_audio_spectral swapped to their
+#      KAT-pinned forms (queries_candidates.py
+#      llm_codec_throughput_pinned / llm_audio_spectral_pinned —
+#      hash-green at 3 SFs; VERDICT_r15 item 6). Both rows are r14
+#      greens = IN r17's due cohort, so the change dedupes into the
+#      due demand: the no-oracle set drops to ZERO for free there.
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
