@@ -661,32 +661,48 @@ def register(
 # zero slack. Candidate queue after this round: 22 (the four promoted
 # entries left it).
 #
-# r17 HANDOFF SIMULATED: pretend the first 50 of the current order
-# green as CORRECTNESS_r16 -> the r17 due cohort is the unrefreshed
-# r14 cohort (~44 rows — the tight round the r15 ledger predicted) ->
-# churn headroom ~6 slots. r17 plan,
-# highest value first (the consolidation candidates authored this
-# round are the enabler):
-#   1. p_record_ops_surface REGISTERED, retiring the 10 one-line
-#      record-op rows p1/p2/p3/p4/p5/p6/p7/p9/p11 + g2 partner set —
-#      see the round-16 consolidation note in queries_candidates.py;
-#      frees ~9 due slots AT r17 exactly when the r14 cohort lands.
-#   2. g_scalar_geometry_surface REGISTERED, retiring g2/g5/g6/g8.
-#   3. The promotion-gate family (corpus_version_diff,
-#      corpus_drift_psi, llm_novelty_scores) into the freed slots.
+# r17 HANDOFF SIMULATED (computed from the artifacts + a first-50
+# r16 pretend-green; last-green histogram comes out {r16: 50, r15:
+# 50, r14: 44}): the r17 due cohort is the 44 unrefreshed r14 greens
+# — the tight round the r15 ledger predicted — and the plan below
+# closes at 48/50 with TWO slack slots because three retirements come
+# OUT of that due set. r17 plan, highest value first:
+#   1. p_record_ops_surface REGISTERED, retiring the NINE one-line
+#      record-op rows p1/p2/p3/p4/p5/p6/p7/p9/p11 (staged hash-green
+#      this round — see the consolidation note in
+#      queries_candidates.py). The retirees are r15 greens, so the
+#      slot relief lands at r18's due cohort (not r17's); what r17
+#      buys is the permanent -9 on every future cohort.
+#   2. g_scalar_geometry_surface REGISTERED, retiring g2/g5/g6/g8
+#      (also r15 greens — same timing as item 1).
+#   3. The promotion-gate family REGISTERED: corpus_version_diff
+#      (retiring scd2_user_value_history — r14 green, IN r17's due
+#      set, so the retirement funds itself), corpus_drift_psi,
+#      llm_novelty_scores (funded by the stream_props_json_rollup
+#      merge into stream_window_agg_surface — the rollup is r14
+#      green/due; the widened window row is ALSO due, so its changed
+#      slot dedupes).
 #   4. layout_zorder_pruning REGISTERED retiring spatial_zorder_code
-#      (self-funding: the retiree is in r17's due set).
+#      (r14 green, in the due set — self-funding).
 #   5. t6_isotonic_value_fit's oracle swapped to _ISO_ORACLE_NULLSAFE
 #      (queries_relational.py — the ADVICE_r16 null-safe user_id
 #      joins, staged + fixture-pinned this round in
 #      tests/test_round16_fixes.py; couldn't land in r16's zero-slack
-#      window) and t6 listed in r17's _CHANGED_THIS_ROUND.
+#      window). t6 is an r15 green -> +1 changed demand.
 #   6. llm_codec_throughput / llm_audio_spectral swapped to their
 #      KAT-pinned forms (queries_candidates.py
 #      llm_codec_throughput_pinned / llm_audio_spectral_pinned —
 #      hash-green at 3 SFs; VERDICT_r15 item 6). Both rows are r14
 #      greens = IN r17's due cohort, so the change dedupes into the
 #      due demand: the no-oracle set drops to ZERO for free there.
+# BUDGET (r17, simulated): 44 due - 3 retired-from-due (zorder, scd2,
+# props_json) + 1 changed (t6; window/codec/audio dedupe into due) +
+# 6 new (2 consolidation + 3 promotion-gate + zorder) = 48 of 50 —
+# the 2 slack slots can take the queue head (llm_pq_codes,
+# llm_anchor_text_topk) if the round has capacity partners, else the
+# computed stalest-green tail pre-pays r18. Registered count after:
+# 144 - 16 + 6 = 134 (cap 144; every future due cohort shrinks ~4
+# rows/round).
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
