@@ -115,13 +115,15 @@ def main() -> None:
     # Calibration history (ADVICE_r16: the floor is per-HOST, not a
     # universal constant — a retired host's floor turns host_loaded
     # into permanent noise): 0.178s on the r13/r14-era box; the
-    # round-15/16 host reads 0.229s in-bench (JIT-hot, loadavg 0.05)
-    # and 0.25-0.28s standalone. Default = the current host's quiet
-    # in-bench min; override per-host via the env var when the machine
-    # changes again. probe_ratio_vs_quiet_floor stays the normalizer
-    # either way — divide totals by it before cross-round comparison.
+    # round-15/16 host reads 0.19s best-case in-bench (the r16 quiet
+    # full run's min), 0.23-0.28s typical. Default = the current
+    # host's best observed quiet in-bench min, so ratio ~1.0 means
+    # genuinely quiet; override per-host via the env var when the
+    # machine changes again. probe_ratio_vs_quiet_floor stays the
+    # normalizer either way — divide totals by it before any
+    # cross-round comparison.
     QUIET_PROBE_FLOOR = float(
-        os.environ.get("SPARK_GRAFT_QUIET_PROBE_FLOOR", "0.229")
+        os.environ.get("SPARK_GRAFT_QUIET_PROBE_FLOOR", "0.19")
     )
     probe_ratio = round(min(probes) / QUIET_PROBE_FLOOR, 3)
     host_loaded = probe_ratio > 1.15
