@@ -2794,9 +2794,15 @@ def p_record_ops_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     cur = accessibility_ratio_by_time(cur, "times", [25.0, 1000.0])
-    # P9: the dataflow itself passes through add-identifier -> drop
-    cur = drop_identifier(identifier_from_property(cur, "l_orderkey"))
-    p9_dropped_ok = "identifier" not in cur.columns
+    # P9: the dataflow itself passes through add-identifier -> drop.
+    # The verdict checks BOTH legs — the add must land (dropping a
+    # missing column would be a silent no-op) and the drop must
+    # remove it.
+    with_id = identifier_from_property(cur, "l_orderkey")
+    cur = drop_identifier(with_id)
+    p9_dropped_ok = (
+        "identifier" in with_id.columns and "identifier" not in cur.columns
+    )
 
     # P5: the real filter op, exercised as a kept/dropped partition —
     # union of filter(pred) and filter(~pred) keeps the exact row
