@@ -2989,6 +2989,62 @@ FROM supplier
 
 
 
+# --- stream_window_agg_surface_wide (STAGED r17 merge — ledger item 3) --------
+# The r17 promotion-gate funding: stream_props_json_rollup MERGES into
+# stream_window_agg_surface as a third union leg (kind='props' — the
+# same union-tag pattern the surface itself used for tumbling/sliding
+# in r14). Each constituent keeps its contract verbatim: the two
+# window legs are the REGISTERED row's fn output + a NULL sum_k; the
+# props leg is the REGISTERED rollup's exact aggregation (event_type
+# grain, get_json_object stays JVM-side) with NULL window_start /
+# sum_value. Zero new shuffles — the union sits above the three
+# aggregations, each keyed as before.
+
+
+def stream_window_agg_surface_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time window surface + the dynamic-JSON props rollup on
+    one union-tagged row shape — the r17 merged form of the two
+    registered streaming rows."""
+    from terra_bonobo_nodes_spark.plans.queries_streaming import (
+        stream_props_json_rollup,
+        stream_window_agg_surface,
+    )
+
+    nul = F.lit(None).cast("bigint")
+    w = stream_window_agg_surface(spark, sf_dir).withColumn("sum_k", nul)
+    p = stream_props_json_rollup(spark, sf_dir).select(
+        F.lit("props").alias("kind"),
+        nul.alias("window_start"),
+        "event_type",
+        "n_events",
+        F.lit(None).cast("double").alias("sum_value"),
+        "sum_k",
+    )
+    return w.unionByName(p)
+
+
+def _stream_surface_wide_oracle() -> str:
+    # import for its registration side-effect: this module can load
+    # before queries_streaming, and the composition reads the
+    # registered oracles (no circularity — queries_streaming does not
+    # import this module)
+    from terra_bonobo_nodes_spark.plans import queries_streaming  # noqa: F401
+    from terra_bonobo_nodes_spark.plans.registry import _REGISTRY
+
+    return f"""
+WITH _w AS ({_REGISTRY["stream_window_agg_surface"].oracle}),
+_p AS ({_REGISTRY["stream_props_json_rollup"].oracle})
+SELECT _w.*, CAST(NULL AS BIGINT) AS sum_k FROM _w
+UNION ALL
+SELECT 'props' AS kind, CAST(NULL AS BIGINT) AS window_start,
+       event_type, n_events, CAST(NULL AS DOUBLE) AS sum_value, sum_k
+FROM _p
+"""
+
+
+STREAM_SURFACE_WIDE_ORACLE = _stream_surface_wide_oracle()
+
+
 # --- llm_codec_throughput_pinned / llm_audio_spectral_pinned (round 16) -------
 # VERDICT_r15 item 6: the registry's last two rows-only entries get
 # full value-hash oracles via KNOWN-ANSWER TABLES — legitimate here
@@ -3316,5 +3372,10 @@ CANDIDATES: dict[str, tuple] = {
     "llm_audio_spectral_pinned": (
         llm_audio_spectral_pinned,
         AUDIO_PINNED_ORACLE,
+    ),
+    # r17 merge staging (funds llm_novelty_scores' slot — ledger):
+    "stream_window_agg_surface_wide": (
+        stream_window_agg_surface_wide,
+        STREAM_SURFACE_WIDE_ORACLE,
     ),
 }

@@ -679,9 +679,10 @@ def register(
 #      (retiring scd2_user_value_history — r14 green, IN r17's due
 #      set, so the retirement funds itself), corpus_drift_psi,
 #      llm_novelty_scores (funded by the stream_props_json_rollup
-#      merge into stream_window_agg_surface — the rollup is r14
-#      green/due; the widened window row is ALSO due, so its changed
-#      slot dedupes).
+#      merge into stream_window_agg_surface — PRE-STAGED hash-green
+#      this round as candidate stream_window_agg_surface_wide, so the
+#      r17 edit is a pure swap; the rollup is r14 green/due and the
+#      widened window row is ALSO due, so its changed slot dedupes).
 #   4. layout_zorder_pruning REGISTERED retiring spatial_zorder_code
 #      (r14 green, in the due set — self-funding).
 #   5. t6_isotonic_value_fit's oracle swapped to _ISO_ORACLE_NULLSAFE
