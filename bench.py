@@ -91,18 +91,33 @@ def main() -> None:
     # host-load spike is adjudicable from the JSON alone (min far below
     # the other samples = noisy host, not a regression — the r02-j5 and
     # r04-streams pattern); the headline number stays the per-query min.
+    # Each sample is split into plan-CONSTRUCTION time (spark_fn —
+    # driver-side Catalyst; iterative rows with per-iteration
+    # localCheckpoint pay most of their wall here) and EXECUTION time
+    # (the noop write). The headline number stays their SUM (wall, for
+    # cross-round continuity); the split rides the per-query artifact
+    # line ("c") so a drift adjudication can see WHICH side moved —
+    # the round-16 host-quality investigation needed exactly this.
     samples: dict[str, list[float]] = {name: [] for name in queries}
+    constructs: dict[str, list[float]] = {name: [] for name in queries}
     ordered = sorted(queries.items())
     for _pass in range(3):
         for name, q in ordered:
             release_all_state()
             t0 = time.perf_counter()
-            run(q.spark_fn(spark, sf_dir))
+            df = q.spark_fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            run(df)
+            constructs[name].append(round(t1 - t0, 4))
             samples[name].append(round(time.perf_counter() - t0, 4))
         probes.append(probe())
     timings = {n: min(s) for n, s in samples.items()}
     for name in dict(ordered):
-        print(f"# {name}: {timings[name]:.3f}s {samples[name]}", file=sys.stderr)
+        print(
+            f"# {name}: {timings[name]:.3f}s {samples[name]} "
+            f"construct {constructs[name]}",
+            file=sys.stderr,
+        )
 
     # Quiet-host floor for the probe. When even the BEST probe sample
     # reads >1.15x this floor the whole run executed on a loaded host
@@ -147,7 +162,7 @@ def main() -> None:
     # final line, keeps the hot queries' per-pass spread inside any
     # reasonable tail window; the final line stays small either way.
     for name in sorted(samples, key=lambda n: timings[n]):
-        print(json.dumps({"s": {name: samples[name]}}))
+        print(json.dumps({"s": {name: samples[name]}, "c": constructs[name]}))
     print(
         json.dumps(
             {

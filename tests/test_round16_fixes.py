@@ -86,6 +86,46 @@ def test_iso_nullsafe_oracle_keeps_the_null_user_stratum(spark, tmp_path):
     assert len(old) == len(orows) - 3
 
 
+def _formatted_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_record_ops_surface_plan_shape(spark):
+    """The r17 consolidation surface's scale contract, pinned: the P5
+    kept/dropped predicates BOTH push to the parquet scan (the
+    partition-union must not devolve into post-scan filters), joins
+    broadcast, and nothing goes cartesian."""
+    from terra_bonobo_nodes_spark.plans.queries_candidates import (
+        p_record_ops_surface,
+    )
+    from tests.conftest import SF_DIR
+
+    plan = _formatted_plan(p_record_ops_surface(spark, SF_DIR))
+    assert "Cartesian" not in plan
+    assert "GreaterThan(l_quantity,30.0)" in plan  # kept branch pushed
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan  # dropped branch pushed
+    # column pruning reaches the scan: the mins branch reads 2 columns
+    assert "struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_scalar_geometry_surface_plan_shape(spark):
+    from terra_bonobo_nodes_spark.plans.queries_candidates import (
+        g_scalar_geometry_surface,
+    )
+    from tests.conftest import SF_DIR
+
+    plan = _formatted_plan(g_scalar_geometry_surface(spark, SF_DIR))
+    assert "Cartesian" not in plan
+    # both supplier scans prune to the 2 used columns
+    assert plan.count("struct<s_suppkey:bigint,s_acctbal:double>") >= 2
+
+
 def test_iso_nullsafe_oracle_is_identical_on_real_tables():
     """On the driver tables (no NULL user_id) the twin is a pure
     rewrite: same columns, same rows, same value hash — so the r17
