@@ -3293,16 +3293,42 @@ WHERE d.doc_id < 256
 
 
 CANDIDATES: dict[str, tuple] = {
-    # ROUND-17 HEAD (the consolidation pass — each frees ~4-9 due
-    # slots in the round the r14 cohort lands; registry ledger r17
-    # plan items 1-2):
+    # Dict order IS the promotion rank (kept in sync by review finding
+    # r14). The head mirrors the registry ledger's r17 plan exactly —
+    # every row the plan names is staged here, so r17 is pure
+    # registration edits:
     "p_record_ops_surface": (p_record_ops_surface, P_RECORD_OPS_ORACLE),
     "g_scalar_geometry_surface": (
         g_scalar_geometry_surface,
         G_SCALAR_GEOMETRY_ORACLE,
     ),
-    # ledger order (plans/registry.py round-14 note) — dict order IS
-    # the promotion rank, kept in sync by review finding r14
+    "corpus_version_diff": (
+        corpus_version_diff,
+        CORPUS_DIFF_ORACLE,
+    ),
+    "corpus_drift_psi": (
+        corpus_drift_psi,
+        DRIFT_ORACLE,
+    ),
+    "llm_novelty_scores": (
+        llm_novelty_scores,
+        NOVELTY_ORACLE,
+    ),
+    "layout_zorder_pruning": (layout_zorder_pruning, ZORDER_ORACLE),
+    "stream_window_agg_surface_wide": (
+        stream_window_agg_surface_wide,
+        STREAM_SURFACE_WIDE_ORACLE,
+    ),
+    # r17 due-slot swaps (VERDICT_r15 item 6 — no-oracle rows pinned):
+    "llm_codec_throughput_pinned": (
+        llm_codec_throughput_pinned,
+        CODEC_PINNED_ORACLE,
+    ),
+    "llm_audio_spectral_pinned": (
+        llm_audio_spectral_pinned,
+        AUDIO_PINNED_ORACLE,
+    ),
+    # the standing queue (round-14 ledger rank), heads r18:
     "llm_kmeans_fixed_cells": (llm_kmeans_fixed_cells, KMEANS_ORACLE),
     "llm_anchor_text_topk": (llm_anchor_text_topk, ANCHOR_TOPK_ORACLE),
     "llm_token_budget_mix": (llm_token_budget_mix, TOKEN_BUDGET_ORACLE),
@@ -3318,10 +3344,6 @@ CANDIDATES: dict[str, tuple] = {
         llm_length_outliers,
         LENGTH_OUTLIERS_ORACLE,
     ),
-    "llm_novelty_scores": (
-        llm_novelty_scores,
-        NOVELTY_ORACLE,
-    ),
     "cms_join_size_report": (
         cms_join_size_report,
         JOIN_SIZE_ORACLE,
@@ -3329,25 +3351,22 @@ CANDIDATES: dict[str, tuple] = {
     # events_conversion_funnel / events_cohort_retention left the
     # queue round 16: REGISTERED (retiring funnel_view_click_purchase /
     # cohort_daily_retention — ledger items 3-4).
-    "corpus_drift_psi": (
-        corpus_drift_psi,
-        DRIFT_ORACLE,
-    ),
-    "llm_packing_efficiency": (
-        llm_packing_efficiency,
-        PACKING_ORACLE,
-    ),
     # llm_curation_funnel / llm_readability_scores /
     # llm_length_quantile_sketch left the queue round 15: registered as
     # llm_source_rule_funnel / widened into llm_quality_filter_score /
     # widened into llm_length_percentiles respectively.
+    # llm_host_quality_wide / llm_sample_surface_wide left the queue
+    # round 16: the r15-staged combined rows are the REGISTERED
+    # llm_host_quality_report / llm_sample_surface (ledger items 1-2,
+    # zero net; the llm_host_communities / llm_priority_sample_report
+    # standalone fns stay as their components).
+    "llm_packing_efficiency": (
+        llm_packing_efficiency,
+        PACKING_ORACLE,
+    ),
     "llm_vocab_coverage_report": (
         llm_vocab_coverage_report,
         VOCAB_COVERAGE_ORACLE,
-    ),
-    "corpus_version_diff": (
-        corpus_version_diff,
-        CORPUS_DIFF_ORACLE,
     ),
     "llm_stride_interleave_order": (
         llm_stride_interleave_order,
@@ -3357,25 +3376,6 @@ CANDIDATES: dict[str, tuple] = {
         llm_corpus_overlap_report,
         CORPUS_OVERLAP_ORACLE,
     ),
-    # llm_host_quality_wide / llm_sample_surface_wide left the queue
-    # round 16: the r15-staged combined rows are the REGISTERED
-    # llm_host_quality_report / llm_sample_surface (ledger items 1-2,
-    # zero net; the llm_host_communities / llm_priority_sample_report
-    # standalone fns stay as their components).
-    "layout_zorder_pruning": (layout_zorder_pruning, ZORDER_ORACLE),
     "llm_bpe_merges": (llm_bpe_merges, BPE_ORACLE),
-    # r17 due-slot swaps (VERDICT_r15 item 6 — no-oracle rows pinned):
-    "llm_codec_throughput_pinned": (
-        llm_codec_throughput_pinned,
-        CODEC_PINNED_ORACLE,
-    ),
-    "llm_audio_spectral_pinned": (
-        llm_audio_spectral_pinned,
-        AUDIO_PINNED_ORACLE,
-    ),
-    # r17 merge staging (funds llm_novelty_scores' slot — ledger):
-    "stream_window_agg_surface_wide": (
-        stream_window_agg_surface_wide,
-        STREAM_SURFACE_WIDE_ORACLE,
-    ),
 }
+
