@@ -126,6 +126,39 @@ def test_scalar_geometry_surface_plan_shape(spark):
     assert plan.count("struct<s_suppkey:bigint,s_acctbal:double>") >= 2
 
 
+def test_oracle_join_keys_have_no_nulls_in_fixtures():
+    """Round-16 sweep: several registered oracles still join on plain
+    equality over keys that Spark's groupBy would keep as NULL groups
+    (documents.source/lang, events.user_id/event_type — e.g. the asof
+    rows, the r13 funnel source joins, _ISO_ORACLE until its r17
+    null-safe swap). Every one is LATENT-ONLY because the driver
+    fixtures contain no NULLs in those keys. This test pins that
+    assumption: if a testdata regeneration ever ships NULL keys, the
+    latent class goes LIVE and this fails loudly, naming the columns,
+    instead of surfacing as an unexplained hash mismatch two rounds
+    later."""
+    import duckdb
+
+    bad = []
+    for table, cols in (
+        ("documents", ["source", "lang"]),
+        ("events", ["user_id", "event_type"]),
+    ):
+        for c in cols:
+            n = duckdb.sql(
+                f"SELECT count(*) FROM read_parquet('{SF_DIR}/{table}.parquet')"
+                f" WHERE {c} IS NULL"
+            ).fetchone()[0]
+            if n:
+                bad.append((table, c, n))
+    assert not bad, (
+        f"NULLs appeared in oracle join keys {bad} — convert the "
+        "plain-equality oracle joins on these columns to IS NOT "
+        "DISTINCT FROM (see the _ISO_ORACLE_NULLSAFE precedent) before "
+        "trusting CORRECTNESS rows that touch them"
+    )
+
+
 def test_iso_nullsafe_oracle_is_identical_on_real_tables():
     """On the driver tables (no NULL user_id) the twin is a pure
     rewrite: same columns, same rows, same value hash — so the r17
