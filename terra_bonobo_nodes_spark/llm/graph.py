@@ -43,8 +43,84 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 DEFAULT_SCALE = 1_000_000
+
+
+# --- small-graph driver-local fast path (round 17) ---------------------------
+# VERDICT_r16 "What's wrong" #1: a fixed-point chain's cost on THIS
+# engine is dominated by per-iteration Catalyst pipeline setup
+# (~0.45s/iteration measured, data-size independent) — six chains =
+# ~26 iterations = ~11s of pure driver latency even on a 101-node
+# graph. The fix the adjudication named: below a size threshold, solve
+# driver-locally. Every algorithm here is EXACT fixed-point integer
+# arithmetic (that is the whole determinism contract), so a pure-
+# Python replay of the same update rule is bit-identical to the
+# distributed loop — the fast path changes latency, never values.
+#
+# The guard is scale-safe: the edge MULTISET first reduces to
+# (src, dst, weight) — a combinable distributed aggregate bounded by
+# |V|^2 rows regardless of input size — and the driver collects it
+# only if the distinct-pair count stays under the caller's threshold
+# (limit(threshold+1), the guarded-broadcast j4 pattern; bounded
+# driver state by construction). Above the threshold the distributed
+# loop runs unchanged, which is the only path a 100 TB host graph
+# (millions of nodes) ever takes.
+
+
+def _weighted_pairs_if_small(
+    ed: DataFrame, threshold: int
+) -> list[tuple] | None:
+    """(src, dst, multiplicity) rows iff the graph has at most
+    ``threshold`` distinct edges; None -> keep the distributed path."""
+    if threshold <= 0:
+        return None
+    wed = ed.groupBy("_src", "_dst").agg(F.count(F.lit(1)).alias("_w"))
+    rows = wed.limit(int(threshold) + 1).collect()  # bounded: <= threshold+1
+    if len(rows) > threshold:
+        return None
+    return [(r["_src"], r["_dst"], r["_w"]) for r in rows]
+
+
+def _node_frame(
+    spark, rows: list[tuple], node_type: T.DataType, cols: list[tuple[str, T.DataType]]
+) -> DataFrame:
+    schema = T.StructType(
+        [T.StructField("node", node_type, True)]
+        + [T.StructField(n, t, True) for n, t in cols]
+    )
+    return spark.createDataFrame(sorted(rows, key=lambda r: str(r[0])), schema)
+
+
+def _pagerank_local(
+    pairs: list[tuple],
+    iterations: int,
+    scale: int,
+    damp_num: int,
+    damp_den: int,
+    seed_set: set | None,
+) -> dict:
+    """Exact replay of the distributed update rule (same floor
+    divisions on the same non-negative integers -> same bits)."""
+    nodes = {s for s, _, _ in pairs} | {d for _, d, _ in pairs}
+    outdeg: dict = {}
+    for s, _, w in pairs:
+        outdeg[s] = outdeg.get(s, 0) + w
+    def is_seed(n):
+        return True if seed_set is None else n in seed_set
+    base = scale * (damp_den - damp_num) // damp_den
+    rank = {n: (int(scale) if is_seed(n) else 0) for n in nodes}
+    for _ in range(int(iterations)):
+        sums: dict = {}
+        for s, d, w in pairs:
+            sums[d] = sums.get(d, 0) + w * (rank[s] // outdeg[s])
+        rank = {
+            n: (base if is_seed(n) else 0)
+            + (damp_num * sums.get(n, 0)) // damp_den
+            for n in nodes
+        }
+    return rank
 
 
 def pagerank_fixed(
@@ -56,6 +132,7 @@ def pagerank_fixed(
     damp_num: int = 85,
     damp_den: int = 100,
     seeds: DataFrame | None = None,
+    small_graph_pairs: int = 0,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` exact fixed-point PageRank
     rounds; ``rank`` is in units of ``1/scale``. Every node appearing
@@ -75,6 +152,23 @@ def pagerank_fixed(
     ed = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     ).where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+    pairs = _weighted_pairs_if_small(ed, small_graph_pairs)
+    if pairs is not None:
+        seed_set = None
+        if seeds is not None:
+            # a trust list is curator-sized — bounded driver state
+            seed_set = {
+                r[0] for r in seeds.select(seeds.columns[0]).distinct().collect()
+            }
+        rank = _pagerank_local(
+            pairs, iterations, scale, damp_num, damp_den, seed_set
+        )
+        return _node_frame(
+            edges.sparkSession,
+            [(n, int(r)) for n, r in rank.items()],
+            ed.schema["_src"].dataType,
+            [("rank", T.LongType())],
+        )
     nodes = (
         ed.select(F.col("_src").alias("node"))
         .union(ed.select(F.col("_dst").alias("node")))
@@ -216,12 +310,36 @@ def pagerank_fixed_ctes(
 # --- HITS --------------------------------------------------------------------
 
 
+def _hits_local(
+    pairs: list[tuple], iterations: int, scale: int
+) -> dict:
+    """Exact replay of hits_fixed's update rule (authorities from
+    current hubs, hubs from the NEW authorities; division-only integer
+    normalization per half-round)."""
+    nodes = {s for s, _, _ in pairs} | {d for _, d, _ in pairs}
+    hub = {n: int(scale) for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(int(iterations)):
+        araw: dict = {}
+        for s, d, w in pairs:
+            araw[d] = araw.get(d, 0) + w * hub[s]
+        q = max(max(araw.values(), default=0) // scale, 1)
+        auth = {n: araw.get(n, 0) // q for n in nodes}
+        hraw: dict = {}
+        for s, d, w in pairs:
+            hraw[s] = hraw.get(s, 0) + w * auth[d]
+        q = max(max(hraw.values(), default=0) // scale, 1)
+        hub = {n: hraw.get(n, 0) // q for n in nodes}
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
 def hits_fixed(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
     iterations: int = 5,
     scale: int = DEFAULT_SCALE,
+    small_graph_pairs: int = 0,
 ) -> DataFrame:
     """(node, hub, auth) after ``iterations`` exact fixed-point HITS
     rounds (Kleinberg 1999, public) — the hubs-and-authorities pair of
@@ -253,9 +371,17 @@ def hits_fixed(
     Python anywhere."""
     ed = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    ).where(
-        F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
-    ).localCheckpoint(eager=False)
+    ).where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+    pairs = _weighted_pairs_if_small(ed, small_graph_pairs)
+    if pairs is not None:
+        ha = _hits_local(pairs, iterations, scale)
+        return _node_frame(
+            edges.sparkSession,
+            [(n, int(h), int(a)) for n, (h, a) in ha.items()],
+            ed.schema["_src"].dataType,
+            [("hub", T.LongType()), ("auth", T.LongType())],
+        )
+    ed = ed.localCheckpoint(eager=False)
     nodes = (
         ed.select(F.col("_src").alias("node"))
         .union(ed.select(F.col("_dst").alias("node")))
@@ -377,12 +503,25 @@ def hits_fixed_sql(
 # degree aggregate + one semi-join; no floats anywhere.
 
 
+def _und_pairs_if_small(und: DataFrame, threshold: int) -> list[tuple] | None:
+    """The distinct undirected edge set iff it has at most
+    ``threshold`` rows (it is already bounded by 2*|E| and |V|^2);
+    None -> keep the distributed path."""
+    if threshold <= 0:
+        return None
+    rows = und.limit(int(threshold) + 1).collect()  # bounded: <= threshold+1
+    if len(rows) > threshold:
+        return None
+    return [(r["_a"], r["_b"]) for r in rows]
+
+
 def kcore_fixed(
     edges: DataFrame,
     k: int,
     src_col: str = "src",
     dst_col: str = "dst",
     iterations: int = 8,
+    small_graph_pairs: int = 0,
 ) -> DataFrame:
     """(node, in_kcore) for every node of the graph after
     ``iterations`` peel rounds at threshold ``k``. Converges (and
@@ -401,11 +540,27 @@ def kcore_fixed(
         & F.col(dst_col).isNotNull()
         & (F.col(src_col) != F.col(dst_col))  # self-loops add no support
     )
-    und = (
-        ed.union(ed.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    und = ed.union(
+        ed.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+    ).distinct()
+    pairs = _und_pairs_if_small(und, small_graph_pairs)
+    if pairs is not None:
+        live = set(pairs)
+        nodes = {a for a, _ in live}
+        for _ in range(int(iterations)):
+            deg: dict = {}
+            for a, _ in live:
+                deg[a] = deg.get(a, 0) + 1
+            keep = {a for a, c in deg.items() if c >= int(k)}
+            live = {(a, b) for a, b in live if a in keep and b in keep}
+        members = {a for a, _ in live}
+        return _node_frame(
+            edges.sparkSession,
+            [(n, n in members) for n in nodes],
+            und.schema["_a"].dataType,
+            [("in_kcore", T.BooleanType())],
+        )
+    und = und.localCheckpoint(eager=False)
     all_nodes = und.select(F.col("_a").alias("node")).distinct()
     live = und
     for _ in range(int(iterations)):
@@ -503,6 +658,7 @@ def lpa_fixed(
     src_col: str = "src",
     dst_col: str = "dst",
     iterations: int = 5,
+    small_graph_pairs: int = 0,
 ) -> DataFrame:
     """(node, label) after ``iterations`` synchronous label-propagation
     rounds over the distinct undirected graph (NULL endpoints dropped,
@@ -529,11 +685,36 @@ def lpa_fixed(
         & F.col(dst_col).isNotNull()
         & (F.col(src_col) != F.col(dst_col))
     )
-    und = (
-        ed.union(ed.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    und = ed.union(
+        ed.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+    ).distinct()
+    pairs = _und_pairs_if_small(und, small_graph_pairs)
+    if pairs is not None:
+        nodes = {a for a, _ in pairs}
+        labels = {n: n for n in nodes}
+        for _ in range(int(iterations)):
+            counts: dict = {n: {} for n in nodes}
+            for a, b in pairs:
+                lb = labels[b]
+                counts[a][lb] = counts[a].get(lb, 0) + 1
+            for n in nodes:
+                ln = labels[n]
+                counts[n][ln] = counts[n].get(ln, 0) + 1
+            labels = {
+                n: min(
+                    l
+                    for l, c in counts[n].items()
+                    if c == max(counts[n].values())
+                )
+                for n in nodes
+            }
+        return _node_frame(
+            edges.sparkSession,
+            list(labels.items()),
+            und.schema["_a"].dataType,
+            [("label", und.schema["_a"].dataType)],
+        )
+    und = und.localCheckpoint(eager=False)
     labels = und.select(F.col("_a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

@@ -985,6 +985,11 @@ _TRUST_SEEDS_DUCK = "VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)"
 # exact char mass) — every column integer-exact, the two rank chains
 # composed in one oracle via pagerank_fixed_ctes(prefix=).
 
+# Distinct-edge cap for the graph chains' driver-local fast path
+# (llm/graph.py round-17): 1<<17 pairs =~ a few MB of driver state,
+# far above any synthetic fixture and far below any real host graph.
+_SG = 1 << 17
+
 HOST_REPORT_ORACLE = f"""
 WITH {graph.pagerank_fixed_ctes(_PR_EDGES_DUCK, iterations=5, prefix="pr_")},
 {graph.pagerank_fixed_ctes(_PR_EDGES_DUCK, iterations=5,
@@ -1039,12 +1044,24 @@ def llm_host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = e1.union(e2)
     seeds = spark.range(10).select(F.col("id").alias("host"))
-    pr = graph.pagerank_fixed(edges, iterations=5)
-    tr = graph.pagerank_fixed(edges, iterations=5, seeds=seeds).select(
+    # round 17: the four fixed-point chains take the driver-local fast
+    # path on small graphs (bit-identical exact-integer replay; see
+    # llm/graph.py) — the ~0.45s/iteration Catalyst setup was ~97% of
+    # this row's cost on the 101-node synthetic graph. _SG is the
+    # distinct-edge bound the driver may hold (a few MB); beyond it
+    # the unchanged distributed loops run.
+    pr = graph.pagerank_fixed(edges, iterations=5, small_graph_pairs=_SG)
+    tr = graph.pagerank_fixed(
+        edges, iterations=5, seeds=seeds, small_graph_pairs=_SG
+    ).select(
         "node", F.col("rank").alias("trust_rank")
     )
-    ha = graph.hits_fixed(edges, iterations=5).select("node", "hub", "auth")
-    kc = graph.kcore_fixed(edges, k=3, iterations=6).select(
+    ha = graph.hits_fixed(edges, iterations=5, small_graph_pairs=_SG).select(
+        "node", "hub", "auth"
+    )
+    kc = graph.kcore_fixed(
+        edges, k=3, iterations=6, small_graph_pairs=_SG
+    ).select(
         "node", F.col("in_kcore").alias("in_3core")
     )
     stats = docs.groupBy(F.expr("pmod(doc_id, 101)").alias("node")).agg(
@@ -1236,6 +1253,17 @@ SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
        v2.n_chars AS n_chars_new
 FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
 """
+
+# ROUND-17 PROMOTION (ledger item 3): registered, RETIRING
+# scd2_user_value_history (plans/queries_relational.py) — both are
+# key-versioned churn reports; the diff row adds the full-outer-join
+# promotion-gate verdict at corpus grain.
+register(
+    "corpus_version_diff",
+    oracle=CORPUS_DIFF_ORACLE,
+    headline=True,  # promoted rows join the bench set (VERDICT_r15 #4)
+    tags=("cdc", "gate"),
+)(corpus_version_diff)
 
 
 # --- llm_vocab_coverage_report (authored round 14 continuation, r15 cand.) ----
@@ -1565,6 +1593,18 @@ def _drift_oracle() -> str:
 
 DRIFT_ORACLE = _drift_oracle()
 
+# ROUND-17 PROMOTION (ledger item 3): the distribution-drift member of
+# the promotion-gate family — PSI over the same synthetic v2
+# perturbation corpus_version_diff uses, so the two gate reports read
+# together. Slot funded by the stream_props_json_rollup merge into
+# stream_window_agg_surface (queries_streaming.py).
+register(
+    "corpus_drift_psi",
+    oracle=DRIFT_ORACLE,
+    headline=True,  # promoted rows join the bench set (VERDICT_r15 #4)
+    tags=("quality", "gate"),
+)(corpus_drift_psi)
+
 
 # --- events_conversion_funnel / events_cohort_retention (r14 cont., r15) ------
 # Event-sequence analytics (operators/funnels.py): the ordered-step
@@ -1798,6 +1838,17 @@ SELECT vec_id, nn_id, cos_sim, cos_sim < 0.99 AS is_novel
 FROM ranked WHERE rank = 1
 """
 
+# ROUND-17 PROMOTION (ledger item 3): the meaning-level member of the
+# promotion-gate family — each ADDED vector's nearest neighbor in the
+# standing corpus, novel/redundant verdict at addition grain. Slot
+# funded by the streaming merge (see corpus_drift_psi above).
+register(
+    "llm_novelty_scores",
+    oracle=NOVELTY_ORACLE,
+    headline=True,  # promoted rows join the bench set (VERDICT_r15 #4)
+    tags=("llm", "embedding", "gate"),
+)(llm_novelty_scores)
+
 
 # --- llm_length_outliers (authored round 14 continuation, r15 candidate) ------
 # Median/MAD robust outlier screen (operators/quality.py::
@@ -1871,7 +1922,7 @@ def llm_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("pmod(doc_id, 101)").alias("src"),
         F.expr("pmod(doc_id * 13 + 5, 101)").alias("dst"),
     )
-    labels = graph.lpa_fixed(e1.union(e2), iterations=5)
+    labels = graph.lpa_fixed(e1.union(e2), iterations=5, small_graph_pairs=_SG)
     return labels.select(
         F.col("node").alias("host"),
         F.col("label").alias("community"),
@@ -2142,9 +2193,9 @@ def llm_link_graph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("html"),
     )
     edges = host_link_edges(pages)
-    return graph.pagerank_fixed(edges, iterations=5).select(
-        F.col("node").alias("host"), "rank"
-    )
+    return graph.pagerank_fixed(
+        edges, iterations=5, small_graph_pairs=_SG
+    ).select(F.col("node").alias("host"), "rank")
 
 
 def _link_graph_oracle() -> str:
@@ -2655,6 +2706,17 @@ JOIN _zo_scans z ON z.probe_id = n.probe_id
 
 ZORDER_ORACLE = _zorder_oracle()
 
+# ROUND-17 PROMOTION (ledger item 4): registered, RETIRING
+# spatial_zorder_code (plans/queries_geo.py) — the pruning measurement
+# exercises the same morton_code interleave AND adds the zone-map
+# scan-count value the code row lacked.
+register(
+    "layout_zorder_pruning",
+    oracle=ZORDER_ORACLE,
+    headline=True,  # promoted rows join the bench set (VERDICT_r15 #4)
+    tags=("layout", "spatial"),
+)(layout_zorder_pruning)
+
 
 # --- llm_priority_sample_report: RETIRED from the queue (round 15) -----------
 # The lang-grain DLT audit report left the queue when the r16 staging
@@ -2864,6 +2926,17 @@ SELECT l_orderkey, l_linenumber,
 FROM lineitem
 """
 
+# ROUND-17 PROMOTION (ledger item 1): registered, RETIRING the NINE
+# one-line record-op rows p1/p2/p3/p4/p5/p6/p7/p9/p11
+# (plans/queries_relational.py) — identical per-op oracle coverage at
+# one lineitem grain, permanent -9 on every future due cohort.
+register(
+    "p_record_ops_surface",
+    oracle=P_RECORD_OPS_ORACLE,
+    headline=True,  # promoted rows join the bench set (VERDICT_r15 #4)
+    tags=("records", "surface"),
+)(p_record_ops_surface)
+
 
 # --- g_scalar_geometry_surface (authored round 16 — the r17 consolidation) ---
 # The same pass for the scalar-geometry rows: g2 (x/y attrs -> point
@@ -2986,348 +3059,41 @@ SELECT s_suppkey,
 FROM supplier
 """
 
+# ROUND-17 PROMOTION (ledger item 2): registered, RETIRING the four
+# scalar-geometry rows g2/g5/g6/g8 (plans/queries_geo.py) — each
+# kernel's closed-form oracle check verbatim at one supplier grain.
+register(
+    "g_scalar_geometry_surface",
+    oracle=G_SCALAR_GEOMETRY_ORACLE,
+    headline=True,  # promoted rows join the bench set (VERDICT_r15 #4)
+    tags=("geometry", "surface"),
+)(g_scalar_geometry_surface)
 
 
 
-# --- stream_window_agg_surface_wide (STAGED r17 merge — ledger item 3) --------
-# The r17 promotion-gate funding: stream_props_json_rollup MERGES into
-# stream_window_agg_surface as a third union leg (kind='props' — the
-# same union-tag pattern the surface itself used for tumbling/sliding
-# in r14). Each constituent keeps its contract verbatim: the two
-# window legs are the REGISTERED row's fn output + a NULL sum_k; the
-# props leg is the REGISTERED rollup's exact aggregation (event_type
-# grain, get_json_object stays JVM-side) with NULL window_start /
-# sum_value. Zero new shuffles — the union sits above the three
-# aggregations, each keyed as before.
+
+# stream_window_agg_surface_wide PROMOTED round 17: the staged merge
+# moved into plans/queries_streaming.py as the registered
+# stream_window_agg_surface (third union leg kind='props', retiring
+# stream_props_json_rollup — ledger item 3 funding).
 
 
-def stream_window_agg_surface_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time window surface + the dynamic-JSON props rollup on
-    one union-tagged row shape — the r17 merged form of the two
-    registered streaming rows."""
-    from terra_bonobo_nodes_spark.plans.queries_streaming import (
-        stream_props_json_rollup,
-        stream_window_agg_surface,
-    )
-
-    nul = F.lit(None).cast("bigint")
-    w = stream_window_agg_surface(spark, sf_dir).withColumn("sum_k", nul)
-    p = stream_props_json_rollup(spark, sf_dir).select(
-        F.lit("props").alias("kind"),
-        nul.alias("window_start"),
-        "event_type",
-        "n_events",
-        F.lit(None).cast("double").alias("sum_value"),
-        "sum_k",
-    )
-    return w.unionByName(p)
-
-
-def _stream_surface_wide_oracle() -> str:
-    # import for its registration side-effect: this module can load
-    # before queries_streaming, and the composition reads the
-    # registered oracles (no circularity — queries_streaming does not
-    # import this module)
-    from terra_bonobo_nodes_spark.plans import queries_streaming  # noqa: F401
-    from terra_bonobo_nodes_spark.plans.registry import _REGISTRY
-
-    return f"""
-WITH _w AS ({_REGISTRY["stream_window_agg_surface"].oracle}),
-_p AS ({_REGISTRY["stream_props_json_rollup"].oracle})
-SELECT _w.*, CAST(NULL AS BIGINT) AS sum_k FROM _w
-UNION ALL
-SELECT 'props' AS kind, CAST(NULL AS BIGINT) AS window_start,
-       event_type, n_events, CAST(NULL AS DOUBLE) AS sum_value, sum_k
-FROM _p
-"""
-
-
-STREAM_SURFACE_WIDE_ORACLE = _stream_surface_wide_oracle()
-
-
-# --- llm_codec_throughput_pinned / llm_audio_spectral_pinned (round 16) -------
-# VERDICT_r15 item 6: the registry's last two rows-only entries get
-# full value-hash oracles via KNOWN-ANSWER TABLES — legitimate here
-# because both stages are bit-exact by construction (integer pixel
-# decode rounded to 4dp; DSP rounded to 6dp) and their inputs are
-# deterministic synthetic classes. The KATs were generated ONCE from
-# the production path (classes verified internally consistent across
-# every asset at sf0.01) and the underlying codecs/DSP are pinned
-# against independent references in tests/test_llm_ops.py — the KAT's
-# job is the cross-engine driver hash, not primary correctness.
-#
-# llm_codec_throughput_pinned keys the noise seed by doc_id % 48
-# (multimodal.codec_roundtrip_seeded — same per-image decode work,
-# 48 distinct images) so the whole output is a 48-row KAT join;
-# llm_audio_spectral_pinned reuses the registered row's fn verbatim
-# (its tones were ALWAYS keyed by doc_id % 16 — 16 classes x 8
-# bands = 128 KAT rows). Both swap into the registered names at r17,
-# when those rows are due (r14 greens) so the change costs no slot.
-
-
-def llm_codec_throughput_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The codec throughput stage with a class-keyed seed: identical
-    decode work per asset, full KAT oracle (the r17 form of
-    llm_codec_throughput)."""
-    from terra_bonobo_nodes_spark.llm import multimodal
-
-    ids = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .where(F.col("doc_id") < 1536)
-        .repartition(int(spark.sparkContext.defaultParallelism))
-    )
-    return multimodal.codec_roundtrip_seeded(ids, seed_mod=48)
-
-
-CODEC_PINNED_ORACLE = """
-WITH kat(k, fmt, enc_bytes, width, height, mean_r, mean_g, mean_b) AS (VALUES
-  (0, 'png', 4708, 48, 32, 124.7734, 128.4915, 124.7832),
-  (1, 'jpeg', 6021, 48, 32, 128.4759, 128.2598, 129.4329),
-  (2, 'jpeg_progressive', 6312, 48, 32, 130.6452, 128.89, 126.6224),
-  (3, 'png', 4708, 48, 32, 126.3763, 130.8607, 126.4746),
-  (4, 'jpeg', 6070, 48, 32, 128.7181, 127.9798, 124.1354),
-  (5, 'jpeg_progressive', 6321, 48, 32, 125.7819, 127.5117, 124.6751),
-  (6, 'png', 4708, 48, 32, 128.8021, 124.9961, 129.6042),
-  (7, 'jpeg', 6035, 48, 32, 124.7194, 124.862, 124.9277),
-  (8, 'jpeg_progressive', 6298, 48, 32, 128.7643, 126.5293, 128.1934),
-  (9, 'png', 4708, 48, 32, 126.7025, 126.7448, 128.1185),
-  (10, 'jpeg', 6042, 48, 32, 128.2852, 128.5651, 127.6582),
-  (11, 'jpeg_progressive', 6233, 48, 32, 125.7702, 130.3971, 124.7103),
-  (12, 'png', 4708, 48, 32, 126.0983, 129.7982, 125.9134),
-  (13, 'jpeg', 6074, 48, 32, 123.6549, 127.3496, 128.9486),
-  (14, 'jpeg_progressive', 6266, 48, 32, 125.8945, 129.778, 126.5957),
-  (15, 'png', 4708, 48, 32, 129.5605, 128.4076, 125.196),
-  (16, 'jpeg', 6055, 48, 32, 126.5234, 127.8594, 128.1654),
-  (17, 'jpeg_progressive', 6277, 48, 32, 124.2298, 128.3255, 126.3346),
-  (18, 'png', 4708, 48, 32, 128.9596, 128.5885, 126.5716),
-  (19, 'jpeg', 6046, 48, 32, 126.8184, 125.5443, 125.123),
-  (20, 'jpeg_progressive', 6261, 48, 32, 126.916, 128.1927, 128.0065),
-  (21, 'png', 4708, 48, 32, 131.3737, 126.1029, 127.278),
-  (22, 'jpeg', 6048, 48, 32, 125.681, 127.709, 127.6413),
-  (23, 'jpeg_progressive', 6305, 48, 32, 128.4642, 126.5814, 129.985),
-  (24, 'png', 4708, 48, 32, 133.1191, 126.8398, 129.8118),
-  (25, 'jpeg', 6033, 48, 32, 129.0742, 126.7786, 127.056),
-  (26, 'jpeg_progressive', 6273, 48, 32, 129.8307, 125.4629, 123.8945),
-  (27, 'png', 4708, 48, 32, 127.9049, 123.2103, 124.9245),
-  (28, 'jpeg', 6090, 48, 32, 126.7272, 129.0924, 128.1777),
-  (29, 'jpeg_progressive', 6275, 48, 32, 123.3444, 128.8913, 132.4805),
-  (30, 'png', 4708, 48, 32, 126.4837, 126.1491, 125.2878),
-  (31, 'jpeg', 6066, 48, 32, 127.6562, 125.4857, 126.4609),
-  (32, 'jpeg_progressive', 6284, 48, 32, 126.7767, 129.3288, 128.8444),
-  (33, 'png', 4708, 48, 32, 129.3639, 128.8034, 129.806),
-  (34, 'jpeg', 6066, 48, 32, 126.1673, 125.5299, 127.9961),
-  (35, 'jpeg_progressive', 6296, 48, 32, 127.2409, 127.2396, 127.9961),
-  (36, 'png', 4708, 48, 32, 129.6289, 128.5111, 129.0208),
-  (37, 'jpeg', 6078, 48, 32, 128.1673, 125.8086, 128.1322),
-  (38, 'jpeg_progressive', 6257, 48, 32, 125.597, 127.5651, 128.4095),
-  (39, 'png', 4708, 48, 32, 128.3965, 128.7669, 126.5664),
-  (40, 'jpeg', 6096, 48, 32, 128.597, 127.7585, 129.1517),
-  (41, 'jpeg_progressive', 6268, 48, 32, 131.9147, 127.0117, 129.5378),
-  (42, 'png', 4708, 48, 32, 126.5911, 128.1901, 128.3652),
-  (43, 'jpeg', 6076, 48, 32, 130.3275, 126.4844, 127.0143),
-  (44, 'jpeg_progressive', 6275, 48, 32, 126.7018, 128.3457, 130.0312),
-  (45, 'png', 4708, 48, 32, 126.1927, 132.0983, 130.8594),
-  (46, 'jpeg', 6048, 48, 32, 130.3197, 124.5833, 127.6413),
-  (47, 'jpeg_progressive', 6294, 48, 32, 130.1784, 128.4082, 126.3854))
-SELECT d.doc_id AS asset_id,
-       kat.fmt,
-       CAST(kat.enc_bytes AS BIGINT) AS enc_bytes,
-       CAST(kat.width AS INTEGER) AS width,
-       CAST(kat.height AS INTEGER) AS height,
-       CAST(kat.mean_r AS DOUBLE) AS mean_r,
-       CAST(kat.mean_g AS DOUBLE) AS mean_g,
-       CAST(kat.mean_b AS DOUBLE) AS mean_b
-FROM documents d JOIN kat ON d.doc_id % 48 = kat.k
-WHERE d.doc_id < 1536
-"""
-
-
-def llm_audio_spectral_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The registered audio-DSP row, unchanged — paired here with its
-    16-class KAT oracle (the r17 form of llm_audio_spectral)."""
-    from terra_bonobo_nodes_spark.plans.queries_llm import llm_audio_spectral
-
-    return llm_audio_spectral(spark, sf_dir)
-
-
-AUDIO_PINNED_ORACLE = """
-WITH kat(k, band, sample_rate, n_windows, zcr, energy) AS (VALUES
-  (0, 0, 4000, 2, 0.049525, 0.0),
-  (0, 1, 4000, 2, 0.049525, 0.0),
-  (0, 2, 4000, 2, 0.049525, 0.0),
-  (0, 3, 4000, 2, 0.049525, 4.4e-05),
-  (0, 4, 4000, 2, 0.049525, 0.999956),
-  (0, 5, 4000, 2, 0.049525, 0.0),
-  (0, 6, 4000, 2, 0.049525, 0.0),
-  (0, 7, 4000, 2, 0.049525, 0.0),
-  (1, 0, 4000, 2, 0.09955, 0.0),
-  (1, 1, 4000, 2, 0.09955, 0.0),
-  (1, 2, 4000, 2, 0.09955, 0.0),
-  (1, 3, 4000, 2, 0.09955, 0.0),
-  (1, 4, 4000, 2, 0.09955, 3.3e-05),
-  (1, 5, 4000, 2, 0.09955, 0.999967),
-  (1, 6, 4000, 2, 0.09955, 0.0),
-  (1, 7, 4000, 2, 0.09955, 0.0),
-  (2, 0, 4000, 2, 0.149575, 0.0),
-  (2, 1, 4000, 2, 0.149575, 0.0),
-  (2, 2, 4000, 2, 0.149575, 0.0),
-  (2, 3, 4000, 2, 0.149575, 0.0),
-  (2, 4, 4000, 2, 0.149575, 0.0),
-  (2, 5, 4000, 2, 0.149575, 1.0),
-  (2, 6, 4000, 2, 0.149575, 0.0),
-  (2, 7, 4000, 2, 0.149575, 0.0),
-  (3, 0, 4000, 2, 0.1996, 0.0),
-  (3, 1, 4000, 2, 0.1996, 0.0),
-  (3, 2, 4000, 2, 0.1996, 0.0),
-  (3, 3, 4000, 2, 0.1996, 0.0),
-  (3, 4, 4000, 2, 0.1996, 0.0),
-  (3, 5, 4000, 2, 0.1996, 0.999996),
-  (3, 6, 4000, 2, 0.1996, 4e-06),
-  (3, 7, 4000, 2, 0.1996, 0.0),
-  (4, 0, 4000, 2, 0.249625, 0.0),
-  (4, 1, 4000, 2, 0.249625, 0.0),
-  (4, 2, 4000, 2, 0.249625, 0.0),
-  (4, 3, 4000, 2, 0.249625, 0.0),
-  (4, 4, 4000, 2, 0.249625, 0.0),
-  (4, 5, 4000, 2, 0.249625, 0.0),
-  (4, 6, 4000, 2, 0.249625, 1.0),
-  (4, 7, 4000, 2, 0.249625, 0.0),
-  (5, 0, 4000, 2, 0.29965, 0.0),
-  (5, 1, 4000, 2, 0.29965, 0.0),
-  (5, 2, 4000, 2, 0.29965, 0.0),
-  (5, 3, 4000, 2, 0.29965, 0.0),
-  (5, 4, 4000, 2, 0.29965, 0.0),
-  (5, 5, 4000, 2, 0.29965, 0.0),
-  (5, 6, 4000, 2, 0.29965, 1.0),
-  (5, 7, 4000, 2, 0.29965, 0.0),
-  (6, 0, 4000, 2, 0.349675, 0.0),
-  (6, 1, 4000, 2, 0.349675, 0.0),
-  (6, 2, 4000, 2, 0.349675, 0.0),
-  (6, 3, 4000, 2, 0.349675, 0.0),
-  (6, 4, 4000, 2, 0.349675, 0.0),
-  (6, 5, 4000, 2, 0.349675, 0.0),
-  (6, 6, 4000, 2, 0.349675, 1.0),
-  (6, 7, 4000, 2, 0.349675, 0.0),
-  (7, 0, 4000, 2, 0.3997, 0.0),
-  (7, 1, 4000, 2, 0.3997, 0.0),
-  (7, 2, 4000, 2, 0.3997, 0.0),
-  (7, 3, 4000, 2, 0.3997, 0.0),
-  (7, 4, 4000, 2, 0.3997, 0.0),
-  (7, 5, 4000, 2, 0.3997, 0.0),
-  (7, 6, 4000, 2, 0.3997, 1.0),
-  (7, 7, 4000, 2, 0.3997, 0.0),
-  (8, 0, 4000, 2, 0.449725, 0.0),
-  (8, 1, 4000, 2, 0.449725, 0.0),
-  (8, 2, 4000, 2, 0.449725, 0.0),
-  (8, 3, 4000, 2, 0.449725, 0.0),
-  (8, 4, 4000, 2, 0.449725, 0.0),
-  (8, 5, 4000, 2, 0.449725, 0.0),
-  (8, 6, 4000, 2, 0.449725, 0.999989),
-  (8, 7, 4000, 2, 0.449725, 1.1e-05),
-  (9, 0, 4000, 2, 0.49975, 0.0),
-  (9, 1, 4000, 2, 0.49975, 0.0),
-  (9, 2, 4000, 2, 0.49975, 0.0),
-  (9, 3, 4000, 2, 0.49975, 0.0),
-  (9, 4, 4000, 2, 0.49975, 0.0),
-  (9, 5, 4000, 2, 0.49975, 0.0),
-  (9, 6, 4000, 2, 0.49975, 0.0),
-  (9, 7, 4000, 2, 0.49975, 1.0),
-  (10, 0, 4000, 2, 0.549775, 0.0),
-  (10, 1, 4000, 2, 0.549775, 0.0),
-  (10, 2, 4000, 2, 0.549775, 0.0),
-  (10, 3, 4000, 2, 0.549775, 0.0),
-  (10, 4, 4000, 2, 0.549775, 0.0),
-  (10, 5, 4000, 2, 0.549775, 0.0),
-  (10, 6, 4000, 2, 0.549775, 0.0),
-  (10, 7, 4000, 2, 0.549775, 1.0),
-  (11, 0, 4000, 2, 0.5998, 0.0),
-  (11, 1, 4000, 2, 0.5998, 0.0),
-  (11, 2, 4000, 2, 0.5998, 0.0),
-  (11, 3, 4000, 2, 0.5998, 0.0),
-  (11, 4, 4000, 2, 0.5998, 0.0),
-  (11, 5, 4000, 2, 0.5998, 0.0),
-  (11, 6, 4000, 2, 0.5998, 0.0),
-  (11, 7, 4000, 2, 0.5998, 1.0),
-  (12, 0, 4000, 2, 0.649825, 0.0),
-  (12, 1, 4000, 2, 0.649825, 0.0),
-  (12, 2, 4000, 2, 0.649825, 0.0),
-  (12, 3, 4000, 2, 0.649825, 0.0),
-  (12, 4, 4000, 2, 0.649825, 0.0),
-  (12, 5, 4000, 2, 0.649825, 0.0),
-  (12, 6, 4000, 2, 0.649825, 0.0),
-  (12, 7, 4000, 2, 0.649825, 1.0),
-  (13, 0, 4000, 2, 0.69985, 0.0),
-  (13, 1, 4000, 2, 0.69985, 0.0),
-  (13, 2, 4000, 2, 0.69985, 0.0),
-  (13, 3, 4000, 2, 0.69985, 0.0),
-  (13, 4, 4000, 2, 0.69985, 0.0),
-  (13, 5, 4000, 2, 0.69985, 0.0),
-  (13, 6, 4000, 2, 0.69985, 0.0),
-  (13, 7, 4000, 2, 0.69985, 1.0),
-  (14, 0, 4000, 2, 0.749875, 0.0),
-  (14, 1, 4000, 2, 0.749875, 0.0),
-  (14, 2, 4000, 2, 0.749875, 0.0),
-  (14, 3, 4000, 2, 0.749875, 0.0),
-  (14, 4, 4000, 2, 0.749875, 0.0),
-  (14, 5, 4000, 2, 0.749875, 0.0),
-  (14, 6, 4000, 2, 0.749875, 0.0),
-  (14, 7, 4000, 2, 0.749875, 1.0),
-  (15, 0, 4000, 2, 0.7999, 0.0),
-  (15, 1, 4000, 2, 0.7999, 0.0),
-  (15, 2, 4000, 2, 0.7999, 0.0),
-  (15, 3, 4000, 2, 0.7999, 0.0),
-  (15, 4, 4000, 2, 0.7999, 0.0),
-  (15, 5, 4000, 2, 0.7999, 0.0),
-  (15, 6, 4000, 2, 0.7999, 0.0),
-  (15, 7, 4000, 2, 0.7999, 1.0))
-SELECT d.doc_id AS asset_id,
-       CAST(kat.sample_rate AS INTEGER) AS sample_rate,
-       CAST(kat.n_windows AS INTEGER) AS n_windows,
-       CAST(kat.zcr AS DOUBLE) AS zcr,
-       CAST(kat.band AS INTEGER) AS band,
-       CAST(kat.energy AS DOUBLE) AS energy
-FROM documents d JOIN kat ON d.doc_id % 16 = kat.k
-WHERE d.doc_id < 256
-"""
+# llm_codec_throughput_pinned / llm_audio_spectral_pinned PROMOTED
+# round 17: the KAT-pinned forms swapped INTO the registered
+# llm_codec_throughput / llm_audio_spectral rows (plans/queries_llm.py
+# — VERDICT_r15 item 6; the registry's no-oracle count is now ZERO).
 
 
 CANDIDATES: dict[str, tuple] = {
     # Dict order IS the promotion rank (kept in sync by review finding
-    # r14). The head mirrors the registry ledger's r17 plan exactly —
-    # every row the plan names is staged here, so r17 is pure
-    # registration edits:
-    "p_record_ops_surface": (p_record_ops_surface, P_RECORD_OPS_ORACLE),
-    "g_scalar_geometry_surface": (
-        g_scalar_geometry_surface,
-        G_SCALAR_GEOMETRY_ORACLE,
-    ),
-    "corpus_version_diff": (
-        corpus_version_diff,
-        CORPUS_DIFF_ORACLE,
-    ),
-    "corpus_drift_psi": (
-        corpus_drift_psi,
-        DRIFT_ORACLE,
-    ),
-    "llm_novelty_scores": (
-        llm_novelty_scores,
-        NOVELTY_ORACLE,
-    ),
-    "layout_zorder_pruning": (layout_zorder_pruning, ZORDER_ORACLE),
-    "stream_window_agg_surface_wide": (
-        stream_window_agg_surface_wide,
-        STREAM_SURFACE_WIDE_ORACLE,
-    ),
-    # r17 due-slot swaps (VERDICT_r15 item 6 — no-oracle rows pinned):
-    "llm_codec_throughput_pinned": (
-        llm_codec_throughput_pinned,
-        CODEC_PINNED_ORACLE,
-    ),
-    "llm_audio_spectral_pinned": (
-        llm_audio_spectral_pinned,
-        AUDIO_PINNED_ORACLE,
-    ),
+    # r14). The entire r17 plan head left the queue at round 17:
+    # p_record_ops_surface / g_scalar_geometry_surface /
+    # corpus_version_diff / corpus_drift_psi / llm_novelty_scores /
+    # layout_zorder_pruning REGISTERED (above, with their retirement
+    # partners named in the ledger); stream_window_agg_surface_wide
+    # moved into queries_streaming.py as the registered surface;
+    # the two KAT-pinned rows swapped into the registered
+    # llm_codec_throughput / llm_audio_spectral (queries_llm.py).
     # the standing queue (round-14 ledger rank), heads r18:
     "llm_kmeans_fixed_cells": (llm_kmeans_fixed_cells, KMEANS_ORACLE),
     "llm_anchor_text_topk": (llm_anchor_text_topk, ANCHOR_TOPK_ORACLE),

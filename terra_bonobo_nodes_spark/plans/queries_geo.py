@@ -17,14 +17,10 @@ from terra_bonobo_nodes_spark.geo import kernels as K
 from terra_bonobo_nodes_spark.operators.spatial import (
     attribute_to_geometry,
     isochrone_subtraction,
-    attributes_to_point_geometry,
     boolean_intersect,
-    geometry_3d_to_2d,
     geometry_to_centroid,
     intersection_geom,
     intersection_percent_by_area,
-    simplify_geom,
-    subdivide_geom,
     transform_geom,
     union_on_property,
 )
@@ -117,28 +113,15 @@ ltile AS (
 """
 
 
-# --- G2: x/y attributes -> point, WKB round-trip ----------------------------
-
-
-@register(
-    "g2_point_from_attributes",
-    oracle="""
-SELECT p_partkey, p_retailprice AS px, CAST(p_size AS DOUBLE) AS py FROM part
-""",
-    tags=("G2",),
-)
-def g2_point_from_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part").select(
-        "p_partkey",
-        F.col("p_retailprice").cast("string").alias("x"),
-        F.col("p_size").cast("string").alias("y"),
-    )
-    pts = attributes_to_point_geometry(part, "x", "y")
-    return pts.select(
-        "p_partkey",
-        K.st_x("geom").alias("px"),
-        K.st_y("geom").alias("py"),
-    )
+# --- G2/G5/G6/G8: scalar geometry kernels -----------------------------------
+# The FOUR standalone scalar-geometry rows (g2_point_from_attributes,
+# g5_force_2d, g6_simplify_zigzag, g8_subdivide_area) RETIRED round 17
+# into the registered g_scalar_geometry_surface
+# (plans/queries_candidates.py) — each row's closed-form oracle check
+# kept verbatim as a column at ONE supplier grain. g9 stays its own
+# row: a line x polygon overlay JOIN against the tile layer, not a
+# scalar kernel. Unit coverage for each kernel is unchanged in
+# tests/test_spatial.py / test_geo_kernels.py. Ledger item 2.
 
 
 # --- G1+G3: GeoJSON parse -> centroid -> round-trip -------------------------
@@ -174,68 +157,8 @@ def g1_geojson_attribute_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-# --- G5: force 2D -----------------------------------------------------------
-
-
-@register(
-    "g5_force_2d",
-    oracle="""
-SELECT l_orderkey, l_linenumber, l_quantity AS fx, l_extendedprice AS fy
-FROM lineitem WHERE l_linenumber = 1
-""",
-    tags=("G5",),
-)
-def g5_force_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_linenumber") == 1)
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_tax")
-    )
-    pts = li.withColumn(
-        "geom", K.st_pointz(F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_tax"))
-    )
-    flat = geometry_3d_to_2d(pts)
-    return flat.select(
-        "l_orderkey",
-        "l_linenumber",
-        K.st_x("geom").alias("fx"),
-        K.st_y("geom").alias("fy"),
-    )
-
-
-# --- G6: Douglas-Peucker simplification -------------------------------------
-
-
-@register(
-    "g6_simplify_zigzag",
-    oracle="""
-SELECT o_orderkey, 2 AS n_points, (o_totalprice % 500.0) AS span
-FROM orders
-""",
-    tags=("G6",),
-)
-def g6_simplify_zigzag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A 5-vertex zigzag with deviation 0.4 simplifies to its endpoints
-    under tolerance 0.5 — the invariant (n_points=2, span preserved)
-    is SQL-expressible even though Douglas-Peucker itself is not."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", (F.col("o_totalprice") % 500.0).alias("span")
-    )
-    s = F.col("span").cast("string")
-    wkt = F.concat(
-        F.lit("LINESTRING (0 0, "),
-        (F.col("span") / 4).cast("string"), F.lit(" 0.4, "),
-        (F.col("span") / 2).cast("string"), F.lit(" -0.4, "),
-        (F.col("span") * 3 / 4).cast("string"), F.lit(" 0.4, "),
-        s, F.lit(" 0)"),
-    )
-    lines = orders.withColumn("geom", K.st_geomfromtext(wkt))
-    simp = simplify_geom(lines, tolerance=0.5)
-    return simp.select(
-        "o_orderkey",
-        K.st_npoints("geom").cast("int").alias("n_points"),
-        (K.st_x(K.st_centroid("geom")) * 2).alias("span"),
-    )
+# (g5_force_2d / g6_simplify_zigzag retired round 17 into
+# g_scalar_geometry_surface — see the G2/G5/G6/G8 note above.)
 
 
 # --- G7: web-mercator reprojection ------------------------------------------
@@ -358,50 +281,8 @@ FROM f
 # (g7c registration merged into g7_transform_surface, round 10)
 
 
-# --- G8: subdivision preserves area -----------------------------------------
-
-
-@register(
-    "g8_subdivide_area",
-    oracle="""
-SELECT CAST(s_suppkey AS VARCHAR) AS identifier,
-       round(3.0 * (2.0 + (s_acctbal % 5.0)) * (2.0 + (s_acctbal % 5.0)), 6)
-         AS total_area
-FROM supplier
-""",
-    tags=("G8",),
-)
-def g8_subdivide_area(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """12-gon of radius r: area = (12/2) r^2 sin(pi/6) = 3 r^2. Subdivide
-    with max_vertices=8 forces splitting; child parts' areas must sum
-    back to the closed form."""
-    import math
-
-    supp = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").cast("string").alias("identifier"),
-        (F.lit(2.0) + (F.col("s_acctbal") % 5.0)).alias("r"),
-    )
-    pieces = [F.lit("POLYGON ((")]
-    for k in range(13):
-        ang = 2 * math.pi * (k % 12) / 12
-        pieces.append((F.col("r") * F.lit(math.cos(ang))).cast("string"))
-        pieces.append(F.lit(" "))
-        pieces.append((F.col("r") * F.lit(math.sin(ang))).cast("string"))
-        if k < 12:
-            pieces.append(F.lit(", "))
-    wkt = F.concat(*pieces, F.lit("))"))
-    polys = supp.withColumn("geom", K.st_geomfromtext(wkt))
-    parts = subdivide_geom(polys, max_vertices=8)
-    base_id = F.substring_index(F.col("identifier"), "-", 1)
-    return (
-        parts.withColumn("identifier", base_id)
-        .groupBy("identifier")
-        .agg(
-            F.round(
-                F.sum(K.st_area("geom").cast("decimal(20,12)")).cast("double"), 6
-            ).alias("total_area")
-        )
-    )
+# (g8_subdivide_area retired round 17 into g_scalar_geometry_surface —
+# see the G2/G5/G6/G8 note above.)
 
 
 # --- A2: union-on-property + centroid ---------------------------------------
@@ -998,34 +879,8 @@ def g7_transform_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ZB = 9  # 9 bits cover cx in [0,360], cy in [0,170]
-
-
-@register(
-    "spatial_zorder_code",
-    oracle="""
-WITH pts AS (
-  SELECT event_id,
-         CAST(floor(((value % 360) - 180) + 180) AS BIGINT) AS cx,
-         CAST(floor(((value % 170) - 85) + 85) AS BIGINT) AS cy
-  FROM events)
-SELECT event_id, cx, cy,
-       ((cx // 1) % 2) * 1 + ((cy // 1) % 2) * 2 + ((cx // 2) % 2) * 4 + ((cy // 2) % 2) * 8 + ((cx // 4) % 2) * 16 + ((cy // 4) % 2) * 32 + ((cx // 8) % 2) * 64 + ((cy // 8) % 2) * 128 + ((cx // 16) % 2) * 256 + ((cy // 16) % 2) * 512 + ((cx // 32) % 2) * 1024 + ((cy // 32) % 2) * 2048 + ((cx // 64) % 2) * 4096 + ((cy // 64) % 2) * 8192 + ((cx // 128) % 2) * 16384 + ((cy // 128) % 2) * 32768 + ((cx // 256) % 2) * 65536 + ((cy // 256) % 2) * 131072 AS z
-FROM pts
-""",
-    tags=("spatial", "layout"),
-)
-def spatial_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton) codes for the synthetic event points
-    (operators/clustering.morton_code): the write-side layout key that
-    turns parquet min/max stats into a spatial index (see
-    zorder_layout). The oracle recomputes the interleave with plain
-    integer arithmetic, pinning every shift/mask term."""
-    from terra_bonobo_nodes_spark.operators.clustering import morton_code
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        F.floor(((F.col("value") % 360) - 180) + 180).cast("long").alias("cx"),
-        F.floor(((F.col("value") % 170) - 85) + 85).cast("long").alias("cy"),
-    )
-    return ev.withColumn("z", morton_code(F.col("cx"), F.col("cy"), bits=_ZB))
+# spatial_zorder_code RETIRED round 17 into the registered
+# layout_zorder_pruning (plans/queries_candidates.py): the pruning
+# measurement exercises the SAME morton_code interleave (its zone maps
+# key on the code) AND adds the scan-count value the code row lacked —
+# how many files a z-range probe actually touches. Ledger item 4.

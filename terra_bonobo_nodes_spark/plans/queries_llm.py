@@ -1838,21 +1838,90 @@ def llm_bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ROUND-17 (VERDICT_r15 item 6, swapped in while the row was due): the
+# codec row now carries a full value-hash oracle via a KNOWN-ANSWER
+# TABLE — legitimate because the decode is bit-exact by construction
+# (integer pixel means rounded to 4dp) and the noise seed keys by
+# doc_id % 48, so the whole output is a 48-class KAT join. The KAT was
+# generated ONCE from the production path; primary pixel correctness
+# stays pinned against independent references in tests/test_llm_ops.py
+# — the KAT's job is the cross-engine driver hash. Same per-image
+# decode work as the unseeded form (the bench signal is unchanged).
+_CODEC_KAT_ORACLE = """
+WITH kat(k, fmt, enc_bytes, width, height, mean_r, mean_g, mean_b) AS (VALUES
+  (0, 'png', 4708, 48, 32, 124.7734, 128.4915, 124.7832),
+  (1, 'jpeg', 6021, 48, 32, 128.4759, 128.2598, 129.4329),
+  (2, 'jpeg_progressive', 6312, 48, 32, 130.6452, 128.89, 126.6224),
+  (3, 'png', 4708, 48, 32, 126.3763, 130.8607, 126.4746),
+  (4, 'jpeg', 6070, 48, 32, 128.7181, 127.9798, 124.1354),
+  (5, 'jpeg_progressive', 6321, 48, 32, 125.7819, 127.5117, 124.6751),
+  (6, 'png', 4708, 48, 32, 128.8021, 124.9961, 129.6042),
+  (7, 'jpeg', 6035, 48, 32, 124.7194, 124.862, 124.9277),
+  (8, 'jpeg_progressive', 6298, 48, 32, 128.7643, 126.5293, 128.1934),
+  (9, 'png', 4708, 48, 32, 126.7025, 126.7448, 128.1185),
+  (10, 'jpeg', 6042, 48, 32, 128.2852, 128.5651, 127.6582),
+  (11, 'jpeg_progressive', 6233, 48, 32, 125.7702, 130.3971, 124.7103),
+  (12, 'png', 4708, 48, 32, 126.0983, 129.7982, 125.9134),
+  (13, 'jpeg', 6074, 48, 32, 123.6549, 127.3496, 128.9486),
+  (14, 'jpeg_progressive', 6266, 48, 32, 125.8945, 129.778, 126.5957),
+  (15, 'png', 4708, 48, 32, 129.5605, 128.4076, 125.196),
+  (16, 'jpeg', 6055, 48, 32, 126.5234, 127.8594, 128.1654),
+  (17, 'jpeg_progressive', 6277, 48, 32, 124.2298, 128.3255, 126.3346),
+  (18, 'png', 4708, 48, 32, 128.9596, 128.5885, 126.5716),
+  (19, 'jpeg', 6046, 48, 32, 126.8184, 125.5443, 125.123),
+  (20, 'jpeg_progressive', 6261, 48, 32, 126.916, 128.1927, 128.0065),
+  (21, 'png', 4708, 48, 32, 131.3737, 126.1029, 127.278),
+  (22, 'jpeg', 6048, 48, 32, 125.681, 127.709, 127.6413),
+  (23, 'jpeg_progressive', 6305, 48, 32, 128.4642, 126.5814, 129.985),
+  (24, 'png', 4708, 48, 32, 133.1191, 126.8398, 129.8118),
+  (25, 'jpeg', 6033, 48, 32, 129.0742, 126.7786, 127.056),
+  (26, 'jpeg_progressive', 6273, 48, 32, 129.8307, 125.4629, 123.8945),
+  (27, 'png', 4708, 48, 32, 127.9049, 123.2103, 124.9245),
+  (28, 'jpeg', 6090, 48, 32, 126.7272, 129.0924, 128.1777),
+  (29, 'jpeg_progressive', 6275, 48, 32, 123.3444, 128.8913, 132.4805),
+  (30, 'png', 4708, 48, 32, 126.4837, 126.1491, 125.2878),
+  (31, 'jpeg', 6066, 48, 32, 127.6562, 125.4857, 126.4609),
+  (32, 'jpeg_progressive', 6284, 48, 32, 126.7767, 129.3288, 128.8444),
+  (33, 'png', 4708, 48, 32, 129.3639, 128.8034, 129.806),
+  (34, 'jpeg', 6066, 48, 32, 126.1673, 125.5299, 127.9961),
+  (35, 'jpeg_progressive', 6296, 48, 32, 127.2409, 127.2396, 127.9961),
+  (36, 'png', 4708, 48, 32, 129.6289, 128.5111, 129.0208),
+  (37, 'jpeg', 6078, 48, 32, 128.1673, 125.8086, 128.1322),
+  (38, 'jpeg_progressive', 6257, 48, 32, 125.597, 127.5651, 128.4095),
+  (39, 'png', 4708, 48, 32, 128.3965, 128.7669, 126.5664),
+  (40, 'jpeg', 6096, 48, 32, 128.597, 127.7585, 129.1517),
+  (41, 'jpeg_progressive', 6268, 48, 32, 131.9147, 127.0117, 129.5378),
+  (42, 'png', 4708, 48, 32, 126.5911, 128.1901, 128.3652),
+  (43, 'jpeg', 6076, 48, 32, 130.3275, 126.4844, 127.0143),
+  (44, 'jpeg_progressive', 6275, 48, 32, 126.7018, 128.3457, 130.0312),
+  (45, 'png', 4708, 48, 32, 126.1927, 132.0983, 130.8594),
+  (46, 'jpeg', 6048, 48, 32, 130.3197, 124.5833, 127.6413),
+  (47, 'jpeg_progressive', 6294, 48, 32, 130.1784, 128.4082, 126.3854))
+SELECT d.doc_id AS asset_id,
+       kat.fmt,
+       CAST(kat.enc_bytes AS BIGINT) AS enc_bytes,
+       CAST(kat.width AS INTEGER) AS width,
+       CAST(kat.height AS INTEGER) AS height,
+       CAST(kat.mean_r AS DOUBLE) AS mean_r,
+       CAST(kat.mean_g AS DOUBLE) AS mean_g,
+       CAST(kat.mean_b AS DOUBLE) AS mean_b
+FROM documents d JOIN kat ON d.doc_id % 48 = kat.k
+WHERE d.doc_id < 1536
+"""
+
+
 @register(
     "llm_codec_throughput",
-    oracle=None,  # decode is not SQL-expressible; determinism + pixel
-    # correctness pinned by tests/test_llm_ops.py codec suites, rows by
-    # the driver's weaker check. Registered HEADLINE so the pure-Python
-    # codec path has a bench presence (codec regressions become visible
-    # as wall-clock in BENCH_r{N}, per the round-6 verdict order 6).
+    oracle=_CODEC_KAT_ORACLE,
     headline=True,
     tags=("llm", "multimodal", "codec", "bench"),
 )
 def llm_codec_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize→encode→decode 1,536 images (PNG / baseline JPEG /
-    progressive JPEG round-robin) in one shuffle-free mapInPandas pass
-    (``multimodal.codec_roundtrip``): the decode-MB/s tripwire for the
-    from-spec codecs."""
+    progressive JPEG round-robin, noise seed keyed by doc_id % 48) in
+    one shuffle-free mapInPandas pass
+    (``multimodal.codec_roundtrip_seeded``): the decode-MB/s tripwire
+    for the from-spec codecs, KAT-oracled per 48-image class."""
     from terra_bonobo_nodes_spark.llm import multimodal
 
     ids = (
@@ -1866,13 +1935,158 @@ def llm_codec_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
         # CPU-bound phase (partition by work, not by input bytes)
         .repartition(int(spark.sparkContext.defaultParallelism))
     )
-    return multimodal.codec_roundtrip(ids)
+    return multimodal.codec_roundtrip_seeded(ids, seed_mod=48)
+
+
+# ROUND-17 (VERDICT_r15 item 6): the audio-DSP row's tones were ALWAYS
+# keyed by doc_id % 16 (16 classes x 8 bands = 128 KAT rows), so the
+# fn is unchanged — only the oracle swaps from rows-only to the
+# class-keyed KAT. Primary DSP correctness (tone/band alignment, zcr
+# math) stays pinned by tests/test_llm_ops.py.
+_AUDIO_KAT_ORACLE = """
+WITH kat(k, band, sample_rate, n_windows, zcr, energy) AS (VALUES
+  (0, 0, 4000, 2, 0.049525, 0.0),
+  (0, 1, 4000, 2, 0.049525, 0.0),
+  (0, 2, 4000, 2, 0.049525, 0.0),
+  (0, 3, 4000, 2, 0.049525, 4.4e-05),
+  (0, 4, 4000, 2, 0.049525, 0.999956),
+  (0, 5, 4000, 2, 0.049525, 0.0),
+  (0, 6, 4000, 2, 0.049525, 0.0),
+  (0, 7, 4000, 2, 0.049525, 0.0),
+  (1, 0, 4000, 2, 0.09955, 0.0),
+  (1, 1, 4000, 2, 0.09955, 0.0),
+  (1, 2, 4000, 2, 0.09955, 0.0),
+  (1, 3, 4000, 2, 0.09955, 0.0),
+  (1, 4, 4000, 2, 0.09955, 3.3e-05),
+  (1, 5, 4000, 2, 0.09955, 0.999967),
+  (1, 6, 4000, 2, 0.09955, 0.0),
+  (1, 7, 4000, 2, 0.09955, 0.0),
+  (2, 0, 4000, 2, 0.149575, 0.0),
+  (2, 1, 4000, 2, 0.149575, 0.0),
+  (2, 2, 4000, 2, 0.149575, 0.0),
+  (2, 3, 4000, 2, 0.149575, 0.0),
+  (2, 4, 4000, 2, 0.149575, 0.0),
+  (2, 5, 4000, 2, 0.149575, 1.0),
+  (2, 6, 4000, 2, 0.149575, 0.0),
+  (2, 7, 4000, 2, 0.149575, 0.0),
+  (3, 0, 4000, 2, 0.1996, 0.0),
+  (3, 1, 4000, 2, 0.1996, 0.0),
+  (3, 2, 4000, 2, 0.1996, 0.0),
+  (3, 3, 4000, 2, 0.1996, 0.0),
+  (3, 4, 4000, 2, 0.1996, 0.0),
+  (3, 5, 4000, 2, 0.1996, 0.999996),
+  (3, 6, 4000, 2, 0.1996, 4e-06),
+  (3, 7, 4000, 2, 0.1996, 0.0),
+  (4, 0, 4000, 2, 0.249625, 0.0),
+  (4, 1, 4000, 2, 0.249625, 0.0),
+  (4, 2, 4000, 2, 0.249625, 0.0),
+  (4, 3, 4000, 2, 0.249625, 0.0),
+  (4, 4, 4000, 2, 0.249625, 0.0),
+  (4, 5, 4000, 2, 0.249625, 0.0),
+  (4, 6, 4000, 2, 0.249625, 1.0),
+  (4, 7, 4000, 2, 0.249625, 0.0),
+  (5, 0, 4000, 2, 0.29965, 0.0),
+  (5, 1, 4000, 2, 0.29965, 0.0),
+  (5, 2, 4000, 2, 0.29965, 0.0),
+  (5, 3, 4000, 2, 0.29965, 0.0),
+  (5, 4, 4000, 2, 0.29965, 0.0),
+  (5, 5, 4000, 2, 0.29965, 0.0),
+  (5, 6, 4000, 2, 0.29965, 1.0),
+  (5, 7, 4000, 2, 0.29965, 0.0),
+  (6, 0, 4000, 2, 0.349675, 0.0),
+  (6, 1, 4000, 2, 0.349675, 0.0),
+  (6, 2, 4000, 2, 0.349675, 0.0),
+  (6, 3, 4000, 2, 0.349675, 0.0),
+  (6, 4, 4000, 2, 0.349675, 0.0),
+  (6, 5, 4000, 2, 0.349675, 0.0),
+  (6, 6, 4000, 2, 0.349675, 1.0),
+  (6, 7, 4000, 2, 0.349675, 0.0),
+  (7, 0, 4000, 2, 0.3997, 0.0),
+  (7, 1, 4000, 2, 0.3997, 0.0),
+  (7, 2, 4000, 2, 0.3997, 0.0),
+  (7, 3, 4000, 2, 0.3997, 0.0),
+  (7, 4, 4000, 2, 0.3997, 0.0),
+  (7, 5, 4000, 2, 0.3997, 0.0),
+  (7, 6, 4000, 2, 0.3997, 1.0),
+  (7, 7, 4000, 2, 0.3997, 0.0),
+  (8, 0, 4000, 2, 0.449725, 0.0),
+  (8, 1, 4000, 2, 0.449725, 0.0),
+  (8, 2, 4000, 2, 0.449725, 0.0),
+  (8, 3, 4000, 2, 0.449725, 0.0),
+  (8, 4, 4000, 2, 0.449725, 0.0),
+  (8, 5, 4000, 2, 0.449725, 0.0),
+  (8, 6, 4000, 2, 0.449725, 0.999989),
+  (8, 7, 4000, 2, 0.449725, 1.1e-05),
+  (9, 0, 4000, 2, 0.49975, 0.0),
+  (9, 1, 4000, 2, 0.49975, 0.0),
+  (9, 2, 4000, 2, 0.49975, 0.0),
+  (9, 3, 4000, 2, 0.49975, 0.0),
+  (9, 4, 4000, 2, 0.49975, 0.0),
+  (9, 5, 4000, 2, 0.49975, 0.0),
+  (9, 6, 4000, 2, 0.49975, 0.0),
+  (9, 7, 4000, 2, 0.49975, 1.0),
+  (10, 0, 4000, 2, 0.549775, 0.0),
+  (10, 1, 4000, 2, 0.549775, 0.0),
+  (10, 2, 4000, 2, 0.549775, 0.0),
+  (10, 3, 4000, 2, 0.549775, 0.0),
+  (10, 4, 4000, 2, 0.549775, 0.0),
+  (10, 5, 4000, 2, 0.549775, 0.0),
+  (10, 6, 4000, 2, 0.549775, 0.0),
+  (10, 7, 4000, 2, 0.549775, 1.0),
+  (11, 0, 4000, 2, 0.5998, 0.0),
+  (11, 1, 4000, 2, 0.5998, 0.0),
+  (11, 2, 4000, 2, 0.5998, 0.0),
+  (11, 3, 4000, 2, 0.5998, 0.0),
+  (11, 4, 4000, 2, 0.5998, 0.0),
+  (11, 5, 4000, 2, 0.5998, 0.0),
+  (11, 6, 4000, 2, 0.5998, 0.0),
+  (11, 7, 4000, 2, 0.5998, 1.0),
+  (12, 0, 4000, 2, 0.649825, 0.0),
+  (12, 1, 4000, 2, 0.649825, 0.0),
+  (12, 2, 4000, 2, 0.649825, 0.0),
+  (12, 3, 4000, 2, 0.649825, 0.0),
+  (12, 4, 4000, 2, 0.649825, 0.0),
+  (12, 5, 4000, 2, 0.649825, 0.0),
+  (12, 6, 4000, 2, 0.649825, 0.0),
+  (12, 7, 4000, 2, 0.649825, 1.0),
+  (13, 0, 4000, 2, 0.69985, 0.0),
+  (13, 1, 4000, 2, 0.69985, 0.0),
+  (13, 2, 4000, 2, 0.69985, 0.0),
+  (13, 3, 4000, 2, 0.69985, 0.0),
+  (13, 4, 4000, 2, 0.69985, 0.0),
+  (13, 5, 4000, 2, 0.69985, 0.0),
+  (13, 6, 4000, 2, 0.69985, 0.0),
+  (13, 7, 4000, 2, 0.69985, 1.0),
+  (14, 0, 4000, 2, 0.749875, 0.0),
+  (14, 1, 4000, 2, 0.749875, 0.0),
+  (14, 2, 4000, 2, 0.749875, 0.0),
+  (14, 3, 4000, 2, 0.749875, 0.0),
+  (14, 4, 4000, 2, 0.749875, 0.0),
+  (14, 5, 4000, 2, 0.749875, 0.0),
+  (14, 6, 4000, 2, 0.749875, 0.0),
+  (14, 7, 4000, 2, 0.749875, 1.0),
+  (15, 0, 4000, 2, 0.7999, 0.0),
+  (15, 1, 4000, 2, 0.7999, 0.0),
+  (15, 2, 4000, 2, 0.7999, 0.0),
+  (15, 3, 4000, 2, 0.7999, 0.0),
+  (15, 4, 4000, 2, 0.7999, 0.0),
+  (15, 5, 4000, 2, 0.7999, 0.0),
+  (15, 6, 4000, 2, 0.7999, 0.0),
+  (15, 7, 4000, 2, 0.7999, 1.0))
+SELECT d.doc_id AS asset_id,
+       CAST(kat.sample_rate AS INTEGER) AS sample_rate,
+       CAST(kat.n_windows AS INTEGER) AS n_windows,
+       CAST(kat.zcr AS DOUBLE) AS zcr,
+       CAST(kat.band AS INTEGER) AS band,
+       CAST(kat.energy AS DOUBLE) AS energy
+FROM documents d JOIN kat ON d.doc_id % 16 = kat.k
+WHERE d.doc_id < 256
+"""
 
 
 @register(
     "llm_audio_spectral",
-    oracle=None,  # FFT is not SQL-expressible; determinism, tone/band
-    # alignment, and zcr math pinned by tests/test_llm_ops.py
+    oracle=_AUDIO_KAT_ORACLE,
     tags=("llm", "multimodal", "audio"),
 )
 def llm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:

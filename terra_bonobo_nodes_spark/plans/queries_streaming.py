@@ -34,9 +34,16 @@ DSUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value"
 # sliding rows (keyless by design) carry 'ALL'. Identical per-function
 # coverage in one slot; each operator's plan is unchanged (the union
 # is above both aggregations).
-@register(
-    "stream_window_agg_surface",
-    oracle=f"""
+#
+# ROUND-17 (ledger item 3 funding): stream_props_json_rollup MERGED in
+# as a THIRD union leg (kind='props') — the registered name keeps its
+# (kind, window_start, event_type)-ish grain with a NULL-padded sum_k /
+# sum_value per leg, each constituent's aggregation verbatim (the
+# r16-staged stream_window_agg_surface_wide candidate, moved here at
+# registration). The narrow two-leg form and the rollup stay below as
+# unregistered components; the freed slot funds llm_novelty_scores.
+
+_WINDOW_SURFACE_2LEG_ORACLE = f"""
 WITH t AS (
   SELECT 'tumbling' AS kind,
          CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
@@ -55,11 +62,19 @@ WITH t AS (
   FROM expanded GROUP BY 2
 )
 SELECT * FROM t UNION ALL SELECT * FROM s
-""",
-    headline=True,
-    tags=("streaming", "window"),
-)
-def stream_window_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+_PROPS_ROLLUP_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       count(*) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
+def stream_window_agg_2leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h windows per event_type plus keyless 1h/30m sliding
     windows (every event expands into exactly duration/slide = 2
     windows, mirrored in SQL by the shifted-bucket UNION ALL), tagged
@@ -80,6 +95,38 @@ def stream_window_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
     )
     return t.unionAll(s)
+
+
+@register(
+    "stream_window_agg_surface",
+    oracle=f"""
+WITH _w AS ({_WINDOW_SURFACE_2LEG_ORACLE}),
+_p AS ({_PROPS_ROLLUP_ORACLE})
+SELECT _w.*, CAST(NULL AS BIGINT) AS sum_k FROM _w
+UNION ALL
+SELECT 'props' AS kind, CAST(NULL AS BIGINT) AS window_start,
+       event_type, n_events, CAST(NULL AS DOUBLE) AS sum_value, sum_k
+FROM _p
+""",
+    headline=True,
+    tags=("streaming", "window", "json"),
+)
+def stream_window_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time window surface + the dynamic-JSON props rollup on one
+    union-tagged row shape — the r17 merged form of the two streaming
+    rows. Zero new shuffles: the union sits above the three
+    aggregations, each keyed as before."""
+    nul = F.lit(None).cast("bigint")
+    w = stream_window_agg_2leg(spark, sf_dir).withColumn("sum_k", nul)
+    p = stream_props_json_rollup(spark, sf_dir).select(
+        F.lit("props").alias("kind"),
+        nul.alias("window_start"),
+        "event_type",
+        "n_events",
+        F.lit(None).cast("double").alias("sum_value"),
+        "sum_k",
+    )
+    return w.unionByName(p)
 
 
 @register(
@@ -157,18 +204,10 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "stream_props_json_rollup",
-    oracle="""
-SELECT event_type,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-         AS sum_k,
-       count(*) AS n_events
-FROM events
-GROUP BY 1
-""",
-    tags=("streaming", "json"),
-)
+# stream_props_json_rollup RETIRED round 17 into the widened
+# stream_window_agg_surface above (its 'props' union leg carries the
+# rollup's exact aggregation + oracle text); the component fn stays for
+# the surface to call.
 def stream_props_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic JSON props bag (the reference's JSONB properties column,
     SURVEY.md §1.2) aggregated via get_json_object — schemaless k

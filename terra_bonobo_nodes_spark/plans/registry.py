@@ -705,6 +705,56 @@ def register(
 # 144 - 16 + 6 = 134 (cap 144; every future due cohort shrinks ~4
 # rows/round).
 
+# ROUND-17 PROMOTIONS (executing the pre-staged r17 ledger above,
+# exactly as budgeted; every piece was hash-green at 3 SFs before the
+# round began, so each item was a registration edit). Capacity:
+# 144 - 16 retired + 6 registered = 134 (checked: len(all_queries())).
+#
+# 1. p_record_ops_surface REGISTERED; p1_identifier_from_property,
+#    p2_generate_identifier_md5, p3_exclude_attributes,
+#    p4_filter_attributes, p5_filter_by_properties, p6_map_properties,
+#    p7_min_array_attribute, p9_drop_identifier,
+#    p11_accessibility_ratio RETIRED (all r15 greens — slot relief
+#    lands in the r18 due cohort; the permanent win is -9 on every
+#    future cohort).
+# 2. g_scalar_geometry_surface REGISTERED; g2_point_from_attributes,
+#    g5_force_2d, g6_simplify_zigzag, g8_subdivide_area RETIRED (r15
+#    greens, same timing as item 1).
+# 3. Promotion-gate family REGISTERED: corpus_version_diff (retiring
+#    scd2_user_value_history — r14 green, IN the due set, self-
+#    funding), corpus_drift_psi + llm_novelty_scores (funded by the
+#    stream_props_json_rollup merge: the registered
+#    stream_window_agg_surface swapped to the staged wide 3-leg form —
+#    'props' union leg — and the rollup row RETIRED; both r14
+#    green/due, so the changed slot dedupes).
+# 4. layout_zorder_pruning REGISTERED; spatial_zorder_code RETIRED
+#    (r14 green, in the due set — self-funding).
+# 5. t6_isotonic_value_fit's oracle swapped to _ISO_ORACLE_NULLSAFE
+#    (the ADVICE_r16 null-safe user_id joins; r15 green -> +1 changed
+#    demand).
+# 6. llm_codec_throughput / llm_audio_spectral swapped to their
+#    KAT-pinned forms (queries_llm.py — full value-hash oracles; both
+#    r14 greens = in the due cohort, change dedupes). The registry's
+#    no-oracle count is now ZERO.
+#
+# Also this round (VERDICT_r16 item 3): llm/graph.py grew the
+# small-graph driver-local fast path — pagerank/hits/kcore/lpa solve
+# on the driver below a distinct-edge threshold (bit-identical
+# exact-integer replay; parity + guard pinned in tests/test_graph.py)
+# — so llm_host_quality_report's ~10.2s of per-iteration Catalyst
+# setup drops to ~1.9s warm. host_quality is an r16 green -> +1
+# changed demand; llm_link_graph_rank shares the change but is due.
+#
+# BUDGET (r17 window, DRIVER_CAP=50, recomputed from the ACTUAL
+# artifacts post-retirement): due cohort = 41 (the 44 unrefreshed r14
+# greens minus the three retired-from-due) + 2 changed (t6,
+# llm_host_quality_report) + 6 new = 49 of 50; the last slot fills
+# from the computed stalest-green tail (no capacity partners were
+# spent this round — the queue head waits for r18, where the due
+# cohort is ~9 lighter). Candidate queue after this round: 18 (nine
+# left it: six registered, the stream-wide merge absorbed, the two
+# KAT pins absorbed).
+
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
 # The round whose window the hand-maintained lists below budget for.
@@ -716,20 +766,28 @@ DRIVER_CAP = 50  # rows the correctness driver records per round
 # post-artifact handoff state the next round inherits (VERDICT_r12
 # "What's wrong" #1: the r12 lists stayed active after the artifact
 # landed and over-subscribed the r13 demand computation).
-_ROTATION_ROUND = 16
+_ROTATION_ROUND = 17
 
 # (2) operator code changed since the query's last green:
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "llm_host_quality_report",  # widened: + LPA community columns
-    #   (r14 green, so +1 demand)
-    "llm_sample_surface",  # widened: + DLT priority_rank
-    #   (r14 green, so +1 demand)
+    "t6_isotonic_value_fit",  # oracle swapped to _ISO_ORACLE_NULLSAFE
+    #   (r15 green, so +1 demand). stream_window_agg_surface (wide
+    #   3-leg swap), llm_codec_throughput and llm_audio_spectral (KAT
+    #   oracle pins) also changed but are r14 greens — already in the
+    #   due cohort, zero extra demand.
+    "llm_host_quality_report",  # llm/graph.py small-graph driver-local
+    #   fast path (VERDICT_r16 item 3; r16 green, so +1 demand).
+    #   llm_link_graph_rank shares the change but is r14 green/due.
 )
 
-# (3) first driver row this round (the ROUND-16 ledger above):
+# (3) first driver row this round (the ROUND-17 ledger above):
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    "events_conversion_funnel",
-    "events_cohort_retention",
+    "p_record_ops_surface",
+    "g_scalar_geometry_surface",
+    "corpus_version_diff",
+    "corpus_drift_psi",
+    "llm_novelty_scores",
+    "layout_zorder_pruning",
 )
 
 # (4) overflow — heads the next round's queue:

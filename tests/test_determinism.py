@@ -53,6 +53,12 @@ SENSITIVE = [
     "llm_host_quality_report",
     "events_conversion_funnel",
     "events_cohort_retention",
+    # round 17 promotions: the consolidation surfaces (groupBy +
+    # join-back), the PSI float column, the novelty top-k merge window
+    "p_record_ops_surface",
+    "g_scalar_geometry_surface",
+    "corpus_drift_psi",
+    "llm_novelty_scores",
 ]
 
 
@@ -81,20 +87,15 @@ def test_result_invariant_under_shuffle_layout(name, spark):
 # slot (the candidate cartesian-audit rationale).
 
 CANDIDATE_SENSITIVE = [
-    # (the r16-promoted rows — host_quality_wide, sample_surface_wide,
-    # events funnel/retention — moved to the registered SENSITIVE list)
+    # (the r17-promoted rows — drift psi, novelty, the two
+    # consolidation surfaces — moved to the registered SENSITIVE list)
     "llm_corpus_overlap_report",   # bottom-k union re-rank
     "llm_stride_interleave_order", # per-source hash-rank window
     "llm_vocab_coverage_report",   # top-256 boundary + broadcast join
     "llm_packing_efficiency",      # two-level combinable rollup
-    "corpus_drift_psi",            # the one float (psi_term) column
     "cms_join_size_report",        # d*w cell joins + min-of-dots
-    "llm_novelty_scores",          # per-batch top-k merge window
     "llm_length_outliers",         # two rank-window median passes
     "llm_bpe_merges",              # per-round argmax tie boundaries
-    # round 16: the r17 consolidation surfaces (groupBy + join-back)
-    "p_record_ops_surface",
-    "g_scalar_geometry_surface",
 ]
 
 

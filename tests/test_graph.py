@@ -455,3 +455,86 @@ def test_lpa_guards_and_empty(spark):
         lpa_fixed(spark.range(0).selectExpr("id src", "id dst"), iterations=0)
     empty = spark.createDataFrame([], "src long, dst long")
     assert lpa_fixed(empty, iterations=2).count() == 0
+
+
+# --- round 17: small-graph driver-local fast path parity ----------------------
+# llm/graph.py's small_graph_pairs fast path must be BIT-IDENTICAL to
+# the distributed loops (both replay the same exact-integer update
+# rule) — parity pinned here on a fixture that exercises multi-edges,
+# dangling nodes, self-loops, a pendant chain, and a seeded trust run.
+
+_FAST_EDGES = [
+    ("a", "b"), ("a", "b"),          # multi-edge (counts twice)
+    ("b", "c"), ("c", "a"),          # 3-cycle core
+    ("c", "d"),                      # dangling d (rank leak)
+    ("d", "d"),                      # self-loop (kcore/lpa drop it)
+    ("e", "a"), ("f", "e"), ("g", "f"),  # pendant chain into the core
+    ("b", "a"), ("c", "b"),          # densify the triangle for 2-core
+]
+
+
+def _rowset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_small_graph_fast_path_parity_all_chains(spark):
+    from terra_bonobo_nodes_spark.llm.graph import (
+        hits_fixed,
+        kcore_fixed,
+        lpa_fixed,
+    )
+
+    df = spark.createDataFrame(_FAST_EDGES, "src string, dst string")
+    sd = spark.createDataFrame([("a",), ("e",)], "host string")
+    for dist, fast in [
+        (pagerank_fixed(df), pagerank_fixed(df, small_graph_pairs=1000)),
+        (
+            pagerank_fixed(df, seeds=sd),
+            pagerank_fixed(df, seeds=sd, small_graph_pairs=1000),
+        ),
+        (hits_fixed(df), hits_fixed(df, small_graph_pairs=1000)),
+        (kcore_fixed(df, k=2), kcore_fixed(df, k=2, small_graph_pairs=1000)),
+        (lpa_fixed(df), lpa_fixed(df, small_graph_pairs=1000)),
+    ]:
+        assert _rowset(dist) == _rowset(fast)
+        assert dist.columns == fast.columns
+
+
+def test_small_graph_threshold_guard_keeps_distributed_path(spark, monkeypatch):
+    """A graph over the threshold must NOT collect to the driver: the
+    guard reads at most threshold+1 weighted pairs and falls back to
+    the distributed loop (both final frames plan as Scan ExistingRDD,
+    so the guard is pinned by spying on the local solver)."""
+    import terra_bonobo_nodes_spark.llm.graph as G
+
+    calls = []
+    orig = G._pagerank_local
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(G, "_pagerank_local", spy)
+    df = spark.createDataFrame(_FAST_EDGES, "src string, dst string")
+    # 10 distinct weighted pairs > threshold 3 -> distributed path
+    G.pagerank_fixed(df, small_graph_pairs=3).collect()
+    assert calls == []
+    G.pagerank_fixed(df, small_graph_pairs=1000).collect()
+    assert calls == [1]
+    # default stays distributed (library callers opt in per query)
+    G.pagerank_fixed(df).collect()
+    assert calls == [1]
+
+
+def test_small_graph_fast_path_empty_edges(spark):
+    from terra_bonobo_nodes_spark.llm.graph import (
+        hits_fixed,
+        kcore_fixed,
+        lpa_fixed,
+    )
+
+    e = spark.createDataFrame([], "src string, dst string")
+    assert pagerank_fixed(e, small_graph_pairs=100).collect() == []
+    assert hits_fixed(e, small_graph_pairs=100).collect() == []
+    assert kcore_fixed(e, k=2, small_graph_pairs=100).collect() == []
+    assert lpa_fixed(e, small_graph_pairs=100).collect() == []

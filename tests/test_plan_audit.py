@@ -39,6 +39,17 @@ CROSS_JOIN_OK: dict[str, str] = {
     "j2_intersection_percent_by_area": "same broadcast spatial-join shape",
     "j3_intersection_geom_area": "same broadcast spatial-join shape",
     "g9_line_clip_length": "same broadcast spatial-join shape",
+    # round 17 promotions (moved from CANDIDATE_CROSS_JOIN_OK):
+    "layout_zorder_pruning": (
+        "probe_scan_counts is a broadcast product of two BOUNDED"
+        " per-FILE sides (6 probes x 64 zone rows) — documented in"
+        " operators/layout.py"
+    ),
+    "corpus_drift_psi": (
+        "the 1-row (tot_old, tot_new, n_buckets) total broadcast into"
+        " the per-bucket share projection (operators/quality.py::"
+        "distribution_drift)"
+    ),
 }
 
 
@@ -288,12 +299,8 @@ def test_quality_filter_scoring_plans_no_python_eval(spark):
 # the same documented-intent allowlist discipline.
 
 CANDIDATE_CROSS_JOIN_OK: dict[str, str] = {
-    "layout_zorder_pruning": (
-        "probe_scan_counts is a broadcast product of two BOUNDED"
-        " per-FILE sides (6 probes x 64 zone rows) — documented in"
-        " operators/layout.py; needs a CROSS_JOIN_OK entry at"
-        " registration"
-    ),
+    # (layout_zorder_pruning / corpus_drift_psi promoted round 17 —
+    # their entries moved to the registered CROSS_JOIN_OK above)
     "llm_corpus_overlap_report": (
         "the group-pair frame is groups x groups under an inequality"
         " (5 event types -> 10 pairs), broadcast by construction —"
@@ -307,11 +314,6 @@ CANDIDATE_CROSS_JOIN_OK: dict[str, str] = {
     "cms_join_size_report": (
         "two 1-row frames crossJoined per measured join (the sketch"
         " estimate scalar x the exact-truth scalar)"
-    ),
-    "corpus_drift_psi": (
-        "the 1-row (tot_old, tot_new, n_buckets) total broadcast into"
-        " the per-bucket share projection (operators/quality.py::"
-        "distribution_drift)"
     ),
     "llm_perplexity_buckets": (
         "the documented 1-row bucket-cutoff scalar BNLJ"
