@@ -2233,13 +2233,49 @@ WHERE NOT (h = '' OR h LIKE '#%'
 
 LINK_GRAPH_ORACLE = _link_graph_oracle()
 
-# registered round 14 (post-definition, as above)
+
+# ROUND-17 WIDENING (queue drain, zero net capacity): the anchor-text
+# index rides the SAME synthesized-pages link-extraction source as the
+# rank row, so the registered llm_link_graph_rank becomes a union-
+# tagged surface (the stream_window_agg_surface precedent): the
+# 'pagerank' leg is the registered row's output verbatim (term/n NULL-
+# padded), the 'anchor' leg is the staged llm_anchor_text_topk
+# verbatim (its rank = top-k position; the pagerank leg's rank =
+# micro-unit PageRank — each leg keeps its own contract). The row was
+# due (r14 green), so the changed slot dedupes into the due demand.
+def llm_link_graph_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph surface: fixed-point PageRank per host + the
+    followed-links anchor-text top-5 per target host, union-tagged on
+    one row shape — both legs extracted from page HTML in-plan."""
+    r = llm_link_graph_rank(spark, sf_dir).select(
+        F.lit("pagerank").alias("kind"),
+        "host",
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("long").alias("n"),
+        "rank",
+    )
+    a = llm_anchor_text_topk(spark, sf_dir).select(
+        F.lit("anchor").alias("kind"), "host", "term", "n", "rank"
+    )
+    return r.unionByName(a)
+
+
+LINK_GRAPH_SURFACE_ORACLE = f"""
+WITH _r AS ({LINK_GRAPH_ORACLE}),
+_a AS ({ANCHOR_TOPK_ORACLE})
+SELECT 'pagerank' AS kind, host, CAST(NULL AS VARCHAR) AS term,
+       CAST(NULL AS BIGINT) AS n, rank
+FROM _r
+UNION ALL
+SELECT 'anchor' AS kind, host, term, n, rank FROM _a
+"""
+
 register(
     "llm_link_graph_rank",
-    oracle=LINK_GRAPH_ORACLE,
+    oracle=LINK_GRAPH_SURFACE_ORACLE,
     headline=True,
-    tags=("llm", "graph", "pipeline"),
-)(llm_link_graph_rank)
+    tags=("llm", "graph", "pipeline", "anchor"),
+)(llm_link_graph_surface)
 
 
 # --- llm_token_budget_mix (authored round 13, r14 candidate) ------------
@@ -3096,7 +3132,8 @@ CANDIDATES: dict[str, tuple] = {
     # llm_codec_throughput / llm_audio_spectral (queries_llm.py).
     # the standing queue (round-14 ledger rank), heads r18:
     "llm_kmeans_fixed_cells": (llm_kmeans_fixed_cells, KMEANS_ORACLE),
-    "llm_anchor_text_topk": (llm_anchor_text_topk, ANCHOR_TOPK_ORACLE),
+    # llm_anchor_text_topk left the queue round 17: widened into the
+    # registered llm_link_graph_rank surface (anchor union leg, above).
     "llm_token_budget_mix": (llm_token_budget_mix, TOKEN_BUDGET_ORACLE),
     "llm_fuzzy_title_pairs": (llm_fuzzy_title_pairs, FUZZY_ORACLE),
     "llm_pq_codes": (llm_pq_codes, PQ_ORACLE),

@@ -745,15 +745,50 @@ def register(
 # setup drops to ~1.9s warm. host_quality is an r16 green -> +1
 # changed demand; llm_link_graph_rank shares the change but is due.
 #
+# Queue-drain widening (VERDICT_r16 item 2's capacity-partner route):
+# llm_link_graph_rank — due anyway — became a union-tagged surface
+# carrying the staged llm_anchor_text_topk as its 'anchor' leg (both
+# legs extract from the same synthesized pages; each keeps its oracle
+# verbatim). Zero net capacity, zero extra demand (the row is due),
+# and extract_link_tags now has a full driver-visible value-hash
+# oracle.
+#
 # BUDGET (r17 window, DRIVER_CAP=50, recomputed from the ACTUAL
 # artifacts post-retirement): due cohort = 41 (the 44 unrefreshed r14
 # greens minus the three retired-from-due) + 2 changed (t6,
 # llm_host_quality_report) + 6 new = 49 of 50; the last slot fills
-# from the computed stalest-green tail (no capacity partners were
-# spent this round — the queue head waits for r18, where the due
-# cohort is ~9 lighter). Candidate queue after this round: 18 (nine
-# left it: six registered, the stream-wide merge absorbed, the two
-# KAT pins absorbed).
+# from the computed stalest-green tail (the remaining queue head
+# waits for r18, where the due cohort is ~9 lighter). Candidate queue
+# after this round: 17 (ten left it: six registered, the stream-wide
+# merge absorbed, the two KAT pins absorbed, the anchor leg widened
+# into the link-graph row).
+#
+# r18 HANDOFF SIMULATED (computed from the artifacts + a first-50 r17
+# pretend-green; last-green histogram comes out {r17: 50, r16: 49,
+# r15: 35}): the r18 due cohort is the 35 unrefreshed r15 greens —
+# the consolidation dividend (the 13 p/g retirees were r15 greens
+# that would all sit in this cohort) makes r18 the loosest round in
+# ten rounds, ~15 slots of churn headroom. r18 plan, highest value
+# first (the PLANS.md round-17 consolidation scan has the grain and
+# oracle-preservation arguments):
+#   1. AUTHOR + REGISTER s_document_roundtrip_surface, retiring
+#      s1_csv_document_roundtrip / s2_geojson_reader_roundtrip /
+#      s8_zip_reader_roundtrip / s9_jsonl_roundtrip (all
+#      r16 greens — retiring them pre-pays r19's due cohort): four
+#      codec legs over the same documents grain, union-tagged by
+#      kind; each leg's oracle text verbatim under a kind literal.
+#   2. AUTHOR + REGISTER j2_overlay_surface, retiring
+#      j2_concave_overlay_percent + j2_dissolve_overlapping_layer
+#      (both IN the r18 due set — self-funding) into a union-tagged
+#      strategy row over the shared customer-rect x tile fixtures;
+#      j2_intersection_percent_by_area stays (different grain).
+#   3. The 6 retirements fund 6 additions under the add-one-retire-one
+#      policy: the 2 surfaces + 4 queue-head promotions
+#      (llm_kmeans_fixed_cells, llm_token_budget_mix, llm_pq_codes,
+#      llm_fuzzy_title_pairs — dict order is the rank). Queue 17 -> 13.
+# Budget (simulated): 35 due - 2 retired-from-due (the j2 pair) + 6
+# new = 39 of 50 — ~11 slots of stalest-green tail pre-pay r19.
+# Registered count after: 134 - 6 + 6 = 134 (cap 144).
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
