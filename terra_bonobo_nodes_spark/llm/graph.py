@@ -83,6 +83,36 @@ def _weighted_pairs_if_small(
     return [(r["_src"], r["_dst"], r["_w"]) for r in rows]
 
 
+def weighted_edge_pairs_if_small(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    threshold: int = 0,
+) -> list[tuple] | None:
+    """Public shared guard: the NULL-filtered edge multiset reduced to
+    (src, dst, multiplicity), collected iff at most ``threshold``
+    distinct pairs remain (None otherwise). A caller composing several
+    fixed-point chains over ONE edge frame (the host-quality report)
+    should run this guard ONCE and pass the result to each chain via
+    ``pairs=`` — at 100 TB, per-chain guards would each re-aggregate
+    the full edge data just to decide the path."""
+    ed = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+    return _weighted_pairs_if_small(ed, threshold)
+
+
+def _und_from_pairs(pairs: list[tuple]) -> set:
+    """Distinct undirected edge set from weighted directed pairs
+    (self-loops dropped) — the kcore/lpa preparation in Python."""
+    und = set()
+    for a, b, _ in pairs:
+        if a != b:
+            und.add((a, b))
+            und.add((b, a))
+    return und
+
+
 def _node_frame(
     spark, rows: list[tuple], node_type: T.DataType, cols: list[tuple[str, T.DataType]]
 ) -> DataFrame:
@@ -133,6 +163,7 @@ def pagerank_fixed(
     damp_den: int = 100,
     seeds: DataFrame | None = None,
     small_graph_pairs: int = 0,
+    pairs: list | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` exact fixed-point PageRank
     rounds; ``rank`` is in units of ``1/scale``. Every node appearing
@@ -152,7 +183,8 @@ def pagerank_fixed(
     ed = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     ).where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
-    pairs = _weighted_pairs_if_small(ed, small_graph_pairs)
+    if pairs is None:
+        pairs = _weighted_pairs_if_small(ed, small_graph_pairs)
     if pairs is not None:
         seed_set = None
         if seeds is not None:
@@ -340,6 +372,7 @@ def hits_fixed(
     iterations: int = 5,
     scale: int = DEFAULT_SCALE,
     small_graph_pairs: int = 0,
+    pairs: list | None = None,
 ) -> DataFrame:
     """(node, hub, auth) after ``iterations`` exact fixed-point HITS
     rounds (Kleinberg 1999, public) — the hubs-and-authorities pair of
@@ -372,7 +405,8 @@ def hits_fixed(
     ed = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     ).where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
-    pairs = _weighted_pairs_if_small(ed, small_graph_pairs)
+    if pairs is None:
+        pairs = _weighted_pairs_if_small(ed, small_graph_pairs)
     if pairs is not None:
         ha = _hits_local(pairs, iterations, scale)
         return _node_frame(
@@ -522,6 +556,7 @@ def kcore_fixed(
     dst_col: str = "dst",
     iterations: int = 8,
     small_graph_pairs: int = 0,
+    pairs: list | None = None,
 ) -> DataFrame:
     """(node, in_kcore) for every node of the graph after
     ``iterations`` peel rounds at threshold ``k``. Converges (and
@@ -543,9 +578,13 @@ def kcore_fixed(
     und = ed.union(
         ed.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
     ).distinct()
-    pairs = _und_pairs_if_small(und, small_graph_pairs)
-    if pairs is not None:
-        live = set(pairs)
+    upairs = (
+        _und_from_pairs(pairs)
+        if pairs is not None
+        else _und_pairs_if_small(und, small_graph_pairs)
+    )
+    if upairs is not None:
+        live = set(upairs)
         nodes = {a for a, _ in live}
         for _ in range(int(iterations)):
             deg: dict = {}
@@ -659,6 +698,7 @@ def lpa_fixed(
     dst_col: str = "dst",
     iterations: int = 5,
     small_graph_pairs: int = 0,
+    pairs: list | None = None,
 ) -> DataFrame:
     """(node, label) after ``iterations`` synchronous label-propagation
     rounds over the distinct undirected graph (NULL endpoints dropped,
@@ -688,13 +728,17 @@ def lpa_fixed(
     und = ed.union(
         ed.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
     ).distinct()
-    pairs = _und_pairs_if_small(und, small_graph_pairs)
-    if pairs is not None:
-        nodes = {a for a, _ in pairs}
+    upairs = (
+        _und_from_pairs(pairs)
+        if pairs is not None
+        else _und_pairs_if_small(und, small_graph_pairs)
+    )
+    if upairs is not None:
+        nodes = {a for a, _ in upairs}
         labels = {n: n for n in nodes}
         for _ in range(int(iterations)):
             counts: dict = {n: {} for n in nodes}
-            for a, b in pairs:
+            for a, b in upairs:
                 lb = labels[b]
                 counts[a][lb] = counts[a].get(lb, 0) + 1
             for n in nodes:

@@ -1047,21 +1047,22 @@ def llm_host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 17: the four fixed-point chains take the driver-local fast
     # path on small graphs (bit-identical exact-integer replay; see
     # llm/graph.py) — the ~0.45s/iteration Catalyst setup was ~97% of
-    # this row's cost on the 101-node synthetic graph. _SG is the
-    # distinct-edge bound the driver may hold (a few MB); beyond it
-    # the unchanged distributed loops run.
-    pr = graph.pagerank_fixed(edges, iterations=5, small_graph_pairs=_SG)
+    # this row's cost on the 101-node synthetic graph. The guard runs
+    # ONCE over the shared edge frame (per-chain guards would each
+    # re-aggregate the full edge data at 100 TB); _SG is the
+    # distinct-edge bound the driver may hold (a few MB). pairs=None
+    # falls back to the unchanged distributed loops.
+    pairs = graph.weighted_edge_pairs_if_small(edges, threshold=_SG)
+    pr = graph.pagerank_fixed(edges, iterations=5, pairs=pairs)
     tr = graph.pagerank_fixed(
-        edges, iterations=5, seeds=seeds, small_graph_pairs=_SG
+        edges, iterations=5, seeds=seeds, pairs=pairs
     ).select(
         "node", F.col("rank").alias("trust_rank")
     )
-    ha = graph.hits_fixed(edges, iterations=5, small_graph_pairs=_SG).select(
+    ha = graph.hits_fixed(edges, iterations=5, pairs=pairs).select(
         "node", "hub", "auth"
     )
-    kc = graph.kcore_fixed(
-        edges, k=3, iterations=6, small_graph_pairs=_SG
-    ).select(
+    kc = graph.kcore_fixed(edges, k=3, iterations=6, pairs=pairs).select(
         "node", F.col("in_kcore").alias("in_3core")
     )
     stats = docs.groupBy(F.expr("pmod(doc_id, 101)").alias("node")).agg(

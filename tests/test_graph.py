@@ -538,3 +538,40 @@ def test_small_graph_fast_path_empty_edges(spark):
     assert hits_fixed(e, small_graph_pairs=100).collect() == []
     assert kcore_fixed(e, k=2, small_graph_pairs=100).collect() == []
     assert lpa_fixed(e, small_graph_pairs=100).collect() == []
+
+
+def test_precollected_pairs_match_per_chain_guards(spark):
+    """The shared guard (weighted_edge_pairs_if_small + pairs=) must
+    produce the same results as each chain's own guard — the
+    host-quality report runs ONE guard over its shared edge frame."""
+    from terra_bonobo_nodes_spark.llm.graph import (
+        hits_fixed,
+        kcore_fixed,
+        lpa_fixed,
+        weighted_edge_pairs_if_small,
+    )
+
+    df = spark.createDataFrame(_FAST_EDGES, "src string, dst string")
+    pairs = weighted_edge_pairs_if_small(df, threshold=1000)
+    assert pairs is not None and len(pairs) == 10  # 12 rows, 1 multi-edge dup, 1 reverse dup
+    for own, shared in [
+        (
+            pagerank_fixed(df, small_graph_pairs=1000),
+            pagerank_fixed(df, pairs=pairs),
+        ),
+        (
+            hits_fixed(df, small_graph_pairs=1000),
+            hits_fixed(df, pairs=pairs),
+        ),
+        (
+            kcore_fixed(df, k=2, small_graph_pairs=1000),
+            kcore_fixed(df, k=2, pairs=pairs),
+        ),
+        (
+            lpa_fixed(df, small_graph_pairs=1000),
+            lpa_fixed(df, pairs=pairs),
+        ),
+    ]:
+        assert _rowset(own) == _rowset(shared)
+    # over-threshold: the shared guard declines and callers fall back
+    assert weighted_edge_pairs_if_small(df, threshold=3) is None
