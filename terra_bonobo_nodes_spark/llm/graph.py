@@ -182,7 +182,14 @@ def pagerank_fixed(
     unchanged."""
     ed = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    ).where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+    ).where(
+        F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+    ).localCheckpoint(eager=False)
+    # lazy checkpoint BEFORE the guard: a declining guard has already
+    # scanned the edges once — the fallback loop (which reads ed 4x:
+    # nodes union, outdegree, join) reuses the materialized frame
+    # instead of re-executing the scan. On the fast path the
+    # checkpoint stays lazy and costs nothing extra.
     if pairs is None:
         pairs = _weighted_pairs_if_small(ed, small_graph_pairs)
     if pairs is not None:
@@ -404,7 +411,11 @@ def hits_fixed(
     Python anywhere."""
     ed = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    ).where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+    ).where(
+        F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+    ).localCheckpoint(eager=False)
+    # checkpoint before the guard (see pagerank_fixed): a declining
+    # guard's scan materializes ed for the distributed loop.
     if pairs is None:
         pairs = _weighted_pairs_if_small(ed, small_graph_pairs)
     if pairs is not None:
@@ -415,7 +426,6 @@ def hits_fixed(
             ed.schema["_src"].dataType,
             [("hub", T.LongType()), ("auth", T.LongType())],
         )
-    ed = ed.localCheckpoint(eager=False)
     nodes = (
         ed.select(F.col("_src").alias("node"))
         .union(ed.select(F.col("_dst").alias("node")))
@@ -540,7 +550,14 @@ def hits_fixed_sql(
 def _und_pairs_if_small(und: DataFrame, threshold: int) -> list[tuple] | None:
     """The distinct undirected edge set iff it has at most
     ``threshold`` rows (it is already bounded by 2*|E| and |V|^2);
-    None -> keep the distributed path."""
+    None -> keep the distributed path.
+
+    UNIT NOTE: the rows here are the DOUBLED undirected set (~2x the
+    distinct directed pairs pagerank/hits guard on), so the same
+    ``small_graph_pairs`` value cuts over at roughly half the graph
+    size on kcore/lpa. Both bound the same thing — rows the driver
+    holds. Callers composing chains should prefer ONE shared
+    ``weighted_edge_pairs_if_small`` guard + ``pairs=`` anyway."""
     if threshold <= 0:
         return None
     rows = und.limit(int(threshold) + 1).collect()  # bounded: <= threshold+1
@@ -577,7 +594,9 @@ def kcore_fixed(
     )
     und = ed.union(
         ed.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
+    # checkpoint before the guard: a declining guard has executed the
+    # distinct once — the peel loop reuses the materialized frame.
     upairs = (
         _und_from_pairs(pairs)
         if pairs is not None
@@ -599,7 +618,6 @@ def kcore_fixed(
             und.schema["_a"].dataType,
             [("in_kcore", T.BooleanType())],
         )
-    und = und.localCheckpoint(eager=False)
     all_nodes = und.select(F.col("_a").alias("node")).distinct()
     live = und
     for _ in range(int(iterations)):
@@ -727,7 +745,8 @@ def lpa_fixed(
     )
     und = ed.union(
         ed.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
+    # checkpoint before the guard (see kcore_fixed).
     upairs = (
         _und_from_pairs(pairs)
         if pairs is not None
@@ -744,21 +763,21 @@ def lpa_fixed(
             for n in nodes:
                 ln = labels[n]
                 counts[n][ln] = counts[n].get(ln, 0) + 1
-            labels = {
-                n: min(
-                    l
-                    for l, c in counts[n].items()
-                    if c == max(counts[n].values())
+            new_labels = {}
+            for n in nodes:
+                # hoist the max: recomputing it inside the tie-break
+                # filter would make a d-degree node O(d^2)
+                mx = max(counts[n].values())
+                new_labels[n] = min(
+                    l for l, c in counts[n].items() if c == mx
                 )
-                for n in nodes
-            }
+            labels = new_labels
         return _node_frame(
             edges.sparkSession,
             list(labels.items()),
             und.schema["_a"].dataType,
             [("label", und.schema["_a"].dataType)],
         )
-    und = und.localCheckpoint(eager=False)
     labels = und.select(F.col("_a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

@@ -1023,7 +1023,9 @@ LEFT JOIN stats s ON s.host = p.node
 # ROUND-16: the registered name moved to the WIDE form below (ledger
 # item 1 — + LPA community columns); this base fn stays as the wide
 # row's component.
-def llm_host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_host_quality_report(
+    spark: SparkSession, sf_dir: str, pairs: list | None = None
+) -> DataFrame:
     """Host-grain curation report — ALL FIVE link signals in one slot
     (registered round 14): plain PageRank, seeded TrustRank, HITS
     hub/authority (high hub + low authority = the directory/link-farm
@@ -1052,7 +1054,8 @@ def llm_host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-aggregate the full edge data at 100 TB); _SG is the
     # distinct-edge bound the driver may hold (a few MB). pairs=None
     # falls back to the unchanged distributed loops.
-    pairs = graph.weighted_edge_pairs_if_small(edges, threshold=_SG)
+    if pairs is None:
+        pairs = graph.weighted_edge_pairs_if_small(edges, threshold=_SG)
     pr = graph.pagerank_fixed(edges, iterations=5, pairs=pairs)
     tr = graph.pagerank_fixed(
         edges, iterations=5, seeds=seeds, pairs=pairs
@@ -1906,7 +1909,9 @@ FROM lp_l5 l
 """
 
 
-def llm_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_host_communities(
+    spark: SparkSession, sf_dir: str, pairs: list | None = None
+) -> DataFrame:
     """Host-grain community assignment: 5 synchronous LPA rounds
     (min tie-break, self-inclusion — deterministic, integer-exact) over
     the capstone's host link graph, plus the converged community size.
@@ -1923,7 +1928,12 @@ def llm_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("pmod(doc_id, 101)").alias("src"),
         F.expr("pmod(doc_id * 13 + 5, 101)").alias("dst"),
     )
-    labels = graph.lpa_fixed(e1.union(e2), iterations=5, small_graph_pairs=_SG)
+    labels = graph.lpa_fixed(
+        e1.union(e2),
+        iterations=5,
+        small_graph_pairs=0 if pairs is not None else _SG,
+        pairs=pairs,
+    )
     return labels.select(
         F.col("node").alias("host"),
         F.col("label").alias("community"),
@@ -1953,9 +1963,22 @@ FROM _hr JOIN _cm ON _cm.host = _hr.host
 def llm_host_quality_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All SIX link signals (PageRank, TrustRank, hub, authority,
     3-core, LPA community + its size) + per-host corpus stats on one
-    host-grain row — the r16 widened form of the registered capstone."""
-    base = llm_host_quality_report(spark, sf_dir)
-    comm = llm_host_communities(spark, sf_dir)
+    host-grain row — the r16 widened form of the registered capstone.
+    The small-graph guard runs ONCE over the shared host edge
+    synthesis; all five fixed-point chains reuse the collected pairs
+    (one aggregation of the edge data per run, not six)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    e1 = docs.select(
+        F.expr("pmod(doc_id, 101)").alias("src"),
+        F.expr("pmod(doc_id * 7 + 3, 101)").alias("dst"),
+    )
+    e2 = docs.select(
+        F.expr("pmod(doc_id, 101)").alias("src"),
+        F.expr("pmod(doc_id * 13 + 5, 101)").alias("dst"),
+    )
+    pairs = graph.weighted_edge_pairs_if_small(e1.union(e2), threshold=_SG)
+    base = llm_host_quality_report(spark, sf_dir, pairs=pairs)
+    comm = llm_host_communities(spark, sf_dir, pairs=pairs)
     return base.join(comm, "host").select(
         *base.columns, "community", "community_size"
     )

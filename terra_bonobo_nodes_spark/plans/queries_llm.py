@@ -1847,6 +1847,10 @@ def llm_bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stays pinned against independent references in tests/test_llm_ops.py
 # — the KAT's job is the cross-engine driver hash. Same per-image
 # decode work as the unseeded form (the bench signal is unchanged).
+# The KAT join key is the sign-safe ((doc_id % m) + m) % m: DuckDB's %
+# returns negative remainders for negative ids while the Spark fn's
+# Python % is always non-negative — same latent oracle-join class as
+# the null-key sweep in tests/test_round16_fixes.py.
 _CODEC_KAT_ORACLE = """
 WITH kat(k, fmt, enc_bytes, width, height, mean_r, mean_g, mean_b) AS (VALUES
   (0, 'png', 4708, 48, 32, 124.7734, 128.4915, 124.7832),
@@ -1905,7 +1909,7 @@ SELECT d.doc_id AS asset_id,
        CAST(kat.mean_r AS DOUBLE) AS mean_r,
        CAST(kat.mean_g AS DOUBLE) AS mean_g,
        CAST(kat.mean_b AS DOUBLE) AS mean_b
-FROM documents d JOIN kat ON d.doc_id % 48 = kat.k
+FROM documents d JOIN kat ON ((d.doc_id % 48) + 48) % 48 = kat.k
 WHERE d.doc_id < 1536
 """
 
@@ -2079,7 +2083,7 @@ SELECT d.doc_id AS asset_id,
        CAST(kat.zcr AS DOUBLE) AS zcr,
        CAST(kat.band AS INTEGER) AS band,
        CAST(kat.energy AS DOUBLE) AS energy
-FROM documents d JOIN kat ON d.doc_id % 16 = kat.k
+FROM documents d JOIN kat ON ((d.doc_id % 16) + 16) % 16 = kat.k
 WHERE d.doc_id < 256
 """
 

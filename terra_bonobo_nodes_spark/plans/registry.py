@@ -784,8 +784,10 @@ def register(
 #      j2_intersection_percent_by_area stays (different grain).
 #   3. The 6 retirements fund 6 additions under the add-one-retire-one
 #      policy: the 2 surfaces + 4 queue-head promotions
-#      (llm_kmeans_fixed_cells, llm_token_budget_mix, llm_pq_codes,
-#      llm_fuzzy_title_pairs — dict order is the rank). Queue 17 -> 13.
+#      (llm_kmeans_fixed_cells, llm_token_budget_mix,
+#      llm_fuzzy_title_pairs, llm_pq_codes — CANDIDATES dict order is
+#      the rank, copy it from queries_candidates.py at execution, not
+#      from here). Queue 17 -> 13.
 # Budget (simulated): 35 due - 2 retired-from-due (the j2 pair) + 6
 # new = 39 of 50 — ~11 slots of stalest-green tail pre-pay r19.
 # Registered count after: 134 - 6 + 6 = 134 (cap 144).
