@@ -778,19 +778,22 @@ def register(
 #      codec legs over the same documents grain, union-tagged by
 #      kind; each leg's oracle text verbatim under a kind literal.
 #   2. AUTHOR + REGISTER j2_overlay_surface, retiring
-#      j2_concave_overlay_percent + j2_dissolve_overlapping_layer
-#      (both IN the r18 due set — self-funding) into a union-tagged
-#      strategy row over the shared customer-rect x tile fixtures;
-#      j2_intersection_percent_by_area stays (different grain).
-#   3. The 6 retirements fund 6 additions under the add-one-retire-one
-#      policy: the 2 surfaces + 4 queue-head promotions
+#      j2_concave_overlay_percent + j2_dissolve_overlapping_layer +
+#      j2_intersection_percent_by_area (ALL THREE checked this round:
+#      identical (c_custkey, intersection_percent) output grain over
+#      the customer-rect x tile fixtures; all three are r15 greens IN
+#      the r18 due set — self-funding) into one union-tagged strategy
+#      row, each leg's oracle verbatim under a strategy literal.
+#   3. The 7 retirements fund 7 additions under the add-one-retire-one
+#      policy: the 2 surfaces + 5 queue-head promotions
 #      (llm_kmeans_fixed_cells, llm_token_budget_mix,
-#      llm_fuzzy_title_pairs, llm_pq_codes — CANDIDATES dict order is
-#      the rank, copy it from queries_candidates.py at execution, not
-#      from here). Queue 17 -> 13.
-# Budget (simulated): 35 due - 2 retired-from-due (the j2 pair) + 6
+#      llm_fuzzy_title_pairs, llm_pq_codes, llm_bitext_margin_pairs —
+#      CANDIDATES dict order is the rank, copy it from
+#      queries_candidates.py at execution, not from here).
+#      Queue 17 -> 12.
+# Budget (simulated): 35 due - 3 retired-from-due (the j2 triple) + 7
 # new = 39 of 50 — ~11 slots of stalest-green tail pre-pay r19.
-# Registered count after: 134 - 6 + 6 = 134 (cap 144).
+# Registered count after: 134 - 7 + 7 = 134 (cap 144).
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
