@@ -40,6 +40,12 @@ from terra_bonobo_nodes_spark.llm import (
 )
 from terra_bonobo_nodes_spark.plans import queries_llm
 from terra_bonobo_nodes_spark.llm.urls import canonical_url_sql, url_dedup_groups
+from terra_bonobo_nodes_spark.plans.queries_geo import (
+    ELL_TILES_SQL,
+    ELLS_SQL,
+    RECTS_SQL,
+    TILES_SQL,
+)
 from terra_bonobo_nodes_spark.plans.queries_llm import TOKS_SQL
 from terra_bonobo_nodes_spark.plans.registry import register
 from terra_bonobo_nodes_spark.tables import load_table
@@ -3144,6 +3150,335 @@ register(
 # — VERDICT_r15 item 6; the registry's no-oracle count is now ZERO).
 
 
+# --- s_document_roundtrip_surface (authored round 17 — the r18
+# consolidation, PLANS.md scan item 1) ---------------------------------------
+# The four content-codec roundtrip rows (s1 CSV, s2 GeoJSON, s8 zip,
+# s9 JSONL — plans/queries_sources.py) each prove "pack a table into
+# payload documents, run the real source operator, recover the rows",
+# but over four DIFFERENT tables, so they cost four driver slots that
+# refresh (and fall due) together. This surface re-authors all four
+# roundtrips at ONE grain — (kind, doc_id) over documents — the
+# p_record_ops_surface re-author pattern, not a union of the old rows:
+#   csv     csv_documents_to_rows   metadata + md5 digest (CSV cannot
+#           carry free text unquoted; the digest IS the payload, and
+#           hash equality proves the codec moved it intact)
+#   jsonl   jsonl_documents_to_rows the REAL text through the codec
+#           (to_json escaping both ways), digest computed after
+#   zip     zip_reader              the REAL text bytes as the entry
+#           payload; lang/doc_id/n_chars ride the entry path (the
+#           corpus-archive layout convention), digest after
+#   geojson geojson_reader          metadata + digest as feature
+#           properties, doc_id as the feature id, plus the geometry
+#           roundtrip (gx/gy from st_x/st_y; NULL on the other legs)
+# Every leg's packing is one groupBy(source) collect_list (20 payload
+# documents); parsing stays JVM-side for csv/jsonl (from_csv /
+# from_json) and Arrow-batched for zip/geojson (mapInPandas), so at
+# 100 TB the only shuffle is the per-source packing — and a real
+# corpus arrives already packed, skipping it entirely.
+# Registration partners (r18 ledger item 1): retires
+# s1_csv_document_roundtrip / s2_geojson_reader_roundtrip /
+# s8_zip_reader_roundtrip / s9_jsonl_roundtrip.
+
+
+def s_document_roundtrip_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four content-codec roundtrips (CSV / JSONL / zip / GeoJSON)
+    at one documents grain, union-tagged by kind — the r18
+    retire-and-replace for the four standalone s-family rows."""
+    import pandas as pd
+
+    from terra_bonobo_nodes_spark.geo import kernels as K
+    from terra_bonobo_nodes_spark.sources.archive import zip_reader
+    from terra_bonobo_nodes_spark.sources.csv import csv_documents_to_rows
+    from terra_bonobo_nodes_spark.sources.geojson import geojson_reader
+    from terra_bonobo_nodes_spark.sources.jsonl import jsonl_documents_to_rows
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "lang", "n_chars", "text"
+    )
+    base = docs.withColumn("text_chk", F.md5(F.encode("text", "UTF-8")))
+    null_d = F.lit(None).cast("double")
+
+    # csv: header line + one row per doc, packed per source
+    line = F.concat_ws(
+        ",",
+        F.col("doc_id").cast("string"),
+        F.col("lang"),
+        F.col("n_chars").cast("string"),
+        F.col("text_chk"),
+    )
+    csv_docs = (
+        base.withColumn("_line", line)
+        .groupBy("source")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.lit("doc_id,lang,n_chars,text_chk"),
+                F.concat_ws("\n", F.sort_array(F.collect_list("_line"))),
+            ).alias("content")
+        )
+    )
+    csv_leg = csv_documents_to_rows(
+        csv_docs, "content", header=["doc_id", "lang", "n_chars", "text_chk"]
+    ).select(
+        F.lit("csv").alias("kind"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "text_chk",
+        null_d.alias("gx"),
+        null_d.alias("gy"),
+    )
+
+    # jsonl: one escaped JSON object per line, real text both ways
+    jline = F.to_json(F.struct("doc_id", "lang", "n_chars", "text"))
+    j_docs = (
+        docs.withColumn("_line", jline)
+        .groupBy("source")
+        .agg(F.concat_ws("\n", F.sort_array(F.collect_list("_line"))).alias("content"))
+    )
+    jsonl_leg = jsonl_documents_to_rows(
+        j_docs, "content", "doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING"
+    ).select(
+        F.lit("jsonl").alias("kind"),
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.encode("text", "UTF-8")).alias("text_chk"),
+        null_d.alias("gx"),
+        null_d.alias("gy"),
+    )
+
+    # zip: one archive per source; text bytes are the entry payload,
+    # metadata rides the entry path ("{lang}/{doc_id}_{n_chars}.txt")
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io
+        import zipfile
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            for _, row in pdf.sort_values("doc_id").iterrows():
+                zf.writestr(f"{row.lang}/{row.doc_id}_{row.n_chars}.txt", row.text)
+        return pd.DataFrame({"content": [buf.getvalue()]})
+
+    zips = docs.groupBy("source").applyInPandas(pack, "content BINARY")
+    zip_leg = zip_reader(zips, "content").select(
+        F.lit("zip").alias("kind"),
+        F.regexp_extract("name", r"/(\d+)_", 1).cast("long").alias("doc_id"),
+        F.regexp_extract("name", r"^([^/]+)/", 1).alias("lang"),
+        F.regexp_extract("name", r"_(\d+)\.txt$", 1).cast("long").alias("n_chars"),
+        F.md5("content").alias("text_chk"),
+        null_d.alias("gx"),
+        null_d.alias("gy"),
+    )
+
+    # geojson: one FeatureCollection per source; to_json builds each
+    # feature (escaping-safe, unlike raw concat), st_x/st_y prove the
+    # coordinates survived the parse
+    gx = ((F.col("doc_id") % 360) - 180).cast("double")
+    gy = ((F.col("doc_id") % 170) - 85).cast("double")
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.col("doc_id").cast("string").alias("id"),
+            F.struct(
+                F.lit("Point").alias("type"),
+                F.array(gx, gy).alias("coordinates"),
+            ).alias("geometry"),
+            F.struct(
+                F.col("lang"),
+                F.col("n_chars").cast("string").alias("n_chars"),
+                F.col("text_chk"),
+            ).alias("properties"),
+        )
+    )
+    g_docs = (
+        base.withColumn("_f", feature)
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit('{"type":"FeatureCollection","features":['),
+                F.concat_ws(",", F.sort_array(F.collect_list("_f"))),
+                F.lit("]}"),
+            ).alias("content")
+        )
+    )
+    geo_leg = geojson_reader(g_docs, "content").select(
+        F.lit("geojson").alias("kind"),
+        F.col("feature_id").cast("long").alias("doc_id"),
+        F.col("properties").getItem("lang").alias("lang"),
+        F.col("properties").getItem("n_chars").cast("long").alias("n_chars"),
+        F.col("properties").getItem("text_chk").alias("text_chk"),
+        K.st_x("geom").alias("gx"),
+        K.st_y("geom").alias("gy"),
+    )
+
+    return (
+        csv_leg.unionByName(jsonl_leg).unionByName(zip_leg).unionByName(geo_leg)
+    )
+
+
+S_DOC_ROUNDTRIP_ORACLE = """
+SELECT 'csv' AS kind, doc_id, lang, n_chars, md5(text) AS text_chk,
+       CAST(NULL AS DOUBLE) AS gx, CAST(NULL AS DOUBLE) AS gy
+FROM documents
+UNION ALL
+SELECT 'jsonl', doc_id, lang, n_chars, md5(text),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM documents
+UNION ALL
+SELECT 'zip', doc_id, lang, n_chars, md5(text),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM documents
+UNION ALL
+SELECT 'geojson', doc_id, lang, n_chars, md5(text),
+       CAST((doc_id % 360) - 180 AS DOUBLE),
+       CAST((doc_id % 170) - 85 AS DOUBLE)
+FROM documents
+"""
+
+
+# --- j2_overlay_surface (authored round 17 — the r18 consolidation,
+# PLANS.md scan item 2) -------------------------------------------------------
+# j2_intersection_percent_by_area / j2_concave_overlay_percent /
+# j2_dissolve_overlapping_layer (plans/queries_geo.py) all output the
+# identical (c_custkey, intersection_percent) grain over the
+# customer-rect x tile fixtures (grain checked r17) — three slots for
+# three physical paths of ONE operator. This surface runs all three
+# paths union-tagged by strategy, each leg's fixture and oracle text
+# verbatim:
+#   pairwise  axis-aligned rects x disjoint tiles (the rect fast path)
+#   concave   L-shapes both sides (the general triangulated overlay)
+#   dissolve  heavily overlapping tiles with dissolve=True (clipped
+#             zones unioned before measuring)
+# Scale shape per leg is unchanged from the standalone rows: envelope
+# grid join + per-record combinable sum; the union adds no join.
+# Registration partners (r18 ledger item 2): retires all three j2 rows.
+
+
+def j2_overlay_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IntersectionPercentByArea through its three physical paths
+    (rect fast path / triangulated overlay / dissolve union) at one
+    (strategy, c_custkey) grain — the r18 retire-and-replace for the
+    three standalone j2 rows."""
+    from terra_bonobo_nodes_spark.geo import kernels as K
+    from terra_bonobo_nodes_spark.operators.spatial import (
+        intersection_percent_by_area,
+    )
+    from terra_bonobo_nodes_spark.plans.queries_geo import (
+        _customer_ells,
+        _customer_rects,
+        _ell_tile_layer,
+        _tile_layer,
+    )
+
+    def leg(out: DataFrame, strategy: str) -> DataFrame:
+        return out.select(
+            F.lit(strategy).alias("strategy"),
+            F.col("identifier").cast("long").alias("c_custkey"),
+            F.round("intersection_percent", 6).alias("intersection_percent"),
+        )
+
+    pairwise = leg(
+        intersection_percent_by_area(
+            _customer_rects(spark, sf_dir), _tile_layer(spark)
+        ),
+        "pairwise",
+    )
+    concave = leg(
+        intersection_percent_by_area(
+            _customer_ells(spark, sf_dir), _ell_tile_layer(spark)
+        ),
+        "concave",
+    )
+
+    # dissolve fixture: 4x4 squares on a (kx, ky) lattice vs 40
+    # grid-snapped heavily overlapping 4x4 tiles (the standalone row's
+    # fixture verbatim)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 7).cast("double").alias("kx"),
+        (F.col("c_custkey") % 5).cast("double").alias("ky"),
+    )
+    kx, ky = F.col("kx"), F.col("ky")
+    records = cust.select(
+        F.col("c_custkey").alias("identifier"),
+        K.st_make_polygon(
+            F.array(kx, kx + 4, kx + 4, kx),
+            F.array(ky, ky, ky + 4, ky + 4),
+        ).alias("geom"),
+    )
+    t = spark.range(40)
+    x0 = (F.col("id") % 5).cast("double")
+    y0 = (F.col("id") % 4).cast("double")
+    tiles = t.select(
+        K.st_make_polygon(
+            F.array(x0, x0 + 4, x0 + 4, x0),
+            F.array(y0, y0, y0 + 4, y0 + 4),
+        ).alias("layer_geom")
+    )
+    dissolve = leg(
+        intersection_percent_by_area(records, tiles, dissolve=True), "dissolve"
+    )
+
+    return pairwise.unionByName(concave).unionByName(dissolve)
+
+
+# Each leg's oracle is the standalone row's oracle text verbatim,
+# wrapped as a subquery under its strategy literal (the WITH scopes
+# stay per-leg, so the shared fixture names don't clash).
+J2_OVERLAY_ORACLE = f"""
+SELECT 'pairwise' AS strategy, q.* FROM (
+WITH {RECTS_SQL.strip()}, {TILES_SQL.strip()},
+ov AS (
+  SELECT r.c_custkey,
+         greatest(0, least(r.cx + 3, t.x0 + 10) - greatest(r.cx - 3, t.x0))
+       * greatest(0, least(r.cy + 3, t.y0 + 10) - greatest(r.cy - 3, t.y0)) AS a
+  FROM rect r CROSS JOIN tiles t)
+SELECT r.c_custkey,
+       round(coalesce(s.total, 0.0) / 36.0, 6) AS intersection_percent
+FROM rect r LEFT JOIN
+  (SELECT c_custkey, sum(a) AS total FROM ov WHERE a > 1e-12 GROUP BY c_custkey) s
+  USING (c_custkey)
+) q
+UNION ALL
+SELECT 'concave', q.* FROM (
+WITH {RECTS_SQL.strip()}, {TILES_SQL.strip()}, {ELLS_SQL.strip()}, {ELL_TILES_SQL.strip()},
+ov AS (
+  SELECT l.c_custkey,
+         greatest(0, least(l.rx1, t.tx1) - greatest(l.rx0, t.tx0))
+       * greatest(0, least(l.ry1, t.ty1) - greatest(l.ry0, t.ty0)) AS a
+  FROM lrec l CROSS JOIN ltile t)
+SELECT r.c_custkey,
+       round(coalesce(s.total, 0.0) / 12.0, 6) AS intersection_percent
+FROM rect r LEFT JOIN
+  (SELECT c_custkey, sum(a) AS total FROM ov WHERE a > 1e-12 GROUP BY c_custkey) s
+  USING (c_custkey)
+) q
+UNION ALL
+SELECT 'dissolve', q.* FROM (
+WITH rec AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 7 AS BIGINT) AS kx,
+         CAST(c_custkey % 5 AS BIGINT) AS ky
+  FROM customer),
+tile_cells AS (
+  SELECT DISTINCT (t.i % 5) + dx.i AS cx, (t.i % 4) + dy.i AS cy
+  FROM range(40) t(i)
+  CROSS JOIN range(4) dx(i) CROSS JOIN range(4) dy(i)),
+rec_cells AS (
+  SELECT r.c_custkey, r.kx + dx.i AS cx, r.ky + dy.i AS cy
+  FROM rec r CROSS JOIN range(4) dx(i) CROSS JOIN range(4) dy(i)),
+covered AS (
+  SELECT rc.c_custkey, count(*) AS n
+  FROM rec_cells rc JOIN tile_cells tc ON rc.cx = tc.cx AND rc.cy = tc.cy
+  GROUP BY rc.c_custkey)
+SELECT r.c_custkey,
+       round(coalesce(c.n, 0) / 16.0, 6) AS intersection_percent
+FROM rec r LEFT JOIN covered c USING (c_custkey)
+) q
+"""
+
+
 CANDIDATES: dict[str, tuple] = {
     # Dict order IS the promotion rank (kept in sync by review finding
     # r14). The entire r17 plan head left the queue at round 17:
@@ -3154,7 +3489,17 @@ CANDIDATES: dict[str, tuple] = {
     # moved into queries_streaming.py as the registered surface;
     # the two KAT-pinned rows swapped into the registered
     # llm_codec_throughput / llm_audio_spectral (queries_llm.py).
-    # the standing queue (round-14 ledger rank), heads r18:
+    # The two r18 consolidation surfaces head the rank (registered
+    # FIRST at r18 — each names its retirement partners in its
+    # authoring comment above; together they retire 7 rows, funding
+    # the 5 llm promotions below them under add-one-retire-one):
+    "s_document_roundtrip_surface": (
+        s_document_roundtrip_surface,
+        S_DOC_ROUNDTRIP_ORACLE,
+    ),
+    "j2_overlay_surface": (j2_overlay_surface, J2_OVERLAY_ORACLE),
+    # the standing queue (round-14 ledger rank), heads r18 after the
+    # surfaces:
     "llm_kmeans_fixed_cells": (llm_kmeans_fixed_cells, KMEANS_ORACLE),
     # llm_anchor_text_topk left the queue round 17: widened into the
     # registered llm_link_graph_rank surface (anchor union leg, above).

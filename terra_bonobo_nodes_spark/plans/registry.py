@@ -771,13 +771,18 @@ def register(
 # ten rounds, ~15 slots of churn headroom. r18 plan, highest value
 # first (the PLANS.md round-17 consolidation scan has the grain and
 # oracle-preservation arguments):
-#   1. AUTHOR + REGISTER s_document_roundtrip_surface, retiring
-#      s1_csv_document_roundtrip / s2_geojson_reader_roundtrip /
-#      s8_zip_reader_roundtrip / s9_jsonl_roundtrip (all
-#      r16 greens — retiring them pre-pays r19's due cohort): four
-#      codec legs over the same documents grain, union-tagged by
-#      kind; each leg's oracle text verbatim under a kind literal.
-#   2. AUTHOR + REGISTER j2_overlay_surface, retiring
+#   1. REGISTER s_document_roundtrip_surface (AUTHORED + STAGED
+#      hash-green at 3 SFs late r17 — queries_candidates.py, queue
+#      head), retiring s1_csv_document_roundtrip /
+#      s2_geojson_reader_roundtrip / s8_zip_reader_roundtrip /
+#      s9_jsonl_roundtrip (all r16 greens — retiring them pre-pays
+#      r19's due cohort): the four codec roundtrips RE-AUTHORED at
+#      one (kind, doc_id) documents grain (the p-surface re-author
+#      pattern — the old rows packed four different tables), each
+#      leg's roundtrip check a uniform SELECT over documents under a
+#      kind literal.
+#   2. REGISTER j2_overlay_surface (AUTHORED + STAGED hash-green at 3
+#      SFs late r17 — queries_candidates.py, queue slot 2), retiring
 #      j2_concave_overlay_percent + j2_dissolve_overlapping_layer +
 #      j2_intersection_percent_by_area (ALL THREE checked this round:
 #      identical (c_custkey, intersection_percent) output grain over
@@ -790,7 +795,11 @@ def register(
 #      llm_fuzzy_title_pairs, llm_pq_codes, llm_bitext_margin_pairs —
 #      CANDIDATES dict order is the rank, copy it from
 #      queries_candidates.py at execution, not from here).
-#      Queue 17 -> 12.
+#      Queue 19 -> 12 (the handoff queue is 19 = the 17 standing rows
+#      + the 2 staged surfaces; both surfaces leave it at r18 item
+#      1-2, so staging trades +2 queue now for r18 being pure
+#      registration edits — the same trade r16 made for the p/g
+#      surfaces, and the retirements net the registry churn negative).
 # Budget (simulated): 35 due - 3 retired-from-due (the j2 triple) + 7
 # new = 39 of 50 — ~11 slots of stalest-green tail pre-pay r19.
 # Registered count after: 134 - 7 + 7 = 134 (cap 144).
