@@ -803,6 +803,31 @@ def register(
 # Budget (simulated): 35 due - 3 retired-from-due (the j2 triple) + 7
 # new = 39 of 50 — ~11 slots of stalest-green tail pre-pay r19.
 # Registered count after: 134 - 7 + 7 = 134 (cap 144).
+#
+# r19 CONSOLIDATION SCAN (pre-computed late r17; output grains
+# verified by running every named row at sf0.001 — the j2 lesson):
+#   1. llm_ann_topk_surface — llm_ivf_ann_topk + llm_lsh_ann_topk
+#      output the IDENTICAL (query_id, neighbor_id, cos_sim, rank)
+#      grain (checked r17); llm_cosine_topk is the same grain plus
+#      its rr_* rerank columns. Merge as a strategy-tagged union
+#      (brute/ivf/lsh — the j1/j2 "three physical paths, one
+#      operator" precedent), rr_* NULL off the brute leg (the
+#      s_document_roundtrip_surface gx/gy precedent), each leg's
+#      oracle verbatim under a strategy literal. Frees 2 slots.
+#   2. llm_pair_scores_surface — llm_embedding_cosine_pairs
+#      (id_a, id_b, cos_sim, in_lsh_block) + llm_ngram_jaccard_pairs
+#      (id_a, id_b, jaccard) + llm_winnow_pairs (doc_a, doc_b,
+#      n_shared) all emit one row per candidate doc pair (checked
+#      r17). Merge method-tagged with per-method score columns NULL
+#      off-leg; oracles verbatim under method literals. Frees 2
+#      slots. (llm_hash_neardup_pairs shares the pair grain and
+#      could be a 4th leg, but it is the single most expensive
+#      bench row (8s) — folding it in would make the surface the
+#      bench outlier; leave it standalone unless r19 needs the
+#      slot.)
+# Author + stage both at r18 AFTER executing the r18 registrations
+# (keeps the queue monotone: 12 standing + 2 staged = 14 at the r18
+# handoff, -> 9 at r19 when the surfaces + 4 retirees resolve).
 
 DRIVER_CAP = 50  # rows the correctness driver records per round
 
