@@ -301,6 +301,12 @@ def test_quality_filter_scoring_plans_no_python_eval(spark):
 CANDIDATE_CROSS_JOIN_OK: dict[str, str] = {
     # (layout_zorder_pruning / corpus_drift_psi promoted round 17 —
     # their entries moved to the registered CROSS_JOIN_OK above)
+    "j2_overlay_surface": (
+        "the three j2 legs' documented bbox-culled broadcast NLJ vs"
+        " dimension-sized tile layers (110/40 tiles) — inherits the"
+        " j2_* CROSS_JOIN_OK entries verbatim; at r18 registration"
+        " this entry replaces those three in CROSS_JOIN_OK"
+    ),
     "llm_corpus_overlap_report": (
         "the group-pair frame is groups x groups under an inequality"
         " (5 event types -> 10 pairs), broadcast by construction —"
