@@ -458,6 +458,17 @@ def _st_union_area_agg(g: pd.Series) -> float:
     return ops.union_area(W.parse_wkb(b) for b in g)
 
 
+@pandas_udf(DoubleType())
+def _st_rect_union_area_agg(
+    x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series
+) -> float:
+    """GROUPED_AGG: union area of axis-aligned rects given as four
+    coordinate columns — the no-WKB fast lane for dissolve over boxy
+    inputs (the clipped zones never leave the JVM as geometries; only
+    4 doubles per pair cross into Arrow)."""
+    return ops.rect_union_area(x0.values, y0.values, x1.values, y1.values)
+
+
 # --- public column API -------------------------------------------------------
 
 
@@ -608,6 +619,11 @@ def st_union_area_agg(g) -> Column:
     return _st_union_area_agg(_col(g))
 
 
+def st_rect_union_area_agg(x0, y0, x1, y1) -> Column:
+    """Union area of the group's axis-aligned rects (4 coord cols)."""
+    return _st_rect_union_area_agg(_col(x0), _col(y0), _col(x1), _col(y1))
+
+
 # --- SQL registration --------------------------------------------------------
 
 # every kernel under its PostGIS-style SQL name (SQL lookup is
@@ -647,6 +663,7 @@ _SQL_FUNCTIONS = {
     "ST_Collect_Agg": _st_collect_agg,
     "ST_Union_Agg": _st_union_agg,
     "ST_Union_Area_Agg": _st_union_area_agg,
+    "ST_Rect_Union_Area_Agg": _st_rect_union_area_agg,
 }
 
 

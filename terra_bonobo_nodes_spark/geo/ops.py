@@ -1084,6 +1084,43 @@ def union_area(geoms) -> float:
     )
 
 
+def rect_union_area(x0, y0, x1, y1) -> float:
+    """Union area of axis-aligned rectangles given as coordinate
+    sequences — the pure-numeric twin of ``union_area`` for the case
+    where the caller already HAS the rects as 4 numbers (no geometry
+    objects, no WKB): a vertical sweep over the distinct x
+    breakpoints, accumulating dx times the union length of the active
+    rects' y intervals. Exact (same +/*/max arithmetic as the
+    grid-count path), O(breakpoints x active log active). Degenerate
+    (zero-width/height) rects contribute nothing."""
+    rects = [
+        (a, b, c, d)
+        for a, b, c, d in zip(x0, y0, x1, y1)
+        if c > a and d > b
+    ]
+    if not rects:
+        return 0.0
+    xs = sorted({v for r in rects for v in (r[0], r[2])})
+    total = 0.0
+    for xa, xb in zip(xs, xs[1:]):
+        spans = sorted(
+            (b, d) for a, b, c, d in rects if a < xb and c > xa
+        )
+        if not spans:
+            continue
+        covered = 0.0
+        cur_lo, cur_hi = spans[0]
+        for lo, hi in spans[1:]:
+            if lo > cur_hi:
+                covered += cur_hi - cur_lo
+                cur_lo, cur_hi = lo, hi
+            elif hi > cur_hi:
+                cur_hi = hi
+        covered += cur_hi - cur_lo
+        total += (xb - xa) * covered
+    return total
+
+
 # --- transforms --------------------------------------------------------------
 
 

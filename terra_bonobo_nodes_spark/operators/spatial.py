@@ -431,6 +431,7 @@ def intersection_percent_by_area(
     dissolve: bool = False,
     strategy: str = "broadcast",
     cell: float | None = None,
+    rect_fast: bool = True,
 ) -> DataFrame:
     """``IntersectionPercentByArea`` (``terra.py:245-279``): area of the
     record's geometry covered by the layer, as a ratio; 0.0 when no
@@ -438,8 +439,15 @@ def intersection_percent_by_area(
     intersection areas — exact when layer features are DISJOINT (grid
     tiles, the reference's workload). ``dissolve=True`` unions the
     clipped zones per record before measuring (exact for overlapping
-    layers, at the cost of routing every pair through the geometry
-    kernel)."""
+    layers). When the record is boxy and EVERY layer feature is boxy
+    (one lazily-computed 1-row broadcast scalar), the dissolve zones
+    are bbox-intersection rects built in whole-stage codegen and the
+    per-record union area is a rectangle sweep over 4 doubles — no
+    WKB crosses into Python for those records; any curvy layer
+    feature routes every record through the geometry-kernel path
+    (coarse routing, but then the check costs nothing and the two
+    union paths never mix for one record). ``rect_fast=False`` forces
+    the kernel path everywhere (parity testing)."""
     # ONE fused kernel pass prepares the record side: make_valid
     # (idempotent, so the reference's per-pair repair collapses to
     # per-row), bbox, boxy flag, and the area denominator; persisted
@@ -451,24 +459,74 @@ def intersection_percent_by_area(
     lay = layer.select(layer_geom).withColumn(
         "_lx", K.st_bbox_boxy(F.col(layer_geom))
     )
-    cand = _candidates(
-        rec, lay, F.col("_rx.bbox"), F.col("_lx.bbox"), strategy, cell
-    )
     if dissolve:
-        # a GROUPED_AGG pandas UDF can't mix with JVM aggregates in one
-        # agg — the constant-per-id denominator joins back from rec
-        zones = (
-            cand.filter(K.st_intersects(F.col("_rx.geom"), F.col(layer_geom)))
+        # Routing scalar: 1 iff EVERY layer feature is boxy (its own
+        # bbox rect) — a lazily-computed 1-row broadcast, the
+        # corpus-stats-scalar pattern. The record SIDE splits before
+        # pair generation: per-record _rx.boxy AND the scalar pick the
+        # path, so no id ever lands in both unions — and the split
+        # must happen pre-join because a post-join filter would still
+        # feed every pair through the extracted st_intersects
+        # ArrowEvalPython node (UDFs inside a Filter evaluate on all
+        # input rows; measured 16s on 550k pruned-to-zero pairs).
+        lab = lay.agg(F.min(F.col("_lx.boxy").cast("int")).alias("_lab"))
+        fastp = (
+            F.lit(rect_fast)
+            & F.col("_rx.boxy")
+            & F.coalesce(F.col("_lab") == 1, F.lit(False))
+        )
+        rec_flag = rec.crossJoin(F.broadcast(lab))
+        rec_fast = rec_flag.filter(fastp).drop("_lab")
+        rec_slow = rec_flag.filter(~fastp).drop("_lab")
+        rb, lb = F.col("_rx.bbox"), F.col("_lx.bbox")
+        zx0 = F.greatest(F.element_at(rb, 1), F.element_at(lb, 1))
+        zy0 = F.greatest(F.element_at(rb, 2), F.element_at(lb, 2))
+        zx1 = F.least(F.element_at(rb, 3), F.element_at(lb, 3))
+        zy1 = F.least(F.element_at(rb, 4), F.element_at(lb, 4))
+        # boxy x all-boxy: zone rect in codegen, union area by sweep —
+        # no WKB reaches Python on this path
+        fast_zones = (
+            _candidates(
+                rec_fast, lay, F.col("_rx.bbox"), F.col("_lx.bbox"), strategy, cell
+            )
+            .filter((zx1 > zx0) & (zy1 > zy0))
+            .select(
+                id_col,
+                zx0.alias("_zx0"),
+                zy0.alias("_zy0"),
+                zx1.alias("_zx1"),
+                zy1.alias("_zy1"),
+            )
+            .groupBy(id_col)
+            .agg(
+                K.st_rect_union_area_agg(
+                    F.col("_zx0"), F.col("_zy0"), F.col("_zx1"), F.col("_zy1")
+                ).alias("_zone_area")
+            )
+        )
+        # general path (a GROUPED_AGG pandas UDF can't mix with JVM
+        # aggregates in one agg — the constant-per-id denominator
+        # joins back from rec below)
+        slow_zones = (
+            _candidates(
+                rec_slow, lay, F.col("_rx.bbox"), F.col("_lx.bbox"), strategy, cell
+            )
+            .filter(K.st_intersects(F.col("_rx.geom"), F.col(layer_geom)))
             .withColumn(
                 "_zone", K.st_intersection(F.col("_rx.geom"), F.col(layer_geom))
             )
             .groupBy(id_col)
             .agg(K.st_union_area_agg(F.col("_zone")).alias("_zone_area"))
-            .join(rec.select(id_col, F.col("_rx.area").alias("_ra")), on=id_col)
+        )
+        zones = fast_zones.unionByName(slow_zones).join(
+            rec.select(id_col, F.col("_rx.area").alias("_ra")), on=id_col
         )
         joined = records.join(zones, on=id_col, how="left")
         ratio = F.coalesce(F.col("_zone_area") / F.col("_ra"), F.lit(0.0))
         return joined.withColumn(out, ratio).drop("_zone_area", "_ra")
+    cand = _candidates(
+        rec, lay, F.col("_rx.bbox"), F.col("_lx.bbox"), strategy, cell
+    )
     both_boxy = F.col("_rx.boxy") & F.col("_lx.boxy")
     # boxy×boxy overlap area is closed-form over the bboxes — evaluated
     # in whole-stage codegen, no Python; only curvy pairs hit the fused
