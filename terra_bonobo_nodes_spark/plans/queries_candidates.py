@@ -3337,8 +3337,8 @@ FROM documents
 """
 
 
-# --- j2_overlay_surface (authored round 17 — the r18 consolidation,
-# PLANS.md scan item 2) -------------------------------------------------------
+# --- j2_overlay_surface (authored round 17 — registered LATE r17,
+# PLANS.md scan item 2 / registry.py addendum) --------------------------------
 # j2_intersection_percent_by_area / j2_concave_overlay_percent /
 # j2_dissolve_overlapping_layer (plans/queries_geo.py) all output the
 # identical (c_custkey, intersection_percent) grain over the
@@ -3358,8 +3358,8 @@ FROM documents
 def j2_overlay_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IntersectionPercentByArea through its three physical paths
     (rect fast path / triangulated overlay / dissolve union) at one
-    (strategy, c_custkey) grain — the r18 retire-and-replace for the
-    three standalone j2 rows."""
+    (strategy, c_custkey) grain — the retire-and-replace for the
+    three standalone j2 rows (registered late r17)."""
     from terra_bonobo_nodes_spark.geo import kernels as K
     from terra_bonobo_nodes_spark.operators.spatial import (
         intersection_percent_by_area,
@@ -3478,6 +3478,21 @@ FROM rec r LEFT JOIN covered c USING (c_custkey)
 ) q
 """
 
+# LATE-r17 PROMOTION (r18 ledger item 2 executed early — registry.py
+# addendum): REGISTERED, retiring j2_intersection_percent_by_area /
+# j2_concave_overlay_percent / j2_dissolve_overlapping_layer
+# (plans/queries_geo.py keeps the shared fixtures + retirement note).
+# Forced by the freshness contract: the dissolve rect fast path
+# (operators/spatial.py, authored while staging this surface) changes
+# the three retired rows' code, and their changed-code driver row
+# lands HERE — the surface runs all three legs in this round's window.
+register(
+    "j2_overlay_surface",
+    oracle=J2_OVERLAY_ORACLE,
+    headline=True,  # promoted rows join the bench set (VERDICT_r15 #4)
+    tags=("J2", "overlay", "surface"),
+)(j2_overlay_surface)
+
 
 CANDIDATES: dict[str, tuple] = {
     # Dict order IS the promotion rank (kept in sync by review finding
@@ -3489,17 +3504,18 @@ CANDIDATES: dict[str, tuple] = {
     # moved into queries_streaming.py as the registered surface;
     # the two KAT-pinned rows swapped into the registered
     # llm_codec_throughput / llm_audio_spectral (queries_llm.py).
-    # The two r18 consolidation surfaces head the rank (registered
-    # FIRST at r18 — each names its retirement partners in its
-    # authoring comment above; together they retire 7 rows, funding
-    # the 5 llm promotions below them under add-one-retire-one):
+    # The r18 consolidation surface heads the rank (registered FIRST
+    # at r18, retiring s1/s2/s8/s9 — its authoring comment above names
+    # them; the 4 retirements fund the 4 llm promotions below it under
+    # add-one-retire-one). j2_overlay_surface left the queue LATE r17:
+    # registered early (registry.py addendum) when the dissolve rect
+    # fast path changed its retirees' code.
     "s_document_roundtrip_surface": (
         s_document_roundtrip_surface,
         S_DOC_ROUNDTRIP_ORACLE,
     ),
-    "j2_overlay_surface": (j2_overlay_surface, J2_OVERLAY_ORACLE),
     # the standing queue (round-14 ledger rank), heads r18 after the
-    # surfaces:
+    # surface:
     "llm_kmeans_fixed_cells": (llm_kmeans_fixed_cells, KMEANS_ORACLE),
     # llm_anchor_text_topk left the queue round 17: widened into the
     # registered llm_link_graph_rank surface (anchor union leg, above).

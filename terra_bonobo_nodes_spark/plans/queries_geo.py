@@ -20,7 +20,6 @@ from terra_bonobo_nodes_spark.operators.spatial import (
     boolean_intersect,
     geometry_to_centroid,
     intersection_geom,
-    intersection_percent_by_area,
     transform_geom,
     union_on_property,
 )
@@ -440,132 +439,18 @@ def j1_boolean_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- J2: intersection percent by area ---------------------------------------
-
-
-@register(
-    "j2_intersection_percent_by_area",
-    oracle=f"""
-WITH {RECTS_SQL.strip()}, {TILES_SQL.strip()},
-ov AS (
-  SELECT r.c_custkey,
-         greatest(0, least(r.cx + 3, t.x0 + 10) - greatest(r.cx - 3, t.x0))
-       * greatest(0, least(r.cy + 3, t.y0 + 10) - greatest(r.cy - 3, t.y0)) AS a
-  FROM rect r CROSS JOIN tiles t)
-SELECT r.c_custkey,
-       round(coalesce(s.total, 0.0) / 36.0, 6) AS intersection_percent
-FROM rect r LEFT JOIN
-  (SELECT c_custkey, sum(a) AS total FROM ov WHERE a > 1e-12 GROUP BY c_custkey) s
-  USING (c_custkey)
-""",
-    headline=True,
-    tags=("J2",),
-)
-def j2_intersection_percent_by_area(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rects = _customer_rects(spark, sf_dir)
-    layer = _tile_layer(spark)
-    out = intersection_percent_by_area(rects, layer)
-    return out.select(
-        F.col("identifier").cast("long").alias("c_custkey"),
-        F.round("intersection_percent", 6).alias("intersection_percent"),
-    )
-
-
-# --- J2 general overlay: concave x concave percent-by-area ------------------
-
-
-@register(
-    "j2_concave_overlay_percent",
-    oracle=f"""
-WITH {RECTS_SQL.strip()}, {TILES_SQL.strip()}, {ELLS_SQL.strip()}, {ELL_TILES_SQL.strip()},
-ov AS (
-  SELECT l.c_custkey,
-         greatest(0, least(l.rx1, t.tx1) - greatest(l.rx0, t.tx0))
-       * greatest(0, least(l.ry1, t.ty1) - greatest(l.ry0, t.ty0)) AS a
-  FROM lrec l CROSS JOIN ltile t)
-SELECT r.c_custkey,
-       round(coalesce(s.total, 0.0) / 12.0, 6) AS intersection_percent
-FROM rect r LEFT JOIN
-  (SELECT c_custkey, sum(a) AS total FROM ov WHERE a > 1e-12 GROUP BY c_custkey) s
-  USING (c_custkey)
-""",
-    headline=True,
-    tags=("J2", "overlay"),
-)
-def j2_concave_overlay_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IntersectionPercentByArea where BOTH sides are concave L-shapes —
-    neither boxy nor convex, so every candidate pair goes through the
-    general triangulated overlay (ear-clip the smaller side, clip by
-    each triangle). The oracle decomposes each L into its two component
-    rects and sums pairwise rect overlaps — closed-form ground truth
-    for the dissection's area."""
-    out = intersection_percent_by_area(
-        _customer_ells(spark, sf_dir), _ell_tile_layer(spark)
-    )
-    return out.select(
-        F.col("identifier").cast("long").alias("c_custkey"),
-        F.round("intersection_percent", 6).alias("intersection_percent"),
-    )
-
-
-@register(
-    "j2_dissolve_overlapping_layer",
-    oracle="""
-WITH rec AS (
-  SELECT c_custkey,
-         CAST(c_custkey % 7 AS BIGINT) AS kx,
-         CAST(c_custkey % 5 AS BIGINT) AS ky
-  FROM customer),
-tile_cells AS (
-  SELECT DISTINCT (t.i % 5) + dx.i AS cx, (t.i % 4) + dy.i AS cy
-  FROM range(40) t(i)
-  CROSS JOIN range(4) dx(i) CROSS JOIN range(4) dy(i)),
-rec_cells AS (
-  SELECT r.c_custkey, r.kx + dx.i AS cx, r.ky + dy.i AS cy
-  FROM rec r CROSS JOIN range(4) dx(i) CROSS JOIN range(4) dy(i)),
-covered AS (
-  SELECT rc.c_custkey, count(*) AS n
-  FROM rec_cells rc JOIN tile_cells tc ON rc.cx = tc.cx AND rc.cy = tc.cy
-  GROUP BY rc.c_custkey)
-SELECT r.c_custkey,
-       round(coalesce(c.n, 0) / 16.0, 6) AS intersection_percent
-FROM rec r LEFT JOIN covered c USING (c_custkey)
-""",
-    tags=("J2", "overlay"),
-)
-def j2_dissolve_overlapping_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IntersectionPercentByArea with dissolve=True against a HEAVILY
-    OVERLAPPING tile layer (40 grid-snapped 4x4 squares over a 8x7
-    zone): clipped zones per record are unioned before measuring, so
-    regions covered by several tiles count once. The oracle counts the
-    DISTINCT unit cells of each record covered by any tile — the naive
-    pairwise sum would exceed it wherever tiles overlap."""
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        (F.col("c_custkey") % 7).cast("double").alias("kx"),
-        (F.col("c_custkey") % 5).cast("double").alias("ky"),
-    )
-    kx, ky = F.col("kx"), F.col("ky")
-    records = cust.select(
-        F.col("c_custkey").alias("identifier"),
-        K.st_make_polygon(
-            F.array(kx, kx + 4, kx + 4, kx),
-            F.array(ky, ky, ky + 4, ky + 4),
-        ).alias("geom"),
-    )
-    t = spark.range(40)
-    x0 = (F.col("id") % 5).cast("double")
-    y0 = (F.col("id") % 4).cast("double")
-    tiles = t.select(
-        K.st_make_polygon(
-            F.array(x0, x0 + 4, x0 + 4, x0),
-            F.array(y0, y0, y0 + 4, y0 + 4),
-        ).alias("layer_geom")
-    )
-    out = intersection_percent_by_area(records, tiles, dissolve=True)
-    return out.select(
-        F.col("identifier").cast("long").alias("c_custkey"),
-        F.round("intersection_percent", 6).alias("intersection_percent"),
-    )
+# The THREE standalone J2 rows (j2_intersection_percent_by_area,
+# j2_concave_overlay_percent, j2_dissolve_overlapping_layer) RETIRED
+# LATE round 17 into the registered j2_overlay_surface
+# (plans/queries_candidates.py) — identical (c_custkey,
+# intersection_percent) grain, each leg's fixture and oracle text
+# verbatim under a strategy literal ('pairwise' / 'concave' /
+# 'dissolve'). Registered early (the r18 ledger item 2) because the
+# dissolve rect fast path (operators/spatial.py) changed the three
+# rows' code and the surface is where their changed-code driver row
+# lands. The shared fixtures above (_customer_rects / _tile_layer /
+# _customer_ells / _ell_tile_layer and the RECTS/TILES/ELLS SQL
+# constants) stay: g9 and the surface's oracle use them.
 
 
 # --- G9: line clipped to layer (line x polygon overlay) ---------------------

@@ -804,6 +804,36 @@ def register(
 # new = 39 of 50 — ~11 slots of stalest-green tail pre-pay r19.
 # Registered count after: 134 - 7 + 7 = 134 (cap 144).
 #
+# LATE-r17 ADDENDUM — r18 ledger item 2 EXECUTED EARLY (j2_overlay
+# _surface registered at r17, retiring the j2 triple now):
+# staging the surface exposed that the dissolve leg dominated (~19s
+# warm at sf0.1, all-boxy inputs), so intersection_percent_by_area
+# grew the rect fast path (codegen bbox-intersection rects + the
+# st_rect_union_area_agg sweep; dissolve row 19.4 -> 3.6s). That edit
+# changes the three registered j2 rows' code, and they are r15 greens
+# with no r17 slot — the freshness contract
+# (test_changed_code_list_covers_the_git_diff) rightly demands a
+# fresh row this round for changed code, and the window had no slack
+# for 3 more changed rows without going stale on r14-due rows. The
+# principled exit: the fully-verified staged surface (hash-green 3
+# SFs, plan-pinned, 1e-12 three-routing parity) registered NOW as
+# new-this-round, retiring the triple — changed code gets its driver
+# row via the NEW surface in the same window. REVISED r17 BUDGET:
+# 41 due + 2 changed + 7 new = 50 of 50, zero slack (the stalest-tail
+# slot funded the surface). Registered count: 134 - 3 + 1 = 132.
+# REVISED r18 plan: item 1 (s_document_roundtrip_surface, staged
+# hash-green) + item 3 shrinks to 4 queue-head promotions funded by
+# the 4 s-row retirements (llm_kmeans_fixed_cells,
+# llm_token_budget_mix, llm_fuzzy_title_pairs, llm_pq_codes;
+# llm_bitext_margin_pairs waits for r19). Budget: 32 due (35 r15
+# greens - the 3 retired j2 rows) + 5 new = 37 of 50, ~13 tail slots
+# pre-pay r19. Registered count after r18: 132 - 4 + 1 = 129.
+# PARKED FOR r18 (measured, reverted to keep this round's changed
+# set at zero extra demand): boolean_intersect's slow-leg NULL-mask +
+# st_intersects NULL fast path (j1 warm 2.8-3.1 -> 1.6-1.8s at
+# sf0.1; j1 is an r16 green due r19, so r18 must carry it in
+# _CHANGED_THIS_ROUND — it has the headroom).
+#
 # r19 CONSOLIDATION SCAN (pre-computed late r17; output grains
 # verified by running every named row at sf0.001 — the j2 lesson):
 #   1. llm_ann_topk_surface — llm_ivf_ann_topk + llm_lsh_ann_topk
@@ -854,7 +884,9 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     #   llm_link_graph_rank shares the change but is r14 green/due.
 )
 
-# (3) first driver row this round (the ROUND-17 ledger above):
+# (3) first driver row this round (the ROUND-17 ledger above; the
+# seventh entry is the LATE-r17 early execution of r18 ledger item 2 —
+# see the addendum below the r18 plan):
 _NEW_THIS_ROUND: tuple[str, ...] = (
     "p_record_ops_surface",
     "g_scalar_geometry_surface",
@@ -862,6 +894,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "corpus_drift_psi",
     "llm_novelty_scores",
     "layout_zorder_pruning",
+    "j2_overlay_surface",
 )
 
 # (4) overflow — heads the next round's queue:

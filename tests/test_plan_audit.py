@@ -34,9 +34,12 @@ CROSS_JOIN_OK: dict[str, str] = {
     # big-big equi-join path, driver-proven inside the widened
     # j1_boolean_intersect row (in_zone_grid column, r13 merge).
     "j1_boolean_intersect": "bbox-culled broadcast NLJ vs dimension layer",
-    "j2_concave_overlay_percent": "same broadcast spatial-join shape",
-    "j2_dissolve_overlapping_layer": "same broadcast spatial-join shape",
-    "j2_intersection_percent_by_area": "same broadcast spatial-join shape",
+    "j2_overlay_surface": (
+        "same broadcast spatial-join shape on all three legs (the"
+        " entry replacing the three standalone j2 rows it retired"
+        " late r17), plus the dissolve leg's 1-row layer-all-boxy"
+        " routing scalar BNLJ"
+    ),
     "j3_intersection_geom_area": "same broadcast spatial-join shape",
     "g9_line_clip_length": "same broadcast spatial-join shape",
     # round 17 promotions (moved from CANDIDATE_CROSS_JOIN_OK):
@@ -300,13 +303,8 @@ def test_quality_filter_scoring_plans_no_python_eval(spark):
 
 CANDIDATE_CROSS_JOIN_OK: dict[str, str] = {
     # (layout_zorder_pruning / corpus_drift_psi promoted round 17 —
-    # their entries moved to the registered CROSS_JOIN_OK above)
-    "j2_overlay_surface": (
-        "the three j2 legs' documented bbox-culled broadcast NLJ vs"
-        " dimension-sized tile layers (110/40 tiles) — inherits the"
-        " j2_* CROSS_JOIN_OK entries verbatim; at r18 registration"
-        " this entry replaces those three in CROSS_JOIN_OK"
-    ),
+    # their entries moved to the registered CROSS_JOIN_OK above;
+    # j2_overlay_surface registered late r17, entry moved likewise)
     "llm_corpus_overlap_report": (
         "the group-pair frame is groups x groups under an inequality"
         " (5 event types -> 10 pairs), broadcast by construction —"

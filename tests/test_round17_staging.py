@@ -3,9 +3,10 @@ contracts, pinned at authoring time (the test_round16_fixes.py
 pattern — the plan shape is part of what gets promoted, not just the
 oracle hash).
 
-Both surfaces are STAGED (CANDIDATES head) for r18 registration:
-- s_document_roundtrip_surface retires s1/s2/s8/s9
-- j2_overlay_surface retires the three j2 rows
+s_document_roundtrip_surface is STAGED (CANDIDATES head) for r18
+registration, retiring s1/s2/s8/s9. j2_overlay_surface was REGISTERED
+late r17 (retiring the three j2 rows) when the dissolve rect fast
+path changed its retirees' code — registry.py addendum.
 """
 
 from __future__ import annotations
@@ -68,13 +69,15 @@ def test_j2_overlay_surface_plan_shape(spark):
 
 
 def test_surfaces_head_the_candidate_rank():
-    """The r18 ledger registers the surfaces FIRST (their retirement
-    partners fund the five llm promotions behind them); the CANDIDATES
-    dict order is the promotion rank, so the surfaces must head it."""
+    """The r18 ledger registers the document surface FIRST (its four
+    retirement partners fund the llm promotions behind it); the
+    CANDIDATES dict order is the promotion rank, so it must head the
+    queue — and j2_overlay_surface must be REGISTERED, not queued
+    (late-r17 early execution)."""
     from terra_bonobo_nodes_spark.plans.queries_candidates import CANDIDATES
+    from terra_bonobo_nodes_spark.plans.registry import all_queries
 
     names = list(CANDIDATES)
-    assert names[:2] == [
-        "s_document_roundtrip_surface",
-        "j2_overlay_surface",
-    ]
+    assert names[0] == "s_document_roundtrip_surface"
+    assert "j2_overlay_surface" not in names
+    assert all_queries()["j2_overlay_surface"].headline
