@@ -422,60 +422,13 @@ def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- llm_perplexity_buckets ---------------------------------------------
-# CCNet head/middle/tail split by char-LM cross-entropy terciles. The
-# oracle restates the registered llm_char_lm_entropy model (same
-# normalize, add-one smoothing, DECIMAL(20,6) log quantization) and
-# takes quantile_cont cutoffs over the 4-decimal-quantized entropy —
-# the quantization makes every boundary comparison engine-exact (see
-# the perplexity_buckets docstring's grid-margin argument).
+# llm_perplexity_buckets ABSORBED late round 17: the due
+# llm_lm_entropy_surface widened with the candidate's distinctive
+# output, the CCNet head/middle/tail ppl_bucket column (the entropy
+# it buckets IS that row's char leg; plans/queries_llm.py carries the
+# oracle text verbatim as _PPL_LEG_SQL). text.perplexity_buckets and
+# its pytest coverage unchanged.
 
-
-def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return text.perplexity_buckets(docs, exact=True)
-
-
-def _ppl_oracle() -> str:
-    from terra_bonobo_nodes_spark.llm import hashing
-    from terra_bonobo_nodes_spark.llm.text import LM_ALPHABET_SIZE
-
-    return f"""
-WITH nd AS (SELECT doc_id, {hashing.normalize_sql('text')} AS t FROM documents),
-bg AS (SELECT doc_id, substr(t, CAST(r.i AS INTEGER), 2) AS b
-       FROM nd, unnest(range(1, length(t))) AS r(i)
-       WHERE length(t) >= 2),
-mc AS (SELECT b, count(*) AS c FROM bg GROUP BY 1),
-pc AS (SELECT substr(b, 1, 1) AS c1, CAST(SUM(c) AS BIGINT) AS p FROM mc GROUP BY 1),
-model AS (
-  SELECT mc.b,
-         CAST(mc.c + 1 AS DOUBLE) / CAST(pc.p + {LM_ALPHABET_SIZE} AS DOUBLE)
-           AS prob
-  FROM mc JOIN pc ON substr(mc.b, 1, 1) = pc.c1),
-sc AS (SELECT bg.doc_id, CAST(ln(model.prob) AS DECIMAL(20,6)) AS lp
-       FROM bg JOIN model ON model.b = bg.b),
-agg AS (SELECT doc_id, count(*) AS m,
-               -CAST(SUM(lp) AS DOUBLE) / count(*) AS h
-        FROM sc GROUP BY 1),
-e AS (
-  SELECT d.doc_id,
-         CAST(coalesce(agg.m, 0) AS BIGINT) AS n_bigrams,
-         round(coalesce(agg.h, 0.0), 4) AS lm_entropy
-  FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id),
-c AS (
-  SELECT quantile_cont(lm_entropy, CAST(1 AS DOUBLE) / 3) AS c1,
-         quantile_cont(lm_entropy, CAST(2 AS DOUBLE) / 3) AS c2
-  FROM e WHERE n_bigrams > 0)
-SELECT doc_id, n_bigrams, lm_entropy,
-       CASE WHEN n_bigrams = 0 THEN 'empty'
-            WHEN lm_entropy <= c1 THEN 'head'
-            WHEN lm_entropy <= c2 THEN 'middle'
-            ELSE 'tail' END AS ppl_bucket
-FROM e CROSS JOIN c
-"""
-
-
-PPL_BUCKETS_ORACLE = _ppl_oracle()
 
 # --- llm_dsir_logweights ------------------------------------------------
 # DSIR importance weights with the English slice of documents as the
@@ -539,76 +492,13 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 """
 
-# --- llm_bloom_decontaminate (authored round 13, r14 candidate) ---------
-# Bloom-filter n-gram decontamination (llm/bloom.py): the fixed-memory
-# complement to llm_substring_decontaminate's exact broadcast semi-join.
-# Benchmark = the doc_id % 97 slice of documents; the filter builds
-# distributed and ships as one 2048-long plan literal; the probe is a
-# zero-exchange zero-Python projection. The oracle replays the SAME
-# md5-derived positions (position_sql mirror) and verifies membership
-# through the equivalent position-SET formulation — packed-bits ==
-# position-set is pinned by tests/test_bloom.py.
+# llm_bloom_decontaminate ABSORBED late round 17: the due
+# llm_decontamination_surface widened with the Bloom screen as its
+# third FULL-joined leg (plans/queries_llm.py — fn, oracle, and the
+# _BLOOM_M/K/N constants moved there verbatim; the anchor-leg
+# capacity-partner route, zero rotation cost). llm/bloom.py and
+# tests/test_bloom.py unchanged.
 
-_BLOOM_M, _BLOOM_K, _BLOOM_N = 1 << 16, 3, 3
-
-
-def llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from terra_bonobo_nodes_spark.llm.bloom import (
-        build_bloom_bits,
-        flag_bloom_contaminated,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.coalesce("text", F.lit("")).alias("text")
-    )
-    bench = docs.where(F.pmod("doc_id", F.lit(97)) == 0)
-    bits = build_bloom_bits(
-        bench, n=_BLOOM_N, m_bits=_BLOOM_M, k=_BLOOM_K
-    )
-    out = flag_bloom_contaminated(docs, bits, n=_BLOOM_N, k=_BLOOM_K)
-    return out.select(
-        "doc_id", "bloom_n_ngrams", "bloom_n_hits", "bloom_flagged"
-    )
-
-
-def _bloom_oracle() -> str:
-    from terra_bonobo_nodes_spark.llm import hashing
-    from terra_bonobo_nodes_spark.llm.bloom import position_sql
-
-    # mirror llm/bloom._probe_grams: NULL-as-empty text, '' gram (the
-    # empty-document degenerate) excluded — NULL/empty docs probe 0
-    gs = (
-        "list_filter("
-        + hashing.word_shingles_sql("coalesce(text, '')", _BLOOM_N)
-        + ", s -> s <> '')"
-    )
-    pos_union = "\nUNION ALL ".join(
-        f"SELECT {position_sql('s', i, _BLOOM_M)} AS p FROM bg"
-        for i in range(_BLOOM_K)
-    )
-    probes = "\n    AND ".join(
-        f"EXISTS (SELECT 1 FROM pos WHERE pos.p = {position_sql('cg.s', i, _BLOOM_M)})"
-        for i in range(_BLOOM_K)
-    )
-    return f"""
-WITH bench AS (
-  SELECT {gs} AS gs FROM documents WHERE (doc_id % 97) = 0
-), bg AS (SELECT unnest(gs) AS s FROM bench),
-pos AS (SELECT DISTINCT p FROM ({pos_union})),
-cg AS (SELECT doc_id, unnest({gs}) AS s FROM documents),
-hit AS (
-  SELECT doc_id FROM cg
-  WHERE {probes}
-), h AS (SELECT doc_id, count(*) AS nh FROM hit GROUP BY 1),
-g AS (SELECT doc_id, CAST(len({gs}) AS BIGINT) AS ng FROM documents)
-SELECT g.doc_id, g.ng AS bloom_n_ngrams,
-       CAST(coalesce(h.nh, 0) AS BIGINT) AS bloom_n_hits,
-       coalesce(h.nh, 0) > 0 AS bloom_flagged
-FROM g LEFT JOIN h USING (doc_id)
-"""
-
-
-BLOOM_ORACLE = _bloom_oracle()
 
 # --- llm_cms_token_freq (authored round 13, r14 candidate) --------------
 # Count-Min Sketch heavy hitters (llm/sketch.py): the bounded-memory
@@ -2623,31 +2513,11 @@ BITEXT_ORACLE = _bitext_oracle()
 
 
 
-# --- llm_sentence_stats (authored round 14, r15 candidate) ---------------
-# Sentence segmentation + per-sentence quality surface
-# (llm/sentences.py): the sentence-grain signals C4-class filters
-# consume (terminated-sentence count, mean words per sentence, short-
-# fragment fraction), RE2-safe splitter (regexp_extract_all — no
-# lookarounds), full SQL mirror. Pure-Column scan, zero shuffles.
-
-
-def llm_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from terra_bonobo_nodes_spark.llm.sentences import sentence_stats
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return sentence_stats(docs).select(
-        "doc_id", "sent_n", "sent_n_terminated", "sent_mean_words",
-        "sent_frac_short",
-    )
-
-
-def _sentence_oracle() -> str:
-    from terra_bonobo_nodes_spark.llm.sentences import sentence_stats_sql
-
-    return f"SELECT doc_id, {sentence_stats_sql('text')} FROM documents"
-
-
-SENTENCE_ORACLE = _sentence_oracle()
+# llm_sentence_stats ABSORBED late round 17: the due
+# llm_repetition_ratios row widened with the four sentence-grain
+# columns (plans/queries_llm.py — fn chained on the same scan, oracle
+# leg verbatim; the anchor-leg capacity-partner route, zero rotation
+# cost). llm/sentences.py and tests/test_sentences.py unchanged.
 
 
 # --- llm_distinct_sketch_report: PROMOTED round 14 (zero-net merge) --------
@@ -3523,10 +3393,13 @@ CANDIDATES: dict[str, tuple] = {
     "llm_fuzzy_title_pairs": (llm_fuzzy_title_pairs, FUZZY_ORACLE),
     "llm_pq_codes": (llm_pq_codes, PQ_ORACLE),
     "llm_bitext_margin_pairs": (llm_bitext_margin_pairs, BITEXT_ORACLE),
-    "llm_sentence_stats": (llm_sentence_stats, SENTENCE_ORACLE),
-    "llm_perplexity_buckets": (llm_perplexity_buckets, PPL_BUCKETS_ORACLE),
+    # llm_sentence_stats left the queue late round 17: absorbed into
+    # the due llm_repetition_ratios row (chained projection, above).
+    # llm_perplexity_buckets left the queue late round 17: absorbed
+    # into the due llm_lm_entropy_surface (ppl_bucket column, above).
     "llm_dsir_logweights": (llm_dsir_logweights, DSIR_ORACLE),
-    "llm_bloom_decontaminate": (llm_bloom_decontaminate, BLOOM_ORACLE),
+    # llm_bloom_decontaminate left the queue late round 17: absorbed
+    # into the due llm_decontamination_surface (third leg, above).
     "llm_cms_token_freq": (llm_cms_token_freq, CMS_ORACLE),
     "llm_length_outliers": (
         llm_length_outliers,

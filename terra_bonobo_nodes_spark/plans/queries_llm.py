@@ -116,9 +116,12 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_repetition_ratios",
-    oracle=f"""
+def _repetition_sentences_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm.sentences import sentence_stats_sql
+
+    # each leg's oracle text verbatim as a subquery; the sentence leg
+    # is the absorbed llm_sentence_stats candidate's oracle unchanged
+    rep = f"""
 WITH t AS (
   SELECT doc_id, {TOKS_SQL} AS toks FROM documents
 ), b AS (
@@ -135,21 +138,43 @@ SELECT doc_id,
                   THEN 1.0 - len(list_distinct(bigrams)) / (n - 1)
                   ELSE 0.0 END, 6) AS rep_bigram_dup_ratio
 FROM b
-""",
-    tags=("llm", "text"),
+"""
+    sent = f"SELECT doc_id, {sentence_stats_sql('text')} FROM documents"
+    return f"""
+SELECT r.doc_id, r.rep_word_dup_ratio, r.rep_bigram_dup_ratio,
+       s.sent_n, s.sent_n_terminated, s.sent_mean_words, s.sent_frac_short
+FROM ({rep}) r JOIN ({sent}) s USING (doc_id)
+"""
+
+
+@register(
+    "llm_repetition_ratios",
+    oracle=_repetition_sentences_oracle(),
+    tags=("llm", "text", "sentences"),
 )
 def llm_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule repetition filter signals over the documents table
     (word-dup and bigram-dup fractions). The DuckDB oracle builds the
     same bigram list with 1-based list indexing (range(1, n) is
     end-exclusive, so both sides emit exactly n-1 bigrams and [] for
-    n <= 1)."""
+    n <= 1). WIDENED late r17 — the row was due — with the absorbed
+    llm_sentence_stats candidate (llm/sentences.py: RE2-safe
+    segmentation, terminated-sentence count, mean words/sentence,
+    short-fragment fraction): both ops are pure column projections
+    that preserve their input, so the widened row CHAINS them on one
+    documents scan — zero joins, zero shuffles, one codegen stage."""
+    from terra_bonobo_nodes_spark.llm.sentences import sentence_stats
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    rep = text.repetition_ratios(docs, "text")
+    rep = sentence_stats(text.repetition_ratios(docs, "text"))
     return rep.select(
         "doc_id",
         F.round("rep_word_dup_ratio", 6).alias("rep_word_dup_ratio"),
         F.round("rep_bigram_dup_ratio", 6).alias("rep_bigram_dup_ratio"),
+        "sent_n",
+        "sent_n_terminated",
+        "sent_mean_words",
+        "sent_frac_short",
     )
 
 
@@ -1219,7 +1244,74 @@ def llm_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # winnowed-fingerprint exact-substring detection on one row, each
 # keeping its standalone contract and oracle arithmetic. One slot
 # freed; it registers llm_exact_substring_spans (queue head).
+# LATE r17: the row — due this round — WIDENED with a THIRD screen,
+# absorbing the llm_bloom_decontaminate candidate at zero rotation
+# cost (the anchor-leg capacity-partner route): Bloom-filter n-gram
+# membership, the fixed-memory complement to the exact broadcast
+# semi-joins. Its bench split is its own (doc_id % 97 slice, probes
+# ALL docs incl. bench), so the legs FULL-join on doc_id and the
+# bloom columns are NULL-free while ng/ss columns are NULL on bench
+# docs — each leg's oracle text verbatim as a subquery.
+
+_BLOOM_M, _BLOOM_K, _BLOOM_N = 1 << 16, 3, 3
+
+
+def _bloom_leg_oracle() -> str:
+    from terra_bonobo_nodes_spark.llm import hashing as _h
+    from terra_bonobo_nodes_spark.llm.bloom import position_sql
+
+    # mirror llm/bloom._probe_grams: NULL-as-empty text, '' gram (the
+    # empty-document degenerate) excluded — NULL/empty docs probe 0.
+    # The filter BUILDS from the candidate's own bench split (the
+    # doc_id % 97 slice of ALL docs, unchanged) but PROBES the
+    # candidate corpus (source <> 'src0') — the same probe set as the
+    # other two screens, so the surface's legs share one exact row
+    # set and the row stays NULL-free.
+    gs = (
+        "list_filter("
+        + _h.word_shingles_sql("coalesce(text, '')", _BLOOM_N)
+        + ", s -> s <> '')"
+    )
+    pos_union = "\nUNION ALL ".join(
+        f"SELECT {position_sql('s', i, _BLOOM_M)} AS p FROM bg"
+        for i in range(_BLOOM_K)
+    )
+    probes = "\n    AND ".join(
+        f"EXISTS (SELECT 1 FROM pos WHERE pos.p = {position_sql('cg.s', i, _BLOOM_M)})"
+        for i in range(_BLOOM_K)
+    )
+    return f"""
+WITH bench AS (
+  SELECT {gs} AS gs FROM documents WHERE (doc_id % 97) = 0
+), bg AS (SELECT unnest(gs) AS s FROM bench),
+pos AS (SELECT DISTINCT p FROM ({pos_union})),
+cg AS (SELECT doc_id, unnest({gs}) AS s FROM documents
+       WHERE source <> 'src0'),
+hit AS (
+  SELECT doc_id FROM cg
+  WHERE {probes}
+), h AS (SELECT doc_id, count(*) AS nh FROM hit GROUP BY 1),
+g AS (SELECT doc_id, CAST(len({gs}) AS BIGINT) AS ng FROM documents
+      WHERE source <> 'src0')
+SELECT g.doc_id, g.ng AS bloom_n_ngrams,
+       CAST(coalesce(h.nh, 0) AS BIGINT) AS bloom_n_hits,
+       coalesce(h.nh, 0) > 0 AS bloom_flagged
+FROM g LEFT JOIN h USING (doc_id)
+"""
+
+
 def _decontamination_surface_oracle() -> str:
+    return f"""
+SELECT d.doc_id,
+       d.n_grams, d.n_hits, d.containment, d.ngram_contaminated,
+       d.n_fp, d.n_shared_fp, d.substr_contaminated,
+       b.bloom_n_ngrams, b.bloom_n_hits, b.bloom_flagged
+FROM ({_two_screen_oracle()}) d
+JOIN ({_bloom_leg_oracle()}) b ON d.doc_id = b.doc_id
+"""
+
+
+def _two_screen_oracle() -> str:
     from terra_bonobo_nodes_spark.llm.hashing import word_shingles_sql
 
     grams = word_shingles_sql("text", 3)
@@ -1268,14 +1360,22 @@ FROM ng FULL JOIN ss ON ng.doc_id = ss.doc_id
     tags=("llm", "corpus", "dedup"),
 )
 def llm_decontamination_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both benchmark-decontamination screens at doc grain: word-
-    trigram containment (``corpus.decontaminate`` — the train/test
-    overlap sweep) AND winnowed-fingerprint exact-substring detection
-    (``corpus.decontaminate_substring`` — any shared verbatim
-    substring of >= k+window-1 normalized chars surfaces at least one
-    shared fingerprint regardless of surrounding paraphrase). Each
-    benchmark side reduces to a broadcastable set; the candidate
-    corpus never shuffles; the surface join is on the table key."""
+    """All three benchmark-decontamination screens at doc grain:
+    word-trigram containment (``corpus.decontaminate`` — the
+    train/test overlap sweep), winnowed-fingerprint exact-substring
+    detection (``corpus.decontaminate_substring`` — any shared
+    verbatim substring of >= k+window-1 normalized chars surfaces at
+    least one shared fingerprint regardless of surrounding
+    paraphrase), and Bloom-filter n-gram membership (``llm/bloom.py``
+    — the fixed-memory screen: the filter builds distributed, ships
+    as one packed plan literal, and the probe is a zero-exchange
+    zero-Python projection; widened in late r17). Each benchmark side
+    reduces to a broadcastable set; the candidate corpus never
+    shuffles; the surface joins are on the table key."""
+    from terra_bonobo_nodes_spark.llm.bloom import (
+        build_bloom_bits,
+        flag_bloom_contaminated,
+    )
     from terra_bonobo_nodes_spark.llm.corpus import (
         decontaminate,
         decontaminate_substring,
@@ -1301,7 +1401,20 @@ def llm_decontamination_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared_fp",
         F.col("contaminated").alias("substr_contaminated"),
     )
-    return ng.join(ss, "doc_id", "full")
+    # bloom leg: builds from its own bench split (the doc_id % 97
+    # slice of ALL docs) but probes the same candidate corpus as the
+    # other screens — one shared row set, NULL-free surface
+    clean = F.coalesce("text", F.lit("")).alias("text")
+    bits = build_bloom_bits(
+        docs.where(F.pmod("doc_id", F.lit(97)) == 0).select("doc_id", clean),
+        n=_BLOOM_N,
+        m_bits=_BLOOM_M,
+        k=_BLOOM_K,
+    )
+    bl = flag_bloom_contaminated(
+        cand.select("doc_id", clean), bits, n=_BLOOM_N, k=_BLOOM_K
+    ).select("doc_id", "bloom_n_ngrams", "bloom_n_hits", "bloom_flagged")
+    return ng.join(ss, "doc_id", "full").join(bl, "doc_id")
 
 
 def _incremental_oracle() -> str:
@@ -1681,6 +1794,47 @@ def llm_sample_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 # word-bigram LM cross-entropy (Wenzek et al. 2020 §3.3) on one row
 # per document. Each signal keeps its exact standalone contract
 # (integer-count probabilities, quantized DECIMAL(20,6) logs).
+# LATE r17: widened again with the absorbed llm_perplexity_buckets
+# candidate's ppl_bucket column — _PPL_LEG_SQL below is that
+# candidate's oracle text verbatim (it restates the same char-LM
+# model and takes quantile_cont tercile cutoffs over the 4-decimal-
+# quantized entropy; the quantization makes every boundary
+# comparison engine-exact — see perplexity_buckets' docstring).
+_PPL_LEG_SQL = f"""
+WITH nd AS (SELECT doc_id, {hashing.normalize_sql('text')} AS t FROM documents),
+bg AS (SELECT doc_id, substr(t, CAST(r.i AS INTEGER), 2) AS b
+       FROM nd, unnest(range(1, length(t))) AS r(i)
+       WHERE length(t) >= 2),
+mc AS (SELECT b, count(*) AS c FROM bg GROUP BY 1),
+pc AS (SELECT substr(b, 1, 1) AS c1, CAST(SUM(c) AS BIGINT) AS p FROM mc GROUP BY 1),
+model AS (
+  SELECT mc.b,
+         CAST(mc.c + 1 AS DOUBLE) / CAST(pc.p + {text.LM_ALPHABET_SIZE} AS DOUBLE)
+           AS prob
+  FROM mc JOIN pc ON substr(mc.b, 1, 1) = pc.c1),
+sc AS (SELECT bg.doc_id, CAST(ln(model.prob) AS DECIMAL(20,6)) AS lp
+       FROM bg JOIN model ON model.b = bg.b),
+agg AS (SELECT doc_id, count(*) AS m,
+               -CAST(SUM(lp) AS DOUBLE) / count(*) AS h
+        FROM sc GROUP BY 1),
+e AS (
+  SELECT d.doc_id,
+         CAST(coalesce(agg.m, 0) AS BIGINT) AS n_bigrams,
+         round(coalesce(agg.h, 0.0), 4) AS lm_entropy
+  FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id),
+c AS (
+  SELECT quantile_cont(lm_entropy, CAST(1 AS DOUBLE) / 3) AS c1,
+         quantile_cont(lm_entropy, CAST(2 AS DOUBLE) / 3) AS c2
+  FROM e WHERE n_bigrams > 0)
+SELECT doc_id, n_bigrams, lm_entropy,
+       CASE WHEN n_bigrams = 0 THEN 'empty'
+            WHEN lm_entropy <= c1 THEN 'head'
+            WHEN lm_entropy <= c2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM e CROSS JOIN c
+"""
+
+
 @register(
     "llm_lm_entropy_surface",
     oracle=f"""
@@ -1705,14 +1859,16 @@ w AS (
          round(lm_xent, 4) AS word_xent
   FROM ({lm.word_lm_xent_sql(
       "documents", "(SELECT text FROM documents WHERE lang = 'en')")})
-)
+),
+pb AS (SELECT doc_id, ppl_bucket FROM ({_PPL_LEG_SQL}))
 SELECT d.doc_id,
        CAST(coalesce(agg.m, 0) AS BIGINT) AS char_n_bigrams,
        round(coalesce(agg.h, 0.0), 4) AS char_entropy,
-       w.word_n_bigrams, w.word_xent
+       w.word_n_bigrams, w.word_xent, pb.ppl_bucket
 FROM documents d
 LEFT JOIN agg ON agg.doc_id = d.doc_id
 JOIN w ON w.doc_id = d.doc_id
+JOIN pb ON pb.doc_id = d.doc_id
 """,
     tags=("llm", "text", "quality"),
 )
@@ -1724,7 +1880,12 @@ def llm_lm_entropy_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized-log sums, identical across engines by construction. The
     word model ships as one broadcast table plus a single-row
     vocabulary scalar (the documented 1-row BNLJ — see
-    tests/test_plan_audit.CROSS_JOIN_OK)."""
+    tests/test_plan_audit.CROSS_JOIN_OK). WIDENED late r17 — the row
+    was due — with the absorbed llm_perplexity_buckets candidate's
+    distinctive output: the CCNet head/middle/tail tercile assignment
+    (``ppl_bucket``; the entropy it buckets IS this row's char leg,
+    so only the bucket column joins in — its cutoffs ship as the
+    documented second 1-row scalar)."""
     from terra_bonobo_nodes_spark.llm import lm as _lm
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1741,7 +1902,10 @@ def llm_lm_entropy_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bigrams").alias("word_n_bigrams"),
         F.round("lm_xent", 4).alias("word_xent"),
     )
-    return ch.join(wd, "doc_id")
+    pb = text.perplexity_buckets(
+        docs.select("doc_id", "text"), exact=True
+    ).select("doc_id", "ppl_bucket")
+    return ch.join(wd, "doc_id").join(pb, "doc_id")
 
 
 @register(

@@ -834,6 +834,22 @@ def register(
 # sf0.1; j1 is an r16 green due r19, so r18 must carry it in
 # _CHANGED_THIS_ROUND — it has the headroom).
 #
+# LATE-r17 QUEUE DRAIN (the anchor-leg capacity-partner route — three
+# DUE rows widened with same-grain candidates at ZERO rotation cost;
+# each re-verified hash-green at 3 SFs + oracle-parity after the
+# widening, every absorbed leg's oracle text carried verbatim):
+#   llm_decontamination_surface  + llm_bloom_decontaminate (3rd
+#     screen: Bloom n-gram membership; probe side narrowed to the
+#     shared candidate corpus so the legs keep ONE row set)
+#   llm_repetition_ratios        + llm_sentence_stats (4 sentence
+#     columns CHAINED on the same scan — zero joins added)
+#   llm_lm_entropy_surface       + llm_perplexity_buckets (the CCNet
+#     ppl_bucket tercile column; the entropy it buckets is the row's
+#     own char leg)
+# Queue after: 15 (s_document_roundtrip_surface + 14 llm rows). The
+# r18 promotion rank is unchanged (kmeans/token_budget/fuzzy/pq head
+# it); the r19 scan's pair-surface membership is unaffected.
+#
 # r19 CONSOLIDATION SCAN (pre-computed late r17; output grains
 # verified by running every named row at sf0.001 — the j2 lesson):
 #   1. llm_ann_topk_surface — llm_ivf_ann_topk + llm_lsh_ann_topk

@@ -27,7 +27,11 @@ CROSS_JOIN_OK: dict[str, str] = {
     "llm_temperature_mix_weights": "single-row (sum_n, sum_s) totals broadcast into the per-group weights",
     "llm_lsh_ann_topk": "per-table plane matrix is a broadcast single-row literal",
     "llm_cosine_topk": "broadcast query-matrix literal into mapInPandas scoring",
-    "llm_lm_entropy_surface": "single-row word-LM vocabulary scalar broadcast (documented at llm/lm.py::word_lm_xent; merged r14)",
+    "llm_lm_entropy_surface": (
+        "single-row word-LM vocabulary scalar broadcast (documented at"
+        " llm/lm.py::word_lm_xent; merged r14) + the absorbed"
+        " perplexity leg's 1-row bucket-cutoff scalar (late r17)"
+    ),
     # bbox-culled broadcast spatial joins: the bbox-overlap predicate is a
     # range condition (not equi-joinable), the layer side is dimension-sized
     # and broadcast — the GiST-index-scan shape. strategy="grid" is the
@@ -319,10 +323,9 @@ CANDIDATE_CROSS_JOIN_OK: dict[str, str] = {
         "two 1-row frames crossJoined per measured join (the sketch"
         " estimate scalar x the exact-truth scalar)"
     ),
-    "llm_perplexity_buckets": (
-        "the documented 1-row bucket-cutoff scalar BNLJ"
-        " (llm/text.py::perplexity_buckets)"
-    ),
+    # (llm_perplexity_buckets absorbed late r17 into the registered
+    # llm_lm_entropy_surface — its 1-row bucket-cutoff scalar is noted
+    # on that row's CROSS_JOIN_OK entry above)
 }
 
 
