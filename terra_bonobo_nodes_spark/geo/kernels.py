@@ -315,6 +315,10 @@ def _st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
 @pandas_udf(BooleanType())
 def _st_intersects(a: pd.Series, b: pd.Series) -> pd.Series:
     def f(x, y):
+        # NULL fast path: operators NULL-mask args for pairs the JVM
+        # bbox predicate already decided — skip the parse entirely
+        if x is None or y is None:
+            return False
         try:
             return ops.intersects(W.parse_wkb(x), W.parse_wkb(y))
         except Exception:
@@ -467,6 +471,25 @@ def _st_rect_union_area_agg(
     inputs (the clipped zones never leave the JVM as geometries; only
     4 doubles per pair cross into Arrow)."""
     return ops.rect_union_area(x0.values, y0.values, x1.values, y1.values)
+
+
+@pandas_udf(DoubleType())
+def _st_rect_union_area_lists(
+    x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series
+) -> pd.Series:
+    """SCALAR twin of :func:`_st_rect_union_area_agg` over four ARRAY
+    columns (one row per group, built by JVM ``collect_list``): the
+    same sweep kernel per row, but one Python invocation per Arrow
+    batch instead of one per GROUP — r17 measurement at sf0.1 (15k
+    groups, ~450k rects): 4.6s -> 2.6s for the identical result. The
+    sweep sorts its input internally, so the arbitrary collect_list
+    order cannot change the answer."""
+    return pd.Series(
+        [
+            ops.rect_union_area(a, b, c, d)
+            for a, b, c, d in zip(x0, y0, x1, y1)
+        ]
+    )
 
 
 # --- public column API -------------------------------------------------------
@@ -622,6 +645,13 @@ def st_union_area_agg(g) -> Column:
 def st_rect_union_area_agg(x0, y0, x1, y1) -> Column:
     """Union area of the group's axis-aligned rects (4 coord cols)."""
     return _st_rect_union_area_agg(_col(x0), _col(y0), _col(x1), _col(y1))
+
+
+def st_rect_union_area_lists(x0, y0, x1, y1) -> Column:
+    """Union area of one row's rect set given as 4 ARRAY columns —
+    the batched (one-Python-call-per-Arrow-batch) form of
+    :func:`st_rect_union_area_agg`; pair with JVM ``collect_list``."""
+    return _st_rect_union_area_lists(_col(x0), _col(y0), _col(x1), _col(y1))
 
 
 # --- SQL registration --------------------------------------------------------

@@ -175,17 +175,42 @@ def flag_bloom_contaminated(
         raise ValueError(f"k must be in [1, {_MAX_K}] (one md5 digest)")
     m_bits = len(bloom_bits) * _BITS_PER_WORD
     bits_lit = F.lit(bloom_bits)
-    grams = _probe_grams(F.col(text_col), n)
-    # transform to digests FIRST so each shingle pays exactly one md5
-    # regardless of codegen subexpression elimination
-    digests = F.transform(grams, _digest)
-    hits = F.filter(
-        digests, lambda d: _member_from_digest(d, bits_lit, m_bits, k)
+    # Each expensive array materializes in its OWN projection, and every
+    # non-cheap intermediate is referenced at least twice by its
+    # consumer, so CollapseProject cannot re-inline it (r17 measurement:
+    # the single-expression form evaluated the split(normalize(text))
+    # subtree once per array ELEMENT inside the interpreted HOF lambdas
+    # — O(|tokens|) regex chains per document — and the three output
+    # columns re-walked the whole gram->digest->member chain each;
+    # 13.9s -> 3.7s warm at sf0.1 for the identical result). Same
+    # zero-exchange zero-Python plan, one evaluation per row per stage.
+    toks = F.split(
+        hashing.normalize(F.coalesce(F.col(text_col), F.lit(""))), " "
     )
-    return corpus.withColumns(
-        {
-            f"{prefix}n_ngrams": F.size(grams).cast("long"),
-            f"{prefix}n_hits": F.size(hits).cast("long"),
-            f"{prefix}flagged": F.size(hits) > 0,
-        }
+    grams = F.filter(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("_bl_toks") - (n - 1), F.lit(1))
+            ),
+            lambda i: F.array_join(F.slice(F.col("_bl_toks"), i, n), " "),
+        ),
+        lambda g: g != F.lit(""),
+    )
+    n_hits = F.size(
+        F.filter(
+            F.transform(F.col("_bl_grams"), _digest),
+            lambda d: _member_from_digest(d, bits_lit, m_bits, k),
+        )
+    )
+    keep = [F.col(c) for c in corpus.columns]
+    return (
+        corpus.withColumn("_bl_toks", toks)
+        .withColumn("_bl_grams", grams)
+        .withColumn("_bl_nh", n_hits)
+        .select(
+            *keep,
+            F.size("_bl_grams").cast("long").alias(f"{prefix}n_ngrams"),
+            F.col("_bl_nh").cast("long").alias(f"{prefix}n_hits"),
+            (F.col("_bl_nh") > 0).alias(f"{prefix}flagged"),
+        )
     )

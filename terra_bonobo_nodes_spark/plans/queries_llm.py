@@ -26,7 +26,7 @@ from terra_bonobo_nodes_spark.llm import (
     text,
 )
 from terra_bonobo_nodes_spark.plans.registry import register
-from terra_bonobo_nodes_spark.tables import load_table
+from terra_bonobo_nodes_spark.tables import load_table, spread_small_scan
 
 # --- shared SQL fragments ---------------------------------------------------
 
@@ -338,7 +338,13 @@ FROM mh_pairs m FULL JOIN sh_pairs s
     tags=("llm", "dedup"),
 )
 def llm_hash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread the unsplittable single-row-group scan before the two
+    # explode+md5 signature chains — the leaf stages are otherwise ONE
+    # task each (r17: 8.9s -> ~5.4s bench; tables.spread_small_scan
+    # no-ops on any input already split across the cluster)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     mh = dedup.minhash_lsh_pairs(
         docs,
         "text",

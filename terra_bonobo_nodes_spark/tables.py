@@ -124,3 +124,37 @@ def load_table(
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Redistribute a too-narrow input across the session's cores
+    before expensive per-row work (Python kernels, shingle explode +
+    hash pipelines). A single-row-group parquet file — this sandbox's
+    testdata, and any unsplittable input (gzip, tiny dimension files)
+    — plans as ONE scan task no matter what
+    ``spark.sql.files.maxPartitionBytes`` says, serializing all
+    per-row compute onto one core while the rest of the cluster
+    idles; the optimization guide (§2.5) prescribes repartition-
+    after-read for exactly this. Gated: an input already split at
+    least as wide as ``defaultParallelism`` — every healthy 100 TB
+    scan — passes through untouched, so the shuffle is only paid when
+    the input is small enough for it to be cheap. Streaming inputs
+    pass through (no RDD view to inspect). Results are unaffected:
+    every downstream aggregate/join is partitioning-insensitive
+    (pinned by the shuffle-layout-invariance tests)."""
+    if df.isStreaming:
+        return df
+    # Inspect the INITIAL physical plan only (no execution): under AQE,
+    # touching ``df.rdd`` on a plan that contains an Exchange would
+    # EXECUTE the upstream query stages just to finalize the adaptive
+    # plan — measured r17: the gate itself re-ran a join once per call.
+    # A plan that already shuffles has established parallelism anyway,
+    # so only exchange-free (scan-level) inputs are candidates; on
+    # those ``.rdd`` is a lazy wrapper and getNumPartitions is free.
+    if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+        return df
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
