@@ -182,20 +182,31 @@ def _bbox_overlap(a: Column, b: Column) -> Column:
 
 _LIVE_CACHES: list[DataFrame] = []
 
+# How many spatial-join record-side caches may be live at once. >1 so a
+# MULTI-LEG query (e.g. the overlay surface: three operator calls whose
+# branches all execute inside ONE final plan) keeps every leg's prep
+# cached — with the old evict-on-next-call rule only the LAST call's
+# cache survived to execution and the earlier legs re-ran their
+# geometry-kernel prep once per branch (r17 measurement: the pairwise
+# leg spent ~2.9s with zero Python pairs, all of it duplicated
+# ArrowEvalPython prep; the before-plan holds 56 ArrowEvalPython vs 6
+# cache scans). Still bounded (ADVICE r01): a long-lived session holds
+# at most the last few record sides, each a narrow (id, struct) frame.
+_MAX_LIVE_CACHES = 6
+
 
 def _scoped_persist(df: DataFrame) -> DataFrame:
     """Persist ``df`` for the fast/slow branch reuse below, releasing
-    caches left by PREVIOUS spatial-join invocations — a long-lived
-    session holds at most the latest operator's cache instead of
-    accumulating one per call (ADVICE r01). Unpersisting a plan that was
-    never materialized is a no-op, so early release only costs a
-    recompute, never correctness."""
-    for old in _LIVE_CACHES:
+    the OLDEST caches once more than ``_MAX_LIVE_CACHES`` spatial-join
+    invocations are live (ADVICE r01: bounded, not accumulating).
+    Unpersisting a plan that was never materialized is a no-op, so
+    early release only costs a recompute, never correctness."""
+    while len(_LIVE_CACHES) >= _MAX_LIVE_CACHES:
+        old = _LIVE_CACHES.pop(0)
         try:
             old.unpersist(False)
         except Exception:
             pass
-    _LIVE_CACHES.clear()
     _LIVE_CACHES.append(df.persist())
     return df
 

@@ -941,7 +941,7 @@ def llm_host_quality_report(
         F.expr("pmod(doc_id * 13 + 5, 101)").alias("dst"),
     )
     edges = e1.union(e2)
-    seeds = spark.range(10).select(F.col("id").alias("host"))
+    seeds = spark.range(0, 10, 1, 1).select(F.col("id").alias("host"))
     # round 17: the four fixed-point chains take the driver-local fast
     # path on small graphs (bit-identical exact-integer replay; see
     # llm/graph.py) — the ~0.45s/iteration Catalyst setup was ~97% of
@@ -1910,7 +1910,7 @@ def _robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     k3 = F.pmod(F.col("id"), F.lit(3))
-    hosts = spark.range(101).select(
+    hosts = spark.range(0, 101, 1, 1).select(  # one partition — see _tile_layer
         F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example")).alias(
             "host"
         ),
@@ -3277,7 +3277,7 @@ def j2_overlay_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(ky, ky, ky + 4, ky + 4),
         ).alias("geom"),
     )
-    t = spark.range(40)
+    t = spark.range(0, 40, 1, 1)  # one partition — see _tile_layer
     x0 = (F.col("id") % 5).cast("double")
     y0 = (F.col("id") % 4).cast("double")
     tiles = t.select(

@@ -45,7 +45,11 @@ def _customer_rects(spark: SparkSession, sf_dir: str, half: float = 3.0) -> Data
 
 def _tile_layer(spark: SparkSession) -> DataFrame:
     """110 disjoint 10x10 tiles covering x in [-100,0), y in [-10,100)."""
-    t = spark.range(110)
+    # ONE partition: a dimension-sized broadcast layer planned as 32
+    # range slices turns each chained kernel into a 32-task Python
+    # stage (~1s of worker dispatch for 110 rows — r17 measurement:
+    # -0.6s/leg from this line alone)
+    t = spark.range(0, 110, 1, 1)
     x0 = ((F.col("id") % 10) * 10 - 100).cast("double")
     y0 = ((F.col("id") / 10).cast("long") * 10 - 10).cast("double")
     geom = K.st_make_polygon(
@@ -87,7 +91,7 @@ def _customer_ells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ell_tile_layer(spark: SparkSession) -> DataFrame:
     """Concave L tiles on the 10-grid: 10x5 base + 5x5 tower (area 75)."""
-    t = spark.range(110)
+    t = spark.range(0, 110, 1, 1)  # one partition — see _tile_layer
     x0 = ((F.col("id") % 10) * 10 - 100).cast("double")
     y0 = ((F.col("id") / 10).cast("long") * 10 - 10).cast("double")
     geom = K.st_make_polygon(

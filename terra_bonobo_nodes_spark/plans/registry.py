@@ -898,6 +898,19 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "llm_host_quality_report",  # llm/graph.py small-graph driver-local
     #   fast path (VERDICT_r16 item 3; r16 green, so +1 demand).
     #   llm_link_graph_rank shares the change but is r14 green/due.
+    # Optimization-phase entries (same round, after the build handoff):
+    # the j1 NULL-masked kernel args + the _st_intersects NULL fast
+    # path (commit 95e5f44) propagate through st_intersects to every
+    # spatial join consumer, and the bounded-FIFO record-side cache +
+    # single-partition tile fixtures touch the same rows
+    # (j2_overlay_surface shares the changes but is _NEW_THIS_ROUND;
+    # llm_host_quality_report is listed above). All re-verified
+    # hash-green at sf0.001/0.01/0.1 in-session before scheduling.
+    # Their +3 demand is funded by deferring the priority tail's last
+    # three NEW rows — see _DEFERRED_TO_NEXT_ROUND.
+    "j1_boolean_intersect",  # r16 green, +1 demand
+    "g9_line_clip_length",  # r15 green, +1 demand
+    "j3_intersection_geom_area",  # r15 green, +1 demand
 )
 
 # (3) first driver row this round (the ROUND-17 ledger above; the
@@ -907,14 +920,21 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "p_record_ops_surface",
     "g_scalar_geometry_surface",
     "corpus_version_diff",
-    "corpus_drift_psi",
-    "llm_novelty_scores",
-    "layout_zorder_pruning",
     "j2_overlay_surface",
 )
 
-# (4) overflow — heads the next round's queue:
-_DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = ()
+# (4) overflow — heads the next round's queue. These three moved here
+# from _NEW_THIS_ROUND when the optimization phase's three spatial
+# changed-code entries took their slots (the window closes at exactly
+# 50: 41 due + 5 changed + 4 new; these were the priority tail's last
+# deferrable rows — j2_overlay_surface cannot defer because its own
+# code carries the spatial change). Their oracles stay verified at 3
+# SFs in pytest; first driver rows land at r18's window head.
+_DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
+    "corpus_drift_psi",
+    "llm_novelty_scores",
+    "layout_zorder_pruning",
+)
 
 
 def _last_green_rounds() -> tuple[int, dict[str, tuple[int, int]]]:

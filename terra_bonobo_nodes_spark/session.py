@@ -34,7 +34,15 @@ def get_spark(app_name: str = "terra_bonobo_nodes_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Python DataSource predicate pushdown (sources/scroll.py)
         .config("spark.sql.python.filterPushdown.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[N] keeps every executor task inside the ONE driver JVM,
+        # so the heap must be sized for N concurrent tasks' execution
+        # memory plus cached/checkpointed state; 8g showed multi-second
+        # GC spikes (isolated 2.4s queries reading 5s+ mid-bench, one
+        # 45s outlier) that 16g removes (r17 A/B: headline bench total
+        # -4s on identical code). On a real cluster executor memory is
+        # provisioned per executor, not here; the env var still
+        # overrides for constrained hosts.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
