@@ -174,7 +174,14 @@ def flag_bloom_contaminated(
     if not 1 <= k <= _MAX_K:
         raise ValueError(f"k must be in [1, {_MAX_K}] (one md5 digest)")
     m_bits = len(bloom_bits) * _BITS_PER_WORD
-    bits_lit = F.lit(bloom_bits)
+    # ONE parsed expression, not F.lit(list): PySpark's lit() walks the
+    # list element-by-element over py4j (~0.7 ms each — 1.5-1.9s of
+    # driver time for the 2048-word default filter, measured r17);
+    # parsing the same CreateArray from SQL text is one round-trip
+    # (~6 ms) and constant-folds to the identical array literal.
+    bits_lit = F.expr(
+        "array(" + ",".join(f"{int(w)}L" for w in bloom_bits) + ")"
+    )
     # Each expensive array materializes in its OWN projection, and every
     # non-cheap intermediate is referenced at least twice by its
     # consumer, so CollapseProject cannot re-inline it (r17 measurement:
