@@ -48,7 +48,7 @@ from terra_bonobo_nodes_spark.plans.queries_geo import (
 )
 from terra_bonobo_nodes_spark.plans.queries_llm import TOKS_SQL
 from terra_bonobo_nodes_spark.plans.registry import register
-from terra_bonobo_nodes_spark.tables import load_table
+from terra_bonobo_nodes_spark.tables import load_table, spread_small_scan
 
 # --- llm_url_dedup_groups ---------------------------------------------------
 
@@ -176,7 +176,11 @@ def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Column expressions — zero exchanges, zero Python. Promoted round 13
     (authored+verified round 12; hypothesis-swept vs an independent
     Python reference in tests/test_gopher.py)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread the single-task scan: the rule battery is a zero-exchange
+    # projection that otherwise runs entirely on one core (guide §2.5)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     out = text.gopher_rules(docs)
     return out.select(
         "doc_id",
@@ -1261,8 +1265,12 @@ def llm_source_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from terra_bonobo_nodes_spark.llm.scrub import c4_line_filter
     from terra_bonobo_nodes_spark.llm.text import gopher_rules, tokens
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
+    # spread the single-task scan: both rule batteries + tokenization
+    # run as one projection over the raw scan (guide §2.5)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
     )
     staged = c4_line_filter(gopher_rules(docs)).withColumn(
         "_tok_raw",
@@ -2760,7 +2768,13 @@ def p_record_ops_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         map_properties,
     )
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread the unsplittable single-row-group scan: every per-row op
+    # below (md5 identifier, HOF accessibility ratio) otherwise runs
+    # on ONE task per union branch while 31 cores idle; the union's
+    # two branches and the P7 aggregate all reuse the one exchange
+    # (guide §2.5 repartition-after-read; spread_small_scan no-ops on
+    # any already-split input, so a real 100 TB scan is untouched)
+    li = spread_small_scan(load_table(spark, sf_dir, "lineitem"))
 
     # schema-contract ops on the raw table -> literal verdict columns
     p3_cols = ",".join(sorted(exclude_attributes(li, _P3_EXCLUDE).columns))

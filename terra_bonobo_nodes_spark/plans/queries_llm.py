@@ -846,6 +846,9 @@ HAVING count(*) >= {_WN_MIN_SHARED}
 def llm_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS match step: pairs sharing >= {min_shared} winnowed
     fingerprints, hot fingerprints (df > cap) dropped for skew."""
+    # NOT spread (guide §2.5 measured both ways r17): repartitioning
+    # the full text payload costs more than the saved single-core
+    # fingerprint work — the chain reaches its own exchange quickly
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return text.winnow_pairs(
         docs,
@@ -886,6 +889,8 @@ def llm_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per document. The oracle-checked form
     uses the rational idf (no transcendental) so scores are IEEE-exact
     across engines; the log-idf variant is pytest-covered."""
+    # NOT spread (measured both ways r17): the token explode reaches
+    # its groupBy exchange immediately — shuffling the text first lost
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     out = text.tfidf_topk_terms(docs, "doc_id", "text", k=_TFIDF_K, idf="raw")
     return out.withColumn("score", F.round("score", 6))
@@ -1654,7 +1659,11 @@ def llm_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's own content paragraphs (df = 1) survive and reassemble
     in order. Checks paragraph chunking, the df cut, and ordered
     reassembly byte-for-byte via the clean-text md5."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread the single-task scan: paragraph split + df-window +
+    # reassembly are per-row/per-paragraph heavy (guide §2.5)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     base = docs.select(
         "doc_id", F.concat(F.lit(_BOILER + " "), F.col("text")).alias("btext")
     )
@@ -2516,8 +2525,13 @@ def llm_quality_filter_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from terra_bonobo_nodes_spark.llm import classifier
 
     m = classifier.LogRegModel(**_QF_MODEL)
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars", "text"
+    # spread the single-task scan: the whole scoring battery is a
+    # zero-exchange projection, i.e. 100% of its work otherwise runs
+    # on one core (guide §2.5; row-wise, partitioning-insensitive)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars", "text"
+        )
     )
     feats = text.readability(docs).select(
         "doc_id",

@@ -26,7 +26,7 @@ from terra_bonobo_nodes_spark.operators.stateful import (
     upsert_last_writer_wins,
 )
 from terra_bonobo_nodes_spark.plans.registry import register
-from terra_bonobo_nodes_spark.tables import load_table
+from terra_bonobo_nodes_spark.tables import load_table, spread_small_scan
 
 
 def dsum(col: Column | str, alias: str) -> Column:
@@ -430,7 +430,9 @@ GROUP BY l_returnflag, l_linestatus
     tags=("surface", "tpch"),
 )
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread the single-task scan so the decimal partial aggregation
+    # parallelizes (guide §2.5; decimal sums are order-exact)
+    li = spread_small_scan(load_table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
     return (
