@@ -634,6 +634,72 @@ def kcore_fixed(
     ).select("node", F.coalesce("in_kcore", F.lit(False)).alias("in_kcore"))
 
 
+def link_signals_local_frame(
+    spark,
+    pairs: list[tuple],
+    node_type: T.DataType,
+    iterations: int = 5,
+    scale: int = DEFAULT_SCALE,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    seed_set: set | None = None,
+    kcore_k: int = 3,
+    kcore_iterations: int = 6,
+) -> DataFrame:
+    """All four fixed-point link signals solved driver-locally from
+    ONE collected pair list, assembled into a SINGLE
+    (node, rank, trust_rank, hub, auth, in_kcore) frame.
+
+    Optimization-only restructuring of the host-quality report's fast
+    path (r17): the per-signal ``*_fixed`` fast paths each built their
+    own ``_node_frame`` and the report then chained three node-key
+    joins of driver-local frames — four parallelize stages plus three
+    join stages per run for data that already sits in Python dicts.
+    The update rules are the EXACT same ``_pagerank_local`` /
+    ``_hits_local`` replays and the kcore peel mirrors
+    ``kcore_fixed``'s fast path verbatim, so every value is
+    bit-identical to the joined form. Row set likewise: the report
+    inner-joins through the kcore frame, whose node set (self-loops
+    dropped) is a subset of the pair node set — these rows."""
+    rank = _pagerank_local(pairs, iterations, scale, damp_num, damp_den, None)
+    trust = _pagerank_local(
+        pairs, iterations, scale, damp_num, damp_den, seed_set or set()
+    )
+    ha = _hits_local(pairs, iterations, scale)
+    live = _und_from_pairs(pairs)
+    nodes_k = {a for a, _ in live}
+    for _ in range(int(kcore_iterations)):
+        deg: dict = {}
+        for a, _ in live:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {a for a, c in deg.items() if c >= int(kcore_k)}
+        live = {(a, b) for a, b in live if a in keep and b in keep}
+    members = {a for a, _ in live}
+    rows = [
+        (
+            n,
+            int(rank[n]),
+            int(trust[n]),
+            int(ha[n][0]),
+            int(ha[n][1]),
+            n in members,
+        )
+        for n in nodes_k
+    ]
+    return _node_frame(
+        spark,
+        rows,
+        node_type,
+        [
+            ("rank", T.LongType()),
+            ("trust_rank", T.LongType()),
+            ("hub", T.LongType()),
+            ("auth", T.LongType()),
+            ("in_kcore", T.BooleanType()),
+        ],
+    )
+
+
 def kcore_fixed_ctes(
     edges_sql: str,
     k: int,
@@ -710,6 +776,29 @@ def kcore_fixed_sql(
 # typical graphs the fixpoint lands well inside the default budget.
 
 
+def _lpa_local(upairs: set, iterations: int) -> dict:
+    """Exact replay of lpa_fixed's synchronous update rule over the
+    undirected pair set (same counts, same min tie-break)."""
+    nodes = {a for a, _ in upairs}
+    labels = {n: n for n in nodes}
+    for _ in range(int(iterations)):
+        counts: dict = {n: {} for n in nodes}
+        for a, b in upairs:
+            lb = labels[b]
+            counts[a][lb] = counts[a].get(lb, 0) + 1
+        for n in nodes:
+            ln = labels[n]
+            counts[n][ln] = counts[n].get(ln, 0) + 1
+        new_labels = {}
+        for n in nodes:
+            # hoist the max: recomputing it inside the tie-break
+            # filter would make a d-degree node O(d^2)
+            mx = max(counts[n].values())
+            new_labels[n] = min(l for l, c in counts[n].items() if c == mx)
+        labels = new_labels
+    return labels
+
+
 def lpa_fixed(
     edges: DataFrame,
     src_col: str = "src",
@@ -753,25 +842,7 @@ def lpa_fixed(
         else _und_pairs_if_small(und, small_graph_pairs)
     )
     if upairs is not None:
-        nodes = {a for a, _ in upairs}
-        labels = {n: n for n in nodes}
-        for _ in range(int(iterations)):
-            counts: dict = {n: {} for n in nodes}
-            for a, b in upairs:
-                lb = labels[b]
-                counts[a][lb] = counts[a].get(lb, 0) + 1
-            for n in nodes:
-                ln = labels[n]
-                counts[n][ln] = counts[n].get(ln, 0) + 1
-            new_labels = {}
-            for n in nodes:
-                # hoist the max: recomputing it inside the tie-break
-                # filter would make a d-degree node O(d^2)
-                mx = max(counts[n].values())
-                new_labels[n] = min(
-                    l for l, c in counts[n].items() if c == mx
-                )
-            labels = new_labels
+        labels = _lpa_local(upairs, iterations)
         return _node_frame(
             edges.sparkSession,
             list(labels.items()),

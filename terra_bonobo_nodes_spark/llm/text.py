@@ -27,10 +27,19 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 
 
 def tokens(text: Column | str) -> Column:
-    """Lowercased word tokens (whitespace+punct split, empties removed)."""
-    c = F.col(text) if isinstance(text, str) else text
+    """Lowercased word tokens (whitespace+punct split, empties removed).
+
+    The str form parses ONE SQL expression instead of building the
+    HOF lambda op-by-op (~10 py4j round-trips per call, and this is
+    the most-called builder in the text battery — measured r17); both
+    forms produce the identical Catalyst tree."""
+    if isinstance(text, str):
+        return F.expr(
+            f"filter(split(lower({text}), '[^a-z0-9]+'), "
+            "t -> length(t) > 0)"
+        )
     return F.filter(
-        F.split(F.lower(c), "[^a-z0-9]+"), lambda t: F.length(t) > 0
+        F.split(F.lower(text), "[^a-z0-9]+"), lambda t: F.length(t) > 0
     )
 
 
@@ -858,24 +867,17 @@ def readability(
     (84600 * Syl) div W`` is algebraically restated below with all
     divisions as single floor divs; NULL when a document has no words.
     Pure Column expressions — no UDF, no shuffle."""
-    c = F.coalesce(F.col(text_col), F.lit(""))
-    toks = tokens(c)
-    syl = F.aggregate(
-        F.transform(
-            toks,
-            lambda t: F.greatest(
-                F.lit(1),
-                F.size(
-                    F.filter(
-                        F.split(t, "[^aeiouy]+"), lambda x: F.length(x) > 0
-                    )
-                ),
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # SQL-text expressions, not per-op Column/HOF building: the lambda
+    # builders alone cost ~0.35s of py4j round-trips per build
+    # (measured r17); the parsed text is the identical Catalyst tree.
+    c = f"coalesce({text_col}, '')"
+    toks_s = f"filter(split(lower({c}), '[^a-z0-9]+'), t -> length(t) > 0)"
+    syl = F.expr(
+        f"aggregate(transform({toks_s}, t -> greatest(1, "
+        f"size(filter(split(t, '[^aeiouy]+'), x -> length(x) > 0)))), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    n_words = F.size(toks).cast("long")
+    n_words = F.expr(f"CAST(size({toks_s}) AS BIGINT)")
     # Sentence fragments count only when they contain a character
     # outside the explicit ASCII whitespace class [ \t\n\x0B\f\r]
     # (Spark's ``trim`` strips only spaces, so "0?\n" counted 2
@@ -888,15 +890,10 @@ def readability(
     # (Java (?U)\s, RE2 \p{Z}, Python str.isspace) disagree with each
     # other at the edges, so no unicode contract can be cross-engine
     # exact; the ASCII class can, and is (pinned with a U+00A0 case).
-    n_sent = F.greatest(
-        F.lit(1),
-        F.size(
-            F.filter(
-                F.split(c, "[.!?]+"),
-                lambda s: s.rlike(r"\S"),
-            )
-        ),
-    ).cast("long")
+    n_sent = F.expr(
+        f"CAST(greatest(1, size(filter(split({c}, '[.!?]+'), "
+        "s -> s rlike '\\\\S'))) AS BIGINT)"
+    )
     flesch = F.when(
         n_words > 0,
         F.lit(206835)

@@ -176,11 +176,10 @@ def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Column expressions — zero exchanges, zero Python. Promoted round 13
     (authored+verified round 12; hypothesis-swept vs an independent
     Python reference in tests/test_gopher.py)."""
-    # spread the single-task scan: the rule battery is a zero-exchange
-    # projection that otherwise runs entirely on one core (guide §2.5)
-    docs = spread_small_scan(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    )
+    # NOT spread (measured both ways r17): the exec saving (~0.4s) did
+    # not beat the repartition cost, and the row's zero-exchange plan
+    # shape is pinned (test_plan_audit) as its 100 TB statement
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     out = text.gopher_rules(docs)
     return out.select(
         "doc_id",
@@ -945,7 +944,6 @@ def llm_host_quality_report(
         F.expr("pmod(doc_id * 13 + 5, 101)").alias("dst"),
     )
     edges = e1.union(e2)
-    seeds = spark.range(0, 10, 1, 1).select(F.col("id").alias("host"))
     # round 17: the four fixed-point chains take the driver-local fast
     # path on small graphs (bit-identical exact-integer replay; see
     # llm/graph.py) — the ~0.45s/iteration Catalyst setup was ~97% of
@@ -956,6 +954,36 @@ def llm_host_quality_report(
     # falls back to the unchanged distributed loops.
     if pairs is None:
         pairs = graph.weighted_edge_pairs_if_small(edges, threshold=_SG)
+    stats = docs.groupBy(F.expr("pmod(doc_id, 101)").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(F.coalesce("text", F.lit("")))).alias("sum_chars"),
+    )
+    if pairs is not None:
+        # all four signals from the one collected pair list, assembled
+        # as ONE driver-local frame (r17 optimization: the 4-frame /
+        # 3-join form spent ~0.6s of stage dispatch joining data that
+        # already sat in Python dicts; values + row set bit-identical
+        # — see graph.link_signals_local_frame)
+        signals = graph.link_signals_local_frame(
+            spark,
+            pairs,
+            edges.schema["src"].dataType,
+            iterations=5,
+            seed_set=set(range(10)),
+            kcore_k=3,
+            kcore_iterations=6,
+        ).withColumnRenamed("in_kcore", "in_3core")
+        return signals.join(stats, "node", "left").select(
+            F.col("node").alias("host"),
+            "rank",
+            "trust_rank",
+            "hub",
+            "auth",
+            "in_3core",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("sum_chars", F.lit(0)).cast("long").alias("sum_chars"),
+        )
+    seeds = spark.range(0, 10, 1, 1).select(F.col("id").alias("host"))
     pr = graph.pagerank_fixed(edges, iterations=5, pairs=pairs)
     tr = graph.pagerank_fixed(
         edges, iterations=5, seeds=seeds, pairs=pairs
@@ -967,10 +995,6 @@ def llm_host_quality_report(
     )
     kc = graph.kcore_fixed(edges, k=3, iterations=6, pairs=pairs).select(
         "node", F.col("in_kcore").alias("in_3core")
-    )
-    stats = docs.groupBy(F.expr("pmod(doc_id, 101)").alias("node")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.length(F.coalesce("text", F.lit("")))).alias("sum_chars"),
     )
     return (
         pr.join(tr, "node")
@@ -1832,11 +1856,33 @@ def llm_host_communities(
         F.expr("pmod(doc_id, 101)").alias("src"),
         F.expr("pmod(doc_id * 13 + 5, 101)").alias("dst"),
     )
+    edges = e1.union(e2)
+    if pairs is not None:
+        # collected-pairs fast path (r17): labels AND community sizes
+        # in Python — the same _lpa_local replay lpa_fixed runs, plus a
+        # Counter instead of a Spark window over the ~|V|-row frame
+        # (the window forced an extra exchange + sort per run). Values
+        # identical: the window counted rows per label over exactly
+        # these nodes.
+        from collections import Counter
+
+        from pyspark.sql import types as T
+
+        upairs = graph._und_from_pairs(pairs)
+        labels = graph._lpa_local(upairs, 5)
+        sizes = Counter(labels.values())
+        node_t = edges.schema["src"].dataType
+        return graph._node_frame(
+            spark,
+            [(n, lb, sizes[lb]) for n, lb in labels.items()],
+            node_t,
+            [("community", node_t), ("community_size", T.LongType())],
+        ).withColumnRenamed("node", "host")
     labels = graph.lpa_fixed(
-        e1.union(e2),
+        edges,
         iterations=5,
-        small_graph_pairs=0 if pairs is not None else _SG,
-        pairs=pairs,
+        small_graph_pairs=_SG,
+        pairs=None,
     )
     return labels.select(
         F.col("node").alias("host"),

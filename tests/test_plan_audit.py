@@ -292,7 +292,12 @@ def test_quality_filter_scoring_plans_no_python_eval(spark):
     (sigmoid of a standardized dot unrolled over feature columns) —
     pushdown- and codegen-friendly, zero Python in the plan."""
     q = all_queries()["llm_quality_filter_score"]
-    plan = q.spark_fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    df = q.spark_fn(spark, SF_DIR)
+    # execute the SAME Dataset first: the row now carries the
+    # scale-gated spread exchange (r17), so the initial AQE plan
+    # string has no finalized codegen spans until stages materialize
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
