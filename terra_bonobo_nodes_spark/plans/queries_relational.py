@@ -386,6 +386,9 @@ GROUP BY o.o_orderkey
 )
 def j5_attribute_from_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    # NOT spread (measured both ways r17, no change): the cost is the
+    # broadcast build of the per-order arrays + the per-row decimal
+    # fold, not the single-task partial aggregate
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )

@@ -38,6 +38,43 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # (`get_spark` sets nanosAsLong at session build).
 _EVENTS_SCHEMA_CACHE: dict[str, "T.StructType"] = {}
 
+# The same footer-schema memo for EVERY plain parquet table (r17): a
+# bare spark.read.parquet(path) runs eager schema inference — ~80-90ms
+# of driver/JVM work per call — and a bench pass calls load_table 60+
+# times, so inference alone cost seconds of pure plan-construction
+# time per pass. The resolved footer schema is immutable per file
+# (deterministic testdata; any real table would version its path), so
+# sniff once per path per process and pass it to read.schema(...),
+# which skips the inference. Metadata only — never rows.
+_TABLE_SCHEMA_CACHE: dict[str, "T.StructType"] = {}
+
+
+def _table_schema(spark: SparkSession, src: str):
+    schema = _TABLE_SCHEMA_CACHE.get(src)
+    if schema is None:
+        schema = spark.read.parquet(src).schema
+        _TABLE_SCHEMA_CACHE[src] = schema
+    return schema
+
+
+# Memo of the RELATION OBJECT per (live session, path) — exactly what
+# spark.table() gives a catalog table. A DataFrame is an immutable
+# logical plan; handing the same one to every query costs zero reader
+# round-trips while the scan itself still plans and executes fully on
+# every use (no rows, no results, nothing materialized — this is NOT
+# .cache()). Keyed on the JVM session object so a stopped/rebuilt
+# session can never leak a dead plan into a new one.
+_TABLE_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _read_parquet_memo(spark: SparkSession, src: str) -> DataFrame:
+    key = (id(spark._jsparkSession), src)
+    df = _TABLE_DF_CACHE.get(key)
+    if df is None:
+        df = spark.read.schema(_table_schema(spark, src)).parquet(src)
+        _TABLE_DF_CACHE[key] = df
+    return df
+
 
 def _ensure_nanos_conf(spark: SparkSession) -> None:
     # Sessions built by get_spark already carry the flag; only mutate
@@ -119,7 +156,8 @@ def load_table(
         _ensure_nanos_conf(spark)
         # Passing the memoized schema skips Spark's own footer inference.
         return normalize_events_ts(spark.read.schema(schema).parquet(src))
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    return _read_parquet_memo(spark, src)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
