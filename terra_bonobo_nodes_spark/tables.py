@@ -152,10 +152,18 @@ def load_table(
         )
     if name == "events":
         src = os.path.join(sf_dir, "events.parquet")
-        schema = events_schema(spark, src)
-        _ensure_nanos_conf(spark)
-        # Passing the memoized schema skips Spark's own footer inference.
-        return normalize_events_ts(spark.read.schema(schema).parquet(src))
+        # the ts-normalized relation rides the same per-(session, path)
+        # memo as every other table — keyed with a suffix so the raw
+        # and normalized plans can never collide
+        key = (id(spark._jsparkSession), src + "#normalized")
+        df = _TABLE_DF_CACHE.get(key)
+        if df is None:
+            schema = events_schema(spark, src)
+            _ensure_nanos_conf(spark)
+            # the memoized schema skips Spark's own footer inference
+            df = normalize_events_ts(spark.read.schema(schema).parquet(src))
+            _TABLE_DF_CACHE[key] = df
+        return df
     src = os.path.join(sf_dir, f"{name}.parquet")
     return _read_parquet_memo(spark, src)
 
