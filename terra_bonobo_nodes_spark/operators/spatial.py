@@ -192,7 +192,11 @@ _LIVE_CACHES: list[DataFrame] = []
 # ArrowEvalPython prep; the before-plan holds 56 ArrowEvalPython vs 6
 # cache scans). Still bounded (ADVICE r01): a long-lived session holds
 # at most the last few record sides, each a narrow (id, struct) frame.
-_MAX_LIVE_CACHES = 6
+# 12, not 6, since r17 also caches the LAYER side: a three-leg surface
+# (j2_overlay) holds 3 record + 3 layer caches live inside ONE plan,
+# and j1's two strategies another 2+2 — 12 keeps every live cache of
+# the widest registered query resident while staying a hard bound.
+_MAX_LIVE_CACHES = 12
 
 
 def _scoped_persist(df: DataFrame) -> DataFrame:
@@ -415,7 +419,15 @@ def boolean_intersect(
             "_rx", K.st_bbox_boxy(F.col(record_geom))
         )
     )
-    lay = layer.select(layer_geom).withColumn("_lx", K.st_bbox_boxy(F.col(layer_geom)))
+    # the LAYER side gets the same scoped cache as the record side
+    # (r17): both the candidate join's branches re-scan it, and without
+    # the persist the layer's geometry build + bbox kernel re-run once
+    # per branch — same bounded-narrow-frame rationale as rec
+    lay = _scoped_persist(
+        layer.select(layer_geom).withColumn(
+            "_lx", K.st_bbox_boxy(F.col(layer_geom))
+        )
+    )
     cand = _candidates(
         rec, lay, F.col("_rx.bbox"), F.col("_lx.bbox"), strategy, cell
     )
@@ -481,8 +493,14 @@ def intersection_percent_by_area(
     rec = _scoped_persist(
         records.select(id_col, K.st_prepare(F.col(record_geom)).alias("_rx"))
     )
-    lay = layer.select(layer_geom).withColumn(
-        "_lx", K.st_bbox_boxy(F.col(layer_geom))
+    # layer side cached too (r17): the dissolve path reads lay THREE
+    # times (routing scalar + fast/slow candidate joins) and the
+    # pairwise path twice — each read otherwise re-runs the layer's
+    # geometry build + bbox kernel (narrow frame, same FIFO bound)
+    lay = _scoped_persist(
+        layer.select(layer_geom).withColumn(
+            "_lx", K.st_bbox_boxy(F.col(layer_geom))
+        )
     )
     if dissolve:
         # Routing scalar: 1 iff EVERY layer feature is boxy (its own
