@@ -127,14 +127,20 @@ def decontaminate(
         .select("shingle")
         .distinct()
     )
-    totals = cand.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        cand.join(bench, "shingle", "left_semi")
+    # ONE pass over the candidate grams (r17 optimization): a LEFT join
+    # against the benchmark's DISTINCT gram set preserves cardinality
+    # (each cand row matches at most one bench row), so total and hit
+    # counts come out of a single aggregate — the old totals/hits twin
+    # branches re-ran the whole explode+dedup pipeline twice and paid
+    # an extra id-join to recombine. count(_hit) counts non-NULLs, so
+    # the zero-hit coalesce is free too. Row set and values identical.
+    out = (
+        cand.join(bench.withColumn("_hit", F.lit(1)), "shingle", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    out = totals.join(hits, id_col, "left").withColumn(
-        "n_hits", F.coalesce(F.col("n_hits"), F.lit(0))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_hits"),
+        )
     )
     containment = F.col("n_hits") / F.col("n_grams")
     return out.select(
@@ -253,14 +259,20 @@ def decontaminate_substring(
         .select(F.explode("_fps").alias("fp"))
         .distinct()
     )
-    totals = cand.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
-    hits = (
-        cand.join(bench, "fp", "left_semi")
+    # ONE pass over the candidate posting (r17 optimization, the
+    # decontaminate rationale): LEFT join against the DISTINCT
+    # fingerprint set preserves cardinality, so one aggregate yields
+    # both counts — the totals/hits twin branches each re-scanned the
+    # checkpointed posting and paid an id-join to recombine. The
+    # checkpoint stays: it still guards the winnow kernel against
+    # filter-pushdown re-inlining (winnow_pairs convention).
+    out = (
+        cand.join(bench.withColumn("_hit", F.lit(1)), "fp", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
-    )
-    out = totals.join(hits, id_col, "left").withColumn(
-        "n_shared_fp", F.coalesce(F.col("n_shared_fp"), F.lit(0))
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.count("_hit").alias("n_shared_fp"),
+        )
     )
     return out.select(
         id_col,

@@ -244,12 +244,6 @@ def minhash_lsh_pairs(
     right = banded.select(
         F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bh"
     )
-    pairs = (
-        left.join(right, ["band", "bh"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
-    )
     est = (
         F.size(
             F.filter(
@@ -259,9 +253,19 @@ def minhash_lsh_pairs(
         ).cast("double")
         / F.lit(float(n_hashes))
     ).alias("est_jaccard")
+    # estimate + threshold BEFORE the multi-band dedup, dedup on the
+    # narrow 3-col survivors: est is a deterministic per-pair function
+    # of the signatures (each id carries exactly one sig), so
+    # filter-then-distinct == distinct-then-filter — but the old order
+    # shuffled every candidate row with BOTH 16-long signatures aboard;
+    # this one evaluates est inside the join's codegen stage and
+    # exchanges only (id_a, id_b, est) for rows that survive the
+    # threshold.
+    pairs = left.join(right, ["band", "bh"]).where(F.col("id_a") < F.col("id_b"))
     out = pairs.select("id_a", "id_b", est)
     if min_est_jaccard > 0:
         out = out.where(F.col("est_jaccard") >= min_est_jaccard)
+    out = out.distinct()
     if with_metrics:
         return out, metrics
     return out
@@ -678,11 +682,6 @@ def minhash_lsh_match(
     cor_b, metrics = _capped(
         cor_b, ["band", "bh"], max_band_bucket, "n_capped_band_rows", with_metrics
     )
-    pairs = (
-        new_b.join(cor_b, ["band", "bh"])
-        .select("new_id", "corpus_id", "sig_n", "sig_c")
-        .distinct()
-    )
     est = (
         F.size(
             F.filter(
@@ -692,9 +691,16 @@ def minhash_lsh_match(
         ).cast("double")
         / F.lit(float(n_hashes))
     ).alias("est_jaccard")
+    # estimate + threshold before the multi-band dedup, then a narrow
+    # 3-col distinct — the minhash_lsh_pairs rationale: est is a
+    # deterministic per-pair function of the signatures, so the
+    # reorder cannot change the result set, and the exchange stops
+    # carrying both 16-long signatures for every candidate row.
+    pairs = new_b.join(cor_b, ["band", "bh"])
     out = pairs.select("new_id", "corpus_id", est)
     if min_est_jaccard > 0:
         out = out.where(F.col("est_jaccard") >= min_est_jaccard)
+    out = out.distinct()
     if with_metrics:
         return out, metrics
     return out

@@ -267,20 +267,44 @@ def hamming_pairs(
     right = blocked.select(
         F.col("_id").alias("id_b"), F.col(fp_col).alias("fp_b"), "blk", "bv"
     )
-    near = (
+    # Dedup WITHOUT a distinct: a candidate pair appears once per
+    # agreeing block (the equi-join on (blk, bv) matches exactly where
+    # the fps' block slices are equal, i.e. where the XOR's block is
+    # zero), so keeping only the FIRST agreeing block keeps exactly one
+    # row per qualifying value pair — the spatial joins' reporting-cell
+    # rule. The old .distinct() shuffled EVERY candidate row with both
+    # fingerprints (weak 4-bit blocks at bits=32 make that millions of
+    # rows) before the hamming filter ran; both the filter and the
+    # dedup are now evaluated inside the join's own codegen stage and
+    # the exchange disappears. Result set identical: the hamming
+    # predicate is per-row deterministic (filter-then-dedup ==
+    # dedup-then-filter) and ids map 1:1 to fingerprint values here
+    # (each id is the min of exactly one fingerprint group).
+    xor = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+    cand = (
         left.join(right, ["blk", "bv"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
-        .distinct()
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(
-                F.col("fp_a").bitwiseXOR(F.col("fp_b"))
-            ).alias("hamming"),
-        )
+        .withColumn("hamming", F.bit_count(xor))
         .where(F.col("hamming") <= F.lit(int(max_hamming)))
     )
+    if block_cap is None:
+        agree = F.array(
+            *[
+                F.shiftright(xor, i * block_bits).bitwiseAND(F.lit(mask))
+                == F.lit(0)
+                for i in range(n_blocks)
+            ]
+        )
+        first_agree_blk = F.array_position(agree, F.lit(True)) - 1
+        near = cand.where(F.col("blk") == first_agree_blk).select(
+            "id_a", "id_b", "hamming"
+        )
+    else:
+        # capped buckets leave the candidate set, so a pair's FIRST
+        # agreeing block may be a capped one it never joined in — the
+        # reporting-block rule would drop it. Dedup the (now filtered,
+        # narrow) survivors instead.
+        near = cand.select("id_a", "id_b", "hamming").distinct()
     return near.unionAll(exact)
 
 

@@ -386,6 +386,12 @@ GROUP BY p.event_id
 def _j1_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Point-events vs nation rectangles, shared by the broadcast and
     grid J1 registrations (one oracle, two physical strategies)."""
+    # NOT spread (guide §2.5 measured both ways, r17 second session):
+    # spreading the 100k-event scan before the point build read
+    # 2.22s min / 2.63s med vs 1.83/1.92 unspread — the extra exchange
+    # plus 32-task downstream stages across both strategies cost more
+    # than the single-task st_point+bbox prep saves (points are cheap
+    # to prepare; contrast the md5/HOF chains that do win from spread)
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_id").alias("identifier"),
         ((F.col("value") % 360) - 180).alias("x"),

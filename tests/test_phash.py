@@ -232,3 +232,42 @@ def test_fingerprints_run_over_readstream(spark, tmp_path):
     got = {r["asset_id"]: r["dhash"]
            for r in spark.sql(f"select * from {name}").collect()}
     assert got == {i: dhash_bits(p) for i, p in imgs}
+
+
+def test_hamming_pairs_emit_each_pair_exactly_once(spark):
+    """r17 optimization pin: the near branch dedups by the
+    reporting-block rule (keep a pair only in its FIRST agreeing
+    block) instead of a .distinct() over every candidate row — so a
+    pair whose fingerprints agree in SEVERAL blocks must still come
+    back exactly once, and the collected list (not a set) is how a
+    duplicate would show. bits=32 / max_hamming=7 mirrors the headline
+    simhash shape (8 four-bit blocks, the weakest blocking in use)."""
+    rnd = random.Random(11)
+
+    # simhash_col's domain: NON-NEGATIVE 32-bit values in a BIGINT
+    # (the majority sum of 1<<b terms, b < 32); hamming_pairs counts
+    # bits over the whole long, so sign-extended negatives would add
+    # 32 phantom bits — not a shape the producer emits
+    fps = [rnd.getrandbits(32) for _ in range(60)]
+    fps += [
+        fps[0] ^ 0b1,          # hamming 1: agrees in 7 of 8 blocks
+        fps[1] ^ (0b11 << 8),  # hamming 2 inside one block: 7 agree
+        fps[2] ^ 0x11010101,   # spread flips: several agreeing blocks
+    ]
+    rows = list(enumerate(fps))
+    df = spark.createDataFrame(rows, "asset_id long, dhash long")
+    out = hamming_pairs(
+        df, fp_col="dhash", bits=32, max_hamming=7, n_blocks=8
+    ).collect()
+    got = [(r["id_a"], r["id_b"]) for r in out]
+    assert len(got) == len(set(got)), "a pair was emitted more than once"
+    want = {
+        (i, j): _ham(a, b)
+        for i, a in rows
+        for j, b in rows
+        if i < j and a != b and _ham(a, b) <= 7
+    }
+    # representatives: exact-duplicate values collapse; none planted
+    assert {(r["id_a"], r["id_b"]): r["hamming"] for r in out} == want
+    # multi-block agreement really exercised (hamming 1 agrees in 7)
+    assert any(h <= 2 for h in want.values())
