@@ -130,29 +130,6 @@ def build_bloom_bits(
     return words
 
 
-def _member_from_digest(
-    dg: Column, bits_lit: Column, m_bits: int, k: int
-) -> Column:
-    """True iff all k bits for this shingle's digest are set in the
-    literal packed array (1-based element_at; mask = 2^bit exact in
-    double for bit < 32)."""
-    test = None
-    for i in range(k):
-        p = _position_from(dg, i, m_bits)
-        word = F.element_at(
-            bits_lit, F.floor(p / _BITS_PER_WORD).cast("int") + 1
-        )
-        mask = F.pow(F.lit(2.0), p % _BITS_PER_WORD).cast("bigint")
-        hit = word.bitwiseAND(mask) != 0
-        test = hit if test is None else (test & hit)
-    # explicit NULL guard (defense in depth — _probe_grams yields no
-    # NULL grams, but a caller-supplied gram column might): element_at
-    # with a NULL index does NOT reliably return NULL (observed
-    # returning the last element), so a NULL digest must fail
-    # membership outright rather than ride NULL propagation
-    return dg.isNotNull() & test
-
-
 def flag_bloom_contaminated(
     corpus: DataFrame,
     bloom_bits: list[int],
@@ -179,9 +156,7 @@ def flag_bloom_contaminated(
     # driver time for the 2048-word default filter, measured r17);
     # parsing the same CreateArray from SQL text is one round-trip
     # (~6 ms) and constant-folds to the identical array literal.
-    bits_lit = F.expr(
-        "array(" + ",".join(f"{int(w)}L" for w in bloom_bits) + ")"
-    )
+    bits_sql = "array(" + ",".join(f"{int(w)}L" for w in bloom_bits) + ")"
     # Each expensive array materializes in its OWN projection, and every
     # non-cheap intermediate is referenced at least twice by its
     # consumer, so CollapseProject cannot re-inline it (r17 measurement:
@@ -191,33 +166,50 @@ def flag_bloom_contaminated(
     # columns re-walked the whole gram->digest->member chain each;
     # 13.9s -> 3.7s warm at sf0.1 for the identical result). Same
     # zero-exchange zero-Python plan, one evaluation per row per stage.
-    toks = F.split(
-        hashing.normalize(F.coalesce(F.col(text_col), F.lit(""))), " "
+    # Every projection is parsed SQL text (late r17): the op-by-op
+    # Column build of the k-slice membership test alone cost ~0.6s of
+    # py4j round-trips per construct; the parsed form is a handful of
+    # round-trips for the identical trees.
+    toks_sql = (
+        "split(trim(regexp_replace(regexp_replace(lower("
+        f"coalesce(`{text_col}`, '')), '[^a-z0-9]+', ' '), ' +', ' ')), ' ')"
     )
-    grams = F.filter(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size("_bl_toks") - (n - 1), F.lit(1))
-            ),
-            lambda i: F.array_join(F.slice(F.col("_bl_toks"), i, n), " "),
-        ),
-        lambda g: g != F.lit(""),
+    grams_sql = (
+        f"filter(transform(sequence(1, greatest(size(_bl_toks) - {n - 1}, 1)), "
+        f"i -> array_join(slice(_bl_toks, i, {n}), ' ')), g -> g != '')"
     )
-    n_hits = F.size(
-        F.filter(
-            F.transform(F.col("_bl_grams"), _digest),
-            lambda d: _member_from_digest(d, bits_lit, m_bits, k),
+
+    def _p(i: int) -> str:
+        # digest_slice(seeded_digest) over the lambda variable d
+        return (
+            f"pmod(cast(conv(substring(d, {1 + 8 * i}, 8), 16, 10) "
+            f"as bigint), {m_bits})"
         )
+
+    hits = []
+    for i in range(k):
+        p = _p(i)
+        word = f"element_at({bits_sql}, cast(floor({p} / {_BITS_PER_WORD}) as int) + 1)"
+        mask = f"cast(pow(2.0D, {p} % {_BITS_PER_WORD}) as bigint)"
+        hits.append(f"(({word} & {mask}) != 0)")
+    # explicit NULL guard (defense in depth — _probe_grams yields no
+    # NULL grams, but a caller-supplied gram column might): element_at
+    # with a NULL index does NOT reliably return NULL, so a NULL digest
+    # must fail membership outright (the _member_from_digest contract)
+    member_sql = "(d IS NOT NULL) AND " + " AND ".join(hits)
+    n_hits_sql = (
+        f"size(filter(transform(_bl_grams, g -> md5(concat('{_SEED}-', g))), "
+        f"d -> {member_sql}))"
     )
-    keep = [F.col(c) for c in corpus.columns]
+    cols = [f"`{c}`" for c in corpus.columns]
     return (
-        corpus.withColumn("_bl_toks", toks)
-        .withColumn("_bl_grams", grams)
-        .withColumn("_bl_nh", n_hits)
-        .select(
-            *keep,
-            F.size("_bl_grams").cast("long").alias(f"{prefix}n_ngrams"),
-            F.col("_bl_nh").cast("long").alias(f"{prefix}n_hits"),
-            (F.col("_bl_nh") > 0).alias(f"{prefix}flagged"),
+        corpus.selectExpr("*", f"{toks_sql} AS _bl_toks")
+        .selectExpr("*", f"{grams_sql} AS _bl_grams")
+        .selectExpr("*", f"{n_hits_sql} AS _bl_nh")
+        .selectExpr(
+            *cols,
+            f"cast(size(_bl_grams) as long) AS `{prefix}n_ngrams`",
+            f"cast(_bl_nh as long) AS `{prefix}n_hits`",
+            f"(_bl_nh > 0) AS `{prefix}flagged`",
         )
     )

@@ -252,3 +252,14 @@ def band_hash_sql(sig_expr: str, band: int, rows_per_band: int) -> str:
     )
 
 
+def band_hash_sparksql(sig_expr: str, band: int, rows_per_band: int) -> str:
+    """Spark-SQL text form of :func:`band_hash` — same tree parsed in
+    one py4j round-trip instead of built op-by-op (the generated-
+    expression rule: ~0.3-5 ms of driver latency per Column op)."""
+    lo = band * rows_per_band + 1
+    return (
+        f"md5(array_join(transform(slice({sig_expr}, {lo}, {rows_per_band}), "
+        "x -> CAST(x AS STRING)), ','))"
+    )
+
+

@@ -237,22 +237,20 @@ def hamming_pairs(
         )
     )
     reps = groups.select(F.col("_rep").alias("_id"), fp_col)
+    # ONE parsed expression for the n_blocks generated structs: building
+    # the same tree op-by-op costs a py4j round-trip per operator
+    # (~0.3-5 ms each — the minhash_signatures rationale), ~0.5s of
+    # pure driver latency per build for the headline 8-block shape.
+    # Identical Catalyst tree and results.
+    blocks_sql = ", ".join(
+        f"struct({i} AS blk, "
+        f"(shiftright(`{fp_col}`, {i * block_bits}) & {mask}) AS bv)"
+        for i in range(n_blocks)
+    )
     blocked = reps.select(
         "_id",
         fp_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        F.shiftright(F.col(fp_col), i * block_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bv"),
-                    )
-                    for i in range(n_blocks)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(f"explode(array({blocks_sql}))").alias("bb"),
     ).select("_id", fp_col, "bb.blk", "bb.bv")
     if block_cap is not None:
         sizes = blocked.groupBy("blk", "bv").agg(
@@ -288,14 +286,15 @@ def hamming_pairs(
         .where(F.col("hamming") <= F.lit(int(max_hamming)))
     )
     if block_cap is None:
-        agree = F.array(
-            *[
-                F.shiftright(xor, i * block_bits).bitwiseAND(F.lit(mask))
-                == F.lit(0)
-                for i in range(n_blocks)
-            ]
+        # the agree-array + position scan as ONE parsed expression (the
+        # blocks_sql rationale above; identical tree and results)
+        agree_sql = ", ".join(
+            f"((shiftright(fp_a ^ fp_b, {i * block_bits}) & {mask}) = 0)"
+            for i in range(n_blocks)
         )
-        first_agree_blk = F.array_position(agree, F.lit(True)) - 1
+        first_agree_blk = F.expr(
+            f"array_position(array({agree_sql}), true) - 1"
+        )
         near = cand.where(F.col("blk") == first_agree_blk).select(
             "id_a", "id_b", "hamming"
         )

@@ -30,9 +30,24 @@ from pyspark.sql import functions as F
 _HYPERPLANE_SEED = "tbns-hyperplane-v1"
 
 
-def dot_exact(a: Column, b: Column) -> Column:
+def dot_exact_sparksql(a: str, b: str) -> str:
+    """Spark-SQL text of :func:`dot_exact` — parsed in one py4j
+    round-trip instead of built op-by-op (the generated-expression
+    rule; identical Catalyst tree)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> cast(x as double) * cast(y as double)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def dot_exact(a: Column | str, b: Column | str) -> Column:
     """Deterministic dot product of two float arrays: float64 left fold
-    (same bit pattern on every engine that folds in array order)."""
+    (same bit pattern on every engine that folds in array order).
+    String args name columns and build as ONE parsed expression —
+    the cheap form for generated/looped call sites."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_exact_sparksql(f"`{a}`", f"`{b}`"))
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -55,10 +70,13 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
     """Euclidean norm, same decimal-exact accumulation as dot_exact.
     Precomputed once per row by the join operators — cosine then costs
-    ONE dot product per pair instead of three (bit-identical result)."""
+    ONE dot product per pair instead of three (bit-identical result).
+    A string arg names a column and parses as one expression."""
+    if isinstance(a, str):
+        return F.expr(f"sqrt({dot_exact_sparksql(f'`{a}`', f'`{a}`')})")
     return F.sqrt(dot_exact(a, a))
 
 
@@ -234,22 +252,39 @@ def hyperplanes(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
     return planes
 
 
-def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+def hyperplane_signature(vec: Column | str, planes: list[list[float]]) -> Column:
     """Sign-bit signature: bit p = 1 iff vec · plane_p >= 0. Packed into
-    a bigint (n_planes <= 63)."""
-    bits = []
-    for p, plane in enumerate(planes):
-        lits = F.array(*[F.lit(w) for w in plane])
-        d = dot_exact(vec, lits)
-        bits.append(
-            F.when(d >= 0, F.lit(1 << p).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
+    a bigint (n_planes <= 63). Built as ONE parsed expression: the
+    op-by-op form walked n_planes × dim literals over py4j (~0.3-5 ms
+    each — whole tenths of a second per table build); repr() round-trips
+    every plane weight exactly, so the parsed literals are the same
+    doubles F.lit produced. Identical tree and results."""
+    v = f"`{vec}`" if isinstance(vec, str) else None
+    if v is None:
+        # Column input: no name to splice into SQL text — keep the
+        # tree-building form for external callers
+        bits = []
+        for p, plane in enumerate(planes):
+            lits = F.array(*[F.lit(w) for w in plane])
+            d = dot_exact(vec, lits)
+            bits.append(
+                F.when(d >= 0, F.lit(1 << p).cast("bigint")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
             )
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+    terms = []
+    for p, plane in enumerate(planes):
+        lits = "array(" + ", ".join(f"{w!r}D" for w in plane) + ")"
+        d = dot_exact_sparksql(v, lits)
+        terms.append(
+            f"CASE WHEN {d} >= 0 THEN CAST({1 << p} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
         )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    return F.expr(" + ".join(terms))
 
 
 def _cell_assign_udf(centroids: list[list[float]]):
@@ -390,13 +425,13 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
-        norm(F.col(vec_col)).alias("_cn"),
+        norm(vec_col).alias("_cn"),
         _cell_assign_udf(centroids)(F.col(vec_col)).alias("_cell"),
     )
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        norm(F.col(vec_col)).alias("_qn"),
+        norm(vec_col).alias("_qn"),
         F.explode(
             _probe_cells_udf(centroids, n_probe)(F.col(vec_col))
         ).alias("_cell"),
@@ -409,7 +444,7 @@ def ivf_topk(
             query_id_col,
             "neighbor_id",
             (
-                dot_exact(F.col("_qvec"), F.col("_cvec"))
+                dot_exact("_qvec", "_cvec")
                 / (F.col("_qn") * F.col("_cn"))
             ).alias("cos_sim"),
         )
@@ -452,11 +487,11 @@ def lsh_topk(
         return df.select(
             F.col(id_col).alias(idc),
             F.col(vec_col).alias(vec_alias),
-            norm(F.col(vec_col)).alias(n_alias),
+            norm(vec_col).alias(n_alias),
             F.posexplode(
                 F.array(
                     *[
-                        hyperplane_signature(F.col(vec_col), planes)
+                        hyperplane_signature(vec_col, planes)
                         for planes in tables
                     ]
                 )
@@ -475,7 +510,7 @@ def lsh_topk(
         query_id_col,
         "neighbor_id",
         (
-            dot_exact(F.col("_qvec"), F.col("_cvec"))
+            dot_exact("_qvec", "_cvec")
             / (F.col("_qn") * F.col("_cn"))
         ).alias("cos_sim"),
     )
@@ -634,9 +669,7 @@ def quantized_rerank_topk(
         nvec.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(qvec), query_id_col)
     )
-    cos = dot_exact(F.col("_qv"), F.col("_nv")) / (
-        norm(F.col("_qv")) * norm(F.col("_nv"))
-    )
+    cos = dot_exact("_qv", "_nv") / (norm("_qv") * norm("_nv"))
     wr = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )

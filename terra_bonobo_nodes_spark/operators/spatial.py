@@ -166,12 +166,24 @@ def layer_clusters_geo(
 # --- J1-J3: spatial joins ----------------------------------------------------
 
 
-def _bbox_overlap(a: Column, b: Column) -> Column:
+def _bbox_overlap(a: Column | str, b: Column | str) -> Column:
     """JVM-evaluated envelope-overlap predicate over st_bbox arrays —
     the GiST-index-scan analogue: the cross join's pairs are culled in
     whole-stage codegen and only envelope-overlapping candidates reach
     the Python geometry kernel. Null bboxes (empty/bad geometry) fail
-    the predicate, matching intersects()=False for empties."""
+    the predicate, matching intersects()=False for empties.
+
+    String args are SQL references ("_rx.bbox") and parse as ONE
+    expression — op-by-op Column building pays a py4j round-trip per
+    operator (~0.3-5 ms each), and the spatial joins build this
+    predicate several times per operator call. Identical tree."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"element_at({a}, 1) <= element_at({b}, 3) AND "
+            f"element_at({b}, 1) <= element_at({a}, 3) AND "
+            f"element_at({a}, 2) <= element_at({b}, 4) AND "
+            f"element_at({b}, 2) <= element_at({a}, 4)"
+        )
     return (
         (F.element_at(a, 1) <= F.element_at(b, 3))
         & (F.element_at(b, 1) <= F.element_at(a, 3))
@@ -327,8 +339,8 @@ def _kdb_candidates(
 def _candidates(
     rec: DataFrame,
     lay: DataFrame,
-    rec_bbox: Column,
-    lay_bbox: Column,
+    rec_bbox: Column | str,
+    lay_bbox: Column | str,
     strategy: str,
     cell: float | None,
 ) -> DataFrame:
@@ -352,38 +364,48 @@ def _candidates(
     if strategy == "broadcast":
         return rec.join(F.broadcast(lay), _bbox_overlap(rec_bbox, lay_bbox))
     if strategy == "kdb":
-        return _kdb_candidates(rec, lay, rec_bbox, lay_bbox)
+        # the kdb path keeps its Column contract (tests drive it
+        # directly); F.expr over a "_rx.bbox"-style reference is the
+        # same attribute access F.col builds
+        rb = F.expr(rec_bbox) if isinstance(rec_bbox, str) else rec_bbox
+        lb = F.expr(lay_bbox) if isinstance(lay_bbox, str) else lay_bbox
+        return _kdb_candidates(rec, lay, rb, lb)
     if strategy != "grid":
         raise ValueError(f"unknown spatial join strategy {strategy!r}")
     if cell is None or cell <= 0:
         raise ValueError("grid strategy requires a positive cell size")
-    c = F.lit(float(cell))
+    if not (isinstance(rec_bbox, str) and isinstance(lay_bbox, str)):
+        raise ValueError("grid strategy takes bbox SQL references")
+    c = float(cell)
 
-    def tiled(df: DataFrame, bbox: Column) -> DataFrame:
-        xs = F.sequence(
-            F.floor(F.element_at(bbox, 1) / c).cast("long"),
-            F.floor(F.element_at(bbox, 3) / c).cast("long"),
+    # parsed SQL text throughout (the _bbox_overlap rationale): the
+    # grid expressions below are built once per operator call and the
+    # op-by-op form cost ~0.2s of py4j latency each
+    def tiled(df: DataFrame, bbox: str) -> DataFrame:
+        gx = (
+            f"explode(sequence(cast(floor(element_at({bbox}, 1) / {c!r}D) as long), "
+            f"cast(floor(element_at({bbox}, 3) / {c!r}D) as long)))"
         )
-        ys = F.sequence(
-            F.floor(F.element_at(bbox, 2) / c).cast("long"),
-            F.floor(F.element_at(bbox, 4) / c).cast("long"),
+        gy = (
+            f"explode(sequence(cast(floor(element_at({bbox}, 2) / {c!r}D) as long), "
+            f"cast(floor(element_at({bbox}, 4) / {c!r}D) as long)))"
         )
         return (
-            df.filter(bbox.isNotNull())
-            .withColumn("_gx", F.explode(xs))
-            .withColumn("_gy", F.explode(ys))
+            df.filter(F.expr(f"{bbox} IS NOT NULL"))
+            .withColumn("_gx", F.expr(gx))
+            .withColumn("_gy", F.expr(gy))
         )
 
     joined = tiled(rec, rec_bbox).join(tiled(lay, lay_bbox), on=["_gx", "_gy"])
-    rep_x = F.floor(
-        F.greatest(F.element_at(rec_bbox, 1), F.element_at(lay_bbox, 1)) / c
-    ).cast("long")
-    rep_y = F.floor(
-        F.greatest(F.element_at(rec_bbox, 2), F.element_at(lay_bbox, 2)) / c
-    ).cast("long")
+    rep = F.expr(
+        f"_gx = cast(floor(greatest(element_at({rec_bbox}, 1), "
+        f"element_at({lay_bbox}, 1)) / {c!r}D) as long) AND "
+        f"_gy = cast(floor(greatest(element_at({rec_bbox}, 2), "
+        f"element_at({lay_bbox}, 2)) / {c!r}D) as long)"
+    )
     return (
         joined.filter(_bbox_overlap(rec_bbox, lay_bbox))
-        .filter((F.col("_gx") == rep_x) & (F.col("_gy") == rep_y))
+        .filter(rep)
         .drop("_gx", "_gy")
     )
 
@@ -429,7 +451,7 @@ def boolean_intersect(
         )
     )
     cand = _candidates(
-        rec, lay, F.col("_rx.bbox"), F.col("_lx.bbox"), strategy, cell
+        rec, lay, "_rx.bbox", "_lx.bbox", strategy, cell
     )
     both_boxy = F.col("_rx.boxy") & F.col("_lx.boxy")
     fast = cand.filter(both_boxy).select(id_col)
@@ -521,16 +543,26 @@ def intersection_percent_by_area(
         rec_flag = rec.crossJoin(F.broadcast(lab))
         rec_fast = rec_flag.filter(fastp).drop("_lab")
         rec_slow = rec_flag.filter(~fastp).drop("_lab")
-        rb, lb = F.col("_rx.bbox"), F.col("_lx.bbox")
-        zx0 = F.greatest(F.element_at(rb, 1), F.element_at(lb, 1))
-        zy0 = F.greatest(F.element_at(rb, 2), F.element_at(lb, 2))
-        zx1 = F.least(F.element_at(rb, 3), F.element_at(lb, 3))
-        zy1 = F.least(F.element_at(rb, 4), F.element_at(lb, 4))
+        # parsed SQL text (the _bbox_overlap rationale): these four
+        # corners are re-referenced by the filter and the select below,
+        # and the op-by-op build cost ~0.2s per leg
+        zx0 = F.expr(
+            "greatest(element_at(_rx.bbox, 1), element_at(_lx.bbox, 1))"
+        )
+        zy0 = F.expr(
+            "greatest(element_at(_rx.bbox, 2), element_at(_lx.bbox, 2))"
+        )
+        zx1 = F.expr(
+            "least(element_at(_rx.bbox, 3), element_at(_lx.bbox, 3))"
+        )
+        zy1 = F.expr(
+            "least(element_at(_rx.bbox, 4), element_at(_lx.bbox, 4))"
+        )
         # boxy x all-boxy: zone rect in codegen, union area by sweep —
         # no WKB reaches Python on this path
         fast_zones = (
             _candidates(
-                rec_fast, lay, F.col("_rx.bbox"), F.col("_lx.bbox"), strategy, cell
+                rec_fast, lay, "_rx.bbox", "_lx.bbox", strategy, cell
             )
             .filter((zx1 > zx0) & (zy1 > zy0))
             .select(
@@ -567,7 +599,7 @@ def intersection_percent_by_area(
         # joins back from rec below)
         slow_zones = (
             _candidates(
-                rec_slow, lay, F.col("_rx.bbox"), F.col("_lx.bbox"), strategy, cell
+                rec_slow, lay, "_rx.bbox", "_lx.bbox", strategy, cell
             )
             .filter(K.st_intersects(F.col("_rx.geom"), F.col(layer_geom)))
             .withColumn(
@@ -583,21 +615,26 @@ def intersection_percent_by_area(
         ratio = F.coalesce(F.col("_zone_area") / F.col("_ra"), F.lit(0.0))
         return joined.withColumn(out, ratio).drop("_zone_area", "_ra")
     cand = _candidates(
-        rec, lay, F.col("_rx.bbox"), F.col("_lx.bbox"), strategy, cell
+        rec, lay, "_rx.bbox", "_lx.bbox", strategy, cell
     )
     both_boxy = F.col("_rx.boxy") & F.col("_lx.boxy")
     # boxy×boxy overlap area is closed-form over the bboxes — evaluated
     # in whole-stage codegen, no Python; only curvy pairs hit the fused
     # intersection-area kernel (no exact intersects prefilter there:
-    # empty intersections add 0 to the sum)
-    rb, lb = F.col("_rx.bbox"), F.col("_lx.bbox")
-    w = F.least(F.element_at(rb, 3), F.element_at(lb, 3)) - F.greatest(
-        F.element_at(rb, 1), F.element_at(lb, 1)
+    # empty intersections add 0 to the sum). One parsed expression (the
+    # _bbox_overlap rationale); w/h re-state inline exactly as the
+    # Column form duplicated their subtrees into the when().
+    _w = (
+        "(least(element_at(_rx.bbox, 3), element_at(_lx.bbox, 3)) - "
+        "greatest(element_at(_rx.bbox, 1), element_at(_lx.bbox, 1)))"
     )
-    h = F.least(F.element_at(rb, 4), F.element_at(lb, 4)) - F.greatest(
-        F.element_at(rb, 2), F.element_at(lb, 2)
+    _h = (
+        "(least(element_at(_rx.bbox, 4), element_at(_lx.bbox, 4)) - "
+        "greatest(element_at(_rx.bbox, 2), element_at(_lx.bbox, 2)))"
     )
-    rect_area = F.when((w > 0) & (h > 0), w * h).otherwise(F.lit(0.0))
+    rect_area = F.expr(
+        f"CASE WHEN {_w} > 0 AND {_h} > 0 THEN {_w} * {_h} ELSE 0.0D END"
+    )
     fast = cand.filter(both_boxy).select(
         id_col, rect_area.alias("_ia"), F.col("_rx.area").alias("_ra")
     )
@@ -640,7 +677,7 @@ def intersection_geom(
     rec = records.select(id_col, K.st_prepare(F.col(record_geom)).alias("_rx"))
     lay = layer.select(layer_geom).withColumn("_lb", K.st_bbox(F.col(layer_geom)))
     zones = (
-        _candidates(rec, lay, F.col("_rx.bbox"), F.col("_lb"), strategy, cell)
+        _candidates(rec, lay, "_rx.bbox", "_lb", strategy, cell)
         .filter(K.st_intersects(F.col("_rx.geom"), F.col(layer_geom)))
         .withColumn("_zone", K.st_intersection(F.col("_rx.geom"), F.col(layer_geom)))
         .groupBy(id_col)

@@ -967,6 +967,28 @@ _OPT_FULL_REPLICA_SYMBOLS: tuple[str, ...] = (
     # llm/text.py — parsed-SQL builder forms, identical Catalyst trees
     "tokens",
     "readability",
+    # late-r17 optimization session: generated expression trees now
+    # parse as SQL text instead of building op-by-op over py4j —
+    # identical Catalyst trees and results, verified by a full
+    # 132/132 sf0.01 replica run + per-family 3-SF spot checks
+    # (OPTIMIZATION_r17.md "resumed session 2")
+    "_bbox_overlap",      # operators/spatial.py
+    "_candidates",
+    "intersection_percent_by_area",
+    "hamming_pairs",      # llm/phash.py
+    "_banded_explode_expr",  # llm/dedup.py
+    "_est_jaccard_expr",
+    "minhash_lsh_pairs",
+    "minhash_lsh_match",
+    "flag_bloom_contaminated",  # llm/bloom.py
+    "band_hash_sparksql",  # llm/hashing.py
+    "dot_exact",          # llm/similarity.py
+    "dot_exact_sparksql",
+    "norm",
+    "hyperplane_signature",
+    "ivf_ann_topk",
+    "lsh_ann_topk",
+    "quantized_rerank_topk",
 )
 _OPT_FULL_REPLICA_QUERIES: tuple[str, ...] = (
     # rows whose own fn source carries an optimization edit (a
