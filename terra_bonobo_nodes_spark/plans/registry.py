@@ -986,8 +986,8 @@ _OPT_FULL_REPLICA_SYMBOLS: tuple[str, ...] = (
     "dot_exact_sparksql",
     "norm",
     "hyperplane_signature",
-    "ivf_ann_topk",
-    "lsh_ann_topk",
+    "ivf_topk",
+    "lsh_topk",
     "quantized_rerank_topk",
 )
 _OPT_FULL_REPLICA_QUERIES: tuple[str, ...] = (
