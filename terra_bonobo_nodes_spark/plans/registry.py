@@ -886,55 +886,36 @@ DRIVER_CAP = 50  # rows the correctness driver records per round
 # post-artifact handoff state the next round inherits (VERDICT_r12
 # "What's wrong" #1: the r12 lists stayed active after the artifact
 # landed and over-subscribed the r13 demand computation).
-_ROTATION_ROUND = 17
+_ROTATION_ROUND = 18
 
-# (2) operator code changed since the query's last green:
-_CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "t6_isotonic_value_fit",  # oracle swapped to _ISO_ORACLE_NULLSAFE
-    #   (r15 green, so +1 demand). stream_window_agg_surface (wide
-    #   3-leg swap), llm_codec_throughput and llm_audio_spectral (KAT
-    #   oracle pins) also changed but are r14 greens — already in the
-    #   due cohort, zero extra demand.
-    "llm_host_quality_report",  # llm/graph.py small-graph driver-local
-    #   fast path (VERDICT_r16 item 3; r16 green, so +1 demand).
-    #   llm_link_graph_rank shares the change but is r14 green/due.
-    # Optimization-phase entries (same round, after the build handoff):
-    # the j1 NULL-masked kernel args + the _st_intersects NULL fast
-    # path (commit 95e5f44) propagate through st_intersects to every
-    # spatial join consumer, and the bounded-FIFO record-side cache +
-    # single-partition tile fixtures touch the same rows
-    # (j2_overlay_surface shares the changes but is _NEW_THIS_ROUND;
-    # llm_host_quality_report is listed above). All re-verified
-    # hash-green at sf0.001/0.01/0.1 in-session before scheduling.
-    # Their +3 demand is funded by deferring the priority tail's last
-    # three NEW rows — see _DEFERRED_TO_NEXT_ROUND.
-    "j1_boolean_intersect",  # r16 green, +1 demand
-    "g9_line_clip_length",  # r15 green, +1 demand
-    "j3_intersection_geom_area",  # r15 green, +1 demand
-)
+# BUDGET (r18 window, DRIVER_CAP=50, recomputed from the ACTUAL
+# artifacts at the r17 handoff): due cohort = 31 (the unrefreshed r15
+# greens) + 3 new (the r17 deferrals below take their first driver
+# rows) = 34 of 50 — 16 slots of slack for r18 changed-code entries
+# and the stalest-green tail. r18 is the second OPTIMIZATION round:
+# no registrations, no retirements (the build-phase consolidation
+# ledger above — s_document_roundtrip_surface, the r19 scan — waits
+# for the next BUILD round, as the optimization brief requires).
 
-# (3) first driver row this round (the ROUND-17 ledger above; the
-# seventh entry is the LATE-r17 early execution of r18 ledger item 2 —
-# see the addendum below the r18 plan):
+# (2) operator code changed since the query's last green: entries are
+# added in the SAME commit as the edit they schedule (the git-diff
+# derivation test flags a forgotten one), each re-verified hash-green
+# at sf0.001/0.01/0.1 in-session before landing. Rows already in the
+# r18 due cohort absorb their edits at zero extra demand.
+_CHANGED_THIS_ROUND: tuple[str, ...] = ()
+
+# (3) first driver row this round: the three rows deferred out of the
+# r17 window (oracles verified at 3 SFs in pytest since registration;
+# the driver has never recorded them — they head this window).
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    "p_record_ops_surface",
-    "g_scalar_geometry_surface",
-    "corpus_version_diff",
-    "j2_overlay_surface",
-)
-
-# (4) overflow — heads the next round's queue. These three moved here
-# from _NEW_THIS_ROUND when the optimization phase's three spatial
-# changed-code entries took their slots (the window closes at exactly
-# 50: 41 due + 5 changed + 4 new; these were the priority tail's last
-# deferrable rows — j2_overlay_surface cannot defer because its own
-# code carries the spatial change). Their oracles stay verified at 3
-# SFs in pytest; first driver rows land at r18's window head.
-_DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
     "corpus_drift_psi",
     "llm_novelty_scores",
     "layout_zorder_pruning",
 )
+
+# (4) overflow — heads the next round's queue. Empty: the r18 window
+# closes at 34-of-50 before changed-code entries, so nothing defers.
+_DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = ()
 
 # (5) r17 OPTIMIZATION-PHASE carve-out, full-replica verified. The
 # optimization rounds change shared internals — the parquet loader's
@@ -953,55 +934,14 @@ _DEFERRED_TO_NEXT_ROUND: tuple[str, ...] = (
 # below from its missing set. Build rounds keep these EMPTY — the
 # seam exists for optimization phases only, and the next build
 # round's windows re-green everything through the normal rotation.
-_OPT_FULL_REPLICA_SYMBOLS: tuple[str, ...] = (
-    # tables.py — metadata memos only (immutable footer schema, the
-    # relation object): never rows, never results
-    "load_table",
-    "_table_schema",
-    "_read_parquet_memo",
-    "_TABLE_DF_CACHE",
-    "_EVENTS_SCHEMA_CACHE",
-    "spread_small_scan",
-    # session.py — 16g local-driver-heap default (env still overrides)
-    "get_spark",
-    # llm/text.py — parsed-SQL builder forms, identical Catalyst trees
-    "tokens",
-    "readability",
-    # late-r17 optimization session: generated expression trees now
-    # parse as SQL text instead of building op-by-op over py4j —
-    # identical Catalyst trees and results, verified by a full
-    # 132/132 sf0.01 replica run + per-family 3-SF spot checks
-    # (OPTIMIZATION_r17.md "resumed session 2")
-    "_bbox_overlap",      # operators/spatial.py
-    "_candidates",
-    "intersection_percent_by_area",
-    "hamming_pairs",      # llm/phash.py
-    "_banded_explode_expr",  # llm/dedup.py
-    "_est_jaccard_expr",
-    "minhash_lsh_pairs",
-    "minhash_lsh_match",
-    "flag_bloom_contaminated",  # llm/bloom.py
-    "band_hash_sparksql",  # llm/hashing.py
-    "dot_exact",          # llm/similarity.py
-    "dot_exact_sparksql",
-    "norm",
-    "hyperplane_signature",
-    "ivf_topk",
-    "lsh_topk",
-    "quantized_rerank_topk",
-)
-_OPT_FULL_REPLICA_QUERIES: tuple[str, ...] = (
-    # rows whose own fn source carries an optimization edit (a
-    # spread_small_scan placement or a measured-and-declined note),
-    # each hash-green at sf0.001/0.01/0.1 after the edit
-    "tpch_q1_pricing_summary",
-    "j5_attribute_from_sql",
-    "llm_quality_filter_score",
-    "llm_boilerplate_removal",
-    "llm_gopher_rules",
-    "llm_source_rule_funnel",
-    "llm_tfidf_topk_terms",
-)
+# r17's entries are SPENT (CORRECTNESS_r17.json exists; the git-diff
+# derivation's base commit now postdates those edits) and were emptied
+# at the r18 handoff so a stale exemption cannot mask an r18 edit to
+# the same symbol. r18 optimization edits that touch cross-cutting
+# internals re-enter here ONLY with fresh full-replica evidence
+# recorded in OPTIMIZATION_r18.md.
+_OPT_FULL_REPLICA_SYMBOLS: tuple[str, ...] = ()
+_OPT_FULL_REPLICA_QUERIES: tuple[str, ...] = ()
 
 
 def _last_green_rounds() -> tuple[int, dict[str, tuple[int, int]]]:
