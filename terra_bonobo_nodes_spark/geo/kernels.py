@@ -15,7 +15,9 @@ from __future__ import annotations
 
 import json
 import math
+import struct
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -46,20 +48,31 @@ def _map1(series: pd.Series, fn) -> list:
 # --- constructors / accessors -----------------------------------------------
 
 
+# LE WKB headers for the vectorized batch builders below
+_PT_HEAD = struct.pack("<BI", 1, 1)  # byte order + Point type code
+
+
 @pandas_udf(BinaryType())
 def _st_point(x: pd.Series, y: pd.Series) -> pd.Series:
-    out = []
-    for xv, yv in zip(x, y):
-        if (
-            xv is None
-            or yv is None
-            or (isinstance(xv, float) and math.isnan(xv))
-            or (isinstance(yv, float) and math.isnan(yv))
-        ):
-            out.append(W.write_wkb(W.POINT_EMPTY))
-        else:
-            out.append(W.write_wkb(("Point", (float(xv), float(yv)))))
-    return pd.Series(out)
+    """Point WKB, batch-vectorized (guide §4.2): the 21-byte LE layout
+    is built as one (n, 21) uint8 matrix instead of n struct.pack
+    calls — byte-identical to write_wkb(("Point", (x, y))), with
+    None/NaN in either coordinate yielding POINT EMPTY (NaN, NaN)
+    exactly as the per-row form did."""
+    n = len(x)
+    if n == 0:
+        return pd.Series([], dtype=object)
+    xv = np.asarray(pd.to_numeric(x), dtype=np.float64)
+    yv = np.asarray(pd.to_numeric(y), dtype=np.float64)
+    bad = np.isnan(xv) | np.isnan(yv)
+    if bad.any():
+        xv = np.where(bad, np.nan, xv)
+        yv = np.where(bad, np.nan, yv)
+    coords = np.empty((n, 2), dtype="<f8")
+    coords[:, 0] = xv
+    coords[:, 1] = yv
+    blob = coords.tobytes()
+    return pd.Series([_PT_HEAD + blob[i * 16 : i * 16 + 16] for i in range(n)])
 
 
 @pandas_udf(BinaryType())
@@ -94,6 +107,44 @@ def _st_y(g: pd.Series) -> pd.Series:
         return geom[1][1]
 
     return pd.Series(_map1(g, f))
+
+
+_XY_T = StructType(
+    [StructField("x", DoubleType()), StructField("y", DoubleType())]
+)
+
+
+@pandas_udf(_XY_T)
+def _st_xy(g: pd.Series) -> pd.DataFrame:
+    """st_x + st_y in ONE parse (guide §4.1): the point's coordinate
+    pair as a struct, null fields for non-points/empties — exactly the
+    two kernels' per-field semantics. Vectorized fast path when the
+    whole batch is uniform 21-byte LE point WKB (the shape the
+    vectorized _st_point and point-column pipelines produce)."""
+    n = len(g)
+    vals = g.to_numpy()
+    uniform = n > 0 and all(
+        b is not None and len(b) == 21 and bytes(b[:5]) == _PT_HEAD for b in vals
+    )
+    if uniform:
+        blob = b"".join(bytes(b[5:]) for b in vals)
+        coords = np.frombuffer(blob, dtype="<f8").reshape(n, 2)
+        empty = np.isnan(coords[:, 0])
+        ox = coords[:, 0].astype(object)
+        oy = coords[:, 1].astype(object)
+        ox[empty] = None
+        oy[empty] = None
+        return pd.DataFrame({"x": ox, "y": oy})
+    xs_out, ys_out = [], []
+    for b in vals:
+        geom = W.parse_wkb(b)
+        if geom is None or geom[0] != "Point" or W.is_empty(geom):
+            xs_out.append(None)
+            ys_out.append(None)
+        else:
+            xs_out.append(geom[1][0])
+            ys_out.append(geom[1][1])
+    return pd.DataFrame({"x": xs_out, "y": ys_out})
 
 
 @pandas_udf(StringType())
@@ -269,6 +320,129 @@ def _st_prepare(g: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"geom": geoms, "bbox": bbs, "boxy": flags, "area": areas})
 
 
+_POLY_HEAD = struct.pack("<BI", 1, 3) + struct.pack("<I", 1)  # Polygon, 1 ring
+
+
+@pandas_udf(_PREPARE_T)
+def _st_poly_prep(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+    """``st_prepare(st_make_polygon(xs, ys))`` fused into ONE crossing
+    (guide §4.1) with a NumPy-vectorized fast path per ring-length
+    class (guide §4.2): the single-ring WKB layout, the shoelace area
+    (accumulated in the per-row term order, so bit-identical), the
+    bbox min/max and the axis-rect test all evaluate as (rows, L)
+    matrix ops. Rows the fast path cannot prove equivalent (length
+    mismatch, NaN coordinates, consecutive duplicate vertices within
+    EPS, degenerate rings) fall back to the exact per-row chain."""
+    n = len(xs)
+    geoms: list = [None] * n
+    bbs: list = [None] * n
+    flags: list = [False] * n
+    areas: list = [0.0] * n
+
+    def slow(i: int) -> None:
+        xv, yv = xs.iloc[i], ys.iloc[i]
+        # make_polygon semantics verbatim
+        if xv is None or yv is None or len(xv) < 3:
+            geom = W.POINT_EMPTY
+        else:
+            ring = [(float(a), float(b)) for a, b in zip(xv, yv)]
+            if ring[0] != ring[-1]:
+                ring.append(ring[0])
+            geom = ("Polygon", [ring])
+        # st_prepare semantics verbatim (parse(write(geom)) == geom)
+        try:
+            geom = ops.make_valid(geom)
+            bb = ops.bbox(geom) if geom is not None else None
+        except Exception:
+            geom, bb = None, None
+        if geom is None or bb is None:
+            geoms[i] = W.write_wkb(W.POINT_EMPTY if geom is None else geom)
+            return
+        geoms[i] = W.write_wkb(geom)
+        bbs[i] = list(bb)
+        flags[i] = geom[0] == "Point" or ops.as_axis_rect(geom) is not None
+        areas[i] = ops.area(geom)
+
+    # classify rows into ring-length classes for the vectorized path
+    classes: dict[tuple[int, bool], list[int]] = {}
+    ax_rows: list = [None] * n
+    ay_rows: list = [None] * n
+    xs_np = xs.to_numpy()
+    ys_np = ys.to_numpy()
+    for i in range(n):
+        xv, yv = xs_np[i], ys_np[i]
+        if xv is None or yv is None:
+            slow(i)
+            continue
+        ax = np.asarray(xv, dtype=np.float64)
+        ay = np.asarray(yv, dtype=np.float64)
+        m = ax.shape[0]
+        if m < 3 or ay.shape[0] != m:
+            slow(i)
+            continue
+        ax_rows[i] = ax
+        ay_rows[i] = ay
+        needs_close = ax[0] != ax[-1] or ay[0] != ay[-1]
+        classes.setdefault((m, needs_close), []).append(i)
+
+    for (m, needs_close), rows in classes.items():
+        idx = np.asarray(rows)
+        X = np.stack([ax_rows[i] for i in rows])
+        Y = np.stack([ay_rows[i] for i in rows])
+        if needs_close:
+            X = np.concatenate([X, X[:, :1]], axis=1)
+            Y = np.concatenate([Y, Y[:, :1]], axis=1)
+        L = X.shape[1]
+        dx = np.diff(X, axis=1)
+        dy = np.diff(Y, axis=1)
+        # rows the vectorized path must not touch: NaNs anywhere, a
+        # consecutive duplicate vertex (make_valid would drop it), or
+        # a ring too short to survive fix_ring
+        bad = (
+            np.isnan(X).any(axis=1)
+            | np.isnan(Y).any(axis=1)
+            | (np.hypot(dx, dy) <= ops.EPS).any(axis=1)
+            | (L < 4)
+        )
+        for i in idx[bad]:
+            slow(int(i))
+        if bad.all():
+            continue
+        keep = ~bad
+        Xo, Yo, io = X[keep], Y[keep], idx[keep]
+        k = Xo.shape[0]
+        # shoelace, accumulated term-by-term like _ring_area2
+        s = np.zeros(k)
+        for j in range(L - 1):
+            s += Xo[:, j] * Yo[:, j + 1] - Xo[:, j + 1] * Yo[:, j]
+        ar = np.abs(s) / 2.0
+        x0, y0 = Xo.min(axis=1), Yo.min(axis=1)
+        x1, y1 = Xo.max(axis=1), Yo.max(axis=1)
+        if L == 5:
+            # as_axis_rect vectorized: exactly 2 distinct xs and ys,
+            # every consecutive side axis-parallel (ring closure is
+            # already exact for this class)
+            nux = 1 + (np.diff(np.sort(Xo, axis=1), axis=1) != 0).sum(axis=1)
+            nuy = 1 + (np.diff(np.sort(Yo, axis=1), axis=1) != 0).sum(axis=1)
+            sides = ((dx[keep] == 0) | (dy[keep] == 0)).all(axis=1)
+            boxy_v = (nux == 2) & (nuy == 2) & sides
+        else:
+            boxy_v = np.zeros(k, dtype=bool)
+        head = _POLY_HEAD + struct.pack("<I", L)
+        coords = np.empty((k, 2 * L), dtype="<f8")
+        coords[:, 0::2] = Xo
+        coords[:, 1::2] = Yo
+        blob = coords.tobytes()
+        stride = 16 * L
+        for t in range(k):
+            i = int(io[t])
+            geoms[i] = head + blob[t * stride : (t + 1) * stride]
+            bbs[i] = [float(x0[t]), float(y0[t]), float(x1[t]), float(y1[t])]
+            flags[i] = bool(boxy_v[t])
+            areas[i] = float(ar[t])
+    return pd.DataFrame({"geom": geoms, "bbox": bbs, "boxy": flags, "area": areas})
+
+
 @pandas_udf(BinaryType())
 def _st_make_polygon(xs: pd.Series, ys: pd.Series) -> pd.Series:
     """Polygon from coordinate arrays (ring auto-closed) — the direct
@@ -384,6 +558,99 @@ def _st_simplify(g: pd.Series, tol: pd.Series) -> pd.Series:
             for b, t in zip(g, tol)
         ]
     )
+
+
+_SIMPLIFY_SUMMARY_T = StructType(
+    [
+        StructField("n_points", IntegerType()),
+        StructField("cx", DoubleType()),
+        StructField("cy", DoubleType()),
+    ]
+)
+
+# The two fused chain kernels below SPECIALIZE their scalar parameter
+# into a memoized single-argument UDF instead of passing it as a
+# literal column: Spark only evaluates a chained Python UDF in the
+# SAME ArrowEvalPython node when the outer UDF's children are exactly
+# one PythonUDF (ExtractPythonUDFs' canEvaluateInPython), so
+# f(inner_udf, lit) forces the inner UDF to materialize in its own
+# node — the exact split the fusion exists to remove.
+_SPECIALIZED_UDFS: dict = {}
+
+
+def _simplify_summary_udf(tol: float):
+    key = ("simplify_summary", tol)
+    if key in _SPECIALIZED_UDFS:
+        return _SPECIALIZED_UDFS[key]
+
+    def _summary(g: pd.Series) -> pd.DataFrame:
+        """simplify → (npoints, centroid x/y) in ONE parse and one
+        crossing — the fused form of the st_npoints(st_simplify(g)) +
+        st_x/st_y(st_centroid(st_simplify(g))) chains. Field
+        semantics match the standalone kernels (None n_points for
+        unparseable input, None coords for an empty centroid)."""
+        ns, cxs, cys = [], [], []
+        for b in g:
+            geom = W.parse_wkb(b)
+            if geom is None:
+                ns.append(None)
+                cxs.append(None)
+                cys.append(None)
+                continue
+            simp = ops.simplify(geom, tol)
+            ns.append(sum(1 for _ in ops._points(simp)))
+            c = ops.centroid(simp)
+            if c is None or c[0] != "Point" or W.is_empty(c):
+                cxs.append(None)
+                cys.append(None)
+            else:
+                cxs.append(c[1][0])
+                cys.append(c[1][1])
+        return pd.DataFrame({"n_points": ns, "cx": cxs, "cy": cys})
+
+    _summary.__name__ = f"_st_simplify_summary_{tol!r}".replace(".", "_")
+    fn = pandas_udf(_SIMPLIFY_SUMMARY_T)(_summary)
+    _SPECIALIZED_UDFS[key] = fn
+    return fn
+
+
+def _subdivide_areas_udf(max_vertices: int):
+    key = ("subdivide_areas", max_vertices)
+    if key in _SPECIALIZED_UDFS:
+        return _SPECIALIZED_UDFS[key]
+
+    def _areas(g: pd.Series) -> pd.Series:
+        """make_valid → subdivide → area-per-part in ONE crossing —
+        the fused st_area(explode(st_subdivide(st_makevalid(g))))
+        chain (three ArrowEvalPython nodes otherwise); the caller
+        explodes the AREAS array JVM-side, so no per-part WKB ever
+        crosses back. Part order and values are the recursive
+        quartering's, identical to the unfused chain (WKB round-trips
+        are exact)."""
+        return pd.Series(
+            [
+                [
+                    ops.area(p)
+                    for p in ops.subdivide(
+                        ops.make_valid(W.parse_wkb(b)), max_vertices
+                    )
+                ]
+                if b is not None
+                else []
+                for b in g
+            ]
+        )
+
+    _areas.__name__ = f"_st_subdivide_areas_{max_vertices}"
+    # non-deterministic mark (guide §4.4): posexplode over this UDF's
+    # array makes the optimizer infer a size(...) > 0 filter and push
+    # it BELOW the projection, duplicating the whole subdivide chain
+    # into a second ArrowEvalPython node (observed: every row paid the
+    # 12-gon subdivision twice). The mark stops the duplication; empty
+    # arrays still explode to zero rows without the pre-filter.
+    fn = pandas_udf(ArrayType(DoubleType()))(_areas).asNondeterministic()
+    _SPECIALIZED_UDFS[key] = fn
+    return fn
 
 
 @pandas_udf(BinaryType())
@@ -574,6 +841,34 @@ def st_prepare(g) -> Column:
     return _st_prepare(_col(g))
 
 
+def st_poly_prep(xs, ys) -> Column:
+    """``st_prepare(st_make_polygon(xs, ys))`` as ONE fused,
+    NumPy-vectorized crossing — the fast lane for synthesized
+    single-ring polygon columns feeding the spatial joins."""
+    return _st_poly_prep(_col(xs), _col(ys))
+
+
+def st_xy(g) -> Column:
+    """struct<x, y>: st_x + st_y in one parse (point geometries)."""
+    return _st_xy(_col(g))
+
+
+def st_simplify_summary(g, tolerance: float) -> Column:
+    """struct<n_points, cx, cy> of the simplified geometry — the fused
+    st_npoints/st_centroid-coordinate chain over st_simplify. The
+    tolerance specializes a memoized single-arg UDF so the whole
+    chain (including a Python-built input geometry) evaluates in ONE
+    ArrowEvalPython node."""
+    return _simplify_summary_udf(float(tolerance))(_col(g))
+
+
+def st_subdivide_areas(g, max_vertices: int = 256) -> Column:
+    """array<double> of subdivided part areas (make_valid applied
+    first) — the fused st_area-over-st_subdivide chain; max_vertices
+    specializes a memoized single-arg UDF (see st_simplify_summary)."""
+    return _subdivide_areas_udf(int(max_vertices))(_col(g))
+
+
 def st_make_polygon(xs, ys) -> Column:
     """Single-ring polygon from x/y coordinate array columns."""
     return _st_make_polygon(_col(xs), _col(ys))
@@ -676,6 +971,8 @@ _SQL_FUNCTIONS = {
     "ST_BBox": _st_bbox,
     "ST_BBox_Boxy": _st_bbox_boxy,
     "ST_Prepare": _st_prepare,
+    "ST_PolyPrep": _st_poly_prep,
+    "ST_XY": _st_xy,
     "ST_MakePolygon": _st_make_polygon,
     "ST_MakeLine": _st_make_line,
     "ST_Distance": _st_distance,

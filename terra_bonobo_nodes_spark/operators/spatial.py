@@ -436,20 +436,30 @@ def boolean_intersect(
     flag=False via left join + coalesce. ``strategy="grid"`` (with a
     ``cell`` size) switches to the big-big cell-partitioned join — use
     it when the layer is too large to broadcast."""
-    rec = _scoped_persist(
-        records.select(id_col, record_geom).withColumn(
-            "_rx", K.st_bbox_boxy(F.col(record_geom))
+    # r18: callers that already carry join-prep metadata (an `_rx`
+    # struct with bbox/boxy fields — e.g. built by the fused
+    # st_poly_prep kernel, or JVM-side for point columns whose bbox is
+    # closed-form) skip the per-row bbox kernel here entirely
+    if "_rx" in records.columns:
+        rec = _scoped_persist(records.select(id_col, record_geom, "_rx"))
+    else:
+        rec = _scoped_persist(
+            records.select(id_col, record_geom).withColumn(
+                "_rx", K.st_bbox_boxy(F.col(record_geom))
+            )
         )
-    )
     # the LAYER side gets the same scoped cache as the record side
     # (r17): both the candidate join's branches re-scan it, and without
     # the persist the layer's geometry build + bbox kernel re-run once
     # per branch — same bounded-narrow-frame rationale as rec
-    lay = _scoped_persist(
-        layer.select(layer_geom).withColumn(
-            "_lx", K.st_bbox_boxy(F.col(layer_geom))
+    if "_lx" in layer.columns:
+        lay = _scoped_persist(layer.select(layer_geom, "_lx"))
+    else:
+        lay = _scoped_persist(
+            layer.select(layer_geom).withColumn(
+                "_lx", K.st_bbox_boxy(F.col(layer_geom))
+            )
         )
-    )
     cand = _candidates(
         rec, lay, "_rx.bbox", "_lx.bbox", strategy, cell
     )
@@ -512,18 +522,27 @@ def intersection_percent_by_area(
     # per-row), bbox, boxy flag, and the area denominator; persisted
     # (scoped — released on the next spatial-join call) because the
     # fast and slow branches both scan it
-    rec = _scoped_persist(
-        records.select(id_col, K.st_prepare(F.col(record_geom)).alias("_rx"))
-    )
+    # r18: a caller-provided `_rx` struct (st_prepare's geom/bbox/boxy/
+    # area contract — the fused st_poly_prep kernel emits it in one
+    # vectorized crossing) skips the per-row prepare kernel here
+    if "_rx" in records.columns:
+        rec = _scoped_persist(records.select(id_col, "_rx"))
+    else:
+        rec = _scoped_persist(
+            records.select(id_col, K.st_prepare(F.col(record_geom)).alias("_rx"))
+        )
     # layer side cached too (r17): the dissolve path reads lay THREE
     # times (routing scalar + fast/slow candidate joins) and the
     # pairwise path twice — each read otherwise re-runs the layer's
     # geometry build + bbox kernel (narrow frame, same FIFO bound)
-    lay = _scoped_persist(
-        layer.select(layer_geom).withColumn(
-            "_lx", K.st_bbox_boxy(F.col(layer_geom))
+    if "_lx" in layer.columns:
+        lay = _scoped_persist(layer.select(layer_geom, "_lx"))
+    else:
+        lay = _scoped_persist(
+            layer.select(layer_geom).withColumn(
+                "_lx", K.st_bbox_boxy(F.col(layer_geom))
+            )
         )
-    )
     if dissolve:
         # Routing scalar: 1 iff EVERY layer feature is boxy (its own
         # bbox rect) — a lazily-computed 1-row broadcast, the
@@ -674,8 +693,17 @@ def intersection_geom(
     tiles); pass ``dissolve=True`` for an OVERLAPPING layer so shared
     regions are not double-counted downstream."""
     agg = K.st_union_agg if dissolve else K.st_collect_agg
-    rec = records.select(id_col, K.st_prepare(F.col(record_geom)).alias("_rx"))
-    lay = layer.select(layer_geom).withColumn("_lb", K.st_bbox(F.col(layer_geom)))
+    if "_rx" in records.columns:
+        rec = records.select(id_col, "_rx")
+    else:
+        rec = records.select(id_col, K.st_prepare(F.col(record_geom)).alias("_rx"))
+    if "_lx" in layer.columns:
+        # derive the bbox-only column JVM-side from caller-provided prep
+        lay = layer.select(layer_geom, F.col("_lx.bbox").alias("_lb"))
+    else:
+        lay = layer.select(layer_geom).withColumn(
+            "_lb", K.st_bbox(F.col(layer_geom))
+        )
     zones = (
         _candidates(rec, lay, "_rx.bbox", "_lb", strategy, cell)
         .filter(K.st_intersects(F.col("_rx.geom"), F.col(layer_geom)))

@@ -2956,8 +2956,6 @@ def g_scalar_geometry_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     from terra_bonobo_nodes_spark.operators.spatial import (
         attributes_to_point_geometry,
         geometry_3d_to_2d,
-        simplify_geom,
-        subdivide_geom,
     )
 
     supp = load_table(spark, sf_dir, "supplier").select(
@@ -2993,18 +2991,23 @@ def g_scalar_geometry_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sp * 3 / 4).cast("string"), F.lit(" 0.4, "),
         sp.cast("string"), F.lit(" 0)"),
     )
-    lines = flat.withColumn("span", span).withColumn(
-        "g6geom", K.st_geomfromtext(wkt)
-    )
-    simp = simplify_geom(lines, tolerance=0.5, geom_in="g6geom")
-    scalars = simp.select(
+    lines = flat.withColumn("span", span)
+    # r18 fusion: st_x/st_y pairs share one parse (st_xy), and the g6
+    # simplify -> npoints/centroid chain collapses into ONE kernel
+    # (st_simplify_summary) — with no shared Python intermediate left,
+    # the whole scalar branch extracts as a single ArrowEvalPython
+    # node instead of two (the simplified-WKB column forced a split)
+    g2 = K.st_xy("geom")
+    g5 = K.st_xy("g5geom")
+    g6 = K.st_simplify_summary(K.st_geomfromtext(wkt), 0.5)
+    scalars = lines.select(
         "s_suppkey",
-        K.st_x("geom").alias("g2_px"),
-        K.st_y("geom").alias("g2_py"),
-        K.st_x("g5geom").alias("g5_fx"),
-        K.st_y("g5geom").alias("g5_fy"),
-        K.st_npoints("g6geom").cast("int").alias("g6_n_points"),
-        (K.st_x(K.st_centroid("g6geom")) * 2).alias("g6_span"),
+        g2["x"].alias("g2_px"),
+        g2["y"].alias("g2_py"),
+        g5["x"].alias("g5_fx"),
+        g5["y"].alias("g5_fy"),
+        g6["n_points"].cast("int").alias("g6_n_points"),
+        (g6["cx"] * 2).alias("g6_span"),
     )
 
     # G8: 12-gon of radius r, subdivided; child areas sum to 3 r^2
@@ -3021,8 +3024,20 @@ def g_scalar_geometry_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         if k < 12:
             pieces.append(F.lit(", "))
     poly_wkt = F.concat(*pieces, F.lit("))"))
-    polys = g8.withColumn("geom", K.st_geomfromtext(poly_wkt))
-    parts = subdivide_geom(polys, max_vertices=8)
+    # r18 fusion: parse -> make_valid -> subdivide -> per-part area in
+    # ONE crossing (st_subdivide_areas); the explode + child-id round
+    # trip and the decimal sum stay verbatim JVM-side, so the grouped
+    # arithmetic (and the hash) is unchanged — but no per-part WKB
+    # crosses back and three ArrowEvalPython nodes disappear
+    polys = g8.withColumn(
+        "areas",
+        K.st_subdivide_areas(K.st_geomfromtext(poly_wkt), max_vertices=8),
+    )
+    parts = polys.select(
+        "identifier", F.posexplode("areas").alias("_pos", "part_area")
+    ).withColumn(
+        "identifier", F.concat_ws("-", F.col("identifier"), F.col("_pos"))
+    )
     areas = (
         parts.withColumn(
             "identifier", F.substring_index(F.col("identifier"), "-", 1)
@@ -3030,7 +3045,7 @@ def g_scalar_geometry_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("identifier")
         .agg(
             F.round(
-                F.sum(K.st_area("geom").cast("decimal(20,12)")).cast("double"),
+                F.sum(F.col("part_area").cast("decimal(20,12)")).cast("double"),
                 6,
             ).alias("g8_total_area")
         )
@@ -3330,22 +3345,24 @@ def j2_overlay_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") % 5).cast("double").alias("ky"),
     )
     kx, ky = F.col("kx"), F.col("ky")
+    # fused vectorized prep (r18) — see _customer_rects
+    rpp = K.st_poly_prep(
+        F.array(kx, kx + 4, kx + 4, kx),
+        F.array(ky, ky, ky + 4, ky + 4),
+    )
     records = cust.select(
         F.col("c_custkey").alias("identifier"),
-        K.st_make_polygon(
-            F.array(kx, kx + 4, kx + 4, kx),
-            F.array(ky, ky, ky + 4, ky + 4),
-        ).alias("geom"),
+        rpp["geom"].alias("geom"),
+        rpp.alias("_rx"),
     )
     t = spark.range(0, 40, 1, 1)  # one partition — see _tile_layer
     x0 = (F.col("id") % 5).cast("double")
     y0 = (F.col("id") % 4).cast("double")
-    tiles = t.select(
-        K.st_make_polygon(
-            F.array(x0, x0 + 4, x0 + 4, x0),
-            F.array(y0, y0, y0 + 4, y0 + 4),
-        ).alias("layer_geom")
+    tpp = K.st_poly_prep(
+        F.array(x0, x0 + 4, x0 + 4, x0),
+        F.array(y0, y0, y0 + 4, y0 + 4),
     )
+    tiles = t.select(tpp["geom"].alias("layer_geom"), tpp.alias("_lx"))
     dissolve = leg(
         intersection_percent_by_area(records, tiles, dissolve=True), "dissolve"
     )

@@ -36,11 +36,19 @@ def _customer_rects(spark: SparkSession, sf_dir: str, half: float = 3.0) -> Data
     )
     h = F.lit(half)
     cx, cy = F.col("cx"), F.col("cy")
-    geom = K.st_make_polygon(
+    # ONE fused, vectorized crossing (r18): geometry + the spatial
+    # joins' prep metadata (`_rx` = st_prepare's struct) in a single
+    # st_poly_prep kernel — the operators detect `_rx` and skip their
+    # own per-row prepare pass
+    pp = K.st_poly_prep(
         F.array(cx - h, cx + h, cx + h, cx - h),
         F.array(cy - h, cy - h, cy + h, cy + h),
     )
-    return cust.select(F.col("c_custkey").alias("identifier"), geom.alias("geom"))
+    return cust.select(
+        F.col("c_custkey").alias("identifier"),
+        pp["geom"].alias("geom"),
+        pp.alias("_rx"),
+    )
 
 
 def _tile_layer(spark: SparkSession) -> DataFrame:
@@ -52,11 +60,11 @@ def _tile_layer(spark: SparkSession) -> DataFrame:
     t = spark.range(0, 110, 1, 1)
     x0 = ((F.col("id") % 10) * 10 - 100).cast("double")
     y0 = ((F.col("id") / 10).cast("long") * 10 - 10).cast("double")
-    geom = K.st_make_polygon(
+    pp = K.st_poly_prep(
         F.array(x0, x0 + 10, x0 + 10, x0),
         F.array(y0, y0, y0 + 10, y0 + 10),
     )
-    return t.select(geom.alias("layer_geom"))
+    return t.select(pp["geom"].alias("layer_geom"), pp.alias("_lx"))
 
 
 TILES_SQL = """
@@ -82,11 +90,15 @@ def _customer_ells(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") % 100).cast("double").alias("cy"),
     )
     cx, cy = F.col("cx"), F.col("cy")
-    geom = K.st_make_polygon(
+    pp = K.st_poly_prep(
         F.array(cx, cx + 4, cx + 4, cx + 2, cx + 2, cx),
         F.array(cy, cy, cy + 2, cy + 2, cy + 4, cy + 4),
     )
-    return cust.select(F.col("c_custkey").alias("identifier"), geom.alias("geom"))
+    return cust.select(
+        F.col("c_custkey").alias("identifier"),
+        pp["geom"].alias("geom"),
+        pp.alias("_rx"),
+    )
 
 
 def _ell_tile_layer(spark: SparkSession) -> DataFrame:
@@ -94,11 +106,11 @@ def _ell_tile_layer(spark: SparkSession) -> DataFrame:
     t = spark.range(0, 110, 1, 1)  # one partition — see _tile_layer
     x0 = ((F.col("id") % 10) * 10 - 100).cast("double")
     y0 = ((F.col("id") / 10).cast("long") * 10 - 10).cast("double")
-    geom = K.st_make_polygon(
+    pp = K.st_poly_prep(
         F.array(x0, x0 + 10, x0 + 10, x0 + 5, x0 + 5, x0),
         F.array(y0, y0, y0 + 5, y0 + 5, y0 + 10, y0 + 10),
     )
-    return t.select(geom.alias("layer_geom"))
+    return t.select(pp["geom"].alias("layer_geom"), pp.alias("_lx"))
 
 
 ELLS_SQL = """
@@ -397,21 +409,34 @@ def _j1_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         ((F.col("value") % 360) - 180).alias("x"),
         ((F.col("value") % 170) - 85).alias("y"),
     )
-    pts = ev.withColumn("geom", K.st_point("x", "y"))
+    # r18: a point's join-prep metadata is closed-form — bbox is
+    # [x, y, x, y] and points are always boxy — so `_rx` builds in
+    # whole-stage codegen and NO WKB parse happens for it; the geom
+    # column (the slow branch's kernel arg) stays the vectorized
+    # st_point. The operators detect `_rx`/`_lx` and skip their
+    # per-row st_bbox_boxy pass (r17: that pass was ~1s of the row).
+    pts = ev.withColumn("geom", K.st_point("x", "y")).withColumn(
+        "_rx",
+        F.expr(
+            "CASE WHEN x IS NULL OR y IS NULL OR isnan(x) OR isnan(y)"
+            " THEN named_struct('bbox', CAST(NULL AS ARRAY<DOUBLE>),"
+            "                   'boxy', false)"
+            " ELSE named_struct('bbox', array(x, y, x, y), 'boxy', true)"
+            " END"
+        ),
+    )
     nation = load_table(spark, sf_dir, "nation").select(
         ((F.col("n_nationkey") * 12).cast("double") - 160).alias("x0"),
         (((F.col("n_nationkey") % 5) * 30).cast("double") - 75).alias("y0"),
     )
-    wkt = F.concat(
-        F.lit("POLYGON (("),
-        F.col("x0").cast("string"), F.lit(" "), F.col("y0").cast("string"), F.lit(", "),
-        (F.col("x0") + 10).cast("string"), F.lit(" "), F.col("y0").cast("string"), F.lit(", "),
-        (F.col("x0") + 10).cast("string"), F.lit(" "), (F.col("y0") + 20).cast("string"), F.lit(", "),
-        F.col("x0").cast("string"), F.lit(" "), (F.col("y0") + 20).cast("string"), F.lit(", "),
-        F.col("x0").cast("string"), F.lit(" "), F.col("y0").cast("string"),
-        F.lit("))"),
+    # same rectangle ring the WKT text built (float->string->float
+    # round-trips are exact), one fused vectorized crossing + `_lx`
+    x0, y0 = F.col("x0"), F.col("y0")
+    pp = K.st_poly_prep(
+        F.array(x0, x0 + 10, x0 + 10, x0),
+        F.array(y0, y0, y0 + 20, y0 + 20),
     )
-    layer = nation.select(K.st_geomfromtext(wkt).alias("layer_geom"))
+    layer = nation.select(pp["geom"].alias("layer_geom"), pp.alias("_lx"))
     return pts, layer
 
 

@@ -902,7 +902,24 @@ _ROTATION_ROUND = 18
 # derivation test flags a forgotten one), each re-verified hash-green
 # at sf0.001/0.01/0.1 in-session before landing. Rows already in the
 # r18 due cohort absorb their edits at zero extra demand.
-_CHANGED_THIS_ROUND: tuple[str, ...] = ()
+_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    # r18 geometry kernel fusion (geo/kernels.py vectorized st_point +
+    # fused st_poly_prep/st_xy/specialized chain kernels;
+    # operators/spatial.py _rx/_lx reuse; fixture call sites): the
+    # affected rows not already due. Each hash-green at 3 SFs after
+    # the edit; the full 132/132 sf0.01 replica re-run on the same
+    # tree (pipeline_es_indexing is r15-green due — zero extra
+    # demand). Budget: 31 due + 3 new + 9 changed = 43 of 50.
+    "j1_boolean_intersect",
+    "j2_overlay_surface",
+    "g_scalar_geometry_surface",
+    "g9_line_clip_length",
+    "j3_intersection_geom_area",
+    "a2_union_on_property_centroid",
+    "a4_sql_text_cluster",
+    "g7_transform_surface",
+    "pipeline_file_import",
+)
 
 # (3) first driver row this round: the three rows deferred out of the
 # r17 window (oracles verified at 3 SFs in pytest since registration;
