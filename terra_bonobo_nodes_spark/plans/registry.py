@@ -919,6 +919,10 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "a4_sql_text_cluster",
     "g7_transform_surface",
     "pipeline_file_import",
+    # r18 bloom.py: plan-keyed packed-filter memo (VERDICT_r17 item 4),
+    # reserved-column guard + identifier escaping (ADVICE r17). Bits
+    # byte-identical; hash-green at 3 SFs. +1 demand (r17 green).
+    "llm_decontamination_surface",
 )
 
 # (3) first driver row this round: the three rows deferred out of the

@@ -177,3 +177,42 @@ def test_build_tolerates_null_text_rows(spark):
     assert build_bloom_bits(noisy, n=N, m_bits=M, k=K) == build_bloom_bits(
         clean, n=N, m_bits=M, k=K
     )
+
+
+def test_build_memoizes_per_session_and_plan(spark):
+    """r18: identical benchmark plans in one session reuse the packed
+    filter (plan-keyed construction memo — never query results); a
+    semantically different plan gets its own build."""
+    from terra_bonobo_nodes_spark.llm import bloom as B
+
+    bench = spark.createDataFrame(
+        [(0, BENCH_TEXTS[0]), (1, BENCH_TEXTS[1])], "doc_id long, text string"
+    )
+    B._BLOOM_BITS_MEMO.clear()
+    first = build_bloom_bits(bench, n=N, m_bits=M, k=K)
+    assert len(B._BLOOM_BITS_MEMO) == 1
+    again = build_bloom_bits(
+        spark.createDataFrame(
+            [(0, BENCH_TEXTS[0]), (1, BENCH_TEXTS[1])], "doc_id long, text string"
+        ),
+        n=N,
+        m_bits=M,
+        k=K,
+    )
+    assert again == first
+    other = build_bloom_bits(bench.where("doc_id = 0"), n=N, m_bits=M, k=K)
+    assert len(B._BLOOM_BITS_MEMO) == 3 or other != first  # new plan, new entry
+    assert other != first  # the filtered bench really rebuilt
+
+
+def test_probe_rejects_reserved_working_columns(spark):
+    """ADVICE r17: a corpus already carrying _bl_* would produce an
+    ambiguous duplicate through the chained selectExpr('*', ...) —
+    fail loudly instead."""
+    bench = spark.createDataFrame([(0, BENCH_TEXTS[0])], "doc_id long, text string")
+    bits = build_bloom_bits(bench, n=N, m_bits=M, k=K)
+    corpus = spark.createDataFrame(
+        [(0, "some text", [])], "doc_id long, text string, _bl_grams array<string>"
+    )
+    with pytest.raises(ValueError, match="_bl_grams"):
+        flag_bloom_contaminated(corpus, bits, n=N, k=K)
