@@ -124,21 +124,19 @@ def probe_scan_counts(
     is the correct plan at any corpus size."""
     if not probes:
         raise ValueError("probes must be non-empty")
-    probe_rows = F.array(
-        *[
-            F.struct(
-                F.lit(int(p)).alias("probe_id"),
-                F.lit(int(xl)).alias("x_lo"),
-                F.lit(int(xh)).alias("x_hi"),
-                F.lit(int(yl)).alias("y_lo"),
-                F.lit(int(yh)).alias("y_hi"),
-            )
-            for p, xl, xh, yl, yh in probes
-        ]
-    )
+    # ONE parsed expression, not array(struct(lit...)) per probe: the
+    # op-by-op Column build pays a py4j round-trip per operator (~11
+    # per probe row, twice per zorder query build — the r17 generated-
+    # literal rule); the parsed named_struct array folds to the
+    # identical literal rows
+    rows_sql = "array(" + ",".join(
+        f"named_struct('probe_id',{int(p)},'x_lo',{int(xl)},"
+        f"'x_hi',{int(xh)},'y_lo',{int(yl)},'y_hi',{int(yh)})"
+        for p, xl, xh, yl, yh in probes
+    ) + ")"
     pdf = (
         zones.sparkSession.range(1)
-        .select(F.explode(probe_rows).alias("p"))
+        .select(F.explode(F.expr(rows_sql)).alias("p"))
         .select("p.*")
     )
     overlaps = (

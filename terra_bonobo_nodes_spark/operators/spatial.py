@@ -375,7 +375,22 @@ def _candidates(
     if cell is None or cell <= 0:
         raise ValueError("grid strategy requires a positive cell size")
     if not (isinstance(rec_bbox, str) and isinstance(lay_bbox, str)):
-        raise ValueError("grid strategy takes bbox SQL references")
+        # Column args keep the grid contract too (ADVICE r17: the r17
+        # SQL-text fast path silently narrowed a previously
+        # Column-typed parameter while broadcast/kdb still accepted
+        # Columns). Route through the same SQL text by aliasing the
+        # Column to a working bbox column on each side — identical
+        # grid algebra, one extra pruned projection.
+        rec2 = rec.withColumn(
+            "_cand_rb",
+            F.expr(rec_bbox) if isinstance(rec_bbox, str) else rec_bbox,
+        )
+        lay2 = lay.withColumn(
+            "_cand_lb",
+            F.expr(lay_bbox) if isinstance(lay_bbox, str) else lay_bbox,
+        )
+        out = _candidates(rec2, lay2, "_cand_rb", "_cand_lb", strategy, cell)
+        return out.drop("_cand_rb", "_cand_lb")
     c = float(cell)
 
     # parsed SQL text throughout (the _bbox_overlap rationale): the

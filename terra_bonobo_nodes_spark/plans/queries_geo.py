@@ -322,11 +322,13 @@ def a2_union_on_property_centroid(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     pts = ev.withColumn("geom", K.st_point("x", "y"))
     unions = union_on_property(pts, "event_type")
+    # fused centroid coordinates (r18): one centroid parse, not two
+    cxy = K.st_xy(K.st_centroid("geom"))
     return unions.select(
         "event_type",
         K.st_npoints("geom").cast("long").alias("n_geoms"),
-        F.round(K.st_x(K.st_centroid("geom")), 6).alias("ux"),
-        F.round(K.st_y(K.st_centroid("geom")), 6).alias("uy"),
+        F.round(cxy["x"], 6).alias("ux"),
+        F.round(cxy["y"], 6).alias("uy"),
     )
 
 
@@ -760,17 +762,21 @@ def g7_transform_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
                 geom_in=f"{fam}_geom", geom_out=f"{fam}_back",
             )
 
+    # fused coordinate reads (r18): st_xy = one parse per geometry
+    # where st_x + st_y paid two
     def _rt_err(fam: str):
+        xy = K.st_xy(f"{fam}_back")
         return F.greatest(
-            F.abs(K.st_x(f"{fam}_back") - F.col(f"{fam}_lon")),
-            F.abs(K.st_y(f"{fam}_back") - F.col(f"{fam}_lat")),
+            F.abs(xy["x"] - F.col(f"{fam}_lon")),
+            F.abs(xy["y"] - F.col(f"{fam}_lat")),
         )
 
     # polar longitude closure is modulo 360 (the inverse returns
     # (-180, 180]: lon = -180 legitimately comes back as +180)
+    p_xy = K.st_xy("p_back")
     p_rt_err = F.greatest(
-        F.abs(F.pmod(K.st_x("p_back") - F.col("p_lon") + 180.0, 360.0) - 180.0),
-        F.abs(K.st_y("p_back") - F.col("p_lat")),
+        F.abs(F.pmod(p_xy["x"] - F.col("p_lon") + 180.0, 360.0) - 180.0),
+        F.abs(p_xy["y"] - F.col("p_lat")),
     )
     rt_ok = (
         (_rt_err("l") < 1e-9) & (_rt_err("u") < 1e-9) & (_rt_err("a") < 1e-9)
@@ -783,18 +789,19 @@ def g7_transform_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3 of 100K rows (equator-adjacent latitudes sf0.01 never hits),
     # so all five families normalize on both sides now.
     z = F.lit(0.0)
+    fxy = {fam: K.st_xy(f"{fam}_geom") for fam in "mluap"}
     return df.select(
         "event_id",
-        (F.round(K.st_x("m_geom"), 4) + z).alias("mx"),
-        (F.round(K.st_y("m_geom"), 4) + z).alias("my"),
-        (F.round(K.st_x("l_geom"), 4) + z).alias("lx"),
-        (F.round(K.st_y("l_geom"), 4) + z).alias("ly"),
-        (F.round(K.st_x("u_geom"), 4) + z).alias("ux"),
-        (F.round(K.st_y("u_geom"), 4) + z).alias("uy"),
-        (F.round(K.st_x("a_geom"), 4) + z).alias("ax"),
-        (F.round(K.st_y("a_geom"), 4) + z).alias("ay"),
-        (F.round(K.st_x("p_geom"), 4) + z).alias("px"),
-        (F.round(K.st_y("p_geom"), 4) + z).alias("py"),
+        (F.round(fxy["m"]["x"], 4) + z).alias("mx"),
+        (F.round(fxy["m"]["y"], 4) + z).alias("my"),
+        (F.round(fxy["l"]["x"], 4) + z).alias("lx"),
+        (F.round(fxy["l"]["y"], 4) + z).alias("ly"),
+        (F.round(fxy["u"]["x"], 4) + z).alias("ux"),
+        (F.round(fxy["u"]["y"], 4) + z).alias("uy"),
+        (F.round(fxy["a"]["x"], 4) + z).alias("ax"),
+        (F.round(fxy["a"]["y"], 4) + z).alias("ay"),
+        (F.round(fxy["p"]["x"], 4) + z).alias("px"),
+        (F.round(fxy["p"]["y"], 4) + z).alias("py"),
         rt_ok.alias("rt_ok"),
     )
 

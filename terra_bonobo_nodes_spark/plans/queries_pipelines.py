@@ -104,11 +104,13 @@ def pipeline_file_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_ts",
         "2024-01-08 00:00:00",
     )
+    # fused coordinate read-back (r18): st_x + st_y share one parse
+    xy = K.st_xy("geom")
     return retained.select(
         "identifier",
         "event_type",
-        F.round(K.st_x("geom"), 6).alias("gx"),
-        F.round(K.st_y("geom"), 6).alias("gy"),
+        F.round(xy["x"], 6).alias("gx"),
+        F.round(xy["y"], 6).alias("gy"),
     )
 
 

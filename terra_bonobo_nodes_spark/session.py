@@ -50,15 +50,20 @@ def get_spark(app_name: str = "terra_bonobo_nodes_spark") -> SparkSession:
         # both sides' sorts. The AQE threshold additionally rewrites an
         # already-planned SMJ to SHJ at runtime when every post-shuffle
         # partition is under it; 64m matches the broadcast threshold's
-        # memory rationale (bounded per-task build). r17 A/B at sf0.1,
-        # interleaved min-of-3 over the 8 most join-heavy headline
-        # rows: 18.13s -> 16.92s with no regressing query; results are
-        # join-algorithm-independent (hash-verified). On a real
-        # cluster these are the same defaults the optimization guide's
-        # baseline config ships; sort-merge still plans wherever a
-        # build side could not fit (the threshold bounds it), so spill
-        # robustness at 100 TB is unchanged.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # memory rationale (bounded per-task build). TIMING CLAIM
+        # RETRACTED (OPTIMIZATION_r17.md §10): the originally-cited
+        # "18.13s -> 16.92s" A/B was host-drift bias — the controlled
+        # alternating-order re-validation read 16.80 vs 16.73s, a
+        # wash at this fixture scale. Kept as the optimization guide's
+        # §9 baseline only: results are join-algorithm-independent
+        # (hash-verified), sort-merge still plans wherever a build
+        # side could not fit (the 64m threshold bounds it), and both
+        # knobs take env overrides so a deployment where an SHJ build
+        # side might not fit can flip back without a code change.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_PREFER_SORTMERGEJOIN", "false"),
+        )
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_SHJ_LOCAL_MAP_THRESHOLD", str(64 * 1024 * 1024)),

@@ -21,6 +21,44 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# Driver-budget profile (pytest.ini): the measured-slowest tests carry
+# the `slow` marker, applied here from one data file instead of 25
+# scattered decorators. pytest.ini's addopts deselects them by default;
+# `pytest -m "slow or not slow"` runs the full suite.
+_SLOW_LIST = Path(__file__).with_name("slow_tests.txt")
+
+
+def pytest_collection_modifyitems(config, items):
+    try:
+        slow_ids = {
+            ln.strip()
+            for ln in _SLOW_LIST.read_text().splitlines()
+            if ln.strip() and not ln.startswith("#")
+        }
+    except OSError:
+        return
+    matched = set()
+    for item in items:
+        # durations log records `tests/file.py::test[param]`; nodeids
+        # during a `tests/` run match exactly. Parametrized entries in
+        # the list name the exact id; a bare id also marks every param.
+        nid = item.nodeid
+        base = nid.split("[", 1)[0]
+        if nid in slow_ids or base in slow_ids:
+            item.add_marker(pytest.mark.slow)
+            matched.add(nid if nid in slow_ids else base)
+    stale = slow_ids - matched
+    # a partial run (one file) legitimately matches few entries — only
+    # flag rot when the whole suite was collected
+    if stale and len(items) > 1000:
+        import warnings
+
+        warnings.warn(
+            f"tests/slow_tests.txt has {len(stale)} entries matching no "
+            f"collected test (first: {sorted(stale)[:3]}) — prune the list",
+            stacklevel=1,
+        )
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -719,3 +719,29 @@ def test_dissolve_rect_fast_plan_carries_the_sweep_agg(spark):
     )
     assert "_st_rect_union_area_lists" in plan
     assert "collect_list" in plan
+
+
+def test_grid_candidates_accept_column_bbox_args(spark):
+    """ADVICE r17: the grid strategy's SQL-text fast path must not
+    narrow the previously Column-typed bbox parameters — Column args
+    route through the same algebra (broadcast/kdb parity)."""
+    from pyspark.sql import functions as F
+
+    from terra_bonobo_nodes_spark.geo import kernels as K
+    from terra_bonobo_nodes_spark.operators import spatial as S
+    from terra_bonobo_nodes_spark.plans.queries_geo import _j1_inputs
+    from tests.conftest import SF_DIR
+
+    pts, layer = _j1_inputs(spark, SF_DIR)
+    rec = pts.select("identifier", "geom").withColumn(
+        "_rx", K.st_bbox_boxy(F.col("geom"))
+    )
+    lay = layer.select("layer_geom").withColumn(
+        "_lx", K.st_bbox_boxy(F.col("layer_geom"))
+    )
+    want = S._candidates(rec, lay, "_rx.bbox", "_lx.bbox", "grid", 20.0)
+    got = S._candidates(
+        rec, lay, F.col("_rx.bbox"), F.col("_lx.bbox"), "grid", 20.0
+    )
+    assert got.count() == want.count() > 0
+    assert sorted(got.columns) == sorted(want.columns)
